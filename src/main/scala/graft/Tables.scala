@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md) plus the
+  * rental-shaped view that reproduces the reference's source table
+  * (`rental(rental_id, rental_date, return_date, last_update)`,
+  * /root/reference/airflow_setup/dags/etl_script_incremental_pandas.py:120-124).
+  *
+  * The harness has no Pagila `rental` table, so we derive one
+  * deterministically from `orders`/`lineitem` (FIXTURES.md §C):
+  *   - rental_id    := o_orderkey
+  *   - rental_date  := o_orderdate
+  *   - return_date  := MAX(l_shipdate) of the order's lineitems, but only
+  *                     for finished orders (o_orderstatus = 'F'); NULL
+  *                     otherwise — this exercises the nullable-return path
+  *                     (reference_query.sql:25,46).
+  *   - last_update  := GREATEST(rental_date, COALESCE(return_date, rental_date))
+  *                     mirroring the reference's own backfill expression
+  *                     (etl_script_incremental_pandas.py:151).
+  *
+  * The identical definition is embedded in every DuckDB oracle SQL
+  * (see [[SparkEntry.rentalCte]]) so both engines see the same input.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The rental-shaped view (see object doc). At scale both inputs are fact
+    * tables, so the max-shipdate rollup is a map-side-combined hash
+    * aggregation on `l_orderkey` followed by a shuffled equi-join on the
+    * same key — no driver-side work, no broadcast of a big side.
+    */
+  def rental(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val ship = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"))
+    val ret = when(col("o_orderstatus") === "F", col("max_ship"))
+    o.join(ship, o("o_orderkey") === ship("l_orderkey"), "left")
+      .select(
+        col("o_orderkey").as("rental_id"),
+        col("o_orderdate").as("rental_date"),
+        ret.as("return_date"),
+        greatest(col("o_orderdate"), coalesce(ret, col("o_orderdate")))
+          .as("last_update"))
+  }
+}
