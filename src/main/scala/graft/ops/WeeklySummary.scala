@@ -67,8 +67,21 @@ object WeeklySummary {
         .as("week_beginning"))
   }
 
-  /** Scale-path snapshot: cumulative-window reformulation (see object doc). */
-  def snapshot(rental: DataFrame, asOf: LocalDate): DataFrame = {
+  /** Week-grain summary stats for an arbitrary set of requested weeks.
+    *
+    * Shared core of the snapshot (requested = the contiguous spine) and the
+    * incremental recompute (requested = the sparse affected-week set,
+    * etl_script_incremental_pandas.py:218-243 — but as ONE join-based plan
+    * instead of the reference's per-week driver loop, SURVEY.md G2).
+    *
+    * The cumulative window must see every activity week ≤ any requested
+    * week, so it runs over `requested ∪ activity-weeks` and the result is
+    * then inner-joined back to `requested`. All frames past the partial
+    * aggregation are week-cardinality.
+    *
+    * @param weeks single `week_beginning: DATE` column, distinct Monday dates
+    */
+  def statsForWeeks(rental: DataFrame, weeks: DataFrame): DataFrame = {
     val r = rental.select(
       col("rental_id"),
       to_date(col("rental_date")).as("rd"),
@@ -86,10 +99,14 @@ object WeeklySummary {
       .groupBy(weekStart(greatest(col("rd"), col("ret"))).as("week_beginning"))
       .agg(count(col("rental_id")).as("n_closed"))
 
-    val spine = weekSpine(rental, asOf)
+    val allWeeks = weeks.select(col("week_beginning"))
+      .union(rented.select(col("week_beginning")))
+      .union(closed.select(col("week_beginning")))
+      .distinct()
+
     // Post-aggregation sides are week-cardinality: broadcast them so the
-    // spine join never shuffles the (already tiny) spine.
-    val joined = spine
+    // week-spine join never shuffles.
+    val joined = allWeeks
       .join(broadcast(rented), Seq("week_beginning"), "left")
       .join(broadcast(returned), Seq("week_beginning"), "left")
       .join(broadcast(closed), Seq("week_beginning"), "left")
@@ -109,8 +126,13 @@ object WeeklySummary {
         (nRented - nReturned).as("net_change_in_outstanding"),
         (sum(nRented).over(cum) - sum(nClosed).over(cum))
           .as("outstanding_rentals_at_week_end"))
+      .join(broadcast(weeks.select(col("week_beginning"))), Seq("week_beginning"), "left_semi")
       .orderBy("week_beginning")
   }
+
+  /** Scale-path snapshot: cumulative-window reformulation (see object doc). */
+  def snapshot(rental: DataFrame, asOf: LocalDate): DataFrame =
+    statsForWeeks(rental, weekSpine(rental, asOf))
 
   /** Faithful O(weeks × rentals) shape of reference_query.sql:40-49 for
     * cross-checking: non-equi join spine × rental, conditional count. */

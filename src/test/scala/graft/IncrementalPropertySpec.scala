@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.incremental._
+import graft.ops.WeeklySummary
+import TestSpark._
+
+/** Property: for any rental log whose `last_update` tracks activity time
+  * (the reference's intended CDC contract, README.md:100-103 "last_update
+  * must be updated to the current time"), replaying the log in arbitrary
+  * batch splits through the incremental pipeline converges to the snapshot
+  * query over the final source — README.md:67-74's dual-implementation
+  * oracle, mechanized (SURVEY.md §5).
+  *
+  * Uses raw ScalaCheck generators with fixed seeds (the
+  * scalatest-scalacheck bridge isn't in the offline artifact cache).
+  */
+class IncrementalPropertySpec extends AnyFunSuite {
+
+  private val base = ts("2022-01-03 00:00:00").getTime
+  private val day = 86400000L
+
+  /** (id, rentalDay, returnDelay: None=open) over a ~20-week range. */
+  private val logGen: Gen[List[(Long, Int, Option[Int])]] =
+    Gen.chooseNum(1, 25).flatMap { n =>
+      Gen.sequence[List[(Long, Int, Option[Int])], (Long, Int, Option[Int])](
+        (1 to n).map { id =>
+          for {
+            rd <- Gen.chooseNum(0, 140)
+            ret <- Gen.option(Gen.chooseNum(0, 60))
+          } yield (id.toLong, rd, ret)
+        }.toList)
+    }
+
+  private val cutsGen: Gen[List[Int]] =
+    Gen.chooseNum(1, 4).flatMap(k => Gen.listOfN(k, Gen.chooseNum(0, 210)))
+
+  test("incremental replay converges to snapshot (random logs, random batches)") {
+    for (trial <- 1 to 8) {
+      val rows = logGen.pureApply(Gen.Parameters.default, Seed(trial.toLong))
+      val cuts = cutsGen.pureApply(Gen.Parameters.default, Seed(1000L + trial))
+
+      val versions = rows.flatMap { case (id, rd, ret) =>
+        val rdTs = new Timestamp(base + rd * day)
+        val v1 = RentalVersion(id, rdTs, None, rdTs)
+        ret match {
+          case Some(delay) =>
+            val retTs = new Timestamp(base + (rd + delay) * day)
+            // activity-time CDC: the return version carries last_update =
+            // greatest(rental, return), like Tables.rental's view
+            List(v1, RentalVersion(id, rdTs, Some(retTs),
+              new Timestamp(math.max(rdTs.getTime, retTs.getTime))))
+          case None => List(v1)
+        }
+      }
+      val log = rentalDf(versions)
+      val dir = Files.createTempDirectory("graft-prop").toString
+      val orderedCuts = (cuts.map(c => new Timestamp(base + c * day)) :+
+        new Timestamp(base + 250 * day)).sortBy(_.getTime)
+      orderedCuts.foreach { t =>
+        IncrementalWeeklySummary.run(spark, sourceAsOf(log, t), dir, now = ts("2030-01-01 00:00:00"))
+      }
+      val finalSource = sourceAsOf(log, orderedCuts.last)
+      val maxW = finalSource
+        .agg(WeeklySummary.weekStart(to_date(max(
+          greatest(col("rental_date"), coalesce(col("return_date"), col("rental_date")))))))
+        .head().getDate(0)
+      val expected = WeeklySummary.snapshot(finalSource, SparkEntry.AsOf)
+        .filter(col("week_beginning") <= lit(maxW))
+      val got = IncrementalWeeklySummary.readSummary(spark, dir).select(
+        col("week_beginning"),
+        col("newly_rented_during_week"),
+        col("ReturnedRentals").as("returned_rentals_during_week"),
+        col("net_change_in_outstanding"),
+        col("OutstandingRentals").as("outstanding_rentals_at_week_end"))
+      withClue(s"trial $trial (rows=${rows.size}, cuts=$cuts): ") {
+        assertSameRows(got, expected)
+      }
+    }
+  }
+}
