@@ -5,7 +5,7 @@ import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{ReferenceOps, WeeklySummary}
+import graft.ops.{ReferenceOps, TextOps, WeeklySummary}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -98,7 +98,54 @@ object SparkEntry {
       ReferenceOps.firstRental(Tables.rental(s, dir))),
     "upsert_round" -> ((s, dir) =>
       ReferenceOps.upsertRound(Tables.rental(s, dir), DeltaFrom, AsOf)),
+    // -- text analysis / dedup over `documents` (extended surface)
+    "doc_stats" -> ((s, dir) => TextOps.docStats(Tables.documents(s, dir))),
+    "doc_quality" -> ((s, dir) => TextOps.docQuality(Tables.documents(s, dir))),
+    "doc_langid" -> ((s, dir) => TextOps.docLangId(Tables.documents(s, dir))),
+    "doc_fingerprint" -> ((s, dir) => TextOps.docFingerprint(Tables.documents(s, dir))),
+    "dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.documents(s, dir))),
+    "neardup_jaccard" -> ((s, dir) => TextOps.nearDupJaccard(Tables.documents(s, dir))),
+    "neardup_keep" -> ((s, dir) => TextOps.nearDupKeep(Tables.documents(s, dir))),
+    // signature-based near-dup (hash families not portable to DuckDB —
+    // rows-only check here; recall vs exact jaccard asserted in DedupSpec)
+    "neardup_minhash" -> ((s, dir) => TextOps.nearDupMinhash(Tables.documents(s, dir))),
+    "neardup_simhash" -> ((s, dir) => TextOps.nearDupSimhash(Tables.documents(s, dir))),
   )
+
+  /** Shared DuckDB CTE: canonical tokens per document (mirrors
+    * [[graft.functions.TextFns.tokens]]). */
+  private val toksCte: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+      |         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents)""".stripMargin
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Shared DuckDB CTE chain: 3-gram shingle near-dup candidate pairs with
+    * the df≤100 stop-shingle cap (mirrors [[TextOps.nearDupJaccard]]). */
+  private val jaccardPairsCtes: String =
+    s"""$toksCte,
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh WHERE len(s) > 0),
+       |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
+       |rare AS (SELECT shingle FROM ex GROUP BY 1 HAVING count(*) <= 100),
+       |exr AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+       |shared_counts AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jacc_pairs AS (
+       |  SELECT doc_a, doc_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |         round(shared::double / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+       |  FROM shared_counts
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id)""".stripMargin
 
   private val weeklySummaryOracle: String = {
     val (ctes, fin) = snapshotCtes("rental", "")
@@ -175,5 +222,66 @@ object SparkEntry {
          |SELECT rental_id, rental_date, return_date, last_update FROM rental
          |ORDER BY rental_id LIMIT 1""".stripMargin,
     "upsert_round" -> upsertRoundOracle,
+    "doc_stats" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  len(t) AS n_tokens,
+         |  len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_bpe,
+         |  length(norm) AS n_chars_norm,
+         |  round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) AS stopword_ratio,
+         |  round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) AS punct_ratio,
+         |  round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) AS digit_ratio,
+         |  round(list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b)::double / len(t), 6) AS mean_token_len
+         |FROM toks""".stripMargin,
+    "doc_quality" ->
+      s"""WITH $toksCte,
+         |stats AS (
+         |  SELECT doc_id, len(t) AS n_tokens,
+         |    round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) AS stopword_ratio,
+         |    round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) AS punct_ratio,
+         |    round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) AS digit_ratio
+         |  FROM toks)
+         |SELECT doc_id,
+         |  (n_tokens BETWEEN 20 AND 100000)::int AS length_ok,
+         |  (stopword_ratio >= 0.001)::int AS stopword_ok,
+         |  (punct_ratio <= 0.2)::int AS punct_ok,
+         |  (digit_ratio <= 0.3)::int AS digit_ok,
+         |  round(((n_tokens BETWEEN 20 AND 100000)::int + (stopword_ratio >= 0.001)::int
+         |       + (punct_ratio <= 0.2)::int + (digit_ratio <= 0.3)::int)::double / 4, 6) AS quality_score
+         |FROM stats""".stripMargin,
+    "doc_langid" -> {
+      val hits = Seq(
+        "en" -> graft.functions.TextFns.StopwordsEn,
+        "es" -> graft.functions.TextFns.StopwordsEs,
+        "de" -> graft.functions.TextFns.StopwordsDe,
+        "fr" -> graft.functions.TextFns.StopwordsFr)
+      val hitCols = hits.map { case (n, ws) =>
+        s"len(list_filter(t, x -> x IN ${inList(ws)})) AS hits_$n" }.mkString(",\n  ")
+      val best = "greatest(hits_en, hits_es, hits_de, hits_fr)"
+      val cases = hits.map { case (n, _) =>
+        s"WHEN hits_$n > 0 AND hits_$n = $best THEN '$n'" }.mkString("\n  ")
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id,
+         |  $hitCols
+         |FROM toks)
+         |SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+         |  CASE $cases ELSE 'und' END AS lang_pred
+         |FROM h""".stripMargin
+    },
+    "doc_fingerprint" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, md5(norm) AS fp_md5, length(norm) AS fp_len FROM toks""".stripMargin,
+    "dedup_exact" ->
+      s"""WITH $toksCte
+         |SELECT md5(norm) AS fp_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+         |FROM toks GROUP BY 1""".stripMargin,
+    "neardup_jaccard" ->
+      s"""WITH $jaccardPairsCtes
+         |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard
+         |FROM jacc_pairs WHERE jaccard >= 0.8""".stripMargin,
+    "neardup_keep" ->
+      s"""WITH $jaccardPairsCtes
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_b FROM jacc_pairs WHERE jaccard >= 0.8)""".stripMargin,
   )
 }

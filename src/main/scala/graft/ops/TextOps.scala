@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns._
+
+/** Text-analysis and deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (builder brief; SURVEY.md §7
+  * phase 4). Every operator is a distributed plan: per-document work is
+  * row-local array math; cross-document work (candidate generation) goes
+  * through explode + shuffle-join on short keys, never a cross join.
+  */
+object TextOps {
+
+  /** Per-document stats: token counts (whitespace + BPE-ish), char
+    * counts, stopword/punctuation/digit ratios, mean token length.
+    * Ratios rounded to 6dp for engine-portable comparison. */
+  def docStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val norm = normalize(col("text"))
+    val nToks = size(toks)
+    documents.select(
+      col("doc_id"),
+      nToks.as("n_tokens"),
+      bpeishTokenCount(col("text")).as("n_tokens_bpe"),
+      length(norm).as("n_chars_norm"),
+      round(hitCount(toks, StopwordsEn).cast("double") / nToks, 6).as("stopword_ratio"),
+      round(size(regexp_extract_all(norm, lit("[^a-z0-9 ]"), lit(0))).cast("double")
+        / greatest(length(norm), lit(1)), 6).as("punct_ratio"),
+      round(size(regexp_extract_all(norm, lit("[0-9]"), lit(0))).cast("double")
+        / greatest(length(norm), lit(1)), 6).as("digit_ratio"),
+      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / nToks, 6).as("mean_token_len"))
+  }
+
+  /** Quality score in [0,1]: length band + stopword presence − symbol
+    * noise. A deterministic, SQL-expressible heuristic of the usual
+    * pretraining-filter shape (Gopher-style length/punct/stopword rules). */
+  def docQuality(documents: DataFrame): DataFrame = {
+    val s = docStats(documents)
+    val lengthOk = col("n_tokens").between(20, 100000)
+    val stopOk = col("stopword_ratio") >= 0.001
+    val punctOk = col("punct_ratio") <= 0.2
+    val digitOk = col("digit_ratio") <= 0.3
+    s.select(
+      col("doc_id"),
+      lengthOk.cast("int").as("length_ok"),
+      stopOk.cast("int").as("stopword_ok"),
+      punctOk.cast("int").as("punct_ok"),
+      digitOk.cast("int").as("digit_ok"),
+      round((lengthOk.cast("double") + stopOk.cast("double")
+        + punctOk.cast("double") + digitOk.cast("double")) / 4, 6).as("quality_score"))
+  }
+
+  /** Stopword-profile language guess + per-language hit counts. */
+  def docLangId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val hitCols = langIdExprs(toks).map { case (name, c) => c.as(s"hits_$name") }
+    documents.select(
+      (col("doc_id") +: hitCols :+ langId(toks).as("lang_pred")): _*)
+  }
+
+  /** Content fingerprints: md5 of the canonical text (exact-dedup key)
+    * plus a cheap length+checksum composite for prefilter bucketing. */
+  def docFingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp_md5"),
+      length(normalize(col("text"))).as("fp_len"))
+
+  /** Exact dedup: hash-groupBy on the md5 fingerprint; keeper = min
+    * doc_id. One shuffle on the 32-char key; at 100 TB this is the
+    * standard map-side-combined dedup (each group's min computed
+    * partially before the shuffle). */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fp_md5"))
+      .groupBy(col("fp_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_docs"))
+
+  /** Exact n-gram-jaccard near-dup pairs via inverted-index candidate
+    * generation: explode k-shingles, drop stop-shingles with document
+    * frequency > `maxDf` (they only generate quadratic candidate noise —
+    * at scale this cap is what keeps the self-join linear), self-join on
+    * shingle, then exact jaccard from shared/distinct counts, keep pairs
+    * ≥ `minJaccard`. */
+  def nearDupJaccard(documents: DataFrame, k: Int = 3,
+      minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), shingles(tokens(col("text")), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val exRare = ex.join(rare.select("shingle"), Seq("shingle"))
+    val pairs = exRare.as("a")
+      .join(exRare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Greedy keep-list after near-dup pairing: drop every doc that appears
+    * as the larger id in a qualifying pair (left-anti join). Cluster-
+    * transitive dedup would need connected components; the greedy rule is
+    * the deterministic single-pass policy. */
+  def nearDupKeep(documents: DataFrame, k: Int = 3,
+      minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
+    val losers = nearDupJaccard(documents, k, minJaccard, maxDf)
+      .select(col("doc_b").as("doc_id")).distinct()
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle → `numPerms` minhash signature →
+    * `bands` band keys → candidates share a band bucket → filter by the
+    * signature-estimated jaccard. No pairwise work outside shared
+    * buckets; band keys are 8 longs/doc, so the shuffle is tiny compared
+    * to the shingle join. Bands/perms give an S-curve threshold of
+    * (1/bands)^(bands/numPerms) ≈ 0.7 for the defaults. */
+  def nearDupMinhash(documents: DataFrame, k: Int = 3, numPerms: Int = 64,
+      bands: Int = 8, minEstJaccard: Double = 0.8): DataFrame = {
+    val sig = documents
+      .select(col("doc_id"), shingles(tokens(col("text")), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), numPerms).as("sig"))
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      explode(minhashBands(col("sig"), bands, numPerms)).as("band"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        round(minhashEstimate(col("sig_a"), col("sig_b")), 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, banded blocking (a pair
+    * with hamming < bands shares ≥1 of the `bands` bit-slices — the
+    * pigeonhole guarantee), exact hamming check on candidates. */
+  def nearDupSimhash(documents: DataFrame, bands: Int = 8,
+      maxHamming: Int = 5): DataFrame = {
+    require(maxHamming < bands, "pigeonhole: need maxHamming < bands for exact recall")
+    val sig = documents.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(simhashBands(col("sig"), bands)).as("band"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}
