@@ -5,7 +5,7 @@ import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{ReferenceOps, TextOps, WeeklySummary}
+import graft.ops.{EventOps, ReferenceOps, TextOps, WeeklySummary}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -110,7 +110,22 @@ object SparkEntry {
     // rows-only check here; recall vs exact jaccard asserted in DedupSpec)
     "neardup_minhash" -> ((s, dir) => TextOps.nearDupMinhash(Tables.documents(s, dir))),
     "neardup_simhash" -> ((s, dir) => TextOps.nearDupSimhash(Tables.documents(s, dir))),
+    // -- event-stream operators over `events`
+    "events_hourly" -> ((s, dir) => EventOps.hourlyRollup(Tables.events(s, dir))),
+    "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
+    "events_json" -> ((s, dir) => EventOps.jsonPropStats(Tables.events(s, dir))),
+    "events_topk" -> ((s, dir) => EventOps.topKPerType(Tables.events(s, dir))),
+    "events_rollup" -> ((s, dir) => EventOps.multiRollup(Tables.events(s, dir))),
+    "events_distinct_users" -> ((s, dir) => EventOps.distinctUsers(Tables.events(s, dir))),
+    // sketch cardinality: HLL++ internals aren't portable — rows-only;
+    // EventOpsSpec bounds the relative error vs the exact count
+    "events_approx_distinct" -> ((s, dir) => EventOps.approxDistinctUsers(Tables.events(s, dir))),
   )
+
+  /** Shared DuckDB CTE: events with `ts` truncated to microseconds —
+    * exactly what Spark sees (nanos read as long, `ts DIV 1000`). */
+  private val eventsCte: String =
+    "e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props FROM events)"
 
   /** Shared DuckDB CTE: canonical tokens per document (mirrors
     * [[graft.functions.TextFns.tokens]]). */
@@ -283,5 +298,58 @@ object SparkEntry {
       s"""WITH $jaccardPairsCtes
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_b FROM jacc_pairs WHERE jaccard >= 0.8)""".stripMargin,
+    "events_hourly" ->
+      s"""WITH $eventsCte
+         |SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+         |FROM e GROUP BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      s"""WITH $eventsCte,
+         |flags AS (
+         |  SELECT user_id, ts, event_id, event_type, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         |  FROM flags)
+         |SELECT user_id, session_seq,
+         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |  COUNT(*) AS n_events,
+         |  COUNT(DISTINCT event_type) AS n_event_types,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM sess GROUP BY 1, 2""".stripMargin,
+    "events_json" ->
+      s"""WITH $eventsCte
+         |SELECT event_type,
+         |  COUNT(json_extract_string(props, '$$.k')) AS n_with_k,
+         |  CAST(SUM(json_extract_string(props, '$$.k')::BIGINT) AS BIGINT) AS sum_k,
+         |  MIN(json_extract_string(props, '$$.k')::BIGINT) AS min_k,
+         |  MAX(json_extract_string(props, '$$.k')::BIGINT) AS max_k,
+         |  round(SUM(json_extract_string(props, '$$.k')::BIGINT)::DOUBLE
+         |        / COUNT(json_extract_string(props, '$$.k')), 6) AS avg_k
+         |FROM e GROUP BY 1""".stripMargin,
+    "events_topk" ->
+      s"""WITH $eventsCte
+         |SELECT event_type, event_id, user_id, value, rn FROM (
+         |  SELECT event_type, event_id, user_id, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+         |  FROM e) WHERE rn <= 3""".stripMargin,
+    "events_rollup" ->
+      s"""WITH $eventsCte
+         |SELECT event_type, date_trunc('day', ts)::date AS day,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  GROUPING(event_type, date_trunc('day', ts)::date) AS grouping_level
+         |FROM e GROUP BY ROLLUP(1, 2)""".stripMargin,
+    "events_distinct_users" ->
+      s"""WITH $eventsCte
+         |SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM e GROUP BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table: tumbling-window
+  * rollups, gap-based sessionization, JSON property extraction, grouped
+  * top-k, and cardinality (exact + sketch). Batch forms here; the
+  * streaming counterparts live in [[graft.streaming]].
+  *
+  * Determinism notes for the DuckDB oracles: money-like doubles aggregate
+  * through DECIMAL(18,2) (exact, order-independent) and surface as
+  * doubles; averages are exact-sum / count rounded to 6dp; window orders
+  * carry `event_id` as tiebreak.
+  */
+object EventOps {
+
+  private val valueDec = col("value").cast("decimal(18,2)")
+
+  /** Tumbling 1-hour rollup per event type: count, exact distinct users,
+    * decimal-exact value sum/avg. Map-side partial aggregation + one
+    * shuffle on (hour, type); the distinct-count expands to a two-phase
+    * partial distinct under AQE. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(valueDec).cast("double").as("sum_value"),
+        round(sum(valueDec).cast("double") / count(lit(1)), 6).as("avg_value"))
+
+  /** Gap-based sessionization (30-min default): a session breaks where
+    * the per-user gap exceeds `gapMinutes`. lag → boundary flag →
+    * running sum = session id; one shuffle on user_id, two window passes
+    * over the same partitioning (Catalyst collapses them into one sort).
+    * The streaming analog is `groupByKey.flatMapGroupsWithState`. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    // exact microsecond gap math (cast-to-long would truncate to seconds
+    // and disagree with the DuckDB oracle's epoch_us)
+    val newSession = when(
+      prevTs.isNull ||
+      unix_micros(col("ts")) - unix_micros(prevTs) > gapMinutes * 60000000L, 1L).otherwise(0L)
+    events
+      .withColumn("session_seq",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        sum(valueDec).cast("double").as("sum_value"))
+  }
+
+  /** JSON property extraction + per-type stats of `props.k`
+    * (`get_json_object` — codegen'd Jackson path eval, no UDF). */
+  def jsonPropStats(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    events
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(sum(col("k")).cast("double") / count(col("k")), 6).as("avg_k"))
+  }
+
+  /** Top-k rows per group by (value desc, event_id asc) — rank via
+    * row_number window; the shuffle is one hash partition by type. */
+  def topKPerType(events: DataFrame, kTop: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    events
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kTop)
+  }
+
+  /** Multi-granularity rollup — native `rollup` (one Expand + one
+    * shuffle): levels (type, day), (type), (); `grouping_id`
+    * disambiguates the null-filled levels. */
+  def multiRollup(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .rollup(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(valueDec).cast("double").as("sum_value"),
+        grouping_id().as("grouping_level"))
+
+  /** Exact distinct users per type — the oracle-checkable cardinality. */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  /** HyperLogLog++ sketch cardinality (rows-only check; EventOpsSpec
+    * asserts relative error vs exact). At 100 TB this is the default:
+    * fixed-size sketch state, no distinct shuffle explosion. */
+  def approxDistinctUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.EventOps
+import TestSpark._
+
+class EventOpsSpec extends AnyFunSuite {
+  private lazy val events = Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("sessionization splits exactly at the gap boundary") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    // user 1: gap of exactly 30min (no split), then 30min+1s (split)
+    val fixture = Seq(
+      (1L, t(0), 1L, "a", 1.0, "{}"),
+      (2L, t(1800), 1L, "a", 1.0, "{}"),       // 30:00 gap -> same session
+      (3L, t(1800 + 1801), 1L, "b", 1.0, "{}"), // 30:01 gap -> new session
+      (4L, t(100), 2L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.sessionize(fixture).orderBy("user_id", "session_seq").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2) // user 1 session 1
+    assert(out(1).getAs[Long]("n_events") == 1) // user 1 session 2
+    assert(out(2).getAs[Long]("n_events") == 1) // user 2
+  }
+
+  test("session totals conserve events") {
+    val total = EventOps.sessionize(events).agg(sum("n_events")).head().getLong(0)
+    assert(total == events.count())
+  }
+
+  test("approx distinct users within rsd bound of exact") {
+    val exact = EventOps.distinctUsers(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = EventOps.approxDistinctUsers(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err <= 0.1, s"$k: approx=${approx(k)} exact=$n err=$err")
+    }
+  }
+
+  test("rollup levels are consistent") {
+    val out = EventOps.multiRollup(events)
+    val grand = out.filter(col("grouping_level") === 3).head()
+    assert(grand.getAs[Long]("n_events") == events.count())
+    val perType = out.filter(col("grouping_level") === 1)
+      .agg(sum("n_events")).head().getLong(0)
+    assert(perType == events.count())
+  }
+}
