@@ -5,7 +5,7 @@ import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{EventOps, ReferenceOps, TextOps, WeeklySummary}
+import graft.ops.{EventOps, ReferenceOps, TextOps, VectorOps, WeeklySummary}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -120,7 +120,24 @@ object SparkEntry {
     // sketch cardinality: HLL++ internals aren't portable — rows-only;
     // EventOpsSpec bounds the relative error vs the exact count
     "events_approx_distinct" -> ((s, dir) => EventOps.approxDistinctUsers(Tables.events(s, dir))),
+    // -- similarity search over `embeddings`
+    "ann_topk" -> ((s, dir) => VectorOps.annBruteForce(Tables.embeddings(s, dir))),
+    "embedding_neardup" -> ((s, dir) => VectorOps.nearDupEmbedding(Tables.embeddings(s, dir))),
+    // LSH path: bucket membership isn't DuckDB-portable — rows-only;
+    // VectorOpsSpec asserts recall vs the brute-force truth
+    "ann_lsh" -> ((s, dir) => VectorOps.annLsh(Tables.embeddings(s, dir))),
   )
+
+  /** DuckDB cosine with the exact arithmetic shape of
+    * [[graft.functions.VectorFns.cosine]]: left-to-right double fold
+    * (list_reduce), so doubles are bit-identical across engines.
+    * DuckDB's builtin list_cosine_similarity accumulates in float and
+    * diverges in the 7th decimal — not usable as the oracle. */
+  private def duckCosine(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (acc, v) -> acc + v)"
+    s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
+  }
 
   /** Shared DuckDB CTE: events with `ts` truncated to microseconds —
     * exactly what Spark sees (nanos read as long, `ts DIV 1000`). */
@@ -351,5 +368,22 @@ object SparkEntry {
     "events_distinct_users" ->
       s"""WITH $eventsCte
          |SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM e GROUP BY 1""".stripMargin,
+    "ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |         round(${duckCosine("qe", "c.embedding")}, 6) AS cos_sim
+         |  FROM q, embeddings c WHERE c.vec_id != query_id)
+         |SELECT query_id, neighbor_id, cos_sim, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM pairs)
+         |WHERE rn <= 5""".stripMargin,
+    "embedding_neardup" ->
+      s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
+         |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
+         |pairs AS (
+         |  SELECT vec_a, vec_b, round(${duckCosine("ea", "eb")}, 6) AS cos_sim
+         |  FROM a JOIN b ON vec_a < vec_b)
+         |SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.45""".stripMargin,
   )
 }

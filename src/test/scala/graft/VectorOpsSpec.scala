@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.VectorOps
+import TestSpark._
+
+class VectorOpsSpec extends AnyFunSuite {
+
+  /** 60 seeded random unit-ish vectors; ids 0-4 each get a near-identical
+    * twin at id 100+i (cos ≈ 0.999). */
+  private lazy val fixture = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec(), i % 10))
+    val twins = (0 until 5).map { i =>
+      val v = base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      (100L + i, v, i)
+    }
+    (base ++ twins).toDF("vec_id", "embedding", "label")
+  }
+
+  test("LSH finds the planted near-identical twins as top-1") {
+    val top1 = VectorOps.annLsh(fixture, nQueries = 5, k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach { i =>
+      assert(top1.get(i.toLong).contains(100L + i),
+        s"query $i: expected twin ${100 + i}, got ${top1.get(i.toLong)}")
+    }
+  }
+
+  test("LSH cosines agree with brute force on shared pairs") {
+    val bf = VectorOps.annBruteForce(fixture, nQueries = 5, k = 30)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = VectorOps.annLsh(fixture, nQueries = 5, k = 5).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bf.get(key).foreach(c => assert(c == r.getAs[Double]("cos_sim")))
+    }
+  }
+
+  test("exact near-dup pairs recover exactly the planted twins at cos >= 0.9") {
+    val pairs = VectorOps.nearDupEmbedding(fixture, minCos = 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
+  }
+
+  test("brute-force ranks are dense and bounded") {
+    val out = VectorOps.annBruteForce(fixture, nQueries = 3, k = 4)
+    assert(out.count() == 12)
+    val ranks = out.groupBy("query_id").agg(max("rn"), count(lit(1))).collect()
+    ranks.foreach { r => assert(r.getInt(1) == 4 && r.getLong(2) == 4) }
+  }
+}
