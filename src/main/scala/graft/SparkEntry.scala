@@ -5,7 +5,7 @@ import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{EventOps, ReferenceOps, TextOps, VectorOps, WeeklySummary}
+import graft.ops.{Analytics, EventOps, ReferenceOps, TextOps, VectorOps, WeeklySummary}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -126,7 +126,18 @@ object SparkEntry {
     // LSH path: bucket membership isn't DuckDB-portable — rows-only;
     // VectorOpsSpec asserts recall vs the brute-force truth
     "ann_lsh" -> ((s, dir) => VectorOps.annLsh(Tables.embeddings(s, dir))),
+    // -- TPC-H-shaped analytics over the star schema
+    "pricing_summary" -> ((s, dir) => Analytics.pricingSummary(s, dir)),
+    "revenue_by_nation" -> ((s, dir) => Analytics.revenueByNation(s, dir)),
+    "top_customers" -> ((s, dir) => Analytics.topCustomers(s, dir)),
+    "late_priority_counts" -> ((s, dir) => Analytics.latePriorityCounts(s, dir)),
+    "supplier_diversity" -> ((s, dir) => Analytics.supplierDiversity(s, dir)),
+    "top_part_per_brand" -> ((s, dir) => Analytics.topPartPerBrand(s, dir)),
   )
+
+  /** Exact decimal revenue expression shared by the analytics oracles. */
+  private val revSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
 
   /** DuckDB cosine with the exact arithmetic shape of
     * [[graft.functions.VectorFns.cosine]]: left-to-right double fold
@@ -385,5 +396,56 @@ object SparkEntry {
          |  SELECT vec_a, vec_b, round(${duckCosine("ea", "eb")}, 6) AS cos_sim
          |  FROM a JOIN b ON vec_a < vec_b)
          |SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.45""".stripMargin,
+    "pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($revSql) AS DOUBLE) AS sum_disc_price,
+         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+         |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "revenue_by_nation" ->
+      s"""SELECT n.n_name,
+         |  CAST(SUM($revSql) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n ON c_nationkey = n.n_nationkey
+         |JOIN region ON n.n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "top_customers" ->
+      s"""WITH per_cust AS (
+         |  SELECT o_custkey, CAST(SUM($revSql) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  GROUP BY 1)
+         |SELECT c_custkey, c_name, c_mktsegment, revenue, n_items
+         |FROM per_cust JOIN customer ON o_custkey = c_custkey
+         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "late_priority_counts" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS order_count
+         |FROM orders o
+         |WHERE EXISTS (
+         |  SELECT 1 FROM lineitem l
+         |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "supplier_diversity" ->
+      s"""SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(*) AS n_lineitems
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "top_part_per_brand" ->
+      s"""WITH per_part AS (
+         |  SELECT l_partkey, CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |  FROM lineitem GROUP BY 1),
+         |ranked AS (
+         |  SELECT p_brand, p_partkey, p_name, revenue,
+         |    row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rn
+         |  FROM per_part JOIN part ON l_partkey = p_partkey)
+         |SELECT p_brand, p_partkey, p_name, revenue FROM ranked WHERE rn = 1
+         |ORDER BY p_brand""".stripMargin,
   )
 }
