@@ -1,0 +1,149 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop Catalyst expressions for the per-document signature work.
+  *
+  * The higher-order-function formulations in [[TextFns]] are correct but
+  * interpreted per element with InternalRow boxing per lambda call —
+  * they made shingling/minhash/simhash the bench bottleneck. Each
+  * expression here is one Scala loop per row (CodegenFallback: the work
+  * is per-row-heavy, so the codegen boundary cost is immaterial).
+  * Hash functions reuse Spark's own Murmur3/XXH64 kernels with the same
+  * seed as the built-in `hash()`/`xxhash64()`, so results are identical
+  * to the HOF versions (asserted in TextExprsSpec).
+  */
+object TextExprs {
+
+  private def murmur3(s: UTF8String): Int =
+    Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+
+  private def xxh64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+
+  /** Distinct space-joined word k-grams — [[TextFns.shingles]] in one
+    * pass with an insertion-ordered set. */
+  case class WordShingles(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      if (n < k) return new GenericArrayData(Array.empty[Any])
+      val seen = mutable.LinkedHashSet.empty[UTF8String]
+      val sep = UTF8String.fromString(" ")
+      var i = 0
+      while (i <= n - k) {
+        val parts = new Array[UTF8String](k)
+        var j = 0
+        while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        seen += UTF8String.concatWs(sep, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(seen.toArray[Any])
+    }
+
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  }
+
+  /** MinHash signature — [[TextFns.minhashSignature]] in one pass:
+    * murmur3 per shingle once, then the permutation family inner loop. */
+  case class MinHashSig(child: Expression, numPerms: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    private val prime = TextFns.MinhashPrime
+    private lazy val params: Array[(Long, Long)] =
+      (0 until numPerms).map(TextFns.permParams).toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val shingles = input.asInstanceOf[ArrayData]
+      val n = shingles.numElements()
+      val mins = Array.fill(numPerms)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h0 = murmur3(shingles.getUTF8String(i)).toLong
+        val h = ((h0 % prime) + prime) % prime // pmod, as in the HOF version
+        var p = 0
+        while (p < numPerms) {
+          val (a, b) = params(p)
+          val v = (a * h + b) % prime
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  }
+
+  /** 64-bit SimHash — [[TextFns.simhash64]] in one pass: xxhash64 per
+    * token, 64 sign counters, packed sign bits. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val counters = new Array[Long](64)
+      var i = 0
+      while (i < n) {
+        val h = xxh64(toks.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          counters(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (counters(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  /** Idempotent registration of all graft expressions (incl. [[VecDot]])
+    * on a session's temp function registry. Int parameters travel as
+    * literal arguments. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    VecDot.register(spark)
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs(0)), "built-in")
+  }
+
+  import org.apache.spark.sql.functions.lit
+  def wordShingles(toks: Column, k: Int): Column =
+    call_function("word_shingles", toks, lit(k))
+  def minhashSig(shingles: Column, numPerms: Int): Column =
+    call_function("minhash_sig", shingles, lit(numPerms))
+  def simhash64(toks: Column): Column =
+    call_function("simhash64", toks)
+}

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextExprs
 import graft.functions.TextFns._
 
 /** Text-analysis and deduplication operators over the `documents` table —
@@ -87,8 +88,9 @@ object TextOps {
     * ≥ `minJaccard`. */
   def nearDupJaccard(documents: DataFrame, k: Int = 3,
       minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
+    TextExprs.register(documents.sparkSession)
     val sh = documents
-      .select(col("doc_id"), shingles(tokens(col("text")), k).as("sh"))
+      .select(col("doc_id"), TextExprs.wordShingles(tokens(col("text")), k).as("sh"))
       .filter(size(col("sh")) > 0)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -130,10 +132,11 @@ object TextOps {
     * (1/bands)^(bands/numPerms) ≈ 0.7 for the defaults. */
   def nearDupMinhash(documents: DataFrame, k: Int = 3, numPerms: Int = 64,
       bands: Int = 8, minEstJaccard: Double = 0.8): DataFrame = {
+    TextExprs.register(documents.sparkSession)
     val sig = documents
-      .select(col("doc_id"), shingles(tokens(col("text")), k).as("sh"))
+      .select(col("doc_id"), TextExprs.wordShingles(tokens(col("text")), k).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh"), numPerms).as("sig"))
+      .select(col("doc_id"), TextExprs.minhashSig(col("sh"), numPerms).as("sig"))
     val banded = sig.select(
       col("doc_id"), col("sig"),
       explode(minhashBands(col("sig"), bands, numPerms)).as("band"))
@@ -156,7 +159,8 @@ object TextOps {
   def nearDupSimhash(documents: DataFrame, bands: Int = 8,
       maxHamming: Int = 5): DataFrame = {
     require(maxHamming < bands, "pigeonhole: need maxHamming < bands for exact recall")
-    val sig = documents.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+    TextExprs.register(documents.sparkSession)
+    val sig = documents.select(col("doc_id"), TextExprs.simhash64(tokens(col("text"))).as("sig"))
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(simhashBands(col("sig"), bands)).as("band"))
     banded.as("a")

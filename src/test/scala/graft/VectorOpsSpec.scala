@@ -52,6 +52,17 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(pairs == (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
   }
 
+  test("codegen'd VecDot is bit-identical to the HOF fold") {
+    graft.functions.VecDot.register(spark)
+    val pairs = fixture.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(fixture.limit(5).select(col("embedding").as("b")))
+    val diffs = pairs.select(
+      (graft.functions.VecDot(col("a"), col("b")) -
+        graft.functions.VectorFns.dotHof(col("a"), col("b"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diffs == 0)
+  }
+
   test("brute-force ranks are dense and bounded") {
     val out = VectorOps.annBruteForce(fixture, nQueries = 3, k = 4)
     assert(out.count() == 12)
