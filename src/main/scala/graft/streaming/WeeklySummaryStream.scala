@@ -1,0 +1,206 @@
+package graft.streaming
+
+import java.sql.{Date, Timestamp}
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.incremental.StateStore
+
+/** Streaming-native maintenance of the weekly rental summary — the
+  * Structured Streaming re-expression of the reference's hand-rolled
+  * watermark protocol (SURVEY.md §2.9 mapping):
+  *
+  *   - the CDC log (`rental` row versions keyed by `last_update`,
+  *     etl_script_incremental_pandas.py:120-124) becomes a file-source
+  *     stream; checkpointed offsets replace the `etl_watermarks` table
+  *     (etl:89-96) — a fresh checkpoint dir replays all history, exactly
+  *     like the reference's empty-target reset (etl:68-85).
+  *   - per-rental change tracking becomes `flatMapGroupsWithState`
+  *     keyed by rental_id: the state holds the rental's last applied
+  *     version; each newer version emits retraction/addition deltas of
+  *     its week-grain contributions. Late or duplicate versions fold
+  *     correctly because deltas are exact (old contribution subtracted,
+  *     new added) — arbitrary lateness, as the reference requires
+  *     (README.md:88-98 ⇒ effectively infinite watermark delay).
+  *   - `foreachBatch` merges the summed deltas into a week-grain count
+  *     state table (additive, idempotent per micro-batch commit) — the
+  *     `ON CONFLICT DO UPDATE` upsert analog (etl:249-267).
+  *   - `outstanding_rentals_at_week_end` stays a read-time cumulative
+  *     window over the count state ([[summary]]), identical math to
+  *     [[graft.ops.WeeklySummary.statsForWeeks]] — cumulative state is
+  *     never stored, so per-week counts remain additively mergeable.
+  */
+object WeeklySummaryStream {
+
+  final case class Version(
+      rental_id: Long,
+      rental_date: Timestamp,
+      return_date: Option[Timestamp],
+      last_update: Timestamp)
+
+  /** Week-grain contribution deltas of one version transition. */
+  final case class WeekDelta(week: Date, dRented: Long, dReturned: Long, dClosed: Long)
+
+  val countsSchema: StructType = StructType(Seq(
+    StructField("week_beginning", DateType, nullable = false),
+    StructField("n_rented", LongType, nullable = false),
+    StructField("n_returned", LongType, nullable = false),
+    StructField("n_closed", LongType, nullable = false)))
+
+  /** Monday of the UTC calendar date of `t` — explicit UTC so the result
+    * is independent of the JVM default timezone (the session timezone is
+    * pinned to UTC everywhere in this engine). */
+  private def monday(t: Timestamp): LocalDate = {
+    val d = java.time.Instant.ofEpochMilli(t.getTime)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    d.minusDays(d.getDayOfWeek.getValue - 1L)
+  }
+
+  /** Week-grain contributions of one version: (+/-1)·sign at the rented /
+    * returned / closed weeks — the same three counts the snapshot
+    * aggregates (reference_query.sql:20-34 + the closed-week guard of
+    * WeeklySummary.statsForWeeks). */
+  private def contributions(v: Version, sign: Long): Seq[WeekDelta] = {
+    val rentedWeek = monday(v.rental_date)
+    val base = WeekDelta(Date.valueOf(rentedWeek), sign, 0, 0) +: v.return_date.toSeq.flatMap { ret =>
+      val closedWeek = if (ret.after(v.rental_date)) monday(ret) else rentedWeek
+      Seq(
+        WeekDelta(Date.valueOf(monday(ret)), 0, sign, 0),
+        WeekDelta(Date.valueOf(closedWeek), 0, 0, sign))
+    }
+    base
+  }
+
+  /** Newest-version-wins ordering, same tiebreak as the batch library's
+    * source reconstruction (return-bearing version wins a timestamp tie). */
+  private def newer(a: Version, b: Version): Boolean = {
+    val c = a.last_update.compareTo(b.last_update)
+    c > 0 || (c == 0 && a.return_date.isDefined && b.return_date.isEmpty)
+  }
+
+  /** Stateful diff: fold incoming versions of one rental against the last
+    * applied version, emitting exact retraction/addition deltas. */
+  def diffVersions(
+      rentalId: Long,
+      versions: Iterator[Version],
+      state: GroupState[Version]): Iterator[WeekDelta] = {
+    var current = state.getOption
+    val out = Seq.newBuilder[WeekDelta]
+    versions.toSeq.sortBy(v => (v.last_update.getTime, v.return_date.isDefined)).foreach { v =>
+      if (current.forall(c => newer(v, c))) {
+        current.foreach(c => out ++= contributions(c, -1))
+        out ++= contributions(v, +1)
+        current = Some(v)
+      }
+    }
+    current.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Start the maintenance stream over a growing parquet CDC log. */
+  def start(
+      spark: SparkSession,
+      logDir: String,
+      stateDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    import spark.implicits._
+    val logSchema = StructType(Seq(
+      StructField("rental_id", LongType, nullable = false),
+      StructField("rental_date", TimestampType, nullable = false),
+      StructField("return_date", TimestampType, nullable = true),
+      StructField("last_update", TimestampType, nullable = false)))
+
+    val versions = spark.readStream
+      .schema(logSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(logDir)
+      .as[Version]
+
+    val deltas = versions
+      .groupByKey(_.rental_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(diffVersions)
+
+    deltas.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[WeekDelta], batchId: Long) =>
+        mergeBatch(batch.sparkSession, batch.toDF(), stateDir, batchId)
+      }
+      .start()
+  }
+
+  private val markerSchema = StructType(Seq(
+    StructField("last_batch_id", LongType, nullable = false)))
+
+  /** Merge one micro-batch of deltas additively into the count state.
+    *
+    * foreachBatch is at-least-once on failure recovery: a replayed
+    * batchId must not double-apply additive deltas, so the last applied
+    * id is committed to state and stale replays are skipped — this is
+    * the watermark-advanced-only-after-success rule (etl:274-284) in
+    * streaming form. */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, stateDir: String, batchId: Long = 0): Unit = {
+    val marker = new StateStore(spark, s"$stateDir/last_batch")
+    val applied = marker.read(markerSchema).collect().headOption.map(_.getLong(0))
+    if (applied.exists(_ >= batchId)) return
+    val agg = batch.groupBy(col("week").as("week_beginning"))
+      .agg(
+        sum(col("dRented")).as("n_rented"),
+        sum(col("dReturned")).as("n_returned"),
+        sum(col("dClosed")).as("n_closed"))
+    val store = new StateStore(spark, s"$stateDir/weekly_counts")
+    val merged = store.read(countsSchema)
+      .unionByName(agg.select(
+        col("week_beginning"),
+        col("n_rented").cast("long"),
+        col("n_returned").cast("long"),
+        col("n_closed").cast("long")))
+      .groupBy("week_beginning")
+      .agg(
+        sum("n_rented").as("n_rented"),
+        sum("n_returned").as("n_returned"),
+        sum("n_closed").as("n_closed"))
+      .filter(col("n_rented") =!= 0 || col("n_returned") =!= 0 || col("n_closed") =!= 0)
+    store.overwrite(merged.select(
+      col("week_beginning"),
+      col("n_rented").cast("long"),
+      col("n_returned").cast("long"),
+      col("n_closed").cast("long")))
+    import scala.jdk.CollectionConverters._
+    marker.overwrite(spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(batchId)).asJava, markerSchema))
+  }
+
+  /** Read-time summary over the maintained counts: contiguous week spine
+    * from min to max active week, cumulative outstanding — the same
+    * output shape as the batch snapshot over those weeks. */
+  def summary(spark: SparkSession, stateDir: String): DataFrame = {
+    val counts = new StateStore(spark, s"$stateDir/weekly_counts").read(countsSchema)
+    val bounds = counts.agg(
+      min(col("week_beginning")).as("lo"), max(col("week_beginning")).as("hi"))
+    val spine = bounds
+      .filter(col("lo").isNotNull)
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 7 DAYS"))).as("week_beginning"))
+    val joined = spine.join(broadcast(counts), Seq("week_beginning"), "left")
+    val cum = Window.orderBy("week_beginning")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nRented = coalesce(col("n_rented"), lit(0L))
+    val nReturned = coalesce(col("n_returned"), lit(0L))
+    val nClosed = coalesce(col("n_closed"), lit(0L))
+    joined.select(
+      col("week_beginning"),
+      nRented.as("newly_rented_during_week"),
+      nReturned.as("returned_rentals_during_week"),
+      (nRented - nReturned).as("net_change_in_outstanding"),
+      (sum(nRented).over(cum) - sum(nClosed).over(cum))
+        .as("outstanding_rentals_at_week_end"))
+      .orderBy("week_beginning")
+  }
+}
