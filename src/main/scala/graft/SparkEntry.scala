@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.ops.{Analytics, EventOps, ReferenceOps, TextOps, VectorOps, WeeklySummary}
 
@@ -133,6 +134,16 @@ object SparkEntry {
     "late_priority_counts" -> ((s, dir) => Analytics.latePriorityCounts(s, dir)),
     "supplier_diversity" -> ((s, dir) => Analytics.supplierDiversity(s, dir)),
     "top_part_per_brand" -> ((s, dir) => Analytics.topPartPerBrand(s, dir)),
+    // -- multimodal binary-column plumbing (synthetic media over documents)
+    "media_stats" -> ((s, dir) =>
+      graft.multimodal.Multimodal.mediaStats(
+        graft.multimodal.Multimodal.syntheticMedia(Tables.documents(s, dir)))),
+    // decode path goes through the stubbed codec (not SQL-expressible —
+    // rows-only; determinism/partition-invariance asserted in MultimodalSpec)
+    "media_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .toDF().select(col("media_id"), col("media_type"), col("n_bytes"), col("checksum"))),
   )
 
   /** Exact decimal revenue expression shared by the analytics oracles. */
@@ -437,6 +448,20 @@ object SparkEntry {
       s"""SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(*) AS n_lineitems
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "media_stats" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |         (['image','audio','video'])[(doc_id % 3 + 1)::int] AS media_type,
+         |         ((doc_id % 8) * 160 + 320)::int AS width,
+         |         (length(text) // 10 + 1)::int AS n_frames,
+         |         encode(text) AS payload
+         |  FROM documents)
+         |SELECT media_type,
+         |  COUNT(*) AS n_media,
+         |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+         |  MAX(width) AS max_width,
+         |  round(CAST(SUM(n_frames) AS BIGINT)::DOUBLE / COUNT(*), 6) AS avg_frames
+         |FROM m GROUP BY 1""".stripMargin,
     "top_part_per_brand" ->
       s"""WITH per_part AS (
          |  SELECT l_partkey, CAST(SUM($revSql) AS DOUBLE) AS revenue

@@ -1,0 +1,130 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns as opaque `binary` payloads
+  * with typed metadata — the training-data-pipeline pattern where media
+  * travels through Spark as bytes and codecs run partition-local.
+  *
+  * The decode step is STUBBED: this container has no image/audio codecs,
+  * so [[FakeDecoder]] produces deterministic hash-derived "features".
+  * Everything around the stub is real and tested: the schema (binary +
+  * metadata struct), the partitioning (decode parallelism is repartition
+  * on media_id, independent of upstream layout), the batch shape
+  * (partition-local `mapPartitions` over typed rows — the Scala analog
+  * of arrow-batched decode UDFs), and the downstream feature plumbing
+  * (features are `array<float>`, consumable by [[graft.ops.VectorOps]]).
+  */
+object Multimodal {
+
+  /** Typed media metadata (media_type ∈ {image, audio, video}). */
+  final case class MediaMeta(
+      media_type: String,
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      n_frames: Int)
+
+  final case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      checksum: Long,
+      features: Array[Float])
+
+  /** Deterministic synthetic media corpus derived from `documents`:
+    * payload = utf-8 bytes of the text (an opaque stand-in for encoded
+    * media), metadata derived from doc fields. Reproducible in DuckDB
+    * (`encode(text)`), so metadata-level queries stay oracle-checkable. */
+  def syntheticMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        (pmod(col("doc_id"), lit(8)) * 160 + 320).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(8)) * 90 + 180).cast("int").as("height"),
+        lit(16000).cast("int").as("sample_rate"),
+        (floor(length(col("text")) / 10) + 1).cast("int").as("n_frames")).as("meta"),
+      encode(col("text"), "utf-8").as("payload"))
+
+  /** The codec boundary. A real implementation wraps an image/audio
+    * library over the payload bytes; signature and batch shape are what
+    * production code would use (one call per partition, streaming
+    * iterator in/out — no per-row codec setup). */
+  trait Decoder extends Serializable {
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures]
+  }
+
+  /** STUB decoder — deterministic fake. Features are a `dim`-wide float
+    * vector derived from a rolling hash of the payload; checksum is a
+    * 64-bit FNV-1a. Stands in for "decode + embed" with zero codec deps. */
+  final case class FakeDecoder(dim: Int = 16) extends Decoder {
+    override def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        var h = 0xcbf29ce484222325L // FNV-1a 64
+        val acc = new Array[Long](dim)
+        var i = 0
+        while (i < r.payload.length) {
+          h = (h ^ (r.payload(i) & 0xffL)) * 0x100000001b3L
+          acc(i % dim) += (h & 0xffff)
+          i += 1
+        }
+        val feats = new Array[Float](dim)
+        var d = 0
+        while (d < dim) {
+          feats(d) = (acc(d) % 10000).toFloat / 10000f
+          d += 1
+        }
+        MediaFeatures(r.media_id, r.meta.media_type, r.payload.length, h, feats)
+      }
+  }
+
+  /** Partition-batched decode: repartition for decode parallelism (codec
+    * work is CPU-bound and unrelated to upstream layout), then one
+    * decoder call per partition. */
+  def extractFeatures(
+      media: DataFrame,
+      decoder: Decoder = FakeDecoder(),
+      parallelism: Int = 0): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed = media.as[MediaRow]
+    val partitioned =
+      if (parallelism > 0) typed.repartition(parallelism, col("media_id"))
+      else typed
+    partitioned.mapPartitions(decoder.decodeBatch)
+  }
+
+  /** Frame sampling as pure column ops: every `stride`-th `frameSize`-byte
+    * slice of the payload (binary substring — no codec needed for the
+    * slicing plumbing), exploded to one row per sampled frame. */
+  def sampleFrames(media: DataFrame, frameSize: Int = 64, stride: Int = 4): DataFrame = {
+    val nFrames = floor(length(col("payload")) / frameSize).cast("int")
+    media.select(
+      col("media_id"),
+      col("meta.media_type").as("media_type"),
+      explode(transform(
+        sequence(lit(0), greatest(ceil(nFrames / stride).cast("int") - 1, lit(0))),
+        i => struct(
+          (i * stride).as("frame_index"),
+          substring(col("payload"), i * stride * frameSize + 1, lit(frameSize)).as("frame"))))
+        .as("f"))
+      .select(col("media_id"), col("media_type"),
+        col("f.frame_index"), col("f.frame"))
+      .filter(length(col("f.frame")) > 0)
+  }
+
+  /** Metadata-level rollup (oracle-checkable: nothing here touches the
+    * stubbed codec, only schema-real columns). */
+  def mediaStats(media: DataFrame): DataFrame =
+    media.groupBy(col("meta.media_type").as("media_type"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(length(col("payload"))).as("total_bytes"),
+        max(col("meta.width")).as("max_width"),
+        round(sum(col("meta.n_frames")).cast("double") / count(lit(1)), 6).as("avg_frames"))
+}
