@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import TestSpark._
+
+/** Physical-plan assertions — the 100 TB design contract, checked from
+  * `.explain` output so a regression that silently de-optimizes a plan
+  * (lost pushdown, broadcast turned shuffle, accidental cartesian)
+  * fails CI, not a production run.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("base-column filters reach the parquet scan (PushedFilters)") {
+    // l_shipdate is a base column: its filter must ship to the scan.
+    // (delta_extract's CDC filter is over a column COMPUTED by the rental
+    // view join, so it correctly evaluates post-join — on a physical
+    // rental table with a stored last_update it pushes like this one.)
+    val plan = planOf(SparkEntry.queries("pricing_summary")(spark, dir))
+    assert(plan.matches("(?s).*PushedFilters.*LessThanOrEqual\\(l_shipdate.*"),
+      s"l_shipdate not pushed:\n$plan")
+  }
+
+  test("pricing summary prunes lineitem to the referenced columns only") {
+    val plan = planOf(SparkEntry.queries("pricing_summary")(spark, dir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty)
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_shipdate").foreach(c =>
+      assert(readSchema.contains(c), s"missing $c in $readSchema"))
+    Seq("l_partkey", "l_suppkey", "l_orderkey", "l_tax").foreach(c =>
+      assert(!readSchema.contains(c), s"unpruned $c in $readSchema"))
+  }
+
+  test("revenue star join broadcasts every dimension side") {
+    val plan = planOf(SparkEntry.queries("revenue_by_nation")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("cumulative weekly summary has no nested-loop join; the NL variant does") {
+    val cumulative = planOf(SparkEntry.queries("weekly_summary")(spark, dir))
+    assert(!cumulative.contains("BroadcastNestedLoopJoin") && !cumulative.contains("CartesianProduct"),
+      "the scale-path summary must not be quadratic")
+    val nl = planOf(SparkEntry.queries("weekly_summary_nl")(spark, dir))
+    assert(nl.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("exact dedup aggregates with a map-side partial before the shuffle") {
+    val plan = planOf(SparkEntry.queries("dedup_exact")(spark, dir))
+    assert(plan.matches("(?s).*partial_min.*"), s"no partial aggregation:\n$plan")
+  }
+
+  test("hot-path expressions stay inside whole-stage codegen") {
+    // AQE finalizes the physical plan only at execution: run the query,
+    // then require codegen'd stages in the executed plan.
+    val q = SparkEntry.queries("pricing_summary")(spark, dir)
+    q.collect()
+    val executed = q.queryExecution.executedPlan.toString
+    // codegen'd stages print as "*(N) Operator" in the executed plan
+    assert(executed.contains("*("),
+      s"no codegen stages in executed plan:\n${executed.take(600)}")
+    val ann = planOf(SparkEntry.queries("ann_topk")(spark, dir))
+    assert(ann.contains("vec_dot"), "VecDot missing from the ANN plan")
+  }
+
+  test("semi-join shape for the EXISTS query (no row explosion)") {
+    val plan = planOf(SparkEntry.queries("late_priority_counts")(spark, dir))
+    assert(plan.contains("LeftSemi"), s"expected a left-semi join:\n$plan")
+  }
+}
