@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sources
+import TestSpark._
+
+class SourcesSpec extends AnyFunSuite {
+
+  test("csv and json round-trip with explicit schema (no inference)") {
+    val base = Files.createTempDirectory("graft-src").toString
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars")
+    df.write.option("header", "true").csv(s"$base/csv")
+    df.write.json(s"$base/json")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    assertSameRows(df, Sources.readTable(spark, s"$base/csv", "csv", Some(schema)))
+    assertSameRows(df, Sources.readTable(spark, s"$base/json", "json", Some(schema)))
+  }
+
+  test("partitioned sink upsert rewrites only touched partitions") {
+    val base = Files.createTempDirectory("graft-sink").toString + "/summary"
+    val sink = new Sources.PartitionedSink(spark, base, "week_beginning")
+    val initial = ops.WeeklySummary.snapshot(
+      Tables.rental(spark, "/root/testdata/sf0.001"), SparkEntry.AsOf)
+    sink.upsert(initial)
+    val nYears = sink.read().select("part_year").distinct().count()
+    assert(nYears >= 3)
+
+    // record on-disk state per partition dir
+    def files(): Map[String, Set[String]] =
+      new java.io.File(base).listFiles().filter(_.getName.startsWith("part_year="))
+        .map(d => d.getName -> d.listFiles().map(f => f.getName + ":" + f.lastModified()).toSet)
+        .toMap
+    val before = files()
+
+    // upsert one modified 1999 row
+    val delta = initial.filter(year(col("week_beginning")) === 1999).limit(1)
+      .withColumn("newly_rented_during_week", lit(999L))
+    sink.upsert(delta)
+    val after = files()
+
+    assert(before.keySet == after.keySet)
+    before.keySet.filterNot(_ == "part_year=1999").foreach { y =>
+      assert(before(y) == after(y), s"untouched partition $y was rewritten")
+    }
+    assert(before("part_year=1999") != after("part_year=1999"))
+
+    // content: the modified row upserted, everything else intact
+    val out = sink.read()
+    assert(out.count() == initial.count())
+    assert(out.filter(col("newly_rented_during_week") === 999L).count() == 1)
+  }
+
+  test("reading one partition prunes the others (PartitionFilters)") {
+    val base = Files.createTempDirectory("graft-sink2").toString + "/summary"
+    val sink = new Sources.PartitionedSink(spark, base, "week_beginning")
+    sink.upsert(ops.WeeklySummary.snapshot(
+      Tables.rental(spark, "/root/testdata/sf0.001"), SparkEntry.AsOf))
+    val q = sink.read().filter(col("part_year") === 1999)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.matches("(?s).*PartitionFilters.*part_year.*"), s"no partition pruning:\n$plan")
+  }
+}
