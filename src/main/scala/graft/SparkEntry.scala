@@ -121,6 +121,7 @@ object SparkEntry {
     // sketch cardinality: HLL++ internals aren't portable — rows-only;
     // EventOpsSpec bounds the relative error vs the exact count
     "events_approx_distinct" -> ((s, dir) => EventOps.approxDistinctUsers(Tables.events(s, dir))),
+    "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(Tables.events(s, dir))),
     // -- similarity search over `embeddings`
     "ann_topk" -> ((s, dir) => VectorOps.annBruteForce(Tables.embeddings(s, dir))),
     "embedding_neardup" -> ((s, dir) => VectorOps.nearDupEmbedding(Tables.embeddings(s, dir))),
@@ -390,6 +391,11 @@ object SparkEntry {
     "events_distinct_users" ->
       s"""WITH $eventsCte
          |SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM e GROUP BY 1""".stripMargin,
+    "events_percentiles" ->
+      s"""WITH $eventsCte,
+         |q AS (SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS ps FROM e GROUP BY 1)
+         |SELECT event_type, round(ps[1], 6) AS p50, round(ps[2], 6) AS p90,
+         |       round(ps[3], 6) AS p99 FROM q""".stripMargin,
     "ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |pairs AS (

@@ -101,6 +101,20 @@ object EventOps {
     events.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
 
+  /** Exact linear-interpolated value percentiles per type (`percentile`
+    * is the exact sort-based aggregate; the sketch-based
+    * `approx_percentile` is the 100 TB path but isn't oracle-portable). */
+  def valuePercentiles(events: DataFrame): DataFrame = {
+    val p = percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99)))
+    events.groupBy(col("event_type"))
+      .agg(p.as("ps"))
+      .select(
+        col("event_type"),
+        round(element_at(col("ps"), 1), 6).as("p50"),
+        round(element_at(col("ps"), 2), 6).as("p90"),
+        round(element_at(col("ps"), 3), 6).as("p99"))
+  }
+
   /** HyperLogLog++ sketch cardinality (rows-only check; EventOpsSpec
     * asserts relative error vs exact). At 100 TB this is the default:
     * fixed-size sketch state, no distinct shuffle explosion. */
