@@ -122,6 +122,17 @@ object SparkEntry {
     // EventOpsSpec bounds the relative error vs the exact count
     "events_approx_distinct" -> ((s, dir) => EventOps.approxDistinctUsers(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(Tables.events(s, dir))),
+    "events_asof" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.ops.AsOfJoin.asOf(
+        e.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id", "value"),
+        e.filter(col("event_type") === "view")
+          .select("event_id", "ts", "user_id"),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("event_id", "ts"))
+    }),
+    "events_journey" -> ((s, dir) => EventOps.userJourney(Tables.events(s, dir))),
     // -- similarity search over `embeddings`
     "ann_topk" -> ((s, dir) => VectorOps.annBruteForce(Tables.embeddings(s, dir))),
     "embedding_neardup" -> ((s, dir) => VectorOps.nearDupEmbedding(Tables.embeddings(s, dir))),
@@ -396,6 +407,20 @@ object SparkEntry {
          |q AS (SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS ps FROM e GROUP BY 1)
          |SELECT event_type, round(ps[1], 6) AS p50, round(ps[2], 6) AS p90,
          |       round(ps[3], 6) AS p99 FROM q""".stripMargin,
+    "events_asof" ->
+      s"""WITH $eventsCte,
+         |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view')
+         |SELECT p.user_id, p.event_id, p.ts, p.value,
+         |       v.event_id AS asof_event_id, v.ts AS asof_ts
+         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+    "events_journey" ->
+      s"""WITH $eventsCte
+         |SELECT user_id, event_id, event_type, ts,
+         |  row_number() OVER w AS step,
+         |  lag(event_type, 1) OVER w AS prev_type,
+         |  lead(event_type, 1) OVER w AS next_type
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |pairs AS (

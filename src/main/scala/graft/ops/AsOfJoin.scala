@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the single latest right row of the same
+  * key with `rightTs <= leftTs` — the standard CDC/market-data lookup
+  * Spark has no native operator for.
+  *
+  * Composed from built-ins (SURVEY.md §2 custom-operator preference (a)):
+  * tag and union both sides, one per-key window sorted by (ts, side) with
+  * `last(col, ignoreNulls)` carrying the most recent right-side values
+  * forward, then keep left rows. ONE shuffle on the key and ONE sort —
+  * same cost shape as a sort-merge join, no range explosion, no
+  * correlated subquery. Right rows at exactly `leftTs` match (ties
+  * between sides at equal ts resolve right-before-left via the side
+  * marker's sort position).
+  *
+  * At scale both sides shuffle-partition by `key`; skewed keys take the
+  * same mitigations as any keyed window ([[Skew]], AQE).
+  */
+object AsOfJoin {
+
+  /** @param rightCols right-side value columns carried onto left rows
+    *                   (null when no right row is ≤ the left timestamp) */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col("__ts"), col("__side")) ++
+        left.columns.filterNot(_ == key).map(c => col(c).as(s"l_$c")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"r_$c")): _*)
+    val rightTagged = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col("__ts"), col("__side")) ++
+        left.columns.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(s"l_$c")) ++
+        rightCols.map(c => col(c).as(s"r_$c")): _*)
+
+    // right (__side=0) sorts before left (__side=1) at equal __ts ⇒
+    // a right row at exactly leftTs is visible to that left row
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(leftTagged.unionByName(rightTagged)) {
+      (df, c) => df.withColumn(s"r_$c", last(col(s"r_$c"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1)
+      .select(Seq(col(key)) ++
+        left.columns.filterNot(_ == key).map(c => col(s"l_$c").as(c)) ++
+        rightCols.map(c => col(s"r_$c").as(s"asof_$c")): _*)
+  }
+}

@@ -101,6 +101,16 @@ object EventOps {
     events.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
 
+  /** Per-user ordered journey: lag/lead neighbors and step rank — the
+    * navigation-window family over one keyed sort. */
+  def userJourney(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("step", row_number().over(w))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+  }
+
   /** Exact linear-interpolated value percentiles per type (`percentile`
     * is the exact sort-based aggregate; the sketch-based
     * `approx_percentile` is the 100 TB path but isn't oracle-portable). */

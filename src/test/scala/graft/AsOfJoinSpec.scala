@@ -1,0 +1,42 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.AsOfJoin
+import TestSpark._
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("as-of picks the latest right row at or before the left timestamp") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq(
+      (1L, t(10), "T1"), (1L, t(20), "T2"), (1L, t(5), "T0"),
+      (2L, t(10), "T3"))
+      .toDF("sym", "ts", "trade")
+    val quotes = Seq(
+      (1L, t(8), 100.0), (1L, t(10), 101.0), (1L, t(15), 102.0),
+      (2L, t(11), 200.0))
+      .toDF("sym", "ts", "px")
+
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "ts", "ts", Seq("px"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out("T0").isEmpty)            // no quote at or before t(5)
+    assert(out("T1").contains(101.0))    // equal-ts quote matches
+    assert(out("T2").contains(102.0))    // latest ≤ t(20)
+    assert(out("T3").isEmpty)            // sym 2 quote is after the trade
+  }
+
+  test("every left row survives exactly once") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions.col
+    val p = e.filter(col("event_type") === "purchase").select("event_id", "ts", "user_id")
+    val v = e.filter(col("event_type") === "view").select("event_id", "ts", "user_id")
+    val out = AsOfJoin.asOf(p, v, "user_id", "ts", "ts", Seq("event_id"))
+    assert(out.count() == p.count())
+    assert(out.select("event_id").distinct().count() == p.count())
+  }
+}
