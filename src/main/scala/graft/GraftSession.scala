@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.TextExprs
+
+/** Library entry point: a SparkSession configured the way every graft
+  * operator expects (UTC session time, AQE on, sane local shuffle
+  * parallelism) with the graft function registry installed
+  * (`vec_dot`, `word_shingles`, `minhash_sig`, `simhash64`).
+  *
+  * On a cluster, pass the same settings through spark-submit and call
+  * [[install]] on the existing session instead.
+  */
+object GraftSession {
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    install(spark)
+    spark
+  }
+
+  /** Idempotently install graft's custom expressions on any session. */
+  def install(spark: SparkSession): SparkSession = {
+    TextExprs.register(spark)
+    spark
+  }
+}

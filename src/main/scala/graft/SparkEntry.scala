@@ -89,6 +89,8 @@ object SparkEntry {
       WeeklySummary.snapshot(Tables.rental(s, dir), AsOf)),
     "weekly_summary_nl" -> ((s, dir) =>
       WeeklySummary.snapshotNestedLoop(Tables.rental(s, dir), AsOf)),
+    "weekly_summary_sql" -> ((s, dir) =>
+      WeeklySummary.snapshotSql(Tables.rental(s, dir), AsOf)),
     "delta_extract" -> ((s, dir) =>
       ReferenceOps.deltaExtract(Tables.rental(s, dir), DeltaFrom, DeltaTo)),
     "watermark_probes" -> ((s, dir) =>
@@ -258,6 +260,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "weekly_summary" -> weeklySummaryOracle,
     "weekly_summary_nl" -> weeklySummaryOracle,
+    "weekly_summary_sql" -> weeklySummaryOracle,
     "delta_extract" ->
       s"""WITH $rentalCte
          |SELECT rental_id, rental_date, return_date, last_update FROM rental

@@ -134,6 +134,60 @@ object WeeklySummary {
   def snapshot(rental: DataFrame, asOf: LocalDate): DataFrame =
     statsForWeeks(rental, weekSpine(rental, asOf))
 
+  /** The reference's snapshot SQL run through `spark.sql` — the literal
+    * query shape of reference_query.sql:1-57 in Spark dialect (week
+    * spine via sequence/explode, `CURRENT_DATE` parameterized), keeping
+    * the CORRELATED scalar subquery for the outstanding count. Catalyst
+    * decorrelates it (`DecorrelateInnerQuery` handles the non-equi
+    * predicate), which is the SURVEY.md §4 "subquery decorrelation"
+    * row demonstrated end-to-end: a user's existing SQL runs unchanged
+    * and still plans without a driver-side loop. */
+  def snapshotSql(rental: DataFrame, asOf: LocalDate): DataFrame = {
+    val spark = rental.sparkSession
+    val view = s"rental_snapshot_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    rental.createOrReplaceTempView(view)
+    spark.sql(
+      s"""WITH date_range AS (
+         |  SELECT MIN(to_date(rental_date)) AS min_date,
+         |         MAX(CASE WHEN return_date IS NOT NULL THEN to_date(return_date)
+         |             ELSE GREATEST(to_date(rental_date), DATE '$asOf') END) AS max_date
+         |  FROM $view
+         |),
+         |all_weeks AS (
+         |  SELECT explode(sequence(
+         |    to_date(date_trunc('week', (SELECT min_date FROM date_range))),
+         |    to_date(date_trunc('week', (SELECT max_date FROM date_range))),
+         |    INTERVAL 7 DAYS)) AS week_beginning
+         |),
+         |weekly_returned_counts AS (
+         |  SELECT to_date(date_trunc('week', return_date)) AS week_of_return,
+         |         COUNT(rental_id) AS num_returned_rentals
+         |  FROM $view WHERE return_date IS NOT NULL GROUP BY 1
+         |),
+         |weekly_rented_counts AS (
+         |  SELECT to_date(date_trunc('week', rental_date)) AS week_of_rental,
+         |         COUNT(rental_id) AS num_newly_rented
+         |  FROM $view GROUP BY 1
+         |)
+         |SELECT
+         |  aw.week_beginning,
+         |  COALESCE(wrc_rented.num_newly_rented, 0) AS newly_rented_during_week,
+         |  COALESCE(wrc_returned.num_returned_rentals, 0) AS returned_rentals_during_week,
+         |  COALESCE(wrc_rented.num_newly_rented, 0)
+         |    - COALESCE(wrc_returned.num_returned_rentals, 0) AS net_change_in_outstanding,
+         |  (SELECT COUNT(r_inv.rental_id) FROM $view r_inv
+         |   WHERE to_date(r_inv.rental_date) <= date_add(aw.week_beginning, 6)
+         |     AND (r_inv.return_date IS NULL
+         |          OR to_date(r_inv.return_date) > date_add(aw.week_beginning, 6))
+         |  ) AS outstanding_rentals_at_week_end
+         |FROM all_weeks aw
+         |LEFT JOIN weekly_returned_counts wrc_returned
+         |  ON aw.week_beginning = wrc_returned.week_of_return
+         |LEFT JOIN weekly_rented_counts wrc_rented
+         |  ON aw.week_beginning = wrc_rented.week_of_rental
+         |ORDER BY aw.week_beginning""".stripMargin)
+  }
+
   /** Faithful O(weeks × rentals) shape of reference_query.sql:40-49 for
     * cross-checking: non-equi join spine × rental, conditional count. */
   def snapshotNestedLoop(rental: DataFrame, asOf: LocalDate): DataFrame = {
