@@ -135,12 +135,16 @@ object SparkEntry {
         rightCols = Seq("event_id", "ts"))
     }),
     "events_journey" -> ((s, dir) => EventOps.userJourney(Tables.events(s, dir))),
+    "events_in_windows" -> ((s, dir) => EventOps.eventsInActiveWindows(Tables.events(s, dir))),
     // -- similarity search over `embeddings`
     "ann_topk" -> ((s, dir) => VectorOps.annBruteForce(Tables.embeddings(s, dir))),
     "embedding_neardup" -> ((s, dir) => VectorOps.nearDupEmbedding(Tables.embeddings(s, dir))),
     // LSH path: bucket membership isn't DuckDB-portable — rows-only;
     // VectorOpsSpec asserts recall vs the brute-force truth
     "ann_lsh" -> ((s, dir) => VectorOps.annLsh(Tables.embeddings(s, dir))),
+    // IVF path: data-adaptive coarse quantizer (Lloyd-refined) — rows-only;
+    // VectorOpsSpec asserts exact agreement with brute force at full probe
+    "ann_ivf" -> ((s, dir) => VectorOps.annIvf(Tables.embeddings(s, dir))),
     // -- TPC-H-shaped analytics over the star schema
     "pricing_summary" -> ((s, dir) => Analytics.pricingSummary(s, dir)),
     "revenue_by_nation" -> ((s, dir) => Analytics.revenueByNation(s, dir)),
@@ -214,6 +218,21 @@ object SparkEntry {
        |  FROM shared_counts
        |  JOIN sizes sa ON doc_a = sa.doc_id
        |  JOIN sizes sb ON doc_b = sb.doc_id)""".stripMargin
+
+  /** Shared DuckDB CTE chain: per-user 30-min-gap session derivation
+    * (mirrors [[EventOps.sessionize]]); expects CTE `e` in scope. */
+  private val sessFlagsCtes: String =
+    """flags AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flags)""".stripMargin
 
   private val weeklySummaryOracle: String = {
     val (ctes, fin) = snapshotCtes("rental", "")
@@ -362,23 +381,29 @@ object SparkEntry {
          |FROM e GROUP BY 1, 2""".stripMargin,
     "events_sessions" ->
       s"""WITH $eventsCte,
-         |flags AS (
-         |  SELECT user_id, ts, event_id, event_type, value,
-         |    CASE WHEN lag(ts) OVER w IS NULL
-         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-         |         THEN 1 ELSE 0 END AS new_s
-         |  FROM e
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |sess AS (
-         |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-         |  FROM flags)
+         |$sessFlagsCtes
          |SELECT user_id, session_seq,
          |  MIN(ts) AS session_start, MAX(ts) AS session_end,
          |  COUNT(*) AS n_events,
          |  COUNT(DISTINCT event_type) AS n_event_types,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM sess GROUP BY 1, 2""".stripMargin,
+    "events_in_windows" ->
+      s"""WITH $eventsCte,
+         |$sessFlagsCtes,
+         |sessions AS (
+         |  SELECT user_id, session_seq,
+         |    MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+         |  FROM sess GROUP BY 1, 2),
+         |w AS (
+         |  SELECT user_id AS window_user, session_seq, session_start, session_end
+         |  FROM sessions WHERE user_id < 50 AND n_events >= 3)
+         |SELECT w.window_user, w.session_seq,
+         |  COUNT(*) AS n_events_in_window,
+         |  COUNT(DISTINCT e.user_id) AS n_users_in_window,
+         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value_in_window
+         |FROM e JOIN w ON e.ts BETWEEN w.session_start AND w.session_end
+         |GROUP BY 1, 2""".stripMargin,
     "events_json" ->
       s"""WITH $eventsCte
          |SELECT event_type,

@@ -125,6 +125,27 @@ object EventOps {
         round(element_at(col("ps"), 3), 6).as("p99"))
   }
 
+  /** Cross-user activity within "hot windows": the busy sessions of a
+    * user cohort become intervals; EVERY event (any user) landing inside
+    * a window is counted against it. A genuine unkeyed interval join —
+    * runs through [[RangeJoin.pointInInterval]]'s bucketized equi-join,
+    * not a nested loop, so both sides scale out. */
+  def eventsInActiveWindows(events: DataFrame, maxUser: Long = 50,
+      minEvents: Long = 3, bucketSeconds: Long = 3600L): DataFrame = {
+    val windows = sessionize(events)
+      .filter(col("user_id") < maxUser && col("n_events") >= minEvents)
+      .select(col("user_id").as("window_user"), col("session_seq"),
+        col("session_start"), col("session_end"))
+    val pts = events.select(col("event_id"), col("ts"), col("user_id"), valueDec.as("v"))
+    RangeJoin.pointInInterval(pts, windows, "ts", "session_start", "session_end",
+        bucketSeconds)
+      .groupBy(col("window_user"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events_in_window"),
+        countDistinct(col("user_id")).as("n_users_in_window"),
+        sum(col("v")).cast("double").as("sum_value_in_window"))
+  }
+
   /** HyperLogLog++ sketch cardinality (rows-only check; EventOpsSpec
     * asserts relative error vs exact). At 100 TB this is the default:
     * fixed-size sketch state, no distinct shuffle explosion. */

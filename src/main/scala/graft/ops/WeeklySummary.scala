@@ -67,49 +67,63 @@ object WeeklySummary {
         .as("week_beginning"))
   }
 
-  /** Week-grain summary stats for an arbitrary set of requested weeks.
+  /** ONE scan of the source → week-grain counts `(week_beginning,
+    * n_rented, n_returned, n_closed[, n_open_spine])`.
     *
-    * Shared core of the snapshot (requested = the contiguous spine) and the
-    * incremental recompute (requested = the sparse affected-week set,
-    * etl_script_incremental_pandas.py:218-243 — but as ONE join-based plan
-    * instead of the reference's per-week driver loop, SURVEY.md G2).
+    * Each rental row explodes into up to four (week, kind) events
+    * (row-local, no shuffle), and a single week-keyed aggregation with
+    * map-side combine replaces the three separate groupBys (each of
+    * which re-materialized the source — for the harness's rental view,
+    * an orders⋈lineitem join — once per count). At 100 TB: one pass over
+    * the fact tables instead of four.
     *
-    * The cumulative window must see every activity week ≤ any requested
-    * week, so it runs over `requested ∪ activity-weeks` and the result is
-    * then inner-joined back to `requested`. All frames past the partial
-    * aggregation are week-cardinality.
-    *
-    * @param weeks single `week_beginning: DATE` column, distinct Monday dates
-    */
-  def statsForWeeks(rental: DataFrame, weeks: DataFrame): DataFrame = {
-    val r = rental.select(
-      col("rental_id"),
-      to_date(col("rental_date")).as("rd"),
-      to_date(col("return_date")).as("ret"))
+    * Kinds: 1 = rented in week(rental_date); 2 = returned in
+    * week(return_date); 3 = closed in week(GREATEST(rental_date,
+    * return_date)) — the cumulative-outstanding guard (object doc); 4
+    * (only when `asOf` is given) = open rental's spine-extension week
+    * `week(GREATEST(rental_date, asOf))`, reference_query.sql:5-8. Null
+    * weeks (null return_date for kinds 2/3) drop before the shuffle. */
+  private def weekCounts(rental: DataFrame, asOf: Option[LocalDate]): DataFrame = {
+    val rd = to_date(col("rental_date"))
+    val ret = to_date(col("return_date"))
+    val base = Seq(
+      struct(weekStart(rd).as("week_beginning"), lit(1).as("kind")),
+      struct(weekStart(ret).as("week_beginning"), lit(2).as("kind")),
+      struct(when(ret.isNotNull, weekStart(greatest(rd, ret))).as("week_beginning"),
+        lit(3).as("kind")))
+    val spineEvt = asOf.toSeq.map(d =>
+      struct(when(ret.isNull, weekStart(greatest(rd, lit(java.sql.Date.valueOf(d)))))
+        .as("week_beginning"), lit(4).as("kind")))
+    val aggs =
+      Seq(
+        count(when(col("kind") === 1, 1)).as("n_rented"),
+        count(when(col("kind") === 2, 1)).as("n_returned"),
+        count(when(col("kind") === 3, 1)).as("n_closed")) ++
+      asOf.toSeq.map(_ => count(when(col("kind") === 4, 1)).as("n_open_spine"))
+    rental
+      .select(explode(array(base ++ spineEvt: _*)).as("e"))
+      .select(col("e.week_beginning").as("week_beginning"), col("e.kind").as("kind"))
+      .filter(col("week_beginning").isNotNull)
+      .groupBy(col("week_beginning"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
-    val rented = r
-      .groupBy(weekStart(col("rd")).as("week_beginning"))
-      .agg(count(col("rental_id")).as("n_rented"))
-    val returned = r
-      .filter(col("ret").isNotNull)
-      .groupBy(weekStart(col("ret")).as("week_beginning"))
-      .agg(count(col("rental_id")).as("n_returned"))
-    val closed = r
-      .filter(col("ret").isNotNull)
-      .groupBy(weekStart(greatest(col("rd"), col("ret"))).as("week_beginning"))
-      .agg(count(col("rental_id")).as("n_closed"))
-
+  /** Cumulative-window tail over week-grain `counts` for the requested
+    * `weeks`. The cumulative window must see every activity week ≤ any
+    * requested week, so it runs over `requested ∪ activity-weeks` and
+    * the result is then semi-joined back to `requested`. Extra activity
+    * weeks (returns-only, spine-extension) contribute 0 to both
+    * cumulative sums, so their presence never changes a requested row. */
+  private def statsFromCounts(counts: DataFrame, weeks: DataFrame): DataFrame = {
+    val c = counts.select(
+      col("week_beginning"), col("n_rented"), col("n_returned"), col("n_closed"))
     val allWeeks = weeks.select(col("week_beginning"))
-      .union(rented.select(col("week_beginning")))
-      .union(closed.select(col("week_beginning")))
+      .union(c.select(col("week_beginning")))
       .distinct()
 
-    // Post-aggregation sides are week-cardinality: broadcast them so the
+    // Post-aggregation side is week-cardinality: broadcast it so the
     // week-spine join never shuffles.
-    val joined = allWeeks
-      .join(broadcast(rented), Seq("week_beginning"), "left")
-      .join(broadcast(returned), Seq("week_beginning"), "left")
-      .join(broadcast(closed), Seq("week_beginning"), "left")
+    val joined = allWeeks.join(broadcast(c), Seq("week_beginning"), "left")
 
     val nRented = coalesce(col("n_rented"), lit(0L))
     val nReturned = coalesce(col("n_returned"), lit(0L))
@@ -130,9 +144,37 @@ object WeeklySummary {
       .orderBy("week_beginning")
   }
 
-  /** Scale-path snapshot: cumulative-window reformulation (see object doc). */
-  def snapshot(rental: DataFrame, asOf: LocalDate): DataFrame =
-    statsForWeeks(rental, weekSpine(rental, asOf))
+  /** Week-grain summary stats for an arbitrary set of requested weeks.
+    *
+    * Shared core of the snapshot (requested = the contiguous spine) and the
+    * incremental recompute (requested = the sparse affected-week set,
+    * etl_script_incremental_pandas.py:218-243 — but as ONE join-based plan
+    * instead of the reference's per-week driver loop, SURVEY.md G2).
+    *
+    * @param weeks single `week_beginning: DATE` column, distinct Monday dates
+    */
+  def statsForWeeks(rental: DataFrame, weeks: DataFrame): DataFrame =
+    statsFromCounts(weekCounts(rental, None), weeks)
+
+  /** Scale-path snapshot: cumulative-window reformulation (see object
+    * doc), fused to a single source scan — the spine bounds derive from
+    * the week-grain counts (monotone `weekStart` commutes with min/max:
+    * `min week(rental_date)` = kind-1 minimum; the reference's max-date
+    * rule sql:5-8 = max over kind-2 (closed → return week) and kind-4
+    * (open → spine-extension week) weeks), so no second scan for
+    * [[weekSpine]]. */
+  def snapshot(rental: DataFrame, asOf: LocalDate): DataFrame = {
+    val counts = weekCounts(rental, Some(asOf))
+    val spine = counts
+      .agg(
+        min(when(col("n_rented") > 0, col("week_beginning"))).as("min_week"),
+        max(when(col("n_returned") > 0 || col("n_open_spine") > 0,
+          col("week_beginning"))).as("max_week"))
+      .select(explode(
+        sequence(col("min_week"), col("max_week"), expr("INTERVAL 7 DAYS")))
+        .as("week_beginning"))
+    statsFromCounts(counts, spine)
+  }
 
   /** The reference's snapshot SQL run through `spark.sql` — the literal
     * query shape of reference_query.sql:1-57 in Spark dialect (week

@@ -52,6 +52,28 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(pairs == (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
   }
 
+  test("IVF finds the planted near-identical twins as top-1") {
+    val top1 = VectorOps.annIvf(fixture, nQueries = 5, k = 1, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach { i =>
+      assert(top1.get(i.toLong).contains(100L + i),
+        s"query $i: expected twin ${100 + i}, got ${top1.get(i.toLong)}")
+    }
+  }
+
+  test("IVF recall vs brute force is high at nprobe=nlist (exhaustive probing)") {
+    // nprobe == nlist probes every cell: candidate set = whole corpus,
+    // so the result must equal brute force exactly.
+    val bf = VectorOps.annBruteForce(fixture, nQueries = 5, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.annIvf(fixture, nQueries = 5, k = 5, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == bf)
+  }
+
   test("codegen'd VecDot is bit-identical to the HOF fold") {
     graft.functions.VecDot.register(spark)
     val pairs = fixture.select(col("vec_id"), col("embedding").as("a"))
