@@ -3,14 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.functions.TextExprs
+import graft.plans.BandJoinRewrite
 
 /** Library entry point: a SparkSession configured the way every graft
   * operator expects (UTC session time, AQE on, sane local shuffle
   * parallelism) with the graft function registry installed
-  * (`vec_dot`, `word_shingles`, `minhash_sig`, `simhash64`).
+  * (`vec_dot`, `word_shingles`, `minhash_sig`, `simhash64`) and the
+  * graft optimizer rules (band-join rewrite) active.
   *
   * On a cluster, pass the same settings through spark-submit and call
-  * [[install]] on the existing session instead.
+  * [[install]] on the existing session instead — or set
+  * `spark.sql.extensions=graft.plans.GraftSparkExtensions`.
   */
 object GraftSession {
 
@@ -27,9 +30,13 @@ object GraftSession {
     spark
   }
 
-  /** Idempotently install graft's custom expressions on any session. */
+  /** Idempotently install graft's custom expressions and optimizer
+    * rules on any session. */
   def install(spark: SparkSession): SparkSession = {
     TextExprs.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(BandJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BandJoinRewrite
     spark
   }
 }

@@ -109,6 +109,9 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.documents(s, dir))),
     "neardup_jaccard" -> ((s, dir) => TextOps.nearDupJaccard(Tables.documents(s, dir))),
     "neardup_keep" -> ((s, dir) => TextOps.nearDupKeep(Tables.documents(s, dir))),
+    "neardup_clusters" -> ((s, dir) => TextOps.nearDupClusters(Tables.documents(s, dir))),
+    "doc_sample" -> ((s, dir) => TextOps.sampleStratified(Tables.documents(s, dir))),
+    "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir))),
     // signature-based near-dup (hash families not portable to DuckDB —
     // rows-only check here; recall vs exact jaccard asserted in DedupSpec)
     "neardup_minhash" -> ((s, dir) => TextOps.nearDupMinhash(Tables.documents(s, dir))),
@@ -136,6 +139,7 @@ object SparkEntry {
     }),
     "events_journey" -> ((s, dir) => EventOps.userJourney(Tables.events(s, dir))),
     "events_in_windows" -> ((s, dir) => EventOps.eventsInActiveWindows(Tables.events(s, dir))),
+    "events_in_windows_sql" -> ((s, dir) => EventOps.eventsInActiveWindowsSql(Tables.events(s, dir))),
     // -- similarity search over `embeddings`
     "ann_topk" -> ((s, dir) => VectorOps.annBruteForce(Tables.embeddings(s, dir))),
     "embedding_neardup" -> ((s, dir) => VectorOps.nearDupEmbedding(Tables.embeddings(s, dir))),
@@ -233,6 +237,23 @@ object SparkEntry {
       |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM flags)""".stripMargin
+
+  private lazy val eventsInWindowsOracle: String =
+    s"""WITH $eventsCte,
+       |$sessFlagsCtes,
+       |sessions AS (
+       |  SELECT user_id, session_seq,
+       |    MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+       |  FROM sess GROUP BY 1, 2),
+       |w AS (
+       |  SELECT user_id AS window_user, session_seq, session_start, session_end
+       |  FROM sessions WHERE user_id < 50 AND n_events >= 3)
+       |SELECT w.window_user, w.session_seq,
+       |  COUNT(*) AS n_events_in_window,
+       |  COUNT(DISTINCT e.user_id) AS n_users_in_window,
+       |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value_in_window
+       |FROM e JOIN w ON e.ts BETWEEN w.session_start AND w.session_end
+       |GROUP BY 1, 2""".stripMargin
 
   private val weeklySummaryOracle: String = {
     val (ctes, fin) = snapshotCtes("rental", "")
@@ -367,6 +388,31 @@ object SparkEntry {
       s"""WITH $jaccardPairsCtes
          |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard
          |FROM jacc_pairs WHERE jaccard >= 0.8""".stripMargin,
+    "neardup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |p AS (SELECT doc_a, doc_b FROM jacc_pairs WHERE jaccard >= 0.8),
+         |eu AS (SELECT doc_a AS s, doc_b AS t FROM p UNION SELECT doc_b, doc_a FROM p),
+         |nodes AS (SELECT DISTINCT s AS id FROM eu),
+         |reach AS (
+         |  SELECT id AS s, id AS t FROM nodes
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN eu e ON r.t = e.s),
+         |lab AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY 1),
+         |csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_id, z.cluster_size
+         |FROM lab l JOIN csizes z USING (cluster_id)""".stripMargin,
+    "doc_sample" ->
+      """SELECT doc_id, lang, source,
+        |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INT % 100 AS sample_bucket
+        |FROM documents
+        |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INT % 100
+        |  < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END""".stripMargin,
+    "vocab_topk" ->
+      s"""WITH $toksCte,
+         |ex AS (SELECT doc_id, unnest(t) AS token FROM toks)
+         |SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM ex GROUP BY 1
+         |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
     "neardup_keep" ->
       s"""WITH $jaccardPairsCtes
          |SELECT d.doc_id, d.lang, d.source FROM documents d
@@ -388,22 +434,9 @@ object SparkEntry {
          |  COUNT(DISTINCT event_type) AS n_event_types,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM sess GROUP BY 1, 2""".stripMargin,
-    "events_in_windows" ->
-      s"""WITH $eventsCte,
-         |$sessFlagsCtes,
-         |sessions AS (
-         |  SELECT user_id, session_seq,
-         |    MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
-         |  FROM sess GROUP BY 1, 2),
-         |w AS (
-         |  SELECT user_id AS window_user, session_seq, session_start, session_end
-         |  FROM sessions WHERE user_id < 50 AND n_events >= 3)
-         |SELECT w.window_user, w.session_seq,
-         |  COUNT(*) AS n_events_in_window,
-         |  COUNT(DISTINCT e.user_id) AS n_users_in_window,
-         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value_in_window
-         |FROM e JOIN w ON e.ts BETWEEN w.session_start AND w.session_end
-         |GROUP BY 1, 2""".stripMargin,
+    "events_in_windows" -> eventsInWindowsOracle,
+    // same computation, literal-SQL BETWEEN join through BandJoinRewrite
+    "events_in_windows_sql" -> eventsInWindowsOracle,
     "events_json" ->
       s"""WITH $eventsCte
          |SELECT event_type,

@@ -146,6 +146,34 @@ object EventOps {
         sum(col("v")).cast("double").as("sum_value_in_window"))
   }
 
+  /** [[eventsInActiveWindows]] with the interval join written as a
+    * LITERAL `BETWEEN` SQL join — the shape every user writes first.
+    * Stock Spark plans it as an O(points × intervals) nested loop; with
+    * [[graft.GraftSession.install]] the [[graft.plans.BandJoinRewrite]]
+    * optimizer rule re-plans it as the bucketized equi-join, unchanged
+    * query text. Same result as the operator-API version (shared
+    * oracle); BandJoinSpec asserts the no-nested-loop plan property. */
+  def eventsInActiveWindowsSql(events: DataFrame, maxUser: Long = 50,
+      minEvents: Long = 3): DataFrame = {
+    val spark = events.sparkSession
+    graft.GraftSession.install(spark)
+    sessionize(events)
+      .filter(col("user_id") < maxUser && col("n_events") >= minEvents)
+      .select(col("user_id").as("window_user"), col("session_seq"),
+        col("session_start"), col("session_end"))
+      .createOrReplaceTempView("graft_hot_windows")
+    events.select(col("ts"), col("user_id"), col("value"))
+      .createOrReplaceTempView("graft_events_pts")
+    spark.sql(
+      """SELECT w.window_user, w.session_seq,
+        |  COUNT(*) AS n_events_in_window,
+        |  COUNT(DISTINCT e.user_id) AS n_users_in_window,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value_in_window
+        |FROM graft_events_pts e JOIN graft_hot_windows w
+        |  ON e.ts BETWEEN w.session_start AND w.session_end
+        |GROUP BY 1, 2""".stripMargin)
+  }
+
   /** HyperLogLog++ sketch cardinality (rows-only check; EventOpsSpec
     * asserts relative error vs exact). At 100 TB this is the default:
     * fixed-size sketch state, no distinct shuffle explosion. */

@@ -124,6 +124,79 @@ object TextOps {
       .join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Transitive near-dup clusters: connected components of the
+    * near-dup pair graph, so a chain a~b~c~d dedups as ONE group even
+    * though a and d are not directly similar (the greedy [[nearDupKeep]]
+    * rule can't see that). Min-label propagation: every node starts
+    * labeled with itself; each round every node takes the min label in
+    * its neighborhood; fixpoint = components labeled by their min
+    * doc_id. Each round is one distributed join + one min-aggregation
+    * over the EDGE set (near-dup pairs only — a sparse fraction of the
+    * corpus), with `localCheckpoint` keeping the iterated plan flat;
+    * rounds needed = component diameter (near-dup clusters are
+    * near-cliques, so 2–3 in practice).
+    *
+    * Output: (doc_id, cluster_id, cluster_size) for every document that
+    * appears in at least one qualifying pair. */
+  def nearDupClusters(documents: DataFrame, k: Int = 3,
+      minJaccard: Double = 0.8, maxDf: Int = 100, maxIters: Int = 20): DataFrame = {
+    val pairs = nearDupJaccard(documents, k, minJaccard, maxDf)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val viaEdges = labels.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old_label"), Seq("id"))
+        .filter(col("label") =!= col("old_label"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    require(converged, s"nearDupClusters did not converge in $maxIters rounds")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(broadcast(sizes), Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
+  /** Deterministic hash-stratified sampling: keep a document iff the
+    * first 16 bits of `md5(doc_id)` mod 100 fall under its stratum's
+    * percentage — the standard reproducible corpus downsampler (no RNG
+    * state, stable under re-runs and repartitioning, engine-portable).
+    * Strata come from the `lang` column; unlisted languages get
+    * `defaultPct`. */
+  def sampleStratified(documents: DataFrame,
+      rates: Map[String, Int] = Map("en" -> 50, "de" -> 25),
+      defaultPct: Int = 10): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100).as("sample_bucket")
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (lang, p)) =>
+      when(col("lang") === lang, lit(p)).otherwise(acc)
+    }
+    documents.select(col("doc_id"), col("lang"), col("source"), bucket)
+      .filter(col("sample_bucket") < pct)
+  }
+
+  /** Corpus vocabulary: top-k tokens by occurrence (document frequency
+    * alongside) — explode + count, one shuffle at token grain with
+    * map-side combine, then a global top-k (TakeOrdered, no full sort). */
+  def vocabTopK(documents: DataFrame, k: Int = 100): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
   /** MinHash+LSH near-dup pairs: shingle → `numPerms` minhash signature →
     * `bands` band keys → candidates share a band bucket → filter by the
     * signature-estimated jaccard. No pairwise work outside shared

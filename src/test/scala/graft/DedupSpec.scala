@@ -66,6 +66,39 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == docs.count() - pairs)
   }
 
+  test("cluster dedup is transitive across a similarity chain") {
+    val s = spark
+    import s.implicits._
+    // Sliding windows: consecutive docs overlap 24/30 words (jaccard
+    // ~0.65), two apart only 18 (~0.4) — so 10~11 and 11~12 are edges
+    // but 10~12 is NOT: only transitive closure groups all three.
+    val words = (0 until 42).map(i => s"tok$i")
+    def doc(i: Int) = words.slice(6 * i, 6 * i + 30).mkString(" ")
+    val fixture = Seq(
+      (10L, doc(0)), (11L, doc(1)), (12L, doc(2)),
+      (20L, (100 until 140).map(i => s"word$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.nearDupClusters(fixture, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val clustered = out.map(_._1).toSet
+    assert(clustered == Set(10L, 11L, 12L), s"clustered=$clustered")
+    assert(out.forall(_._2 == 10L), "min-label must win for the whole component")
+    assert(out.forall(_._3 == 3L))
+  }
+
+  test("stratified sample rates land near the configured percentages") {
+    val out = TextOps.sampleStratified(docs).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = out.getOrElse("en", 0L).toDouble / totals("en")
+    assert(math.abs(enRate - 0.5) < 0.15, s"en sampled at $enRate, want ~0.5")
+    // deterministic: same call, same rows
+    val a = TextOps.sampleStratified(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextOps.sampleStratified(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("shingles guard: fewer tokens than k yields empty, not garbage") {
     val s = spark
     import s.implicits._
