@@ -143,6 +143,9 @@ object SparkEntry {
     // -- similarity search over `embeddings`
     "ann_topk" -> ((s, dir) => VectorOps.annBruteForce(Tables.embeddings(s, dir))),
     "embedding_neardup" -> ((s, dir) => VectorOps.nearDupEmbedding(Tables.embeddings(s, dir))),
+    // LSH-blocked all-pairs variant (bucket membership not portable —
+    // rows-only; VectorOpsSpec pins recall vs the exact pairs)
+    "embedding_neardup_lsh" -> ((s, dir) => VectorOps.nearDupEmbeddingLsh(Tables.embeddings(s, dir))),
     // LSH path: bucket membership isn't DuckDB-portable — rows-only;
     // VectorOpsSpec asserts recall vs the brute-force truth
     "ann_lsh" -> ((s, dir) => VectorOps.annLsh(Tables.embeddings(s, dir))),

@@ -171,4 +171,33 @@ object VectorOps {
         round(VecDot(col("da"), col("db")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
+
+  /** LSH-bucketed all-pairs near-dup — the 100 TB path for
+    * [[nearDupEmbedding]]: a pair is only compared when it shares a sign
+    * bucket in ≥1 of `tables` hash tables (same blocking as [[annLsh]],
+    * applied corpus×corpus instead of query×corpus). Pairwise work
+    * collapses from O(n²) to Σ bucket² over near-collinear groups; the
+    * shuffle keys on (table, bucket). `planes` trades recall for bucket
+    * size: P(bucket collision per table) = (1 − θ/π)^planes for angle θ.
+    * Exact cosine still decides membership, so precision is exact; only
+    * recall is approximate (VectorOpsSpec pins it on planted twins). */
+  def nearDupEmbeddingLsh(embeddings: DataFrame, minCos: Double = 0.45,
+      planes: Int = 6, tables: Int = 8, dims: Int = 64): DataFrame = {
+    val p = prepared(embeddings)
+    val banded = p.select(
+      col("vec_id"), col("vd"), col("nrm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          lshBucket(col("vd"), planes, dims, seed = t).as("b"))): _*)).as("tb"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.vd").as("da"), col("a.nrm").as("na"),
+        col("b.vd").as("db"), col("b.nrm").as("nb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(VecDot(col("da"), col("db")) / (col("na") * col("nb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
 }

@@ -74,6 +74,19 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(ivf == bf)
   }
 
+  test("LSH-blocked all-pairs near-dup recovers the exact pairs at cos >= 0.9") {
+    val exact = VectorOps.nearDupEmbedding(fixture, minCos = 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.nearDupEmbeddingLsh(fixture, minCos = 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "exact-cosine filter must make precision exact")
+    assert((exact & lsh).size.toDouble / exact.size >= 0.99,
+      s"recall ${(exact & lsh).size}/${exact.size}")
+  }
+
   test("codegen'd VecDot is bit-identical to the HOF fold") {
     graft.functions.VecDot.register(spark)
     val pairs = fixture.select(col("vec_id"), col("embedding").as("a"))
