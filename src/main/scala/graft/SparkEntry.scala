@@ -112,6 +112,7 @@ object SparkEntry {
     "neardup_clusters" -> ((s, dir) => TextOps.nearDupClusters(Tables.documents(s, dir))),
     "doc_sample" -> ((s, dir) => TextOps.sampleStratified(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir))),
+    "doc_top_terms" -> ((s, dir) => TextOps.docTopTerms(Tables.documents(s, dir))),
     // signature-based near-dup (hash families not portable to DuckDB —
     // rows-only check here; recall vs exact jaccard asserted in DedupSpec)
     "neardup_minhash" -> ((s, dir) => TextOps.nearDupMinhash(Tables.documents(s, dir))),
@@ -416,6 +417,20 @@ object SparkEntry {
          |SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
          |FROM ex GROUP BY 1
          |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+    "doc_top_terms" ->
+      s"""WITH $toksCte,
+         |ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+         |dfreq AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM ex) GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_total FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         |    round(tf.tf * ln((n.n_total + 1)::DOUBLE / (dfreq.df + 1)), 6) AS tfidf
+         |  FROM tf JOIN dfreq USING (token), n)
+         |SELECT doc_id, token, tf, df, tfidf, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, token) AS rn FROM scored)
+         |WHERE rn <= 5""".stripMargin,
     "neardup_keep" ->
       s"""WITH $jaccardPairsCtes
          |SELECT d.doc_id, d.lang, d.source FROM documents d

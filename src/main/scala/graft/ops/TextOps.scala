@@ -186,6 +186,29 @@ object TextOps {
       .filter(col("sample_bucket") < pct)
   }
 
+  /** Top TF-IDF terms per document: term frequency from one
+    * (doc, token) aggregation, document frequency from a token-grain
+    * aggregation over the same exploded frame, smoothed IDF
+    * `ln((N+1)/(df+1))`, then a per-document top-k window. Two shuffles
+    * (doc×token grain, token grain) + one token-keyed join; the corpus
+    * size N rides along as a broadcast 1-row aggregate, not a driver
+    * round-trip. */
+  def docTopTerms(documents: DataFrame, kTop: Int = 5): DataFrame = {
+    val ex = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = ex.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = ex.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_total") + 1).cast("double") / (col("df") + 1)), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kTop)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"), col("rn"))
+  }
+
   /** Corpus vocabulary: top-k tokens by occurrence (document frequency
     * alongside) — explode + count, one shuffle at token grain with
     * map-side combine, then a global top-k (TakeOrdered, no full sort). */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, TimestampType}
 
 /** Optimizer rule: plan a timestamp "band join" as an equi-join.
   *
@@ -29,10 +29,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   *
   * Bails out (leaves the join untouched) when: any equi conjunct
   * already exists (hash join is already available); the join is not
-  * INNER; the bound expressions are not `TimestampType`; or either
-  * side's expressions are nondeterministic. Fires at most once per
-  * join: the rewritten join contains an equi conjunct, which fails the
-  * first guard on the next optimizer pass.
+  * INNER; the point/bound expressions are not both `TimestampType` or
+  * both `DateType`; or either side's expressions are nondeterministic.
+  * Fires at most once per join: the rewritten join contains an equi
+  * conjunct, which fails the first guard on the next optimizer pass.
   *
   * Install on an existing session via [[graft.GraftSession.install]]
   * (`spark.experimental.extraOptimizations`) or at session build via
@@ -48,9 +48,19 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** floor(unix_micros(e) / usec) as LONG — the same bucket formula as
     * RangeJoin.pointInInterval, so plans agree across both paths.
     * (Double division is exact enough: |unix_micros| < 2^53 for all
-    * representable timestamps within ±280,000 years of epoch.) */
-  private def bucketOf(e: Expression, usec: Long): Expression =
-    Cast(Floor(Divide(Cast(UnixMicros(e), DoubleType), Literal(usec.toDouble))), LongType)
+    * representable timestamps within ±280,000 years of epoch.)
+    * DateType buckets by days instead, at `max(1, bucketSeconds/86400)`
+    * days per bucket. */
+  private def bucketOf(e: Expression, bucketSeconds: Long): Expression = {
+    val ticks = e.dataType match {
+      case TimestampType => (UnixMicros(e), bucketSeconds * 1000000L)
+      case DateType      => (UnixDate(e), math.max(1L, bucketSeconds / 86400L))
+    }
+    Cast(Floor(Divide(Cast(ticks._1, DoubleType), Literal(ticks._2.toDouble))), LongType)
+  }
+
+  private def bandType(t: DataType): Boolean =
+    t == TimestampType || t == DateType
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledConf, "true").toBoolean) return plan
@@ -72,7 +82,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       for {
         ps <- Seq(left, right).find(p => refsOnly(pt, p)).toSeq
         bs <- Seq(left, right).find(p => refsOnly(bd, p)).toSeq
-        if !(ps eq bs) && pt.dataType == TimestampType && bd.dataType == TimestampType
+        if !(ps eq bs) && pt.dataType == bd.dataType && bandType(pt.dataType)
       } yield (pt, ps, bd, lower)
     c match {
       // a >= b reads as: a lower-bounded by b, OR b upper-bounded by a
@@ -109,17 +119,16 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     } yield (lo, hi)).headOption
 
     pair.map { case ((pt, pointSide, start, _), (_, _, end, _)) =>
-      val usec = bucketSeconds * 1000000L
       val intervalSide = if (pointSide eq left) right else left
 
-      val pAlias = Alias(bucketOf(pt, usec), "_graft_point_bucket")()
+      val pAlias = Alias(bucketOf(pt, bucketSeconds), "_graft_point_bucket")()
       val pProj = Project(pointSide.output :+ pAlias, pointSide)
 
       // timeZoneId must be pinned by hand: Sequence is TimeZoneAware and
       // reports unresolved without one, but ResolveTimeZone only runs in
       // the analyzer — optimizer-introduced expressions are on their own.
       val seqExpr = Sequence(
-        bucketOf(start, usec), bucketOf(end, usec), Some(Literal(1L)),
+        bucketOf(start, bucketSeconds), bucketOf(end, bucketSeconds), Some(Literal(1L)),
         Some(conf.sessionLocalTimeZone))
       val bAttr = AttributeReference("_graft_interval_bucket", LongType,
         nullable = false)()

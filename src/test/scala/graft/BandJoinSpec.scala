@@ -68,6 +68,20 @@ class BandJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(col("p_ts") =!= col("i_start") && col("p_ts") =!= col("i_end")))
   }
 
+  test("date-typed bands rewrite too, bucketed at day grain") {
+    val dPts = points.select(col("point_id"),
+      to_date(lit("2024-03-01")).as("p_d"))
+      .withColumn("p_d", date_add(col("p_d"), (col("point_id") % 40).cast("int")))
+    val dIvs = intervals.select(col("interval_id"),
+      date_add(to_date(lit("2024-03-01")), 3).as("d_start"),
+      date_add(to_date(lit("2024-03-01")), 17).as("d_end"))
+    val joined = dPts.join(dIvs,
+      col("p_d") >= col("d_start") && col("p_d") <= col("d_end"))
+    assert(!physical(joined).contains("NestedLoop"))
+    assertSameRows(joined,
+      RangeJoin.pointInIntervalNL(dPts, dIvs, "p_d", "d_start", "d_end"))
+  }
+
   test("a join that already has an equi key is left untouched") {
     val keyed = points.withColumn("k", col("point_id") % 3)
       .join(intervals.withColumn("k", col("interval_id") % 3).drop("interval_id"),
