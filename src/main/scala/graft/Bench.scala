@@ -33,6 +33,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Up-front install (idempotent): every query plans with the same
+    // optimizer rule set, so per-query timings don't depend on whether an
+    // earlier query happened to install the band-join rewrite.
+    GraftSession.install(spark)
 
     def execute(name: String): Double = {
       // Hygiene between queries: drop cached relations and nudge a GC so
@@ -58,7 +62,11 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val (diag, headline) = results.partition(r => Diagnostics(r._1))
     val total = headline.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${render(headline)},"diagnostics":${render(diag)},"sf":"$sfDir"}""")
+    // Both metric definitions stay reportable: "value" is the headline
+    // (scale-path queries only), "all_queries_total" adds the diagnostics
+    // back so the number is comparable to a plain sum over every query.
+    val allTotal = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","all_queries_total":$allTotal,"queries":${render(headline)},"diagnostics":${render(diag)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -122,6 +122,7 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     "events_json" -> ((s, dir) => EventOps.jsonPropStats(Tables.events(s, dir))),
     "events_topk" -> ((s, dir) => EventOps.topKPerType(Tables.events(s, dir))),
+    "events_topk_agg" -> ((s, dir) => EventOps.topKPerTypeAgg(Tables.events(s, dir))),
     "events_rollup" -> ((s, dir) => EventOps.multiRollup(Tables.events(s, dir))),
     "events_distinct_users" -> ((s, dir) => EventOps.distinctUsers(Tables.events(s, dir))),
     // sketch cardinality: HLL++ internals aren't portable — rows-only;
@@ -466,6 +467,13 @@ object SparkEntry {
          |        / COUNT(json_extract_string(props, '$$.k')), 6) AS avg_k
          |FROM e GROUP BY 1""".stripMargin,
     "events_topk" ->
+      s"""WITH $eventsCte
+         |SELECT event_type, event_id, user_id, value, rn FROM (
+         |  SELECT event_type, event_id, user_id, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+         |  FROM e) WHERE rn <= 3""".stripMargin,
+    // the Aggregator-based formulation computes the identical relation
+    "events_topk_agg" ->
       s"""WITH $eventsCte
          |SELECT event_type, event_id, user_id, value, rn FROM (
          |  SELECT event_type, event_id, user_id, value,

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Exact bounded top-k as a typed `Aggregator` (SURVEY.md §2.10: the
+  * custom-aggregate surface, `Aggregator[IN, BUF, OUT]` +
+  * `functions.udaf`).
+  *
+  * The buffer is a size-≤k list kept sorted by `better`; `reduce` drops
+  * a new row in O(1) when it can't place (the common case once the
+  * buffer saturates), `merge` folds partition buffers. Because it is an
+  * Aggregator, Spark runs it with MAP-SIDE PARTIAL AGGREGATION: each
+  * task ships at most k rows per group key into the shuffle, so grouped
+  * top-k at 100 TB moves O(tasks × groups × k) rows — unlike the
+  * `row_number()` window formulation, which shuffles and SORTS every
+  * input row per key before discarding all but k.
+  */
+class TopK[T](k: Int, better: (T, T) => Boolean)(
+    implicit bufEnc: Encoder[Seq[T]])
+    extends Aggregator[T, Seq[T], Seq[T]] {
+  require(k > 0)
+
+  override def zero: Seq[T] = Vector.empty
+
+  private def insert(buf: Seq[T], e: T): Seq[T] =
+    if (buf.size >= k && better(buf.last, e)) buf // can't place: O(1) reject
+    else {
+      val (hd, tl) = buf.span(b => better(b, e))
+      ((hd :+ e) ++ tl).take(k)
+    }
+
+  override def reduce(buf: Seq[T], e: T): Seq[T] = insert(buf, e)
+  override def merge(a: Seq[T], b: Seq[T]): Seq[T] = b.foldLeft(a)(insert)
+  override def finish(buf: Seq[T]): Seq[T] = buf
+  override def bufferEncoder: Encoder[Seq[T]] = bufEnc
+  override def outputEncoder: Encoder[Seq[T]] = bufEnc
+}
+
+object TopK {
+  /** One event row as the aggregator's typed input — field names double
+    * as the UDAF's column-argument order. */
+  final case class EventRow(event_id: Long, user_id: Long, value: Double)
+
+  /** (value desc, event_id asc) — the events_topk ordering. */
+  val byValueDesc: (EventRow, EventRow) => Boolean = (a, b) =>
+    a.value > b.value || (a.value == b.value && a.event_id < b.event_id)
+
+  implicit val eventRowEnc: Encoder[EventRow] = Encoders.product[EventRow]
+  implicit val eventRowSeqEnc: Encoder[Seq[EventRow]] = ExpressionEncoder[Seq[EventRow]]()
+
+  def eventsTopK(k: Int): TopK[EventRow] = new TopK[EventRow](k, byValueDesc)
+}

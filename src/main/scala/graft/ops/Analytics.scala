@@ -78,16 +78,15 @@ object Analytics {
   }
 
   /** Q4-shape: orders having ≥1 lineitem shipped after order date —
-    * EXISTS as a left-semi join (no decorrelation needed: we write the
-    * semi-join directly), counted per priority. */
+    * EXISTS as ONE left-semi join carrying the non-equi conjunct in the
+    * join condition (no decorrelation, no intermediate distinct: the
+    * semi join short-circuits per order key, so the "≥1" semantics come
+    * free), counted per priority. */
   def latePriorityCounts(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val late = Tables.lineitem(spark, dir).as("l")
-      .join(o.select("o_orderkey", "o_orderdate").as("oo"),
-        col("l.l_orderkey") === col("oo.o_orderkey") &&
-        col("l.l_shipdate") > col("oo.o_orderdate"))
-      .select(col("l.l_orderkey").as("lk")).distinct()
-    o.join(late, o("o_orderkey") === col("lk"), "left_semi")
+    o.join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate")),
+        o("o_orderkey") === col("l_orderkey") && col("l_shipdate") > o("o_orderdate"),
+        "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy(col("o_orderpriority"))

@@ -84,6 +84,23 @@ object EventOps {
       .filter(col("rn") <= kTop)
   }
 
+  /** Grouped top-k via the typed [[graft.functions.TopK]] Aggregator
+    * (`functions.udaf`) instead of a `row_number` window: partial
+    * aggregation keeps ≤ k rows per (task, type) ahead of the shuffle,
+    * so no per-key sort of the full input ever happens — the grouped
+    * top-k shape that still works when one event_type holds billions of
+    * rows. Same output contract as [[topKPerType]] (shared oracle). */
+  def topKPerTypeAgg(events: DataFrame, kTop: Int = 3): DataFrame = {
+    val topk = udaf(graft.functions.TopK.eventsTopK(kTop))
+    events
+      .groupBy(col("event_type"))
+      .agg(topk(col("event_id"), col("user_id"), col("value")).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("event_type"), col("e.event_id").as("event_id"),
+        col("e.user_id").as("user_id"), col("e.value").as("value"),
+        (col("i") + 1).cast("int").as("rn"))
+  }
+
   /** Multi-granularity rollup — native `rollup` (one Expand + one
     * shuffle): levels (type, day), (type), (); `grouping_id`
     * disambiguates the null-filled levels. */
@@ -156,22 +173,37 @@ object EventOps {
   def eventsInActiveWindowsSql(events: DataFrame, maxUser: Long = 50,
       minEvents: Long = 3): DataFrame = {
     val spark = events.sparkSession
+    // The BandJoinRewrite rule must be active when this plan OPTIMIZES
+    // (lazily, at action time) — install is idempotent, and entry-point
+    // sessions (GraftSession.local, Bench, Verify) install it up front so
+    // planning is invocation-order-independent across a shared session.
     graft.GraftSession.install(spark)
+    // View names are scoped to this call and dropped before returning:
+    // spark.sql analyzes eagerly (the view plan is inlined), so the
+    // returned DataFrame doesn't need the catalog entries — and no fixed
+    // names leak into the caller's session as a side effect.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val wView = s"graft_hot_windows_$tag"
+    val eView = s"graft_events_pts_$tag"
     sessionize(events)
       .filter(col("user_id") < maxUser && col("n_events") >= minEvents)
       .select(col("user_id").as("window_user"), col("session_seq"),
         col("session_start"), col("session_end"))
-      .createOrReplaceTempView("graft_hot_windows")
+      .createOrReplaceTempView(wView)
     events.select(col("ts"), col("user_id"), col("value"))
-      .createOrReplaceTempView("graft_events_pts")
-    spark.sql(
-      """SELECT w.window_user, w.session_seq,
-        |  COUNT(*) AS n_events_in_window,
-        |  COUNT(DISTINCT e.user_id) AS n_users_in_window,
-        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value_in_window
-        |FROM graft_events_pts e JOIN graft_hot_windows w
-        |  ON e.ts BETWEEN w.session_start AND w.session_end
-        |GROUP BY 1, 2""".stripMargin)
+      .createOrReplaceTempView(eView)
+    try spark.sql(
+      s"""SELECT w.window_user, w.session_seq,
+         |  COUNT(*) AS n_events_in_window,
+         |  COUNT(DISTINCT e.user_id) AS n_users_in_window,
+         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value_in_window
+         |FROM $eView e JOIN $wView w
+         |  ON e.ts BETWEEN w.session_start AND w.session_end
+         |GROUP BY 1, 2""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(wView)
+      spark.catalog.dropTempView(eView)
+    }
   }
 
   /** HyperLogLog++ sketch cardinality (rows-only check; EventOpsSpec

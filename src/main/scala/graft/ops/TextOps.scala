@@ -94,13 +94,22 @@ object TextOps {
       .filter(size(col("sh")) > 0)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // df prefilter BEFORE any posting list materializes: a stop-shingle's
+    // count partial-aggregates map-side, so no aggregation buffer ever
+    // holds its (possibly corpus-sized) document list.
     val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-    val exRare = ex.join(rare.select("shingle"), Seq("shingle"))
-    val pairs = exRare.as("a")
-      .join(exRare.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    // The join output is already hash-partitioned by shingle, so the
+    // posting-list aggregation below is shuffle-free; candidate pairs
+    // then emit ROW-LOCALLY from each list (≤ maxDf² per shingle) —
+    // no self-join of the exploded index with its sort passes.
+    val postings = ex.join(rare.select("shingle"), Seq("shingle"))
+      .groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ids"))
+    val pairs = postings
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
@@ -127,19 +136,29 @@ object TextOps {
   /** Transitive near-dup clusters: connected components of the
     * near-dup pair graph, so a chain a~b~c~d dedups as ONE group even
     * though a and d are not directly similar (the greedy [[nearDupKeep]]
-    * rule can't see that). Min-label propagation: every node starts
-    * labeled with itself; each round every node takes the min label in
-    * its neighborhood; fixpoint = components labeled by their min
-    * doc_id. Each round is one distributed join + one min-aggregation
-    * over the EDGE set (near-dup pairs only — a sparse fraction of the
-    * corpus), with `localCheckpoint` keeping the iterated plan flat;
-    * rounds needed = component diameter (near-dup clusters are
-    * near-cliques, so 2–3 in practice).
+    * rule can't see that). Min-label propagation WITH pointer jumping:
+    * every node starts labeled with itself; each round every node takes
+    * the min over {its label, its neighbors' labels, its label's label}.
+    * The last term (label(label(id)) — pointer jumping, the Shiloach-
+    * Vishkin/hash-to-min shortcut) halves label-chain depth every round,
+    * so convergence is O(log diameter) rounds instead of diameter: a
+    * pathological similarity chain thousands of documents long still
+    * converges in ~12 rounds, where plain propagation would need
+    * thousands (and previously hit the maxIters cliff). Fixpoint =
+    * components labeled by their min doc_id.
+    *
+    * Each round is two joins + one min-aggregation over the EDGE set
+    * (near-dup pairs only — a sparse fraction of the corpus), with
+    * `localCheckpoint` keeping the iterated plan flat. Convergence is
+    * detected from Σlabels: per-node labels are monotone non-increasing
+    * (the union includes the current label), so an unchanged sum ⟺
+    * fixpoint — one scalar aggregate per round, not a join-and-compare
+    * pass over the label table.
     *
     * Output: (doc_id, cluster_id, cluster_size) for every document that
     * appears in at least one qualifying pair. */
   def nearDupClusters(documents: DataFrame, k: Int = 3,
-      minJaccard: Double = 0.8, maxDf: Int = 100, maxIters: Int = 20): DataFrame = {
+      minJaccard: Double = 0.8, maxDf: Int = 100, maxIters: Int = 50): DataFrame = {
     val pairs = nearDupJaccard(documents, k, minJaccard, maxDf)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -148,17 +167,25 @@ object TextOps {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
+    var prevSum = Option.empty[Long]
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       val viaEdges = labels.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.union(viaEdges)
+      // pointer jump: follow the current label one more hop. Every label
+      // value is itself a node id (labels start as ids and only min-merge),
+      // so the inner self-join is total.
+      val viaPointer = labels.as("x")
+        .join(labels.select(col("id").as("pid"), col("label").as("plabel")),
+          col("x.label") === col("pid"))
+        .select(col("x.id").as("id"), col("plabel").as("label"))
+      val next = labels.union(viaEdges).union(viaPointer)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old_label"), Seq("id"))
-        .filter(col("label") =!= col("old_label"))
-        .isEmpty
+      val labelSum = next.agg(sum(col("label"))).head().getLong(0)
+      converged = prevSum.contains(labelSum)
+      prevSum = Some(labelSum)
       labels = next
       it += 1
     }

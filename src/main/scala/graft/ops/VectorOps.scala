@@ -62,23 +62,28 @@ object VectorOps {
   def annLsh(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
       planes: Int = 10, tables: Int = 4, dims: Int = 64): DataFrame = {
     val p = prepared(embeddings)
-    val withBuckets = p.select(
-      col("vec_id"), col("vd"), col("nrm"),
-      array((0 until tables).map(t =>
+    // Bucket membership carries IDS ONLY through the join — the wide
+    // vector arrays would otherwise ride the shuffle once per (table,
+    // bucket) candidate row. Vectors re-attach per unique pair afterwards
+    // via two narrow hash joins against the prepared frame.
+    val exploded = p.select(
+      col("vec_id"),
+      explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          lshBucket(col("vd"), planes, dims, seed = t).as("b"))): _*).as("buckets"))
-    val exploded = withBuckets
-      .select(col("vec_id"), col("vd"), col("nrm"), explode(col("buckets")).as("tb"))
+          lshBucket(col("vd"), planes, dims, seed = t).as("b"))): _*)).as("tb"))
     val q = exploded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vd").as("qd"), col("nrm").as("qn"), col("tb"))
-    val cand = q.join(exploded, Seq("tb"))
+      .select(col("vec_id").as("query_id"), col("tb"))
+    val cand = broadcast(q).join(exploded, Seq("tb"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qd"), col("qn"),
-        col("vec_id").as("neighbor_id"), col("vd"), col("nrm"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val qv = p.select(col("vec_id").as("query_id"), col("vd").as("qd"), col("nrm").as("qn"))
+    val nv = p.select(col("vec_id").as("neighbor_id"), col("vd"), col("nrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand
+      .join(broadcast(qv.filter(col("query_id") < nQueries)), Seq("query_id"))
+      .join(nv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(VecDot(col("qd"), col("vd")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(w))
@@ -184,18 +189,27 @@ object VectorOps {
   def nearDupEmbeddingLsh(embeddings: DataFrame, minCos: Double = 0.45,
       planes: Int = 6, tables: Int = 8, dims: Int = 64): DataFrame = {
     val p = prepared(embeddings)
+    // Same ids-only discipline as [[annLsh]]: the bucket self-join and the
+    // pair dedup move (vec_id, band) rows only; each UNIQUE candidate pair
+    // then fetches its two vectors once. Shuffle volume drops from
+    // O(candidates × dims) doubles to O(candidates) longs — at corpus
+    // scale the candidate multiset (one row per shared table) is the
+    // biggest intermediate this operator produces.
     val banded = p.select(
-      col("vec_id"), col("vd"), col("nrm"),
+      col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           lshBucket(col("vd"), planes, dims, seed = t).as("b"))): _*)).as("tb"))
-    banded.as("a")
+    val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.vd").as("da"), col("a.nrm").as("na"),
-        col("b.vd").as("db"), col("b.nrm").as("nb"))
-      .dropDuplicates("vec_a", "vec_b")
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val va = p.select(col("vec_id").as("vec_a"), col("vd").as("da"), col("nrm").as("na"))
+    val vb = p.select(col("vec_id").as("vec_b"), col("vd").as("db"), col("nrm").as("nb"))
+    cand
+      .join(va, Seq("vec_a"))
+      .join(vb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(VecDot(col("da"), col("db")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)

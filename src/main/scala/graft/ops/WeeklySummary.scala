@@ -122,14 +122,18 @@ object WeeklySummary {
       .distinct()
 
     // Post-aggregation side is week-cardinality: broadcast it so the
-    // week-spine join never shuffles.
+    // week-spine join never shuffles. The constant `_g` keys the
+    // cumulative window: computing on ONE partition is intentional (input
+    // is week-grain, a few hundred rows per decade of data), but an empty
+    // partitionSpec makes WindowExec log a scale warning on every run —
+    // the explicit key states the intent in the plan instead.
     val joined = allWeeks.join(broadcast(c), Seq("week_beginning"), "left")
+      .withColumn("_g", lit(0))
 
     val nRented = coalesce(col("n_rented"), lit(0L))
     val nReturned = coalesce(col("n_returned"), lit(0L))
     val nClosed = coalesce(col("n_closed"), lit(0L))
-    // Single-partition window is intentional: input is week-grain.
-    val cum = Window.orderBy("week_beginning")
+    val cum = Window.partitionBy("_g").orderBy("week_beginning")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     joined
@@ -187,8 +191,16 @@ object WeeklySummary {
   def snapshotSql(rental: DataFrame, asOf: LocalDate): DataFrame = {
     val spark = rental.sparkSession
     val view = s"rental_snapshot_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    rental.createOrReplaceTempView(view)
-    spark.sql(
+    // The view is a shared CTE consumed four times (date range, both
+    // weekly counts, and the correlated subquery — which decorrelation
+    // turns into a weeks×rental join). Materialize it once
+    // (localCheckpoint) instead of re-deriving the source plan per
+    // reference — the same call a CTE-materialization heuristic makes.
+    // Without this, the O(weeks × rentals) decorrelated join recomputes
+    // the rental derivation (an orders⋈lineitem aggregation in the
+    // harness) inside its streamed side.
+    rental.localCheckpoint().createOrReplaceTempView(view)
+    try spark.sql(
       s"""WITH date_range AS (
          |  SELECT MIN(to_date(rental_date)) AS min_date,
          |         MAX(CASE WHEN return_date IS NOT NULL THEN to_date(return_date)
@@ -228,17 +240,22 @@ object WeeklySummary {
          |LEFT JOIN weekly_rented_counts wrc_rented
          |  ON aw.week_beginning = wrc_rented.week_of_rental
          |ORDER BY aw.week_beginning""".stripMargin)
+    finally spark.catalog.dropTempView(view) // analysis is eager; the plan is inlined
   }
 
   /** Faithful O(weeks × rentals) shape of reference_query.sql:40-49 for
     * cross-checking: non-equi join spine × rental, conditional count. */
   def snapshotNestedLoop(rental: DataFrame, asOf: LocalDate): DataFrame = {
+    // Consumed four times (spine bounds, outstanding NL join, two weekly
+    // counts): materialize the narrow projection once — see snapshotSql.
     val r = rental.select(
       col("rental_id"),
       to_date(col("rental_date")).as("rd"),
       to_date(col("return_date")).as("ret"))
+      .localCheckpoint()
 
-    val spine = weekSpine(rental, asOf)
+    val spine = weekSpine( // off the materialized projection, not the source
+      r.select(col("rd").as("rental_date"), col("ret").as("return_date")), asOf)
     val e = weekEnd(col("week_beginning"))
     val outstanding = broadcast(spine)
       .join(r, col("rd") <= e && (col("ret").isNull || col("ret") > e), "left")

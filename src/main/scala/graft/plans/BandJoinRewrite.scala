@@ -127,9 +127,18 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // timeZoneId must be pinned by hand: Sequence is TimeZoneAware and
       // reports unresolved without one, but ResolveTimeZone only runs in
       // the analyzer — optimizer-introduced expressions are on their own.
-      val seqExpr = Sequence(
-        bucketOf(start, bucketSeconds), bucketOf(end, bucketSeconds), Some(Literal(1L)),
-        Some(conf.sessionLocalTimeZone))
+      //
+      // The ascending Sequence throws on an inverted interval (end bucket
+      // < start bucket — e.g. dirty end < start rows, which the original
+      // nested-loop join handles by matching nothing), so guard it: an
+      // inverted row yields a null array and drops at the explode, exactly
+      // the no-match semantics of the unrewritten join.
+      val bStart = bucketOf(start, bucketSeconds)
+      val bEnd = bucketOf(end, bucketSeconds)
+      val seqExpr = If(
+        LessThanOrEqual(bStart, bEnd),
+        Sequence(bStart, bEnd, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+        Literal.create(null, org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
       val bAttr = AttributeReference("_graft_interval_bucket", LongType,
         nullable = false)()
       val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,

@@ -82,6 +82,26 @@ class BandJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       RangeJoin.pointInIntervalNL(dPts, dIvs, "p_d", "d_start", "d_end"))
   }
 
+  test("inverted intervals (end < start) match nothing instead of crashing") {
+    val s = spark
+    import s.implicits._
+    // One legal interval and two inverted ones — the latter legal-but-empty
+    // under the nested-loop semantics (no point satisfies start<=ts<=end).
+    // An unguarded ascending Sequence would throw ILLEGAL_SEQUENCE_BOUNDARIES.
+    val dirty = Seq(
+      (1L, ts("2024-03-01 00:07:00"), ts("2024-03-01 01:02:00")),
+      (2L, ts("2024-03-01 05:30:00"), ts("2024-03-01 03:00:00")), // inverted, crosses buckets
+      (3L, ts("2024-03-01 11:59:00"), ts("2024-03-01 11:55:00"))  // inverted, same bucket
+    ).toDF("interval_id", "i_start", "i_end")
+    val joined = points.join(dirty,
+      col("p_ts") >= col("i_start") && col("p_ts") <= col("i_end"))
+    assert(!physical(joined).contains("NestedLoop"))
+    assert(joined.filter(col("interval_id") =!= 1L).isEmpty,
+      "inverted intervals must match no points")
+    assertSameRows(joined,
+      RangeJoin.pointInIntervalNL(points, dirty, "p_ts", "i_start", "i_end"))
+  }
+
   test("a join that already has an equi key is left untouched") {
     val keyed = points.withColumn("k", col("point_id") % 3)
       .join(intervals.withColumn("k", col("interval_id") % 3).drop("interval_id"),

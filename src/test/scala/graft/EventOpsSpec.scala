@@ -45,6 +45,22 @@ class EventOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TopK aggregator matches the window top-k exactly") {
+    assertSameRows(EventOps.topKPerTypeAgg(events), EventOps.topKPerType(events))
+  }
+
+  test("TopK aggregator is insertion-order invariant (merge correctness)") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    // ties on value resolve by event_id; spread across many partitions so
+    // partial buffers must merge
+    val rows = (1L to 200L).map(i => (i, t(i.toInt), i % 7, "a", (i % 5).toDouble, "{}"))
+    val fixture = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(16)
+    assertSameRows(EventOps.topKPerTypeAgg(fixture), EventOps.topKPerType(fixture))
+  }
+
   test("rollup levels are consistent") {
     val out = EventOps.multiRollup(events)
     val grand = out.filter(col("grouping_level") === 3).head()
