@@ -32,11 +32,8 @@ object StreamingRun {
       .withColumn("rental_date", col("rental_date").cast("timestamp"))
       .withColumn("return_date", col("return_date").cast("timestamp"))
       .withColumn("last_update", col("last_update").cast("timestamp"))
-      .withColumn("_g", lit(0)) // constant key: global ntile on one partition
-      .withColumn("seg", ntile(nSegments).over(                  // is the point
-        org.apache.spark.sql.expressions.Window.partitionBy("_g")
-          .orderBy("last_update", "rental_id")))
-      .drop("_g")
+      .withColumn("seg", ntile(nSegments).over(
+        org.apache.spark.sql.expressions.Window.orderBy("last_update", "rental_id")))
     new java.io.File(logDir).mkdirs()
     (1 to nSegments).foreach { i =>
       val tmp = s"$workDir/seg$i"

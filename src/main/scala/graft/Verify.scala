@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Week-grain cumulative windows are single-partition by design —
+    // suppress WindowExec's scale warning here (see Bench for rationale).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Same rule set for every query, independent of execution order.
     GraftSession.install(spark)
     new java.io.File(outDir).mkdirs()

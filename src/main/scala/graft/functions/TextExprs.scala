@@ -126,17 +126,20 @@ object TextExprs {
   }
 
   /** Idempotent registration of all graft expressions (incl. [[VecDot]])
-    * on a session's temp function registry. Int parameters travel as
-    * literal arguments. */
+    * on a session's temp function registry — skipped when present (no
+    * replace-warning spam from per-query installs). Int parameters
+    * travel as literal arguments. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     VecDot.register(spark)
-    reg.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs(0)), "built-in")
+    def put(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    put("word_shingles",
+      exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    put("minhash_sig",
+      exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    put("simhash64", exprs => SimHash64(exprs(0)))
   }
 
   import org.apache.spark.sql.functions.lit

@@ -62,10 +62,14 @@ object VecDot {
   val FnName = "vec_dot"
 
   /** Idempotent per-session registration in the (public) temp function
-    * registry. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    * registry — skipped when present, so repeated installs (each query
+    * constructor calls this) don't spam replace warnings. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(FnName)))
+      reg.createOrReplaceTempFunction(
+        FnName, exprs => VecDot(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column form; casts inputs (e.g. `array<float>`) to `array<double>`
     * so element widening happens once, codegen'd. Requires [[register]]

@@ -180,9 +180,11 @@ object TextOps {
         .join(labels.select(col("id").as("pid"), col("label").as("plabel")),
           col("x.label") === col("pid"))
         .select(col("x.id").as("id"), col("plabel").as("label"))
+      // lazy checkpoint: the Σlabel probe below is the job that
+      // materializes it, so each round costs ONE Spark job, not two
       val next = labels.union(viaEdges).union(viaPointer)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val labelSum = next.agg(sum(col("label"))).head().getLong(0)
       converged = prevSum.contains(labelSum)
       prevSum = Some(labelSum)

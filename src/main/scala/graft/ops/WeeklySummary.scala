@@ -122,18 +122,18 @@ object WeeklySummary {
       .distinct()
 
     // Post-aggregation side is week-cardinality: broadcast it so the
-    // week-spine join never shuffles. The constant `_g` keys the
-    // cumulative window: computing on ONE partition is intentional (input
-    // is week-grain, a few hundred rows per decade of data), but an empty
-    // partitionSpec makes WindowExec log a scale warning on every run —
-    // the explicit key states the intent in the plan instead.
+    // week-spine join never shuffles.
     val joined = allWeeks.join(broadcast(c), Seq("week_beginning"), "left")
-      .withColumn("_g", lit(0))
 
     val nRented = coalesce(col("n_rented"), lit(0L))
     val nReturned = coalesce(col("n_returned"), lit(0L))
     val nClosed = coalesce(col("n_closed"), lit(0L))
-    val cum = Window.partitionBy("_g").orderBy("week_beginning")
+    // Single-partition window is intentional: input is week-grain (a few
+    // hundred rows per decade of source data), so WindowExec's
+    // "No Partition Defined" warning does not indicate a scale hazard
+    // here. (A constant partition key would state that in the plan, but
+    // the optimizer's EliminateWindowPartitions folds it away again.)
+    val cum = Window.orderBy("week_beginning")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     joined

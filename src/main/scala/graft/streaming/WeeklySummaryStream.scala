@@ -188,11 +188,10 @@ object WeeklySummaryStream {
     val spine = bounds
       .filter(col("lo").isNotNull)
       .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 7 DAYS"))).as("week_beginning"))
-    // Constant partition key: single-partition is intentional (week-grain
-    // input); an empty partitionSpec would WARN — see WeeklySummary.
+    // Single-partition window is intentional: week-grain input — see the
+    // matching note in WeeklySummary.statsFromCounts.
     val joined = spine.join(broadcast(counts), Seq("week_beginning"), "left")
-      .withColumn("_g", lit(0))
-    val cum = Window.partitionBy("_g").orderBy("week_beginning")
+    val cum = Window.orderBy("week_beginning")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nRented = coalesce(col("n_rented"), lit(0L))
     val nReturned = coalesce(col("n_returned"), lit(0L))

@@ -11,17 +11,19 @@ import TestSpark._
 
 class SourcesSpec extends AnyFunSuite {
 
-  test("csv and json round-trip with explicit schema (no inference)") {
+  test("csv, json, and orc round-trip with explicit schema (no inference)") {
     val base = Files.createTempDirectory("graft-src").toString
     val df = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "lang", "n_chars")
     df.write.option("header", "true").csv(s"$base/csv")
     df.write.json(s"$base/json")
+    df.write.orc(s"$base/orc")
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("lang", StringType),
       StructField("n_chars", LongType)))
     assertSameRows(df, Sources.readTable(spark, s"$base/csv", "csv", Some(schema)))
     assertSameRows(df, Sources.readTable(spark, s"$base/json", "json", Some(schema)))
+    assertSameRows(df, Sources.readTable(spark, s"$base/orc", "orc"))
   }
 
   test("partitioned sink upsert rewrites only touched partitions") {
