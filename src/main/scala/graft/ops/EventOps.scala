@@ -93,6 +93,13 @@ object EventOps {
   def topKPerTypeAgg(events: DataFrame, kTop: Int = 3): DataFrame = {
     val topk = udaf(graft.functions.TopK.eventsTopK(kTop))
     events
+      // EventRow's fields are primitives, so a null id/value would throw
+      // inside the typed encoder; nulls also can never rank in the top-k
+      // under (value desc, event_id asc), so dropping them up front keeps
+      // output parity with the window form whenever a group has ≥ k
+      // non-null rows (the nullable-input contract both forms share).
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull
+        && col("value").isNotNull)
       .groupBy(col("event_type"))
       .agg(topk(col("event_id"), col("user_id"), col("value")).as("top"))
       .select(col("event_type"), posexplode(col("top")).as(Seq("i", "e")))

@@ -168,7 +168,10 @@ object TextOps {
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
     var prevSum = Option.empty[Long]
-    var converged = false
+    // A clean corpus (zero qualifying pairs) has no nodes: the Σlabel
+    // probe below would read sum() over zero rows as null, so converge
+    // immediately with the (empty) label table.
+    var converged = labels.isEmpty
     var it = 0
     while (!converged && it < maxIters) {
       val viaEdges = labels.join(edges, col("id") === col("src"))
@@ -185,7 +188,8 @@ object TextOps {
       val next = labels.union(viaEdges).union(viaPointer)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(false)
-      val labelSum = next.agg(sum(col("label"))).head().getLong(0)
+      val labelSum = Option(next.agg(sum(col("label"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       converged = prevSum.contains(labelSum)
       prevSum = Some(labelSum)
       labels = next

@@ -62,6 +62,13 @@ object VectorOps {
   def annLsh(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
       planes: Int = 10, tables: Int = 4, dims: Int = 64): DataFrame = {
     val p = prepared(embeddings)
+    // The broadcast hints below bypass autoBroadcastJoinThreshold, and the
+    // query side scales with the CALLER's nQueries — so hint only while the
+    // broadcast stays trivially driver-safe (ids: nQueries×tables longs;
+    // vectors: nQueries×dims doubles ≤ ~5 MB at the guard). Above the
+    // guard, fall through to Catalyst's stats-based join selection.
+    def hinted(df: DataFrame): DataFrame =
+      if (nQueries.toLong * dims <= (10000L * 64)) broadcast(df) else df
     // Bucket membership carries IDS ONLY through the join — the wide
     // vector arrays would otherwise ride the shuffle once per (table,
     // bucket) candidate row. Vectors re-attach per unique pair afterwards
@@ -73,7 +80,7 @@ object VectorOps {
           lshBucket(col("vd"), planes, dims, seed = t).as("b"))): _*)).as("tb"))
     val q = exploded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("tb"))
-    val cand = broadcast(q).join(exploded, Seq("tb"))
+    val cand = hinted(q).join(exploded, Seq("tb"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
@@ -82,7 +89,7 @@ object VectorOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cand
-      .join(broadcast(qv.filter(col("query_id") < nQueries)), Seq("query_id"))
+      .join(hinted(qv.filter(col("query_id") < nQueries)), Seq("query_id"))
       .join(nv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(VecDot(col("qd"), col("vd")) / (col("qn") * col("nrm")), 6).as("cos_sim"))

@@ -86,6 +86,18 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_._3 == 3L))
   }
 
+  test("nearDupClusters on a clean corpus returns an empty frame") {
+    val s = spark
+    import s.implicits._
+    // no qualifying pairs: every doc disjoint vocabulary
+    val fixture = (0L until 4L).map(i =>
+      (i, (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.nearDupClusters(fixture, minJaccard = 0.5)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
+  }
+
   test("stratified sample rates land near the configured percentages") {
     val out = TextOps.sampleStratified(docs).groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

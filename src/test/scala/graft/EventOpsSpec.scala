@@ -61,6 +61,22 @@ class EventOpsSpec extends AnyFunSuite {
     assertSameRows(EventOps.topKPerTypeAgg(fixture), EventOps.topKPerType(fixture))
   }
 
+  test("TopK aggregator tolerates null value/id rows (drops them)") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    val rows: Seq[(java.lang.Long, Timestamp, java.lang.Long, String, java.lang.Double, String)] =
+      (1L to 10L).map(i => (java.lang.Long.valueOf(i), t(i.toInt),
+        java.lang.Long.valueOf(i % 3), "a",
+        java.lang.Double.valueOf(i.toDouble), "{}")) ++ Seq(
+        (java.lang.Long.valueOf(99L), t(99), java.lang.Long.valueOf(1L), "a", null, "{}"),
+        (null, t(98), java.lang.Long.valueOf(2L), "a", java.lang.Double.valueOf(50.0), "{}"))
+    val fixture = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.topKPerTypeAgg(fixture, kTop = 3).collect()
+    // null value and null event_id rows never rank; top-3 = values 10,9,8
+    assert(out.map(_.getAs[Double]("value")).sorted.toSeq == Seq(8.0, 9.0, 10.0))
+  }
+
   test("rollup levels are consistent") {
     val out = EventOps.multiRollup(events)
     val grand = out.filter(col("grouping_level") === 3).head()
