@@ -61,7 +61,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    execute("weekly_summary") // warmup, untimed
+    // Untimed warmup, one query per input family (rental view over
+    // orders⋈lineitem, documents text pipeline, embeddings vector path):
+    // amortizes JVM/janino codegen compilation and first-touch parquet
+    // footprint out of whichever family member happens to run first, so
+    // the measured numbers are the steady-state latencies a resident
+    // engine would serve. Queries are measured cache-cleared (execute()
+    // clears and GCs) — the warmup leaves no data cached, only JIT state.
+    Seq("weekly_summary", "neardup_jaccard", "ann_topk").foreach(execute)
 
     // SPARK_GRAFT_ONLY=q1,q2 runs a subset — an iteration aid; the
     // driver leaves it unset and measures everything.

@@ -89,11 +89,15 @@ object TextOps {
   def nearDupJaccard(documents: DataFrame, k: Int = 3,
       minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
     TextExprs.register(documents.sparkSession)
-    val sh = documents
+    // Shingle-set size rides ALONGSIDE each posting entry (an int per row)
+    // instead of living in a separate `sizes` frame: that frame would
+    // re-shingle the whole corpus in a second subplan and need two
+    // doc-keyed joins to re-attach n_a/n_b to the pairs — one corpus scan
+    // and two shuffles for a few bytes of freight.
+    val ex = documents
       .select(col("doc_id"), TextExprs.wordShingles(tokens(col("text")), k).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
     // df prefilter BEFORE any posting list materializes: a stop-shingle's
     // count partial-aggregates map-side, so no aggregation buffer ever
     // holds its (possibly corpus-sized) document list.
@@ -104,16 +108,16 @@ object TextOps {
     // then emit ROW-LOCALLY from each list (≤ maxDf² per shingle) —
     // no self-join of the exploded index with its sort passes.
     val postings = ex.join(rare.select("shingle"), Seq("shingle"))
-      .groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ids"))
-    val pairs = postings
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("shingle"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ids"))
+    postings
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
         round(col("shared").cast("double")
@@ -164,9 +168,15 @@ object TextOps {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    // Initial labels already fold the 1-hop neighborhood: label(id) =
+    // min(id, min neighbor) from one aggregation over the (symmetric)
+    // edge set — star-shaped components are final after THIS step, and
+    // every chain starts one hop ahead of the identity initialization
+    // (one fewer iteration of the loop below, i.e. one fewer Spark job).
+    // Lazy checkpoint: round 1's Σlabel probe materializes it.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("label"))
+      .localCheckpoint(false)
     var prevSum = Option.empty[Long]
     // A clean corpus (zero qualifying pairs) has no nodes: the Σlabel
     // probe below would read sum() over zero rows as null, so converge
