@@ -113,6 +113,7 @@ object SparkEntry {
     "doc_sample" -> ((s, dir) => TextOps.sampleStratified(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir))),
     "doc_top_terms" -> ((s, dir) => TextOps.docTopTerms(Tables.documents(s, dir))),
+    "doc_winnow" -> ((s, dir) => TextOps.docWinnow(Tables.documents(s, dir))),
     // signature-based near-dup (hash families not portable to DuckDB —
     // rows-only check here; recall vs exact jaccard asserted in DedupSpec)
     "neardup_minhash" -> ((s, dir) => TextOps.nearDupMinhash(Tables.documents(s, dir))),
@@ -129,6 +130,9 @@ object SparkEntry {
     // EventOpsSpec bounds the relative error vs the exact count
     "events_approx_distinct" -> ((s, dir) => EventOps.approxDistinctUsers(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(Tables.events(s, dir))),
+    "events_cube" -> ((s, dir) => EventOps.cubeByTypeDay(Tables.events(s, dir))),
+    "events_ranks" -> ((s, dir) => EventOps.valueRanks(Tables.events(s, dir))),
+    "events_extremes" -> ((s, dir) => EventOps.extremesByType(Tables.events(s, dir))),
     "events_asof" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       graft.ops.AsOfJoin.asOf(
@@ -161,6 +165,19 @@ object SparkEntry {
     "late_priority_counts" -> ((s, dir) => Analytics.latePriorityCounts(s, dir)),
     "supplier_diversity" -> ((s, dir) => Analytics.supplierDiversity(s, dir)),
     "top_part_per_brand" -> ((s, dir) => Analytics.topPartPerBrand(s, dir)),
+    // skew-salted join exercised end-to-end: results are salt-invariant,
+    // so the oracle is the PLAIN join — only the shuffle layout differs
+    "skew_join_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.ops.Skew.saltedJoin(o, c, Seq("o_custkey"), n = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_orders"),
+          org.apache.spark.sql.functions.sum(
+            col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
     // -- multimodal binary-column plumbing (synthetic media over documents)
     "media_stats" -> ((s, dir) =>
       graft.multimodal.Multimodal.mediaStats(
@@ -436,6 +453,17 @@ object SparkEntry {
       s"""WITH $jaccardPairsCtes
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_b FROM jacc_pairs WHERE jaccard >= 0.8)""".stripMargin,
+    "doc_winnow" ->
+      s"""WITH $toksCte,
+         |gr AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2),
+         |         i -> array_to_string(t[i:i+2], ' ')) AS g
+         |       FROM toks WHERE len(t) >= 3),
+         |h AS (SELECT doc_id, list_transform(g,
+         |        s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs FROM gr),
+         |w AS (SELECT doc_id, list_distinct(list_transform(
+         |        generate_series(1, len(hs)-3), i -> list_min(hs[i:i+3]))) AS fps
+         |      FROM h WHERE len(hs) >= 4)
+         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
     "events_hourly" ->
       s"""WITH $eventsCte
          |SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -489,6 +517,38 @@ object SparkEntry {
     "events_distinct_users" ->
       s"""WITH $eventsCte
          |SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM e GROUP BY 1""".stripMargin,
+    "events_cube" ->
+      s"""WITH $eventsCte
+         |SELECT event_type, date_trunc('day', ts)::date AS day,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  GROUPING(event_type, date_trunc('day', ts)::date) AS grouping_level
+         |FROM e GROUP BY CUBE(1, 2)""".stripMargin,
+    "events_ranks" ->
+      s"""WITH $eventsCte
+         |SELECT event_type, event_id, value,
+         |  rank() OVER v AS rnk,
+         |  round(percent_rank() OVER v, 6) AS pct_rank,
+         |  round(cume_dist() OVER v, 6) AS cume,
+         |  ntile(4) OVER vi AS quartile
+         |FROM e
+         |WINDOW v AS (PARTITION BY event_type ORDER BY value),
+         |       vi AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
+    // same semantics as max_by/min_by with the composite ordering key;
+    // DuckDB 1.0's arg_max can't take a struct key, so the oracle ranks
+    "events_extremes" ->
+      s"""WITH $eventsCte,
+         |r AS (SELECT event_type, event_id, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rmax,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rmin
+         |  FROM e)
+         |SELECT event_type,
+         |  MAX(CASE WHEN rmax = 1 THEN event_id END) AS top_event_id,
+         |  MAX(value) AS top_value,
+         |  MAX(CASE WHEN rmin = 1 THEN event_id END) AS bottom_event_id,
+         |  MIN(value) AS bottom_value,
+         |  COUNT(*) AS n_events
+         |FROM r GROUP BY 1""".stripMargin,
     "events_percentiles" ->
       s"""WITH $eventsCte,
          |q AS (SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS ps FROM e GROUP BY 1)
@@ -590,5 +650,10 @@ object SparkEntry {
          |  FROM per_part JOIN part ON l_partkey = p_partkey)
          |SELECT p_brand, p_partkey, p_name, revenue FROM ranked WHERE rn = 1
          |ORDER BY p_brand""".stripMargin,
+    "skew_join_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
   )
 }

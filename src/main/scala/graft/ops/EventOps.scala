@@ -120,6 +120,48 @@ object EventOps {
         sum(valueDec).cast("double").as("sum_value"),
         grouping_id().as("grouping_level"))
 
+  /** Full-lattice cube over (type, day) — native `cube` (one Expand +
+    * one shuffle): levels (type, day), (type), (day), (); `grouping_id`
+    * disambiguates, including the (day)-only level `rollup` can't
+    * express. */
+  def cubeByTypeDay(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .cube(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(valueDec).cast("double").as("sum_value"),
+        grouping_id().as("grouping_level"))
+
+  /** The distribution-rank window family per type: ties-aware `rank` /
+    * `percent_rank` / `cume_dist` over value, plus `ntile` quartiles over
+    * the fully-determined (value, event_id) order — ntile splits by
+    * POSITION, so an under-determined sort would make bucket membership
+    * engine-dependent at tie boundaries. One shuffle (both windows share
+    * the partition key). */
+  def valueRanks(events: DataFrame): DataFrame = {
+    val byValue = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val byValueId = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events.select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rnk", rank().over(byValue))
+      .withColumn("pct_rank", round(percent_rank().over(byValue), 6))
+      .withColumn("cume", round(cume_dist().over(byValue), 6))
+      .withColumn("quartile", ntile(4).over(byValueId))
+  }
+
+  /** Per-type argmax/argmin — `max_by`/`min_by` with a composite
+    * (value, event_id) ordering key so ties resolve deterministically.
+    * One hash aggregation with map-side partials: the grouped-extreme
+    * shape that needs no window and no sort at any scale. */
+  def extremesByType(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(
+      max_by(col("event_id"), struct(col("value"), col("event_id"))).as("top_event_id"),
+      max(col("value")).as("top_value"),
+      min_by(col("event_id"), struct(col("value"), col("event_id"))).as("bottom_event_id"),
+      min(col("value")).as("bottom_value"),
+      count(lit(1)).as("n_events"))
+
   /** Exact distinct users per type — the oracle-checkable cardinality. */
   def distinctUsers(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))

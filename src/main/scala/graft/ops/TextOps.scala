@@ -70,6 +70,36 @@ object TextOps {
       fingerprint(col("text")).as("fp_md5"),
       length(normalize(col("text"))).as("fp_len"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS local fingerprinting scheme): hash every positional k-gram,
+    * slide a `w`-gram window, keep each window's minimum hash. Guarantees
+    * any shared run of ≥ w+k-1 tokens between two documents shares ≥ 1
+    * fingerprint, at ~2/(w+1) of the gram count stored. Everything is
+    * row-local array math over built-in HOFs (`transform`/`slice`/
+    * `array_min`) — zero shuffles before the output explode, so the
+    * operator is embarrassingly parallel at any corpus size. Hash =
+    * first 60 bits of md5, portable to the DuckDB oracle verbatim.
+    *
+    * Output: one row per distinct (doc_id, fingerprint). */
+  def docWinnow(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k) // sequence(1, n<1) would count DOWN
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(col("t"), i + j)): _*))
+          .as("g"))
+    grams
+      .select(col("doc_id"),
+        transform(col("g"), s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+          .as("hs"))
+      .filter(size(col("hs")) >= w)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+            i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+  }
+
   /** Exact dedup: hash-groupBy on the md5 fingerprint; keeper = min
     * doc_id. One shuffle on the 32-char key; at 100 TB this is the
     * standard map-side-combined dedup (each group's min computed

@@ -86,6 +86,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_._3 == 3L))
   }
 
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    val s = spark
+    import s.implicits._
+    // k=3, w=4: guarantee threshold is a 6-token shared run
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val fixture = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight $shared nine ten"),
+      (3L, "totally disjoint words only here making up a document"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.docWinnow(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "disjoint docs should not collide")
+    // determinism
+    val again = TextOps.docWinnow(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == fps.toSet)
+  }
+
   test("nearDupClusters on a clean corpus returns an empty frame") {
     val s = spark
     import s.implicits._

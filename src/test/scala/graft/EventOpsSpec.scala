@@ -77,6 +77,44 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Double]("value")).sorted.toSeq == Seq(8.0, 9.0, 10.0))
   }
 
+  test("cube levels are consistent (incl. the day-only level rollup lacks)") {
+    val out = EventOps.cubeByTypeDay(events)
+    val grand = out.filter(col("grouping_level") === 3).head()
+    assert(grand.getAs[Long]("n_events") == events.count())
+    val perDay = out.filter(col("grouping_level") === 2)
+      .agg(sum("n_events")).head().getLong(0)
+    assert(perDay == events.count(), "day-only slice must cover every event")
+    val perType = out.filter(col("grouping_level") === 1)
+      .agg(sum("n_events")).head().getLong(0)
+    assert(perType == events.count())
+  }
+
+  test("extremesByType agrees with a window-derived argmax/argmin") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").desc)
+    val expectTop = events
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_type"), col("event_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = EventOps.extremesByType(events)
+      .select(col("event_type"), col("top_event_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expectTop)
+  }
+
+  test("valueRanks: pct/cume bounded, quartiles near-balanced, rank ties-aware") {
+    val out = EventOps.valueRanks(events).cache()
+    try {
+      assert(out.filter(col("pct_rank") < 0 || col("pct_rank") > 1).isEmpty)
+      assert(out.filter(col("cume") <= 0 || col("cume") > 1).isEmpty)
+      val qSizes = out.filter(col("event_type") === "click")
+        .groupBy("quartile").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(qSizes.keySet == Set(1, 2, 3, 4))
+      assert(qSizes.values.max - qSizes.values.min <= 1, s"ntile balance: $qSizes")
+    } finally out.unpersist()
+  }
+
   test("rollup levels are consistent") {
     val out = EventOps.multiRollup(events)
     val grand = out.filter(col("grouping_level") === 3).head()
