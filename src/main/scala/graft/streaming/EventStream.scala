@@ -1,7 +1,24 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One closed user session — append-mode output of
+  * [[EventStream.sessionizeStateful]]. Top-level so the product encoder
+  * needs no outer instance. */
+case class UserSession(
+    user_id: Long, session_start: Timestamp, session_end: Timestamp,
+    n_events: Long, sum_value: Double)
+
+/** Typed input row for [[EventStream.sessionizeStateful]]. */
+case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+
+/** Open-session accumulator kept in [[GroupState]] (epoch millis — the
+  * state store serializes primitives, not java.sql timestamps). */
+case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Double)
 
 /** Streaming event rollups — the watermark + windowed-aggregation
   * surface over an unbounded `events` stream (the streaming twin of
@@ -41,4 +58,90 @@ object EventStream {
       .select(
         col("w.start").as("hour"),
         col("event_type"), col("n_events"), col("n_users_approx"), col("sum_value"))
+
+  /** Stream-stream interval join: each purchase attributes to every view
+    * by the same user within the preceding `horizon`. BOTH sides carry
+    * watermarks and the join predicate bounds view_ts to a closed
+    * interval around purchase_ts — exactly the conditions Spark needs to
+    * age out buffered rows, so join state stays bounded by
+    * (rate × (horizon + delay)) instead of growing with the stream.
+    * Without the time bound this join would be unrunnable at scale. */
+  def attribution(views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 HOUR", watermarkDelay: String = "30 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("value"), col("view_id"), col("view_ts"))
+  }
+
+  /** Streaming exact dedup on a key, with state bounded by the
+    * watermark: `dropDuplicatesWithinWatermark` keeps each seen key only
+    * until the watermark passes its event time, so the dedup map is
+    * (rate × delay)-sized — the streaming twin of
+    * [[graft.ops.TextOps.dedupExact]]'s batch hash-groupBy, and the
+    * at-least-once → exactly-once repair stage of an ingest pipeline. */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization as ARBITRARY KEYED STATE
+    * (`flatMapGroupsWithState`, the KeyValueGroupedDataset custom-state
+    * surface): one [[OpenSession]] per user in the state store; events
+    * within `gapMinutes` of the last seen extend it, a larger gap closes
+    * and emits it, and an EVENT-TIME TIMEOUT (watermark passing
+    * last + gap) closes idle sessions exactly once with no poll loop.
+    * Append output: a session row emits only when the session is closed —
+    * the streaming twin of [[graft.ops.EventOps.sessionize]]'s window
+    * formulation, with state per OPEN session only (bounded by active
+    * users, not event volume). */
+  def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int = 30,
+      watermarkDelay: String = "30 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    def close(user: Long, s: OpenSession): UserSession =
+      UserSession(user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.sum)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val closed = close(user, state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            // batch events arrive unordered: sort, then fold gap-splits
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  open = Some(OpenSession(s.startMs, math.max(s.lastMs, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += close(user, s)
+                  open = Some(OpenSession(t, t, 1L, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -6,11 +6,14 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, SessionEvent}
 import TestSpark._
 
 /** Top-level so the product encoder needs no outer instance. */
 case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+/** Keyed variant for the join/dedup streaming specs. */
+case class EvId(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
 /** Watermark + tumbling-window streaming aggregation: windows finalize
   * exactly once when the watermark passes, and events later than the
@@ -83,6 +86,86 @@ class EventStreamSpec extends AnyFunSuite {
       assert(rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
         r.getAs[Double]("sum_value"))).toSeq ==
         Seq(("click", 1L, 2.0), ("view", 2L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stream-stream attribution joins views to purchases within the horizon only") {
+    val s = spark
+    import s.implicits._
+    val views = MemoryStream[EvId](s)
+    val purchases = MemoryStream[EvId](s)
+    val out = EventStream.attribution(views.toDF(), purchases.toDF(), horizon = "1 HOUR")
+    val q = out.writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      views.addData(
+        EvId(100, ts("2024-05-01 10:00:00"), 1, "view", 0.0),  // in horizon
+        EvId(101, ts("2024-05-01 08:00:00"), 1, "view", 0.0),  // too old
+        EvId(102, ts("2024-05-01 10:20:00"), 2, "view", 0.0))  // other user
+      purchases.addData(EvId(200, ts("2024-05-01 10:30:00"), 1, "purchase", 9.99))
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .select("purchase_id", "view_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet == Set((200L, 100L)), s"got ${got.toSeq}")
+
+      // a view AFTER the purchase never attributes
+      views.addData(EvId(103, ts("2024-05-01 10:45:00"), 1, "view", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("attr").count() == 1)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses redelivered event ids") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[EvId](s)
+    val q = EventStream.dedupStream(input.toDF(), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_s").outputMode("append").start()
+    try {
+      input.addData(
+        EvId(1, ts("2024-05-01 00:00:00"), 1, "view", 1.0),
+        EvId(2, ts("2024-05-01 00:05:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      // same ids redelivered in a later batch, still inside the watermark
+      input.addData(
+        EvId(1, ts("2024-05-01 00:00:00"), 1, "view", 1.0),
+        EvId(2, ts("2024-05-01 00:06:00"), 2, "view", 2.0),
+        EvId(3, ts("2024-05-01 00:10:00"), 3, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_s").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: gap splits in-batch, event-time timeout closes idle") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[SessionEvent](s)
+    val q = EventStream
+      .sessionizeStateful(input.toDS(), gapMinutes = 30, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_s").outputMode("append").start()
+    try {
+      // one batch, one user, two sessions: 10:00-10:10 then (gap > 30m) 11:00
+      input.addData(
+        SessionEvent(1, ts("2024-05-01 10:00:00"), 1.0),
+        SessionEvent(1, ts("2024-05-01 10:10:00"), 2.0),
+        SessionEvent(1, ts("2024-05-01 11:00:00"), 4.0))
+      q.processAllAvailable()
+      val first = spark.table("sess_s").collect()
+      assert(first.length == 1, "in-batch gap must close the first session")
+      assert(first.head.getAs[Timestamp]("session_start") == ts("2024-05-01 10:00:00"))
+      assert(first.head.getAs[Timestamp]("session_end") == ts("2024-05-01 10:10:00"))
+      assert(first.head.getAs[Long]("n_events") == 2L)
+      assert(first.head.getAs[Double]("sum_value") == 3.0)
+
+      // another user far in the future drives the watermark past 11:00+30m
+      // → user 1's open session times out and emits exactly once
+      input.addData(SessionEvent(2, ts("2024-05-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2, ts("2024-05-01 14:30:00"), 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_s").filter(col("user_id") === 1).collect()
+      assert(u1.length == 2, s"timeout should close the 11:00 session: ${u1.toSeq}")
+      assert(u1.map(_.getAs[Long]("n_events")).sum == 3L)
     } finally q.stop()
   }
 }
