@@ -82,6 +82,17 @@ object TextOps {
     *
     * Output: one row per distinct (doc_id, fingerprint). */
   def docWinnow(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    TextExprs.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        explode(TextExprs.winnowFps(tokens(col("text")), k, w)).as("fp"))
+  }
+
+  /** The [[docWinnow]] math as pure built-in HOFs — 10× slower than the
+    * compiled expression (interpreted md5+conv per gram), kept ONLY as
+    * the in-engine parity cross-check (DedupSpec); the DuckDB oracle is
+    * the cross-ENGINE check. */
+  private[graft] def docWinnowHof(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     val grams = documents
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= k) // sequence(1, n<1) would count DOWN

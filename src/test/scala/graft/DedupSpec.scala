@@ -107,6 +107,15 @@ class DedupSpec extends AnyFunSuite {
     assert(again == fps.toSet)
   }
 
+  test("compiled winnowing expression matches the HOF formulation on the corpus") {
+    val fast = TextOps.docWinnow(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slow = TextOps.docWinnowHof(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == slow)
+    assert(fast.nonEmpty)
+  }
+
   test("nearDupClusters on a clean corpus returns an empty frame") {
     val s = spark
     import s.implicits._
