@@ -114,6 +114,7 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir))),
     "doc_top_terms" -> ((s, dir) => TextOps.docTopTerms(Tables.documents(s, dir))),
     "doc_winnow" -> ((s, dir) => TextOps.docWinnow(Tables.documents(s, dir))),
+    "neardup_winnow" -> ((s, dir) => TextOps.nearDupWinnow(Tables.documents(s, dir))),
     // signature-based near-dup (hash families not portable to DuckDB —
     // rows-only check here; recall vs exact jaccard asserted in DedupSpec)
     "neardup_minhash" -> ((s, dir) => TextOps.nearDupMinhash(Tables.documents(s, dir))),
@@ -221,6 +222,20 @@ object SparkEntry {
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Shared DuckDB CTE chain: winnowing fingerprint sets per document
+    * (mirrors [[graft.functions.TextExprs.WinnowFps]] with k=3, w=4:
+    * positional 3-gram 60-bit md5 hashes, sliding 4-window minima). */
+  private val winnowCtes: String =
+    s"""$toksCte,
+       |gr AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2),
+       |         i -> array_to_string(t[i:i+2], ' ')) AS g
+       |       FROM toks WHERE len(t) >= 3),
+       |h AS (SELECT doc_id, list_transform(g,
+       |        s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs FROM gr),
+       |w AS (SELECT doc_id, list_distinct(list_transform(
+       |        generate_series(1, len(hs)-3), i -> list_min(hs[i:i+3]))) AS fps
+       |      FROM h WHERE len(hs) >= 4)""".stripMargin
 
   /** Shared DuckDB CTE chain: 3-gram shingle near-dup candidate pairs with
     * the df≤100 stop-shingle cap (mirrors [[TextOps.nearDupJaccard]]). */
@@ -454,16 +469,16 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_b FROM jacc_pairs WHERE jaccard >= 0.8)""".stripMargin,
     "doc_winnow" ->
-      s"""WITH $toksCte,
-         |gr AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2),
-         |         i -> array_to_string(t[i:i+2], ' ')) AS g
-         |       FROM toks WHERE len(t) >= 3),
-         |h AS (SELECT doc_id, list_transform(g,
-         |        s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs FROM gr),
-         |w AS (SELECT doc_id, list_distinct(list_transform(
-         |        generate_series(1, len(hs)-3), i -> list_min(hs[i:i+3]))) AS fps
-         |      FROM h WHERE len(hs) >= 4)
+      s"""WITH $winnowCtes
          |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    "neardup_winnow" ->
+      s"""WITH $winnowCtes,
+         |ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         |rare AS (SELECT fp FROM ex GROUP BY 1 HAVING count(*) BETWEEN 2 AND 100),
+         |exr AS (SELECT ex.doc_id, ex.fp FROM ex JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+         |FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "events_hourly" ->
       s"""WITH $eventsCte
          |SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -111,6 +111,30 @@ object TextOps {
             i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
   }
 
+  /** Near-dup candidate pairs by winnowing-fingerprint blocking: two
+    * documents pair when they share ≥ `minShared` fingerprints — by the
+    * winnowing guarantee, any shared token run of ≥ w+k-1 tokens forces
+    * a shared fingerprint, so substantial textual overlap cannot escape
+    * the blocker. Same inverted-index shape (and df stop-cap) as
+    * [[nearDupJaccard]], but the index is ~2/(w+1) the size: the posting
+    * lists hold window-min fingerprints, not every shingle — the cheaper
+    * first-stage blocker at corpus scale. */
+  def nearDupWinnow(documents: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+    val fps = docWinnow(documents, k, w)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val postings = fps.join(rare.select("fp"), Seq("fp"))
+      .groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ids"))
+    postings
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Exact dedup: hash-groupBy on the md5 fingerprint; keeper = min
     * doc_id. One shuffle on the 32-char key; at 100 TB this is the
     * standard map-side-combined dedup (each group's min computed

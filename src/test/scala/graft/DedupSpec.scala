@@ -107,6 +107,16 @@ class DedupSpec extends AnyFunSuite {
     assert(again == fps.toSet)
   }
 
+  test("winnow blocking recovers the high-jaccard near-dup pairs") {
+    val exact = TextOps.nearDupJaccard(docs, minJaccard = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wn = TextOps.nearDupWinnow(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & wn).size.toDouble / exact.size
+    assert(recall >= 0.95, s"winnow recall $recall over ${exact.size} true pairs")
+  }
+
   test("compiled winnowing expression matches the HOF formulation on the corpus") {
     val fast = TextOps.docWinnow(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
