@@ -134,6 +134,8 @@ object SparkEntry {
     "events_cube" -> ((s, dir) => EventOps.cubeByTypeDay(Tables.events(s, dir))),
     "events_ranks" -> ((s, dir) => EventOps.valueRanks(Tables.events(s, dir))),
     "events_extremes" -> ((s, dir) => EventOps.extremesByType(Tables.events(s, dir))),
+    "events_pivot" -> ((s, dir) => EventOps.pivotByType(Tables.events(s, dir))),
+    "events_unpivot" -> ((s, dir) => EventOps.unpivotDaily(Tables.events(s, dir))),
     "events_asof" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       graft.ops.AsOfJoin.asOf(
@@ -539,6 +541,23 @@ object SparkEntry {
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          |  GROUPING(event_type, date_trunc('day', ts)::date) AS grouping_level
          |FROM e GROUP BY CUBE(1, 2)""".stripMargin,
+    "events_pivot" ->
+      s"""WITH $eventsCte
+         |SELECT date_trunc('day', ts)::date AS day,
+         |  COUNT(*) FILTER (event_type = 'click') AS n_click,
+         |  COUNT(*) FILTER (event_type = 'error') AS n_error,
+         |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+         |  COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+         |  COUNT(*) FILTER (event_type = 'view') AS n_view
+         |FROM e GROUP BY 1""".stripMargin,
+    "events_unpivot" ->
+      s"""WITH $eventsCte,
+         |d AS (SELECT DISTINCT date_trunc('day', ts)::date AS day FROM e),
+         |t AS (SELECT UNNEST(['click','error','purchase','signup','view']) AS event_type),
+         |n AS (SELECT date_trunc('day', ts)::date AS day, event_type, COUNT(*) AS n
+         |      FROM e GROUP BY 1, 2)
+         |SELECT d.day, t.event_type, COALESCE(n.n, 0) AS n_events
+         |FROM d CROSS JOIN t LEFT JOIN n ON d.day = n.day AND t.event_type = n.event_type""".stripMargin,
     "events_ranks" ->
       s"""WITH $eventsCte
          |SELECT event_type, event_id, value,

@@ -162,6 +162,33 @@ object EventOps {
       min(col("value")).as("bottom_value"),
       count(lit(1)).as("n_events"))
 
+  /** Daily counts pivoted to one column per event type. The pivot value
+    * list is PINNED (not discovered): an unpinned `pivot` runs an extra
+    * distinct-scan job to enumerate values and makes the output schema
+    * data-dependent — both wrong at scale. Unseen types read as 0 via
+    * the coalesce; one shuffle (day grain). */
+  def pivotByType(events: DataFrame,
+      types: Seq[String] = Seq("click", "error", "purchase", "signup", "view")): DataFrame = {
+    val p = events
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  /** The inverse reshape: long-form (day, event_type, n_events) from the
+    * pivoted wide frame via native `unpivot` — one Expand, no shuffle,
+    * no join. Zero-filled cells melt back to explicit zero rows (the
+    * pivot⇄unpivot round trip is lossy only in that sense, asserted in
+    * EventOpsSpec). */
+  def unpivotDaily(events: DataFrame,
+      types: Seq[String] = Seq("click", "error", "purchase", "signup", "view")): DataFrame =
+    pivotByType(events, types)
+      .unpivot(Array(col("day")), types.map(t => col(s"n_$t")).toArray,
+        "event_type", "n_events")
+      .withColumn("event_type", expr("substring(event_type, 3)"))
+
   /** Exact distinct users per type — the oracle-checkable cardinality. */
   def distinctUsers(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))

@@ -115,6 +115,19 @@ class EventOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("pivot/unpivot round trip conserves per-type totals") {
+    val long = EventOps.unpivotDaily(events)
+    assert(long.agg(sum("n_events")).head().getLong(0) == events.count())
+    val fromLong = long.groupBy("event_type").agg(sum("n_events").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = events.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromLong == direct)
+    // pinned pivot schema is data-independent
+    assert(EventOps.pivotByType(events.limit(0)).columns.toSeq ==
+      Seq("day", "n_click", "n_error", "n_purchase", "n_signup", "n_view"))
+  }
+
   test("rollup levels are consistent") {
     val out = EventOps.multiRollup(events)
     val grand = out.filter(col("grouping_level") === 3).head()
