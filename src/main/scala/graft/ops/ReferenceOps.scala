@@ -57,17 +57,6 @@ object ReferenceOps {
     * built from source state as of `t` (the "existing" target), merged
     * with a recompute of the weeks touched by the delta after `t`
     * (the "incoming" rows). Equals one Faithful incremental step. */
-  def upsertRound(rental: DataFrame, t: Timestamp, asOf: java.time.LocalDate): DataFrame = {
-    // Three consumers scan the source (old-state snapshot, affected-week
-    // derivation, per-week recompute) — materialize the derivation once
-    // rather than re-running it per consumer (in the harness the rental
-    // view is itself an orders⋈lineitem aggregation).
-    val r = rental.localCheckpoint()
-    val old = WeeklySummary.snapshot(
-      r.filter(col("last_update") <= lit(t)), asOf)
-    val maxTs = Timestamp.valueOf("9999-12-31 00:00:00")
-    val incoming = WeeklySummary.statsForWeeks(r, affectedWeeks(r, t, maxTs))
-    graft.incremental.Upsert.merge(old, incoming, Seq("week_beginning"))
-      .orderBy("week_beginning")
-  }
+  def upsertRound(rental: DataFrame, t: Timestamp, asOf: java.time.LocalDate): DataFrame =
+    WeeklySummary.upsertRound(rental, t, asOf)
 }

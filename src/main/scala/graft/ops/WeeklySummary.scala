@@ -180,6 +180,75 @@ object WeeklySummary {
     statsFromCounts(counts, spine)
   }
 
+  /** One incremental upsert round — old-state summary (source as of `t`)
+    * merged with a recompute of the weeks the post-`t` delta touches
+    * (reference etl:216-268 as one plan) — FUSED to a single source scan.
+    *
+    * The exploded (week, kind) events of [[weekCounts]] additionally
+    * carry an `old` flag (`last_update ≤ t`), so ONE week-keyed
+    * aggregation yields both the old-state counts and the full counts.
+    * Everything downstream is week-cardinality arithmetic:
+    *   - old spine + cumulative stats ← the `o_*` columns;
+    *   - the affected-week set ← count DIFFERENCES (a week gained a
+    *     delta rental/return exactly when its full count exceeds its old
+    *     count — no second scan to derive the delta's weeks);
+    *   - the incoming recompute ← the full counts at the affected weeks;
+    *   - keyed upsert ← [[graft.incremental.Upsert.merge]].
+    * The unfused formulation scanned the source three times (old
+    * snapshot, affected-week derivation, recompute) around a
+    * localCheckpoint; this is one scan and one week-grain shuffle. */
+  def upsertRound(rental: DataFrame, t: java.sql.Timestamp, asOf: LocalDate): DataFrame = {
+    val rd = to_date(col("rental_date"))
+    val ret = to_date(col("return_date"))
+    val old = (col("last_update") <= lit(t)).as("old")
+    val evts = Seq(
+      struct(weekStart(rd).as("week_beginning"), lit(1).as("kind"), old),
+      struct(weekStart(ret).as("week_beginning"), lit(2).as("kind"), old),
+      struct(when(ret.isNotNull, weekStart(greatest(rd, ret))).as("week_beginning"),
+        lit(3).as("kind"), old),
+      struct(when(ret.isNull, weekStart(greatest(rd, lit(java.sql.Date.valueOf(asOf)))))
+        .as("week_beginning"), lit(4).as("kind"), old))
+    // Week-cardinality after the aggregation; localCheckpoint so the four
+    // downstream consumers (old spine, old stats, affected set, incoming
+    // stats) reuse the one materialized pass instead of re-scanning.
+    val counts = rental
+      .select(explode(array(evts: _*)).as("e"))
+      .select(col("e.week_beginning").as("week_beginning"), col("e.kind").as("kind"),
+        col("e.old").as("old"))
+      .filter(col("week_beginning").isNotNull)
+      .groupBy(col("week_beginning"))
+      .agg(
+        count(when(col("kind") === 1 && col("old"), 1)).as("o_rented"),
+        count(when(col("kind") === 2 && col("old"), 1)).as("o_returned"),
+        count(when(col("kind") === 3 && col("old"), 1)).as("o_closed"),
+        count(when(col("kind") === 4 && col("old"), 1)).as("o_open_spine"),
+        count(when(col("kind") === 1, 1)).as("n_rented"),
+        count(when(col("kind") === 2, 1)).as("n_returned"),
+        count(when(col("kind") === 3, 1)).as("n_closed"))
+      .localCheckpoint()
+    val oldCounts = counts.select(col("week_beginning"),
+      col("o_rented").as("n_rented"), col("o_returned").as("n_returned"),
+      col("o_closed").as("n_closed"))
+    val oldSpine = counts
+      .agg(
+        min(when(col("o_rented") > 0, col("week_beginning"))).as("min_week"),
+        max(when(col("o_returned") > 0 || col("o_open_spine") > 0,
+          col("week_beginning"))).as("max_week"))
+      .select(explode(
+        sequence(col("min_week"), col("max_week"), expr("INTERVAL 7 DAYS")))
+        .as("week_beginning"))
+    val oldSummary = statsFromCounts(oldCounts, oldSpine)
+    val affected = counts
+      .filter(col("n_rented") > col("o_rented") || col("n_returned") > col("o_returned"))
+      .select(col("week_beginning"))
+    val incoming = statsFromCounts(
+      counts.select(col("week_beginning"), col("n_rented"), col("n_returned"),
+        col("n_closed")),
+      affected)
+    graft.incremental.Upsert.merge(oldSummary, incoming, Seq("week_beginning"))
+      .orderBy("week_beginning")
+  }
+
   /** The reference's snapshot SQL run through `spark.sql` — the literal
     * query shape of reference_query.sql:1-57 in Spark dialect (week
     * spine via sequence/explode, `CURRENT_DATE` parameterized), keeping
