@@ -240,12 +240,15 @@ object SparkEntry {
        |      FROM h WHERE len(hs) >= 4)""".stripMargin
 
   /** Shared DuckDB CTE chain: 3-gram shingle near-dup candidate pairs with
-    * the df≤100 stop-shingle cap (mirrors [[TextOps.nearDupJaccard]]). */
+    * the df≤100 stop-shingle cap (mirrors [[TextOps.nearDupJaccard]],
+    * including its 60-bit-md5 shingle hashing — both engines hash, so
+    * set sizes/shared counts agree exactly even under collisions). */
   private val jaccardPairsCtes: String =
     s"""$toksCte,
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
-       |    generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))) AS s
+       |    generate_series(1, len(t)-2),
+       |    i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT)) AS s
        |  FROM toks WHERE len(t) >= 3),
        |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh WHERE len(s) > 0),
        |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0),

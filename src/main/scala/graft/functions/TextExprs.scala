@@ -125,6 +125,42 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
+  /** Distinct positional word k-grams as 60-bit md5 hashes — the
+    * [[WordShingles]] set with each shingle collapsed to
+    * `('0x'||substr(md5(g),1,15))::BIGINT` before it ever leaves the row.
+    * The jaccard inverted index shuffles these 8-byte keys instead of
+    * ~25-byte shingle strings (df aggregation, index join, posting
+    * lists); the md5 prefix is portable, so the DuckDB oracle applies the
+    * SAME hash and any collision (≈n²/2⁶¹ — none at realistic per-doc
+    * vocabulary) affects both engines identically. */
+  case class WordShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "word_shingle_hashes"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      if (n < k) return new GenericArrayData(Array.empty[Any])
+      val md = WinnowFps.digest.get()
+      val sep = UTF8String.fromString(" ")
+      val seen = mutable.LinkedHashSet.empty[Long]
+      var i = 0
+      while (i <= n - k) {
+        val parts = new Array[UTF8String](k)
+        var j = 0
+        while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        md.reset()
+        seen += WinnowFps.hex15(md.digest(UTF8String.concatWs(sep, parts: _*).getBytes))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray[Any])
+    }
+
+    override protected def withNewChildInternal(c: Expression): WordShingleHashes =
+      copy(child = c)
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003) in one pass: hash
     * every POSITIONAL k-gram (no dedup — winnowing is positional), slide
     * a `w`-window, keep each window's min, emit the distinct mins.
@@ -152,16 +188,7 @@ object TextExprs {
         var j = 0
         while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
         md.reset()
-        val dig = md.digest(UTF8String.concatWs(sep, parts: _*).getBytes)
-        // first 15 hex chars = 15 leading nibbles of the digest
-        var v = 0L
-        var nib = 0
-        while (nib < 15) {
-          val b = dig(nib >> 1) & 0xff
-          v = (v << 4) | (if ((nib & 1) == 0) b >>> 4 else b & 0xf)
-          nib += 1
-        }
-        hashes(i) = v
+        hashes(i) = WinnowFps.hex15(md.digest(UTF8String.concatWs(sep, parts: _*).getBytes))
         i += 1
       }
       val seen = mutable.LinkedHashSet.empty[Long]
@@ -182,8 +209,21 @@ object TextExprs {
   object WinnowFps {
     /** MessageDigest is stateful and NOT thread-safe; expression trees
       * can be shared across local-mode task threads. */
-    private val digest: ThreadLocal[java.security.MessageDigest] =
+    private[functions] val digest: ThreadLocal[java.security.MessageDigest] =
       ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+    /** First 15 hex chars (60 bits) of a digest as a long — the exact
+      * value of DuckDB `('0x'||substr(md5(x),1,15))::BIGINT`. */
+    private[functions] def hex15(dig: Array[Byte]): Long = {
+      var v = 0L
+      var nib = 0
+      while (nib < 15) {
+        val b = dig(nib >> 1) & 0xff
+        v = (v << 4) | (if ((nib & 1) == 0) b >>> 4 else b & 0xf)
+        nib += 1
+      }
+      v
+    }
   }
 
   /** Idempotent registration of all graft expressions (incl. [[VecDot]])
@@ -204,6 +244,8 @@ object TextExprs {
     put("winnow_fps",
       exprs => WinnowFps(exprs(0), exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int]))
+    put("word_shingle_hashes",
+      exprs => WordShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]))
   }
 
   import org.apache.spark.sql.functions.lit
@@ -215,4 +257,6 @@ object TextExprs {
     call_function("simhash64", toks)
   def winnowFps(toks: Column, k: Int, w: Int): Column =
     call_function("winnow_fps", toks, lit(k), lit(w))
+  def wordShingleHashes(toks: Column, k: Int): Column =
+    call_function("word_shingle_hashes", toks, lit(k))
 }

@@ -159,8 +159,11 @@ object TextOps {
     // re-shingle the whole corpus in a second subplan and need two
     // doc-keyed joins to re-attach n_a/n_b to the pairs — one corpus scan
     // and two shuffles for a few bytes of freight.
+    // Shingles leave each row as 60-bit md5 HASHES (8-byte shuffle keys,
+    // not ~25-byte strings) — the DuckDB oracle applies the identical
+    // hash, so set sizes and shared counts match exactly on both engines.
     val ex = documents
-      .select(col("doc_id"), TextExprs.wordShingles(tokens(col("text")), k).as("sh"))
+      .select(col("doc_id"), TextExprs.wordShingleHashes(tokens(col("text")), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
     // df prefilter BEFORE any posting list materializes: a stop-shingle's
