@@ -136,6 +136,7 @@ object SparkEntry {
     "events_extremes" -> ((s, dir) => EventOps.extremesByType(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) => EventOps.pivotByType(Tables.events(s, dir))),
     "events_unpivot" -> ((s, dir) => EventOps.unpivotDaily(Tables.events(s, dir))),
+    "events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
     "events_asof" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       graft.ops.AsOfJoin.asOf(
@@ -152,6 +153,7 @@ object SparkEntry {
     // -- similarity search over `embeddings`
     "ann_topk" -> ((s, dir) => VectorOps.annBruteForce(Tables.embeddings(s, dir))),
     "embedding_neardup" -> ((s, dir) => VectorOps.nearDupEmbedding(Tables.embeddings(s, dir))),
+    "embedding_centroids" -> ((s, dir) => VectorOps.labelCentroids(Tables.embeddings(s, dir))),
     // LSH-blocked all-pairs variant (bucket membership not portable —
     // rows-only; VectorOpsSpec pins recall vs the exact pairs)
     "embedding_neardup_lsh" -> ((s, dir) => VectorOps.nearDupEmbeddingLsh(Tables.embeddings(s, dir))),
@@ -544,6 +546,27 @@ object SparkEntry {
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          |  GROUPING(event_type, date_trunc('day', ts)::date) AS grouping_level
          |FROM e GROUP BY CUBE(1, 2)""".stripMargin,
+    "events_funnel" ->
+      s"""WITH $eventsCte,
+         |s1 AS (SELECT user_id, MIN(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+         |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+         |       WHERE e.event_type = 'click' GROUP BY 1),
+         |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+         |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+         |       WHERE e.event_type = 'purchase' GROUP BY 1)
+         |SELECT 1 AS stage, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+         |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+         |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""".stripMargin,
+    "embedding_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, UNNEST(embedding) AS x,
+        |         UNNEST(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings)
+        |SELECT label, i-1 AS dim,
+        |  round(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS mean_x,
+        |  COUNT(*) AS n_vecs
+        |FROM ex GROUP BY 1, 2""".stripMargin,
     "events_pivot" ->
       s"""WITH $eventsCte
          |SELECT date_trunc('day', ts)::date AS day,

@@ -189,6 +189,33 @@ object EventOps {
         "event_type", "n_events")
       .withColumn("event_type", expr("substring(event_type, 3)"))
 
+  /** Ordered conversion funnel: per stage, the users whose event history
+    * contains the step subsequence IN ORDER (first view, then a click
+    * after it, then a purchase after that). Each stage is a user-grain
+    * min-aggregation joined to the previous stage's timestamps — all
+    * shuffles share the user_id key, so the stages co-partition and AQE
+    * reuses the exchange; no window over the full event history and no
+    * per-user collect. Output: one row per stage with reached-user
+    * counts. */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty)
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    var stage = e.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    var out = stage.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("stage"), lit(steps.head).as("step"), col("n_users"))
+    steps.tail.zipWithIndex.foreach { case (step, i) =>
+      stage = e.filter(col("event_type") === step)
+        .join(stage.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
+        .filter(col("ts") > col("prev_t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      out = out.union(stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 2).as("stage"), lit(step).as("step"), col("n_users")))
+    }
+    out
+  }
+
   /** Exact distinct users per type — the oracle-checkable cardinality. */
   def distinctUsers(events: DataFrame): DataFrame =
     events.groupBy(col("event_type"))

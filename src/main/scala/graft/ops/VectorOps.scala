@@ -172,6 +172,22 @@ object VectorOps {
       .filter(col("rn") <= k)
   }
 
+  /** Per-label embedding centroids: dimension-wise means via
+    * `posexplode` + one (label, dim) grouped aggregation with map-side
+    * combine — the distributed mean that never holds a vector-sized
+    * buffer per group. Sums run in DECIMAL so partial-aggregation order
+    * can't flip low bits (same discipline as the money aggregates);
+    * the division happens once, on the exact sum. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        round(sum(col("x").cast("decimal(20,10)")).cast("double") / count(lit(1)), 6)
+          .as("mean_x"),
+        count(lit(1)).as("n_vecs"))
+
   /** Exact all-pairs near-dup: pairs with cosine ≥ `minCos`. Quadratic —
     * the cross-check for the LSH path, run on samples at scale. */
   def nearDupEmbedding(embeddings: DataFrame, minCos: Double = 0.45): DataFrame = {

@@ -115,6 +115,28 @@ class EventOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("funnel counts are order-aware and monotonically non-increasing") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    // user 1: full ordered funnel; user 2: click BEFORE view (stops at view);
+    // user 3: view+click ordered, no purchase; user 4: purchase only (stage 0)
+    val rows = Seq(
+      (1L, t(1), 1L, "view", 0.0, "{}"), (2L, t(2), 1L, "click", 0.0, "{}"),
+      (3L, t(3), 1L, "purchase", 5.0, "{}"),
+      (4L, t(10), 2L, "click", 0.0, "{}"), (5L, t(11), 2L, "view", 0.0, "{}"),
+      (6L, t(20), 3L, "view", 0.0, "{}"), (7L, t(21), 3L, "click", 0.0, "{}"),
+      (8L, t(30), 4L, "purchase", 1.0, "{}"))
+    val fixture = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.funnel(fixture).collect()
+      .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(1 -> 3L, 2 -> 2L, 3 -> 1L), s"got $out")
+    // on the real corpus: each stage can only lose users
+    val corpus = EventOps.funnel(events).collect()
+      .sortBy(_.getAs[Int]("stage")).map(_.getAs[Long]("n_users"))
+    assert(corpus.sliding(2).forall(p => p(0) >= p(1)), corpus.toSeq.toString)
+  }
+
   test("pivot/unpivot round trip conserves per-type totals") {
     val long = EventOps.unpivotDaily(events)
     assert(long.agg(sum("n_events")).head().getLong(0) == events.count())

@@ -23,6 +23,23 @@ class VectorOpsSpec extends AnyFunSuite {
     (base ++ twins).toDF("vec_id", "embedding", "label")
   }
 
+  test("label centroids match a driver-side mean") {
+    val out = VectorOps.labelCentroids(fixture).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val rows = fixture.select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val byLabel = rows.groupBy(_._1)
+    byLabel.foreach { case (label, vs) =>
+      val n = vs.length
+      (0 until 64).foreach { d =>
+        val mean = vs.map(_._2(d).toDouble).sum / n
+        val (got, gotN) = out((label, d))
+        assert(gotN == n)
+        assert(math.abs(got - mean) < 1e-5, s"label $label dim $d: $got vs $mean")
+      }
+    }
+  }
+
   test("LSH finds the planted near-identical twins as top-1") {
     val top1 = VectorOps.annLsh(fixture, nQueries = 5, k = 1)
       .select("query_id", "neighbor_id").collect()
