@@ -69,6 +69,30 @@ class PlanSpec extends AnyFunSuite {
     assert(ann.contains("vec_dot"), "VecDot missing from the ANN plan")
   }
 
+  test("pivot plans as one aggregation round, not one scan per value") {
+    val plan = planOf(SparkEntry.queries("events_pivot")(spark, dir))
+    // detail headers look like "(1) Scan parquet" — one per distinct scan
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size == 1,
+      s"pinned pivot must read events exactly once:\n$plan")
+  }
+
+  test("fused upsert round shuffles at week grain only after one pass") {
+    // after the fused (week, kind, old) aggregation everything is
+    // week-cardinality: no join in the plan may shuffle a fact-side input
+    val df = SparkEntry.queries("upsert_round")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("NestedLoop"), s"NL join crept into upsert:\n$plan")
+    // the localCheckpoint boundary means no parquet re-scan downstream
+    assert(!plan.contains("Scan parquet"),
+      s"upsert round re-scanned the source past the fused pass:\n$plan")
+  }
+
+  test("funnel stages reuse the user_id partitioning (no extra exchange kinds)") {
+    val plan = planOf(SparkEntry.queries("events_funnel")(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"funnel must stay on keyed joins:\n$plan")
+  }
+
   test("semi-join shape for the EXISTS query (no row explosion)") {
     val plan = planOf(SparkEntry.queries("late_priority_counts")(spark, dir))
     assert(plan.contains("LeftSemi"), s"expected a left-semi join:\n$plan")
