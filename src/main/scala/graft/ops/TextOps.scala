@@ -166,18 +166,19 @@ object TextOps {
       .select(col("doc_id"), TextExprs.wordShingleHashes(tokens(col("text")), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-    // df prefilter BEFORE any posting list materializes: a stop-shingle's
-    // count partial-aggregates map-side, so no aggregation buffer ever
-    // holds its (possibly corpus-sized) document list.
-    val rare = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") >= 2)
-    // The join output is already hash-partitioned by shingle, so the
-    // posting-list aggregation below is shuffle-free; candidate pairs
-    // then emit ROW-LOCALLY from each list (≤ maxDf² per shingle) —
-    // no self-join of the exploded index with its sort passes.
-    val postings = ex.join(rare.select("shingle"), Seq("shingle"))
+    // ONE bounded aggregation replaces the classic df-prefilter + join
+    // two-pass: the [[graft.functions.BoundedList]] Aggregator stops
+    // appending at maxDf+1 postings, so a corpus-wide stop-shingle costs
+    // a cap-sized buffer (not a corpus-sized list), and the post-filter
+    // on size recovers the exact df∈[2,maxDf] semantics — lists below
+    // the cap are never truncated. One shuffle on the shingle key with
+    // map-side partials; candidate pairs then emit ROW-LOCALLY from each
+    // list (≤ maxDf² per shingle) — no self-join of the exploded index.
+    val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
+    val postings = ex
       .groupBy(col("shingle"))
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ids"))
+      .agg(capped(col("doc_id"), col("n_sh")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
     postings
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
