@@ -131,6 +131,10 @@ object SparkEntry {
     // EventOpsSpec bounds the relative error vs the exact count
     "events_approx_distinct" -> ((s, dir) => EventOps.approxDistinctUsers(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(Tables.events(s, dir))),
+    // sketch path: GK summary internals aren't portable — rows-only;
+    // EventOpsSpec bounds the error vs the exact percentiles
+    "events_percentiles_approx" -> ((s, dir) =>
+      EventOps.valuePercentilesApprox(Tables.events(s, dir))),
     "events_cube" -> ((s, dir) => EventOps.cubeByTypeDay(Tables.events(s, dir))),
     "events_ranks" -> ((s, dir) => EventOps.valueRanks(Tables.events(s, dir))),
     "events_extremes" -> ((s, dir) => EventOps.extremesByType(Tables.events(s, dir))),

@@ -245,6 +245,24 @@ object EventOps {
         round(element_at(col("ps"), 3), 6).as("p99"))
   }
 
+  /** Sketch-based percentiles — `approx_percentile` (Greenwald-Khanna
+    * style mergeable quantile summary, fixed memory per group): the
+    * 100 TB path [[valuePercentiles]]' exact sort-based aggregate cannot
+    * take. Sketch internals aren't engine-portable (rows-only driver
+    * check); EventOpsSpec bounds the rank error against the exact
+    * percentiles instead. */
+  def valuePercentilesApprox(events: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val p = percentile_approx(col("value"),
+      array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy))
+    events.groupBy(col("event_type"))
+      .agg(p.as("ps"))
+      .select(
+        col("event_type"),
+        round(element_at(col("ps"), 1), 6).as("p50"),
+        round(element_at(col("ps"), 2), 6).as("p90"),
+        round(element_at(col("ps"), 3), 6).as("p99"))
+  }
+
   /** Cross-user activity within "hot windows": the busy sessions of a
     * user cohort become intervals; EVERY event (any user) landing inside
     * a window is counted against it. A genuine unkeyed interval join —

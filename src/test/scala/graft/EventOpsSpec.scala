@@ -115,6 +115,23 @@ class EventOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("approx percentiles are rank-accurate (the sketch's actual guarantee)") {
+    // GK sketches bound RANK error (≤ 1/accuracy), not value error — in a
+    // sparse tail adjacent data points can be far apart in value, so the
+    // right assertion is: the reported quantile's rank is within ε of q.
+    val approx = EventOps.valuePercentilesApprox(events).collect()
+      .map(r => r.getString(0) -> Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2),
+        0.99 -> r.getDouble(3))).toMap
+    approx.foreach { case (tpe, qs) =>
+      val vals = events.filter(col("event_type") === tpe)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      qs.foreach { case (q, v) =>
+        val rank = vals.count(_ <= v).toDouble / vals.length
+        assert(math.abs(rank - q) < 0.005, s"$tpe q=$q: value $v has rank $rank")
+      }
+    }
+  }
+
   test("funnel counts are order-aware and monotonically non-increasing") {
     val s = spark
     import s.implicits._
