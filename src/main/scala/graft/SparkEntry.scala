@@ -197,6 +197,15 @@ object SparkEntry {
       graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.syntheticMedia(Tables.documents(s, dir)))
         .toDF().select(col("media_id"), col("media_type"), col("n_bytes"), col("checksum"))),
+    // binary frame slicing runs on the payload BYTES; the compared output
+    // is md5 checksums (binary columns have engine-specific display forms)
+    "media_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{length => flen, md5 => fmd5}
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.syntheticMedia(Tables.documents(s, dir)))
+        .select(col("media_id"), col("media_type"), col("frame_index"),
+          flen(col("frame")).as("n_frame_bytes"), fmd5(col("frame")).as("frame_md5"))
+    }),
   )
 
   /** Exact decimal revenue expression shared by the analytics oracles. */
@@ -714,6 +723,23 @@ object SparkEntry {
          |  FROM per_part JOIN part ON l_partkey = p_partkey)
          |SELECT p_brand, p_partkey, p_name, revenue FROM ranked WHERE rn = 1
          |ORDER BY p_brand""".stripMargin,
+    // the corpus is ASCII (octet_length(encode(text)) = length(text) for
+    // every row), so character slicing of text == byte slicing of payload
+    "media_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+        |         text, length(text) // 64 AS n_frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, media_type, text,
+        |         UNNEST(generate_series(0,
+        |           greatest(CAST(ceil(n_frames / 4.0) AS INT) - 1, 0))) AS i
+        |  FROM f)
+        |SELECT media_id, media_type, CAST(i*4 AS INT) AS frame_index,
+        |       CAST(length(substr(text, i*4*64 + 1, 64)) AS INT) AS n_frame_bytes,
+        |       md5(substr(text, i*4*64 + 1, 64)) AS frame_md5
+        |FROM s WHERE length(substr(text, i*4*64 + 1, 64)) > 0""".stripMargin,
     "skew_join_agg" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
