@@ -174,6 +174,7 @@ object SparkEntry {
     "late_priority_counts" -> ((s, dir) => Analytics.latePriorityCounts(s, dir)),
     "supplier_diversity" -> ((s, dir) => Analytics.supplierDiversity(s, dir)),
     "top_part_per_brand" -> ((s, dir) => Analytics.topPartPerBrand(s, dir)),
+    "full_outer_days" -> ((s, dir) => Analytics.activityCalendar(s, dir)),
     // skew-salted join exercised end-to-end: results are salt-invariant,
     // so the oracle is the PLAIN join — only the shuffle layout differs
     "skew_join_agg" -> ((s, dir) => {
@@ -740,6 +741,14 @@ object SparkEntry {
         |       CAST(length(substr(text, i*4*64 + 1, 64)) AS INT) AS n_frame_bytes,
         |       md5(substr(text, i*4*64 + 1, 64)) AS frame_md5
         |FROM s WHERE length(substr(text, i*4*64 + 1, 64)) > 0""".stripMargin,
+    "full_outer_days" ->
+      s"""WITH $eventsCte,
+         |o AS (SELECT o_orderdate::date AS day, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+         |ev AS (SELECT date_trunc('day', ts)::date AS day, COUNT(*) AS n_events FROM e GROUP BY 1)
+         |SELECT COALESCE(o.day, ev.day) AS day,
+         |       COALESCE(o.n_orders, 0) AS n_orders,
+         |       COALESCE(ev.n_events, 0) AS n_events
+         |FROM o FULL OUTER JOIN ev ON o.day = ev.day""".stripMargin,
     "skew_join_agg" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

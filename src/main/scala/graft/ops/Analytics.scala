@@ -121,4 +121,24 @@ object Analytics {
       .select(col("p_brand"), col("p_partkey"), col("p_name"), col("revenue"))
       .orderBy(col("p_brand"))
   }
+
+  /** Calendar reconciliation across UNRELATED fact tables (orders span
+    * 1995–2001, events 2024): per-day totals FULL OUTER joined, so each
+    * side's unmatched days surface with a zero for the other — the join
+    * type the rest of the surface (inner/left/semi/anti/as-of/range)
+    * doesn't exercise. Both sides pre-aggregate to day grain before the
+    * join: the full-outer shuffle moves two day-cardinality frames, not
+    * facts. */
+  def activityCalendar(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val e = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
 }
