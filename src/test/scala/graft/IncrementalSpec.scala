@@ -53,6 +53,22 @@ class IncrementalSpec extends AnyFunSuite {
     RentalVersion(4, ts("2022-02-08"), None, ts("2022-02-08")),
     RentalVersion(4, ts("2022-02-08"), Some(ts("2022-02-10")), ts("2022-02-10"))))
 
+  test("fused upsert round equals the unfused old-merge-incoming formulation") {
+    val t = ts("2022-01-20 00:00:00")
+    val fused = WeeklySummary.upsertRound(log, t, SparkEntry.AsOf)
+    val old = WeeklySummary.snapshot(
+      log.filter(col("last_update") <= lit(t)), SparkEntry.AsOf)
+    val incoming = WeeklySummary.statsForWeeks(log,
+      graft.ops.ReferenceOps.affectedWeeks(log, t, ts("9999-12-31 00:00:00")))
+    val expect = graft.incremental.Upsert.merge(old, incoming, Seq("week_beginning"))
+    assertSameRows(fused, expect)
+  }
+
+  test("fused upsert round on an empty source is empty, not an error") {
+    val out = WeeklySummary.upsertRound(log.limit(0), ts("2022-01-20 00:00:00"), SparkEntry.AsOf)
+    assert(out.collect().isEmpty)
+  }
+
   test("first run from empty state materializes full history") {
     val dir = freshDir()
     val source = sourceAsOf(log, ts("2022-03-01"))
