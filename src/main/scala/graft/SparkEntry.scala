@@ -115,6 +115,12 @@ object SparkEntry {
     "doc_top_terms" -> ((s, dir) => TextOps.docTopTerms(Tables.documents(s, dir))),
     "doc_winnow" -> ((s, dir) => TextOps.docWinnow(Tables.documents(s, dir))),
     "neardup_winnow" -> ((s, dir) => TextOps.nearDupWinnow(Tables.documents(s, dir))),
+    // incremental dedup: docs with doc_id % 10 = 0 play the "new batch"
+    "neardup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.nearDupJaccardIncremental(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+    }),
     // signature-based near-dup (hash families not portable to DuckDB —
     // rows-only check here; recall vs exact jaccard asserted in DedupSpec)
     "neardup_minhash" -> ((s, dir) => TextOps.nearDupMinhash(Tables.documents(s, dir))),
@@ -492,6 +498,12 @@ object SparkEntry {
     "doc_winnow" ->
       s"""WITH $winnowCtes
          |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
+    // the incremental result must equal the batch recompute restricted to
+    // pairs touching the incoming split (doc_id % 10 = 0)
+    "neardup_incremental" ->
+      s"""WITH $jaccardPairsCtes
+         |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard FROM jacc_pairs
+         |WHERE jaccard >= 0.8 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin,
     "neardup_winnow" ->
       s"""WITH $winnowCtes,
          |ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),

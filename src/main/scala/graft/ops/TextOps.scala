@@ -194,6 +194,57 @@ object TextOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Incremental near-dup pairing: exactly the [[nearDupJaccard]] pairs
+    * that TOUCH the `incoming` batch (new×old and new×new), WITHOUT
+    * recomputing the all-pairs index — the daily-ingest shape of corpus
+    * dedup, and the extended-surface twin of the reference's
+    * watermark-delta protocol (only work proportional to the delta).
+    *
+    * Correctness hinges on one fact: every shingle shared by a
+    * qualifying pair belongs to the pair's incoming member, so building
+    * posting lists ONLY for the incoming batch's shingles (a semi-join
+    * on the shingle key, before any aggregation) loses no pair and no
+    * shared-shingle count; the df cap still applies over the FULL
+    * corpus posting list, so results equal the batch recompute filtered
+    * to incoming-touching pairs (asserted in DedupSpec and the DuckDB
+    * oracle). Work scales with |incoming's index slice|, not |corpus|².
+    */
+  def nearDupJaccardIncremental(existing: DataFrame, incoming: DataFrame,
+      k: Int = 3, minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
+    TextExprs.register(existing.sparkSession)
+    def exploded(df: DataFrame) = df
+      .select(col("doc_id"), TextExprs.wordShingleHashes(tokens(col("text")), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val exInc = exploded(incoming)
+    val exAll = exploded(existing).union(exInc)
+    val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
+    val postings = exAll
+      .join(exInc.select("shingle").distinct(), Seq("shingle"), "left_semi")
+      .groupBy(col("shingle"))
+      .agg(capped(col("doc_id"), col("n_sh")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    val incIds = incoming.select(col("doc_id")).distinct()
+    postings
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      // keep only pairs touching the batch: old×old pairs can surface via
+      // a shingle the batch happens to share — they were already known
+      .join(incIds.select(col("doc_id").as("doc_a"), lit(1).as("a_new")), Seq("doc_a"), "left")
+      .join(incIds.select(col("doc_id").as("doc_b"), lit(1).as("b_new")), Seq("doc_b"), "left")
+      .filter(col("a_new").isNotNull || col("b_new").isNotNull)
+      .select(
+        col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Greedy keep-list after near-dup pairing: drop every doc that appears
     * as the larger id in a qualifying pair (left-anti join). Cluster-
     * transitive dedup would need connected components; the greedy rule is

@@ -107,6 +107,21 @@ class DedupSpec extends AnyFunSuite {
     assert(again == fps.toSet)
   }
 
+  test("incremental near-dup equals the batch recompute filtered to the delta") {
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = TextOps.nearDupJaccardIncremental(existing, incoming)
+      .select("doc_a", "doc_b", "shared", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val incIds = incoming.select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = TextOps.nearDupJaccard(docs)
+      .select("doc_a", "doc_b", "shared", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter(p => incIds(p._1) || incIds(p._2)).toSet
+    assert(inc == full, s"inc-only=${inc -- full}, full-only=${full -- inc}")
+    assert(inc.nonEmpty, "fixture split should contain cross-batch near-dups")
+  }
+
   test("winnow blocking recovers the high-jaccard near-dup pairs") {
     val exact = TextOps.nearDupJaccard(docs, minJaccard = 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
