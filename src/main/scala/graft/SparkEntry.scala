@@ -164,6 +164,12 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => VectorOps.annBruteForce(Tables.embeddings(s, dir))),
     "embedding_neardup" -> ((s, dir) => VectorOps.nearDupEmbedding(Tables.embeddings(s, dir))),
     "embedding_centroids" -> ((s, dir) => VectorOps.labelCentroids(Tables.embeddings(s, dir))),
+    // incremental dedup on the vector side: vec_id % 10 = 0 is the batch
+    "embedding_neardup_delta" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      VectorOps.nearDupEmbeddingIncremental(
+        e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0))
+    }),
     // LSH-blocked all-pairs variant (bucket membership not portable —
     // rows-only; VectorOpsSpec pins recall vs the exact pairs)
     "embedding_neardup_lsh" -> ((s, dir) => VectorOps.nearDupEmbeddingLsh(Tables.embeddings(s, dir))),
@@ -671,6 +677,14 @@ object SparkEntry {
          |  SELECT vec_a, vec_b, round(${duckCosine("ea", "eb")}, 6) AS cos_sim
          |  FROM a JOIN b ON vec_a < vec_b)
          |SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.45""".stripMargin,
+    "embedding_neardup_delta" ->
+      s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
+         |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
+         |pairs AS (
+         |  SELECT vec_a, vec_b, round(${duckCosine("ea", "eb")}, 6) AS cos_sim
+         |  FROM a JOIN b ON vec_a < vec_b)
+         |SELECT vec_a, vec_b, cos_sim FROM pairs
+         |WHERE cos_sim >= 0.45 AND (vec_a % 10 = 0 OR vec_b % 10 = 0)""".stripMargin,
     "pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -200,6 +200,28 @@ object VectorOps {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** Incremental exact embedding near-dup: the [[nearDupEmbedding]]
+    * pairs that TOUCH the `incoming` batch, via an incoming×corpus join
+    * instead of corpus×corpus — work ∝ |incoming|·|corpus|, the
+    * delta-proportional shape of daily-ingest embedding dedup (same
+    * protocol as [[graft.ops.TextOps.nearDupJaccardIncremental]] on the
+    * text side). Pair orientation normalizes to (min_id, max_id);
+    * new×new pairs arise from both join orientations, hence the final
+    * distinct. */
+  def nearDupEmbeddingIncremental(existing: DataFrame, incoming: DataFrame,
+      minCos: Double = 0.45): DataFrame = {
+    val all = prepared(existing.unionByName(incoming))
+    val inc = prepared(incoming)
+      .select(col("vec_id").as("inc_id"), col("vd").as("di"), col("nrm").as("ni"))
+    inc.join(all, col("vec_id") =!= col("inc_id"))
+      .select(
+        least(col("inc_id"), col("vec_id")).as("vec_a"),
+        greatest(col("inc_id"), col("vec_id")).as("vec_b"),
+        round(VecDot(col("di"), col("vd")) / (col("ni") * col("nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .distinct()
+  }
+
   /** LSH-bucketed all-pairs near-dup — the 100 TB path for
     * [[nearDupEmbedding]]: a pair is only compared when it shares a sign
     * bucket in ≥1 of `tables` hash tables (same blocking as [[annLsh]],

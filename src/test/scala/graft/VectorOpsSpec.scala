@@ -23,6 +23,19 @@ class VectorOpsSpec extends AnyFunSuite {
     (base ++ twins).toDF("vec_id", "embedding", "label")
   }
 
+  test("incremental embedding near-dup equals all-pairs filtered to the delta") {
+    val incoming = fixture.filter(col("vec_id") % 10 === 0)
+    val existing = fixture.filter(col("vec_id") % 10 =!= 0)
+    val inc = VectorOps.nearDupEmbeddingIncremental(existing, incoming, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incIds = incoming.select("vec_id").collect().map(_.getLong(0)).toSet
+    val full = VectorOps.nearDupEmbedding(fixture, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => incIds(p._1) || incIds(p._2)).toSet
+    assert(inc == full, s"inc-only=${inc -- full}, full-only=${full -- inc}")
+    assert(inc.nonEmpty, "planted twins (0,100) and (100*, even ids) should pair")
+  }
+
   test("label centroids match a driver-side mean") {
     val out = VectorOps.labelCentroids(fixture).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
