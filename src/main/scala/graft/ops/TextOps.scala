@@ -359,7 +359,9 @@ object TextOps {
   def docTopTerms(documents: DataFrame, kTop: Int = 5): DataFrame = {
     val ex = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = ex.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = ex.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // tf is already (doc, token)-distinct: df counts ITS rows per token —
+    // no second explode + distinct pass over the corpus
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_total"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
