@@ -219,6 +219,18 @@ object SparkEntry {
         .select(col("media_id"), col("media_type"), col("frame_index"),
           flen(col("frame")).as("n_frame_bytes"), fmd5(col("frame")).as("frame_md5"))
     }),
+    // resize through the stub codec: gather math is integer-exact, so the
+    // oracle replays it; compared via checksum like media_frames
+    "media_resize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{length => flen, md5 => fmd5}
+      graft.multimodal.Multimodal.resize(
+        graft.multimodal.Multimodal.syntheticMedia(Tables.documents(s, dir)), 320, 180)
+        .toDF()
+        .select(col("media_id"), col("meta.media_type").as("media_type"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          flen(col("payload")).cast("int").as("n_bytes"),
+          fmd5(col("payload")).as("payload_md5"))
+    }),
   )
 
   /** Exact decimal revenue expression shared by the analytics oracles. */
@@ -775,6 +787,25 @@ object SparkEntry {
          |       COALESCE(o.n_orders, 0) AS n_orders,
          |       COALESCE(ev.n_events, 0) AS n_events
          |FROM o FULL OUTER JOIN ev ON o.day = ev.day""".stripMargin,
+    "media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+        |         text, length(text) AS n,
+        |         ((doc_id % 8)*160 + 320) * ((doc_id % 8)*90 + 180) AS orig
+        |  FROM documents),
+        |r AS (
+        |  SELECT media_id, media_type, text, n,
+        |    CASE WHEN n = 0 THEN 0
+        |         WHEN 320*180 >= orig THEN n
+        |         ELSE greatest(1, (n * (320*180)) // orig) END AS mm
+        |  FROM m)
+        |SELECT media_id, media_type, 320 AS width, 180 AS height,
+        |  CAST(mm AS INT) AS n_bytes,
+        |  md5(array_to_string(list_transform(
+        |    generate_series(0, CAST(mm AS INT) - 1),
+        |    j -> substr(text, CAST((j*n) // mm AS INT) + 1, 1)), '')) AS payload_md5
+        |FROM r""".stripMargin,
     "skew_join_agg" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -99,6 +99,39 @@ object Multimodal {
     partitioned.mapPartitions(decoder.decodeBatch)
   }
 
+  /** Resize through the stub codec boundary: the payload is re-sampled
+    * to the byte budget of `targetW × targetH` (never upsampled), via
+    * the nearest-neighbor gather `out(j) = payload(⌊j·n/m⌋)` — a REAL
+    * pixel-resampling access pattern over fake "pixels"; a production
+    * implementation swaps the gather loop for an image library inside
+    * the same partition-batched typed map (no per-row codec setup, same
+    * batch shape as [[extractFeatures]]). Metadata updates to the target
+    * dims; deterministic and partition-invariant (MultimodalSpec), and
+    * the gather math is integer-exact, so the DuckDB oracle replays it
+    * on the ASCII corpus. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      val n = r.payload.length
+      val budget = targetW.toLong * targetH
+      val orig = r.meta.width.toLong * r.meta.height
+      val m =
+        if (n == 0) 0
+        else if (budget >= orig) n // never upsample
+        else math.max(1L, n * budget / orig).toInt
+      val out = new Array[Byte](m.toInt)
+      var j = 0
+      while (j < m) {
+        out(j) = r.payload(((j.toLong * n) / m).toInt)
+        j += 1
+      }
+      MediaRow(r.media_id,
+        r.meta.copy(width = targetW, height = targetH, n_frames = r.meta.n_frames),
+        out)
+    })
+  }
+
   /** Frame sampling as pure column ops: every `stride`-th `frameSize`-byte
     * slice of the payload (binary substring — no codec needed for the
     * slicing plumbing), exploded to one row per sampled frame. */

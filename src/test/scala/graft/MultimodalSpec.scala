@@ -35,6 +35,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(top.count() == 6)
   }
 
+  test("resize honors the byte budget, never upsamples, and is partition-invariant") {
+    val resized = Multimodal.resize(media, 320, 180).collect()
+    val orig = media.select(col("media_id"), col("meta.width"), col("meta.height"),
+      length(col("payload")).as("n")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong * r.getInt(2), r.getInt(3))).toMap
+    resized.foreach { r =>
+      val (origPixels, n) = orig(r.media_id)
+      assert(r.meta.width == 320 && r.meta.height == 180)
+      assert(r.payload.length <= n, "resize must never grow the payload")
+      val budget = 320L * 180
+      val expectM =
+        if (n == 0) 0 else if (budget >= origPixels) n
+        else math.max(1L, n.toLong * budget / origPixels).toInt
+      assert(r.payload.length == expectM, s"media ${r.media_id}: ${r.payload.length} vs $expectM")
+      // gather is a subsequence of the original (spot-check first byte)
+      if (expectM > 0) {
+        val origBytes = media.filter(col("media_id") === r.media_id)
+          .select(col("payload")).head().getAs[Array[Byte]](0)
+        assert(r.payload(0) == origBytes(0))
+      }
+    }
+    // partition-invariance: a reshuffled input yields the identical result
+    val shuffled = Multimodal.resize(media.repartition(7), 320, 180).collect()
+      .map(r => r.media_id -> r.payload.toSeq).toMap
+    assert(shuffled == resized.map(r => r.media_id -> r.payload.toSeq).toMap)
+  }
+
   test("sampled frames are exact byte slices of the payload") {
     val frames = Multimodal.sampleFrames(media, frameSize = 16, stride = 2)
     val first = frames.filter(col("frame_index") === 0)
