@@ -135,6 +135,7 @@ object TextExprs {
     * vocabulary) affects both engines identically. */
   case class WordShingleHashes(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
+    require(k > 0, s"shingle size must be positive, got $k")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "word_shingle_hashes"
 
@@ -171,6 +172,7 @@ object TextExprs {
     * slower than this loop at sf0.1. */
   case class WinnowFps(child: Expression, k: Int, w: Int)
       extends UnaryExpression with CodegenFallback {
+    require(k > 0 && w > 0, s"gram size and window must be positive, got k=$k w=$w")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "winnow_fps"
 
