@@ -280,14 +280,96 @@ object TextOps {
     * pass over the label table.
     *
     * Output: (doc_id, cluster_id, cluster_size) for every document that
-    * appears in at least one qualifying pair. */
+    * appears in at least one qualifying pair.
+    *
+    * Physical strategy is picked at RUNTIME, AQE-style: the eager
+    * `localCheckpoint` on the edge set makes its cardinality a free
+    * statistic, and near-dup graphs are sparse (edge count ∝ actual
+    * duplication, not corpus²), so most corpora — even 100 TB ones —
+    * yield an edge set far below driver memory. Below
+    * `driverEdgeLimit` edges (default 4M ≈ 64 MB of id pairs) the
+    * components come from one exact union-find over the collected
+    * edges: a single collect job replaces one join+agg+probe job per
+    * iteration. Above the limit (or for non-integral/string doc ids)
+    * the distributed log-diameter label-propagation loop runs — the
+    * path that survives a pathological all-duplicate corpus. Both
+    * paths emit identical frames (asserted in DedupSpec). */
   def nearDupClusters(documents: DataFrame, k: Int = 3,
-      minJaccard: Double = 0.8, maxDf: Int = 100, maxIters: Int = 50): DataFrame = {
+      minJaccard: Double = 0.8, maxDf: Int = 100, maxIters: Int = 50,
+      driverEdgeLimit: Long = 1L << 22): DataFrame = {
     val pairs = nearDupJaccard(documents, k, minJaccard, maxDf)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
+    val keyOrd = driverKeyOrdering(edges.schema("src").dataType)
+    if (keyOrd.isDefined && edges.count() <= driverEdgeLimit)
+      clustersOnDriver(edges)(keyOrd.get)
+    else clustersDistributed(edges, maxIters)
+  }
+
+  /** Orderings mirroring Spark's `min` for the doc-id types the driver
+    * union-find supports; `None` routes to the distributed loop. */
+  private def driverKeyOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    dt match {
+      case LongType    => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case StringType  => Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case _           => None
+    }
+  }
+
+  /** Exact connected components on the driver: union-find with path
+    * halving over the collected (already materialized) edge set, then
+    * per-component min-id relabel so cluster ids match the distributed
+    * path bit-for-bit. */
+  private def clustersOnDriver(edges: DataFrame)(
+      implicit ord: Ordering[Any]): DataFrame = {
+    import scala.collection.mutable
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = edges.sparkSession
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) { // path halving: point x at its grandparent
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.collect().foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) parent(ra) = rb
+    }
+    val members = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+    parent.keysIterator.foreach { n =>
+      members.getOrElseUpdate(find(n), mutable.ArrayBuffer.empty) += n
+    }
+    val rows = members.valuesIterator.flatMap { ms =>
+      // roots are member nodes too (a node with no parent entry only
+      // appears via others pointing at it) — fold them back in
+      val all = (ms :+ find(ms.head)).distinct
+      val label = all.min
+      val size = all.size.toLong
+      all.map(id => Row(id, label, size))
+    }.toSeq
+    val keyType = edges.schema("src").dataType
+    val schema = StructType(Seq(
+      StructField("doc_id", keyType),
+      StructField("cluster_id", keyType),
+      StructField("cluster_size", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** The scale path: min-label propagation with pointer jumping (see
+    * [[nearDupClusters]] scaladoc for the algorithm notes). */
+  private def clustersDistributed(edges: DataFrame, maxIters: Int): DataFrame = {
     // Initial labels already fold the 1-hop neighborhood: label(id) =
     // min(id, min neighbor) from one aggregation over the (symmetric)
     // edge set — star-shaped components are final after THIS step, and

@@ -153,6 +153,16 @@ class DedupSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
   }
 
+  test("driver union-find clusters equal the distributed label-propagation clusters") {
+    val onDriver = TextOps.nearDupClusters(docs, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val distributed = TextOps.nearDupClusters(docs, minJaccard = 0.5, driverEdgeLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(onDriver == distributed,
+      s"driver-only=${onDriver -- distributed}, dist-only=${distributed -- onDriver}")
+    assert(onDriver.nonEmpty, "fixture corpus should contain near-dup clusters")
+  }
+
   test("stratified sample rates land near the configured percentages") {
     val out = TextOps.sampleStratified(docs).groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
