@@ -36,16 +36,17 @@ object ReferenceOps {
 
   /** A9/U1/U2/U3/F3 — affected weeks of a delta window: distinct Monday
     * weeks of rental_date ∪ return_date (etl:131-146), sorted (etl:199). */
-  def affectedWeeks(rental: DataFrame, wm: Timestamp, max: Timestamp): DataFrame = {
-    val delta = deltaExtract(rental, wm, max)
-    delta.select(WeeklySummary.weekStart(to_date(col("rental_date"))).as("week_beginning"))
+  def affectedWeeks(rental: DataFrame, wm: Timestamp, max: Timestamp): DataFrame =
+    // Both week columns leave the scan in ONE pass (explode of a 2-array)
+    // instead of a union of two subplans that each rescan the delta; the
+    // null filter recovers the reference's per-column null handling.
+    deltaExtract(rental, wm, max)
+      .select(explode(array(
+        WeeklySummary.weekStart(to_date(col("rental_date"))),
+        WeeklySummary.weekStart(to_date(col("return_date"))))).as("week_beginning"))
       .filter(col("week_beginning").isNotNull)
-      .union(delta
-        .filter(col("return_date").isNotNull)
-        .select(WeeklySummary.weekStart(to_date(col("return_date"))).as("week_beginning")))
       .distinct()
       .orderBy("week_beginning")
-  }
 
   /** S3/U4 — the existence/limit probe (`SELECT … LIMIT 1`, etl:70-71),
     * made deterministic by keyed ordering. */

@@ -144,15 +144,20 @@ object VectorOps {
       .orderBy(col("vec_id")).limit(nlist).select(col("vec_id"), col("vd"))
       .collect().toSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    val d = cents.head._2.length
     for (_ <- 1 to iters) {
+      // Means as ONE wide aggregate over unexploded rows: d sum columns
+      // + a count, with map-side partials — the posexplode formulation
+      // shuffles |corpus|×d narrow rows for the same nlist×d result.
+      val sums = (0 until d).map(i => sum(element_at(col("vd"), i + 1)).as(s"s$i"))
       val means = assign(cents)
-        .select(col("cid"), posexplode(col("vd")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("x"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
-      cents = means.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
-        val dims = rows.map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1)
-        (cid, dims.map(_._2).toArray)
-      }.sortBy(_._1)
+      cents = means.map { r =>
+        val n = r.getLong(1).toDouble
+        (r.getInt(0), Array.tabulate(d)(i => r.getDouble(i + 2) / n))
+      }.toSeq.sortBy(_._1)
     }
 
     val cells = assign(cents)
