@@ -105,12 +105,15 @@ object SparkEntry {
     "doc_stats" -> ((s, dir) => TextOps.docStats(Tables.documents(s, dir))),
     "doc_quality" -> ((s, dir) => TextOps.docQuality(Tables.documents(s, dir))),
     "doc_langid" -> ((s, dir) => TextOps.docLangId(Tables.documents(s, dir))),
+    "doc_repetition" -> ((s, dir) => TextOps.docRepetition(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.docFingerprint(Tables.documents(s, dir))),
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.documents(s, dir))),
     "neardup_jaccard" -> ((s, dir) => TextOps.nearDupJaccard(Tables.documents(s, dir))),
     "neardup_keep" -> ((s, dir) => TextOps.nearDupKeep(Tables.documents(s, dir))),
     "neardup_clusters" -> ((s, dir) => TextOps.nearDupClusters(Tables.documents(s, dir))),
     "doc_sample" -> ((s, dir) => TextOps.sampleStratified(Tables.documents(s, dir))),
+    "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
+    "doc_chunks" -> ((s, dir) => TextOps.docChunks(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir))),
     "doc_top_terms" -> ((s, dir) => TextOps.docTopTerms(Tables.documents(s, dir))),
     "doc_winnow" -> ((s, dir) => TextOps.docWinnow(Tables.documents(s, dir))),
@@ -119,6 +122,12 @@ object SparkEntry {
     "neardup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextOps.nearDupJaccardIncremental(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+    }),
+    // decontamination: docs with doc_id % 10 = 0 play the benchmark/eval set
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.decontaminate(
         docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
     }),
     // signature-based near-dup (hash families not portable to DuckDB —
@@ -459,6 +468,32 @@ object SparkEntry {
          |  CASE $cases ELSE 'und' END AS lang_pred
          |FROM h""".stripMargin
     },
+    "doc_repetition" ->
+      s"""WITH $toksCte,
+         |grams AS (
+         |  SELECT doc_id, length(norm) AS n_chars, ns.n,
+         |         array_to_string(t[i:i+ns.n-1], ' ') AS gram
+         |  FROM toks, (VALUES (2), (3)) AS ns(n),
+         |       UNNEST(range(1, len(t) - ns.n + 2)) AS u(i)
+         |  WHERE len(t) >= ns.n),
+         |cnt AS (
+         |  SELECT doc_id, n_chars, n, gram, count(*) AS cnt
+         |  FROM grams GROUP BY ALL),
+         |top2 AS (
+         |  SELECT doc_id, round(cnt * length(gram) / n_chars, 6) AS top2_frac
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                     ORDER BY cnt DESC, gram) AS rn
+         |        FROM cnt WHERE n = 2) WHERE rn = 1),
+         |dup3 AS (
+         |  SELECT doc_id,
+         |    round(coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0)
+         |          / any_value(n_chars), 6) AS dup3_frac
+         |  FROM cnt WHERE n = 3 GROUP BY doc_id)
+         |SELECT toks.doc_id, len(t) AS n_tokens,
+         |  round((len(t) - len(list_distinct(t)))::double / len(t), 6) AS dup_token_frac,
+         |  coalesce(top2_frac, 0) AS top2_frac,
+         |  coalesce(dup3_frac, 0) AS dup3_frac
+         |FROM toks LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH $toksCte
          |SELECT doc_id, md5(norm) AS fp_md5, length(norm) AS fp_len FROM toks""".stripMargin,
@@ -522,6 +557,43 @@ object SparkEntry {
       s"""WITH $jaccardPairsCtes
          |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard FROM jacc_pairs
          |WHERE jaccard >= 0.8 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH $toksCte,
+         |tk AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT
+         |      - n_tokens AS strt
+         |  FROM tk)
+         |SELECT doc_id, n_tokens,
+         |  strt // 2048 AS seq_id,
+         |  strt % 2048 AS offset_in_seq,
+         |  ((strt + n_tokens - 1) // 2048) - (strt // 2048) AS n_splits
+         |FROM c""".stripMargin,
+    "doc_chunks" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, i AS chunk_ix, 1 + i*24 AS start_tok,
+         |  len(t[1+i*24 : i*24+32]) AS n_chunk_tokens,
+         |  md5(array_to_string(t[1+i*24 : i*24+32], ' ')) AS chunk_md5
+         |FROM toks, UNNEST(range(0, (len(t)-1)//24 + 1)) AS u(i)""".stripMargin,
+    "decontaminate" ->
+      s"""WITH $toksCte,
+         |sh5 AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN list_distinct(list_transform(
+         |      generate_series(1, len(t)-4),
+         |      i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT))
+         |    ELSE []::BIGINT[] END AS s
+         |  FROM toks),
+         |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh5 WHERE doc_id % 10 = 0),
+         |corpus AS (SELECT * FROM sh5 WHERE doc_id % 10 <> 0),
+         |coll AS (
+         |  SELECT c.doc_id, count(*) AS n_collisions
+         |  FROM (SELECT doc_id, unnest(s) AS shingle FROM corpus) c
+         |  JOIN ev USING (shingle) GROUP BY 1)
+         |SELECT corpus.doc_id, len(s) AS n_shingles,
+         |  coalesce(n_collisions, 0) AS n_collisions,
+         |  (coalesce(n_collisions, 0) >= 1)::int AS contaminated
+         |FROM corpus LEFT JOIN coll USING (doc_id)""".stripMargin,
     "neardup_winnow" ->
       s"""WITH $winnowCtes,
          |ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),

@@ -54,6 +54,55 @@ object TextOps {
         + punctOk.cast("double") + digitOk.cast("double")) / 4, 6).as("quality_score"))
   }
 
+  /** Repetition-based quality signals — the n-gram subset of the Gopher
+    * repetition rules (Rae et al. 2021, §A1.1: "fraction of characters
+    * in the most common n-gram", "fraction of characters in duplicated
+    * n-grams"), adapted to a corpus without line structure:
+    *
+    *  - `dup_token_frac`: fraction of token INSTANCES that repeat an
+    *    earlier token (row-local, `array_distinct`).
+    *  - `top2_frac`: chars covered by all occurrences of the single most
+    *    frequent 2-gram / doc chars (ties: lexicographically first).
+    *  - `dup3_frac`: chars covered by every 3-gram occurring ≥ 2 times
+    *    / doc chars (occurrences overlap, so this can exceed 1 on
+    *    degenerate loops — kept raw, as in the paper).
+    *
+    * Both gram sizes ride ONE explode → one (doc, n, gram) shuffle with
+    * map-side partial counts; per-doc reduction is a doc-keyed window
+    * (top-1) + aggregate. Work is |corpus tokens| × 2 rows of a few
+    * bytes — the same shape at any scale, no corpus-wide state. */
+  def docRepetition(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("gram"))
+    val base = documents.select(col("doc_id"), tokens(col("text")).as("t"),
+      length(normalize(col("text"))).as("n_chars"))
+    def grams(n: Int) = when(size(col("t")) >= n,
+      transform(sequence(lit(1), size(col("t")) - (n - 1)),
+        i => struct(lit(n).as("n"), concat_ws(" ", slice(col("t"), i, lit(n))).as("gram"))))
+      .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    val gramCounts = base
+      .select(col("doc_id"), col("n_chars"), explode(concat(grams(2), grams(3))).as("g"))
+      .groupBy(col("doc_id"), col("n_chars"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val top2 = gramCounts.filter(col("n") === 2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"),
+        round(col("cnt") * length(col("gram")) / col("n_chars"), 6).as("top2_frac"))
+    val dup3 = gramCounts.filter(col("n") === 3)
+      .groupBy(col("doc_id"))
+      .agg(round(
+        coalesce(sum(when(col("cnt") >= 2, col("cnt") * length(col("gram")))), lit(0))
+          / first(col("n_chars")), 6).as("dup3_frac"))
+    base.select(col("doc_id"), size(col("t")).as("n_tokens"),
+      round((size(col("t")) - size(array_distinct(col("t")))).cast("double")
+        / size(col("t")), 6).as("dup_token_frac"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
+  }
+
   /** Stopword-profile language guess + per-language hit counts. */
   def docLangId(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
@@ -245,6 +294,36 @@ object TextOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing word
+    * k-gram shingles with an eval/benchmark set — the standard
+    * train-test-overlap check run before pretraining (n-gram collision
+    * against held-out benchmarks). Emits every corpus document with its
+    * distinct-collision count so thresholds can be tuned downstream.
+    *
+    * Scale shape: the eval set is benchmark-sized (≪ corpus), so its
+    * distinct shingle set broadcasts; the corpus side is ONE scan →
+    * explode → broadcast semi-join → doc-grain count. No corpus-side
+    * self-join, no shuffle wider than (doc_id, count). Shingles are the
+    * portable 60-bit md5 hashes, so the DuckDB oracle applies the
+    * identical collision test. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, k: Int = 5,
+      minCollisions: Int = 1): DataFrame = {
+    require(k >= 1, s"shingle size k=$k must be >= 1")
+    TextExprs.register(corpus.sparkSession)
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      TextExprs.wordShingleHashes(tokens(col("text")), k).as("sh"))
+    val evalShingles = sh(evalSet).select(explode(col("sh")).as("shingle")).distinct()
+    val collisions = sh(corpus).select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(evalShingles, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_collisions"))
+    sh(corpus).select(col("doc_id"), size(col("sh")).as("n_shingles"))
+      .join(collisions, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_collisions"), lit(0L)).as("n_collisions"),
+        (coalesce(col("n_collisions"), lit(0L)) >= minCollisions).cast("int")
+          .as("contaminated"))
+  }
+
   /** Greedy keep-list after near-dup pairing: drop every doc that appears
     * as the larger id in a qualifying pair (left-anti join). Cluster-
     * transitive dedup would need connected components; the greedy rule is
@@ -411,6 +490,66 @@ object TextOps {
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(broadcast(sizes), Seq("label"))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
+  /** Sequence packing for pretraining: concatenate documents in doc_id
+    * order and split the token stream at fixed `budget` boundaries —
+    * every document learns which training sequence(s) it lands in
+    * (`seq_id`), where it starts (`offset_in_seq`), and how many
+    * boundaries it straddles (`n_splits`).
+    *
+    * The global prefix sum runs as a TWO-LEVEL cumsum (the pattern any
+    * global ordering needs at scale): range-partition on doc_id, window
+    * cumsum within each range, then per-partition totals — a
+    * #partitions-row frame — collect once and broadcast back as each
+    * partition's base offset. No single-partition window over the
+    * corpus, no driver traffic beyond one row per partition. Output is
+    * invariant to the number of range buckets (asserted in DedupSpec). */
+  def packSequences(documents: DataFrame, budget: Int = 2048,
+      nBuckets: Int = 32): DataFrame = {
+    require(budget >= 1, s"token budget $budget must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("doc_id"))
+    val local = documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(nBuckets, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_end", sum(col("n_tokens")).over(w))
+      .localCheckpoint(false)
+    val totals = local.groupBy(col("pid")).agg(max(col("local_end")).as("ptotal"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val bases = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap // pid -> sum of earlier ranges
+    val base = totals.map(_._1).foldRight(lit(0L)) { case (pid, rest) =>
+      when(col("pid") === pid, lit(bases(pid))).otherwise(rest)
+    }
+    local
+      .withColumn("start", base + col("local_end") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("start") / budget).as("seq_id"),
+        (col("start") % budget).as("offset_in_seq"),
+        (floor((col("start") + col("n_tokens") - 1) / budget)
+          - floor(col("start") / budget)).as("n_splits"))
+  }
+
+  /** Fixed-length token chunking with overlap — the context-window
+    * splitter for long documents (RAG/pretraining shape). Chunks start
+    * every `chunkLen - overlap` tokens; the last chunk may be short.
+    * Entirely row-local (sequence + explode + slice), so it scales as a
+    * pure map — no shuffle at all. Chunk content rides as an md5 over
+    * the joined tokens to keep rows narrow. */
+  def docChunks(documents: DataFrame, chunkLen: Int = 32, overlap: Int = 8): DataFrame = {
+    require(chunkLen >= 1 && overlap >= 0 && overlap < chunkLen,
+      s"need 0 <= overlap($overlap) < chunkLen($chunkLen)")
+    val stride = chunkLen - overlap
+    val start = col("chunk_ix") * stride + 1
+    documents.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) - 1) / stride).cast("int"))).as("chunk_ix"))
+      .select(col("doc_id"), col("chunk_ix"), start.as("start_tok"),
+        size(slice(col("t"), start, lit(chunkLen))).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("t"), start, lit(chunkLen)))).as("chunk_md5"))
   }
 
   /** Deterministic hash-stratified sampling: keep a document iff the

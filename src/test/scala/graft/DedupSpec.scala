@@ -153,6 +153,81 @@ class DedupSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
   }
 
+  test("sequence packing is a correct global prefix sum, invariant to bucket count") {
+    val s = spark
+    import s.implicits._
+    // budget 10: docs of 4/7/3/12 tokens -> starts 0,4,11,14
+    val fixture = Seq(
+      (1L, "a b c d"), (2L, "e f g h i j k"), (3L, "l m n"),
+      (4L, (1 to 12).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.packSequences(fixture, budget = 10, nBuckets = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 4L, 0L, 0L, 0L),   // tokens 0..3, fits seq 0
+      (2L, 7L, 0L, 4L, 1L),   // tokens 4..10, straddles into seq 1
+      (3L, 3L, 1L, 1L, 0L),   // tokens 11..13
+      (4L, 12L, 1L, 4L, 1L)), // tokens 14..25, straddles into seq 2
+      s"got ${out.toSeq}")
+    val alt = TextOps.packSequences(fixture, budget = 10, nBuckets = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(alt.toSeq == out.toSeq, "packing must not depend on range bucketing")
+  }
+
+  test("chunking covers every token with the configured stride and overlap") {
+    val s = spark
+    import s.implicits._
+    val words = (1 to 50).map(i => s"w$i")
+    val fixture = Seq((1L, words.mkString(" ")), (2L, "only three tokens"))
+      .toDF("doc_id", "text")
+    val out = TextOps.docChunks(fixture, chunkLen = 32, overlap = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 50 tokens, stride 24: chunks at 1 (len 32), 25 (len 26), 49 (len 2)
+    assert(d1.map(c => (c._3, c._4)).toSeq == Seq((1, 32), (25, 26), (49, 2)))
+    // overlap: chunk 2 starts 24 in, so tokens 25..32 are shared with chunk 1
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 3)
+    // chunk md5 is content-derived: identical token runs hash identically
+    val again = TextOps.docChunks(fixture, chunkLen = 32, overlap = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(4))).toSet
+    assert(again == out.map(r => (r._1, r._2, r._5)).toSet)
+  }
+
+  test("decontamination counts distinct eval-shingle collisions per corpus doc") {
+    val s = spark
+    import s.implicits._
+    val evalSet = Seq((100L, "q w e r t y u")).toDF("doc_id", "text") // 3 5-grams
+    val corpus = Seq(
+      (1L, "z q w e r t y"), // contains the runs "q w e r t" and "w e r t y"
+      (2L, "totally different words here avoiding any overlap whatsoever"),
+      (3L, "too few"))       // < 5 tokens: zero shingles
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminate(corpus, evalSet).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getInt(3))).toMap
+    assert(out(1L) == ((3, 2L, 1)), s"got ${out(1L)}")
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0)
+    assert(out(3L) == ((0, 0L, 0)), s"got ${out(3L)}")
+  }
+
+  test("repetition signals match hand-computed gram fractions") {
+    val s = spark
+    import s.implicits._
+    val fixture = Seq(
+      (1L, "a b a b a b"), // "a b"x3 of 11 chars; both 3-grams duplicated
+      (2L, "x y"),         // single 2-gram covers the whole doc; no 3-grams
+      (3L, "solo"))        // no grams at all
+      .toDF("doc_id", "text")
+    val out = TextOps.docRepetition(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L) == ((6, 0.666667, 0.818182, 1.818182)), s"got ${out(1L)}")
+    assert(out(2L) == ((2, 0.0, 1.0, 0.0)), s"got ${out(2L)}")
+    assert(out(3L) == ((1, 0.0, 0.0, 0.0)), s"got ${out(3L)}")
+  }
+
   test("driver union-find clusters equal the distributed label-propagation clusters") {
     val onDriver = TextOps.nearDupClusters(docs, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
