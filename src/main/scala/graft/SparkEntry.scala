@@ -136,6 +136,8 @@ object SparkEntry {
     "neardup_simhash" -> ((s, dir) => TextOps.nearDupSimhash(Tables.documents(s, dir))),
     // -- event-stream operators over `events`
     "events_hourly" -> ((s, dir) => EventOps.hourlyRollup(Tables.events(s, dir))),
+    "events_sliding" -> ((s, dir) => EventOps.slidingRollup(Tables.events(s, dir))),
+    "events_retention" -> ((s, dir) => EventOps.retention(Tables.events(s, dir))),
     "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     "events_json" -> ((s, dir) => EventOps.jsonPropStats(Tables.events(s, dir))),
     "events_topk" -> ((s, dir) => EventOps.topKPerType(Tables.events(s, dir))),
@@ -610,6 +612,26 @@ object SparkEntry {
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
          |FROM e GROUP BY 1, 2""".stripMargin,
+    "events_sliding" ->
+      s"""WITH $eventsCte,
+         |wins AS (
+         |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+         |           - ks.k * INTERVAL '15 minutes' AS window_start,
+         |         user_id, value
+         |  FROM e, (VALUES (0), (1), (2), (3)) AS ks(k))
+         |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+         |  COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM wins GROUP BY 1""".stripMargin,
+    "events_retention" ->
+      s"""WITH $eventsCte,
+         |uw AS (SELECT DISTINCT user_id, date_trunc('week', ts)::date AS week FROM e),
+         |c AS (SELECT user_id, week,
+         |        min(week) OVER (PARTITION BY user_id) AS cohort_week FROM uw)
+         |SELECT cohort_week, (week - cohort_week) // 7 AS week_offset,
+         |  count(*) AS n_users
+         |FROM c GROUP BY 1, 2""".stripMargin,
     "events_sessions" ->
       s"""WITH $eventsCte,
          |$sessFlagsCtes

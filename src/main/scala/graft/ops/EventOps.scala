@@ -58,6 +58,40 @@ object EventOps {
         sum(valueDec).cast("double").as("sum_value"))
   }
 
+  /** Cohort retention: users grouped by the week of their FIRST event
+    * (the cohort), counted at every later week they were active, keyed
+    * by week offset — the classic retention triangle.
+    *
+    * Plan: one distinct to (user, week) grain, then the cohort week as
+    * a user-partitioned window min — NO self-join back to the events
+    * table (the usual formulation) and nothing wider than (user, week)
+    * ever shuffles. Two shuffles total, both partial-aggregated. */
+  def retention(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+      .withColumn("cohort_week", min(col("week")).over(byUser))
+      .select(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Sliding-window rollup: 1-hour windows every `slideMinutes` — the
+    * overlapping-window shape (`window(ts, width, slide)` → one Expand
+    * of width/slide rows per event, then ONE shuffle at window grain;
+    * never a per-window rescan). */
+  def slidingRollup(events: DataFrame, slideMinutes: Int = 15): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", s"$slideMinutes minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(valueDec).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n_events"), col("n_users"), col("sum_value"))
+
   /** JSON property extraction + per-type stats of `props.k`
     * (`get_json_object` — codegen'd Jackson path eval, no UDF). */
   def jsonPropStats(events: DataFrame): DataFrame = {

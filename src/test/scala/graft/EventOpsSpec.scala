@@ -34,6 +34,42 @@ class EventOpsSpec extends AnyFunSuite {
     assert(total == events.count())
   }
 
+  test("retention cohorts count users at each week offset") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int) = new Timestamp(java.time.LocalDate.of(2023, 1, 2).plusDays(day)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli) // Mon W0
+    val fixture = Seq(
+      (1L, t(0), 1L, "a", 1.0, "{}"),   // u1 cohort W0
+      (2L, t(15), 1L, "a", 1.0, "{}"),  // u1 active W2
+      (3L, t(2), 2L, "a", 1.0, "{}"),   // u2 cohort W0 only
+      (4L, t(8), 3L, "a", 1.0, "{}"),   // u3 cohort W1
+      (5L, t(16), 3L, "a", 1.0, "{}"),  // u3 active W2 (offset 1)
+      (6L, t(18), 3L, "a", 1.0, "{}"))  // same week, must not double-count
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.retention(fixture).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("2023-01-02", 0, 2L), ("2023-01-02", 2, 1L),
+      ("2023-01-09", 0, 1L), ("2023-01-09", 1, 1L)), s"got $out")
+  }
+
+  test("sliding windows: every event lands in exactly width/slide windows") {
+    val n = events.count()
+    val out = EventOps.slidingRollup(events)
+    assert(out.agg(sum("n_events")).head().getLong(0) == 4 * n)
+    // each window is [start, start+1h) on a 15-min grid
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L) // 2023-11-14 22:13:20
+    val one = Seq((1L, t(0), 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val wins = EventOps.slidingRollup(one).collect()
+      .map(r => r.getTimestamp(0).toInstant.toString).sorted
+    assert(wins.toSeq == Seq("2023-11-14T21:15:00Z", "2023-11-14T21:30:00Z",
+      "2023-11-14T21:45:00Z", "2023-11-14T22:00:00Z"), s"got ${wins.toSeq}")
+  }
+
   test("approx distinct users within rsd bound of exact") {
     val exact = EventOps.distinctUsers(events).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
