@@ -482,10 +482,11 @@ object SparkEntry {
          |  SELECT doc_id, n_chars, n, gram, count(*) AS cnt
          |  FROM grams GROUP BY ALL),
          |top2 AS (
-         |  SELECT doc_id, round(cnt * length(gram) / n_chars, 6) AS top2_frac
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-         |                                     ORDER BY cnt DESC, gram) AS rn
-         |        FROM cnt WHERE n = 2) WHERE rn = 1),
+         |  SELECT doc_id,
+         |    round((max(cnt * 16777216 + length(gram)) // 16777216)
+         |          * (max(cnt * 16777216 + length(gram)) % 16777216)
+         |          / any_value(n_chars), 6) AS top2_frac
+         |  FROM cnt WHERE n = 2 GROUP BY doc_id),
          |dup3 AS (
          |  SELECT doc_id,
          |    round(coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0)

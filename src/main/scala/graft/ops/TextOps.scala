@@ -62,42 +62,51 @@ object TextOps {
     *  - `dup_token_frac`: fraction of token INSTANCES that repeat an
     *    earlier token (row-local, `array_distinct`).
     *  - `top2_frac`: chars covered by all occurrences of the single most
-    *    frequent 2-gram / doc chars (ties: lexicographically first).
+    *    frequent 2-gram / doc chars. The only facts the fraction needs
+    *    are the winner's (count, char length), so the argmax runs as a
+    *    plain `max` over `cnt·2²⁴ + length` packed longs — ties on
+    *    count prefer the longer gram, and equal (count, length) grams
+    *    yield the same fraction, so the value is deterministic WITHOUT
+    *    ordering on the gram text (which would force a non-hashable
+    *    struct max / SortAggregate).
     *  - `dup3_frac`: chars covered by every 3-gram occurring ≥ 2 times
     *    / doc chars (occurrences overlap, so this can exceed 1 on
     *    degenerate loops — kept raw, as in the paper).
     *
     * Both gram sizes ride ONE explode → one (doc, n, gram) shuffle with
-    * map-side partial counts; per-doc reduction is a doc-keyed window
-    * (top-1) + aggregate. Work is |corpus tokens| × 2 rows of a few
-    * bytes — the same shape at any scale, no corpus-wide state. */
+    * map-side partial counts; both per-doc signals then reduce in one
+    * hash-aggregable doc-grain pass (no window, no sort, no per-signal
+    * join). Work is |corpus tokens| × 2 rows of a few bytes — the same
+    * shape at any scale and any per-document length, no corpus-wide
+    * state. */
   def docRepetition(documents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("gram"))
+    val Radix = 1L << 24 // glen < 16M chars per gram; cnt up to 2^39
     val base = documents.select(col("doc_id"), tokens(col("text")).as("t"),
       length(normalize(col("text"))).as("n_chars"))
     def grams(n: Int) = when(size(col("t")) >= n,
       transform(sequence(lit(1), size(col("t")) - (n - 1)),
         i => struct(lit(n).as("n"), concat_ws(" ", slice(col("t"), i, lit(n))).as("gram"))))
       .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-    val gramCounts = base
+    val rep = base
       .select(col("doc_id"), col("n_chars"), explode(concat(grams(2), grams(3))).as("g"))
       .groupBy(col("doc_id"), col("n_chars"), col("g.n").as("n"), col("g.gram").as("gram"))
       .agg(count(lit(1)).as("cnt"))
-    val top2 = gramCounts.filter(col("n") === 2)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"),
-        round(col("cnt") * length(col("gram")) / col("n_chars"), 6).as("top2_frac"))
-    val dup3 = gramCounts.filter(col("n") === 3)
       .groupBy(col("doc_id"))
-      .agg(round(
-        coalesce(sum(when(col("cnt") >= 2, col("cnt") * length(col("gram")))), lit(0))
-          / first(col("n_chars")), 6).as("dup3_frac"))
+      .agg(
+        max(when(col("n") === 2, col("cnt") * Radix + length(col("gram"))))
+          .as("top2enc"),
+        sum(when(col("n") === 3 && col("cnt") >= 2,
+          col("cnt") * length(col("gram")))).as("dup3_chars"),
+        first(col("n_chars")).as("n_chars"))
+      .select(col("doc_id"),
+        round(coalesce(
+          shiftright(col("top2enc"), 24) * pmod(col("top2enc"), lit(Radix))
+            / col("n_chars"), lit(0.0)), 6).as("top2_frac"),
+        round(coalesce(col("dup3_chars"), lit(0)) / col("n_chars"), 6).as("dup3_frac"))
     base.select(col("doc_id"), size(col("t")).as("n_tokens"),
       round((size(col("t")) - size(array_distinct(col("t")))).cast("double")
         / size(col("t")), 6).as("dup_token_frac"))
-      .join(top2, Seq("doc_id"), "left")
-      .join(dup3, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
         coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
         coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
