@@ -113,6 +113,7 @@ object SparkEntry {
     "neardup_clusters" -> ((s, dir) => TextOps.nearDupClusters(Tables.documents(s, dir))),
     "doc_sample" -> ((s, dir) => TextOps.sampleStratified(Tables.documents(s, dir))),
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
+    "doc_sample_k" -> ((s, dir) => TextOps.samplePerGroup(Tables.documents(s, dir))),
     "doc_chunks" -> ((s, dir) => TextOps.docChunks(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir))),
     "doc_top_terms" -> ((s, dir) => TextOps.docTopTerms(Tables.documents(s, dir))),
@@ -137,6 +138,7 @@ object SparkEntry {
     // -- event-stream operators over `events`
     "events_hourly" -> ((s, dir) => EventOps.hourlyRollup(Tables.events(s, dir))),
     "events_sliding" -> ((s, dir) => EventOps.slidingRollup(Tables.events(s, dir))),
+    "events_outliers" -> ((s, dir) => EventOps.valueOutliers(Tables.events(s, dir))),
     "events_retention" -> ((s, dir) => EventOps.retention(Tables.events(s, dir))),
     "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     "events_json" -> ((s, dir) => EventOps.jsonPropStats(Tables.events(s, dir))),
@@ -560,6 +562,26 @@ object SparkEntry {
       s"""WITH $jaccardPairsCtes
          |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard FROM jacc_pairs
          |WHERE jaccard >= 0.8 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin,
+    "doc_sample_k" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, doc_id, sample_rank FROM s WHERE sample_rank <= 20""".stripMargin,
+    "events_outliers" ->
+      s"""WITH $eventsCte,
+         |st AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+         |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+         |                  AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS meansq
+         |  FROM e GROUP BY 1),
+         |st2 AS (SELECT event_type, mean, sqrt(meansq - mean * mean) AS std FROM st)
+         |SELECT event_id, e.event_type, value,
+         |  round((value - mean) / std, 6) AS z_score
+         |FROM e JOIN st2 USING (event_type)
+         |WHERE std > 0 AND abs(round((value - mean) / std, 6)) >= 3""".stripMargin,
     "pack_sequences" ->
       s"""WITH $toksCte,
          |tk AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks),

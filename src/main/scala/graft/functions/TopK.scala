@@ -51,4 +51,18 @@ object TopK {
   implicit val eventRowSeqEnc: Encoder[Seq[EventRow]] = ExpressionEncoder[Seq[EventRow]]()
 
   def eventsTopK(k: Int): TopK[EventRow] = new TopK[EventRow](k, byValueDesc)
+
+  /** A (hash-key, id) pair for deterministic per-group sampling: keep
+    * the k smallest hash keys — a uniform, reproducible sample. */
+  final case class SampleRow(hk: String, doc_id: Long)
+
+  /** (hk asc, doc_id asc) — hash order, id as the (never-hit for
+    * distinct ids under md5) tiebreak. */
+  val byHashAsc: (SampleRow, SampleRow) => Boolean = (a, b) =>
+    a.hk < b.hk || (a.hk == b.hk && a.doc_id < b.doc_id)
+
+  implicit val sampleRowEnc: Encoder[SampleRow] = Encoders.product[SampleRow]
+  implicit val sampleRowSeqEnc: Encoder[Seq[SampleRow]] = ExpressionEncoder[Seq[SampleRow]]()
+
+  def hashSampleK(k: Int): TopK[SampleRow] = new TopK[SampleRow](k, byHashAsc)
 }

@@ -58,6 +58,30 @@ object EventOps {
         sum(valueDec).cast("double").as("sum_value"))
   }
 
+  /** Per-type z-score outliers: events whose value sits ≥ `z` standard
+    * deviations from their type's mean. Mean and E[X²] accumulate as
+    * DECIMAL sums (partial-aggregation-order-proof), variance =
+    * E[X²] − mean² computed with the IDENTICAL double expression on
+    * both engines so the rounded z-scores hash-match. The per-type
+    * stats frame is groups-sized → broadcast join back; one scan, one
+    * tiny shuffle. */
+  def valueOutliers(events: DataFrame, z: Double = 3.0): DataFrame = {
+    val stats = events.groupBy(col("event_type")).agg(
+      (sum(valueDec).cast("double") / count(lit(1))).as("mean"),
+      (sum((valueDec * valueDec).cast("decimal(28,4)")).cast("double") / count(lit(1)))
+        .as("meansq"))
+      .select(col("event_type"), col("mean"),
+        sqrt(col("meansq") - col("mean") * col("mean")).as("std"))
+    events
+      .join(broadcast(stats), Seq("event_type"))
+      // std = 0 (constant group) would make every z-score NaN, and BOTH
+      // engines order NaN above every number — guard explicitly
+      .filter(col("std") > 0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean")) / col("std"), 6).as("z_score"))
+      .filter(abs(col("z_score")) >= z)
+  }
+
   /** Cohort retention: users grouped by the week of their FIRST event
     * (the cohort), counted at every later week they were active, keyed
     * by week offset — the classic retention triangle.

@@ -579,6 +579,26 @@ object TextOps {
       .filter(col("sample_bucket") < pct)
   }
 
+  /** Fixed-SIZE deterministic sample per group: exactly `nPer` documents
+    * per language (fewer if the stratum is smaller), chosen by md5 hash
+    * order — "k examples per class", reproducible across runs and
+    * engines. Runs through the bounded [[graft.functions.TopK]]
+    * Aggregator, so each task ships ≤ `nPer` rows per language into the
+    * shuffle — no per-group sort of the full corpus, the same scale
+    * shape as [[graft.ops.EventOps.topKPerTypeAgg]]. Output includes the
+    * in-sample rank so downstream can take any prefix. */
+  def samplePerGroup(documents: DataFrame, nPer: Int = 20): DataFrame = {
+    require(nPer >= 1, s"sample size $nPer must be >= 1")
+    val pick = udaf(graft.functions.TopK.hashSampleK(nPer))
+    documents
+      .select(col("lang"), md5(col("doc_id").cast("string")).as("hk"), col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(pick(col("hk"), col("doc_id")).as("picked"))
+      .select(col("lang"), posexplode(col("picked")).as(Seq("i", "p")))
+      .select(col("lang"), col("p.doc_id").as("doc_id"),
+        (col("i") + 1).cast("int").as("sample_rank"))
+  }
+
   /** Top TF-IDF terms per document: term frequency from one
     * (doc, token) aggregation, document frequency from a token-grain
     * aggregation over the same exploded frame, smoothed IDF

@@ -153,6 +153,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
   }
 
+  test("per-group hash sample equals the window formulation and caps at k") {
+    val viaAgg = TextOps.samplePerGroup(docs, nPer = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+    val viaWindow = docs
+      .select(col("lang"), md5(col("doc_id").cast("string")).as("hk"), col("doc_id"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= 7)
+      .select("lang", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg == viaWindow)
+    val perLang = viaAgg.groupBy(_._1).map { case (l, xs) => l -> xs.size }
+    assert(perLang.values.forall(_ <= 7) && perLang.values.exists(_ == 7))
+    // determinism across runs
+    assert(TextOps.samplePerGroup(docs, nPer = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet == viaAgg)
+  }
+
   test("sequence packing is a correct global prefix sum, invariant to bucket count") {
     val s = spark
     import s.implicits._

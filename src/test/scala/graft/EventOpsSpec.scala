@@ -34,6 +34,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(total == events.count())
   }
 
+  test("z-score outliers flag exactly the planted extreme values") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    // 20 values at 10.0 +- 1 and one at 100: only the spike is >= 3 sigma
+    val rows = (1 to 10).map(i => (i.toLong, t(i), 1L, "a", 9.0, "{}")) ++
+      (11 to 20).map(i => (i.toLong, t(i), 1L, "a", 11.0, "{}")) :+
+      (21L, t(21), 1L, "a", 100.0, "{}")
+    val fixture = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.valueOutliers(fixture).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("event_id") == 21L)
+    assert(out.head.getAs[Double]("z_score") > 4.0)
+    // conservation: every event of a type with zero variance is dropped, not NaN-flagged
+    val flat = Seq((1L, t(1), 1L, "b", 5.0, "{}"), (2L, t(2), 1L, "b", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(EventOps.valueOutliers(flat).collect().isEmpty)
+  }
+
   test("retention cohorts count users at each week offset") {
     val s = spark
     import s.implicits._
