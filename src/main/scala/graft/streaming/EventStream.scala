@@ -82,6 +82,16 @@ object EventStream {
         col("value"), col("view_id"), col("view_ts"))
   }
 
+  /** Stream-static enrichment: a streaming fact joined to a batch
+    * dimension. The static side needs NO watermark and holds NO join
+    * state — Spark re-plans it per micro-batch (so a dimension refresh
+    * is picked up on the next batch) and broadcasts it when small, the
+    * standard dimension-lookup shape for an ingest pipeline. Left join:
+    * facts without a dimension row pass through with nulls rather than
+    * silently dropping. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Streaming exact dedup on a key, with state bounded by the
     * watermark: `dropDuplicatesWithinWatermark` keeps each seen key only
     * until the watermark passes its event time, so the dedup map is

@@ -114,6 +114,24 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment attaches dimension rows, nulls for misses") {
+    val s = spark
+    import s.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val input = MemoryStream[EvId](s)
+    val q = EventStream.enrich(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData(
+        EvId(1, ts("2024-05-01 10:00:00"), 1, "view", 2.0),
+        EvId(2, ts("2024-05-01 10:01:00"), 9, "view", 1.0)) // no dim row
+      q.processAllAvailable()
+      val got = spark.table("enriched").select("event_id", "segment").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> None), s"got $got")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivered event ids") {
     val s = spark
     import s.implicits._
