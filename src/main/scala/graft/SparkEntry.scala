@@ -192,6 +192,9 @@ object SparkEntry {
     // IVF path: data-adaptive coarse quantizer (Lloyd-refined) — rows-only;
     // VectorOpsSpec asserts exact agreement with brute force at full probe
     "ann_ivf" -> ((s, dir) => VectorOps.annIvf(Tables.embeddings(s, dir))),
+    // PQ path: asymmetric-distance over trained codebooks — rows-only;
+    // VectorOpsSpec pins rerank=∞ ≡ brute force and recall at the budget
+    "ann_pq" -> ((s, dir) => VectorOps.annPq(Tables.embeddings(s, dir))),
     // -- TPC-H-shaped analytics over the star schema
     "pricing_summary" -> ((s, dir) => Analytics.pricingSummary(s, dir)),
     "revenue_by_nation" -> ((s, dir) => Analytics.revenueByNation(s, dir)),

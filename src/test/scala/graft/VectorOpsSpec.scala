@@ -104,6 +104,35 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(ivf == bf)
   }
 
+  test("PQ with rerank over the whole corpus degrades to exact brute force") {
+    val bf = VectorOps.annBruteForce(fixture, nQueries = 5, k = 5)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pq = VectorOps.annPq(fixture, nQueries = 5, k = 5, rerank = 1000)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pq == bf)
+  }
+
+  test("PQ finds the planted twins as top-1 at the default rerank budget") {
+    val top1 = VectorOps.annPq(fixture, nQueries = 5, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach { i =>
+      assert(top1(i.toLong) == 100L + i, s"query $i -> ${top1(i.toLong)}")
+    }
+  }
+
+  test("PQ recall@5 vs brute force stays high at the default budget") {
+    val bf = VectorOps.annBruteForce(fixture, nQueries = 5, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorOps.annPq(fixture, nQueries = 5, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("LSH-blocked all-pairs near-dup recovers the exact pairs at cos >= 0.9") {
     val exact = VectorOps.nearDupEmbedding(fixture, minCos = 0.9)
       .select("vec_a", "vec_b").collect()
