@@ -114,6 +114,8 @@ object SparkEntry {
     "doc_sample" -> ((s, dir) => TextOps.sampleStratified(Tables.documents(s, dir))),
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
     "doc_sample_k" -> ((s, dir) => TextOps.samplePerGroup(Tables.documents(s, dir))),
+    "corpus_keep" -> ((s, dir) => TextOps.corpusCuration(Tables.documents(s, dir))),
+    "doc_embed_hash" -> ((s, dir) => TextOps.docEmbedHash(Tables.documents(s, dir))),
     "doc_chunks" -> ((s, dir) => TextOps.docChunks(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir))),
     "doc_top_terms" -> ((s, dir) => TextOps.docTopTerms(Tables.documents(s, dir))),
@@ -565,6 +567,54 @@ object SparkEntry {
       s"""WITH $jaccardPairsCtes
          |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard FROM jacc_pairs
          |WHERE jaccard >= 0.8 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin,
+    "corpus_keep" ->
+      s"""WITH $jaccardPairsCtes,
+         |q AS (
+         |  SELECT doc_id,
+         |    ((len(t) BETWEEN 20 AND 100000)::int
+         |     + (round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) >= 0.001)::int
+         |     + (round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) <= 0.2)::int
+         |     + (round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) <= 0.3)::int
+         |     >= 3)::int AS quality_ok
+         |  FROM toks WHERE doc_id % 10 <> 0),
+         |canon AS (
+         |  SELECT doc_id,
+         |    (doc_id = min(doc_id) OVER (PARTITION BY md5(norm)))::int AS canonical
+         |  FROM toks),
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM jacc_pairs
+         |           WHERE jaccard >= 0.8),
+         |sh5 AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN list_distinct(list_transform(
+         |      generate_series(1, len(t)-4),
+         |      i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT))
+         |    ELSE []::BIGINT[] END AS s
+         |  FROM toks),
+         |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh5 WHERE doc_id % 10 = 0),
+         |coll AS (
+         |  SELECT c.doc_id, count(*) AS n_collisions
+         |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh5 WHERE doc_id % 10 <> 0) c
+         |  JOIN ev USING (shingle) GROUP BY 1)
+         |SELECT doc_id, quality_ok, canonical,
+         |  CASE WHEN losers.doc_id IS NULL THEN 1 ELSE 0 END AS neardup_ok,
+         |  (coalesce(n_collisions, 0) = 0)::int AS clean,
+         |  quality_ok * canonical
+         |    * (CASE WHEN losers.doc_id IS NULL THEN 1 ELSE 0 END)
+         |    * (coalesce(n_collisions, 0) = 0)::int AS keep
+         |FROM q JOIN canon USING (doc_id)
+         |LEFT JOIN losers USING (doc_id)
+         |LEFT JOIN coll USING (doc_id)""".stripMargin,
+    "doc_embed_hash" ->
+      s"""WITH $toksCte,
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+         |  GROUP BY 1, 2),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hk, tf
+         |      FROM tf)
+         |SELECT doc_id, (hk % 64)::int AS dim,
+         |  sum(((hk >> 32) % 2 * 2 - 1) * tf)::BIGINT AS weight
+         |FROM h GROUP BY 1, 2
+         |HAVING sum(((hk >> 32) % 2 * 2 - 1) * tf) <> 0""".stripMargin,
     "doc_sample_k" ->
       """WITH s AS (
         |  SELECT lang, doc_id,

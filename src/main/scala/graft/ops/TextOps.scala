@@ -579,6 +579,47 @@ object TextOps {
       .filter(col("sample_bucket") < pct)
   }
 
+  /** End-to-end corpus curation: the composed keep/drop decision a
+    * pretraining data pipeline actually ships — per (non-eval) document,
+    * four independent flags and their conjunction:
+    *
+    *  - `quality_ok`: [[docQuality]] score ≥ 0.75 (≥ 3 of 4 rules pass)
+    *  - `canonical`: the document IS the min-id member of its exact
+    *    [[fingerprint]] group (others are byte-dup copies)
+    *  - `neardup_ok`: not dropped by the greedy [[nearDupKeep]] rule
+    *    (never the larger id of a qualifying jaccard pair)
+    *  - `clean`: zero 5-gram collisions with the eval slice
+    *    ([[decontaminate]], doc_id % 10 = 0 plays the benchmark)
+    *
+    * Dedup flags are computed CORPUS-WIDE (an eval copy of a document
+    * still disqualifies the train copy from canonical), contamination
+    * only against the eval slice. Every stage is a doc_id-keyed frame,
+    * so the flag joins co-partition; nothing joins wider than
+    * (doc_id, flag). */
+  def corpusCuration(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val corpus = documents.filter(col("doc_id") % 10 =!= 0)
+    val evalSet = documents.filter(col("doc_id") % 10 === 0)
+    val quality = docQuality(corpus).select(col("doc_id"),
+      (col("quality_score") >= 0.75).cast("int").as("quality_ok"))
+    val canon = documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("canonical",
+        (col("doc_id") === min(col("doc_id")).over(w)).cast("int"))
+      .select(col("doc_id"), col("canonical"))
+    val losers = nearDupJaccard(documents)
+      .select(col("doc_b").as("doc_id")).distinct().withColumn("nd_drop", lit(1))
+    val clean = decontaminate(corpus, evalSet).select(col("doc_id"),
+      (col("contaminated") === 0).cast("int").as("clean"))
+    quality
+      .join(canon, Seq("doc_id"))
+      .join(clean, Seq("doc_id"))
+      .join(losers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_ok"), col("canonical"),
+        when(col("nd_drop").isNull, 1).otherwise(0).as("neardup_ok"), col("clean"))
+      .withColumn("keep",
+        col("quality_ok") * col("canonical") * col("neardup_ok") * col("clean"))
+  }
+
   /** Fixed-SIZE deterministic sample per group: exactly `nPer` documents
     * per language (fewer if the stratum is smaller), chosen by md5 hash
     * order — "k examples per class", reproducible across runs and
@@ -597,6 +638,27 @@ object TextOps {
       .select(col("lang"), posexplode(col("picked")).as(Seq("i", "p")))
       .select(col("lang"), col("p.doc_id").as("doc_id"),
         (col("i") + 1).cast("int").as("sample_rank"))
+  }
+
+  /** Feature-hashing document embedding (the hashing trick): each token
+    * maps to dimension `md5₆₀(token) mod dims` with a ±1 sign drawn
+    * from an independent hash bit, weights = signed term frequency —
+    * the deterministic, vocabulary-free text→vector bridge (sparse
+    * (doc, dim, weight) rows; zero-weight dims stay absent). No trained
+    * state, no driver round-trip, two shuffles ((doc, token) grain then
+    * (doc, dim)); the portable 60-bit md5 means the DuckDB oracle
+    * hashes identically. */
+  def docEmbedHash(documents: DataFrame, dims: Int = 64): DataFrame = {
+    require(dims >= 1, s"dims=$dims must be >= 1")
+    val hk = conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long")
+    documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), pmod(hk, lit(dims)).cast("int").as("dim"),
+        // sign bit comes from hk >> 32 — independent of the dim modulus
+        ((pmod(shiftright(hk, 32), lit(2)) * 2 - 1) * col("tf")).as("contrib"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("contrib")).as("weight"))
+      .filter(col("weight") =!= 0)
   }
 
   /** Top TF-IDF terms per document: term frequency from one

@@ -201,18 +201,24 @@ object VectorOps {
     * 8 bytes a row — and skip the encode scan. */
   def annPq(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
       m: Int = 8, ks: Int = 16, iters: Int = 1, rerank: Int = 50,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, trainMod: Int = 4): DataFrame = {
     require(dims % m == 0, s"m=$m must divide dims=$dims")
+    require(trainMod >= 1, s"trainMod=$trainMod must be >= 1")
     val sub = dims / m
     val p = prepared(embeddings)
     // PQ for cosine encodes UNIT vectors; queries use their exact form
     val pn = p.select(col("vec_id"),
       transform(col("vd"), x => x / col("nrm")).as("vdn"))
     def subvec(v: Column, j: Int) = slice(v, j * sub + 1, sub)
+    // Codebooks train on a deterministic 1/trainMod corpus slice — the
+    // standard practice (a few ×10⁴ vectors saturate ks-sized codebooks;
+    // training on all of a 100 TB corpus buys nothing but a full extra
+    // scan). Encoding still covers every vector.
+    val train = pn.filter(col("vec_id") % trainMod === 0)
 
     // ---- train: codebook cb(j)(c), seeded from the ks lowest-id vectors
     var cb: Array[Array[Array[Double]]] = {
-      val seeds = pn.orderBy(col("vec_id")).limit(ks).select(col("vdn"))
+      val seeds = train.orderBy(col("vec_id")).limit(ks).select(col("vdn"))
         .collect().map(_.getSeq[Double](0).toArray)
       Array.tabulate(m)(j => seeds.map(v => v.slice(j * sub, (j + 1) * sub)))
     }
@@ -229,7 +235,7 @@ object VectorOps {
       element_at(array_sort(array(cands: _*)), 1).getField("cid")
     }
     for (_ <- 1 to iters) {
-      val assigned = pn.select(
+      val assigned = train.select(
         explode(array((0 until m).map(j =>
           struct(lit(j).as("j"), assignExpr(col("vdn"), j).as("cid"),
             subvec(col("vdn"), j).as("sv"))): _*)).as("a"))

@@ -153,6 +153,47 @@ class DedupSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
   }
 
+  test("hashed embeddings: identical texts map identically, weights conserve tf") {
+    val s = spark
+    import s.implicits._
+    val fixture = Seq(
+      (1L, "alpha beta alpha"), (2L, "alpha beta alpha"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val out = TextOps.docEmbedHash(fixture).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.map(x => (x._2, x._3)).toSet }
+    assert(byDoc(1L) == byDoc(2L), "same text must embed identically")
+    // |weights| of doc 1 sum to at most its token count (equality unless
+    // two of its tokens collide on a dim with opposite signs)
+    assert(byDoc(1L).toSeq.map(w => math.abs(w._2)).sum <= 3)
+    assert(byDoc(3L).size == 1 && math.abs(byDoc(3L).head._2) == 1)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 64 && r._3 != 0))
+  }
+
+  test("curation flags agree with the constituent operators, keep is their conjunction") {
+    val out = TextOps.corpusCuration(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .toMap
+    // internal consistency: keep == product of flags, rows = non-eval docs
+    assert(out.values.forall { case (q, c, n, cl, k) => k == q * c * n * cl })
+    assert(out.keySet == docs.filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // cross-check each flag against the standalone operator
+    val qualityOk = TextOps.docQuality(docs.filter(col("doc_id") % 10 =!= 0))
+      .filter(col("quality_score") >= 0.75)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._2._1 == 1).keySet == qualityOk)
+    val losers = TextOps.nearDupJaccard(docs)
+      .select("doc_b").distinct().collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._2._3 == 0).keySet == losers.intersect(out.keySet))
+    val contaminated = TextOps.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+      .filter(col("contaminated") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._2._4 == 0).keySet == contaminated)
+    assert(out.values.exists(_._5 == 1) && out.values.exists(_._5 == 0))
+  }
+
   test("per-group hash sample equals the window formulation and caps at k") {
     val viaAgg = TextOps.samplePerGroup(docs, nPer = 7).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
