@@ -111,6 +111,7 @@ object SparkEntry {
     "neardup_jaccard" -> ((s, dir) => TextOps.nearDupJaccard(Tables.documents(s, dir))),
     "neardup_keep" -> ((s, dir) => TextOps.nearDupKeep(Tables.documents(s, dir))),
     "neardup_clusters" -> ((s, dir) => TextOps.nearDupClusters(Tables.documents(s, dir))),
+    "neardup_pagerank" -> ((s, dir) => TextOps.nearDupPageRank(Tables.documents(s, dir))),
     "doc_sample" -> ((s, dir) => TextOps.sampleStratified(Tables.documents(s, dir))),
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
     "doc_sample_k" -> ((s, dir) => TextOps.samplePerGroup(Tables.documents(s, dir))),
@@ -567,6 +568,24 @@ object SparkEntry {
       s"""WITH $jaccardPairsCtes
          |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard FROM jacc_pairs
          |WHERE jaccard >= 0.8 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin,
+    "neardup_pagerank" -> {
+      // the same unrolled rounds the Spark side runs; damping 0.75 and
+      // teleport 0.25 are exact in binary and decimal, so both engines
+      // hold identical constants however the literal is parsed
+      val rounds = (1 to 5).map(t =>
+        s"""r$t AS (
+           |  SELECT e.dst AS id, 0.25 + 0.75 * sum(r.rank / d.deg) AS rank
+           |  FROM r${t - 1} r JOIN deg d ON r.id = d.id JOIN edges e ON r.id = e.src
+           |  GROUP BY 1)""".stripMargin).mkString(",\n")
+      s"""WITH $jaccardPairsCtes,
+         |qp AS (SELECT doc_a, doc_b FROM jacc_pairs WHERE jaccard >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM qp
+         |          UNION ALL SELECT doc_b, doc_a FROM qp),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT id, 1.0 AS rank FROM deg),
+         |$rounds
+         |SELECT id AS doc_id, round(rank, 6) AS rank FROM r5""".stripMargin
+    },
     "corpus_keep" ->
       s"""WITH $jaccardPairsCtes,
          |q AS (

@@ -561,6 +561,45 @@ object TextOps {
         md5(concat_ws(" ", slice(col("t"), start, lit(chunkLen)))).as("chunk_md5"))
   }
 
+  /** PageRank over the near-dup similarity graph: which documents sit at
+    * the CENTER of duplication clusters (high rank = many/central
+    * near-dup relations — the doc to keep, or to inspect, when a
+    * cluster is large). Fixed `iters` rounds of
+    * `r' = (1−d) + d·Σ_incoming r/deg` over the symmetric pair graph —
+    * a FIXED iteration count, so the whole computation is one linear
+    * plan of join+agg stages (no driver loop, no convergence probes,
+    * no checkpoints; Spark executes all rounds in a single job).
+    * Every node of a symmetric graph has in-edges, so there is no
+    * dangling-mass term. Per round the work is |edges| message rows —
+    * the scalable message-passing shape. Deterministic: the only
+    * float accumulation is a per-node sum, and ranks round to 6dp
+    * (asserted against a DuckDB oracle running the same unrolled
+    * rounds). */
+  def nearDupPageRank(documents: DataFrame, k: Int = 3,
+      minJaccard: Double = 0.8, maxDf: Int = 100, iters: Int = 5,
+      // 0.75: exact in binary AND decimal, so the teleport constant is
+      // the same bit pattern whether an engine parses it as DOUBLE or
+      // DECIMAL (0.85 would differ by 1 ulp between the two routes)
+      damping: Double = 0.75): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val pairs = nearDupJaccard(documents, k, minJaccard, maxDf)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // reused every round: materialize once
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = ranks
+        .join(deg, Seq("id"))
+        .join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("contrib"))
+        .groupBy(col("id"))
+        .agg((lit(1.0 - damping) + lit(damping) * sum(col("contrib"))).as("rank"))
+    }
+    ranks.select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
+  }
+
   /** Deterministic hash-stratified sampling: keep a document iff the
     * first 16 bits of `md5(doc_id)` mod 100 fall under its stratum's
     * percentage — the standard reproducible corpus downsampler (no RNG

@@ -153,6 +153,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "cluster_id", "cluster_size"))
   }
 
+  test("pagerank: cluster centers outrank leaves; ranks are deterministic") {
+    val s = spark
+    import s.implicits._
+    // path: consecutive windows overlap (~0.65 jaccard), two apart don't
+    // (~0.43) — so 10 is the center of 11-10-12; plus an isolated pair
+    val words = (0 until 60).map(i => s"tok$i")
+    def win(i: Int) = words.slice(6 * i, 6 * i + 30).mkString(" ")
+    val fixture = Seq(
+      (10L, win(1)), (11L, win(0)), (12L, win(2)), // 10 is the center
+      (20L, (200 until 230).map(i => s"w$i").mkString(" ")),
+      (21L, (200 until 229).map(i => s"w$i").mkString(" ") + " w999"))
+      .toDF("doc_id", "text")
+    val pr = TextOps.nearDupPageRank(fixture, minJaccard = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(10L, 11L, 12L, 20L, 21L))
+    assert(pr(10L) > pr(11L) && pr(10L) > pr(12L),
+      s"center must outrank leaves: $pr")
+    assert(pr(11L) == pr(12L), "symmetric leaves must tie")
+    assert(pr(20L) == pr(21L), "an isolated pair splits rank evenly")
+    assert(TextOps.nearDupPageRank(fixture, minJaccard = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap == pr)
+  }
+
   test("hashed embeddings: identical texts map identically, weights conserve tf") {
     val s = spark
     import s.implicits._
