@@ -142,6 +142,7 @@ object SparkEntry {
     "events_hourly" -> ((s, dir) => EventOps.hourlyRollup(Tables.events(s, dir))),
     "events_sliding" -> ((s, dir) => EventOps.slidingRollup(Tables.events(s, dir))),
     "events_outliers" -> ((s, dir) => EventOps.valueOutliers(Tables.events(s, dir))),
+    "events_rolling" -> ((s, dir) => EventOps.rollingDaily(Tables.events(s, dir))),
     "events_retention" -> ((s, dir) => EventOps.retention(Tables.events(s, dir))),
     "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     "events_json" -> ((s, dir) => EventOps.jsonPropStats(Tables.events(s, dir))),
@@ -172,6 +173,16 @@ object SparkEntry {
           .select("event_id", "ts", "user_id"),
         key = "user_id", leftTs = "ts", rightTs = "ts",
         rightCols = Seq("event_id", "ts"))
+    }),
+    "events_asof_fwd" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.ops.AsOfJoin.asOf(
+        e.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id", "value"),
+        e.filter(col("event_type") === "view")
+          .select("event_id", "ts", "user_id"),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("event_id", "ts"), direction = "forward")
     }),
     "events_journey" -> ((s, dir) => EventOps.userJourney(Tables.events(s, dir))),
     "events_in_windows" -> ((s, dir) => EventOps.eventsInActiveWindows(Tables.events(s, dir))),
@@ -719,6 +730,20 @@ object SparkEntry {
          |  COUNT(DISTINCT user_id) AS n_users,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM wins GROUP BY 1""".stripMargin,
+    "events_rolling" ->
+      s"""WITH $eventsCte,
+         |d AS (
+         |  SELECT event_type, date_trunc('day', ts)::date AS day,
+         |    count(*) AS n_events,
+         |    SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+         |  FROM e GROUP BY 1, 2),
+         |o AS (SELECT *, day - DATE '1970-01-01' AS day_ord FROM d)
+         |SELECT event_type, day, n_events,
+         |  CAST(sum_dec AS DOUBLE) AS sum_value,
+         |  (sum(n_events) OVER w)::BIGINT AS roll_events,
+         |  CAST(sum(sum_dec) OVER w AS DOUBLE) AS roll_value
+         |FROM o WINDOW w AS (PARTITION BY event_type ORDER BY day_ord
+         |                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "events_retention" ->
       s"""WITH $eventsCte,
          |uw AS (SELECT DISTINCT user_id, date_trunc('week', ts)::date AS week FROM e),
@@ -854,6 +879,13 @@ object SparkEntry {
          |SELECT p.user_id, p.event_id, p.ts, p.value,
          |       v.event_id AS asof_event_id, v.ts AS asof_ts
          |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+    "events_asof_fwd" ->
+      s"""WITH $eventsCte,
+         |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view')
+         |SELECT p.user_id, p.event_id, p.ts, p.value,
+         |       v.event_id AS asof_event_id, v.ts AS asof_ts
+         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts""".stripMargin,
     "events_journey" ->
       s"""WITH $eventsCte
          |SELECT user_id, event_id, event_type, ts,

@@ -23,14 +23,22 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param rightCols right-side value columns carried onto left rows
-    *                   (null when no right row is ≤ the left timestamp) */
+    *                   (null when no right row is ≤ the left timestamp)
+    * @param direction `"backward"` (default): latest right row with
+    *                  `rightTs <= leftTs`; `"forward"`: EARLIEST right
+    *                  row with `rightTs >= leftTs` — the same one-
+    *                  shuffle union plan traversed in reverse ts order,
+    *                  not a second algorithm */
   def asOf(
       left: DataFrame,
       right: DataFrame,
       key: String,
       leftTs: String,
       rightTs: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
@@ -46,8 +54,11 @@ object AsOfJoin {
         rightCols.map(c => col(c).as(s"r_$c")): _*)
 
     // right (__side=0) sorts before left (__side=1) at equal __ts ⇒
-    // a right row at exactly leftTs is visible to that left row
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+    // a right row at exactly leftTs is visible to that left row; the
+    // forward direction walks ts DESCENDING so "last right seen" is the
+    // earliest right row at-or-after the left timestamp
+    val tsOrder = if (direction == "backward") col("__ts").asc else col("__ts").desc
+    val w = Window.partitionBy(col(key)).orderBy(tsOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.foldLeft(leftTagged.unionByName(rightTagged)) {
       (df, c) => df.withColumn(s"r_$c", last(col(s"r_$c"), ignoreNulls = true).over(w))

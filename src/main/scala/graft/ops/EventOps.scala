@@ -58,6 +58,27 @@ object EventOps {
         sum(valueDec).cast("double").as("sum_value"))
   }
 
+  /** Trailing `windowDays`-day rolling totals per event type: daily
+    * pre-aggregation, then a RANGE window frame over the day ordinal —
+    * range (value-based) framing, not row counting, so calendar GAPS
+    * stay out of the trailing window (a `rowsBetween` frame would
+    * silently reach past them; asserted in the spec). The window
+    * partitions by type after a day-grain pre-agg, so it sorts
+    * |types × days| rows, never raw events. */
+  def rollingDaily(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays=$windowDays must be >= 1")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_ord"))
+      .rangeBetween(-(windowDays - 1), Window.currentRow)
+    events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"), sum(valueDec).as("sum_dec"))
+      .withColumn("day_ord", datediff(col("day"), to_date(lit("1970-01-01"))))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"),
+        sum(col("n_events")).over(w).as("roll_events"),
+        sum(col("sum_dec")).over(w).cast("double").as("roll_value"))
+  }
+
   /** Per-type z-score outliers: events whose value sits ≥ `z` standard
     * deviations from their type's mean. Mean and E[X²] accumulate as
     * DECIMAL sums (partial-aggregation-order-proof), variance =

@@ -30,6 +30,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("T3").isEmpty)            // sym 2 quote is after the trade
   }
 
+  test("forward direction picks the earliest right row at or after the left timestamp") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq(
+      (1L, t(10), "T1"), (1L, t(20), "T2"), (1L, t(5), "T0"),
+      (2L, t(12), "T3"))
+      .toDF("sym", "ts", "trade")
+    val quotes = Seq(
+      (1L, t(8), 100.0), (1L, t(10), 101.0), (1L, t(15), 102.0),
+      (2L, t(11), 200.0))
+      .toDF("sym", "ts", "px")
+    val out = AsOfJoin.asOf(trades, quotes, "sym", "ts", "ts", Seq("px"),
+      direction = "forward")
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out("T0").contains(100.0))    // earliest ≥ t(5)
+    assert(out("T1").contains(101.0))    // equal-ts quote matches
+    assert(out("T2").isEmpty)            // nothing after t(20)
+    assert(out("T3").isEmpty)            // sym 2 quote precedes the trade
+  }
+
   test("every left row survives exactly once") {
     val e = Tables.events(spark, "/root/testdata/sf0.001")
     import org.apache.spark.sql.functions.col

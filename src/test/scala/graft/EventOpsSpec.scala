@@ -34,6 +34,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(total == events.count())
   }
 
+  test("rolling range frame skips calendar gaps a row frame would cross") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int) = new Timestamp(java.time.LocalDate.of(2024, 3, 1).plusDays(day)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    // days 0, 1, then a gap to day 20 — the trailing 7-day window at
+    // day 20 must contain only day 20 itself
+    val fixture = Seq(
+      (1L, t(0), 1L, "a", 10.0, "{}"), (2L, t(1), 1L, "a", 20.0, "{}"),
+      (3L, t(20), 1L, "a", 40.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.rollingDaily(fixture).collect()
+      .map(r => r.getDate(1).toString -> (r.getLong(4), r.getDouble(5))).toMap
+    assert(out("2024-03-01") == ((1L, 10.0)))
+    assert(out("2024-03-02") == ((2L, 30.0)), "day 2 accumulates day 1")
+    assert(out("2024-03-21") == ((1L, 40.0)), s"gap must reset the range frame: $out")
+  }
+
   test("z-score outliers flag exactly the planted extreme values") {
     val s = spark
     import s.implicits._
