@@ -159,6 +159,7 @@ object SparkEntry {
     "events_percentiles_approx" -> ((s, dir) =>
       EventOps.valuePercentilesApprox(Tables.events(s, dir))),
     "events_cube" -> ((s, dir) => EventOps.cubeByTypeDay(Tables.events(s, dir))),
+    "events_histogram" -> ((s, dir) => EventOps.valueHistogram(Tables.events(s, dir))),
     "events_ranks" -> ((s, dir) => EventOps.valueRanks(Tables.events(s, dir))),
     "events_extremes" -> ((s, dir) => EventOps.extremesByType(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) => EventOps.pivotByType(Tables.events(s, dir))),
@@ -217,6 +218,22 @@ object SparkEntry {
     "supplier_diversity" -> ((s, dir) => Analytics.supplierDiversity(s, dir)),
     "top_part_per_brand" -> ((s, dir) => Analytics.topPartPerBrand(s, dir)),
     "full_outer_days" -> ((s, dir) => Analytics.activityCalendar(s, dir)),
+    // SCD-2 dimension history: per-customer order-status change log
+    "scd2_status" -> ((s, dir) =>
+      graft.ops.Scd.scd2(
+        Tables.orders(s, dir)
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"),
+        key = "o_custkey", orderCol = "o_orderdate", tieBreak = "o_orderkey",
+        tracked = Seq("o_orderstatus"))
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"),
+          col("effective_from"), col("effective_to"),
+          col("version"), col("is_current"))),
+    // column-level data-quality profile of the landed orders table
+    "profile_orders" -> ((s, dir) =>
+      graft.ops.Profile.profile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))),
     // skew-salted join exercised end-to-end: results are salt-invariant,
     // so the oracle is the PLAIN join — only the shuffle layout differs
     "skew_join_agg" -> ((s, dir) => {
@@ -804,6 +821,40 @@ object SparkEntry {
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          |  GROUPING(event_type, date_trunc('day', ts)::date) AS grouping_level
          |FROM e GROUP BY CUBE(1, 2)""".stripMargin,
+    "events_histogram" ->
+      s"""WITH $eventsCte,
+         |b AS (SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, value FROM e)
+         |SELECT event_type, bin, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  bin * 50.0 AS bin_lo
+         |FROM b GROUP BY 1, 2""".stripMargin,
+    "scd2_status" ->
+      """WITH src AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM orders),
+        |lagged AS (
+        |  SELECT *, lag(o_orderstatus) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM src),
+        |chg AS (SELECT * FROM lagged WHERE prev IS DISTINCT FROM o_orderstatus)
+        |SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |       o_orderdate AS effective_from,
+        |       lead(o_orderdate) OVER w AS effective_to,
+        |       CAST(row_number() OVER w AS INT) AS version,
+        |       CAST((lead(o_orderdate) OVER w IS NULL) AS INT) AS is_current
+        |FROM chg WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "profile_orders" -> {
+      val canon = Map("o_totalprice" -> ((e: String) => s"CAST($e AS DECIMAL(18,2))"))
+        .withDefaultValue((e: String) => e)
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  COUNT(*) FILTER (WHERE $c IS NULL) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(${canon(c)(s"MIN($c)")} AS VARCHAR) AS min_str,
+           |  CAST(${canon(c)(s"MAX($c)")} AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "")
+    },
     "events_funnel" ->
       s"""WITH $eventsCte,
          |s1 AS (SELECT user_id, MIN(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -79,6 +79,22 @@ object EventOps {
         sum(col("sum_dec")).over(w).cast("double").as("roll_value"))
   }
 
+  /** Fixed-width value histogram per event type: bin = `floor(value /
+    * width)`, one map-side-combined aggregation on (type, bin). The bin
+    * arithmetic is pure IEEE double ops (divide, floor), so both engines
+    * bin identically — no boundary drift. Output is |types × occupied
+    * bins| rows regardless of input size: the distribution profile that
+    * stays tiny at 100 TB. */
+  def valueHistogram(events: DataFrame, width: Double = 50.0): DataFrame = {
+    require(width > 0, s"width=$width must be > 0")
+    events
+      .groupBy(col("event_type"),
+        floor(col("value") / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(valueDec).cast("double").as("sum_value"))
+      .withColumn("bin_lo", col("bin") * width)
+  }
+
   /** Per-type z-score outliers: events whose value sits ≥ `z` standard
     * deviations from their type's mean. Mean and E[X²] accumulate as
     * DECIMAL sums (partial-aggregation-order-proof), variance =

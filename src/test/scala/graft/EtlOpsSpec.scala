@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{EventOps, Profile, Scd}
+import TestSpark._
+
+class EtlOpsSpec extends AnyFunSuite {
+
+  private def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  test("scd2 collapses runs and chains half-open validity intervals") {
+    val s = spark
+    import s.implicits._
+    // customer 10: O,O,F,O — the repeated O collapses, the later O reopens;
+    // customer 20: one row only
+    val log = Seq(
+      (10L, 1L, t("2024-01-01"), "O"),
+      (10L, 2L, t("2024-01-05"), "O"),
+      (10L, 3L, t("2024-02-01"), "F"),
+      (10L, 4L, t("2024-03-01"), "O"),
+      (20L, 5L, t("2024-01-10"), "F"))
+      .toDF("custkey", "okey", "odate", "status")
+    val out = Scd.scd2(log, "custkey", "odate", "okey", Seq("status"))
+      .orderBy("custkey", "version").collect()
+    assert(out.length == 4)
+    val c10 = out.take(3).map(r => (
+      r.getAs[String]("status"),
+      r.getAs[Timestamp]("effective_from"),
+      r.getAs[Timestamp]("effective_to"),
+      r.getAs[Int]("version"),
+      r.getAs[Int]("is_current")))
+    assert(c10(0) == (("O", t("2024-01-01"), t("2024-02-01"), 1, 0)))
+    assert(c10(1) == (("F", t("2024-02-01"), t("2024-03-01"), 2, 0)))
+    assert(c10(2) == (("O", t("2024-03-01"), null, 3, 1)))
+    assert(out(3).getAs[Int]("version") == 1 && out(3).getAs[Int]("is_current") == 1)
+  }
+
+  test("scd2 counts null-to-value and value-to-null as changes") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      (1L, 1L, t("2024-01-01"), Option.empty[String]),
+      (1L, 2L, t("2024-01-02"), Some("A")),
+      (1L, 3L, t("2024-01-03"), Option.empty[String]),
+      (1L, 4L, t("2024-01-04"), Option.empty[String]))
+      .toDF("k", "id", "d", "v")
+    val out = Scd.scd2(log, "k", "d", "id", Seq("v"))
+    assert(out.count() == 3) // null, A, null — the trailing null collapses
+    assert(out.filter(col("is_current") === 1).count() == 1)
+  }
+
+  test("scd2 intervals tile each key's timeline without overlap") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+    val out = Scd.scd2(orders, "o_custkey", "o_orderdate", "o_orderkey",
+      Seq("o_orderstatus")).cache()
+    try {
+      // exactly one open (current) version per key
+      val keys = out.select("o_custkey").distinct().count()
+      assert(out.filter(col("is_current") === 1).count() == keys)
+      // every closed interval ends where the next one starts, never before
+      assert(out.filter(col("effective_to") < col("effective_from")).isEmpty)
+      // versions are dense 1..n per key
+      val dense = out.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), max(col("version")).as("vmax"))
+        .filter(col("n") =!= col("vmax"))
+      assert(dense.isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("profile reports nulls, distincts, and typed min/max per column") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(9L), Some(100.0), Some("b")),
+      (Some(100L), None, Some("a")),
+      (None, Some(99.5), Some("a")))
+      .toDF("id", "price", "tag")
+    val rows = Profile.profile(df, Seq("id", "price", "tag"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(rows("id").getAs[Long]("n_rows") == 3)
+    assert(rows("id").getAs[Long]("n_null") == 1)
+    assert(rows("id").getAs[Long]("n_distinct") == 2)
+    // typed (numeric) min — NOT lexicographic, where "100" < "9"
+    assert(rows("id").getAs[String]("min_str") == "9")
+    assert(rows("id").getAs[String]("max_str") == "100")
+    // doubles canonicalize through DECIMAL(18,2)
+    assert(rows("price").getAs[String]("min_str") == "99.50")
+    assert(rows("price").getAs[String]("max_str") == "100.00")
+    assert(rows("tag").getAs[Long]("n_distinct") == 2)
+    assert(rows("tag").getAs[String]("min_str") == "a")
+  }
+
+  test("histogram bins partition the events and conserve the count") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val h = EventOps.valueHistogram(events).cache()
+    try {
+      assert(h.agg(sum("n_events")).head().getLong(0) == events.count())
+      // bin_lo is consistent with the bin ordinal
+      assert(h.filter(col("bin_lo") =!= col("bin") * 50.0).isEmpty)
+      // every event's value falls inside its bin's [lo, lo+width) interval
+      val joined = events.withColumn("bin", floor(col("value") / 50.0).cast("long"))
+        .join(h, Seq("event_type", "bin"))
+        .filter(col("value") < col("bin_lo") || col("value") >= col("bin_lo") + 50.0)
+      assert(joined.isEmpty)
+    } finally h.unpersist()
+  }
+
+  test("histogram handles negative values with floor (not truncation) binning") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", -0.5), (2L, "a", -50.0), (3L, "a", 0.0))
+      .toDF("event_id", "event_type", "value")
+    val bins = EventOps.valueHistogram(df)
+      .select("bin", "n_events").collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_events")).toMap
+    assert(bins == Map(-1L -> 2L, 0L -> 1L)) // -0.5 and -50.0 → bin -1
+  }
+}
