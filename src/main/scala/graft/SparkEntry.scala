@@ -117,6 +117,10 @@ object SparkEntry {
     "doc_sample_k" -> ((s, dir) => TextOps.samplePerGroup(Tables.documents(s, dir))),
     "corpus_keep" -> ((s, dir) => TextOps.corpusCuration(Tables.documents(s, dir))),
     "doc_embed_hash" -> ((s, dir) => TextOps.docEmbedHash(Tables.documents(s, dir))),
+    "corpus_mixture" -> ((s, dir) => TextOps.corpusMixture(Tables.documents(s, dir))),
+    "doc_sample_weighted" -> ((s, dir) => TextOps.sampleWeighted(Tables.documents(s, dir))),
+    "doc_search_bm25" -> ((s, dir) => TextOps.searchBm25(Tables.documents(s, dir))),
+    "dup_passages" -> ((s, dir) => TextOps.dupPassages(Tables.documents(s, dir))),
     "doc_chunks" -> ((s, dir) => TextOps.docChunks(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir))),
     "doc_top_terms" -> ((s, dir) => TextOps.docTopTerms(Tables.documents(s, dir))),
@@ -701,6 +705,64 @@ object SparkEntry {
          |  len(t[1+i*24 : i*24+32]) AS n_chunk_tokens,
          |  md5(array_to_string(t[1+i*24 : i*24+32], ' ')) AS chunk_md5
          |FROM toks, UNNEST(range(0, (len(t)-1)//24 + 1)) AS u(i)""".stripMargin,
+    "dup_passages" ->
+      s"""WITH $toksCte,
+         |ch AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(t[1+i*24 : i*24+32], ' ')) AS chunk_md5
+         |  FROM toks, UNNEST(range(0, (len(t)-1)//24 + 1)) AS u(i)
+         |  WHERE len(t[1+i*24 : i*24+32]) = 32)
+         |SELECT chunk_md5, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+         |FROM ch GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+    "corpus_mixture" ->
+      s"""WITH $toksCte,
+         |counts AS (
+         |  SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(len(tk.t)) AS BIGINT) AS n_tokens
+         |  FROM toks tk JOIN documents d USING (doc_id) GROUP BY 1),
+         |wgt AS (SELECT lang, n_docs, n_tokens,
+         |          CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,10)) AS w
+         |        FROM counts),
+         |tot AS (SELECT SUM(w) AS wt FROM wgt)
+         |SELECT lang, n_docs, n_tokens,
+         |  round(CAST(w AS DOUBLE) / CAST(wt AS DOUBLE), 6) AS mix_weight
+         |FROM wgt, tot""".stripMargin,
+    "doc_sample_weighted" ->
+      s"""WITH $toksCte,
+         |stats AS (
+         |  SELECT doc_id, len(t) AS n_tokens,
+         |    round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) AS stopword_ratio,
+         |    round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) AS punct_ratio,
+         |    round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) AS digit_ratio
+         |  FROM toks),
+         |q AS (SELECT doc_id,
+         |  round(((n_tokens BETWEEN 20 AND 100000)::int + (stopword_ratio >= 0.001)::int
+         |       + (punct_ratio <= 0.2)::int + (digit_ratio <= 0.3)::int)::double / 4, 6) AS quality_score
+         |  FROM stats),
+         |drawn AS (SELECT doc_id, quality_score,
+         |  CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS DOUBLE)
+         |    / 1152921504606846976.0::DOUBLE AS u
+         |  FROM q)
+         |SELECT doc_id, quality_score, u FROM drawn WHERE u < quality_score""".stripMargin,
+    "doc_search_bm25" ->
+      s"""WITH $toksCte,
+         |ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY 1),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex
+         |       WHERE token IN ('join', 'vector', 'stream') GROUP BY 1, 2),
+         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+         |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    CAST((ln(1.0::DOUBLE + (stats.n_docs - dfreq.df + 0.5::DOUBLE) / (dfreq.df + 0.5::DOUBLE))
+         |          * (tf.tf * (1.2::DOUBLE + 1)))
+         |        / (tf.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE)
+         |             + 0.75::DOUBLE * dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs)))
+         |      AS DECIMAL(28,12)) AS s
+         |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms_matched,
+         |  round(CAST(SUM(s) AS DOUBLE), 6) AS bm25
+         |FROM sc GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     "decontaminate" ->
       s"""WITH $toksCte,
          |sh5 AS (

@@ -700,6 +700,108 @@ object TextOps {
       .filter(col("weight") =!= 0)
   }
 
+  /** Domain-mixture sampling weights over `lang`: per-domain doc/token
+    * counts and the temperature-scaled mixture probability
+    * p_i ∝ n_tokens_i^α with α = 1/2 — the standard rebalancing between
+    * proportional (α=1) and uniform (α=0) domain sampling when
+    * assembling a multi-domain pretraining mix (exponent-smoothed
+    * sampling, mBERT-style). α is pinned to 1/2 deliberately: x^0.5 is
+    * `sqrt`, IEEE-754 correctly rounded in every engine, where a general
+    * `pow(x, α)` is only ~1-ulp and could flip the 6dp rounding
+    * cross-engine. The irrational weights pass through DECIMAL(28,10)
+    * before totalling so the normalizer is an exact, order-independent
+    * sum. Two aggregations, both output-tiny; the 1-row total broadcasts
+    * back onto the |domains|-row frame. */
+  def corpusMixture(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("lang"), size(tokens(col("text"))).as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val weighted = counts.withColumn("w",
+      sqrt(col("n_tokens").cast("double")).cast("decimal(28,10)"))
+    val total = weighted.agg(sum(col("w")).as("wt"))
+    weighted.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("w").cast("double") / col("wt").cast("double"), 6)
+          .as("mix_weight"))
+  }
+
+  /** Quality-weighted Bernoulli sampling, derandomized: a document is
+    * kept iff u(doc) < its [[docQuality]] score, where
+    * u = md5₆₀(doc_id)/2⁶⁰ is a uniform [0,1) hash draw. Acceptance
+    * probability per document equals its score exactly, but the decision
+    * is a pure function of doc_id — reruns, repartitions, and other
+    * engines keep THE SAME documents (no `rand()`, which would make the
+    * sample non-reproducible and break retry idempotence at scale).
+    * Row-local on top of the docQuality scan; 2⁶⁰ is a power of two, so
+    * the division is exact-by-scaling in IEEE doubles. */
+  def sampleWeighted(documents: DataFrame): DataFrame =
+    docQuality(documents)
+      .select(col("doc_id"), col("quality_score"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").cast("double") / lit(1152921504606846976.0)).as("u"))
+      .filter(col("u") < col("quality_score"))
+
+  /** BM25 keyword retrieval: score each document against a fixed bag of
+    * query `terms`, return the global top-`kTop`. Robertson–Spärck Jones
+    * BM25 with idf = ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * Plan shape: per-doc length and (doc, matched-term) tf both derive
+    * from ONE corpus explode; the literal term filter runs BEFORE the tf
+    * aggregation, so scoring works on |docs × |terms|| rows at most. The
+    * df table and the (N, total-token) stats are output-tiny and
+    * broadcast. Per-term scores pass through DECIMAL(28,12) so the
+    * per-doc sum is order-exact; the final top-k is an orderBy+limit —
+    * Spark plans TakeOrdered (per-partition heaps + driver merge of k),
+    * never a full global sort. */
+  def searchBm25(documents: DataFrame,
+      terms: Seq[String] = Seq("join", "vector", "stream"),
+      k1: Double = 1.2, b: Double = 0.75, kTop: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    require(kTop >= 1, s"kTop=$kTop must be >= 1")
+    val ex = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val dl = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = ex.filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val score = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.cast("decimal(28,12)").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms_matched"),
+        round(sum(col("s")).cast("double"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(kTop)
+  }
+
+  /** Duplicated-passage detection — chunk-grain exact dedup: chunk every
+    * document ([[docChunks]] windows), then keep chunk hashes appearing
+    * in ≥ 2 DISTINCT documents. Whole-doc dedup misses these (two mostly
+    * different documents sharing one boilerplate paragraph); substring-
+    * level duplication is what drives memorization in trained models
+    * (Lee et al. 2021, "Deduplicating Training Data…"). One
+    * distinct + one count aggregation on the 32-char hash key — the
+    * by-construction-scalable shape; no pairwise joins. */
+  def dupPassages(documents: DataFrame, chunkLen: Int = 32,
+      overlap: Int = 8): DataFrame =
+    docChunks(documents, chunkLen, overlap)
+      // full windows only: ragged tail chunks are 1..chunkLen-1 tokens,
+      // and a 2-token tail colliding across documents is noise, not a
+      // duplicated passage
+      .filter(col("n_chunk_tokens") === chunkLen)
+      .select(col("chunk_md5"), col("doc_id"))
+      // overlapping windows can emit the same chunk twice within one doc
+      .distinct()
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
   /** Top TF-IDF terms per document: term frequency from one
     * (doc, token) aggregation, document frequency from a token-grain
     * aggregation over the same exploded frame, smoothed IDF

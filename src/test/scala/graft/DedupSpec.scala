@@ -334,6 +334,68 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("corpus mixture: weights normalize to 1 and follow sqrt(token) ratios") {
+    val out = TextOps.corpusMixture(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-5)
+    // temperature α=1/2 compresses: weight ratio = sqrt of token ratio
+    for (Seq((_, (ta, wa)), (_, (tb, wb))) <- out.toSeq.combinations(2)) {
+      val expect = math.sqrt(ta.toDouble / tb)
+      assert(math.abs(wa / wb - expect) < 1e-4,
+        s"weight ratio ${wa / wb} vs sqrt token ratio $expect")
+    }
+  }
+
+  test("weighted sampling keeps at rate = quality score, deterministically") {
+    val kept = TextOps.sampleWeighted(docs)
+    // every kept row satisfies its own acceptance predicate
+    assert(kept.filter(col("u") >= col("quality_score")).isEmpty)
+    // zero-score docs can never be kept
+    assert(kept.filter(col("quality_score") === 0.0).isEmpty)
+    // deterministic: two plans, same rows
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextOps.sampleWeighted(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bm25 ranks the doc saturated with a rare query term first") {
+    val s = spark
+    import s.implicits._
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"join join join join $filler"),   // rare term, high tf
+      (2L, s"join $filler"),                  // rare term, tf 1
+      (3L, s"stream $filler stream"),         // common term (in 3 docs)
+      (4L, s"stream $filler"),
+      (5L, s"stream also here $filler"),
+      (6L, s"nothing relevant $filler"))
+      .toDF("doc_id", "text")
+    val out = TextOps.searchBm25(fixture).collect()
+    assert(out.map(_.getLong(0)).take(2).toSeq == Seq(1L, 2L),
+      "docs matching the rarer term outrank the commoner term")
+    assert(!out.map(_.getLong(0)).contains(6L))
+    // saturation: tf 4 scores higher than tf 1 but less than 4x
+    val byDoc = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byDoc(1L) > byDoc(2L) && byDoc(1L) < 4 * byDoc(2L))
+  }
+
+  test("dup passages surface a shared 32-token run between mostly-different docs") {
+    val s = spark
+    import s.implicits._
+    val passage = (1 to 32).map(i => s"shared$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"$passage " + (1 to 40).map(i => s"apple$i").mkString(" ")),
+      (2L, s"$passage " + (1 to 40).map(i => s"banana$i").mkString(" ")),
+      (3L, (1 to 80).map(i => s"unique$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.dupPassages(fixture).collect()
+    assert(out.nonEmpty, "the planted shared passage must be detected")
+    assert(out.forall(r => r.getLong(1) == 2L && r.getLong(2) == 1L))
+    // doc 3 shares nothing: no passage hash it contributes appears
+    val lone = TextOps.dupPassages(fixture.filter(col("doc_id") === 3L))
+    assert(lone.isEmpty)
+  }
+
   test("shingles guard: fewer tokens than k yields empty, not garbage") {
     val s = spark
     import s.implicits._
