@@ -251,6 +251,19 @@ object SparkEntry {
           org.apache.spark.sql.functions.sum(
             col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     }),
+    // bloom-prefiltered join exercised end-to-end: the bitset pass only
+    // removes definite non-matches, so the oracle is the PLAIN join
+    "bloom_join_agg" -> ((s, dir) => {
+      val small = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey"))
+      val big = Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_extendedprice"))
+      graft.ops.BloomJoin.bloomJoin(big, small, "l_suppkey", "s_suppkey")
+        .groupBy(col("s_suppkey").as("suppkey"))
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_items"),
+          org.apache.spark.sql.functions.sum(
+            col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
     // -- multimodal binary-column plumbing (synthetic media over documents)
     "media_stats" -> ((s, dir) =>
       graft.multimodal.Multimodal.mediaStats(
@@ -1144,6 +1157,12 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "bloom_join_agg" ->
+      """SELECT s_suppkey AS suppkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_suppkey % 10 = 0
         |GROUP BY 1""".stripMargin,
   )
 }
