@@ -120,6 +120,7 @@ object SparkEntry {
     "corpus_mixture" -> ((s, dir) => TextOps.corpusMixture(Tables.documents(s, dir))),
     "doc_sample_weighted" -> ((s, dir) => TextOps.sampleWeighted(Tables.documents(s, dir))),
     "doc_search_bm25" -> ((s, dir) => TextOps.searchBm25(Tables.documents(s, dir))),
+    "doc_cross_entropy" -> ((s, dir) => TextOps.docCrossEntropy(Tables.documents(s, dir))),
     "dup_passages" -> ((s, dir) => TextOps.dupPassages(Tables.documents(s, dir))),
     "doc_chunks" -> ((s, dir) => TextOps.docChunks(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir))),
@@ -157,6 +158,9 @@ object SparkEntry {
     // sketch cardinality: HLL++ internals aren't portable — rows-only;
     // EventOpsSpec bounds the relative error vs the exact count
     "events_approx_distinct" -> ((s, dir) => EventOps.approxDistinctUsers(Tables.events(s, dir))),
+    // DataSketches HLL internals aren't portable — rows-only; the spec
+    // pins union-of-daily ≡ direct sketch and the error bound vs exact
+    "events_distinct_sketch" -> ((s, dir) => EventOps.distinctUsersSketchMerge(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(Tables.events(s, dir))),
     // sketch path: GK summary internals aren't portable — rows-only;
     // EventOpsSpec bounds the error vs the exact percentiles
@@ -776,6 +780,20 @@ object SparkEntry {
          |  round(CAST(SUM(s) AS DOUBLE), 6) AS bm25
          |FROM sc GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    "doc_cross_entropy" ->
+      s"""WITH $toksCte,
+         |ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+         |counts AS (SELECT token, COUNT(*) AS c FROM ex GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS v FROM counts),
+         |sc AS (
+         |  SELECT doc_id, tf,
+         |    CAST(tf * -ln((c + 0.5::DOUBLE) / (t + 0.5::DOUBLE * v))
+         |      AS DECIMAL(28,12)) AS nll
+         |  FROM tf JOIN counts USING (token) CROSS JOIN tot)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6) AS cross_entropy
+         |FROM sc GROUP BY 1""".stripMargin,
     "decontaminate" ->
       s"""WITH $toksCte,
          |sh5 AS (

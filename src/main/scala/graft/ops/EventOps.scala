@@ -79,6 +79,23 @@ object EventOps {
         sum(col("sum_dec")).over(w).cast("double").as("roll_value"))
   }
 
+  /** Re-aggregatable distinct-user counts via Apache DataSketches HLL:
+    * per-(day, type) sketches built once, then UNIONED per type and
+    * estimated — the precompute-then-merge pattern that makes distinct
+    * counts composable at warehouse scale (any date range answers from
+    * the daily sketches without rescanning raw events; `approx_
+    * count_distinct`'s HLL++ partials merge too, but only inside one
+    * query — these sketches are a persistable column). Estimation is
+    * deterministic for a given input set, and union-of-parts ≡ one
+    * direct sketch (asserted in the spec, with the error bound vs the
+    * exact count). */
+  def distinctUsersSketchMerge(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+
   /** Fixed-width value histogram per event type: bin = `floor(value /
     * width)`, one map-side-combined aggregation on (type, bin). The bin
     * arithmetic is pure IEEE double ops (divide, floor), so both engines

@@ -780,6 +780,33 @@ object TextOps {
       .limit(kTop)
   }
 
+  /** Unigram cross-entropy under the corpus's own language model — the
+    * perplexity-style quality signal (CCNet-shape: score text against an
+    * LM; here the LM is the corpus unigram distribution itself, additive-
+    * smoothed: p(tok) = (c+α)/(T+αV)). Low cross-entropy = typical text;
+    * high = rare-token soup (boilerplate, noise, wrong language).
+    *
+    * Plan: corpus token counts (one shuffle), then a token-keyed join at
+    * (doc, DISTINCT token) grain — tf multiplies the per-type nll, so
+    * the join moves |doc-vocab| rows, not |tokens|. The (T, V) scalars
+    * ride as a broadcast 1-row aggregate. Per-type contributions pass
+    * through DECIMAL(28,12) so each doc's sum is order-exact. */
+  def docCrossEntropy(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be > 0 (unsmoothed would log(0) on ties)")
+    val ex = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = ex.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val counts = ex.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    tf.join(counts, Seq("token"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * -log((col("c") + lit(alpha)) / (col("t") + lit(alpha) * col("v"))))
+          .cast("decimal(28,12)").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("nll")).cast("double") / sum(col("tf")), 6).as("cross_entropy"))
+  }
+
   /** Duplicated-passage detection — chunk-grain exact dedup: chunk every
     * document ([[docChunks]] windows), then keep chunk hashes appearing
     * in ≥ 2 DISTINCT documents. Whole-doc dedup misses these (two mostly

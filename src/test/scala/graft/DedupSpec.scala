@@ -396,6 +396,23 @@ class DedupSpec extends AnyFunSuite {
     assert(lone.isEmpty)
   }
 
+  test("cross-entropy: rare-token soup scores higher than typical text") {
+    val s = spark
+    import s.implicits._
+    val common = (1 to 10).map(_ => "the cat sat on the mat").mkString(" ")
+    val fixture = Seq(
+      (1L, common), (2L, common), (3L, common),
+      (4L, "zyx wvu tsr qpo nml kji hgf"))  // tokens seen nowhere else
+      .toDF("doc_id", "text")
+    val out = TextOps.docCrossEntropy(fixture).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(4L) > out(1L) + 1.0,
+      s"rare-token doc ${out(4L)} should far exceed typical ${out(1L)}")
+    assert(out(1L) == out(2L), "identical docs score identically")
+    // mean nll is bounded by the most extreme per-token nll
+    assert(out.values.forall(v => v > 0))
+  }
+
   test("shingles guard: fewer tokens than k yields empty, not garbage") {
     val s = spark
     import s.implicits._

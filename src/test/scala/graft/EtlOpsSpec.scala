@@ -110,6 +110,21 @@ class EtlOpsSpec extends AnyFunSuite {
     } finally h.unpersist()
   }
 
+  test("HLL sketch union over daily parts equals the one-shot sketch, near exact") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val merged = EventOps.distinctUsersSketchMerge(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = events.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("d"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((t, d, exact) <- direct) {
+      assert(merged(t) == d, s"$t: union-of-daily ${merged(t)} != direct $d")
+      assert(math.abs(merged(t) - exact).toDouble / exact < 0.05,
+        s"$t: sketch ${merged(t)} vs exact $exact")
+    }
+  }
+
   test("histogram handles negative values with floor (not truncation) binning") {
     val s = spark
     import s.implicits._
