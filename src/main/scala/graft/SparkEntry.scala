@@ -226,6 +226,13 @@ object SparkEntry {
     "supplier_diversity" -> ((s, dir) => Analytics.supplierDiversity(s, dir)),
     "top_part_per_brand" -> ((s, dir) => Analytics.topPartPerBrand(s, dir)),
     "full_outer_days" -> ((s, dir) => Analytics.activityCalendar(s, dir)),
+    "cust_order_dist" -> ((s, dir) => Analytics.customerOrderDistribution(s, dir)),
+    "promo_revenue" -> ((s, dir) => Analytics.promoRevenueShare(s, dir)),
+    "big_orders" -> ((s, dir) => Analytics.bigOrders(s, dir)),
+    "dormant_customers" -> ((s, dir) => Analytics.dormantHighValue(s, dir)),
+    "disjunctive_revenue" -> ((s, dir) => Analytics.disjunctiveRevenue(s, dir)),
+    "top_suppliers" -> ((s, dir) => Analytics.topSuppliers(s, dir)),
+    "ship_latency" -> ((s, dir) => Analytics.shipLatencyByPriority(s, dir)),
     // SCD-2 dimension history: per-customer order-status change log
     "scd2_status" -> ((s, dir) =>
       graft.ops.Scd.scd2(
@@ -1092,6 +1099,74 @@ object SparkEntry {
          |SELECT c_custkey, c_name, c_mktsegment, revenue, n_items
          |FROM per_cust JOIN customer ON o_custkey = c_custkey
          |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "cust_order_dist" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT n_orders, COUNT(*) AS n_customers
+        |FROM per_cust GROUP BY 1 ORDER BY 1""".stripMargin,
+    "promo_revenue" ->
+      s"""SELECT date_trunc('month', l_shipdate)::date AS ship_month,
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revSql
+         |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+         |  CAST(SUM($revSql) AS DOUBLE) AS total_revenue,
+         |  round(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revSql
+         |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         |        / CAST(SUM($revSql) AS DOUBLE), 6) AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "big_orders" ->
+      """WITH qty AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate::date AS o_orderdate, total_qty
+        |FROM orders JOIN qty ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "dormant_customers" ->
+      """WITH ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM customer),
+        |active AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |SELECT c_mktsegment, COUNT(*) AS n_dormant,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+        |FROM customer, ab
+        |WHERE c_acctbal > avg_bal
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM active)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "disjunctive_revenue" ->
+      s"""SELECT p_brand, CAST(SUM($revSql) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 40)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "top_suppliers" ->
+      s"""WITH per_supp AS (
+         |  SELECT l_suppkey, CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, revenue
+         |FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE revenue = (SELECT MAX(revenue) FROM per_supp)
+         |ORDER BY s_suppkey""".stripMargin,
+    "ship_latency" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN datediff('day', o_orderdate::date, l_shipdate::date) <= 30
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS shipped_30d,
+        |  CAST(SUM(CASE WHEN datediff('day', o_orderdate::date, l_shipdate::date) > 30
+        |                 AND datediff('day', o_orderdate::date, l_shipdate::date) <= 90
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS shipped_90d,
+        |  CAST(SUM(CASE WHEN datediff('day', o_orderdate::date, l_shipdate::date) > 90
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS shipped_late,
+        |  COUNT(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "late_priority_counts" ->
       s"""SELECT o_orderpriority, COUNT(*) AS order_count
          |FROM orders o

@@ -22,7 +22,12 @@ object Verify {
     // Same rule set for every query, independent of execution order.
     GraftSession.install(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 dumps a subset — a local iteration aid
+    // (mirrors Bench); the driver leaves it unset and dumps everything.
+    val selected = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .fold(SparkEntry.queries)(only => SparkEntry.queries.filter(kv => only(kv._1)))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -122,6 +122,151 @@ object Analytics {
       .orderBy(col("p_brand"))
   }
 
+  /** Q13-shape customer order-count distribution: LEFT OUTER join keeps
+    * zero-order customers (their `o_orderkey` stays null, and
+    * `count(col)` skips nulls — the exact COUNT(column) semantics), then
+    * a second aggregation over the per-customer counts. Both
+    * aggregations partial-combine map-side; the join shuffles on the
+    * customer key once and the second groupBy reduces a
+    * customer-cardinality frame, never facts. */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"))
+
+  /** Q14-shape promo revenue share per ship month: conditional
+    * aggregation (`sum(when(...))`) over a fact⋈broadcast-dim join — one
+    * scan, one shuffle at month grain. The share divides two doubles
+    * derived from exact DECIMAL sums, so partial-aggregation order can
+    * never change the 6dp-rounded result. */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("decimal(18,4)")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenue)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("promo_revenue"),
+        sum(revenue).cast("double").as("total_revenue"))
+      .select(col("ship_month"), col("promo_revenue"), col("total_revenue"),
+        round(col("promo_revenue") / col("total_revenue"), 6).as("promo_share"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** Q18-shape large-volume orders: grouped HAVING over lineitem (the
+    * "IN (GROUP BY … HAVING)" subquery, decorrelated by construction),
+    * joined back to orders + broadcast customer. The having-filter runs
+    * at order grain BEFORE either join, so only qualifying keys shuffle
+    * further; top-20 via deterministic (qty desc, orderkey) TakeOrdered
+    * — no global sort materializes. */
+  def bigOrders(spark: SparkSession, dir: String, minQty: Double = 250.0,
+      k: Int = 20): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).cast("double").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Q22-shape dormant high-value customers: global-average scalar
+    * subquery (one tiny agg, broadcast as a 1-row cross join) + LEFT
+    * ANTI join against the year's active customer keys. The anti join's
+    * build side is order keys only; the average rides an exact DECIMAL
+    * sum so the `>` cut is engine-portable. */
+  def dormantHighValue(spark: SparkSession, dir: String, yr: Int = 1998): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.agg(
+      (sum(dec("c_acctbal")).cast("double") / count(lit(1))).as("avg_bal"))
+    val active = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_dormant"),
+        sum(dec("c_acctbal")).cast("double").as("total_balance"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Q19-shape disjunctive join: revenue over lineitem⋈part where the
+    * OR-of-conjuncts predicate mixes both sides. The partkey equi-key is
+    * kept OUT of the disjunction so Catalyst still plans a (broadcast)
+    * HASH join — the disjunction evaluates as a post-join filter instead
+    * of degrading the whole join to nested-loop. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("decimal(18,4)")
+    val qualifies =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 30) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 50) &&
+        col("l_quantity").between(20, 40))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(qualifies)
+      .groupBy(col("p_brand"))
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Q15-shape top supplier(s): per-supplier revenue in a ship-date
+    * window, kept where revenue equals the global max — the scalar-max
+    * subquery as a 1-row broadcast cross join. Revenue values on both
+    * sides derive from the same exact DECIMAL sum, so the `===` equality
+    * is well-defined (no floating-point drift between the two plans). */
+  def topSuppliers(spark: SparkSession, dir: String,
+      from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val revenue = (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("decimal(18,4)")
+    val perSupp = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf(s"$from 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf(s"$until 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+    val top = perSupp.agg(max(col("revenue")).as("max_revenue"))
+    perSupp.crossJoin(broadcast(top))
+      .filter(col("revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q12-shape shipping-latency buckets: conditional aggregation of
+    * ship-lag bands per order priority over the orders⋈lineitem join —
+    * the CASE-pivot shape. One fact-fact equi-join shuffle, then a
+    * 5-row aggregate. */
+  def shipLatencyByPriority(spark: SparkSession, dir: String): DataFrame = {
+    val lag = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(lag <= 30, 1).otherwise(0)).as("shipped_30d"),
+        sum(when(lag > 30 && lag <= 90, 1).otherwise(0)).as("shipped_90d"),
+        sum(when(lag > 90, 1).otherwise(0)).as("shipped_late"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Calendar reconciliation across UNRELATED fact tables (orders span
     * 1995–2001, events 2024): per-day totals FULL OUTER joined, so each
     * side's unmatched days surface with a zero for the other — the join
