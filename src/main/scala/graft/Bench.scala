@@ -31,6 +31,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A resident engine serving ~100 distinct queries holds far more
+      // codegen units than the 100-entry default cache; evictions force
+      // janino recompiles of RETURNING queries and (worse) let earlier
+      // queries evict later ones mid-run — observed as up-to-10×
+      // inflation of tail queries in the shared-JVM bench. Size the
+      // cache for the workload.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The weekly-summary cumulative windows run single-partition BY
@@ -45,11 +52,15 @@ object Bench {
     GraftSession.install(spark)
 
     def execute(name: String): Double = {
-      // Hygiene between queries: drop cached relations and nudge a GC so
-      // broadcast/codegen litter from earlier queries doesn't tax later
-      // ones (observed: tail queries inflating several-fold in a shared
-      // 40-query JVM without this).
+      // Hygiene between queries: drop cached relations, explicitly free
+      // persisted blocks left by iterative operators (localCheckpoint
+      // RDDs stay in the block manager until their weak ref is GC'd and
+      // the async ContextCleaner gets to them — deterministic unpersist
+      // beats waiting), and nudge a GC so broadcast/codegen litter from
+      // earlier queries doesn't tax later ones (observed: tail queries
+      // inflating several-fold in a shared 40-query JVM without this).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)

@@ -112,6 +112,9 @@ object SparkEntry {
     "neardup_keep" -> ((s, dir) => TextOps.nearDupKeep(Tables.documents(s, dir))),
     "neardup_clusters" -> ((s, dir) => TextOps.nearDupClusters(Tables.documents(s, dir))),
     "neardup_pagerank" -> ((s, dir) => TextOps.nearDupPageRank(Tables.documents(s, dir))),
+    "neardup_graph_stats" -> ((s, dir) => TextOps.nearDupGraphStats(Tables.documents(s, dir))),
+    "vocab_collocations" -> ((s, dir) => TextOps.vocabCollocations(Tables.documents(s, dir))),
+    "part_fuzzy_matches" -> ((s, dir) => graft.ops.FuzzyJoin.partNameMatches(s, dir)),
     "doc_sample" -> ((s, dir) => TextOps.sampleStratified(Tables.documents(s, dir))),
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
     "doc_sample_k" -> ((s, dir) => TextOps.samplePerGroup(Tables.documents(s, dir))),
@@ -168,6 +171,7 @@ object SparkEntry {
       EventOps.valuePercentilesApprox(Tables.events(s, dir))),
     "events_cube" -> ((s, dir) => EventOps.cubeByTypeDay(Tables.events(s, dir))),
     "events_histogram" -> ((s, dir) => EventOps.valueHistogram(Tables.events(s, dir))),
+    "events_corr" -> ((s, dir) => EventOps.valueHourCorr(Tables.events(s, dir))),
     "events_ranks" -> ((s, dir) => EventOps.valueRanks(Tables.events(s, dir))),
     "events_extremes" -> ((s, dir) => EventOps.extremesByType(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) => EventOps.pivotByType(Tables.events(s, dir))),
@@ -642,6 +646,63 @@ object SparkEntry {
          |$rounds
          |SELECT id AS doc_id, round(rank, 6) AS rank FROM r5""".stripMargin
     },
+    "neardup_graph_stats" ->
+      s"""WITH $jaccardPairsCtes,
+         |p AS (SELECT doc_a, doc_b FROM jacc_pairs WHERE jaccard >= 0.8),
+         |ends AS (SELECT doc_a AS id FROM p UNION ALL SELECT doc_b FROM p),
+         |deg AS (SELECT id, count(*) AS deg FROM ends GROUP BY 1)
+         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |       (SELECT count(*) FROM p) AS n_edges,
+         |       (SELECT max(deg) FROM deg) AS max_degree,
+         |       (SELECT count(*)
+         |        FROM p e1 JOIN p e2 ON e1.doc_b = e2.doc_a
+         |        JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+         |         AS n_triangles""".stripMargin,
+    "vocab_collocations" ->
+      s"""WITH $toksCte,
+         |u AS (SELECT unnest(t) AS w FROM toks),
+         |uc AS (SELECT w, count(*) AS cu FROM u GROUP BY 1),
+         |bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |         i -> [t[i], t[i+1]])) AS p
+         |       FROM toks WHERE len(t) >= 2),
+         |bc AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS cnt_b FROM bg GROUP BY 1, 2),
+         |tot AS (SELECT (SELECT count(*) FROM u) AS t_uni,
+         |               (SELECT count(*) FROM bg) AS t_bi)
+         |SELECT w1, w2, cnt_b,
+         |  round((cnt_b::DOUBLE * t_uni * t_uni)
+         |        / (t_bi::DOUBLE * u1.cu * u2.cu), 6) AS lift
+         |FROM bc, tot
+         |JOIN uc u1 ON bc.w1 = u1.w
+         |JOIN uc u2 ON bc.w2 = u2.w
+         |WHERE cnt_b >= 5
+         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
+    "part_fuzzy_matches" ->
+      """WITH names AS (
+        |  SELECT p_name, p_size, count(*) AS n_parts,
+        |         string_split(p_name, ' ')[-1] AS blk
+        |  FROM part GROUP BY 1, 2)
+        |SELECT a.p_size, a.p_name AS name_a, b.p_name AS name_b,
+        |       levenshtein(a.p_name, b.p_name) AS edit_dist,
+        |       a.n_parts AS n_a, b.n_parts AS n_b
+        |FROM names a JOIN names b
+        |  ON a.blk = b.blk AND a.p_size = b.p_size AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin,
+    "events_corr" ->
+      s"""WITH $eventsCte,
+         |m AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+         |    SUM(CAST(hour(ts) AS DECIMAL(18,6))) AS sh,
+         |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS svv,
+         |    SUM(CAST(CAST(hour(ts) AS DECIMAL(18,6)) * CAST(hour(ts) AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS shh,
+         |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(hour(ts) AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS svh
+         |  FROM e GROUP BY 1)
+         |SELECT event_type, n,
+         |  round((n::DOUBLE * svh::DOUBLE - sv::DOUBLE * sh::DOUBLE)
+         |    / sqrt((n::DOUBLE * svv::DOUBLE - sv::DOUBLE * sv::DOUBLE)
+         |           * (n::DOUBLE * shh::DOUBLE - sh::DOUBLE * sh::DOUBLE)),
+         |    6) AS corr_value_hour
+         |FROM m""".stripMargin,
     "corpus_keep" ->
       s"""WITH $jaccardPairsCtes,
          |q AS (

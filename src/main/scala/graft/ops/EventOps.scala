@@ -136,6 +136,33 @@ object EventOps {
       .filter(abs(col("z_score")) >= z)
   }
 
+  /** Pearson correlation between event value and hour-of-day per type,
+    * from exact DECIMAL moment sums (n, Σv, Σh, Σv², Σh², Σvh). The five
+    * sums are order-independent (decimal addition is exact), so Spark's
+    * nondeterministic partial-aggregation order cannot move the result;
+    * the closed-form corr then evaluates ONCE per group in double on
+    * identical inputs in any engine — unlike the built-in streaming
+    * `corr`, whose co-moment updates accumulate float error in a
+    * partition-order-dependent way and drift vs other engines in the
+    * last digits. One scan, one shuffle at type grain. */
+  def valueHourCorr(events: DataFrame): DataFrame = {
+    val v = col("value").cast("decimal(18,6)")
+    val h = hour(col("ts")).cast("decimal(18,6)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("sv"), sum(h).as("sh"),
+        sum((v * v).cast("decimal(38,12)")).as("svv"),
+        sum((h * h).cast("decimal(38,12)")).as("shh"),
+        sum((v * h).cast("decimal(38,12)")).as("svh"))
+      .select(col("event_type"), col("n"),
+        round(
+          (d(col("n")) * d(col("svh")) - d(col("sv")) * d(col("sh"))) /
+            sqrt((d(col("n")) * d(col("svv")) - d(col("sv")) * d(col("sv"))) *
+              (d(col("n")) * d(col("shh")) - d(col("sh")) * d(col("sh")))),
+          6).as("corr_value_hour"))
+  }
+
   /** Cohort retention: users grouped by the week of their FIRST event
     * (the cohort), counted at every later week they were active, keyed
     * by week offset — the classic retention triangle.

@@ -600,6 +600,68 @@ object TextOps {
     ranks.select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
   }
 
+  /** Structural stats of the near-dup similarity graph, one row: node /
+    * edge counts, max degree, triangle count. Triangles come from the
+    * canonical a<b<c double join over the deduped upward edge list —
+    * each triangle counted exactly once, two hash joins on node keys
+    * over the SPARSE near-dup edge set (the standard distributed
+    * triangle count; no per-node adjacency list ever materializes, so
+    * a high-degree node costs join rows, not memory). The four scalar
+    * aggregates reuse one lazily-checkpointed edge set and meet in
+    * broadcast cross joins of 1-row frames. */
+  def nearDupGraphStats(documents: DataFrame, k: Int = 3,
+      minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
+    val pairs = nearDupJaccard(documents, k, minJaccard, maxDf)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    val ends = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id")))
+    val nodes = ends.distinct().agg(count(lit(1)).as("n_nodes"))
+    val edges = pairs.agg(count(lit(1)).as("n_edges"))
+    val maxDeg = ends.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg")).as("max_degree"))
+    val tri = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(pairs.select(col("doc_a").as("b2"), col("doc_b").as("c")),
+        col("b") === col("b2"))
+      .join(pairs.select(col("doc_a").as("a3"), col("doc_b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodes.crossJoin(edges).crossJoin(maxDeg).crossJoin(tri)
+  }
+
+  /** Adjacent-bigram collocation strength: lift = P(w₁w₂) / (P(w₁)·P(w₂))
+    * — the exponential of PMI, kept as a RATIO so no transcendental log
+    * (libm-dependent, engine-divergent in the last ulps) ever evaluates;
+    * ranking by lift ≡ ranking by PMI. Bigrams extract row-locally
+    * (transform over the token array — no window, no self-join), counts
+    * reduce map-side, the corpus totals ride a broadcast 1-row cross
+    * join, and the unigram vocabulary joins broadcast. All inputs to the
+    * final double expression are exact integers, so the 6dp round is
+    * engine-portable. The classic collocation/vocab-merge signal for
+    * tokenizer construction. */
+  def vocabCollocations(documents: DataFrame, minCount: Int = 5,
+      topN: Int = 50): DataFrame = {
+    val toks = documents.select(tokens(col("text")).as("t"))
+    val unis = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val bigr = toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt_b"))
+    val totals = unis.agg(sum(col("cu")).as("t_uni"))
+      .crossJoin(bigr.agg(sum(col("cnt_b")).as("t_bi")))
+    bigr.filter(col("cnt_b") >= minCount)
+      .join(broadcast(unis.select(col("w").as("w1"), col("cu").as("cu1"))), Seq("w1"))
+      .join(broadcast(unis.select(col("w").as("w2"), col("cu").as("cu2"))), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("cnt_b"),
+        round((col("cnt_b").cast("double") * col("t_uni") * col("t_uni")) /
+          (col("t_bi").cast("double") * col("cu1") * col("cu2")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Deterministic hash-stratified sampling: keep a document iff the
     * first 16 bits of `md5(doc_id)` mod 100 fall under its stratum's
     * percentage — the standard reproducible corpus downsampler (no RNG
