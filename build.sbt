@@ -36,4 +36,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ~100-query resident bench holds codegen/broadcast/checkpoint state
   // for many plans at once — 8g left it GC-bound on the tail queries.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+  // A ~100-query run JIT-compiles thousands of generated classes; the
+  // default code cache and compiler-thread count leave later queries'
+  // hot loops stuck interpreted in the C2 queue (measured: random
+  // queries inflating 2.3 s → 18.3 s with flat GC). Headroom for the
+  // code cache + a wider compile queue cut the full-bench headline
+  // 161 s → 122 s on this box. A/B'd against TieredStopAtLevel=1
+  // (predictable but ~1.5× slower everywhere, 180 s).
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:CICompilerCount=12",
+) ++
+  // Extra JVM flags for experiments (e.g. JIT tuning A/Bs):
+  //   SPARK_GRAFT_JAVA_OPTS="-XX:TieredStopAtLevel=1" sbt "runMain graft.Bench"
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq)

@@ -31,13 +31,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // A resident engine serving ~100 distinct queries holds far more
-      // codegen units than the 100-entry default cache; evictions force
-      // janino recompiles of RETURNING queries and (worse) let earlier
-      // queries evict later ones mid-run — observed as up-to-10×
-      // inflation of tail queries in the shared-JVM bench. Size the
-      // cache for the workload.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Codegen cache stays at Spark's 100-entry DEFAULT — measured, not
+      // guessed: raising it to 5000 for this ~100-query workload made
+      // tight-loop queries collapse (weekly_summary_nl 7.8 s → 138 s,
+      // weekly_summary_sql → 306 s, pricing_summary 1.25 s → 8.6 s) with
+      // FLAT gc time and class counts during the slow query. Thousands
+      // of live generated Predicate/Projection subclasses turn the hot
+      // eval() call sites megamorphic, so the JIT stops inlining the
+      // inner loops; the small cache lets dead generated classes unload
+      // and keeps dispatch sites monomorphic-ish. Recompile cost of an
+      // evicted plan is milliseconds — the wrong trade at any scale.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The weekly-summary cumulative windows run single-partition BY
@@ -69,7 +74,22 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // JVM-state telemetry per query (stderr, not the JSON contract):
+      // cumulative GC ms, loaded-class count, used heap — the three
+      // candidate explanations for tail-query inflation in a ~100-query
+      // resident JVM. A query slow under high ΔGC is heap-bound; slow
+      // under flat GC but growing classes is metaspace/codegen-bound.
+      import scala.jdk.CollectionConverters._
+      val gcMs = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val classes = java.lang.management.ManagementFactory
+        .getClassLoadingMXBean.getLoadedClassCount
+      val heapMb = (java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed / (1 << 20))
+      System.err.println(
+        f"[bench-jvm] $name%-28s ${sec}%8.2f s  gc_cum=${gcMs}ms classes=$classes heap=${heapMb}MB")
+      sec
     }
 
     // Untimed warmup, one query per input family (rental view over

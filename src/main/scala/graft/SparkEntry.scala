@@ -172,6 +172,9 @@ object SparkEntry {
     "events_cube" -> ((s, dir) => EventOps.cubeByTypeDay(Tables.events(s, dir))),
     "events_histogram" -> ((s, dir) => EventOps.valueHistogram(Tables.events(s, dir))),
     "events_corr" -> ((s, dir) => EventOps.valueHourCorr(Tables.events(s, dir))),
+    "events_mad" -> ((s, dir) => EventOps.valueMad(Tables.events(s, dir))),
+    "repeat_customers" -> ((s, dir) => Analytics.repeatCustomers(s, dir)),
+    "nation_revenue_share" -> ((s, dir) => Analytics.nationRevenueShare(s, dir)),
     "events_ranks" -> ((s, dir) => EventOps.valueRanks(Tables.events(s, dir))),
     "events_extremes" -> ((s, dir) => EventOps.extremesByType(Tables.events(s, dir))),
     "events_pivot" -> ((s, dir) => EventOps.pivotByType(Tables.events(s, dir))),
@@ -687,6 +690,35 @@ object SparkEntry {
         |FROM names a JOIN names b
         |  ON a.blk = b.blk AND a.p_size = b.p_size AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin,
+    "events_mad" ->
+      s"""WITH $eventsCte,
+         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS mv FROM e GROUP BY 1)
+         |SELECT e.event_type, round(any_value(mv), 6) AS median_value,
+         |  round(quantile_cont(abs(value - mv), 0.5), 6) AS mad
+         |FROM e JOIN med ON e.event_type = med.event_type
+         |GROUP BY 1""".stripMargin,
+    "repeat_customers" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_repeat
+        |FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "nation_revenue_share" ->
+      """WITH per_nation AS (
+        |  SELECT r_name, n_name,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue_dec
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, CAST(revenue_dec AS DOUBLE) AS revenue,
+        |  round(CAST(revenue_dec AS DOUBLE)
+        |        / CAST(SUM(revenue_dec) OVER (PARTITION BY r_name) AS DOUBLE),
+        |        6) AS region_share
+        |FROM per_nation ORDER BY r_name, n_name""".stripMargin,
     "events_corr" ->
       s"""WITH $eventsCte,
          |m AS (

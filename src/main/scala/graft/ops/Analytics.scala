@@ -267,6 +267,49 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Set-operation coverage: customers ordering in BOTH years —
+    * `intersect` (set semantics, = SQL INTERSECT) of the two year-sliced
+    * key sets, then a key join to the dimension for the rollup. Spark
+    * plans intersect as a left-semi over distincts; both inputs are
+    * key-only projections so the shuffle moves 8-byte rows. */
+  def repeatCustomers(spark: SparkSession, dir: String,
+      y1: Int = 1997, y2: Int = 1998): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def ids(y: Int) = o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    ids(y1).intersect(ids(y2))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_repeat"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Percent-of-total via a window OVER a grouped aggregate: revenue per
+    * nation, then each nation's share of its region — the window runs on
+    * the 25-row aggregate, never the facts. Shares divide two doubles
+    * derived from one exact DECIMAL sum, so the window's evaluation
+    * order can't move the 6dp round. */
+  def nationRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val perNation = Tables.orders(spark, dir)
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      // keep the DECIMAL through the window: a double window-sum would
+      // accumulate in row order (nondeterministic across engines)
+      .agg(sum(dec("o_totalprice")).as("revenue_dec"))
+    val byRegion = Window.partitionBy(col("r_name"))
+    perNation
+      .withColumn("region_revenue", sum(col("revenue_dec")).over(byRegion))
+      .select(col("r_name"), col("n_name"),
+        col("revenue_dec").cast("double").as("revenue"),
+        round(col("revenue_dec").cast("double")
+          / col("region_revenue").cast("double"), 6).as("region_share"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   /** Calendar reconciliation across UNRELATED fact tables (orders span
     * 1995–2001, events 2024): per-day totals FULL OUTER joined, so each
     * side's unmatched days surface with a zero for the other — the join

@@ -163,6 +163,27 @@ object EventOps {
           6).as("corr_value_hour"))
   }
 
+  /** Median absolute deviation per type — the robust scale estimate
+    * (immune to the outliers a mean/stddev z-score is skewed by). Two
+    * exact-percentile passes: the median, then the median of
+    * |x − median|, with the 5-row median table broadcast between them.
+    * Exact `percentile` sorts only within each type partition; the
+    * sketch-based `approx_percentile` (see valuePercentilesApprox) is
+    * the fixed-memory alternative when a single type's values exceed a
+    * partition. */
+  def valueMad(events: DataFrame): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("median_value"))
+    events.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("median_value"),
+        abs(col("value") - col("median_value")).as("adev"))
+      .groupBy(col("event_type"))
+      .agg(first(col("median_value")).as("mv"),
+        percentile(col("adev"), lit(0.5)).as("mad"))
+      .select(col("event_type"), round(col("mv"), 6).as("median_value"),
+        round(col("mad"), 6).as("mad"))
+  }
+
   /** Cohort retention: users grouped by the week of their FIRST event
     * (the cohort), counted at every later week they were active, keyed
     * by week offset — the classic retention triangle.

@@ -127,15 +127,21 @@ object VectorOps {
     val p = prepared(embeddings)
 
     // (sim, cid) structs over the current centroid literals, descending —
-    // row-local; `array_sort` orders by the struct's first field.
+    // row-local; `array_sort` orders by the struct's first field. The
+    // quantizer rides as ONE 2-d literal + a transform loop (not nlist
+    // unrolled dot products — the same codegen-compaction as annPq's
+    // assignExpr). cid comes from its own literal array: Lloyd can empty
+    // a cell, so ids need not stay dense.
     def cellRank(cents: Seq[(Int, Array[Double])]): Column = {
-      val sims = cents.map { case (cid, c) =>
-        val cn = math.sqrt(c.map(x => x * x).sum)
-        struct(
-          (VecDot(col("vd"), typedLit(c.toSeq)) / (col("nrm") * lit(cn))).as("sim"),
-          lit(cid).as("cid"))
-      }
-      reverse(array_sort(array(sims: _*)))
+      val sorted = cents.sortBy(_._1)
+      val cmat = typedLit(sorted.map(_._2.toSeq))
+      val cnrm = typedLit(sorted.map(c => math.sqrt(c._2.map(x => x * x).sum)))
+      val cids = typedLit(sorted.map(_._1))
+      reverse(array_sort(transform(sequence(lit(0), lit(sorted.size - 1)),
+        i => struct(
+          (VecDot(col("vd"), element_at(cmat, i + 1))
+            / (col("nrm") * element_at(cnrm, i + 1))).as("sim"),
+          element_at(cids, i + 1).as("cid")))))
     }
     def assign(cents: Seq[(Int, Array[Double])]): DataFrame =
       p.withColumn("cid", element_at(cellRank(cents), 1).getField("cid"))
@@ -223,16 +229,26 @@ object VectorOps {
       Array.tabulate(m)(j => seeds.map(v => v.slice(j * sub, (j + 1) * sub)))
     }
     // row-local nearest-centroid per subspace: argmin of
-    // |c|² − 2·sv·c (the |sv|² term is constant per row — drops out)
+    // |c|² − 2·sv·c (the |sv|² term is constant per row — drops out).
+    // The codebook rides as ONE 2-d literal per subspace and the argmin
+    // is a fold over `sequence(0, ks-1)` — compact generated code (one
+    // loop) instead of ks unrolled struct/dot-product copies, which at
+    // m=8, ks=16 bloated every consumer plan's codegen unit ~16× and
+    // taxed janino compile time and the JIT inlining budget alike.
+    // Tie-break: strict `<` keeps the FIRST (lowest cid) — identical to
+    // the previous array_sort-by-(d, cid) formulation.
     def assignExpr(v: Column, j: Int): Column = {
-      val cands = (0 until ks).map { c =>
-        val cent = cb(j)(c)
-        struct(
-          (lit(cent.map(x => x * x).sum)
-            - lit(2.0) * VecDot(subvec(v, j), typedLit(cent.toSeq))).as("d"),
-          lit(c).as("cid"))
-      }
-      element_at(array_sort(array(cands: _*)), 1).getField("cid")
+      val cents = typedLit(cb(j).map(_.toSeq).toSeq)
+      val norms = typedLit(cb(j).map(c => c.map(x => x * x).sum).toSeq)
+      aggregate(
+        sequence(lit(0), lit(ks - 1)),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
+        (acc, c) => {
+          val d = element_at(norms, c + 1) -
+            lit(2.0) * VecDot(subvec(v, j), element_at(cents, c + 1))
+          when(d < acc.getField("d"),
+            struct(d.as("d"), c.cast("int").as("cid"))).otherwise(acc)
+        }).getField("cid")
     }
     for (_ <- 1 to iters) {
       val assigned = train.select(
@@ -257,10 +273,14 @@ object VectorOps {
     // annBruteForce contract, so the rerank=∞ equivalence holds)
     val codes = array((0 until m).map(j => assignExpr(col("vdn"), j)): _*)
     val corpus = pn.select(col("vec_id").as("neighbor_id"), codes.as("codes"))
-    // ---- per-query lookup tables: qtable(j)(c) = q_sub_j · cb(j)(c)
-    val qtable = array((0 until m).map(j =>
-      array((0 until ks).map(c =>
-        VecDot(subvec(col("vdn"), j), typedLit(cb(j)(c).toSeq))): _*)): _*)
+    // ---- per-query lookup tables: qtable(j)(c) = q_sub_j · cb(j)(c) —
+    // same compaction as assignExpr: a transform over the codebook
+    // literal, not m×ks unrolled dot products
+    val qtable = array((0 until m).map { j =>
+      val cents = typedLit(cb(j).map(_.toSeq).toSeq)
+      transform(sequence(lit(0), lit(ks - 1)),
+        c => VecDot(subvec(col("vdn"), j), element_at(cents, c + 1)))
+    }: _*)
     val q = pn.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), qtable.as("qt"))
     // ---- ADC: m lookups per pair, top-`rerank` kept per query
