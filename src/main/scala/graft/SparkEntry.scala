@@ -173,6 +173,9 @@ object SparkEntry {
     "events_histogram" -> ((s, dir) => EventOps.valueHistogram(Tables.events(s, dir))),
     "events_corr" -> ((s, dir) => EventOps.valueHourCorr(Tables.events(s, dir))),
     "events_mad" -> ((s, dir) => EventOps.valueMad(Tables.events(s, dir))),
+    "events_transitions" -> ((s, dir) => EventOps.typeTransitions(Tables.events(s, dir))),
+    "doc_normalize" -> ((s, dir) => TextOps.docNormalize(Tables.documents(s, dir))),
+    "customer_order_span" -> ((s, dir) => Analytics.customerOrderSpan(s, dir)),
     "repeat_customers" -> ((s, dir) => Analytics.repeatCustomers(s, dir)),
     "nation_revenue_share" -> ((s, dir) => Analytics.nationRevenueShare(s, dir)),
     "events_ranks" -> ((s, dir) => EventOps.valueRanks(Tables.events(s, dir))),
@@ -690,6 +693,46 @@ object SparkEntry {
         |FROM names a JOIN names b
         |  ON a.blk = b.blk AND a.p_size = b.p_size AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin,
+    "events_transitions" ->
+      s"""WITH $eventsCte,
+         |steps AS (
+         |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |           AS from_type,
+         |         event_type AS to_type
+         |  FROM e),
+         |c AS (SELECT from_type, to_type, COUNT(*) AS n_steps
+         |      FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, n_steps,
+         |  round(n_steps::DOUBLE
+         |        / SUM(n_steps) OVER (PARTITION BY from_type), 6) AS p_transition
+         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "doc_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, length(text) AS n_chars_raw,
+        |    trim(regexp_replace(regexp_replace(
+        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS cleaned
+        |  FROM documents)
+        |SELECT doc_id, n_chars_raw, length(cleaned) AS n_chars_clean,
+        |  md5(cleaned) AS clean_md5,
+        |  round((n_chars_raw - length(cleaned))::DOUBLE
+        |        / greatest(n_chars_raw, 1), 6) AS shrinkage
+        |FROM n""".stripMargin,
+    "customer_order_span" ->
+      """WITH w AS (
+        |  SELECT o_custkey,
+        |    first_value(o_orderdate) OVER f AS fo,
+        |    nth_value(o_orderdate, 2) OVER f AS so,
+        |    last_value(o_orderdate) OVER f AS lo,
+        |    COUNT(*) OVER f AS n_orders,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders
+        |  WINDOW f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT o_custkey, fo::date AS first_order, so::date AS second_order,
+        |       lo::date AS latest_order, n_orders
+        |FROM w WHERE rn = 1""".stripMargin,
     "events_mad" ->
       s"""WITH $eventsCte,
          |med AS (SELECT event_type, quantile_cont(value, 0.5) AS mv FROM e GROUP BY 1)

@@ -310,6 +310,30 @@ object Analytics {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Window-frame coverage: each customer's first / second / latest
+    * order via `first_value` / `nth_value` / `last_value` over an
+    * EXPLICIT full-partition frame — the default frame ends at CURRENT
+    * ROW, where `last_value` degenerates to the row itself (a classic
+    * window bug both engines share; the explicit frame is the fix and
+    * the portable form). One shuffle on the customer key; the rn=1
+    * filter collapses to one row per customer without a second
+    * aggregation pass. */
+  def customerOrderSpan(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("first_order", to_date(first_value(col("o_orderdate")).over(full)))
+      .withColumn("second_order", to_date(nth_value(col("o_orderdate"), 2).over(full)))
+      .withColumn("latest_order", to_date(last_value(col("o_orderdate")).over(full)))
+      .withColumn("n_orders", count(lit(1)).over(full))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("first_order"), col("second_order"),
+        col("latest_order"), col("n_orders"))
+  }
+
   /** Calendar reconciliation across UNRELATED fact tables (orders span
     * 1995–2001, events 2024): per-day totals FULL OUTER joined, so each
     * side's unmatched days surface with a zero for the other — the join

@@ -163,6 +163,27 @@ object EventOps {
           6).as("corr_value_hour"))
   }
 
+  /** First-order journey transition matrix: counts of consecutive
+    * (from_type → to_type) steps per user in time order, with row
+    * transition probabilities — the Markov-chain summary of user flows.
+    * One user-keyed window pass (the same partitioning sessionize and
+    * userJourney shuffle on), then a type²-cardinality aggregate; the
+    * probability divides by a type-partitioned window sum over LONGs
+    * (exact), evaluated on the tiny aggregate, never the facts. */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_steps"))
+      .withColumn("p_transition",
+        round(col("n_steps").cast("double") / sum(col("n_steps")).over(byFrom), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Median absolute deviation per type — the robust scale estimate
     * (immune to the outliers a mean/stddev z-score is skewed by). Two
     * exact-percentile passes: the median, then the median of

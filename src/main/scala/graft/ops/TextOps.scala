@@ -112,6 +112,24 @@ object TextOps {
         coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
   }
 
+  /** Canonical text cleaning: lowercase, collapse whitespace, strip
+    * non-alphanumerics — the normalize step every dedup/tokenize stage
+    * keys on, surfaced as its own operator with shrinkage metrics and
+    * the cleaned fingerprint. Entirely row-local (zero shuffles): the
+    * embarrassingly-parallel shape that saturates scan bandwidth at any
+    * corpus size. */
+  def docNormalize(documents: DataFrame): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(normalize(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    documents.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_raw"),
+      length(cleaned).as("n_chars_clean"),
+      md5(cleaned).as("clean_md5"),
+      round((length(col("text")) - length(cleaned)).cast("double")
+        / greatest(length(col("text")), lit(1)), 6).as("shrinkage"))
+  }
+
   /** Stopword-profile language guess + per-language hit counts. */
   def docLangId(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))

