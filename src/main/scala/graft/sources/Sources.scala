@@ -58,6 +58,21 @@ object Sources {
     spark.read.jdbc(url, table,
       Array(s"$watermarkCol > '$wm' AND $watermarkCol <= '$max'"), props)
 
+  /** Range-clustered parquet writer: `repartitionByRange` on the
+    * cluster key + `sortWithinPartitions` before the write, so every
+    * output file covers a DISJOINT key range and carries tight parquet
+    * min/max column stats. Selective scans then skip whole files and
+    * row groups instead of reading and filtering — the data-layout
+    * lever for 1-D predicates at 100 TB (sorted clustering; pair with
+    * directory partitioning for the coarse dimension and this for the
+    * fine one). `numFiles` pins the range sampling to a deterministic
+    * layout; the in-file sort gives row-group-granularity stats too. */
+  def clusteredWrite(df: DataFrame, path: String, clusterCol: String,
+      numFiles: Int = 8): Unit =
+    df.repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Year-partitioned keyed-upsert sink over immutable files. */
   final class PartitionedSink(spark: SparkSession, path: String, keyCol: String,
       partCol: String = "part_year") {

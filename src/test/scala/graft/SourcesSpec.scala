@@ -26,6 +26,39 @@ class SourcesSpec extends AnyFunSuite {
     assertSameRows(df, Sources.readTable(spark, s"$base/orc", "orc"))
   }
 
+  test("clustered write yields disjoint per-file key ranges and selective scans skip files") {
+    val base = Files.createTempDirectory("graft-cluster").toString + "/orders"
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    Sources.clusteredWrite(orders, base, "o_orderdate", numFiles = 8)
+
+    // per-file min/max of the cluster key must tile without overlap —
+    // the property parquet footer stats turn into file/row-group skipping
+    val perFile = spark.read.parquet(base)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+      .collect()
+      // o_orderdate is TIMESTAMP_NTZ → rows carry LocalDateTime
+      .map(r => (r.getAs[java.time.LocalDateTime](1),
+        r.getAs[java.time.LocalDateTime](2)))
+      .sortBy(_._1.toString)
+    assert(perFile.length > 1)
+    perFile.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(!lo.isBefore(hi), s"file ranges overlap: $hi vs $lo")
+    }
+
+    // the narrow predicate must reach the parquet reader as a pushed
+    // filter — with the disjoint sorted layout above, footer min/max
+    // stats then skip every non-matching row group / file inside the
+    // reader (Spark surfaces no skip-count metric; pushdown + layout
+    // are the two observable halves of the contract)
+    val narrow = spark.read.parquet(base)
+      .filter(col("o_orderdate") === lit(perFile.head._1))
+    val plan = narrow.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.matches("(?s).*PushedFilters.*EqualTo\\(o_orderdate.*"),
+      s"cluster-key filter not pushed:\n$plan")
+  }
+
   test("partitioned sink upsert rewrites only touched partitions") {
     val base = Files.createTempDirectory("graft-sink").toString + "/summary"
     val sink = new Sources.PartitionedSink(spark, base, "week_beginning")
