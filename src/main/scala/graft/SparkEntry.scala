@@ -174,6 +174,9 @@ object SparkEntry {
     "events_corr" -> ((s, dir) => EventOps.valueHourCorr(Tables.events(s, dir))),
     "events_mad" -> ((s, dir) => EventOps.valueMad(Tables.events(s, dir))),
     "events_transitions" -> ((s, dir) => EventOps.typeTransitions(Tables.events(s, dir))),
+    // Misra-Gries sketch state is merge-order-dependent — rows-only;
+    // HeavyHittersSpec pins the survival + error-bound guarantees
+    "events_heavy_hitters" -> ((s, dir) => EventOps.heavyUsers(Tables.events(s, dir))),
     "doc_normalize" -> ((s, dir) => TextOps.docNormalize(Tables.documents(s, dir))),
     "customer_order_span" -> ((s, dir) => Analytics.customerOrderSpan(s, dir)),
     "repeat_customers" -> ((s, dir) => Analytics.repeatCustomers(s, dir)),

@@ -163,6 +163,24 @@ object EventOps {
           6).as("corr_value_hour"))
   }
 
+  /** Frequent users per event type via the Misra–Gries mergeable sketch
+    * ([[graft.functions.HeavyHitters]]): fixed k-sized state per (task,
+    * type) crosses the shuffle — grouped frequent-items at any scale
+    * without materializing the (type, user) long tail the exact
+    * count-then-filter formulation shuffles. Sketch counters are
+    * merge-order-dependent (rows-only driver check); the SURVIVAL and
+    * ERROR-BOUND guarantees are order-free and pinned in
+    * HeavyHittersSpec. */
+  def heavyUsers(events: DataFrame, k: Int = 16): DataFrame = {
+    val hh = udaf(graft.functions.HeavyHitters(k))
+    events
+      .groupBy(col("event_type"))
+      .agg(hh(col("user_id")).as("sk"))
+      .select(col("event_type"), posexplode(col("sk")).as(Seq("i", "e")))
+      .select(col("event_type"), col("e._1").as("user_id"),
+        col("e._2").as("est_count"), (col("i") + 1).cast("int").as("rank"))
+  }
+
   /** First-order journey transition matrix: counts of consecutive
     * (from_type → to_type) steps per user in time order, with row
     * transition probabilities — the Markov-chain summary of user flows.
