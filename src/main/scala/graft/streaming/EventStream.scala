@@ -20,6 +20,9 @@ case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   * state store serializes primitives, not java.sql timestamps). */
 case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Double)
 
+/** Update-mode output row of [[EventStream.frequentUsersStream]]. */
+case class HeavyUser(event_type: String, user_id: Long, est_count: Long, rank: Int)
+
 /** Streaming event rollups — the watermark + windowed-aggregation
   * surface over an unbounded `events` stream (the streaming twin of
   * [[graft.ops.EventOps.hourlyRollup]]).
@@ -113,6 +116,35 @@ object EventStream {
     * the streaming twin of [[graft.ops.EventOps.sessionize]]'s window
     * formulation, with state per OPEN session only (bounded by active
     * users, not event volume). */
+  /** Streaming Misra–Gries frequent users per event type — the batch
+    * [[graft.ops.EventOps.heavyUsers]] sketch carried as
+    * `flatMapGroupsWithState` state: one ≤ k-entry counter map per
+    * type, folded forward each micro-batch with the SAME
+    * [[graft.functions.HeavyHitters]] reduce step, the full current
+    * sketch re-emitted in Update mode. State is bounded by
+    * construction (k entries/type, independent of stream length or
+    * user cardinality), so no watermark/timeout is needed — the sketch
+    * IS the eviction policy. The MG guarantees (freq > n/(k+1) always
+    * tracked; estimates under-count by ≤ n/(k+1), n = rows seen so
+    * far) hold at every emission point regardless of batch split. */
+  def frequentUsersStream(events: DataFrame, k: Int = 16): Dataset[HeavyUser] = {
+    import events.sparkSession.implicits._
+    val hh = new graft.functions.HeavyHitters(k)
+    events.selectExpr("event_type", "user_id").as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], HeavyUser](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, it: Iterator[(String, Long)], state: GroupState[Map[Long, Long]]) =>
+          val updated = it.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
+            (buf, e) => hh.reduce(buf, e._2)
+          }
+          state.update(updated)
+          hh.finish(updated).iterator.zipWithIndex.map { case ((u, c), i) =>
+            HeavyUser(typ, u, c, i + 1)
+          }
+      }
+  }
+
   def sessionizeStateful(events: Dataset[SessionEvent], gapMinutes: Int = 30,
       watermarkDelay: String = "30 minutes"): Dataset[UserSession] = {
     import events.sparkSession.implicits._

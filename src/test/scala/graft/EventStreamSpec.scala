@@ -132,6 +132,31 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries keeps the heavy user across micro-batches within bounds") {
+    val s = spark
+    import s.implicits._
+    val k = 8
+    val input = MemoryStream[Ev](s)
+    val q = EventStream.frequentUsersStream(input.toDF(), k)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    try {
+      def ev(u: Long) = Ev(ts("2024-05-01 00:00:00"), "a", u, 1.0)
+      // batch 1: heavy user 7 + distinct tail
+      input.addData(Seq.fill(200)(ev(7)) ++ (100L until 140L).map(ev): _*)
+      q.processAllAvailable()
+      // batch 2: more weight on 7, fresh tail — state must carry over
+      input.addData(Seq.fill(100)(ev(7)) ++ (200L until 240L).map(ev): _*)
+      q.processAllAvailable()
+      val n = 200 + 40 + 100 + 40
+      val bound = n.toDouble / (k + 1)
+      val est7 = s.table("hh_stream")
+        .filter(col("user_id") === 7).agg(max("est_count")).head().getLong(0)
+      assert(est7 <= 300, s"over-count: $est7")
+      assert(est7 >= 300 - bound, s"heavy user under bound: $est7 vs ${300 - bound}")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivered event ids") {
     val s = spark
     import s.implicits._
