@@ -652,10 +652,14 @@ object TextOps {
     * ranking by lift ≡ ranking by PMI. Bigrams extract row-locally
     * (transform over the token array — no window, no self-join), counts
     * reduce map-side, the corpus totals ride a broadcast 1-row cross
-    * join, and the unigram vocabulary joins broadcast. All inputs to the
-    * final double expression are exact integers, so the 6dp round is
-    * engine-portable. The classic collocation/vocab-merge signal for
-    * tokenizer construction. */
+    * join. The unigram joins carry NO broadcast hint: a natural-language
+    * vocabulary is KB–MB (Catalyst broadcasts it from stats anyway),
+    * but a 100 TB web corpus's token table can reach 10⁸ rows — a
+    * forced hint would push that through the driver, while the unhinted
+    * plan degrades gracefully to a shuffle join on the token key. All
+    * inputs to the final double expression are exact integers, so the
+    * 6dp round is engine-portable. The classic collocation/vocab-merge
+    * signal for tokenizer construction. */
   def vocabCollocations(documents: DataFrame, minCount: Int = 5,
       topN: Int = 50): DataFrame = {
     val toks = documents.select(tokens(col("text")).as("t"))
@@ -670,8 +674,8 @@ object TextOps {
     val totals = unis.agg(sum(col("cu")).as("t_uni"))
       .crossJoin(bigr.agg(sum(col("cnt_b")).as("t_bi")))
     bigr.filter(col("cnt_b") >= minCount)
-      .join(broadcast(unis.select(col("w").as("w1"), col("cu").as("cu1"))), Seq("w1"))
-      .join(broadcast(unis.select(col("w").as("w2"), col("cu").as("cu2"))), Seq("w2"))
+      .join(unis.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(unis.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("cnt_b"),
         round((col("cnt_b").cast("double") * col("t_uni") * col("t_uni")) /
