@@ -173,7 +173,10 @@ object Analytics {
       .filter(col("total_qty") > minQty)
     Tables.orders(spark, dir)
       .join(qty, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))),
+      // no broadcast hint on customer: it is FACT-sized (scales with the
+      // corpus), and the having-filtered join output here is tiny — let
+      // stats/AQE pick the build side
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_orderdate"), col("total_qty"))
@@ -294,8 +297,10 @@ object Analytics {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"), col("n_name"), col("r_name"))
+    // dims is customer-cardinality (fact-sized at scale) — no broadcast
+    // hint; the nation/region sides above ARE bounded and stay hinted
     val perNation = Tables.orders(spark, dir)
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("r_name"), col("n_name"))
       // keep the DECIMAL through the window: a double window-sum would
       // accumulate in row order (nondeterministic across engines)
