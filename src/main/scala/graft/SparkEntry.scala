@@ -179,6 +179,7 @@ object SparkEntry {
     "events_heavy_hitters" -> ((s, dir) => EventOps.heavyUsers(Tables.events(s, dir))),
     "doc_normalize" -> ((s, dir) => TextOps.docNormalize(Tables.documents(s, dir))),
     "customer_order_span" -> ((s, dir) => Analytics.customerOrderSpan(s, dir)),
+    "market_share" -> ((s, dir) => Analytics.marketShare(s, dir)),
     "repeat_customers" -> ((s, dir) => Analytics.repeatCustomers(s, dir)),
     "nation_revenue_share" -> ((s, dir) => Analytics.nationRevenueShare(s, dir)),
     "events_ranks" -> ((s, dir) => EventOps.valueRanks(Tables.events(s, dir))),
@@ -721,6 +722,22 @@ object SparkEntry {
         |  round((n_chars_raw - length(cleaned))::DOUBLE
         |        / greatest(n_chars_raw, 1), 6) AS shrinkage
         |FROM n""".stripMargin,
+    "market_share" ->
+      """SELECT year(o_orderdate) AS order_year,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |        * (CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS region_revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  round(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |        * (CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END) AS DECIMAL(18,2)))
+        |    AS DOUBLE)
+        |    / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |    AS market_share
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "customer_order_span" ->
       """WITH w AS (
         |  SELECT o_custkey,

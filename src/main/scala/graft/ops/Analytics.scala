@@ -315,6 +315,33 @@ object Analytics {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Q8-shape market share: one region's share of GLOBAL revenue per
+    * order year — conditional aggregation over the orders⋈customer join
+    * with the bounded nation→region map broadcast (customer itself is
+    * fact-sized: no hint, stats decide). Share = two doubles off one
+    * exact DECIMAL sum each, so distributed partial-agg order cannot
+    * move the 6dp round. */
+  def marketShare(spark: SparkSession, dir: String, region: String = "ASIA"): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val inRegion = (col("r_name") === region).cast("int")
+    Tables.orders(spark, dir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        sum((dec("o_totalprice") * inRegion).cast("decimal(18,2)"))
+          .cast("double").as("region_revenue"),
+        sum(dec("o_totalprice")).cast("double").as("total_revenue"))
+      .select(col("order_year"), col("region_revenue"), col("total_revenue"),
+        round(col("region_revenue") / col("total_revenue"), 6).as("market_share"))
+      .orderBy(col("order_year"))
+  }
+
   /** Window-frame coverage: each customer's first / second / latest
     * order via `first_value` / `nth_value` / `last_value` over an
     * EXPLICIT full-partition frame — the default frame ends at CURRENT
