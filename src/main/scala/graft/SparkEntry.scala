@@ -181,6 +181,7 @@ object SparkEntry {
     "customer_order_span" -> ((s, dir) => Analytics.customerOrderSpan(s, dir)),
     "market_share" -> ((s, dir) => Analytics.marketShare(s, dir)),
     "repeat_customers" -> ((s, dir) => Analytics.repeatCustomers(s, dir)),
+    "churned_customers" -> ((s, dir) => Analytics.churnedCustomers(s, dir)),
     "nation_revenue_share" -> ((s, dir) => Analytics.nationRevenueShare(s, dir)),
     "events_ranks" -> ((s, dir) => EventOps.valueRanks(Tables.events(s, dir))),
     "events_extremes" -> ((s, dir) => EventOps.extremesByType(Tables.events(s, dir))),
@@ -760,6 +761,14 @@ object SparkEntry {
          |  round(quantile_cont(abs(value - mv), 0.5), 6) AS mad
          |FROM e JOIN med ON e.event_type = med.event_type
          |GROUP BY 1""".stripMargin,
+    "churned_customers" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_churned
+        |FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "repeat_customers" ->
       """SELECT c_mktsegment, COUNT(*) AS n_repeat
         |FROM customer

@@ -287,6 +287,21 @@ object Analytics {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** The EXCEPT twin of [[repeatCustomers]]: customers active in `y1`
+    * but gone by `y2` — churn. `except` plans as a left-anti over
+    * distincts on the same key-only projections. */
+  def churnedCustomers(spark: SparkSession, dir: String,
+      y1: Int = 1997, y2: Int = 1998): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def ids(y: Int) = o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    ids(y1).except(ids(y2))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_churned"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Percent-of-total via a window OVER a grouped aggregate: revenue per
     * nation, then each nation's share of its region — the window runs on
     * the 25-row aggregate, never the facts. Shares divide two doubles
