@@ -48,4 +48,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // Extra JVM flags for experiments (e.g. JIT tuning A/Bs):
   //   SPARK_GRAFT_JAVA_OPTS="-XX:TieredStopAtLevel=1" sbt "runMain graft.Bench"
-  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq)
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

@@ -107,16 +107,53 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
       .fold(SparkEntry.queries.keys.toSeq)(only =>
         SparkEntry.queries.keys.filter(only).toSeq)
-    val results = selected.sorted.map(n => n -> execute(n))
+    // Same-query same-JVM variance is bimodal (documented in BASELINE.md:
+    // C2 compile-queue lottery, 2.3 s vs 18.3 s with flat GC), so a
+    // single shot is not a trustworthy regression signal. Each query runs
+    // SPARK_GRAFT_BENCH_REPS times (default 3) INTERLEAVED by round —
+    // rep 1 of every query, then rep 2, ... — so one transient JVM state
+    // (a busy compile queue, a concurrent GC) cannot poison all reps of
+    // the same query. Headline = sum of per-query medians.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val order = selected.sorted
+    val samples: Map[String, Seq[Double]] = {
+      val runs = (1 to reps).flatMap { r =>
+        System.err.println(s"[bench] === rep $r/$reps ===")
+        order.map(n => n -> execute(n))
+      }
+      runs.groupBy(_._1).map { case (n, rs) => n -> rs.map(_._2) }
+    }
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    }
+    val results = order.map(n => n -> median(samples(n)))
     def render(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def renderStats(names: Seq[String]): String = names.map { n =>
+      val ok = samples(n).filter(_ >= 0)
+      val (mn, mx) = if (ok.isEmpty) (-1.0, -1.0) else (ok.min, ok.max)
+      "\"" + n + "\":{\"median\":" + median(samples(n)) + ",\"min\":" + mn +
+        ",\"max\":" + mx + "}"
+    }.mkString("{", ",", "}")
     val (diag, headline) = results.partition(r => Diagnostics(r._1))
     val total = headline.map(_._2).filter(_ >= 0).sum
     // Both metric definitions stay reportable: "value" is the headline
-    // (scale-path queries only), "all_queries_total" adds the diagnostics
-    // back so the number is comparable to a plain sum over every query.
+    // (scale-path queries only, sum of medians), "all_queries_total" adds
+    // the diagnostics back so the number is comparable to a plain sum
+    // over every query.
     val allTotal = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","all_queries_total":$allTotal,"queries":${render(headline)},"diagnostics":${render(diag)},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"all_queries_total":$allTotal,"queries":${render(headline)},"diagnostics":${render(diag)},"stats":${renderStats(order)},"sf":"$sfDir"}"""
+    // The JSON goes to its OWN file as well as stdout: round 3's tail
+    // capture started mid-line and truncated the first ~41 per-query
+    // timings out of BENCH_r03.json. A dedicated file can't be clipped
+    // by a log tail.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

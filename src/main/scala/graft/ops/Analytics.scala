@@ -96,8 +96,10 @@ object Analytics {
     * aggregation over a two-fact join with a broadcast part side. */
   def supplierDiversity(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
-        .select(col("p_partkey"), col("p_brand"), col("p_type"))),
+      // part scales with SF (200k × SF) — no broadcast hint; stats/AQE
+      // pick broadcast while it fits and fall back to shuffle at scale
+      .join(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
@@ -114,7 +116,8 @@ object Analytics {
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("revenue").desc, col("p_partkey"))
     perPart
-      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_name")),
+      // part is SF-scaled: unhinted, stats/AQE decide (policy as above)
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_name"),
         col("l_partkey") === col("p_partkey"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -147,7 +150,8 @@ object Analytics {
   def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
     val revenue = (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("decimal(18,4)")
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+      // part is SF-scaled: unhinted, stats/AQE decide (policy as above)
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
       .agg(
@@ -220,8 +224,9 @@ object Analytics {
       (col("p_brand") === "Brand#34" && col("p_size").between(1, 50) &&
         col("l_quantity").between(20, 40))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
-        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+      // part is SF-scaled: unhinted, stats/AQE decide (policy as above)
+      .join(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")),
         col("l_partkey") === col("p_partkey"))
       .filter(qualifies)
       .groupBy(col("p_brand"))

@@ -624,26 +624,31 @@ object TextOps {
     * each triangle counted exactly once, two hash joins on node keys
     * over the SPARSE near-dup edge set (the standard distributed
     * triangle count; no per-node adjacency list ever materializes, so
-    * a high-degree node costs join rows, not memory). The four scalar
-    * aggregates reuse one lazily-checkpointed edge set and meet in
-    * broadcast cross joins of 1-row frames. */
+    * a high-degree node costs join rows, not memory). The pair set is
+    * EAGERLY checkpointed — the scalar branches run as concurrent
+    * broadcast jobs, and off a lazy checkpoint each raced to
+    * (re)materialize the candidate-pair index, multiplying the dominant
+    * cost (measured: 14 s, 4× its family). Nodes/edges/max-degree fuse
+    * into ONE aggregation pass (degree rollup, then a 1-row agg), so
+    * only triangles run as a second job. */
   def nearDupGraphStats(documents: DataFrame, k: Int = 3,
       minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
     val pairs = nearDupJaccard(documents, k, minJaccard, maxDf)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
-    val ends = pairs.select(col("doc_a").as("id"))
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val degStats = pairs.select(col("doc_a").as("id"))
       .union(pairs.select(col("doc_b").as("id")))
-    val nodes = ends.distinct().agg(count(lit(1)).as("n_nodes"))
-    val edges = pairs.agg(count(lit(1)).as("n_edges"))
-    val maxDeg = ends.groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      .agg(max(col("deg")).as("max_degree"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("n_nodes"),
+        // each undirected pair contributes one endpoint row per side
+        (coalesce(sum(col("deg")), lit(0L)) / 2).cast("long").as("n_edges"),
+        max(col("deg")).as("max_degree"))
     val tri = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .join(pairs.select(col("doc_a").as("b2"), col("doc_b").as("c")),
         col("b") === col("b2"))
       .join(pairs.select(col("doc_a").as("a3"), col("doc_b").as("c3")),
         col("a") === col("a3") && col("c") === col("c3"))
       .agg(count(lit(1)).as("n_triangles"))
-    nodes.crossJoin(edges).crossJoin(maxDeg).crossJoin(tri)
+    degStats.crossJoin(tri)
   }
 
   /** Adjacent-bigram collocation strength: lift = P(w₁w₂) / (P(w₁)·P(w₂))

@@ -108,9 +108,13 @@ class PlanSpec extends AnyFunSuite {
   test("anti-join shape for the dormant-customers query") {
     val plan = planOf(SparkEntry.queries("dormant_customers")(spark, dir))
     assert(plan.contains("LeftAnti"), s"expected a left-anti join:\n$plan")
-    assert(!plan.contains("NestedLoop") || plan.contains("BuildRight, LeftAnti")
-      || plan.contains("CartesianProduct") == false,
+    assert(!plan.contains("CartesianProduct"),
       s"anti join must not be a cartesian scan:\n$plan")
+    // A broadcast-nested-loop anti join is only acceptable when it keeps
+    // the anti semantics on the broadcast side; a plain NestedLoop means
+    // the key equi-condition was lost.
+    assert(!plan.contains("NestedLoop") || plan.contains("BuildRight, LeftAnti"),
+      s"anti join degraded to a non-keyed nested loop:\n$plan")
   }
 
   test("percent-of-total window runs over the aggregate, not the facts") {
@@ -122,6 +126,10 @@ class PlanSpec extends AnyFunSuite {
     val winIdx = plan.indexOf("Window")
     val aggIdx = plan.indexOf("HashAggregate")
     assert(winIdx >= 0 && aggIdx >= 0, s"missing operators:\n$plan")
+    // The formatted plan prints parents before children, so the Window
+    // node must appear BEFORE (above) the aggregate it consumes.
+    assert(winIdx < aggIdx,
+      s"window is below the aggregate — it runs over raw facts:\n$plan")
     assert(plan.contains("revenue_dec"), s"window input not the aggregate:\n$plan")
   }
 
