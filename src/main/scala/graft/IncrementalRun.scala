@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
-import graft.incremental.{ConsistencyMode, IncrementalWeeklySummary}
+import graft.incremental.{CatalogDdl, ConsistencyMode, IncrementalWeeklySummary, Watermarks}
+import graft.sources.JdbcUpsert
 
 /** Direct-run entry for the incremental pipeline — the analog of the
   * reference's `python etl_script_incremental_pandas.py` path
@@ -12,6 +14,23 @@ import graft.incremental.{ConsistencyMode, IncrementalWeeklySummary}
   * that only advances the watermark (etl:202-213).
   *
   * Usage: runMain graft.IncrementalRun <sfDir> <stateDir> [faithful|strict]
+  *
+  * After the run the state directories are registered as session-catalog
+  * tables (SURVEY.md S4, [[CatalogDdl]]), and — when a rollup database is
+  * configured — the summary and watermark are ALSO upserted over JDBC
+  * ([[JdbcUpsert]]), mirroring the reference's Postgres rollup load
+  * (etl:249-284). Env vars, set by the Airflow DAG
+  * (airflow/dags/pagila_weekly_summary_dag.py) from its Airflow
+  * connections; unset ⇒ parquet in/out only, since no database ships in
+  * this container:
+  *   SPARK_GRAFT_SOURCE_JDBC_URL   read `rental` over JDBC instead of
+  *     sfDir parquet — the run's watermark filter then pushes down to
+  *     the remote WHERE clause (the reference's delta SQL, etl:116-128)
+  *   SPARK_GRAFT_SOURCE_JDBC_USER / SPARK_GRAFT_SOURCE_JDBC_PASSWORD
+  *   SPARK_GRAFT_SOURCE_TABLE      default rental
+  *   SPARK_GRAFT_ROLLUP_JDBC_URL   e.g. jdbc:postgresql://host:5432/rollup
+  *   SPARK_GRAFT_ROLLUP_JDBC_USER / SPARK_GRAFT_ROLLUP_JDBC_PASSWORD
+  *   SPARK_GRAFT_ROLLUP_TABLE      default weekly_rental_summary
   */
 object IncrementalRun {
   def main(args: Array[String]): Unit = {
@@ -28,10 +47,39 @@ object IncrementalRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val report = IncrementalWeeklySummary.run(
-      spark, Tables.rental(spark, sfDir), stateDir, mode)
+    val rental = sys.env.get("SPARK_GRAFT_SOURCE_JDBC_URL") match {
+      case Some(url) =>
+        val props = new java.util.Properties()
+        sys.env.get("SPARK_GRAFT_SOURCE_JDBC_USER").foreach(props.setProperty("user", _))
+        sys.env.get("SPARK_GRAFT_SOURCE_JDBC_PASSWORD").foreach(props.setProperty("password", _))
+        spark.read.jdbc(url,
+          sys.env.getOrElse("SPARK_GRAFT_SOURCE_TABLE", "rental"), props)
+      case None => Tables.rental(spark, sfDir)
+    }
+    val report = IncrementalWeeklySummary.run(spark, rental, stateDir, mode)
     println(s"[incremental] watermark ${report.previousWatermark} -> ${report.newWatermark}; " +
       s"deltaRows=${report.deltaRows} affectedWeeks=${report.affectedWeeks} processed=${report.processed}")
+    CatalogDdl.registerStateTables(spark, stateDir)
+    sys.env.get("SPARK_GRAFT_ROLLUP_JDBC_URL").foreach { url =>
+      val props = new java.util.Properties()
+      sys.env.get("SPARK_GRAFT_ROLLUP_JDBC_USER").foreach(props.setProperty("user", _))
+      sys.env.get("SPARK_GRAFT_ROLLUP_JDBC_PASSWORD").foreach(props.setProperty("password", _))
+      val table = sys.env.getOrElse("SPARK_GRAFT_ROLLUP_TABLE", "weekly_rental_summary")
+      val summary = IncrementalWeeklySummary.readSummary(spark, stateDir)
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        JdbcUpsert.createTableIfAbsent(conn, table,
+          IncrementalWeeklySummary.summarySchema, Seq("week_beginning"))
+        JdbcUpsert.createTableIfAbsent(conn, "etl_watermarks",
+          Watermarks.schema, Seq("process_name"))
+      } finally conn.close()
+      JdbcUpsert.upsert(summary, url, table, Seq("week_beginning"), props)
+      val wmRow = IncrementalWeeklySummary
+        .watermarkStore(spark, stateDir).read(Watermarks.schema)
+        .filter(col("process_name") === IncrementalWeeklySummary.ProcessName)
+      JdbcUpsert.upsert(wmRow, url, "etl_watermarks", Seq("process_name"), props)
+      println(s"[incremental] rollup upsert -> $url ($table, etl_watermarks)")
+    }
     spark.stop()
   }
 }

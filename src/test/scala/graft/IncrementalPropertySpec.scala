@@ -85,4 +85,92 @@ class IncrementalPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("crash between summary commit and watermark advance converges on re-run") {
+    // The reference commits summary + watermark in ONE Postgres
+    // transaction (etl:272); StateStore swaps them as two separate
+    // commits, so a crash can land AFTER summaries.overwrite but BEFORE
+    // Watermarks.write (IncrementalWeeklySummary run steps 4→5).
+    // README.md documents the invariant that makes this safe: the
+    // summary upsert is idempotent, so the recovery re-run re-processes
+    // the same delta against already-updated summaries and converges.
+    // Pin it: simulate the torn state by rewinding the watermark to its
+    // pre-run value while keeping the post-run summary.
+    for (trial <- 1 to 3) {
+      val rows = logGen.pureApply(Gen.Parameters.default, Seed(9000L + trial))
+      val versions = rows.flatMap { case (id, rd, ret) =>
+        val rdTs = new Timestamp(base + rd * day)
+        val v1 = RentalVersion(id, rdTs, None, rdTs)
+        ret match {
+          case Some(delay) =>
+            val retTs = new Timestamp(base + (rd + delay) * day)
+            List(v1, RentalVersion(id, rdTs, Some(retTs),
+              new Timestamp(math.max(rdTs.getTime, retTs.getTime))))
+          case None => List(v1)
+        }
+      }
+      val log = rentalDf(versions)
+      val dir = Files.createTempDirectory("graft-crash").toString
+      val t1 = new Timestamp(base + 70 * day)
+      val t2 = new Timestamp(base + 250 * day)
+      val now = ts("2030-01-01 00:00:00")
+
+      IncrementalWeeklySummary.run(spark, sourceAsOf(log, t1), dir, now = now)
+      val wmStore = IncrementalWeeklySummary.watermarkStore(spark, dir)
+      val wm1 = Watermarks.read(spark, wmStore, IncrementalWeeklySummary.ProcessName)
+
+      IncrementalWeeklySummary.run(spark, sourceAsOf(log, t2), dir, now = now)
+      val wm2 = Watermarks.read(spark, wmStore, IncrementalWeeklySummary.ProcessName)
+
+      // Torn state: summary reflects the t2 run, watermark does not.
+      Watermarks.write(spark, wmStore, IncrementalWeeklySummary.ProcessName, wm1)
+
+      // Recovery re-run over the same source.
+      IncrementalWeeklySummary.run(spark, sourceAsOf(log, t2), dir, now = now)
+      assert(Watermarks.read(spark, wmStore,
+        IncrementalWeeklySummary.ProcessName) === wm2, "watermark must re-advance")
+
+      val finalSource = sourceAsOf(log, t2)
+      val maxW = finalSource
+        .agg(WeeklySummary.weekStart(to_date(max(
+          greatest(col("rental_date"), coalesce(col("return_date"), col("rental_date")))))))
+        .head().getDate(0)
+      val expected = WeeklySummary.snapshot(finalSource, SparkEntry.AsOf)
+        .filter(col("week_beginning") <= lit(maxW))
+      val got = IncrementalWeeklySummary.readSummary(spark, dir).select(
+        col("week_beginning"),
+        col("newly_rented_during_week"),
+        col("ReturnedRentals").as("returned_rentals_during_week"),
+        col("net_change_in_outstanding"),
+        col("OutstandingRentals").as("outstanding_rentals_at_week_end"))
+      withClue(s"crash trial $trial: ") { assertSameRows(got, expected) }
+    }
+  }
+
+  test("catalog DDL registers state tables queryable by name (S4)") {
+    val rows = logGen.pureApply(Gen.Parameters.default, Seed(77L))
+    val versions = rows.map { case (id, rd, _) =>
+      val rdTs = new Timestamp(base + rd * day)
+      RentalVersion(id, rdTs, None, rdTs)
+    }
+    val dir = Files.createTempDirectory("graft-ddl").toString
+    IncrementalWeeklySummary.run(spark, rentalDf(versions), dir,
+      now = ts("2030-01-01 00:00:00"))
+    try {
+      CatalogDdl.registerStateTables(spark, dir)
+      // registration is metadata-only and idempotent
+      CatalogDdl.registerStateTables(spark, dir)
+      val viaSql = spark.sql(
+        "SELECT count(*) FROM weekly_rental_summary").head().getLong(0)
+      assert(viaSql === IncrementalWeeklySummary.readSummary(spark, dir).count())
+      assert(viaSql > 0)
+      val wm = spark.sql(
+        s"SELECT last_successful_update_timestamp FROM etl_watermarks " +
+          s"WHERE process_name = '${IncrementalWeeklySummary.ProcessName}'")
+      assert(wm.count() === 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS weekly_rental_summary")
+      spark.sql("DROP TABLE IF EXISTS etl_watermarks")
+    }
+  }
 }

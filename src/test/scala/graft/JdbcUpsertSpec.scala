@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.incremental.Upsert
+import graft.sources.JdbcUpsert
+
+import TestSpark._
+
+/** Contract test for the JDBC keyed-upsert sink against embedded Derby —
+  * the one real database on Spark's own classpath. The binding contract:
+  * after any sequence of upserts, the JDBC table equals
+  * [[Upsert.merge]] folded over the same frames (the parquet-side
+  * upsert the oracle already pins). Mirrors the reference's rollup load
+  * (etl_script_incremental_pandas.py:249-267). */
+class JdbcUpsertSpec extends AnyFunSuite {
+
+  // Keep Derby's log out of the repo root.
+  System.setProperty("derby.system.home",
+    java.nio.file.Files.createTempDirectory("graft-derby").toString)
+
+  private val url = "jdbc:derby:memory:graftUpsert;create=true"
+
+  private val schema = StructType(Seq(
+    StructField("week_beginning", DateType, nullable = false),
+    StructField("OutstandingRentals", LongType, nullable = true),
+    StructField("rentals", LongType, nullable = true),
+    StructField("note", StringType, nullable = true)))
+
+  private def frame(rows: Seq[(String, java.lang.Long, java.lang.Long, String)]): DataFrame = {
+    val rdd = spark.sparkContext.parallelize(rows.map { case (w, o, r, n) =>
+      org.apache.spark.sql.Row(d(w), o, r, n)
+    })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def readBack(table: String): DataFrame =
+    spark.read.jdbc(url, "\"" + table + "\"", new java.util.Properties())
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.select(col("week_beginning"), col("OutstandingRentals"),
+      col("rentals"), col("note"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  test("JDBC upsert equals Upsert.merge over the same batches") {
+    val conn = DriverManager.getConnection(url)
+    try JdbcUpsert.createTableIfAbsent(conn, "wk_summary", schema,
+      Seq("week_beginning"))
+    finally conn.close()
+
+    val b1 = frame(Seq(
+      ("2024-01-01", 5L, 10L, "first"),
+      ("2024-01-08", 7L, 12L, null),
+      ("2024-01-15", 2L, 3L, "x")))
+    val b2 = frame(Seq(
+      ("2024-01-08", 9L, 20L, "updated"), // key collision: must replace
+      ("2024-01-22", null, 1L, "new")))   // new key, null payload col
+
+    JdbcUpsert.upsert(b1, url, "wk_summary", Seq("week_beginning"))
+    JdbcUpsert.upsert(b2, url, "wk_summary", Seq("week_beginning"))
+
+    val expected = Upsert.merge(Upsert.merge(b1.limit(0), b1,
+      Seq("week_beginning")), b2, Seq("week_beginning"))
+    assert(sortedRows(readBack("wk_summary")) === sortedRows(expected))
+    assert(readBack("wk_summary").count() === 4)
+  }
+
+  test("re-upserting the same batch is idempotent (at-least-once safe)") {
+    val conn = DriverManager.getConnection(url)
+    try JdbcUpsert.createTableIfAbsent(conn, "wk_idem", schema,
+      Seq("week_beginning"))
+    finally conn.close()
+    val b = frame(Seq(("2024-02-05", 1L, 2L, "a"), ("2024-02-12", 3L, 4L, "b")))
+    JdbcUpsert.upsert(b, url, "wk_idem", Seq("week_beginning"))
+    JdbcUpsert.upsert(b, url, "wk_idem", Seq("week_beginning"))
+    assert(sortedRows(readBack("wk_idem")) === sortedRows(b))
+  }
+
+  test("createTableIfAbsent is idempotent") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      JdbcUpsert.createTableIfAbsent(conn, "ddl_twice", schema, Seq("week_beginning"))
+      JdbcUpsert.createTableIfAbsent(conn, "ddl_twice", schema, Seq("week_beginning"))
+    } finally conn.close()
+    assert(readBack("ddl_twice").count() === 0)
+  }
+
+  test("generated SQL: postgres ON CONFLICT and ANSI MERGE shapes") {
+    val pg = JdbcUpsert.upsertSql(JdbcUpsert.PostgresOnConflict,
+      "t", schema, Seq("week_beginning"))
+    assert(pg.contains("ON CONFLICT (\"week_beginning\") DO UPDATE SET"))
+    assert(pg.contains("\"OutstandingRentals\" = EXCLUDED.\"OutstandingRentals\""))
+    val merge = JdbcUpsert.upsertSql(JdbcUpsert.AnsiMerge,
+      "t", schema, Seq("week_beginning"))
+    assert(merge.contains("MERGE INTO \"t\" t"))
+    assert(merge.contains("CAST(? AS DATE)"))
+    assert(merge.contains("WHEN MATCHED THEN UPDATE SET"))
+    assert(merge.contains("WHEN NOT MATCHED THEN INSERT"))
+    val upd = JdbcUpsert.updateSql("t", schema, Seq("week_beginning"))
+    assert(upd ===
+      "UPDATE \"t\" SET \"OutstandingRentals\" = ?, \"rentals\" = ?, " +
+        "\"note\" = ? WHERE \"week_beginning\" = ?")
+  }
+}
