@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit, when}
 
 import graft.ops.{Analytics, EventOps, ReferenceOps, TextOps, VectorOps, WeeklySummary}
 
@@ -126,6 +126,20 @@ object SparkEntry {
     "doc_cross_entropy" -> ((s, dir) => TextOps.docCrossEntropy(Tables.documents(s, dir))),
     "dup_passages" -> ((s, dir) => TextOps.dupPassages(Tables.documents(s, dir))),
     "doc_chunks" -> ((s, dir) => TextOps.docChunks(Tables.documents(s, dir))),
+    "corpus_diff" -> ((s, dir) => {
+      // two simulated corpus versions derived deterministically from one
+      // table: doc_id≡3 (mod 10) exists only in v2 ("added"), ≡7 only in
+      // v1 ("removed"), ≡5 is edited in v2 ("changed")
+      val d = Tables.documents(s, dir)
+      val v1 = d.filter(col("doc_id") % 10 =!= 3)
+      val v2 = d.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("text", when(col("doc_id") % 10 === 5,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      TextOps.corpusDiff(v1, v2)
+    }),
+    "doc_pii" -> ((s, dir) => TextOps.docPii(Tables.documents(s, dir))),
+    "vocab_bpe_pairs" -> ((s, dir) => TextOps.vocabBpePairs(Tables.documents(s, dir))),
+    "vocab_bpe" -> ((s, dir) => TextOps.vocabBpeDf(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir))),
     "doc_top_terms" -> ((s, dir) => TextOps.docTopTerms(Tables.documents(s, dir))),
     "doc_winnow" -> ((s, dir) => TextOps.docWinnow(Tables.documents(s, dir))),
@@ -894,6 +908,45 @@ object SparkEntry {
          |  len(t[1+i*24 : i*24+32]) AS n_chunk_tokens,
          |  md5(array_to_string(t[1+i*24 : i*24+32], ' ')) AS chunk_md5
          |FROM toks, UNNEST(range(0, (len(t)-1)//24 + 1)) AS u(i)""".stripMargin,
+    "corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS fp_old,
+        |    CAST(length(text) AS BIGINT) AS chars_old
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 5 THEN text || ' [rev2]' ELSE text END) AS fp_new,
+        |    CAST(length(CASE WHEN doc_id % 10 = 5 THEN text || ' [rev2]' ELSE text END) AS BIGINT) AS chars_new
+        |  FROM documents WHERE doc_id % 10 <> 7)
+        |SELECT CASE WHEN fp_old IS NULL THEN 'added'
+        |            WHEN fp_new IS NULL THEN 'removed'
+        |            WHEN fp_old = fp_new THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |  count(*) AS n_docs,
+        |  CAST(sum(coalesce(chars_new, chars_old)) AS BIGINT) AS n_chars
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY 1 ORDER BY status""".stripMargin,
+    "doc_pii" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}')) AS n_phones,
+        |  len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+        |  len(regexp_extract_all(text, '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}')) AS n_cards,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}', '<CARD>', 'g'),
+        |    '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+        |FROM documents""".stripMargin,
+    "vocab_bpe_pairs" ->
+      """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS cnt FROM words WHERE length(w) >= 2 GROUP BY w),
+        |idx AS (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc),
+        |pairs AS (SELECT substr(w, CAST(i AS INT), 1) AS a,
+        |                 substr(w, CAST(i AS INT)+1, 1) AS b, cnt FROM idx)
+        |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY a, b
+        |ORDER BY pair_count DESC, a, b LIMIT 30""".stripMargin,
     "dup_passages" ->
       s"""WITH $toksCte,
          |ch AS (

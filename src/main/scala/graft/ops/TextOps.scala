@@ -1003,4 +1003,150 @@ object TextOps {
         hamming64(col("sig_a"), col("sig_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Corpus snapshot diff: per-status document and char counts between
+    * two versions of a corpus, keyed on `doc_id` with content compared
+    * by fingerprint — the dataset-versioning audit every refreshed
+    * training corpus needs ("what changed between crawl N and N+1").
+    * One full-outer join on the key, then a 4-row aggregate: no content
+    * ever crosses the shuffle (md5 fingerprints travel instead of
+    * text), so the plan is key-join-shaped at any corpus size. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("fp_old"),
+      length(col("text")).cast("long").as("chars_old"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("fp_new"),
+      length(col("text")).cast("long").as("chars_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("chars_new"), col("chars_old")).as("chars"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("n_chars"))
+      .orderBy(col("status"))
+  }
+
+  /** PII scan + redaction audit: per-document counts of email / phone /
+    * IPv4 / 16-digit-card patterns and the fingerprint of the redacted
+    * text — the pre-release privacy pass of a training pipeline.
+    * Entirely row-local (regex projections, zero shuffle). Patterns are
+    * deliberately lookaround-free and written with explicit character
+    * classes so Java regex (Spark) and RE2 (the DuckDB oracle) agree
+    * byte-for-byte. */
+  def docPii(documents: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+    val ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val card = "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}"
+    def hits(pat: String) = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+    val redacted = Seq(email -> "<EMAIL>", card -> "<CARD>", phone -> "<PHONE>",
+      ipv4 -> "<IP>").foldLeft(col("text")) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+    documents.select(
+      col("doc_id"),
+      hits(email).as("n_emails"),
+      hits(phone).as("n_phones"),
+      hits(ipv4).as("n_ips"),
+      hits(card).as("n_cards"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** Round-0 BPE pair statistics: global counts of adjacent character
+    * pairs weighted by word frequency — the first-iteration signal of
+    * byte-pair-encoding tokenizer training, and the SQL-expressible
+    * slice of it (the oracle replays it in DuckDB). The corpus
+    * collapses to the distinct-word frequency table first (classic BPE
+    * trains on word counts, not raw text), so per-round work is
+    * vocabulary-sized, not corpus-sized. */
+  def vocabBpePairs(documents: DataFrame, topN: Int = 30): DataFrame = {
+    val words = documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    words
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => struct(
+          col("w").substr(i, lit(1)).as("a"),
+          col("w").substr(i + 1, lit(1)).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
+  /** One learned merge: rank order, the pair, its corpus count. */
+  final case class BpeMerge(rank: Int, left: String, right: String,
+      merged: String, pair_count: Long)
+
+  /** Distributed BPE tokenizer training: `nMerges` rounds of
+    * count-adjacent-pairs → merge-the-argmax over the word-frequency
+    * table (Sennrich et al. 2016). Scale shape: the corpus collapses
+    * ONCE to distinct words + counts (the only corpus-sized pass);
+    * every round is then one vocabulary-sized explode + groupBy with a
+    * single 1-row argmax collected to the driver — the same
+    * scalar-probe-per-round pattern the reference's watermark loop
+    * uses, and unavoidable here because round N+1's plan depends on
+    * round N's winner. Word state is localCheckpoint'd each round so
+    * plan depth stays O(1), not O(rounds). Ties break
+    * deterministically (count desc, then pair lexicographic). */
+  def vocabBpe(documents: DataFrame, nMerges: Int = 10): Seq[BpeMerge] = {
+    var words = documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // split(w, "") keeps a trailing "" under Spark's limit=-1 — drop it
+      .select(filter(split(col("w"), ""), x => length(x) > 0).as("syms"),
+        col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(
+            element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val m = a + b
+        merges += BpeMerge(round + 1, a, b, m, n)
+        // Left-to-right non-overlapping merge of (a,b) within each word:
+        // fold the symbol array, replacing a trailing `a` when `b`
+        // arrives. Words are short, so the per-row fold is cheap.
+        def lt(s: String) = lit(s)
+        words = words.select(
+          aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 &&
+                element_at(acc, size(acc)) === lt(a) && x === lt(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lt(m))))
+              .otherwise(concat(acc, array(x)))).as("syms"),
+          col("cnt"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[vocabBpe]] as a DataFrame (driver-query surface). */
+  def vocabBpeDf(documents: DataFrame, nMerges: Int = 10): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    vocabBpe(documents, nMerges).toDF()
+      .select(col("rank"), col("left"), col("right"), col("merged"), col("pair_count"))
+  }
 }

@@ -107,14 +107,17 @@ class PlanSpec extends AnyFunSuite {
 
   test("anti-join shape for the dormant-customers query") {
     val plan = planOf(SparkEntry.queries("dormant_customers")(spark, dir))
-    assert(plan.contains("LeftAnti"), s"expected a left-anti join:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"anti join must not be a cartesian scan:\n$plan")
-    // A broadcast-nested-loop anti join is only acceptable when it keeps
-    // the anti semantics on the broadcast side; a plain NestedLoop means
-    // the key equi-condition was lost.
-    assert(!plan.contains("NestedLoop") || plan.contains("BuildRight, LeftAnti"),
-      s"anti join degraded to a non-keyed nested loop:\n$plan")
+    // The LeftAnti must execute as a KEYED join. The plan legitimately
+    // contains one BroadcastNestedLoopJoin Cross BuildRight — the 1-row
+    // broadcast avg-cut scalar join, bounded by construction — so ban
+    // specifically a nested-loop LeftAnti, not NestedLoop per se.
+    assert(Seq("BroadcastHashJoin LeftAnti", "ShuffledHashJoin LeftAnti",
+      "SortMergeJoin LeftAnti").exists(plan.contains),
+      s"expected a keyed (hash/merge) left-anti join:\n$plan")
+    assert(!plan.contains("NestedLoopJoin Left"),
+      s"anti/outer join degraded to a nested loop:\n$plan")
   }
 
   test("percent-of-total window runs over the aggregate, not the facts") {
