@@ -262,6 +262,15 @@ object SparkEntry {
     "disjunctive_revenue" -> ((s, dir) => Analytics.disjunctiveRevenue(s, dir)),
     "top_suppliers" -> ((s, dir) => Analytics.topSuppliers(s, dir)),
     "ship_latency" -> ((s, dir) => Analytics.shipLatencyByPriority(s, dir)),
+    "cheapest_supplier" -> ((s, dir) => Analytics.cheapestSupplier(s, dir)),
+    "forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
+    "nation_trade_volume" -> ((s, dir) => Analytics.nationTradeVolume(s, dir)),
+    "product_profit" -> ((s, dir) => Analytics.productProfit(s, dir)),
+    "returned_revenue" -> ((s, dir) => Analytics.returnedRevenue(s, dir)),
+    "major_parts" -> ((s, dir) => Analytics.majorParts(s, dir)),
+    "small_qty_revenue" -> ((s, dir) => Analytics.smallQtyRevenue(s, dir)),
+    "dominant_suppliers" -> ((s, dir) => Analytics.dominantSuppliers(s, dir)),
+    "sole_late_suppliers" -> ((s, dir) => Analytics.soleLateSuppliers(s, dir)),
     // SCD-2 dimension history: per-customer order-status change log
     "scd2_status" -> ((s, dir) =>
       graft.ops.Scd.scd2(
@@ -1385,6 +1394,110 @@ object SparkEntry {
         |  COUNT(*) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cheapest_supplier" ->
+      """WITH unit AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS unit_price
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |        ORDER BY unit_price, l_suppkey) AS rn FROM unit)
+        |SELECT p_partkey, p_name, s_suppkey, s_name,
+        |  round(unit_price, 6) AS unit_price
+        |FROM r JOIN part ON l_partkey = p_partkey
+        |       JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1 AND p_size <= 5 ORDER BY p_partkey""".stripMargin,
+    "forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue_increase,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+    "nation_trade_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS ship_year,
+         |  CAST(SUM($revSql) AS DOUBLE) AS revenue, COUNT(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+         |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+         |  AND sn.n_name <> cn.n_name
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS ship_year,
+         |  CAST(SUM($revSql
+         |    - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.8 AS DECIMAL(18,2))
+         |           * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+         |    AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "returned_revenue" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment,
+         |  CAST(SUM($revSql) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= '2000-10-01' AND o_orderdate < '2001-01-01'
+         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "major_parts" ->
+      s"""WITH per_part AS (
+         |  SELECT l_partkey, SUM($revSql) AS revenue_dec
+         |  FROM lineitem GROUP BY 1),
+         |tot AS (SELECT SUM(revenue_dec) AS total_dec FROM per_part)
+         |SELECT l_partkey AS p_partkey, CAST(revenue_dec AS DOUBLE) AS revenue
+         |FROM per_part, tot
+         |WHERE CAST(revenue_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.001
+         |ORDER BY revenue DESC, p_partkey""".stripMargin,
+    "small_qty_revenue" ->
+      """WITH avg_qty AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+        |    AS avg_weekly,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+        |JOIN avg_qty USING (l_partkey)
+        |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+    "dominant_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty_dec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size <= 10
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, SUM(supp_qty_dec) AS part_qty_dec
+        |       FROM shipped GROUP BY 1)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM shipped JOIN pt USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE CAST(supp_qty_dec AS DOUBLE) > CAST(part_qty_dec AS DOUBLE) * 0.3
+        |ORDER BY s_suppkey""".stripMargin,
+    "sole_late_suppliers" ->
+      """WITH per_os AS (
+        |  SELECT o_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 100 DAY
+        |             THEN 1 ELSE 0 END) AS was_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY o_orderkey) AS n_suppliers,
+        |    SUM(was_late) OVER (PARTITION BY o_orderkey) AS n_late
+        |  FROM per_os)
+        |SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE was_late = 1 AND n_suppliers >= 2 AND n_late = 1
+        |GROUP BY 1, 2 ORDER BY n_orders DESC, s_suppkey LIMIT 10""".stripMargin,
     "late_priority_counts" ->
       s"""SELECT o_orderpriority, COUNT(*) AS order_count
          |FROM orders o

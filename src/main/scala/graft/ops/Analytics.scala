@@ -405,4 +405,223 @@ object Analytics {
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
+
+  /** Q2-shape cheapest supplier per part (adapted: the harness schema
+    * has no partsupp, so "supply cost" is the average realized unit
+    * price from lineitem). Correlated-argmin shape: per-(part,supplier)
+    * aggregate, then row_number over the part partitioning picks the
+    * minimum — the window runs on the aggregate (|parts×suppliers-seen|
+    * rows), never raw facts. Supplier/part joins stay unhinted
+    * (SF-scaled; stats/AQE decide). */
+  def cheapestSupplier(spark: SparkSession, dir: String, maxSize: Int = 5): DataFrame = {
+    val unit = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg((sum(dec("l_extendedprice")).cast("double")
+        / sum(dec("l_quantity")).cast("double")).as("unit_price"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("unit_price"), col("l_suppkey"))
+    unit.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(Tables.part(spark, dir).filter(col("p_size") <= maxSize)
+        .select(col("p_partkey"), col("p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        round(col("unit_price"), 6).as("unit_price"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Q6-shape forecast revenue change: pure filter + 1-row aggregate.
+    * Every predicate is on a base column, so the whole WHERE ships to
+    * the parquet scan (PushedFilters) — the query reads only the row
+    * groups whose min/max stats overlap the year. */
+  def forecastRevenue(spark: SparkSession, dir: String, yr: Int = 1998): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf(s"$yr-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf(s"${yr + 1}-01-01 00:00:00")) &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(18,4)"))
+        .cast("double").as("revenue_increase"),
+        count(lit(1)).as("n_lineitems"))
+
+  /** Q7-shape bilateral trade volume: revenue shipped from supplier
+    * nation A to customer nation B (both directions) by ship year. Two
+    * fact tables join on the order key; each fact side picks up its
+    * nation via an SF-scaled key map (unhinted) built against the
+    * bounded broadcast nation table. The pair filter runs BEFORE the
+    * fact-fact join, shrinking both inputs. */
+  def nationTradeVolume(spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val revenue = (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("decimal(18,4)")
+    Tables.lineitem(spark, dir)
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
+  /** Q9-shape product-line profit by supplier nation and year (adapted:
+    * no partsupp, so cost = 80% of the part's retail price × quantity).
+    * Part filter (name pattern) cuts the fact rows before the
+    * order-date join; nation map broadcast; profit is an exact DECIMAL
+    * difference so partial-agg order can't move the result. */
+  def productProfit(spark: SparkSession, dir: String, namePattern: String = "%red%"): DataFrame = {
+    val profit = (dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+      .cast("decimal(18,4)")
+      .minus((dec("p_retailprice") * lit(0.8).cast("decimal(18,2)") * dec("l_quantity"))
+        .cast("decimal(18,4)"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_name").like(namePattern))
+        .select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("ship_year"))
+      .agg(sum(profit).cast("double").as("profit"))
+      .orderBy(col("nation"), col("ship_year").desc)
+  }
+
+  /** Q10-shape returned-item losses: top customers by revenue of their
+    * RETURNED lineitems in one quarter. The return-flag and date
+    * filters hit the scans before any join; customer is fact-sized so
+    * the final name join is unhinted; TakeOrdered top-k, no global
+    * sort. */
+  def returnedRevenue(spark: SparkSession, dir: String,
+      from: String = "2000-10-01", k: Int = 20): DataFrame = {
+    val fromTs = java.sql.Timestamp.valueOf(s"$from 00:00:00")
+    val untilTs = java.sql.Timestamp.valueOf(
+      s"${java.time.LocalDate.parse(from).plusMonths(3)} 00:00:00")
+    val revenue = (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("decimal(18,4)")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit(fromTs) && col("o_orderdate") < lit(untilTs))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(revenue).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Q11-shape major parts: parts whose revenue exceeds a fixed
+    * fraction of TOTAL revenue — grouped HAVING against a scalar
+    * subquery. Both sides derive from ONE per-part aggregate: the
+    * global total re-aggregates the part-grain frame (week-cardinality
+    * math, not a second fact scan), then rides a 1-row broadcast. */
+  def majorParts(spark: SparkSession, dir: String, fraction: Double = 0.001): DataFrame = {
+    val revenue = (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("decimal(18,4)")
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(revenue).as("revenue_dec"))
+      .localCheckpoint() // reused by both branches: one fact scan total
+    val total = perPart.agg(sum(col("revenue_dec")).as("total_dec"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("revenue_dec").cast("double") >
+        col("total_dec").cast("double") * fraction)
+      .select(col("l_partkey").as("p_partkey"),
+        col("revenue_dec").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+  }
+
+  /** Q17-shape small-quantity revenue: lineitems of one brand whose
+    * quantity is under half the part's average quantity — the classic
+    * correlated-average filter, decorrelated into a part-grain
+    * aggregate joined back on the part key (both sides shuffle on
+    * l_partkey, co-partitioned). */
+  def smallQtyRevenue(spark: SparkSession, dir: String, brand: String = "Brand#23"): DataFrame = {
+    val perPartAvg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg((sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_brand") === brand)
+        .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPartAvg, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(round(sum(dec("l_extendedprice")).cast("double") / 7.0, 6).as("avg_weekly"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** Q20-shape dominant suppliers: suppliers shipping more than
+    * `share` of some qualifying part's total volume — nested aggregate
+    * ((part,supplier) grain vs part grain) with the part total joined
+    * back on the part key, then a distinct semi-join into supplier.
+    * The share compares two exact DECIMAL sums cast to double. */
+  def dominantSuppliers(spark: SparkSession, dir: String,
+      share: Double = 0.3, maxSize: Int = 10): DataFrame = {
+    val qualifying = Tables.part(spark, dir)
+      .filter(col("p_size") <= maxSize).select(col("p_partkey"))
+    val shipped = Tables.lineitem(spark, dir)
+      .join(qualifying, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec("l_quantity")).as("supp_qty_dec"))
+    val partTotal = shipped.groupBy(col("l_partkey"))
+      .agg(sum(col("supp_qty_dec")).as("part_qty_dec"))
+    val dominant = shipped.join(partTotal, Seq("l_partkey"))
+      .filter(col("supp_qty_dec").cast("double") >
+        col("part_qty_dec").cast("double") * share)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q21-shape sole late suppliers (adapted: the schema has no
+    * commit/receipt dates, so "late" = shipped more than `lateDays`
+    * after the order date): suppliers who were the ONLY late supplier
+    * on a multi-supplier order. The exists/not-exists double
+    * correlation decorrelates into ONE (order,supplier)-grain aggregate
+    * plus order-partitioned window counts — no self-joins of lineitem.
+    * The window's exchange moves only the aggregated
+    * (order,supplier)-grain rows (map-side combine already collapsed
+    * the facts), which is strictly less data motion than forcing a
+    * single order-key shuffle of the raw join output. */
+  def soleLateSuppliers(spark: SparkSession, dir: String,
+      lateDays: Int = 100, k: Int = 10): DataFrame = {
+    val perOrderSupp = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") > col("o_orderdate")
+        + expr(s"INTERVAL $lateDays DAYS")).cast("int")).as("was_late"))
+    val w = Window.partitionBy(col("o_orderkey"))
+    val flagged = perOrderSupp
+      .withColumn("n_suppliers", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("was_late")).over(w))
+    flagged
+      .filter(col("was_late") === 1 && col("n_suppliers") >= 2 && col("n_late") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_orders"))
+      .orderBy(col("n_orders").desc, col("s_suppkey"))
+      .limit(k)
+  }
 }

@@ -141,4 +141,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"fuzzy join fell back to all-pairs:\n$plan")
   }
+
+  test("TPC-H-shape sweep: keyed joins only; NL appears solely as 1-row scalar cross joins") {
+    // major_parts legitimately carries one BroadcastNestedLoopJoin Cross
+    // BuildRight — the 1-row broadcast total — same for any future
+    // scalar-subquery shape; everything else must stay hash/merge keyed.
+    Seq("cheapest_supplier", "forecast_revenue", "nation_trade_volume",
+      "product_profit", "returned_revenue", "major_parts",
+      "small_qty_revenue", "dominant_suppliers", "sole_late_suppliers")
+      .foreach { q =>
+        val plan = planOf(SparkEntry.queries(q)(spark, dir))
+        assert(!plan.contains("CartesianProduct"), s"$q went cartesian:\n$plan")
+        assert(!plan.contains("NestedLoopJoin Left"),
+          s"$q: outer/anti join degraded to nested loop:\n$plan")
+        val nlOk = !plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("BroadcastNestedLoopJoin Cross BuildRight")
+        assert(nlOk, s"$q: unexpected nested-loop join kind:\n$plan")
+      }
+  }
+
+  test("sole-late-suppliers window runs over the (order,supplier) aggregate, not facts") {
+    val plan = planOf(SparkEntry.queries("sole_late_suppliers")(spark, dir))
+    // Two aggregates bracket the window: the per-(order,supplier)
+    // collapse BELOW it (facts never reach the window) and the
+    // supplier-count rollup ABOVE it. Positionally (parents first):
+    // first HashAggregate < Window < last HashAggregate.
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, s"missing window:\n$plan")
+    assert(plan.indexOf("HashAggregate") < winIdx,
+      s"missing the supplier-count rollup above the window:\n$plan")
+    assert(plan.lastIndexOf("HashAggregate") > winIdx,
+      s"window is not consuming the (order,supplier) aggregate:\n$plan")
+  }
 }
