@@ -262,6 +262,13 @@ object SparkEntry {
     "disjunctive_revenue" -> ((s, dir) => Analytics.disjunctiveRevenue(s, dir)),
     "top_suppliers" -> ((s, dir) => Analytics.topSuppliers(s, dir)),
     "ship_latency" -> ((s, dir) => Analytics.shipLatencyByPriority(s, dir)),
+    // large×large kNN join: every 7th vector queries the rest (rows-only:
+    // LSH recall is probabilistic; VectorOpsSpec pins twins + recall)
+    "knn_join" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      VectorOps.knnJoinLsh(
+        e.filter(col("vec_id") % 7 === 0), e.filter(col("vec_id") % 7 =!= 0))
+    }),
     "cheapest_supplier" -> ((s, dir) => Analytics.cheapestSupplier(s, dir)),
     "forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
     "nation_trade_volume" -> ((s, dir) => Analytics.nationTradeVolume(s, dir)),

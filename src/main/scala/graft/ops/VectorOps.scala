@@ -395,4 +395,43 @@ object VectorOps {
         round(VecDot(col("da"), col("db")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
+
+  /** Large×large approximate kNN JOIN: every `left` vector finds its
+    * top-k cosine neighbors among `right` — the batch retrieval shape
+    * (RAG corpus vs query log, train-vs-eval nearest neighbors) where
+    * BOTH sides are fact-sized, so [[annLsh]]'s broadcast-the-queries
+    * plan is wrong. Neither side is ever broadcast: both are bucketed
+    * by `tables` independent sign-hash tables and meet in a shuffle
+    * equi-join on (table, bucket); candidate generation moves ids only;
+    * vectors re-attach per unique candidate pair; per-left top-k runs
+    * as a window over the left_id partitioning of the CANDIDATE set
+    * (bucket-bounded, never |left|×|right|). Recall is the standard
+    * multi-table LSH guarantee; precision is exact (true cosine ranks
+    * candidates). VectorOpsSpec pins twin recall and exactness of the
+    * returned similarities. */
+  def knnJoinLsh(left: DataFrame, right: DataFrame, k: Int = 3,
+      planes: Int = 6, tables: Int = 8, dims: Int = 64): DataFrame = {
+    val pl = prepared(left)
+    val pr = prepared(right)
+    def banded(p: DataFrame, idAs: String): DataFrame = p.select(
+      col("vec_id").as(idAs),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          lshBucket(col("vd"), planes, dims, seed = t).as("b"))): _*)).as("tb"))
+    val cand = banded(pl, "left_id")
+      .join(banded(pr, "right_id"), Seq("tb"))
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+    val lv = pl.select(col("vec_id").as("left_id"), col("vd").as("ld"), col("nrm").as("ln"))
+    val rv = pr.select(col("vec_id").as("right_id"), col("vd").as("rd"), col("nrm").as("rn2"))
+    val w = Window.partitionBy(col("left_id"))
+      .orderBy(col("cos_sim").desc, col("right_id"))
+    cand
+      .join(lv, Seq("left_id"))
+      .join(rv, Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        round(VecDot(col("ld"), col("rd")) / (col("ln") * col("rn2")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -146,6 +146,58 @@ class VectorOpsSpec extends AnyFunSuite {
       s"recall ${(exact & lsh).size}/${exact.size}")
   }
 
+  test("kNN join finds each planted twin as its query's top-1 neighbor") {
+    // left = the 5 twin vectors (100..104), right = the 60 base vectors:
+    // twin i's nearest base neighbor is i (cos ≈ 0.999) by construction.
+    val left = fixture.filter(col("vec_id") >= 100)
+    val right = fixture.filter(col("vec_id") < 100)
+    val top1 = VectorOps.knnJoinLsh(left, right, k = 3)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach { i =>
+      assert(top1.get(100L + i) === Some(i.toLong),
+        s"twin ${100 + i} should retrieve base $i, got ${top1.get(100L + i)}")
+    }
+  }
+
+  test("kNN join recall@k vs the exact join stays high; shape invariants hold") {
+    val left = fixture.filter(col("vec_id") % 3 === 0)
+    val right = fixture.filter(col("vec_id") % 3 =!= 0)
+    // Random gaussian vectors have ~70° "nearest" neighbors, where
+    // narrow buckets legitimately miss (measured ~0.25 recall at
+    // planes=6 — that is LSH physics, not a bug; the planted-twin test
+    // covers the actually-close regime). Wider buckets (planes=2,
+    // tables=12: 1-(1-(1-θ/π)²)¹² ≈ 0.999 at θ=70°) must recover the
+    // exact join almost everywhere.
+    val got = VectorOps.knnJoinLsh(left, right, k = 3, planes = 2, tables = 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // ≤ k rows per left id, ranks contiguous from 1
+    got.groupBy(_._1).foreach { case (lid, rows) =>
+      assert(rows.length <= 3, s"left $lid returned ${rows.length} rows")
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length), s"ranks of $lid")
+    }
+    // neighbors only from the right side
+    val rightIds = right.select("vec_id").collect().map(_.getLong(0)).toSet
+    got.foreach { case (_, rid, _) => assert(rightIds(rid)) }
+    // recall vs exact top-3 via the brute-force cross join
+    graft.functions.VecDot.register(spark)
+    val exact = left.select(col("vec_id").as("l"), col("embedding").as("a"))
+      .crossJoin(right.select(col("vec_id").as("r"), col("embedding").as("b")))
+      .select(col("l"), col("r"),
+        (graft.functions.VecDot(col("a"), col("b"))
+          / (sqrt(graft.functions.VecDot(col("a"), col("a")))
+            * sqrt(graft.functions.VecDot(col("b"), col("b"))))).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l"))
+          .orderBy(col("cos").desc, col("r"))))
+      .filter(col("rk") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    val recall = (exact & gotPairs).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("codegen'd VecDot is bit-identical to the HOF fold") {
     graft.functions.VecDot.register(spark)
     val pairs = fixture.select(col("vec_id"), col("embedding").as("a"))
