@@ -73,6 +73,47 @@ object Sources {
       .sortWithinPartitions(col(clusterCol))
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Z-order (Morton) clustered parquet writer — the 2-D data-layout
+    * lever: interleaving the bit-buckets of BOTH cluster keys gives
+    * every output file a small bounding box in (colA, colB) space, so
+    * predicates on EITHER dimension (or a box on both) skip most
+    * files/row groups via parquet min/max stats. Contrast
+    * [[clusteredWrite]], which localizes exactly one dimension.
+    *
+    * Scale shape: one `percentile_approx` pass per dimension gives
+    * 2^bits rank boundaries (KB-sized, driver-collected — the only
+    * global structure, same argument as the IVF quantizer); bucket
+    * assignment + bit interleave are row-local projections; the final
+    * `repartitionByRange` on the z-code is the one shuffle. No global
+    * sort, no unpartitioned window. */
+  def zOrderedWrite(df: DataFrame, path: String, colA: String, colB: String,
+      numFiles: Int = 16, bits: Int = 8): Unit = {
+    require(bits >= 1 && bits <= 15, s"bits=$bits out of range")
+    val n = 1 << bits
+    // rank-normalize each dimension to [0, 2^bits) via approx-quantile
+    // boundaries (cast through double: works for numeric + temporal)
+    def boundaries(c: String): Array[Double] = {
+      val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+      df.select(percentile_approx(col(c).cast("double"), probs, lit(10000)))
+        .head().getSeq[Double](0).toArray
+    }
+    def bucket(c: String, bs: Array[Double]) =
+      bs.foldLeft(lit(0))((acc, b) =>
+        acc + when(col(c).cast("double") > lit(b), 1).otherwise(0))
+    // Morton interleave: bit i of A -> bit 2i, bit i of B -> bit 2i+1.
+    def interleave(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (0 until bits).foldLeft(lit(0L))((acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(1).cast("long"), 2 * i))
+          .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1).cast("long"), 2 * i + 1)))
+    val z = interleave(bucket(colA, boundaries(colA)), bucket(colB, boundaries(colB)))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Year-partitioned keyed-upsert sink over immutable files. */
   final class PartitionedSink(spark: SparkSession, path: String, keyCol: String,
       partCol: String = "part_year") {

@@ -59,6 +59,42 @@ class SourcesSpec extends AnyFunSuite {
       s"cluster-key filter not pushed:\n$plan")
   }
 
+  test("z-ordered write localizes BOTH dimensions; 1-D clustering localizes one") {
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts").cast("double").as("tsd"))
+
+    Sources.zOrderedWrite(events, s"$base/z", "user_id", "tsd", numFiles = 16)
+    Sources.clusteredWrite(events, s"$base/oneD", "tsd", numFiles = 16)
+
+    // per-file bounding box, normalized by the global range: the mean
+    // per-file extent is the locality measure parquet min/max skipping
+    // actually sees
+    def meanExtent(path: String, c: String): Double = {
+      val df = spark.read.parquet(path)
+        .select(col(c), input_file_name().as("f"))
+      val g = df.agg((max(col(c)) - min(col(c))).cast("double")).head().getDouble(0)
+      val per = df.groupBy(col("f"))
+        .agg((max(col(c)) - min(col(c))).cast("double").as("ext"))
+        .agg(avg(col("ext"))).head().getDouble(0)
+      per / g
+    }
+
+    val zU = meanExtent(s"$base/z", "user_id")
+    val zT = meanExtent(s"$base/z", "tsd")
+    val dU = meanExtent(s"$base/oneD", "user_id")
+    val dT = meanExtent(s"$base/oneD", "tsd")
+    // 1-D: near-perfect on the clustered dim, none on the other
+    assert(dT < 0.2, s"1-D ts extent $dT")
+    assert(dU > 0.8, s"1-D user extent $dU (should be unlocalized)")
+    // z-order: BOTH dims meaningfully localized — each file's box is a
+    // fraction of the space, so predicates on either column skip files
+    assert(zU < 0.6 && zT < 0.6, s"z extents user=$zU ts=$zT")
+    assert(zU < dU * 0.7, s"z must beat 1-D on the unclustered dim: $zU vs $dU")
+    // rows survive the layout change
+    assert(spark.read.parquet(s"$base/z").count() === events.count())
+  }
+
   test("partitioned sink upsert rewrites only touched partitions") {
     val base = Files.createTempDirectory("graft-sink").toString + "/summary"
     val sink = new Sources.PartitionedSink(spark, base, "week_beginning")
