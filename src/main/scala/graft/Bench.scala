@@ -116,44 +116,46 @@ object Bench {
     // the same query. Headline = sum of per-query medians.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val order = selected.sorted
-    val samples: Map[String, Seq[Double]] = {
-      val runs = (1 to reps).flatMap { r =>
-        System.err.println(s"[bench] === rep $r/$reps ===")
-        order.map(n => n -> execute(n))
-      }
-      runs.groupBy(_._1).map { case (n, rs) => n -> rs.map(_._2) }
-    }
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0
       else if (ok.size % 2 == 1) ok(ok.size / 2)
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
-    val results = order.map(n => n -> median(samples(n)))
     def render(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
     def renderStats(names: Seq[String]): String = names.map { n =>
       val ok = samples(n).filter(_ >= 0)
       val (mn, mx) = if (ok.isEmpty) (-1.0, -1.0) else (ok.min, ok.max)
       "\"" + n + "\":{\"median\":" + median(samples(n)) + ",\"min\":" + mn +
         ",\"max\":" + mx + "}"
     }.mkString("{", ",", "}")
-    val (diag, headline) = results.partition(r => Diagnostics(r._1))
-    val total = headline.map(_._2).filter(_ >= 0).sum
-    // Both metric definitions stay reportable: "value" is the headline
-    // (scale-path queries only, sum of medians), "all_queries_total" adds
-    // the diagnostics back so the number is comparable to a plain sum
-    // over every query.
-    val allTotal = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"all_queries_total":$allTotal,"queries":${render(headline)},"diagnostics":${render(diag)},"stats":${renderStats(order)},"sf":"$sfDir"}"""
+    def currentJson(repsDone: Int): String = {
+      val results = order.map(n => n -> median(samples(n)))
+      val (diag, headline) = results.partition(r => Diagnostics(r._1))
+      val total = headline.map(_._2).filter(_ >= 0).sum
+      // Both metric definitions stay reportable: "value" is the headline
+      // (scale-path queries only, sum of medians), "all_queries_total"
+      // adds the diagnostics back so the number is comparable to a plain
+      // sum over every query.
+      val allTotal = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$repsDone,"all_queries_total":$allTotal,"queries":${render(headline)},"diagnostics":${render(diag)},"stats":${renderStats(order)},"sf":"$sfDir"}"""
+    }
     // The JSON goes to its OWN file as well as stdout: round 3's tail
     // capture started mid-line and truncated the first ~41 per-query
-    // timings out of BENCH_r03.json. A dedicated file can't be clipped
-    // by a log tail.
+    // timings out of BENCH_r03.json. The file is (re)written after EVERY
+    // completed rep, so a harness that kills a long bench mid-run still
+    // finds complete rep-1 numbers instead of nothing.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes("UTF-8"))
-    println(json)
+    (1 to reps).foreach { r =>
+      System.err.println(s"[bench] === rep $r/$reps ===")
+      order.foreach(n => samples(n) = samples(n) :+ execute(n))
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (currentJson(r) + "\n").getBytes("UTF-8"))
+    }
+    println(currentJson(reps))
     spark.stop()
   }
 }
