@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextOps
+import graft.streaming.DocStream
+import TestSpark._
+
+/** Top-level so the product encoder needs no outer instance. */
+case class Doc(doc_id: Long, text: String, ingest_ts: Timestamp)
+
+class DocStreamSpec extends AnyFunSuite {
+
+  private val good1 = ("the quick brown fox jumps over the lazy dog and then " +
+    "keeps running through the quiet field while the sun sets slowly") // 22 toks
+  private val good2 = ("a second perfectly ordinary document with more than " +
+    "twenty words of plain text that should pass every one of the quality rules")
+  private val short_ = "too short"
+  // same content as good1 but shifted case + extra whitespace: the
+  // NORMALIZED fingerprint must collide
+  private val good1Variant = good1.toUpperCase + "   "
+
+  test("streaming ingest admits quality docs once per normalized fingerprint") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Doc](s)
+    // minQuality=1.0: every rule must pass — the short doc fails the
+    // length rule (score 0.75) and must be rejected
+    val q = DocStream.ingestFilter(input.toDF(), watermarkDelay = "1 hour",
+      minQuality = 1.0)
+      .writeStream.format("memory").queryName("doc_ingest").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1, good1, ts("2024-05-01 00:00:00")),
+        Doc(2, short_, ts("2024-05-01 00:01:00"))) // quality-rejected
+      q.processAllAvailable()
+      assert(spark.table("doc_ingest").select("doc_id").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L))
+
+      input.addData(
+        Doc(3, good1, ts("2024-05-01 00:10:00")),        // exact re-crawl: dropped
+        Doc(4, good1Variant, ts("2024-05-01 00:11:00")), // case/ws variant: dropped
+        Doc(5, good2, ts("2024-05-01 00:12:00")))        // fresh: admitted
+      q.processAllAvailable()
+      val ids = spark.table("doc_ingest").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 5L))
+    } finally q.stop()
+  }
+
+  test("streaming quality score equals the batch docQuality score") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq(Doc(1, good1, ts("2024-05-01 00:00:00")),
+      Doc(2, short_, ts("2024-05-01 00:01:00")),
+      Doc(5, good2, ts("2024-05-01 00:12:00"))).toDF()
+    val expected = TextOps.docQuality(batch)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val input = MemoryStream[Doc](s)
+    val q = DocStream.ingestFilter(input.toDF(), minQuality = 0.0)
+      .writeStream.format("memory").queryName("doc_q").outputMode("append").start()
+    try {
+      input.addData(Doc(1, good1, ts("2024-05-01 00:00:00")),
+        Doc(2, short_, ts("2024-05-01 00:01:00")),
+        Doc(5, good2, ts("2024-05-01 00:12:00")))
+      q.processAllAvailable()
+      val got = spark.table("doc_q").select("doc_id", "quality_score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      got.foreach { case (id, score) =>
+        assert(expected(id) === score, s"doc $id: stream $score vs batch ${expected(id)}")
+      }
+      assert(got.keySet == expected.keySet)
+    } finally q.stop()
+  }
+}
