@@ -59,6 +59,7 @@ object IncrementalRun {
     val report = IncrementalWeeklySummary.run(spark, rental, stateDir, mode)
     println(s"[incremental] watermark ${report.previousWatermark} -> ${report.newWatermark}; " +
       s"deltaRows=${report.deltaRows} affectedWeeks=${report.affectedWeeks} processed=${report.processed}")
+    graft.incremental.RunLog.append(spark, stateDir, report)
     CatalogDdl.registerStateTables(spark, stateDir)
     sys.env.get("SPARK_GRAFT_ROLLUP_JDBC_URL").foreach { url =>
       val props = new java.util.Properties()

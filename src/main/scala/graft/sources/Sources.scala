@@ -114,6 +114,30 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(bytes / targetBytes)` files via the same write-then-swap
+    * commit as [[graft.incremental.StateStore]] — readers never observe
+    * a half-compacted table. Streaming sinks and frequent small
+    * upserts accrete kilobyte files whose per-file open/footer cost
+    * eventually dominates scans; periodic compaction is the standard
+    * maintenance job. Row data is unchanged (asserted by the spec). */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    val trash = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fs.rename(hPath, trash))
+      throw new java.io.IOException(s"compact: could not retire $hPath")
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(s"compact: could not commit $tmp")
+    fs.delete(trash, true)
+  }
+
   /** Year-partitioned keyed-upsert sink over immutable files. */
   final class PartitionedSink(spark: SparkSession, path: String, keyCol: String,
       partCol: String = "part_year") {
@@ -147,6 +171,24 @@ object Sources {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol)
         .parquet(path)
+    }
+
+    /** Retention: drop whole partitions older than `beforeYear` — a
+      * directory delete per expired partition, NO data rewrite (the
+      * point of partitioning by the retention dimension: a 100 TB
+      * table expires a year in O(partitions) metadata ops). Returns
+      * the partition values removed. */
+    def expire(beforeYear: Int): Seq[Int] = {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hPath)) return Seq.empty
+      val prefix = s"$partCol="
+      fs.listStatus(hPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .flatMap { st =>
+          val year = st.getPath.getName.stripPrefix(prefix).toIntOption
+          year.filter(_ < beforeYear).map { y => fs.delete(st.getPath, true); y }
+        }.sorted
     }
   }
 }

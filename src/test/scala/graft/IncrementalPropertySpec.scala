@@ -147,6 +147,31 @@ class IncrementalPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("run log appends one auditable row per run with monotone watermarks") {
+    // deterministic two-phase log: one rental before the t1 cut, one
+    // between t1 and t2, so BOTH runs process a non-empty delta
+    val log = rentalDf(Seq(
+      RentalVersion(1, new Timestamp(base + 10 * day), None, new Timestamp(base + 10 * day)),
+      RentalVersion(2, new Timestamp(base + 100 * day), None, new Timestamp(base + 100 * day))))
+    val dir = Files.createTempDirectory("graft-runlog").toString
+    val t1 = new Timestamp(base + 70 * day)
+    val t2 = new Timestamp(base + 250 * day)
+    val r1 = IncrementalWeeklySummary.run(spark, sourceAsOf(log, t1), dir,
+      now = ts("2030-01-01 00:00:00"))
+    RunLog.append(spark, dir, r1, ts("2030-01-01 00:00:00"))
+    val r2 = IncrementalWeeklySummary.run(spark, sourceAsOf(log, t2), dir,
+      now = ts("2030-01-02 00:00:00"))
+    RunLog.append(spark, dir, r2, ts("2030-01-02 00:00:00"))
+
+    val audit = RunLog.read(spark, dir)
+      .orderBy(col("run_ts")).collect()
+    assert(audit.length === 2)
+    assert(audit(0).getAs[Timestamp]("new_watermark") ===
+      audit(1).getAs[Timestamp]("previous_watermark"),
+      "run N+1 must start where run N committed")
+    assert(audit.forall(_.getAs[Boolean]("processed")))
+  }
+
   test("catalog DDL registers state tables queryable by name (S4)") {
     val rows = logGen.pureApply(Gen.Parameters.default, Seed(77L))
     val versions = rows.map { case (id, rd, _) =>

@@ -129,6 +129,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.filter(col("newly_rented_during_week") === 999L).count() == 1)
   }
 
+  test("compaction shrinks file count, preserves rows, and swaps atomically") {
+    val base = Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars")
+    df.repartition(20).write.parquet(base) // simulate small-file accretion
+    val before = new java.io.File(base).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 15, s"expected many small files, got $before")
+    Sources.compact(spark, base, targetBytes = 1L << 20)
+    val after = new java.io.File(base).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after < before / 3, s"compaction left $after files (was $before)")
+    assertSameRows(df, spark.read.parquet(base))
+    // no leftover temp/trash dirs
+    assert(!new java.io.File(base + ".compact").exists)
+    assert(!new java.io.File(base + ".old").exists)
+  }
+
+  test("partition retention deletes expired years without touching survivors") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val base2 = Files.createTempDirectory("graft-expire").toString + "/sink"
+    val sink2 = new Sources.PartitionedSink(spark, base2, "o_orderkey")
+    sink2.upsert(orders, _ => year(col("o_orderdate")))
+    val years = spark.read.parquet(base2).select("part_year").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(years.length >= 3)
+    val cutoff = years(1) + 1 // expire the two oldest years
+    val removed = sink2.expire(cutoff)
+    assert(removed === years.filter(_ < cutoff).toSeq)
+    val left = spark.read.parquet(base2).select("part_year").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(left.toSeq === years.filter(_ >= cutoff).toSeq)
+    // surviving rows byte-identical semantics: count matches the filter
+    assert(spark.read.parquet(base2).count() ===
+      orders.filter(year(col("o_orderdate")) >= cutoff).count())
+  }
+
   test("reading one partition prunes the others (PartitionFilters)") {
     val base = Files.createTempDirectory("graft-sink2").toString + "/summary"
     val sink = new Sources.PartitionedSink(spark, base, "week_beginning")
