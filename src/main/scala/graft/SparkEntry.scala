@@ -126,6 +126,7 @@ object SparkEntry {
     "doc_cross_entropy" -> ((s, dir) => TextOps.docCrossEntropy(Tables.documents(s, dir))),
     "dup_passages" -> ((s, dir) => TextOps.dupPassages(Tables.documents(s, dir))),
     "doc_chunks" -> ((s, dir) => TextOps.docChunks(Tables.documents(s, dir))),
+    "doc_chunks_gen" -> ((s, dir) => TextOps.docChunksGen(Tables.documents(s, dir))),
     "corpus_diff" -> ((s, dir) => {
       // two simulated corpus versions derived deterministically from one
       // table: doc_id≡3 (mod 10) exists only in v2 ("added"), ≡7 only in
@@ -919,6 +920,14 @@ object SparkEntry {
          |  ((strt + n_tokens - 1) // 2048) - (strt // 2048) AS n_splits
          |FROM c""".stripMargin,
     "doc_chunks" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, i AS chunk_ix, 1 + i*24 AS start_tok,
+         |  len(t[1+i*24 : i*24+32]) AS n_chunk_tokens,
+         |  md5(array_to_string(t[1+i*24 : i*24+32], ' ')) AS chunk_md5
+         |FROM toks, UNNEST(range(0, (len(t)-1)//24 + 1)) AS u(i)""".stripMargin,
+    // generator formulation must agree with the compositional one —
+    // identical oracle text, so DuckDB pins both to the same rows
+    "doc_chunks_gen" ->
       s"""WITH $toksCte
          |SELECT doc_id, i AS chunk_ix, 1 + i*24 AS start_tok,
          |  len(t[1+i*24 : i*24+32]) AS n_chunk_tokens,

@@ -3,7 +3,8 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -208,6 +209,60 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): WinnowFps = copy(child = c)
   }
 
+  /** Row-to-many-rows chunker — the table-function (UDTF) extension
+    * point: a custom Catalyst [[Generator]] that the analyzer's
+    * ExtractGenerator rule rewrites into a `Generate` node, exactly like
+    * the built-in `explode`. One pass over the token array emits one row
+    * per overlapping chunk: `(chunk_ix, start_tok, n_chunk_tokens,
+    * chunk_md5)` — bit-identical to the compositional
+    * [[graft.ops.TextOps.docChunks]] (sequence+explode+slice+md5), which
+    * stays as the cross-check. The generator form avoids materializing
+    * the token array once per chunk row before slicing: the array is
+    * read once and each chunk's md5 is computed in place.
+    * Scale shape: row-local, zero shuffle, output ∝ Σ tokens/stride. */
+  case class ChunkRows(child: Expression, chunkLen: Int, overlap: Int)
+      extends UnaryExpression with Generator with CodegenFallback {
+    require(chunkLen >= 1 && overlap >= 0 && overlap < chunkLen,
+      s"need 0 <= overlap($overlap) < chunkLen($chunkLen)")
+    private val stride = chunkLen - overlap
+
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("chunk_ix", IntegerType, nullable = false),
+      StructField("start_tok", IntegerType, nullable = false),
+      StructField("n_chunk_tokens", IntegerType, nullable = false),
+      StructField("chunk_md5", StringType, nullable = false)))
+    override def prettyName: String = "chunk_rows"
+
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) return Nil
+      val toks = v.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      if (n == 0) return Nil // unreachable via tokens(): split() never yields []
+      val md = WinnowFps.digest.get()
+      val sep = UTF8String.fromString(" ")
+      val numChunks = (n - 1) / stride + 1
+      val out = new Array[InternalRow](numChunks)
+      var ix = 0
+      while (ix < numChunks) {
+        val from = ix * stride
+        val len = math.min(chunkLen, n - from)
+        val parts = new Array[UTF8String](len)
+        var j = 0
+        while (j < len) { parts(j) = toks.getUTF8String(from + j); j += 1 }
+        md.reset()
+        val hex = UTF8String.fromString(
+          org.apache.commons.codec.binary.Hex.encodeHexString(
+            md.digest(UTF8String.concatWs(sep, parts: _*).getBytes)))
+        out(ix) = InternalRow(ix, from + 1, len, hex)
+        ix += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(c: Expression): ChunkRows = copy(child = c)
+  }
+
   object WinnowFps {
     /** MessageDigest is stateful and NOT thread-safe; expression trees
       * can be shared across local-mode task threads. */
@@ -248,6 +303,9 @@ object TextExprs {
         exprs(2).eval().asInstanceOf[Int]))
     put("word_shingle_hashes",
       exprs => WordShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    put("chunk_rows",
+      exprs => ChunkRows(exprs(0), exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]))
   }
 
   import org.apache.spark.sql.functions.lit
@@ -261,4 +319,6 @@ object TextExprs {
     call_function("winnow_fps", toks, lit(k), lit(w))
   def wordShingleHashes(toks: Column, k: Int): Column =
     call_function("word_shingle_hashes", toks, lit(k))
+  def chunkRows(toks: Column, chunkLen: Int, overlap: Int): Column =
+    call_function("chunk_rows", toks, lit(chunkLen), lit(overlap))
 }

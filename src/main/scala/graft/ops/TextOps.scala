@@ -579,6 +579,18 @@ object TextOps {
         md5(concat_ws(" ", slice(col("t"), start, lit(chunkLen)))).as("chunk_md5"))
   }
 
+  /** [[docChunks]] via the custom [[graft.functions.TextExprs.ChunkRows]]
+    * Catalyst `Generator` — the table-function extension point. Same
+    * output bit-for-bit (asserted in TextExprsSpec and by sharing
+    * `doc_chunks`'s oracle), but one pass over the token array per row
+    * instead of sequence+explode carrying the whole array once per
+    * chunk row before slicing. */
+  def docChunksGen(documents: DataFrame, chunkLen: Int = 32, overlap: Int = 8): DataFrame = {
+    TextExprs.register(documents.sparkSession)
+    documents.select(col("doc_id"),
+      TextExprs.chunkRows(tokens(col("text")), chunkLen, overlap))
+  }
+
   /** PageRank over the near-dup similarity graph: which documents sit at
     * the CENTER of duplication clusters (high rank = many/central
     * near-dup relations — the doc to keep, or to inspect, when a

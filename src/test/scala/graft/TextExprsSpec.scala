@@ -32,6 +32,30 @@ class TextExprsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("ChunkRows generator == compositional docChunks, bit for bit") {
+    import graft.ops.TextOps
+    val key = Seq("doc_id", "chunk_ix")
+    // full-join compare: a row differing in ANY column (or present on
+    // only one side) survives the filter
+    val a = TextOps.docChunks(docs, chunkLen = 32, overlap = 8).as("a")
+    val b = TextOps.docChunksGen(docs, chunkLen = 32, overlap = 8).as("b")
+    val joined = a.join(b, key, "full_outer")
+    assert(a.count() == b.count())
+    val diff = joined.filter(
+      col("a.start_tok") =!= col("b.start_tok") ||
+      col("a.n_chunk_tokens") =!= col("b.n_chunk_tokens") ||
+      col("a.chunk_md5") =!= col("b.chunk_md5") ||
+      col("a.chunk_md5").isNull || col("b.chunk_md5").isNull).count()
+    assert(diff == 0)
+    // uneven tail: a 7-token doc at chunkLen=5/overlap=2 gives chunks
+    // starting 1,4,7 with lengths 5,4,1
+    val tiny = spark.createDataFrame(Seq((1L, "a b c d e f g"))).toDF("doc_id", "text")
+    val rows = TextOps.docChunksGen(tiny, chunkLen = 5, overlap = 2)
+      .orderBy("chunk_ix")
+      .select("start_tok", "n_chunk_tokens").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((1, 5), (4, 4), (7, 1)))
+  }
+
   test("SimHash64 == HOF simhash64") {
     TextExprs.register(spark)
     val toks = TextFns.tokens(col("text"))
