@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.functions.TextExprs
-import graft.plans.BandJoinRewrite
+import graft.plans.{AsOfJoinStrategy, BandJoinRewrite}
 
 /** Library entry point: a SparkSession configured the way every graft
   * operator expects (UTC session time, AQE on, sane local shuffle
@@ -37,6 +37,9 @@ object GraftSession {
     if (!spark.experimental.extraOptimizations.contains(BandJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ BandJoinRewrite
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     spark
   }
 }

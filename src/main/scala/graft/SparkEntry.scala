@@ -223,6 +223,26 @@ object SparkEntry {
         key = "user_id", leftTs = "ts", rightTs = "ts",
         rightCols = Seq("event_id", "ts"), direction = "forward")
     }),
+    "events_asof_phys" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.ops.AsOfJoin.asOfExec(
+        e.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id", "value"),
+        e.filter(col("event_type") === "view")
+          .select("event_id", "ts", "user_id"),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("event_id", "ts"))
+    }),
+    "events_asof_phys_fwd" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.ops.AsOfJoin.asOfExec(
+        e.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id", "value"),
+        e.filter(col("event_type") === "view")
+          .select("event_id", "ts", "user_id"),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("event_id", "ts"), direction = "forward")
+    }),
     "events_journey" -> ((s, dir) => EventOps.userJourney(Tables.events(s, dir))),
     "events_in_windows" -> ((s, dir) => EventOps.eventsInActiveWindows(Tables.events(s, dir))),
     "events_in_windows_sql" -> ((s, dir) => EventOps.eventsInActiveWindowsSql(Tables.events(s, dir))),
@@ -1274,6 +1294,22 @@ object SparkEntry {
          |       v.event_id AS asof_event_id, v.ts AS asof_ts
          |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
     "events_asof_fwd" ->
+      s"""WITH $eventsCte,
+         |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view')
+         |SELECT p.user_id, p.event_id, p.ts, p.value,
+         |       v.event_id AS asof_event_id, v.ts AS asof_ts
+         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts""".stripMargin,
+    // the custom physical operator must agree with the compositional
+    // form — identical oracle text pins both to the same rows
+    "events_asof_phys" ->
+      s"""WITH $eventsCte,
+         |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view')
+         |SELECT p.user_id, p.event_id, p.ts, p.value,
+         |       v.event_id AS asof_event_id, v.ts AS asof_ts
+         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+    "events_asof_phys_fwd" ->
       s"""WITH $eventsCte,
          |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
          |v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view')

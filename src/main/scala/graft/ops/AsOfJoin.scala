@@ -1,8 +1,12 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.plans.AsOfJoinNode
 
 /** As-of join: for each left row, the single latest right row of the same
   * key with `rightTs <= leftTs` — the standard CDC/market-data lookup
@@ -68,5 +72,50 @@ object AsOfJoin {
       .select(Seq(col(key)) ++
         left.columns.filterNot(_ == key).map(c => col(s"l_$c").as(c)) ++
         rightCols.map(c => col(s"r_$c").as(s"asof_$c")): _*)
+  }
+
+  /** [[asOf]] planned through the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]] via [[graft.plans.AsOfJoinStrategy]])
+    * instead of the union+window composition — same matching semantics
+    * (asserted row-for-row in PhysicalAsOfJoinSpec and by sharing
+    * `events_asof`'s oracle), but each side sorts in its own narrow
+    * schema and a streaming merge replaces the window. Requires the
+    * strategy installed ([[graft.GraftSession.install]]).
+    *
+    * Output column order differs from [[asOf]] (left columns first,
+    * then `asof_*`); names and values agree. */
+  def asOfExec(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    graft.GraftSession.install(left.sparkSession) // idempotent
+    // re-alias every right column: fresh exprIds, so a self-join (left
+    // and right carved from the same source) cannot collide attributes
+    val r2 = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String) =
+      p.output.find(_.name == n).getOrElse(
+        sys.error(s"asOfExec: no column '$n' on the $side side"))
+    val node = AsOfJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, key, "left"), attr(rPlan, key, "right"),
+      attr(lPlan, leftTs, "left"), attr(rPlan, rightTs, "right"),
+      rightCols.map(c => attr(rPlan, c, "right")),
+      forward = direction == "forward")
+    // the asof_* renaming lives in this Project: CleanupAliases would
+    // strip an Alias kept inside the node itself
+    val renamed = lPlan.output ++
+      rightCols.zip(node.output.drop(lPlan.output.size)).map {
+        case (c, a) => Alias(a, s"asof_$c")()
+      }
+    org.apache.spark.sql.graft.GraftSqlShim.ofRows(left.sparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.Project(renamed, node))
   }
 }

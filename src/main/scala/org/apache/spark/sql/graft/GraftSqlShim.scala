@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** The one `private[sql]` doorway the library needs: turning a custom
+  * [[LogicalPlan]] node (e.g. [[graft.plans.AsOfJoinNode]]) back into a
+  * user-facing DataFrame. `classic.Dataset.ofRows` is the canonical
+  * constructor every internal Spark API uses for exactly this; it is
+  * `private[sql]`, so this shim lives under the `org.apache.spark.sql`
+  * package — the standard pattern for Spark-extension libraries that
+  * add plan nodes without forking Spark. Nothing else internal is
+  * touched, and nothing here is reflection. */
+object GraftSqlShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

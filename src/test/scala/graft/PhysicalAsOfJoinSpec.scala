@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import TestSpark._
+import graft.ops.AsOfJoin
+
+/** The custom physical as-of join ([[graft.plans.AsOfJoinExec]]) against
+  * the compositional union+window form — same rows on real data, exact
+  * edge semantics on synthetic frames, and the plan shape the operator
+  * promises (AsOfJoinExec node, no Window, shuffles declared not
+  * hand-rolled). */
+class PhysicalAsOfJoinSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def sides(s: org.apache.spark.sql.SparkSession) = {
+    val e = Tables.events(s, dir)
+    (e.filter(col("event_type") === "purchase")
+       .select("event_id", "ts", "user_id", "value"),
+     e.filter(col("event_type") === "view")
+       .select("event_id", "ts", "user_id"))
+  }
+
+  test("exec == compositional on events, backward and forward") {
+    val (p, v) = sides(spark)
+    for (d <- Seq("backward", "forward")) {
+      val a = AsOfJoin.asOf(p, v, "user_id", "ts", "ts", Seq("event_id", "ts"), d)
+      val b = AsOfJoin.asOfExec(p, v, "user_id", "ts", "ts", Seq("event_id", "ts"), d)
+      assertSameRows(a, b) // column-name sorted, so ordering differences don't matter
+    }
+  }
+
+  test("plan: AsOfJoinExec node, no Window, both sides exchanged once") {
+    val (p, v) = sides(spark)
+    val plan = planOf(AsOfJoin.asOfExec(p, v, "user_id", "ts", "ts", Seq("event_id")))
+    // formatted mode prints the node as "AsOfJoin (n)" (nodeName strips Exec)
+    assert(plan.contains("AsOfJoin "), s"strategy did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window crept back in:\n$plan")
+    // EnsureRequirements inserted exactly one declared shuffle per side
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(plan).size == 2,
+      s"expected exactly one declared shuffle per side:\n$plan")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 2,
+      s"shuffles must cluster on the join key:\n$plan")
+  }
+
+  private def tsOf(s: String) = Timestamp.valueOf(s)
+
+  private def mk(rows: Seq[(Long, String, String)], valCol: Boolean): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val df = rows.map { case (k, t, v) => (k, tsOf(t), v) }.toDF("k", "t", "v")
+    if (valCol) df else df.drop("v")
+  }
+
+  test("edge semantics: ties, no-match, empty right, null key/ts") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "2024-01-01 10:00:00", "l1"), // exact-tie with right at 10:00
+      (1L, "2024-01-01 12:00:00", "l2"),
+      (2L, "2024-01-01 09:00:00", "l3"), // before every right row of key 2
+      (3L, "2024-01-01 10:00:00", "l4")  // key absent on the right
+    ).map { case (k, t, v) => (k, tsOf(t), v) }.toDF("k", "t", "v")
+    val right = Seq(
+      (1L, "2024-01-01 10:00:00", "r_tie_a"),
+      (1L, "2024-01-01 10:00:00", "r_tie_b"), // tie at equal ts: LAST wins backward
+      (1L, "2024-01-01 11:00:00", "r_11"),
+      (2L, "2024-01-01 10:30:00", "r_230")
+    ).map { case (k, t, v) => (k, tsOf(t), v) }.toDF("k", "t", "v")
+
+    val back = AsOfJoin.asOfExec(left, right, "k", "t", "t", Seq("v"))
+      .select("k", "t", "v", "asof_v").as[(Long, Timestamp, String, Option[String])]
+      .collect().map(r => (r._3, r._4)).toMap
+    assert(back("l1").contains("r_tie_b"), "equal-ts tie must match (last tied row)")
+    assert(back("l2").contains("r_11"))
+    assert(back("l3").isEmpty, "right row strictly after left ts must not match backward")
+    assert(back("l4").isEmpty, "absent key must not match")
+
+    val fwd = AsOfJoin.asOfExec(left, right, "k", "t", "t", Seq("v"), direction = "forward")
+      .select("v", "asof_v").as[(String, Option[String])].collect().toMap
+    assert(fwd("l1").exists(v => v == "r_tie_a" || v == "r_tie_b"),
+      "equal-ts tie matches forward")
+    assert(fwd("l2").isEmpty, "no right row at-or-after: forward must not match")
+    assert(fwd("l3").contains("r_230"))
+
+    // empty right: all left rows survive, all unmatched
+    val er = AsOfJoin.asOfExec(left, right.filter(lit(false)), "k", "t", "t", Seq("v"))
+    assert(er.count() == 4 && er.filter(col("asof_v").isNotNull).count() == 0)
+
+    // null key / null ts on either side: never matches, left rows kept
+    val ln = Seq((Option.empty[Long], Option(tsOf("2024-01-01 10:00:00")), "lnull"),
+      (Option(1L), Option.empty[Timestamp], "ltsnull"))
+      .toDF("k", "t", "v")
+    val rn = Seq((Option.empty[Long], Option(tsOf("2024-01-01 09:00:00")), "rnull"),
+      (Option(1L), Option.empty[Timestamp], "rtsnull"))
+      .toDF("k", "t", "v")
+    val nulls = AsOfJoin.asOfExec(ln, rn.unionByName(right), "k", "t", "t", Seq("v"))
+    assert(nulls.count() == 2 &&
+      nulls.filter(col("asof_v").isNotNull).count() == 0,
+      "null keys/timestamps must never match")
+  }
+
+  test("match state resets across keys within a partition") {
+    val s = spark
+    import s.implicits._
+    // force everything into ONE partition so consecutive keys share a
+    // merge state; key 20 has no right rows, so a held match from key 10
+    // leaking across the key boundary would surface here
+    val left = Seq((10L, "2024-01-01 10:00:00", "a"), (20L, "2024-01-01 10:00:00", "b"))
+      .map { case (k, t, v) => (k, tsOf(t), v) }.toDF("k", "t", "v").coalesce(1)
+    val right = Seq((10L, "2024-01-01 09:00:00", "r10"))
+      .map { case (k, t, v) => (k, tsOf(t), v) }.toDF("k", "t", "v").coalesce(1)
+    val out = AsOfJoin.asOfExec(left, right, "k", "t", "t", Seq("v"))
+      .select("v", "asof_v").as[(String, Option[String])].collect().toMap
+    assert(out("a").contains("r10"))
+    assert(out("b").isEmpty, "held match leaked across a key boundary")
+  }
+}
