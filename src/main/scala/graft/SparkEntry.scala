@@ -250,6 +250,8 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => VectorOps.annBruteForce(Tables.embeddings(s, dir))),
     "embedding_neardup" -> ((s, dir) => VectorOps.nearDupEmbedding(Tables.embeddings(s, dir))),
     "embedding_centroids" -> ((s, dir) => VectorOps.labelCentroids(Tables.embeddings(s, dir))),
+    "embedding_clusters" -> ((s, dir) => VectorOps.kmeans(Tables.embeddings(s, dir))),
+    "semantic_dedup_keep" -> ((s, dir) => VectorOps.semanticDedup(Tables.embeddings(s, dir))),
     // incremental dedup on the vector side: vec_id % 10 = 0 is the batch
     "embedding_neardup_delta" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -387,6 +389,41 @@ object SparkEntry {
     def d(x: String, y: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (acc, v) -> acc + v)"
     s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
+  }
+
+  /** CTE chain replaying [[graft.ops.VectorOps.kmeans]]'s full Lloyd
+    * trajectory in DuckDB — seeds (first k by vec_id), then per
+    * iteration: 6dp-rounded-cosine argmax assignment (ties to lowest
+    * cid) and DECIMAL(20,10) dimension-wise means rounded to 6dp. The
+    * final assignment lives in `asg$iters`. Mechanical generation keeps
+    * the oracle in lockstep with the operator's iteration count. */
+  private def duckKmeansCte(k: Int, iters: Int): String = {
+    val seeds =
+      s"""emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cents0 AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
+         |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $k) s)""".stripMargin
+    val steps = (0 to iters).map { i =>
+      val assign =
+        s"""scored$i AS (
+           |  SELECT e.vec_id, s.cid, round(${duckCosine("e.v", "s.c")}, 6) + 0 AS sim
+           |  FROM emb e, cents$i s),
+           |asg$i AS (
+           |  SELECT vec_id, cid, sim FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY sim DESC, cid) AS rn FROM scored$i) WHERE rn = 1)""".stripMargin
+      if (i == iters) assign
+      else assign + ",\n" +
+        s"""mx$i AS (
+           |  SELECT cid, i, round(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE)
+           |    / COUNT(*), 6) AS m
+           |  FROM (SELECT a.cid, UNNEST(e.v) AS x,
+           |          UNNEST(generate_series(1, len(e.v))) AS i
+           |        FROM asg$i a JOIN emb e ON a.vec_id = e.vec_id) t
+           |  GROUP BY cid, i),
+           |cents${i + 1} AS (SELECT cid, list(m ORDER BY i) AS c FROM mx$i GROUP BY cid)""".stripMargin
+    }
+    (seeds +: steps).mkString(",\n")
   }
 
   /** Shared DuckDB CTE: events with `ts` truncated to microseconds —
@@ -1230,6 +1267,19 @@ object SparkEntry {
          |SELECT 1 AS stage, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
          |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
          |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""".stripMargin,
+    "embedding_clusters" ->
+      s"""WITH ${duckKmeansCte(8, 2)}
+         |SELECT vec_id, cid, sim FROM asg2""".stripMargin,
+    "semantic_dedup_keep" ->
+      s"""WITH ${duckKmeansCte(8, 2)},
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg2 a JOIN asg2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN emb ea ON ea.vec_id = a.vec_id
+         |  JOIN emb eb ON eb.vec_id = b.vec_id
+         |  WHERE round(${duckCosine("ea.v", "eb.v")}, 6) >= 0.45)
+         |SELECT a.vec_id, a.cid FROM asg2 a
+         |WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
     "embedding_centroids" ->
       """WITH ex AS (
         |  SELECT label, UNNEST(embedding) AS x,

@@ -324,6 +324,96 @@ object VectorOps {
           .as("mean_x"),
         count(lit(1)).as("n_vecs"))
 
+  /** Distributed k-means over the embedding corpus — the clustering step
+    * LLM data curation builds on (SemDeDup-style pruning, cluster-
+    * balanced sampling, topic discovery).
+    *
+    * Lloyd's algorithm with everything made ENGINE-PORTABLE so the whole
+    * trajectory — not just the shape of the output — is pinned by the
+    * DuckDB oracle:
+    *  - seeds: the first `k` vectors by vec_id (deterministic, no RNG);
+    *  - assignment: argmax of cosine ROUNDED to 6dp, ties to the lowest
+    *    centroid id — rounding first means double noise can't flip an
+    *    argmax across engines;
+    *  - means: dimension-wise DECIMAL(20,10) sums (partial-aggregation
+    *    order can't flip low bits), divided once, rounded to 6dp.
+    *
+    * Scale shape: centroids are a k×d KB-sized driver literal (same
+    * discipline as [[annIvf]]'s quantizer); each iteration is one
+    * corpus scan + one (cid, dim)-grouped aggregation with map-side
+    * combine — never a vector-sized buffer per group, never a shuffle
+    * of the corpus itself. Returns (vec_id, cid, sim). */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssigned(embeddings, k, iters)
+      .select(col("vec_id"), col("cid"), col("sim"))
+
+  /** [[kmeans]] keeping (vd, nrm) on the rows, for operators that go on
+    * to do within-cluster pairwise work. */
+  private def kmeansAssigned(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val p = prepared(embeddings)
+    var cents: Seq[(Int, Array[Double])] = p.orderBy(col("vec_id")).limit(k)
+      .select(col("vd")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+
+    // struct(-roundedSim, cid) ascending-sorted: element 1 is the best
+    // (highest sim, lowest cid on ties). One 2-d literal + a transform
+    // loop, not k unrolled dot products — the codegen-compaction rule
+    // every centroid literal in this file follows.
+    def best(cs: Seq[(Int, Array[Double])]): Column = {
+      val sorted = cs.sortBy(_._1)
+      val cmat = typedLit(sorted.map(_._2.toSeq))
+      val cnrm = typedLit(sorted.map(c => math.sqrt(c._2.map(x => x * x).sum)))
+      val cids = typedLit(sorted.map(_._1))
+      element_at(array_sort(transform(sequence(lit(0), lit(sorted.size - 1)),
+        i => struct(
+          (-round(VecDot(col("vd"), element_at(cmat, i + 1))
+            / (col("nrm") * element_at(cnrm, i + 1)), 6)).as("neg"),
+          element_at(cids, i + 1).as("cid")))), 1)
+    }
+
+    for (_ <- 1 to iters) {
+      val means = p.withColumn("cid", best(cents).getField("cid"))
+        .select(col("cid"), posexplode(col("vd")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(round(sum(col("x").cast("decimal(20,10)")).cast("double")
+          / count(lit(1)), 6).as("m"))
+        .collect()
+      cents = means.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        val c = new Array[Double](rows.map(_.getInt(1)).max + 1)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+        (cid, c)
+      }.toSeq.sortBy(_._1)
+    }
+    // 0.0 - neg normalizes the sign so a sim that rounds to -0.0 prints
+    // as 0.0 in both engines (the oracle adds + 0 for the same reason)
+    p.withColumn("b", best(cents))
+      .withColumn("cid", col("b.cid"))
+      .withColumn("sim", lit(0.0) - col("b.neg"))
+      .drop("b")
+  }
+
+  /** SemDeDup-style semantic dedup: cluster with [[kmeans]], then drop
+    * any vector with a LOWER-id near-twin (cosine ≥ `minCos`) in the
+    * SAME cluster. The pairwise join is blocked on cid — O(Σ cluster²)
+    * instead of corpus², which is the point: `k` is the knob that keeps
+    * per-cluster work bounded at 100 TB (cross-cluster near-twins are
+    * the accepted recall loss, same contract as the LSH blockers).
+    * Returns the kept rows (vec_id, cid). */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      minCos: Double = 0.45): DataFrame = {
+    val asg = kmeansAssigned(embeddings, k, iters)
+    val a = asg.select(col("cid"), col("vec_id").as("vec_a"),
+      col("vd").as("da"), col("nrm").as("na"))
+    val b = asg.select(col("cid"), col("vec_id").as("vec_b"),
+      col("vd").as("db"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(VecDot(col("da"), col("db")) / (col("na") * col("nb")), 6)
+        >= minCos)
+      .select(col("vec_b").as("vec_id")).distinct()
+    asg.join(dropped, Seq("vec_id"), "left_anti").select(col("vec_id"), col("cid"))
+  }
+
   /** Exact all-pairs near-dup: pairs with cosine ≥ `minCos`. Quadratic —
     * the cross-check for the LSH path, run on samples at scale. */
   def nearDupEmbedding(embeddings: DataFrame, minCos: Double = 0.45): DataFrame = {

@@ -215,4 +215,58 @@ class VectorOpsSpec extends AnyFunSuite {
     val ranks = out.groupBy("query_id").agg(max("rn"), count(lit(1))).collect()
     ranks.foreach { r => assert(r.getInt(1) == 4 && r.getLong(2) == 4) }
   }
+
+  test("kmeans: every vector sits on its nearest centroid, reproducibly") {
+    val out = VectorOps.kmeans(fixture, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(out.length == 65 && out.map(_._1).distinct.length == 65)
+    // the reported sim is the max over clusters: recompute per row from
+    // the same operator output by re-running (determinism) and checking
+    // each row's sim is >= the sim of every other vector's centroid
+    // choice would need raw centroids; instead pin: rerun is identical
+    val again = VectorOps.kmeans(fixture, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq,
+      "kmeans must be deterministic (seeded init, rounded argmax)")
+    // planted twins co-cluster with their originals: cos≈0.999 pairs
+    // cannot land on different centroids
+    val cid = out.map(t => t._1 -> t._2).toMap
+    (0 until 5).foreach(i =>
+      assert(cid(i.toLong) == cid(100L + i), s"twin $i split across clusters"))
+    assert(out.map(_._2).distinct.length > 1, "k=4 should populate >1 cluster")
+    assert(out.forall(t => t._3 >= -1.0 - 1e-9 && t._3 <= 1.0 + 1e-9))
+  }
+
+  test("kmeans: a second Lloyd iteration does not decrease mean similarity") {
+    def meanSim(iters: Int) = VectorOps.kmeans(fixture, k = 4, iters = iters)
+      .agg(avg("sim")).collect()(0).getDouble(0)
+    // Lloyd monotonicity holds for the (cosine, mean-centroid) pair on
+    // near-unit vectors up to the 6dp rounding; allow that epsilon
+    assert(meanSim(2) >= meanSim(1) - 1e-5)
+  }
+
+  test("semantic dedup: kept set has no lower-id near-twin in-cluster; twins dedup") {
+    val s = spark
+    import s.implicits._
+    val kept = VectorOps.semanticDedup(fixture, k = 4, iters = 2, minCos = 0.9)
+    val asg = VectorOps.kmeans(fixture, k = 4, iters = 2).select("vec_id", "cid")
+    // dropped = all - kept; every dropped id must have a kept-or-dropped
+    // lower-id witness in its cluster above the threshold, and no kept
+    // pair in the same cluster may exceed the threshold
+    val keptIds = kept.collect().map(_.getLong(0)).toSet
+    val cidOf = asg.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pairs = VectorOps.nearDupEmbedding(fixture, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.filter { case (a, b) => cidOf(a) == cidOf(b) }.foreach { case (a, b) =>
+      assert(!(keptIds(a) && keptIds(b)),
+        s"near-twins $a,$b share cluster ${cidOf(a)} but both survived")
+    }
+    // the 5 planted twin pairs are near-identical, so they co-cluster
+    // (pinned above) and exactly one of each pair survives
+    (0 until 5).foreach { i =>
+      assert(keptIds(i.toLong) && !keptIds(100L + i),
+        s"twin pair ($i, ${100 + i}): lower id must survive, higher must drop")
+    }
+    assert(keptIds.size == 60, "exactly the 5 planted twins drop at cos>=0.9")
+  }
 }
