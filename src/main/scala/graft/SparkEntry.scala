@@ -169,6 +169,7 @@ object SparkEntry {
     "events_retention" -> ((s, dir) => EventOps.retention(Tables.events(s, dir))),
     "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     "events_json" -> ((s, dir) => EventOps.jsonPropStats(Tables.events(s, dir))),
+    "events_json_variant" -> ((s, dir) => EventOps.jsonPropStatsVariant(Tables.events(s, dir))),
     "events_topk" -> ((s, dir) => EventOps.topKPerType(Tables.events(s, dir))),
     "events_topk_agg" -> ((s, dir) => EventOps.topKPerTypeAgg(Tables.events(s, dir))),
     "events_rollup" -> ((s, dir) => EventOps.multiRollup(Tables.events(s, dir))),
@@ -1182,6 +1183,18 @@ object SparkEntry {
     // same computation, literal-SQL BETWEEN join through BandJoinRewrite
     "events_in_windows_sql" -> eventsInWindowsOracle,
     "events_json" ->
+      s"""WITH $eventsCte
+         |SELECT event_type,
+         |  COUNT(json_extract_string(props, '$$.k')) AS n_with_k,
+         |  CAST(SUM(json_extract_string(props, '$$.k')::BIGINT) AS BIGINT) AS sum_k,
+         |  MIN(json_extract_string(props, '$$.k')::BIGINT) AS min_k,
+         |  MAX(json_extract_string(props, '$$.k')::BIGINT) AS max_k,
+         |  round(SUM(json_extract_string(props, '$$.k')::BIGINT)::DOUBLE
+         |        / COUNT(json_extract_string(props, '$$.k')), 6) AS avg_k
+         |FROM e GROUP BY 1""".stripMargin,
+    // the VARIANT formulation must agree with the text-path one —
+    // identical oracle text pins both to the same rows
+    "events_json_variant" ->
       s"""WITH $eventsCte
          |SELECT event_type,
          |  COUNT(json_extract_string(props, '$$.k')) AS n_with_k,

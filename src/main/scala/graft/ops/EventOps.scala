@@ -272,6 +272,27 @@ object EventOps {
         round(sum(col("k")).cast("double") / count(col("k")), 6).as("avg_k"))
   }
 
+  /** [[jsonPropStats]] over Spark 4's VARIANT type: `try_parse_json`
+    * decodes each props string ONCE into the binary variant encoding,
+    * then `variant_get` extracts fields without re-parsing — the
+    * semi-structured path that amortizes parse cost when several fields
+    * are read from the same document (get_json_object re-walks the text
+    * per field). try_ variant: malformed rows become NULL and fall out
+    * of count(col), instead of failing the job at row 10^12 of a 100 TB
+    * ingest. Same aggregate, same oracle as `events_json`. */
+  def jsonPropStatsVariant(events: DataFrame): DataFrame = {
+    val k = variant_get(try_parse_json(col("props")), "$.k", "long")
+    events
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(sum(col("k")).cast("double") / count(col("k")), 6).as("avg_k"))
+  }
+
   /** Top-k rows per group by (value desc, event_id asc) — rank via
     * row_number window; the shuffle is one hash partition by type. */
   def topKPerType(events: DataFrame, kTop: Int = 3): DataFrame = {
