@@ -318,6 +318,10 @@ object SparkEntry {
       graft.ops.Profile.profile(Tables.orders(s, dir),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority"))),
+    // Deequ-style verification suite: the pass/fail gate before publish
+    "dq_checks" -> ((s, dir) =>
+      graft.ops.Profile.dqChecks(Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.customer(s, dir))),
     // skew-salted join exercised end-to-end: results are salt-invariant,
     // so the oracle is the PLAIN join — only the shuffle layout differs
     "skew_join_agg" -> ((s, dir) => {
@@ -1268,6 +1272,26 @@ object SparkEntry {
            |FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "")
     },
+    "dq_checks" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n, count(o_custkey) AS n_cust,
+        |         count(DISTINCT o_orderkey) AS n_key,
+        |         min(o_totalprice) AS min_price,
+        |         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status
+        |  FROM orders),
+        |oo AS (SELECT count(*) AS orph_orders FROM orders o
+        |       LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |       WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL),
+        |ol AS (SELECT count(*) AS orph_lines FROM lineitem l
+        |       LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |       WHERE o.o_orderkey IS NULL)
+        |SELECT 'row_count' AS "check", n::DOUBLE AS metric, n > 0 AS passed FROM base
+        |UNION ALL SELECT 'completeness_o_custkey', round(n_cust::DOUBLE / n, 6), n_cust = n FROM base
+        |UNION ALL SELECT 'uniqueness_o_orderkey', round(n_key::DOUBLE / n, 6), n_key = n FROM base
+        |UNION ALL SELECT 'min_totalprice_positive', min_price, min_price > 0 FROM base
+        |UNION ALL SELECT 'status_in_domain', bad_status::DOUBLE, bad_status = 0 FROM base
+        |UNION ALL SELECT 'fk_orders_customer', orph_orders::DOUBLE, orph_orders = 0 FROM oo
+        |UNION ALL SELECT 'fk_lineitem_orders', orph_lines::DOUBLE, orph_lines = 0 FROM ol""".stripMargin,
     "events_funnel" ->
       s"""WITH $eventsCte,
          |s1 AS (SELECT user_id, MIN(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -34,6 +34,60 @@ object Profile {
     * DECIMAL(18,2) (both engines print decimals identically; raw
     * double→string flips to scientific notation at different thresholds).
     */
+  /** Deequ-style verification suite over the order pipeline: named
+    * checks → (check, metric, passed) rows, the gate an ingest runs
+    * before publishing a partition.
+    *
+    * Scale shape: all single-table checks (row count, completeness,
+    * key uniqueness, value range, domain membership) fuse into ONE
+    * aggregation pass over orders — countDistinct rides the same agg
+    * (one Expand of ×2, no string min/max so it stays a hash
+    * aggregate). Referential checks are LEFT ANTI key-only joins (the
+    * orphan side prunes to the key column). The three 1-row results
+    * meet in broadcast cross joins; the per-check reshape is a
+    * row-local explode of a 7-struct literal array. Nothing here is
+    * proportional to anything but the two fact scans. */
+  def dqChecks(orders: DataFrame, lineitem: DataFrame, customer: DataFrame): DataFrame = {
+    val base = orders.agg(
+      count(lit(1)).as("n"),
+      count(col("o_custkey")).as("n_cust"),
+      countDistinct(col("o_orderkey")).as("n_key"),
+      min(col("o_totalprice")).as("min_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("bad_status"))
+    // null FKs are a COMPLETENESS failure, not a referential one (SQL FK
+    // semantics: a null reference references nothing) — filter them out
+    // so the two checks stay independent signals
+    val orphOrders = orders.select(col("o_custkey"))
+      .filter(col("o_custkey").isNotNull)
+      .join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orph_orders"))
+    val orphLines = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orph_lines"))
+    def check(name: String, metric: Column, passed: Column) =
+      struct(lit(name).as("check"), metric.cast(DoubleType).as("metric"),
+        passed.as("passed"))
+    base.crossJoin(broadcast(orphOrders)).crossJoin(broadcast(orphLines))
+      .select(explode(array(
+        check("row_count", col("n"), col("n") > 0),
+        check("completeness_o_custkey",
+          round(col("n_cust").cast(DoubleType) / col("n"), 6),
+          col("n_cust") === col("n")),
+        check("uniqueness_o_orderkey",
+          round(col("n_key").cast(DoubleType) / col("n"), 6),
+          col("n_key") === col("n")),
+        check("min_totalprice_positive", col("min_price"), col("min_price") > 0),
+        check("status_in_domain", col("bad_status"), col("bad_status") === 0),
+        check("fk_orders_customer", col("orph_orders"), col("orph_orders") === 0),
+        check("fk_lineitem_orders", col("orph_lines"), col("orph_lines") === 0)
+      )).as("c"))
+      .select(col("c.check").as("check"), col("c.metric").as("metric"),
+        col("c.passed").as("passed"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     def canon(e: Column, c: String) = df.schema(c).dataType match {

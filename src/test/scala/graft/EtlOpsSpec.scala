@@ -125,6 +125,40 @@ class EtlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dq checks flag planted violations and pass clean data") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Profile
+    def toOrders(rows: Seq[(Long, Option[Long], String, Double)]) =
+      rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .withColumn("o_orderdate", lit(null).cast("timestamp"))
+        .withColumn("o_orderpriority", lit("1-URGENT"))
+    val customer = Seq(1L, 2L).toDF("c_custkey")
+    val lineitem = Seq(10L, 10L, 999L).toDF("l_orderkey") // 999 is an orphan
+
+    // planted: duplicate o_orderkey, null custkey, orphan custkey 7,
+    // non-positive price, status 'X' outside the domain
+    val dirty = toOrders(Seq(
+      (10L, Some(1L), "O", 5.0),
+      (10L, Some(7L), "X", -1.0),
+      (11L, None, "F", 2.0)))
+    val out = Profile.dqChecks(dirty, lineitem, customer)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out("row_count") == ((3.0, true)))
+    assert(out("completeness_o_custkey") == ((math.rint(2.0 / 3 * 1e6) / 1e6, false)))
+    assert(out("uniqueness_o_orderkey") == ((math.rint(2.0 / 3 * 1e6) / 1e6, false)))
+    assert(out("min_totalprice_positive") == ((-1.0, false)))
+    assert(out("status_in_domain") == ((1.0, false)))
+    assert(out("fk_orders_customer") == ((1.0, false)), "custkey 7 has no customer")
+    assert(out("fk_lineitem_orders") == ((1.0, false)), "l_orderkey 999 has no order")
+
+    val clean = toOrders(Seq((10L, Some(1L), "O", 5.0), (11L, Some(2L), "F", 2.0)))
+    val cleanOut = Profile.dqChecks(clean, Seq(10L, 11L).toDF("l_orderkey"), customer)
+      .collect()
+    assert(cleanOut.length == 7 && cleanOut.forall(_.getBoolean(2)),
+      s"clean data must pass every check: ${cleanOut.mkString(", ")}")
+  }
+
   test("histogram handles negative values with floor (not truncation) binning") {
     val s = spark
     import s.implicits._

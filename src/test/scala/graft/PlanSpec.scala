@@ -136,6 +136,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("revenue_dec"), s"window input not the aggregate:\n$plan")
   }
 
+  test("semantic dedup pair join is blocked on the cluster id, never cartesian") {
+    val plan = planOf(SparkEntry.queries("semantic_dedup_keep")(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin Inner"),
+      s"within-cluster pair join fell back to all-pairs:\n$plan")
+    assert(plan.contains("cid"), s"blocking key missing from the join:\n$plan")
+  }
+
   test("blocked fuzzy join is an equi hash join on the block key, never cartesian") {
     val plan = planOf(SparkEntry.queries("part_fuzzy_matches")(spark, dir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
