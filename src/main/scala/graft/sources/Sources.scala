@@ -42,6 +42,34 @@ object Sources {
     }
   }
 
+  /** Fault-tolerant JSONL corpus ingest: explicit schema + PERMISSIVE
+    * mode with a `_corrupt_record` capture column, split into
+    * `(good, quarantine)` — the shape a 100 TB multi-source crawl ingest
+    * needs, where FAILFAST means dying at row 10¹² and silently DROPPING
+    * malformed rows destroys the audit trail. Good rows lose the capture
+    * column; quarantine rows carry the raw line for replay/forensics.
+    *
+    * The schema is explicit (never inferred): inference is a full extra
+    * pass over the data, and a drifting source would silently change the
+    * contract downstream. Spark requires the capture column to reach the
+    * row before filtering (a plain filter on it alone is disallowed on
+    * the un-cached frame), so both splits project THROUGH a scan that
+    * selects it explicitly. */
+  def jsonlIngest(
+      spark: SparkSession,
+      path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val capture = "_corrupt_record"
+    val full = spark.read
+      .schema(schema.add(capture, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", capture)
+      .json(path)
+      .cache() // one scan feeds both splits; caller unpersists
+    (full.filter(col(capture).isNull).drop(capture),
+      full.filter(col(capture).isNotNull).select(col(capture).as("raw_line")))
+  }
+
   /** JDBC CDC extraction — the reference's delta query shape. The
     * `(wm, max]` predicate is passed through `predicates`, which Spark
     * appends to the remote WHERE clause: the filter runs in the source

@@ -26,6 +26,35 @@ class SourcesSpec extends AnyFunSuite {
     assertSameRows(df, Sources.readTable(spark, s"$base/orc", "orc"))
   }
 
+  test("jsonl ingest splits good rows from quarantined corrupt lines, losslessly") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world"}""",
+      """{"doc_id": 2, "text": "ok"}""",
+      """{"doc_id": broken no quotes}""", // malformed JSON
+      """not json at all""",
+      """{"doc_id": 3, "text": "fine"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part0.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (good, quarantine) = graft.sources.Sources.jsonlIngest(spark, dir, schema)
+    try {
+      assert(good.columns.toSeq == Seq("doc_id", "text"),
+        "capture column must not leak into the good split")
+      assert(good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 3L))
+      val raw = quarantine.collect().map(_.getString(0)).sorted.toSeq
+      assert(raw == Seq("""not json at all""", """{"doc_id": broken no quotes}"""),
+        s"quarantine must carry the exact raw lines, got $raw")
+      assert(good.count() + quarantine.count() == lines.size,
+        "ingest must be lossless: every line lands in exactly one split")
+    } finally {
+      good.sparkSession.catalog.clearCache()
+    }
+  }
+
   test("clustered write yields disjoint per-file key ranges and selective scans skip files") {
     val base = Files.createTempDirectory("graft-cluster").toString + "/orders"
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
