@@ -313,6 +313,22 @@ object SparkEntry {
           col("o_orderstatus").as("status"),
           col("effective_from"), col("effective_to"),
           col("version"), col("is_current"))),
+    // point-in-time enrichment: each order carries the status version
+    // valid at its own order date (PIT join over the SCD-2 history,
+    // planned through the custom physical as-of operator)
+    "orders_pit_status" -> ((s, dir) => {
+      val dim = graft.ops.Scd.scd2(
+        Tables.orders(s, dir)
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"),
+        key = "o_custkey", orderCol = "o_orderdate", tieBreak = "o_orderkey",
+        tracked = Seq("o_orderstatus"))
+        .withColumnRenamed("o_orderstatus", "status")
+      graft.ops.Scd.pitEnrich(
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        dim, key = "o_custkey", factTs = "o_orderdate",
+        dimCols = Seq("status", "version"))
+    }),
     // column-level data-quality profile of the landed orders table
     "profile_orders" -> ((s, dir) =>
       graft.ops.Profile.profile(Tables.orders(s, dir),
@@ -1272,6 +1288,27 @@ object SparkEntry {
            |FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "")
     },
+    "orders_pit_status" ->
+      """WITH src AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM orders),
+        |lagged AS (
+        |  SELECT *, lag(o_orderstatus) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM src),
+        |chg AS (SELECT * FROM lagged WHERE prev IS DISTINCT FROM o_orderstatus),
+        |dim AS (
+        |  SELECT o_custkey, o_orderstatus AS status, o_orderdate AS effective_from,
+        |         CAST(row_number() OVER
+        |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS version
+        |  FROM chg),
+        |eod AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY o_custkey, effective_from ORDER BY version DESC) AS rn
+        |  FROM dim) WHERE rn = 1)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+        |       d.status AS asof_status, d.version AS asof_version
+        |FROM orders o ASOF LEFT JOIN eod d
+        |  ON o.o_custkey = d.o_custkey AND d.effective_from <= o.o_orderdate""".stripMargin,
     "dq_checks" ->
       """WITH base AS (
         |  SELECT count(*) AS n, count(o_custkey) AS n_cust,

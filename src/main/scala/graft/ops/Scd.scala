@@ -53,4 +53,36 @@ object Scd {
       .withColumn("version", row_number().over(w).cast("int"))
       .withColumn("is_current", col("effective_to").isNull.cast("int"))
   }
+
+  /** Point-in-time dimension lookup: enrich each fact row with the
+    * dimension version that was valid at the fact's timestamp — the
+    * Kimball PIT join every SCD-2 warehouse runs, here planned as the
+    * custom physical as-of join ([[AsOfJoin.asOfExec]]): one shuffle +
+    * sort per side, O(1) merge state, NO interval explosion and no
+    * per-fact interval scan.
+    *
+    * Several versions can open at the same `effective_from` instant
+    * (ties on the change log's orderCol — 16 keys at sf0.01, 177 at
+    * sf0.1); "the state at t" is only well-defined per instant, so the
+    * lookup first collapses to the LAST version per (key, instant)
+    * (end-of-instant state, the half-open-interval reading). Without
+    * the collapse the as-of tie-break would be engine-dependent.
+    *
+    * @param versions [[scd2]] output (or any frame with `key`,
+    *                 `effective_from`, `version`, and `dimCols`)
+    * @return facts + `asof_<c>` for each dimension column; facts before
+    *         a key's first version (or with an unknown key) keep nulls */
+  def pitEnrich(
+      facts: DataFrame,
+      versions: DataFrame,
+      key: String,
+      factTs: String,
+      dimCols: Seq[String]): DataFrame = {
+    val wd = Window.partitionBy(col(key), col("effective_from"))
+      .orderBy(col("version").desc)
+    val eod = versions
+      .withColumn("__rn", row_number().over(wd)).filter(col("__rn") === 1)
+      .select((key +: "effective_from" +: dimCols).map(col): _*)
+    AsOfJoin.asOfExec(facts, eod, key, factTs, "effective_from", dimCols)
+  }
 }

@@ -125,6 +125,37 @@ class EtlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PIT enrich picks the version valid at each fact date; same-instant collapses to last") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      (1L, 10L, t("2024-01-01"), "A"),
+      (1L, 11L, t("2024-01-05"), "B"),
+      (1L, 12L, t("2024-01-10"), "C"),
+      (1L, 13L, t("2024-01-10"), "D")) // same instant as C, later tieBreak
+      .toDF("k", "ord", "ts", "status")
+    val dim = Scd.scd2(log, key = "k", orderCol = "ts", tieBreak = "ord",
+      tracked = Seq("status"))
+    val facts = Seq(
+      (100L, 1L, t("2023-12-31")), // before the first version
+      (101L, 1L, t("2024-01-01")), // exactly on a version open
+      (102L, 1L, t("2024-01-07")), // mid-interval
+      (103L, 1L, t("2024-01-10")), // on the tied instant
+      (104L, 2L, t("2024-01-07"))) // key with no dimension history
+      .toDF("fid", "k", "ft")
+    val out = Scd.pitEnrich(facts, dim, key = "k", factTs = "ft",
+      dimCols = Seq("status", "version"))
+      .select("fid", "asof_status", "asof_version")
+      .as[(Long, Option[String], Option[Int])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(100L) == ((None, None)), "fact before v1 must stay null")
+    assert(out(101L) == ((Some("A"), Some(1))))
+    assert(out(102L) == ((Some("B"), Some(2))))
+    assert(out(103L) == ((Some("D"), Some(4))),
+      "same-instant versions collapse to the LAST (end-of-instant state)")
+    assert(out(104L) == ((None, None)), "unknown dimension key stays null")
+  }
+
   test("dq checks flag planted violations and pass clean data") {
     val s = spark
     import s.implicits._
