@@ -108,6 +108,49 @@ class PhysicalAsOfJoinSpec extends AnyFunSuite {
       "null keys/timestamps must never match")
   }
 
+  test("randomized parity with the compositional form across shapes and layouts") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      // dense key space + coarse timestamps force heavy key sharing,
+      // duplicate timestamps per key, and some keys on only one side;
+      // ~7% null keys and ~5% null timestamps exercise the skip paths.
+      // Ties on (key, ts) are EXCLUDED on the right by construction
+      // (distinct right (k,ts) pairs): at equal-ts ties both forms pick
+      // an arbitrary tied row, which is legitimately nondeterministic.
+      val nKeys = 1 + rnd.nextInt(8)
+      def side(n: Int) = (0 until n).map { i =>
+        val k = if (rnd.nextInt(15) == 0) null
+          else Long.box(rnd.nextInt(nKeys).toLong)
+        val t = if (rnd.nextInt(20) == 0) null
+          else new java.sql.Timestamp(3600000L * rnd.nextInt(48))
+        (k, t, s"v$i")
+      }
+      val left = side(30 + rnd.nextInt(40)).toDF("k", "t", "v")
+      val right = side(30 + rnd.nextInt(40)).toDF("k", "t", "v")
+        .dropDuplicates("k", "t")
+      for (d <- Seq("backward", "forward"); parts <- Seq(1, 3)) {
+        val l = left.repartition(parts)
+        val r = right.repartition(math.max(1, 4 - parts))
+        // the window composition groups NULL keys together (they match
+        // each other); the exec uses SQL join semantics (null never
+        // matches) — compare on the non-null-key slice, and separately
+        // pin that the exec leaves null-key left rows unmatched
+        val a = AsOfJoin.asOf(
+          l.filter(col("k").isNotNull && col("t").isNotNull),
+          r.filter(col("k").isNotNull && col("t").isNotNull),
+          "k", "t", "t", Seq("v"), d)
+        val b = AsOfJoin.asOfExec(l, r, "k", "t", "t", Seq("v"), d)
+        assertSameRows(a,
+          b.filter(col("k").isNotNull && col("t").isNotNull))
+        val nullRows = b.filter(col("k").isNull || col("t").isNull)
+        assert(nullRows.filter(col("asof_v").isNotNull).count() == 0,
+          s"trial $trial $d parts=$parts: null key/ts must never match")
+      }
+    }
+  }
+
   test("match state resets across keys within a partition") {
     val s = spark
     import s.implicits._
