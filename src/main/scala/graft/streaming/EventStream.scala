@@ -95,6 +95,35 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** Streaming POINT-IN-TIME enrichment: each incoming fact carries the
+    * dimension version valid at its own event time (not the current
+    * version — the temporal-correctness upgrade over [[enrich]]'s
+    * latest-state join, and what a CDC consumer needs to avoid
+    * "time-traveling" dimensions).
+    *
+    * Runs through `foreachBatch`: the as-of match is an order-dependent
+    * join the streaming planner cannot express, but every micro-batch is
+    * a bounded delta, so the BATCH machinery ([[graft.ops.Scd.pitEnrich]]
+    * → the custom as-of physical operator) applies per batch — work
+    * ∝ |batch| + |dim| per trigger, dimension refresh picked up next
+    * batch, same contract as [[enrich]].
+    *
+    * @param versions [[graft.ops.Scd.scd2]] output (static/refreshable)
+    * @param sink     receives each enriched micro-batch (write/upsert) */
+  def enrichPitStream(
+      facts: DataFrame,
+      versions: () => DataFrame,
+      key: String,
+      factTs: String,
+      dimCols: Seq[String])(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Scd.pitEnrich(batch, versions(), key, factTs, dimCols))
+      }
+      .start()
+
   /** Streaming exact dedup on a key, with state bounded by the
     * watermark: `dropDuplicatesWithinWatermark` keeps each seen key only
     * until the watermark passes its event time, so the dedup map is

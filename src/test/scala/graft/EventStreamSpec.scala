@@ -15,6 +15,9 @@ case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
 /** Keyed variant for the join/dedup streaming specs. */
 case class EvId(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+/** Fact row for the streaming PIT-enrichment spec. */
+case class Fact(fid: Long, k: Long, ft: Timestamp)
+
 /** Watermark + tumbling-window streaming aggregation: windows finalize
   * exactly once when the watermark passes, and events later than the
   * watermark delay are dropped — not re-opened.
@@ -209,6 +212,46 @@ class EventStreamSpec extends AnyFunSuite {
       val u1 = spark.table("sess_s").filter(col("user_id") === 1).collect()
       assert(u1.length == 2, s"timeout should close the 11:00 session: ${u1.toSeq}")
       assert(u1.map(_.getAs[Long]("n_events")).sum == 3L)
+    } finally q.stop()
+  }
+
+  test("streaming PIT enrichment equals the batch PIT join over the full log") {
+    val s = spark
+    import s.implicits._
+    def ts(d: String) = Timestamp.valueOf(d + " 00:00:00")
+    val log = Seq(
+      (1L, 10L, ts("2024-01-01"), "A"),
+      (1L, 11L, ts("2024-01-05"), "B"),
+      (2L, 12L, ts("2024-01-03"), "X"))
+      .toDF("k", "ord", "t", "status")
+    val dim = graft.ops.Scd.scd2(log, key = "k", orderCol = "t",
+      tieBreak = "ord", tracked = Seq("status"))
+    val input = MemoryStream[Fact](s)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[String])]
+    val q = EventStream.enrichPitStream(
+      input.toDF(), () => dim, key = "k", factTs = "ft",
+      dimCols = Seq("status")) { enriched =>
+      got.synchronized {
+        got ++= enriched.select("fid", "asof_status")
+          .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      }
+    }
+    try {
+      val b1 = Seq(Fact(100L, 1L, ts("2024-01-02")), Fact(101L, 2L, ts("2024-01-02")))
+      val b2 = Seq(Fact(102L, 1L, ts("2024-01-06")), Fact(103L, 3L, ts("2024-01-06")))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val batch = graft.ops.Scd.pitEnrich(
+        (b1 ++ b2).toDF(), dim, key = "k", factTs = "ft", dimCols = Seq("status"))
+        .select("fid", "asof_status")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(got.toSet == batch,
+        s"stream=${got.toSet} batch=$batch")
+      // temporal correctness, not latest-state: fid 100 predates version B
+      assert(got.toMap.apply(100L).contains("A"))
+      assert(got.toMap.apply(102L).contains("B"))
+      assert(got.toMap.apply(101L).isEmpty, "k=2 fact predates its first version")
+      assert(got.toMap.apply(103L).isEmpty, "unknown key stays null")
     } finally q.stop()
   }
 }
