@@ -56,6 +56,26 @@ object IncrementalRun {
           sys.env.getOrElse("SPARK_GRAFT_SOURCE_TABLE", "rental"), props)
       case None => Tables.rental(spark, sfDir)
     }
+    // DQ gate BEFORE any state mutation (Deequ-style publish guard):
+    // warn (default) prints failures and proceeds; fail aborts with exit
+    // code 2 on a REQUIRED failure, leaving watermark/summary untouched
+    // (advisory checks never block — see Profile.rentalDqChecks); off
+    // skips the scan (the gate costs one extra pass over the source)
+    sys.env.getOrElse("SPARK_GRAFT_DQ_GATE", "warn") match {
+      case "off" =>
+      case gate =>
+        val checks = graft.ops.Profile.rentalDqChecks(rental).collect()
+        val failed = checks.filter(!_.getBoolean(2))
+        failed.foreach(r => println(s"[incremental] DQ " +
+          s"${if (r.getBoolean(3)) "FAIL" else "warn"} ${r.getString(0)} metric=${r.get(1)}"))
+        if (failed.isEmpty)
+          println(s"[incremental] DQ gate passed (${checks.length} checks)")
+        else if (gate == "fail" && failed.exists(_.getBoolean(3))) {
+          println("[incremental] DQ gate failed - aborting before state mutation")
+          spark.stop()
+          sys.exit(2)
+        }
+    }
     val report = IncrementalWeeklySummary.run(spark, rental, stateDir, mode)
     println(s"[incremental] watermark ${report.previousWatermark} -> ${report.newWatermark}; " +
       s"deltaRows=${report.deltaRows} affectedWeeks=${report.affectedWeeks} processed=${report.processed}")

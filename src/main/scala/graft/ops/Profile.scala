@@ -47,6 +47,57 @@ object Profile {
     * meet in broadcast cross joins; the per-check reshape is a
     * row-local explode of a 7-struct literal array. Nothing here is
     * proportional to anything but the two fact scans. */
+  private def check(name: String, metric: Column, passed: Column) =
+    struct(lit(name).as("check"), metric.cast(DoubleType).as("metric"),
+      passed.as("passed"))
+
+  /** DQ gate for the incremental pipeline's rental change log — run by
+    * IncrementalRun BEFORE any state mutation (`SPARK_GRAFT_DQ_GATE=
+    * warn|fail|off`). One aggregation pass, no joins.
+    *
+    * Two check tiers, split by what the PIPELINE depends on:
+    * `required = true` — row count and identity/date completeness (join
+    * keys, week truncation, watermark column); a failure here would
+    * corrupt state, so fail-mode aborts on it. `required = false` —
+    * interval sanity (return/update before the rental): real upstream
+    * data genuinely contains these (92 early returns at sf0.001 in this
+    * very testdata — discovered BY this check), the pipeline is
+    * indifferent to them, and a gate that can't pass real data trains
+    * operators to turn it off. They report, they don't block. */
+  def rentalDqChecks(rental: DataFrame): DataFrame =
+    rental.agg(
+      count(lit(1)).as("n"),
+      count(col("rental_id")).as("n_id"),
+      count(col("rental_date")).as("n_rd"),
+      count(col("last_update")).as("n_lu"),
+      sum(when(col("return_date") < col("rental_date"), 1L).otherwise(0L))
+        .as("neg_dur"),
+      sum(when(col("last_update") < col("rental_date"), 1L).otherwise(0L))
+        .as("early_lu"))
+      .select(explode(array(
+        tiered("row_count", col("n"), col("n") > 0, required = true),
+        tiered("completeness_rental_id",
+          round(col("n_id").cast(DoubleType) / col("n"), 6), col("n_id") === col("n"),
+          required = true),
+        tiered("completeness_rental_date",
+          round(col("n_rd").cast(DoubleType) / col("n"), 6), col("n_rd") === col("n"),
+          required = true),
+        tiered("completeness_last_update",
+          round(col("n_lu").cast(DoubleType) / col("n"), 6), col("n_lu") === col("n"),
+          required = true),
+        tiered("return_not_before_rental", col("neg_dur"), col("neg_dur") === 0,
+          required = false),
+        tiered("update_not_before_rental", col("early_lu"), col("early_lu") === 0,
+          required = false)
+      )).as("c"))
+      .select(col("c.check").as("check"), col("c.metric").as("metric"),
+        col("c.passed").as("passed"), col("c.required").as("required"))
+
+  private def tiered(name: String, metric: Column, passed: Column,
+      required: Boolean) =
+    struct(lit(name).as("check"), metric.cast(DoubleType).as("metric"),
+      passed.as("passed"), lit(required).as("required"))
+
   def dqChecks(orders: DataFrame, lineitem: DataFrame, customer: DataFrame): DataFrame = {
     val base = orders.agg(
       count(lit(1)).as("n"),
@@ -67,9 +118,6 @@ object Profile {
       .join(orders.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("orph_lines"))
-    def check(name: String, metric: Column, passed: Column) =
-      struct(lit(name).as("check"), metric.cast(DoubleType).as("metric"),
-        passed.as("passed"))
     base.crossJoin(broadcast(orphOrders)).crossJoin(broadcast(orphLines))
       .select(explode(array(
         check("row_count", col("n"), col("n") > 0),

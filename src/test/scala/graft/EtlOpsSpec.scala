@@ -190,6 +190,36 @@ class EtlOpsSpec extends AnyFunSuite {
       s"clean data must pass every check: ${cleanOut.mkString(", ")}")
   }
 
+  test("rental DQ gate passes real data and flags planted interval violations") {
+    // the gate defaults ON in IncrementalRun, so real data must pass
+    // every REQUIRED check — otherwise the default breaks the production
+    // path. The advisory interval checks genuinely fail on this data (92
+    // early returns at sf0.001): that is the point of the tiering —
+    // report the quirk, don't block the pipeline on it.
+    val real = Profile.rentalDqChecks(
+      Tables.rental(spark, "/root/testdata/sf0.001")).collect()
+    assert(real.length == 6)
+    assert(real.filter(_.getBoolean(3)).forall(_.getBoolean(2)),
+      s"required checks failed on real data: ${real.filterNot(_.getBoolean(2)).mkString(", ")}")
+    val earlyReturns = real.find(_.getString(0) == "return_not_before_rental").get
+    assert(!earlyReturns.getBoolean(2) && earlyReturns.getDouble(1) > 0,
+      "the advisory check should surface the real early-return quirk")
+
+    val dirty = rentalDf(Seq(
+      // return precedes the rental
+      RentalVersion(1L, ts("2024-01-05 10:00:00"),
+        Some(ts("2024-01-04 10:00:00")), ts("2024-01-05 10:00:00")),
+      // last_update precedes the rental
+      RentalVersion(2L, ts("2024-01-05 10:00:00"), None, ts("2024-01-01 10:00:00"))))
+    val out = Profile.rentalDqChecks(dirty).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out("return_not_before_rental") == ((false, false)))
+    assert(out("update_not_before_rental") == ((false, false)))
+    assert(Seq("row_count", "completeness_rental_id", "completeness_rental_date",
+      "completeness_last_update").forall(k => out(k) == ((true, true))),
+      "required checks must pass on structurally-clean data")
+  }
+
   test("histogram handles negative values with floor (not truncation) binning") {
     val s = spark
     import s.implicits._
