@@ -209,6 +209,59 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): WinnowFps = copy(child = c)
   }
 
+  /** Per-document repetition statistics in ONE local pass — the signals
+    * of [[graft.ops.TextOps.docRepetition]] without shuffling a single
+    * gram: every 2-/3-gram of a document lives in its own row, so the
+    * (doc, gram) count map is a per-eval local HashMap, not a corpus
+    * aggregation. Returns struct(top2_cnt, top2_len, dup3_chars):
+    *  - (top2_cnt, top2_len): count and char length of the most-repeated
+    *    bigram, ties to the LONGER gram — exactly the compositional
+    *    form's `max(cnt·2²⁴ + len)` encoding, decoded;
+    *  - dup3_chars: Σ cnt·len over trigrams with cnt ≥ 2.
+    * Gram keys are real UTF8String concatenations (no hashing), so the
+    * counts are exact and the DuckDB oracle still matches bit-for-bit. */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("top2_cnt", LongType, nullable = false),
+      StructField("top2_len", IntegerType, nullable = false),
+      StructField("dup3_chars", LongType, nullable = false)))
+    override def prettyName: String = "repetition_stats"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val sep = UTF8String.fromString(" ")
+      def counts(k: Int): java.util.HashMap[UTF8String, Long] = {
+        val m = new java.util.HashMap[UTF8String, Long]()
+        var i = 0
+        while (i <= n - k) {
+          val parts = new Array[UTF8String](k)
+          var j = 0
+          while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+          val g = UTF8String.concatWs(sep, parts: _*)
+          m.merge(g, 1L, (a, b) => a + b)
+          i += 1
+        }
+        m
+      }
+      var top2Cnt = 0L
+      var top2Len = 0
+      counts(2).forEach { (g, c) =>
+        val len = g.numChars()
+        if (c > top2Cnt || (c == top2Cnt && len > top2Len)) {
+          top2Cnt = c; top2Len = len
+        }
+      }
+      var dup3 = 0L
+      counts(3).forEach { (g, c) => if (c >= 2) dup3 += c * g.numChars() }
+      InternalRow(top2Cnt, top2Len, dup3)
+    }
+
+    override protected def withNewChildInternal(c: Expression): RepetitionStats =
+      copy(child = c)
+  }
+
   /** Row-to-many-rows chunker — the table-function (UDTF) extension
     * point: a custom Catalyst [[Generator]] that the analyzer's
     * ExtractGenerator rule rewrites into a `Generate` node, exactly like
@@ -306,6 +359,7 @@ object TextExprs {
     put("chunk_rows",
       exprs => ChunkRows(exprs(0), exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int]))
+    put("repetition_stats", exprs => RepetitionStats(exprs(0)))
   }
 
   import org.apache.spark.sql.functions.lit
@@ -321,4 +375,6 @@ object TextExprs {
     call_function("word_shingle_hashes", toks, lit(k))
   def chunkRows(toks: Column, chunkLen: Int, overlap: Int): Column =
     call_function("chunk_rows", toks, lit(chunkLen), lit(overlap))
+  def repetitionStats(toks: Column): Column =
+    call_function("repetition_stats", toks)
 }

@@ -80,6 +80,29 @@ object TextOps {
     * shape at any scale and any per-document length, no corpus-wide
     * state. */
   def docRepetition(documents: DataFrame): DataFrame = {
+    TextExprs.register(documents.sparkSession)
+    val base = documents.select(col("doc_id"), tokens(col("text")).as("t"),
+      length(normalize(col("text"))).as("n_chars"))
+    base.select(
+      col("doc_id"),
+      size(col("t")).as("n_tokens"),
+      round((size(col("t")) - size(array_distinct(col("t")))).cast("double")
+        / size(col("t")), 6).as("dup_token_frac"),
+      TextExprs.repetitionStats(col("t")).as("r"),
+      col("n_chars"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        round((col("r.top2_cnt") * col("r.top2_len")) / col("n_chars"), 6)
+          .as("top2_frac"),
+        round(col("r.dup3_chars") / col("n_chars"), 6).as("dup3_frac"))
+  }
+
+  /** The pre-[[graft.functions.TextExprs.RepetitionStats]] formulation:
+    * explode every 2-/3-gram into (doc, n, gram) rows and aggregate
+    * twice. Shuffles |corpus tokens|×2 gram strings for a PER-DOCUMENT
+    * result the expression computes row-locally (3.0 s → 0.3 s at
+    * sf0.1) — kept as the parity cross-check, same discipline as the
+    * winnowing HOF twin. */
+  def docRepetitionHof(documents: DataFrame): DataFrame = {
     val Radix = 1L << 24 // glen < 16M chars per gram; cnt up to 2^39
     val base = documents.select(col("doc_id"), tokens(col("text")).as("t"),
       length(normalize(col("text"))).as("n_chars"))

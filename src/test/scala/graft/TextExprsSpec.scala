@@ -56,6 +56,30 @@ class TextExprsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1, 5), (4, 4), (7, 1)))
   }
 
+  test("RepetitionStats expression == exploded-aggregation docRepetition, bit for bit") {
+    import graft.ops.TextOps
+    val a = TextOps.docRepetition(docs).as("a")
+    val b = TextOps.docRepetitionHof(docs).as("b")
+    val joined = a.join(b, Seq("doc_id"), "full_outer")
+    assert(a.count() == b.count())
+    val diff = joined.filter(
+      col("a.n_tokens") =!= col("b.n_tokens") ||
+      col("a.dup_token_frac") =!= col("b.dup_token_frac") ||
+      col("a.top2_frac") =!= col("b.top2_frac") ||
+      col("a.dup3_frac") =!= col("b.dup3_frac") ||
+      col("a.n_tokens").isNull || col("b.n_tokens").isNull).count()
+    assert(diff == 0)
+    // tie-break pin: two bigrams at the same count -> the LONGER wins
+    // ("bb cc" over "a a"); dup3 counts the repeated trigram's chars
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((1L, "a a x bb cc y a a z bb cc a a q bb cc"))
+      .toDF("doc_id", "text")
+    val r = TextOps.docRepetition(tiny).collect()(0)
+    val rh = TextOps.docRepetitionHof(tiny).collect()(0)
+    assert(r.getDouble(3) == rh.getDouble(3) && r.getDouble(4) == rh.getDouble(4))
+  }
+
   test("SimHash64 == HOF simhash64") {
     TextExprs.register(spark)
     val toks = TextFns.tokens(col("text"))
