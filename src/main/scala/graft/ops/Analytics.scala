@@ -408,22 +408,34 @@ object Analytics {
 
   /** Q2-shape cheapest supplier per part (adapted: the harness schema
     * has no partsupp, so "supply cost" is the average realized unit
-    * price from lineitem). Correlated-argmin shape: per-(part,supplier)
-    * aggregate, then row_number over the part partitioning picks the
-    * minimum — the window runs on the aggregate (|parts×suppliers-seen|
-    * rows), never raw facts. Supplier/part joins stay unhinted
-    * (SF-scaled; stats/AQE decide). */
+    * price from lineitem). Two deliberate shape choices:
+    *  - the p_size predicate SEMI-JOINS into lineitem BEFORE the
+    *    aggregation — the per-part argmin is independent across parts,
+    *    so filtering first is result-identical and cuts the fact agg to
+    *    the qualifying ~10% (the "cut facts first" rule, pushed through
+    *    an argmin);
+    *  - the argmin itself is `min(struct(price, suppkey))` — a second
+    *    hash aggregation (ties to the lower suppkey via the struct's
+    *    lexicographic order), not a row_number window: nothing sorts,
+    *    and map-side partials apply to both aggs.
+    * Supplier/part joins stay unhinted (SF-scaled; stats/AQE decide). */
   def cheapestSupplier(spark: SparkSession, dir: String, maxSize: Int = 5): DataFrame = {
+    val keep = Tables.part(spark, dir).filter(col("p_size") <= maxSize)
+      .select(col("p_partkey"), col("p_name"))
     val unit = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_quantity"))
+      .join(keep.select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg((sum(dec("l_extendedprice")).cast("double")
         / sum(dec("l_quantity")).cast("double")).as("unit_price"))
-    val w = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("unit_price"), col("l_suppkey"))
-    unit.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .join(Tables.part(spark, dir).filter(col("p_size") <= maxSize)
-        .select(col("p_partkey"), col("p_name")),
-        col("l_partkey") === col("p_partkey"))
+    unit
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("unit_price"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"), col("m.l_suppkey").as("l_suppkey"),
+        col("m.unit_price").as("unit_price"))
+      .join(keep, col("l_partkey") === col("p_partkey"))
       .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
