@@ -97,7 +97,7 @@ object AsOfJoin {
     graft.GraftSession.install(left.sparkSession) // idempotent
     // re-alias every right column: fresh exprIds, so a self-join (left
     // and right carved from the same source) cannot collide attributes
-    val r2 = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val r2 = right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = r2.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String, side: String) =

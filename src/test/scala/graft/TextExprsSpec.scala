@@ -80,6 +80,29 @@ class TextExprsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == rh.getDouble(3) && r.getDouble(4) == rh.getDouble(4))
   }
 
+  test("custom expressions are first-class SQL functions") {
+    // a user of the SQL surface gets every graft function without the
+    // Column API: scalar, struct-returning, and the table generator
+    TextExprs.register(spark)
+    graft.functions.VecDot.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       simhash64(array('a', 'b', 'a')) AS sh,
+        |       repetition_stats(array('a', 'a', 'a')).top2_cnt AS t2
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    val viaColumnApi = spark.range(1)
+      .select(TextFns.simhash64(typedLit(Seq("a", "b", "a"))).as("h"))
+      .collect()(0).getLong(0)
+    assert(r.getLong(1) == viaColumnApi)
+    assert(r.getLong(2) == 2L) // bigrams: "a a" twice
+    // the Generator works as a SQL table function: 7 tokens at
+    // chunkLen=5/overlap=2 emit chunks starting 1, 4, 7
+    val chunks = spark.sql(
+      "SELECT chunk_rows(array('a','b','c','d','e','f','g'), 5, 2)").collect()
+    assert(chunks.length == 3)
+  }
+
   test("SimHash64 == HOF simhash64") {
     TextExprs.register(spark)
     val toks = TextFns.tokens(col("text"))
