@@ -124,6 +124,7 @@ object SparkEntry {
     "doc_sample_weighted" -> ((s, dir) => TextOps.sampleWeighted(Tables.documents(s, dir))),
     "doc_search_bm25" -> ((s, dir) => TextOps.searchBm25(Tables.documents(s, dir))),
     "doc_cross_entropy" -> ((s, dir) => TextOps.docCrossEntropy(Tables.documents(s, dir))),
+    "doc_bigram_entropy" -> ((s, dir) => TextOps.docPerplexityBigram(Tables.documents(s, dir))),
     "dup_passages" -> ((s, dir) => TextOps.dupPassages(Tables.documents(s, dir))),
     "doc_chunks" -> ((s, dir) => TextOps.docChunks(Tables.documents(s, dir))),
     "doc_chunks_gen" -> ((s, dir) => TextOps.docChunksGen(Tables.documents(s, dir))),
@@ -1121,6 +1122,24 @@ object SparkEntry {
          |  FROM tf JOIN counts USING (token) CROSS JOIN tot)
          |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
          |  round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6) AS cross_entropy
+         |FROM sc GROUP BY 1""".stripMargin,
+    "doc_bigram_entropy" ->
+      s"""WITH $toksCte,
+         |bi AS (
+         |  SELECT doc_id, UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2
+         |  FROM toks WHERE len(t) >= 2),
+         |btf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bi GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1
+         |       FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+         |vv AS (SELECT COUNT(*) AS v FROM c1),
+         |sc AS (
+         |  SELECT doc_id, tf,
+         |    CAST(tf * -ln((c2 + 0.5::DOUBLE) / (c1 + 0.5::DOUBLE * v))
+         |      AS DECIMAL(28,12)) AS nll
+         |  FROM btf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |  round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6) AS bigram_cross_entropy
          |FROM sc GROUP BY 1""".stripMargin,
     "decontaminate" ->
       s"""WITH $toksCte,

@@ -931,6 +931,51 @@ object TextOps {
         round(sum(col("nll")).cast("double") / sum(col("tf")), 6).as("cross_entropy"))
   }
 
+  /** Bigram language-model cross-entropy per document — the proper
+    * perplexity-style quality filter (the unigram [[docCrossEntropy]]
+    * scores vocabulary typicality; this scores SEQUENCE typicality:
+    * shuffled word soup has normal unigram stats but rare transitions).
+    * The corpus itself is the model: conditional probabilities are
+    * add-α smoothed over the corpus bigram/unigram tables,
+    * p(w₂|w₁) = (c₂(w₁,w₂)+α) / (c₁(w₁)+αV).
+    *
+    * Plan: corpus bigram + unigram counts (each one shuffle with
+    * map-side combine), then joins at (doc, DISTINCT bigram) grain —
+    * tf multiplies the per-type nll, so the join moves |doc bigram
+    * vocabulary| rows, not |tokens|. The vocabulary-size scalar rides
+    * as a broadcast 1-row aggregate; per-type contributions pass
+    * through DECIMAL(28,12) so each doc's sum is order-exact (same
+    * discipline as [[docCrossEntropy]] — ln's last-ulp noise is below
+    * the 12dp cast). Docs with <2 tokens have no bigrams and drop out. */
+  def docPerplexityBigram(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be > 0 (unsmoothed would log(0))")
+    val t = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val bi = t.select(col("doc_id"), explode(when(size(col("t")) >= 2,
+      zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val btf = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = documents
+      .select(explode(tokens(col("text"))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    btf.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * -log((col("c2") + lit(alpha))
+          / (col("c1") + lit(alpha) * col("v"))))
+          .cast("decimal(28,12)").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / sum(col("tf")), 6)
+          .as("bigram_cross_entropy"))
+  }
+
   /** Duplicated-passage detection — chunk-grain exact dedup: chunk every
     * document ([[docChunks]] windows), then keep chunk hashes appearing
     * in ≥ 2 DISTINCT documents. Whole-doc dedup misses these (two mostly

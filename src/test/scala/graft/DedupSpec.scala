@@ -413,6 +413,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out.values.forall(v => v > 0))
   }
 
+  test("bigram entropy ranks scrambled transitions above common ones; unigram can't") {
+    val s = spark
+    import s.implicits._
+    // doc 100 has the SAME unigram profile as the common docs but
+    // transitions the corpus has never seen — the sequence-typicality
+    // signal the unigram score is blind to
+    val docs = (Seq.tabulate(5)(i => (i.toLong, "the cat sat on the mat")) :+
+      (100L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val bi = TextOps.docPerplexityBigram(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ent = bi.map(t => t._1 -> t._3).toMap
+    assert(ent(100L) > ent(0L) + 0.5,
+      s"scrambled ${ent(100L)} must far exceed typical ${ent(0L)}")
+    assert(ent(0L) == ent(4L), "identical docs score identically")
+    assert(bi.forall(_._2 == 5L), "n_bigrams = tokens - 1")
+    val uni = TextOps.docCrossEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(uni(100L) - uni(0L)) < 1e-9,
+      "unigram score is identical on the scramble — the bigram signal is new information")
+  }
+
   test("shingles guard: fewer tokens than k yields empty, not garbage") {
     val s = spark
     import s.implicits._
