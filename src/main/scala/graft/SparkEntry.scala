@@ -119,6 +119,8 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
     "doc_sample_k" -> ((s, dir) => TextOps.samplePerGroup(Tables.documents(s, dir))),
     "corpus_keep" -> ((s, dir) => TextOps.corpusCuration(Tables.documents(s, dir))),
+    "corpus_keep_semantic" -> ((s, dir) => TextOps.corpusCurationSemantic(
+      Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "doc_embed_hash" -> ((s, dir) => TextOps.docEmbedHash(Tables.documents(s, dir))),
     "corpus_mixture" -> ((s, dir) => TextOps.corpusMixture(Tables.documents(s, dir))),
     "doc_sample_weighted" -> ((s, dir) => TextOps.sampleWeighted(Tables.documents(s, dir))),
@@ -464,6 +466,46 @@ object SparkEntry {
 
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Full corpus-curation oracle (the `corpus_keep` query) as a
+    * standalone statement — also embedded as a named subquery by the
+    * `corpus_keep_semantic` oracle (its own WITH scope nests cleanly). */
+  private lazy val corpusKeepSql: String =
+    s"""WITH $jaccardPairsCtes,
+       |q AS (
+       |  SELECT doc_id,
+       |    ((len(t) BETWEEN 20 AND 100000)::int
+       |     + (round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) >= 0.001)::int
+       |     + (round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) <= 0.2)::int
+       |     + (round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) <= 0.3)::int
+       |     >= 3)::int AS quality_ok
+       |  FROM toks WHERE doc_id % 10 <> 0),
+       |canon AS (
+       |  SELECT doc_id,
+       |    (doc_id = min(doc_id) OVER (PARTITION BY md5(norm)))::int AS canonical
+       |  FROM toks),
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM jacc_pairs
+       |           WHERE jaccard >= 0.8),
+       |sh5 AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN list_distinct(list_transform(
+       |      generate_series(1, len(t)-4),
+       |      i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT))
+       |    ELSE []::BIGINT[] END AS s
+       |  FROM toks),
+       |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh5 WHERE doc_id % 10 = 0),
+       |coll AS (
+       |  SELECT c.doc_id, count(*) AS n_collisions
+       |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh5 WHERE doc_id % 10 <> 0) c
+       |  JOIN ev USING (shingle) GROUP BY 1)
+       |SELECT doc_id, quality_ok, canonical,
+       |  CASE WHEN losers.doc_id IS NULL THEN 1 ELSE 0 END AS neardup_ok,
+       |  (coalesce(n_collisions, 0) = 0)::int AS clean,
+       |  quality_ok * canonical
+       |    * (CASE WHEN losers.doc_id IS NULL THEN 1 ELSE 0 END)
+       |    * (coalesce(n_collisions, 0) = 0)::int AS keep
+       |FROM q JOIN canon USING (doc_id)
+       |LEFT JOIN losers USING (doc_id)
+       |LEFT JOIN coll USING (doc_id)""".stripMargin
 
   /** Shared DuckDB CTE chain: winnowing fingerprint sets per document
     * (mirrors [[graft.functions.TextExprs.WinnowFps]] with k=3, w=4:
@@ -917,42 +959,24 @@ object SparkEntry {
          |           * (n::DOUBLE * shh::DOUBLE - sh::DOUBLE * sh::DOUBLE)),
          |    6) AS corr_value_hour
          |FROM m""".stripMargin,
-    "corpus_keep" ->
-      s"""WITH $jaccardPairsCtes,
-         |q AS (
-         |  SELECT doc_id,
-         |    ((len(t) BETWEEN 20 AND 100000)::int
-         |     + (round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) >= 0.001)::int
-         |     + (round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) <= 0.2)::int
-         |     + (round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) <= 0.3)::int
-         |     >= 3)::int AS quality_ok
-         |  FROM toks WHERE doc_id % 10 <> 0),
-         |canon AS (
-         |  SELECT doc_id,
-         |    (doc_id = min(doc_id) OVER (PARTITION BY md5(norm)))::int AS canonical
-         |  FROM toks),
-         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM jacc_pairs
-         |           WHERE jaccard >= 0.8),
-         |sh5 AS (
-         |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN list_distinct(list_transform(
-         |      generate_series(1, len(t)-4),
-         |      i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT))
-         |    ELSE []::BIGINT[] END AS s
-         |  FROM toks),
-         |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh5 WHERE doc_id % 10 = 0),
-         |coll AS (
-         |  SELECT c.doc_id, count(*) AS n_collisions
-         |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh5 WHERE doc_id % 10 <> 0) c
-         |  JOIN ev USING (shingle) GROUP BY 1)
-         |SELECT doc_id, quality_ok, canonical,
-         |  CASE WHEN losers.doc_id IS NULL THEN 1 ELSE 0 END AS neardup_ok,
-         |  (coalesce(n_collisions, 0) = 0)::int AS clean,
-         |  quality_ok * canonical
-         |    * (CASE WHEN losers.doc_id IS NULL THEN 1 ELSE 0 END)
-         |    * (coalesce(n_collisions, 0) = 0)::int AS keep
-         |FROM q JOIN canon USING (doc_id)
-         |LEFT JOIN losers USING (doc_id)
-         |LEFT JOIN coll USING (doc_id)""".stripMargin,
+    "corpus_keep" -> corpusKeepSql,
+    // fused text+vector curation: the corpus_keep verdict AND surviving
+    // the embedding-side semantic dedup — one doc_id=vec_id join
+    "corpus_keep_semantic" ->
+      s"""WITH ${duckKmeansCte(8, 2)},
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg2 a JOIN asg2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN emb ea ON ea.vec_id = a.vec_id
+         |  JOIN emb eb ON eb.vec_id = b.vec_id
+         |  WHERE round(${duckCosine("ea.v", "eb.v")}, 6) >= 0.45),
+         |sem AS (SELECT vec_id FROM asg2
+         |        WHERE vec_id NOT IN (SELECT vec_id FROM drops)),
+         |tk AS ($corpusKeepSql)
+         |SELECT tk.doc_id, tk.keep AS text_keep,
+         |  CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END AS semantic_ok,
+         |  tk.keep * (CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END) AS keep
+         |FROM tk LEFT JOIN sem s ON tk.doc_id = s.vec_id""".stripMargin,
     "doc_embed_hash" ->
       s"""WITH $toksCte,
          |tf AS (

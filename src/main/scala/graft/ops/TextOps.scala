@@ -783,6 +783,24 @@ object TextOps {
         col("quality_ok") * col("canonical") * col("neardup_ok") * col("clean"))
   }
 
+  /** Fused text+vector curation: [[corpusCuration]]'s verdict AND
+    * surviving the embedding-side [[VectorOps.semanticDedup]] — the two
+    * independent dedup modalities (lexical shingles, semantic cosine)
+    * joined on the shared doc/vec id. One doc_id-keyed LEFT join; docs
+    * whose embedding was semantically deduped away flip to keep=0 even
+    * when every text signal passed. */
+  def corpusCurationSemantic(documents: DataFrame, embeddings: DataFrame,
+      k: Int = 8, iters: Int = 2, minCos: Double = 0.45): DataFrame = {
+    val text = corpusCuration(documents)
+      .select(col("doc_id"), col("keep").as("text_keep"))
+    val sem = VectorOps.semanticDedup(embeddings, k, iters, minCos)
+      .select(col("vec_id").as("doc_id"), lit(1).as("semantic_ok"))
+    text.join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text_keep"),
+        coalesce(col("semantic_ok"), lit(0)).as("semantic_ok"))
+      .withColumn("keep", col("text_keep") * col("semantic_ok"))
+  }
+
   /** Fixed-SIZE deterministic sample per group: exactly `nPer` documents
     * per language (fewer if the stratum is smaller), chosen by md5 hash
     * order — "k examples per class", reproducible across runs and
