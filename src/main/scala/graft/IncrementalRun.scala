@@ -61,9 +61,9 @@ object IncrementalRun {
     // code 2 on a REQUIRED failure, leaving watermark/summary untouched
     // (advisory checks never block — see Profile.rentalDqChecks); off
     // skips the scan (the gate costs one extra pass over the source)
-    sys.env.getOrElse("SPARK_GRAFT_DQ_GATE", "warn") match {
+    sys.env.getOrElse("SPARK_GRAFT_DQ_GATE", "warn").toLowerCase match {
       case "off" =>
-      case gate =>
+      case gate @ ("warn" | "fail") =>
         val checks = graft.ops.Profile.rentalDqChecks(rental).collect()
         val failed = checks.filter(!_.getBoolean(2))
         failed.foreach(r => println(s"[incremental] DQ " +
@@ -75,6 +75,9 @@ object IncrementalRun {
           spark.stop()
           sys.exit(2)
         }
+      // a typo'd mode must not silently degrade a safety gate to warn
+      case other => sys.error(
+        s"SPARK_GRAFT_DQ_GATE must be warn|fail|off, got '$other'")
     }
     val report = IncrementalWeeklySummary.run(spark, rental, stateDir, mode)
     println(s"[incremental] watermark ${report.previousWatermark} -> ${report.newWatermark}; " +

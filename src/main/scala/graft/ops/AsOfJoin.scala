@@ -100,13 +100,34 @@ object AsOfJoin {
     val r2 = right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = r2.queryExecution.analyzed
+    // resolution honors spark.sql.caseSensitive like every DataFrame API
+    // (the window composition resolves through the analyzer and gets
+    // this for free); ambiguity is an error, not a silent first match
+    val caseSensitive =
+      left.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
     def attr(p: LogicalPlan, n: String, side: String) =
-      p.output.find(_.name == n).getOrElse(
-        sys.error(s"asOfExec: no column '$n' on the $side side"))
+      p.output.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n)) match {
+        case Seq(one) => one
+        case Seq() => sys.error(s"asOfExec: no column '$n' on the $side side")
+        case many => sys.error(
+          s"asOfExec: ambiguous column '$n' on the $side side: ${many.map(_.name)}")
+      }
+    // float/double keys must hash and compare like SQL equality (-0.0 ==
+    // 0.0, one NaN): the optimizer's NormalizeFloatingNumbers rule only
+    // rewrites operators it knows, so a custom node normalizes its own
+    // key expressions
+    def norm(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.dataType match {
+        case org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType =>
+          org.apache.spark.sql.graft.GraftSqlShim.normalizeFloating(e)
+        case _ => e
+      }
     val node = AsOfJoinNode(
       lPlan, rPlan,
-      attr(lPlan, key, "left"), attr(rPlan, key, "right"),
-      attr(lPlan, leftTs, "left"), attr(rPlan, rightTs, "right"),
+      norm(attr(lPlan, key, "left")), norm(attr(rPlan, key, "right")),
+      norm(attr(lPlan, leftTs, "left")), norm(attr(rPlan, rightTs, "right")),
       rightCols.map(c => attr(rPlan, c, "right")),
       forward = direction == "forward")
     // the asof_* renaming lives in this Project: CleanupAliases would

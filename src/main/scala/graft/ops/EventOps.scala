@@ -281,7 +281,11 @@ object EventOps {
     * of count(col), instead of failing the job at row 10^12 of a 100 TB
     * ingest. Same aggregate, same oracle as `events_json`. */
   def jsonPropStatsVariant(events: DataFrame): DataFrame = {
-    val k = variant_get(try_parse_json(col("props")), "$.k", "long")
+    // try_ on BOTH steps: try_parse_json nulls malformed JSON, and
+    // try_variant_get nulls a well-formed row whose k isn't castable to
+    // long (plain variant_get would throw INVALID_VARIANT_CAST — the
+    // exact fail-at-row-10^12 this path exists to avoid)
+    val k = try_variant_get(try_parse_json(col("props")), "$.k", "long")
     events
       .select(col("event_type"), k.as("k"))
       .groupBy(col("event_type"))

@@ -91,9 +91,14 @@ object TextOps {
       TextExprs.repetitionStats(col("t")).as("r"),
       col("n_chars"))
       .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
-        round((col("r.top2_cnt") * col("r.top2_len")) / col("n_chars"), 6)
-          .as("top2_frac"),
-        round(col("r.dup3_chars") / col("n_chars"), 6).as("dup3_frac"))
+        // greatest(n_chars, 1): an all-whitespace doc has n_chars = 0 and
+        // zero numerators — the HOF twin and the oracle report 0.0 there,
+        // and a raw /0 would return NULL instead; for every other doc the
+        // divisor is unchanged, so parity stays bit-for-bit
+        round((col("r.top2_cnt") * col("r.top2_len"))
+          / greatest(col("n_chars"), lit(1)), 6).as("top2_frac"),
+        round(col("r.dup3_chars") / greatest(col("n_chars"), lit(1)), 6)
+          .as("dup3_frac"))
   }
 
   /** The pre-[[graft.functions.TextExprs.RepetitionStats]] formulation:

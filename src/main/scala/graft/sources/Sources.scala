@@ -42,9 +42,18 @@ object Sources {
     }
   }
 
+  /** Result of [[jsonlIngest]]: both splits share ONE cached scan;
+    * [[unpersist]] releases it (unpersisting the derived `good`/
+    * `quarantine` frames would NOT — their cache entry is the shared
+    * parent's). */
+  final case class JsonlSplit(
+      good: DataFrame, quarantine: DataFrame, private val shared: DataFrame) {
+    def unpersist(): Unit = { shared.unpersist(); () }
+  }
+
   /** Fault-tolerant JSONL corpus ingest: explicit schema + PERMISSIVE
     * mode with a `_corrupt_record` capture column, split into
-    * `(good, quarantine)` — the shape a 100 TB multi-source crawl ingest
+    * good/quarantine — the shape a 100 TB multi-source crawl ingest
     * needs, where FAILFAST means dying at row 10¹² and silently DROPPING
     * malformed rows destroys the audit trail. Good rows lose the capture
     * column; quarantine rows carry the raw line for replay/forensics.
@@ -58,16 +67,18 @@ object Sources {
   def jsonlIngest(
       spark: SparkSession,
       path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): JsonlSplit = {
     val capture = "_corrupt_record"
     val full = spark.read
       .schema(schema.add(capture, org.apache.spark.sql.types.StringType))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", capture)
       .json(path)
-      .cache() // one scan feeds both splits; caller unpersists
-    (full.filter(col(capture).isNull).drop(capture),
-      full.filter(col(capture).isNotNull).select(col(capture).as("raw_line")))
+      .cache() // one scan feeds both splits; release via JsonlSplit.unpersist
+    JsonlSplit(
+      full.filter(col(capture).isNull).drop(capture),
+      full.filter(col(capture).isNotNull).select(col(capture).as("raw_line")),
+      full)
   }
 
   /** JDBC CDC extraction — the reference's delta query shape. The

@@ -15,4 +15,12 @@ import org.apache.spark.sql.classic
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** SQL-equality semantics for float/double expressions (-0.0 == 0.0,
+    * single NaN) — the same rewrite the optimizer's
+    * NormalizeFloatingNumbers rule applies to the operators it knows;
+    * custom plan nodes must apply it themselves (also `private[sql]`). */
+  def normalizeFloating(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

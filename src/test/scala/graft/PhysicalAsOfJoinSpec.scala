@@ -151,6 +151,18 @@ class PhysicalAsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("double keys: -0.0 matches 0.0 (SQL equality), names resolve case-insensitively") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((0.0, tsOf("2024-01-01 10:00:00"), "l"))
+      .toDF("K", "T", "v") // upper-case names: resolution must not care
+    val right = Seq((-0.0, tsOf("2024-01-01 09:00:00"), "r")).toDF("k", "t", "v")
+    val out = AsOfJoin.asOfExec(left, right, "k", "t", "t", Seq("v"))
+      .select("asof_v").collect()
+    assert(out.length == 1 && out(0).getString(0) == "r",
+      "-0.0 right key must match 0.0 left key after normalization")
+  }
+
   test("match state resets across keys within a partition") {
     val s = spark
     import s.implicits._

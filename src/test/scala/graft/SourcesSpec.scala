@@ -39,19 +39,21 @@ class SourcesSpec extends AnyFunSuite {
       String.join("\n", lines: _*).getBytes("UTF-8"))
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val (good, quarantine) = graft.sources.Sources.jsonlIngest(spark, dir, schema)
+    val split = graft.sources.Sources.jsonlIngest(spark, dir, schema)
     try {
-      assert(good.columns.toSeq == Seq("doc_id", "text"),
+      assert(split.good.columns.toSeq == Seq("doc_id", "text"),
         "capture column must not leak into the good split")
-      assert(good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(split.good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
         == Seq(1L, 2L, 3L))
-      val raw = quarantine.collect().map(_.getString(0)).sorted.toSeq
+      val raw = split.quarantine.collect().map(_.getString(0)).sorted.toSeq
       assert(raw == Seq("""not json at all""", """{"doc_id": broken no quotes}"""),
         s"quarantine must carry the exact raw lines, got $raw")
-      assert(good.count() + quarantine.count() == lines.size,
+      assert(split.good.count() + split.quarantine.count() == lines.size,
         "ingest must be lossless: every line lands in exactly one split")
     } finally {
-      good.sparkSession.catalog.clearCache()
+      // the returned handle releases the SHARED cache (unpersisting the
+      // derived frames would not)
+      split.unpersist()
     }
   }
 
