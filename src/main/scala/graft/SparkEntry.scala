@@ -255,6 +255,7 @@ object SparkEntry {
     "embedding_neardup" -> ((s, dir) => VectorOps.nearDupEmbedding(Tables.embeddings(s, dir))),
     "embedding_centroids" -> ((s, dir) => VectorOps.labelCentroids(Tables.embeddings(s, dir))),
     "embedding_clusters" -> ((s, dir) => VectorOps.kmeans(Tables.embeddings(s, dir))),
+    "cluster_profiles" -> ((s, dir) => VectorOps.clusterProfiles(Tables.embeddings(s, dir))),
     "semantic_dedup_keep" -> ((s, dir) => VectorOps.semanticDedup(Tables.embeddings(s, dir))),
     // incremental dedup on the vector side: vec_id % 10 = 0 is the batch
     "embedding_neardup_delta" -> ((s, dir) => {
@@ -1387,6 +1388,13 @@ object SparkEntry {
     "embedding_clusters" ->
       s"""WITH ${duckKmeansCte(8, 2)}
          |SELECT vec_id, cid, sim FROM asg2""".stripMargin,
+    "cluster_profiles" ->
+      s"""WITH ${duckKmeansCte(8, 2)}
+         |SELECT cid, count(*) AS n_vecs,
+         |  round(CAST(SUM(CAST(sim AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
+         |    AS mean_sim,
+         |  min(sim) AS min_sim
+         |FROM asg2 GROUP BY 1""".stripMargin,
     "semantic_dedup_keep" ->
       s"""WITH ${duckKmeansCte(8, 2)},
          |drops AS (

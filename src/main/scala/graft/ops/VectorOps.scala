@@ -392,6 +392,20 @@ object VectorOps {
       .drop("b")
   }
 
+  /** Per-cluster profile over the [[kmeans]] assignment: size and
+    * cohesion (mean / min similarity-to-centroid) — the triage view that
+    * tells a curator which clusters are tight topics and which are
+    * grab-bags. One k-row aggregation over the assignment; DECIMAL sim
+    * sums so the mean is partial-aggregation-order exact. */
+  def clusterProfiles(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeans(embeddings, k, iters)
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("sim").cast("decimal(20,10)")).cast("double")
+          / count(lit(1)), 6).as("mean_sim"),
+        min(col("sim")).as("min_sim"))
+
   /** SemDeDup-style semantic dedup: cluster with [[kmeans]], then drop
     * any vector with a LOWER-id near-twin (cosine ≥ `minCos`) in the
     * SAME cluster. The pairwise join is blocked on cid — O(Σ cluster²)

@@ -151,6 +151,30 @@ class PhysicalAsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("string keys: the canonical (symbol, ts) market-data shape merges correctly") {
+    val s = spark
+    import s.implicits._
+    // binary UTF8String ordering differs from Long ordering — this pins
+    // the interpreted key ordering + cross-key state reset on strings
+    val quotes = Seq(
+      ("AAPL", "2024-01-01 09:59:00", 186.0),
+      ("AAPL", "2024-01-01 10:01:00", 187.0),
+      ("MSFT", "2024-01-01 09:58:00", 402.0))
+      .map { case (k, t, v) => (k, tsOf(t), v) }.toDF("sym", "t", "px")
+    val trades = Seq(
+      ("AAPL", "2024-01-01 10:00:00", 100L),
+      ("MSFT", "2024-01-01 10:00:00", 50L),
+      ("ZZZZ", "2024-01-01 10:00:00", 1L)) // no quotes at all
+      .map { case (k, t, q) => (k, tsOf(t), q) }.toDF("sym", "t", "qty")
+    val out = AsOfJoin.asOfExec(trades, quotes, "sym", "t", "t", Seq("px"))
+      .select("sym", "asof_px").as[(String, Option[Double])].collect().toMap
+    assert(out("AAPL").contains(186.0), "latest quote at-or-before the trade")
+    assert(out("MSFT").contains(402.0))
+    assert(out("ZZZZ").isEmpty, "symbol with no quotes stays null")
+    val a = AsOfJoin.asOf(trades, quotes, "sym", "t", "t", Seq("px"))
+    assertSameRows(a, AsOfJoin.asOfExec(trades, quotes, "sym", "t", "t", Seq("px")))
+  }
+
   test("double keys: -0.0 matches 0.0 (SQL equality), names resolve case-insensitively") {
     val s = spark
     import s.implicits._
