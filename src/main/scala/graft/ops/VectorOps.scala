@@ -350,6 +350,10 @@ object VectorOps {
   /** [[kmeans]] keeping (vd, nrm) on the rows, for operators that go on
     * to do within-cluster pairwise work. */
   private def kmeansAssigned(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    // guard here, not downstream: k <= 0 would otherwise surface as a
+    // garbled sequence(0, -1) planning error inside best()
+    require(k >= 1, s"k=$k must be >= 1")
+    require(iters >= 0, s"iters=$iters must be >= 0")
     val p = prepared(embeddings)
     var cents: Seq[(Int, Array[Double])] = p.orderBy(col("vec_id")).limit(k)
       .select(col("vd")).collect().toSeq.zipWithIndex
