@@ -317,6 +317,15 @@ object SparkEntry {
           col("o_orderstatus").as("status"),
           col("effective_from"), col("effective_to"),
           col("version"), col("is_current"))),
+    // dimension-churn report over the SCD2 history
+    "version_durations" -> ((s, dir) => {
+      val dim = graft.ops.Scd.scd2(
+        Tables.orders(s, dir)
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"),
+        key = "o_custkey", orderCol = "o_orderdate", tieBreak = "o_orderkey",
+        tracked = Seq("o_orderstatus"))
+      graft.ops.Scd.versionDurations(dim, key = "o_custkey", asOf = AsOf)
+    }),
     // point-in-time enrichment: each order carries the status version
     // valid at its own order date (PIT join over the SCD-2 history,
     // planned through the custom physical as-of operator)
@@ -1332,6 +1341,28 @@ object SparkEntry {
            |FROM orders""".stripMargin
       }.mkString("", "\nUNION ALL\n", "")
     },
+    "version_durations" ->
+      """WITH src AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM orders),
+        |lagged AS (
+        |  SELECT *, lag(o_orderstatus) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM src),
+        |chg AS (SELECT * FROM lagged WHERE prev IS DISTINCT FROM o_orderstatus),
+        |d AS (
+        |  SELECT o_custkey, o_orderdate AS effective_from,
+        |         lead(o_orderdate) OVER
+        |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |           AS effective_to
+        |  FROM chg)
+        |SELECT o_custkey, count(*) AS n_versions,
+        |  round(avg(CASE WHEN effective_to IS NOT NULL
+        |    THEN date_diff('day', effective_from, effective_to) END), 6)
+        |    AS avg_version_days,
+        |  CAST(max(CASE WHEN effective_to IS NULL
+        |    THEN date_diff('day', effective_from, DATE '2002-01-01') END) AS INT)
+        |    AS current_age_days
+        |FROM d GROUP BY 1""".stripMargin,
     "orders_pit_status" ->
       """WITH src AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM orders),

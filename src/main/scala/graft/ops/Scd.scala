@@ -54,6 +54,25 @@ object Scd {
       .withColumn("is_current", col("effective_to").isNull.cast("int"))
   }
 
+  /** Interval analytics over the [[scd2]] history: per key, how many
+    * versions, how long they last on average, and the age of the current
+    * one — the dimension-churn report a warehouse runs on its SCD2
+    * tables. Closed-version durations only for the average (the open
+    * version has no end); current age measures against the deterministic
+    * as-of date. One key-grouped aggregation over the version rows. */
+  def versionDurations(versions: DataFrame, key: String,
+      asOf: java.time.LocalDate): DataFrame =
+    versions
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        round(avg(when(col("effective_to").isNotNull,
+          datediff(col("effective_to"), col("effective_from")))), 6)
+          .as("avg_version_days"),
+        max(when(col("is_current") === 1,
+          datediff(lit(java.sql.Date.valueOf(asOf)), col("effective_from"))))
+          .as("current_age_days"))
+
   /** Point-in-time dimension lookup: enrich each fact row with the
     * dimension version that was valid at the fact's timestamp — the
     * Kimball PIT join every SCD-2 warehouse runs, here planned as the

@@ -136,6 +136,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("revenue_dec"), s"window input not the aggregate:\n$plan")
   }
 
+  test("PIT enrichment plans through the custom as-of operator, not a window") {
+    val plan = planOf(SparkEntry.queries("orders_pit_status")(spark, dir))
+    assert(plan.contains("AsOfJoin "), s"PIT lookup lost the as-of operator:\n$plan")
+    // the only windows allowed are the SCD2 build's own (lag/lead/rn)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"PIT degraded to an interval scan:\n$plan")
+  }
+
   test("semantic dedup pair join is blocked on the cluster id, never cartesian") {
     val plan = planOf(SparkEntry.queries("semantic_dedup_keep")(spark, dir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin Inner"),
