@@ -124,6 +124,7 @@ object SparkEntry {
     "doc_embed_hash" -> ((s, dir) => TextOps.docEmbedHash(Tables.documents(s, dir))),
     "corpus_mixture" -> ((s, dir) => TextOps.corpusMixture(Tables.documents(s, dir))),
     "doc_sample_weighted" -> ((s, dir) => TextOps.sampleWeighted(Tables.documents(s, dir))),
+    "doc_splits" -> ((s, dir) => TextOps.splitAssign(Tables.documents(s, dir))),
     "doc_search_bm25" -> ((s, dir) => TextOps.searchBm25(Tables.documents(s, dir))),
     "doc_cross_entropy" -> ((s, dir) => TextOps.docCrossEntropy(Tables.documents(s, dir))),
     "doc_bigram_entropy" -> ((s, dir) => TextOps.docPerplexityBigram(Tables.documents(s, dir))),
@@ -1106,6 +1107,20 @@ object SparkEntry {
          |SELECT lang, n_docs, n_tokens,
          |  round(CAST(w AS DOUBLE) / CAST(wt AS DOUBLE), 6) AS mix_weight
          |FROM wgt, tot""".stripMargin,
+    // bounds carry Scala's exact cumulative doubles (0.8 + 0.1 =
+    // 0.9000000000000001): Double.toString round-trips, so both engines
+    // compare u against the identical bound
+    "doc_splits" -> {
+      val ws = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val cum = ws.scanLeft(0.0)(_ + _._2).tail.map(_ / ws.map(_._2).sum)
+      val cases = ws.zip(cum).init
+        .map { case ((n, _), b) => s"WHEN u < $b THEN '$n'" }.mkString(" ")
+      s"""SELECT doc_id, lang, CASE $cases ELSE '${ws.last._1}' END AS split
+         |FROM (SELECT doc_id, lang,
+         |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         |          / 1152921504606846976.0 AS u
+         |      FROM documents)""".stripMargin
+    },
     "doc_sample_weighted" ->
       s"""WITH $toksCte,
          |stats AS (

@@ -889,6 +889,28 @@ object TextOps {
           .cast("long").cast("double") / lit(1152921504606846976.0)).as("u"))
       .filter(col("u") < col("quality_score"))
 
+  /** Deterministic train/val/test assignment: each document's split is a
+    * pure function of doc_id (md5 60-bit uniform → cumulative weight
+    * buckets), so reruns, repartitions, engines, and INCREMENTAL ingest
+    * all agree — a document added tomorrow lands in the same split it
+    * would have landed in today, and no doc ever migrates between splits
+    * when the corpus grows (the property `rand()`-based splitting
+    * destroys). Row-local, zero shuffle. Weights need not be normalized. */
+  def splitAssign(documents: DataFrame,
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), s"bad weights: $weights")
+    val total = weights.map(_._2).sum
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0))
+    // fold cumulative bounds into a nested when: u < cum(0) -> w0, ...
+    val split = weights.zip(cum).init.foldRight(lit(weights.last._1)) {
+      case (((name, _), bound), rest) => when(u < bound, name).otherwise(rest)
+    }
+    documents.select(col("doc_id"), col("lang"), split.as("split"))
+  }
+
   /** BM25 keyword retrieval: score each document against a fixed bag of
     * query `terms`, return the global top-`kTop`. Robertson–Spärck Jones
     * BM25 with idf = ln(1 + (N − df + ½)/(df + ½)).

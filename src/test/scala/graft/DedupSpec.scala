@@ -413,6 +413,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out.values.forall(v => v > 0))
   }
 
+  test("split assignment is growth-stable and roughly proportioned") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 400L).map(i => (i, "en", s"doc $i body"))
+      .toDF("doc_id", "lang", "text")
+    val full = TextOps.splitAssign(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the defining property over rand(): growing the corpus NEVER moves
+    // an existing document to a different split
+    val half = TextOps.splitAssign(corpus.filter(col("doc_id") < 200)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(half.forall { case (id, sp) => full(id) == sp },
+      "existing docs must keep their split when the corpus grows")
+    val n = full.size.toDouble
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, s"train frac: $frac")
+    assert(frac("val") > 0.04 && frac("val") < 0.16, s"val frac: $frac")
+    assert(frac("test") > 0.04 && frac("test") < 0.16, s"test frac: $frac")
+  }
+
   test("bigram entropy ranks scrambled transitions above common ones; unigram can't") {
     val s = spark
     import s.implicits._
