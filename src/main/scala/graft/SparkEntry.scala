@@ -1107,11 +1107,11 @@ object SparkEntry {
          |SELECT lang, n_docs, n_tokens,
          |  round(CAST(w AS DOUBLE) / CAST(wt AS DOUBLE), 6) AS mix_weight
          |FROM wgt, tot""".stripMargin,
-    // bounds carry Scala's exact cumulative doubles (0.8 + 0.1 =
-    // 0.9000000000000001): Double.toString round-trips, so both engines
-    // compare u against the identical bound
+    // bounds are injected from the SAME Scala cumulative fold the
+    // operator computes (Double.toString round-trips), so both engines
+    // compare u against bit-identical values whatever the weights are
     "doc_splits" -> {
-      val ws = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val ws = TextOps.DefaultSplitWeights
       val cum = ws.scanLeft(0.0)(_ + _._2).tail.map(_ / ws.map(_._2).sum)
       val cases = ws.zip(cum).init
         .map { case ((n, _), b) => s"WHEN u < $b THEN '$n'" }.mkString(" ")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextExprs
@@ -882,11 +882,18 @@ object TextOps {
     * sample non-reproducible and break retry idempotence at scale).
     * Row-local on top of the docQuality scan; 2⁶⁰ is a power of two, so
     * the division is exact-by-scaling in IEEE doubles. */
+  /** The shared uniform-in-[0,1) hash every derandomized decision in this
+    * file keys on: md5₆₀(id)/2⁶⁰ — one definition, so the sampler and the
+    * splitter can never diverge. 2⁶⁰ is a power of two: the division is
+    * exact-by-scaling in IEEE doubles. */
+  private def md5Uniform(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0)
+
   def sampleWeighted(documents: DataFrame): DataFrame =
     docQuality(documents)
       .select(col("doc_id"), col("quality_score"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").cast("double") / lit(1152921504606846976.0)).as("u"))
+        md5Uniform(col("doc_id")).as("u"))
       .filter(col("u") < col("quality_score"))
 
   /** Deterministic train/val/test assignment: each document's split is a
@@ -896,19 +903,22 @@ object TextOps {
     * would have landed in today, and no doc ever migrates between splits
     * when the corpus grows (the property `rand()`-based splitting
     * destroys). Row-local, zero shuffle. Weights need not be normalized. */
+  val DefaultSplitWeights: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
   def splitAssign(documents: DataFrame,
-      weights: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+      weights: Seq[(String, Double)] = DefaultSplitWeights): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), s"bad weights: $weights")
     val total = weights.map(_._2).sum
     val cum = weights.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
-    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long").cast("double") / lit(1152921504606846976.0))
-    // fold cumulative bounds into a nested when: u < cum(0) -> w0, ...
+    // project u ONCE: inlining it into every when-branch would re-run
+    // the md5 subtree per compared bound (CaseWhen predicates don't
+    // reliably share subexpressions)
     val split = weights.zip(cum).init.foldRight(lit(weights.last._1)) {
-      case (((name, _), bound), rest) => when(u < bound, name).otherwise(rest)
+      case (((name, _), bound), rest) => when(col("u") < bound, name).otherwise(rest)
     }
-    documents.select(col("doc_id"), col("lang"), split.as("split"))
+    documents.select(col("doc_id"), col("lang"), md5Uniform(col("doc_id")).as("u"))
+      .select(col("doc_id"), col("lang"), split.as("split"))
   }
 
   /** BM25 keyword retrieval: score each document against a fixed bag of
