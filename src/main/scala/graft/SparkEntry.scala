@@ -382,6 +382,17 @@ object SparkEntry {
     "media_stats" -> ((s, dir) =>
       graft.multimodal.Multimodal.mediaStats(
         graft.multimodal.Multimodal.syntheticMedia(Tables.documents(s, dir)))),
+    // a simulated re-ingest (doc_id≡3 mod 7 re-keyed +10000) plants the
+    // duplicate payloads — the raw corpus has none, and an identity
+    // result would leave the dedup untested (same device as corpus_diff)
+    "media_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val media = graft.multimodal.Multimodal.syntheticMedia(docs)
+      val reingest = graft.multimodal.Multimodal
+        .syntheticMedia(docs.filter(col("doc_id") % 7 === 3))
+        .withColumn("media_id", col("media_id") + 10000)
+      graft.multimodal.Multimodal.mediaDedup(media.unionByName(reingest))
+    }),
     // decode path goes through the stubbed codec (not SQL-expressible —
     // rows-only; determinism/partition-invariance asserted in MultimodalSpec)
     "media_features" -> ((s, dir) =>
@@ -1796,6 +1807,19 @@ object SparkEntry {
          |  MAX(width) AS max_width,
          |  round(CAST(SUM(n_frames) AS BIGINT)::DOUBLE / COUNT(*), 6) AS avg_frames
          |FROM m GROUP BY 1""".stripMargin,
+    // payload = utf-8 bytes of text, so DuckDB's md5(text) (over the
+    // string's utf-8 bytes) equals Spark's md5(payload) bit-for-bit
+    "media_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, md5(text) AS payload_md5,
+        |         octet_length(encode(text)) AS n_bytes
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, md5(text), octet_length(encode(text))
+        |  FROM documents WHERE doc_id % 7 = 3)
+        |SELECT payload_md5, COUNT(*) AS n_copies, MIN(media_id) AS keep_id,
+        |  CAST((COUNT(*) - 1) * MIN(n_bytes) AS BIGINT) AS wasted_bytes
+        |FROM m GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
     "top_part_per_brand" ->
       s"""WITH per_part AS (
          |  SELECT l_partkey, CAST(SUM($revSql) AS DOUBLE) AS revenue

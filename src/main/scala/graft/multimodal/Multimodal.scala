@@ -160,4 +160,22 @@ object Multimodal {
         sum(length(col("payload"))).as("total_bytes"),
         max(col("meta.width")).as("max_width"),
         round(sum(col("meta.n_frames")).cast("double") / count(lit(1)), 6).as("avg_frames"))
+
+  /** Exact media dedup — the binary-modality twin of
+    * [[graft.ops.TextOps.dedupExact]]: payloads hash row-locally
+    * (md5 over the raw bytes, codec never involved), duplicate groups
+    * surface with a deterministic survivor (min id) and the bytes a
+    * dedup pass would reclaim. One hash-groupBy shuffle moving
+    * (md5, id, length) rows — payload bytes never cross the wire, which
+    * is the whole design at 100 TB of media. */
+  def mediaDedup(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), md5(col("payload")).as("payload_md5"),
+        length(col("payload")).as("n_bytes"))
+      .groupBy(col("payload_md5"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("media_id")).as("keep_id"),
+        ((count(lit(1)) - 1) * min(col("n_bytes"))).as("wasted_bytes"))
+      .filter(col("n_copies") >= 2)
 }
