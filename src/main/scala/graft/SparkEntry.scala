@@ -87,6 +87,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "weekly_summary" -> ((s, dir) =>
       WeeklySummary.snapshot(Tables.rental(s, dir), AsOf)),
+    "weekly_wow" -> ((s, dir) =>
+      WeeklySummary.weekOverWeek(WeeklySummary.snapshot(Tables.rental(s, dir), AsOf))),
     "weekly_summary_nl" -> ((s, dir) =>
       WeeklySummary.snapshotNestedLoop(Tables.rental(s, dir), AsOf)),
     "weekly_summary_sql" -> ((s, dir) =>
@@ -606,6 +608,21 @@ object SparkEntry {
     s"WITH $rentalCte,\n$ctes\nSELECT * FROM $fin ORDER BY week_beginning"
   }
 
+  private val weeklyWowOracle: String = {
+    val (ctes, fin) = snapshotCtes("rental", "")
+    s"""WITH $rentalCte,
+       |$ctes
+       |SELECT week_beginning, newly_rented_during_week,
+       |  newly_rented_during_week - lag(newly_rented_during_week) OVER w
+       |    AS wow_rented_delta,
+       |  round((newly_rented_during_week - lag(newly_rented_during_week) OVER w)::DOUBLE
+       |    / NULLIF(lag(newly_rented_during_week) OVER w, 0), 6) AS wow_rented_pct,
+       |  outstanding_rentals_at_week_end,
+       |  outstanding_rentals_at_week_end - lag(outstanding_rentals_at_week_end) OVER w
+       |    AS wow_outstanding_delta
+       |FROM $fin WINDOW w AS (ORDER BY week_beginning)""".stripMargin
+  }
+
   private val upsertRoundOracle: String = {
     val (oldCtes, oldFin) = snapshotCtes("old_src", "old_")
     s"""WITH $rentalCte,
@@ -645,6 +662,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "weekly_summary" -> weeklySummaryOracle,
+    "weekly_wow" -> weeklyWowOracle,
     "weekly_summary_nl" -> weeklySummaryOracle,
     "weekly_summary_sql" -> weeklySummaryOracle,
     "delta_extract" ->

@@ -354,4 +354,25 @@ object WeeklySummary {
           .as("outstanding_rentals_at_week_end"))
       .orderBy("week_beginning")
   }
+
+  /** Week-over-week deltas on the [[snapshot]] output — the trend report
+    * a consumer of the weekly summary reads first. Input is WEEK-grain
+    * (|weeks| rows at any source scale), so the single-partition lag
+    * window is bounded by construction — the same cardinality argument
+    * as the cumulative outstanding window above. Percent change is null
+    * on a zero or absent base week (NULLIF semantics, engine-portable). */
+  def weekOverWeek(summary: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("week_beginning"))
+    val rPrev = lag(col("newly_rented_during_week"), 1).over(w)
+    val oPrev = lag(col("outstanding_rentals_at_week_end"), 1).over(w)
+    summary.select(
+      col("week_beginning"),
+      col("newly_rented_during_week"),
+      (col("newly_rented_during_week") - rPrev).as("wow_rented_delta"),
+      when(rPrev =!= 0,
+        round((col("newly_rented_during_week") - rPrev).cast("double") / rPrev, 6))
+        .as("wow_rented_pct"),
+      col("outstanding_rentals_at_week_end"),
+      (col("outstanding_rentals_at_week_end") - oPrev).as("wow_outstanding_delta"))
+  }
 }
