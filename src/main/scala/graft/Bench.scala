@@ -81,14 +81,19 @@ object Bench {
       // resident JVM. A query slow under high ΔGC is heap-bound; slow
       // under flat GC but growing classes is metaspace/codegen-bound.
       import scala.jdk.CollectionConverters._
-      val gcMs = java.lang.management.ManagementFactory
-        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-      val classes = java.lang.management.ManagementFactory
-        .getClassLoadingMXBean.getLoadedClassCount
-      val heapMb = (java.lang.management.ManagementFactory.getMemoryMXBean
-        .getHeapMemoryUsage.getUsed / (1 << 20))
+      import java.lang.management.{ManagementFactory => mf}
+      val gcMs = mf.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val classes = mf.getClassLoadingMXBean.getLoadedClassCount
+      val heapMb = mf.getMemoryMXBean.getHeapMemoryUsage.getUsed / (1 << 20)
+      // code-cache fill + cumulative JIT time: the two signals that
+      // separate "C2 queue is busy" from "code cache exhausted, loops
+      // stuck interpreted" (the latter would show cache near its 512m
+      // reserve and compile time flat-lining).
+      val ccMb = mf.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap")).map(_.getUsage.getUsed).sum / (1 << 20)
+      val jitMs = mf.getCompilationMXBean.getTotalCompilationTime
       System.err.println(
-        f"[bench-jvm] $name%-28s ${sec}%8.2f s  gc_cum=${gcMs}ms classes=$classes heap=${heapMb}MB")
+        f"[bench-jvm] $name%-28s ${sec}%8.2f s  gc_cum=${gcMs}ms classes=$classes heap=${heapMb}MB codecache=${ccMb}MB jit_cum=${jitMs}ms")
       sec
     }
 
@@ -110,11 +115,21 @@ object Bench {
     // Same-query same-JVM variance is bimodal (documented in BASELINE.md:
     // C2 compile-queue lottery, 2.3 s vs 18.3 s with flat GC), so a
     // single shot is not a trustworthy regression signal. Each query runs
-    // SPARK_GRAFT_BENCH_REPS times (default 3) INTERLEAVED by round —
-    // rep 1 of every query, then rep 2, ... — so one transient JVM state
-    // (a busy compile queue, a concurrent GC) cannot poison all reps of
-    // the same query. Headline = sum of per-query medians.
+    // SPARK_GRAFT_BENCH_REPS times (default 3) BACK-TO-BACK. Round 4
+    // interleaved the reps (rep 1 of every query, then rep 2, …) to keep
+    // one transient JVM state from poisoning all reps of a query — but
+    // with 134 queries and Spark's 100-entry codegen cache, interleaving
+    // guarantees every query's generated classes are EVICTED between its
+    // own reps, so every rep re-pays janino compile + fresh JIT warmup.
+    // That deterministic recompile tax (not data compute) is what
+    // inflated the sub-second queries 1.3–1.9× in BENCH_r04 even at
+    // per-rep minimum. Back-to-back reps let reps 2..n hit the codegen
+    // cache and warmed loops — the steady-state latency a resident
+    // engine serves (the same philosophy as the warmup above), while the
+    // median still absorbs a one-off GC/compile transient. The r4
+    // ordering stays available for A/B via SPARK_GRAFT_BENCH_INTERLEAVE=1.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val interleave = sys.env.get("SPARK_GRAFT_BENCH_INTERLEAVE").contains("1")
     val order = selected.sorted
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
@@ -149,11 +164,21 @@ object Bench {
     // completed rep, so a harness that kills a long bench mid-run still
     // finds complete rep-1 numbers instead of nothing.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
-    (1 to reps).foreach { r =>
-      System.err.println(s"[bench] === rep $r/$reps ===")
-      order.foreach(n => samples(n) = samples(n) :+ execute(n))
+    def flush(repsDone: Int): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        (currentJson(r) + "\n").getBytes("UTF-8"))
+        (currentJson(repsDone) + "\n").getBytes("UTF-8"))
+    if (interleave) {
+      (1 to reps).foreach { r =>
+        System.err.println(s"[bench] === rep $r/$reps (interleaved) ===")
+        order.foreach(n => samples(n) = samples(n) :+ execute(n))
+        flush(r)
+      }
+    } else {
+      order.zipWithIndex.foreach { case (n, i) =>
+        System.err.println(s"[bench] === query ${i + 1}/${order.size}: $n ($reps reps) ===")
+        (1 to reps).foreach(_ => samples(n) = samples(n) :+ execute(n))
+        flush(reps) // after every query: a killed run still has complete medians so far
+      }
     }
     println(currentJson(reps))
     spark.stop()

@@ -446,11 +446,15 @@ object SparkEntry {
     * final assignment lives in `asg$iters`. Mechanical generation keeps
     * the oracle in lockstep with the operator's iteration count. */
   private def duckKmeansCte(k: Int, iters: Int): String = {
+    // seed rank = md5(vec_id) with vec_id tie-break — must stay in
+    // lockstep with VectorOps.kmeansAssigned's seed selection
     val seeds =
       s"""emb AS (SELECT vec_id, embedding AS v FROM embeddings),
          |cents0 AS (
-         |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, v AS c
-         |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $k) s)""".stripMargin
+         |  SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1 AS cid,
+         |         v AS c
+         |  FROM (SELECT vec_id, v FROM emb
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k) s)""".stripMargin
     val steps = (0 to iters).map { i =>
       val assign =
         s"""scored$i AS (

@@ -5,7 +5,8 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -17,11 +18,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * The higher-order-function formulations in [[TextFns]] are correct but
   * interpreted per element with InternalRow boxing per lambda call —
   * they made shingling/minhash/simhash the bench bottleneck. Each
-  * expression here is one Scala loop per row (CodegenFallback: the work
-  * is per-row-heavy, so the codegen boundary cost is immaterial).
+  * expression here is one Scala loop per row, shared verbatim between
+  * the interpreted path (`nullSafeEval`) and generated code: `doGenCode`
+  * emits a single static call into the same kernel (the static
+  * forwarders on this object), so the expression participates in
+  * whole-stage codegen — no `CodegenFallback` stage split — while the
+  * hot loop stays one JIT-compiled method instead of a giant janino
+  * unit. Bit-for-bit parity of the two paths is pinned in TextExprsSpec
+  * against the independent HOF formulations AND by forced
+  * codegen-vs-interpreted projection in the same spec.
   * Hash functions reuse Spark's own Murmur3/XXH64 kernels with the same
   * seed as the built-in `hash()`/`xxhash64()`, so results are identical
-  * to the HOF versions (asserted in TextExprsSpec).
+  * to the HOF versions.
   */
 object TextExprs {
 
@@ -32,62 +40,221 @@ object TextExprs {
     org.apache.spark.sql.catalyst.expressions.XXH64
       .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
 
-  /** Distinct space-joined word k-grams — [[TextFns.shingles]] in one
-    * pass with an insertion-ordered set. */
-  case class WordShingles(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def prettyName: String = "word_shingles"
+  // ---------------------------------------------------------------------------
+  // Kernels — one per expression, public so the static forwarder is callable
+  // from generated code (`graft.functions.TextExprs.xxxKernel(...)`). Each is
+  // the single implementation used by BOTH eval and codegen.
+  // ---------------------------------------------------------------------------
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      if (n < k) return new GenericArrayData(Array.empty[Any])
-      val seen = mutable.LinkedHashSet.empty[UTF8String]
-      val sep = UTF8String.fromString(" ")
+  /** [[WordShingles]]: distinct space-joined word k-grams, insertion order. */
+  def shinglesKernel(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = mutable.LinkedHashSet.empty[UTF8String]
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      seen += UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[Any])
+  }
+
+  /** [[MinHashSig]]: murmur3 per shingle once, then the permutation family
+    * inner loop. `params` is the (a,b) family flattened [a0,b0,a1,b1,…]. */
+  def minhashKernel(shingles: ArrayData, params: Array[Long]): ArrayData = {
+    val prime = TextFns.MinhashPrime
+    val numPerms = params.length / 2
+    val n = shingles.numElements()
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h0 = murmur3(shingles.getUTF8String(i)).toLong
+      val h = ((h0 % prime) + prime) % prime // pmod, as in the HOF version
+      var p = 0
+      while (p < numPerms) {
+        val v = (params(2 * p) * h + params(2 * p + 1)) % prime
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** [[SimHash64]]: xxhash64 per token, 64 sign counters, packed sign bits. */
+  def simhashKernel(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val counters = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val h = xxh64(toks.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        counters(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** [[WordShingleHashes]]: the [[shinglesKernel]] set with each shingle
+    * collapsed to its 60-bit md5 prefix before it leaves the row. */
+  def shingleHashesKernel(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val md = WinnowFps.digest.get()
+    val sep = UTF8String.fromString(" ")
+    val seen = mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      md.reset()
+      seen += WinnowFps.hex15(md.digest(UTF8String.concatWs(sep, parts: _*).getBytes))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[Any])
+  }
+
+  /** [[WinnowFps]]: positional k-gram md5-60 hashes, w-window minima,
+    * distinct mins in first-seen order. */
+  def winnowKernel(toks: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = toks.numElements()
+    val nGrams = n - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.empty[Any])
+    val md = WinnowFps.digest.get()
+    val sep = UTF8String.fromString(" ")
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      md.reset()
+      hashes(i) = WinnowFps.hex15(md.digest(UTF8String.concatWs(sep, parts: _*).getBytes))
+      i += 1
+    }
+    val seen = mutable.LinkedHashSet.empty[Long]
+    i = 0
+    while (i <= nGrams - w) {
+      var m = hashes(i)
+      var j = 1
+      while (j < w) { if (hashes(i + j) < m) m = hashes(i + j); j += 1 }
+      seen += m
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[Any])
+  }
+
+  /** [[RepetitionStats]]: (top2_cnt, top2_len, dup3_chars) in one local
+    * pass; ties on count go to the LONGER bigram. */
+  def repStatsKernel(toks: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    val sep = UTF8String.fromString(" ")
+    def counts(k: Int): java.util.HashMap[UTF8String, Long] = {
+      val m = new java.util.HashMap[UTF8String, Long]()
       var i = 0
       while (i <= n - k) {
         val parts = new Array[UTF8String](k)
         var j = 0
         while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
-        seen += UTF8String.concatWs(sep, parts: _*)
+        val g = UTF8String.concatWs(sep, parts: _*)
+        m.merge(g, 1L, (a, b) => a + b)
         i += 1
       }
-      new GenericArrayData(seen.toArray[Any])
+      m
     }
+    var top2Cnt = 0L
+    var top2Len = 0
+    counts(2).forEach { (g, c) =>
+      val len = g.numChars()
+      if (c > top2Cnt || (c == top2Cnt && len > top2Len)) {
+        top2Cnt = c; top2Len = len
+      }
+    }
+    var dup3 = 0L
+    counts(3).forEach { (g, c) => if (c >= 2) dup3 += c * g.numChars() }
+    InternalRow(top2Cnt, top2Len, dup3)
+  }
+
+  /** [[ChunkRows]]: one row per overlapping chunk. Null-tolerant (null or
+    * empty token array → empty) because the generator codegen path calls
+    * `.iterator()` on the result unconditionally. */
+  def chunkKernel(toks: ArrayData, chunkLen: Int, overlap: Int): IterableOnce[InternalRow] = {
+    if (toks == null) return Iterator.empty
+    val n = toks.numElements()
+    if (n == 0) return Iterator.empty // unreachable via tokens(): split() never yields []
+    val stride = chunkLen - overlap
+    val md = WinnowFps.digest.get()
+    val sep = UTF8String.fromString(" ")
+    val numChunks = (n - 1) / stride + 1
+    val out = new Array[InternalRow](numChunks)
+    var ix = 0
+    while (ix < numChunks) {
+      val from = ix * stride
+      val len = math.min(chunkLen, n - from)
+      val parts = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) { parts(j) = toks.getUTF8String(from + j); j += 1 }
+      md.reset()
+      val hex = UTF8String.fromString(
+        org.apache.commons.codec.binary.Hex.encodeHexString(
+          md.digest(UTF8String.concatWs(sep, parts: _*).getBytes)))
+      out(ix) = InternalRow(ix, from + 1, len, hex)
+      ix += 1
+    }
+    out
+  }
+
+  /** Distinct space-joined word k-grams — [[TextFns.shingles]] in one
+    * pass with an insertion-ordered set. */
+  case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+
+    override def nullSafeEval(input: Any): Any =
+      shinglesKernel(input.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextExprs.shinglesKernel($c, $k);")
 
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   }
 
   /** MinHash signature — [[TextFns.minhashSignature]] in one pass:
     * murmur3 per shingle once, then the permutation family inner loop. */
-  case class MinHashSig(child: Expression, numPerms: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_sig"
 
-    private val prime = TextFns.MinhashPrime
-    private lazy val params: Array[(Long, Long)] =
-      (0 until numPerms).map(TextFns.permParams).toArray
+    /** (a,b) permutation family flattened [a0,b0,a1,b1,…] — computed once
+      * per expression instance, shipped into generated code as a
+      * reference object. */
+    @transient private lazy val flatParams: Array[Long] =
+      (0 until numPerms).flatMap { p =>
+        val (a, b) = TextFns.permParams(p); Seq(a, b)
+      }.toArray
 
-    override def nullSafeEval(input: Any): Any = {
-      val shingles = input.asInstanceOf[ArrayData]
-      val n = shingles.numElements()
-      val mins = Array.fill(numPerms)(Long.MaxValue)
-      var i = 0
-      while (i < n) {
-        val h0 = murmur3(shingles.getUTF8String(i)).toLong
-        val h = ((h0 % prime) + prime) % prime // pmod, as in the HOF version
-        var p = 0
-        while (p < numPerms) {
-          val (a, b) = params(p)
-          val v = (a * h + b) % prime
-          if (v < mins(p)) mins(p) = v
-          p += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(mins)
+    override def nullSafeEval(input: Any): Any =
+      minhashKernel(input.asInstanceOf[ArrayData], flatParams)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ps = ctx.addReferenceObj("minhashParams", flatParams, "long[]")
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextExprs.minhashKernel($c, $ps);")
     }
 
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
@@ -95,33 +262,16 @@ object TextExprs {
 
   /** 64-bit SimHash — [[TextFns.simhash64]] in one pass: xxhash64 per
     * token, 64 sign counters, packed sign bits. */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      val counters = new Array[Long](64)
-      var i = 0
-      while (i < n) {
-        val h = xxh64(toks.getUTF8String(i))
-        var b = 0
-        while (b < 64) {
-          counters(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
-          b += 1
-        }
-        i += 1
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 64) {
-        if (counters(b) > 0) sig |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(sig)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simhashKernel(input.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextExprs.simhashKernel($c);")
 
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
@@ -134,30 +284,17 @@ object TextExprs {
     * lists); the md5 prefix is portable, so the DuckDB oracle applies the
     * SAME hash and any collision (≈n²/2⁶¹ — none at realistic per-doc
     * vocabulary) affects both engines identically. */
-  case class WordShingleHashes(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class WordShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     require(k > 0, s"shingle size must be positive, got $k")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "word_shingle_hashes"
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      if (n < k) return new GenericArrayData(Array.empty[Any])
-      val md = WinnowFps.digest.get()
-      val sep = UTF8String.fromString(" ")
-      val seen = mutable.LinkedHashSet.empty[Long]
-      var i = 0
-      while (i <= n - k) {
-        val parts = new Array[UTF8String](k)
-        var j = 0
-        while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
-        md.reset()
-        seen += WinnowFps.hex15(md.digest(UTF8String.concatWs(sep, parts: _*).getBytes))
-        i += 1
-      }
-      new GenericArrayData(seen.toArray[Any])
-    }
+    override def nullSafeEval(input: Any): Any =
+      shingleHashesKernel(input.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextExprs.shingleHashesKernel($c, $k);")
 
     override protected def withNewChildInternal(c: Expression): WordShingleHashes =
       copy(child = c)
@@ -171,40 +308,17 @@ object TextExprs {
     * and match bit-for-bit. The interpreted HOF formulation of the same
     * math (conv(substring(md5…)) under two nested `transform`s) was 10×
     * slower than this loop at sf0.1. */
-  case class WinnowFps(child: Expression, k: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
     require(k > 0 && w > 0, s"gram size and window must be positive, got k=$k w=$w")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "winnow_fps"
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      val nGrams = n - k + 1
-      if (nGrams < w) return new GenericArrayData(Array.empty[Any])
-      val md = WinnowFps.digest.get()
-      val sep = UTF8String.fromString(" ")
-      val hashes = new Array[Long](nGrams)
-      var i = 0
-      while (i < nGrams) {
-        val parts = new Array[UTF8String](k)
-        var j = 0
-        while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
-        md.reset()
-        hashes(i) = WinnowFps.hex15(md.digest(UTF8String.concatWs(sep, parts: _*).getBytes))
-        i += 1
-      }
-      val seen = mutable.LinkedHashSet.empty[Long]
-      i = 0
-      while (i <= nGrams - w) {
-        var m = hashes(i)
-        var j = 1
-        while (j < w) { if (hashes(i + j) < m) m = hashes(i + j); j += 1 }
-        seen += m
-        i += 1
-      }
-      new GenericArrayData(seen.toArray[Any])
-    }
+    override def nullSafeEval(input: Any): Any =
+      winnowKernel(input.asInstanceOf[ArrayData], k, w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextExprs.winnowKernel($c, $k, $w);")
 
     override protected def withNewChildInternal(c: Expression): WinnowFps = copy(child = c)
   }
@@ -220,43 +334,19 @@ object TextExprs {
     *  - dup3_chars: Σ cnt·len over trigrams with cnt ≥ 2.
     * Gram keys are real UTF8String concatenations (no hashing), so the
     * counts are exact and the DuckDB oracle still matches bit-for-bit. */
-  case class RepetitionStats(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StructType(Seq(
       StructField("top2_cnt", LongType, nullable = false),
       StructField("top2_len", IntegerType, nullable = false),
       StructField("dup3_chars", LongType, nullable = false)))
     override def prettyName: String = "repetition_stats"
 
-    override def nullSafeEval(input: Any): Any = {
-      val toks = input.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      val sep = UTF8String.fromString(" ")
-      def counts(k: Int): java.util.HashMap[UTF8String, Long] = {
-        val m = new java.util.HashMap[UTF8String, Long]()
-        var i = 0
-        while (i <= n - k) {
-          val parts = new Array[UTF8String](k)
-          var j = 0
-          while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
-          val g = UTF8String.concatWs(sep, parts: _*)
-          m.merge(g, 1L, (a, b) => a + b)
-          i += 1
-        }
-        m
-      }
-      var top2Cnt = 0L
-      var top2Len = 0
-      counts(2).forEach { (g, c) =>
-        val len = g.numChars()
-        if (c > top2Cnt || (c == top2Cnt && len > top2Len)) {
-          top2Cnt = c; top2Len = len
-        }
-      }
-      var dup3 = 0L
-      counts(3).forEach { (g, c) => if (c >= 2) dup3 += c * g.numChars() }
-      InternalRow(top2Cnt, top2Len, dup3)
-    }
+    override def nullSafeEval(input: Any): Any =
+      repStatsKernel(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextExprs.repStatsKernel($c);")
 
     override protected def withNewChildInternal(c: Expression): RepetitionStats =
       copy(child = c)
@@ -272,12 +362,16 @@ object TextExprs {
     * stays as the cross-check. The generator form avoids materializing
     * the token array once per chunk row before slicing: the array is
     * read once and each chunk's md5 is computed in place.
+    * Codegen: GenerateExec's `codeGenIterableOnce` path expects this
+    * expression's generated value to be a non-null
+    * `scala.collection.IterableOnce<InternalRow>` it can `.iterator()`
+    * over — so `doGenCode` emits one null-tolerant static kernel call
+    * and the whole Generate stage fuses into whole-stage codegen.
     * Scale shape: row-local, zero shuffle, output ∝ Σ tokens/stride. */
   case class ChunkRows(child: Expression, chunkLen: Int, overlap: Int)
-      extends UnaryExpression with Generator with CodegenFallback {
+      extends UnaryExpression with Generator {
     require(chunkLen >= 1 && overlap >= 0 && overlap < chunkLen,
       s"need 0 <= overlap($overlap) < chunkLen($chunkLen)")
-    private val stride = chunkLen - overlap
 
     override def elementSchema: StructType = StructType(Seq(
       StructField("chunk_ix", IntegerType, nullable = false),
@@ -286,31 +380,21 @@ object TextExprs {
       StructField("chunk_md5", StringType, nullable = false)))
     override def prettyName: String = "chunk_rows"
 
-    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-      val v = child.eval(input)
-      if (v == null) return Nil
-      val toks = v.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      if (n == 0) return Nil // unreachable via tokens(): split() never yields []
-      val md = WinnowFps.digest.get()
-      val sep = UTF8String.fromString(" ")
-      val numChunks = (n - 1) / stride + 1
-      val out = new Array[InternalRow](numChunks)
-      var ix = 0
-      while (ix < numChunks) {
-        val from = ix * stride
-        val len = math.min(chunkLen, n - from)
-        val parts = new Array[UTF8String](len)
-        var j = 0
-        while (j < len) { parts(j) = toks.getUTF8String(from + j); j += 1 }
-        md.reset()
-        val hex = UTF8String.fromString(
-          org.apache.commons.codec.binary.Hex.encodeHexString(
-            md.digest(UTF8String.concatWs(sep, parts: _*).getBytes)))
-        out(ix) = InternalRow(ix, from + 1, len, hex)
-        ix += 1
-      }
-      out
+    override def eval(input: InternalRow): IterableOnce[InternalRow] =
+      chunkKernel(child.eval(input).asInstanceOf[ArrayData], chunkLen, overlap)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val childGen = child.genCode(ctx)
+      val rows = ctx.freshName("chunkRows")
+      val code =
+        code"""
+              |${childGen.code}
+              |scala.collection.IterableOnce<InternalRow> $rows =
+              |  graft.functions.TextExprs.chunkKernel(
+              |    ${childGen.isNull} ? null : ${childGen.value}, $chunkLen, $overlap);
+              |""".stripMargin
+      ExprCode(code, FalseLiteral,
+        JavaCode.variable(rows, classOf[IterableOnce[_]]))
     }
 
     override protected def withNewChildInternal(c: Expression): ChunkRows = copy(child = c)

@@ -355,9 +355,18 @@ object VectorOps {
     require(k >= 1, s"k=$k must be >= 1")
     require(iters >= 0, s"iters=$iters must be >= 0")
     val p = prepared(embeddings)
-    var cents: Seq[(Int, Array[Double])] = p.orderBy(col("vec_id")).limit(k)
-      .select(col("vd")).collect().toSeq.zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    // Seeds: first k by md5(vec_id) rank — deterministic (no RNG, the
+    // DuckDB oracle replays it verbatim) but DECORRELATED from ingest
+    // order. Seeding by raw vec_id order risks degenerate clusters at
+    // real scale: adjacent ids are often near-duplicates (same crawl
+    // batch, same source shard), so the first k vectors can all sit in
+    // one region. The md5 rank is the same engine-portable uniformizer
+    // the train/val/test splitter uses (TextOps.splitAssign); vec_id
+    // tie-break keeps the order total.
+    var cents: Seq[(Int, Array[Double])] =
+      p.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+        .select(col("vd")).collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
 
     // struct(-roundedSim, cid) ascending-sorted: element 1 is the best
     // (highest sim, lowest cid on ties). One 2-d literal + a transform

@@ -106,4 +106,64 @@ class JdbcUpsertSpec extends AnyFunSuite {
       "UPDATE \"t\" SET \"OutstandingRentals\" = ?, \"rentals\" = ?, " +
         "\"note\" = ? WHERE \"week_beginning\" = ?")
   }
+
+  test("golden SQL per dialect: exact statement text") {
+    // The Postgres and ANSI-MERGE strings never EXECUTE in this
+    // container (Derby is the only database here), so the full statement
+    // text is pinned verbatim — any drift in quoting, column order,
+    // parameter shape, or clause layout fails these equalities even
+    // though no server would catch it.
+    assert(JdbcUpsert.upsertSql(JdbcUpsert.PostgresOnConflict,
+      "weekly_summary", schema, Seq("week_beginning")) ===
+      """INSERT INTO "weekly_summary" ("week_beginning", "OutstandingRentals", "rentals", "note") """ +
+        """VALUES (?, ?, ?, ?) """ +
+        """ON CONFLICT ("week_beginning") DO UPDATE SET """ +
+        """"OutstandingRentals" = EXCLUDED."OutstandingRentals", """ +
+        """"rentals" = EXCLUDED."rentals", "note" = EXCLUDED."note"""")
+    assert(JdbcUpsert.upsertSql(JdbcUpsert.AnsiMerge,
+      "weekly_summary", schema, Seq("week_beginning")) ===
+      """MERGE INTO "weekly_summary" t """ +
+        """USING (VALUES (CAST(? AS DATE), CAST(? AS BIGINT), CAST(? AS BIGINT), CAST(? AS VARCHAR(32672)))) """ +
+        """s ("week_beginning", "OutstandingRentals", "rentals", "note") """ +
+        """ON (t."week_beginning" = s."week_beginning") """ +
+        """WHEN MATCHED THEN UPDATE SET "OutstandingRentals" = s."OutstandingRentals", """ +
+        """"rentals" = s."rentals", "note" = s."note" """ +
+        """WHEN NOT MATCHED THEN INSERT ("week_beginning", "OutstandingRentals", "rentals", "note") """ +
+        """VALUES (s."week_beginning", s."OutstandingRentals", s."rentals", s."note")""")
+    assert(JdbcUpsert.upsertSql(JdbcUpsert.UpdateInsert,
+      "weekly_summary", schema, Seq("week_beginning")) ===
+      """INSERT INTO "weekly_summary" ("week_beginning", "OutstandingRentals", "rentals", "note") """ +
+        """VALUES (?, ?, ?, ?)""")
+    // edge: every column is a key → PG degrades to DO NOTHING, MERGE
+    // drops its WHEN MATCHED clause (nothing to update)
+    val keysOnly = StructType(schema.fields.take(1))
+    assert(JdbcUpsert.upsertSql(JdbcUpsert.PostgresOnConflict,
+      "w", keysOnly, Seq("week_beginning")) ===
+      """INSERT INTO "w" ("week_beginning") VALUES (?) """ +
+        """ON CONFLICT ("week_beginning") DO NOTHING""")
+    assert(JdbcUpsert.upsertSql(JdbcUpsert.AnsiMerge,
+      "w", keysOnly, Seq("week_beginning")) ===
+      """MERGE INTO "w" t USING (VALUES (CAST(? AS DATE))) s ("week_beginning") """ +
+        """ON (t."week_beginning" = s."week_beginning") """ +
+        """WHEN NOT MATCHED THEN INSERT ("week_beginning") VALUES (s."week_beginning")""")
+    // composite key ordering is WHERE-clause order in the two-step path
+    assert(JdbcUpsert.updateSql("t", schema, Seq("week_beginning", "note")) ===
+      """UPDATE "t" SET "OutstandingRentals" = ?, "rentals" = ? """ +
+        """WHERE "week_beginning" = ? AND "note" = ?""")
+    // embedded quotes are doubled, not stripped
+    val quoted = StructType(Seq(
+      StructField("a\"b", LongType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    assert(JdbcUpsert.upsertSql(JdbcUpsert.PostgresOnConflict,
+      "t", quoted, Seq("a\"b")) ===
+      """INSERT INTO "t" ("a""b", "v") VALUES (?, ?) """ +
+        """ON CONFLICT ("a""b") DO UPDATE SET "v" = EXCLUDED."v"""")
+    // URL routing picks the dialect the reference's database would get
+    assert(JdbcUpsert.dialectFor("jdbc:postgresql://db:5432/pagila") ===
+      JdbcUpsert.PostgresOnConflict)
+    assert(JdbcUpsert.dialectFor("jdbc:h2:mem:x") === JdbcUpsert.AnsiMerge)
+    assert(JdbcUpsert.dialectFor("jdbc:sqlserver://x") === JdbcUpsert.AnsiMerge)
+    assert(JdbcUpsert.dialectFor("jdbc:oracle:thin:@x") === JdbcUpsert.AnsiMerge)
+    assert(JdbcUpsert.dialectFor("jdbc:derby:memory:x") === JdbcUpsert.UpdateInsert)
+  }
 }

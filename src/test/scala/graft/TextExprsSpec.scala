@@ -103,6 +103,94 @@ class TextExprsSpec extends AnyFunSuite {
     assert(chunks.length == 3)
   }
 
+  test("forced codegen == interpreted eval, bit for bit (all seven expressions)") {
+    // GenerateUnsafeProjection compiles the expression's doGenCode with
+    // no fallback; expr.eval IS the interpreted path. Any divergence in
+    // the codegen wiring (casts, null guards, reference objects) fails
+    // here on the exact element.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    def arr(toks: String*): GenericArrayData =
+      new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+    val fixtures: Seq[Any] = Seq(
+      null, // null input → null out (codegen null guard)
+      arr(), arr("a"), arr("a", "b"),
+      arr("a", "b", "c", "a", "b", "c", "a", "b"),
+      arr("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog",
+        "the", "quick", "brown", "fox"),
+      arr(Seq.tabulate(64)(i => s"tok${i % 7}"): _*))
+    val child = BoundReference(0, ArrayType(StringType), nullable = true)
+    val exprs = Seq(
+      TextExprs.WordShingles(child, 3),
+      TextExprs.MinHashSig(child, 16),
+      TextExprs.SimHash64(child),
+      TextExprs.WordShingleHashes(child, 3),
+      TextExprs.WinnowFps(child, 3, 4),
+      TextExprs.RepetitionStats(child))
+    for (e <- exprs; input <- fixtures) {
+      val row = InternalRow(input)
+      val expected = e.eval(row)
+      val got = GenerateUnsafeProjection.generate(Seq(e)).apply(row).copy()
+      val clue = s"${e.prettyName} on ${Option(input).fold("null")(_.toString)}"
+      if (expected == null) assert(got.isNullAt(0), clue)
+      else e.dataType match {
+        case ArrayType(et, _) =>
+          val a = got.getArray(0).toObjectArray(et).toSeq
+          val b = expected.asInstanceOf[ArrayData].toObjectArray(et).toSeq
+          assert(a == b, clue)
+        case LongType => assert(got.getLong(0) == expected, clue)
+        case st: StructType =>
+          val g = got.getStruct(0, st.length)
+          val x = expected.asInstanceOf[InternalRow]
+          assert(g.getLong(0) == x.getLong(0) && g.getInt(1) == x.getInt(1) &&
+            g.getLong(2) == x.getLong(2), clue)
+        case other => fail(s"unhandled type $other")
+      }
+    }
+    // ChunkRows (a Generator) — compare the emitted row seqs directly
+    for (input <- fixtures) {
+      val g = TextExprs.ChunkRows(child, 5, 2)
+      val viaEval = g.eval(InternalRow(input)).iterator.map(_.copy()).toSeq
+      val viaKernel = TextExprs
+        .chunkKernel(input.asInstanceOf[ArrayData], 5, 2).iterator.map(_.copy()).toSeq
+      assert(viaEval == viaKernel)
+    }
+  }
+
+  test("no CodegenFallback: signature stages fuse into whole-stage codegen") {
+    // The round-4 gap: every custom text expression broke whole-stage
+    // fusion for its enclosing stage. Now the Project carrying the
+    // expression AND the Generate node must sit inside a codegen stage
+    // ([codegen id : N] in formatted explain).
+    TextExprs.register(spark)
+    val toks = TextFns.tokens(col("text"))
+    def formatted(df: org.apache.spark.sql.DataFrame): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out))(df.explain("formatted"))
+      out.toString
+    }
+    val scalarPlan = formatted(docs.select(
+      TextExprs.simhash64(toks).as("sh"),
+      TextExprs.minhashSig(TextExprs.wordShingles(toks, 3), 16).as("mh"),
+      TextExprs.winnowFps(toks, 3, 4).as("wf"),
+      TextExprs.repetitionStats(toks).as("rs")))
+    // the detail section prints `(N) Project [codegen id : M]` for nodes
+    // inside a whole-stage codegen span
+    val projLine = scalarPlan.linesIterator
+      .find(l => l.matches("""\(\d+\) Project.*""")).get
+    assert(projLine.contains("codegen id"), s"Project not fused:\n$scalarPlan")
+    val genPlan = formatted(
+      docs.select(col("doc_id"), TextExprs.chunkRows(toks, 32, 8)))
+    val genLine = genPlan.linesIterator
+      .find(l => l.matches("""\(\d+\) Generate.*""")).get
+    assert(genLine.contains("codegen id"), s"Generate not fused:\n$genPlan")
+  }
+
   test("SimHash64 == HOF simhash64") {
     TextExprs.register(spark)
     val toks = TextFns.tokens(col("text"))

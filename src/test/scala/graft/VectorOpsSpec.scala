@@ -237,6 +237,36 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(out.forall(t => t._3 >= -1.0 - 1e-9 && t._3 <= 1.0 + 1e-9))
   }
 
+  test("kmeans: md5-ranked init stays non-degenerate on an id-correlated corpus") {
+    // The real-scale failure the seed rule defends against: ingest order
+    // clusters similar vectors at adjacent ids (same crawl batch), so
+    // "first k by vec_id" would pick k near-identical seeds and every
+    // point would tie-break into cluster 0. Fixture: ids 0..9 are one
+    // tight blob (the old seed window), ids 10..59 form three other
+    // well-separated blobs. md5-ranked seeds are drawn across the id
+    // space, so >1 cluster must be populated.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val dims = 16
+    def blob(center: Int) = Array.tabulate(dims)(d =>
+      (if (d == center) 10f else 0f) + 0.05f * rnd.nextGaussian().toFloat)
+    val rows = (0 until 10).map(i => (i.toLong, blob(0), 0)) ++
+      (10 until 60).map(i => (i.toLong, blob(1 + i % 3), 1 + i % 3))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = VectorOps.kmeans(df, k = 4, iters = 2).collect()
+    val populated = out.map(_.getInt(1)).distinct.length
+    assert(populated > 1,
+      s"id-correlated corpus collapsed to $populated cluster(s) — seed rule regressed")
+    // and the blob structure is actually recovered: each of the 4 blobs
+    // lands in ONE cluster (tight blobs cannot straddle centroids)
+    val byLabel = out.map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy { case (id, _) => rows.find(_._1 == id).get._3 }
+    byLabel.foreach { case (label, members) =>
+      assert(members.map(_._2).distinct.length == 1, s"blob $label split")
+    }
+  }
+
   test("kmeans: a second Lloyd iteration does not decrease mean similarity") {
     def meanSim(iters: Int) = VectorOps.kmeans(fixture, k = 4, iters = iters)
       .agg(avg("sim")).collect()(0).getDouble(0)
