@@ -130,6 +130,7 @@ object SparkEntry {
     "doc_search_bm25" -> ((s, dir) => TextOps.searchBm25(Tables.documents(s, dir))),
     "doc_cross_entropy" -> ((s, dir) => TextOps.docCrossEntropy(Tables.documents(s, dir))),
     "doc_bigram_entropy" -> ((s, dir) => TextOps.docPerplexityBigram(Tables.documents(s, dir))),
+    "doc_trigram_entropy" -> ((s, dir) => TextOps.docPerplexityTrigram(Tables.documents(s, dir))),
     "dup_passages" -> ((s, dir) => TextOps.dupPassages(Tables.documents(s, dir))),
     "doc_chunks" -> ((s, dir) => TextOps.docChunks(Tables.documents(s, dir))),
     "doc_chunks_gen" -> ((s, dir) => TextOps.docChunksGen(Tables.documents(s, dir))),
@@ -1222,6 +1223,39 @@ object SparkEntry {
          |  FROM btf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv)
          |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
          |  round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6) AS bigram_cross_entropy
+         |FROM sc GROUP BY 1""".stripMargin,
+    "doc_trigram_entropy" ->
+      s"""WITH $toksCte,
+         |tri AS (
+         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+         |  FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t)-2)) AS i
+         |        FROM toks WHERE len(t) >= 3)),
+         |bi AS (
+         |  SELECT UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2
+         |  FROM toks WHERE len(t) >= 2),
+         |ttf AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS tf FROM tri GROUP BY 1, 2, 3, 4),
+         |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT w, COUNT(*) AS c1
+         |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+         |nv AS (SELECT COUNT(*) AS v, SUM(c1) AS n_tok FROM c1),
+         |sc AS (
+         |  SELECT ttf.doc_id, ttf.tf,
+         |    CAST(ttf.tf * -ln(
+         |      0.6::DOUBLE * ((c3.c3 + 0.5::DOUBLE) / (ctx.c2 + 0.5::DOUBLE * nv.v))
+         |      + 0.3::DOUBLE * ((big.c2 + 0.5::DOUBLE) / (u2.c1 + 0.5::DOUBLE * nv.v))
+         |      + 0.1::DOUBLE * ((u3.c1 + 0.5::DOUBLE) / (nv.n_tok + 0.5::DOUBLE * nv.v))
+         |    ) AS DECIMAL(28,12)) AS nll
+         |  FROM ttf
+         |  JOIN c3 ON ttf.w1 = c3.w1 AND ttf.w2 = c3.w2 AND ttf.w3 = c3.w3
+         |  JOIN c2 ctx ON ttf.w1 = ctx.w1 AND ttf.w2 = ctx.w2
+         |  JOIN c2 big ON ttf.w2 = big.w1 AND ttf.w3 = big.w2
+         |  JOIN c1 u2 ON ttf.w2 = u2.w
+         |  JOIN c1 u3 ON ttf.w3 = u3.w
+         |  CROSS JOIN nv)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+         |  round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6)
+         |    AS trigram_cross_entropy
          |FROM sc GROUP BY 1""".stripMargin,
     "decontaminate" ->
       s"""WITH $toksCte,

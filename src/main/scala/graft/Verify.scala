@@ -50,5 +50,35 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Registered/oracled counts are derived HERE, from the maps
+    // themselves, and enforced against the README's prose — the counts
+    // drifted mid-round-4 (README said 135/122 while the code had
+    // 136/123), and a stale README misreports the engine's surface to
+    // exactly the audience deciding whether to trust it. Runs AFTER all
+    // outputs are written so a drift never costs the round's
+    // correctness artifacts.
+    val registered = SparkEntry.queries.size
+    val oracled = SparkEntry.oracleSql.size
+    println(s"[verify] registered=$registered oracled=$oracled")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    if (orphaned.nonEmpty) {
+      System.err.println(s"[verify] ORPHANED ORACLES (no matching query — typo?): " +
+        orphaned.toSeq.sorted.mkString(", "))
+      sys.exit(3)
+    }
+    val readme = Paths.get("README.md")
+    if (Files.exists(readme)) {
+      val stated = "(\\d+) registered queries, (\\d+) oracled".r
+        .findFirstMatchIn(Files.readString(readme))
+      stated.foreach { m =>
+        if (m.group(1).toInt != registered || m.group(2).toInt != oracled) {
+          System.err.println(s"[verify] COUNT DRIFT: README states " +
+            s"${m.group(1)}/${m.group(2)} but the code registers $registered/$oracled")
+          sys.exit(3)
+        }
+      }
+      if (stated.isEmpty)
+        System.err.println("[verify] README count sentence not found — cannot cross-check")
+    }
   }
 }

@@ -1031,6 +1031,81 @@ object TextOps {
           .as("bigram_cross_entropy"))
   }
 
+  /** Interpolated trigram cross-entropy per document — the sequence-
+    * typicality score one order above [[docPerplexityBigram]], with the
+    * standard Jelinek–Mercer linear interpolation as the backoff:
+    * p(w₃|w₁,w₂) = λ₃·p₃ + λ₂·p₂ + λ₁·p₁, each component add-α smoothed
+    * over the corpus count tables
+    * (p₃ = (c₃+α)/(c₂ᶜᵗˣ+αV), p₂ = (c₂+α)/(c₁(w₂)+αV),
+    * p₁ = (c₁(w₃)+α)/(N+αV)). The interpolation is why the trigram
+    * order is usable at all: most trigrams of an unseen document are
+    * corpus singletons or absent, and the λ₂/λ₁ mass keeps their
+    * probability anchored to observed lower-order statistics instead of
+    * the α floor — scrambled text (common words, novel transitions)
+    * still scores high CE while natural-but-unseen phrasing does not.
+    *
+    * Plan: corpus trigram/bigram/unigram count tables (one shuffle each
+    * with map-side combine), then joins at (doc, DISTINCT trigram)
+    * grain — tf multiplies per-type nll, so the joins move |doc trigram
+    * vocabulary| rows, not |tokens|. The bigram table is joined twice
+    * (as (w₁,w₂) context and (w₂,w₃) bigram), the unigram table twice
+    * (w₂ denominator, w₃ numerator); the (N, V) scalars ride as one
+    * broadcast 1-row aggregate. Per-type contributions go through
+    * DECIMAL(28,12) before the per-doc sum (order-exact; ln's last-ulp
+    * noise is below the 12dp cast — same discipline as the bigram).
+    * Docs with <3 tokens have no trigrams and drop out. */
+  def docPerplexityTrigram(documents: DataFrame, alpha: Double = 0.5,
+      l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be > 0 (unsmoothed would log(0))")
+    require(l3 >= 0 && l2 >= 0 && l1 >= 0 && math.abs(l3 + l2 + l1 - 1.0) < 1e-9,
+      s"interpolation weights ($l3, $l2, $l1) must be non-negative and sum to 1")
+    val t = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val tri = t.filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 2),
+        i => struct(
+          element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2"),
+          element_at(col("t"), i + 2).as("w3")))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+    val bi = t.filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val ttf = tri.groupBy(col("w1"), col("w2"), col("w3"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val c3 = tri.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = documents.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    // one broadcast row: vocabulary size and corpus token count
+    val nv = c1.agg(count(lit(1)).as("v"), sum(col("c1")).as("n_tok"))
+    val ctx = c2.select(col("w1"), col("w2"), col("c2").as("c2ctx"))
+    val big = c2.select(col("w1").as("w2"), col("w2").as("w3"), col("c2").as("c2bi"))
+    val uw2 = c1.select(col("w").as("w2"), col("c1").as("c1w2"))
+    val uw3 = c1.select(col("w").as("w3"), col("c1").as("c1w3"))
+    val p3 = (col("c3") + lit(alpha)) / (col("c2ctx") + lit(alpha) * col("v"))
+    val p2 = (col("c2bi") + lit(alpha)) / (col("c1w2") + lit(alpha) * col("v"))
+    val p1 = (col("c1w3") + lit(alpha)) / (col("n_tok") + lit(alpha) * col("v"))
+    ttf
+      .join(c3, Seq("w1", "w2", "w3"))
+      .join(ctx, Seq("w1", "w2"))
+      .join(big, Seq("w2", "w3"))
+      .join(uw2, Seq("w2"))
+      .join(uw3, Seq("w3"))
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * -log(lit(l3) * p3 + lit(l2) * p2 + lit(l1) * p1))
+          .cast("decimal(28,12)").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        round(sum(col("nll")).cast("double") / sum(col("tf")), 6)
+          .as("trigram_cross_entropy"))
+  }
+
   /** Duplicated-passage detection — chunk-grain exact dedup: chunk every
     * document ([[docChunks]] windows), then keep chunk hashes appearing
     * in ≥ 2 DISTINCT documents. Whole-doc dedup misses these (two mostly

@@ -30,7 +30,7 @@ object VectorOps {
 
   /** (vec_id, vd: array<double>, nrm) — embedding widened once, norm
     * precomputed. */
-  private def prepared(embeddings: DataFrame): DataFrame = {
+  private[graft] def prepared(embeddings: DataFrame): DataFrame = {
     VecDot.register(embeddings.sparkSession)
     embeddings.select(
       col("vec_id"),
@@ -363,47 +363,72 @@ object VectorOps {
     // one region. The md5 rank is the same engine-portable uniformizer
     // the train/val/test splitter uses (TextOps.splitAssign); vec_id
     // tie-break keeps the order total.
-    var cents: Seq[(Int, Array[Double])] =
-      p.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
-        .select(col("vd")).collect().toSeq.zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
-
-    // struct(-roundedSim, cid) ascending-sorted: element 1 is the best
-    // (highest sim, lowest cid on ties). One 2-d literal + a transform
-    // loop, not k unrolled dot products — the codegen-compaction rule
-    // every centroid literal in this file follows.
-    def best(cs: Seq[(Int, Array[Double])]): Column = {
-      val sorted = cs.sortBy(_._1)
-      val cmat = typedLit(sorted.map(_._2.toSeq))
-      val cnrm = typedLit(sorted.map(c => math.sqrt(c._2.map(x => x * x).sum)))
-      val cids = typedLit(sorted.map(_._1))
-      element_at(array_sort(transform(sequence(lit(0), lit(sorted.size - 1)),
-        i => struct(
-          (-round(VecDot(col("vd"), element_at(cmat, i + 1))
-            / (col("nrm") * element_at(cnrm, i + 1)), 6)).as("neg"),
-          element_at(cids, i + 1).as("cid")))), 1)
-    }
-
-    for (_ <- 1 to iters) {
-      val means = p.withColumn("cid", best(cents).getField("cid"))
-        .select(col("cid"), posexplode(col("vd")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(round(sum(col("x").cast("decimal(20,10)")).cast("double")
-          / count(lit(1)), 6).as("m"))
-        .collect()
-      cents = means.groupBy(_.getInt(0)).map { case (cid, rows) =>
-        val c = new Array[Double](rows.map(_.getInt(1)).max + 1)
-        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
-        (cid, c)
-      }.toSeq.sortBy(_._1)
-    }
+    var cents = seedCentroids(p, k)
+    for (_ <- 1 to iters)
+      cents = centroidsFrom(lloydStats(
+        p.withColumn("cid", bestCentroid(cents).getField("cid"))))
     // 0.0 - neg normalizes the sign so a sim that rounds to -0.0 prints
     // as 0.0 in both engines (the oracle adds + 0 for the same reason)
-    p.withColumn("b", best(cents))
+    p.withColumn("b", bestCentroid(cents))
       .withColumn("cid", col("b.cid"))
       .withColumn("sim", lit(0.0) - col("b.neg"))
       .drop("b")
   }
+
+  /** The md5-ranked deterministic seed pick over a [[prepared]] frame —
+    * shared by batch [[kmeans]] and the streaming centroid refresh so
+    * both trajectories start identically. */
+  private[graft] def seedCentroids(p: DataFrame, k: Int): Seq[(Int, Array[Double])] =
+    p.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vd")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+
+  /** struct(-roundedSim, cid) ascending-sorted: element 1 is the best
+    * (highest sim, lowest cid on ties). One 2-d literal + a transform
+    * loop, not k unrolled dot products — the codegen-compaction rule
+    * every centroid literal in this file follows. Requires `vd`/`nrm`
+    * columns (a [[prepared]] frame). */
+  private[graft] def bestCentroid(cs: Seq[(Int, Array[Double])]): Column = {
+    val sorted = cs.sortBy(_._1)
+    val cmat = typedLit(sorted.map(_._2.toSeq))
+    val cnrm = typedLit(sorted.map(c => math.sqrt(c._2.map(x => x * x).sum)))
+    val cids = typedLit(sorted.map(_._1))
+    element_at(array_sort(transform(sequence(lit(0), lit(sorted.size - 1)),
+      i => struct(
+        (-round(VecDot(col("vd"), element_at(cmat, i + 1))
+          / (col("nrm") * element_at(cnrm, i + 1)), 6)).as("neg"),
+        element_at(cids, i + 1).as("cid")))), 1)
+  }
+
+  /** One Lloyd statistics pass over an assigned frame (`cid`, `vd`):
+    * per-(cluster, dimension) EXACT DECIMAL sums + member counts —
+    * k×d rows, KB-sized by construction. Kept as raw sums (not means)
+    * so the streaming refresh can merge stats across micro-batches
+    * exactly before dividing once. */
+  private[graft] def lloydStats(assigned: DataFrame): Seq[(Int, Int, java.math.BigDecimal, Long)] =
+    assigned
+      .select(col("cid"), posexplode(col("vd")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("x").cast("decimal(20,10)")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2), r.getLong(3))).toSeq
+
+  /** Stats → centroids: dimension mean = round(double(sum)/n, 6) —
+    * bit-identical to the previous in-plan
+    * `round(sum(decimal).cast(double)/count, 6)` (Decimal.toDouble is
+    * BigDecimal.doubleValue; Spark's round(double) is
+    * BigDecimal.valueOf(…).setScale(6, HALF_UP)). Clusters with no
+    * members drop out, exactly as the grouped aggregation dropped them. */
+  private[graft] def centroidsFrom(
+      stats: Seq[(Int, Int, java.math.BigDecimal, Long)]): Seq[(Int, Array[Double])] =
+    stats.groupBy(_._1).map { case (cid, rows) =>
+      val c = new Array[Double](rows.map(_._2).max + 1)
+      rows.foreach { case (_, dim, s, n) =>
+        c(dim) = java.math.BigDecimal.valueOf(s.doubleValue / n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      (cid, c)
+    }.toSeq.sortBy(_._1)
 
   /** Per-cluster profile over the [[kmeans]] assignment: size and
     * cohesion (mean / min similarity-to-centroid) — the triage view that

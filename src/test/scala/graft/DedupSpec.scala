@@ -454,6 +454,58 @@ class DedupSpec extends AnyFunSuite {
       "unigram score is identical on the scramble — the bigram signal is new information")
   }
 
+  /** Corpus for the trigram specs: docs 0-2 walk a→b→c→a, docs 3-5 walk
+    * b→a→c→b, so BOTH `a c` and `c a` are corpus-known bigrams. Doc 100
+    * ("a c a c …") therefore uses only familiar transitions, but every
+    * one of its trigrams (aca, cac) is novel — a bigram-preserving
+    * scramble, invisible at order 2 and glaring at order 3. */
+  private def trigramFixture = {
+    val s = spark
+    import s.implicits._
+    ((0 to 2).map(i => (i.toLong, "a b c a b c a b c a b c")) ++
+      (3 to 5).map(i => (i.toLong, "b a c b a c b a c b a c")) :+
+      (100L, "a c a c a c a c a c a c")).toDF("doc_id", "text")
+  }
+
+  test("trigram entropy separates bigram-preserving scrambles the bigram model cannot") {
+    val docs = trigramFixture
+    val tri = TextOps.docPerplexityTrigram(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val triEnt = tri.map(t => t._1 -> t._3).toMap
+    assert(triEnt(100L) > triEnt(0L) + 0.1,
+      s"novel-trigram doc ${triEnt(100L)} must exceed typical ${triEnt(0L)}")
+    assert(triEnt(0L) == triEnt(2L), "identical docs score identically")
+    assert(tri.forall(_._2 == 10L), "n_trigrams = tokens - 2")
+    // the bigram model is blind to this scramble by construction: the
+    // separation it sees is a fraction of the trigram's (on this
+    // fixture it even ranks the scramble as MORE typical)
+    val biEnt = TextOps.docPerplexityBigram(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(triEnt(100L) - triEnt(0L) > 2 * (biEnt(100L) - biEnt(0L)),
+      s"trigram separation ${triEnt(100L) - triEnt(0L)} should dwarf " +
+        s"bigram ${biEnt(100L) - biEnt(0L)} on a bigram-preserving scramble")
+  }
+
+  test("trigram backoff: lower-order mass rescues novel trigrams; weights validated") {
+    val docs = trigramFixture
+    def ce(l3: Double, l2: Double, l1: Double): Double =
+      TextOps.docPerplexityTrigram(docs, l3 = l3, l2 = l2, l1 = l1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap.apply(100L)
+    // pure trigram puts the scramble's novel trigrams on the α floor;
+    // every interpolation step toward the (familiar) bigram/unigram
+    // orders strictly lowers its cross-entropy
+    val pure = ce(1.0, 0.0, 0.0)
+    val interp = ce(0.6, 0.3, 0.1)
+    val heavyBackoff = ce(0.2, 0.5, 0.3)
+    assert(pure > interp && interp > heavyBackoff,
+      s"backoff must monotonically rescue novel trigrams: $pure, $interp, $heavyBackoff")
+    // weights must be a distribution
+    intercept[IllegalArgumentException](
+      TextOps.docPerplexityTrigram(docs, l3 = 0.9, l2 = 0.3, l1 = 0.1))
+    intercept[IllegalArgumentException](
+      TextOps.docPerplexityTrigram(docs, l3 = 1.2, l2 = -0.1, l1 = -0.1))
+  }
+
   test("shingles guard: fewer tokens than k yields empty, not garbage") {
     val s = spark
     import s.implicits._

@@ -175,6 +175,62 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("AQE-final plans of the top-cost queries: keyed joins only, bounded exchanges") {
+    // The static-explain pins above see the pre-adaptive plan; AQE is
+    // free to re-plan at stage boundaries, so the five most expensive
+    // bench queries get their EXECUTED (final-adaptive) trees audited
+    // too — a Spark upgrade or config drift that silently re-plans one
+    // of them into a nested loop or an exchange storm fails here, not
+    // in a 100 TB run. AdaptiveSparkPlanExec/QueryStageExec hide their
+    // current plans in fields, not children, so the walk expands them
+    // manually (same trick as GraftQueryMetrics.allNodes).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeLike, BroadcastExchangeLike}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def finalNodes(df: DataFrame): Seq[SparkPlan] = {
+      df.collect() // drive to completion so the adaptive plan is final
+      def expand(p: SparkPlan): Seq[SparkPlan] = p.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => a +: expand(a.executedPlan)
+        case q: QueryStageExec => q +: expand(q.plan)
+        case n => Seq(n)
+      }
+      expand(df.queryExecution.executedPlan)
+    }
+    // per-query ceilings on distinct shuffle rounds — the scale budget
+    // each plan was designed to (ReusedExchange does not re-shuffle and
+    // is not counted); raising one of these needs a design argument,
+    // not a rubber stamp
+    val shuffleBudget = Map(
+      "corpus_keep_semantic" -> 12, // observed 8
+      "neardup_pagerank" -> 10, // observed 7
+      "corpus_keep" -> 9, // observed 6
+      "sole_late_suppliers" -> 4, // observed 3
+      "doc_bigram_entropy" -> 8, // observed 6
+      "doc_trigram_entropy" -> 8) // observed 6
+    shuffleBudget.foreach { case (name, budget) =>
+      val nodes = finalNodes(SparkEntry.queries(name)(spark, dir))
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name went cartesian under AQE")
+      nodes.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+        assert(j.joinType.toString == "Cross",
+          s"$name: keyed join degraded to nested loop (${j.joinType}) under AQE")
+      }
+      val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+      assert(shuffles <= budget,
+        s"$name: $shuffles shuffle exchanges exceed the $budget budget")
+      info(f"$name%-22s shuffles=$shuffles/$budget " +
+        s"broadcasts=${nodes.count(_.isInstanceOf[BroadcastExchangeLike])}")
+    }
+    // the scalar-broadcast shape stays broadcast: the bigram/trigram
+    // vocabulary scalar must ride a broadcast exchange, never a shuffle
+    Seq("doc_bigram_entropy", "doc_trigram_entropy").foreach { name =>
+      val nodes = finalNodes(SparkEntry.queries(name)(spark, dir))
+      assert(nodes.exists(_.isInstanceOf[BroadcastExchangeLike]),
+        s"$name lost its broadcast scalar")
+    }
+  }
+
   test("sole-late-suppliers window runs over the (order,supplier) aggregate, not facts") {
     val plan = planOf(SparkEntry.queries("sole_late_suppliers")(spark, dir))
     // Two aggregates bracket the window: the per-(order,supplier)
