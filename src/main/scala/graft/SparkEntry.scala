@@ -128,6 +128,9 @@ object SparkEntry {
     "doc_sample_weighted" -> ((s, dir) => TextOps.sampleWeighted(Tables.documents(s, dir))),
     "doc_splits" -> ((s, dir) => TextOps.splitAssign(Tables.documents(s, dir))),
     "doc_search_bm25" -> ((s, dir) => TextOps.searchBm25(Tables.documents(s, dir))),
+    "doc_search_hybrid" -> ((s, dir) =>
+      TextOps.searchHybrid(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    "doc_quality_logreg" -> ((s, dir) => TextOps.docQualityLogreg(Tables.documents(s, dir))),
     "doc_cross_entropy" -> ((s, dir) => TextOps.docCrossEntropy(Tables.documents(s, dir))),
     "doc_bigram_entropy" -> ((s, dir) => TextOps.docPerplexityBigram(Tables.documents(s, dir))),
     "doc_trigram_entropy" -> ((s, dir) => TextOps.docPerplexityTrigram(Tables.documents(s, dir))),
@@ -446,6 +449,51 @@ object SparkEntry {
     * cid) and DECIMAL(20,10) dimension-wise means rounded to 6dp. The
     * final assignment lives in `asg$iters`. Mechanical generation keeps
     * the oracle in lockstep with the operator's iteration count. */
+  /** CTE chain replaying [[graft.ops.TextOps.docQualityLogreg]]'s full
+    * gradient-descent trajectory in DuckDB: zero-init weights, per-iter
+    * 6dp-rounded sigmoid, DECIMAL(28,12) gradient sums, 6dp-rounded
+    * weight updates — appended after the shared `toks` CTE. */
+  private def duckLogregCte(iters: Int, lr: Double): String = {
+    val sw = inList(graft.functions.TextFns.StopwordsEn)
+    val feat =
+      s"""feat AS (
+         |  SELECT doc_id,
+         |    ((  (len(t) BETWEEN 20 AND 100000)::int
+         |      + (round(len(list_filter(t, x -> x IN $sw))::double / len(t), 6) >= 0.001)::int
+         |      + (round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) <= 0.2)::int
+         |      + (round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) <= 0.3)::int
+         |     ) >= 3)::int AS y,
+         |    round(ln(1 + len(t)), 6) AS x1,
+         |    round(len(list_filter(t, x -> x IN $sw))::double / len(t), 6) AS x2,
+         |    round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) AS x3,
+         |    round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) AS x4
+         |  FROM toks),
+         |w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2,
+         |              0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4)""".stripMargin
+    val steps = (0 until iters).map { i =>
+      s"""p$i AS (
+         |  SELECT f.*, round(1.0::DOUBLE / (1.0::DOUBLE
+         |    + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4))), 6) AS p
+         |  FROM feat f CROSS JOIN w$i w),
+         |g$i AS (
+         |  SELECT COUNT(*) AS n,
+         |    SUM(CAST((p - y) AS DECIMAL(28,12))) AS g0,
+         |    SUM(CAST((p - y) * x1 AS DECIMAL(28,12))) AS g1,
+         |    SUM(CAST((p - y) * x2 AS DECIMAL(28,12))) AS g2,
+         |    SUM(CAST((p - y) * x3 AS DECIMAL(28,12))) AS g3,
+         |    SUM(CAST((p - y) * x4 AS DECIMAL(28,12))) AS g4
+         |  FROM p$i),
+         |w${i + 1} AS (
+         |  SELECT round(w.w0 - $lr * (CAST(g.g0 AS DOUBLE) / g.n), 6) AS w0,
+         |         round(w.w1 - $lr * (CAST(g.g1 AS DOUBLE) / g.n), 6) AS w1,
+         |         round(w.w2 - $lr * (CAST(g.g2 AS DOUBLE) / g.n), 6) AS w2,
+         |         round(w.w3 - $lr * (CAST(g.g3 AS DOUBLE) / g.n), 6) AS w3,
+         |         round(w.w4 - $lr * (CAST(g.g4 AS DOUBLE) / g.n), 6) AS w4
+         |  FROM w$i w CROSS JOIN g$i g)""".stripMargin
+    }
+    (feat +: steps).mkString(",\n")
+  }
+
   private def duckKmeansCte(k: Int, iters: Int): String = {
     // seed rank = md5(vec_id) with vec_id tie-break — must stay in
     // lockstep with VectorOps.kmeansAssigned's seed selection
@@ -1192,6 +1240,51 @@ object SparkEntry {
          |  round(CAST(SUM(s) AS DOUBLE), 6) AS bm25
          |FROM sc GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    "doc_search_hybrid" ->
+      s"""WITH $toksCte,
+         |ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY 1),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex
+         |       WHERE token IN ('join', 'vector', 'stream') GROUP BY 1, 2),
+         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+         |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    CAST((ln(1.0::DOUBLE + (stats.n_docs - dfreq.df + 0.5::DOUBLE) / (dfreq.df + 0.5::DOUBLE))
+         |          * (tf.tf * (1.2::DOUBLE + 1)))
+         |        / (tf.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE)
+         |             + 0.75::DOUBLE * dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs)))
+         |      AS DECIMAL(28,12)) AS s
+         |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |bm AS (SELECT doc_id, round(CAST(SUM(s) AS DOUBLE), 6) AS bm25
+         |       FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |lex AS (SELECT doc_id,
+         |          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_lex
+         |        FROM bm),
+         |emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |qq AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+         |semp AS (SELECT e.vec_id AS doc_id,
+         |           round(${duckCosine("e.v", "qq.qv")}, 6) AS cos
+         |         FROM emb e CROSS JOIN qq WHERE e.vec_id <> 0
+         |         ORDER BY cos DESC, doc_id LIMIT 50),
+         |sem AS (SELECT doc_id,
+         |          CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rank_sem
+         |        FROM semp)
+         |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
+         |  round(COALESCE(1.0::DOUBLE / (60 + rank_lex), 0)
+         |      + COALESCE(1.0::DOUBLE / (60 + rank_sem), 0), 6) AS rrf
+         |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "doc_quality_logreg" ->
+      s"""WITH $toksCte,
+         |${duckLogregCte(3, 0.5)}
+         |SELECT doc_id, y, p_quality, (p_quality >= 0.5)::int AS label_pred
+         |FROM (
+         |  SELECT f.doc_id, f.y,
+         |    round(1.0::DOUBLE / (1.0::DOUBLE
+         |      + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4))), 6)
+         |      AS p_quality
+         |  FROM feat f CROSS JOIN w3 w)""".stripMargin,
     "doc_cross_entropy" ->
       s"""WITH $toksCte,
          |ex AS (SELECT doc_id, unnest(t) AS token FROM toks),

@@ -54,6 +54,64 @@ object TextOps {
         + punctOk.cast("double") + digitOk.cast("double")) / 4, 6).as("quality_score"))
   }
 
+  /** Distributed logistic-regression quality classifier — the "distill
+    * a cheap model from heuristic labels" step of a curation pipeline
+    * (label-model distillation): full-batch gradient descent on
+    * row-local features (log-length, stopword/punct/digit ratios)
+    * against the weak label "≥ 3 of the 4 [[docQuality]] rules pass",
+    * then score every document with the learned model.
+    *
+    * Everything is made ENGINE-PORTABLE so the WHOLE training
+    * trajectory — not just the final scores — replays in the DuckDB
+    * oracle (same discipline as [[graft.ops.VectorOps.kmeans]]):
+    * zero-init weights, features and per-iteration probabilities
+    * rounded to 6dp, per-weight gradient contributions summed as
+    * DECIMAL(28,12) (partial-aggregation order can't flip low bits),
+    * one double division per step, updated weights re-rounded to 6dp.
+    *
+    * Scale shape: the model is five doubles — a driver literal; each
+    * iteration is ONE corpus scan + one fused 5-sum aggregation with
+    * map-side combine (KB collected per step, like the k-means
+    * centroids). Returns (doc_id, y, p_quality, label_pred). */
+  def docQualityLogreg(documents: DataFrame, iters: Int = 3,
+      lr: Double = 0.5): DataFrame = {
+    require(iters >= 0, s"iters=$iters must be >= 0")
+    require(lr > 0, s"lr=$lr must be > 0")
+    val s = docStats(documents)
+    val yCol = ((col("n_tokens").between(20, 100000)).cast("int")
+      + (col("stopword_ratio") >= 0.001).cast("int")
+      + (col("punct_ratio") <= 0.2).cast("int")
+      + (col("digit_ratio") <= 0.3).cast("int") >= 3).cast("int")
+    val f = s.select(col("doc_id"), yCol.as("y"),
+      round(log(lit(1L) + col("n_tokens")), 6).as("x1"),
+      col("stopword_ratio").as("x2"),
+      col("punct_ratio").as("x3"),
+      col("digit_ratio").as("x4"))
+    def z(w: Array[Double]): Column =
+      lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+    def p(w: Array[Double]): Column =
+      round(lit(1.0) / (lit(1.0) + exp(-z(w))), 6)
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var w = Array.fill(5)(0.0)
+    val resid = col("p") - col("y")
+    val grads = Seq(resid, resid * col("x1"), resid * col("x2"),
+      resid * col("x3"), resid * col("x4"))
+      .zipWithIndex.map { case (g, j) => sum(g.cast("decimal(28,12)")).as(s"g$j") }
+    for (_ <- 1 to iters) {
+      val r = f.withColumn("p", p(w))
+        .agg(count(lit(1)).as("n"), grads: _*).collect()(0)
+      val n = r.getLong(0)
+      w = Array.tabulate(5)(j =>
+        round6(w(j) - lr * (r.getDecimal(j + 1).doubleValue / n)))
+    }
+    f.withColumn("p_quality", p(w))
+      .select(col("doc_id"), col("y"), col("p_quality"),
+        (col("p_quality") >= 0.5).cast("int").as("label_pred"))
+  }
+
   /** Repetition-based quality signals — the n-gram subset of the Gopher
     * repetition rules (Rae et al. 2021, §A1.1: "fraction of characters
     * in the most common n-gram", "fraction of characters in duplicated
@@ -956,6 +1014,63 @@ object TextOps {
       .agg(count(lit(1)).cast("int").as("n_terms_matched"),
         round(sum(col("s")).cast("double"), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(kTop)
+  }
+
+  /** Hybrid retrieval: the lexical [[searchBm25]] ranking fused with an
+    * embedding-cosine ranking by Reciprocal Rank Fusion
+    * (Cormack et al. 2009): score(d) = Σ_arms 1/(kRrf + rank_arm(d)),
+    * summed over the arms that retrieved d at all. RRF needs no score
+    * calibration between arms — only ranks — which is why it is the
+    * standard first fusion for lexical+dense retrieval.
+    *
+    * The query is "more-like-this" on `queryVecId`: the lexical arm
+    * scores the fixed `terms` bag, the dense arm ranks by cosine to
+    * that document's embedding (itself excluded). Each arm retrieves a
+    * `kPool`-deep candidate list; fusion happens on the union.
+    *
+    * Scale shape: each arm ends in an orderBy+limit — TakeOrdered
+    * (per-partition heaps + driver merge), never a global sort — so the
+    * fusion join touches 2×kPool rows regardless of corpus size. The
+    * dense arm here is the brute-force scorer (one row-local cosine
+    * projection per doc); at real scale the same fusion runs over
+    * [[VectorOps.annIvf]]/[[VectorOps.annLsh]] candidates instead —
+    * the arms are interchangeable because RRF only consumes ranks. */
+  def searchHybrid(documents: DataFrame, embeddings: DataFrame,
+      terms: Seq[String] = Seq("join", "vector", "stream"),
+      queryVecId: Long = 0L, kPool: Int = 50, kRrf: Int = 60,
+      kTop: Int = 10): DataFrame = {
+    require(kPool >= 1 && kTop >= 1, s"need kPool($kPool) >= 1 and kTop($kTop) >= 1")
+    require(kRrf >= 1, s"kRrf=$kRrf must be >= 1")
+    import graft.functions.VecDot
+    import org.apache.spark.sql.expressions.Window
+    VecDot.register(documents.sparkSession)
+    // both arm pools are kPool rows: the rank window is a driver-sized
+    // single partition ON PURPOSE (post-TakeOrdered), not a scale risk
+    val lex = searchBm25(documents, terms, kTop = kPool)
+      .withColumn("rank_lex",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_lex"))
+    val p = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("vd"))
+    val qv = p.filter(col("vec_id") === queryVecId).select(col("vd").as("qd"))
+    val sem = p.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(VecDot(col("vd"), col("qd"))
+          / (sqrt(VecDot(col("vd"), col("vd"))) * sqrt(VecDot(col("qd"), col("qd")))),
+          6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(kPool)
+      .withColumn("rank_sem",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(kRrf) + col("rank_sem")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(kTop)
   }
 

@@ -506,6 +506,81 @@ class DedupSpec extends AnyFunSuite {
       TextOps.docPerplexityTrigram(docs, l3 = 1.2, l2 = -0.1, l1 = -0.1))
   }
 
+  test("hybrid RRF: both-arm docs outrank single-arm docs; scores are exact rank math") {
+    val s = spark
+    import s.implicits._
+    // doc 5: lexical hit AND semantic twin of the query (vec 0)
+    // doc 7: lexical hit only (orthogonal embedding)
+    // doc 9: semantic twin only (no query terms)
+    // fillers 1-4: neither
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "how vexingly quick daft zebras jump today"),
+      (4L, "sphinx of black quartz judge my vow"),
+      (5L, "vector join stream vector join stream vector join"),
+      (7L, "join the stream of vector data today"),
+      (9L, "completely unrelated words about gardens and tea"))
+      .toDF("doc_id", "text")
+    def unit(dims: Int, axis: Int) = Array.tabulate(dims)(d => if (d == axis) 1f else 0f)
+    val embs = Seq(
+      (0L, unit(8, 0)), // the query vector
+      (1L, unit(8, 3)), (2L, unit(8, 4)), (3L, unit(8, 5)), (4L, unit(8, 6)),
+      (5L, Array.tabulate(8)(d => if (d == 0) 1f else if (d == 1) 0.1f else 0f)),
+      (7L, unit(8, 2)),
+      (9L, Array.tabulate(8)(d => if (d == 0) 1f else if (d == 1) 0.2f else 0f)))
+      .toDF("vec_id", "embedding")
+    val out = TextOps.searchHybrid(docs, embs,
+      terms = Seq("join", "vector", "stream"), queryVecId = 0L,
+      kPool = 3, kRrf = 60, kTop = 5)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toInt),
+        Option(r.get(2)).map(_.toString.toInt), r.getDouble(3)))
+    val byDoc = out.map(t => t._1 -> t).toMap
+    // doc 5 is rank 1 lexical (saturated) and rank 1 semantic (cos .995
+    // beats doc 9's .981) — it must lead the fused list
+    assert(out.head._1 == 5L, s"expected doc 5 first, got ${out.toSeq}")
+    assert(byDoc(5L)._2.contains(1) && byDoc(5L)._3.contains(1))
+    // single-arm docs carry exactly one rank; the RRF is the exact sum
+    assert(byDoc(7L)._2.nonEmpty && byDoc(7L)._3.isEmpty, s"doc 7: ${byDoc(7L)}")
+    assert(byDoc(9L)._2.isEmpty && byDoc(9L)._3.nonEmpty, s"doc 9: ${byDoc(9L)}")
+    out.foreach { case (_, rl, rs, rrf) =>
+      val expect = rl.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rs.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-6, s"rrf $rrf != $expect")
+    }
+    // both-arm beats single-arm here: doc 5 in both pools > any one-arm doc
+    assert(byDoc(5L)._4 > byDoc(7L)._4 && byDoc(5L)._4 > byDoc(9L)._4)
+  }
+
+  test("logreg distillation: separates prose from noise, deterministically") {
+    val s = spark
+    import s.implicits._
+    // separable by construction: prose docs pass every quality rule
+    // (length, stopwords, clean chars); noise docs are digit/symbol
+    // soup failing length + punct + digit — the weak label differs and
+    // the features carry it
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "the small cat naps by the warm fire while we watch the rain fall"
+    val noise = "$$$ 111 222 %%% 333 ### 444 &&& 555 @@@"
+    val docs = ((0 until 12).map(i => (i.toLong, prose + s" day $i")) ++
+      (100 until 112).map(i => (i.toLong, noise + s" $i"))).toDF("doc_id", "text")
+    val out = TextOps.docQualityLogreg(docs, iters = 25, lr = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    val (good, bad) = out.partition(_._1 < 100)
+    assert(good.forall(_._2 == 1) && bad.forall(_._2 == 0),
+      s"weak labels not separable as designed: ${out.toSeq}")
+    // the learned scores must order every prose doc above every noise doc
+    assert(good.map(_._3).min > bad.map(_._3).max,
+      s"model failed to separate: good=${good.map(_._3).min} <= bad=${bad.map(_._3).max}")
+    // and with enough steps the decision boundary matches the labels
+    assert(good.forall(_._4 == 1) && bad.forall(_._4 == 0),
+      s"predictions disagree with labels: ${out.toSeq}")
+    // determinism: the trajectory is fully pinned (no RNG, rounded steps)
+    val again = TextOps.docQualityLogreg(docs, iters = 25, lr = 1.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("shingles guard: fewer tokens than k yields empty, not garbage") {
     val s = spark
     import s.implicits._
