@@ -131,6 +131,7 @@ object SparkEntry {
     "doc_search_hybrid" -> ((s, dir) =>
       TextOps.searchHybrid(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "doc_quality_logreg" -> ((s, dir) => TextOps.docQualityLogreg(Tables.documents(s, dir))),
+    "split_drift_psi" -> ((s, dir) => TextOps.splitDriftPsi(Tables.documents(s, dir))),
     "doc_cross_entropy" -> ((s, dir) => TextOps.docCrossEntropy(Tables.documents(s, dir))),
     "doc_bigram_entropy" -> ((s, dir) => TextOps.docPerplexityBigram(Tables.documents(s, dir))),
     "doc_trigram_entropy" -> ((s, dir) => TextOps.docPerplexityTrigram(Tables.documents(s, dir))),
@@ -1275,6 +1276,45 @@ object SparkEntry {
          |      + COALESCE(1.0::DOUBLE / (60 + rank_sem), 0), 6) AS rrf
          |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "split_drift_psi" -> {
+      // same CASE generation as doc_splits so the float bin bounds
+      // (0.9000000000000001) stay bit-identical across the two oracles
+      val ws = TextOps.DefaultSplitWeights
+      val cum = ws.scanLeft(0.0)(_ + _._2).tail.map(_ / ws.map(_._2).sum)
+      val cases = ws.zip(cum).init
+        .map { case ((n, _), b) => s"WHEN u < $b THEN '$n'" }.mkString(" ")
+      s"""WITH $toksCte,
+         |q AS (
+         |  SELECT doc_id,
+         |    round(((len(t) BETWEEN 20 AND 100000)::int
+         |         + (round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) >= 0.001)::int
+         |         + (round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) <= 0.2)::int
+         |         + (round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) <= 0.3)::int)::double / 4, 6)
+         |      AS quality_score
+         |  FROM toks),
+         |sp AS (SELECT doc_id, CASE $cases ELSE '${ws.last._1}' END AS split
+         |       FROM (SELECT doc_id,
+         |               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         |                 / 1152921504606846976.0 AS u
+         |             FROM documents)),
+         |cnt AS (SELECT sp.split, q.quality_score, COUNT(*) AS c
+         |        FROM sp JOIN q USING (doc_id) GROUP BY 1, 2),
+         |bins AS (SELECT DISTINCT quality_score FROM cnt),
+         |tot AS (SELECT split, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+         |kk AS (SELECT COUNT(*) AS k FROM bins),
+         |grid AS (
+         |  SELECT t.split, b.quality_score,
+         |    (COALESCE(c.c, 0) + 0.5::DOUBLE) / (t.n + 0.5::DOUBLE * kk.k) AS p
+         |  FROM tot t CROSS JOIN bins b
+         |  LEFT JOIN cnt c ON c.split = t.split AND c.quality_score = b.quality_score
+         |  CROSS JOIN kk),
+         |tr AS (SELECT quality_score, p AS p_train FROM grid WHERE split = 'train')
+         |SELECT g.split,
+         |  round(CAST(SUM(CAST((g.p - tr.p_train) * ln(g.p / tr.p_train)
+         |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+         |FROM grid g JOIN tr USING (quality_score)
+         |WHERE g.split <> 'train' GROUP BY 1""".stripMargin
+    },
     "doc_quality_logreg" ->
       s"""WITH $toksCte,
          |${duckLogregCte(3, 0.5)}

@@ -979,6 +979,51 @@ object TextOps {
       .select(col("doc_id"), col("lang"), split.as("split"))
   }
 
+  /** Split-drift check: Population Stability Index of the quality-score
+    * distribution between the train split and each holdout split — the
+    * standard "did my deterministic splitter accidentally bias a
+    * holdout" audit a curation pipeline runs before shipping an eval
+    * set. Bins are the discrete [[docQuality]] score values; both
+    * per-split distributions are add-α smoothed over the corpus-wide
+    * bin set (so a bin empty on one side contributes a finite, stable
+    * term instead of ±∞), and
+    * PSI = Σ_bins (p − q) · ln(p / q), rounded to 6dp after a
+    * DECIMAL(28,12) sum. PSI < 0.1 is the classic "no shift" band —
+    * the md5 splitter should land ≈ 0.
+    *
+    * Plan: one corpus pass for (split, score) counts, one tiny
+    * aggregation per split — the joined frame is |bins × splits| rows
+    * (KB); corpus size never enters a join. */
+  def splitDriftPsi(documents: DataFrame, alpha: Double = 0.5,
+      splits: Option[DataFrame] = None): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be > 0 (unsmoothed PSI is infinite on empty bins)")
+    val assigned = splits.getOrElse(splitAssign(documents))
+    val scored = assigned.select(col("doc_id"), col("split"))
+      .join(docQuality(documents).select(col("doc_id"), col("quality_score")),
+        Seq("doc_id"))
+    val cnt = scored.groupBy(col("split"), col("quality_score"))
+      .agg(count(lit(1)).as("c"))
+    val bins = cnt.select(col("quality_score")).distinct()
+    val splitsTot = cnt.groupBy(col("split")).agg(sum(col("c")).as("n"))
+    val k = bins.agg(count(lit(1)).as("k"))
+    // dense (split × bin) grid so empty bins smooth instead of vanish
+    val grid = splitsTot.crossJoin(bins)
+      .join(cnt, Seq("split", "quality_score"), "left_outer")
+      .crossJoin(broadcast(k))
+      .select(col("split"), col("quality_score"),
+        ((coalesce(col("c"), lit(0L)) + lit(alpha))
+          / (col("n") + lit(alpha) * col("k"))).as("p"))
+    val train = grid.filter(col("split") === "train")
+      .select(col("quality_score"), col("p").as("p_train"))
+    grid.filter(col("split") =!= "train")
+      .join(train, Seq("quality_score"))
+      .select(col("split"), col("quality_score"),
+        ((col("p") - col("p_train")) * log(col("p") / col("p_train")))
+          .cast("decimal(28,12)").as("term"))
+      .groupBy(col("split"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+  }
+
   /** BM25 keyword retrieval: score each document against a fixed bag of
     * query `terms`, return the global top-`kTop`. Robertson–Spärck Jones
     * BM25 with idf = ln(1 + (N − df + ½)/(df + ½)).

@@ -581,6 +581,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("split drift PSI: md5 splits sit in the no-shift band; a biased split screams") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val psi = TextOps.splitDriftPsi(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(psi.keySet == Set("val", "test"))
+    // the hash splitter is quality-blind by construction: both holdouts
+    // must sit inside the classic PSI < 0.1 "no shift" band
+    psi.foreach { case (split, v) =>
+      assert(v >= 0 && v < 0.1, s"$split drifted: psi=$v")
+    }
+    // sensitivity: a deliberately biased split (holdout = the lowest-
+    // quality docs) must blow far past the band — the metric actually
+    // detects what it claims to
+    val q = TextOps.docQuality(docs).select(col("doc_id"), col("quality_score"))
+    val biased = q.select(col("doc_id"),
+      when(col("quality_score") < 1.0, "val").otherwise("train").as("split"))
+    val bad = TextOps.splitDriftPsi(docs, splits = Some(biased)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bad("val") > 0.5, s"biased split not detected: ${bad("val")}")
+  }
+
   test("shingles guard: fewer tokens than k yields empty, not garbage") {
     val s = spark
     import s.implicits._
