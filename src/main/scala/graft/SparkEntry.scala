@@ -112,6 +112,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.documents(s, dir))),
     "neardup_jaccard" -> ((s, dir) => TextOps.nearDupJaccard(Tables.documents(s, dir))),
     "neardup_keep" -> ((s, dir) => TextOps.nearDupKeep(Tables.documents(s, dir))),
+    "neardup_keep_best" -> ((s, dir) => TextOps.nearDupKeepBest(Tables.documents(s, dir))),
     "neardup_clusters" -> ((s, dir) => TextOps.nearDupClusters(Tables.documents(s, dir))),
     "neardup_pagerank" -> ((s, dir) => TextOps.nearDupPageRank(Tables.documents(s, dir))),
     "neardup_graph_stats" -> ((s, dir) => TextOps.nearDupGraphStats(Tables.documents(s, dir))),
@@ -846,6 +847,33 @@ object SparkEntry {
          |csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
          |SELECT l.doc_id, l.cluster_id, z.cluster_size
          |FROM lab l JOIN csizes z USING (cluster_id)""".stripMargin,
+    "neardup_keep_best" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |p AS (SELECT doc_a, doc_b FROM jacc_pairs WHERE jaccard >= 0.8),
+         |eu AS (SELECT doc_a AS s, doc_b AS t FROM p UNION SELECT doc_b, doc_a FROM p),
+         |nodes AS (SELECT DISTINCT s AS id FROM eu),
+         |reach AS (
+         |  SELECT id AS s, id AS t FROM nodes
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN eu e ON r.t = e.s),
+         |lab AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY 1),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(((len(t) BETWEEN 20 AND 100000)::int
+         |         + (round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) >= 0.001)::int
+         |         + (round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) <= 0.2)::int
+         |         + (round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) <= 0.3)::int)::double / 4, 6)
+         |      AS quality_score
+         |  FROM toks),
+         |ranked AS (
+         |  SELECT l.doc_id, l.cluster_id,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY q.quality_score DESC, l.doc_id) AS rn
+         |  FROM lab l JOIN q USING (doc_id)),
+         |losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+         |SELECT d.doc_id, d.lang, d.source, q.quality_score
+         |FROM documents d JOIN q USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     "doc_sample" ->
       """SELECT doc_id, lang, source,
         |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INT % 100 AS sample_bucket

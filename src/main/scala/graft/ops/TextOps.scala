@@ -449,6 +449,33 @@ object TextOps {
       .join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Quality-aware dedup keeper: within each TRANSITIVE near-dup
+    * cluster ([[nearDupClusters]]), keep the highest-[[docQuality]]
+    * member — ties to the LOWER doc_id — instead of [[nearDupKeep]]'s
+    * blind min-id rule. This is the curation-correct variant: when a
+    * boilerplate-mangled copy has the lower id, min-id keeps the bad
+    * copy and drops the clean one.
+    *
+    * The per-cluster argmax is `min(struct(-quality, doc_id))` — a
+    * hash-aggregable single pass over the cluster membership (which is
+    * edge-sparse, not corpus-sized), never a window sort. Docs in no
+    * cluster keep themselves. Returns (doc_id, lang, source,
+    * quality_score) of the kept set. */
+  def nearDupKeepBest(documents: DataFrame, k: Int = 3,
+      minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
+    val clusters = nearDupClusters(documents, k, minJaccard, maxDf)
+      .select(col("doc_id"), col("cluster_id"))
+    val q = docQuality(documents).select(col("doc_id"), col("quality_score"))
+    val best = clusters.join(q, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("quality_score")).as("nq"), col("doc_id").as("id"))).as("b"))
+      .select(col("b.id").as("doc_id"))
+    val losers = clusters.join(best, Seq("doc_id"), "left_anti").select(col("doc_id"))
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(q, Seq("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Transitive near-dup clusters: connected components of the
     * near-dup pair graph, so a chain a~b~c~d dedups as ONE group even
     * though a and d are not directly similar (the greedy [[nearDupKeep]]
@@ -964,20 +991,24 @@ object TextOps {
   val DefaultSplitWeights: Seq[(String, Double)] =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
-  def splitAssign(documents: DataFrame,
-      weights: Seq[(String, Double)] = DefaultSplitWeights): DataFrame = {
+  /** The cumulative-bucket CASE over a pre-projected `u` column —
+    * shared by [[splitAssign]] and the fused [[splitDriftPsi]] scan.
+    * `u` must be projected ONCE upstream: inlining the md5 subtree into
+    * every when-branch would re-run it per compared bound (CaseWhen
+    * predicates don't reliably share subexpressions). */
+  private def splitFromU(weights: Seq[(String, Double)]): Column = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), s"bad weights: $weights")
     val total = weights.map(_._2).sum
     val cum = weights.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
-    // project u ONCE: inlining it into every when-branch would re-run
-    // the md5 subtree per compared bound (CaseWhen predicates don't
-    // reliably share subexpressions)
-    val split = weights.zip(cum).init.foldRight(lit(weights.last._1)) {
+    weights.zip(cum).init.foldRight(lit(weights.last._1)) {
       case (((name, _), bound), rest) => when(col("u") < bound, name).otherwise(rest)
     }
-    documents.select(col("doc_id"), col("lang"), md5Uniform(col("doc_id")).as("u"))
-      .select(col("doc_id"), col("lang"), split.as("split"))
   }
+
+  def splitAssign(documents: DataFrame,
+      weights: Seq[(String, Double)] = DefaultSplitWeights): DataFrame =
+    documents.select(col("doc_id"), col("lang"), md5Uniform(col("doc_id")).as("u"))
+      .select(col("doc_id"), col("lang"), splitFromU(weights).as("split"))
 
   /** Split-drift check: Population Stability Index of the quality-score
     * distribution between the train split and each holdout split — the
@@ -997,12 +1028,28 @@ object TextOps {
   def splitDriftPsi(documents: DataFrame, alpha: Double = 0.5,
       splits: Option[DataFrame] = None): DataFrame = {
     require(alpha > 0, s"alpha=$alpha must be > 0 (unsmoothed PSI is infinite on empty bins)")
-    val assigned = splits.getOrElse(splitAssign(documents))
-    val scored = assigned.select(col("doc_id"), col("split"))
-      .join(docQuality(documents).select(col("doc_id"), col("quality_score")),
-        Seq("doc_id"))
-    val cnt = scored.groupBy(col("split"), col("quality_score"))
+    // split and score are BOTH row-local functions of the document, so
+    // the default path computes them in ONE corpus scan — a custom
+    // split frame is the only case that pays a doc_id join
+    val quality = docQuality(documents).select(col("doc_id"), col("quality_score"))
+    val scored = splits match {
+      case Some(df) => df.select(col("doc_id"), col("split")).join(quality, Seq("doc_id"))
+      case None => quality
+        .withColumn("u", md5Uniform(col("doc_id")))
+        .withColumn("split", splitFromU(DefaultSplitWeights))
+        .drop("u")
+    }
+    // The downstream grid needs cnt from FOUR branches (bins, per-split
+    // totals, the bin count, the grid join) — left as a plan subtree,
+    // each branch re-runs the corpus scan and its regex features. cnt
+    // is |splits × bins| rows (score has ≤ 5 distinct values), so it
+    // collects to a KB literal and the corpus is scanned ONCE — the
+    // same gated-materialization discipline as the k-means centroids.
+    val spark = documents.sparkSession
+    val cntLocal = scored.groupBy(col("split"), col("quality_score"))
       .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val cnt = spark.createDataFrame(cntLocal).toDF("split", "quality_score", "c")
     val bins = cnt.select(col("quality_score")).distinct()
     val splitsTot = cnt.groupBy(col("split")).agg(sum(col("c")).as("n"))
     val k = bins.agg(count(lit(1)).as("k"))

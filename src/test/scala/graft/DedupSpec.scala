@@ -604,6 +604,34 @@ class DedupSpec extends AnyFunSuite {
     assert(bad("val") > 0.5, s"biased split not detected: ${bad("val")}")
   }
 
+  test("keep-best dedup keeps the cleanest cluster member, not the lowest id") {
+    val s = spark
+    import s.implicits._
+    // three near-identical docs (jaccard >= 0.8): doc 1 (the min id) is
+    // punct-poisoned below the quality bar; docs 2 and 3 are clean and
+    // tie on quality -> the keeper must be doc 2 (best quality, lower
+    // id), NOT doc 1 (min id). doc 9 is an unrelated singleton.
+    val base = ("the quick brown fox jumps over the lazy dog and then " +
+      "a small cat naps by the warm fire while we watch the rain fall " +
+      "on the quiet roof as birds sing in the old oak tree near the gate").split(" ")
+    def doc(subst: Map[Int, String]) =
+      base.indices.map(i => subst.getOrElse(i, base(i))).mkString(" ")
+    val junk = "$" * 80 // pushes punct_ratio over 0.2 of ~250 norm chars
+    val docs = Seq(
+      (1L, doc(Map(20 -> junk)), "en", "web"),
+      (2L, doc(Map.empty[Int, String]), "en", "web"),
+      (3L, doc(Map(40 -> "meadow")), "en", "web"),
+      (9L, "completely different text about ships and the open sea " +
+        "with sails and salt wind over the long grey waves at dawn", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = TextOps.nearDupKeepBest(docs).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L), s"kept $kept — expected best-quality doc 2 + singleton 9")
+    // contrast: the min-id rule keeps the poisoned doc 1
+    val minId = TextOps.nearDupKeep(docs).collect().map(_.getLong(0)).toSet
+    assert(minId.contains(1L) && !minId.contains(2L),
+      s"fixture no longer distinguishes the rules: min-id kept $minId")
+  }
+
   test("shingles guard: fewer tokens than k yields empty, not garbage") {
     val s = spark
     import s.implicits._
