@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Direct-run entry for the corpus-curation pipeline — the LLM-data
+  * analogue of [[IncrementalRun]]: one pass over a documents table
+  * producing a training-ready kept corpus plus its audit artifacts.
+  *
+  * Usage: runMain graft.CorpusRun <sfDir> <outDir>
+  *
+  * Stages (each stage's survivor count prints as a `[corpus]` line and
+  * lands in `report.parquet` — the lineage a curator reads before
+  * shipping):
+  *   1. quality gate     — [[TextOps.docQuality]] rule score ≥ 3/4 AND
+  *                         the distilled [[TextOps.docQualityLogreg]]
+  *                         model agrees (belt and braces: the model
+  *                         catches rule-boundary artifacts, the rules
+  *                         catch model drift);
+  *   2. exact dedup      — canonical-md5 keeper;
+  *   3. near-dup dedup   — [[TextOps.nearDupKeepBest]] (quality-aware
+  *                         transitive-cluster keeper);
+  *   4. decontamination  — drop corpus docs sharing ≥ `minCollisions`
+  *                         5-gram shingles with the eval slice;
+  *   5. split assignment — deterministic md5 train/val/test;
+  *   6. PSI gate         — [[TextOps.splitDriftPsi]] must sit inside
+  *                         the no-shift band (`SPARK_GRAFT_PSI_MAX`,
+  *                         default 0.1) or the run aborts (exit 2)
+  *                         BEFORE anything is published.
+  *
+  * Outputs under `outDir`: `kept/` (doc_id, split, quality columns),
+  * `report.parquet` (stage, n_docs), `psi.parquet`. Publication is
+  * all-or-nothing: artifacts are written only after every gate passes,
+  * so a failed run leaves no half-corpus behind.
+  */
+object CorpusRun {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val psiMax = sys.env.getOrElse("SPARK_GRAFT_PSI_MAX", "0.1").toDouble
+    // embeddable main: when a session already exists (a spec driving
+    // the pipeline), reuse it and leave its lifecycle to the owner
+    val owned = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isEmpty
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.install(spark)
+
+    val docs = Tables.documents(spark, sfDir)
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def stage(name: String, n: Long): Unit = {
+      stages += ((name, n))
+      println(s"[corpus] $name -> $n docs")
+    }
+    stage("input", docs.count())
+
+    // 1. quality: rules AND the distilled model must both pass
+    val rulesPass = TextOps.docQuality(docs)
+      .filter(col("quality_score") >= 0.75).select("doc_id")
+    val modelPass = TextOps.docQualityLogreg(docs)
+      .filter(col("label_pred") === 1).select("doc_id")
+    val q = docs.join(rulesPass, Seq("doc_id"), "left_semi")
+      .join(modelPass, Seq("doc_id"), "left_semi")
+    stage("quality_gate", q.count())
+
+    // 2-3. exact then near-dup (quality-aware keeper); both operators
+    // compute over the quality-surviving slice only
+    val exact = q.join(TextOps.dedupExact(q)
+      .select(col("keep_doc_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    stage("exact_dedup", exact.count())
+    val kept = exact.join(TextOps.nearDupKeepBest(exact).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    stage("neardup_keep_best", kept.count())
+
+    // 4. decontamination vs the held-out eval slice (doc_id % 10 == 0,
+    // the same convention as the decontaminate driver query)
+    val clean = kept.join(
+      TextOps.decontaminate(
+        kept, docs.filter(col("doc_id") % 10 === 0))
+        .filter(col("contaminated") === 0).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    stage("decontaminated", clean.count())
+
+    // 5. splits + 6. PSI drift gate BEFORE publication
+    val withSplit = TextOps.splitAssign(clean).select(col("doc_id"), col("split"))
+    val psi = TextOps.splitDriftPsi(clean)
+    val psiRows = psi.collect().map(r => (r.getString(0), r.getDouble(1)))
+    psiRows.foreach { case (split, v) => println(f"[corpus] psi $split%-5s $v%.6f") }
+    val worst = psiRows.map(_._2).maxOption.getOrElse(0.0)
+    if (worst > psiMax) {
+      System.err.println(
+        s"[corpus] PSI gate FAILED: max $worst > $psiMax — nothing published")
+      if (owned) spark.stop()
+      sys.exit(2)
+    }
+
+    // publish: gates green, write everything
+    val out = clean
+      .join(withSplit, Seq("doc_id"))
+      .join(TextOps.docQuality(docs).select(col("doc_id"), col("quality_score")),
+        Seq("doc_id"))
+    out.write.mode("overwrite").parquet(s"$outDir/kept")
+    stage("published", out.count())
+    val s2 = spark
+    import s2.implicits._
+    stages.toSeq.toDF("stage", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/report.parquet")
+    psi.coalesce(1).write.mode("overwrite").parquet(s"$outDir/psi.parquet")
+    println(s"[corpus] done: ${stages.last._2} docs published to $outDir/kept")
+    if (owned) spark.stop()
+  }
+}

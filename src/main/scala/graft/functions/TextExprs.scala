@@ -420,30 +420,37 @@ object TextExprs {
     }
   }
 
+  /** name → expression builder: the SINGLE registration source, used by
+    * [[register]] (session temp registry) and by
+    * `GraftSparkExtensions.injectFunction` (the `spark.sql.extensions`
+    * path, so a pure-SQL user gets every graft function without calling
+    * into the Scala API). Int parameters travel as literal arguments. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "word_shingles" ->
+      (exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+    "minhash_sig" ->
+      (exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+    "simhash64" -> (exprs => SimHash64(exprs(0))),
+    "winnow_fps" ->
+      (exprs => WinnowFps(exprs(0), exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])),
+    "word_shingle_hashes" ->
+      (exprs => WordShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+    "chunk_rows" ->
+      (exprs => ChunkRows(exprs(0), exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])),
+    "repetition_stats" -> (exprs => RepetitionStats(exprs(0))),
+    VecDot.FnName -> (exprs => VecDot(exprs(0), exprs(1))))
+
   /** Idempotent registration of all graft expressions (incl. [[VecDot]])
     * on a session's temp function registry — skipped when present (no
-    * replace-warning spam from per-query installs). Int parameters
-    * travel as literal arguments. */
+    * replace-warning spam from per-query installs). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    VecDot.register(spark)
-    def put(name: String, builder: Seq[Expression] => Expression): Unit =
+    builders.foreach { case (name, builder) =>
       if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "built-in")
-    put("word_shingles",
-      exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]))
-    put("minhash_sig",
-      exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]))
-    put("simhash64", exprs => SimHash64(exprs(0)))
-    put("winnow_fps",
-      exprs => WinnowFps(exprs(0), exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]))
-    put("word_shingle_hashes",
-      exprs => WordShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]))
-    put("chunk_rows",
-      exprs => ChunkRows(exprs(0), exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]))
-    put("repetition_stats", exprs => RepetitionStats(exprs(0)))
+    }
   }
 
   import org.apache.spark.sql.functions.lit

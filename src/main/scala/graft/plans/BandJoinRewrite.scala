@@ -161,5 +161,15 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BandJoinRewrite)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // every graft SQL function rides the same extension: a cluster
+    // configured with ONLY spark.sql.extensions (no Scala-side
+    // GraftSession.install) still resolves vec_dot/simhash64/… in SQL
+    graft.functions.TextExprs.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.TextExprs", name),
+        builder))
+    }
   }
 }

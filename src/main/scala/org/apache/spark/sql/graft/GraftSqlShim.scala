@@ -16,6 +16,17 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Replays `spark.sql.extensions` function injection against a given
+    * registry — the exact hook session creation calls — so a spec can
+    * prove the extension surfaces every graft function without building
+    * a whole second SparkSession (`registerFunctions` is
+    * `private[sql]`). */
+  def applyInjectedFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(reg)
+
   /** SQL-equality semantics for float/double expressions (-0.0 == 0.0,
     * single NaN) — the same rewrite the optimizer's
     * NormalizeFloatingNumbers rule applies to the operators it knows;

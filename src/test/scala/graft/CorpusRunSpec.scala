@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextOps
+import TestSpark._
+
+/** End-to-end corpus curation run: stage lineage, gate behavior, and
+  * artifact integrity over the real sf0.001 corpus. */
+class CorpusRunSpec extends AnyFunSuite {
+
+  test("CorpusRun publishes a gated corpus with consistent lineage artifacts") {
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    CorpusRun.main(Array("/root/testdata/sf0.001", out))
+    val report = spark.read.parquet(s"$out/report.parquet")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the funnel only narrows: every stage is a filter of the previous
+    val order = Seq("input", "quality_gate", "exact_dedup",
+      "neardup_keep_best", "decontaminated", "published")
+    assert(report.keySet == order.toSet, s"stages: ${report.keySet}")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(report(b) <= report(a), s"$b (${report(b)}) > $a (${report(a)})")
+    }
+    assert(report("published") == report("decontaminated"),
+      "publication must be exactly the gated survivor set")
+    assert(report("published") > 0)
+    val kept = spark.read.parquet(s"$out/kept")
+    assert(kept.count() == report("published"))
+    // every published doc carries a split and its quality score
+    assert(kept.columns.toSet.intersect(Set("doc_id", "split", "quality_score"))
+      == Set("doc_id", "split", "quality_score"))
+    assert(kept.filter(col("split").isNull || col("quality_score").isNull).count() == 0)
+    assert(kept.select("doc_id").distinct().count() == kept.count(), "doc_id unique")
+    // survivors actually satisfy the gates they passed
+    assert(kept.filter(col("quality_score") < 0.75).count() == 0)
+    val evalIds = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") % 10 === 0).select("doc_id")
+    val contaminated = TextOps.decontaminate(
+      kept.select("doc_id").join(
+        Tables.documents(spark, "/root/testdata/sf0.001"), Seq("doc_id")),
+      Tables.documents(spark, "/root/testdata/sf0.001")
+        .filter(col("doc_id") % 10 === 0))
+      .filter(col("contaminated") === 1)
+    assert(contaminated.count() == 0, "published docs must be decontaminated")
+    // the recorded PSI is inside the gate that let it publish
+    val psi = spark.read.parquet(s"$out/psi.parquet")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(psi.keySet == Set("val", "test"))
+    psi.values.foreach(v => assert(v <= 0.1, s"psi $v escaped the gate"))
+  }
+}

@@ -191,6 +191,33 @@ class TextExprsSpec extends AnyFunSuite {
     assert(genLine.contains("codegen id"), s"Generate not fused:\n$genPlan")
   }
 
+  test("GraftSparkExtensions injects every graft function for pure-SQL clusters") {
+    // a cluster configured with spark.sql.extensions only (no
+    // GraftSession.install) must still resolve the whole function
+    // surface — registerFunctions is the exact hook session creation
+    // calls with the builtin registry
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    val ext = new SparkSessionExtensions
+    new graft.plans.GraftSparkExtensions().apply(ext)
+    val reg = FunctionRegistry.builtin.clone()
+    org.apache.spark.sql.graft.GraftSqlShim.applyInjectedFunctions(ext, reg)
+    TextExprs.builders.map(_._1).foreach { name =>
+      assert(reg.functionExists(FunctionIdentifier(name)), s"$name not injected")
+    }
+    assert(TextExprs.builders.map(_._1).contains("vec_dot"))
+    // and the injected builder constructs a working expression
+    val vd = reg.lookupFunction(FunctionIdentifier("vec_dot"),
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array(3.0, 4.0), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+    assert(vd.eval(null) == 11.0)
+  }
+
   test("SimHash64 == HOF simhash64") {
     TextExprs.register(spark)
     val toks = TextFns.tokens(col("text"))
