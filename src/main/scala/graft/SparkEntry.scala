@@ -216,6 +216,16 @@ object SparkEntry {
     "events_pivot" -> ((s, dir) => EventOps.pivotByType(Tables.events(s, dir))),
     "events_unpivot" -> ((s, dir) => EventOps.unpivotDaily(Tables.events(s, dir))),
     "events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
+    "events_asof_nearest" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.ops.AsOfJoin.asOfNearest(
+        e.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id", "value"),
+        e.filter(col("event_type") === "view")
+          .select("event_id", "ts", "user_id"),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("event_id", "ts"))
+    }),
     "events_asof" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       graft.ops.AsOfJoin.asOf(
@@ -1735,6 +1745,22 @@ object SparkEntry {
          |q AS (SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS ps FROM e GROUP BY 1)
          |SELECT event_type, round(ps[1], 6) AS p50, round(ps[2], 6) AS p90,
          |       round(ps[3], 6) AS p99 FROM q""".stripMargin,
+    "events_asof_nearest" ->
+      s"""WITH $eventsCte,
+         |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view'),
+         |b AS (SELECT p.event_id, v.event_id AS b_id, v.ts AS b_ts
+         |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts),
+         |f AS (SELECT p.event_id, v.event_id AS f_id, v.ts AS f_ts
+         |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts)
+         |SELECT p.user_id, p.event_id, p.ts, p.value,
+         |  CASE WHEN (f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+         |        AND epoch_us(p.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(p.ts)))
+         |    THEN b.b_id ELSE f.f_id END AS asof_event_id,
+         |  CASE WHEN (f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+         |        AND epoch_us(p.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(p.ts)))
+         |    THEN b.b_ts ELSE f.f_ts END AS asof_ts
+         |FROM p JOIN b USING (event_id) JOIN f USING (event_id)""".stripMargin,
     "events_asof" ->
       s"""WITH $eventsCte,
          |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),

@@ -74,6 +74,66 @@ object AsOfJoin {
         rightCols.map(c => col(s"r_$c").as(s"asof_$c")): _*)
   }
 
+  /** Nearest-neighbor as-of: for each left row, the right row of the
+    * same key minimizing |rightTs − leftTs|, ties to the BACKWARD match
+    * (the convention pandas `merge_asof(direction="nearest")` uses).
+    * Completes the direction family: backward / forward / nearest.
+    *
+    * One tagged union, ONE shuffle on the key, two window sorts over
+    * the same partitioning (ascending pass carries the latest at-or-
+    * before right row, a current-row..following frame carries the
+    * earliest at-or-after one — equal-ts rights are visible to BOTH,
+    * exactly like the `<=`/`>=` pair of directional joins), then a
+    * row-local distance pick. No second shuffle, no join of two as-of
+    * results. */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col("__ts"), col("__side")) ++
+        left.columns.filterNot(_ == key).map(c => col(c).as(s"l_$c")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"r_$c")) :+
+        lit(null).cast(right.schema(rightTs).dataType).as("__rts"): _*)
+    val rightTagged = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col("__ts"), col("__side")) ++
+        left.columns.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(s"l_$c")) ++
+        rightCols.map(c => col(c).as(s"r_$c")) :+
+        col(rightTs).as("__rts"): _*)
+    val unioned = leftTagged.unionByName(rightTagged)
+    // backward: right (__side 0) sorts before left at equal ts — an
+    // equal-ts right is inside the preceding frame (<= semantics)
+    val wb = Window.partitionBy(col(key)).orderBy(col("__ts").asc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: left sorts before right at equal ts (negated marker) —
+    // an equal-ts right is inside the following frame (>= semantics)
+    val wf = Window.partitionBy(col(key)).orderBy(col("__ts").asc, (-col("__side")).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = (rightCols :+ "__rts_x").foldLeft(
+      unioned.withColumn("r___rts_x", col("__rts"))) { (df, c) =>
+      df.withColumn(s"b_$c", last(col(s"r_$c"), ignoreNulls = true).over(wb))
+        .withColumn(s"f_$c", first(col(s"r_$c"), ignoreNulls = true).over(wf))
+    }
+    // tie |Δback| == |Δfwd| → backward; a one-sided match wins outright
+    val useBack = col("f___rts_x").isNull || (col("b___rts_x").isNotNull &&
+      (unix_micros(col("__ts")) - unix_micros(col("b___rts_x"))) <=
+        (unix_micros(col("f___rts_x")) - unix_micros(col("__ts"))))
+    carried
+      .filter(col("__side") === 1)
+      .select(Seq(col(key)) ++
+        left.columns.filterNot(_ == key).map(c => col(s"l_$c").as(c)) ++
+        rightCols.map(c =>
+          when(useBack, col(s"b_$c")).otherwise(col(s"f_$c")).as(s"asof_$c")): _*)
+  }
+
   /** [[asOf]] planned through the custom physical operator
     * ([[graft.plans.AsOfJoinExec]] via [[graft.plans.AsOfJoinStrategy]])
     * instead of the union+window composition — same matching semantics
