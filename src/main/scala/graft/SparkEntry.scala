@@ -113,6 +113,11 @@ object SparkEntry {
     "neardup_jaccard" -> ((s, dir) => TextOps.nearDupJaccard(Tables.documents(s, dir))),
     "neardup_keep" -> ((s, dir) => TextOps.nearDupKeep(Tables.documents(s, dir))),
     "neardup_keep_best" -> ((s, dir) => TextOps.nearDupKeepBest(Tables.documents(s, dir))),
+    "neardup_cross" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.nearDupCross(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+    }),
     "neardup_clusters" -> ((s, dir) => TextOps.nearDupClusters(Tables.documents(s, dir))),
     "neardup_pagerank" -> ((s, dir) => TextOps.nearDupPageRank(Tables.documents(s, dir))),
     "neardup_graph_stats" -> ((s, dir) => TextOps.nearDupGraphStats(Tables.documents(s, dir))),
@@ -857,6 +862,27 @@ object SparkEntry {
          |csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
          |SELECT l.doc_id, l.cluster_id, z.cluster_size
          |FROM lab l JOIN csizes z USING (cluster_id)""".stripMargin,
+    "neardup_cross" ->
+      s"""WITH $toksCte,
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(t)-2),
+         |    i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT)) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh WHERE len(s) > 0),
+         |cex AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+         |        WHERE len(s) > 0 AND doc_id % 10 <> 0),
+         |rex AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+         |        WHERE len(s) > 0 AND doc_id % 10 = 0),
+         |rok AS (SELECT shingle FROM rex GROUP BY 1 HAVING count(*) <= 100),
+         |rexr AS (SELECT rex.doc_id, rex.shingle FROM rex JOIN rok USING (shingle)),
+         |sc AS (SELECT c.doc_id AS doc_id, r.doc_id AS ref_doc, count(*) AS shared
+         |       FROM cex c JOIN rexr r USING (shingle) GROUP BY 1, 2)
+         |SELECT sc.doc_id, sc.ref_doc, sc.shared, sa.n_sh AS n_doc, sb.n_sh AS n_ref,
+         |       round(shared::double / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+         |FROM sc JOIN sizes sa ON sc.doc_id = sa.doc_id
+         |         JOIN sizes sb ON sc.ref_doc = sb.doc_id
+         |WHERE round(shared::double / (sa.n_sh + sb.n_sh - shared), 6) >= 0.8""".stripMargin,
     "neardup_keep_best" ->
       s"""WITH RECURSIVE $jaccardPairsCtes,
          |p AS (SELECT doc_a, doc_b FROM jacc_pairs WHERE jaccard >= 0.8),

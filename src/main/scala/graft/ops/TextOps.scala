@@ -356,6 +356,43 @@ object TextOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Cross-corpus near-dup: exact-jaccard pairs between a NEW corpus
+    * and a fixed REFERENCE corpus (e.g. "dedup this crawl against the
+    * training set we already shipped") — the bipartite twin of
+    * [[nearDupJaccard]]. Corpus-internal and reference-internal pairs
+    * are deliberately not reported; [[nearDupJaccardIncremental]] covers
+    * the within-corpus delta shape.
+    *
+    * Scale shape: posting lists build over the REFERENCE side only,
+    * bounded by the same `maxDf` stop-shingle cap ([[graft.functions
+    * .BoundedList]] — a corpus-wide boilerplate shingle costs a
+    * cap-sized buffer, never a reference-sized list); the corpus side
+    * stays an exploded stream joined on the 8-byte shingle key, so work
+    * is |corpus index| × O(maxDf), linear in the new crawl. Returns
+    * (doc_id, ref_doc, shared, n_doc, n_ref, jaccard). */
+  def nearDupCross(corpus: DataFrame, reference: DataFrame, k: Int = 3,
+      minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
+    TextExprs.register(corpus.sparkSession)
+    def ex(df: DataFrame) = df
+      .select(col("doc_id"), TextExprs.wordShingleHashes(tokens(col("text")), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
+    val refPost = ex(reference)
+      .groupBy(col("shingle"))
+      .agg(capped(col("doc_id"), col("n_sh")).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+    ex(corpus).join(refPost, Seq("shingle"))
+      .select(col("doc_id"), col("n_sh"), explode(col("ids")).as("r"))
+      .groupBy(col("doc_id"), col("r.doc_id").as("ref_doc"),
+        col("n_sh").as("n_doc"), col("r.n_sh").as("n_ref"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("doc_id"), col("ref_doc"), col("shared"), col("n_doc"), col("n_ref"),
+        round(col("shared").cast("double")
+          / (col("n_doc") + col("n_ref") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Incremental near-dup pairing: exactly the [[nearDupJaccard]] pairs
     * that TOUCH the `incoming` batch (new×old and new×new), WITHOUT
     * recomputing the all-pairs index — the daily-ingest shape of corpus

@@ -632,6 +632,39 @@ class DedupSpec extends AnyFunSuite {
       s"fixture no longer distinguishes the rules: min-id kept $minId")
   }
 
+  test("cross-corpus near-dup reports only corpus-vs-reference pairs; df cap holds") {
+    val s = spark
+    import s.implicits._
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon").split(" ")
+    def doc(subst: Map[Int, String]) =
+      base.indices.map(i => subst.getOrElse(i, base(i))).mkString(" ")
+    // corpus doc 11 near-dups REFERENCE doc 100; corpus docs 11 and 12
+    // near-dup EACH OTHER (must NOT be reported — bipartite only);
+    // corpus doc 13 is unrelated
+    val corpus = Seq(
+      (11L, doc(Map(5 -> "x"))),
+      (12L, doc(Map(7 -> "y"))),
+      (13L, "totally different words about rivers bridges stones and towers " +
+        "standing over the calm green water at night under stars"))
+      .toDF("doc_id", "text")
+    val reference = Seq(
+      (100L, doc(Map.empty[Int, String])),
+      (101L, "another unrelated reference text on music halls and violins " +
+        "playing slow tunes for the quiet crowd after the late show"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.nearDupCross(corpus, reference, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((11L, 100L), (12L, 100L)),
+      s"expected corpus 11,12 ~ ref 100 only, got $pairs")
+    // df cap: a shingle present in MORE reference docs than maxDf
+    // generates no candidates through that shingle
+    val spam = (0 until 8).map(i => (200L + i, doc(Map.empty[Int, String])))
+      .toDF("doc_id", "text")
+    val capped = TextOps.nearDupCross(corpus, spam, minJaccard = 0.5, maxDf = 3)
+    assert(capped.count() == 0, "stop-shingled reference set must emit nothing under the cap")
+  }
+
   test("shingles guard: fewer tokens than k yields empty, not garbage") {
     val s = spark
     import s.implicits._
