@@ -221,6 +221,7 @@ object SparkEntry {
     "events_pivot" -> ((s, dir) => EventOps.pivotByType(Tables.events(s, dir))),
     "events_unpivot" -> ((s, dir) => EventOps.unpivotDaily(Tables.events(s, dir))),
     "events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
+    "events_drift_psi" -> ((s, dir) => EventOps.weeklyDriftPsi(Tables.events(s, dir))),
     "events_asof_nearest" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       graft.ops.AsOfJoin.asOfNearest(
@@ -1771,6 +1772,28 @@ object SparkEntry {
          |q AS (SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS ps FROM e GROUP BY 1)
          |SELECT event_type, round(ps[1], 6) AS p50, round(ps[2], 6) AS p90,
          |       round(ps[3], 6) AS p99 FROM q""".stripMargin,
+    "events_drift_psi" ->
+      s"""WITH $eventsCte,
+         |cnt AS (SELECT date_trunc('week', ts)::date AS week, event_type, COUNT(*) AS c
+         |        FROM e GROUP BY 1, 2),
+         |types AS (SELECT DISTINCT event_type FROM cnt),
+         |kk AS (SELECT COUNT(*) AS k FROM types),
+         |weeks AS (SELECT week, CAST(SUM(c) AS BIGINT) AS n,
+         |                 CAST(row_number() OVER (ORDER BY week) AS INT) AS rk
+         |          FROM cnt GROUP BY week),
+         |grid AS (
+         |  SELECT w.week, w.rk, w.n, t.event_type,
+         |    (COALESCE(c.c, 0) + 0.5::DOUBLE) / (w.n + 0.5::DOUBLE * kk.k) AS p
+         |  FROM weeks w CROSS JOIN types t
+         |  LEFT JOIN cnt c ON c.week = w.week AND c.event_type = t.event_type
+         |  CROSS JOIN kk),
+         |pr AS (SELECT rk + 1 AS rk, event_type, p AS p_prev FROM grid)
+         |SELECT g.week,
+         |  round(CAST(SUM(CAST((g.p - pr.p_prev) * ln(g.p / pr.p_prev)
+         |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi,
+         |  g.n AS n_events
+         |FROM grid g JOIN pr ON g.rk = pr.rk AND g.event_type = pr.event_type
+         |GROUP BY g.week, g.n""".stripMargin,
     "events_asof_nearest" ->
       s"""WITH $eventsCte,
          |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),

@@ -557,4 +557,45 @@ object EventOps {
   def approxDistinctUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
     events.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+
+  /** Week-over-week drift of the event-type mix — each week's type
+    * distribution PSI-scored against the PREVIOUS week's (same
+    * smoothing contract as [[graft.ops.TextOps.splitDriftPsi]] and the
+    * same classic bands: < 0.1 stable, > 0.25 investigate). This is the
+    * batch ledger the streaming [[graft.streaming.DriftStream]] monitor
+    * alarms against in real time: the monitor catches the bad batch,
+    * this query shows WHEN the mix moved across history.
+    *
+    * Scale shape: ONE corpus scan to (week × type) counts — a
+    * KB-bounded grain (weeks × |types|) collected to a literal so the
+    * dense grid, totals, and the week-shifted self-join all derive from
+    * it without re-scanning events (the multi-branch-reuse trap). */
+  def weeklyDriftPsi(events: DataFrame, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be > 0 (unsmoothed PSI is infinite on empty bins)")
+    val spark = events.sparkSession
+    val cntLocal = events
+      .select(date_trunc("week", col("ts")).cast("date").as("week"), col("event_type"))
+      .groupBy(col("week"), col("event_type")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDate(0), r.getString(1), r.getLong(2))).toSeq
+    val cnt = spark.createDataFrame(cntLocal).toDF("week", "event_type", "c")
+    val types = cnt.select(col("event_type")).distinct()
+    val k = types.agg(count(lit(1)).as("k"))
+    val weeks = cnt.groupBy(col("week")).agg(sum(col("c")).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("week"))))
+    val grid = weeks.crossJoin(types)
+      .join(cnt, Seq("week", "event_type"), "left_outer")
+      .crossJoin(broadcast(k))
+      .select(col("week"), col("rk"), col("n"), col("event_type"),
+        ((coalesce(col("c"), lit(0L)) + lit(alpha))
+          / (col("n") + lit(alpha) * col("k"))).as("p"))
+    val prev = grid.select((col("rk") + 1).as("rk"), col("event_type"),
+      col("p").as("p_prev"))
+    grid.join(prev, Seq("rk", "event_type"))
+      .select(col("week"), col("n"),
+        ((col("p") - col("p_prev")) * log(col("p") / col("p_prev")))
+          .cast("decimal(28,12)").as("term"))
+      .groupBy(col("week"), col("n"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+      .select(col("week"), col("psi"), col("n").as("n_events"))
+  }
 }

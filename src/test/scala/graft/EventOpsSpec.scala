@@ -247,4 +247,28 @@ class EventOpsSpec extends AnyFunSuite {
       .agg(sum("n_events")).head().getLong(0)
     assert(perType == events.count())
   }
+
+  test("weekly drift PSI: stable weeks quiet, a shifted week alarms, first week has no row") {
+    val s = spark
+    import s.implicits._
+    // Mondays 2024-03-04 / 11 / 18; weeks 1-2 share a 70/30 mix, week 3
+    // flips to 5/95 — a mix inversion the PSI must flag
+    def t(week: Int, i: Int) = new Timestamp(
+      java.time.LocalDate.of(2024, 3, 4).plusDays((week - 1) * 7L)
+        .atTime(1, 0).plusSeconds(i.toLong)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    def wk(week: Int, views: Int, clicks: Int) =
+      (0 until views).map(i => (t(week, i), "view")) ++
+        (0 until clicks).map(i => (t(week, 1000 + i), "click"))
+    val events = (wk(1, 70, 30) ++ wk(2, 70, 30) ++ wk(3, 5, 95))
+      .toDF("ts", "event_type")
+    val out = EventOps.weeklyDriftPsi(events)
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    // the first week has no predecessor → exactly two scored weeks
+    assert(out.map(_._1).toSeq == Seq("2024-03-11", "2024-03-18"))
+    assert(out(0)._2 < 0.01, s"identical-mix week flagged: ${out(0)}")
+    assert(out(1)._2 > 0.25, s"mix inversion missed: ${out(1)}")
+    assert(out.map(_._3).toSeq == Seq(100L, 100L))
+  }
 }
