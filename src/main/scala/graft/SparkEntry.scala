@@ -222,6 +222,17 @@ object SparkEntry {
     "events_unpivot" -> ((s, dir) => EventOps.unpivotDaily(Tables.events(s, dir))),
     "events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
     "events_drift_psi" -> ((s, dir) => EventOps.weeklyDriftPsi(Tables.events(s, dir))),
+    "events_asof_phys_near" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.ops.AsOfJoin.asOfExec(
+        e.filter(col("event_type") === "purchase")
+          .select("event_id", "ts", "user_id", "value"),
+        e.filter(col("event_type") === "view")
+          .select("event_id", "ts", "user_id"),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("event_id", "ts"), direction = "nearest")
+        .select("user_id", "event_id", "ts", "value", "asof_event_id", "asof_ts")
+    }),
     "events_asof_nearest" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       graft.ops.AsOfJoin.asOfNearest(
@@ -1794,6 +1805,24 @@ object SparkEntry {
          |  g.n AS n_events
          |FROM grid g JOIN pr ON g.rk = pr.rk AND g.event_type = pr.event_type
          |GROUP BY g.week, g.n""".stripMargin,
+    // the custom physical operator's nearest mode must agree with the
+    // window composition — identical oracle text pins both
+    "events_asof_phys_near" ->
+      s"""WITH $eventsCte,
+         |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
+         |v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view'),
+         |b AS (SELECT p.event_id, v.event_id AS b_id, v.ts AS b_ts
+         |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts),
+         |f AS (SELECT p.event_id, v.event_id AS f_id, v.ts AS f_ts
+         |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts)
+         |SELECT p.user_id, p.event_id, p.ts, p.value,
+         |  CASE WHEN (f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+         |        AND epoch_us(p.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(p.ts)))
+         |    THEN b.b_id ELSE f.f_id END AS asof_event_id,
+         |  CASE WHEN (f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+         |        AND epoch_us(p.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(p.ts)))
+         |    THEN b.b_ts ELSE f.f_ts END AS asof_ts
+         |FROM p JOIN b USING (event_id) JOIN f USING (event_id)""".stripMargin,
     "events_asof_nearest" ->
       s"""WITH $eventsCte,
          |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),

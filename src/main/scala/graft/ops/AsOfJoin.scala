@@ -152,8 +152,8 @@ object AsOfJoin {
       rightTs: String,
       rightCols: Seq[String],
       direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(AsOfJoinNode.Directions(direction),
+      s"direction must be one of ${AsOfJoinNode.Directions}, got $direction")
     graft.GraftSession.install(left.sparkSession) // idempotent
     // re-alias every right column: fresh exprIds, so a self-join (left
     // and right carved from the same source) cannot collide attributes
@@ -189,7 +189,7 @@ object AsOfJoin {
       norm(attr(lPlan, key, "left")), norm(attr(rPlan, key, "right")),
       norm(attr(lPlan, leftTs, "left")), norm(attr(rPlan, rightTs, "right")),
       rightCols.map(c => attr(rPlan, c, "right")),
-      forward = direction == "forward")
+      direction)
     // the asof_* renaming lives in this Project: CleanupAliases would
     // strip an Alias kept inside the node itself
     val renamed = lPlan.output ++

@@ -35,6 +35,9 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * Matching semantics (equal to [[graft.ops.AsOfJoin.asOf]] and DuckDB
   * `ASOF LEFT JOIN`): backward = latest right row of the same key with
   * `rightTs <= leftTs`; forward = earliest with `rightTs >= leftTs`;
+  * nearest = whichever of those two is closer in time, ties to backward
+  * (pandas merge_asof convention — the merge holds the backward
+  * candidate AND peeks the forward head, still O(1) state);
   * unmatched left rows keep nulls. Ties at equal ts: the last tied right
   * row in sort order (same row the window's `last()` sees). NULL keys or
   * timestamps never match (SQL join semantics; the window composition
@@ -52,8 +55,10 @@ case class AsOfJoinNode(
     // strips non-top-level Aliases from every non-Project operator, so
     // any renaming (asof_*) must happen in a Project ABOVE this node
     rightVals: Seq[Attribute],
-    forward: Boolean)
+    direction: String)
     extends BinaryNode {
+  require(AsOfJoinNode.Directions(direction),
+    s"direction must be one of ${AsOfJoinNode.Directions}, got $direction")
   override def output: Seq[Attribute] =
     left.output ++ rightVals.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -69,13 +74,17 @@ case class AsOfJoinNode(
   * flow, not expression arithmetic; the projections it applies ARE
   * code-generated (`UnsafeProjection.create`).
   */
+object AsOfJoinNode {
+  val Directions: Set[String] = Set("backward", "forward", "nearest")
+}
+
 case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
     rightTs: Expression,
     rightVals: Seq[Attribute],
-    forward: Boolean,
+    direction: String,
     left: SparkPlan,
     right: SparkPlan)
     extends BinaryExecNode {
@@ -105,7 +114,23 @@ case class AsOfJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val (lOut, rOut) = (left.output, right.output)
     val (lKey, rKey, lTs, rTs) = (leftKey, rightKey, leftTs, rightTs)
-    val (vals, fwd, allOut) = (rightVals, forward, output)
+    val (vals, dir, allOut) = (rightVals, direction, output)
+    // nearest needs a numeric time distance, not just an ordering: map
+    // the ts's internal value to micros/days/number once per partition
+    val tsToNum: Any => Double = leftTs.dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        v => v.asInstanceOf[Long].toDouble
+      case org.apache.spark.sql.types.DateType => v => v.asInstanceOf[Int].toDouble
+      case org.apache.spark.sql.types.LongType => v => v.asInstanceOf[Long].toDouble
+      case org.apache.spark.sql.types.IntegerType => v => v.asInstanceOf[Int].toDouble
+      case org.apache.spark.sql.types.DoubleType => v => v.asInstanceOf[Double]
+      case org.apache.spark.sql.types.FloatType => v => v.asInstanceOf[Float].toDouble
+      case other =>
+        if (dir == "nearest")
+          throw new IllegalArgumentException(s"nearest as-of needs a temporal/numeric ts, got $other")
+        else _ => 0.0
+    }
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // built per-partition: codegen'd projections are not serializable
       val lKeyB = BindReferences.bindReference(lKey, lOut)
@@ -126,6 +151,7 @@ case class AsOfJoinExec(
       // the iterator's reused buffers; one row of state, O(1).
       var heldKey: UnsafeRow = null
       var heldVals: InternalRow = null
+      var heldTs: Any = null
 
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
@@ -133,7 +159,9 @@ case class AsOfJoinExec(
         var matched: InternalRow = null
         if (lk != null && lts != null) {
           val lkRow = lKeyProj(lRow)
-          if (heldKey != null && heldKey != lkRow) { heldKey = null; heldVals = null }
+          if (heldKey != null && heldKey != lkRow) {
+            heldKey = null; heldVals = null; heldTs = null
+          }
           var advance = true
           while (advance && rBuf.hasNext) {
             val rRow = rBuf.head
@@ -144,9 +172,13 @@ case class AsOfJoinExec(
               val c = keyOrd.compare(rk, lk)
               if (c < 0) rBuf.next() // behind every remaining left key's rows
               else if (c > 0) advance = false
-              else if (!fwd) {
+              else if (dir != "forward") {
+                // backward AND nearest consume at-or-before rows, holding
+                // the latest; the un-consumed head is then exactly the
+                // forward candidate nearest needs
                 if (tsOrd.compare(rts, lts) <= 0) {
                   heldVals = valsProj(rBuf.next()).copy()
+                  heldTs = rts
                   if (heldKey == null) heldKey = lkRow.copy()
                 } else advance = false
               } else {
@@ -155,13 +187,29 @@ case class AsOfJoinExec(
               }
             }
           }
-          if (!fwd) {
-            if (heldKey != null && heldKey == lkRow) matched = heldVals
-          } else if (rBuf.hasNext) {
+          val backMatch =
+            if (dir != "forward" && heldKey != null && heldKey == lkRow) heldVals
+            else null
+          var fwdMatch: InternalRow = null
+          var fwdTs: Any = null
+          if (dir != "backward" && rBuf.hasNext) {
             val rRow = rBuf.head
             val rk = rKeyB.eval(rRow)
             // head not consumed: it may also match later left rows
-            if (rk != null && keyOrd.compare(rk, lk) == 0) matched = valsProj(rRow)
+            if (rk != null && keyOrd.compare(rk, lk) == 0) {
+              fwdMatch = valsProj(rRow)
+              if (dir == "nearest") fwdTs = rTsB.eval(rRow)
+            }
+          }
+          matched = dir match {
+            case "backward" => backMatch
+            case "forward" => fwdMatch
+            case _ => // nearest: closer side wins, ties backward
+              if (backMatch == null) fwdMatch
+              else if (fwdMatch == null) backMatch
+              else if (tsToNum(lts) - tsToNum(heldTs) <= tsToNum(fwdTs) - tsToNum(lts))
+                backMatch
+              else fwdMatch
           }
         }
         numOutputRows += 1
@@ -177,8 +225,8 @@ case class AsOfJoinExec(
   * `spark.sql.extensions=graft.plans.GraftSparkExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts, vals, fwd) =>
-      AsOfJoinExec(lk, rk, lts, rts, vals, fwd, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, vals, dir) =>
+      AsOfJoinExec(lk, rk, lts, rts, vals, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -38,6 +38,31 @@ class PhysicalAsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest mode == compositional asOfNearest on events; O(1)-state pick is exact") {
+    val (p, v) = sides(spark)
+    val a = AsOfJoin.asOfNearest(p, v, "user_id", "ts", "ts", Seq("event_id", "ts"))
+    val b = AsOfJoin.asOfExec(p, v, "user_id", "ts", "ts", Seq("event_id", "ts"), "nearest")
+    assertSameRows(a, b)
+    // the synthetic edge set: forward-wins / tie-backward / exact /
+    // one-sided / no-match, all through the physical merge
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    val trades = Seq(
+      (1L, t(10), "FWD"), (1L, t(30), "TIE"), (1L, t(50), "EXACT"),
+      (2L, t(10), "ONLYB"), (3L, t(10), "ONLYF"), (4L, t(10), "NONE"))
+      .toDF("sym", "ts", "trade")
+    val quotes = Seq(
+      (1L, t(7), 7.0), (1L, t(12), 12.0), (1L, t(28), 28.0), (1L, t(32), 32.0),
+      (1L, t(50), 50.0), (2L, t(2), 2.0), (3L, t(19), 19.0))
+      .toDF("sym", "ts", "px")
+    val out = AsOfJoin.asOfExec(trades, quotes, "sym", "ts", "ts", Seq("px"), "nearest")
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out("FWD").contains(12.0) && out("TIE").contains(28.0) &&
+      out("EXACT").contains(50.0) && out("ONLYB").contains(2.0) &&
+      out("ONLYF").contains(19.0) && out("NONE").isEmpty, s"got $out")
+  }
+
   test("plan: AsOfJoinExec node, no Window, both sides exchanged once") {
     val (p, v) = sides(spark)
     val plan = planOf(AsOfJoin.asOfExec(p, v, "user_id", "ts", "ts", Seq("event_id")))
