@@ -100,19 +100,30 @@ object CorpusRun {
       sys.exit(2)
     }
 
-    // publish: gates green, write everything
+    // publish: gates green, write everything. The kept corpus lands
+    // CLUSTERED on split (one contiguous file range per split — a
+    // trainer reading only `train` prunes at file granularity), and the
+    // training split additionally ships its greedy token-budget packing
+    // (TextOps.packSequences) so the consumer starts from sequence bins,
+    // not raw docs.
     val out = clean
       .join(withSplit, Seq("doc_id"))
       .join(TextOps.docQuality(docs).select(col("doc_id"), col("quality_score")),
         Seq("doc_id"))
-    out.write.mode("overwrite").parquet(s"$outDir/kept")
+    graft.sources.Sources.clusteredWrite(out, s"$outDir/kept", "split")
     stage("published", out.count())
+    val packed = TextOps.packSequences(
+      clean.join(withSplit.filter(col("split") === "train"), Seq("doc_id")))
+    packed.write.mode("overwrite").parquet(s"$outDir/train_packed")
+    stage("train_packed", packed.count())
     val s2 = spark
     import s2.implicits._
     stages.toSeq.toDF("stage", "n_docs")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/report.parquet")
     psi.coalesce(1).write.mode("overwrite").parquet(s"$outDir/psi.parquet")
-    println(s"[corpus] done: ${stages.last._2} docs published to $outDir/kept")
+    val published = stages.find(_._1 == "published").map(_._2).getOrElse(0L)
+    println(s"[corpus] done: $published docs published to $outDir/kept "
+      + s"(+ ${stages.last._2} train docs packed)")
     if (owned) spark.stop()
   }
 }

@@ -16,8 +16,9 @@ class CorpusRunSpec extends AnyFunSuite {
     val report = spark.read.parquet(s"$out/report.parquet")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // the funnel only narrows: every stage is a filter of the previous
+    // (train_packed is the train-split subset of published)
     val order = Seq("input", "quality_gate", "exact_dedup",
-      "neardup_keep_best", "decontaminated", "published")
+      "neardup_keep_best", "decontaminated", "published", "train_packed")
     assert(report.keySet == order.toSet, s"stages: ${report.keySet}")
     order.sliding(2).foreach { case Seq(a, b) =>
       assert(report(b) <= report(a), s"$b (${report(b)}) > $a (${report(a)})")
@@ -48,5 +49,14 @@ class CorpusRunSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(psi.keySet == Set("val", "test"))
     psi.values.foreach(v => assert(v <= 0.1, s"psi $v escaped the gate"))
+    // the packed training output covers EXACTLY the published train split
+    val packed = spark.read.parquet(s"$out/train_packed")
+    assert(packed.count() == report("train_packed"))
+    val trainIds = kept.filter(col("split") === "train").select("doc_id")
+    assert(packed.select("doc_id").except(trainIds).count() == 0)
+    assert(trainIds.except(packed.select("doc_id")).count() == 0)
+    // packing invariant: sequence ids are dense from 0 (prefix-sum bins)
+    val maxSeq = packed.agg(max("seq_id")).head().getLong(0)
+    assert(packed.select("seq_id").distinct().count() == maxSeq + 1)
   }
 }
