@@ -428,6 +428,14 @@ object SparkEntry {
         .withColumn("media_id", col("media_id") + 10000)
       graft.multimodal.Multimodal.mediaDedup(media.unionByName(reingest))
     }),
+    "media_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val media = graft.multimodal.Multimodal.syntheticMedia(docs)
+      val reingest = graft.multimodal.Multimodal
+        .syntheticMedia(docs.filter(col("doc_id") % 7 === 3))
+        .withColumn("media_id", col("media_id") + 10000)
+      graft.multimodal.Multimodal.mediaNearDupFrames(media.unionByName(reingest))
+    }),
     // decode path goes through the stubbed codec (not SQL-expressible —
     // rows-only; determinism/partition-invariance asserted in MultimodalSpec)
     "media_features" -> ((s, dir) =>
@@ -2153,6 +2161,28 @@ object SparkEntry {
          |ORDER BY p_brand""".stripMargin,
     // the corpus is ASCII (octet_length(encode(text)) = length(text) for
     // every row), so character slicing of text == byte slicing of payload
+    "media_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS media_id, text FROM documents WHERE doc_id % 7 = 3),
+        |f AS (SELECT media_id, text, length(text) // 32 AS n_frames FROM m),
+        |s AS (SELECT media_id, text,
+        |        UNNEST(generate_series(0, greatest(CAST(n_frames AS INT) - 1, 0))) AS i
+        |      FROM f),
+        |fr AS (SELECT DISTINCT media_id, md5(substr(text, i*32 + 1, 32)) AS h
+        |       FROM s WHERE length(substr(text, i*32 + 1, 32)) > 0),
+        |sz AS (SELECT media_id, COUNT(*) AS n FROM fr GROUP BY 1),
+        |ok AS (SELECT h FROM fr GROUP BY 1 HAVING COUNT(*) <= 100),
+        |fx AS (SELECT fr.media_id, fr.h FROM fr JOIN ok USING (h)),
+        |sc AS (SELECT a.media_id AS media_a, b.media_id AS media_b, COUNT(*) AS shared
+        |       FROM fx a JOIN fx b ON a.h = b.h AND a.media_id < b.media_id
+        |       GROUP BY 1, 2)
+        |SELECT sc.media_a, sc.media_b, sc.shared, sa.n AS n_a, sb.n AS n_b,
+        |       round(shared::double / (sa.n + sb.n - shared), 6) AS frame_jaccard
+        |FROM sc JOIN sz sa ON media_a = sa.media_id
+        |         JOIN sz sb ON media_b = sb.media_id
+        |WHERE round(shared::double / (sa.n + sb.n - shared), 6) >= 0.8""".stripMargin,
     "media_frames" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id,

@@ -178,4 +178,42 @@ object Multimodal {
         min(col("media_id")).as("keep_id"),
         ((count(lit(1)) - 1) * min(col("n_bytes"))).as("wasted_bytes"))
       .filter(col("n_copies") >= 2)
+
+  /** NEAR-dup media by frame fingerprints — the binary-modality twin of
+    * [[graft.ops.TextOps.nearDupJaccard]]: two media are near-dups when
+    * the jaccard of their DISTINCT frame-hash sets clears `minJaccard`.
+    * Catches what [[mediaDedup]] cannot: a re-encode that changed a few
+    * frames, a trimmed clip, a video sharing most of its footage —
+    * whole-payload hashes differ but the frame sets overlap. Frames
+    * here are dense ([[sampleFrames]] at `frameSize`/stride 1) so a
+    * shared run of bytes yields shared fingerprints; a real codec would
+    * emit perceptual per-frame hashes through the same plumbing.
+    *
+    * Scale shape: identical to the text jaccard — per-media distinct
+    * hash sets, a bounded inverted index on the 32-char hash key
+    * (`maxDf` caps stop-frames: intros, silence, black frames), pairs
+    * emitted row-locally from each capped posting list. Payload bytes
+    * never shuffle; only (hash, id, n) rows do. */
+  def mediaNearDupFrames(media: DataFrame, frameSize: Int = 32,
+      minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
+    val sets = sampleFrames(media, frameSize = frameSize, stride = 1)
+      .select(col("media_id"), md5(col("frame")).as("h"))
+      .groupBy(col("media_id")).agg(collect_set(col("h")).as("hs"))
+      .select(col("media_id"), size(col("hs")).as("n"),
+        explode(col("hs")).as("h"))
+    val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
+    sets.groupBy(col("h"))
+      .agg(capped(col("media_id"), col("n")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("media_a"), col("b.doc_id").as("media_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("media_a"), col("media_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared")), 6).as("frame_jaccard"))
+      .filter(col("frame_jaccard") >= minJaccard)
+  }
 }

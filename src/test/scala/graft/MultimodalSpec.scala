@@ -71,4 +71,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(first == 0)
     assert(frames.count() > 0)
   }
+
+  test("frame near-dup pairs a re-encode with one changed frame; exact dedup cannot") {
+    val s = spark
+    import s.implicits._
+    // 8 frames of 32 bytes each; media 2 = media 1 with ONE frame
+    // rewritten (a re-encode artifact) — payload hashes differ, frame
+    // sets share 7/8 (jaccard 7/9 on the union... frame sets: 8 vs 8,
+    // shared 7 -> 7/(8+8-7) = 0.78; use minJaccard 0.7); media 3 is
+    // unrelated footage
+    def block(c: Char) = c.toString * 32
+    val f1 = "abcdefgh".map(block)
+    val f2 = f1.updated(3, block('Z'))
+    val f3 = "qrstuvwx".map(block)
+    val docs = Seq(
+      (1L, f1.mkString, "en", "web"),
+      (2L, f2.mkString, "en", "web"),
+      (3L, f3.mkString, "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val m = Multimodal.syntheticMedia(docs)
+    val pairs = Multimodal.mediaNearDupFrames(m, minJaccard = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"expected only (1,2), got $pairs")
+    assert(math.abs(pairs((1L, 2L)) - 0.777778) < 1e-6)
+    // whole-payload dedup is blind to the re-encode
+    assert(Multimodal.mediaDedup(m).count() == 0)
+  }
 }
