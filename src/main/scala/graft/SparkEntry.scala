@@ -291,6 +291,11 @@ object SparkEntry {
     "embedding_neardup" -> ((s, dir) => VectorOps.nearDupEmbedding(Tables.embeddings(s, dir))),
     "embedding_centroids" -> ((s, dir) => VectorOps.labelCentroids(Tables.embeddings(s, dir))),
     "embedding_clusters" -> ((s, dir) => VectorOps.kmeans(Tables.embeddings(s, dir))),
+    "embedding_drift_psi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.embeddingDriftPsi(
+        emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0))
+    }),
     "cluster_profiles" -> ((s, dir) => VectorOps.clusterProfiles(Tables.embeddings(s, dir))),
     "semantic_dedup_keep" -> ((s, dir) => VectorOps.semanticDedup(Tables.embeddings(s, dir))),
     // incremental dedup on the vector side: vec_id % 10 = 0 is the batch
@@ -531,11 +536,12 @@ object SparkEntry {
     (feat +: steps).mkString(",\n")
   }
 
-  private def duckKmeansCte(k: Int, iters: Int): String = {
+  private def duckKmeansCte(k: Int, iters: Int,
+      source: String = "embeddings"): String = {
     // seed rank = md5(vec_id) with vec_id tie-break — must stay in
     // lockstep with VectorOps.kmeansAssigned's seed selection
     val seeds =
-      s"""emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+      s"""emb AS (SELECT vec_id, embedding AS v FROM $source),
          |cents0 AS (
          |  SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1 AS cid,
          |         v AS c
@@ -1735,6 +1741,34 @@ object SparkEntry {
          |  WHERE round(${duckCosine("ea.v", "eb.v")}, 6) >= 0.45)
          |SELECT a.vec_id, a.cid FROM asg2 a
          |WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
+    "embedding_drift_psi" ->
+      s"""WITH ${duckKmeansCte(8, 2, "(SELECT * FROM embeddings WHERE vec_id % 10 = 0)")},
+         |cur AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id % 10 <> 0),
+         |curscored AS (
+         |  SELECT c.vec_id, s.cid, round(${duckCosine("c.v", "s.c")}, 6) + 0 AS sim
+         |  FROM cur c, cents2 s),
+         |curasg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cid) AS rn FROM curscored) WHERE rn = 1),
+         |refocc AS (SELECT cid, COUNT(*) AS c FROM asg2 GROUP BY 1),
+         |curocc AS (SELECT cid, COUNT(*) AS c FROM curasg GROUP BY 1),
+         |bins AS (SELECT DISTINCT cid FROM (SELECT cid FROM refocc UNION SELECT cid FROM curocc)),
+         |kk AS (SELECT COUNT(*) AS k FROM bins),
+         |tr AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM refocc),
+         |tc AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM curocc),
+         |grid AS (
+         |  SELECT b.cid,
+         |    (COALESCE(r.c, 0) + 0.5::DOUBLE) / (tr.n + 0.5::DOUBLE * kk.k) AS pr,
+         |    (COALESCE(u.c, 0) + 0.5::DOUBLE) / (tc.n + 0.5::DOUBLE * kk.k) AS pc
+         |  FROM bins b
+         |  LEFT JOIN refocc r ON b.cid = r.cid
+         |  LEFT JOIN curocc u ON b.cid = u.cid
+         |  CROSS JOIN kk CROSS JOIN tr CROSS JOIN tc)
+         |SELECT
+         |  round(CAST(SUM(CAST((pc - pr) * ln(pc / pr) AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi,
+         |  (SELECT n FROM tr) AS n_ref, (SELECT n FROM tc) AS n_cur
+         |FROM grid""".stripMargin,
     "embedding_centroids" ->
       """WITH ex AS (
         |  SELECT label, UNNEST(embedding) AS x,

@@ -430,6 +430,50 @@ object VectorOps {
       (cid, c)
     }.toSeq.sortBy(_._1)
 
+  /** Embedding drift between two corpus snapshots — the vector-space
+    * twin of [[graft.ops.TextOps.splitDriftPsi]]: learn centroids on
+    * the REFERENCE snapshot ([[kmeans]], deterministic), assign BOTH
+    * snapshots to those fixed centroids, and PSI the cluster-occupancy
+    * distributions. A new crawl that drifted semantically (topic shift,
+    * new language mix, embedding-model change) moves mass between
+    * clusters even when every lexical statistic looks flat — this is
+    * the standard embedding-space drift alarm for RAG/retrieval
+    * corpora. Same smoothing contract and bands as the other PSI ops.
+    *
+    * Scale shape: centroids are the usual KB driver literal; each
+    * snapshot contributes ONE scan + a k-row occupancy aggregate; the
+    * PSI computes over a 2k-cell literal grid. Returns one row
+    * (psi, n_ref, n_cur). */
+  def embeddingDriftPsi(reference: DataFrame, current: DataFrame,
+      k: Int = 8, iters: Int = 2, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be > 0")
+    val p = prepared(reference)
+    var cents = seedCentroids(p, k)
+    for (_ <- 1 to iters)
+      cents = centroidsFrom(lloydStats(
+        p.withColumn("cid", bestCentroid(cents).getField("cid"))))
+    def occupancy(df: DataFrame): Map[Int, Long] =
+      prepared(df).withColumn("cid", bestCentroid(cents).getField("cid"))
+        .groupBy(col("cid")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ro = occupancy(reference)
+    val co = occupancy(current)
+    val bins = (ro.keySet ++ co.keySet).toSeq.sorted
+    val nr = ro.values.sum
+    val nc = co.values.sum
+    val spark = reference.sparkSession
+    // PSI arithmetic stays IN the plan (over the literal grid) so the
+    // DECIMAL sum + rounding mirror the DuckDB oracle bit for bit
+    val grid = spark
+      .createDataFrame(bins.map(b => (b, ro.getOrElse(b, 0L), co.getOrElse(b, 0L))))
+      .toDF("cid", "c_ref", "c_cur")
+    val pr = (col("c_ref") + lit(alpha)) / (lit(nr) + lit(alpha) * lit(bins.size))
+    val pc = (col("c_cur") + lit(alpha)) / (lit(nc) + lit(alpha) * lit(bins.size))
+    grid.select(((pc - pr) * log(pc / pr)).cast("decimal(28,12)").as("term"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+      .select(col("psi"), lit(nr).as("n_ref"), lit(nc).as("n_cur"))
+  }
+
   /** Per-cluster profile over the [[kmeans]] assignment: size and
     * cohesion (mean / min similarity-to-centroid) — the triage view that
     * tells a curator which clusters are tight topics and which are

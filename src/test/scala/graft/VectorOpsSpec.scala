@@ -267,6 +267,29 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding drift PSI: same-distribution snapshots quiet, a topic shift alarms") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    def blob(center: Int, dims: Int = 16) = Array.tabulate(dims)(d =>
+      (if (d == 4 * center) 10f else 0f) + 0.05f * rnd.nextGaussian().toFloat)
+    // reference: 3 topics evenly mixed over ids
+    val ref = (0 until 60).map(i => (i.toLong, blob(i % 3)))
+    // current A: the same mix — no drift
+    val same = (100 until 160).map(i => (i.toLong, blob(i % 3)))
+    // current B: a topic flood — 90% of mass in topic 0
+    val flood = (200 until 260).map(i =>
+      (i.toLong, blob(if (i % 10 < 9) 0 else 1)))
+    def psi(cur: Seq[(Long, Array[Float])]): Double =
+      VectorOps.embeddingDriftPsi(
+        ref.toDF("vec_id", "embedding"), cur.toDF("vec_id", "embedding"), k = 3)
+        .head().getDouble(0)
+    val quiet = psi(same)
+    val loud = psi(flood)
+    assert(quiet < 0.05, s"same-mix snapshot flagged: $quiet")
+    assert(loud > 0.25, s"topic flood missed: $loud")
+  }
+
   test("kmeans: a second Lloyd iteration does not decrease mean similarity") {
     def meanSim(iters: Int) = VectorOps.kmeans(fixture, k = 4, iters = iters)
       .agg(avg("sim")).collect()(0).getDouble(0)
