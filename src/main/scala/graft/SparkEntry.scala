@@ -6,7 +6,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, lit, when}
 
-import graft.ops.{Analytics, EventOps, ReferenceOps, TextOps, VectorOps, WeeklySummary}
+import graft.ops.{Analytics, EventOps, ReferenceOps, RetrievalEval, TextOps, VectorOps, WeeklySummary}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -136,6 +136,13 @@ object SparkEntry {
     "doc_search_bm25" -> ((s, dir) => TextOps.searchBm25(Tables.documents(s, dir))),
     "doc_search_hybrid" -> ((s, dir) =>
       TextOps.searchHybrid(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    "retrieval_eval_hashed" -> ((s, dir) => {
+      val ranked = TextOps.searchHashedTopK(Tables.documents(s, dir))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val truth = VectorOps.annBruteForce(Tables.embeddings(s, dir))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      RetrievalEval.metrics(ranked, truth)
+    }),
     "doc_quality_logreg" -> ((s, dir) => TextOps.docQualityLogreg(Tables.documents(s, dir))),
     "split_drift_psi" -> ((s, dir) => TextOps.splitDriftPsi(Tables.documents(s, dir))),
     "doc_cross_entropy" -> ((s, dir) => TextOps.docCrossEntropy(Tables.documents(s, dir))),
@@ -1405,6 +1412,54 @@ object SparkEntry {
          |FROM grid g JOIN tr USING (quality_score)
          |WHERE g.split <> 'train' GROUP BY 1""".stripMargin
     },
+    "retrieval_eval_hashed" ->
+      s"""WITH $toksCte,
+         |tf AS (
+         |  SELECT doc_id, token, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+         |  GROUP BY 1, 2),
+         |hh AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hk, tf
+         |       FROM tf),
+         |he AS (
+         |  SELECT doc_id, (hk % 64)::int AS dim,
+         |    sum(((hk >> 32) % 2 * 2 - 1) * tf)::BIGINT AS weight
+         |  FROM hh GROUP BY 1, 2
+         |  HAVING sum(((hk >> 32) % 2 * 2 - 1) * tf) <> 0),
+         |norms AS (SELECT doc_id, sqrt(CAST(SUM(weight * weight) AS DOUBLE)) AS nrm
+         |          FROM he GROUP BY 1),
+         |qq AS (SELECT doc_id AS query_id, dim, weight AS qw FROM he WHERE doc_id < 10),
+         |dots AS (
+         |  SELECT q.query_id, c.doc_id, SUM(q.qw * c.weight) AS dot
+         |  FROM qq q JOIN he c USING (dim) WHERE c.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS INT)
+         |      AS rank
+         |  FROM (SELECT d.query_id, d.doc_id,
+         |          round(CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cos_sim
+         |        FROM dots d JOIN norms nq ON d.query_id = nq.doc_id
+         |                    JOIN norms nc ON d.doc_id = nc.doc_id)),
+         |qd AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |dpairs AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |         round(${duckCosine("qe", "c.embedding")}, 6) AS cos_sim
+         |  FROM qd, embeddings c WHERE c.vec_id != query_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id AS doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rn FROM dpairs)
+         |  WHERE rn <= 5),
+         |tn AS (SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY 1),
+         |hits AS (
+         |  SELECT r.query_id, COUNT(*) AS h, MIN(r.rank) AS first_rank
+         |  FROM ranked r JOIN truth USING (query_id, doc_id)
+         |  WHERE r.rank <= 10 GROUP BY 1)
+         |SELECT tn.query_id, tn.n_truth,
+         |  COALESCE(h, 0) AS n_hits,
+         |  round(COALESCE(h, 0)::DOUBLE / tn.n_truth, 6) AS recall_at_k,
+         |  COALESCE(round(1.0::DOUBLE / first_rank, 6), 0.0) AS reciprocal_rank
+         |FROM tn LEFT JOIN hits USING (query_id)""".stripMargin,
     "doc_quality_logreg" ->
       s"""WITH $toksCte,
          |${duckLogregCte(3, 0.5)}

@@ -969,6 +969,38 @@ object TextOps {
       .filter(col("weight") =!= 0)
   }
 
+  /** Top-k retrieval over the [[docEmbedHash]] sparse vectors — the
+    * cheap text-only proxy for dense-embedding similarity ("more like
+    * this" without an embedding model). Sparse cosine: one dim-keyed
+    * join between the (tiny, broadcastable) query slice and the hashed
+    * index, exact integer dot products, per-query top-k window over the
+    * candidate set. [[RetrievalEval.metrics]] scores this ranking
+    * against dense truth — that pairing is the registered evaluation
+    * query. */
+  def searchHashedTopK(documents: DataFrame, nQueries: Int = 10,
+      kTop: Int = 10, dims: Int = 64): DataFrame = {
+    require(nQueries >= 1 && kTop >= 1, s"bad nQueries=$nQueries / kTop=$kTop")
+    val he = docEmbedHash(documents, dims)
+    val norms = he.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("weight") * col("weight")).cast("double")).as("nrm"))
+    val q = he.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("dim"), col("weight").as("qw"))
+    val dots = broadcast(q).join(he, Seq("dim"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("qw") * col("weight")).as("dot"))
+    val qn = norms.select(col("doc_id").as("query_id"), col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("doc_id"))
+    dots
+      .join(broadcast(qn), Seq("query_id"))
+      .join(norms, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("dot").cast("double") / (col("qn") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+  }
+
   /** Domain-mixture sampling weights over `lang`: per-domain doc/token
     * counts and the temperature-scaled mixture probability
     * p_i ∝ n_tokens_i^α with α = 1/2 — the standard rebalancing between

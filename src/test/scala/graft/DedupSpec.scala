@@ -665,6 +665,27 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.count() == 0, "stop-shingled reference set must emit nothing under the cap")
   }
 
+  test("retrieval metrics: recall@k and RR match hand computation; zero-hit queries surface") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.RetrievalEval
+    // q1: truth {10, 11, 12}; ranked hits 11 at rank 2, 12 at rank 5
+    // q2: truth {20}; ranked top-k misses it entirely
+    // q3: truth {30}; hit at rank 1
+    val ranked = Seq(
+      (1L, 99L, 1), (1L, 11L, 2), (1L, 98L, 3), (1L, 97L, 4), (1L, 12L, 5),
+      (2L, 96L, 1), (2L, 20L, 11), // outside kTop=10
+      (3L, 30L, 1)).toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "doc_id")
+    val m = RetrievalEval.metrics(ranked, truth, kTop = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(1L) == ((3L, 2L, 0.666667, 0.5)), s"q1: ${m(1L)}")
+    assert(m(2L) == ((1L, 0L, 0.0, 0.0)), s"q2 (zero hits) must surface: ${m(2L)}")
+    assert(m(3L) == ((1L, 1L, 1.0, 1.0)), s"q3: ${m(3L)}")
+  }
+
   test("shingles guard: fewer tokens than k yields empty, not garbage") {
     val s = spark
     import s.implicits._
