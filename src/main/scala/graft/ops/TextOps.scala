@@ -77,40 +77,61 @@ object TextOps {
       lr: Double = 0.5): DataFrame = {
     require(iters >= 0, s"iters=$iters must be >= 0")
     require(lr > 0, s"lr=$lr must be > 0")
+    val f = logregFeatures(documents)
+    var w = Array.fill(5)(0.0)
+    for (_ <- 1 to iters) w = logregStep(f, w, lr)
+    logregScore(f, w)
+  }
+
+  /** The classifier's feature frame (doc_id, y, x1..x4) — shared with
+    * the streaming refresh so batch and online training see identical
+    * inputs. All row-local. */
+  private[graft] def logregFeatures(documents: DataFrame): DataFrame = {
     val s = docStats(documents)
     val yCol = ((col("n_tokens").between(20, 100000)).cast("int")
       + (col("stopword_ratio") >= 0.001).cast("int")
       + (col("punct_ratio") <= 0.2).cast("int")
       + (col("digit_ratio") <= 0.3).cast("int") >= 3).cast("int")
-    val f = s.select(col("doc_id"), yCol.as("y"),
+    s.select(col("doc_id"), yCol.as("y"),
       round(log(lit(1L) + col("n_tokens")), 6).as("x1"),
       col("stopword_ratio").as("x2"),
       col("punct_ratio").as("x3"),
       col("digit_ratio").as("x4"))
-    def z(w: Array[Double]): Column =
-      lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
-        lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
-    def p(w: Array[Double]): Column =
-      round(lit(1.0) / (lit(1.0) + exp(-z(w))), 6)
+  }
+
+  /** 6dp-rounded sigmoid of the linear score under weights `w`. */
+  private[graft] def logregProb(w: Array[Double]): Column = {
+    val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** ONE full-batch gradient step over a feature frame: fused 5-sum
+    * DECIMAL aggregation, 6dp-rounded weight update — the unit both
+    * batch training (iterated) and the streaming refresh (one step per
+    * micro-batch) are built from. Empty frames return `w` unchanged. */
+  private[graft] def logregStep(f: DataFrame, w: Array[Double],
+      lr: Double): Array[Double] = {
     def round6(x: Double): Double =
       java.math.BigDecimal.valueOf(x)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    var w = Array.fill(5)(0.0)
     val resid = col("p") - col("y")
     val grads = Seq(resid, resid * col("x1"), resid * col("x2"),
       resid * col("x3"), resid * col("x4"))
       .zipWithIndex.map { case (g, j) => sum(g.cast("decimal(28,12)")).as(s"g$j") }
-    for (_ <- 1 to iters) {
-      val r = f.withColumn("p", p(w))
-        .agg(count(lit(1)).as("n"), grads: _*).collect()(0)
-      val n = r.getLong(0)
-      w = Array.tabulate(5)(j =>
-        round6(w(j) - lr * (r.getDecimal(j + 1).doubleValue / n)))
-    }
-    f.withColumn("p_quality", p(w))
+    val r = f.withColumn("p", logregProb(w))
+      .agg(count(lit(1)).as("n"), grads: _*).collect()(0)
+    val n = r.getLong(0)
+    if (n == 0L) w
+    else Array.tabulate(5)(j =>
+      round6(w(j) - lr * (r.getDecimal(j + 1).doubleValue / n)))
+  }
+
+  /** Score a feature frame under final weights. */
+  private[graft] def logregScore(f: DataFrame, w: Array[Double]): DataFrame =
+    f.withColumn("p_quality", logregProb(w))
       .select(col("doc_id"), col("y"), col("p_quality"),
         (col("p_quality") >= 0.5).cast("int").as("label_pred"))
-  }
 
   /** Repetition-based quality signals — the n-gram subset of the Gopher
     * repetition rules (Rae et al. 2021, §A1.1: "fraction of characters
