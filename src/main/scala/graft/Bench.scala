@@ -20,8 +20,15 @@ object Bench {
     * shape. They are timed and reported under "diagnostics", but
     * excluded from the headline total — no user would run them when the
     * engine's default (`weekly_summary`, cumulative O(n)) computes the
-    * identical result. */
-  private val Diagnostics = Set("weekly_summary_nl", "weekly_summary_sql")
+    * identical result. Same policy for the exact embedding arms: the
+    * all-pairs cartesian (`embedding_neardup`) and the unblocked
+    * inc×corpus pass (`embedding_neardup_delta`) exist as correctness
+    * cross-checks of the LSH-blocked scale paths
+    * (`embedding_neardup_lsh` / `_delta_lsh`) — verify still oracles
+    * them, but the headline stops timing known-quadratic diagnostics. */
+  private val Diagnostics = Set(
+    "weekly_summary_nl", "weekly_summary_sql",
+    "embedding_neardup", "embedding_neardup_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

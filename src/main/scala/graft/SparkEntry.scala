@@ -314,6 +314,13 @@ object SparkEntry {
     // LSH-blocked all-pairs variant (bucket membership not portable —
     // rows-only; VectorOpsSpec pins recall vs the exact pairs)
     "embedding_neardup_lsh" -> ((s, dir) => VectorOps.nearDupEmbeddingLsh(Tables.embeddings(s, dir))),
+    // LSH-blocked incremental arm — the default at scale; the exact
+    // delta pass above is its cross-check (rows-only: bucket recall)
+    "embedding_neardup_delta_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      VectorOps.nearDupEmbeddingIncrementalLsh(
+        e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0))
+    }),
     // LSH path: bucket membership isn't DuckDB-portable — rows-only;
     // VectorOpsSpec asserts recall vs the brute-force truth
     "ann_lsh" -> ((s, dir) => VectorOps.annLsh(Tables.embeddings(s, dir))),
@@ -448,8 +455,9 @@ object SparkEntry {
         .withColumn("media_id", col("media_id") + 10000)
       graft.multimodal.Multimodal.mediaNearDupFrames(media.unionByName(reingest))
     }),
-    // decode path goes through the stubbed codec (not SQL-expressible —
-    // rows-only; determinism/partition-invariance asserted in MultimodalSpec)
+    // decode path goes through the stubbed codec; the projected columns
+    // (type/bytes/FNV-1a checksum) are deterministic byte math the DuckDB
+    // oracle replays — feature vectors stay spec-pinned (MultimodalSpec)
     "media_features" -> ((s, dir) =>
       graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.syntheticMedia(Tables.documents(s, dir)))
@@ -2225,6 +2233,33 @@ object SparkEntry {
          |  MAX(width) AS max_width,
          |  round(CAST(SUM(n_frames) AS BIGINT)::DOUBLE / COUNT(*), 6) AS avg_frames
          |FROM m GROUP BY 1""".stripMargin,
+    // The stub decoder's checksum is plain FNV-1a 64 over the payload
+    // bytes (Multimodal.FakeDecoder) — deterministic byte math, so DuckDB
+    // replays the fold exactly: the corpus is ASCII (unicode(char) = byte),
+    // the accumulator lives in HUGEINT mod 2^64 (BIGINT would overflow on
+    // the ×0x100000001b3), xor touches only the low 8 bits (b < 256), and
+    // the final value re-wraps to signed 64-bit to match Spark's Long.
+    "media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image','audio','video'])[(doc_id % 3 + 1)::int] AS media_type,
+        |         text
+        |  FROM documents),
+        |h AS (
+        |  SELECT media_id, media_type,
+        |         octet_length(encode(text))::INT AS n_bytes,
+        |         list_reduce(
+        |           list_prepend(14695981039346656037::HUGEINT,
+        |             list_transform(list_filter(string_split(text, ''), c -> c != ''),
+        |               c -> unicode(c)::HUGEINT)),
+        |           (acc, b) -> ((xor(acc % 256, b) + acc - (acc % 256))
+        |                        * 1099511628211::HUGEINT)
+        |                       % 18446744073709551616::HUGEINT) AS hh
+        |  FROM m)
+        |SELECT media_id, media_type, n_bytes,
+        |  (CASE WHEN hh >= 9223372036854775808::HUGEINT
+        |        THEN hh - 18446744073709551616::HUGEINT ELSE hh END)::BIGINT AS checksum
+        |FROM h""".stripMargin,
     // payload = utf-8 bytes of text, so DuckDB's md5(text) (over the
     // string's utf-8 bytes) equals Spark's md5(payload) bit-for-bit
     "media_dedup" ->

@@ -80,5 +80,47 @@ object Verify {
       if (stated.isEmpty)
         System.err.println("[verify] README count sentence not found — cannot cross-check")
     }
+    // SURVEY §8 per-query oracle-claim sync (round-5 drift: SURVEY said
+    // `media_features` was oracle-compared while the code registered it
+    // rows-only). Every backticked driver-query token in the §8 coverage
+    // tables claims oracle-compared UNLESS "(rows-only …)" follows the
+    // token before the next backtick; both claim directions are enforced
+    // against SparkEntry.oracleSql, so a SURVEY edit and a query-map edit
+    // can only land together.
+    val survey = Paths.get("SURVEY.md")
+    if (Files.exists(survey)) {
+      val text = Files.readString(survey)
+      val sec = text.indexOf("## 8.")
+      if (sec < 0)
+        System.err.println("[verify] SURVEY §8 not found — cannot cross-check oracle claims")
+      else {
+        val token = "`([a-z0-9_]+)`([^`]*)".r
+        val drift = text.substring(sec).linesIterator
+          .filter(_.startsWith("|"))
+          .map(_.split("\\|"))
+          .filter(_.length > 3)
+          .flatMap(cells => token.findAllMatchIn(cells(3)))
+          .collect {
+            case m if SparkEntry.queries.contains(m.group(1)) =>
+              val name = m.group(1)
+              val claimsRowsOnly = m.group(2).contains("rows-only")
+              if (claimsRowsOnly && SparkEntry.oracleSql.contains(name))
+                Some(s"$name: SURVEY §8 says rows-only but an oracleSql entry exists")
+              else if (!claimsRowsOnly && !SparkEntry.oracleSql.contains(name))
+                Some(s"$name: SURVEY §8 implies oracle-compared but no oracleSql entry")
+              else None
+          }.flatten.toSeq.distinct
+        val claims = text.substring(sec).linesIterator
+          .filter(_.startsWith("|")).map(_.split("\\|")).filter(_.length > 3)
+          .flatMap(cells => token.findAllMatchIn(cells(3)))
+          .count(m => SparkEntry.queries.contains(m.group(1)))
+        println(s"[verify] survey_oracle_claims_checked=$claims drift=${drift.size}")
+        if (drift.nonEmpty) {
+          System.err.println("[verify] SURVEY ORACLE-CLAIM DRIFT:\n  " +
+            drift.mkString("\n  "))
+          sys.exit(3)
+        }
+      }
+    }
   }
 }

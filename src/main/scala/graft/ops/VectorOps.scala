@@ -544,6 +544,49 @@ object VectorOps {
       .distinct()
   }
 
+  /** LSH-blocked incremental embedding near-dup — the 100 TB path for
+    * [[nearDupEmbeddingIncremental]], and the DEFAULT arm for daily
+    * ingest at scale (the exact incremental form stays as its
+    * cross-check, exactly as [[nearDupEmbedding]] cross-checks
+    * [[nearDupEmbeddingLsh]]). The unblocked incremental pass is
+    * delta-proportional but still LINEAR IN CORPUS per batch — every
+    * incoming vector scans every corpus vector. Here both the delta and
+    * the corpus are bucketed by `tables` independent sign-hash tables
+    * and meet in a shuffle equi-join on (table, bucket): per-batch work
+    * collapses to Σ (delta-bucket × corpus-bucket) over near-collinear
+    * groups. Candidate generation moves ids only; vectors re-attach per
+    * unique pair; exact cosine decides membership (precision exact,
+    * recall the standard multi-table LSH guarantee — VectorOpsSpec pins
+    * it against the exact delta arm on planted twins). Pair orientation
+    * normalizes to (min_id, max_id); new×new pairs arise from both join
+    * orientations, hence the distinct on ids before vector fetch. */
+  def nearDupEmbeddingIncrementalLsh(existing: DataFrame, incoming: DataFrame,
+      minCos: Double = 0.45, planes: Int = 6, tables: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val all = prepared(existing.unionByName(incoming))
+    val inc = prepared(incoming)
+    def banded(p: DataFrame, idAs: String): DataFrame = p.select(
+      col("vec_id").as(idAs),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          lshBucket(col("vd"), planes, dims, seed = t).as("b"))): _*)).as("tb"))
+    val cand = banded(inc, "inc_id")
+      .join(banded(all, "cand_id"), Seq("tb"))
+      .filter(col("inc_id") =!= col("cand_id"))
+      .select(
+        least(col("inc_id"), col("cand_id")).as("vec_a"),
+        greatest(col("inc_id"), col("cand_id")).as("vec_b"))
+      .distinct()
+    val va = all.select(col("vec_id").as("vec_a"), col("vd").as("da"), col("nrm").as("na"))
+    val vb = all.select(col("vec_id").as("vec_b"), col("vd").as("db"), col("nrm").as("nb"))
+    cand
+      .join(va, Seq("vec_a"))
+      .join(vb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VecDot(col("da"), col("db")) / (col("na") * col("nb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
   /** LSH-bucketed all-pairs near-dup — the 100 TB path for
     * [[nearDupEmbedding]]: a pair is only compared when it shares a sign
     * bucket in ≥1 of `tables` hash tables (same blocking as [[annLsh]],

@@ -36,6 +36,24 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(inc.nonEmpty, "planted twins (0,100) and (100*, even ids) should pair")
   }
 
+  test("LSH-blocked incremental near-dup: precision exact, recall high vs the exact delta arm") {
+    val incoming = fixture.filter(col("vec_id") % 10 === 0)
+    val existing = fixture.filter(col("vec_id") % 10 =!= 0)
+    val exact = VectorOps.nearDupEmbeddingIncremental(existing, incoming, minCos = 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.nearDupEmbeddingIncrementalLsh(existing, incoming, minCos = 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted twins touching the delta should pair")
+    assert(lsh.subsetOf(exact), "exact-cosine filter must make precision exact")
+    assert((exact & lsh).size.toDouble / exact.size >= 0.99,
+      s"recall ${(exact & lsh).size}/${exact.size}")
+    // every returned pair touches the incoming batch (delta-proportional contract)
+    val incIds = incoming.select("vec_id").collect().map(_.getLong(0)).toSet
+    lsh.foreach { case (a, b) => assert(incIds(a) || incIds(b), s"pair ($a,$b) off-delta") }
+  }
+
   test("label centroids match a driver-side mean") {
     val out = VectorOps.labelCentroids(fixture).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
