@@ -14,17 +14,36 @@ import graft.functions.TextFns._
   */
 object TextOps {
 
+  /** (doc_id, text, norm, toks) — the ONE normalize+tokenize projection
+    * every text stage is built from. [[corpusCuration]] persists it so
+    * its four flag stages share a single scan+tokenize of the corpus
+    * instead of paying the regex normalizer once each; standalone
+    * operators go through it unpersisted (same plan as before, one extra
+    * no-op projection). `normalize` is idempotent, so expressions that
+    * used `normalize(text)` read `norm` unchanged. */
+  private[graft] def tokenized(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"), normalize(col("text")).as("norm"))
+      .select(col("*"), split(col("norm"), " ").as("toks"))
+
   /** Per-document stats: token counts (whitespace + BPE-ish), char
     * counts, stopword/punctuation/digit ratios, mean token length.
     * Ratios rounded to 6dp for engine-portable comparison. */
-  def docStats(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val norm = normalize(col("text"))
+  def docStats(documents: DataFrame): DataFrame =
+    docStatsTok(tokenized(documents))
+
+  /** [[docStats]] over a pre-[[tokenized]] frame. `bpeishTokenCount`
+    * inlines against `norm` (normalize ∘ normalize = normalize, so the
+    * regex sees identical input). */
+  private[graft] def docStatsTok(tok: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val norm = col("norm")
     val nToks = size(toks)
-    documents.select(
+    tok.select(
       col("doc_id"),
       nToks.as("n_tokens"),
-      bpeishTokenCount(col("text")).as("n_tokens_bpe"),
+      size(regexp_extract_all(norm, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("n_tokens_bpe"),
       length(norm).as("n_chars_norm"),
       round(hitCount(toks, StopwordsEn).cast("double") / nToks, 6).as("stopword_ratio"),
       round(size(regexp_extract_all(norm, lit("[^a-z0-9 ]"), lit(0))).cast("double")
@@ -38,8 +57,12 @@ object TextOps {
   /** Quality score in [0,1]: length band + stopword presence − symbol
     * noise. A deterministic, SQL-expressible heuristic of the usual
     * pretraining-filter shape (Gopher-style length/punct/stopword rules). */
-  def docQuality(documents: DataFrame): DataFrame = {
-    val s = docStats(documents)
+  def docQuality(documents: DataFrame): DataFrame =
+    docQualityTok(tokenized(documents))
+
+  /** [[docQuality]] over a pre-[[tokenized]] frame. */
+  private[graft] def docQualityTok(tok: DataFrame): DataFrame = {
+    val s = docStatsTok(tok)
     val lengthOk = col("n_tokens").between(20, 100000)
     val stopOk = col("stopword_ratio") >= 0.001
     val punctOk = col("punct_ratio") <= 0.2
@@ -335,8 +358,24 @@ object TextOps {
     * shingle, then exact jaccard from shared/distinct counts, keep pairs
     * ≥ `minJaccard`. */
   def nearDupJaccard(documents: DataFrame, k: Int = 3,
+      minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame =
+    nearDupJaccardTok(tokenized(documents), k, minJaccard, maxDf)
+
+  /** [[nearDupJaccard]] over a pre-[[tokenized]] frame. */
+  private[graft] def nearDupJaccardTok(tok: DataFrame, k: Int = 3,
       minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
-    TextExprs.register(documents.sparkSession)
+    TextExprs.register(tok.sparkSession)
+    nearDupJaccardSh(
+      tok.select(col("doc_id"),
+        TextExprs.wordShingleHashes(col("toks"), k).as("sh")),
+      minJaccard, maxDf)
+  }
+
+  /** [[nearDupJaccard]] over a pre-shingled (doc_id, sh) frame —
+    * [[corpusCuration]] feeds this from its persisted signature frame so
+    * the shingle md5s are computed exactly once. */
+  private[graft] def nearDupJaccardSh(shf: DataFrame,
+      minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
     // Shingle-set size rides ALONGSIDE each posting entry (an int per row)
     // instead of living in a separate `sizes` frame: that frame would
     // re-shingle the whole corpus in a second subplan and need two
@@ -345,8 +384,7 @@ object TextOps {
     // Shingles leave each row as 60-bit md5 HASHES (8-byte shuffle keys,
     // not ~25-byte strings) — the DuckDB oracle applies the identical
     // hash, so set sizes and shared counts match exactly on both engines.
-    val ex = documents
-      .select(col("doc_id"), TextExprs.wordShingleHashes(tokens(col("text")), k).as("sh"))
+    val ex = shf
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
     // ONE bounded aggregation replaces the classic df-prefilter + join
@@ -478,21 +516,37 @@ object TextOps {
     * portable 60-bit md5 hashes, so the DuckDB oracle applies the
     * identical collision test. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, k: Int = 5,
-      minCollisions: Int = 1): DataFrame = {
+      minCollisions: Int = 1): DataFrame =
+    decontaminateTok(tokenized(corpus), tokenized(evalSet), k, minCollisions)
+
+  /** [[decontaminate]] over pre-[[tokenized]] frames. */
+  private[graft] def decontaminateTok(corpus: DataFrame, evalSet: DataFrame,
+      k: Int = 5, minCollisions: Int = 1): DataFrame = {
     require(k >= 1, s"shingle size k=$k must be >= 1")
     TextExprs.register(corpus.sparkSession)
     def sh(df: DataFrame) = df.select(col("doc_id"),
-      TextExprs.wordShingleHashes(tokens(col("text")), k).as("sh"))
-    val evalShingles = sh(evalSet).select(explode(col("sh")).as("shingle")).distinct()
-    val collisions = sh(corpus).select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .join(evalShingles, Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_collisions"))
-    sh(corpus).select(col("doc_id"), size(col("sh")).as("n_shingles"))
-      .join(collisions, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_collisions"), lit(0L)).as("n_collisions"),
-        (coalesce(col("n_collisions"), lit(0L)) >= minCollisions).cast("int")
-          .as("contaminated"))
+      TextExprs.wordShingleHashes(col("toks"), k).as("sh"))
+    decontaminateSh(sh(corpus), sh(evalSet), minCollisions)
+  }
+
+  /** [[decontaminate]] over pre-shingled (doc_id, sh) frames. ONE corpus
+    * shingle pass: sizes ride alongside the exploded stream
+    * (`explode_outer` keeps zero-shingle docs), collision counts come
+    * from a hit-marker left join against the broadcast eval set — the
+    * previous two-subplan form (semi-join count + a separate sizes
+    * frame) shingled the corpus twice and joined doc-keyed to reunite
+    * them. */
+  private[graft] def decontaminateSh(corpusSh: DataFrame, evalSh: DataFrame,
+      minCollisions: Int = 1): DataFrame = {
+    val evalShingles = evalSh.select(explode(col("sh")).as("shingle")).distinct()
+    corpusSh
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode_outer(col("sh")).as("shingle"))
+      .join(broadcast(evalShingles.withColumn("hit", lit(1))), Seq("shingle"), "left")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_collisions"))
+      .select(col("doc_id"), col("n_shingles"), col("n_collisions"),
+        (col("n_collisions") >= minCollisions).cast("int").as("contaminated"))
   }
 
   /** Greedy keep-list after near-dup pairing: drop every doc that appears
@@ -908,19 +962,53 @@ object TextOps {
     * so the flag joins co-partition; nothing joins wider than
     * (doc_id, flag). */
   def corpusCuration(documents: DataFrame): DataFrame = {
+    TextExprs.register(documents.sparkSession)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val corpus = documents.filter(col("doc_id") % 10 =!= 0)
-    val evalSet = documents.filter(col("doc_id") % 10 === 0)
-    val quality = docQuality(corpus).select(col("doc_id"),
-      (col("quality_score") >= 0.75).cast("int").as("quality_ok"))
-    val canon = documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    // ONE persisted SIGNATURE pass feeds all four flag stages (round-5
+    // plan audit: quality, canonical, near-dup, and decontamination each
+    // re-scanned and re-tokenized `documents`). The persisted frame
+    // holds only what the stages consume — four quality scalars, the
+    // md5 fingerprint, and the two shingle-hash sets (k=3 near-dup,
+    // k=5 decontamination) — so the expensive row-local work (regex
+    // normalize, tokenize, per-shingle md5) runs exactly once per doc
+    // and the cache stores compact longs, never text or token arrays.
+    // Dataset persist defaults to MEMORY_AND_DISK (spills, never
+    // evicts-and-recomputes); Bench/CorpusRun session hygiene frees it.
+    val tok = tokenized(documents)
+    val norm = col("norm")
+    val nToks = size(col("toks"))
+    val sig = tok.select(
+      col("doc_id"),
+      nToks.as("n_tokens"),
+      round(hitCount(col("toks"), StopwordsEn).cast("double") / nToks, 6)
+        .as("stopword_ratio"),
+      round(size(regexp_extract_all(norm, lit("[^a-z0-9 ]"), lit(0))).cast("double")
+        / greatest(length(norm), lit(1)), 6).as("punct_ratio"),
+      round(size(regexp_extract_all(norm, lit("[0-9]"), lit(0))).cast("double")
+        / greatest(length(norm), lit(1)), 6).as("digit_ratio"),
+      md5(norm).as("fp"),
+      TextExprs.wordShingleHashes(col("toks"), 3).as("sh3"),
+      TextExprs.wordShingleHashes(col("toks"), 5).as("sh5")).persist()
+    val corpusSig = sig.filter(col("doc_id") % 10 =!= 0)
+    val evalSig = sig.filter(col("doc_id") % 10 === 0)
+    // same arithmetic as docQuality's quality_score (4-rule mean,
+    // rounded) >= 0.75 — the indicators and rounding are bit-identical
+    val quality = corpusSig.select(col("doc_id"),
+      (round((col("n_tokens").between(20, 100000).cast("double")
+        + (col("stopword_ratio") >= 0.001).cast("double")
+        + (col("punct_ratio") <= 0.2).cast("double")
+        + (col("digit_ratio") <= 0.3).cast("double")) / 4, 6) >= 0.75)
+        .cast("int").as("quality_ok"))
+    val canon = sig.select(col("doc_id"), col("fp"))
       .withColumn("canonical",
         (col("doc_id") === min(col("doc_id")).over(w)).cast("int"))
       .select(col("doc_id"), col("canonical"))
-    val losers = nearDupJaccard(documents)
+    val losers = nearDupJaccardSh(sig.select(col("doc_id"), col("sh3").as("sh")))
       .select(col("doc_b").as("doc_id")).distinct().withColumn("nd_drop", lit(1))
-    val clean = decontaminate(corpus, evalSet).select(col("doc_id"),
-      (col("contaminated") === 0).cast("int").as("clean"))
+    val clean = decontaminateSh(
+      corpusSig.select(col("doc_id"), col("sh5").as("sh")),
+      evalSig.select(col("doc_id"), col("sh5").as("sh")))
+      .select(col("doc_id"), (col("contaminated") === 0).cast("int").as("clean"))
     quality
       .join(canon, Seq("doc_id"))
       .join(clean, Seq("doc_id"))

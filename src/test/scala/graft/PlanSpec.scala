@@ -76,6 +76,21 @@ class PlanSpec extends AnyFunSuite {
       s"pinned pivot must read events exactly once:\n$plan")
   }
 
+  test("corpus curation tokenizes the corpus once: one shared scan, four cache reads") {
+    // round-6 refactor: quality / canonical / near-dup / decontamination
+    // all read ONE persisted signature frame instead of four re-scans of
+    // `documents`. Formatted explain re-prints the cached subtree under
+    // every InMemoryTableScan, but all copies share the same node id —
+    // assert exactly one DISTINCT parquet scan and >=4 cache readers.
+    val plan = planOf(SparkEntry.queries("corpus_keep")(spark, dir))
+    val scanIds = """Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(scanIds.size == 1,
+      s"curation must tokenize the corpus exactly once, saw scans $scanIds:\n$plan")
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 4,
+      s"all four flag stages must read the shared signature cache:\n$plan")
+  }
+
   test("fused upsert round shuffles at week grain only after one pass") {
     // after the fused (week, kind, old) aggregation everything is
     // week-cardinality: no join in the plan may shuffle a fact-side input
