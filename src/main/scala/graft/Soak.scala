@@ -1,0 +1,395 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Scale-soak harness: deterministically inflates the sf0.1 testdata ~N×
+  * (default 10×) and asserts that the engine's costliest plans scale the
+  * way the 100 TB design sheet claims — result-size invariants
+  * (conservation, flag monotonicity via exact ×N sums) and per-query
+  * wall-time growth bounded ~linear in the data. The small-SF oracle
+  * proves CORRECTNESS; this proves the SHAPE: a plan hiding quadratic
+  * work behind sf0.1's fixed overhead cannot hide it at 10×.
+  *
+  * Inflation model — "N× more distinct content", not "N copies":
+  * replica r (0..N-1) offsets every id-like key by r·Stride (Stride is a
+  * multiple of 10, so `doc_id % 10` corpus/eval and split membership is
+  * replica-invariant, and FK pairs offset consistently on both sides);
+  * dimension tables (region, nation) stay single-copy like real dims.
+  * Content is decorrelated per replica, bijectively, so WITHIN-replica
+  * structure is preserved exactly while replicas don't collide:
+  *   - documents.text: per-token Caesar shift by r over letter/digit
+  *     classes, SKIPPING stopword tokens. Length, character classes,
+  *     whitespace, and stopword hits are all preserved — so token
+  *     counts, punct/digit/stopword ratios, and therefore every quality
+  *     flag are bit-identical per replica — while content shingles
+  *     never collide across replicas (shifted alphabets are disjoint
+  *     for r ≠ r' mod 26).
+  *   - embeddings.embedding: deterministic per-replica SIGN FLIPS
+  *     (element j negated iff hash(j, r) is odd). The same flip pattern
+  *     applied to both sides of a pair preserves every within-replica
+  *     dot product and norm EXACTLY (Σ s_j·a_j · s_j·b_j = Σ a_j·b_j),
+  *     while cross-replica products become random-sign sums that
+  *     concentrate near zero. (A cyclic rotation was tried first and
+  *     rejected: the synthetic embeddings have enough low-frequency
+  *     structure that shifted copies stay cosine-similar, producing
+  *     spurious cross-replica near-dup pairs.)
+  *   - facts (orders/lineitem/events): keys offset, timestamps/values
+  *     unchanged — per-week and per-user grains gain exactly N× mass.
+  *
+  * Expected invariants under this model, asserted per query:
+  *   - doc-grain outputs (flags, per-doc scores): rows and flag sums
+  *     exactly ×N (each replica is an isomorphic universe).
+  *   - pair-grain near-dup outputs: ~×N — "Near" with a small tolerance,
+  *     because all-stopword shingles are shared across replicas and a
+  *     shingle whose corpus df sat in (maxDf/N, maxDf] at 1× crosses the
+  *     stop-shingle cap at N× (documented cap semantics, not a bug).
+  *   - grouped-by-fixed-key outputs (weeks, returnflag cells, top-k with
+  *     literal k, k-means with literal k): rows EQUAL, count sums ×N.
+  *   - probabilistic/recall paths (LSH buckets see rotated vectors):
+  *     banded around ×N.
+  * Wall-time bound: t(N×) ≤ 1.5·N · t(1×) per query (generous because
+  * sf0.1 latencies are part fixed overhead — a truly quadratic stage
+  * still bursts through it, see the quarantined exact embedding arms).
+  *
+  * Usage:  graft.Soak [sfDir] [workDir]
+  *   SPARK_GRAFT_SOAK_N=10      inflation factor
+  *   SPARK_GRAFT_SOAK_REPS=3    timing reps per side (median)
+  *   SPARK_GRAFT_SOAK_REUSE=1   reuse workDir/data from a prior run
+  *   SPARK_GRAFT_SOAK_MD=SOAK.md  report path
+  * Exit 1 if any invariant or time bound fails. Writes the markdown
+  * report either way.
+  */
+object Soak {
+
+  /** Replica key offset: far above any base id; multiple of 10 keeps
+    * `% 10` split membership replica-invariant. */
+  private val Stride = 100000000L
+
+  // ---------- invariant rules ----------
+  sealed trait Rule
+  /** exactly N × base */
+  case object TimesN extends Rule
+  /** exactly equal to base (fixed-key grouping / literal top-k) */
+  case object Equal extends Rule
+  /** within ±tol of N × base (cap-boundary effects) */
+  final case class Near(tol: Double) extends Rule
+  /** within [lo, hi] × N × base (probabilistic recall paths) */
+  final case class Band(lo: Double, hi: Double) extends Rule
+  /** report-only (content-dependent size, e.g. learned vocab) */
+  case object Info extends Rule
+
+  final case class Check(name: String, rows: Rule,
+      sumCol: Option[String] = None, sumRule: Rule = TimesN)
+
+  /** The costliest headline queries (round-5 bench tail) plus one
+    * representative per scale-sensitive family; diagnostics-quarantined
+    * quadratic cross-checks are deliberately absent. */
+  private def checks: Seq[Check] = Seq(
+    // text curation composites — the most expensive plans in the engine
+    Check("corpus_keep", TimesN, Some("keep")),
+    Check("corpus_keep_semantic", TimesN, Some("keep"), Info),
+    // near-dup family: pair/cluster grains, stop-shingle cap at the edge
+    Check("neardup_jaccard", Near(0.02)),
+    Check("neardup_keep_best", Near(0.02)),
+    Check("neardup_pagerank", Near(0.05)),
+    Check("neardup_incremental", Near(0.02)),
+    Check("decontaminate", TimesN, Some("contaminated")),
+    Check("dedup_exact", TimesN),
+    Check("dup_passages", Near(0.05)),
+    // vector family: k-means centroids cross replicas by design; LSH
+    // sees rotated replicas through fixed hyperplanes
+    Check("semantic_dedup_keep", Band(0.7, 1.3)),
+    // pair COUNT is report-only by necessity: at minCos=0.45 in 64-dim,
+    // chance collisions among any 10x population of unit vectors are
+    // expected (the sign-flip decorrelation leaves cross-replica cosines
+    // ~N(0, 1/eff-dim), and 0.45 is only ~3.5 sigma) — a property of the
+    // metric space, not the operator. The REAL scale invariant is LSH
+    // recall vs the exact arm on the same inflated data, asserted
+    // separately in [[main]] (does recall survive bucket crowding?).
+    Check("embedding_neardup_lsh", Info),
+    Check("knn_join", Band(0.9, 1.1)),
+    Check("cluster_profiles", Equal),
+    // reference pipeline over the rental view
+    Check("weekly_summary", Equal, Some("newly_rented_during_week")),
+    Check("upsert_round", Equal),
+    // TPC-H-ish analytics at fact scale
+    Check("pricing_summary", Equal, Some("count_order")),
+    Check("top_customers", Equal, None),
+    Check("sole_late_suppliers", Equal), // literal top-10 (Analytics.scala:637)
+    // events: user-disjoint replicas, same timeline
+    Check("events_sessions", TimesN),
+    // content-derived vocabularies: size depends on the shifted text
+    Check("vocab_bpe", Info),
+    Check("doc_search_hybrid", Info))
+
+  // ---------- deterministic content decorrelation ----------
+
+  private val AllStopwords: Set[String] =
+    (graft.functions.TextFns.StopwordsEn ++ graft.functions.TextFns.StopwordsEs
+      ++ graft.functions.TextFns.StopwordsDe ++ graft.functions.TextFns.StopwordsFr).toSet
+
+  /** Per-token Caesar shift preserving length, char classes, whitespace,
+    * and stopword identity (see object doc). Harness-side data
+    * generation only — never a query operator, so a plain Scala UDF is
+    * fine here (it runs once to build the soak dataset, not in any
+    * measured plan). */
+  private[graft] def caesarText(text: String, r: Int): String = {
+    if (r == 0 || text == null) return text
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) { sb.append(c); i += 1 }
+      else {
+        var j = i
+        while (j < text.length && !Character.isWhitespace(text.charAt(j))) j += 1
+        val tok = text.substring(i, j)
+        if (AllStopwords.contains(tok.toLowerCase)) sb.append(tok)
+        else {
+          var k = 0
+          while (k < tok.length) {
+            val ch = tok.charAt(k)
+            sb.append(
+              if (ch >= 'a' && ch <= 'z') (('a' + (ch - 'a' + r) % 26)).toChar
+              else if (ch >= 'A' && ch <= 'Z') (('A' + (ch - 'A' + r) % 26)).toChar
+              else if (ch >= '0' && ch <= '9') (('0' + (ch - '0' + r) % 10)).toChar
+              else ch)
+            k += 1
+          }
+        }
+        i = j
+      }
+    }
+    sb.toString
+  }
+
+  private def offset(cols: String*)(df: DataFrame, r: Int): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * Stride)))
+
+  private def unioned(df: DataFrame, n: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until n).map(r => f(df, r)).reduce(_.unionAll(_))
+
+  /** Write the inflated dataset under `$dataDir/<table>.parquet` (dirs —
+    * [[Tables.table]] reads them like the driver's single files). */
+  def inflate(spark: SparkSession, sfDir: String, dataDir: String, n: Int): Unit = {
+    val caesar = udf((text: String, r: Int) => caesarText(text, r))
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dataDir/$name.parquet")
+      println(s"[soak] inflated $name x$n")
+    }
+    def base(name: String) = Tables.table(spark, sfDir, name)
+    // dims: single copy
+    write("region", base("region"))
+    write("nation", base("nation"))
+    // facts: key offsets only
+    write("customer", unioned(base("customer"), n)(offset("c_custkey")))
+    write("supplier", unioned(base("supplier"), n)(offset("s_suppkey")))
+    write("part", unioned(base("part"), n)(offset("p_partkey")))
+    write("orders", unioned(base("orders"), n)(offset("o_orderkey", "o_custkey")))
+    write("lineitem",
+      unioned(base("lineitem"), n)(offset("l_orderkey", "l_partkey", "l_suppkey")))
+    // events.ts is INT64 nanos — read raw as long (no conversion), write
+    // plain int64; Tables.events' `ts DIV 1000` path reads either form.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    write("events", unioned(base("events"), n)(offset("event_id", "user_id")))
+    // documents: id offset + per-replica Caesar decorrelation
+    write("documents", unioned(base("documents"), n) { (df, r) =>
+      offset("doc_id")(df, r).withColumn("text", caesar(col("text"), lit(r)))
+    })
+    // embeddings: id offset + per-replica sign-flip decorrelation
+    write("embeddings", unioned(base("embeddings"), n) { (df, r) =>
+      val flipped =
+        if (r == 0) col("embedding")
+        else expr(s"transform(embedding, (x, i) -> " +
+          s"IF(pmod(hash(i, $r), 2) = 0, x, -x))")
+      offset("vec_id")(df, r).withColumn("embedding", flipped)
+    })
+  }
+
+  // ---------- measurement ----------
+
+  /** Same hygiene + noop-sink discipline as [[Bench.main]]: cache
+    * cleared, persisted blocks freed, GC nudged; the query runs through
+    * the noop sink so Catalyst can't prune the measured expressions. */
+  private def timeQuery(spark: SparkSession, name: String, dir: String,
+      reps: Int): Double = {
+    val times = (1 to reps).map { _ =>
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    times(times.length / 2)
+  }
+
+  private def measure(spark: SparkSession, c: Check, dir: String,
+      reps: Int): (Double, Long, Option[Double]) = {
+    val sec = timeQuery(spark, c.name, dir, reps)
+    val df = SparkEntry.queries(c.name)(spark, dir)
+    val rows = df.count()
+    val s = c.sumCol.map(sc =>
+      df.agg(sum(col(sc)).cast("double")).head.getDouble(0))
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    (sec, rows, s)
+  }
+
+  private def eval(rule: Rule, baseV: Double, soakV: Double, n: Int): (Boolean, String) = {
+    val exp = baseV * n
+    rule match {
+      case TimesN => (soakV == exp, f"=${n}x")
+      case Equal => (soakV == baseV, "=base")
+      case Near(tol) =>
+        (baseV == 0 && soakV == 0 || exp > 0 && math.abs(soakV / exp - 1) <= tol,
+          f"${n}x±${tol * 100}%.0f%%")
+      case Band(lo, hi) =>
+        (baseV == 0 && soakV == 0 || soakV >= lo * exp && soakV <= hi * exp,
+          f"[$lo%.1f,$hi%.1f]x${n}x")
+      case Info => (true, "info")
+    }
+  }
+
+  // ---------- main ----------
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = args.drop(1).headOption.getOrElse("/tmp/graft_soak")
+    val n = sys.env.getOrElse("SPARK_GRAFT_SOAK_N", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "3").toInt
+    val mdPath = sys.env.getOrElse("SPARK_GRAFT_SOAK_MD", "SOAK.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val maxGrowth = n * sys.env.getOrElse("SPARK_GRAFT_SOAK_SLACK", "1.5").toDouble
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "100")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    GraftSession.install(spark)
+
+    val dataDir = s"$workDir/data"
+    val reuse = sys.env.get("SPARK_GRAFT_SOAK_REUSE").contains("1") &&
+      Files.exists(Paths.get(s"$dataDir/documents.parquet"))
+    if (!reuse) inflate(spark, sfDir, dataDir, n)
+
+    // warmup per input family (mirrors Bench): JIT/codegen state only
+    Seq("weekly_summary", "neardup_jaccard", "ann_topk")
+      .foreach(q => timeQuery(spark, q, sfDir, 1))
+
+    final case class Result(c: Check, tBase: Double, tSoak: Double,
+        rowsBase: Long, rowsSoak: Long, rowsOk: Boolean, rowsLabel: String,
+        sumBase: Option[Double], sumSoak: Option[Double], sumOk: Boolean,
+        timeOk: Boolean)
+
+    val selected = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .fold(checks)(only => checks.filter(c => only(c.name)))
+
+    val results = selected.map { c =>
+      val (tb, rb, sb) = measure(spark, c, sfDir, reps)
+      val (ts, rs, ss) = measure(spark, c, dataDir, reps)
+      val (rOk, rLabel) = eval(c.rows, rb.toDouble, rs.toDouble, n)
+      val sOk = (sb, ss) match {
+        case (Some(b), Some(s)) => eval(c.sumRule, b, s, n)._1
+        case _ => true
+      }
+      val ratio = if (tb > 0) ts / tb else 0.0
+      val tOk = ratio <= maxGrowth
+      println(f"[soak] ${c.name}%-24s rows $rb%8d -> $rs%9d (${rLabel}%-12s ${if (rOk) "ok" else "FAIL"})  " +
+        f"t $tb%6.2f -> $ts%7.2f s (x$ratio%5.2f ≤ $maxGrowth%.0f ${if (tOk) "ok" else "FAIL"})" +
+        (if (!sOk) "  sum FAIL" else ""))
+      Result(c, tb, ts, rb, rs, rOk, rLabel, sb, ss, sOk, tOk)
+    }
+
+    // LSH recall vs the exact arm at BOTH scales: the scale claim for
+    // the banded-signature path is that recall doesn't collapse when
+    // buckets crowd at Nx density. The exact arm is the documented
+    // quadratic cross-check (Bench Diagnostics) — run once per side
+    // here, untimed, as the truth set.
+    def lshRecall(dir: String): (Double, Long, Long) = {
+      val truth = ops.VectorOps.nearDupEmbedding(Tables.embeddings(spark, dir))
+        .select(col("vec_a"), col("vec_b"))
+      val lsh = SparkEntry.queries("embedding_neardup_lsh")(spark, dir)
+        .select(col("vec_a"), col("vec_b"))
+      val nTruth = truth.count()
+      val hit = lsh.join(truth, Seq("vec_a", "vec_b"), "left_semi").count()
+      (if (nTruth == 0) 1.0 else hit.toDouble / nTruth, hit, nTruth)
+    }
+    val runLshRecall = selected.exists(_.name == "embedding_neardup_lsh")
+    val (recallBase, hitB, truthB) = if (runLshRecall) lshRecall(sfDir) else (1.0, 0L, 0L)
+    val (recallSoak, hitS, truthS) = if (runLshRecall) lshRecall(dataDir) else (1.0, 0L, 0L)
+    // floor: within 0.2 of the 1x recall and never below 0.3 absolute
+    val recallOk = !runLshRecall ||
+      (recallSoak >= recallBase - 0.2 && recallSoak >= 0.3)
+    if (runLshRecall)
+      println(f"[soak] lsh_recall_vs_exact 1x $recallBase%.3f ($hitB/$truthB) -> " +
+        f"${n}x $recallSoak%.3f ($hitS/$truthS) ${if (recallOk) "ok" else "FAIL"}")
+
+    // CorpusRun end-to-end at both scales: the funnel must narrow the
+    // same way (stage counts ~xN) and finish inside the same growth
+    // bound as the queries. PSI gate failure exits 2 via CorpusRun.
+    def corpusRun(dir: String, out: String): (Double, Map[String, Long]) = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val t0 = System.nanoTime()
+      CorpusRun.main(Array(dir, out))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val report = spark.read.parquet(s"$out/report.parquet")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (sec, report)
+    }
+    val (crBase, repBase) = corpusRun(sfDir, s"$workDir/corpus_base")
+    val (crSoak, repSoak) = corpusRun(dataDir, s"$workDir/corpus_soak")
+    val crRatio = crSoak / crBase
+    val crTimeOk = crRatio <= maxGrowth
+    // stage conservation: every funnel stage within ±2% of xN (the
+    // near-dup keeper sits behind the same stop-shingle cap as above)
+    val crStages = repBase.keys.toSeq.sorted.map { st =>
+      val (b, s) = (repBase(st), repSoak.getOrElse(st, -1L))
+      val ok = b == 0 && s == 0 || math.abs(s.toDouble / (b.toDouble * n) - 1) <= 0.02
+      (st, b, s, ok)
+    }
+    println(f"[soak] CorpusRun t $crBase%6.2f -> $crSoak%7.2f s (x$crRatio%5.2f) " +
+      s"stages ${if (crStages.forall(_._4)) "ok" else "FAIL"}")
+
+    val failed = results.filterNot(r => r.rowsOk && r.sumOk && r.timeOk).map(_.c.name) ++
+      (if (recallOk) Nil else Seq("lsh_recall_vs_exact")) ++
+      (if (crTimeOk && crStages.forall(_._4)) Nil else Seq("corpus_run"))
+
+    val md = new StringBuilder
+    md ++= s"# SOAK — ${n}x scale soak of sf0.1\n\n"
+    md ++= s"Deterministic ${n}x inflation of `$sfDir` (id-offset replicas; Caesar-decorrelated\n"
+    md ++= s"text, sign-flip-decorrelated embeddings, single-copy dims — see `graft.Soak` doc).\n"
+    md ++= s"Timings are medians of $reps noop-sink reps on local[$cpus]; bound t(${n}x) ≤ ${maxGrowth.toInt}·t(1x).\n\n"
+    md ++= "| query | rows 1x | rows ${n}x | rule | rows ok | t 1x (s) | t ${n}x (s) | ratio | time ok |\n".replace("${n}", n.toString)
+    md ++= "|---|---|---|---|---|---|---|---|---|\n"
+    results.foreach { r =>
+      md ++= f"| ${r.c.name} | ${r.rowsBase} | ${r.rowsSoak} | ${r.rowsLabel} | ${if (r.rowsOk && r.sumOk) "yes" else "**FAIL**"} " +
+        f"| ${r.tBase}%.2f | ${r.tSoak}%.2f | ${r.tSoak / r.tBase}%.2f | ${if (r.timeOk) "yes" else "**FAIL**"} |\n"
+    }
+    if (runLshRecall)
+      md ++= f"\nLSH recall vs exact arm (same inflated data): 1x $recallBase%.3f ($hitB/$truthB) -> ${n}x $recallSoak%.3f ($hitS/$truthS) — ${if (recallOk) "ok" else "**FAIL**"}\n"
+    md ++= f"\nCorpusRun end-to-end: ${crBase}%.2f s -> ${crSoak}%.2f s (x${crRatio}%.2f, bound ${maxGrowth.toInt}) — ${if (crTimeOk) "ok" else "**FAIL**"}\n\n"
+    md ++= "| stage | docs 1x | docs ${n}x | ok |\n|---|---|---|---|\n".replace("${n}", n.toString)
+    crStages.foreach { case (st, b, s, ok) =>
+      md ++= s"| $st | $b | $s | ${if (ok) "yes" else "**FAIL**"} |\n"
+    }
+    md ++= (if (failed.isEmpty) "\nAll scale invariants green.\n"
+      else s"\nFAILED: ${failed.mkString(", ")}\n")
+    Files.writeString(Paths.get(mdPath), md.toString)
+    println(s"[soak] report -> $mdPath${if (failed.isEmpty) "" else s"  FAILED: ${failed.mkString(",")}"}")
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}
