@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit, when}
+import org.apache.spark.sql.functions.{col, concat, lit, translate, when}
 
 import graft.ops.{Analytics, EventOps, ReferenceOps, RetrievalEval, TextOps, VectorOps, WeeklySummary}
 
@@ -454,6 +454,21 @@ object SparkEntry {
         .syntheticMedia(docs.filter(col("doc_id") % 7 === 3))
         .withColumn("media_id", col("media_id") + 10000)
       graft.multimodal.Multimodal.mediaNearDupFrames(media.unionByName(reingest))
+    }),
+    // perceptual frame near-dup: the re-ingested copies pass through a
+    // brightness-shift re-encode (every letter +1 ASCII — an
+    // order-preserving byte map), so every frame md5 differs while byte
+    // GRADIENTS are untouched; only the dHash variant pairs them
+    "media_neardup_dhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val media = graft.multimodal.Multimodal.syntheticMedia(docs)
+      val reenc = graft.multimodal.Multimodal
+        .syntheticMedia(docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", translate(col("text"),
+            "abcdefghijklmnopqrstuvwxyz", "bcdefghijklmnopqrstuvwxyz{")))
+        .withColumn("media_id", col("media_id") + 10000)
+      graft.multimodal.Multimodal
+        .mediaNearDupPerceptual(media.unionByName(reenc))
     }),
     // decode path goes through the stubbed codec; the projected columns
     // (type/bytes/FNV-1a checksum) are deterministic byte math the DuckDB
@@ -2296,6 +2311,40 @@ object SparkEntry {
         |      FROM f),
         |fr AS (SELECT DISTINCT media_id, md5(substr(text, i*32 + 1, 32)) AS h
         |       FROM s WHERE length(substr(text, i*32 + 1, 32)) > 0),
+        |sz AS (SELECT media_id, COUNT(*) AS n FROM fr GROUP BY 1),
+        |ok AS (SELECT h FROM fr GROUP BY 1 HAVING COUNT(*) <= 100),
+        |fx AS (SELECT fr.media_id, fr.h FROM fr JOIN ok USING (h)),
+        |sc AS (SELECT a.media_id AS media_a, b.media_id AS media_b, COUNT(*) AS shared
+        |       FROM fx a JOIN fx b ON a.h = b.h AND a.media_id < b.media_id
+        |       GROUP BY 1, 2)
+        |SELECT sc.media_a, sc.media_b, sc.shared, sa.n AS n_a, sb.n AS n_b,
+        |       round(shared::double / (sa.n + sb.n - shared), 6) AS frame_jaccard
+        |FROM sc JOIN sz sa ON media_a = sa.media_id
+        |         JOIN sz sb ON media_b = sb.media_id
+        |WHERE round(shared::double / (sa.n + sb.n - shared), 6) >= 0.8""".stripMargin,
+    // identical frame/index/jaccard scaffold; the hash is the integer
+    // byte-gradient dHash (bit j set iff byte j < byte j+1), which DuckDB
+    // replays exactly via ord() over the ASCII payload — the reingested
+    // branch applies the same letter+1 brightness shift as the Spark side
+    "media_neardup_dhash" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS media_id,
+        |         translate(text, 'abcdefghijklmnopqrstuvwxyz',
+        |                   'bcdefghijklmnopqrstuvwxyz{') AS text
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |f AS (SELECT media_id, text, length(text) // 32 AS n_frames FROM m),
+        |s AS (SELECT media_id, text,
+        |        UNNEST(generate_series(0, greatest(CAST(n_frames AS INT) - 1, 0))) AS i
+        |      FROM f),
+        |fb AS (SELECT media_id, substr(text, i*32 + 1, 32) AS fs FROM s
+        |       WHERE length(substr(text, i*32 + 1, 32)) > 0),
+        |fr AS (SELECT DISTINCT media_id,
+        |         coalesce(list_sum(list_transform(range(least(length(fs) - 1, 62)),
+        |           j -> CASE WHEN ord(substr(fs, j + 1, 1)) < ord(substr(fs, j + 2, 1))
+        |                     THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0) AS h
+        |       FROM fb),
         |sz AS (SELECT media_id, COUNT(*) AS n FROM fr GROUP BY 1),
         |ok AS (SELECT h FROM fr GROUP BY 1 HAVING COUNT(*) <= 100),
         |fx AS (SELECT fr.media_id, fr.h FROM fr JOIN ok USING (h)),

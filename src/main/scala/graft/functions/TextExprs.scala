@@ -276,6 +276,48 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
+  /** Byte-gradient kernel for [[FrameDHash]]: bit j set iff
+    * byte[j] < byte[j+1] (unsigned), up to `maxBits` comparisons. */
+  def frameDHashKernel(bytes: Array[Byte], maxBits: Int): Long = {
+    val n = math.min(bytes.length - 1, maxBits)
+    var h = 0L
+    var j = 0
+    while (j < n) {
+      if ((bytes(j) & 0xff) < (bytes(j + 1) & 0xff)) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  /** Perceptual hash of an opaque media frame, dHash-shaped: one sign
+    * bit per adjacent-byte GRADIENT instead of a hash of the bytes
+    * themselves. Invariant under any strictly order-preserving per-byte
+    * transform — brightness offset, gain, quantizer shift — which is
+    * exactly what defeats md5-exact frame matching
+    * ([[graft.multimodal.Multimodal.mediaNearDupFrames]]): a re-encode
+    * changes every byte but no gradient sign. Integer-exact (strict
+    * unsigned compare, no floats), so the DuckDB oracle replays it via
+    * `ord(substr(...))` over the ASCII stub payloads. A real image
+    * pipeline computes the same shape over downsampled luma rows; this
+    * expression is that kernel at the stub decoder's byte granularity.
+    * ≤ `maxBits`+1 bytes contribute — 62 keeps the hash in a positive
+    * long for frames up to 63 bytes (frameSize 32 uses 31 bits). */
+  case class FrameDHash(child: Expression, maxBits: Int = 62) extends UnaryExpression {
+    require(maxBits > 0 && maxBits <= 62, s"maxBits must be in (0,62], got $maxBits")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "frame_dhash"
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        frameDHashKernel(input.asInstanceOf[Array[Byte]], maxBits))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextExprs.frameDHashKernel($c, $maxBits);")
+
+    override protected def withNewChildInternal(c: Expression): FrameDHash = copy(child = c)
+  }
+
   /** Distinct positional word k-grams as 60-bit md5 hashes — the
     * [[WordShingles]] set with each shingle collapsed to
     * `('0x'||substr(md5(g),1,15))::BIGINT` before it ever leaves the row.
@@ -440,6 +482,8 @@ object TextExprs {
       (exprs => ChunkRows(exprs(0), exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int])),
     "repetition_stats" -> (exprs => RepetitionStats(exprs(0))),
+    "frame_dhash" ->
+      (exprs => FrameDHash(exprs(0), exprs(1).eval().asInstanceOf[Int])),
     VecDot.FnName -> (exprs => VecDot(exprs(0), exprs(1))))
 
   /** Idempotent registration of all graft expressions (incl. [[VecDot]])
@@ -468,4 +512,6 @@ object TextExprs {
     call_function("chunk_rows", toks, lit(chunkLen), lit(overlap))
   def repetitionStats(toks: Column): Column =
     call_function("repetition_stats", toks)
+  def frameDHash(frame: Column, maxBits: Int = 62): Column =
+    call_function("frame_dhash", frame, lit(maxBits))
 }

@@ -195,9 +195,43 @@ object Multimodal {
     * emitted row-locally from each capped posting list. Payload bytes
     * never shuffle; only (hash, id, n) rows do. */
   def mediaNearDupFrames(media: DataFrame, frameSize: Int = 32,
+      minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame =
+    frameJaccardPairs(
+      sampleFrames(media, frameSize = frameSize, stride = 1)
+        .select(col("media_id"), md5(col("frame")).as("h")),
+      minJaccard, maxDf)
+
+  /** PERCEPTUAL near-dup media — [[mediaNearDupFrames]] with the
+    * byte-gradient [[graft.functions.TextExprs.FrameDHash]] in place of
+    * md5 frame checksums. The exact variant is blind to any re-encode
+    * that touches bytes (a brightness offset changes every md5); the
+    * gradient hash keys on adjacent-byte SIGN structure, which an
+    * order-preserving re-encode (offset, gain, quantizer shift) leaves
+    * bit-identical — so a re-ingested brightness-shifted copy pairs
+    * with its original at frame_jaccard 1.0 while md5 matching and
+    * [[mediaDedup]] both report nothing (MultimodalSpec pins exactly
+    * this contrast). Same scale shape: the inverted index shuffles
+    * (8-byte hash, id, n) rows, payloads never leave their partitions.
+    * Limit shared with every exact-key perceptual index: per-byte
+    * RANDOM noise flips near-tie gradients, which needs Hamming-banded
+    * matching (the SimHash band-join shape) rather than key equality. */
+  def mediaNearDupPerceptual(media: DataFrame, frameSize: Int = 32,
       minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
-    val sets = sampleFrames(media, frameSize = frameSize, stride = 1)
-      .select(col("media_id"), md5(col("frame")).as("h"))
+    graft.functions.TextExprs.register(media.sparkSession)
+    frameJaccardPairs(
+      sampleFrames(media, frameSize = frameSize, stride = 1)
+        .select(col("media_id"),
+          graft.functions.TextExprs.frameDHash(col("frame")).as("h")),
+      minJaccard, maxDf)
+  }
+
+  /** Shared tail of the frame-set jaccard family: distinct per-media
+    * hash sets → bounded inverted index on the hash key → row-local
+    * pair emission → exact jaccard ≥ `minJaccard`. `hashed` is
+    * (media_id, h) at frame grain; the hash type just needs equality. */
+  private def frameJaccardPairs(hashed: DataFrame, minJaccard: Double,
+      maxDf: Int): DataFrame = {
+    val sets = hashed
       .groupBy(col("media_id")).agg(collect_set(col("h")).as("hs"))
       .select(col("media_id"), size(col("hs")).as("n"),
         explode(col("hs")).as("h"))

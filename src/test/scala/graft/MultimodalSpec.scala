@@ -96,4 +96,30 @@ class MultimodalSpec extends AnyFunSuite {
     // whole-payload dedup is blind to the re-encode
     assert(Multimodal.mediaDedup(m).count() == 0)
   }
+
+  test("perceptual near-dup: a brightness-shifted re-encode pairs at 1.0; md5 frames and exact dedup stay blind") {
+    val s = spark
+    import s.implicits._
+    // media 2 = media 1 through a uniform "brightness" re-encode: every
+    // letter byte +1 (an order-preserving byte map, the codec analog of
+    // an exposure/quantizer offset). EVERY byte of every frame differs,
+    // so md5 frame sets share nothing and payload md5s differ — but no
+    // adjacent-byte gradient changes sign, so the dHash frame sets are
+    // identical. media 3 is unrelated footage.
+    val t1 = ("the quick brown fox jumps over lazy dogs " * 12).trim
+    val t2 = t1.map(c => if (c >= 'a' && c <= 'z') (c + 1).toChar else c)
+    val t3 = ("packs my box with five dozen liquor jugs " * 12).trim
+    val docs = Seq(
+      (1L, t1, "en", "web"),
+      (2L, t2, "en", "web"),
+      (3L, t3, "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val m = Multimodal.syntheticMedia(docs)
+    val pairs = Multimodal.mediaNearDupPerceptual(m)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"expected only (1,2), got $pairs")
+    assert(pairs((1L, 2L)) == 1.0, s"gradient sets must be identical: $pairs")
+    // the exact-key variants are blind to the same re-encode
+    assert(Multimodal.mediaNearDupFrames(m).count() == 0)
+    assert(Multimodal.mediaDedup(m).count() == 0)
+  }
 }
