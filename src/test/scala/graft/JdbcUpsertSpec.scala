@@ -166,4 +166,64 @@ class JdbcUpsertSpec extends AnyFunSuite {
     assert(JdbcUpsert.dialectFor("jdbc:oracle:thin:@x") === JdbcUpsert.AnsiMerge)
     assert(JdbcUpsert.dialectFor("jdbc:derby:memory:x") === JdbcUpsert.UpdateInsert)
   }
+
+  test("PG dialect reproduces the reference weekly_rental_summary upsert column-for-column") {
+    // The reference's literal statement, quoted verbatim from
+    // etl_script_incremental_pandas.py:249-260. No Postgres exists in
+    // this container to execute either statement, so the tie to the
+    // reference is structural: same insert column list in the same
+    // order, same conflict target, same update-set column set — parsed
+    // from both statements, not eyeballed.
+    val reference =
+      """INSERT INTO weekly_rental_summary (
+        |    week_beginning, "OutstandingRentals", "ReturnedRentals",
+        |    newly_rented_during_week, net_change_in_outstanding, last_updated
+        |) VALUES (%s, %s, %s, %s, %s, CURRENT_TIMESTAMP)
+        |ON CONFLICT (week_beginning) DO UPDATE SET
+        |    "OutstandingRentals" = EXCLUDED."OutstandingRentals",
+        |    "ReturnedRentals" = EXCLUDED."ReturnedRentals",
+        |    newly_rented_during_week = EXCLUDED.newly_rented_during_week,
+        |    net_change_in_outstanding = EXCLUDED.net_change_in_outstanding,
+        |    last_updated = CURRENT_TIMESTAMP;""".stripMargin
+    // OUR statement, generated from the REAL rollup schema the engine
+    // ships (IncrementalWeeklySummary.summarySchema — the same StructType
+    // CatalogDdl creates and IncrementalRun syncs), not a test fixture.
+    val ours = JdbcUpsert.upsertSql(JdbcUpsert.PostgresOnConflict,
+      "weekly_rental_summary",
+      graft.incremental.IncrementalWeeklySummary.summarySchema,
+      Seq("week_beginning"))
+
+    def strip(sql: String) = sql.replace("\"", "").replace(";", "")
+    def insertCols(sql: String): Seq[String] =
+      """(?s)INSERT INTO \S+\s*\(([^)]*)\)""".r
+        .findFirstMatchIn(strip(sql)).get.group(1)
+        .split(",").map(_.trim).toSeq
+    def conflictKeys(sql: String): Seq[String] =
+      """ON CONFLICT\s*\(([^)]*)\)""".r
+        .findFirstMatchIn(strip(sql)).get.group(1)
+        .split(",").map(_.trim).toSeq
+    def setAssignments(sql: String): Map[String, String] =
+      """(?s)DO UPDATE SET(.*)""".r
+        .findFirstMatchIn(strip(sql)).get.group(1)
+        .split(",").map(_.trim).filter(_.nonEmpty)
+        .map { a => val Array(l, r) = a.split("=", 2); (l.trim, r.trim) }
+        .toMap
+
+    assert(insertCols(ours) === insertCols(reference)) // same order too
+    assert(conflictKeys(ours) === Seq("week_beginning"))
+    assert(conflictKeys(ours) === conflictKeys(reference))
+    assert(setAssignments(ours).keySet === setAssignments(reference).keySet)
+    // every shared value column updates from EXCLUDED in both; the ONE
+    // deliberate divergence is last_updated's binding — the reference
+    // writes CURRENT_TIMESTAMP inline, the engine binds the run's `now`
+    // parameter (SURVEY.md F9: deterministic audit timestamps), so both
+    // set the same column from their notion of "this run's time"
+    setAssignments(reference).foreach { case (c, rhs) =>
+      if (c == "last_updated") {
+        assert(rhs === "CURRENT_TIMESTAMP")
+        assert(setAssignments(ours)(c) === "EXCLUDED.last_updated")
+      } else assert(setAssignments(ours)(c) === rhs,
+        s"$c must update from EXCLUDED like the reference")
+    }
+  }
 }
