@@ -154,6 +154,21 @@ object Bench {
       "\"" + n + "\":{\"median\":" + median(samples(n)) + ",\"min\":" + mn +
         ",\"max\":" + mx + "}"
     }.mkString("{", ",", "}")
+    // Operational mains (IncrementalRun cold/warm, StreamingRun drain)
+    // are timed as their own non-headline section: they measure the
+    // maintenance paths a resident engine actually runs (state upsert,
+    // watermark advance, micro-batch drain), not a query plan.
+    val opSamples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    // A red query must be LOUD, not a -1 that quietly shrinks the sum:
+    // round 6/7 shipped headline totals over 112/150 queries because 38
+    // failures only ever appeared as negative medians nobody summed. Any
+    // query whose reps ALL errored lands in "failed" and flips the
+    // process exit code — the driver's artifact turns visibly red.
+    def failedNames: Seq[String] =
+      (order ++ opSamples.keys.toSeq.sorted)
+        .filter(n => (samples(n) ++ opSamples(n)).nonEmpty &&
+          (samples(n) ++ opSamples(n)).forall(_ < 0))
     def currentJson(repsDone: Int): String = {
       val results = order.map(n => n -> median(samples(n)))
       val (diag, headline) = results.partition(r => Diagnostics(r._1))
@@ -163,7 +178,10 @@ object Bench {
       // adds the diagnostics back so the number is comparable to a plain
       // sum over every query.
       val allTotal = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$repsDone,"all_queries_total":$allTotal,"queries":${render(headline)},"diagnostics":${render(diag)},"stats":${renderStats(order)},"sf":"$sfDir"}"""
+      val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val operational = opSamples.keys.toSeq.sorted
+        .map(n => "\"" + n + "\":" + median(opSamples(n))).mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$repsDone,"queries_total":${order.size},"queries_failed":${failedNames.size},"failed":$failed,"all_queries_total":$allTotal,"queries":${render(headline)},"diagnostics":${render(diag)},"operational":$operational,"stats":${renderStats(order)},"sf":"$sfDir"}"""
     }
     // The JSON goes to its OWN file as well as stdout: round 3's tail
     // capture started mid-line and truncated the first ~41 per-query
@@ -187,7 +205,47 @@ object Bench {
         flush(reps) // after every query: a killed run still has complete medians so far
       }
     }
+    // ---- operational mains (round-5 task 8): cold incremental build,
+    // warm-delta no-op re-run (watermark advance only), and a full
+    // streaming micro-batch drain with convergence check. Each rep gets
+    // a FRESH state/work dir for the cold paths; the warm run reuses the
+    // state its rep's cold run just built. The mains reuse this session
+    // (embeddable-main protocol) — a divergence/DQ failure throws and
+    // lands in `failed` like any red query. Skipped when SPARK_GRAFT_ONLY
+    // narrows to queries; SPARK_GRAFT_ONLY=operational runs just this.
+    val runOperational = sys.env.get("SPARK_GRAFT_ONLY")
+      .fold(true)(only => only.split(",").map(_.trim).contains("operational"))
+    if (runOperational) {
+      def opExec(name: String)(body: => Unit): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
+        val t0 = System.nanoTime()
+        val sec =
+          try { body; (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] operational $name failed: ${e.getMessage}")
+            -1.0
+          }
+        opSamples(name) = opSamples(name) :+ sec
+        System.err.println(f"[bench] operational $name%-20s $sec%8.2f s")
+      }
+      (1 to reps).foreach { r =>
+        System.err.println(s"[bench] === operational rep $r/$reps ===")
+        val incDir = java.nio.file.Files.createTempDirectory("graft-bench-inc").toString
+        opExec("incremental_cold")(IncrementalRun.main(Array(sfDir, incDir)))
+        opExec("incremental_warm")(IncrementalRun.main(Array(sfDir, incDir)))
+        val strDir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+        opExec("streaming_drain")(StreamingRun.main(Array(sfDir, strDir, "4")))
+      }
+      flush(reps)
+    }
     println(currentJson(reps))
     spark.stop()
+    if (failedNames.nonEmpty) {
+      System.err.println(s"[bench] RED: ${failedNames.size} queries failed every rep: " +
+        failedNames.mkString(", "))
+      sys.exit(2)
+    }
   }
 }

@@ -40,6 +40,11 @@ object IncrementalRun {
       if (args.length > 2 && args(2) == "strict") ConsistencyMode.Strict
       else ConsistencyMode.Faithful
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // embeddable main (same protocol as [[CorpusRun]]): when a session
+    // already exists (Bench timing the operational path, a spec), reuse
+    // it, leave its lifecycle to the owner, and signal failure by
+    // throwing instead of exiting the shared JVM
+    val owned = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isEmpty
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,8 +77,8 @@ object IncrementalRun {
           println(s"[incremental] DQ gate passed (${checks.length} checks)")
         else if (gate == "fail" && failed.exists(_.getBoolean(3))) {
           println("[incremental] DQ gate failed - aborting before state mutation")
-          spark.stop()
-          sys.exit(2)
+          if (owned) { spark.stop(); sys.exit(2) }
+          else sys.error("DQ gate failed - aborting before state mutation")
         }
       // a typo'd mode must not silently degrade a safety gate to warn
       case other => sys.error(
@@ -104,6 +109,6 @@ object IncrementalRun {
       JdbcUpsert.upsert(wmRow, url, "etl_watermarks", Seq("process_name"), props)
       println(s"[incremental] rollup upsert -> $url ($table, etl_watermarks)")
     }
-    spark.stop()
+    if (owned) spark.stop()
   }
 }

@@ -27,15 +27,23 @@ import java.nio.file.{Files, Paths}
   *     flag are bit-identical per replica — while content shingles
   *     never collide across replicas (shifted alphabets are disjoint
   *     for r ≠ r' mod 26).
-  *   - embeddings.embedding: deterministic per-replica SIGN FLIPS
-  *     (element j negated iff hash(j, r) is odd). The same flip pattern
-  *     applied to both sides of a pair preserves every within-replica
-  *     dot product and norm EXACTLY (Σ s_j·a_j · s_j·b_j = Σ a_j·b_j),
-  *     while cross-replica products become random-sign sums that
-  *     concentrate near zero. (A cyclic rotation was tried first and
-  *     rejected: the synthetic embeddings have enough low-frequency
-  *     structure that shifted copies stay cosine-similar, producing
-  *     spurious cross-replica near-dup pairs.)
+  *   - embeddings.embedding: deterministic per-replica DIMENSION
+  *     PERMUTATION composed with SIGN FLIPS (seeded by replica index).
+  *     Both maps are orthogonal, so every within-replica dot product
+  *     and norm is preserved up to FP summation order (the products are
+  *     the same multiset, summed in permuted order — ≤1 ulp-scale
+  *     jitter, absorbed by the pair rules' tolerances). Cross-replica:
+  *     sign flips alone proved insufficient (round 6 measured 18,003
+  *     exact pairs at 10x vs ~1,440 expected — the synthetic embeddings
+  *     carry enough per-coordinate structure that same-coordinate
+  *     products keep a coherent sign), because flips leave each
+  *     coordinate aligned with itself. The permutation destroys that
+  *     alignment: coordinate i of one replica meets an unrelated
+  *     coordinate π(i) of another, and the cross cosine becomes a
+  *     random-sign mixture. (A cyclic rotation was tried first and
+  *     rejected for the same low-frequency-structure reason.) The
+  *     residual cross-replica pair mass is MEASURED and asserted <1% of
+  *     within-replica mass in [[main]].
   *   - facts (orders/lineitem/events): keys offset, timestamps/values
   *     unchanged — per-week and per-user grains gain exactly N× mass.
   *
@@ -102,14 +110,13 @@ object Soak {
     // vector family: k-means centroids cross replicas by design; LSH
     // sees rotated replicas through fixed hyperplanes
     Check("semantic_dedup_keep", Band(0.7, 1.3)),
-    // pair COUNT is report-only by necessity: at minCos=0.45 in 64-dim,
-    // chance collisions among any 10x population of unit vectors are
-    // expected (the sign-flip decorrelation leaves cross-replica cosines
-    // ~N(0, 1/eff-dim), and 0.45 is only ~3.5 sigma) — a property of the
-    // metric space, not the operator. The REAL scale invariant is LSH
-    // recall vs the exact arm on the same inflated data, asserted
-    // separately in [[main]] (does recall survive bucket crowding?).
-    Check("embedding_neardup_lsh", Info),
+    // banded, not exact-xN: replicas reach the fixed LSH hyperplanes
+    // through different orthogonal maps, so per-replica bucket recall
+    // varies; the band bounds that variance while still failing on
+    // collapse or cross-replica pair pollution (the perm∘sign-flip
+    // decorrelation keeps measured cross-replica pair mass <1% — the
+    // direct assertion lives in [[main]] next to the recall check).
+    Check("embedding_neardup_lsh", Band(0.5, 1.6)),
     Check("knn_join", Band(0.9, 1.1)),
     Check("cluster_profiles", Equal),
     // reference pipeline over the rental view
@@ -191,21 +198,35 @@ object Soak {
     write("orders", unioned(base("orders"), n)(offset("o_orderkey", "o_custkey")))
     write("lineitem",
       unioned(base("lineitem"), n)(offset("l_orderkey", "l_partkey", "l_suppkey")))
-    // events.ts is INT64 nanos — read raw as long (no conversion), write
-    // plain int64; Tables.events' `ts DIV 1000` path reads either form.
+    // events.ts passes through untouched in whatever physical type the
+    // source uses (int64-nanos legacy or timestamp[us]); Tables.events'
+    // schema-adaptive ingest reads either form. nanosAsLong keeps the raw
+    // read viable on legacy nanos inputs and is a no-op on MICROS.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     write("events", unioned(base("events"), n)(offset("event_id", "user_id")))
     // documents: id offset + per-replica Caesar decorrelation
     write("documents", unioned(base("documents"), n) { (df, r) =>
       offset("doc_id")(df, r).withColumn("text", caesar(col("text"), lit(r)))
     })
-    // embeddings: id offset + per-replica sign-flip decorrelation
+    // embeddings: id offset + per-replica orthogonal decorrelation
+    // (dimension permutation ∘ sign flips — see object doc). The map is
+    // built driver-side from a replica-seeded RNG and unrolled into a
+    // 64-element array(); this runs once to build the soak dataset, not
+    // in any measured plan.
+    val dim = base("embeddings")
+      .select(size(col("embedding"))).head.getInt(0)
     write("embeddings", unioned(base("embeddings"), n) { (df, r) =>
-      val flipped =
+      val mapped =
         if (r == 0) col("embedding")
-        else expr(s"transform(embedding, (x, i) -> " +
-          s"IF(pmod(hash(i, $r), 2) = 0, x, -x))")
-      offset("vec_id")(df, r).withColumn("embedding", flipped)
+        else {
+          val rnd = new scala.util.Random(0x50AC * 2654435761L + r)
+          val perm = rnd.shuffle((0 until dim).toVector)
+          array((0 until dim).map { i =>
+            val src = col("embedding").getItem(perm(i))
+            if (rnd.nextBoolean()) -src else src
+          }: _*)
+        }
+      offset("vec_id")(df, r).withColumn("embedding", mapped)
     })
   }
 
@@ -317,24 +338,41 @@ object Soak {
     // buckets crowd at Nx density. The exact arm is the documented
     // quadratic cross-check (Bench Diagnostics) — run once per side
     // here, untimed, as the truth set.
-    def lshRecall(dir: String): (Double, Long, Long) = {
+    def lshRecall(dir: String): (Double, Long, Long, Long) = {
       val truth = ops.VectorOps.nearDupEmbedding(Tables.embeddings(spark, dir))
         .select(col("vec_a"), col("vec_b"))
       val lsh = SparkEntry.queries("embedding_neardup_lsh")(spark, dir)
         .select(col("vec_a"), col("vec_b"))
+      // cross-replica pair mass in the exact truth set: the decorrelation
+      // claim, measured directly (replica of an id = id DIV Stride; base
+      // ids sit far below Stride, so the quotient IS the replica index)
+      val cross = truth
+        .filter(expr(s"vec_a DIV ${Stride}L") =!= expr(s"vec_b DIV ${Stride}L"))
+        .count()
       val nTruth = truth.count()
       val hit = lsh.join(truth, Seq("vec_a", "vec_b"), "left_semi").count()
-      (if (nTruth == 0) 1.0 else hit.toDouble / nTruth, hit, nTruth)
+      (if (nTruth == 0) 1.0 else hit.toDouble / nTruth, hit, nTruth, cross)
     }
     val runLshRecall = selected.exists(_.name == "embedding_neardup_lsh")
-    val (recallBase, hitB, truthB) = if (runLshRecall) lshRecall(sfDir) else (1.0, 0L, 0L)
-    val (recallSoak, hitS, truthS) = if (runLshRecall) lshRecall(dataDir) else (1.0, 0L, 0L)
+    val (recallBase, hitB, truthB, _) =
+      if (runLshRecall) lshRecall(sfDir) else (1.0, 0L, 0L, 0L)
+    val (recallSoak, hitS, truthS, crossS) =
+      if (runLshRecall) lshRecall(dataDir) else (1.0, 0L, 0L, 0L)
     // floor: within 0.2 of the 1x recall and never below 0.3 absolute
     val recallOk = !runLshRecall ||
       (recallSoak >= recallBase - 0.2 && recallSoak >= 0.3)
-    if (runLshRecall)
+    // decorrelation soundness: cross-replica pairs must stay noise
+    // (<1% of the total pair mass at Nx); a violation means the pair-
+    // grain xN rows above are measuring the metric space, not the
+    // operator, and must not be trusted
+    val crossOk = !runLshRecall || truthS == 0 || crossS.toDouble / truthS < 0.01
+    if (runLshRecall) {
       println(f"[soak] lsh_recall_vs_exact 1x $recallBase%.3f ($hitB/$truthB) -> " +
         f"${n}x $recallSoak%.3f ($hitS/$truthS) ${if (recallOk) "ok" else "FAIL"}")
+      println(f"[soak] cross_replica_pair_mass ${n}x $crossS/$truthS " +
+        f"(${if (truthS == 0) 0.0 else 100.0 * crossS / truthS}%.2f%%, bound <1%%) " +
+        s"${if (crossOk) "ok" else "FAIL"}")
+    }
 
     // CorpusRun end-to-end at both scales: the funnel must narrow the
     // same way (stage counts ~xN) and finish inside the same growth
@@ -365,12 +403,14 @@ object Soak {
 
     val failed = results.filterNot(r => r.rowsOk && r.sumOk && r.timeOk).map(_.c.name) ++
       (if (recallOk) Nil else Seq("lsh_recall_vs_exact")) ++
+      (if (crossOk) Nil else Seq("cross_replica_pair_mass")) ++
       (if (crTimeOk && crStages.forall(_._4)) Nil else Seq("corpus_run"))
 
     val md = new StringBuilder
     md ++= s"# SOAK — ${n}x scale soak of sf0.1\n\n"
     md ++= s"Deterministic ${n}x inflation of `$sfDir` (id-offset replicas; Caesar-decorrelated\n"
-    md ++= s"text, sign-flip-decorrelated embeddings, single-copy dims — see `graft.Soak` doc).\n"
+    md ++= s"text, permutation∘sign-flip (orthogonal) decorrelated embeddings, single-copy\n"
+    md ++= s"dims — see `graft.Soak` doc).\n"
     md ++= s"Timings are medians of $reps noop-sink reps on local[$cpus]; bound t(${n}x) ≤ ${maxGrowth.toInt}·t(1x).\n\n"
     md ++= "| query | rows 1x | rows ${n}x | rule | rows ok | t 1x (s) | t ${n}x (s) | ratio | time ok |\n".replace("${n}", n.toString)
     md ++= "|---|---|---|---|---|---|---|---|---|\n"
@@ -378,8 +418,10 @@ object Soak {
       md ++= f"| ${r.c.name} | ${r.rowsBase} | ${r.rowsSoak} | ${r.rowsLabel} | ${if (r.rowsOk && r.sumOk) "yes" else "**FAIL**"} " +
         f"| ${r.tBase}%.2f | ${r.tSoak}%.2f | ${r.tSoak / r.tBase}%.2f | ${if (r.timeOk) "yes" else "**FAIL**"} |\n"
     }
-    if (runLshRecall)
+    if (runLshRecall) {
       md ++= f"\nLSH recall vs exact arm (same inflated data): 1x $recallBase%.3f ($hitB/$truthB) -> ${n}x $recallSoak%.3f ($hitS/$truthS) — ${if (recallOk) "ok" else "**FAIL**"}\n"
+      md ++= f"\nCross-replica pair mass in the ${n}x exact truth set: $crossS/$truthS (${if (truthS == 0) 0.0 else 100.0 * crossS / truthS}%.2f%%, bound <1%%) — ${if (crossOk) "ok" else "**FAIL**"}\n"
+    }
     md ++= f"\nCorpusRun end-to-end: ${crBase}%.2f s -> ${crSoak}%.2f s (x${crRatio}%.2f, bound ${maxGrowth.toInt}) — ${if (crTimeOk) "ok" else "**FAIL**"}\n\n"
     md ++= "| stage | docs 1x | docs ${n}x | ok |\n|---|---|---|---|\n".replace("${n}", n.toString)
     crStages.foreach { case (st, b, s, ok) =>

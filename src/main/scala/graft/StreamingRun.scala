@@ -31,6 +31,9 @@ object StreamingRun {
     val workDir = args(1)
     val nSegments = if (args.length > 2) args(2).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // embeddable main (same protocol as [[CorpusRun]]): reuse an existing
+    // session and throw on divergence instead of exiting the shared JVM
+    val owned = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isEmpty
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -95,7 +98,10 @@ object StreamingRun {
     }
     val converged = rows(out) == rows(expected)
     println(s"[stream] converged=$converged")
-    spark.stop()
-    if (!converged) sys.exit(1)
+    if (owned) spark.stop()
+    if (!converged) {
+      if (owned) sys.exit(1)
+      else sys.error("stream replay diverged from the batch snapshot")
+    }
   }
 }

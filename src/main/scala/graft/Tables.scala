@@ -35,15 +35,56 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert via
-    * exact integer division (ns values exceed double's 2^53 exact range,
-    * so no floating-point path) — microsecond truncation, the same
-    * semantics as DuckDB's `ts::TIMESTAMP` used in the oracles. */
+  /** `events.ts` ingest is schema-adaptive (SURVEY §2 F5 "lenient timestamp
+    * coercion", applied at ingest level): the harness has shipped the column
+    * as INT64 TIMESTAMP(NANOS) and as TIMESTAMP(MICROS) at different times,
+    * and a 100 TB lake accretes both. Branch on the *loaded* physical type:
+    *
+    *   - INT64 TIMESTAMP(NANOS): Spark's reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]) unless `nanosAsLong` is on, so we retry the
+    *     read under that conf and convert via exact integer division (ns
+    *     values exceed double's 2^53 exact range, so no floating-point path)
+    *     — microsecond truncation, the same semantics as DuckDB's
+    *     `ts::TIMESTAMP` used in the oracles.
+    *   - TIMESTAMP_NTZ (micros, isAdjustedToUTC=false — what pandas/arrow
+    *     `timestamp[us]` becomes under Spark's NTZ inference): cast to
+    *     TIMESTAMP. The session timezone is pinned UTC build-wide, so the
+    *     cast is a wall-clock identity and downstream operators keep seeing
+    *     the TimestampType they were written against.
+    *   - TIMESTAMP: pass through.
+    *
+    * The nanosAsLong conf is only flipped on the retry path (it is lenient —
+    * it does not change how MICROS files load — but scoping it to the branch
+    * keeps the session conf honest for non-legacy data). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts",
-      timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try table(s, d, "events")
+      catch {
+        case first: Throwable =>
+          // Schema inference rejects TIMESTAMP(NANOS) ([PARQUET_TYPE_ILLEGAL],
+          // possibly wrapped); retry under nanosAsLong. If the retry also
+          // fails the problem was never the nanos annotation — surface the
+          // original error, and put the conf back so an unrelated failure
+          // doesn't leave lenient-nanos silently enabled session-wide.
+          val before = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          try table(s, d, "events")
+          catch { case _: Throwable =>
+            before.fold(s.conf.unset("spark.sql.legacy.parquet.nanosAsLong"))(
+              v => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v))
+            throw first
+          }
+      }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -27,11 +27,19 @@ object Verify {
     val selected = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
       .fold(SparkEntry.queries)(only => SparkEntry.queries.filter(kv => only(kv._1)))
+    // Failures are collected, not just logged: round 6/7 silently shrank
+    // the driver's checked set from 150 to 112 (every events query erred
+    // at analysis) and the correctness artifact LOOKED green because the
+    // dead queries were simply absent. A registered query that errors now
+    // lands in `failed`, is counted in verify_counts.json, and flips the
+    // exit code.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -59,7 +67,18 @@ object Verify {
     // correctness artifacts.
     val registered = SparkEntry.queries.size
     val oracled = SparkEntry.oracleSql.size
-    println(s"[verify] registered=$registered oracled=$oracled")
+    val dumped = selected.size - failed.size
+    println(s"[verify] registered=$registered oracled=$oracled " +
+      s"selected=${selected.size} dumped=$dumped failed=${failed.size}")
+    // Machine-readable counts the driver can diff round-over-round — a
+    // shrinking checked set can never again pass silently. `dumped` is
+    // what this process verified it wrote; `passed` is driver territory
+    // (the DuckDB compare), so it is not claimed here.
+    val countsJson = s"""{"registered":$registered,"oracled":$oracled,""" +
+      s""""selected":${selected.size},"dumped":$dumped,""" +
+      s""""failed":${failed.sorted.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_counts.json"), countsJson + "\n")
+    Files.writeString(Paths.get("verify_counts.json"), countsJson + "\n")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     if (orphaned.nonEmpty) {
       System.err.println(s"[verify] ORPHANED ORACLES (no matching query — typo?): " +
@@ -121,6 +140,11 @@ object Verify {
           sys.exit(3)
         }
       }
+    }
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] RED: ${failed.size} registered queries errored: " +
+        failed.sorted.mkString(", "))
+      sys.exit(2)
     }
   }
 }

@@ -198,6 +198,87 @@ class SourcesSpec extends AnyFunSuite {
       orders.filter(year(col("o_orderdate")) >= cutoff).count())
   }
 
+  test("events ingest is schema-adaptive: int64-nanos, timestamp[us], timestamp[ns] all yield identical rows") {
+    // The harness regenerated /root/testdata mid-round-6 and flipped
+    // events.ts from INT64 TIMESTAMP(NANOS) to TIMESTAMP(MICROS), killing
+    // every events query for two rounds. This pins the F5 "lenient
+    // timestamp coercion" contract at INGEST level: the same logical rows
+    // written under three physical encodings must load identically through
+    // Tables.events. Fixtures are written with the parquet example API
+    // (Spark itself cannot author a NANOS-annotated file).
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import LogicalTypeAnnotation.TimeUnit
+
+    // micros with a sub-microsecond tail in the nanos encodings: pins the
+    // truncation (not rounding) semantics the oracles' ts::TIMESTAMP uses
+    val rowsMicros = Seq(
+      (1L, 1700000000123456L, 10L, "click", 1.5, """{"k":1}"""),
+      (2L, 1700000007654321L, 11L, "view", 2.5, """{"k":2}"""),
+      (3L, 1700000099999999L, 10L, "click", 0.0, """{"k":3}"""))
+
+    def writeEvents(dir: String, anno: Option[LogicalTypeAnnotation],
+        toPhysical: Long => Long): Unit = {
+      val tsType = anno.fold(Types.optional(INT64).named("ts"))(a =>
+        Types.optional(INT64).as(a).named("ts"))
+      val schema = Types.buildMessage()
+        .optional(INT64).named("event_id")
+        .addField(tsType)
+        .optional(INT64).named("user_id")
+        .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+        .optional(DOUBLE).named("value")
+        .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+        .named("events")
+      val factory = new SimpleGroupFactory(schema)
+      val writer = ExampleParquetWriter.builder(new Path(s"$dir/events.parquet"))
+        .withConf(spark.sparkContext.hadoopConfiguration)
+        .withType(schema)
+        .build()
+      try rowsMicros.foreach { case (id, us, uid, typ, v, props) =>
+        val g = factory.newGroup()
+        g.add("event_id", id); g.add("ts", toPhysical(us)); g.add("user_id", uid)
+        g.add("event_type", typ); g.add("value", v); g.add("props", props)
+        writer.write(g)
+      } finally writer.close()
+    }
+
+    val base = Files.createTempDirectory("graft-events-enc").toString
+    val dirs = Seq(
+      ("int64_nanos", None, (us: Long) => us * 1000 + 789),
+      ("ts_us", Some(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS)),
+        (us: Long) => us),
+      ("ts_ns", Some(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS)),
+        (us: Long) => us * 1000 + 789))
+    dirs.foreach { case (name, anno, f) =>
+      val d = s"$base/$name"; new java.io.File(d).mkdirs(); writeEvents(d, anno, f)
+    }
+    // Exercise the PARQUET_TYPE_ILLEGAL retry path, not a conf left on by
+    // an earlier read in this shared session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val loaded = dirs.map { case (name, _, _) =>
+      name -> Tables.events(spark, s"$base/$name")
+    }
+    loaded.foreach { case (name, df) =>
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"$name: ts must load as TimestampType, got ${df.schema("ts").dataType}")
+    }
+    val collected = loaded.map { case (name, df) => name -> collectSorted(df) }
+    val (refName, refRows) = collected.head
+    collected.tail.foreach { case (name, rows) =>
+      assert(rows == refRows,
+        s"$name rows differ from $refName:\n  $rows\n  vs\n  $refRows")
+    }
+    // and the wall-clock values are the expected micros under UTC
+    val got = loaded.head._2.select("ts").collect()
+      .map(_.getTimestamp(0).getTime).sorted // millis precision check
+    assert(got.toSeq == rowsMicros.map(_._2 / 1000).sorted,
+      s"unexpected wall-clock millis: ${got.toSeq}")
+  }
+
   test("reading one partition prunes the others (PartitionFilters)") {
     val base = Files.createTempDirectory("graft-sink2").toString + "/summary"
     val sink = new Sources.PartitionedSink(spark, base, "week_beginning")
