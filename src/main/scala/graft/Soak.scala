@@ -41,9 +41,15 @@ import java.nio.file.{Files, Paths}
   *     alignment: coordinate i of one replica meets an unrelated
   *     coordinate π(i) of another, and the cross cosine becomes a
   *     random-sign mixture. (A cyclic rotation was tried first and
-  *     rejected for the same low-frequency-structure reason.) The
-  *     residual cross-replica pair mass is MEASURED and asserted <1% of
-  *     within-replica mass in [[main]].
+  *     rejected for the same low-frequency-structure reason.) What NO
+  *     orthogonal map can remove is the metric space's chance tail: at
+  *     minCos=0.45 in 64 dims unrelated vectors collide with rate
+  *     ~1e-4, so the ~N²/2 cross-replica pair population keeps O(10^4)
+  *     chance pairs at 10x regardless of decorrelation (measured:
+  *     15.2k perm∘flip vs 18.0k flip-only — same tail). The asserted
+  *     pair-grain invariant is therefore the WITHIN-replica mass
+  *     (exactly xN — measured 1,440 = 10x144 at 10x), with cross mass
+  *     reported as the chance-regime property it is.
   *   - facts (orders/lineitem/events): keys offset, timestamps/values
   *     unchanged — per-week and per-user grains gain exactly N× mass.
   *
@@ -110,13 +116,18 @@ object Soak {
     // vector family: k-means centroids cross replicas by design; LSH
     // sees rotated replicas through fixed hyperplanes
     Check("semantic_dedup_keep", Band(0.7, 1.3)),
-    // banded, not exact-xN: replicas reach the fixed LSH hyperplanes
-    // through different orthogonal maps, so per-replica bucket recall
-    // varies; the band bounds that variance while still failing on
-    // collapse or cross-replica pair pollution (the perm∘sign-flip
-    // decorrelation keeps measured cross-replica pair mass <1% — the
-    // direct assertion lives in [[main]] next to the recall check).
-    Check("embedding_neardup_lsh", Band(0.5, 1.6)),
+    // raw row count is report-only BY THE MATH, not by choice: at
+    // minCos=0.45 in 64 dims the chance-collision rate between two
+    // unrelated vectors is ~1e-4, so the ~N²·|base|²/2 cross-replica
+    // pair population contributes O(10^4) chance pairs at 10x — no
+    // orthogonal decorrelation can push that below the ~1.4k true mass
+    // (measured: perm∘sign-flip leaves 15.2k cross pairs; sign-flip
+    // alone left 18.0k; both are the same chance tail). A REAL 10x
+    // corpus behaves identically: pair count at a fixed loose threshold
+    // grows quadratically in the chance regime. The operator-scale
+    // assertions therefore live in [[main]] on the WITHIN-replica mass
+    // (exact-xN isomorphism + banded LSH) plus whole-set recall.
+    Check("embedding_neardup_lsh", Info),
     Check("knn_join", Band(0.9, 1.1)),
     Check("cluster_profiles", Equal),
     // reference pipeline over the rental view
@@ -338,40 +349,54 @@ object Soak {
     // buckets crowd at Nx density. The exact arm is the documented
     // quadratic cross-check (Bench Diagnostics) — run once per side
     // here, untimed, as the truth set.
-    def lshRecall(dir: String): (Double, Long, Long, Long) = {
+    // (recall, hits, truthTotal, truthCross, lshWithin): replica of an
+    // id = id DIV Stride (base ids sit far below Stride, so the
+    // quotient IS the replica index); at 1x every pair is trivially
+    // within-replica, so the same code measures both sides.
+    def lshRecall(dir: String): (Double, Long, Long, Long, Long) = {
       val truth = ops.VectorOps.nearDupEmbedding(Tables.embeddings(spark, dir))
         .select(col("vec_a"), col("vec_b"))
       val lsh = SparkEntry.queries("embedding_neardup_lsh")(spark, dir)
         .select(col("vec_a"), col("vec_b"))
-      // cross-replica pair mass in the exact truth set: the decorrelation
-      // claim, measured directly (replica of an id = id DIV Stride; base
-      // ids sit far below Stride, so the quotient IS the replica index)
-      val cross = truth
-        .filter(expr(s"vec_a DIV ${Stride}L") =!= expr(s"vec_b DIV ${Stride}L"))
-        .count()
+      val cross = expr(s"vec_a DIV ${Stride}L") =!= expr(s"vec_b DIV ${Stride}L")
+      val truthCross = truth.filter(cross).count()
       val nTruth = truth.count()
+      val lshWithin = lsh.filter(!cross).count()
       val hit = lsh.join(truth, Seq("vec_a", "vec_b"), "left_semi").count()
-      (if (nTruth == 0) 1.0 else hit.toDouble / nTruth, hit, nTruth, cross)
+      (if (nTruth == 0) 1.0 else hit.toDouble / nTruth, hit, nTruth, truthCross, lshWithin)
     }
     val runLshRecall = selected.exists(_.name == "embedding_neardup_lsh")
-    val (recallBase, hitB, truthB, _) =
-      if (runLshRecall) lshRecall(sfDir) else (1.0, 0L, 0L, 0L)
-    val (recallSoak, hitS, truthS, crossS) =
-      if (runLshRecall) lshRecall(dataDir) else (1.0, 0L, 0L, 0L)
+    val (recallBase, hitB, truthB, _, lshWithinB) =
+      if (runLshRecall) lshRecall(sfDir) else (1.0, 0L, 0L, 0L, 0L)
+    val (recallSoak, hitS, truthS, crossS, lshWithinS) =
+      if (runLshRecall) lshRecall(dataDir) else (1.0, 0L, 0L, 0L, 0L)
     // floor: within 0.2 of the 1x recall and never below 0.3 absolute
     val recallOk = !runLshRecall ||
       (recallSoak >= recallBase - 0.2 && recallSoak >= 0.3)
-    // decorrelation soundness: cross-replica pairs must stay noise
-    // (<1% of the total pair mass at Nx); a violation means the pair-
-    // grain xN rows above are measuring the metric space, not the
-    // operator, and must not be trusted
-    val crossOk = !runLshRecall || truthS == 0 || crossS.toDouble / truthS < 0.01
+    // THE pair-grain scale invariants, on within-replica mass (the part
+    // the orthogonal decorrelation makes exactly replica-isomorphic;
+    // cross-replica mass is the metric space's chance tail — reported,
+    // with the math, but not an operator property):
+    //   - exact truth within-mass must be exactly xN up to fp jitter at
+    //     the cosine threshold (permuted summation order shifts a
+    //     borderline pair by ≤1 ulp)
+    //   - LSH within-mass banded xN (replicas reach the fixed
+    //     hyperplanes through different orthogonal maps, so per-replica
+    //     bucket recall varies)
+    val withinTruthS = truthS - crossS
+    val isomorphismOk = !runLshRecall || truthB == 0 ||
+      math.abs(withinTruthS.toDouble / (truthB.toDouble * n) - 1) <= 0.02
+    val lshWithinOk = !runLshRecall || lshWithinB == 0 ||
+      (lshWithinS >= 0.5 * n * lshWithinB && lshWithinS <= 1.6 * n * lshWithinB)
     if (runLshRecall) {
       println(f"[soak] lsh_recall_vs_exact 1x $recallBase%.3f ($hitB/$truthB) -> " +
         f"${n}x $recallSoak%.3f ($hitS/$truthS) ${if (recallOk) "ok" else "FAIL"}")
-      println(f"[soak] cross_replica_pair_mass ${n}x $crossS/$truthS " +
-        f"(${if (truthS == 0) 0.0 else 100.0 * crossS / truthS}%.2f%%, bound <1%%) " +
-        s"${if (crossOk) "ok" else "FAIL"}")
+      println(f"[soak] within_replica_truth ${n}x $withinTruthS vs ${n}x$truthB " +
+        f"${if (isomorphismOk) "ok" else "FAIL"}; lsh_within $lshWithinS vs " +
+        f"[0.5,1.6]x${n}x$lshWithinB ${if (lshWithinOk) "ok" else "FAIL"}")
+      println(f"[soak] cross_replica_chance_pairs ${n}x $crossS " +
+        f"(${if (truthS == 0) 0.0 else 100.0 * crossS / truthS}%.1f%% of truth; " +
+        "chance tail at minCos=0.45/d=64 — grows ~quadratically in any corpus, info)")
     }
 
     // CorpusRun end-to-end at both scales: the funnel must narrow the
@@ -403,7 +428,8 @@ object Soak {
 
     val failed = results.filterNot(r => r.rowsOk && r.sumOk && r.timeOk).map(_.c.name) ++
       (if (recallOk) Nil else Seq("lsh_recall_vs_exact")) ++
-      (if (crossOk) Nil else Seq("cross_replica_pair_mass")) ++
+      (if (isomorphismOk) Nil else Seq("within_replica_truth")) ++
+      (if (lshWithinOk) Nil else Seq("lsh_within_band")) ++
       (if (crTimeOk && crStages.forall(_._4)) Nil else Seq("corpus_run"))
 
     val md = new StringBuilder
@@ -420,7 +446,8 @@ object Soak {
     }
     if (runLshRecall) {
       md ++= f"\nLSH recall vs exact arm (same inflated data): 1x $recallBase%.3f ($hitB/$truthB) -> ${n}x $recallSoak%.3f ($hitS/$truthS) — ${if (recallOk) "ok" else "**FAIL**"}\n"
-      md ++= f"\nCross-replica pair mass in the ${n}x exact truth set: $crossS/$truthS (${if (truthS == 0) 0.0 else 100.0 * crossS / truthS}%.2f%%, bound <1%%) — ${if (crossOk) "ok" else "**FAIL**"}\n"
+      md ++= f"\nWithin-replica exact truth at ${n}x: $withinTruthS vs ${n}×$truthB expected (the replica-isomorphism assertion; perm∘sign-flip is orthogonal, so per-replica cosines are preserved to fp) — ${if (isomorphismOk) "ok" else "**FAIL**"}. LSH within-replica pairs $lshWithinS vs [0.5,1.6]×${n}×$lshWithinB — ${if (lshWithinOk) "ok" else "**FAIL**"}.\n"
+      md ++= f"\nCross-replica pairs at ${n}x: $crossS (${if (truthS == 0) 0.0 else 100.0 * crossS / truthS}%.1f%% of the truth set) — the metric space's chance tail, reported not asserted: at minCos=0.45 in 64 dims the chance-collision rate between unrelated vectors is ~1e-4, and the ~N²/2 cross-replica pair population makes O(10^4) such pairs unavoidable under ANY orthogonal decorrelation (a real ${n}x corpus behaves the same — pair count at a fixed loose threshold is quadratic in the chance regime).\n"
     }
     md ++= f"\nCorpusRun end-to-end: ${crBase}%.2f s -> ${crSoak}%.2f s (x${crRatio}%.2f, bound ${maxGrowth.toInt}) — ${if (crTimeOk) "ok" else "**FAIL**"}\n\n"
     md ++= "| stage | docs 1x | docs ${n}x | ok |\n|---|---|---|---|\n".replace("${n}", n.toString)
