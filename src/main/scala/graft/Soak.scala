@@ -139,6 +139,14 @@ object Soak {
     Check("sole_late_suppliers", Equal), // literal top-10 (Analytics.scala:637)
     // events: user-disjoint replicas, same timeline
     Check("events_sessions", TimesN),
+    // the custom physical as-of operator: per-user merge, replicas are
+    // user-disjoint -> every left (purchase) row emits exactly once
+    Check("events_asof_phys", TimesN),
+    // the band-join rewrite path: windows pin to replica-0 users
+    // (user_id < 50; offset replicas sit at >= Stride), so the window
+    // set EQUALS base while every replica's points land inside them on
+    // the shared timeline -> rows equal, contained-event mass exactly xN
+    Check("events_in_windows", Equal, Some("n_events_in_window")),
     // content-derived vocabularies: size depends on the shifted text
     Check("vocab_bpe", Info),
     Check("doc_search_hybrid", Info))
