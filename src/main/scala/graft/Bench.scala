@@ -237,6 +237,11 @@ object Bench {
         opExec("incremental_warm")(IncrementalRun.main(Array(sfDir, incDir)))
         val strDir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
         opExec("streaming_drain")(StreamingRun.main(Array(sfDir, strDir, "4")))
+        // the end-to-end curation pipeline (quality ∧ model → exact →
+        // near-dup keeper → decontaminate → splits → PSI gate) — the
+        // flagship training-data main gets a measured number too
+        val corDir = java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString
+        opExec("corpus_run")(CorpusRun.main(Array(sfDir, corDir)))
       }
       flush(reps)
     }

@@ -111,6 +111,7 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) => TextOps.docFingerprint(Tables.documents(s, dir))),
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.documents(s, dir))),
     "neardup_jaccard" -> ((s, dir) => TextOps.nearDupJaccard(Tables.documents(s, dir))),
+    "doc_novelty" -> ((s, dir) => TextOps.docNovelty(Tables.documents(s, dir))),
     "neardup_keep" -> ((s, dir) => TextOps.nearDupKeep(Tables.documents(s, dir))),
     "neardup_keep_best" -> ((s, dir) => TextOps.nearDupKeepBest(Tables.documents(s, dir))),
     "neardup_cross" -> ((s, dir) => {
@@ -165,6 +166,9 @@ object SparkEntry {
     "doc_pii" -> ((s, dir) => TextOps.docPii(Tables.documents(s, dir))),
     "vocab_bpe_pairs" -> ((s, dir) => TextOps.vocabBpePairs(Tables.documents(s, dir))),
     "vocab_bpe" -> ((s, dir) => TextOps.vocabBpeDf(Tables.documents(s, dir))),
+    // encode half of the tokenizer: train 10 merges, apply them — the
+    // greedy fold has no faithful SQL form, so rows-only (spec-pinned)
+    "doc_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir))),
     "doc_top_terms" -> ((s, dir) => TextOps.docTopTerms(Tables.documents(s, dir))),
     "doc_winnow" -> ((s, dir) => TextOps.docWinnow(Tables.documents(s, dir))),
@@ -330,6 +334,9 @@ object SparkEntry {
     // PQ path: asymmetric-distance over trained codebooks — rows-only;
     // VectorOpsSpec pins rerank=∞ ≡ brute force and recall at the budget
     "ann_pq" -> ((s, dir) => VectorOps.annPq(Tables.embeddings(s, dir))),
+    // SQ path: int8 scalar quantization — the ONE approximate arm whose
+    // whole pipeline is IEEE-deterministic, so it hash-matches an oracle
+    "ann_sq" -> ((s, dir) => VectorOps.annSq(Tables.embeddings(s, dir))),
     // -- TPC-H-shaped analytics over the star schema
     "pricing_summary" -> ((s, dir) => Analytics.pricingSummary(s, dir)),
     "revenue_by_nation" -> ((s, dir) => Analytics.revenueByNation(s, dir)),
@@ -905,6 +912,21 @@ object SparkEntry {
       s"""WITH $jaccardPairsCtes
          |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard
          |FROM jacc_pairs WHERE jaccard >= 0.8""".stripMargin,
+    "doc_novelty" ->
+      s"""WITH $toksCte,
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(t)-2),
+         |    i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT)) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, len(s) AS n_shingles FROM sh WHERE len(s) > 0),
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
+         |fs AS (SELECT shingle, MIN(doc_id) AS first_doc FROM ex GROUP BY 1),
+         |nv AS (SELECT first_doc AS doc_id, count(*) AS novel_shingles FROM fs GROUP BY 1)
+         |SELECT sizes.doc_id, n_shingles,
+         |  coalesce(novel_shingles, 0) AS novel_shingles,
+         |  round(coalesce(novel_shingles, 0)::double / n_shingles, 6) AS novelty
+         |FROM sizes LEFT JOIN nv USING (doc_id)""".stripMargin,
     "neardup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairsCtes,
          |p AS (SELECT doc_a, doc_b FROM jacc_pairs WHERE jaccard >= 0.8),
@@ -2005,6 +2027,56 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cos_sim, rn FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM pairs)
+         |WHERE rn <= 5""".stripMargin,
+    // Replays VectorOps.annSq end-to-end: per-dim [min,max] grid, the
+    // int8 code formula, midpoint reconstruction, asymmetric approx
+    // cosine (left-to-right folds mirror Spark's `aggregate`), the
+    // 50-candidate shortlist cut, and the exact re-rank — every step is
+    // IEEE-deterministic, which is the point of the SQ arm.
+    "ann_sq" ->
+      s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd
+         |           FROM embeddings),
+         |st AS (
+         |  SELECT u.i AS dim, min(vd[u.i]) AS mn, max(vd[u.i]) AS mx
+         |  FROM p, UNNEST(generate_series(1, 64)) AS u(i)
+         |  GROUP BY 1),
+         |g AS (SELECT list(mn ORDER BY dim) AS mna, list(mx ORDER BY dim) AS mxa FROM st),
+         |c AS (
+         |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
+         |    CASE WHEN mxa[i] = mna[i] THEN 0
+         |         ELSE least(255, CAST(floor((vd[i] - mna[i]) / (mxa[i] - mna[i]) * 256) AS INT))
+         |    END) AS codes
+         |  FROM p, g),
+         |dq AS (
+         |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
+         |    mna[i] + (codes[i] + 0.5) * ((mxa[i] - mna[i]) / 256.0)) AS deq
+         |  FROM c, g),
+         |q AS (
+         |  SELECT vec_id AS query_id, vd AS qd,
+         |    sqrt(list_reduce(list_transform(generate_series(1, 64), i -> vd[i] * vd[i]),
+         |         (a, v) -> a + v)) AS qn
+         |  FROM p WHERE vec_id < 10),
+         |appr AS (
+         |  SELECT q.query_id, dq.vec_id AS neighbor_id,
+         |    round(list_reduce(list_transform(generate_series(1, 64),
+         |            i -> q.qd[i] * dq.deq[i]), (a, v) -> a + v)
+         |      / (q.qn * sqrt(list_reduce(list_transform(generate_series(1, 64),
+         |            i -> dq.deq[i] * dq.deq[i]), (a, v) -> a + v))), 6) AS sq_sim
+         |  FROM q, dq WHERE dq.vec_id != q.query_id),
+         |shortl AS (
+         |  SELECT query_id, neighbor_id, sq_sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sq_sim DESC, neighbor_id) AS arn FROM appr)
+         |  WHERE arn <= 50),
+         |exct AS (
+         |  SELECT s.query_id, s.neighbor_id, s.sq_sim,
+         |    round(${duckCosine("qe.embedding", "ne.embedding")}, 6) AS cos_sim
+         |  FROM shortl s
+         |  JOIN embeddings qe ON qe.vec_id = s.query_id
+         |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id)
+         |SELECT query_id, neighbor_id, sq_sim, cos_sim, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM exct)
          |WHERE rn <= 5""".stripMargin,
     "embedding_neardup" ->
       s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),

@@ -108,6 +108,53 @@ object TextExprs {
     sig
   }
 
+  /** [[BpeTokenCount]]: greedy rank-ordered BPE merge application per
+    * word, total token count per row. `merges` is the learned list
+    * flattened [a0,b0,a1,b1,…]; each merge is the left-to-right
+    * non-overlapping pass the trainer ([[graft.ops.TextOps.vocabBpe]])
+    * applies, so encoding the training corpus reproduces the trainer's
+    * final word states. One compiled loop per row — the nested
+    * `aggregate` fold form this replaces paid an array copy per symbol
+    * per merge (14.7 s vs 2.9 s end-to-end at sf0.1, train included). */
+  def bpeTokenCountKernel(words: ArrayData, merges: Array[String]): Long = {
+    val nm = merges.length / 2
+    var total = 0L
+    val nw = words.numElements()
+    var wi = 0
+    while (wi < nw) {
+      val u = words.getUTF8String(wi)
+      if (u != null && u.numBytes() > 0) {
+        val w = u.toString
+        // per-code-point symbols (split(w, "") parity on BMP text)
+        var syms = new java.util.ArrayList[String](w.length)
+        var ci = 0
+        while (ci < w.length) {
+          val n = Character.charCount(w.codePointAt(ci))
+          syms.add(w.substring(ci, ci + n))
+          ci += n
+        }
+        var mi = 0
+        while (mi < nm && syms.size >= 2) {
+          val a = merges(2 * mi)
+          val b = merges(2 * mi + 1)
+          val m = a + b
+          val out = new java.util.ArrayList[String](syms.size)
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms.get(i) == a && syms.get(i + 1) == b) {
+              out.add(m); i += 2
+            } else { out.add(syms.get(i)); i += 1 }
+          }
+          syms = out
+          mi += 1
+        }
+        total += syms.size
+      }
+      wi += 1
+    }
+    total
+  }
+
   /** [[WordShingleHashes]]: the [[shinglesKernel]] set with each shingle
     * collapsed to its 60-bit md5 prefix before it leaves the row. */
   def shingleHashesKernel(toks: ArrayData, k: Int): ArrayData = {
@@ -442,6 +489,32 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): ChunkRows = copy(child = c)
   }
 
+  /** Per-row BPE token count under a learned merge list (the ENCODE half
+    * of the tokenizer; see [[bpeTokenCountKernel]]). The merge list is a
+    * KB-sized plan constant (Seq for structural equality; flattened to an
+    * array once, shipped into generated code as a reference object). */
+  case class BpeTokenCount(child: Expression, merges: Seq[String])
+      extends UnaryExpression {
+    require(merges.length % 2 == 0, "merges must be (left,right) pairs flattened")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "bpe_token_count"
+
+    @transient private lazy val flat: Array[String] = merges.toArray
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        bpeTokenCountKernel(input.asInstanceOf[ArrayData], flat))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ps = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.TextExprs.bpeTokenCountKernel($c, $ps);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): BpeTokenCount =
+      copy(child = c)
+  }
+
   object WinnowFps {
     /** MessageDigest is stateful and NOT thread-safe; expression trees
       * can be shared across local-mode task threads. */
@@ -484,6 +557,10 @@ object TextExprs {
     "repetition_stats" -> (exprs => RepetitionStats(exprs(0))),
     "frame_dhash" ->
       (exprs => FrameDHash(exprs(0), exprs(1).eval().asInstanceOf[Int])),
+    "bpe_token_count" -> (exprs => BpeTokenCount(exprs(0), {
+      val ad = exprs(1).eval().asInstanceOf[ArrayData]
+      (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+    })),
     VecDot.FnName -> (exprs => VecDot(exprs(0), exprs(1))))
 
   /** Idempotent registration of all graft expressions (incl. [[VecDot]])
@@ -514,4 +591,8 @@ object TextExprs {
     call_function("repetition_stats", toks)
   def frameDHash(frame: Column, maxBits: Int = 62): Column =
     call_function("frame_dhash", frame, lit(maxBits))
+  def bpeTokenCount(words: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_token_count", words,
+      org.apache.spark.sql.functions.typedLit(
+        merges.flatMap(m => Seq(m._1, m._2))))
 }

@@ -351,6 +351,43 @@ object TextOps {
       .groupBy(col("fp_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_docs"))
 
+  /** Ingestion-order novelty: for every document, the fraction of its
+    * distinct k-shingles first seen in THIS document — present in no
+    * lower-`doc_id` document. A corpus appended in id order reads this
+    * as "how much of this page is new text": near-copies of earlier
+    * content score ≈0, fresh content 1.0 — the graded, ordering-aware
+    * signal that exact/near dedup collapse to a binary keep. (The same
+    * statistic a streaming ingest would compute against its
+    * already-admitted index; here as one batch pass.)
+    *
+    * Scale shape: NO pairwise candidate generation anywhere (so no
+    * df cap is needed — a corpus-wide stop-shingle contributes one
+    * min, not |df|² pairs): per-doc shingle-set sizes are row-local;
+    * first-seen owners reduce through ONE map-side-combined min per
+    * shingle key (8-byte keys); novel counts are a doc-grain count over
+    * the |distinct shingles| first-seen rows; one doc-grain left join
+    * re-attaches them. Work is linear in the exploded index at any
+    * corpus size. Returns (doc_id, n_shingles, novel_shingles,
+    * novelty). */
+  def docNovelty(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tok = tokenized(documents)
+    TextExprs.register(tok.sparkSession)
+    val sh = tok
+      .select(col("doc_id"), TextExprs.wordShingleHashes(col("toks"), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_shingles"))
+    val novel = sh
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("novel_shingles"))
+      .withColumnRenamed("first_doc", "doc_id")
+    sizes.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("novel_shingles"), lit(0L)).as("novel_shingles"),
+        round(coalesce(col("novel_shingles"), lit(0L)).cast("double")
+          / col("n_shingles"), 6).as("novelty"))
+  }
+
   /** Exact n-gram-jaccard near-dup pairs via inverted-index candidate
     * generation: explode k-shingles, drop stop-shingles with document
     * frequency > `maxDf` (they only generate quadratic candidate noise —
@@ -1744,4 +1781,43 @@ object TextOps {
     vocabBpe(documents, nMerges).toDF()
       .select(col("rank"), col("left"), col("right"), col("merged"), col("pair_count"))
   }
+
+  /** The ENCODE half of the tokenizer whose TRAIN half is [[vocabBpe]]:
+    * apply a learned merge list, in rank order, to every word of every
+    * document — each merge is the same left-to-right non-overlapping
+    * greedy fold the trainer used, so train→encode round-trips exactly
+    * (encoding the training corpus with its own merges reproduces the
+    * trainer's final word states). Emits the per-document token
+    * accounting a tokenizer audit wants: whitespace-word baseline,
+    * post-BPE token count, chars-per-token compression.
+    *
+    * Scale shape: the model (the merge list) is a KB-sized driver Seq
+    * shipped into generated code as one reference object; the whole
+    * merge loop runs as a single compiled kernel per row
+    * ([[graft.functions.TextExprs.BpeTokenCount]] — the nested
+    * `aggregate`-fold form paid an array copy per symbol per merge:
+    * 14.7 s vs 2.9 s end-to-end at sf0.1), all row-local; the only shuffle is
+    * whatever the caller does with the doc-grain output. Not
+    * SQL-replayable (the
+    * greedy fold has no faithful string-replace form — same-symbol runs
+    * diverge), so the driver check is rows-only and CorpusOpsSpec pins
+    * the semantics against an independent single-threaded replay. */
+  def bpeEncodeWith(documents: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
+    TextExprs.register(documents.sparkSession)
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
+    documents.select(
+      col("doc_id"),
+      size(words).as("n_words"),
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("n_chars"),
+      TextExprs.bpeTokenCount(words, merges.map(m => (m.left, m.right)))
+        .as("n_bpe_tokens"))
+      .select(col("*"),
+        round(col("n_chars").cast("double")
+          / greatest(col("n_bpe_tokens"), lit(1L)), 6).as("chars_per_token"))
+  }
+
+  /** [[bpeEncodeWith]] under merges trained on the same corpus — the
+    * driver-query form (train 10 merges, then one encode pass). */
+  def bpeEncode(documents: DataFrame, nMerges: Int = 10): DataFrame =
+    bpeEncodeWith(documents, vocabBpe(documents, nMerges))
 }

@@ -308,6 +308,82 @@ object VectorOps {
       .filter(col("rn") <= k)
   }
 
+  /** Scalar-quantized (int8) ANN: every dimension linearly quantized to
+    * an 8-bit code against the corpus' per-dimension [min, max] — the
+    * index holds `dims` bytes per vector (4× smaller than float32, 8×
+    * than float64), the memory/IO knob FAISS calls SQ8. Scoring is
+    * asymmetric: the query keeps its exact vector; candidates score as
+    * midpoint reconstructions `mn + (code + 0.5)·(mx − mn)/256`, one
+    * multiply-add per dimension. The top `shortlist` approximate
+    * candidates per query re-rank EXACTLY against their true vectors;
+    * `shortlist ≥ |corpus|` degrades to exact brute force (the spec's
+    * equivalence check).
+    *
+    * The quantization grid (2 × dims doubles, KB-sized at any corpus
+    * scale) is the one globally-shared structure — collected from one
+    * posexplode'd scan and inlined as plan literals, the same
+    * discipline as the IVF/PQ codebooks; encoding and scoring stay
+    * row-local up to the per-query top-k windows. Unlike LSH/IVF/PQ,
+    * every step here (per-dim min/max, the code formula, the midpoint
+    * reconstruction, the left-to-right fold) is IEEE-deterministic and
+    * engine-portable, so the WHOLE pipeline — grid, codes, approximate
+    * scores, shortlist cut, exact re-rank — replays bit-for-bit in the
+    * DuckDB oracle: this ANN arm is hash-matched, not rows-only. */
+  def annSq(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      shortlist: Int = 50, dims: Int = 64): DataFrame = {
+    val p = prepared(embeddings)
+    // one scan: per-dimension [min, max] over the corpus (min/max are
+    // exact and order-insensitive — no DECIMAL discipline needed)
+    val stats = p.select(posexplode(col("vd")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val mnArr = typedLit((0 until dims).map(d => stats(d)._1))
+    val mxArr = typedLit((0 until dims).map(d => stats(d)._2))
+    // code_d = clamp(floor((x − mn)/(mx − mn) · 256), 0..255); a
+    // constant dimension (mx = mn) codes as 0 and reconstructs mid-cell
+    def codeAt(v: Column, i: Column): Column = {
+      val mn = element_at(mnArr, i + 1)
+      val mx = element_at(mxArr, i + 1)
+      when(mx === mn, lit(0)).otherwise(
+        least(lit(255), floor((element_at(v, i + 1) - mn) / (mx - mn) * 256).cast("int")))
+    }
+    val codes = transform(sequence(lit(0), lit(dims - 1)), i => codeAt(col("vd"), i))
+    val corpus = p.select(col("vec_id").as("neighbor_id"), codes.as("codes"))
+    val q = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vd").as("qd"), col("nrm").as("qn"))
+    def deqAt(c: Column, i: Column): Column = {
+      val mn = element_at(mnArr, i + 1)
+      val mx = element_at(mxArr, i + 1)
+      mn + (element_at(c, i + 1).cast("double") + lit(0.5)) * ((mx - mn) / lit(256.0))
+    }
+    // approx cosine: exact-query · dequantized-candidate over the
+    // DEQUANTIZED candidate norm — self-contained (the index never needs
+    // the true vectors until re-rank). Left-to-right folds mirror the
+    // oracle's list_reduce exactly.
+    val dotQC = aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
+      (acc, i) => acc + element_at(col("qd"), i + 1) * deqAt(col("codes"), i))
+    val dotCC = aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
+      (acc, i) => acc + deqAt(col("codes"), i) * deqAt(col("codes"), i))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_sim").desc, col("neighbor_id"))
+    val cand = broadcast(q).join(corpus, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotQC / (col("qn") * sqrt(dotCC)), 6).as("sq_sim"))
+      .withColumn("rn", row_number().over(wApprox)).filter(col("rn") <= shortlist)
+      .select("query_id", "neighbor_id", "sq_sim")
+    // exact re-rank of the surviving shortlist
+    val nv = p.select(col("vec_id").as("neighbor_id"), col("vd"), col("nrm"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand
+      .join(broadcast(q), Seq("query_id"))
+      .join(nv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("sq_sim"),
+        round(VecDot(col("qd"), col("vd")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+  }
+
   /** Per-label embedding centroids: dimension-wise means via
     * `posexplode` + one (label, dim) grouped aggregation with map-side
     * combine — the distributed mean that never holds a vector-sized

@@ -134,4 +134,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     val merges = TextOps.vocabBpe(corpus, 10)
     assert(merges.isEmpty) // all words are single symbols
   }
+
+  // ---- bpeEncode --------------------------------------------------------
+
+  test("BPE encode matches an independent greedy replay, incl. same-symbol runs") {
+    // "aaaa"/"aaa" exercise the case where a naive string-replace encode
+    // diverges from the greedy fold (run of a merged symbol): greedy
+    // [a,a,a,a] -> [aa,aa], [a,a,a] -> [aa,a]
+    val corpus = docs(
+      1L -> "low low low lower lowest newest newest",
+      2L -> "newest widest low lower aaa aaaa")
+    val merges = TextOps.vocabBpe(corpus, 6)
+    assert(merges.nonEmpty)
+    def mergeLR(s: List[String], a: String, b: String, m: String): List[String] = {
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { buf += m; i += 2 }
+        else { buf += s(i); i += 1 }
+      }
+      buf.toList
+    }
+    def encodeWord(w: String): Int =
+      merges.foldLeft(w.split("").filter(_.nonEmpty).toList) { (syms, mg) =>
+        mergeLR(syms, mg.left, mg.right, mg.merged)
+      }.length
+    val texts = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.bpeEncodeWith(corpus, merges).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    texts.foreach { case (id, text) =>
+      val words = text.split(" ").filter(_.nonEmpty)
+      val nChars = words.map(_.length.toLong).sum
+      val nToks = words.map(encodeWord).map(_.toLong).sum
+      assert(got(id)._1 == words.length, s"doc $id n_words")
+      assert(got(id)._2 == nChars, s"doc $id n_chars")
+      assert(got(id)._3 == nToks, s"doc $id n_bpe_tokens: got ${got(id)._3}, want $nToks")
+      assert(got(id)._4 ==
+        BigDecimal(nChars.toDouble / nToks).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, s"doc $id chars_per_token")
+    }
+    // merges strictly compress: fewer tokens than characters
+    got.values.foreach(v => assert(v._3 < v._2))
+  }
+
+  test("BPE encode with zero merges is character tokenization") {
+    val corpus = docs(1L -> "ab cde f")
+    val row = TextOps.bpeEncodeWith(corpus, Seq.empty).head()
+    assert(row.getInt(1) == 3 && row.getLong(2) == 6L && row.getLong(3) == 6L)
+  }
 }

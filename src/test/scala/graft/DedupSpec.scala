@@ -29,6 +29,26 @@ class DedupSpec extends AnyFunSuite {
     assert(groups(3L) == 1L)
   }
 
+  test("doc novelty: first-seen doc gets the credit, copies score zero, shingle mass conserved") {
+    val s = spark
+    import s.implicits._
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // 4 shingles, all novel
+      (2L, "alpha beta gamma delta epsilon zeta"),       // exact copy of 1 -> novelty 0
+      (3L, "totally different words appear right here"), // 4 shingles, all novel
+      (4L, "alpha beta gamma delta unique tail words"))  // 2 of 5 shingles seen in doc 1
+      .toDF("doc_id", "text")
+    val out = TextOps.docNovelty(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4, 4L, 1.0)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((4, 0L, 0.0)), s"copy scores zero: ${out(2L)}")
+    assert(out(3L) == ((4, 4L, 1.0)), s"doc 3: ${out(3L)}")
+    assert(out(4L) == ((5, 3L, 0.6)), s"doc 4 half-borrowed: ${out(4L)}")
+    // conservation: every distinct shingle in the corpus is credited to
+    // exactly one document (its first-seen owner)
+    assert(out.values.map(_._2).sum == 11L)
+  }
+
   test("minhash LSH recovers the exact-jaccard near-dup pairs") {
     val exact = TextOps.nearDupJaccard(docs, minJaccard = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -103,7 +103,7 @@ class TextExprsSpec extends AnyFunSuite {
     assert(chunks.length == 3)
   }
 
-  test("forced codegen == interpreted eval, bit for bit (all seven expressions)") {
+  test("forced codegen == interpreted eval, bit for bit (all eight expressions)") {
     // GenerateUnsafeProjection compiles the expression's doGenCode with
     // no fallback; expr.eval IS the interpreted path. Any divergence in
     // the codegen wiring (casts, null guards, reference objects) fails
@@ -131,7 +131,8 @@ class TextExprsSpec extends AnyFunSuite {
       TextExprs.SimHash64(child),
       TextExprs.WordShingleHashes(child, 3),
       TextExprs.WinnowFps(child, 3, 4),
-      TextExprs.RepetitionStats(child))
+      TextExprs.RepetitionStats(child),
+      TextExprs.BpeTokenCount(child, Seq("a", "b", "ab", "c")))
     for (e <- exprs; input <- fixtures) {
       val row = InternalRow(input)
       val expected = e.eval(row)

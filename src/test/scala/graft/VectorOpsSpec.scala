@@ -151,6 +151,42 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("SQ ANN at a corpus-sized shortlist equals exact brute force bit-for-bit") {
+    // shortlist >= |corpus| means no candidate is cut before the exact
+    // re-rank — the result must be IDENTICAL to annBruteForce, including
+    // the 6dp cosines and the rank numbers.
+    val exact = VectorOps.annBruteForce(fixture, nQueries = 5, k = 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val sq = VectorOps.annSq(fixture, nQueries = 5, k = 5, shortlist = 10000)
+      .select("query_id", "neighbor_id", "cos_sim", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(sq == exact, s"sq-only=${sq -- exact}, exact-only=${exact -- sq}")
+  }
+
+  test("SQ ANN finds the planted twins as top-1 at the default shortlist") {
+    val top1 = VectorOps.annSq(fixture, nQueries = 5, k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach { i =>
+      assert(top1(i.toLong) == 100L + i, s"query $i -> ${top1(i.toLong)}")
+    }
+  }
+
+  test("SQ approximate scores track the exact cosine within the int8 grid error") {
+    // midpoint reconstruction error is <= (mx-mn)/512 per dimension; on
+    // 64-dim gaussian vectors the induced cosine error stays well under
+    // 0.05 — a collapsed bound here would mean the grid or the
+    // dequantization arithmetic is wrong, not just noisy.
+    val rows = VectorOps.annSq(fixture, nQueries = 5, k = 5)
+      .select("sq_sim", "cos_sim").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.05,
+        s"sq=${r.getDouble(0)} exact=${r.getDouble(1)}")
+    }
+  }
+
   test("LSH-blocked all-pairs near-dup recovers the exact pairs at cos >= 0.9") {
     val exact = VectorOps.nearDupEmbedding(fixture, minCos = 0.9)
       .select("vec_a", "vec_b").collect()
