@@ -337,6 +337,15 @@ object SparkEntry {
     // SQ path: int8 scalar quantization — the ONE approximate arm whose
     // whole pipeline is IEEE-deterministic, so it hash-matches an oracle
     "ann_sq" -> ((s, dir) => VectorOps.annSq(Tables.embeddings(s, dir))),
+    // hard-negative mining off LSH candidates — rows-only (bucket recall
+    // probabilistic); VectorOpsSpec pins vs the exact unblocked twin.
+    // Thresholds follow THIS corpus's similarity scale: its planted
+    // near-dups sit at cos ≈ 0.45–0.51 (the embedding_neardup
+    // threshold), so positives = ≥ 0.45 and the hard-negative band
+    // sits just below at [0.2, 0.4)
+    "contrastive_triplets" -> ((s, dir) =>
+      VectorOps.contrastiveTriplets(Tables.embeddings(s, dir),
+        minPos = 0.45, negLo = 0.2, negHi = 0.4)),
     // -- TPC-H-shaped analytics over the star schema
     "pricing_summary" -> ((s, dir) => Analytics.pricingSummary(s, dir)),
     "revenue_by_nation" -> ((s, dir) => Analytics.revenueByNation(s, dir)),

@@ -701,6 +701,83 @@ object VectorOps {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** Contrastive-triplet mining for embedding-model training: for every
+    * anchor vector, the hardest POSITIVE (its highest-cosine neighbor at
+    * `cos ≥ minPos`) paired with the `perAnchor` hardest NEGATIVES (the
+    * highest cosines inside `[negLo, negHi)` — the near-misses triplet
+    * and InfoNCE losses learn the most from; random negatives are
+    * trivially separable). Anchors with no positive emit nothing.
+    *
+    * Candidates come from the same multi-table sign-LSH blocking as
+    * [[annLsh]]/[[nearDupEmbeddingLsh]] (ids-only bucket joins, never
+    * corpus²) with WIDER buckets (`planes` = 4) so the mid-cosine
+    * negative band keeps recall — mining hard negatives from ANN
+    * candidates rather than an exact sweep is exactly what production
+    * retrieval-training pipelines (DPR-style) do at corpus scale. Exact
+    * cosine then classifies every candidate, so precision of the band
+    * membership is exact; only candidate recall is probabilistic →
+    * rows-only driver check, with [[contrastiveTripletsExact]] as the
+    * spec's unblocked truth (same policy as [[nearDupEmbedding]]).
+    * The hardest-positive argmax is a hash-aggregable `min(struct)` —
+    * no window sort; the negative top-`perAnchor` windows over the
+    * bucket-bounded candidate set, never the corpus.
+    * Returns (anchor_id, pos_id, pos_cos, neg_id, neg_cos, neg_rank). */
+  def contrastiveTriplets(embeddings: DataFrame, minPos: Double = 0.8,
+      negLo: Double = 0.3, negHi: Double = 0.6, perAnchor: Int = 2,
+      planes: Int = 4, tables: Int = 8, dims: Int = 64): DataFrame = {
+    val p = prepared(embeddings)
+    val banded = p.select(
+      col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          lshBucket(col("vd"), planes, dims, seed = t).as("b"))): _*)).as("tb"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.tb") === col("b.tb") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor_id"), col("b.vec_id").as("cand_id"))
+      .distinct()
+    tripletsFromCandidates(p, cand, minPos, negLo, negHi, perAnchor)
+  }
+
+  /** Exact unblocked twin of [[contrastiveTriplets]]: corpus² candidate
+    * sweep — the spec's truth set and a cross-check only, never the
+    * scale path. */
+  private[graft] def contrastiveTripletsExact(embeddings: DataFrame,
+      minPos: Double = 0.8, negLo: Double = 0.3, negHi: Double = 0.6,
+      perAnchor: Int = 2): DataFrame = {
+    val p = prepared(embeddings)
+    val ids = p.select(col("vec_id"))
+    val cand = ids.select(col("vec_id").as("anchor_id"))
+      .crossJoin(ids.select(col("vec_id").as("cand_id")))
+      .filter(col("anchor_id") =!= col("cand_id"))
+    tripletsFromCandidates(p, cand, minPos, negLo, negHi, perAnchor)
+  }
+
+  private def tripletsFromCandidates(p: DataFrame, cand: DataFrame,
+      minPos: Double, negLo: Double, negHi: Double, perAnchor: Int): DataFrame = {
+    val av = p.select(col("vec_id").as("anchor_id"), col("vd").as("ad"),
+      col("nrm").as("an"))
+    val cv = p.select(col("vec_id").as("cand_id"), col("vd").as("cd"),
+      col("nrm").as("cn"))
+    val scored = cand.join(av, Seq("anchor_id")).join(cv, Seq("cand_id"))
+      .select(col("anchor_id"), col("cand_id"),
+        round(VecDot(col("ad"), col("cd")) / (col("an") * col("cn")), 6).as("cos"))
+    val pos = scored.filter(col("cos") >= minPos)
+      .groupBy(col("anchor_id"))
+      .agg(min(struct((-col("cos")).as("nc"), col("cand_id").as("id"))).as("m"))
+      .select(col("anchor_id"), col("m.id").as("pos_id"), (-col("m.nc")).as("pos_cos"))
+    val wNeg = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val neg = scored.filter(col("cos") >= negLo && col("cos") < negHi)
+      .withColumn("neg_rank", row_number().over(wNeg))
+      .filter(col("neg_rank") <= perAnchor)
+      .select(col("anchor_id"), col("cand_id").as("neg_id"),
+        col("cos").as("neg_cos"), col("neg_rank"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"), col("neg_rank"))
+  }
+
   /** Large×large approximate kNN JOIN: every `left` vector finds its
     * top-k cosine neighbors among `right` — the batch retrieval shape
     * (RAG corpus vs query log, train-vs-eval nearest neighbors) where

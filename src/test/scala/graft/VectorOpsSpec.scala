@@ -187,6 +187,68 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** [[fixture]] plus 5 planted mid-band vectors: id 200+i mixes base(i)
+    * with fresh noise at equal power, so cos(base(i), 200+i) ≈ 0.7071/
+    * (norm ratio) — landing inside the default [0.3, 0.6) negative band
+    * often enough to give every anchor a plantable hard negative. */
+  private lazy val tripletFixture = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = fixture.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val mids = (0 until 5).map { i =>
+      val b = base.find(_._1 == i.toLong).get._2
+      val v = b.map(x => 0.55f * x).zip(
+        Array.fill(64)(rnd.nextGaussian().toFloat)).map { case (x, n) => x + 0.9f * n }
+      (200L + i, v, i)
+    }
+    (base.toSeq ++ mids).toDF("vec_id", "embedding", "label")
+  }
+
+  test("contrastive triplets: exact twin semantics — hardest positive, in-band hardest negatives") {
+    val out = VectorOps.contrastiveTripletsExact(tripletFixture)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3), r.getDouble(4), r.getInt(5)))
+    assert(rows.nonEmpty, "planted twins should give anchors a positive")
+    // every positive is at/above the threshold, every negative in-band
+    rows.foreach { case (a, p, pc, n, nc, rk) =>
+      assert(pc >= 0.8, s"anchor $a pos_cos $pc")
+      assert(nc >= 0.3 && nc < 0.6, s"anchor $a neg_cos $nc")
+      assert(rk >= 1 && rk <= 2)
+      assert(p != a && n != a && p != n)
+    }
+    // anchors 0..4 pair with their planted twins (100+i) as the positive
+    val posOf = rows.map(t => t._1 -> t._2).toMap
+    (0 until 5).foreach { i =>
+      posOf.get(i.toLong).foreach(p => assert(p == 100L + i, s"anchor $i pos $p"))
+    }
+    // negatives are the HARDEST in band: rank-1 neg_cos >= rank-2 neg_cos
+    rows.groupBy(_._1).foreach { case (a, ts) =>
+      val byRank = ts.sortBy(_._6).map(_._5).toSeq
+      assert(byRank == byRank.sorted.reverse, s"anchor $a negs not hardest-first")
+    }
+  }
+
+  test("contrastive triplets: LSH arm is a subset of the exact twin with positive recall") {
+    val exact = VectorOps.contrastiveTripletsExact(tripletFixture)
+      .select("anchor_id", "pos_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.contrastiveTriplets(tripletFixture)
+      .select("anchor_id", "pos_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // every LSH-mined positive is a true >= minPos pair for its anchor:
+    // band membership is exact cosine, so a "wrong" positive can only be
+    // a SOFTER true positive the exact twin outranked — tolerate that,
+    // but the planted-twin anchors must recover their exact positives
+    val twinAnchors = lsh.filter { case (a, _) => a < 5 || (a >= 100 && a < 105) }
+    assert(twinAnchors.subsetOf(exact),
+      s"twin-anchor positives diverge: ${twinAnchors -- exact}")
+    val recall = lsh.count(exact).toDouble / exact.size
+    assert(recall >= 0.6, s"anchor-positive recall $recall over ${exact.size}")
+  }
+
   test("LSH-blocked all-pairs near-dup recovers the exact pairs at cos >= 0.9") {
     val exact = VectorOps.nearDupEmbedding(fixture, minCos = 0.9)
       .select("vec_a", "vec_b").collect()
