@@ -346,6 +346,21 @@ object SparkEntry {
     "contrastive_triplets" -> ((s, dir) =>
       VectorOps.contrastiveTriplets(Tables.embeddings(s, dir),
         minPos = 0.45, negLo = 0.2, negHi = 0.4)),
+    // intra-corpus duplicated-passage spans (Lee et al. 2021 shape):
+    // exact 40-char windows at stride 10, cross-doc dups, merged spans
+    "doc_dup_spans" -> ((s, dir) =>
+      TextOps.docDupSpans(Tables.documents(s, dir))),
+    // deterministic pseudo-shuffled shard manifest (training export)
+    "export_manifest" -> ((s, dir) =>
+      graft.ops.ExportOps.shardManifest(Tables.documents(s, dir))),
+    // kNN label propagation: vec_id%5==0 masked unlabeled, exact-cosine
+    // 5-NN majority vote from the labeled rest
+    "knn_label_prop" -> ((s, dir) =>
+      VectorOps.knnLabelProp(Tables.embeddings(s, dir))),
+    // LSH-blocked twin — the large×large scale path (rows-only: bucket
+    // recall probabilistic; VectorOpsSpec pins agreement vs exact arm)
+    "knn_label_prop_lsh" -> ((s, dir) =>
+      VectorOps.knnLabelPropLsh(Tables.embeddings(s, dir))),
     // -- TPC-H-shaped analytics over the star schema
     "pricing_summary" -> ((s, dir) => Analytics.pricingSummary(s, dir)),
     "revenue_by_nation" -> ((s, dir) => Analytics.revenueByNation(s, dir)),
@@ -936,6 +951,82 @@ object SparkEntry {
          |  coalesce(novel_shingles, 0) AS novel_shingles,
          |  round(coalesce(novel_shingles, 0)::double / n_shingles, 6) AS novelty
          |FROM sizes LEFT JOIN nv USING (doc_id)""".stripMargin,
+    // Replays TextOps.docDupSpans: 40-char windows at stride 10 over the
+    // normalized text, windows in >=2 distinct docs mark their ranges,
+    // gaps-and-islands merge, per-doc span accounting.
+    "doc_dup_spans" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+         |  FROM documents),
+         |d AS (SELECT doc_id, norm, length(norm) AS len FROM n
+         |      WHERE length(norm) >= 40),
+         |win AS (
+         |  SELECT doc_id, len, u.i AS start, substr(norm, u.i, 40) AS w
+         |  FROM d, UNNEST(generate_series(1, len - 39, 10)) AS u(i)),
+         |dup AS (SELECT w FROM win GROUP BY w
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |occ AS (SELECT win.doc_id, win.start FROM win JOIN dup USING (w)),
+         |fl AS (
+         |  SELECT doc_id, start,
+         |    max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM occ),
+         |isl AS (
+         |  SELECT doc_id, start,
+         |    sum(CASE WHEN prev_end IS NULL OR start > prev_end
+         |             THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+         |  FROM fl),
+         |sp AS (
+         |  SELECT doc_id, span_id, max(start + 40) - min(start) AS span_len
+         |  FROM isl GROUP BY doc_id, span_id),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_dup_spans,
+         |    sum(span_len)::BIGINT AS dup_chars
+         |  FROM sp GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_dup_spans, 0) AS n_dup_spans,
+         |  coalesce(dup_chars, 0) AS dup_chars,
+         |  round(coalesce(dup_chars, 0)::DOUBLE / d.len, 6) AS dup_frac
+         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // Replays ExportOps.shardManifest: the 31-bit LCG pseudo-shuffle
+    // (injective on doc_id), shard = h mod 8, one manifest row per shard.
+    "export_manifest" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    (doc_id * 1103515245 + 12345) % 2147483648 AS h
+        |  FROM documents),
+        |sh AS (SELECT doc_id, n_chars, h, h % 8 AS shard FROM s)
+        |SELECT shard, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS n_chars_total,
+        |  arg_min(doc_id, h) AS first_doc, arg_max(doc_id, h) AS last_doc,
+        |  sum(h)::BIGINT AS h_checksum
+        |FROM sh GROUP BY shard""".stripMargin,
+    // Replays VectorOps.knnLabelProp: vec_id%5==0 masked unlabeled,
+    // exact-cosine 5-NN from the labeled rest, majority vote (ties ->
+    // smaller label), mean neighborhood similarity.
+    "knn_label_prop" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 5 = 0),
+         |pairs AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id, c.label,
+         |         round(${duckCosine("qe", "c.embedding")}, 6) AS cos_sim
+         |  FROM q, embeddings c WHERE c.vec_id % 5 <> 0),
+         |top AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM pairs)
+         |  WHERE rn <= 5),
+         |votes AS (SELECT query_id, label, count(*) AS votes
+         |          FROM top GROUP BY 1, 2),
+         |pick AS (SELECT query_id, label AS pred_label, votes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY votes DESC, label) AS vr FROM votes)
+         |  WHERE vr = 1),
+         |sims AS (SELECT query_id, round(avg(cos_sim), 6) AS mean_sim
+         |         FROM top GROUP BY 1)
+         |SELECT query_id, pred_label, votes, mean_sim
+         |FROM pick JOIN sims USING (query_id)""".stripMargin,
     "neardup_clusters" ->
       s"""WITH RECURSIVE $jaccardPairsCtes,
          |p AS (SELECT doc_a, doc_b FROM jacc_pairs WHERE jaccard >= 0.8),

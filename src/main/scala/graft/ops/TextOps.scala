@@ -1820,4 +1820,63 @@ object TextOps {
     * driver-query form (train 10 merges, then one encode pass). */
   def bpeEncode(documents: DataFrame, nMerges: Int = 10): DataFrame =
     bpeEncodeWith(documents, vocabBpe(documents, nMerges))
+
+  /** Intra-corpus duplicated-PASSAGE spans, the exact-substring
+    * complement to document-grain near-dup (the "dedup the span, keep the
+    * doc" operation of Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): slide `width`-char windows at
+    * `stride` over the normalized text; a window whose content occurs in
+    * ≥2 DISTINCT documents marks its [start, start+width) range
+    * duplicated; per doc, overlapping/touching ranges merge
+    * (gaps-and-islands over one window spec) into maximal spans. Output
+    * per doc (all docs ≥ width chars): span count, duplicated chars,
+    * duplicated fraction of the normalized length.
+    *
+    * Scale shape: windows are (doc_id, start, key) triples — the text
+    * itself never re-shuffles. The dup-key set is found by one
+    * map-side-combined aggregate on the window key; occurrences re-join
+    * that set on the same key (shuffle reuse), and span-merge is one
+    * window function over (doc_id, start) — no pairwise doc×doc work
+    * anywhere, cost linear in Σ windows. The window KEY here is the
+    * substring itself so the DuckDB oracle replays bit-for-bit; at
+    * 100 TB key on `xxhash64(w)` instead (16× narrower shuffle; a
+    * collision only over-marks a span — dedup-tolerant). */
+  def docDupSpans(documents: DataFrame, width: Int = 40, stride: Int = 10): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), normalize(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"), length(col("norm")).as("len"))
+      .filter(col("len") >= width)
+    val wins = base.select(
+        col("doc_id"), col("len"),
+        explode(sequence(lit(1), col("len") - width + 1, lit(stride))).as("start"),
+        col("norm"))
+      .select(col("doc_id"), col("len"), col("start"),
+        col("norm").substr(col("start"), lit(width)).as("w"))
+    val dupKeys = wins.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("w"))
+    val occ = wins.join(dupKeys, Seq("w")).select(col("doc_id"), col("start"))
+    val W = org.apache.spark.sql.expressions.Window
+    val ordered = W.partitionBy(col("doc_id")).orderBy(col("start"))
+    val flagged = occ
+      .withColumn("prev_end", max(col("start") + width)
+        .over(ordered.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("span_id", sum(
+          when(col("prev_end").isNull || col("start") > col("prev_end"), 1)
+            .otherwise(0))
+        .over(ordered.rowsBetween(W.unboundedPreceding, 0)))
+    val spans = flagged.groupBy(col("doc_id"), col("span_id"))
+      .agg((max(col("start") + width) - min(col("start"))).as("span_len"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("span_len")).as("dup_chars"))
+    base.select(col("doc_id"), col("len"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("len"), 6)
+          .as("dup_frac"))
+  }
 }

@@ -778,6 +778,68 @@ object VectorOps {
         col("neg_id"), col("neg_cos"), col("neg_rank"))
   }
 
+  /** Embedding kNN label propagation (semi-supervised labeling): vectors
+    * with `vec_id % maskMod == 0` are treated as UNLABELED; each receives
+    * the majority label of its k nearest labeled neighbors by exact
+    * cosine (vote ties → smaller label), plus the winning vote count and
+    * the mean similarity of the k-neighborhood. The exact arm broadcasts
+    * the (1/maskMod-sized) query side and streams the labeled side once —
+    * same shape as [[annBruteForce]], so it replays in DuckDB and
+    * hash-matches. For large×large (pseudo-labeling a whole corpus from a
+    * big seed set) use [[knnLabelPropLsh]]: identical vote/argmax tail
+    * over [[knnJoinLsh]]'s banded candidate generation — neither side
+    * broadcasts, ids-only bucket join. */
+  def knnLabelProp(embeddings: DataFrame, k: Int = 5, maskMod: Int = 5): DataFrame = {
+    VecDot.register(embeddings.sparkSession)
+    val p = embeddings.select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("vd"),
+      sqrt(VecDot(col("embedding"), col("embedding"))).as("nrm"),
+      col("label"))
+    val q = p.filter(pmod(col("vec_id"), lit(maskMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("vd").as("qd"), col("nrm").as("qn"))
+    val lab = p.filter(pmod(col("vec_id"), lit(maskMod)) =!= 0)
+    val top = broadcast(q).crossJoin(lab)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        round(VecDot(col("qd"), col("vd")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+    labelVote(top, k)
+  }
+
+  /** LSH-blocked twin of [[knnLabelProp]] — the scale path. Candidate
+    * recall is probabilistic (multi-table sign-hash LSH), so this arm is
+    * rows-only in verify; VectorOpsSpec pins agreement with the exact arm
+    * on the vectors whose neighborhoods survive blocking. */
+  def knnLabelPropLsh(embeddings: DataFrame, k: Int = 5, maskMod: Int = 5,
+      planes: Int = 4, tables: Int = 8, dims: Int = 64): DataFrame = {
+    val unl = embeddings.filter(pmod(col("vec_id"), lit(maskMod)) === 0)
+    val lab = embeddings.filter(pmod(col("vec_id"), lit(maskMod)) =!= 0)
+    val top = knnJoinLsh(unl, lab, k = k, planes = planes, tables = tables, dims = dims)
+      .join(lab.select(col("vec_id").as("right_id"), col("label")), Seq("right_id"))
+      .select(col("left_id").as("query_id"), col("right_id").as("neighbor_id"),
+        col("label"), col("cos_sim"))
+    labelVote(top, k)
+  }
+
+  /** Shared vote/argmax tail: per query, count votes per label over the
+    * top-k frame, pick (votes desc, label asc), attach mean similarity.
+    * Pure hash aggregations + one tiny window — no re-scan of vectors. */
+  private def labelVote(top: DataFrame, k: Int): DataFrame = {
+    val votes = top.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val pick = votes
+      .withColumn("vr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+    val sims = top.groupBy(col("query_id"))
+      .agg(round(avg(col("cos_sim")), 6).as("mean_sim"))
+    pick.join(sims, Seq("query_id"))
+      .select(col("query_id"), col("pred_label"), col("votes"), col("mean_sim"))
+  }
+
   /** Large×large approximate kNN JOIN: every `left` vector finds its
     * top-k cosine neighbors among `right` — the batch retrieval shape
     * (RAG corpus vs query log, train-vs-eval nearest neighbors) where

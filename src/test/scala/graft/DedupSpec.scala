@@ -714,4 +714,77 @@ class DedupSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(tiny.isEmpty)
   }
+
+  /** Deterministic lowercase letter strings (no whitespace, so
+    * normalize() is the identity and span offsets are exact). */
+  private def gen(seed: Int, n: Int): String = {
+    val r = new scala.util.Random(seed)
+    (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+  }
+
+  test("dup spans: planted shared passages merge into exact spans; within-doc repeats don't count") {
+    val s = spark
+    import s.implicits._
+    val P = gen(1, 60)   // shared head of A and B
+    val Q = gen(2, 50)   // doc D = Q+Q, repeated only WITHIN the doc
+    val P1 = gen(3, 60)  // two shared passages of E and F ...
+    val P2 = gen(4, 60)  // ... separated by distinct 40-char middles
+    val fixture = Seq(
+      (1L, P + gen(11, 40)),            // A: dup span = P
+      (2L, P + gen(12, 40)),            // B: dup span = P
+      (3L, gen(13, 70)),                // C: fully unique
+      (4L, Q + Q),                      // D: self-repeat, cross-doc unique
+      (5L, P1 + gen(15, 40) + P2),      // E: two spans
+      (6L, P1 + gen(16, 40) + P2))      // F: two spans
+      .toDF("doc_id", "text")
+    val out = TextOps.docDupSpans(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // A/B: windows at starts 1,11,21 all inside P (21+39=60); merged span
+    // [1,61) = 60 chars of a 100-char doc.
+    assert(out(1L) == ((1L, 60L, 0.6)), s"A: ${out(1L)}")
+    assert(out(2L) == ((1L, 60L, 0.6)), s"B: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0.0)), s"C: ${out(3L)}")
+    // D repeats a 40-char block at starts 1 and 51, but only within
+    // itself — the >=2 DISTINCT docs rule must not fire.
+    assert(out(4L) == ((0L, 0L, 0.0)), s"D: ${out(4L)}")
+    // E/F: P1 spans starts {1,11,21} -> [1,61); P2 occupies [101,160],
+    // spans starts {101,111,121} -> [101,161); two 60-char spans of 160.
+    assert(out(5L) == ((2L, 120L, 0.75)), s"E: ${out(5L)}")
+    assert(out(6L) == ((2L, 120L, 0.75)), s"F: ${out(6L)}")
+  }
+
+  test("dup spans: stride-offset alignment only pairs identically-aligned windows") {
+    val s = spark
+    import s.implicits._
+    val P = gen(21, 60)
+    // B embeds P at offset 5 (NOT a stride multiple): none of B's windows
+    // line up with A's P-substrings, so neither doc gets a span. This
+    // pins the operator's documented stride semantics (span recall needs
+    // alignment; stride 1 would catch it at 10x the window count).
+    val fixture = Seq(
+      (1L, P + gen(22, 40)),
+      (2L, gen(23, 5) + P + gen(24, 40)))
+      .toDF("doc_id", "text")
+    val out = TextOps.docDupSpans(fixture).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 0L && out(2L) == 0L, s"misaligned P must not pair: $out")
+    // ... and at a stride-multiple offset (10) the windows line up again.
+    val aligned = Seq(
+      (1L, P + gen(22, 40)),
+      (2L, gen(25, 10) + P + gen(24, 40)))
+      .toDF("doc_id", "text")
+    val out2 = TextOps.docDupSpans(aligned).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out2(1L) == ((1L, 60L)), s"A aligned: ${out2(1L)}")
+    assert(out2(2L) == ((1L, 60L)), s"B aligned: ${out2(2L)}")
+  }
+
+  test("dup spans on the corpus: planted near-dups carry exact shared passages") {
+    val out = TextOps.docDupSpans(docs)
+    val withSpans = out.filter(col("n_dup_spans") > 0)
+    assert(withSpans.count() > 0, "sf0.001 corpus plants near-dup docs; some must share 40-char runs")
+    // frac is a fraction of the doc's own normalized length
+    assert(out.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+  }
 }

@@ -438,4 +438,65 @@ class VectorOpsSpec extends AnyFunSuite {
     }
     assert(keptIds.size == 60, "exactly the 5 planted twins drop at cos>=0.9")
   }
+
+  test("kNN label prop: exact arm matches a driver-side replay of the vote semantics") {
+    val out = VectorOps.knnLabelProp(fixture, k = 5, maskMod = 5).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val all = fixture.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val labeled = all.filter(_._1 % 5 != 0)
+    val queries = all.filter(_._1 % 5 == 0)
+    assert(queries.nonEmpty && out.size == queries.length)
+    queries.foreach { case (qid, qv, _) =>
+      val top = labeled.map { case (id, v, lab) => (id, lab, cos(qv, v)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(5)
+      val (predLab, votes) = top.groupBy(_._2).view
+        .mapValues(_.size).toSeq.sortBy { case (lab, n) => (-n, lab) }.head
+      val meanSim = top.map(_._3).sum / 5
+      val (gotLab, gotVotes, gotMean) = out(qid)
+      assert(gotLab == predLab && gotVotes == votes.toLong,
+        s"q $qid: got ($gotLab, $gotVotes) want ($predLab, $votes)")
+      assert(math.abs(gotMean - meanSim) < 2e-6, s"q $qid mean $gotMean vs $meanSim")
+    }
+  }
+
+  /** 3 well-separated clusters × 15 members; labels = cluster id, so a
+    * vote from ANY subset of the true neighborhood predicts the right
+    * label — the property that makes the probabilistic-recall LSH arm
+    * assertable, not just runnable. */
+  private lazy val clusterFixture = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val cents = Array.fill(3)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 15
+    } yield ((c * 15 + i).toLong,
+      cents(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat), c)
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("kNN label prop: both arms recover planted cluster labels; LSH agrees with exact") {
+    val exact = VectorOps.knnLabelProp(clusterFixture, k = 5, maskMod = 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lsh = VectorOps.knnLabelPropLsh(clusterFixture, k = 5, maskMod = 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(exact.nonEmpty)
+    // tight clusters: every masked vector votes its own cluster
+    exact.foreach { case (qid, lab) =>
+      assert(lab == (qid / 15).toInt, s"exact q $qid -> $lab")
+    }
+    assert(lsh.nonEmpty, "within-cluster cos≈1 ⇒ buckets must collide")
+    lsh.foreach { case (qid, lab) =>
+      assert(lab == exact(qid), s"lsh q $qid -> $lab vs exact ${exact(qid)}")
+    }
+  }
 }
