@@ -1852,12 +1852,16 @@ object TextOps {
         col("norm"))
       .select(col("doc_id"), col("len"), col("start"),
         col("norm").substr(col("start"), lit(width)).as("w"))
-    val dupKeys = wins.groupBy(col("w"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("w"))
-    val occ = wins.join(dupKeys, Seq("w")).select(col("doc_id"), col("start"))
+    // dup marking in ONE pass over the window frame: a collect_set
+    // window keyed on the substring replaces aggregate + join-back
+    // (which would recompute the explode/substr subtree and shuffle it
+    // twice). Set size per key is bounded by docs sharing an exact
+    // 40-char run — tiny even at 100 TB.
     val W = org.apache.spark.sql.expressions.Window
+    val occ = wins
+      .withColumn("nd", size(collect_set(col("doc_id")).over(W.partitionBy(col("w")))))
+      .filter(col("nd") >= 2)
+      .select(col("doc_id"), col("start"))
     val ordered = W.partitionBy(col("doc_id")).orderBy(col("start"))
     val flagged = occ
       .withColumn("prev_end", max(col("start") + width)

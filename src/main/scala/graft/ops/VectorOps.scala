@@ -825,19 +825,25 @@ object VectorOps {
 
   /** Shared vote/argmax tail: per query, count votes per label over the
     * top-k frame, pick (votes desc, label asc), attach mean similarity.
-    * Pure hash aggregations + one tiny window — no re-scan of vectors. */
+    * ONE pass over `top` (its subtree is the expensive crossjoin/bucket
+    * join — referencing it twice would compute it twice): a (query,label)
+    * hash aggregate carries partial sim sums, then one window over the
+    * tiny per-label frame derives both the argmax vote and the
+    * neighborhood mean (Σ partials / actual neighbor count — the LSH arm
+    * may return < k). */
   private def labelVote(top: DataFrame, k: Int): DataFrame = {
-    val votes = top.groupBy(col("query_id"), col("label"))
-      .agg(count(lit(1)).as("votes"))
-    val pick = votes
-      .withColumn("vr", row_number().over(Window.partitionBy(col("query_id"))
+    val byLabel = top.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), sum(col("cos_sim")).as("sim_sum"))
+    val perQuery = Window.partitionBy(col("query_id"))
+    byLabel
+      .withColumn("vr", row_number().over(perQuery
         .orderBy(col("votes").desc, col("label"))))
+      .withColumn("mean_sim",
+        round(sum(col("sim_sum")).over(perQuery)
+          / sum(col("votes")).over(perQuery), 6))
       .filter(col("vr") === 1)
-      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
-    val sims = top.groupBy(col("query_id"))
-      .agg(round(avg(col("cos_sim")), 6).as("mean_sim"))
-    pick.join(sims, Seq("query_id"))
-      .select(col("query_id"), col("pred_label"), col("votes"), col("mean_sim"))
+      .select(col("query_id"), col("label").as("pred_label"),
+        col("votes"), col("mean_sim"))
   }
 
   /** Large×large approximate kNN JOIN: every `left` vector finds its
