@@ -28,7 +28,12 @@ object Bench {
     * them, but the headline stops timing known-quadratic diagnostics. */
   private val Diagnostics = Set(
     "weekly_summary_nl", "weekly_summary_sql",
-    "embedding_neardup", "embedding_neardup_delta")
+    "embedding_neardup", "embedding_neardup_delta",
+    // exact label-prop arm: queries×labeled grows quadratically (soak
+    // r8: x11 at 10x data) — the oracle cross-check of the headline
+    // knn_label_prop_lsh scale path, same policy as the exact
+    // embedding arms above
+    "knn_label_prop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

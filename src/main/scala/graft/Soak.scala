@@ -149,7 +149,33 @@ object Soak {
     Check("events_in_windows", Equal, Some("n_events_in_window")),
     // content-derived vocabularies: size depends on the shifted text
     Check("vocab_bpe", Info),
-    Check("doc_search_hybrid", Info))
+    Check("doc_search_hybrid", Info),
+    // round-8 additions.
+    // dup spans: rows = every doc ≥ 40 chars, exactly xN. dup_chars ~xN:
+    // the Caesar shift preserves stopword tokens AND layout, so a 40-char
+    // window lying entirely in stopwords is identical (and identically
+    // placed) in every replica — those windows become cross-replica dups
+    // that base didn't have. Near tolerance absorbs that mass; if it
+    // exceeds 5% the invariant (not the operator) is miscalibrated.
+    Check("doc_dup_spans", TimesN, Some("dup_chars"), Near(0.05)),
+    // novelty: first-seen credit for stopword-pure shingles collapses to
+    // replica 0 (lowest doc_id), so later replicas lose exactly that
+    // shared-shingle credit; content shingles are Caesar-distinct per
+    // replica and stay xN.
+    Check("doc_novelty", TimesN, Some("novel_shingles"), Near(0.05)),
+    // label prop: one output row per masked vector regardless of
+    // neighborhood content (Stride % 5 == 0 keeps mask membership
+    // replica-invariant); votes are content-dependent (cross-replica
+    // chance neighbors enter top-5 — same chance-tail math as the
+    // embedding_neardup_lsh note above).
+    Check("knn_label_prop", TimesN, Some("votes"), Info),
+    // export: 8 shards at any scale; the LCG spreads every replica's
+    // offset ids across all shards, total doc mass exactly xN.
+    Check("export_manifest", Equal, Some("n_docs"), TimesN),
+    // SQ-quantized ANN: literal 10-query x top-5 surface at any scale;
+    // the [min,max] grid and shortlist contents shift with the rotated
+    // replicas, the output geometry doesn't.
+    Check("ann_sq", Equal))
 
   // ---------- deterministic content decorrelation ----------
 

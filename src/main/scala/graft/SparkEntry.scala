@@ -350,6 +350,23 @@ object SparkEntry {
     // exact 40-char windows at stride 10, cross-doc dups, merged spans
     "doc_dup_spans" -> ((s, dir) =>
       TextOps.docDupSpans(Tables.documents(s, dir))),
+    // the rewrite half: excise non-canonical duplicate spans, stitch the
+    // kept segments, account + fingerprint the cleaned text
+    "doc_dup_excise" -> ((s, dir) =>
+      TextOps.docDupExcise(Tables.documents(s, dir))),
+    // delta-proportional span check: new batch (doc_id % 10 = 0) probed
+    // against the existing corpus's window-key index
+    "doc_dup_spans_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.docDupSpansIncremental(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+    }),
+    // provenance rollups of the span machinery: which sources copy from
+    // each other, and each source's post-dedup effective contribution
+    "source_overlap" -> ((s, dir) =>
+      TextOps.sourceOverlap(Tables.documents(s, dir))),
+    "source_effective_size" -> ((s, dir) =>
+      TextOps.sourceEffectiveSize(Tables.documents(s, dir))),
     // deterministic pseudo-shuffled shard manifest (training export)
     "export_manifest" -> ((s, dir) =>
       graft.ops.ExportOps.shardManifest(Tables.documents(s, dir))),
@@ -990,6 +1007,166 @@ object SparkEntry {
          |  coalesce(dup_chars, 0) AS dup_chars,
          |  round(coalesce(dup_chars, 0)::DOUBLE / d.len, 6) AS dup_frac
          |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // Replays TextOps.docDupSpansIncremental: the incoming split's
+    // windows semi-joined against the existing split's distinct keys,
+    // then the same island merge — scored over incoming docs only.
+    "doc_dup_spans_delta" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+         |  FROM documents),
+         |d AS (SELECT doc_id, norm, length(norm) AS len FROM n
+         |      WHERE length(norm) >= 40),
+         |win AS (
+         |  SELECT doc_id, len, u.i AS start, substr(norm, u.i, 40) AS w
+         |  FROM d, UNNEST(generate_series(1, len - 39, 10)) AS u(i)),
+         |exw AS (SELECT DISTINCT w FROM win WHERE doc_id % 10 <> 0),
+         |occ AS (SELECT win.doc_id, win.start FROM win JOIN exw USING (w)
+         |        WHERE win.doc_id % 10 = 0),
+         |fl AS (
+         |  SELECT doc_id, start,
+         |    max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM occ),
+         |isl AS (
+         |  SELECT doc_id, start,
+         |    sum(CASE WHEN prev_end IS NULL OR start > prev_end
+         |             THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+         |  FROM fl),
+         |sp AS (
+         |  SELECT doc_id, span_id, max(start + 40) - min(start) AS span_len
+         |  FROM isl GROUP BY doc_id, span_id),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_dup_spans,
+         |    sum(span_len)::BIGINT AS dup_chars
+         |  FROM sp GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_dup_spans, 0) AS n_dup_spans,
+         |  coalesce(dup_chars, 0) AS dup_chars,
+         |  round(coalesce(dup_chars, 0)::DOUBLE / d.len, 6) AS dup_frac
+         |FROM d LEFT JOIN agg USING (doc_id)
+         |WHERE d.doc_id % 10 = 0""".stripMargin,
+    // Replays TextOps.sourceOverlap via the naive distinct-(w,source)
+    // self-join — identical matrix to the operator's row-local pair
+    // expansion.
+    "source_overlap" ->
+      s"""WITH n AS (
+         |  SELECT source,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+         |  FROM documents),
+         |d AS (SELECT source, norm, length(norm) AS len FROM n
+         |      WHERE length(norm) >= 40),
+         |ws AS (
+         |  SELECT DISTINCT source, substr(norm, u.i, 40) AS w
+         |  FROM d, UNNEST(generate_series(1, len - 39, 10)) AS u(i))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS shared_windows
+         |FROM ws a JOIN ws b ON a.w = b.w AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
+    // Replays TextOps.sourceEffectiveSize: the doc_dup_spans pipeline
+    // rolled up to source grain over normalized char mass.
+    "source_effective_size" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, source,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+         |  FROM documents),
+         |d AS (SELECT doc_id, source, norm, length(norm) AS len FROM n
+         |      WHERE length(norm) >= 40),
+         |win AS (
+         |  SELECT doc_id, len, u.i AS start, substr(norm, u.i, 40) AS w
+         |  FROM d, UNNEST(generate_series(1, len - 39, 10)) AS u(i)),
+         |dup AS (SELECT w FROM win GROUP BY w
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |occ AS (SELECT win.doc_id, win.start FROM win JOIN dup USING (w)),
+         |fl AS (
+         |  SELECT doc_id, start,
+         |    max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM occ),
+         |isl AS (
+         |  SELECT doc_id, start,
+         |    sum(CASE WHEN prev_end IS NULL OR start > prev_end
+         |             THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+         |  FROM fl),
+         |sp AS (
+         |  SELECT doc_id, span_id, max(start + 40) - min(start) AS span_len
+         |  FROM isl GROUP BY doc_id, span_id),
+         |agg AS (
+         |  SELECT doc_id, sum(span_len)::BIGINT AS dup_chars
+         |  FROM sp GROUP BY doc_id)
+         |SELECT d.source, count(*) AS n_docs,
+         |  sum(d.len)::BIGINT AS total_chars,
+         |  sum(coalesce(dup_chars, 0))::BIGINT AS dup_chars,
+         |  (sum(d.len) - sum(coalesce(dup_chars, 0)))::BIGINT AS effective_chars,
+         |  round(sum(coalesce(dup_chars, 0))::DOUBLE / sum(d.len), 6) AS dup_rate
+         |FROM d LEFT JOIN agg USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
+    // Replays TextOps.docDupExcise: same window/dup machinery as
+    // doc_dup_spans, but occurrences excise only in non-canonical docs
+    // (min doc_id keeps the copy), the kept complement segments stitch
+    // back in order, and the cleaned text is md5-fingerprinted.
+    "doc_dup_excise" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+         |  FROM documents),
+         |d AS (SELECT doc_id, norm, length(norm) AS len FROM n
+         |      WHERE length(norm) >= 40),
+         |win AS (
+         |  SELECT doc_id, len, u.i AS start, substr(norm, u.i, 40) AS w
+         |  FROM d, UNNEST(generate_series(1, len - 39, 10)) AS u(i)),
+         |ks AS (SELECT w, count(DISTINCT doc_id) AS nd, min(doc_id) AS min_doc
+         |       FROM win GROUP BY w),
+         |occ AS (SELECT win.doc_id, win.start FROM win JOIN ks USING (w)
+         |        WHERE ks.nd >= 2 AND win.doc_id <> ks.min_doc),
+         |fl AS (
+         |  SELECT doc_id, start,
+         |    max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM occ),
+         |isl AS (
+         |  SELECT doc_id, start,
+         |    sum(CASE WHEN prev_end IS NULL OR start > prev_end
+         |             THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+         |  FROM fl),
+         |sp AS (
+         |  SELECT doc_id, span_id, min(start) AS s, max(start + 40) AS e
+         |  FROM isl GROUP BY doc_id, span_id),
+         |gaps AS (
+         |  SELECT doc_id,
+         |    lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS seg_start,
+         |    s - lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS seg_len
+         |  FROM sp),
+         |tails AS (
+         |  SELECT sp.doc_id, max(e) AS seg_start,
+         |    any_value(len) - max(e) + 1 AS seg_len
+         |  FROM sp JOIN d USING (doc_id) GROUP BY sp.doc_id),
+         |segs AS (SELECT * FROM gaps WHERE seg_len > 0
+         |         UNION ALL SELECT * FROM tails WHERE seg_len > 0),
+         |st AS (
+         |  SELECT segs.doc_id,
+         |    string_agg(substr(d.norm, seg_start, seg_len), ''
+         |               ORDER BY seg_start) AS clean
+         |  FROM segs JOIN d USING (doc_id) GROUP BY segs.doc_id),
+         |cuts AS (
+         |  SELECT doc_id, count(*) AS n_cuts,
+         |    sum(e - s)::BIGINT AS removed_chars
+         |  FROM sp GROUP BY doc_id),
+         |aff AS (
+         |  SELECT cuts.doc_id, n_cuts, removed_chars,
+         |    coalesce(clean, '') AS clean
+         |  FROM cuts LEFT JOIN st USING (doc_id))
+         |SELECT d.doc_id, coalesce(n_cuts, 0) AS n_cuts,
+         |  coalesce(removed_chars, 0) AS removed_chars,
+         |  d.len - coalesce(removed_chars, 0) AS clean_len,
+         |  md5(CASE WHEN aff.doc_id IS NOT NULL THEN aff.clean
+         |           ELSE d.norm END) AS clean_md5
+         |FROM d LEFT JOIN aff ON d.doc_id = aff.doc_id""".stripMargin,
     // Replays ExportOps.shardManifest: the 31-bit LCG pseudo-shuffle
     // (injective on doc_id), shard = h mod 8, one manifest row per shard.
     "export_manifest" ->

@@ -1841,36 +1841,37 @@ object TextOps {
     * substring itself so the DuckDB oracle replays bit-for-bit; at
     * 100 TB key on `xxhash64(w)` instead (16× narrower shuffle; a
     * collision only over-marks a span — dedup-tolerant). */
-  def docDupSpans(documents: DataFrame, width: Int = 40, stride: Int = 10): DataFrame = {
-    val base = documents
+  /** (doc_id, norm, len) for docs long enough to window. */
+  private def normFrame(documents: DataFrame, width: Int): DataFrame =
+    documents
       .select(col("doc_id"), normalize(col("text")).as("norm"))
       .select(col("doc_id"), col("norm"), length(col("norm")).as("len"))
       .filter(col("len") >= width)
-    val wins = base.select(
+
+  /** The sliding-window frame both span operators share:
+    * (doc_id, len, start, w). */
+  private def winFrame(base: DataFrame, width: Int, stride: Int): DataFrame =
+    base.select(
         col("doc_id"), col("len"),
         explode(sequence(lit(1), col("len") - width + 1, lit(stride))).as("start"),
         col("norm"))
       .select(col("doc_id"), col("len"), col("start"),
         col("norm").substr(col("start"), lit(width)).as("w"))
-    // dup marking in ONE pass over the window frame: a collect_set
-    // window keyed on the substring replaces aggregate + join-back
-    // (which would recompute the explode/substr subtree and shuffle it
-    // twice). Set size per key is bounded by docs sharing an exact
-    // 40-char run — tiny even at 100 TB.
+
+  /** Span merge + per-doc accounting shared by the batch and delta span
+    * detectors: `occ` = (doc_id, start) dup-window occurrences, `base` =
+    * (doc_id, norm, len) of the docs being scored. */
+  private def spanAccounting(base: DataFrame, occ: DataFrame, width: Int): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val occ = wins
-      .withColumn("nd", size(collect_set(col("doc_id")).over(W.partitionBy(col("w")))))
-      .filter(col("nd") >= 2)
-      .select(col("doc_id"), col("start"))
     val ordered = W.partitionBy(col("doc_id")).orderBy(col("start"))
-    val flagged = occ
+    val spans = occ
       .withColumn("prev_end", max(col("start") + width)
         .over(ordered.rowsBetween(W.unboundedPreceding, -1)))
       .withColumn("span_id", sum(
           when(col("prev_end").isNull || col("start") > col("prev_end"), 1)
             .otherwise(0))
         .over(ordered.rowsBetween(W.unboundedPreceding, 0)))
-    val spans = flagged.groupBy(col("doc_id"), col("span_id"))
+      .groupBy(col("doc_id"), col("span_id"))
       .agg((max(col("start") + width) - min(col("start"))).as("span_len"))
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_spans"), sum(col("span_len")).as("dup_chars"))
@@ -1882,5 +1883,169 @@ object TextOps {
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
         round(coalesce(col("dup_chars"), lit(0L)).cast("double") / col("len"), 6)
           .as("dup_frac"))
+  }
+
+  def docDupSpans(documents: DataFrame, width: Int = 40, stride: Int = 10): DataFrame = {
+    val base = normFrame(documents, width)
+    val wins = winFrame(base, width, stride)
+    // dup marking in ONE pass over the window frame: a collect_set
+    // window keyed on the substring replaces aggregate + join-back
+    // (which would recompute the explode/substr subtree and shuffle it
+    // twice). Set size per key is bounded by docs sharing an exact
+    // 40-char run — tiny even at 100 TB.
+    val W = org.apache.spark.sql.expressions.Window
+    val occ = wins
+      .withColumn("nd", size(collect_set(col("doc_id")).over(W.partitionBy(col("w")))))
+      .filter(col("nd") >= 2)
+      .select(col("doc_id"), col("start"))
+    spanAccounting(base, occ, width)
+  }
+
+  /** Delta-proportional twin of [[docDupSpans]]: spans in INCOMING docs
+    * whose windows already occur in the EXISTING corpus (the ingest-time
+    * contamination check — "is this new doc copying something we already
+    * hold?"). The corpus contributes only its DISTINCT window-key set
+    * (built once, reusable across batches — at 100 TB this is the
+    * persisted index, not a rescan) and the join is a left-semi on the
+    * key, so per-batch work is Σ delta windows, never corpus × delta.
+    * Incoming-incoming duplication is deliberately out of scope here —
+    * that's the batch operator's job on the delta alone. */
+  /** The corpus's DISTINCT window-key set — the persisted probe index
+    * shared by [[docDupSpansIncremental]] and the streaming span probe
+    * ([[graft.streaming.DocStream.spanProbe]]). */
+  def dupSpanIndex(existing: DataFrame, width: Int = 40, stride: Int = 10): DataFrame =
+    winFrame(normFrame(existing, width), width, stride)
+      .select(col("w")).distinct()
+
+  def docDupSpansIncremental(existing: DataFrame, incoming: DataFrame,
+      width: Int = 40, stride: Int = 10): DataFrame = {
+    val inBase = normFrame(incoming, width)
+    val inWins = winFrame(inBase, width, stride)
+    val occ = inWins.join(dupSpanIndex(existing, width, stride), Seq("w"), "left_semi")
+      .select(col("doc_id"), col("start"))
+    spanAccounting(inBase, occ, width)
+  }
+
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many DISTINCT duplicate windows they share — "which corpora copy
+    * from each other", the provenance-grain view of [[docDupSpans]].
+    * One pass: distinct (window, source), collect the (tiny) source set
+    * per window key, expand pairs ROW-LOCALLY (a source set has at most
+    * |sources| elements, not |docs|), count per pair. No self-join, no
+    * re-scan; the DuckDB oracle computes the identical matrix via the
+    * naive (w,source)⋈(w,source) form. */
+  def sourceOverlap(documents: DataFrame, width: Int = 40, stride: Int = 10): DataFrame = {
+    val base = documents
+      .select(col("source"), normalize(col("text")).as("norm"))
+      .select(col("source"), col("norm"), length(col("norm")).as("len"))
+      .filter(col("len") >= width)
+    val ws = base.select(
+        col("source"),
+        explode(sequence(lit(1), col("len") - width + 1, lit(stride))).as("start"),
+        col("norm"))
+      .select(col("source"), col("norm").substr(col("start"), lit(width)).as("w"))
+      .distinct()
+    val sets = ws.groupBy(col("w"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    sets
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("source_a"), col("p.b").as("source_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
+  /** Post-dedup effective size per source — the mixture-planning input
+    * ("how much UNIQUE data does each corpus actually contribute?"):
+    * [[docDupSpans]] per doc, rolled up to source grain with the
+    * normalized char mass. Docs shorter than `width` are below span
+    * resolution and excluded (consistently with the span operator). */
+  def sourceEffectiveSize(documents: DataFrame, width: Int = 40, stride: Int = 10): DataFrame = {
+    val lens = documents.select(col("doc_id"), col("source"),
+      length(normalize(col("text"))).as("len"))
+    docDupSpans(documents, width, stride)
+      .join(lens, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).as("total_chars"),
+        sum(col("dup_chars")).as("dup_chars"),
+        (sum(col("len")) - sum(col("dup_chars"))).as("effective_chars"),
+        round(sum(col("dup_chars")).cast("double") / sum(col("len")), 6)
+          .as("dup_rate"))
+  }
+
+  /** Duplicated-passage EXCISION — the rewrite half of [[docDupSpans]]
+    * (Lee et al. 2021 keep-one-copy): for every cross-document duplicate
+    * window, the lowest doc_id holding it is the canonical copy; every
+    * occurrence in OTHER docs is excised. Excised ranges merge into
+    * maximal spans (same gaps-and-islands), the complement segments are
+    * stitched back together, and the operator returns per-doc
+    * (n_cuts, removed_chars, clean_len, clean_md5) — the md5 stands in
+    * for the cleaned text so the result stays narrow and
+    * engine-comparable; a caller wanting the text itself takes the same
+    * plan minus the md5.
+    *
+    * Scale shape: adds to [[docDupSpans]]'s linear pipeline one
+    * min(doc_id) carried by the same collect_set window (no extra
+    * shuffle) and one segment-stitch per affected doc — a window over
+    * that doc's few spans plus one hash aggregate; the full text of a
+    * doc appears in exactly one stitch group, never crosses docs. */
+  def docDupExcise(documents: DataFrame, width: Int = 40, stride: Int = 10): DataFrame = {
+    val base = normFrame(documents, width)
+    val wins = winFrame(base, width, stride)
+    val W = org.apache.spark.sql.expressions.Window
+    val byKey = W.partitionBy(col("w"))
+    // occurrences to excise: window shared by >= 2 docs, holder not canonical
+    val occ = wins
+      .withColumn("nd", size(collect_set(col("doc_id")).over(byKey)))
+      .withColumn("min_doc", min(col("doc_id")).over(byKey))
+      .filter(col("nd") >= 2 && col("doc_id") =!= col("min_doc"))
+      .select(col("doc_id"), col("start"))
+    val ordered = W.partitionBy(col("doc_id")).orderBy(col("start"))
+    val spans = occ
+      .withColumn("prev_end", max(col("start") + width)
+        .over(ordered.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("span_id", sum(
+          when(col("prev_end").isNull || col("start") > col("prev_end"), 1)
+            .otherwise(0))
+        .over(ordered.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("start")).as("s"), (max(col("start") + width)).as("e"))
+    // complement segments: [prev span end, this span start) per span row
+    // (lag default 1 = doc head), plus the tail [last span end, len+1).
+    val bySpan = W.partitionBy(col("doc_id")).orderBy(col("s"))
+    val gaps = spans
+      .withColumn("seg_start", lag(col("e"), 1, 1).over(bySpan))
+      .select(col("doc_id"), col("seg_start"), (col("s") - col("seg_start")).as("seg_len"))
+    val tails = spans.groupBy(col("doc_id")).agg(max(col("e")).as("seg_start"))
+      .join(base.select(col("doc_id"), col("len")), Seq("doc_id"))
+      .select(col("doc_id"), col("seg_start"), (col("len") - col("seg_start") + 1).as("seg_len"))
+    val segs = gaps.unionByName(tails).filter(col("seg_len") > 0)
+    // stitch: each affected doc's kept segments, in order, re-concatenated
+    val stitched = segs
+      .join(base, Seq("doc_id"))
+      .select(col("doc_id"),
+        struct(col("seg_start"), col("norm").substr(col("seg_start"), col("seg_len")).as("seg")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(col("p"))), p => p.getField("seg")), "")
+        .as("clean"))
+    val cuts = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cuts"), sum(col("e") - col("s")).as("removed_chars"))
+    // a fully-excised doc has cuts but zero kept segments: its clean text
+    // is "", NOT a fallback to the original — hence the left join +
+    // empty-string coalesce inside the affected frame
+    val affected = cuts.join(stitched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_cuts"), col("removed_chars"),
+        coalesce(col("clean"), lit("")).as("clean"))
+    base.select(col("doc_id"), col("norm"), col("len"))
+      .join(affected, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        (col("len") - coalesce(col("removed_chars"), lit(0L))).as("clean_len"),
+        md5(coalesce(col("clean"), col("norm"))).as("clean_md5"))
   }
 }

@@ -43,4 +43,56 @@ object DocStream {
       .filter(col("quality_score") >= minQuality)
       .dropDuplicatesWithinWatermark("fp_md5")
   }
+
+  /** Streaming duplicated-span probe — the ingest-time "is this new doc
+    * copying the corpus?" alert ([[graft.ops.TextOps.docDupSpansIncremental]]
+    * run continuously): each streamed doc's character windows semi-join
+    * the STATIC corpus window-key index
+    * ([[graft.ops.TextOps.dupSpanIndex]] — at scale a persisted,
+    * periodically-refreshed table; stream-static joins re-read it per
+    * micro-batch), hits re-group per doc under the watermark, and the
+    * span merge runs as a ROW-LOCAL fold over the doc's sorted hit
+    * offsets — a higher-order `aggregate`, because partition windows
+    * don't exist on streams. Emits only CONTAMINATED docs (an alert
+    * stream, append-mode); clean docs flow through [[ingestFilter]]
+    * untouched. State = open (doc, ts) groups inside the watermark —
+    * ingest-rate-sized, never corpus-sized. */
+  def spanProbe(docs: DataFrame, corpusKeys: DataFrame, width: Int = 40,
+      stride: Int = 10, watermarkDelay: String = "1 hour"): DataFrame = {
+    val base = docs
+      .withWatermark("ingest_ts", watermarkDelay)
+      .select(col("doc_id"), col("ingest_ts"), normalize(col("text")).as("norm"))
+      .select(col("doc_id"), col("ingest_ts"), col("norm"),
+        length(col("norm")).as("len"))
+      .filter(col("len") >= width)
+    val hits = base
+      .select(col("doc_id"), col("ingest_ts"), col("len"),
+        explode(sequence(lit(1), col("len") - width + 1, lit(stride))).as("start"),
+        col("norm"))
+      .select(col("doc_id"), col("ingest_ts"), col("len"), col("start"),
+        col("norm").substr(col("start"), lit(width)).as("w"))
+      .join(corpusKeys, Seq("w"), "left_semi")
+    // group per doc (ingest_ts in the key keeps append-mode legal), then
+    // merge [start, start+width) islands in one array fold
+    val folded = hits
+      .groupBy(col("doc_id"), col("ingest_ts"))
+      .agg(first(col("len")).as("len"),
+        sort_array(collect_list(col("start"))).as("starts"))
+      .withColumn("acc", aggregate(
+        col("starts"),
+        struct(lit(0L).as("cnt"), lit(0L).as("chars"), lit(-1).as("cur_end")),
+        (acc, s) => when(s > acc.getField("cur_end"), struct(
+            (acc.getField("cnt") + 1).as("cnt"),
+            (acc.getField("chars") + width).as("chars"),
+            (s + width).as("cur_end")))
+          .otherwise(struct(
+            acc.getField("cnt").as("cnt"),
+            (acc.getField("chars") + s + width - acc.getField("cur_end")).as("chars"),
+            (s + width).as("cur_end")))))
+    folded.select(
+      col("doc_id"), col("ingest_ts"),
+      col("acc.cnt").as("n_dup_spans"),
+      col("acc.chars").as("dup_chars"),
+      round(col("acc.chars").cast("double") / col("len"), 6).as("dup_frac"))
+  }
 }

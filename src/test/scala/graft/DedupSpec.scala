@@ -780,6 +780,117 @@ class DedupSpec extends AnyFunSuite {
     assert(out2(2L) == ((1L, 60L)), s"B aligned: ${out2(2L)}")
   }
 
+  test("dup excision: canonical doc keeps its copy, others lose the span, stitch is exact") {
+    val s = spark
+    import s.implicits._
+    val P = gen(31, 60)
+    val T1 = gen(32, 40)
+    val T2 = gen(33, 40)
+    val P3 = gen(34, 40)
+    val fixture = Seq(
+      (1L, P + T1),      // canonical holder of P's windows (min doc_id)
+      (2L, P + T2),      // loses span [1,61) -> clean = T2
+      (7L, P3 + gen(35, 40)), // canonical holder of the P3 window
+      (8L, P3))          // 40-char doc, fully excised -> clean = ""
+      .toDF("doc_id", "text")
+    val out = TextOps.docDupExcise(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    def md5(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L) == ((0L, 0L, 100L, md5(P + T1))), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((1L, 60L, 40L, md5(T2))), s"doc2: ${out(2L)}")
+    assert(out(7L) == ((0L, 0L, 80L, md5(P3 + gen(35, 40)))), s"doc7: ${out(7L)}")
+    assert(out(8L) == ((1L, 40L, 0L, md5(""))), s"doc8 fully excised: ${out(8L)}")
+  }
+
+  test("dup excision: the segment between two excised spans survives the stitch") {
+    val s = spark
+    import s.implicits._
+    val P1 = gen(41, 60)
+    val P2 = gen(42, 60)
+    val mid = gen(43, 40)
+    val fixture = Seq(
+      (1L, P1 + gen(44, 40) + P2), // canonical for both passages
+      (2L, P1 + mid + P2))         // loses [1,61) and [101,161)
+      .toDF("doc_id", "text")
+    val out = TextOps.docDupExcise(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    def md5(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(2L) == ((2L, 120L, 40L, md5(mid))), s"doc2: ${out(2L)}")
+    assert(out(1L)._1 == 0L, s"canonical doc must keep everything: ${out(1L)}")
+  }
+
+  test("delta dup spans: incoming scored against the corpus index only, delta-delta out of scope") {
+    val s = spark
+    import s.implicits._
+    val P = gen(51, 60)  // passage held by the existing corpus
+    val R = gen(52, 60)  // passage shared only WITHIN the incoming batch
+    val existing = Seq(
+      (1L, P + gen(53, 40)),
+      (3L, gen(54, 70)))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, P + R),             // P-span flagged; R not in corpus
+      (20L, gen(55, 70)),       // clean
+      (30L, R + gen(56, 40)))   // R only shared with doc 10 -> NOT flagged
+      .toDF("doc_id", "text")
+    val out = TextOps.docDupSpansIncremental(existing, incoming).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set(10L, 20L, 30L), "scores incoming docs only")
+    assert(out(10L) == ((1L, 60L, 0.5)), s"doc10: ${out(10L)}")
+    assert(out(20L) == ((0L, 0L, 0.0)), s"doc20: ${out(20L)}")
+    assert(out(30L) == ((0L, 0L, 0.0)), s"doc30 delta-delta must not flag: ${out(30L)}")
+    // consistency: the batch operator over existing+incoming flags at
+    // least everything the delta probe found for the incoming docs
+    val batch = TextOps.docDupSpans(existing.unionByName(incoming)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batch(10L) >= out(10L)._2, "batch view is a superset of the delta view")
+  }
+
+  test("source overlap: planted cross-source passages count per pair, within-source sharing doesn't") {
+    val s = spark
+    import s.implicits._
+    val P = gen(71, 60)   // shared by src_a and src_b
+    val Q = gen(72, 60)   // shared by two docs of src_a ONLY
+    val fixture = Seq(
+      (1L, P + gen(73, 40), "src_a"),
+      (2L, P + gen(74, 40), "src_b"),
+      (3L, Q + gen(75, 40), "src_a"),
+      (4L, Q + gen(76, 40), "src_a"),   // within-source dup: no pair row
+      (5L, gen(77, 70), "src_c"))      // unique: no pair row
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlap(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // P's interior windows at starts 1,11,21 -> 3 distinct shared keys
+    assert(out == Map(("src_a", "src_b") -> 3L), s"got $out")
+  }
+
+  test("source effective size: mass conserved and dup chars land on the right source") {
+    val s = spark
+    import s.implicits._
+    val P = gen(81, 60)
+    val fixture = Seq(
+      (1L, P + gen(82, 40), "src_a"),   // 100 chars, span 60 dup
+      (2L, P + gen(83, 40), "src_b"),   // 100 chars, span 60 dup
+      (3L, gen(84, 100), "src_a"))      // 100 chars, clean
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceEffectiveSize(fixture).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(out("src_a") == ((2L, 200L, 60L, 140L, 0.3)), s"src_a: ${out("src_a")}")
+    assert(out("src_b") == ((1L, 100L, 60L, 40L, 0.6)), s"src_b: ${out("src_b")}")
+    out.values.foreach { case (_, total, dup, eff, _) =>
+      assert(total == dup + eff, "mass conservation")
+    }
+  }
+
   test("dup spans on the corpus: planted near-dups carry exact shared passages") {
     val out = TextOps.docDupSpans(docs)
     val withSpans = out.filter(col("n_dup_spans") > 0)

@@ -78,4 +78,48 @@ class DocStreamSpec extends AnyFunSuite {
       assert(got.keySet == expected.keySet)
     } finally q.stop()
   }
+
+  private def gen(seed: Int, n: Int): String = {
+    val r = new scala.util.Random(seed)
+    (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+  }
+
+  test("streaming span probe flags corpus-copying docs, matches the batch delta probe") {
+    val s = spark
+    import s.implicits._
+    val P = gen(61, 60)
+    val corpus = Seq(
+      (100L, P + gen(62, 40)),
+      (101L, gen(63, 70)))
+      .toDF("doc_id", "text")
+    val index = TextOps.dupSpanIndex(corpus)
+    val contaminated = Doc(10, P + gen(64, 60), ts("2024-05-01 00:00:00"))
+    val clean = Doc(20, gen(65, 120), ts("2024-05-01 00:01:00"))
+    // batch truth for the same delta
+    val batchOut = TextOps.docDupSpansIncremental(
+      corpus, Seq((10L, contaminated.text), (20L, clean.text)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    val input = MemoryStream[Doc](s)
+    val q = DocStream.spanProbe(input.toDF(), index, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("span_probe").outputMode("append").start()
+    try {
+      input.addData(contaminated, clean)
+      q.processAllAvailable()
+      // append-mode aggregation: results emit once the watermark passes —
+      // push a far-future clean doc to advance it, then drain again
+      input.addData(Doc(99, gen(66, 120), ts("2024-05-01 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("span_probe")
+        .select("doc_id", "n_dup_spans", "dup_chars", "dup_frac").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      // the alert stream carries ONLY contaminated docs
+      assert(got.keySet == Set(10L), s"got $got")
+      assert(got(10L) == ((1L, 60L, 0.5)), s"doc10: ${got(10L)}")
+      assert(got(10L) == batchOut(10L), "stream disagrees with the batch delta probe")
+      assert(batchOut(20L) == ((0L, 0L, 0.0)), "clean doc is clean in batch too")
+    } finally q.stop()
+  }
 }

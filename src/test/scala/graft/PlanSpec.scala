@@ -259,4 +259,49 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.lastIndexOf("HashAggregate") > winIdx,
       s"window is not consuming the (order,supplier) aggregate:\n$plan")
   }
+
+  test("dup-span marking is one pass: two document scans total, no join on the window key") {
+    // round-8 single-pass contract: dup marking happens inside a
+    // collect_set window over the exploded frame (ONE distinct scan),
+    // not aggregate + join-back (which re-scans and re-shuffles it);
+    // the only join is the final per-doc stats attach (doc_id equi-join
+    // against the second scan carrying every doc's length).
+    val plan = planOf(SparkEntry.queries("doc_dup_spans")(spark, dir))
+    val scanIds = """Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(scanIds.size == 2,
+      s"expected windows scan + per-doc length scan, saw $scanIds:\n$plan")
+    assert(!plan.contains("SortMergeJoin [w"),
+      s"window-key join-back crept in:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 2,
+      s"dup marking + span merge are both window passes:\n$plan")
+  }
+
+  test("label prop broadcasts only the masked query side; one vote pass over candidates") {
+    val plan = planOf(SparkEntry.queries("knn_label_prop")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast against the streamed labeled side:\n$plan")
+    // single-pass tail: exactly one partial/final HashAggregate pair
+    // computes (votes, sim partials); mean + argmax are window work above
+    val aggIds = """HashAggregate\s+\((\d+)\)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(aggIds.size == 2,
+      s"vote tail must aggregate once (partial+final), saw $aggIds:\n$plan")
+    val scanIds = """Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(scanIds.size == 2,
+      s"one scan per side (query mask, labeled rest), saw $scanIds:\n$plan")
+  }
+
+  test("shard export manifest is a single aggregation round over one scan") {
+    val plan = planOf(SparkEntry.queries("export_manifest")(spark, dir))
+    val scanIds = """Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(scanIds.size == 1, s"manifest re-scans the corpus: $scanIds\n$plan")
+    val aggIds = """HashAggregate\s+\((\d+)\)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(aggIds.size == 2,
+      s"manifest must be one partial+final aggregate, saw $aggIds:\n$plan")
+    assert(!plan.contains("Join"), s"manifest must not join:\n$plan")
+  }
 }
