@@ -1997,14 +1997,22 @@ object TextOps {
     val wins = winFrame(base, width, stride)
     val W = org.apache.spark.sql.expressions.Window
     val byKey = W.partitionBy(col("w"))
-    // occurrences to excise: window shared by >= 2 docs, holder not canonical
+    // occurrences to excise: window shared by >= 2 docs, holder not
+    // canonical. `len` rides along so the whole span/segment pipeline
+    // below never re-touches the text — TEXT IS READ EXACTLY TWICE
+    // (window pass here, stitch join at the end; PlanSpec pins it).
     val occ = wins
       .withColumn("nd", size(collect_set(col("doc_id")).over(byKey)))
       .withColumn("min_doc", min(col("doc_id")).over(byKey))
       .filter(col("nd") >= 2 && col("doc_id") =!= col("min_doc"))
-      .select(col("doc_id"), col("start"))
+      .select(col("doc_id"), col("len"), col("start"))
     val ordered = W.partitionBy(col("doc_id")).orderBy(col("start"))
-    val spans = occ
+    // ONE aggregation chain carries everything to doc grain: islands →
+    // (doc, span) rows → per-doc SORTED span array + cut stats. The span
+    // frame has a single consumer, so Spark derives the whole window
+    // pipeline from a single scan (a second reference would silently
+    // re-run it — measured as 4 scans in the first cut of this operator).
+    val affected = occ
       .withColumn("prev_end", max(col("start") + width)
         .over(ordered.rowsBetween(W.unboundedPreceding, -1)))
       .withColumn("span_id", sum(
@@ -2012,33 +2020,32 @@ object TextOps {
             .otherwise(0))
         .over(ordered.rowsBetween(W.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("span_id"))
-      .agg(min(col("start")).as("s"), (max(col("start") + width)).as("e"))
-    // complement segments: [prev span end, this span start) per span row
-    // (lag default 1 = doc head), plus the tail [last span end, len+1).
-    val bySpan = W.partitionBy(col("doc_id")).orderBy(col("s"))
-    val gaps = spans
-      .withColumn("seg_start", lag(col("e"), 1, 1).over(bySpan))
-      .select(col("doc_id"), col("seg_start"), (col("s") - col("seg_start")).as("seg_len"))
-    val tails = spans.groupBy(col("doc_id")).agg(max(col("e")).as("seg_start"))
-      .join(base.select(col("doc_id"), col("len")), Seq("doc_id"))
-      .select(col("doc_id"), col("seg_start"), (col("len") - col("seg_start") + 1).as("seg_len"))
-    val segs = gaps.unionByName(tails).filter(col("seg_len") > 0)
-    // stitch: each affected doc's kept segments, in order, re-concatenated
-    val stitched = segs
-      .join(base, Seq("doc_id"))
-      .select(col("doc_id"),
-        struct(col("seg_start"), col("norm").substr(col("seg_start"), col("seg_len")).as("seg")).as("p"))
+      .agg(first(col("len")).as("len"),
+        min(col("start")).as("s"), (max(col("start") + width)).as("e"))
       .groupBy(col("doc_id"))
-      .agg(array_join(transform(array_sort(collect_list(col("p"))), p => p.getField("seg")), "")
-        .as("clean"))
-    val cuts = spans.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_cuts"), sum(col("e") - col("s")).as("removed_chars"))
-    // a fully-excised doc has cuts but zero kept segments: its clean text
-    // is "", NOT a fallback to the original — hence the left join +
-    // empty-string coalesce inside the affected frame
-    val affected = cuts.join(stitched, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_cuts"), col("removed_chars"),
-        coalesce(col("clean"), lit("")).as("clean"))
+      .agg(
+        count(lit(1)).as("n_cuts"),
+        sum(col("e") - col("s")).as("removed_chars"),
+        sort_array(collect_list(struct(col("s"), col("e")))).as("sps"))
+    // complement segments + stitch, all ROW-LOCAL over the sorted span
+    // array at the single text join: gap k runs from span k-1's end (doc
+    // head for k=0) to span k's start; the tail runs from the last end to
+    // len+1. Zero-length segments vanish in the filter, so a fully-
+    // excised doc stitches to "" with no special case.
+    def stitch(norm: Column, len: Column, sps: Column): Column = {
+      val gaps = transform(sps, (x, i) => struct(
+        when(i === 0, lit(1))
+          .otherwise(element_at(sps, i).getField("e")).as("seg_start"),
+        (x.getField("s") - when(i === 0, lit(1))
+          .otherwise(element_at(sps, i).getField("e"))).as("seg_len")))
+      val tail = struct(
+        element_at(sps, size(sps)).getField("e").as("seg_start"),
+        (len - element_at(sps, size(sps)).getField("e") + 1).as("seg_len"))
+      val segs = filter(concat(gaps, array(tail)), p => p.getField("seg_len") > 0)
+      array_join(
+        transform(segs, p => norm.substr(p.getField("seg_start"), p.getField("seg_len"))),
+        "")
+    }
     base.select(col("doc_id"), col("norm"), col("len"))
       .join(affected, Seq("doc_id"), "left")
       .select(
@@ -2046,6 +2053,7 @@ object TextOps {
         coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
         coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
         (col("len") - coalesce(col("removed_chars"), lit(0L))).as("clean_len"),
-        md5(coalesce(col("clean"), col("norm"))).as("clean_md5"))
+        md5(when(col("n_cuts").isNull, col("norm"))
+          .otherwise(stitch(col("norm"), col("len"), col("sps")))).as("clean_md5"))
   }
 }

@@ -293,6 +293,17 @@ class PlanSpec extends AnyFunSuite {
       s"one scan per side (query mask, labeled rest), saw $scanIds:\n$plan")
   }
 
+  test("dup-span excision reads the text exactly twice: window pass + stitch join") {
+    // the span/segment pipeline between them is offsets-only — len rides
+    // with the occurrences, segments derive from the span frame, and the
+    // substring stitch happens in the single final join with the text
+    val plan = planOf(SparkEntry.queries("doc_dup_excise")(spark, dir))
+    val scanIds = """Scan parquet\s+\((\d+)\)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(scanIds.size == 2,
+      s"expected window scan + stitch scan only, saw $scanIds:\n$plan")
+  }
+
   test("shard export manifest is a single aggregation round over one scan") {
     val plan = planOf(SparkEntry.queries("export_manifest")(spark, dir))
     val scanIds = """Scan parquet\s+\((\d+)\)""".r
