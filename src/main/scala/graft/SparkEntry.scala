@@ -374,6 +374,10 @@ object SparkEntry {
     // 5-NN majority vote from the labeled rest
     "knn_label_prop" -> ((s, dir) =>
       VectorOps.knnLabelProp(Tables.embeddings(s, dir))),
+    // Matryoshka trade study: recall@5 of 32/16-dim prefixes vs the
+    // full-dim exact top-5
+    "ann_dim_tradeoff" -> ((s, dir) =>
+      VectorOps.annDimTradeoff(Tables.embeddings(s, dir))),
     // LSH-blocked twin — the large×large scale path (rows-only: bucket
     // recall probabilistic; VectorOpsSpec pins agreement vs exact arm)
     "knn_label_prop_lsh" -> ((s, dir) =>
@@ -1180,6 +1184,39 @@ object SparkEntry {
         |  arg_min(doc_id, h) AS first_doc, arg_max(doc_id, h) AS last_doc,
         |  sum(h)::BIGINT AS h_checksum
         |FROM sh GROUP BY shard""".stripMargin,
+    // Replays VectorOps.annDimTradeoff: per-dimension prefix cosines in
+    // one pair sweep, chained ranks, recall vs the 64-dim truth.
+    "ann_dim_tradeoff" -> {
+      def pcos(d: Int) = {
+        def dot(x: String, y: String) =
+          s"list_reduce(list_transform(generate_series(1, $d), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (a, v) -> a + v)"
+        s"round(${dot("qd", "vd")} / (sqrt(${dot("qd", "qd")}) * sqrt(${dot("vd", "vd")})), 6)"
+      }
+      s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, vd AS qd FROM p WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT query_id, p.vec_id AS neighbor_id,
+         |    ${pcos(64)} AS cos_64, ${pcos(32)} AS cos_32, ${pcos(16)} AS cos_16
+         |  FROM q, p WHERE p.vec_id != query_id),
+         |r AS (
+         |  SELECT query_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_64 DESC, neighbor_id) AS rn_64,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_32 DESC, neighbor_id) AS rn_32,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_16 DESC, neighbor_id) AS rn_16
+         |  FROM pairs),
+         |h AS (SELECT count(DISTINCT query_id) AS nq,
+         |  sum(CASE WHEN rn_64 <= 5 AND rn_64 <= 5 THEN 1 ELSE 0 END) AS hit_64,
+         |  sum(CASE WHEN rn_32 <= 5 AND rn_64 <= 5 THEN 1 ELSE 0 END) AS hit_32,
+         |  sum(CASE WHEN rn_16 <= 5 AND rn_64 <= 5 THEN 1 ELSE 0 END) AS hit_16
+         |  FROM r)
+         |SELECT 64 AS dim, round(hit_64 / (5.0 * nq), 6) AS recall_at_k FROM h
+         |UNION ALL SELECT 32, round(hit_32 / (5.0 * nq), 6) FROM h
+         |UNION ALL SELECT 16, round(hit_16 / (5.0 * nq), 6) FROM h""".stripMargin
+    },
     // Replays VectorOps.knnLabelProp: vec_id%5==0 masked unlabeled,
     // exact-cosine 5-NN from the labeled rest, majority vote (ties ->
     // smaller label), mean neighborhood similarity.

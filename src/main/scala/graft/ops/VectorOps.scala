@@ -778,6 +778,45 @@ object VectorOps {
         col("neg_id"), col("neg_cos"), col("neg_rank"))
   }
 
+  /** Truncated-dimension retrieval quality (the Matryoshka trade study):
+    * recall@k of prefix-sliced embeddings (e.g. 32 and 16 of 64 dims)
+    * against the full-dimension exact top-k — the measurement that
+    * decides whether a pipeline can serve ANN from a truncated index at
+    * a fraction of the memory. ONE pair pass computes every dimension's
+    * cosine (slices of the same widened array); the per-dimension ranks
+    * are CHAINED windows over that single subtree, so the plan scans the
+    * pairs once however many dims are studied; recall folds into one
+    * aggregate and unpivots via stack(). Fully IEEE-deterministic
+    * (6dp-rounded ranking, id tie-breaks) — the DuckDB oracle replays
+    * the whole study. */
+  def annDimTradeoff(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      dims: Seq[Int] = Seq(64, 32, 16)): DataFrame = {
+    val p = prepared(embeddings)
+    val full = dims.max
+    val q = p.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vd").as("qd"))
+    def cosAt(d: Int): Column = {
+      val (a, b) =
+        if (d == full) (col("qd"), col("vd"))
+        else (slice(col("qd"), 1, d), slice(col("vd"), 1, d))
+      round(VecDot(a, b) / (sqrt(VecDot(a, a)) * sqrt(VecDot(b, b))), 6)
+    }
+    val pairs = broadcast(q).join(p, col("vec_id") =!= col("query_id"))
+      .select(col("query_id") +: col("vec_id").as("neighbor_id") +:
+        dims.map(d => cosAt(d).as(s"cos_$d")): _*)
+    val ranked = dims.foldLeft(pairs) { (df, d) =>
+      df.withColumn(s"rn_$d", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col(s"cos_$d").desc, col("neighbor_id"))))
+    }
+    val hits = ranked.agg(
+      count_distinct(col("query_id")).as("nq"),
+      dims.map(d => sum((col(s"rn_$d") <= k && col(s"rn_$full") <= k).cast("long"))
+        .as(s"hit_$d")): _*)
+    val stackArgs = dims.map(d =>
+      s"$d, round(hit_$d / CAST($k * nq AS DOUBLE), 6)").mkString(", ")
+    hits.selectExpr(s"stack(${dims.size}, $stackArgs) AS (dim, recall_at_k)")
+  }
+
   /** Embedding kNN label propagation (semi-supervised labeling): vectors
     * with `vec_id % maskMod == 0` are treated as UNLABELED; each receives
     * the majority label of its k nearest labeled neighbors by exact

@@ -439,6 +439,37 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(keptIds.size == 60, "exactly the 5 planted twins drop at cos>=0.9")
   }
 
+  test("dim trade study: full-dim recall is exactly 1; prefix recalls bounded and ordered") {
+    val out = VectorOps.annDimTradeoff(fixture).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(64, 32, 16))
+    assert(out(64) == 1.0, s"full-dim vs itself must be perfect: ${out(64)}")
+    out.values.foreach(v => assert(v >= 0 && v <= 1))
+    // 16-dim prefixes on gaussian vectors can't beat 32-dim on average
+    // at this fixture size — and BOTH must retain signal (>0)
+    assert(out(32) > 0 && out(16) > 0, s"prefix recall collapsed: $out")
+  }
+
+  test("dim trade study: prefix-identical twins are found at every dimension") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // 40 background vectors + for each query 0..2 a twin identical in
+    // ALL dims: the twin must be the #1 neighbor at 64, 32 and 16 dims,
+    // so recall@5 over the twin queries is 1 at every dimension
+    val base = (0 until 40).map(i => ((i + 10).toLong,
+      Array.fill(64)(rnd.nextGaussian().toFloat), 0))
+    val queries = (0 until 3).map(i => (i.toLong,
+      Array.fill(64)(rnd.nextGaussian().toFloat), 0))
+    val twins = queries.map { case (id, v, _) => (100L + id, v.clone(), 0) }
+    val df = (base ++ queries ++ twins).toDF("vec_id", "embedding", "label")
+    val perQuery = VectorOps.annDimTradeoff(df, nQueries = 3, k = 1).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // k=1: the only counted hit is the top neighbor; identical twins tie
+    // at cos=1 for every prefix and win on the id tie-break at all dims
+    assert(perQuery == Map(64 -> 1.0, 32 -> 1.0, 16 -> 1.0), s"got $perQuery")
+  }
+
   test("kNN label prop: exact arm matches a driver-side replay of the vote semantics") {
     val out = VectorOps.knnLabelProp(fixture, k = 5, maskMod = 5).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3)))
