@@ -370,6 +370,9 @@ object SparkEntry {
     // deterministic pseudo-shuffled shard manifest (training export)
     "export_manifest" -> ((s, dir) =>
       graft.ops.ExportOps.shardManifest(Tables.documents(s, dir))),
+    // length-balanced dealing by global (n_chars, doc_id) rank
+    "export_manifest_balanced" -> ((s, dir) =>
+      graft.ops.ExportOps.shardManifestBalanced(Tables.documents(s, dir))),
     // kNN label propagation: vec_id%5==0 masked unlabeled, exact-cosine
     // 5-NN majority vote from the labeled rest
     "knn_label_prop" -> ((s, dir) =>
@@ -1171,6 +1174,17 @@ object SparkEntry {
          |  md5(CASE WHEN aff.doc_id IS NOT NULL THEN aff.clean
          |           ELSE d.norm END) AS clean_md5
          |FROM d LEFT JOIN aff ON d.doc_id = aff.doc_id""".stripMargin,
+    // Replays ExportOps.shardManifestBalanced: global (n_chars, doc_id)
+    // rank dealt round-robin over 8 shards.
+    "export_manifest_balanced" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents)
+        |SELECT (rn - 1) % 8 AS shard, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS n_chars_total,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM r GROUP BY 1""".stripMargin,
     // Replays ExportOps.shardManifest: the 31-bit LCG pseudo-shuffle
     // (injective on doc_id), shard = h mod 8, one manifest row per shard.
     "export_manifest" ->

@@ -51,6 +51,47 @@ object ExportOps {
         sum(col("h")).as("h_checksum"))
       .orderBy(col("shard"))
 
+  /** Length-balanced sharding: rank every doc globally by
+    * (n_chars, doc_id) and deal round-robin — shard k takes every
+    * nShards-th doc in length order, so per-shard char mass is tightly
+    * balanced (each shard samples the whole length distribution), the
+    * property that keeps training loaders in step when sequence packing
+    * follows. Hash sharding ([[shardManifest]]) balances COUNTS;
+    * length skew across its shards is whatever chance deals
+    * (ExportOpsSpec quantifies the gap).
+    *
+    * The global rank uses the same two-level prefix sum as
+    * `TextOps.packSequences` — range partition on the sort key, one
+    * window per partition, per-partition counts collected once (bounded:
+    * `nBuckets` rows) and folded back as base offsets. No 1-partition
+    * global window anywhere, so the plan survives 100 TB. */
+  def shardManifestBalanced(documents: DataFrame, nShards: Int = 8,
+      nBuckets: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("n_chars"), col("doc_id"))
+    val local = documents.select(col("doc_id"), col("n_chars"))
+      .repartitionByRange(nBuckets, col("n_chars"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_rn", row_number().over(w).cast("long"))
+      .localCheckpoint(false)
+    val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("pcnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val bases = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val base = counts.map(_._1).foldRight(lit(0L)) { case (pid, rest) =>
+      when(col("pid") === pid, lit(bases(pid))).otherwise(rest)
+    }
+    local
+      .withColumn("shard", pmod(base + col("local_rn") - 1, lit(nShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("shard"))
+  }
+
   /** Materialize the shards: one file tree `dir/shard=S/…`, rows within
     * a shard in shuffle (h) order. `repartition(nShards, shard)` gives
     * one task per shard;

@@ -44,6 +44,33 @@ class ExportOpsSpec extends AnyFunSuite {
     assert(hs.distinct.length == ids.length)
   }
 
+  test("balanced manifest: round-robin by length rank, char mass far tighter than hash sharding") {
+    val n = 8
+    val bal = ExportOps.shardManifestBalanced(docs, n).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hash = ExportOps.shardManifest(docs, n).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bal.keySet == (0L until n).toSet)
+    // counts differ by at most 1 (dealing)
+    val cnts = bal.values.map(_._1)
+    assert(cnts.max - cnts.min <= 1, s"deal counts: $bal")
+    // driver replay: global (n_chars, doc_id) sort dealt round-robin
+    val rows = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, ch) => (ch, id) }
+    val expect = rows.zipWithIndex
+      .groupBy { case (_, i) => (i % n).toLong }
+      .map { case (s0, g) => s0 -> (g.length.toLong, g.map(_._1._2).sum) }
+    assert(bal == expect, s"balanced manifest diverges from the driver replay")
+    // the point of the operator: char-mass spread collapses vs hash shards
+    def spread(m: Map[Long, (Long, Long)]): Double = {
+      val masses = m.values.map(_._2.toDouble)
+      (masses.max - masses.min) / (masses.sum / masses.size)
+    }
+    assert(spread(bal) < spread(hash) / 2,
+      s"balanced spread ${spread(bal)} vs hash ${spread(hash)}")
+  }
+
   test("writeShards: re-export is row-identical, shards partition the corpus, h-sorted files") {
     val n = 4
     val dir1 = Files.createTempDirectory("graft_shards1").toString
