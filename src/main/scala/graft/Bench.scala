@@ -247,6 +247,10 @@ object Bench {
         // flagship training-data main gets a measured number too
         val corDir = java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString
         opExec("corpus_run")(CorpusRun.main(Array(sfDir, corDir)))
+        // training export: shard write + manifest consistency + the
+        // re-export determinism check (two full writes by design)
+        val expDir = java.nio.file.Files.createTempDirectory("graft-bench-export").toString
+        opExec("export_run")(ExportRun.main(Array(sfDir, expDir)))
       }
       flush(reps)
     }

@@ -175,7 +175,29 @@ object Soak {
     // SQ-quantized ANN: literal 10-query x top-5 surface at any scale;
     // the [min,max] grid and shortlist contents shift with the rotated
     // replicas, the output geometry doesn't.
-    Check("ann_sq", Equal))
+    Check("ann_sq", Equal),
+    // excision: same stopword-window tolerance as doc_dup_spans; the
+    // cross-replica canonical (min doc_id = replica 0) only matters for
+    // stopword-pure windows — content windows are Caesar-distinct per
+    // replica, so each replica elects its own canonicals.
+    Check("doc_dup_excise", TimesN, Some("removed_chars"), Near(0.05)),
+    // delta probe: Stride % 10 == 0 keeps batch membership
+    // replica-invariant; each replica's delta probes its own corpus.
+    Check("doc_dup_spans_delta", TimesN, Some("dup_chars"), Near(0.05)),
+    // provenance matrix: sources are NOT offset per replica, so the pair
+    // set equals base (replicas are isomorphic; stopword windows existed
+    // cross-source at 1x already); shared-key counts ~xN since replica
+    // keys are Caesar-distinct, minus the once-counted stopword keys.
+    Check("source_overlap", Equal, Some("shared_windows"), Near(0.05)),
+    // balanced export: 8 shards at any scale; Caesar preserves lengths,
+    // so total char mass is exactly xN.
+    Check("export_manifest_balanced", Equal, Some("n_chars_total"), TimesN),
+    // truncation study: 3 literal rows; recall is content-dependent
+    // (cross-replica chance neighbors dilute prefix agreement).
+    Check("ann_dim_tradeoff", Equal, Some("recall_at_k"), Info),
+    // LSH label prop: one row per covered query; multi-table bucket
+    // recall keeps coverage near-complete at both scales.
+    Check("knn_label_prop_lsh", Band(0.9, 1.1)))
 
   // ---------- deterministic content decorrelation ----------
 

@@ -107,6 +107,9 @@ object SparkEntry {
     "doc_stats" -> ((s, dir) => TextOps.docStats(Tables.documents(s, dir))),
     "doc_quality" -> ((s, dir) => TextOps.docQuality(Tables.documents(s, dir))),
     "doc_langid" -> ((s, dir) => TextOps.docLangId(Tables.documents(s, dir))),
+    // langid accuracy readout: predicted vs labeled language
+    "langid_confusion" -> ((s, dir) =>
+      TextOps.langIdConfusion(Tables.documents(s, dir))),
     "doc_repetition" -> ((s, dir) => TextOps.docRepetition(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.docFingerprint(Tables.documents(s, dir))),
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.documents(s, dir))),
@@ -921,6 +924,28 @@ object SparkEntry {
          |SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
          |  CASE $cases ELSE 'und' END AS lang_pred
          |FROM h""".stripMargin
+    },
+    // Replays TextOps.langIdConfusion: the doc_langid prediction joined
+    // back to the labeled lang, counted per (label, prediction) cell.
+    "langid_confusion" -> {
+      val hits = Seq(
+        "en" -> graft.functions.TextFns.StopwordsEn,
+        "es" -> graft.functions.TextFns.StopwordsEs,
+        "de" -> graft.functions.TextFns.StopwordsDe,
+        "fr" -> graft.functions.TextFns.StopwordsFr)
+      val hitCols = hits.map { case (n, ws) =>
+        s"len(list_filter(t, x -> x IN ${inList(ws)})) AS hits_$n" }.mkString(",\n  ")
+      val best = "greatest(hits_en, hits_es, hits_de, hits_fr)"
+      val cases = hits.map { case (n, _) =>
+        s"WHEN hits_$n > 0 AND hits_$n = $best THEN '$n'" }.mkString("\n  ")
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id,
+         |  $hitCols
+         |FROM toks),
+         |p AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM h)
+         |SELECT d.lang, p.lang_pred, count(*) AS n_docs
+         |FROM documents d JOIN p USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
     },
     "doc_repetition" ->
       s"""WITH $toksCte,

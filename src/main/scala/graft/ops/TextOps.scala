@@ -268,6 +268,16 @@ object TextOps {
       (col("doc_id") +: hitCols :+ langId(toks).as("lang_pred")): _*)
   }
 
+  /** Language-ID evaluation: the confusion matrix of predicted vs
+    * LABELED language — the accuracy readout any corpus that carries a
+    * `lang` column gets for free. One scan (prediction inlined next to
+    * the label, no self-join), one |langs|²-bounded aggregate. */
+  def langIdConfusion(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), langId(tokens(col("text"))).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Content fingerprints: md5 of the canonical text (exact-dedup key)
     * plus a cheap length+checksum composite for prefilter bucketing. */
   def docFingerprint(documents: DataFrame): DataFrame =

@@ -891,6 +891,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("langid confusion: planted languages land on the diagonal, gibberish in 'und'") {
+    val s = spark
+    import s.implicits._
+    val fixture = Seq(
+      (1L, "the cat and the dog are in the house with a friend", "en"),
+      (2L, "el gato y el perro en la casa con un amigo de todos", "es"),
+      (3L, "der hund und die katze sind in dem haus mit einem freund", "de"),
+      (4L, "xqzt blorp frumious bandersnatch vorpal snicker snack", "en")) // mislabeled gibberish
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.langIdConfusion(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("en", "en")) == 1L, s"got $out")
+    assert(out(("es", "es")) == 1L, s"got $out")
+    assert(out(("de", "de")) == 1L, s"got $out")
+    assert(out(("en", "und")) == 1L, s"gibberish must fall to und: $out")
+    assert(out.values.sum == 4L)
+  }
+
   test("dup spans on the corpus: planted near-dups carry exact shared passages") {
     val out = TextOps.docDupSpans(docs)
     val withSpans = out.filter(col("n_dup_spans") > 0)
