@@ -163,12 +163,11 @@ object Soak {
     // shared-shingle credit; content shingles are Caesar-distinct per
     // replica and stay xN.
     Check("doc_novelty", TimesN, Some("novel_shingles"), Near(0.05)),
-    // label prop: one output row per masked vector regardless of
-    // neighborhood content (Stride % 5 == 0 keeps mask membership
-    // replica-invariant); votes are content-dependent (cross-replica
-    // chance neighbors enter top-5 — same chance-tail math as the
-    // embedding_neardup_lsh note above).
-    Check("knn_label_prop", TimesN, Some("votes"), Info),
+    // (knn_label_prop — the EXACT label-prop arm — is deliberately
+    // absent, like every quadratic cross-check: queries×labeled grows
+    // ×100 at ×10 data (measured ×27 wall — the fixed-overhead tail of
+    // exactly that), which is the reason it sits in Bench Diagnostics.
+    // Its scale path is asserted below.)
     // export: 8 shards at any scale; the LCG spreads every replica's
     // offset ids across all shards, total doc mass exactly xN.
     Check("export_manifest", Equal, Some("n_docs"), TimesN),
@@ -197,7 +196,13 @@ object Soak {
     Check("ann_dim_tradeoff", Equal, Some("recall_at_k"), Info),
     // LSH label prop: one row per covered query; multi-table bucket
     // recall keeps coverage near-complete at both scales.
-    Check("knn_label_prop_lsh", Band(0.9, 1.1)))
+    Check("knn_label_prop_lsh", Band(0.9, 1.1)),
+    // confusion matrix: Caesar preserves stopwords, so predictions are
+    // replica-invariant — same (label, pred) cells, counts xN.
+    Check("langid_confusion", Equal, Some("n_docs")),
+    // per-source rollup: source values aren't offset per replica (rows
+    // equal); char mass xN with the stopword-window tolerance.
+    Check("source_effective_size", Equal, Some("effective_chars"), Near(0.05)))
 
   // ---------- deterministic content decorrelation ----------
 

@@ -897,7 +897,14 @@ object VectorOps {
     * (bucket-bounded, never |left|×|right|). Recall is the standard
     * multi-table LSH guarantee; precision is exact (true cosine ranks
     * candidates). VectorOpsSpec pins twin recall and exactness of the
-    * returned similarities. */
+    * returned similarities.
+    *
+    * SIZE `planes` WITH THE CORPUS: candidate volume per table is
+    * Σ_b |left_b|×|right_b| ≈ |L||R|/2^planes, so a FIXED bit width
+    * grows quadratically with density (soak r8: ×5-11 time at ×10 data
+    * with planes=6). Hold per-bucket occupancy constant by growing
+    * planes ~log2(N) — the standard LSH sizing rule; the parameter is
+    * exposed for exactly that. */
   def knnJoinLsh(left: DataFrame, right: DataFrame, k: Int = 3,
       planes: Int = 6, tables: Int = 8, dims: Int = 64): DataFrame = {
     val pl = prepared(left)
