@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit, translate, when}
+import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace, translate, when}
 
 import graft.ops.{Analytics, EventOps, ReferenceOps, RetrievalEval, TextOps, VectorOps, WeeklySummary}
 
@@ -527,6 +527,21 @@ object SparkEntry {
         .withColumn("media_id", col("media_id") + 10000)
       graft.multimodal.Multimodal
         .mediaNearDupPerceptual(media.unionByName(reenc))
+    }),
+    // Hamming-banded perceptual near-dup: the re-encode writes one noisy
+    // byte per 64 (regex: last char of every 64-block -> 'z'), flipping
+    // <=1 dHash gradient bit per frame — exact-key dHash matching loses
+    // half the frames (jaccard ~0.33, below threshold), the banded
+    // hamming<=3 arm still pairs every copy with its original
+    "media_neardup_hamming" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val media = graft.multimodal.Multimodal.syntheticMedia(docs)
+      val noisy = graft.multimodal.Multimodal
+        .syntheticMedia(docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("text", regexp_replace(col("text"), "(.{63}).", "$1z")))
+        .withColumn("media_id", col("media_id") + 10000)
+      graft.multimodal.Multimodal
+        .mediaNearDupHamming(media.unionByName(noisy))
     }),
     // decode path goes through the stubbed codec; the projected columns
     // (type/bytes/FNV-1a checksum) are deterministic byte math the DuckDB
@@ -2781,6 +2796,45 @@ object SparkEntry {
         |FROM sc JOIN sz sa ON media_a = sa.media_id
         |         JOIN sz sb ON media_b = sb.media_id
         |WHERE round(shared::double / (sa.n + sb.n - shared), 6) >= 0.8""".stripMargin,
+    // Replays Multimodal.mediaNearDupHamming: dHash frames, 4x16-bit
+    // band candidates, bit_count(xor) <= 3 verify, containment scoring.
+    "media_neardup_hamming" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS media_id,
+        |         regexp_replace(text, '(.{63}).', '\1z', 'g') AS text
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |f AS (SELECT media_id, text, length(text) // 32 AS n_frames FROM m),
+        |s AS (SELECT media_id, text,
+        |        UNNEST(generate_series(0, greatest(CAST(n_frames AS INT) - 1, 0))) AS i
+        |      FROM f),
+        |fb AS (SELECT media_id, substr(text, i*32 + 1, 32) AS fs FROM s
+        |       WHERE length(substr(text, i*32 + 1, 32)) > 0),
+        |fr AS (SELECT DISTINCT media_id,
+        |         coalesce(list_sum(list_transform(range(least(length(fs) - 1, 62)),
+        |           j -> CASE WHEN ord(substr(fs, j + 1, 1)) < ord(substr(fs, j + 2, 1))
+        |                     THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0) AS h
+        |       FROM fb),
+        |sz AS (SELECT media_id, COUNT(*) AS n FROM fr GROUP BY 1),
+        |bk AS (SELECT media_id, h, u.b AS b, (h >> (u.b * 16)) & 65535 AS k
+        |       FROM fr, UNNEST(generate_series(0, 3)) AS u(b)),
+        |okb AS (SELECT b, k FROM bk GROUP BY 1, 2 HAVING COUNT(*) <= 100),
+        |bx AS (SELECT bk.media_id, bk.h, bk.b, bk.k FROM bk JOIN okb USING (b, k)),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        |         a.h AS ha, b.h AS hb
+        |  FROM bx a JOIN bx b ON a.b = b.b AND a.k = b.k
+        |                     AND a.media_id < b.media_id),
+        |mt AS (
+        |  SELECT media_a, media_b, COUNT(DISTINCT ha) AS matched_frames
+        |  FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |  GROUP BY 1, 2)
+        |SELECT mt.media_a, mt.media_b, mt.matched_frames, sa.n AS n_a, sb.n AS n_b,
+        |  round(matched_frames::double / sa.n, 6) AS containment
+        |FROM mt JOIN sz sa ON media_a = sa.media_id
+        |        JOIN sz sb ON media_b = sb.media_id
+        |WHERE round(matched_frames::double / sa.n, 6) >= 0.8""".stripMargin,
     "media_frames" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id,

@@ -40,4 +40,16 @@ object BoundedList {
   implicit val postingSeqEnc: Encoder[Seq[Posting]] = ExpressionEncoder[Seq[Posting]]()
 
   def postings(cap: Int): BoundedList[Posting] = new BoundedList[Posting](cap)
+
+  /** Posting with a 64-bit payload slot — for indexes whose rider is a
+    * full hash (Hamming banding carries the dHash itself so candidates
+    * verify without a re-join; the Int slot of [[Posting]] would
+    * truncate it). */
+  final case class Posting64(doc_id: Long, h: Long)
+
+  implicit val posting64Enc: Encoder[Posting64] = Encoders.product[Posting64]
+  implicit val posting64SeqEnc: Encoder[Seq[Posting64]] =
+    ExpressionEncoder[Seq[Posting64]]()
+
+  def postings64(cap: Int): BoundedList[Posting64] = new BoundedList[Posting64](cap)
 }

@@ -225,6 +225,63 @@ object Multimodal {
       minJaccard, maxDf)
   }
 
+  /** Hamming-banded perceptual near-dup — the noise-tolerant tier the
+    * [[mediaNearDupPerceptual]] doc promises: per-byte RANDOM noise
+    * flips a few near-tie gradient bits, so exact dHash key equality
+    * misses what is visually the same frame. Classic SimHash banding on
+    * the 64-bit dHash: `bands` 16-bit slices index candidates (pigeonhole:
+    * hamming ≤ bands-1 ⇒ ≥1 shared band), the TRUE hamming distance
+    * verifies each candidate frame pair (`bit_count(h_a XOR h_b)`), and
+    * media pairs score by the fraction of the LOWER-id side's distinct
+    * frames matched (A-in-B containment, bounded ≤ 1 — robust to the
+    * other side carrying extra footage).
+    *
+    * Scale shape: same bounded-postings discipline as the exact arm —
+    * band keys are capped at `maxDf` postings (stop-band removal), pair
+    * emission is row-local inside each bounded bucket, and payloads
+    * never shuffle (8-byte hashes + ids only). Fully deterministic, so
+    * the DuckDB oracle replays banding, verification, and scoring. */
+  def mediaNearDupHamming(media: DataFrame, frameSize: Int = 32,
+      maxHamming: Int = 3, bands: Int = 4, maxDf: Int = 100,
+      minScore: Double = 0.8): DataFrame = {
+    graft.functions.TextExprs.register(media.sparkSession)
+    val fr = sampleFrames(media, frameSize = frameSize, stride = 1)
+      .select(col("media_id"),
+        graft.functions.TextExprs.frameDHash(col("frame")).as("h"))
+      .distinct()
+    val sz = fr.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val banded = fr.select(col("media_id"), col("h"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("b"),
+        shiftright(col("h"), b * width).bitwiseAND(lit(mask)).as("k"))): _*))
+        .as("bk"))
+    // bounded postings per band key; the 64-bit posting carries the
+    // full hash so candidates verify in place, no re-join
+    val capped = udaf(graft.functions.BoundedList.postings64(maxDf + 1))
+    val cand = banded.groupBy(col("bk"))
+      .agg(capped(col("media_id"), col("h")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("media_a"), col("b.doc_id").as("media_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct() // a frame pair may share several bands — verify once
+    val matched = cand
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count_distinct(col("ha")).as("matched_frames"))
+    matched
+      .join(sz.select(col("media_id").as("media_a"), col("n").as("n_a")), Seq("media_a"))
+      .join(sz.select(col("media_id").as("media_b"), col("n").as("n_b")), Seq("media_b"))
+      .select(col("media_a"), col("media_b"), col("matched_frames"),
+        col("n_a"), col("n_b"),
+        round(col("matched_frames").cast("double") / col("n_a"), 6)
+          .as("containment"))
+      .filter(col("containment") >= minScore)
+  }
+
   /** Shared tail of the frame-set jaccard family: distinct per-media
     * hash sets → bounded inverted index on the hash key → row-local
     * pair emission → exact jaccard ≥ `minJaccard`. `hashed` is

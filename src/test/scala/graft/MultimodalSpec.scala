@@ -122,4 +122,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.mediaNearDupFrames(m).count() == 0)
     assert(Multimodal.mediaDedup(m).count() == 0)
   }
+
+  test("hamming near-dup: per-byte noise pairs under banding; exact dHash keys lose it") {
+    val s = spark
+    import s.implicits._
+    // media 2 = media 1 with ONE byte overwritten per 64 (the last char
+    // of every 64-block -> 'z'): each 32-byte frame flips at most one
+    // gradient bit, so hamming <= 1 per frame — banded matching pairs
+    // every frame, while exact dHash KEY equality loses the frames
+    // carrying the noisy byte and the jaccard arm drops under threshold.
+    val t1 = ("the quick brown fox jumps over lazy dogs " * 12).trim
+    val t2 = t1.replaceAll("(.{63}).", "$1z")
+    val t3 = ("packs my box with five dozen liquor jugs " * 12).trim
+    val docs = Seq(
+      (1L, t1, "en", "web"),
+      (2L, t2, "en", "web"),
+      (3L, t3, "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val m = Multimodal.syntheticMedia(docs)
+    val ham = Multimodal.mediaNearDupHamming(m)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(ham.keySet == Set((1L, 2L)), s"expected only (1,2), got $ham")
+    assert(ham((1L, 2L)) == 1.0, s"every frame within hamming 1: $ham")
+    // exact dHash keys: noisy frames differ -> jaccard falls below 0.8
+    assert(Multimodal.mediaNearDupPerceptual(m).count() == 0,
+      "exact-key dHash must lose the per-byte-noise re-encode")
+    // and unrelated footage stays unpaired under banding
+    assert(!ham.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
 }
