@@ -110,6 +110,9 @@ object SparkEntry {
     // langid accuracy readout: predicted vs labeled language
     "langid_confusion" -> ((s, dir) =>
       TextOps.langIdConfusion(Tables.documents(s, dir))),
+    // tokenizer-budget readout: token mass covered by a top-k vocab
+    "vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(Tables.documents(s, dir))),
     "doc_repetition" -> ((s, dir) => TextOps.docRepetition(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.docFingerprint(Tables.documents(s, dir))),
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.documents(s, dir))),
@@ -940,6 +943,25 @@ object SparkEntry {
          |  CASE $cases ELSE 'und' END AS lang_pred
          |FROM h""".stripMargin
     },
+    // Replays TextOps.vocabCoverage: token counts, (cnt desc, token)
+    // rank, every k evaluated in one aggregate.
+    "vocab_coverage" ->
+      s"""WITH $toksCte,
+         |tc AS (SELECT u.tok AS token, count(*) AS cnt
+         |       FROM toks, UNNEST(t) AS u(tok)
+         |       WHERE length(u.tok) > 0 GROUP BY 1),
+         |r AS (SELECT token, cnt,
+         |        row_number() OVER (ORDER BY cnt DESC, token) AS rk
+         |      FROM tc),
+         |a AS (SELECT sum(cnt)::BIGINT AS total,
+         |  sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END)::BIGINT AS cov_10,
+         |  sum(CASE WHEN rk <= 50 THEN cnt ELSE 0 END)::BIGINT AS cov_50,
+         |  sum(CASE WHEN rk <= 100 THEN cnt ELSE 0 END)::BIGINT AS cov_100
+         |  FROM r)
+         |SELECT 10 AS k, cov_10 AS covered, total AS total_tokens,
+         |  round(cov_10 / total::DOUBLE, 6) AS coverage FROM a
+         |UNION ALL SELECT 50, cov_50, total, round(cov_50 / total::DOUBLE, 6) FROM a
+         |UNION ALL SELECT 100, cov_100, total, round(cov_100 / total::DOUBLE, 6) FROM a""".stripMargin,
     // Replays TextOps.langIdConfusion: the doc_langid prediction joined
     // back to the labeled lang, counted per (label, prediction) cell.
     "langid_confusion" -> {

@@ -1596,6 +1596,32 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Top-k vocabulary coverage curve — the tokenizer-budget readout
+    * ("what fraction of corpus token mass does a k-entry vocab cover?").
+    * One token-count aggregate (vocabulary-sized, map-side combined),
+    * one rank window over that vocabulary (NOT the corpus — single
+    * partition is fine at vocab grain), one fold over the rank frame
+    * that evaluates every k at once and unpivots via stack. Ties rank by
+    * (count desc, token asc) so the curve is engine-reproducible. */
+  def vocabCoverage(documents: DataFrame, ks: Seq[Int] = Seq(10, 50, 100)): DataFrame = {
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("token"))))
+    val agg = ranked.agg(
+      sum(col("cnt")).as("total"),
+      ks.map(k => sum(when(col("rk") <= k, col("cnt")).otherwise(lit(0L)))
+        .as(s"cov_$k")): _*)
+    val stackArgs = ks.map(k =>
+      s"$k, cov_$k, round(cov_$k / CAST(total AS DOUBLE), 6)").mkString(", ")
+    agg.selectExpr("total AS total_tokens",
+        s"stack(${ks.size}, $stackArgs) AS (k, covered, coverage)")
+      .select(col("k"), col("covered"), col("total_tokens"), col("coverage"))
+  }
+
   /** MinHash+LSH near-dup pairs: shingle → `numPerms` minhash signature →
     * `bands` band keys → candidates share a band bucket → filter by the
     * signature-estimated jaccard. No pairwise work outside shared
