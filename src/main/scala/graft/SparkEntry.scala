@@ -152,6 +152,8 @@ object SparkEntry {
     }),
     "doc_quality_logreg" -> ((s, dir) => TextOps.docQualityLogreg(Tables.documents(s, dir))),
     "split_drift_psi" -> ((s, dir) => TextOps.splitDriftPsi(Tables.documents(s, dir))),
+    // split hygiene: near-dup pairs crossing train/val/test boundaries
+    "split_leakage" -> ((s, dir) => TextOps.splitLeakage(Tables.documents(s, dir))),
     "doc_cross_entropy" -> ((s, dir) => TextOps.docCrossEntropy(Tables.documents(s, dir))),
     "doc_bigram_entropy" -> ((s, dir) => TextOps.docPerplexityBigram(Tables.documents(s, dir))),
     "doc_trigram_entropy" -> ((s, dir) => TextOps.docPerplexityTrigram(Tables.documents(s, dir))),
@@ -1735,6 +1737,31 @@ object SparkEntry {
          |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
          |          / 1152921504606846976.0 AS u
          |      FROM documents)""".stripMargin
+    },
+    // Replays TextOps.splitLeakage: the jaccard near-dup pairs joined to
+    // the md5 split assignment, kept where the pair crosses splits.
+    "split_leakage" -> {
+      val ws = TextOps.DefaultSplitWeights
+      val cum = ws.scanLeft(0.0)(_ + _._2).tail.map(_ / ws.map(_._2).sum)
+      val cases = ws.zip(cum).init
+        .map { case ((n, _), b) => s"WHEN u < $b THEN '$n'" }.mkString(" ")
+      s"""WITH $jaccardPairsCtes,
+         |spl AS (
+         |  SELECT doc_id, CASE $cases ELSE '${ws.last._1}' END AS split
+         |  FROM (SELECT doc_id,
+         |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+         |            / 1152921504606846976.0 AS u
+         |        FROM documents)),
+         |x AS (
+         |  SELECT p.jaccard, sa.split AS split_a, sb.split AS split_b
+         |  FROM jacc_pairs p
+         |  JOIN spl sa ON p.doc_a = sa.doc_id
+         |  JOIN spl sb ON p.doc_b = sb.doc_id
+         |  WHERE p.jaccard >= 0.8 AND sa.split <> sb.split)
+         |SELECT least(split_a, split_b) AS split_lo,
+         |  greatest(split_a, split_b) AS split_hi,
+         |  count(*) AS n_leaked_pairs, max(jaccard) AS max_jaccard
+         |FROM x GROUP BY 1, 2""".stripMargin
     },
     "doc_sample_weighted" ->
       s"""WITH $toksCte,

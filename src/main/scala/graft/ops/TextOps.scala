@@ -1235,6 +1235,28 @@ object TextOps {
     documents.select(col("doc_id"), col("lang"), md5Uniform(col("doc_id")).as("u"))
       .select(col("doc_id"), col("lang"), splitFromU(weights).as("split"))
 
+  /** Split-hygiene audit: near-duplicate pairs whose members landed in
+    * DIFFERENT train/val/test splits — every such pair leaks training
+    * signal into a holdout (the eval numbers go soft even though
+    * documents-grain decontamination passed, because the splitter hashes
+    * doc_id, not content). Composes the near-dup pair machinery with the
+    * split assignment; output is one row per unordered split pair with
+    * the leaked-pair count and the worst jaccard. Fixing the leak is
+    * [[nearDupKeep]]/cluster-aware splitting — this operator is the
+    * detector that says you need it. */
+  def splitLeakage(documents: DataFrame, minJaccard: Double = 0.8,
+      weights: Seq[(String, Double)] = DefaultSplitWeights): DataFrame = {
+    val splits = splitAssign(documents, weights).select(col("doc_id"), col("split"))
+    nearDupJaccard(documents, minJaccard = minJaccard)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy(
+        least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .agg(count(lit(1)).as("n_leaked_pairs"), max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** Split-drift check: Population Stability Index of the quality-score
     * distribution between the train split and each holdout split — the
     * standard "did my deterministic splitter accidentally bias a

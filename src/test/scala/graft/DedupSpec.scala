@@ -909,6 +909,44 @@ class DedupSpec extends AnyFunSuite {
     assert(out.values.sum == 4L)
   }
 
+  test("split leakage: a planted near-dup pair crossing splits is reported with its splits") {
+    val s = spark
+    import s.implicits._
+    // find two doc_ids the md5 splitter sends to DIFFERENT splits, plant
+    // a near-identical text pair on them, plus a same-split twin pair as
+    // the negative control
+    val probe = (1L to 200L).map(i => (i, s"probe $i")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val assign = TextOps.splitAssign(probe).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val bySplit = assign.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+    assert(bySplit.size >= 2, s"need >= 2 splits in 200 ids: ${bySplit.keySet}")
+    val splits = bySplit.keys.toSeq.sorted
+    val (sA, sB) = (splits(0), splits(1))
+    val crossA = bySplit(sA).head
+    val crossB = bySplit(sB).head
+    val Seq(same1, same2) = bySplit(sA).tail.take(2)
+    // 40 DISTINCT tokens: one trailing-token difference costs ~3 of ~38
+    // distinct shingles per side, jaccard ≈ 35/41 ≈ 0.85 — above the bar
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon " +
+      "uno dos tres cuatro cinco seis siete ocho nueve diez " +
+      "once doce trece catorce quince primo secondo terzo quarto quinto"
+    val fixture = Seq(
+      (crossA, base + " one"),
+      (crossB, base + " two"),          // near-dup crossing sA/sB
+      (same1, "totally different words live here " + base.takeRight(40)),
+      (same2, "totally different words live here " + base.takeRight(40) + " x"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val out = TextOps.splitLeakage(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val key = (Seq(sA, sB).min, Seq(sA, sB).max)
+    assert(out.getOrElse(key, 0L) >= 1L, s"cross-split pair must report: $out")
+    // the same-split near-dup contributes to NO cross-split cell
+    assert(out.values.sum == out.getOrElse(key, 0L), s"same-split pair leaked: $out")
+  }
+
   test("dup spans on the corpus: planted near-dups carry exact shared passages") {
     val out = TextOps.docDupSpans(docs)
     val withSpans = out.filter(col("n_dup_spans") > 0)
