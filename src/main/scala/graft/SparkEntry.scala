@@ -154,6 +154,9 @@ object SparkEntry {
     "split_drift_psi" -> ((s, dir) => TextOps.splitDriftPsi(Tables.documents(s, dir))),
     // split hygiene: near-dup pairs crossing train/val/test boundaries
     "split_leakage" -> ((s, dir) => TextOps.splitLeakage(Tables.documents(s, dir))),
+    // the fix: cluster-grain split keys — leakage structurally zero
+    "doc_splits_clustered" -> ((s, dir) =>
+      TextOps.splitAssignClusterAware(Tables.documents(s, dir))),
     "doc_cross_entropy" -> ((s, dir) => TextOps.docCrossEntropy(Tables.documents(s, dir))),
     "doc_bigram_entropy" -> ((s, dir) => TextOps.docPerplexityBigram(Tables.documents(s, dir))),
     "doc_trigram_entropy" -> ((s, dir) => TextOps.docPerplexityTrigram(Tables.documents(s, dir))),
@@ -1737,6 +1740,31 @@ object SparkEntry {
          |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
          |          / 1152921504606846976.0 AS u
          |      FROM documents)""".stripMargin
+    },
+    // Replays TextOps.splitAssignClusterAware: recursive-CTE connected
+    // components over the jaccard pairs, min-member cluster id as the
+    // split key (own id for isolated docs), then the md5 split CASE.
+    "doc_splits_clustered" -> {
+      val ws = TextOps.DefaultSplitWeights
+      val cum = ws.scanLeft(0.0)(_ + _._2).tail.map(_ / ws.map(_._2).sum)
+      val cases = ws.zip(cum).init
+        .map { case ((n, _), b) => s"WHEN u < $b THEN '$n'" }.mkString(" ")
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |p AS (SELECT doc_a, doc_b FROM jacc_pairs WHERE jaccard >= 0.8),
+         |eu AS (SELECT doc_a AS s, doc_b AS t FROM p UNION SELECT doc_b, doc_a FROM p),
+         |nodes AS (SELECT DISTINCT s AS id FROM eu),
+         |reach AS (
+         |  SELECT id AS s, id AS t FROM nodes
+         |  UNION
+         |  SELECT r.s, e.t FROM reach r JOIN eu e ON r.t = e.s),
+         |lab AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY 1),
+         |u0 AS (
+         |  SELECT d.doc_id, d.lang,
+         |    ('0x' || substr(md5(coalesce(lab.cluster_id, d.doc_id)::VARCHAR), 1, 15))::BIGINT
+         |      / 1152921504606846976.0 AS u
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id)
+         |SELECT doc_id, lang, CASE $cases ELSE '${ws.last._1}' END AS split
+         |FROM u0""".stripMargin
     },
     // Replays TextOps.splitLeakage: the jaccard near-dup pairs joined to
     // the md5 split assignment, kept where the pair crosses splits.

@@ -1245,8 +1245,14 @@ object TextOps {
     * [[nearDupKeep]]/cluster-aware splitting — this operator is the
     * detector that says you need it. */
   def splitLeakage(documents: DataFrame, minJaccard: Double = 0.8,
-      weights: Seq[(String, Double)] = DefaultSplitWeights): DataFrame = {
-    val splits = splitAssign(documents, weights).select(col("doc_id"), col("split"))
+      weights: Seq[(String, Double)] = DefaultSplitWeights): DataFrame =
+    leakageOf(documents, splitAssign(documents, weights), minJaccard)
+
+  /** [[splitLeakage]] against an arbitrary (doc_id, split) assignment —
+    * how the spec proves [[splitAssignClusterAware]] leaks nothing. */
+  private[graft] def leakageOf(documents: DataFrame, assignment: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val splits = assignment.select(col("doc_id"), col("split"))
     nearDupJaccard(documents, minJaccard = minJaccard)
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
       .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
@@ -1255,6 +1261,26 @@ object TextOps {
         least(col("split_a"), col("split_b")).as("split_lo"),
         greatest(col("split_a"), col("split_b")).as("split_hi"))
       .agg(count(lit(1)).as("n_leaked_pairs"), max(col("jaccard")).as("max_jaccard"))
+  }
+
+  /** Cluster-aware split assignment — the FIX [[splitLeakage]] calls
+    * for: the split key is the near-dup CLUSTER id (min member) when the
+    * doc belongs to one, its own id otherwise, so every near-dup cluster
+    * lands whole in one split and cross-split leakage at the same
+    * jaccard threshold is structurally zero. Costs one clusters pass
+    * (bounded pair machinery + CC) on top of the hash assignment; the
+    * split distribution stays ≈ weights because clusters are tiny
+    * relative to the corpus. */
+  def splitAssignClusterAware(documents: DataFrame,
+      weights: Seq[(String, Double)] = DefaultSplitWeights,
+      minJaccard: Double = 0.8): DataFrame = {
+    val clusters = nearDupClusters(documents, minJaccard = minJaccard)
+      .select(col("doc_id"), col("cluster_id"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        md5Uniform(coalesce(col("cluster_id"), col("doc_id"))).as("u"))
+      .select(col("doc_id"), col("lang"), splitFromU(weights).as("split"))
   }
 
   /** Split-drift check: Population Stability Index of the quality-score

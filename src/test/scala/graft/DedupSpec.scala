@@ -947,6 +947,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out.values.sum == out.getOrElse(key, 0L), s"same-split pair leaked: $out")
   }
 
+  test("cluster-aware splits: zero leakage where the plain splitter leaks; weights preserved") {
+    // the sf0.001 corpus has real near-dup pairs; the id-hash splitter
+    // leaks some across splits (the detector's reason to exist), while
+    // the cluster-keyed assignment leaks none BY CONSTRUCTION
+    val plain = TextOps.splitLeakage(docs)
+    val clustered = TextOps.leakageOf(docs, TextOps.splitAssignClusterAware(docs), 0.8)
+    assert(plain.count() > 0, "corpus must exhibit plain-splitter leakage for the contrast")
+    assert(clustered.count() == 0, "cluster-grain keys must leak nothing")
+    // distribution: still roughly the configured weights
+    val byCounts = TextOps.splitAssignClusterAware(docs)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byCounts.values.sum.toDouble
+    TextOps.DefaultSplitWeights.foreach { case (name, w) =>
+      val frac = byCounts.getOrElse(name, 0L) / total
+      assert(math.abs(frac - w) < 0.1, s"$name: $frac vs weight $w")
+    }
+  }
+
   test("dup spans on the corpus: planted near-dups carry exact shared passages") {
     val out = TextOps.docDupSpans(docs)
     val withSpans = out.filter(col("n_dup_spans") > 0)
