@@ -74,9 +74,34 @@ object CorpusRun {
     val exact = q.join(TextOps.dedupExact(q)
       .select(col("keep_doc_id").as("doc_id")), Seq("doc_id"), "left_semi")
     stage("exact_dedup", exact.count())
-    val kept = exact.join(TextOps.nearDupKeepBest(exact).select("doc_id"),
+    val keptDocs = exact.join(TextOps.nearDupKeepBest(exact).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    stage("neardup_keep_best", kept.count())
+    stage("neardup_keep_best", keptDocs.count())
+
+    // 3b (gated: SPARK_GRAFT_EXCISE=1). Doc-grain dedup keeps ONE of two
+    // near-identical docs; span excision additionally strips exact
+    // cross-doc passages the survivors still share (Lee et al.'s
+    // keep-one-copy, applied to the kept slice). Text is rewritten to
+    // the stitched normalized form — downstream stages normalize anyway,
+    // so semantics are unchanged for them. Default OFF: the published
+    // corpus keeps original text unless the operator is asked for.
+    def flag(k: String): Option[String] = sys.props.get(k).orElse(sys.env.get(k))
+    val kept =
+      if (!flag("SPARK_GRAFT_EXCISE").contains("1")) keptDocs
+      else {
+        val ex = TextOps.docDupExciseText(keptDocs)
+        val removed = ex.agg(org.apache.spark.sql.functions.sum(col("removed_chars")))
+          .head.getLong(0)
+        println(s"[corpus] excise -> $removed dup chars removed")
+        // left join: sub-width docs are below span resolution and keep
+        // their original text
+        keptDocs
+          .join(ex.select(col("doc_id"), col("clean")), Seq("doc_id"), "left")
+          .withColumn("text", coalesce(col("clean"), col("text")))
+          .drop("clean")
+      }
+    if (flag("SPARK_GRAFT_EXCISE").contains("1"))
+      stage("excised", kept.count())
 
     // 4. decontamination vs the held-out eval slice (doc_id % 10 == 0,
     // the same convention as the decontaminate driver query)
@@ -87,8 +112,17 @@ object CorpusRun {
       Seq("doc_id"), "left_semi")
     stage("decontaminated", clean.count())
 
-    // 5. splits + 6. PSI drift gate BEFORE publication
-    val withSplit = TextOps.splitAssign(clean).select(col("doc_id"), col("split"))
+    // 5. splits + 6. PSI drift gate BEFORE publication. The splitter is
+    // selectable (SPARK_GRAFT_SPLIT=cluster): cluster-grain keys make
+    // near-dup leakage across splits structurally zero (splitLeakage is
+    // the detector that motivates it); default stays the id-hash
+    // assignment the driver queries pin.
+    val splitter =
+      if (flag("SPARK_GRAFT_SPLIT").contains("cluster")) {
+        println("[corpus] splitter: cluster-aware")
+        TextOps.splitAssignClusterAware(clean)
+      } else TextOps.splitAssign(clean)
+    val withSplit = splitter.select(col("doc_id"), col("split"))
     val psi = TextOps.splitDriftPsi(clean)
     val psiRows = psi.collect().map(r => (r.getString(0), r.getDouble(1)))
     psiRows.foreach { case (split, v) => println(f"[corpus] psi $split%-5s $v%.6f") }

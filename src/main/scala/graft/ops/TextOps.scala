@@ -2076,7 +2076,12 @@ object TextOps {
     * shuffle) and one segment-stitch per affected doc — a window over
     * that doc's few spans plus one hash aggregate; the full text of a
     * doc appears in exactly one stitch group, never crosses docs. */
-  def docDupExcise(documents: DataFrame, width: Int = 40, stride: Int = 10): DataFrame = {
+  /** The text-bearing form of the excision: per doc (≥ width chars),
+    * (n_cuts, removed_chars, clean_len, clean) where `clean` is the
+    * stitched NORMALIZED text (untouched docs pass their norm through) —
+    * what a pipeline consumes when it actually rewrites the corpus
+    * (CorpusRun's gated excise stage). */
+  def docDupExciseText(documents: DataFrame, width: Int = 40, stride: Int = 10): DataFrame = {
     val base = normFrame(documents, width)
     val wins = winFrame(base, width, stride)
     val W = org.apache.spark.sql.expressions.Window
@@ -2130,6 +2135,8 @@ object TextOps {
         transform(segs, p => norm.substr(p.getField("seg_start"), p.getField("seg_len"))),
         "")
     }
+    val cleanCol = when(col("n_cuts").isNull, col("norm"))
+      .otherwise(stitch(col("norm"), col("len"), col("sps")))
     base.select(col("doc_id"), col("norm"), col("len"))
       .join(affected, Seq("doc_id"), "left")
       .select(
@@ -2137,7 +2144,13 @@ object TextOps {
         coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
         coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
         (col("len") - coalesce(col("removed_chars"), lit(0L))).as("clean_len"),
-        md5(when(col("n_cuts").isNull, col("norm"))
-          .otherwise(stitch(col("norm"), col("len"), col("sps")))).as("clean_md5"))
+        cleanCol.as("clean"))
   }
+
+  /** [[docDupExciseText]] narrowed to engine-comparable stats: the md5
+    * stands in for the cleaned text (the driver-query form). */
+  def docDupExcise(documents: DataFrame, width: Int = 40, stride: Int = 10): DataFrame =
+    docDupExciseText(documents, width, stride)
+      .select(col("doc_id"), col("n_cuts"), col("removed_chars"),
+        col("clean_len"), md5(col("clean")).as("clean_md5"))
 }

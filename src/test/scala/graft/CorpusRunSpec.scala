@@ -59,4 +59,34 @@ class CorpusRunSpec extends AnyFunSuite {
     val maxSeq = packed.agg(max("seq_id")).head().getLong(0)
     assert(packed.select("seq_id").distinct().count() == maxSeq + 1)
   }
+
+  test("gated excise + cluster splitter: extra stage, rewritten text, zero split leakage") {
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus-ex").toString
+    sys.props("SPARK_GRAFT_EXCISE") = "1"
+    sys.props("SPARK_GRAFT_SPLIT") = "cluster"
+    try CorpusRun.main(Array("/root/testdata/sf0.001", out))
+    finally {
+      sys.props.remove("SPARK_GRAFT_EXCISE"); sys.props.remove("SPARK_GRAFT_SPLIT")
+    }
+    val report = spark.read.parquet(s"$out/report.parquet")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the excised stage appears between the keeper and decontamination
+    // and rewrites text, never drops docs
+    assert(report.contains("excised"), s"stages: ${report.keySet}")
+    assert(report("excised") == report("neardup_keep_best"),
+      "excision rewrites text, it must not drop documents")
+    assert(report("published") > 0)
+    val kept = spark.read.parquet(s"$out/kept")
+    // the published corpus carries excised (normalized-stitch) text for
+    // docs that shared passages: no cross-doc duplicate windows remain
+    // among survivors at the default width
+    val survivors = kept.select(col("doc_id"), col("text"))
+    val residue = TextOps.docDupSpans(survivors)
+      .agg(sum(col("dup_chars"))).head.getLong(0)
+    assert(residue == 0, s"excised corpus still shares $residue dup chars")
+    // cluster splitter: leakage structurally zero among published docs
+    val leaks = TextOps.leakageOf(survivors,
+      kept.select(col("doc_id"), col("split")), 0.8)
+    assert(leaks.count() == 0, "cluster-keyed splits must not leak")
+  }
 }
