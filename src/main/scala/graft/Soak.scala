@@ -202,7 +202,31 @@ object Soak {
     Check("langid_confusion", Equal, Some("n_docs")),
     // per-source rollup: source values aren't offset per replica (rows
     // equal); char mass xN with the stopword-window tolerance.
-    Check("source_effective_size", Equal, Some("effective_chars"), Near(0.05)))
+    Check("source_effective_size", Equal, Some("effective_chars"), Near(0.05)),
+    // coverage curve: 3 literal rows; each row's total is the corpus
+    // token mass (xN — Caesar preserves token counts); coverage itself
+    // is content-dependent (replica-distinct content words grow the
+    // vocabulary, so top-k coverage drops — by design, not asserted).
+    Check("vocab_coverage", Equal, Some("total_tokens")),
+    // cluster-aware splits: one row per doc, exactly xN; the assignment
+    // itself is id-hash-dependent and differs per replica.
+    Check("doc_splits_clustered", TimesN),
+    // leakage detector: offset ids hash to different splits per replica,
+    // so the leaked-pair pattern is not replica-invariant — report-only.
+    Check("split_leakage", Info),
+    // hamming media near-dup: report-only BY THE MATH — the Caesar
+    // inflation is an order-preserving-ish byte map, which is exactly
+    // the transform class the perceptual hash is built to see through:
+    // a shift-r vs shift-r' replica pair flips a gradient bit only where
+    // one adjacent char wraps the alphabet (~2·|r−r'|/26 of 31 bits ⇒
+    // ~2.4 flips per frame at |Δ|=1, inside the hamming-3 verify), so
+    // ADJACENT-shift replicas pair deliberately: measured 22.4k at 10×
+    // = 11.5k within-replica (exactly ×N) + ~10.3k adjacent-shift pairs
+    // (~1.15k × 9). A decorrelation that fooled this operator would
+    // have to break byte-order structure — i.e., be the noise the
+    // operator exists to catch. The operator-scale assertion lives in
+    // the within-replica mass of the exact-key dHash family instead.
+    Check("media_neardup_hamming", Info))
 
   // ---------- deterministic content decorrelation ----------
 
