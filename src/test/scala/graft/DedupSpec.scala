@@ -871,6 +871,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(("src_a", "src_b") -> 3L), s"got $out")
   }
 
+  test("source overlap: a window shared by three sources expands to all three pairs") {
+    val s = spark
+    import s.implicits._
+    val P = gen(91, 60)
+    val fixture = Seq(
+      (1L, P + gen(92, 40), "src_a"),
+      (2L, P + gen(93, 40), "src_b"),
+      (3L, P + gen(94, 40), "src_c"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlap(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // P's 3 interior window keys are shared by all three sources: the
+    // row-local expansion of the sorted set {a,b,c} must yield exactly
+    // the 3 ordered pairs, each counting all 3 keys
+    assert(out == Map(
+      ("src_a", "src_b") -> 3L,
+      ("src_a", "src_c") -> 3L,
+      ("src_b", "src_c") -> 3L), s"got $out")
+  }
+
   test("source effective size: mass conserved and dup chars land on the right source") {
     val s = spark
     import s.implicits._
