@@ -116,6 +116,13 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) => TextOps.docRepetition(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.docFingerprint(Tables.documents(s, dir))),
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.documents(s, dir))),
+    // ingest-time exact-dup probe: delta (doc_id % 10 = 0) vs the
+    // corpus fingerprint index
+    "dedup_exact_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.dedupExactIncremental(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+    }),
     "neardup_jaccard" -> ((s, dir) => TextOps.nearDupJaccard(Tables.documents(s, dir))),
     "doc_novelty" -> ((s, dir) => TextOps.docNovelty(Tables.documents(s, dir))),
     "neardup_keep" -> ((s, dir) => TextOps.nearDupKeep(Tables.documents(s, dir))),
@@ -1023,6 +1030,15 @@ object SparkEntry {
       s"""WITH $toksCte
          |SELECT md5(norm) AS fp_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
          |FROM toks GROUP BY 1""".stripMargin,
+    // Replays TextOps.dedupExactIncremental: the delta's fingerprints
+    // joined to the existing split's (fp -> min doc) index.
+    "dedup_exact_delta" ->
+      s"""WITH $toksCte,
+         |idx AS (SELECT md5(norm) AS fp_md5, MIN(doc_id) AS dup_of
+         |        FROM toks WHERE doc_id % 10 <> 0 GROUP BY 1)
+         |SELECT t.doc_id, md5(t.norm) AS fp_md5, idx.dup_of
+         |FROM toks t JOIN idx ON md5(t.norm) = idx.fp_md5
+         |WHERE t.doc_id % 10 = 0""".stripMargin,
     "neardup_jaccard" ->
       s"""WITH $jaccardPairsCtes
          |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard

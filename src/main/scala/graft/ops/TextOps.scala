@@ -1994,6 +1994,25 @@ object TextOps {
     * key, so per-batch work is Σ delta windows, never corpus × delta.
     * Incoming-incoming duplication is deliberately out of scope here —
     * that's the batch operator's job on the delta alone. */
+  /** Delta-proportional exact dedup: incoming docs whose canonical
+    * fingerprint already exists in the corpus, each with the canonical
+    * holder (min doc_id) it duplicates — the ingest-time "have we seen
+    * this exact document?" check. The corpus contributes only its
+    * (fingerprint → min doc) index (one aggregate, persisted at scale);
+    * the join is fingerprint-keyed, so per-batch work ∝ delta. The
+    * within-batch duplicate question belongs to the batch operator
+    * ([[dedupExact]]) over the delta alone — same division of labor as
+    * [[docDupSpansIncremental]]. */
+  def dedupExactIncremental(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val index = existing
+      .select(col("doc_id"), fingerprint(col("text")).as("fp_md5"))
+      .groupBy(col("fp_md5")).agg(min(col("doc_id")).as("dup_of"))
+    incoming
+      .select(col("doc_id"), fingerprint(col("text")).as("fp_md5"))
+      .join(index, Seq("fp_md5"))
+      .select(col("doc_id"), col("fp_md5"), col("dup_of"))
+  }
+
   /** The corpus's DISTINCT window-key set — the persisted probe index
     * shared by [[docDupSpansIncremental]] and the streaming span probe
     * ([[graft.streaming.DocStream.spanProbe]]). */

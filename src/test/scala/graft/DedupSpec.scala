@@ -29,6 +29,23 @@ class DedupSpec extends AnyFunSuite {
     assert(groups(3L) == 1L)
   }
 
+  test("delta exact dedup: re-crawl and case/ws variant hit the index, fresh text doesn't") {
+    val s = spark
+    import s.implicits._
+    val existing = Seq(
+      (1L, "Hello   World"),
+      (3L, "different text entirely"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "hello world"),        // normalized re-crawl of 1
+      (20L, "HELLO\tWORLD "),      // case/ws variant of 1
+      (30L, "genuinely new text")) // fresh
+      .toDF("doc_id", "text")
+    val out = TextOps.dedupExactIncremental(existing, incoming).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(10L -> 1L, 20L -> 1L), s"got $out")
+  }
+
   test("doc novelty: first-seen doc gets the credit, copies score zero, shingle mass conserved") {
     val s = spark
     import s.implicits._
