@@ -44,6 +44,18 @@ object DocStream {
       .dropDuplicatesWithinWatermark("fp_md5")
   }
 
+  /** [[ingestFilter]] with corpus-level exact dedup in front: a
+    * stream-static LEFT ANTI join against the published corpus's
+    * fingerprint index (`TextOps.dedupExactIncremental`'s static half —
+    * at scale a persisted table, re-read per micro-batch) drops
+    * re-crawls of anything already held BEFORE the within-watermark
+    * dedup handles redelivery inside the stream. State stays
+    * rate×delay-sized; the corpus index never enters state. */
+  def ingestFilterIndexed(docs: DataFrame, corpusFps: DataFrame,
+      watermarkDelay: String = "1 hour", minQuality: Double = 0.5): DataFrame =
+    ingestFilter(docs, watermarkDelay, minQuality)
+      .join(corpusFps.select(col("fp_md5")), Seq("fp_md5"), "left_anti")
+
   /** Streaming duplicated-span probe — the ingest-time "is this new doc
     * copying the corpus?" alert ([[graft.ops.TextOps.docDupSpansIncremental]]
     * run continuously): each streamed doc's character windows semi-join

@@ -79,6 +79,29 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("indexed ingest drops corpus re-crawls before watermark dedup sees them") {
+    val s = spark
+    import s.implicits._
+    // corpus already holds good1 (as a case variant — the NORMALIZED
+    // fingerprint must match); good2 is new
+    val corpus = Seq((100L, good1.toUpperCase + "  ")).toDF("doc_id", "text")
+    val fps = corpus.select(
+      org.apache.spark.sql.functions.md5(
+        graft.functions.TextFns.normalize($"text")).as("fp_md5"))
+    val input = MemoryStream[Doc](s)
+    val q = DocStream.ingestFilterIndexed(input.toDF(), fps, minQuality = 1.0)
+      .writeStream.format("memory").queryName("doc_idx").outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1, good1, ts("2024-05-01 00:00:00")),  // corpus re-crawl: dropped
+        Doc(2, good2, ts("2024-05-01 00:01:00")))  // fresh: admitted
+      q.processAllAvailable()
+      val ids = spark.table("doc_idx").select("doc_id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(ids == Seq(2L), s"got $ids")
+    } finally q.stop()
+  }
+
   private def gen(seed: Int, n: Int): String = {
     val r = new scala.util.Random(seed)
     (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
