@@ -123,6 +123,14 @@ object SparkEntry {
       TextOps.dedupExactIncremental(
         docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
     }),
+    // the same probe behind a literal-bitset bloom pre-filter (row-local
+    // at the delta scan; no false negatives, FPs die in the verify join
+    // -> bit-identical result, shared oracle)
+    "dedup_exact_delta_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.dedupExactIncrementalBloom(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+    }),
     "neardup_jaccard" -> ((s, dir) => TextOps.nearDupJaccard(Tables.documents(s, dir))),
     "doc_novelty" -> ((s, dir) => TextOps.docNovelty(Tables.documents(s, dir))),
     "neardup_keep" -> ((s, dir) => TextOps.nearDupKeep(Tables.documents(s, dir))),
@@ -1031,8 +1039,17 @@ object SparkEntry {
          |SELECT md5(norm) AS fp_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
          |FROM toks GROUP BY 1""".stripMargin,
     // Replays TextOps.dedupExactIncremental: the delta's fingerprints
-    // joined to the existing split's (fp -> min doc) index.
+    // joined to the existing split's (fp -> min doc) index. The bloom
+    // arm composes to the identical result (no false negatives; false
+    // positives die in the verify join), so both queries share this SQL.
     "dedup_exact_delta" ->
+      s"""WITH $toksCte,
+         |idx AS (SELECT md5(norm) AS fp_md5, MIN(doc_id) AS dup_of
+         |        FROM toks WHERE doc_id % 10 <> 0 GROUP BY 1)
+         |SELECT t.doc_id, md5(t.norm) AS fp_md5, idx.dup_of
+         |FROM toks t JOIN idx ON md5(t.norm) = idx.fp_md5
+         |WHERE t.doc_id % 10 = 0""".stripMargin,
+    "dedup_exact_delta_bloom" ->
       s"""WITH $toksCte,
          |idx AS (SELECT md5(norm) AS fp_md5, MIN(doc_id) AS dup_of
          |        FROM toks WHERE doc_id % 10 <> 0 GROUP BY 1)

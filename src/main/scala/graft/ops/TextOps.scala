@@ -2013,6 +2013,26 @@ object TextOps {
       .select(col("doc_id"), col("fp_md5"), col("dup_of"))
   }
 
+  /** [[dedupExactIncremental]] behind a Bloom pre-probe — the 100 TB
+    * ingest shape: the corpus's fingerprints compress to a KB-scale
+    * literal bitset ([[BloomJoin]] machinery), the delta probes it
+    * ROW-LOCALLY at its own scan (no join, no shuffle for the clean
+    * majority), and only bloom hits — true dups plus the filter's tiny
+    * false-positive tail — pay the fingerprint join, which also kills
+    * the false positives. No false negatives by construction, so the
+    * composed result is bit-identical to the exact probe and shares its
+    * oracle. */
+  def dedupExactIncrementalBloom(existing: DataFrame, incoming: DataFrame,
+      numBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    val exFp = existing.select(col("doc_id"), fingerprint(col("text")).as("fp_md5"))
+    val bits = BloomJoin.bloomFilterBits(exFp, "fp_md5", numBits, k)
+    val cand = incoming
+      .select(col("doc_id"), fingerprint(col("text")).as("fp_md5"))
+      .filter(BloomJoin.mightContain(bits, col("fp_md5"), numBits, k))
+    val index = exFp.groupBy(col("fp_md5")).agg(min(col("doc_id")).as("dup_of"))
+    cand.join(index, Seq("fp_md5")).select(col("doc_id"), col("fp_md5"), col("dup_of"))
+  }
+
   /** The corpus's DISTINCT window-key set — the persisted probe index
     * shared by [[docDupSpansIncremental]] and the streaming span probe
     * ([[graft.streaming.DocStream.spanProbe]]). */

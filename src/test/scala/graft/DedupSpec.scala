@@ -44,6 +44,10 @@ class DedupSpec extends AnyFunSuite {
     val out = TextOps.dedupExactIncremental(existing, incoming).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out == Map(10L -> 1L, 20L -> 1L), s"got $out")
+    // the bloom-prefiltered arm composes to the identical result
+    val bloom = TextOps.dedupExactIncrementalBloom(existing, incoming).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bloom == out, s"bloom arm diverged: $bloom vs $out")
   }
 
   test("doc novelty: first-seen doc gets the credit, copies score zero, shingle mass conserved") {
