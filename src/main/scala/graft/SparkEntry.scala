@@ -199,6 +199,12 @@ object SparkEntry {
     "doc_top_terms" -> ((s, dir) => TextOps.docTopTerms(Tables.documents(s, dir))),
     "doc_winnow" -> ((s, dir) => TextOps.docWinnow(Tables.documents(s, dir))),
     "neardup_winnow" -> ((s, dir) => TextOps.nearDupWinnow(Tables.documents(s, dir))),
+    // winnow probe at ingest: delta fps vs the corpus's capped postings
+    "neardup_winnow_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.nearDupWinnowIncremental(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+    }),
     // incremental dedup: docs with doc_id % 10 = 0 play the "new batch"
     "neardup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -2083,6 +2089,17 @@ object SparkEntry {
          |exr AS (SELECT ex.doc_id, ex.fp FROM ex JOIN rare USING (fp))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
          |FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // Replays TextOps.nearDupWinnowIncremental: delta fingerprints vs
+    // the existing split's df-capped postings.
+    "neardup_winnow_delta" ->
+      s"""WITH $winnowCtes,
+         |ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         |idx AS (SELECT fp, doc_id AS ex_doc FROM ex WHERE doc_id % 10 <> 0),
+         |okf AS (SELECT fp FROM idx GROUP BY 1 HAVING count(*) <= 100),
+         |inx AS (SELECT doc_id, fp FROM ex WHERE doc_id % 10 = 0)
+         |SELECT inx.doc_id, idx.ex_doc AS dup_of, count(*) AS shared_fps
+         |FROM inx JOIN okf USING (fp) JOIN idx USING (fp)
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "events_hourly" ->
       s"""WITH $eventsCte

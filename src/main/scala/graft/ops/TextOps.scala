@@ -351,6 +351,27 @@ object TextOps {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Delta-proportional winnow probe: incoming docs scored against the
+    * EXISTING corpus's winnow-fingerprint postings (capped at `maxDf` —
+    * the persisted local-fingerprint index; a boilerplate fp held by
+    * more docs than that identifies nothing). Output = (incoming doc,
+    * existing doc, shared fps ≥ minShared) — the winnowing guarantee
+    * (any shared run of ≥ w+k−1 tokens shares ≥ 1 fingerprint) applied
+    * at ingest, work ∝ delta fingerprints × bounded postings. */
+  def nearDupWinnowIncremental(existing: DataFrame, incoming: DataFrame,
+      k: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+    val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
+    val index = docWinnow(existing, k, w)
+      .groupBy(col("fp")).agg(capped(col("doc_id"), lit(0)).as("ids"))
+      .filter(size(col("ids")).between(1, maxDf))
+    docWinnow(incoming, k, w)
+      .join(index, Seq("fp"))
+      .select(col("doc_id"), explode(col("ids")).as("e"))
+      .groupBy(col("doc_id"), col("e.doc_id").as("dup_of"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Exact dedup: hash-groupBy on the md5 fingerprint; keeper = min
     * doc_id. One shuffle on the 32-char key; at 100 TB this is the
     * standard map-side-combined dedup (each group's min computed

@@ -50,6 +50,25 @@ class DedupSpec extends AnyFunSuite {
     assert(bloom == out, s"bloom arm diverged: $bloom vs $out")
   }
 
+  test("delta winnow probe: a shared long run pairs with its corpus holder, fresh text doesn't") {
+    val s = spark
+    import s.implicits._
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val existing = Seq(
+      (1L, run + " corpus tail words here"),
+      (3L, "an unrelated existing document with plenty of its own words"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "new prefix words " + run),  // shares the 20-token run with 1
+      (30L, "completely novel content nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.nearDupWinnowIncremental(existing, incoming).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((10L, 1L)), s"got $out")
+    assert(out((10L, 1L)) >= 2L, "a 20-token shared run carries several winnow fps")
+  }
+
   test("doc novelty: first-seen doc gets the credit, copies score zero, shingle mass conserved") {
     val s = spark
     import s.implicits._
