@@ -28,6 +28,30 @@ import graft.functions.VectorFns._
   */
 object VectorOps {
 
+  /** Sentinel for the `planes` parameter of every sign-LSH operator in
+    * this object: `planes <= 0` means AUTO — derive the bit width from a
+    * count of the blocked side via [[sizedPlanes]]. Pass an explicit
+    * positive value to pin the geometry (and skip the sizing count job). */
+  val AutoPlanes: Int = 0
+
+  /** The standard LSH occupancy rule, applied instead of merely
+    * documented (the r8 soak measured why: candidate volume per table is
+    * ≈ |L|·|R|/2^planes, so a FIXED bit width grows quadratically with
+    * density — `knn_label_prop_lsh` hit ×13.5 wall at ×10 data on
+    * `planes = 6`). Holding expected bucket occupancy at 2^slack gives
+    * `planes = ceil(log2(n)) − slack`; each operator's `slack` is
+    * calibrated so the auto value reproduces its former fixed default at
+    * the sf0.1 corpus (n ≈ 2000 → ceil(log2) = 11), and from there the
+    * width tracks the corpus. Clamped to [2, 24]: 2 keeps buckets
+    * meaningful on tiny spec fixtures; 24 bounds the key space well
+    * inside the packed-long representation. The sizing count is one
+    * column-pruned scan — trivial next to the bucket join it protects,
+    * and skippable entirely via an explicit `planes`. */
+  private[graft] def sizedPlanes(n: Long, slack: Int): Int = {
+    val lg = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(24, math.max(2, lg - slack))
+  }
+
   /** (vec_id, vd: array<double>, nrm) — embedding widened once, norm
     * precomputed. */
   private[graft] def prepared(embeddings: DataFrame): DataFrame = {
@@ -60,7 +84,11 @@ object VectorOps {
     * sign buckets; a candidate must share ≥1 bucket with the query.
     * Exact cosine + top-k within the candidate set. */
   def annLsh(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      planes: Int = 10, tables: Int = 4, dims: Int = 64): DataFrame = {
+      planes: Int = AutoPlanes, tables: Int = 4, dims: Int = 64): DataFrame = {
+    // Auto-sized from the candidate corpus (slack 1 ≈ 2 vectors/bucket/
+    // table: queries are few, so buckets stay narrow and the per-query
+    // candidate list ≈ tables × occupancy stays constant as N grows).
+    val pln = if (planes > 0) planes else sizedPlanes(embeddings.count(), slack = 1)
     val p = prepared(embeddings)
     // The broadcast hints below bypass autoBroadcastJoinThreshold, and the
     // query side scales with the CALLER's nQueries — so hint only while the
@@ -77,7 +105,7 @@ object VectorOps {
       col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          lshBucket(col("vd"), planes, dims, seed = t).as("b"))): _*)).as("tb"))
+          lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*)).as("tb"))
     val q = exploded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("tb"))
     val cand = hinted(q).join(exploded, Seq("tb"))
@@ -637,15 +665,21 @@ object VectorOps {
     * normalizes to (min_id, max_id); new×new pairs arise from both join
     * orientations, hence the distinct on ids before vector fetch. */
   def nearDupEmbeddingIncrementalLsh(existing: DataFrame, incoming: DataFrame,
-      minCos: Double = 0.45, planes: Int = 6, tables: Int = 8,
+      minCos: Double = 0.45, planes: Int = AutoPlanes, tables: Int = 8,
       dims: Int = 64): DataFrame = {
+    // Auto-sized from the corpus side (existing ∪ incoming): slack 5 ≈
+    // 32/bucket/table reproduces the former planes=6 at sf0.1 and keeps
+    // per-delta-row candidate volume ≈ tables × occupancy as N grows.
+    val pln =
+      if (planes > 0) planes
+      else sizedPlanes(existing.count() + incoming.count(), slack = 5)
     val all = prepared(existing.unionByName(incoming))
     val inc = prepared(incoming)
     def banded(p: DataFrame, idAs: String): DataFrame = p.select(
       col("vec_id").as(idAs),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          lshBucket(col("vd"), planes, dims, seed = t).as("b"))): _*)).as("tb"))
+          lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*)).as("tb"))
     val cand = banded(inc, "inc_id")
       .join(banded(all, "cand_id"), Seq("tb"))
       .filter(col("inc_id") =!= col("cand_id"))
@@ -673,7 +707,10 @@ object VectorOps {
     * Exact cosine still decides membership, so precision is exact; only
     * recall is approximate (VectorOpsSpec pins it on planted twins). */
   def nearDupEmbeddingLsh(embeddings: DataFrame, minCos: Double = 0.45,
-      planes: Int = 6, tables: Int = 8, dims: Int = 64): DataFrame = {
+      planes: Int = AutoPlanes, tables: Int = 8, dims: Int = 64): DataFrame = {
+    // Self-join: candidates ≈ N²/2^planes, so planes must track log2(N)
+    // to keep them ≈ N × occupancy. slack 5 reproduces planes=6 at sf0.1.
+    val pln = if (planes > 0) planes else sizedPlanes(embeddings.count(), slack = 5)
     val p = prepared(embeddings)
     // Same ids-only discipline as [[annLsh]]: the bucket self-join and the
     // pair dedup move (vec_id, band) rows only; each UNIQUE candidate pair
@@ -685,7 +722,7 @@ object VectorOps {
       col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          lshBucket(col("vd"), planes, dims, seed = t).as("b"))): _*)).as("tb"))
+          lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*)).as("tb"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
@@ -724,13 +761,18 @@ object VectorOps {
     * Returns (anchor_id, pos_id, pos_cos, neg_id, neg_cos, neg_rank). */
   def contrastiveTriplets(embeddings: DataFrame, minPos: Double = 0.8,
       negLo: Double = 0.3, negHi: Double = 0.6, perAnchor: Int = 2,
-      planes: Int = 4, tables: Int = 8, dims: Int = 64): DataFrame = {
+      planes: Int = AutoPlanes, tables: Int = 8, dims: Int = 64): DataFrame = {
+    // Wider buckets than the near-dup family (slack 7 ≈ 128/bucket/table,
+    // reproducing the former planes=4 at sf0.1): the mid-cosine negative
+    // band needs recall, and the width still tracks log2(N) so the
+    // banded self-join stays ≈ N × occupancy instead of going quadratic.
+    val pln = if (planes > 0) planes else sizedPlanes(embeddings.count(), slack = 7)
     val p = prepared(embeddings)
     val banded = p.select(
       col("vec_id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          lshBucket(col("vd"), planes, dims, seed = t).as("b"))): _*)).as("tb"))
+          lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*)).as("tb"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.tb") === col("b.tb") && col("a.vec_id") =!= col("b.vec_id"))
@@ -852,10 +894,16 @@ object VectorOps {
     * rows-only in verify; VectorOpsSpec pins agreement with the exact arm
     * on the vectors whose neighborhoods survive blocking. */
   def knnLabelPropLsh(embeddings: DataFrame, k: Int = 5, maskMod: Int = 5,
-      planes: Int = 4, tables: Int = 8, dims: Int = 64): DataFrame = {
+      planes: Int = AutoPlanes, tables: Int = 8, dims: Int = 64): DataFrame = {
     val unl = embeddings.filter(pmod(col("vec_id"), lit(maskMod)) === 0)
     val lab = embeddings.filter(pmod(col("vec_id"), lit(maskMod)) =!= 0)
-    val top = knnJoinLsh(unl, lab, k = k, planes = planes, tables = tables, dims = dims)
+    // Votes need k GOOD labeled candidates per query, so this arm keeps
+    // buckets wider than the generic kNN join (slack 7 ≈ 128/bucket/
+    // table, reproducing the former planes=4 at sf0.1) while still
+    // growing the width ~log2(N) — the fix for the r8 soak's ×13.5
+    // wall-time blowup at ×10 data on the fixed default.
+    val pln = if (planes > 0) planes else sizedPlanes(lab.count(), slack = 7)
+    val top = knnJoinLsh(unl, lab, k = k, planes = pln, tables = tables, dims = dims)
       .join(lab.select(col("vec_id").as("right_id"), col("label")), Seq("right_id"))
       .select(col("left_id").as("query_id"), col("right_id").as("neighbor_id"),
         col("label"), col("cos_sim"))
@@ -899,21 +947,23 @@ object VectorOps {
     * candidates). VectorOpsSpec pins twin recall and exactness of the
     * returned similarities.
     *
-    * SIZE `planes` WITH THE CORPUS: candidate volume per table is
-    * Σ_b |left_b|×|right_b| ≈ |L||R|/2^planes, so a FIXED bit width
-    * grows quadratically with density (soak r8: ×5-11 time at ×10 data
-    * with planes=6). Hold per-bucket occupancy constant by growing
-    * planes ~log2(N) — the standard LSH sizing rule; the parameter is
-    * exposed for exactly that. */
+    * `planes` SIZES ITSELF WITH THE CORPUS by default: candidate volume
+    * per table is Σ_b |left_b|×|right_b| ≈ |L||R|/2^planes, so a FIXED
+    * bit width grows quadratically with density (soak r8: ×5-13 time at
+    * ×10 data with planes=6). The default [[AutoPlanes]] derives
+    * `ceil(log2(|R|)) − 5` from a count of the right (corpus) side —
+    * holding per-left candidate volume at ≈ tables × 32 as N grows; an
+    * explicit positive `planes` overrides (and skips the count job). */
   def knnJoinLsh(left: DataFrame, right: DataFrame, k: Int = 3,
-      planes: Int = 6, tables: Int = 8, dims: Int = 64): DataFrame = {
+      planes: Int = AutoPlanes, tables: Int = 8, dims: Int = 64): DataFrame = {
+    val pln = if (planes > 0) planes else sizedPlanes(right.count(), slack = 5)
     val pl = prepared(left)
     val pr = prepared(right)
     def banded(p: DataFrame, idAs: String): DataFrame = p.select(
       col("vec_id").as(idAs),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
-          lshBucket(col("vd"), planes, dims, seed = t).as("b"))): _*)).as("tb"))
+          lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*)).as("tb"))
     val cand = banded(pl, "left_id")
       .join(banded(pr, "right_id"), Seq("tb"))
       .select(col("left_id"), col("right_id"))
