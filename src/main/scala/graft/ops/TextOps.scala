@@ -359,18 +359,35 @@ object TextOps {
     * (any shared run of ≥ w+k−1 tokens shares ≥ 1 fingerprint) applied
     * at ingest, work ∝ delta fingerprints × bounded postings. */
   def nearDupWinnowIncremental(existing: DataFrame, incoming: DataFrame,
-      k: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+      k: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 100): DataFrame =
+    nearDupWinnowProbe(nearDupWinnowIndex(existing, k, w, maxDf), incoming,
+      k, w, minShared, maxDf)
+
+  /** The corpus half of [[nearDupWinnowIncremental]]: df-capped winnow
+    * postings (fp → bounded doc list). SATURATED keys (list size =
+    * maxDf+1, true df > maxDf) stay IN the frame as saturation markers —
+    * the probe filters them — so a persisted index can absorb later
+    * batches by capped re-aggregation and remain equivalent to a full
+    * rebuild (a dropped key would otherwise "reappear" with only the
+    * delta's postings and emit pairs the rebuild never would). */
+  def nearDupWinnowIndex(existing: DataFrame, k: Int = 3, w: Int = 4,
+      maxDf: Int = 100): DataFrame = {
     val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
-    val index = docWinnow(existing, k, w)
+    docWinnow(existing, k, w)
       .groupBy(col("fp")).agg(capped(col("doc_id"), lit(0)).as("ids"))
-      .filter(size(col("ids")).between(1, maxDf))
+  }
+
+  /** The probe half: delta fingerprints against a prebuilt
+    * [[nearDupWinnowIndex]] frame (saturated keys identify nothing and
+    * are dropped here, as in the one-shot operator). */
+  def nearDupWinnowProbe(index: DataFrame, incoming: DataFrame,
+      k: Int = 3, w: Int = 4, minShared: Int = 2, maxDf: Int = 100): DataFrame =
     docWinnow(incoming, k, w)
-      .join(index, Seq("fp"))
+      .join(index.filter(size(col("ids")).between(1, maxDf)), Seq("fp"))
       .select(col("doc_id"), explode(col("ids")).as("e"))
       .groupBy(col("doc_id"), col("e.doc_id").as("dup_of"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
-  }
 
   /** Exact dedup: hash-groupBy on the md5 fingerprint; keeper = min
     * doc_id. One shuffle on the 32-char key; at 100 TB this is the
@@ -2024,15 +2041,27 @@ object TextOps {
     * within-batch duplicate question belongs to the batch operator
     * ([[dedupExact]]) over the delta alone — same division of labor as
     * [[docDupSpansIncremental]]. */
-  def dedupExactIncremental(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val index = existing
+  def dedupExactIncremental(existing: DataFrame, incoming: DataFrame): DataFrame =
+    dedupExactProbe(dedupExactIndex(existing), incoming)
+
+  /** The corpus half of [[dedupExactIncremental]]: the (fingerprint →
+    * canonical holder) index. Built once and PERSISTED at scale
+    * ([[graft.incremental.IngestIndex]]) so per-batch probe work is
+    * delta-proportional — the inline form above rebuilds it per call and
+    * exists for the single-shot/oracle shape. */
+  def dedupExactIndex(existing: DataFrame): DataFrame =
+    existing
       .select(col("doc_id"), fingerprint(col("text")).as("fp_md5"))
       .groupBy(col("fp_md5")).agg(min(col("doc_id")).as("dup_of"))
+
+  /** The probe half: incoming fingerprints against a prebuilt
+    * [[dedupExactIndex]] frame (inline or loaded from parquet — the
+    * frames are identical, so results and oracles are too). */
+  def dedupExactProbe(index: DataFrame, incoming: DataFrame): DataFrame =
     incoming
       .select(col("doc_id"), fingerprint(col("text")).as("fp_md5"))
       .join(index, Seq("fp_md5"))
       .select(col("doc_id"), col("fp_md5"), col("dup_of"))
-  }
 
   /** [[dedupExactIncremental]] behind a Bloom pre-probe — the 100 TB
     * ingest shape: the corpus's fingerprints compress to a KB-scale
@@ -2045,14 +2074,22 @@ object TextOps {
     * oracle. */
   def dedupExactIncrementalBloom(existing: DataFrame, incoming: DataFrame,
       numBits: Int = 1 << 20, k: Int = 5): DataFrame = {
-    val exFp = existing.select(col("doc_id"), fingerprint(col("text")).as("fp_md5"))
-    val bits = BloomJoin.bloomFilterBits(exFp, "fp_md5", numBits, k)
-    val cand = incoming
+    val index = dedupExactIndex(existing)
+    val bits = BloomJoin.bloomFilterBits(index, "fp_md5", numBits, k)
+    dedupExactProbeBloom(bits, index, incoming, numBits, k)
+  }
+
+  /** The probe half of [[dedupExactIncrementalBloom]], against a
+    * prebuilt index + bitset (persisted at scale): the bloom kills the
+    * clean majority row-locally at the delta scan; hits (true dups + FP
+    * tail) pay the index join, which removes the FPs. */
+  def dedupExactProbeBloom(bits: Array[Long], index: DataFrame,
+      incoming: DataFrame, numBits: Int = 1 << 20, k: Int = 5): DataFrame =
+    incoming
       .select(col("doc_id"), fingerprint(col("text")).as("fp_md5"))
       .filter(BloomJoin.mightContain(bits, col("fp_md5"), numBits, k))
-    val index = exFp.groupBy(col("fp_md5")).agg(min(col("doc_id")).as("dup_of"))
-    cand.join(index, Seq("fp_md5")).select(col("doc_id"), col("fp_md5"), col("dup_of"))
-  }
+      .join(index, Seq("fp_md5"))
+      .select(col("doc_id"), col("fp_md5"), col("dup_of"))
 
   /** The corpus's DISTINCT window-key set — the persisted probe index
     * shared by [[docDupSpansIncremental]] and the streaming span probe
@@ -2062,10 +2099,17 @@ object TextOps {
       .select(col("w")).distinct()
 
   def docDupSpansIncremental(existing: DataFrame, incoming: DataFrame,
+      width: Int = 40, stride: Int = 10): DataFrame =
+    docDupSpansProbe(dupSpanIndex(existing, width, stride), incoming, width, stride)
+
+  /** The probe half of [[docDupSpansIncremental]], against a prebuilt
+    * [[dupSpanIndex]] frame (persisted at scale): delta windows
+    * left-semi join the corpus key set, spans merge per incoming doc. */
+  def docDupSpansProbe(index: DataFrame, incoming: DataFrame,
       width: Int = 40, stride: Int = 10): DataFrame = {
     val inBase = normFrame(incoming, width)
     val inWins = winFrame(inBase, width, stride)
-    val occ = inWins.join(dupSpanIndex(existing, width, stride), Seq("w"), "left_semi")
+    val occ = inWins.join(index, Seq("w"), "left_semi")
       .select(col("doc_id"), col("start"))
     spanAccounting(inBase, occ, width)
   }
