@@ -2007,18 +2007,28 @@ object TextOps {
           .as("dup_frac"))
   }
 
-  def docDupSpans(documents: DataFrame, width: Int = 40, stride: Int = 10): DataFrame = {
+  def docDupSpans(documents: DataFrame, width: Int = 40, stride: Int = 10,
+      hashKey: Boolean = true): DataFrame = {
     val base = normFrame(documents, width)
     val wins = winFrame(base, width, stride)
-    // dup marking in ONE pass over the window frame: a collect_set
-    // window keyed on the substring replaces aggregate + join-back
-    // (which would recompute the explode/substr subtree and shuffle it
-    // twice). Set size per key is bounded by docs sharing an exact
-    // 40-char run — tiny even at 100 TB.
+    // dup marking in ONE pass over the window frame: key-grain window
+    // aggregates replace aggregate + join-back (which would recompute
+    // the explode/substr subtree and shuffle it twice). The marking
+    // itself needs only "≥ 2 distinct holders", which min≠max over the
+    // key answers with CONSTANT-size buffers — a boilerplate window held
+    // by millions of docs (license headers, templates) costs two longs,
+    // not a collected doc-id set. `hashKey` (default) shuffles
+    // xxhash64(w) — 8 bytes instead of the 40-char substring (SURVEY
+    // §8); the substring keying stays as the oracle/parity twin
+    // (DedupSpec pins bit-equality; a 64-bit collision would merge two
+    // unrelated windows, odds ~n²/2⁶⁵ — negligible against the md5
+    // fingerprints this corpus machinery already trusts).
     val W = org.apache.spark.sql.expressions.Window
+    val byKey = W.partitionBy(if (hashKey) xxhash64(col("w")) else col("w"))
     val occ = wins
-      .withColumn("nd", size(collect_set(col("doc_id")).over(W.partitionBy(col("w")))))
-      .filter(col("nd") >= 2)
+      .withColumn("mn_doc", min(col("doc_id")).over(byKey))
+      .withColumn("mx_doc", max(col("doc_id")).over(byKey))
+      .filter(col("mn_doc") =!= col("mx_doc"))
       .select(col("doc_id"), col("start"))
     spanAccounting(base, occ, width)
   }
@@ -2093,10 +2103,23 @@ object TextOps {
 
   /** The corpus's DISTINCT window-key set — the persisted probe index
     * shared by [[docDupSpansIncremental]] and the streaming span probe
-    * ([[graft.streaming.DocStream.spanProbe]]). */
-  def dupSpanIndex(existing: DataFrame, width: Int = 40, stride: Int = 10): DataFrame =
-    winFrame(normFrame(existing, width), width, stride)
-      .select(col("w")).distinct()
+    * ([[graft.streaming.DocStream.spanProbe]]). Keys default to
+    * xxhash64(w): the stored index and the probe's shuffle both move
+    * 8-byte longs instead of 40-char substrings; probes detect the key
+    * type from the index schema, so both keyings interoperate. */
+  def dupSpanIndex(existing: DataFrame, width: Int = 40, stride: Int = 10,
+      hashKey: Boolean = true): DataFrame = {
+    val wins = winFrame(normFrame(existing, width), width, stride)
+    (if (hashKey) wins.select(xxhash64(col("w")).as("w")) else wins.select(col("w")))
+      .distinct()
+  }
+
+  /** Hash the probe side's `w` iff `index` carries hashed keys — one
+    * schema peek keeps string- and hash-keyed indexes interchangeable. */
+  private[graft] def matchSpanKey(wins: DataFrame, index: DataFrame): DataFrame =
+    if (index.schema("w").dataType == org.apache.spark.sql.types.LongType)
+      wins.withColumn("w", xxhash64(col("w")))
+    else wins
 
   def docDupSpansIncremental(existing: DataFrame, incoming: DataFrame,
       width: Int = 40, stride: Int = 10): DataFrame =
@@ -2108,7 +2131,7 @@ object TextOps {
   def docDupSpansProbe(index: DataFrame, incoming: DataFrame,
       width: Int = 40, stride: Int = 10): DataFrame = {
     val inBase = normFrame(incoming, width)
-    val inWins = winFrame(inBase, width, stride)
+    val inWins = matchSpanKey(winFrame(inBase, width, stride), index)
     val occ = inWins.join(index, Seq("w"), "left_semi")
       .select(col("doc_id"), col("start"))
     spanAccounting(inBase, occ, width)
@@ -2122,16 +2145,22 @@ object TextOps {
     * |sources| elements, not |docs|), count per pair. No self-join, no
     * re-scan; the DuckDB oracle computes the identical matrix via the
     * naive (w,source)⋈(w,source) form. */
-  def sourceOverlap(documents: DataFrame, width: Int = 40, stride: Int = 10): DataFrame = {
+  def sourceOverlap(documents: DataFrame, width: Int = 40, stride: Int = 10,
+      hashKey: Boolean = true): DataFrame = {
     val base = documents
       .select(col("source"), normalize(col("text")).as("norm"))
       .select(col("source"), col("norm"), length(col("norm")).as("len"))
       .filter(col("len") >= width)
+    // Only the GROUPING identity of a window matters here (the key never
+    // reaches the output), so the default shuffles xxhash64(w) — same
+    // 8-byte-vs-40-char trade, same substring parity twin, as
+    // [[docDupSpans]].
+    val wKey: Column => Column = if (hashKey) xxhash64(_) else identity
     val ws = base.select(
         col("source"),
         explode(sequence(lit(1), col("len") - width + 1, lit(stride))).as("start"),
         col("norm"))
-      .select(col("source"), col("norm").substr(col("start"), lit(width)).as("w"))
+      .select(col("source"), wKey(col("norm").substr(col("start"), lit(width))).as("w"))
       .distinct()
     val sets = ws.groupBy(col("w"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
@@ -2185,19 +2214,23 @@ object TextOps {
     * stitched NORMALIZED text (untouched docs pass their norm through) —
     * what a pipeline consumes when it actually rewrites the corpus
     * (CorpusRun's gated excise stage). */
-  def docDupExciseText(documents: DataFrame, width: Int = 40, stride: Int = 10): DataFrame = {
+  def docDupExciseText(documents: DataFrame, width: Int = 40, stride: Int = 10,
+      hashKey: Boolean = true): DataFrame = {
     val base = normFrame(documents, width)
     val wins = winFrame(base, width, stride)
     val W = org.apache.spark.sql.expressions.Window
-    val byKey = W.partitionBy(col("w"))
+    // Same bounded keying as [[docDupSpans]]: xxhash64 shuffle key,
+    // min/max windows instead of a collected set (excision consumes
+    // only the canonical min(doc_id) and the ≥2-distinct-holders test).
+    val byKey = W.partitionBy(if (hashKey) xxhash64(col("w")) else col("w"))
     // occurrences to excise: window shared by >= 2 docs, holder not
     // canonical. `len` rides along so the whole span/segment pipeline
     // below never re-touches the text — TEXT IS READ EXACTLY TWICE
     // (window pass here, stitch join at the end; PlanSpec pins it).
     val occ = wins
-      .withColumn("nd", size(collect_set(col("doc_id")).over(byKey)))
       .withColumn("min_doc", min(col("doc_id")).over(byKey))
-      .filter(col("nd") >= 2 && col("doc_id") =!= col("min_doc"))
+      .withColumn("max_doc", max(col("doc_id")).over(byKey))
+      .filter(col("min_doc") =!= col("max_doc") && col("doc_id") =!= col("min_doc"))
       .select(col("doc_id"), col("len"), col("start"))
     val ordered = W.partitionBy(col("doc_id")).orderBy(col("start"))
     // ONE aggregation chain carries everything to doc grain: islands →
@@ -2253,8 +2286,9 @@ object TextOps {
 
   /** [[docDupExciseText]] narrowed to engine-comparable stats: the md5
     * stands in for the cleaned text (the driver-query form). */
-  def docDupExcise(documents: DataFrame, width: Int = 40, stride: Int = 10): DataFrame =
-    docDupExciseText(documents, width, stride)
+  def docDupExcise(documents: DataFrame, width: Int = 40, stride: Int = 10,
+      hashKey: Boolean = true): DataFrame =
+    docDupExciseText(documents, width, stride, hashKey)
       .select(col("doc_id"), col("n_cuts"), col("removed_chars"),
         col("clean_len"), md5(col("clean")).as("clean_md5"))
 }

@@ -83,6 +83,9 @@ object DocStream {
         col("norm"))
       .select(col("doc_id"), col("ingest_ts"), col("len"), col("start"),
         col("norm").substr(col("start"), lit(width)).as("w"))
+      // the index may carry hashed (xxhash64) or raw substring keys —
+      // match whichever the persisted frame holds
+      .transform(ws => graft.ops.TextOps.matchSpanKey(ws, corpusKeys))
       .join(corpusKeys, Seq("w"), "left_semi")
     // group per doc (ingest_ts in the key keeps append-mode legal), then
     // merge [start, start+width) islands in one array fold

@@ -1033,4 +1033,23 @@ class DedupSpec extends AnyFunSuite {
     // frac is a fraction of the doc's own normalized length
     assert(out.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
   }
+
+  test("xxhash64 span keying is bit-identical to the substring keying") {
+    // the default shuffles 8-byte hashes; the substring form is the
+    // oracle twin — on the corpus (planted near-dups included) every
+    // span-family operator must produce the identical frame either way
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    assert(rows(TextOps.docDupSpans(docs)) ==
+      rows(TextOps.docDupSpans(docs, hashKey = false)))
+    assert(rows(TextOps.docDupExcise(docs)) ==
+      rows(TextOps.docDupExcise(docs, hashKey = false)))
+    assert(rows(TextOps.sourceOverlap(docs)) ==
+      rows(TextOps.sourceOverlap(docs, hashKey = false)))
+    // probe against a hashed index == probe against a substring index
+    val ex = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    assert(rows(TextOps.docDupSpansProbe(TextOps.dupSpanIndex(ex), inc)) ==
+      rows(TextOps.docDupSpansProbe(TextOps.dupSpanIndex(ex, hashKey = false), inc)))
+  }
 }
