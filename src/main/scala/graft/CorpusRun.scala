@@ -70,11 +70,20 @@ object CorpusRun {
     stage("quality_gate", q.count())
 
     // 2-3. exact then near-dup (quality-aware keeper); both operators
-    // compute over the quality-surviving slice only
+    // compute over the quality-surviving slice only. The near-dup PAIR
+    // frame materializes ONCE (localCheckpoint, the pagerank-edges
+    // discipline) and every similarity consumer downstream — keeper,
+    // cluster-aware splitter, leakage audit — derives from it instead
+    // of re-running the shingle/inverted-index machinery per stage.
     val exact = q.join(TextOps.dedupExact(q)
       .select(col("keep_doc_id").as("doc_id")), Seq("doc_id"), "left_semi")
     stage("exact_dedup", exact.count())
-    val keptDocs = exact.join(TextOps.nearDupKeepBest(exact).select("doc_id"),
+    val pairs = TextOps.nearDupJaccard(exact).localCheckpoint()
+    val clusterFrame = TextOps.clustersFromPairs(pairs)
+      .select(col("doc_id"), col("cluster_id")).localCheckpoint()
+    val keptDocs = exact.join(
+      TextOps.nearDupKeepBest(exact, precomputedClusters = Some(clusterFrame))
+        .select("doc_id"),
       Seq("doc_id"), "left_semi")
     stage("neardup_keep_best", keptDocs.count())
 
@@ -117,12 +126,30 @@ object CorpusRun {
     // near-dup leakage across splits structurally zero (splitLeakage is
     // the detector that motivates it); default stays the id-hash
     // assignment the driver queries pin.
+    val clusterMode = flag("SPARK_GRAFT_SPLIT").contains("cluster")
     val splitter =
-      if (flag("SPARK_GRAFT_SPLIT").contains("cluster")) {
+      if (clusterMode) {
         println("[corpus] splitter: cluster-aware")
-        TextOps.splitAssignClusterAware(clean)
+        // keys come from the SHARED cluster frame (computed on the
+        // pre-excision kept slice): a coarser grouping than re-running
+        // similarity on the published text, which only ever merges more
+        // docs into one split — leakage stays structurally zero and the
+        // second full jaccard+CC pass disappears
+        TextOps.splitAssignClusterAware(clean, precomputedClusters = Some(clusterFrame))
       } else TextOps.splitAssign(clean)
     val withSplit = splitter.select(col("doc_id"), col("split"))
+    if (clusterMode) {
+      // leakage audit from the SAME pair frame: a near-dup pair with
+      // both members surviving must share a split by construction
+      val leaked = pairs
+        .join(withSplit.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+        .join(withSplit.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+        .filter(col("sa") =!= col("sb")).count()
+      println(s"[corpus] leakage audit -> $leaked cross-split near-dup pairs")
+      if (leaked != 0)
+        throw new IllegalStateException(
+          s"cluster-aware splitter leaked $leaked near-dup pairs across splits")
+    }
     val psi = TextOps.splitDriftPsi(clean)
     val psiRows = psi.collect().map(r => (r.getString(0), r.getDouble(1)))
     psiRows.foreach { case (split, v) => println(f"[corpus] psi $split%-5s $v%.6f") }

@@ -659,8 +659,10 @@ object TextOps {
     * cluster keep themselves. Returns (doc_id, lang, source,
     * quality_score) of the kept set. */
   def nearDupKeepBest(documents: DataFrame, k: Int = 3,
-      minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
-    val clusters = nearDupClusters(documents, k, minJaccard, maxDf)
+      minJaccard: Double = 0.8, maxDf: Int = 100,
+      precomputedClusters: Option[DataFrame] = None): DataFrame = {
+    val clusters = precomputedClusters
+      .getOrElse(nearDupClusters(documents, k, minJaccard, maxDf))
       .select(col("doc_id"), col("cluster_id"))
     val q = docQuality(documents).select(col("doc_id"), col("quality_score"))
     val best = clusters.join(q, Seq("doc_id"))
@@ -712,9 +714,19 @@ object TextOps {
     * paths emit identical frames (asserted in DedupSpec). */
   def nearDupClusters(documents: DataFrame, k: Int = 3,
       minJaccard: Double = 0.8, maxDf: Int = 100, maxIters: Int = 50,
+      driverEdgeLimit: Long = 1L << 22): DataFrame =
+    clustersFromPairs(nearDupJaccard(documents, k, minJaccard, maxDf),
+      maxIters, driverEdgeLimit)
+
+  /** The CC half of [[nearDupClusters]] over an ALREADY-COMPUTED
+    * near-dup pair frame (doc_a, doc_b, …) — what a pipeline that needs
+    * keeper + splitter + leakage audit from one similarity pass calls
+    * ([[graft.CorpusRun]]: pairs materialize once via localCheckpoint,
+    * every consumer derives from the same frame instead of re-running
+    * the shingle/index machinery per stage). */
+  private[graft] def clustersFromPairs(pairFrame: DataFrame, maxIters: Int = 50,
       driverEdgeLimit: Long = 1L << 22): DataFrame = {
-    val pairs = nearDupJaccard(documents, k, minJaccard, maxDf)
-      .select(col("doc_a"), col("doc_b"))
+    val pairs = pairFrame.select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -1311,8 +1323,10 @@ object TextOps {
     * relative to the corpus. */
   def splitAssignClusterAware(documents: DataFrame,
       weights: Seq[(String, Double)] = DefaultSplitWeights,
-      minJaccard: Double = 0.8): DataFrame = {
-    val clusters = nearDupClusters(documents, minJaccard = minJaccard)
+      minJaccard: Double = 0.8,
+      precomputedClusters: Option[DataFrame] = None): DataFrame = {
+    val clusters = precomputedClusters
+      .getOrElse(nearDupClusters(documents, minJaccard = minJaccard))
       .select(col("doc_id"), col("cluster_id"))
     documents.select(col("doc_id"), col("lang"))
       .join(clusters, Seq("doc_id"), "left")
