@@ -2923,8 +2923,10 @@ object SparkEntry {
         |FROM sc JOIN sz sa ON media_a = sa.media_id
         |         JOIN sz sb ON media_b = sb.media_id
         |WHERE round(shared::double / (sa.n + sb.n - shared), 6) >= 0.8""".stripMargin,
-    // Replays Multimodal.mediaNearDupHamming: dHash frames, 4x16-bit
-    // band candidates, bit_count(xor) <= 3 verify, containment scoring.
+    // Replays Multimodal.mediaNearDupHamming: dHash frames, 4x8-bit
+    // band candidates over the 31 populated gradient bits of a 32-byte
+    // frame (ceil(31/4) = 8 — full-64 slicing would make bands 2-3
+    // constant zero), bit_count(xor) <= 3 verify, containment scoring.
     "media_neardup_hamming" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text FROM documents
@@ -2944,7 +2946,7 @@ object SparkEntry {
         |                     THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0) AS h
         |       FROM fb),
         |sz AS (SELECT media_id, COUNT(*) AS n FROM fr GROUP BY 1),
-        |bk AS (SELECT media_id, h, u.b AS b, (h >> (u.b * 16)) & 65535 AS k
+        |bk AS (SELECT media_id, h, u.b AS b, (h >> (u.b * 8)) & 255 AS k
         |       FROM fr, UNNEST(generate_series(0, 3)) AS u(b)),
         |okb AS (SELECT b, k FROM bk GROUP BY 1, 2 HAVING COUNT(*) <= 100),
         |bx AS (SELECT bk.media_id, bk.h, bk.b, bk.k FROM bk JOIN okb USING (b, k)),

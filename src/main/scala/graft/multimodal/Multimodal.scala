@@ -236,6 +236,17 @@ object Multimodal {
     * frames matched (A-in-B containment, bounded ≤ 1 — robust to the
     * other side carrying extra footage).
     *
+    * Bands slice the POPULATED bit range, not the raw 64: a
+    * `frameSize`-byte frame has only frameSize−1 gradient bits, so
+    * 16-bit slices of the default 32-byte frame would leave bands 2-3
+    * constant-zero — degenerate buckets that hold every frame, blow
+    * through `maxDf` at corpus scale, and silently shrink the
+    * pigeonhole guarantee to the informative bands. Band width is
+    * ceil(populatedBits / bands) (4×8 bits over bits 0-31 at the
+    * default), which keeps the full hamming ≤ bands−1 ⇒ shared-band
+    * guarantee: bits outside the populated range are identically zero
+    * on both sides of any candidate pair.
+    *
     * Scale shape: same bounded-postings discipline as the exact arm —
     * band keys are capped at `maxDf` postings (stop-band removal), pair
     * emission is row-local inside each bounded bucket, and payloads
@@ -250,7 +261,8 @@ object Multimodal {
         graft.functions.TextExprs.frameDHash(col("frame")).as("h"))
       .distinct()
     val sz = fr.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
-    val width = 64 / bands
+    val popBits = math.min(frameSize - 1, 64)
+    val width = (popBits + bands - 1) / bands
     val mask = (1L << width) - 1
     val banded = fr.select(col("media_id"), col("h"),
       explode(array((0 until bands).map(b => struct(lit(b).as("b"),

@@ -30,10 +30,27 @@ object ExportOps {
   private val Mod = 2147483648L
 
   /** (…doc cols, h, shard) — the row-local assignment every export
-    * stage shares. */
+    * stage shares.
+    *
+    * DOMAIN CONTRACT, enforced row-locally: `doc_id ∈ [0, 2³¹)`. Outside
+    * it the scheme silently breaks twice over — `doc_id·a` overflows
+    * Long above ~8.4e9 (Spark's pmod of the wrapped negative stays
+    * non-negative but a SQL `%` replay goes negative, so engines
+    * diverge), and injectivity (which [[shardManifest]]'s min_by/max_by
+    * first/last-doc claim rides on) only holds while the id range fits
+    * under the modulus. A corpus with wider ids swaps in
+    * `xxhash64(doc_id)` — same plan, no overflow — and must then rank
+    * first/last by an explicit (h, doc_id) tie-break, since a 64-bit
+    * hash is not injective on any domain. The guard turns the silent
+    * divergence into a loud per-row error. */
   private[graft] def withShard(documents: DataFrame, nShards: Int): DataFrame =
     documents
-      .withColumn("h", pmod(col("doc_id") * lit(MulA) + lit(AddC), lit(Mod)))
+      .withColumn("h",
+        when(col("doc_id") < 0 || col("doc_id") >= Mod,
+          raise_error(concat(
+            lit(s"ExportOps LCG shuffle requires doc_id in [0, $Mod): got "),
+            col("doc_id"))))
+          .otherwise(pmod(col("doc_id") * lit(MulA) + lit(AddC), lit(Mod))))
       .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
 
   /** Per-shard manifest: doc count, char mass, the first/last doc in

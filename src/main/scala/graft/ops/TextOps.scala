@@ -1698,23 +1698,31 @@ object TextOps {
 
   /** Top-k vocabulary coverage curve — the tokenizer-budget readout
     * ("what fraction of corpus token mass does a k-entry vocab cover?").
-    * One token-count aggregate (vocabulary-sized, map-side combined),
-    * one rank window over that vocabulary (NOT the corpus — single
-    * partition is fine at vocab grain), one fold over the rank frame
-    * that evaluates every k at once and unpivots via stack. Ties rank by
-    * (count desc, token asc) so the curve is engine-reproducible. */
+    * One token-count aggregate (vocabulary-sized, map-side combined);
+    * the ranking then touches only the max(ks) CANDIDATE tokens via
+    * orderBy+limit — Spark plans TakeOrdered (per-partition heaps +
+    * driver merge of max(ks) rows), so no unpartitioned window ever
+    * sees the full vocabulary (a web corpus's distinct-token set is
+    * itself hundreds of millions of rows — the one frame here that is
+    * NOT small). Total token mass comes from a separate scalar
+    * aggregate over all counts; one fold evaluates every k at once and
+    * unpivots via stack. Ties rank by (count desc, token asc) so the
+    * curve is engine-reproducible. */
   def vocabCoverage(documents: DataFrame, ks: Seq[Int] = Seq(10, 50, 100)): DataFrame = {
     val counts = documents
       .select(explode(tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
-    val ranked = counts.withColumn("rk", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("token"))))
-    val agg = ranked.agg(
-      sum(col("cnt")).as("total"),
-      ks.map(k => sum(when(col("rk") <= k, col("cnt")).otherwise(lit(0L)))
-        .as(s"cov_$k")): _*)
+    val ranked = counts
+      .orderBy(col("cnt").desc, col("token")).limit(ks.max)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("token"))))
+    def cov(k: Int) =
+      sum(when(col("rk") <= k, col("cnt")).otherwise(lit(0L))).as(s"cov_$k")
+    val covs = ranked.agg(cov(ks.head), ks.tail.map(cov): _*)
+    val agg = covs.crossJoin(
+      counts.agg(sum(col("cnt")).as("total")))
     val stackArgs = ks.map(k =>
       s"$k, cov_$k, round(cov_$k / CAST(total AS DOUBLE), 6)").mkString(", ")
     agg.selectExpr("total AS total_tokens",
