@@ -20,13 +20,20 @@ import java.nio.file.{Files, Paths}
   * dimension tables (region, nation) stay single-copy like real dims.
   * Content is decorrelated per replica, bijectively, so WITHIN-replica
   * structure is preserved exactly while replicas don't collide:
-  *   - documents.text: per-token Caesar shift by r over letter/digit
-  *     classes, SKIPPING stopword tokens. Length, character classes,
-  *     whitespace, and stopword hits are all preserved — so token
-  *     counts, punct/digit/stopword ratios, and therefore every quality
-  *     flag are bit-identical per replica — while content shingles
-  *     never collide across replicas (shifted alphabets are disjoint
-  *     for r ≠ r' mod 26).
+  *   - documents.text: per-token SEEDED ALPHABET BIJECTION (random
+  *     permutation of a-z mirrored to A-Z, and of 0-9), SKIPPING
+  *     stopword tokens. Length, character classes, whitespace, and
+  *     stopword hits are all preserved — so token counts, punct/digit/
+  *     stopword ratios, and therefore every quality flag are
+  *     bit-identical per replica — while cross-replica whole-token
+  *     collisions need two independent permutations to agree on every
+  *     character (~26^-len, negligible). Unlike the earlier Caesar
+  *     shift, a random permutation also scrambles the ORDER relation
+  *     of letters (P(σ(a)<σ(b)) = ½), so byte-gradient perceptual
+  *     hashes decorrelate across replicas too — the r8 soak had to
+  *     leave the hamming media tier report-only precisely because
+  *     adjacent Caesar shifts stayed inside its tolerance
+  *     ([[replicaCharMap]]).
   *   - embeddings.embedding: deterministic per-replica DIMENSION
   *     PERMUTATION composed with SIGN FLIPS (seeded by replica index).
   *     Both maps are orthogonal, so every within-replica dot product
@@ -152,15 +159,16 @@ object Soak {
     Check("doc_search_hybrid", Info),
     // round-8 additions.
     // dup spans: rows = every doc ≥ 40 chars, exactly xN. dup_chars ~xN:
-    // the Caesar shift preserves stopword tokens AND layout, so a 40-char
+    // the per-replica bijection preserves stopword tokens AND layout, so a
     // window lying entirely in stopwords is identical (and identically
-    // placed) in every replica — those windows become cross-replica dups
+    // 40-char window lying entirely in stopwords is identical (and
+    // identically placed) in every replica — those windows become cross-replica dups
     // that base didn't have. Near tolerance absorbs that mass; if it
     // exceeds 5% the invariant (not the operator) is miscalibrated.
     Check("doc_dup_spans", TimesN, Some("dup_chars"), Near(0.05)),
     // novelty: first-seen credit for stopword-pure shingles collapses to
     // replica 0 (lowest doc_id), so later replicas lose exactly that
-    // shared-shingle credit; content shingles are Caesar-distinct per
+    // shared-shingle credit; content shingles are bijection-distinct per
     // replica and stay xN.
     Check("doc_novelty", TimesN, Some("novel_shingles"), Near(0.05)),
     // (knn_label_prop — the EXACT label-prop arm — is deliberately
@@ -177,7 +185,7 @@ object Soak {
     Check("ann_sq", Equal),
     // excision: same stopword-window tolerance as doc_dup_spans; the
     // cross-replica canonical (min doc_id = replica 0) only matters for
-    // stopword-pure windows — content windows are Caesar-distinct per
+    // stopword-pure windows — content windows are bijection-distinct per
     // replica, so each replica elects its own canonicals.
     Check("doc_dup_excise", TimesN, Some("removed_chars"), Near(0.05)),
     // delta probe: Stride % 10 == 0 keeps batch membership
@@ -186,9 +194,9 @@ object Soak {
     // provenance matrix: sources are NOT offset per replica, so the pair
     // set equals base (replicas are isomorphic; stopword windows existed
     // cross-source at 1x already); shared-key counts ~xN since replica
-    // keys are Caesar-distinct, minus the once-counted stopword keys.
+    // keys are bijection-distinct, minus the once-counted stopword keys.
     Check("source_overlap", Equal, Some("shared_windows"), Near(0.05)),
-    // balanced export: 8 shards at any scale; Caesar preserves lengths,
+    // balanced export: 8 shards at any scale; the bijection preserves lengths,
     // so total char mass is exactly xN.
     Check("export_manifest_balanced", Equal, Some("n_chars_total"), TimesN),
     // truncation study: 3 literal rows; recall is content-dependent
@@ -197,14 +205,14 @@ object Soak {
     // LSH label prop: one row per covered query; multi-table bucket
     // recall keeps coverage near-complete at both scales.
     Check("knn_label_prop_lsh", Band(0.9, 1.1)),
-    // confusion matrix: Caesar preserves stopwords, so predictions are
+    // confusion matrix: the bijection preserves stopwords, so predictions are
     // replica-invariant — same (label, pred) cells, counts xN.
     Check("langid_confusion", Equal, Some("n_docs")),
     // per-source rollup: source values aren't offset per replica (rows
     // equal); char mass xN with the stopword-window tolerance.
     Check("source_effective_size", Equal, Some("effective_chars"), Near(0.05)),
     // coverage curve: 3 literal rows; each row's total is the corpus
-    // token mass (xN — Caesar preserves token counts); coverage itself
+    // token mass (xN — the bijection preserves token counts); coverage itself
     // is content-dependent (replica-distinct content words grow the
     // vocabulary, so top-k coverage drops — by design, not asserted).
     Check("vocab_coverage", Equal, Some("total_tokens")),
@@ -214,19 +222,20 @@ object Soak {
     // leakage detector: offset ids hash to different splits per replica,
     // so the leaked-pair pattern is not replica-invariant — report-only.
     Check("split_leakage", Info),
-    // hamming media near-dup: report-only BY THE MATH — the Caesar
-    // inflation is an order-preserving-ish byte map, which is exactly
-    // the transform class the perceptual hash is built to see through:
-    // a shift-r vs shift-r' replica pair flips a gradient bit only where
-    // one adjacent char wraps the alphabet (~2·|r−r'|/26 of 31 bits ⇒
-    // ~2.4 flips per frame at |Δ|=1, inside the hamming-3 verify), so
-    // ADJACENT-shift replicas pair deliberately: measured 22.4k at 10×
-    // = 11.5k within-replica (exactly ×N) + ~10.3k adjacent-shift pairs
-    // (~1.15k × 9). A decorrelation that fooled this operator would
-    // have to break byte-order structure — i.e., be the noise the
-    // operator exists to catch. The operator-scale assertion lives in
-    // the within-replica mass of the exact-key dHash family instead.
-    Check("media_neardup_hamming", Info))
+    // hamming media near-dup — ASSERTED under the permutation
+    // decorrelation (the r8 Caesar inflation was order-preserving-ish,
+    // exactly the transform class this perceptual hash sees through, so
+    // adjacent-shift replicas paired and the row was Info; the seeded
+    // bijection scrambles gradient signs, leaving cross-replica frames
+    // at chance ≈5·10³/2³¹ per pair). Rows ≈ ×N, Near not exact:
+    // Stride % 7 ≠ 0, so each replica's doc_id % 7 = 3 noisy-copy
+    // subset is a different (equally-sized) residue slice of the base
+    // docs.
+    Check("media_neardup_hamming", Near(0.05), Some("matched_frames"), Near(0.1)),
+    // exact-key perceptual dHash tier: same within-replica ×N mass,
+    // same residue-slice tolerance; cross-replica exact-key jaccard
+    // pairs would need two permuted docs to share ≥80% of frame hashes
+    Check("media_neardup_dhash", Near(0.05)))
 
   // ---------- deterministic content decorrelation ----------
 
@@ -234,13 +243,49 @@ object Soak {
     (graft.functions.TextFns.StopwordsEn ++ graft.functions.TextFns.StopwordsEs
       ++ graft.functions.TextFns.StopwordsDe ++ graft.functions.TextFns.StopwordsFr).toSet
 
-  /** Per-token Caesar shift preserving length, char classes, whitespace,
-    * and stopword identity (see object doc). Harness-side data
-    * generation only — never a query operator, so a plain Scala UDF is
-    * fine here (it runs once to build the soak dataset, not in any
-    * measured plan). */
-  private[graft] def caesarText(text: String, r: Int): String = {
-    if (r == 0 || text == null) return text
+  /** Per-replica seeded ALPHABET BIJECTION (r = 0 ⇒ identity): an
+    * independent random permutation of a-z (mirrored onto A-Z) and of
+    * 0-9. Replaces the r7/r8 Caesar shift for one measured reason: a
+    * shift is order-preserving over almost the whole alphabet, so the
+    * byte-gradient dHash — built exactly to see through order-preserving
+    * re-encodes — kept adjacent-shift replicas within its hamming
+    * tolerance (~2·|Δ|/26 of gradient bits flip; r8 measured 22.4k
+    * hamming pairs at 10× = 11.5k true within-replica + ~10.3k
+    * adjacent-shift artifacts), forcing the perceptual soak rows to
+    * report-only. A random permutation scrambles the order relation of
+    * any two letters with probability ½ per pair, so cross-replica
+    * frames hash to ~independent 31-bit codes and the hamming ≤ 3 tier
+    * is pure chance (≈5·10³/2³¹ per frame pair) — the perceptual rows
+    * assert ×N.
+    *
+    * Everything the Caesar form preserved still holds: length, char
+    * classes, whitespace layout, and stopword identity are untouched
+    * (stopword tokens skip the map), so token counts, punct/digit/
+    * stopword ratios and every quality flag stay bit-identical per
+    * replica. Cross-replica whole-token collisions need σ_r and σ_r' to
+    * agree on every character of the token (~26^-len — the Caesar form's
+    * exact-zero weakens to negligible). */
+  private[graft] def replicaCharMap(r: Int): Array[Char] = {
+    val map = Array.tabulate(128)(_.toChar)
+    if (r != 0) {
+      val rnd = new scala.util.Random(0x7E47 * 2654435761L + r)
+      val lower = rnd.shuffle(('a' to 'z').toVector)
+      val digit = rnd.shuffle(('0' to '9').toVector)
+      ('a' to 'z').foreach { c =>
+        map(c) = lower(c - 'a')
+        map(c - 32) = (lower(c - 'a') - 32).toChar
+      }
+      ('0' to '9').foreach(c => map(c) = digit(c - '0'))
+    }
+    map
+  }
+
+  /** Apply [[replicaCharMap]] per token, skipping stopwords (see object
+    * doc). Harness-side data generation only — never a query operator,
+    * so a plain Scala UDF is fine here (it runs once to build the soak
+    * dataset, not in any measured plan). */
+  private[graft] def bijectText(text: String, map: Array[Char]): String = {
+    if (text == null) return text
     val sb = new java.lang.StringBuilder(text.length)
     var i = 0
     while (i < text.length) {
@@ -255,11 +300,7 @@ object Soak {
           var k = 0
           while (k < tok.length) {
             val ch = tok.charAt(k)
-            sb.append(
-              if (ch >= 'a' && ch <= 'z') (('a' + (ch - 'a' + r) % 26)).toChar
-              else if (ch >= 'A' && ch <= 'Z') (('A' + (ch - 'A' + r) % 26)).toChar
-              else if (ch >= '0' && ch <= '9') (('0' + (ch - '0' + r) % 10)).toChar
-              else ch)
+            sb.append(if (ch < 128) map(ch) else ch)
             k += 1
           }
         }
@@ -278,7 +319,6 @@ object Soak {
   /** Write the inflated dataset under `$dataDir/<table>.parquet` (dirs —
     * [[Tables.table]] reads them like the driver's single files). */
   def inflate(spark: SparkSession, sfDir: String, dataDir: String, n: Int): Unit = {
-    val caesar = udf((text: String, r: Int) => caesarText(text, r))
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$dataDir/$name.parquet")
       println(s"[soak] inflated $name x$n")
@@ -300,9 +340,11 @@ object Soak {
     // read viable on legacy nanos inputs and is a no-op on MICROS.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     write("events", unioned(base("events"), n)(offset("event_id", "user_id")))
-    // documents: id offset + per-replica Caesar decorrelation
+    // documents: id offset + per-replica alphabet-bijection decorrelation
     write("documents", unioned(base("documents"), n) { (df, r) =>
-      offset("doc_id")(df, r).withColumn("text", caesar(col("text"), lit(r)))
+      val map = replicaCharMap(r)
+      val bij = udf((text: String) => bijectText(text, map))
+      offset("doc_id")(df, r).withColumn("text", bij(col("text")))
     })
     // embeddings: id offset + per-replica orthogonal decorrelation
     // (dimension permutation ∘ sign flips — see object doc). The map is
@@ -519,9 +561,9 @@ object Soak {
 
     val md = new StringBuilder
     md ++= s"# SOAK — ${n}x scale soak of sf0.1\n\n"
-    md ++= s"Deterministic ${n}x inflation of `$sfDir` (id-offset replicas; Caesar-decorrelated\n"
-    md ++= s"text, permutation∘sign-flip (orthogonal) decorrelated embeddings, single-copy\n"
-    md ++= s"dims — see `graft.Soak` doc).\n"
+    md ++= s"Deterministic ${n}x inflation of `$sfDir` (id-offset replicas; seeded-alphabet-\n"
+    md ++= s"bijection decorrelated text, permutation∘sign-flip (orthogonal) decorrelated\n"
+    md ++= s"embeddings, single-copy dims — see `graft.Soak` doc).\n"
     md ++= s"Timings are medians of $reps noop-sink reps on local[$cpus]; bound t(${n}x) ≤ ${maxGrowth.toInt}·t(1x).\n\n"
     md ++= "| query | rows 1x | rows ${n}x | rule | rows ok | t 1x (s) | t ${n}x (s) | ratio | time ok |\n".replace("${n}", n.toString)
     md ++= "|---|---|---|---|---|---|---|---|---|\n"

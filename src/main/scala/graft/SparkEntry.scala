@@ -347,17 +347,18 @@ object SparkEntry {
       VectorOps.nearDupEmbeddingIncremental(
         e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0))
     }),
-    // LSH-blocked all-pairs variant (bucket membership not portable —
-    // rows-only; VectorOpsSpec pins recall vs the exact pairs)
+    // LSH-blocked all-pairs variant — fully oracled since r9 (plane
+    // literals + count-derived width replay in DuckDB); VectorOpsSpec
+    // additionally pins recall vs the exact pairs
     "embedding_neardup_lsh" -> ((s, dir) => VectorOps.nearDupEmbeddingLsh(Tables.embeddings(s, dir))),
     // LSH-blocked incremental arm — the default at scale; the exact
-    // delta pass above is its cross-check (rows-only: bucket recall)
+    // delta pass above is its cross-check. Fully oracled since r9.
     "embedding_neardup_delta_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       VectorOps.nearDupEmbeddingIncrementalLsh(
         e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0))
     }),
-    // LSH path: bucket membership isn't DuckDB-portable — rows-only;
+    // LSH path — fully oracled since r9 (banding replays in DuckDB);
     // VectorOpsSpec asserts recall vs the brute-force truth
     "ann_lsh" -> ((s, dir) => VectorOps.annLsh(Tables.embeddings(s, dir))),
     // IVF path: data-adaptive coarse quantizer (Lloyd-refined) — rows-only;
@@ -432,8 +433,8 @@ object SparkEntry {
     "disjunctive_revenue" -> ((s, dir) => Analytics.disjunctiveRevenue(s, dir)),
     "top_suppliers" -> ((s, dir) => Analytics.topSuppliers(s, dir)),
     "ship_latency" -> ((s, dir) => Analytics.shipLatencyByPriority(s, dir)),
-    // large×large kNN join: every 7th vector queries the rest (rows-only:
-    // LSH recall is probabilistic; VectorOpsSpec pins twins + recall)
+    // large×large kNN join: every 7th vector queries the rest — fully
+    // oracled since r9; VectorOpsSpec pins twins + recall
     "knn_join" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       VectorOps.knnJoinLsh(
@@ -616,6 +617,49 @@ object SparkEntry {
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (acc, v) -> acc + v)"
     s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
   }
+
+  /** Generated plane terms an oracle carries; covers corpora up to
+    * 2^(MaxOraclePlanes+slack) rows before the loud error() trips —
+    * orders of magnitude past any driver-verify sf. */
+  private val MaxOraclePlanes = 12
+
+  /** DuckDB replay of [[graft.functions.VectorFns.lshBucket]] composed
+    * with [[graft.ops.VectorOps.sizedPlanes]] auto-sizing: the
+    * hyperplane coefficients are splitmix64-derived constants, so this
+    * generator embeds them as DOUBLE[] literals via the SAME Scala
+    * function the Catalyst expression uses, and the dot product replays
+    * the left-to-right fold (list_reduce) that [[VecDot]] computes —
+    * sign decisions are bit-identical. The bit width itself is DATA-
+    * derived (planes = clamp(ceil(log2 N) − slack)), so the oracle
+    * masks its generated plane terms by a count-computed `pl.planes`
+    * scalar instead of freezing a width — the same SQL stays correct at
+    * any sf, and a corpus beyond the generated terms fails LOUDLY via
+    * error() rather than silently under-banding. */
+  private def duckLshPlanes(countSql: String, slack: Int): String =
+    s"""pl AS (SELECT CASE WHEN least(24, greatest(2, CAST(ceil(log2(($countSql))) AS INT) - $slack)) > $MaxOraclePlanes
+       |  THEN error('lsh oracle: auto planes exceed generated terms')
+       |  ELSE least(24, greatest(2, CAST(ceil(log2(($countSql))) AS INT) - $slack)) END AS planes)""".stripMargin
+
+  /** One packed sign-bucket expression for hash table `seed` over a
+    * `vec`-named DOUBLE[] column, masked by `pl.planes`. */
+  private def duckLshBucket(vec: String, seed: Int, dims: Int = 64): String =
+    (0 until MaxOraclePlanes).map { p =>
+      val coefs = (0 until dims)
+        .map(d => graft.functions.VectorFns.planeCoef(seed, p, d).toString)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN $p < pl.planes AND list_reduce(list_transform(generate_series(1, $dims), i -> $vec[i] * ($coefs::DOUBLE[])[i]), (a, v) -> a + v) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** `bk` CTE: (vec_id, t, b) bucket membership for `tables` hash
+    * tables over the whole embeddings table — each LSH oracle filters
+    * its own sides out of this shared frame. */
+  private def duckLshBanded(tables: Int): String =
+    s"""p AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
+       |bk AS (
+       |${(0 until tables).map(t =>
+          s"  SELECT vec_id, $t AS t, ${duckLshBucket("vd", t)} AS b FROM p, pl")
+          .mkString("\n  UNION ALL\n")}
+       |)""".stripMargin
 
   /** CTE chain replaying [[graft.ops.VectorOps.kmeans]]'s full Lloyd
     * trajectory in DuckDB — seeds (first k by vec_id), then per
@@ -2588,6 +2632,69 @@ object SparkEntry {
          |  FROM a JOIN b ON vec_a < vec_b)
          |SELECT vec_a, vec_b, cos_sim FROM pairs
          |WHERE cos_sim >= 0.45 AND (vec_a % 10 = 0 OR vec_b % 10 = 0)""".stripMargin,
+    // Full replay of the sign-LSH family (r9): bucket membership IS
+    // portable after all — plane coefficients are deterministic
+    // splitmix64 constants embedded as literals, VecDot's fold is
+    // list_reduce, and the auto-sized bit width recomputes from
+    // count(*) (see duckLshPlanes). Banding, candidate generation,
+    // exact re-rank/threshold all replay bit-for-bit, so these four
+    // graduate from rows-only to hash-matched.
+    "ann_lsh" ->
+      s"""WITH ${duckLshPlanes("SELECT count(*) FROM embeddings", 1)},
+         |${duckLshBanded(4)},
+         |q AS (SELECT vec_id AS query_id, t, b FROM bk WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+         |  FROM q JOIN bk c ON q.t = c.t AND q.b = c.b AND c.vec_id != q.query_id),
+         |sc AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |         round(${duckCosine("qe.embedding", "ne.embedding")}, 6) AS cos_sim
+         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+         |            JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, cos_sim, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc)
+         |WHERE rn <= 5""".stripMargin,
+    "embedding_neardup_lsh" ->
+      s"""WITH ${duckLshPlanes("SELECT count(*) FROM embeddings", 5)},
+         |${duckLshBanded(8)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bk a JOIN bk b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+         |sc AS (
+         |  SELECT vec_a, vec_b, round(${duckCosine("ea.embedding", "eb.embedding")}, 6) AS cos_sim
+         |  FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+         |            JOIN embeddings eb ON eb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, cos_sim FROM sc WHERE cos_sim >= 0.45""".stripMargin,
+    "embedding_neardup_delta_lsh" ->
+      s"""WITH ${duckLshPlanes("SELECT count(*) FROM embeddings", 5)},
+         |${duckLshBanded(8)},
+         |cand AS (
+         |  SELECT DISTINCT least(i.vec_id, c.vec_id) AS vec_a,
+         |         greatest(i.vec_id, c.vec_id) AS vec_b
+         |  FROM bk i JOIN bk c ON i.t = c.t AND i.b = c.b AND i.vec_id != c.vec_id
+         |  WHERE i.vec_id % 10 = 0),
+         |sc AS (
+         |  SELECT vec_a, vec_b, round(${duckCosine("ea.embedding", "eb.embedding")}, 6) AS cos_sim
+         |  FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+         |            JOIN embeddings eb ON eb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, cos_sim FROM sc WHERE cos_sim >= 0.45""".stripMargin,
+    "knn_join" ->
+      s"""WITH ${duckLshPlanes("SELECT count(*) FROM embeddings WHERE vec_id % 7 != 0", 5)},
+         |${duckLshBanded(8)},
+         |cand AS (
+         |  SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
+         |  FROM bk l JOIN bk r ON l.t = r.t AND l.b = r.b
+         |  WHERE l.vec_id % 7 = 0 AND r.vec_id % 7 != 0),
+         |sc AS (
+         |  SELECT left_id, right_id,
+         |         round(${duckCosine("le.embedding", "re.embedding")}, 6) AS cos_sim
+         |  FROM cand JOIN embeddings le ON le.vec_id = left_id
+         |            JOIN embeddings re ON re.vec_id = right_id)
+         |SELECT left_id, right_id, cos_sim, "rank" FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY left_id
+         |    ORDER BY cos_sim DESC, right_id) AS "rank" FROM sc)
+         |WHERE "rank" <= 3""".stripMargin,
     "pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
