@@ -2695,6 +2695,66 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY left_id
          |    ORDER BY cos_sim DESC, right_id) AS "rank" FROM sc)
          |WHERE "rank" <= 3""".stripMargin,
+    // knnJoinLsh + the vote/argmax tail: votes are exact counts, the
+    // argmax tie-breaks (votes desc, label asc), mean_sim replays the
+    // same 6dp-rounded ratio of summed partials
+    "knn_label_prop_lsh" ->
+      s"""WITH ${duckLshPlanes("SELECT count(*) FROM embeddings WHERE vec_id % 5 != 0", 7)},
+         |${duckLshBanded(8)},
+         |cand AS (
+         |  SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
+         |  FROM bk l JOIN bk r ON l.t = r.t AND l.b = r.b
+         |  WHERE l.vec_id % 5 = 0 AND r.vec_id % 5 != 0),
+         |sc AS (
+         |  SELECT query_id, neighbor_id,
+         |         round(${duckCosine("qe.embedding", "ne.embedding")}, 6) AS cos_sim
+         |  FROM cand JOIN embeddings qe ON qe.vec_id = query_id
+         |            JOIN embeddings ne ON ne.vec_id = neighbor_id),
+         |topk AS (
+         |  SELECT query_id, neighbor_id, cos_sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc)
+         |  WHERE rn <= 5),
+         |byl AS (
+         |  SELECT query_id, e.label, COUNT(*) AS votes, SUM(cos_sim) AS sim_sum
+         |  FROM topk JOIN embeddings e ON e.vec_id = neighbor_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, label AS pred_label, votes, mean_sim FROM (
+         |  SELECT query_id, label, votes,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY votes DESC, label) AS vr,
+         |    round(SUM(sim_sum) OVER (PARTITION BY query_id)
+         |      / SUM(votes) OVER (PARTITION BY query_id), 6) AS mean_sim
+         |  FROM byl)
+         |WHERE vr = 1""".stripMargin,
+    // LSH-banded triplet mining: hardest positive = rank-1 by
+    // (cos desc, cand_id) over the >= minPos slice (the Spark side's
+    // min(struct(-cos, id)) argmax), negatives = top-2 of the band
+    "contrastive_triplets" ->
+      s"""WITH ${duckLshPlanes("SELECT count(*) FROM embeddings", 7)},
+         |${duckLshBanded(8)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS cand_id
+         |  FROM bk a JOIN bk b ON a.t = b.t AND a.b = b.b AND a.vec_id != b.vec_id),
+         |scored AS (
+         |  SELECT anchor_id, cand_id,
+         |         round(${duckCosine("ae.embedding", "ce.embedding")}, 6) AS cos
+         |  FROM cand JOIN embeddings ae ON ae.vec_id = anchor_id
+         |            JOIN embeddings ce ON ce.vec_id = cand_id),
+         |pos AS (
+         |  SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cos DESC, cand_id) AS pr
+         |    FROM scored WHERE cos >= 0.45)
+         |  WHERE pr = 1),
+         |neg AS (
+         |  SELECT anchor_id, cand_id AS neg_id, cos AS neg_cos, neg_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cos DESC, cand_id) AS neg_rank
+         |    FROM scored WHERE cos >= 0.2 AND cos < 0.4)
+         |  WHERE neg_rank <= 2)
+         |SELECT pos.anchor_id, pos_id, pos_cos, neg_id, neg_cos, neg_rank
+         |FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id""".stripMargin,
     "pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
