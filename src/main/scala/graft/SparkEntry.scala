@@ -661,6 +661,38 @@ object SparkEntry {
           .mkString("\n  UNION ALL\n")}
        |)""".stripMargin
 
+  /** Generated table arms for the recall-held near-dup oracles; covers
+    * auto-sized planes ≤ 7 (table demand 13 at planes 7 / cos 0.45 —
+    * corpora to ~2^12 rows at slack 5, far past driver-verify sf). */
+  private val MaxOracleTables = 16
+
+  /** [[duckLshPlanes]] extended with the [[graft.ops.VectorOps
+    * .sizedTables]] recall dial: `tables` derives from the
+    * count-computed `planes` through a Scala-generated CASE — the
+    * mapping is evaluated by the SAME Scala function the operator
+    * uses, so no floating-point (acos/ln) ever replays in SQL. */
+  private def duckLshPlanesTables(countSql: String, slack: Int,
+      targetCos: Double): String = {
+    val cases = (2 to MaxOraclePlanes).map { p =>
+      val t = graft.ops.VectorOps.sizedTables(p, targetCos)
+      if (t > MaxOracleTables)
+        s"WHEN $p THEN CAST(error('lsh oracle: tables exceed generated arms') AS INT)"
+      else s"WHEN $p THEN $t"
+    }.mkString(" ")
+    s"""${duckLshPlanes(countSql, slack).replace("pl AS", "pl0 AS")},
+       |pl AS (SELECT planes, CASE planes $cases END AS tables FROM pl0)""".stripMargin
+  }
+
+  /** Dynamic-table twin of [[duckLshBanded]]: every generated arm is
+    * masked by the count-derived `pl.tables`. */
+  private def duckLshBandedDyn(): String =
+    s"""p AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
+       |bk AS (
+       |${(0 until MaxOracleTables).map(t =>
+          s"  SELECT vec_id, $t AS t, ${duckLshBucket("vd", t)} AS b FROM p, pl WHERE $t < pl.tables")
+          .mkString("\n  UNION ALL\n")}
+       |)""".stripMargin
+
   /** CTE chain replaying [[graft.ops.VectorOps.kmeans]]'s full Lloyd
     * trajectory in DuckDB — seeds (first k by vec_id), then per
     * iteration: 6dp-rounded-cosine argmax assignment (ties to lowest
@@ -2656,8 +2688,8 @@ object SparkEntry {
          |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc)
          |WHERE rn <= 5""".stripMargin,
     "embedding_neardup_lsh" ->
-      s"""WITH ${duckLshPlanes("SELECT count(*) FROM embeddings", 5)},
-         |${duckLshBanded(8)},
+      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings", 5, 0.45)},
+         |${duckLshBandedDyn()},
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM bk a JOIN bk b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
@@ -2667,8 +2699,8 @@ object SparkEntry {
          |            JOIN embeddings eb ON eb.vec_id = vec_b)
          |SELECT vec_a, vec_b, cos_sim FROM sc WHERE cos_sim >= 0.45""".stripMargin,
     "embedding_neardup_delta_lsh" ->
-      s"""WITH ${duckLshPlanes("SELECT count(*) FROM embeddings", 5)},
-         |${duckLshBanded(8)},
+      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings", 5, 0.45)},
+         |${duckLshBandedDyn()},
          |cand AS (
          |  SELECT DISTINCT least(i.vec_id, c.vec_id) AS vec_a,
          |         greatest(i.vec_id, c.vec_id) AS vec_b
@@ -3056,8 +3088,9 @@ object SparkEntry {
         |FROM sc JOIN sz sa ON media_a = sa.media_id
         |         JOIN sz sb ON media_b = sb.media_id
         |WHERE round(shared::double / (sa.n + sb.n - shared), 6) >= 0.8""".stripMargin,
-    // identical frame/index/jaccard scaffold; the hash is the integer
-    // byte-gradient dHash (bit j set iff byte j < byte j+1), which DuckDB
+    // identical frame/index/jaccard scaffold; the hash is the two-scale
+    // integer byte-gradient dHash (bit j: byte j < byte j+1; bit 32+j:
+    // byte j < byte j+2), which DuckDB
     // replays exactly via ord() over the ASCII payload — the reingested
     // branch applies the same letter+1 brightness shift as the Spark side
     "media_neardup_dhash" ->
@@ -3075,9 +3108,12 @@ object SparkEntry {
         |fb AS (SELECT media_id, substr(text, i*32 + 1, 32) AS fs FROM s
         |       WHERE length(substr(text, i*32 + 1, 32)) > 0),
         |fr AS (SELECT DISTINCT media_id,
-        |         coalesce(list_sum(list_transform(range(least(length(fs) - 1, 62)),
+        |         coalesce(list_sum(list_transform(range(least(length(fs) - 1, 32)),
         |           j -> CASE WHEN ord(substr(fs, j + 1, 1)) < ord(substr(fs, j + 2, 1))
-        |                     THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0) AS h
+        |                     THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0)
+        |         + coalesce(list_sum(list_transform(range(least(greatest(length(fs) - 2, 0), 30)),
+        |           j -> CASE WHEN ord(substr(fs, j + 1, 1)) < ord(substr(fs, j + 3, 1))
+        |                     THEN (1::BIGINT << (32 + j)) ELSE 0::BIGINT END)), 0) AS h
         |       FROM fb),
         |sz AS (SELECT media_id, COUNT(*) AS n FROM fr GROUP BY 1),
         |ok AS (SELECT h FROM fr GROUP BY 1 HAVING COUNT(*) <= 100),
@@ -3090,10 +3126,11 @@ object SparkEntry {
         |FROM sc JOIN sz sa ON media_a = sa.media_id
         |         JOIN sz sb ON media_b = sb.media_id
         |WHERE round(shared::double / (sa.n + sb.n - shared), 6) >= 0.8""".stripMargin,
-    // Replays Multimodal.mediaNearDupHamming: dHash frames, 4x8-bit
-    // band candidates over the 31 populated gradient bits of a 32-byte
-    // frame (ceil(31/4) = 8 — full-64 slicing would make bands 2-3
-    // constant zero), bit_count(xor) <= 3 verify, containment scoring.
+    // Replays Multimodal.mediaNearDupHamming: two-scale dHash frames
+    // (31 adjacent + 30 skip-2 gradient bits for a 32-byte frame),
+    // 4x16-bit band candidates over the 61 populated bits (every band
+    // informative AND sparse), bit_count(xor) <= 3 verify, containment
+    // scoring.
     "media_neardup_hamming" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text FROM documents
@@ -3108,12 +3145,15 @@ object SparkEntry {
         |fb AS (SELECT media_id, substr(text, i*32 + 1, 32) AS fs FROM s
         |       WHERE length(substr(text, i*32 + 1, 32)) > 0),
         |fr AS (SELECT DISTINCT media_id,
-        |         coalesce(list_sum(list_transform(range(least(length(fs) - 1, 62)),
+        |         coalesce(list_sum(list_transform(range(least(length(fs) - 1, 32)),
         |           j -> CASE WHEN ord(substr(fs, j + 1, 1)) < ord(substr(fs, j + 2, 1))
-        |                     THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0) AS h
+        |                     THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0)
+        |         + coalesce(list_sum(list_transform(range(least(greatest(length(fs) - 2, 0), 30)),
+        |           j -> CASE WHEN ord(substr(fs, j + 1, 1)) < ord(substr(fs, j + 3, 1))
+        |                     THEN (1::BIGINT << (32 + j)) ELSE 0::BIGINT END)), 0) AS h
         |       FROM fb),
         |sz AS (SELECT media_id, COUNT(*) AS n FROM fr GROUP BY 1),
-        |bk AS (SELECT media_id, h, u.b AS b, (h >> (u.b * 8)) & 255 AS k
+        |bk AS (SELECT media_id, h, u.b AS b, (h >> (u.b * 16)) & 65535 AS k
         |       FROM fr, UNNEST(generate_series(0, 3)) AS u(b)),
         |okb AS (SELECT b, k FROM bk GROUP BY 1, 2 HAVING COUNT(*) <= 100),
         |bx AS (SELECT bk.media_id, bk.h, bk.b, bk.k FROM bk JOIN okb USING (b, k)),

@@ -323,14 +323,30 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   }
 
-  /** Byte-gradient kernel for [[FrameDHash]]: bit j set iff
-    * byte[j] < byte[j+1] (unsigned), up to `maxBits` comparisons. */
+  /** Byte-gradient kernel for [[FrameDHash]] — TWO gradient scales
+    * packed into one long (the multi-scale trick real dHash variants
+    * use): bit j (j < 32) is the adjacent gradient byte[j] < byte[j+1];
+    * bit 32+j (j < min(maxBits−32, 31)) is the skip-2 gradient
+    * byte[j] < byte[j+2]. A 32-byte frame populates 61 bits (31
+    * adjacent + 30 skip) instead of the 31 a single scale yields —
+    * enough informative bits that 4×16-bit Hamming bands stay SPARSE
+    * at corpus scale (the r9 soak measured the single-scale
+    * alternative: 8-bit bands over 31 bits saturate every bucket past
+    * ~25k frames at maxDf=100 and candidate recall collapses). Both
+    * scales are order-relations, so the monotone-re-encode invariance
+    * that defines the hash is untouched. */
   def frameDHashKernel(bytes: Array[Byte], maxBits: Int): Long = {
-    val n = math.min(bytes.length - 1, maxBits)
     var h = 0L
+    val nAdj = math.min(bytes.length - 1, math.min(maxBits, 32))
     var j = 0
-    while (j < n) {
+    while (j < nAdj) {
       if ((bytes(j) & 0xff) < (bytes(j + 1) & 0xff)) h |= (1L << j)
+      j += 1
+    }
+    val nSkip = math.min(math.max(bytes.length - 2, 0), math.min(maxBits - 32, 31))
+    j = 0
+    while (j < nSkip) {
+      if ((bytes(j) & 0xff) < (bytes(j + 2) & 0xff)) h |= (1L << (32 + j))
       j += 1
     }
     h

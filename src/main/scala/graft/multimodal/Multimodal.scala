@@ -236,16 +236,18 @@ object Multimodal {
     * frames matched (A-in-B containment, bounded ≤ 1 — robust to the
     * other side carrying extra footage).
     *
-    * Bands slice the POPULATED bit range, not the raw 64: a
-    * `frameSize`-byte frame has only frameSize−1 gradient bits, so
-    * 16-bit slices of the default 32-byte frame would leave bands 2-3
-    * constant-zero — degenerate buckets that hold every frame, blow
-    * through `maxDf` at corpus scale, and silently shrink the
-    * pigeonhole guarantee to the informative bands. Band width is
-    * ceil(populatedBits / bands) (4×8 bits over bits 0-31 at the
-    * default), which keeps the full hamming ≤ bands−1 ⇒ shared-band
-    * guarantee: bits outside the populated range are identically zero
-    * on both sides of any candidate pair.
+    * Bands slice the POPULATED bit range, not the raw 64: the two-scale
+    * [[graft.functions.TextExprs.frameDHashKernel]] populates 61 bits
+    * for the default 32-byte frame (31 adjacent + 30 skip-2 gradients,
+    * bits 31/62/63 zero), so band width is ceil(populatedBits / bands)
+    * = 4×16 bits over bits 0-63 with every band informative. Slicing a
+    * SINGLE-scale 31-bit hash would force one of two failure modes the
+    * r8/r9 verdict-and-soak pair measured: 16-bit slices leave bands
+    * 2-3 constant-zero (degenerate buckets, pigeonhole silently ≤ 1),
+    * and 8-bit slices saturate every bucket past ~25k frames at
+    * maxDf = 100 (candidate recall collapses — soak base rows fell
+    * 1055 → 7). The hamming ≤ bands−1 ⇒ shared-band guarantee holds:
+    * unpopulated bits are identically zero on both sides of any pair.
     *
     * Scale shape: same bounded-postings discipline as the exact arm —
     * band keys are capped at `maxDf` postings (stop-band removal), pair
@@ -261,7 +263,9 @@ object Multimodal {
         graft.functions.TextExprs.frameDHash(col("frame")).as("h"))
       .distinct()
     val sz = fr.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
-    val popBits = math.min(frameSize - 1, 64)
+    val popAdj = math.min(frameSize - 1, 32)
+    val popSkip = math.min(math.max(frameSize - 2, 0), 30)
+    val popBits = if (popSkip > 0) 32 + popSkip else popAdj
     val width = (popBits + bands - 1) / bands
     val mask = (1L << width) - 1
     val banded = fr.select(col("media_id"), col("h"),

@@ -52,6 +52,37 @@ object VectorOps {
     math.min(24, math.max(2, lg - slack))
   }
 
+  /** Sentinel for `tables` in the near-dup LSH operators: `tables <= 0`
+    * means AUTO — hold recall via [[sizedTables]] as [[sizedPlanes]]
+    * narrows the buckets. */
+  val AutoTables: Int = 0
+
+  /** The companion dial to [[sizedPlanes]]: hash-table count that holds
+    * pair recall ≈ `targetRecall` for pairs at cosine `targetCos` under
+    * a `planes`-bit bucket. Per-table collision P = c^planes with
+    * c = 1 − θ/π (random-hyperplane LSH), so
+    * T = ln(1−R) / ln(1−c^planes) — the standard multi-table sizing.
+    *
+    * Auto-planes alone holds CANDIDATE volume ~linear, but recall at a
+    * fixed threshold then decays ~c^Δplanes per table — the r9 soak
+    * measured exactly that (0.49 → 0.12 at ×10 with tables fixed at 8).
+    * Growing tables alongside restores the recall contract at total
+    * work ~n^(1+ρ), ρ = ln(1/c_near)/ln(1/c_chance) ≈ 0.62 at cos 0.45
+    * — the known LSH optimum for constant recall (Indyk–Motwani /
+    * Charikar); no sublinear-recall-preserving alternative exists, so
+    * the near-dup operators spend it and DOCUMENT it rather than let
+    * the detector silently go deaf at scale. Floor 4 keeps tiny-fixture
+    * recall ≈ 1; cap 64 bounds the banding explode. targetRecall = 0.46
+    * reproduces the former fixed default (T = 8 at planes 6 / cos 0.45,
+    * measured 0.493 recall at sf0.1). */
+  private[graft] def sizedTables(planes: Int, targetCos: Double,
+      targetRecall: Double = 0.46): Int = {
+    val c = 1.0 - math.acos(targetCos) / math.Pi
+    val perTable = math.pow(c, planes)
+    val t = math.ceil(math.log1p(-targetRecall) / math.log1p(-perTable))
+    math.min(64, math.max(4, t.toInt))
+  }
+
   /** (vec_id, vd: array<double>, nrm) — embedding widened once, norm
     * precomputed. */
   private[graft] def prepared(embeddings: DataFrame): DataFrame = {
@@ -665,19 +696,21 @@ object VectorOps {
     * normalizes to (min_id, max_id); new×new pairs arise from both join
     * orientations, hence the distinct on ids before vector fetch. */
   def nearDupEmbeddingIncrementalLsh(existing: DataFrame, incoming: DataFrame,
-      minCos: Double = 0.45, planes: Int = AutoPlanes, tables: Int = 8,
+      minCos: Double = 0.45, planes: Int = AutoPlanes, tables: Int = AutoTables,
       dims: Int = 64): DataFrame = {
     // Auto-sized from the corpus side (existing ∪ incoming): slack 5 ≈
     // 32/bucket/table reproduces the former planes=6 at sf0.1 and keeps
-    // per-delta-row candidate volume ≈ tables × occupancy as N grows.
+    // per-delta-row candidate volume ≈ tables × occupancy as N grows;
+    // tables track planes to hold recall at minCos (sizedTables).
     val pln =
       if (planes > 0) planes
       else sizedPlanes(existing.count() + incoming.count(), slack = 5)
+    val tbl = if (tables > 0) tables else sizedTables(pln, minCos)
     val all = prepared(existing.unionByName(incoming))
     val inc = prepared(incoming)
     def banded(p: DataFrame, idAs: String): DataFrame = p.select(
       col("vec_id").as(idAs),
-      explode(array((0 until tables).map(t =>
+      explode(array((0 until tbl).map(t =>
         struct(lit(t).as("t"),
           lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*)).as("tb"))
     val cand = banded(inc, "inc_id")
@@ -707,10 +740,13 @@ object VectorOps {
     * Exact cosine still decides membership, so precision is exact; only
     * recall is approximate (VectorOpsSpec pins it on planted twins). */
   def nearDupEmbeddingLsh(embeddings: DataFrame, minCos: Double = 0.45,
-      planes: Int = AutoPlanes, tables: Int = 8, dims: Int = 64): DataFrame = {
+      planes: Int = AutoPlanes, tables: Int = AutoTables, dims: Int = 64): DataFrame = {
     // Self-join: candidates ≈ N²/2^planes, so planes must track log2(N)
-    // to keep them ≈ N × occupancy. slack 5 reproduces planes=6 at sf0.1.
+    // to keep them ≈ N × occupancy (slack 5 reproduces planes=6 at
+    // sf0.1), and tables must track planes to hold the recall contract
+    // at minCos (see sizedTables — the n^(1+ρ) trade, spent knowingly).
     val pln = if (planes > 0) planes else sizedPlanes(embeddings.count(), slack = 5)
+    val tbl = if (tables > 0) tables else sizedTables(pln, minCos)
     val p = prepared(embeddings)
     // Same ids-only discipline as [[annLsh]]: the bucket self-join and the
     // pair dedup move (vec_id, band) rows only; each UNIQUE candidate pair
@@ -720,7 +756,7 @@ object VectorOps {
     // biggest intermediate this operator produces.
     val banded = p.select(
       col("vec_id"),
-      explode(array((0 until tables).map(t =>
+      explode(array((0 until tbl).map(t =>
         struct(lit(t).as("t"),
           lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*)).as("tb"))
     val cand = banded.as("a")
