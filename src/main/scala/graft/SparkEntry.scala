@@ -361,8 +361,9 @@ object SparkEntry {
     // LSH path — fully oracled since r9 (banding replays in DuckDB);
     // VectorOpsSpec asserts recall vs the brute-force truth
     "ann_lsh" -> ((s, dir) => VectorOps.annLsh(Tables.embeddings(s, dir))),
-    // IVF path: data-adaptive coarse quantizer (Lloyd-refined) — rows-only;
-    // VectorOpsSpec asserts exact agreement with brute force at full probe
+    // IVF path: data-adaptive coarse quantizer on the kmeans-discipline
+    // Lloyd trajectory — fully oracled since r9; VectorOpsSpec asserts
+    // exact agreement with brute force at full probe
     "ann_ivf" -> ((s, dir) => VectorOps.annIvf(Tables.embeddings(s, dir))),
     // PQ path: asymmetric-distance over trained codebooks — rows-only;
     // VectorOpsSpec pins rerank=∞ ≡ brute force and recall at the budget
@@ -2727,6 +2728,34 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY left_id
          |    ORDER BY cos_sim DESC, right_id) AS "rank" FROM sc)
          |WHERE "rank" <= 3""".stripMargin,
+    // Replays VectorOps.annIvf end-to-end: the kmeans-discipline
+    // quantizer (md5 seeds, rounded-cosine argmax, DECIMAL Lloyd means
+    // — the shared duckKmeansCte), nprobe nearest cells per query, and
+    // the exact re-rank
+    "ann_ivf" ->
+      s"""WITH ${duckKmeansCte(16, 1)},
+         |qc AS (
+         |  SELECT e.vec_id AS query_id, s.cid,
+         |         round(${duckCosine("e.v", "s.c")}, 6) + 0 AS csim
+         |  FROM emb e, cents1 s WHERE e.vec_id < 10),
+         |probe AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY csim DESC, cid) AS pr FROM qc)
+         |  WHERE pr <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probe p JOIN asg1 a ON a.cid = p.cid
+         |  WHERE a.vec_id != p.query_id),
+         |sc AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |         round(${duckCosine("qe.embedding", "ne.embedding")}, 6) AS cos_sim
+         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+         |            JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, cos_sim, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc)
+         |WHERE rn <= 5""".stripMargin,
     // knnJoinLsh + the vote/argmax tail: votes are exact counts, the
     // argmax tie-breaks (votes desc, label asc), mean_sim replays the
     // same 6dp-rounded ratio of summed partials

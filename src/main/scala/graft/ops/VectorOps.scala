@@ -160,11 +160,12 @@ object VectorOps {
     * partitions the corpus into cells; a query probes only its `nprobe`
     * nearest cells and re-ranks those candidates exactly.
     *
-    * Build: seed centroids = the `nlist` lowest-`vec_id` vectors, refined
-    * by `iters` Lloyd steps (assignment is a row-local argmax over the
-    * centroid literals; the new means reduce through one (cell, dim)
-    * grouped average — `posexplode` + partial agg, no driver loop over
-    * rows). The quantizer itself (nlist × dims doubles) is collected to
+    * Build: the [[kmeans]] trajectory at `nlist` cells — md5-ranked
+    * deterministic seeds refined by `iters` engine-portable Lloyd steps
+    * (6dp-rounded-cosine argmax assignment, DECIMAL-exact dimension
+    * sums; see the in-body comment for why raw-double means are a
+    * correctness bug at cluster scale). The quantizer itself
+    * (nlist × dims doubles) is collected to
     * the driver and inlined as plan literals — it is the one structure
     * IVF *requires* to be globally shared, and at any corpus scale it
     * stays KB-sized while the corpus-side work remains fully distributed:
@@ -175,7 +176,8 @@ object VectorOps {
     * data-independent; IVF adapts cells to the data distribution, so at
     * equal candidate budget it probes fewer, denser cells — the standard
     * trade (FAISS-style IVF-Flat, data-adaptive; LSH, oblivious).
-    * Not DuckDB-portable (rows-only driver check); VectorOpsSpec asserts
+    * Fully oracled since r9 (the decimal Lloyd trajectory replays in
+    * DuckDB like [[kmeans]]'s); VectorOpsSpec additionally asserts
     * recall against [[annBruteForce]] truth. */
   def annIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
@@ -185,52 +187,27 @@ object VectorOps {
     // long-lived sessions (Verify/Bench run 40 queries in one JVM).
     val p = prepared(embeddings)
 
-    // (sim, cid) structs over the current centroid literals, descending —
-    // row-local; `array_sort` orders by the struct's first field. The
-    // quantizer rides as ONE 2-d literal + a transform loop (not nlist
-    // unrolled dot products — the same codegen-compaction as annPq's
-    // assignExpr). cid comes from its own literal array: Lloyd can empty
-    // a cell, so ids need not stay dense.
-    def cellRank(cents: Seq[(Int, Array[Double])]): Column = {
-      val sorted = cents.sortBy(_._1)
-      val cmat = typedLit(sorted.map(_._2.toSeq))
-      val cnrm = typedLit(sorted.map(c => math.sqrt(c._2.map(x => x * x).sum)))
-      val cids = typedLit(sorted.map(_._1))
-      reverse(array_sort(transform(sequence(lit(0), lit(sorted.size - 1)),
-        i => struct(
-          (VecDot(col("vd"), element_at(cmat, i + 1))
-            / (col("nrm") * element_at(cnrm, i + 1))).as("sim"),
-          element_at(cids, i + 1).as("cid")))))
-    }
-    def assign(cents: Seq[(Int, Array[Double])]): DataFrame =
-      p.withColumn("cid", element_at(cellRank(cents), 1).getField("cid"))
+    // The quantizer trains on the SAME engine-portable Lloyd primitives
+    // as [[kmeans]] (md5-ranked seeds, 6dp-rounded-cosine argmax with
+    // ties to the lowest cid, DECIMAL(20,10) dimension sums): raw-double
+    // means would make the centroids — and therefore borderline cell
+    // assignments — depend on partial-aggregation order, i.e. on the
+    // cluster's partitioning of the day. A 100 TB index whose cells
+    // shift between identical runs is a broken artifact; the decimal
+    // trajectory makes re-builds byte-stable AND lets the DuckDB oracle
+    // replay quantizer, probe, and re-rank end to end (this query
+    // graduated from rows-only exactly here).
+    var cents = seedCentroids(p, nlist)
+    for (_ <- 1 to iters)
+      cents = centroidsFrom(lloydStats(
+        p.withColumn("cid", bestCentroid(cents).getField("cid"))))
 
-    var cents: Seq[(Int, Array[Double])] = p
-      .orderBy(col("vec_id")).limit(nlist).select(col("vec_id"), col("vd"))
-      .collect().toSeq.zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
-    val d = cents.head._2.length
-    for (_ <- 1 to iters) {
-      // Means as ONE wide aggregate over unexploded rows: d sum columns
-      // + a count, with map-side partials — the posexplode formulation
-      // shuffles |corpus|×d narrow rows for the same nlist×d result.
-      val sums = (0 until d).map(i => sum(element_at(col("vd"), i + 1)).as(s"s$i"))
-      val means = assign(cents)
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect()
-      cents = means.map { r =>
-        val n = r.getLong(1).toDouble
-        (r.getInt(0), Array.tabulate(d)(i => r.getDouble(i + 2) / n))
-      }.toSeq.sortBy(_._1)
-    }
-
-    val cells = assign(cents)
+    val cells = p.withColumn("cid", bestCentroid(cents).getField("cid"))
     val cand = cells.select(
       col("vec_id").as("neighbor_id"), col("vd"), col("nrm"), col("cid"))
     val q = cells.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vd").as("qd"), col("nrm").as("qn"),
-        explode(transform(slice(cellRank(cents), 1, nprobe), s => s.getField("cid")))
+        explode(transform(slice(centroidRank(cents), 1, nprobe), s => s.getField("cid")))
           .as("cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -518,22 +495,29 @@ object VectorOps {
       .select(col("vd")).collect().toSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
 
-  /** struct(-roundedSim, cid) ascending-sorted: element 1 is the best
-    * (highest sim, lowest cid on ties). One 2-d literal + a transform
-    * loop, not k unrolled dot products — the codegen-compaction rule
-    * every centroid literal in this file follows. Requires `vd`/`nrm`
-    * columns (a [[prepared]] frame). */
-  private[graft] def bestCentroid(cs: Seq[(Int, Array[Double])]): Column = {
+  /** struct(-roundedSim, cid) ascending-sorted over the centroid
+    * literals — element 1 is the best (highest sim, lowest cid on
+    * ties), a `slice` of the head is a nearest-cells probe list
+    * ([[annIvf]]). One 2-d literal + a transform loop, not k unrolled
+    * dot products — the codegen-compaction rule every centroid literal
+    * in this file follows. Rounding the sim BEFORE ranking keeps the
+    * order engine-portable. Requires `vd`/`nrm` columns (a [[prepared]]
+    * frame). */
+  private[graft] def centroidRank(cs: Seq[(Int, Array[Double])]): Column = {
     val sorted = cs.sortBy(_._1)
     val cmat = typedLit(sorted.map(_._2.toSeq))
     val cnrm = typedLit(sorted.map(c => math.sqrt(c._2.map(x => x * x).sum)))
     val cids = typedLit(sorted.map(_._1))
-    element_at(array_sort(transform(sequence(lit(0), lit(sorted.size - 1)),
+    array_sort(transform(sequence(lit(0), lit(sorted.size - 1)),
       i => struct(
         (-round(VecDot(col("vd"), element_at(cmat, i + 1))
           / (col("nrm") * element_at(cnrm, i + 1)), 6)).as("neg"),
-        element_at(cids, i + 1).as("cid")))), 1)
+        element_at(cids, i + 1).as("cid"))))
   }
+
+  /** Head of [[centroidRank]]: the single best centroid. */
+  private[graft] def bestCentroid(cs: Seq[(Int, Array[Double])]): Column =
+    element_at(centroidRank(cs), 1)
 
   /** One Lloyd statistics pass over an assigned frame (`cid`, `vd`):
     * per-(cluster, dimension) EXACT DECIMAL sums + member counts —
