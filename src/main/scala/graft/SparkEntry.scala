@@ -2728,6 +2728,85 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY left_id
          |    ORDER BY cos_sim DESC, right_id) AS "rank" FROM sc)
          |WHERE "rank" <= 3""".stripMargin,
+    // Replays VectorOps.annPq END-TO-END — codebook training (16 lowest
+    // train-slice ids seed, one Lloyd step with 6dp-rounded argmin
+    // distances and DECIMAL means), corpus encoding, the per-query
+    // lookup-table ADC fold (left-to-right like the Spark `aggregate`),
+    // the 6dp-rounded top-50 shortlist, and the exact cosine re-rank.
+    // Every ranked quantity is rounded before ranking, so the whole
+    // trajectory is engine-portable.
+    "ann_pq" -> {
+      def dot8(a: String, b: String) =
+        s"list_reduce(list_transform(generate_series(1, 8), i -> ($a)[i] * ($b)[i]), (acc, x) -> acc + x)"
+      def nsq(c: String) = dot8(c, c)
+      def sl(v: String) = s"$v[cb.j*8 + 1 : cb.j*8 + 8]"
+      def asgDist(v: String) =
+        s"round(${nsq("cb.c")} - 2.0 * ${dot8(sl(v), "cb.c")}, 6)"
+      s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |pn AS (
+         |  SELECT vec_id, list_transform(v, x -> x::DOUBLE
+         |    / sqrt(list_reduce(list_transform(generate_series(1, len(v)),
+         |        i -> v[i]::DOUBLE * v[i]::DOUBLE), (acc, x) -> acc + x))) AS u
+         |  FROM emb),
+         |tr AS (SELECT * FROM pn WHERE vec_id % 4 = 0),
+         |seeds AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, u
+         |  FROM (SELECT vec_id, u FROM tr ORDER BY vec_id LIMIT 16) s),
+         |cb0 AS (
+         |  SELECT jj.j, s.cid, s.u[jj.j*8 + 1 : jj.j*8 + 8] AS c
+         |  FROM seeds s, UNNEST(generate_series(0, 7)) AS jj(j)),
+         |asg0 AS (
+         |  SELECT vec_id, j, cid, sv FROM (
+         |    SELECT t.vec_id, cb.j, cb.cid, ${sl("t.u")} AS sv,
+         |      row_number() OVER (PARTITION BY t.vec_id, cb.j
+         |        ORDER BY ${asgDist("t.u")}, cb.cid) AS rn
+         |    FROM tr t, cb0 cb) z
+         |  WHERE rn = 1),
+         |mx AS (
+         |  SELECT j, cid, ii.i AS i,
+         |    round(CAST(SUM(CAST(sv[ii.i] AS DECIMAL(20,10))) AS DOUBLE)
+         |      / COUNT(*), 6) AS mval
+         |  FROM asg0, UNNEST(generate_series(1, 8)) AS ii(i)
+         |  GROUP BY j, cid, ii.i),
+         |cb1 AS (
+         |  SELECT cb0.j, cb0.cid, COALESCE(m.c, cb0.c) AS c
+         |  FROM cb0 LEFT JOIN (
+         |    SELECT j, cid, list(mval ORDER BY i) AS c FROM mx GROUP BY j, cid) m
+         |    ON m.j = cb0.j AND m.cid = cb0.cid),
+         |enc AS (
+         |  SELECT vec_id, list(cid ORDER BY j) AS codes FROM (
+         |    SELECT p.vec_id, cb.j, cb.cid,
+         |      row_number() OVER (PARTITION BY p.vec_id, cb.j
+         |        ORDER BY ${asgDist("p.u")}, cb.cid) AS rn
+         |    FROM pn p, cb1 cb) z
+         |  WHERE rn = 1 GROUP BY vec_id),
+         |qt AS (
+         |  SELECT vec_id AS query_id, list(tc ORDER BY j) AS qt FROM (
+         |    SELECT p.vec_id, cb.j,
+         |      list(${dot8(sl("p.u"), "cb.c")} ORDER BY cb.cid) AS tc
+         |    FROM pn p, cb1 cb WHERE p.vec_id < 10
+         |    GROUP BY p.vec_id, cb.j) z
+         |  GROUP BY vec_id),
+         |adc AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    round(list_reduce(list_transform(generate_series(1, 8),
+         |      j -> q.qt[j][e.codes[j] + 1]), (acc, x) -> acc + x), 6) AS pq_sim
+         |  FROM qt q, enc e WHERE e.vec_id != q.query_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY pq_sim DESC, neighbor_id) AS rn FROM adc) z
+         |  WHERE rn <= 50),
+         |sc AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         round(${duckCosine("qe.embedding", "ne.embedding")}, 6) AS cos_sim
+         |  FROM short s JOIN embeddings qe ON qe.vec_id = s.query_id
+         |               JOIN embeddings ne ON ne.vec_id = s.neighbor_id)
+         |SELECT query_id, neighbor_id, cos_sim, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc) z
+         |WHERE rn <= 5""".stripMargin
+    },
     // Replays VectorOps.annIvf end-to-end: the kmeans-discipline
     // quantizer (md5 seeds, rounded-cosine argmax, DECIMAL Lloyd means
     // — the shared duckKmeansCte), nprobe nearest cells per query, and

@@ -272,7 +272,9 @@ object VectorOps {
     // m=8, ks=16 bloated every consumer plan's codegen unit ~16× and
     // taxed janino compile time and the JIT inlining budget alike.
     // Tie-break: strict `<` keeps the FIRST (lowest cid) — identical to
-    // the previous array_sort-by-(d, cid) formulation.
+    // the previous array_sort-by-(d, cid) formulation. The distance is
+    // 6dp-rounded BEFORE the comparison (the ranked-sim discipline every
+    // operator in this file follows) so the argmin is engine-portable.
     def assignExpr(v: Column, j: Int): Column = {
       val cents = typedLit(cb(j).map(_.toSeq).toSeq)
       val norms = typedLit(cb(j).map(c => c.map(x => x * x).sum).toSeq)
@@ -280,8 +282,8 @@ object VectorOps {
         sequence(lit(0), lit(ks - 1)),
         struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
         (acc, c) => {
-          val d = element_at(norms, c + 1) -
-            lit(2.0) * VecDot(subvec(v, j), element_at(cents, c + 1))
+          val d = round(element_at(norms, c + 1) -
+            lit(2.0) * VecDot(subvec(v, j), element_at(cents, c + 1)), 6)
           when(d < acc.getField("d"),
             struct(d.as("d"), c.cast("int").as("cid"))).otherwise(acc)
         }).getField("cid")
@@ -291,7 +293,14 @@ object VectorOps {
         explode(array((0 until m).map(j =>
           struct(lit(j).as("j"), assignExpr(col("vdn"), j).as("cid"),
             subvec(col("vdn"), j).as("sv"))): _*)).as("a"))
-      val sums = (0 until sub).map(i => sum(element_at(col("a.sv"), i + 1)).as(s"s$i"))
+      // DECIMAL sums + half-up 6dp means — the kmeans/annIvf Lloyd
+      // discipline: raw-double means would tie the codebook's low bits
+      // (and therefore borderline code assignments) to partial-
+      // aggregation order, i.e. to the cluster's partitioning of the
+      // day. Byte-stable re-builds, and the DuckDB oracle can replay
+      // the training pass.
+      val sums = (0 until sub).map(i =>
+        sum(element_at(col("a.sv"), i + 1).cast("decimal(20,10)")).as(s"s$i"))
       val means = assigned
         .groupBy(col("a.j").as("j"), col("a.cid").as("cid"))
         .agg(count(lit(1)).as("n"), sums: _*)
@@ -299,7 +308,9 @@ object VectorOps {
       val next = cb.map(_.map(identity)) // cells with no members keep their centroid
       means.foreach { r =>
         val n = r.getLong(2).toDouble
-        next(r.getInt(0))(r.getInt(1)) = Array.tabulate(sub)(i => r.getDouble(i + 3) / n)
+        next(r.getInt(0))(r.getInt(1)) = Array.tabulate(sub)(i =>
+          java.math.BigDecimal.valueOf(r.getDecimal(i + 3).doubleValue / n)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
       }
       cb = next
     }
@@ -324,8 +335,10 @@ object VectorOps {
       .orderBy(col("pq_sim").desc, col("neighbor_id"))
     val cand = broadcast(q).join(corpus, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(zip_with(col("codes"), col("qt"),
-          (c, tj) => element_at(tj, c + 1)), lit(0.0), (acc, x) => acc + x)
+        // 6dp-rounded before the rank so the shortlist cut is engine-
+        // portable (neighbor_id breaks the now-possible ties)
+        round(aggregate(zip_with(col("codes"), col("qt"),
+          (c, tj) => element_at(tj, c + 1)), lit(0.0), (acc, x) => acc + x), 6)
           .as("pq_sim"))
       .withColumn("rn", row_number().over(wApprox)).filter(col("rn") <= rerank)
       .drop("rn", "pq_sim")
