@@ -619,6 +619,100 @@ object SparkEntry {
     s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
   }
 
+  /** DuckDB replay of Spark's `hash()` (Murmur3_x86_32 over UTF8 bytes,
+    * seed 42) for an ASCII string column — the last piece that makes
+    * the MinHash signature path portable. 32-bit wraparound arithmetic
+    * runs as HUGEINT multiplies mod 2^32; `//` is the unsigned shift
+    * (operands are kept non-negative); the aligned 4-byte words and the
+    * per-byte tail replay Spark's hashUnsafeBytes structure (tail bytes
+    * each take the full mixK1/mixH1 round — Spark's deviation from
+    * reference murmur3). ASCII-only: `ord` reads code points, which
+    * equal bytes below 128 (the testdata corpus is verified ASCII; a
+    * non-ASCII corpus would need byte-level access). Returns the mixed
+    * value BEFORE finalization — callers chain the fmix stages as CTEs
+    * to avoid exponential expression duplication. */
+  private def duckMurmur3Mixed(s: String): String = {
+    val M = "4294967296"
+    def rotl(x: String, r: Int) =
+      s"(((($x) * ${1L << r}) % $M) | (($x) // ${1L << (32 - r)}))"
+    def mixK1(k: String) =
+      s"(((${rotl(s"((($k) * 3432918353::HUGEINT) % $M)", 15)}) * 461845907::HUGEINT) % $M)"
+    def mixH1(h: String, k: String) =
+      s"((((${rotl(s"xor(($h)::BIGINT, ($k)::BIGINT)::HUGEINT", 13)}) * 5 + 3864292196)) % $M)"
+    val word = s"(ord(substr($s, 4*ci - 3, 1)) + ord(substr($s, 4*ci - 2, 1)) * 256" +
+      s" + ord(substr($s, 4*ci - 1, 1)) * 65536 + ord(substr($s, 4*ci, 1)) * 16777216)::HUGEINT"
+    val tail = s"(ord(substr($s, ti, 1)))::HUGEINT"
+    val ha = s"list_reduce(list_prepend(42::HUGEINT, list_transform(" +
+      s"generate_series(1, length($s) // 4), ci -> $word)), " +
+      s"(h1, w) -> ${mixH1("h1", mixK1("w"))})"
+    s"list_reduce(list_prepend(($ha), list_transform(" +
+      s"generate_series(length($s) - length($s) % 4 + 1, length($s)), ti -> $tail)), " +
+      s"(h1, kb) -> ${mixH1("h1", mixK1("kb"))})"
+  }
+
+  /** fmix + sign + pmod(prime) CTE chain over a (doc_id, s) frame named
+    * `shx`: emits `mh` with (doc_id, h) where h is the kernel's
+    * pmod(murmur3(s), 2^31−1). */
+  private def duckMurmur3Cte: String =
+    s"""hraw AS (SELECT doc_id, (${duckMurmur3Mixed("s")})::BIGINT AS hh, length(s) AS n FROM shx),
+       |f1 AS (SELECT doc_id, xor(hh, n) AS x FROM hraw),
+       |f2 AS (SELECT doc_id, ((xor(x, x // 65536)::HUGEINT * 2246822507::HUGEINT) % 4294967296)::BIGINT AS x FROM f1),
+       |f3 AS (SELECT doc_id, ((xor(x, x // 8192)::HUGEINT * 3266489909::HUGEINT) % 4294967296)::BIGINT AS x FROM f2),
+       |f4 AS (SELECT doc_id, xor(x, x // 65536) AS u FROM f3),
+       |mh AS (SELECT doc_id,
+       |  (((CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END) % 2147483647)
+       |   + 2147483647) % 2147483647 AS h FROM f4)""".stripMargin
+
+  /** DuckDB replay of Spark's `xxhash64()` (seed 42) for ASCII strings
+    * UNDER 32 BYTES — the per-token path [[graft.functions.TextExprs
+    * .simhashKernel]] feeds (corpus max token = 8 bytes; a ≥ 32-byte
+    * token would need the 4-lane stripe prologue and trips a loud
+    * error() in the oracle instead of silently hashing wrong). 64-bit
+    * wraparound multiplies run as SPLIT multiplications — HUGEINT is
+    * int128, so (2^64−1)·prime would overflow it; (a·b) mod 2^64
+    * decomposes as a_lo·b + ((a_hi·b mod 2^32) << 32), every
+    * intermediate < 2^97. Emits a CTE chain over a (doc_id, s) frame
+    * named `tok`, ending in `hu` = (doc_id, h: unsigned HUGEINT). */
+  private def duckXxh64Ctes: String = {
+    val M = "18446744073709551616::HUGEINT"
+    val P1 = "11400714785074694791::HUGEINT"; val P2 = "14029467366897019727::HUGEINT"
+    val P3 = "1609587929392839161::HUGEINT"; val P4 = "9650029242287828579::HUGEINT"
+    val P5 = "2870177450012600261::HUGEINT"
+    def mul64(a: String, b: String) =
+      s"(((($a) % 4294967296) * ($b) + (((($a) // 4294967296) * ($b)) % 4294967296) * 4294967296) % $M)"
+    def rotl(x: String, r: Int) =
+      s"(((($x) * ${1L << r}::HUGEINT) % $M) | (($x) // ${java.math.BigInteger.ONE.shiftLeft(64 - r)}::HUGEINT))"
+    def xor64(a: String, b: String) = s"xor(($a)::HUGEINT, ($b)::HUGEINT)"
+    val word8 = (0 until 8).map(k =>
+      s"ord(substr(s, 8*ci - ${7 - k}, 1))::HUGEINT * ${1L << (8 * k)}::HUGEINT").mkString("(", " + ", ")")
+    val word4 = (0 until 4).map(k =>
+      s"ord(substr(s, st4 + ${k + 1}, 1))::HUGEINT * ${1L << (8 * k)}::HUGEINT").mkString("(", " + ", ")")
+    val byte = "(ord(substr(s, bi, 1)))::HUGEINT"
+    def wordStep(h: String, k1: String) = {
+      val inner = mul64(rotl(mul64(k1, P2), 31), P1)
+      s"((${mul64(rotl(xor64(h, inner), 27), P1)}) + $P4) % $M"
+    }
+    def byteStep(h: String, b: String) =
+      mul64(rotl(xor64(h, mul64(b, P5)), 11), P1)
+    s"""guard AS (SELECT CASE WHEN max(length(s)) >= 32
+       |  THEN CAST(error('xxh64 oracle: token exceeds the generated <32-byte path') AS INT)
+       |  ELSE 1 END AS g FROM tok),
+       |x0 AS (SELECT doc_id, s, ((42::HUGEINT + $P5 + length(s))) % $M AS h FROM tok, guard),
+       |x1 AS (SELECT doc_id, s, list_reduce(list_prepend(h,
+       |    list_transform(generate_series(1, length(s) // 8), ci -> $word8)),
+       |    (h2, k1) -> ${wordStep("h2", "k1")}) AS h FROM x0),
+       |x2 AS (SELECT doc_id, s, CASE WHEN length(s) % 8 >= 4 THEN
+       |    ((${mul64(rotl(xor64("h", mul64(word4, P1)), 23), P2)}) + $P3) % $M
+       |  ELSE h END AS h
+       |  FROM (SELECT doc_id, s, h, (length(s) // 8) * 8 AS st4 FROM x1) z1),
+       |x3 AS (SELECT doc_id, s, list_reduce(list_prepend(h,
+       |    list_transform(generate_series(length(s) - length(s) % 4 + 1, length(s)), bi -> $byte)),
+       |    (h2, bb) -> ${byteStep("h2", "bb")}) AS h FROM x2),
+       |xf1 AS (SELECT doc_id, ${mul64(xor64("h", "h // 8589934592::HUGEINT"), P2)} AS h FROM x3),
+       |xf2 AS (SELECT doc_id, ${mul64(xor64("h", "h // 536870912::HUGEINT"), P3)} AS h FROM xf1),
+       |hu AS (SELECT doc_id, xor(h::HUGEINT, (h // 4294967296::HUGEINT)::HUGEINT) AS h FROM xf2)""".stripMargin
+  }
+
   /** Generated plane terms an oracle carries; covers corpora up to
     * 2^(MaxOraclePlanes+slack) rows before the loud error() trips —
     * orders of magnitude past any driver-verify sf. */
@@ -1143,6 +1237,81 @@ object SparkEntry {
       s"""WITH $jaccardPairsCtes
          |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard
          |FROM jacc_pairs WHERE jaccard >= 0.8""".stripMargin,
+    // Full SimHash replay (r9): per-token xxhash64 via duckXxh64Ctes
+    // (token MULTISET — repeats count, as in the kernel's fold), 64
+    // sign counters as 2·set-bits > n per (doc, bit), banding by 8-bit
+    // slice VALUE equality (Spark bands by hash(b, slice) — same
+    // negligible-collision argument as the minhash oracle, here the
+    // survivor additionally needs hamming <= 5 of 64), exact
+    // bit_count(xor) verify.
+    "neardup_simhash" -> {
+      val pw = (0 until 64).map(b =>
+        java.math.BigInteger.ONE.shiftLeft(b).toString).mkString("[", ", ", "]::HUGEINT[]")
+      val p8 = (0 until 8).map(b =>
+        java.math.BigInteger.ONE.shiftLeft(8 * b).toString).mkString("[", ", ", "]::HUGEINT[]")
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, t[ii.i] AS s FROM toks,
+         |        UNNEST(generate_series(1, len(t))) AS ii(i)),
+         |$duckXxh64Ctes,
+         |bits AS (
+         |  SELECT doc_id, bb.b AS b,
+         |    (2 * SUM(((h // ($pw)[bb.b + 1]) % 2)::BIGINT) > COUNT(*)) AS bit_on
+         |  FROM hu, UNNEST(generate_series(0, 63)) AS bb(b)
+         |  GROUP BY doc_id, bb.b),
+         |sig AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN bit_on THEN ($pw)[b + 1] ELSE 0::HUGEINT END) AS sg
+         |  FROM bits GROUP BY doc_id),
+         |bnd AS (
+         |  SELECT doc_id, sg, bb.b AS b, (sg // ($p8)[bb.b + 1]) % 256 AS k
+         |  FROM sig, UNNEST(generate_series(0, 7)) AS bb(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.sg AS sa, c.sg AS sb
+         |  FROM bnd a JOIN bnd c ON a.b = c.b AND a.k = c.k AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT doc_a, doc_b, bit_count(xor(
+         |    (CASE WHEN sa >= 9223372036854775808::HUGEINT THEN sa - 18446744073709551616::HUGEINT ELSE sa END)::BIGINT,
+         |    (CASE WHEN sb >= 9223372036854775808::HUGEINT THEN sb - 18446744073709551616::HUGEINT ELSE sb END)::BIGINT)) AS hamming
+         |  FROM cand) z
+         |WHERE hamming <= 5""".stripMargin
+    },
+    // Full MinHash replay (r9): shingle murmur3 via duckMurmur3Cte,
+    // the 64-perm (a,b) family as literals from the SAME Scala function
+    // the kernel uses, per-doc min signatures, banding by slice
+    // EQUALITY (Spark bands by hash(b, slice) — a 32-bit band-key
+    // collision could add a spurious candidate there, but it would
+    // also need est_jaccard >= 0.8 (52/64 agreeing mins between
+    // unrelated docs) to reach the output — jointly negligible), and
+    // the signature-agreement estimate.
+    "neardup_minhash" -> {
+      val prime = graft.functions.TextFns.MinhashPrime
+      val mins = (0 until 64).map { i =>
+        val (a, b) = graft.functions.TextFns.permParams(i)
+        s"min((h * $a + $b) % $prime)"
+      }.mkString(",\n         |    ")
+      s"""WITH $toksCte,
+         |shx AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |$duckMurmur3Cte,
+         |sig AS (
+         |  SELECT doc_id, list_value(
+         |    $mins) AS sg
+         |  FROM mh GROUP BY doc_id),
+         |bnd AS (SELECT doc_id, sg, unnest(generate_series(0, 7)) AS b FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.sg AS sa, c.sg AS sb
+         |  FROM bnd a JOIN bnd c ON a.b = c.b
+         |    AND a.sg[a.b*8 + 1 : a.b*8 + 8] = c.sg[c.b*8 + 1 : c.b*8 + 8]
+         |    AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b, est_jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(list_sum(list_transform(generate_series(1, 64),
+         |      i -> (sa[i] = sb[i])::int))::DOUBLE / 64, 6) AS est_jaccard
+         |  FROM cand) z
+         |WHERE est_jaccard >= 0.8""".stripMargin
+    },
     "doc_novelty" ->
       s"""WITH $toksCte,
          |sh AS (
