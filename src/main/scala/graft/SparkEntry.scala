@@ -713,6 +713,45 @@ object SparkEntry {
        |hu AS (SELECT doc_id, xor(h::HUGEINT, (h // 4294967296::HUGEINT)::HUGEINT) AS h FROM xf2)""".stripMargin
   }
 
+  /** Merge rounds the BPE oracles generate (must match
+    * [[graft.ops.TextOps.vocabBpe]]'s default nMerges). */
+  private val BpeOracleRounds = 10
+
+  /** Shared CTE chain replaying [[graft.ops.TextOps.vocabBpe]]'s full
+    * Sennrich trajectory: word states are chr(1)||sym||chr(2)-wrapped
+    * strings, so replace() IS the trainer's left-to-right
+    * non-overlapping merge fold (every match self-contained — no
+    * delimiter sharing, no cross-symbol false matches); each round
+    * re-derives symbol lists, takes the (count desc, pair asc) argmax
+    * (`t$r`), and rewrites (`w$(r+1)`). Early exhaustion falls out
+    * naturally (an empty round empties all later rounds). Guarded
+    * against control-char collisions in the corpus. */
+  private lazy val duckBpeCtes: String = {
+    val x1 = "chr(1)"; val x2 = "chr(2)"; val us = "chr(31)"
+    val head =
+      s"""wr AS (SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+         |  WHERE length(w) >= 1 GROUP BY w),
+         |gg AS (SELECT CASE WHEN max(CASE WHEN regexp_matches(w, '[\\x01\\x02\\x1f]')
+         |    THEN 1 ELSE 0 END) = 1
+         |  THEN CAST(error('bpe oracle: control-char collision in corpus') AS INT)
+         |  ELSE 1 END AS ok FROM wr),
+         |w0 AS (SELECT w, cnt, $x1 || array_to_string(list_transform(
+         |    generate_series(1, length(w)), i -> substr(w, i, 1)), $x2 || $x1) || $x2 AS state
+         |  FROM wr, gg)""".stripMargin
+    val steps = (0 until BpeOracleRounds).map { r =>
+      s"""s$r AS (SELECT cnt, string_split(trim(replace(state, $x2 || $x1, $us), $x1 || $x2), $us) AS syms FROM w$r),
+         |t$r AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |  SELECT syms[ii.i] AS a, syms[ii.i + 1] AS b, cnt
+         |  FROM s$r, UNNEST(generate_series(1, len(syms) - 1)) AS ii(i)
+         |  WHERE len(syms) >= 2) z GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+         |w${r + 1} AS (SELECT w, cnt,
+         |  replace(state, $x1 || t.a || $x2 || $x1 || t.b || $x2, $x1 || t.a || t.b || $x2) AS state
+         |  FROM w$r, t$r t)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   /** Generated plane terms an oracle carries; covers corpora up to
     * 2^(MaxOraclePlanes+slack) rows before the loud error() trips —
     * orders of magnitude past any driver-verify sf. */
@@ -1237,6 +1276,46 @@ object SparkEntry {
       s"""WITH $jaccardPairsCtes
          |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard
          |FROM jacc_pairs WHERE jaccard >= 0.8""".stripMargin,
+    // Full BPE-trainer replay (r9): ten generated merge rounds. Word
+    // states ride as chr(1)||sym||chr(2)-wrapped strings so a plain
+    // replace() IS the trainer's left-to-right non-overlapping merge
+    // fold (each match is fully self-contained — no delimiter sharing,
+    // no cross-symbol false matches); each round re-derives the symbol
+    // lists, takes the (count desc, pair asc) argmax, and rewrites.
+    // Early exhaustion falls out naturally (an empty round empties all
+    // later rounds). Guarded against control-char collisions in the
+    // corpus (would corrupt the wrapping — ASCII-printable verified).
+    "vocab_bpe" -> {
+      val sel = (0 until BpeOracleRounds).map(r =>
+        s"""SELECT ${r + 1} AS "rank", a AS "left", b AS "right", a || b AS merged, n AS pair_count FROM t$r""")
+        .mkString("\nUNION ALL ")
+      s"WITH $duckBpeCtes\n" + sel
+    },
+    // The ENCODE half rides the SAME generated trainer chain: a word's
+    // post-merge token count is simply the symbol count of its final
+    // round state, so per-doc accounting is one words-to-final-states
+    // join (train-then-encode round-trips exactly, as the Spark side's
+    // kernel contract promises). Empty docs keep their zero row via the
+    // left join.
+    "doc_bpe_encode" -> {
+      s"""WITH $duckBpeCtes,
+         |wf AS (SELECT w, len(string_split(trim(replace(state, chr(2) || chr(1), chr(31)),
+         |    chr(1) || chr(2)), chr(31))) AS n_tok FROM w$BpeOracleRounds),
+         |dw AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) z
+         |  WHERE length(w) > 0),
+         |agg AS (
+         |  SELECT dw.doc_id, count(*) AS nw,
+         |    CAST(SUM(length(dw.w)) AS BIGINT) AS nc,
+         |    CAST(SUM(wf.n_tok) AS BIGINT) AS nt
+         |  FROM dw JOIN wf USING (w) GROUP BY dw.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(nw, 0) AS n_words,
+         |  COALESCE(nc, 0) AS n_chars,
+         |  COALESCE(nt, 0) AS n_bpe_tokens,
+         |  round(COALESCE(nc, 0)::DOUBLE / greatest(COALESCE(nt, 0), 1), 6) AS chars_per_token
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+    },
     // Full SimHash replay (r9): per-token xxhash64 via duckXxh64Ctes
     // (token MULTISET — repeats count, as in the kernel's fold), 64
     // sign counters as 2·set-bits > n per (doc, bit), banding by 8-bit
