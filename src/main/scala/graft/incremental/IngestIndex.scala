@@ -92,23 +92,54 @@ final class IngestIndex(spark: SparkSession, dir: String,
   }
 
   // ---- probes: load-and-join, work ∝ delta ----
+  //
+  // Each probe prunes the INDEX scan with a bitset of the DELTA's keys
+  // before the join: a batch is small, so its bloom is KB-scale and
+  // rides the plan as a literal, evaluated row-locally while the index
+  // files stream — index rows that cannot match never reach the join,
+  // collapsing the join's shuffle to ≈ true hits + the fp tail
+  // (delta-proportional) instead of index-proportional. One columnar,
+  // shuffle-free index SCAN remains — the floor for a persisted index
+  // without physical key partitioning. No false negatives, so results
+  // stay bit-identical to the unpruned join (IngestIndexSpec pins the
+  // probes against the inline operators).
+
+  private def deltaPruned(index: DataFrame, deltaKeys: DataFrame,
+      key: String): DataFrame = {
+    val bits = BloomJoin.bloomFilterBits(deltaKeys, key, bloomBits, bloomK)
+    index.filter(BloomJoin.mightContain(bits, col(key), bloomBits, bloomK))
+  }
 
   /** [[TextOps.dedupExactIncremental]] against the persisted index. */
-  def dedupExactProbe(incoming: DataFrame): DataFrame =
-    TextOps.dedupExactProbe(load("fp"), incoming)
+  def dedupExactProbe(incoming: DataFrame): DataFrame = {
+    val keys = TextOps.dedupExactIndex(incoming).select(col("fp_md5"))
+    TextOps.dedupExactProbe(deltaPruned(load("fp"), keys, "fp_md5"), incoming)
+  }
 
   /** [[TextOps.dedupExactIncrementalBloom]] against the persisted
-    * index + bitset — the row-local fast path for the clean majority. */
-  def dedupExactProbeBloom(incoming: DataFrame): DataFrame =
-    TextOps.dedupExactProbeBloom(bloomWords(), load("fp"), incoming,
-      bloomBits, bloomK)
+    * index + bitset — BOTH sides prefilter row-locally: the corpus
+    * bitset kills clean delta rows at the delta scan, the delta bitset
+    * kills non-matching index rows at the index scan. */
+  def dedupExactProbeBloom(incoming: DataFrame): DataFrame = {
+    val keys = TextOps.dedupExactIndex(incoming).select(col("fp_md5"))
+    TextOps.dedupExactProbeBloom(bloomWords(),
+      deltaPruned(load("fp"), keys, "fp_md5"), incoming, bloomBits, bloomK)
+  }
 
   /** [[TextOps.docDupSpansIncremental]] against the persisted key set. */
-  def dupSpansProbe(incoming: DataFrame): DataFrame =
-    TextOps.docDupSpansProbe(load("spans"), incoming, width, stride)
+  def dupSpansProbe(incoming: DataFrame): DataFrame = {
+    val idx = load("spans")
+    val hashed =
+      idx.schema("w").dataType == org.apache.spark.sql.types.LongType
+    val keys = TextOps.dupSpanIndex(incoming, width, stride, hashKey = hashed)
+    TextOps.docDupSpansProbe(deltaPruned(idx, keys, "w"), incoming, width, stride)
+  }
 
   /** [[TextOps.nearDupWinnowIncremental]] against the persisted
     * postings. */
-  def winnowProbe(incoming: DataFrame, minShared: Int = 2): DataFrame =
-    TextOps.nearDupWinnowProbe(load("winnow"), incoming, k, w, minShared, maxDf)
+  def winnowProbe(incoming: DataFrame, minShared: Int = 2): DataFrame = {
+    val keys = TextOps.docWinnow(incoming, k, w).select(col("fp")).distinct()
+    TextOps.nearDupWinnowProbe(deltaPruned(load("winnow"), keys, "fp"),
+      incoming, k, w, minShared, maxDf)
+  }
 }
