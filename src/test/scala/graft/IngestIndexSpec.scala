@@ -31,6 +31,18 @@ class IngestIndexSpec extends AnyFunSuite {
   test("persisted probes are bit-identical to the inline incremental operators") {
     val idx = new IngestIndex(spark, freshDir())
     idx.build(corpus)
+    checkProbesMatchInline(idx)
+  }
+
+  test("delta-bloom-pruned probes (pruneThreshold = 0) are bit-identical too") {
+    // the 100 TB regime forced on: the index scan is prefiltered by the
+    // delta's bitset — no false negatives, so results cannot move
+    val idx = new IngestIndex(spark, freshDir(), pruneThreshold = 0L)
+    idx.build(corpus)
+    checkProbesMatchInline(idx)
+  }
+
+  private def checkProbesMatchInline(idx: IngestIndex): Unit = {
     assert(rows(idx.dedupExactProbe(delta)) ==
       rows(TextOps.dedupExactIncremental(corpus, delta)))
     assert(rows(idx.dedupExactProbeBloom(delta)) ==
