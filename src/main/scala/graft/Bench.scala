@@ -260,6 +260,10 @@ object Bench {
         val ingDir = java.nio.file.Files.createTempDirectory("graft-bench-ingest").toString
         opExec("ingest_index_build")(IngestRun.main(Array(sfDir, s"$ingDir/state", "build")))
         opExec("ingest_probe_warm")(IngestRun.main(Array(sfDir, s"$ingDir/state", "probe")))
+        // fold the delta into the persisted state: per-bucket partition
+        // swap, work ∝ delta (the absorb-flat-in-corpus-size claim this
+        // row exists to keep honest)
+        opExec("ingest_absorb")(IngestRun.main(Array(sfDir, s"$ingDir/state", "absorb")))
       }
       flush(reps)
     }

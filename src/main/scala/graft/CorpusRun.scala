@@ -38,18 +38,11 @@ import graft.ops.TextOps
 object CorpusRun {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val psiMax = sys.env.getOrElse("SPARK_GRAFT_PSI_MAX", "0.1").toDouble
     // embeddable main: when a session already exists (a spec driving
-    // the pipeline), reuse it and leave its lifecycle to the owner
-    val owned = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isEmpty
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the pipeline), reuse it UNTOUCHED ([[RunSession]]) and leave its
+    // lifecycle to the owner
+    val (spark, owned) = RunSession.obtain()
     GraftSession.install(spark)
 
     val docs = Tables.documents(spark, sfDir)

@@ -25,14 +25,9 @@ object ExportRun {
     val sfDir = args(0)
     val workDir = args(1)
     val nShards = if (args.length > 2) args(2).toInt else 8
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // reuse an active session UNTOUCHED ([[RunSession]] — the builder
+    // route would reconfigure the caller's runtime SQL confs)
+    val (spark, _) = RunSession.obtain()
 
     val docs = Tables.documents(spark, sfDir)
     val dir1 = s"$workDir/shards"

@@ -39,19 +39,11 @@ object IncrementalRun {
     val mode =
       if (args.length > 2 && args(2) == "strict") ConsistencyMode.Strict
       else ConsistencyMode.Faithful
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // embeddable main (same protocol as [[CorpusRun]]): when a session
-    // already exists (Bench timing the operational path, a spec), reuse
-    // it, leave its lifecycle to the owner, and signal failure by
-    // throwing instead of exiting the shared JVM
-    val owned = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isEmpty
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // embeddable main: when a session already exists (Bench timing the
+    // operational path, a spec), reuse it UNTOUCHED ([[RunSession]]),
+    // leave its lifecycle to the owner, and signal failure by throwing
+    // instead of exiting the shared JVM
+    val (spark, owned) = RunSession.obtain()
     val rental = sys.env.get("SPARK_GRAFT_SOURCE_JDBC_URL") match {
       case Some(url) =>
         val props = new java.util.Properties()

@@ -30,17 +30,11 @@ object IngestRun {
     val sfDir = args(0)
     val stateDir = args(1)
     val mode = if (args.length > 2) args(2) else "build"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // embeddable main (same protocol as [[IncrementalRun]]): reuse an
-    // active session, signal failure by throwing
-    val owned = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isEmpty
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // active session UNTOUCHED ([[RunSession]] — the builder route would
+    // reconfigure the caller's runtime SQL confs), signal failure by
+    // throwing
+    val (spark, owned) = RunSession.obtain()
 
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)

@@ -723,31 +723,51 @@ object SparkEntry {
     * non-overlapping merge fold (every match self-contained — no
     * delimiter sharing, no cross-symbol false matches); each round
     * re-derives symbol lists, takes the (count desc, pair asc) argmax
-    * (`t$r`), and rewrites (`w$(r+1)`). Early exhaustion falls out
-    * naturally (an empty round empties all later rounds). Guarded
-    * against control-char collisions in the corpus. */
+    * (`t$r`), and rewrites (`w$(r+1)`). Early exhaustion is survived by
+    * a LEFT JOIN on the 1-row argmax: an empty round carries the
+    * previous word states forward unchanged (once no pair exists, none
+    * can reappear), so the encode half's final-round states stay
+    * correct on corpora that exhaust before the last round instead of
+    * collapsing every doc to zero tokens. Guarded against control-char
+    * collisions in the corpus. */
   private lazy val duckBpeCtes: String = {
     val x1 = "chr(1)"; val x2 = "chr(2)"; val us = "chr(31)"
+    // Every multiply-referenced CTE in the chain is MATERIALIZED:
+    // DuckDB inlines plain CTEs, so each round's two references to the
+    // previous round re-evaluate the whole prefix — measured exponential
+    // (~3-5× per round; 10 rounds on a TWO-row corpus took 5 s (r9
+    // form) / 67 s (aggregate form), both flat at ~50 ms materialized).
     val head =
-      s"""wr AS (SELECT w, count(*) AS cnt FROM (
+      s"""wr AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
          |  WHERE length(w) >= 1 GROUP BY w),
          |gg AS (SELECT CASE WHEN max(CASE WHEN regexp_matches(w, '[\\x01\\x02\\x1f]')
          |    THEN 1 ELSE 0 END) = 1
          |  THEN CAST(error('bpe oracle: control-char collision in corpus') AS INT)
          |  ELSE 1 END AS ok FROM wr),
-         |w0 AS (SELECT w, cnt, $x1 || array_to_string(list_transform(
+         |w0 AS MATERIALIZED (SELECT w, cnt, $x1 || array_to_string(list_transform(
          |    generate_series(1, length(w)), i -> substr(w, i, 1)), $x2 || $x1) || $x2 AS state
          |  FROM wr, gg)""".stripMargin
+    // The argmax is an AGGREGATE (min over a {-count, pair} struct), not
+    // ORDER BY … LIMIT 1: an aggregate over zero pairs still yields ONE
+    // row (a NULL struct), so the exhausted-corpus case keeps the cross
+    // join alive and w{r+1} carries w{r} forward unchanged — instead of
+    // an empty t-round emptying every later w-CTE and collapsing all
+    // docs to zero tokens in the encode half. t$r re-derives the 0/1-row
+    // view the vocab output needs.
     val steps = (0 until BpeOracleRounds).map { r =>
       s"""s$r AS (SELECT cnt, string_split(trim(replace(state, $x2 || $x1, $us), $x1 || $x2), $us) AS syms FROM w$r),
-         |t$r AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n FROM (
-         |  SELECT syms[ii.i] AS a, syms[ii.i + 1] AS b, cnt
-         |  FROM s$r, UNNEST(generate_series(1, len(syms) - 1)) AS ii(i)
-         |  WHERE len(syms) >= 2) z GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
-         |w${r + 1} AS (SELECT w, cnt,
-         |  replace(state, $x1 || t.a || $x2 || $x1 || t.b || $x2, $x1 || t.a || t.b || $x2) AS state
-         |  FROM w$r, t$r t)""".stripMargin
+         |m$r AS MATERIALIZED (SELECT min({'nn': -n, 'a': a, 'b': b}) AS s FROM (
+         |  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |    SELECT syms[ii.i] AS a, syms[ii.i + 1] AS b, cnt
+         |    FROM s$r, UNNEST(generate_series(1, len(syms) - 1)) AS ii(i)
+         |    WHERE len(syms) >= 2) z GROUP BY a, b) gz),
+         |t$r AS (SELECT s.a AS a, s.b AS b, CAST(-s.nn AS BIGINT) AS n FROM m$r WHERE s.a IS NOT NULL),
+         |w${r + 1} AS MATERIALIZED (SELECT w, cnt,
+         |  CASE WHEN m.s.a IS NULL THEN state
+         |    ELSE replace(state, $x1 || m.s.a || $x2 || $x1 || m.s.b || $x2, $x1 || m.s.a || m.s.b || $x2)
+         |  END AS state
+         |  FROM w$r, m$r m)""".stripMargin
     }
     (head +: steps).mkString(",\n")
   }
@@ -1282,9 +1302,10 @@ object SparkEntry {
     // fold (each match is fully self-contained — no delimiter sharing,
     // no cross-symbol false matches); each round re-derives the symbol
     // lists, takes the (count desc, pair asc) argmax, and rewrites.
-    // Early exhaustion falls out naturally (an empty round empties all
-    // later rounds). Guarded against control-char collisions in the
-    // corpus (would corrupt the wrapping — ASCII-printable verified).
+    // Exhausted rounds emit nothing here and carry word states forward
+    // unchanged (duckBpeCtes's LEFT JOIN fallback). Guarded against
+    // control-char collisions in the corpus (would corrupt the
+    // wrapping — ASCII-printable verified).
     "vocab_bpe" -> {
       val sel = (0 until BpeOracleRounds).map(r =>
         s"""SELECT ${r + 1} AS "rank", a AS "left", b AS "right", a || b AS merged, n AS pair_count FROM t$r""")

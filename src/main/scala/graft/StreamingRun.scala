@@ -30,17 +30,10 @@ object StreamingRun {
     val sfDir = args(0)
     val workDir = args(1)
     val nSegments = if (args.length > 2) args(2).toInt else 4
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // embeddable main (same protocol as [[CorpusRun]]): reuse an existing
-    // session and throw on divergence instead of exiting the shared JVM
-    val owned = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isEmpty
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // session UNTOUCHED ([[RunSession]]) and throw on divergence instead
+    // of exiting the shared JVM
+    val (spark, owned) = RunSession.obtain()
 
     val logDir = s"$workDir/log"
     val rental = Tables.rental(spark, sfDir)

@@ -1,5 +1,6 @@
 package graft.incremental
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,75 +18,229 @@ import graft.ops.{BloomJoin, TextOps}
   * runs). This class is that discipline applied to the probe indexes:
   *
   *   - `fp/`      (fp_md5 → dup_of)        [[TextOps.dedupExactIndex]]
-  *   - `bloom/`   (idx → word)             the fp set as a bitset,
-  *                                         rebuilt from `fp/` — KB-scale
+  *   - `bloom/`   (idx → word)             the fp set as a bitset — KB-scale
   *   - `spans/`   (w)                      [[TextOps.dupSpanIndex]]
   *   - `winnow/`  (fp → capped postings)   [[TextOps.nearDupWinnowIndex]]
   *
-  * Every write goes through [[StateStore]]'s write-then-swap commit, so
-  * a failed build/absorb leaves the previous index intact (S7
-  * semantics). Probes read the parquet directly — loading an index is a
-  * metadata open, not a corpus scan, so warm probe cost is independent
-  * of corpus size (the Bench `ingest_probe_warm` row measures exactly
-  * this against the inline rebuild).
+  * == Partitioned layout: absorb work ∝ delta ==
   *
-  * [[absorb]] folds an ADMITTED batch into the state without touching
-  * corpus text: each index merges with the delta's index rows and
-  * re-aggregates — work ∝ |index| + |delta|, narrow keys only. (At 100 TB
-  * the same merge runs as a partitioned compaction; the frames here are
-  * the exact state it compacts.) The winnow postings keep their
-  * saturation markers (see [[TextOps.nearDupWinnowIndex]]) so absorb
-  * remains equivalent to a full rebuild.
+  * Each keyed index is hash-bucketed on its key
+  * (`bucket = pmod(xxhash64(key), buckets)`, Hive-style `bucket=N`
+  * directories). [[absorb]] therefore never rewrites the index: it
+  * computes the delta's index rows, collects the ≤ `buckets` bucket ids
+  * they land in, reads ONLY those partitions back (partition-pruned
+  * scan), re-aggregates, and swaps just the touched `bucket=N`
+  * directories. Per-batch cost is `|delta| + |touched partitions|` —
+  * independent of corpus size once `buckets` exceeds the delta's
+  * spread (at 100 TB the same layout simply carries more buckets, set
+  * at build time). The bloom bitset needs no rebuild at all: a bloom
+  * of a key-set union is the word-wise OR of the blooms, so absorb
+  * ORs the delta's KB-scale bits into the stored words.
+  *
+  * == Crash safety: one redo journal for the whole batch ==
+  *
+  * A build/absorb stages EVERY index's new files under `.stage/` first,
+  * then atomically publishes a journal (`_graft_commit`) listing the
+  * staged swaps, then applies them (per-bucket or whole-dir renames)
+  * and retires the journal. Every entry point replays a pending journal
+  * before reading ([[recover]]), so a crash at ANY point leaves a state
+  * that is either entirely pre-batch or, after the next open, entirely
+  * post-batch — the four indexes can never be observed mixed (the S7
+  * all-or-nothing discipline of [[StateStore]], extended to a
+  * multi-directory commit). Re-running [[absorb]] with the same batch
+  * is idempotent besides: fp re-mins, span keys re-distinct, winnow
+  * postings dedup on (fp, doc_id) before the capped re-aggregation, and
+  * the bloom OR is absorbing.
+  *
+  * == Self-describing state ==
+  *
+  * Build parameters (width/stride/k/w/maxDf/bloomBits/bloomK/buckets)
+  * are persisted in `_graft_meta` and validated on every open: probing
+  * a state directory with mismatched parameters would silently corrupt
+  * results (a smaller `bloomBits` yields bloom false negatives, a
+  * different `w` different fingerprints), so a mismatch fails loudly
+  * instead. `pruneThreshold` is a runtime cost knob, not a build
+  * parameter, and is deliberately not pinned.
   */
 final class IngestIndex(spark: SparkSession, dir: String,
     width: Int = 40, stride: Int = 10,
     k: Int = 3, w: Int = 4, maxDf: Int = 100,
     bloomBits: Int = 1 << 20, bloomK: Int = 5,
-    pruneThreshold: Long = 5000000L) {
+    pruneThreshold: Long = 5000000L,
+    buckets: Int = 32) {
 
-  private def store(sub: String) = new StateStore(spark, s"$dir/$sub")
-  private def load(sub: String): DataFrame = spark.read.parquet(s"$dir/$sub")
+  private val Subs = Seq("fp", "spans", "winnow")
 
-  def exists: Boolean = store("fp").exists
+  private def livePath(sub: String) = new Path(s"$dir/$sub")
+  private def stagePath(sub: String) = new Path(s"$dir/.stage/$sub")
+  private def journalPath = new Path(s"$dir/_graft_commit")
+  private def metaPath = new Path(s"$dir/_graft_meta")
+  private def fs = journalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Row-count stat persisted NEXT TO each index (underscore-prefixed,
-    * so parquet readers skip it): build/absorb stamp it, probes read it
-    * with one driver-side FS read — no Spark job — to make the
-    * prune-or-not call below. */
-  private def metaPath(sub: String) = new org.apache.hadoop.fs.Path(s"$dir/$sub/_graft_rows")
-  private def fs = metaPath("fp").getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def stampRows(sub: String): Unit = {
-    val n = load(sub).count() // parquet footer counts — metadata-cheap
-    val out = fs.create(metaPath(sub), true)
-    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  def exists: Boolean = { recover(); fs.exists(livePath("fp")) }
+
+  private def loadRaw(sub: String): DataFrame = spark.read.parquet(s"$dir/$sub")
+  /** Probe view of an index: the physical bucket column stays out of
+    * result schemas. */
+  private def load(sub: String): DataFrame = loadRaw(sub).drop("bucket")
+
+  private def withBucket(df: DataFrame, key: String): DataFrame =
+    df.withColumn("bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)).cast("int"))
+
+  // ---- tiny sidecar files (atomic single-file write via tmp+rename) ----
+
+  private def writeSidecar(p: Path, content: String): Unit = {
+    val tmp = new Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not publish sidecar $p")
   }
-  private def indexRows(sub: String): Option[Long] =
-    if (!fs.exists(metaPath(sub))) None
+
+  /** Full short-read-safe slurp: `InputStream.read` may return fewer
+    * bytes than available (HDFS/S3A do), and a truncated prefix of a
+    * number parses successfully — so loop to EOF, always. */
+  private def readSidecar(p: Path): Option[String] =
+    if (!fs.exists(p)) None
     else {
-      val in = fs.open(metaPath(sub))
+      val in = fs.open(p)
       try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n > 0) { acc.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(acc.toByteArray, "UTF-8"))
       } finally in.close()
     }
 
-  /** Full build from the current corpus — the once-per-corpus pass. */
-  def build(corpus: DataFrame): Unit = {
-    store("fp").overwrite(TextOps.dedupExactIndex(corpus))
-    store("spans").overwrite(TextOps.dupSpanIndex(corpus, width, stride))
-    store("winnow").overwrite(TextOps.nearDupWinnowIndex(corpus, k, w, maxDf))
-    Seq("fp", "spans", "winnow").foreach(stampRows)
-    refreshBloom()
+  // ---- row-count stamps (cost-model input for probe-side pruning) ----
+
+  private def rowsPath(sub: String) = new Path(s"$dir/$sub/_graft_rows")
+  private def stampRows(sub: String): Unit =
+    writeSidecar(rowsPath(sub), loadRaw(sub).count().toString) // footer counts — metadata-cheap
+  private def indexRows(sub: String): Option[Long] =
+    readSidecar(rowsPath(sub)).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+
+  // ---- build-parameter pinning ----
+
+  private def params: Seq[(String, Long)] = Seq(
+    "version" -> 2L, "width" -> width.toLong, "stride" -> stride.toLong,
+    "k" -> k.toLong, "w" -> w.toLong, "maxDf" -> maxDf.toLong,
+    "bloomBits" -> bloomBits.toLong, "bloomK" -> bloomK.toLong,
+    "buckets" -> buckets.toLong)
+  private def writeMeta(): Unit =
+    writeSidecar(metaPath, params.map { case (n, v) => s"$n=$v" }.mkString("\n"))
+  private def validateMeta(): Unit = readSidecar(metaPath) match {
+    case None =>
+      if (fs.exists(livePath("fp")))
+        throw new IllegalStateException(
+          s"ingest state at $dir has no _graft_meta (pre-v2 layout?) — rebuild it")
+    case Some(text) =>
+      val stored = text.linesIterator.map(_.trim).filter(_.nonEmpty)
+        .map { l => val Array(n, v) = l.split("=", 2); n -> v.toLong }.toMap
+      val bad = params.filter { case (n, v) => stored.get(n).exists(_ != v) } ++
+        params.filter { case (n, _) => !stored.contains(n) }
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"ingest state at $dir was built with different parameters — " +
+            bad.map { case (n, v) => s"$n: state=${stored.getOrElse(n, "?")} caller=$v" }
+              .distinct.mkString(", ") + " (probing would corrupt results; rebuild or match)")
   }
 
-  /** The bitset derives from the persisted fp index (never the corpus):
-    * one aggregate over narrow keys, stored as (idx, word) longs. */
-  private def refreshBloom(): Unit = {
-    val bits = BloomJoin.bloomFilterBits(load("fp"), "fp_md5", bloomBits, bloomK)
+  /** One-time open check per instance: replay any torn commit, then pin
+    * the build parameters. Every probe/absorb/build routes through it. */
+  private lazy val opened: Unit = { recover(); validateMeta() }
+
+  // ---- staged group commit with a redo journal ----
+  //
+  // Modes: "full" = whole-directory swap (build, and the KB-scale
+  // bloom); "delta" = swap only the bucket=N children present in the
+  // stage (absorb). Both are pure renames, idempotent under replay:
+  // applySwap consumes stage children, so a crash mid-apply leaves
+  // exactly the unapplied remainder for recover() to finish.
+
+  private def writeJournal(entries: Seq[(String, String)]): Unit =
+    writeSidecar(journalPath, entries.map { case (s, m) => s"$s $m" }.mkString("\n"))
+
+  private[graft] def applySwap(sub: String, mode: String): Unit = {
+    val stage = stagePath(sub)
+    val live = livePath(sub)
+    if (fs.exists(stage)) {
+      if (mode == "full") {
+        fs.delete(live, true)
+        if (!fs.rename(stage, live))
+          throw new java.io.IOException(s"commit: could not publish $stage")
+      } else {
+        fs.listStatus(stage).map(_.getPath).filter(_.getName.startsWith("bucket="))
+          .foreach { src =>
+            val dst = new Path(live, src.getName)
+            fs.delete(dst, true)
+            if (!fs.rename(src, dst))
+              throw new java.io.IOException(s"commit: could not publish $src")
+          }
+        fs.delete(stage, true) // leftover _SUCCESS etc.
+      }
+    }
+  }
+
+  private def commit(entries: Seq[(String, String)]): Unit = {
+    writeJournal(entries)
+    finishCommit(entries)
+  }
+
+  /** Package-private so IngestIndexSpec can replay crash points: the
+    * journal half of a commit without the swaps (≙ crash right after
+    * the journal published) and a single applied swap (≙ crash
+    * mid-apply). Production code only reaches these through
+    * [[commit]]/[[recover]]. */
+  private[graft] def finishCommit(entries: Seq[(String, String)]): Unit = {
+    entries.foreach { case (sub, mode) => applySwap(sub, mode) }
+    fs.delete(journalPath, false)
+    fs.delete(new Path(s"$dir/.stage"), true)
+    Subs.foreach(stampRows)
+  }
+
+  /** Replay a pending commit (crash between journal publish and journal
+    * retire), or clear an abandoned stage (crash before the journal —
+    * the batch never happened). Called from every entry point. */
+  private def recover(): Unit =
+    readSidecar(journalPath) match {
+      case Some(text) =>
+        val entries = text.linesIterator.map(_.trim).filter(_.nonEmpty)
+          .map { l => val Array(s, m) = l.split(" ", 2); (s, m) }.toSeq
+        finishCommit(entries)
+      case None =>
+        fs.delete(new Path(s"$dir/.stage"), true)
+    }
+
+  // ---- build ----
+
+  /** Full build from the current corpus — the once-per-corpus pass.
+    * Staged and journaled like absorb, so a crashed build leaves either
+    * the previous state or the new one, never a mix. */
+  def build(corpus: DataFrame): Unit = {
+    recover() // no meta validation: a rebuild may legitimately change parameters
+    stageFull("fp", withBucket(TextOps.dedupExactIndex(corpus), "fp_md5"))
+    stageFull("spans", withBucket(TextOps.dupSpanIndex(corpus, width, stride), "w"))
+    stageFull("winnow", withBucket(TextOps.nearDupWinnowIndex(corpus, k, w, maxDf), "fp"))
+    // the bitset derives from the STAGED fp index (never the corpus):
+    // one aggregate over narrow keys
+    stageBloom(BloomJoin.bloomFilterBits(
+      spark.read.parquet(stagePath("fp").toString), "fp_md5", bloomBits, bloomK))
+    writeMeta()
+    commit(Subs.map(_ -> "full") :+ ("bloom" -> "full"))
+  }
+
+  private def stageFull(sub: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").partitionBy("bucket").parquet(stagePath(sub).toString)
+
+  private def stageBloom(words: Array[Long]): Unit = {
     import spark.implicits._
-    store("bloom").overwrite(
-      bits.zipWithIndex.map { case (wd, i) => (i, wd) }.toSeq.toDF("idx", "word"))
+    words.zipWithIndex.map { case (wd, i) => (i, wd) }.toSeq
+      .toDF("idx", "word")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(stagePath("bloom").toString)
   }
 
   private def bloomWords(): Array[Long] = {
@@ -95,25 +250,65 @@ final class IngestIndex(spark: SparkSession, dir: String,
     arr
   }
 
-  /** Fold an admitted batch into the state. Corpus text is never read:
-    * fp re-mins, span keys union-distinct, winnow postings merge under
-    * the cap, bloom rebuilds from the merged fp keys. */
-  def absorb(incoming: DataFrame): Unit = {
-    store("fp").overwrite(
-      load("fp").unionByName(TextOps.dedupExactIndex(incoming))
-        .groupBy(col("fp_md5")).agg(min(col("dup_of")).as("dup_of")))
-    store("spans").overwrite(
-      load("spans").unionByName(TextOps.dupSpanIndex(incoming, width, stride))
-        .distinct())
+  // ---- absorb ----
+
+  /** Fold an admitted batch into the state. Corpus text is never read
+    * and untouched buckets are never rewritten: each index merges the
+    * delta's rows into ONLY the hash buckets the delta lands in
+    * (partition-pruned read, per-bucket swap) — work ∝ |delta|, flat in
+    * corpus size. The winnow postings keep their saturation markers
+    * (see [[TextOps.nearDupWinnowIndex]]) and dedup on (fp, doc_id)
+    * first, so absorb is equivalent to a full rebuild AND idempotent
+    * under batch re-runs. */
+  def absorb(incoming: DataFrame): Unit = finishCommit(prepareAbsorb(incoming))
+
+  /** The stage-and-journal half of [[absorb]] — everything up to (and
+    * including) the commit point, swaps not yet applied. Package-private
+    * for IngestIndexSpec's crash-replay tests. */
+  private[graft] def prepareAbsorb(incoming: DataFrame): Seq[(String, String)] = {
+    opened
+    require(fs.exists(livePath("fp")), s"no ingest state at $dir — run build first")
+    val deltaFp = withBucket(TextOps.dedupExactIndex(incoming), "fp_md5")
+    stageDelta("fp", deltaFp, (ex, d) =>
+      ex.unionByName(d).groupBy(col("bucket"), col("fp_md5"))
+        .agg(min(col("dup_of")).as("dup_of")))
+    stageDelta("spans",
+      withBucket(TextOps.dupSpanIndex(incoming, width, stride,
+        hashKey = spansHashed), "w"),
+      (ex, d) => ex.unionByName(d).distinct())
     val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
-    store("winnow").overwrite(
-      load("winnow")
-        .select(col("fp"), explode(col("ids")).as("e"))
-        .select(col("fp"), col("e.doc_id").as("doc_id"))
-        .unionByName(TextOps.docWinnow(incoming, k, w).select(col("fp"), col("doc_id")))
-        .groupBy(col("fp")).agg(capped(col("doc_id"), lit(0)).as("ids")))
-    Seq("fp", "spans", "winnow").foreach(stampRows)
-    refreshBloom()
+    stageDelta("winnow",
+      withBucket(TextOps.docWinnow(incoming, k, w)
+        .select(col("fp"), col("doc_id")).distinct(), "fp"),
+      (ex, d) =>
+        ex.select(col("bucket"), col("fp"), explode(col("ids")).as("e"))
+          .select(col("bucket"), col("fp"), col("e.doc_id").as("doc_id"))
+          .unionByName(d)
+          .distinct() // idempotency: a re-absorbed batch cannot duplicate postings
+          .groupBy(col("bucket"), col("fp")).agg(capped(col("doc_id"), lit(0)).as("ids")))
+    // bloom(union) = bloom(old) | bloom(delta): OR the delta's bits in —
+    // KB-scale work, no index rescan, absorbing under re-runs
+    stageBloom(bloomWords().zip(
+        BloomJoin.bloomFilterBits(deltaFp, "fp_md5", bloomBits, bloomK))
+      .map { case (a, b) => a | b })
+    val entries = Subs.map(_ -> "delta") :+ ("bloom" -> "full")
+    writeJournal(entries)
+    entries
+  }
+
+  private def spansHashed: Boolean =
+    loadRaw("spans").schema("w").dataType == org.apache.spark.sql.types.LongType
+
+  /** Stage an index's merged TOUCHED buckets: collect the delta's
+    * bucket ids (≤ `buckets` ints), partition-prune the live index to
+    * just those, merge, write the staged `bucket=N` dirs. */
+  private def stageDelta(sub: String, delta: DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val touched = delta.select(col("bucket")).distinct().collect().map(_.getInt(0))
+    val existing = loadRaw(sub)
+      .filter(col("bucket").isin(touched.map(b => b: java.lang.Integer): _*))
+    merge(existing, delta)
+      .write.mode("overwrite").partitionBy("bucket").parquet(stagePath(sub).toString)
   }
 
   // ---- probes: load-and-join, work ∝ delta ----
@@ -125,15 +320,15 @@ final class IngestIndex(spark: SparkSession, dir: String,
   // that cannot match never reach the join, collapsing the join's
   // shuffle to ≈ true hits + the fp tail (delta-proportional) instead
   // of index-proportional. One columnar, shuffle-free index SCAN
-  // remains — the floor for a persisted index without physical key
-  // partitioning. The decision is COST-BASED from the persisted row
-  // stat (one driver FS read, no job): below the threshold the bloom
-  // build's extra aggregate+collect jobs cost more than the small join
-  // they save (measured: the unconditional form doubled the sf0.1 warm
-  // probe, 2.1 → 4.2 s, while changing nothing at 100 TB where the
-  // index shuffle dominates). No false negatives either way, so results
-  // stay bit-identical to the inline operators (IngestIndexSpec pins
-  // both regimes via a pruneThreshold = 0 twin).
+  // remains — the floor for a persisted index without key-partition
+  // pruning at probe time. The decision is COST-BASED from the
+  // persisted row stat (one driver FS read, no job): below the
+  // threshold the bloom build's extra aggregate+collect jobs cost more
+  // than the small join they save (measured: the unconditional form
+  // doubled the sf0.1 warm probe, 2.1 → 4.2 s, while changing nothing
+  // at 100 TB where the index shuffle dominates). No false negatives
+  // either way, so results stay bit-identical to the inline operators
+  // (IngestIndexSpec pins both regimes via a pruneThreshold = 0 twin).
 
   private def deltaPruned(index: DataFrame, deltaKeys: => DataFrame,
       key: String, sub: String): DataFrame =
@@ -145,6 +340,7 @@ final class IngestIndex(spark: SparkSession, dir: String,
 
   /** [[TextOps.dedupExactIncremental]] against the persisted index. */
   def dedupExactProbe(incoming: DataFrame): DataFrame = {
+    opened
     val keys = TextOps.dedupExactIndex(incoming).select(col("fp_md5"))
     TextOps.dedupExactProbe(deltaPruned(load("fp"), keys, "fp_md5", "fp"), incoming)
   }
@@ -154,6 +350,7 @@ final class IngestIndex(spark: SparkSession, dir: String,
     * bitset kills clean delta rows at the delta scan, the delta bitset
     * kills non-matching index rows at the index scan. */
   def dedupExactProbeBloom(incoming: DataFrame): DataFrame = {
+    opened
     val keys = TextOps.dedupExactIndex(incoming).select(col("fp_md5"))
     TextOps.dedupExactProbeBloom(bloomWords(),
       deltaPruned(load("fp"), keys, "fp_md5", "fp"), incoming, bloomBits, bloomK)
@@ -161,9 +358,9 @@ final class IngestIndex(spark: SparkSession, dir: String,
 
   /** [[TextOps.docDupSpansIncremental]] against the persisted key set. */
   def dupSpansProbe(incoming: DataFrame): DataFrame = {
+    opened
     val idx = load("spans")
-    val hashed =
-      idx.schema("w").dataType == org.apache.spark.sql.types.LongType
+    val hashed = idx.schema("w").dataType == org.apache.spark.sql.types.LongType
     val keys = TextOps.dupSpanIndex(incoming, width, stride, hashKey = hashed)
     TextOps.docDupSpansProbe(deltaPruned(idx, keys, "w", "spans"), incoming, width, stride)
   }
@@ -171,6 +368,7 @@ final class IngestIndex(spark: SparkSession, dir: String,
   /** [[TextOps.nearDupWinnowIncremental]] against the persisted
     * postings. */
   def winnowProbe(incoming: DataFrame, minShared: Int = 2): DataFrame = {
+    opened
     val keys = TextOps.docWinnow(incoming, k, w).select(col("fp")).distinct()
     TextOps.nearDupWinnowProbe(deltaPruned(load("winnow"), keys, "fp", "winnow"),
       incoming, k, w, minShared, maxDf)

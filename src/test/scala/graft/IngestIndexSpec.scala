@@ -71,6 +71,81 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(rows(absorbed.winnowProbe(delta)) == rows(rebuilt.winnowProbe(delta)))
   }
 
+  test("absorb is idempotent: re-running the same batch changes nothing") {
+    val half1 = corpus.filter(col("doc_id") % 3 =!= 0)
+    val half2 = corpus.filter(col("doc_id") % 3 === 0)
+    val once = new IngestIndex(spark, freshDir())
+    once.build(half1)
+    once.absorb(half2)
+    val twice = new IngestIndex(spark, freshDir())
+    twice.build(half1)
+    twice.absorb(half2)
+    twice.absorb(half2) // the crash-retry a caller issues after a lost ack
+    assert(rows(twice.dedupExactProbe(delta)) == rows(once.dedupExactProbe(delta)))
+    assert(rows(twice.dedupExactProbeBloom(delta)) == rows(once.dedupExactProbeBloom(delta)))
+    assert(rows(twice.dupSpansProbe(delta)) == rows(once.dupSpansProbe(delta)))
+    // the winnow half is where naive re-absorption corrupts: duplicate
+    // (fp, doc_id) postings inflate shared_fps and saturate keys early
+    assert(rows(twice.winnowProbe(delta)) == rows(once.winnowProbe(delta)))
+  }
+
+  test("opening a state dir with different build parameters fails loudly") {
+    val dir = freshDir()
+    new IngestIndex(spark, dir).build(corpus)
+    val mismatched = new IngestIndex(spark, dir, maxDf = 7)
+    val e = intercept[IllegalStateException](mismatched.winnowProbe(delta).collect())
+    assert(e.getMessage.contains("different parameters"))
+    assert(e.getMessage.contains("maxDf"))
+    // matching parameters keep working
+    assert(rows(new IngestIndex(spark, dir).dedupExactProbe(delta)).nonEmpty ||
+      TextOps.dedupExactIncremental(corpus, delta).isEmpty)
+  }
+
+  test("a torn absorb (crash after journal, before swaps) replays to the absorbed state") {
+    val half1 = corpus.filter(col("doc_id") % 3 =!= 0)
+    val half2 = corpus.filter(col("doc_id") % 3 === 0)
+    val dir = freshDir()
+    val crashed = new IngestIndex(spark, dir)
+    crashed.build(half1)
+    crashed.prepareAbsorb(half2) // journal published, no swap applied — "crash"
+    val reopened = new IngestIndex(spark, dir) // fresh instance = fresh process
+    val full = new IngestIndex(spark, freshDir())
+    full.build(half1); full.absorb(half2)
+    assert(rows(reopened.dedupExactProbe(delta)) == rows(full.dedupExactProbe(delta)))
+    assert(rows(reopened.dupSpansProbe(delta)) == rows(full.dupSpansProbe(delta)))
+    assert(rows(reopened.winnowProbe(delta)) == rows(full.winnowProbe(delta)))
+  }
+
+  test("a crash mid-swap (one index applied, journal live) replays the remainder — never a mixed state") {
+    val half1 = corpus.filter(col("doc_id") % 3 =!= 0)
+    val half2 = corpus.filter(col("doc_id") % 3 === 0)
+    val dir = freshDir()
+    val crashed = new IngestIndex(spark, dir)
+    crashed.build(half1)
+    crashed.prepareAbsorb(half2)
+    crashed.applySwap("fp", "delta") // fp committed, spans/winnow/bloom not — "crash"
+    val reopened = new IngestIndex(spark, dir)
+    val full = new IngestIndex(spark, freshDir())
+    full.build(half1); full.absorb(half2)
+    assert(rows(reopened.dedupExactProbe(delta)) == rows(full.dedupExactProbe(delta)))
+    assert(rows(reopened.dedupExactProbeBloom(delta)) == rows(full.dedupExactProbeBloom(delta)))
+    assert(rows(reopened.dupSpansProbe(delta)) == rows(full.dupSpansProbe(delta)))
+    assert(rows(reopened.winnowProbe(delta)) == rows(full.winnowProbe(delta)))
+  }
+
+  test("an abandoned stage with no journal is cleared — the batch never happened") {
+    val dir = freshDir()
+    val idx = new IngestIndex(spark, dir)
+    idx.build(corpus)
+    val stray = java.nio.file.Paths.get(dir, ".stage", "fp", "bucket=0")
+    java.nio.file.Files.createDirectories(stray)
+    java.nio.file.Files.write(stray.resolve("garbage"), Array[Byte](1, 2, 3))
+    val reopened = new IngestIndex(spark, dir)
+    assert(rows(reopened.dedupExactProbe(delta)) ==
+      rows(TextOps.dedupExactIncremental(corpus, delta)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".stage")))
+  }
+
   test("winnow saturation markers survive absorb (a stop key never re-identifies)") {
     val s = spark
     import s.implicits._
