@@ -260,10 +260,11 @@ object Bench {
         val ingDir = java.nio.file.Files.createTempDirectory("graft-bench-ingest").toString
         opExec("ingest_index_build")(IngestRun.main(Array(sfDir, s"$ingDir/state", "build")))
         opExec("ingest_probe_warm")(IngestRun.main(Array(sfDir, s"$ingDir/state", "probe")))
-        // fold the delta into the persisted state: per-bucket partition
-        // swap, work ∝ delta (the absorb-flat-in-corpus-size claim this
-        // row exists to keep honest)
+        // fold the delta into the persisted state: segment append, work
+        // ∝ delta (the absorb-flat-in-corpus-size claim this row exists
+        // to keep honest), then the amortized compaction fold
         opExec("ingest_absorb")(IngestRun.main(Array(sfDir, s"$ingDir/state", "absorb")))
+        opExec("ingest_compact")(IngestRun.main(Array(sfDir, s"$ingDir/state", "compact")))
       }
       flush(reps)
     }

@@ -11,14 +11,16 @@ import graft.incremental.IngestIndex
   * warm-ingest shape where per-batch cost is delta-proportional, vs the
   * inline operators that re-derive their corpus index per call.
   *
-  * Usage: runMain graft.IngestRun <sfDir> <stateDir> [build|probe|absorb]
+  * Usage: runMain graft.IngestRun <sfDir> <stateDir> [build|probe|absorb|compact]
   *
   *   build   corpus (doc_id % 10 != 0) → fp/bloom/spans/winnow state
   *   probe   delta (doc_id % 10 == 0) against the existing state: all
   *           four probes (exact, bloom-prefiltered exact, span, winnow).
   *           The bloom arm must return exactly the exact arm's rows (no
   *           false negatives; FPs die in the join) — divergence throws.
-  *   absorb  fold the delta into the state (no corpus text read)
+  *   absorb  fold the delta into the state (segment append — no corpus
+  *           text read, no index rewrite)
+  *   compact fold accumulated segments into the bucketed base
   *
   * The batch split mirrors the `dedup_exact_delta` / `doc_dup_spans_delta`
   * / `neardup_winnow_delta` query registrations, so the probe results
@@ -58,7 +60,11 @@ object IngestRun {
       case "absorb" =>
         require(index.exists, s"no ingest state at $stateDir — run build first")
         index.absorb(delta)
-        println(s"[ingest] absorbed delta into $stateDir")
+        println(s"[ingest] absorbed delta into $stateDir (segment append)")
+      case "compact" =>
+        require(index.exists, s"no ingest state at $stateDir — run build first")
+        index.compact()
+        println(s"[ingest] compacted segments into $stateDir base")
       case other => throw new IllegalArgumentException(s"unknown mode: $other")
     }
     if (owned) spark.stop()

@@ -8,7 +8,8 @@ import graft.ops.{BloomJoin, TextOps}
 
 /** Persisted ingest-probe state: the corpus-side indexes of the delta
   * dedup probes, built ONCE and stored as parquet so each ingest batch
-  * pays probe cost proportional to the DELTA, not to the corpus.
+  * pays probe AND absorb cost proportional to the DELTA, not to the
+  * corpus.
   *
   * The inline probes ([[TextOps.dedupExactIncremental]] and friends)
   * re-derive their corpus index every call — the right shape for a
@@ -22,35 +23,54 @@ import graft.ops.{BloomJoin, TextOps}
   *   - `spans/`   (w)                      [[TextOps.dupSpanIndex]]
   *   - `winnow/`  (fp → capped postings)   [[TextOps.nearDupWinnowIndex]]
   *
-  * == Partitioned layout: absorb work ∝ delta ==
+  * == LSM layout: absorb appends, compaction folds ==
   *
-  * Each keyed index is hash-bucketed on its key
-  * (`bucket = pmod(xxhash64(key), buckets)`, Hive-style `bucket=N`
-  * directories). [[absorb]] therefore never rewrites the index: it
-  * computes the delta's index rows, collects the ≤ `buckets` bucket ids
-  * they land in, reads ONLY those partitions back (partition-pruned
-  * scan), re-aggregates, and swaps just the touched `bucket=N`
-  * directories. Per-batch cost is `|delta| + |touched partitions|` —
-  * independent of corpus size once `buckets` exceeds the delta's
-  * spread (at 100 TB the same layout simply carries more buckets, set
-  * at build time). The bloom bitset needs no rebuild at all: a bloom
-  * of a key-set union is the word-wise OR of the blooms, so absorb
-  * ORs the delta's KB-scale bits into the stored words.
+  * Each index holds a `base/` (hash-bucketed on its key:
+  * `bucket = pmod(xxhash64(key), buckets)`, Hive-style `bucket=N`
+  * directories) plus zero or more `seg-K/` delta segments. [[absorb]]
+  * only ever WRITES NEW SEGMENTS — the delta's own index rows — plus a
+  * word-wise OR into the KB-scale bloom (a bloom of a key-set union is
+  * the OR of the blooms). Absorb work is therefore ∝ |delta|, flat in
+  * corpus size by construction. A bucket-merge absorb would NOT be:
+  * uniformly-hashed delta keys touch every bucket as soon as the delta
+  * carries more keys than there are buckets, so "rewrite only touched
+  * partitions" degenerates to rewriting the whole index on any
+  * realistic batch. Appending is the standard LSM answer (RocksDB /
+  * Lucene / log-structured tables), and the segment count is bounded:
+  * past `maxSegments`, absorb triggers [[compact]].
+  *
+  * [[compact]] folds the accumulated segments into `base/` and is where
+  * the bucketing pays: only the buckets the segment keys land in are
+  * merged and swapped (partition-pruned read, per-bucket rename), so
+  * SMALL accumulated deltas compact ∝ segment mass; at worst (segments
+  * touching every bucket) one amortized index-proportional fold per
+  * `maxSegments` batches — never per batch.
+  *
+  * Probes read `base ∪ segments` with merge-on-read restricted to the
+  * DELTA's keys: fp re-mins after the join (delta-sized aggregation),
+  * spans is a left-semi against the union (duplicates are free), and
+  * winnow re-caps postings only for the fingerprints the incoming batch
+  * actually carries — all delta-proportional. Saturation stays exact
+  * under the cap because a base posting list only loses doc_ids once it
+  * is already saturated, and saturation is monotone (see
+  * [[TextOps.nearDupWinnowIndex]]).
   *
   * == Crash safety: one redo journal for the whole batch ==
   *
-  * A build/absorb stages EVERY index's new files under `.stage/` first,
-  * then atomically publishes a journal (`_graft_commit`) listing the
-  * staged swaps, then applies them (per-bucket or whole-dir renames)
-  * and retires the journal. Every entry point replays a pending journal
+  * Build/absorb/compact stage EVERY new directory under `.stage/`
+  * first, then atomically publish a journal (`_graft_commit`) listing
+  * the swaps (whole-dir, per-bucket, or drop), then apply them and
+  * retire the journal. Every entry point replays a pending journal
   * before reading ([[recover]]), so a crash at ANY point leaves a state
   * that is either entirely pre-batch or, after the next open, entirely
   * post-batch — the four indexes can never be observed mixed (the S7
   * all-or-nothing discipline of [[StateStore]], extended to a
   * multi-directory commit). Re-running [[absorb]] with the same batch
-  * is idempotent besides: fp re-mins, span keys re-distinct, winnow
-  * postings dedup on (fp, doc_id) before the capped re-aggregation, and
-  * the bloom OR is absorbing.
+  * is idempotent at the result level: a duplicate segment re-mins to
+  * the same fp winners, span keys dedup in the semi-join, winnow
+  * postings dedup on (fp, doc_id) before re-capping, and the bloom OR
+  * is absorbing — duplicate segment rows then vanish at the next
+  * compaction.
   *
   * == Self-describing state ==
   *
@@ -59,30 +79,41 @@ import graft.ops.{BloomJoin, TextOps}
   * a state directory with mismatched parameters would silently corrupt
   * results (a smaller `bloomBits` yields bloom false negatives, a
   * different `w` different fingerprints), so a mismatch fails loudly
-  * instead. `pruneThreshold` is a runtime cost knob, not a build
-  * parameter, and is deliberately not pinned.
+  * instead. `pruneThreshold` and `maxSegments` are runtime cost knobs,
+  * not build parameters, and are deliberately not pinned.
   */
 final class IngestIndex(spark: SparkSession, dir: String,
     width: Int = 40, stride: Int = 10,
     k: Int = 3, w: Int = 4, maxDf: Int = 100,
     bloomBits: Int = 1 << 20, bloomK: Int = 5,
     pruneThreshold: Long = 5000000L,
-    buckets: Int = 32) {
+    buckets: Int = 32,
+    maxSegments: Int = 8) {
 
   private val Subs = Seq("fp", "spans", "winnow")
 
-  private def livePath(sub: String) = new Path(s"$dir/$sub")
-  private def stagePath(sub: String) = new Path(s"$dir/.stage/$sub")
+  private def livePath(rel: String) = new Path(s"$dir/$rel")
+  private def stagePath(rel: String) = new Path(s"$dir/.stage/$rel")
   private def journalPath = new Path(s"$dir/_graft_commit")
   private def metaPath = new Path(s"$dir/_graft_meta")
   private def fs = journalPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists: Boolean = { recover(); fs.exists(livePath("fp")) }
+  def exists: Boolean = { recover(); fs.exists(livePath("fp/base")) }
 
-  private def loadRaw(sub: String): DataFrame = spark.read.parquet(s"$dir/$sub")
-  /** Probe view of an index: the physical bucket column stays out of
-    * result schemas. */
-  private def load(sub: String): DataFrame = loadRaw(sub).drop("bucket")
+  private def loadBase(sub: String): DataFrame =
+    spark.read.parquet(s"$dir/$sub/base")
+
+  /** Segment directory names under `sub`, oldest first. */
+  private def segNames(sub: String): Seq[String] =
+    if (!fs.exists(livePath(sub))) Nil
+    else fs.listStatus(livePath(sub)).map(_.getPath.getName)
+      .filter(_.startsWith("seg-")).sortBy(_.drop(4).toInt).toSeq
+
+  private def loadSegs(sub: String): Option[DataFrame] = {
+    val names = segNames(sub)
+    if (names.isEmpty) None
+    else Some(spark.read.parquet(names.map(n => s"$dir/$sub/$n"): _*))
+  }
 
   private def withBucket(df: DataFrame, key: String): DataFrame =
     df.withColumn("bucket", pmod(xxhash64(col(key)), lit(buckets.toLong)).cast("int"))
@@ -117,15 +148,18 @@ final class IngestIndex(spark: SparkSession, dir: String,
   // ---- row-count stamps (cost-model input for probe-side pruning) ----
 
   private def rowsPath(sub: String) = new Path(s"$dir/$sub/_graft_rows")
-  private def stampRows(sub: String): Unit =
-    writeSidecar(rowsPath(sub), loadRaw(sub).count().toString) // footer counts — metadata-cheap
+  private def stampRows(sub: String): Unit = {
+    val n = loadBase(sub).count() +
+      loadSegs(sub).map(_.count()).getOrElse(0L) // parquet footer counts — metadata-cheap
+    writeSidecar(rowsPath(sub), n.toString)
+  }
   private def indexRows(sub: String): Option[Long] =
     readSidecar(rowsPath(sub)).flatMap(s => scala.util.Try(s.trim.toLong).toOption)
 
   // ---- build-parameter pinning ----
 
   private def params: Seq[(String, Long)] = Seq(
-    "version" -> 2L, "width" -> width.toLong, "stride" -> stride.toLong,
+    "version" -> 3L, "width" -> width.toLong, "stride" -> stride.toLong,
     "k" -> k.toLong, "w" -> w.toLong, "maxDf" -> maxDf.toLong,
     "bloomBits" -> bloomBits.toLong, "bloomK" -> bloomK.toLong,
     "buckets" -> buckets.toLong)
@@ -135,7 +169,7 @@ final class IngestIndex(spark: SparkSession, dir: String,
     case None =>
       if (fs.exists(livePath("fp")))
         throw new IllegalStateException(
-          s"ingest state at $dir has no _graft_meta (pre-v2 layout?) — rebuild it")
+          s"ingest state at $dir has no _graft_meta (pre-v3 layout?) — rebuild it")
     case Some(text) =>
       val stored = text.linesIterator.map(_.trim).filter(_.nonEmpty)
         .map { l => val Array(n, v) = l.split("=", 2); n -> v.toLong }.toMap
@@ -149,38 +183,46 @@ final class IngestIndex(spark: SparkSession, dir: String,
   }
 
   /** One-time open check per instance: replay any torn commit, then pin
-    * the build parameters. Every probe/absorb/build routes through it. */
+    * the build parameters. Every probe/absorb/compact routes through
+    * it. */
   private lazy val opened: Unit = { recover(); validateMeta() }
 
   // ---- staged group commit with a redo journal ----
   //
-  // Modes: "full" = whole-directory swap (build, and the KB-scale
-  // bloom); "delta" = swap only the bucket=N children present in the
-  // stage (absorb). Both are pure renames, idempotent under replay:
-  // applySwap consumes stage children, so a crash mid-apply leaves
-  // exactly the unapplied remainder for recover() to finish.
+  // Journal entries are `(relative path, mode)`:
+  //   full   replace the live dir with the staged dir wholesale
+  //   delta  replace only the bucket=N children present in the stage
+  //   drop   delete the live dir (segment retirement at compaction)
+  // All three are rename/delete-idempotent: applySwap consumes stage
+  // children, so a crash mid-apply leaves exactly the unapplied
+  // remainder for recover() to finish.
 
   private def writeJournal(entries: Seq[(String, String)]): Unit =
     writeSidecar(journalPath, entries.map { case (s, m) => s"$s $m" }.mkString("\n"))
 
-  private[graft] def applySwap(sub: String, mode: String): Unit = {
-    val stage = stagePath(sub)
-    val live = livePath(sub)
-    if (fs.exists(stage)) {
-      if (mode == "full") {
-        fs.delete(live, true)
-        if (!fs.rename(stage, live))
-          throw new java.io.IOException(s"commit: could not publish $stage")
-      } else {
-        fs.listStatus(stage).map(_.getPath).filter(_.getName.startsWith("bucket="))
-          .foreach { src =>
-            val dst = new Path(live, src.getName)
-            fs.delete(dst, true)
-            if (!fs.rename(src, dst))
-              throw new java.io.IOException(s"commit: could not publish $src")
-          }
-        fs.delete(stage, true) // leftover _SUCCESS etc.
-      }
+  private[graft] def applySwap(rel: String, mode: String): Unit = {
+    val stage = stagePath(rel)
+    val live = livePath(rel)
+    mode match {
+      case "drop" => fs.delete(live, true)
+      case "full" =>
+        if (fs.exists(stage)) {
+          fs.delete(live, true)
+          if (!fs.exists(live.getParent)) fs.mkdirs(live.getParent)
+          if (!fs.rename(stage, live))
+            throw new java.io.IOException(s"commit: could not publish $stage")
+        }
+      case "delta" =>
+        if (fs.exists(stage)) {
+          fs.listStatus(stage).map(_.getPath).filter(_.getName.startsWith("bucket="))
+            .foreach { src =>
+              val dst = new Path(live, src.getName)
+              fs.delete(dst, true)
+              if (!fs.rename(src, dst))
+                throw new java.io.IOException(s"commit: could not publish $src")
+            }
+          fs.delete(stage, true) // leftover _SUCCESS etc.
+        }
     }
   }
 
@@ -189,13 +231,12 @@ final class IngestIndex(spark: SparkSession, dir: String,
     finishCommit(entries)
   }
 
-  /** Package-private so IngestIndexSpec can replay crash points: the
-    * journal half of a commit without the swaps (≙ crash right after
-    * the journal published) and a single applied swap (≙ crash
-    * mid-apply). Production code only reaches these through
-    * [[commit]]/[[recover]]. */
+  /** Package-private so IngestIndexSpec can replay crash points: a
+    * prepared journal without the swaps (≙ crash right after the
+    * journal published) and a single applied swap (≙ crash mid-apply).
+    * Production code only reaches these through [[commit]]/[[recover]]. */
   private[graft] def finishCommit(entries: Seq[(String, String)]): Unit = {
-    entries.foreach { case (sub, mode) => applySwap(sub, mode) }
+    entries.foreach { case (rel, mode) => applySwap(rel, mode) }
     fs.delete(journalPath, false)
     fs.delete(new Path(s"$dir/.stage"), true)
     Subs.foreach(stampRows)
@@ -221,19 +262,19 @@ final class IngestIndex(spark: SparkSession, dir: String,
     * the previous state or the new one, never a mix. */
   def build(corpus: DataFrame): Unit = {
     recover() // no meta validation: a rebuild may legitimately change parameters
-    stageFull("fp", withBucket(TextOps.dedupExactIndex(corpus), "fp_md5"))
-    stageFull("spans", withBucket(TextOps.dupSpanIndex(corpus, width, stride), "w"))
-    stageFull("winnow", withBucket(TextOps.nearDupWinnowIndex(corpus, k, w, maxDf), "fp"))
+    stageBucketed("fp/base", withBucket(TextOps.dedupExactIndex(corpus), "fp_md5"))
+    stageBucketed("spans/base", withBucket(TextOps.dupSpanIndex(corpus, width, stride), "w"))
+    stageBucketed("winnow/base", withBucket(TextOps.nearDupWinnowIndex(corpus, k, w, maxDf), "fp"))
     // the bitset derives from the STAGED fp index (never the corpus):
     // one aggregate over narrow keys
     stageBloom(BloomJoin.bloomFilterBits(
-      spark.read.parquet(stagePath("fp").toString), "fp_md5", bloomBits, bloomK))
+      spark.read.parquet(stagePath("fp/base").toString), "fp_md5", bloomBits, bloomK))
     writeMeta()
-    commit(Subs.map(_ -> "full") :+ ("bloom" -> "full"))
+    commit(Subs.map(s => s"$s" -> "full") :+ ("bloom" -> "full"))
   }
 
-  private def stageFull(sub: String, df: DataFrame): Unit =
-    df.write.mode("overwrite").partitionBy("bucket").parquet(stagePath(sub).toString)
+  private def stageBucketed(rel: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").partitionBy("bucket").parquet(stagePath(rel).toString)
 
   private def stageBloom(words: Array[Long]): Unit = {
     import spark.implicits._
@@ -244,74 +285,95 @@ final class IngestIndex(spark: SparkSession, dir: String,
   }
 
   private def bloomWords(): Array[Long] = {
-    val rows = load("bloom").select(col("idx"), col("word")).collect()
+    val rows = spark.read.parquet(s"$dir/bloom").select(col("idx"), col("word")).collect()
     val arr = new Array[Long](bloomBits >> 6)
     rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
     arr
   }
 
-  // ---- absorb ----
+  // ---- absorb: append-only, work ∝ delta ----
 
-  /** Fold an admitted batch into the state. Corpus text is never read
-    * and untouched buckets are never rewritten: each index merges the
-    * delta's rows into ONLY the hash buckets the delta lands in
-    * (partition-pruned read, per-bucket swap) — work ∝ |delta|, flat in
-    * corpus size. The winnow postings keep their saturation markers
-    * (see [[TextOps.nearDupWinnowIndex]]) and dedup on (fp, doc_id)
-    * first, so absorb is equivalent to a full rebuild AND idempotent
-    * under batch re-runs. */
-  def absorb(incoming: DataFrame): Unit = finishCommit(prepareAbsorb(incoming))
+  /** Fold an admitted batch into the state by APPENDING its index rows
+    * as new segments (plus a KB-scale bloom OR) — corpus text is never
+    * read, existing index files are never rewritten, so absorb wall is
+    * flat in corpus size at fixed batch size. Past `maxSegments`
+    * accumulated segments, triggers [[compact]] (the amortized fold).
+    * Result-equivalent to a full rebuild on the grown corpus AND
+    * idempotent under batch re-runs (IngestIndexSpec pins both). */
+  def absorb(incoming: DataFrame): Unit = {
+    finishCommit(prepareAbsorb(incoming))
+    if (segNames("fp").size >= maxSegments) compact()
+  }
 
   /** The stage-and-journal half of [[absorb]] — everything up to (and
     * including) the commit point, swaps not yet applied. Package-private
     * for IngestIndexSpec's crash-replay tests. */
   private[graft] def prepareAbsorb(incoming: DataFrame): Seq[(String, String)] = {
     opened
-    require(fs.exists(livePath("fp")), s"no ingest state at $dir — run build first")
-    val deltaFp = withBucket(TextOps.dedupExactIndex(incoming), "fp_md5")
-    stageDelta("fp", deltaFp, (ex, d) =>
-      ex.unionByName(d).groupBy(col("bucket"), col("fp_md5"))
-        .agg(min(col("dup_of")).as("dup_of")))
-    stageDelta("spans",
-      withBucket(TextOps.dupSpanIndex(incoming, width, stride,
-        hashKey = spansHashed), "w"),
-      (ex, d) => ex.unionByName(d).distinct())
-    val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
-    stageDelta("winnow",
-      withBucket(TextOps.docWinnow(incoming, k, w)
-        .select(col("fp"), col("doc_id")).distinct(), "fp"),
-      (ex, d) =>
-        ex.select(col("bucket"), col("fp"), explode(col("ids")).as("e"))
-          .select(col("bucket"), col("fp"), col("e.doc_id").as("doc_id"))
-          .unionByName(d)
-          .distinct() // idempotency: a re-absorbed batch cannot duplicate postings
-          .groupBy(col("bucket"), col("fp")).agg(capped(col("doc_id"), lit(0)).as("ids")))
-    // bloom(union) = bloom(old) | bloom(delta): OR the delta's bits in —
-    // KB-scale work, no index rescan, absorbing under re-runs
+    require(fs.exists(livePath("fp/base")), s"no ingest state at $dir — run build first")
+    val seg = "seg-" + (segNames("fp").map(_.drop(4).toInt).foldLeft(0)(math.max) + 1)
+    val deltaFp = TextOps.dedupExactIndex(incoming)
+    deltaFp.write.parquet(stagePath(s"fp/$seg").toString)
+    TextOps.dupSpanIndex(incoming, width, stride, hashKey = spansHashed)
+      .write.parquet(stagePath(s"spans/$seg").toString)
+    // winnow segments hold RAW (fp, doc_id) pairs — postings re-cap at
+    // probe/compact time, so no information is lost at the batch grain
+    TextOps.docWinnow(incoming, k, w)
+      .select(col("fp"), col("doc_id")).distinct()
+      .write.parquet(stagePath(s"winnow/$seg").toString)
+    // bloom(union) = bloom(old) | bloom(delta): KB-scale, absorbing
     stageBloom(bloomWords().zip(
         BloomJoin.bloomFilterBits(deltaFp, "fp_md5", bloomBits, bloomK))
       .map { case (a, b) => a | b })
-    val entries = Subs.map(_ -> "delta") :+ ("bloom" -> "full")
+    val entries = Subs.map(s => s"$s/$seg" -> "full") :+ ("bloom" -> "full")
     writeJournal(entries)
     entries
   }
 
   private def spansHashed: Boolean =
-    loadRaw("spans").schema("w").dataType == org.apache.spark.sql.types.LongType
+    loadBase("spans").schema("w").dataType == org.apache.spark.sql.types.LongType
 
-  /** Stage an index's merged TOUCHED buckets: collect the delta's
-    * bucket ids (≤ `buckets` ints), partition-prune the live index to
-    * just those, merge, write the staged `bucket=N` dirs. */
-  private def stageDelta(sub: String, delta: DataFrame,
-      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
-    val touched = delta.select(col("bucket")).distinct().collect().map(_.getInt(0))
-    val existing = loadRaw(sub)
-      .filter(col("bucket").isin(touched.map(b => b: java.lang.Integer): _*))
-    merge(existing, delta)
-      .write.mode("overwrite").partitionBy("bucket").parquet(stagePath(sub).toString)
+  // ---- compaction: fold segments into the bucketed base ----
+
+  /** Merge all accumulated segments into `base/` and retire them, in
+    * one journaled commit. Only the hash buckets the segment keys land
+    * in are read back (partition-pruned) and swapped — compaction work
+    * is ∝ segment mass when segments are small relative to the bucket
+    * count, and at worst one index fold per `maxSegments` batches.
+    * A no-op when no segments exist. */
+  def compact(): Unit = {
+    opened
+    if (segNames("fp").isEmpty) return
+    val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
+    val drops = Subs.flatMap(sub => segNames(sub).map(n => s"$sub/$n" -> "drop"))
+    stageCompact("fp", loadSegs("fp").get, "fp_md5", (ex, d) =>
+      ex.unionByName(d).groupBy(col("bucket"), col("fp_md5"))
+        .agg(min(col("dup_of")).as("dup_of")))
+    stageCompact("spans", loadSegs("spans").get, "w",
+      (ex, d) => ex.unionByName(d).distinct())
+    stageCompact("winnow", loadSegs("winnow").get, "fp", (ex, d) =>
+      ex.select(col("bucket"), col("fp"), explode(col("ids")).as("e"))
+        .select(col("bucket"), col("fp"), col("e.doc_id").as("doc_id"))
+        .unionByName(d)
+        .distinct() // duplicate segments (idempotent re-absorb) fold away here
+        .groupBy(col("bucket"), col("fp")).agg(capped(col("doc_id"), lit(0)).as("ids")))
+    commit(Subs.map(s => s"$s/base" -> "delta") ++ drops)
   }
 
-  // ---- probes: load-and-join, work ∝ delta ----
+  /** Stage an index's merged TOUCHED buckets: collect the segments'
+    * bucket ids (≤ `buckets` ints), partition-prune the live base to
+    * just those, merge, write the staged `bucket=N` dirs. */
+  private def stageCompact(sub: String, segRows: DataFrame, key: String,
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val delta = withBucket(segRows, key)
+    val touched = delta.select(col("bucket")).distinct().collect().map(_.getInt(0))
+    val existing = loadBase(sub)
+      .filter(col("bucket").isin(touched.map(b => b: java.lang.Integer): _*))
+    merge(existing, delta)
+      .write.mode("overwrite").partitionBy("bucket").parquet(stagePath(s"$sub/base").toString)
+  }
+
+  // ---- probes: merge-on-read over base ∪ segments, work ∝ delta ----
   //
   // Past `pruneThreshold` index rows, each probe prunes the INDEX scan
   // with a bitset of the DELTA's keys before the join: a batch is
@@ -338,11 +400,22 @@ final class IngestIndex(spark: SparkSession, dir: String,
       index.filter(BloomJoin.mightContain(bits, col(key), bloomBits, bloomK))
     }
 
+  /** fp index view: base ∪ segments. Duplicate keys are possible while
+    * segments exist — [[dedupExactProbe]] re-mins AFTER its join (a
+    * delta-sized aggregation), so results match the consolidated
+    * index exactly. */
+  private def fpIndex: DataFrame = {
+    val base = loadBase("fp").drop("bucket")
+    loadSegs("fp").fold(base)(segs => base.unionByName(segs))
+  }
+
   /** [[TextOps.dedupExactIncremental]] against the persisted index. */
   def dedupExactProbe(incoming: DataFrame): DataFrame = {
     opened
     val keys = TextOps.dedupExactIndex(incoming).select(col("fp_md5"))
-    TextOps.dedupExactProbe(deltaPruned(load("fp"), keys, "fp_md5", "fp"), incoming)
+    TextOps.dedupExactProbe(deltaPruned(fpIndex, keys, "fp_md5", "fp"), incoming)
+      .groupBy(col("doc_id"), col("fp_md5")).agg(min(col("dup_of")).as("dup_of"))
+      .select(col("doc_id"), col("fp_md5"), col("dup_of"))
   }
 
   /** [[TextOps.dedupExactIncrementalBloom]] against the persisted
@@ -353,24 +426,46 @@ final class IngestIndex(spark: SparkSession, dir: String,
     opened
     val keys = TextOps.dedupExactIndex(incoming).select(col("fp_md5"))
     TextOps.dedupExactProbeBloom(bloomWords(),
-      deltaPruned(load("fp"), keys, "fp_md5", "fp"), incoming, bloomBits, bloomK)
+      deltaPruned(fpIndex, keys, "fp_md5", "fp"), incoming, bloomBits, bloomK)
+      .groupBy(col("doc_id"), col("fp_md5")).agg(min(col("dup_of")).as("dup_of"))
+      .select(col("doc_id"), col("fp_md5"), col("dup_of"))
   }
 
-  /** [[TextOps.docDupSpansIncremental]] against the persisted key set. */
+  /** [[TextOps.docDupSpansIncremental]] against the persisted key set.
+    * The probe's semi-join tolerates duplicate keys, so the segment
+    * union needs no dedup at all. */
   def dupSpansProbe(incoming: DataFrame): DataFrame = {
     opened
-    val idx = load("spans")
+    val base = loadBase("spans").drop("bucket")
+    val idx = loadSegs("spans").fold(base)(segs => base.unionByName(segs))
     val hashed = idx.schema("w").dataType == org.apache.spark.sql.types.LongType
     val keys = TextOps.dupSpanIndex(incoming, width, stride, hashKey = hashed)
     TextOps.docDupSpansProbe(deltaPruned(idx, keys, "w", "spans"), incoming, width, stride)
   }
 
   /** [[TextOps.nearDupWinnowIncremental]] against the persisted
-    * postings. */
+    * postings. With segments live, postings re-cap ONLY for the
+    * fingerprints the incoming batch carries (an inner join against the
+    * delta's key set restricts the explode-union-recap to a delta-sized
+    * frame) — saturation decisions come out identical to the
+    * consolidated index because base lists only lose doc_ids once
+    * already saturated, and saturation is monotone under union. */
   def winnowProbe(incoming: DataFrame, minShared: Int = 2): DataFrame = {
     opened
     val keys = TextOps.docWinnow(incoming, k, w).select(col("fp")).distinct()
-    TextOps.nearDupWinnowProbe(deltaPruned(load("winnow"), keys, "fp", "winnow"),
+    val base = loadBase("winnow").drop("bucket")
+    val idx = loadSegs("winnow") match {
+      case None => base
+      case Some(segs) =>
+        val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
+        base.join(keys, Seq("fp"))
+          .select(col("fp"), explode(col("ids")).as("e"))
+          .select(col("fp"), col("e.doc_id").as("doc_id"))
+          .unionByName(segs.join(keys, Seq("fp")))
+          .distinct()
+          .groupBy(col("fp")).agg(capped(col("doc_id"), lit(0)).as("ids"))
+    }
+    TextOps.nearDupWinnowProbe(deltaPruned(idx, keys, "fp", "winnow"),
       incoming, k, w, minShared, maxDf)
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -123,7 +124,7 @@ class IngestIndexSpec extends AnyFunSuite {
     val crashed = new IngestIndex(spark, dir)
     crashed.build(half1)
     crashed.prepareAbsorb(half2)
-    crashed.applySwap("fp", "delta") // fp committed, spans/winnow/bloom not — "crash"
+    crashed.applySwap("fp/seg-1", "full") // fp segment committed, spans/winnow/bloom not — "crash"
     val reopened = new IngestIndex(spark, dir)
     val full = new IngestIndex(spark, freshDir())
     full.build(half1); full.absorb(half2)
@@ -144,6 +145,47 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(rows(reopened.dedupExactProbe(delta)) ==
       rows(TextOps.dedupExactIncremental(corpus, delta)))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".stage")))
+  }
+
+  test("compaction folds segments into the base without moving any probe result") {
+    val half1 = corpus.filter(col("doc_id") % 3 =!= 0)
+    val half2 = corpus.filter(col("doc_id") % 3 === 0)
+    val dir = freshDir()
+    val idx = new IngestIndex(spark, dir)
+    idx.build(half1)
+    idx.absorb(half2)
+    val before = Seq(
+      rows(idx.dedupExactProbe(delta)), rows(idx.dedupExactProbeBloom(delta)),
+      rows(idx.dupSpansProbe(delta)), rows(idx.winnowProbe(delta)))
+    idx.compact()
+    // segments retired, base consolidated
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(dir, "fp"))
+      .iterator().asScala.exists(_.getFileName.toString.startsWith("seg-")))
+    val after = Seq(
+      rows(idx.dedupExactProbe(delta)), rows(idx.dedupExactProbeBloom(delta)),
+      rows(idx.dupSpansProbe(delta)), rows(idx.winnowProbe(delta)))
+    assert(after == before)
+    // and a fresh build on the grown corpus agrees with the compacted state
+    val rebuilt = new IngestIndex(spark, freshDir())
+    rebuilt.build(corpus)
+    assert(rows(idx.dedupExactProbe(delta)) == rows(rebuilt.dedupExactProbe(delta)))
+    assert(rows(idx.winnowProbe(delta)) == rows(rebuilt.winnowProbe(delta)))
+  }
+
+  test("absorb auto-compacts past maxSegments") {
+    val thirds = (1 to 2).map(i => corpus.filter(col("doc_id") % 3 === i))
+    val dir = freshDir()
+    val idx = new IngestIndex(spark, dir, maxSegments = 2)
+    idx.build(corpus.filter(col("doc_id") % 3 === 0))
+    idx.absorb(thirds(0)) // 1 segment
+    idx.absorb(thirds(1)) // 2 segments -> trigger
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(dir, "fp"))
+      .iterator().asScala.exists(_.getFileName.toString.startsWith("seg-")))
+    val rebuilt = new IngestIndex(spark, freshDir())
+    rebuilt.build(corpus)
+    assert(rows(idx.dedupExactProbe(delta)) == rows(rebuilt.dedupExactProbe(delta)))
+    assert(rows(idx.dupSpansProbe(delta)) == rows(rebuilt.dupSpansProbe(delta)))
+    assert(rows(idx.winnowProbe(delta)) == rows(rebuilt.winnowProbe(delta)))
   }
 
   test("winnow saturation markers survive absorb (a stop key never re-identifies)") {
