@@ -125,7 +125,10 @@ object SparkEntry {
     }),
     // the same probe behind a literal-bitset bloom pre-filter (row-local
     // at the delta scan; no false negatives, FPs die in the verify join
-    // -> bit-identical result, shared oracle)
+    // -> bit-identical result, shared oracle). The bitset build is
+    // cost-gated on corpus row count: below the threshold it falls
+    // through to the plain probe (bench showed the unconditional build
+    // pays 5x fixed overhead at sf scales)
     "dedup_exact_delta_bloom" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextOps.dedupExactIncrementalBloom(

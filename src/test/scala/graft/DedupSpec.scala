@@ -44,10 +44,16 @@ class DedupSpec extends AnyFunSuite {
     val out = TextOps.dedupExactIncremental(existing, incoming).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out == Map(10L -> 1L, 20L -> 1L), s"got $out")
-    // the bloom-prefiltered arm composes to the identical result
+    // the bloom-prefiltered arm composes to the identical result in
+    // BOTH cost regimes: gated-off (tiny corpus falls through to the
+    // plain probe) and forced-on (minCorpusRows = 0 — the 100 TB shape)
     val bloom = TextOps.dedupExactIncrementalBloom(existing, incoming).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(bloom == out, s"bloom arm diverged: $bloom vs $out")
+    val bloomForced = TextOps.dedupExactIncrementalBloom(existing, incoming,
+      minCorpusRows = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bloomForced == out, s"forced bloom arm diverged: $bloomForced vs $out")
   }
 
   test("delta winnow probe: a shared long run pairs with its corpus holder, fresh text doesn't") {
