@@ -237,25 +237,34 @@ object SparkEntry {
     "events_topk_agg" -> ((s, dir) => EventOps.topKPerTypeAgg(Tables.events(s, dir))),
     "events_rollup" -> ((s, dir) => EventOps.multiRollup(Tables.events(s, dir))),
     "events_distinct_users" -> ((s, dir) => EventOps.distinctUsers(Tables.events(s, dir))),
-    // sketch cardinality: HLL++ internals aren't portable — rows-only;
-    // EventOpsSpec bounds the relative error vs the exact count
-    "events_approx_distinct" -> ((s, dir) => EventOps.approxDistinctUsers(Tables.events(s, dir))),
-    // DataSketches HLL internals aren't portable — rows-only; the spec
-    // pins union-of-daily ≡ direct sketch and the error bound vs exact
-    "events_distinct_sketch" -> ((s, dir) => EventOps.distinctUsersSketchMerge(Tables.events(s, dir))),
+    // sketch cardinality: HLL++ internals aren't portable, so the
+    // ORACLED surface is the error-envelope form — exact cardinality +
+    // a violation count DuckDB asserts is zero (the sketch still runs
+    // in-plan; EventOpsSpec additionally bounds the raw estimate)
+    "events_approx_distinct" -> ((s, dir) =>
+      EventOps.approxDistinctUsersChecked(Tables.events(s, dir))),
+    // DataSketches HLL: same envelope treatment, plus merge_mismatches
+    // asserting union-of-daily ≡ one direct sketch (register-wise max
+    // is order-free, so a mismatch means the mergeable contract broke)
+    "events_distinct_sketch" -> ((s, dir) =>
+      EventOps.distinctUsersSketchMergeChecked(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(Tables.events(s, dir))),
-    // sketch path: GK summary internals aren't portable — rows-only;
-    // EventOpsSpec bounds the error vs the exact percentiles
+    // sketch path: GK summary internals aren't portable, so the oracled
+    // surface is the envelope form — exact percentiles + violations of
+    // the p±0.01 bracket, zero-asserted by DuckDB
     "events_percentiles_approx" -> ((s, dir) =>
-      EventOps.valuePercentilesApprox(Tables.events(s, dir))),
+      EventOps.valuePercentilesApproxChecked(Tables.events(s, dir))),
     "events_cube" -> ((s, dir) => EventOps.cubeByTypeDay(Tables.events(s, dir))),
     "events_histogram" -> ((s, dir) => EventOps.valueHistogram(Tables.events(s, dir))),
     "events_corr" -> ((s, dir) => EventOps.valueHourCorr(Tables.events(s, dir))),
     "events_mad" -> ((s, dir) => EventOps.valueMad(Tables.events(s, dir))),
     "events_transitions" -> ((s, dir) => EventOps.typeTransitions(Tables.events(s, dir))),
-    // Misra-Gries sketch state is merge-order-dependent — rows-only;
-    // HeavyHittersSpec pins the survival + error-bound guarantees
-    "events_heavy_hitters" -> ((s, dir) => EventOps.heavyUsers(Tables.events(s, dir))),
+    // Misra-Gries counter values are merge-order-dependent, so the
+    // oracled surface is the guarantee form: exact heavy-user counts +
+    // missed_survivors/bound_violations, both deterministically zero
+    // under the PODS'12 merge rule and zero-asserted by DuckDB
+    // (HeavyHittersSpec still pins the guarantees on adversarial splits)
+    "events_heavy_hitters" -> ((s, dir) => EventOps.heavyUsersChecked(Tables.events(s, dir))),
     "doc_normalize" -> ((s, dir) => TextOps.docNormalize(Tables.documents(s, dir))),
     "customer_order_span" -> ((s, dir) => Analytics.customerOrderSpan(s, dir)),
     "market_share" -> ((s, dir) => Analytics.marketShare(s, dir)),
@@ -2769,6 +2778,40 @@ object SparkEntry {
          |q AS (SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS ps FROM e GROUP BY 1)
          |SELECT event_type, round(ps[1], 6) AS p50, round(ps[2], 6) AS p90,
          |       round(ps[3], 6) AS p99 FROM q""".stripMargin,
+    // The four sketch queries oracle their ERROR ENVELOPE, not their
+    // merge-order-dependent raw estimates (graduated from rows-only in
+    // r10): DuckDB computes the exact side of each contract and asserts
+    // the violation counters are zero — Spark computes them FROM the
+    // live sketch, so a sketch drifting outside its guarantee
+    // hash-mismatches and turns the round red.
+    "events_approx_distinct" ->
+      s"""WITH $eventsCte
+         |SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+         |       CAST(0 AS BIGINT) AS bound_violations
+         |FROM e GROUP BY 1""".stripMargin,
+    "events_distinct_sketch" ->
+      s"""WITH $eventsCte
+         |SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+         |       CAST(0 AS BIGINT) AS bound_violations,
+         |       CAST(0 AS BIGINT) AS merge_mismatches
+         |FROM e GROUP BY 1""".stripMargin,
+    "events_percentiles_approx" ->
+      s"""WITH $eventsCte,
+         |q AS (SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS ps FROM e GROUP BY 1)
+         |SELECT event_type, round(ps[1], 6) AS p50_exact, round(ps[2], 6) AS p90_exact,
+         |       round(ps[3], 6) AS p99_exact, CAST(0 AS BIGINT) AS bound_violations
+         |FROM q""".stripMargin,
+    "events_heavy_hitters" ->
+      s"""WITH $eventsCte,
+         |pu AS (SELECT event_type, user_id, COUNT(*) AS n_u FROM e GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(SUM(n_u) AS BIGINT) AS n_events FROM pu GROUP BY 1)
+         |SELECT t.event_type, t.n_events,
+         |  CAST(COALESCE(SUM(CASE WHEN pu.n_u > t.n_events / 17.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_heavy_exact,
+         |  CAST(0 AS BIGINT) AS missed_survivors,
+         |  CAST(0 AS BIGINT) AS bound_violations
+         |FROM t JOIN pu ON pu.event_type = t.event_type
+         |GROUP BY 1, 2""".stripMargin,
     "events_drift_psi" ->
       s"""WITH $eventsCte,
          |cnt AS (SELECT date_trunc('week', ts)::date AS week, event_type, COUNT(*) AS c

@@ -96,6 +96,26 @@ object EventOps {
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
 
+  /** Error-envelope form of [[distinctUsersSketchMerge]] (see
+    * [[approxDistinctUsersChecked]] for the pattern): emits the exact
+    * cardinality, violations of the 10%/±2 envelope, and
+    * `merge_mismatches` — union-of-daily-sketches vs one direct sketch
+    * over the same rows. HLL union is register-wise max, so the two are
+    * IDENTICAL by construction for equal lgK; a nonzero mismatch means
+    * the mergeable-summaries contract itself broke. DuckDB asserts both
+    * columns zero. */
+  def distinctUsersSketchMergeChecked(events: DataFrame): DataFrame =
+    distinctUsersSketchMerge(events)
+      .join(events.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_users"),
+          countDistinct(col("user_id")).as("n_users_exact")), Seq("event_type"))
+      .select(col("event_type"), col("n_users_exact"),
+        when(abs(col("approx_users") - col("n_users_exact")).cast("double") >
+            greatest(col("n_users_exact").cast("double") * 0.1, lit(2.0)), 1L)
+          .otherwise(0L).as("bound_violations"),
+        when(col("approx_users") =!= col("direct_users"), 1L)
+          .otherwise(0L).as("merge_mismatches"))
+
   /** Fixed-width value histogram per event type: bin = `floor(value /
     * width)`, one map-side-combined aggregation on (type, bin). The bin
     * arithmetic is pure IEEE double ops (divide, floor), so both engines
@@ -179,6 +199,47 @@ object EventOps {
       .select(col("event_type"), posexplode(col("sk")).as(Seq("i", "e")))
       .select(col("event_type"), col("e._1").as("user_id"),
         col("e._2").as("est_count"), (col("i") + 1).cast("int").as("rank"))
+  }
+
+  /** Error-envelope form of [[heavyUsers]] (see
+    * [[approxDistinctUsersChecked]] for the pattern): the sketch's
+    * counter VALUES and its beyond-guarantee tail entries are
+    * merge-order-dependent, but Misra–Gries' two guarantees are not —
+    * every item with true frequency > n/(k+1) survives, and every
+    * estimate ĉ sits in [c − n/(k+1), c]. Emitted per type: the exact
+    * row count, the exact heavy-user count, `missed_survivors` (exact
+    * heavy users absent from the sketch) and `bound_violations`
+    * (reported entries outside the estimate envelope) — both
+    * deterministically ZERO whenever the PODS'12 merge rule holds, so
+    * DuckDB recomputes the exact side and asserts exactly that. */
+  def heavyUsersChecked(events: DataFrame, k: Int = 16): DataFrame = {
+    val sk = heavyUsers(events, k)
+    val perUser = events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_u"))
+    val totals = events.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    val bound = col("n_events").cast("double") / (k + 1)
+    val entryViolations = sk
+      .join(perUser, Seq("event_type", "user_id"))
+      .join(broadcast(totals), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("est_count") > col("n_u") ||
+          (col("n_u") - col("est_count")).cast("double") > bound, 1L)
+        .otherwise(0L)).as("bound_violations"))
+    val survivors = perUser
+      .join(broadcast(totals), Seq("event_type"))
+      .filter(col("n_u").cast("double") > bound)
+      .join(sk.select(col("event_type"), col("user_id"), lit(1).as("in_sk")),
+        Seq("event_type", "user_id"), "left")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_heavy_exact"),
+        sum(when(col("in_sk").isNull, 1L).otherwise(0L)).as("missed_survivors"))
+    totals
+      .join(entryViolations, Seq("event_type"), "left")
+      .join(survivors, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_events"),
+        coalesce(col("n_heavy_exact"), lit(0L)).as("n_heavy_exact"),
+        coalesce(col("missed_survivors"), lit(0L)).as("missed_survivors"),
+        coalesce(col("bound_violations"), lit(0L)).as("bound_violations"))
   }
 
   /** First-order journey transition matrix: counts of consecutive
@@ -487,6 +548,34 @@ object EventOps {
         round(element_at(col("ps"), 3), 6).as("p99"))
   }
 
+  /** Error-envelope form of [[valuePercentilesApprox]] (see
+    * [[approxDistinctUsersChecked]] for the pattern): the GK summary at
+    * `accuracy` guarantees rank error ≤ 1/accuracy; the check brackets
+    * each approximate quantile between the EXACT interpolated
+    * percentiles at p ± 0.01 — two orders of magnitude looser than the
+    * guarantee, but a real envelope (a sketch answering p50 with the
+    * p55 value fails it). The exact percentiles are oracle-portable
+    * (events_percentiles proves the cross-engine agreement), so DuckDB
+    * recomputes them and asserts zero violations. */
+  def valuePercentilesApproxChecked(events: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val slack = 0.01
+    val qs = Seq(0.5, 0.9, 0.99)
+    val lo = percentile(col("value"), array(qs.map(q => lit(q - slack)): _*))
+    val hi = percentile(col("value"), array(qs.map(q => lit(q + slack)): _*))
+    val ex = percentile(col("value"), array(qs.map(q => lit(q)): _*))
+    valuePercentilesApprox(events, accuracy)
+      .join(events.groupBy(col("event_type"))
+        .agg(lo.as("lo"), hi.as("hi"), ex.as("ex")), Seq("event_type"))
+      .select(col("event_type"),
+        round(element_at(col("ex"), 1), 6).as("p50_exact"),
+        round(element_at(col("ex"), 2), 6).as("p90_exact"),
+        round(element_at(col("ex"), 3), 6).as("p99_exact"),
+        (Seq(("p50", 1), ("p90", 2), ("p99", 3)).map { case (nm, i) =>
+          when(col(nm) < element_at(col("lo"), i) ||
+            col(nm) > element_at(col("hi"), i), 1L).otherwise(0L)
+        }.reduce(_ + _)).as("bound_violations"))
+  }
+
   /** Cross-user activity within "hot windows": the busy sessions of a
     * user cohort become intervals; EVERY event (any user) landing inside
     * a window is counted against it. A genuine unkeyed interval join —
@@ -557,6 +646,26 @@ object EventOps {
   def approxDistinctUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
     events.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+
+  /** Error-envelope form of [[approxDistinctUsers]] — the ORACLE-GRADE
+    * output for a sketch whose raw estimate is merge-order-dependent
+    * and so can never hash-match a replay in another engine. The sketch
+    * still runs (same plan, same HLL++ aggregate); what's EMITTED is
+    * the deterministic contract around it: the exact cardinality and a
+    * violation count against the documented error envelope
+    * (|approx − exact| ≤ max(5·rsd·exact, 2) — 5 standard deviations of
+    * the HLL++ rsd, with an absolute floor for tiny groups). DuckDB
+    * computes the exact side and asserts zero violations, so a sketch
+    * drifting out of its guarantee turns the round red — a STRONGER
+    * check than the rows-only count this query used to get. */
+  def approxDistinctUsersChecked(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    approxDistinctUsers(events, rsd)
+      .join(events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users_exact")), Seq("event_type"))
+      .select(col("event_type"), col("n_users_exact"),
+        when(abs(col("n_users_approx") - col("n_users_exact")).cast("double") >
+            greatest(col("n_users_exact").cast("double") * (5 * rsd), lit(2.0)), 1L)
+          .otherwise(0L).as("bound_violations"))
 
   /** Week-over-week drift of the event-type mix — each week's type
     * distribution PSI-scored against the PREVIOUS week's (same
