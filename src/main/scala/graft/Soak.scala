@@ -497,9 +497,11 @@ object Soak {
       if (runLshRecall) lshRecall(sfDir) else (1.0, 0L, 0L, 0L, 0L)
     val (recallSoak, hitS, truthS, crossS, lshWithinS) =
       if (runLshRecall) lshRecall(dataDir) else (1.0, 0L, 0L, 0L, 0L)
-    // floor: within 0.2 of the 1x recall and never below 0.3 absolute
+    // the PRODUCTION recall contract (r10): the shipped near-dup default
+    // (targetRecall = 0.9, multi-probe) must hold >= 0.9 at BOTH scales
+    // — not merely "not collapse" (measured 0.938 at 1x, 0.927 at 10x)
     val recallOk = !runLshRecall ||
-      (recallSoak >= recallBase - 0.2 && recallSoak >= 0.3)
+      (recallBase >= 0.9 && recallSoak >= 0.9)
     // THE pair-grain scale invariants, on within-replica mass (the part
     // the orthogonal decorrelation makes exactly replica-isomorphic;
     // cross-replica mass is the metric space's chance tail — reported,

@@ -833,14 +833,14 @@ object SparkEntry {
   private val MaxOracleTables = 16
 
   /** [[duckLshPlanes]] extended with the [[graft.ops.VectorOps
-    * .sizedTables]] recall dial: `tables` derives from the
+    * .sizedTablesMp]] recall dial: `tables` derives from the
     * count-computed `planes` through a Scala-generated CASE — the
     * mapping is evaluated by the SAME Scala function the operator
     * uses, so no floating-point (acos/ln) ever replays in SQL. */
   private def duckLshPlanesTables(countSql: String, slack: Int,
-      targetCos: Double): String = {
+      targetCos: Double, targetRecall: Double): String = {
     val cases = (2 to MaxOraclePlanes).map { p =>
-      val t = graft.ops.VectorOps.sizedTables(p, targetCos)
+      val t = graft.ops.VectorOps.sizedTablesMp(p, targetCos, targetRecall)
       if (t > MaxOracleTables)
         s"WHEN $p THEN CAST(error('lsh oracle: tables exceed generated arms') AS INT)"
       else s"WHEN $p THEN $t"
@@ -850,13 +850,24 @@ object SparkEntry {
   }
 
   /** Dynamic-table twin of [[duckLshBanded]]: every generated arm is
-    * masked by the count-derived `pl.tables`. */
+    * masked by the count-derived `pl.tables`. Also derives `pk`, the
+    * Hamming-1 MULTI-PROBE bucket set ([[graft.ops.VectorOps]]'s
+    * `bandedProbes`): per (vector, table), the base bucket plus every
+    * single-bit flip of it — pure XOR arithmetic on the packed key, so
+    * the probed bucket set replays exactly. Each oracle joins its probe
+    * side from `pk` and its build side from `bk`, mirroring the
+    * operator's asymmetric banding. */
   private def duckLshBandedDyn(): String =
     s"""p AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
        |bk AS (
        |${(0 until MaxOracleTables).map(t =>
           s"  SELECT vec_id, $t AS t, ${duckLshBucket("vd", t)} AS b FROM p, pl WHERE $t < pl.tables")
           .mkString("\n  UNION ALL\n")}
+       |),
+       |pk AS (
+       |  SELECT vec_id, t,
+       |         CASE WHEN ii.i = 0 THEN b ELSE xor(b, 1::BIGINT << (ii.i - 1)) END AS b
+       |  FROM bk, pl, UNNEST(generate_series(0, pl.planes)) AS ii(i)
        |)""".stripMargin
 
   /** CTE chain replaying [[graft.ops.VectorOps.kmeans]]'s full Lloyd
@@ -3004,23 +3015,23 @@ object SparkEntry {
          |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc)
          |WHERE rn <= 5""".stripMargin,
     "embedding_neardup_lsh" ->
-      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings", 5, 0.45)},
+      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings", 5, 0.45, 0.9)},
          |${duckLshBandedDyn()},
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bk a JOIN bk b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+         |  FROM pk a JOIN bk b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
          |sc AS (
          |  SELECT vec_a, vec_b, round(${duckCosine("ea.embedding", "eb.embedding")}, 6) AS cos_sim
          |  FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
          |            JOIN embeddings eb ON eb.vec_id = vec_b)
          |SELECT vec_a, vec_b, cos_sim FROM sc WHERE cos_sim >= 0.45""".stripMargin,
     "embedding_neardup_delta_lsh" ->
-      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings", 5, 0.45)},
+      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings", 5, 0.45, 0.9)},
          |${duckLshBandedDyn()},
          |cand AS (
          |  SELECT DISTINCT least(i.vec_id, c.vec_id) AS vec_a,
          |         greatest(i.vec_id, c.vec_id) AS vec_b
-         |  FROM bk i JOIN bk c ON i.t = c.t AND i.b = c.b AND i.vec_id != c.vec_id
+         |  FROM pk i JOIN bk c ON i.t = c.t AND i.b = c.b AND i.vec_id != c.vec_id
          |  WHERE i.vec_id % 10 = 0),
          |sc AS (
          |  SELECT vec_a, vec_b, round(${duckCosine("ea.embedding", "eb.embedding")}, 6) AS cos_sim
@@ -3028,11 +3039,11 @@ object SparkEntry {
          |            JOIN embeddings eb ON eb.vec_id = vec_b)
          |SELECT vec_a, vec_b, cos_sim FROM sc WHERE cos_sim >= 0.45""".stripMargin,
     "knn_join" ->
-      s"""WITH ${duckLshPlanes("SELECT count(*) FROM embeddings WHERE vec_id % 7 != 0", 5)},
-         |${duckLshBanded(8)},
+      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings WHERE vec_id % 7 != 0", 5, 0.7, 0.8)},
+         |${duckLshBandedDyn()},
          |cand AS (
          |  SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
-         |  FROM bk l JOIN bk r ON l.t = r.t AND l.b = r.b
+         |  FROM pk l JOIN bk r ON l.t = r.t AND l.b = r.b
          |  WHERE l.vec_id % 7 = 0 AND r.vec_id % 7 != 0),
          |sc AS (
          |  SELECT left_id, right_id,
@@ -3154,11 +3165,11 @@ object SparkEntry {
     // argmax tie-breaks (votes desc, label asc), mean_sim replays the
     // same 6dp-rounded ratio of summed partials
     "knn_label_prop_lsh" ->
-      s"""WITH ${duckLshPlanes("SELECT count(*) FROM embeddings WHERE vec_id % 5 != 0", 7)},
-         |${duckLshBanded(8)},
+      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings WHERE vec_id % 5 != 0", 7, 0.7, 0.8)},
+         |${duckLshBandedDyn()},
          |cand AS (
          |  SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
-         |  FROM bk l JOIN bk r ON l.t = r.t AND l.b = r.b
+         |  FROM pk l JOIN bk r ON l.t = r.t AND l.b = r.b
          |  WHERE l.vec_id % 5 = 0 AND r.vec_id % 5 != 0),
          |sc AS (
          |  SELECT query_id, neighbor_id,
@@ -3186,11 +3197,11 @@ object SparkEntry {
     // (cos desc, cand_id) over the >= minPos slice (the Spark side's
     // min(struct(-cos, id)) argmax), negatives = top-2 of the band
     "contrastive_triplets" ->
-      s"""WITH ${duckLshPlanes("SELECT count(*) FROM embeddings", 7)},
-         |${duckLshBanded(8)},
+      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings", 7, 0.3, 0.7)},
+         |${duckLshBandedDyn()},
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS cand_id
-         |  FROM bk a JOIN bk b ON a.t = b.t AND a.b = b.b AND a.vec_id != b.vec_id),
+         |  FROM pk a JOIN bk b ON a.t = b.t AND a.b = b.b AND a.vec_id != b.vec_id),
          |scored AS (
          |  SELECT anchor_id, cand_id,
          |         round(${duckCosine("ae.embedding", "ce.embedding")}, 6) AS cos

@@ -83,6 +83,71 @@ object VectorOps {
     math.min(64, math.max(4, t.toInt))
   }
 
+  /** The former near-dup default recall, kept as an EXPLICIT cheap mode:
+    * a detector that misses half its true pairs is a diagnostic setting,
+    * not a production default (r9 verdict finding #1). */
+  val CheapRecall: Double = 0.46
+
+  /** [[sizedTables]] for the MULTI-PROBE regime ([[bandedProbes]]):
+    * probing every Hamming-1 neighbor of the query's bucket raises the
+    * per-table collision probability from c^planes to
+    * `P₁ = c^planes + planes·c^(planes−1)·(1−c)` (the pair may disagree
+    * on at most ONE plane), so far fewer tables hold the same recall —
+    * T = ln(1−R)/ln(1−P₁), the Lv et al. (VLDB'07) trade of probe count
+    * for table count. This is what makes a PRODUCTION recall default
+    * (0.9) affordable: at sf0.1 geometry (planes 6, cos 0.45) plain
+    * tables need T = 30 for R = 0.9 and blow past the table cap by
+    * ×10 data (T = 113 at planes 10 — recall silently broken); the
+    * probed form needs T = 7 and T = 26 respectively, inside the cap,
+    * so the contract HOLDS at soak scale. All-flips probing (rather
+    * than margin-ranked q-probing) is chosen deliberately: its
+    * collision probability is closed-form (sizing stays analytic) and
+    * its bucket set is pure XOR arithmetic on the packed key — exactly
+    * replayable in the DuckDB oracles, where margin ranking would drag
+    * the per-plane dot margins into SQL. Cap 32 bounds the banding
+    * explode (recall degrades gracefully past the cap — documented, not
+    * silent: ~0.85 at 100× for the near-dup geometry). */
+  private[graft] def sizedTablesMp(planes: Int, targetCos: Double,
+      targetRecall: Double = 0.9): Int = {
+    val c = 1.0 - math.acos(targetCos) / math.Pi
+    val perTable = math.min(0.999999,
+      math.pow(c, planes) * (1.0 + planes * (1.0 - c) / c))
+    val t = math.ceil(math.log1p(-targetRecall) / math.log1p(-perTable))
+    math.min(32, math.max(2, t.toInt))
+  }
+
+  /** BUILD-side banding: one (t, bucket) row per table — the stored
+    * half of every LSH join in this object. */
+  private def bandedBase(p: DataFrame, idAs: String, tbl: Int, pln: Int,
+      dims: Int): DataFrame = p.select(
+    col("vec_id").as(idAs),
+    explode(array((0 until tbl).map(t =>
+      struct(lit(t).as("t"),
+        graft.functions.VectorFns.lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*))
+      .as("tb"))
+
+  /** PROBE-side banding with Hamming-1 multi-probe: per table, the base
+    * bucket PLUS every single-bit flip of it — `tbl × (pln + 1)` rows
+    * per vector. Joined against [[bandedBase]], a pair collides when
+    * its two bucket keys differ in ≤ 1 plane, the P₁ regime
+    * [[sizedTablesMp]] sizes for. Buckets are computed ONCE per table
+    * (first projection), then flipped with pure XOR — the flip fan-out
+    * never re-evaluates the plane dot products. */
+  private def bandedProbes(p: DataFrame, idAs: String, tbl: Int, pln: Int,
+      dims: Int): DataFrame = {
+    val withB = p.select(
+      col("vec_id").as(idAs),
+      array((0 until tbl).map(t =>
+        graft.functions.VectorFns.lshBucket(col("vd"), pln, dims, seed = t)): _*).as("bs"))
+    withB.select(
+      col(idAs),
+      explode(array((for { t <- 0 until tbl; f <- 0 to pln } yield {
+        val base = element_at(col("bs"), t + 1)
+        struct(lit(t).as("t"),
+          (if (f == 0) base else base.bitwiseXOR(lit(1L << (f - 1)))).as("b"))
+      }): _*)).as("tb"))
+  }
+
   /** (vec_id, vd: array<double>, nrm) — embedding widened once, norm
     * precomputed. */
   private[graft] def prepared(embeddings: DataFrame): DataFrame = {
@@ -694,24 +759,23 @@ object VectorOps {
     * orientations, hence the distinct on ids before vector fetch. */
   def nearDupEmbeddingIncrementalLsh(existing: DataFrame, incoming: DataFrame,
       minCos: Double = 0.45, planes: Int = AutoPlanes, tables: Int = AutoTables,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, targetRecall: Double = 0.9): DataFrame = {
     // Auto-sized from the corpus side (existing ∪ incoming): slack 5 ≈
     // 32/bucket/table reproduces the former planes=6 at sf0.1 and keeps
     // per-delta-row candidate volume ≈ tables × occupancy as N grows;
-    // tables track planes to hold recall at minCos (sizedTables).
+    // tables track planes to hold PRODUCTION recall (0.9 default —
+    // CheapRecall restores the former diagnostic setting) at minCos
+    // under the multi-probe regime: the DELTA side probes all Hamming-1
+    // buckets, the corpus side stores one row per table, so the big
+    // side's banding shrinks ~4× vs plain tables at equal recall.
     val pln =
       if (planes > 0) planes
       else sizedPlanes(existing.count() + incoming.count(), slack = 5)
-    val tbl = if (tables > 0) tables else sizedTables(pln, minCos)
+    val tbl = if (tables > 0) tables else sizedTablesMp(pln, minCos, targetRecall)
     val all = prepared(existing.unionByName(incoming))
     val inc = prepared(incoming)
-    def banded(p: DataFrame, idAs: String): DataFrame = p.select(
-      col("vec_id").as(idAs),
-      explode(array((0 until tbl).map(t =>
-        struct(lit(t).as("t"),
-          lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*)).as("tb"))
-    val cand = banded(inc, "inc_id")
-      .join(banded(all, "cand_id"), Seq("tb"))
+    val cand = bandedProbes(inc, "inc_id", tbl, pln, dims)
+      .join(bandedBase(all, "cand_id", tbl, pln, dims), Seq("tb"))
       .filter(col("inc_id") =!= col("cand_id"))
       .select(
         least(col("inc_id"), col("cand_id")).as("vec_a"),
@@ -737,29 +801,33 @@ object VectorOps {
     * Exact cosine still decides membership, so precision is exact; only
     * recall is approximate (VectorOpsSpec pins it on planted twins). */
   def nearDupEmbeddingLsh(embeddings: DataFrame, minCos: Double = 0.45,
-      planes: Int = AutoPlanes, tables: Int = AutoTables, dims: Int = 64): DataFrame = {
+      planes: Int = AutoPlanes, tables: Int = AutoTables, dims: Int = 64,
+      targetRecall: Double = 0.9): DataFrame = {
     // Self-join: candidates ≈ N²/2^planes, so planes must track log2(N)
     // to keep them ≈ N × occupancy (slack 5 reproduces planes=6 at
     // sf0.1), and tables must track planes to hold the recall contract
-    // at minCos (see sizedTables — the n^(1+ρ) trade, spent knowingly).
+    // at minCos. The default recall is PRODUCTION grade (0.9 — a dedup
+    // detector that misses half its true pairs leaks duplicates at
+    // exactly the scale this targets; pass targetRecall = CheapRecall
+    // for the former diagnostic setting), affordable because the lower
+    // side multi-probes Hamming-1 buckets — see [[sizedTablesMp]] for
+    // why plain tables cannot hold 0.9 here (T = 113 at ×10, past any
+    // sane cap) and the probed form can (T = 26).
     val pln = if (planes > 0) planes else sizedPlanes(embeddings.count(), slack = 5)
-    val tbl = if (tables > 0) tables else sizedTables(pln, minCos)
+    val tbl = if (tables > 0) tables else sizedTablesMp(pln, minCos, targetRecall)
     val p = prepared(embeddings)
-    // Same ids-only discipline as [[annLsh]]: the bucket self-join and the
+    // Same ids-only discipline as [[annLsh]]: the bucket joins and the
     // pair dedup move (vec_id, band) rows only; each UNIQUE candidate pair
     // then fetches its two vectors once. Shuffle volume drops from
     // O(candidates × dims) doubles to O(candidates) longs — at corpus
     // scale the candidate multiset (one row per shared table) is the
-    // biggest intermediate this operator produces.
-    val banded = p.select(
-      col("vec_id"),
-      explode(array((0 until tbl).map(t =>
-        struct(lit(t).as("t"),
-          lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*)).as("tb"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.tb") === col("b.tb") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    // biggest intermediate this operator produces. Orientation: the
+    // lower id probes, the higher id stores — each unordered pair is
+    // tested exactly once under the ≤1-flipped-plane collision rule.
+    val cand = bandedProbes(p, "vec_a", tbl, pln, dims).as("a")
+      .join(bandedBase(p, "vec_b", tbl, pln, dims).as("b"),
+        col("a.tb") === col("b.tb") && col("a.vec_a") < col("b.vec_b"))
+      .select(col("a.vec_a").as("vec_a"), col("b.vec_b").as("vec_b"))
       .distinct()
     val va = p.select(col("vec_id").as("vec_a"), col("vd").as("da"), col("nrm").as("na"))
     val vb = p.select(col("vec_id").as("vec_b"), col("vd").as("db"), col("nrm").as("nb"))
@@ -794,22 +862,23 @@ object VectorOps {
     * Returns (anchor_id, pos_id, pos_cos, neg_id, neg_cos, neg_rank). */
   def contrastiveTriplets(embeddings: DataFrame, minPos: Double = 0.8,
       negLo: Double = 0.3, negHi: Double = 0.6, perAnchor: Int = 2,
-      planes: Int = AutoPlanes, tables: Int = 8, dims: Int = 64): DataFrame = {
+      planes: Int = AutoPlanes, tables: Int = AutoTables, dims: Int = 64,
+      targetRecall: Double = 0.7): DataFrame = {
     // Wider buckets than the near-dup family (slack 7 ≈ 128/bucket/table,
     // reproducing the former planes=4 at sf0.1): the mid-cosine negative
     // band needs recall, and the width still tracks log2(N) so the
     // banded self-join stays ≈ N × occupancy instead of going quadratic.
+    // Tables auto-size for the HARDEST member of the band — candidates
+    // down at cos = negLo — under anchor-side multi-probe; the recall
+    // target is softer than the dedup family's (hard-negative mining
+    // tolerates misses; a dedup detector doesn't).
     val pln = if (planes > 0) planes else sizedPlanes(embeddings.count(), slack = 7)
+    val tbl = if (tables > 0) tables else sizedTablesMp(pln, negLo, targetRecall)
     val p = prepared(embeddings)
-    val banded = p.select(
-      col("vec_id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*)).as("tb"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.tb") === col("b.tb") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("anchor_id"), col("b.vec_id").as("cand_id"))
+    val cand = bandedProbes(p, "anchor_id", tbl, pln, dims).as("a")
+      .join(bandedBase(p, "cand_id", tbl, pln, dims).as("b"),
+        col("a.tb") === col("b.tb") && col("a.anchor_id") =!= col("b.cand_id"))
+      .select(col("a.anchor_id").as("anchor_id"), col("b.cand_id").as("cand_id"))
       .distinct()
     tripletsFromCandidates(p, cand, minPos, negLo, negHi, perAnchor)
   }
@@ -927,7 +996,7 @@ object VectorOps {
     * rows-only in verify; VectorOpsSpec pins agreement with the exact arm
     * on the vectors whose neighborhoods survive blocking. */
   def knnLabelPropLsh(embeddings: DataFrame, k: Int = 5, maskMod: Int = 5,
-      planes: Int = AutoPlanes, tables: Int = 8, dims: Int = 64): DataFrame = {
+      planes: Int = AutoPlanes, tables: Int = AutoTables, dims: Int = 64): DataFrame = {
     val unl = embeddings.filter(pmod(col("vec_id"), lit(maskMod)) === 0)
     val lab = embeddings.filter(pmod(col("vec_id"), lit(maskMod)) =!= 0)
     // Votes need k GOOD labeled candidates per query, so this arm keeps
@@ -988,17 +1057,22 @@ object VectorOps {
     * holding per-left candidate volume at ≈ tables × 32 as N grows; an
     * explicit positive `planes` overrides (and skips the count job). */
   def knnJoinLsh(left: DataFrame, right: DataFrame, k: Int = 3,
-      planes: Int = AutoPlanes, tables: Int = 8, dims: Int = 64): DataFrame = {
+      planes: Int = AutoPlanes, tables: Int = AutoTables, dims: Int = 64,
+      targetCos: Double = 0.7, targetRecall: Double = 0.8): DataFrame = {
     val pln = if (planes > 0) planes else sizedPlanes(right.count(), slack = 5)
+    // Tables auto-size for neighbors at `targetCos` under query-side
+    // multi-probe (sizedTablesMp): the recall dial is explicit instead
+    // of a frozen table count whose effective recall silently decayed
+    // as auto-planes narrowed with the corpus (the r9 fixed default).
+    // The CORPUS side — the big one — stores one row per table, so its
+    // banding shrinks with the probed table count (3 vs the former 8 at
+    // sf0.1 geometry); the (m+1)-bucket probe fan-out rides the small
+    // query side.
+    val tbl = if (tables > 0) tables else sizedTablesMp(pln, targetCos, targetRecall)
     val pl = prepared(left)
     val pr = prepared(right)
-    def banded(p: DataFrame, idAs: String): DataFrame = p.select(
-      col("vec_id").as(idAs),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*)).as("tb"))
-    val cand = banded(pl, "left_id")
-      .join(banded(pr, "right_id"), Seq("tb"))
+    val cand = bandedProbes(pl, "left_id", tbl, pln, dims)
+      .join(bandedBase(pr, "right_id", tbl, pln, dims), Seq("tb"))
       .select(col("left_id"), col("right_id"))
       .distinct()
     val lv = pl.select(col("vec_id").as("left_id"), col("vd").as("ld"), col("nrm").as("ln"))

@@ -262,6 +262,31 @@ class VectorOpsSpec extends AnyFunSuite {
       s"recall ${(exact & lsh).size}/${exact.size}")
   }
 
+  test("near-dup LSH holds the production recall contract (>= 0.9) on real testdata") {
+    // The r9 default (targetRecall = 0.46) missed half the true pairs at
+    // threshold — the one number a curation user would reject. This pin
+    // measures the SHIPPED default against the exact arm on the real
+    // sf0.001 embeddings (500 gaussian vectors, chance-dominated pairs —
+    // the hard regime for LSH; planted-twin tests cover the easy one).
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = VectorOps.nearDupEmbedding(emb)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.nearDupEmbeddingLsh(emb)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "sf0.001 should have pairs at the default threshold")
+    assert(lsh.subsetOf(exact), "exact-cosine filter must make precision exact")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"default recall $recall (${(exact & lsh).size}/${exact.size})")
+    // and the explicit cheap mode stays available (weaker, cheaper)
+    val cheap = VectorOps.nearDupEmbeddingLsh(emb,
+        targetRecall = VectorOps.CheapRecall)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cheap.subsetOf(exact))
+  }
+
   test("kNN join finds each planted twin as its query's top-1 neighbor") {
     // left = the 5 twin vectors (100..104), right = the 60 base vectors:
     // twin i's nearest base neighbor is i (cos ≈ 0.999) by construction.
