@@ -247,6 +247,16 @@ object Bench {
         // flagship training-data main gets a measured number too
         val corDir = java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString
         opExec("corpus_run")(CorpusRun.main(Array(sfDir, corDir)))
+        // indexed-admission twin (SPARK_GRAFT_INGEST_STATE): the cold
+        // run builds the persisted ingest state from its admissions, the
+        // warm run probes it — the funnel's exact-dedup stage at
+        // delta-proportional cost instead of a per-run corpus dedup
+        val corIdxDir = java.nio.file.Files.createTempDirectory("graft-bench-corpus-idx").toString
+        sys.props("SPARK_GRAFT_INGEST_STATE") = s"$corIdxDir/state"
+        try {
+          opExec("corpus_run_indexed_cold")(CorpusRun.main(Array(sfDir, s"$corIdxDir/out1")))
+          opExec("corpus_run_indexed_warm")(CorpusRun.main(Array(sfDir, s"$corIdxDir/out2")))
+        } finally sys.props.remove("SPARK_GRAFT_INGEST_STATE")
         // training export: shard write + manifest consistency + the
         // re-export determinism check (two full writes by design)
         val expDir = java.nio.file.Files.createTempDirectory("graft-bench-export").toString

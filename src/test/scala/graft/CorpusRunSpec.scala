@@ -89,4 +89,38 @@ class CorpusRunSpec extends AnyFunSuite {
       kept.select(col("doc_id"), col("split")), 0.8)
     assert(leaks.count() == 0, "cluster-keyed splits must not leak")
   }
+
+  test("indexed admission over id-ordered batches equals the batch funnel; re-runs are no-ops") {
+    val base = "/root/testdata/sf0.001"
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def keptIds(out: String): Set[Long] =
+      spark.read.parquet(s"$out/kept").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    // batch 1 = the id-ordered prefix; batch 2 = the full input
+    // (re-submissions of batch 1 plus the new tail)
+    val b1Dir = tmp("graft-b1-sf")
+    Tables.documents(spark, base).filter(col("doc_id") < 250)
+      .write.parquet(s"$b1Dir/documents.parquet")
+    val (outFull, outB1, outB2, outRe) =
+      (tmp("graft-cr-full"), tmp("graft-cr-b1"), tmp("graft-cr-b2"), tmp("graft-cr-re"))
+    CorpusRun.main(Array(base, outFull)) // the ungated batch truth
+    sys.props("SPARK_GRAFT_INGEST_STATE") = tmp("graft-cr-state") + "/state"
+    sys.props("SPARK_GRAFT_PSI_MAX") = "10" // half-corpus PSI is not under test
+    try {
+      CorpusRun.main(Array(b1Dir, outB1)) // cold start: probes nothing, builds state
+      CorpusRun.main(Array(base, outB2))  // warm: probes batch-1 admissions
+      CorpusRun.main(Array(base, outRe))  // identical re-submission
+    } finally {
+      sys.props.remove("SPARK_GRAFT_INGEST_STATE")
+      sys.props.remove("SPARK_GRAFT_PSI_MAX")
+    }
+    // the warm gated run over the full input publishes EXACTLY the batch
+    // funnel's corpus: earlier-admitted fingerprints keep their original
+    // (lowest-id) holders, re-submitted docs keep themselves
+    assert(keptIds(outB2) == keptIds(outFull),
+      s"gated != batch: only-gated=${(keptIds(outB2) -- keptIds(outFull)).take(5)} " +
+        s"only-batch=${(keptIds(outFull) -- keptIds(outB2)).take(5)}")
+    // and re-running the same batch against the absorbed state is a no-op
+    assert(keptIds(outRe) == keptIds(outB2))
+  }
 }
