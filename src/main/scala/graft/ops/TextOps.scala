@@ -1862,14 +1862,51 @@ object TextOps {
     * count-adjacent-pairs → merge-the-argmax over the word-frequency
     * table (Sennrich et al. 2016). Scale shape: the corpus collapses
     * ONCE to distinct words + counts (the only corpus-sized pass);
-    * every round is then one vocabulary-sized explode + groupBy with a
-    * single 1-row argmax collected to the driver — the same
-    * scalar-probe-per-round pattern the reference's watermark loop
-    * uses, and unavoidable here because round N+1's plan depends on
-    * round N's winner. Word state is localCheckpoint'd each round so
-    * plan depth stays O(1), not O(rounds). Ties break
-    * deterministically (count desc, then pair lexicographic). */
-  def vocabBpe(documents: DataFrame, nMerges: Int = 10): Seq[BpeMerge] = {
+    * training then runs as vocabulary-sized aggregate jobs with small
+    * driver collects. Ties break deterministically (count desc, then
+    * pair lexicographic).
+    *
+    * == Batched rounds: several merges per Spark job ==
+    *
+    * The naive protocol pays one argmax job + one state
+    * materialization PER MERGE — 32k Spark jobs for a real vocabulary.
+    * Each round here instead collects the top-`batchK` ranked pairs and
+    * accepts the longest prefix that is PROVABLY the sequential-greedy
+    * prefix, then applies all accepted merges in one fold + one
+    * checkpoint. The acceptance proof, per candidate `p_i` in rank
+    * order (strictly after `p_1`):
+    *
+    *  - `p_i` shares no symbol with any accepted merge. Disjoint pairs'
+    *    counts are INVARIANT under the accepted merges ("a b"→"ab"
+    *    elsewhere in a word never creates or destroys a (c,d)
+    *    adjacency), so their relative ranks hold. The scan stops at the
+    *    first overlapping candidate: anything an accepted merge might
+    *    have demoted ranked below `p_i` already (demotion only lowers
+    *    counts, and the original tie-break favored `p_i`).
+    *  - `n(p_i)` strictly exceeds every accepted merge's CREATED-pair
+    *    bound: a merge (a,b) only creates pairs touching the new symbol
+    *    `ab` — (x,ab) with count ≤ min(n(x,a), n(a,b)) and (ab,y) with
+    *    count ≤ min(n(b,y), n(a,b)) (the (ab,ab) run case is ≤ n(b,a),
+    *    covered by the (x,a) side). The maxima over n(·,a) / n(b,·)
+    *    come from the COLLECTED top-K rows themselves, floored by the
+    *    K-th count (any pair outside the top-K counts at most that) —
+    *    a sound bound with ZERO extra jobs.
+    *
+    * Under those two conditions the batch replays sequential greedy
+    * EXACTLY (CorpusOpsSpec pins batched ≡ batchK=1 on the real corpus
+    * and both against an independent replay; the generated DuckDB
+    * oracle still replays round-by-round). Applying a batch is ONE
+    * fold: disjointness means at most one rule can fire at any
+    * position, so a single left-to-right pass with a when-chain equals
+    * the sequential per-merge folds. Measured at sf0.1 with
+    * nMerges = 100 (BASELINE.md): the corpus's 89 learnable merges
+    * train in 168 Spark jobs / ~5.9 s warm vs 270 jobs / ~10.3 s for
+    * the strictly-sequential protocol — 1.9 vs 3.0 jobs per merge. The
+    * per-round driver sync is inherent to greedy BPE; batching divides
+    * it by the mean accepted-prefix length, which is what a 32k-merge
+    * vocabulary needs. */
+  def vocabBpe(documents: DataFrame, nMerges: Int = 10,
+      batchK: Int = 16): Seq[BpeMerge] = {
     var words = documents
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
@@ -1879,10 +1916,9 @@ object TextOps {
         col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
-    var round = 0
     var exhausted = false
-    while (round < nMerges && !exhausted) {
-      val top = words
+    while (merges.size < nMerges && !exhausted) {
+      val pairFrame = words
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(transform(
           sequence(lit(1), size(col("syms")) - 1),
@@ -1891,28 +1927,57 @@ object TextOps {
             element_at(col("syms"), i + 1).as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("n"))
+      val top = pairFrame
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
+        .limit(batchK).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        val m = a + b
-        merges += BpeMerge(round + 1, a, b, m, n)
-        // Left-to-right non-overlapping merge of (a,b) within each word:
-        // fold the symbol array, replacing a trailing `a` when `b`
-        // arrives. Words are short, so the per-row fold is cheap.
+        // created-pair bounds from the collected rows alone: a pair
+        // outside the top-K counts at most the K-th count, so
+        // max(n(·,s)) = max(seen in top-K, floor) is sound
+        val floor = if (top.length < batchK) 0L else top.last._3
+        def maxIn(s: String) =
+          math.max(floor, (top.filter(_._2 == s).map(_._3) :+ 0L).max)
+        def maxOut(s: String) =
+          math.max(floor, (top.filter(_._1 == s).map(_._3) :+ 0L).max)
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stop = false
+        top.take(nMerges - merges.size).foreach { case cand @ (a, b, n) =>
+          if (!stop) {
+            val used = accepted.flatMap(m => Seq(m._1, m._2)).toSet
+            val overlaps = used(a) || used(b)
+            val createdBound = accepted.map { case (aj, bj, nj) =>
+              math.max(math.min(maxIn(aj), nj), math.min(maxOut(bj), nj))
+            }.maxOption.getOrElse(Long.MinValue)
+            if (accepted.isEmpty) accepted += cand
+            else if (overlaps || n <= createdBound) stop = true
+            else accepted += cand
+          }
+        }
+        accepted.foreach { case (a, b, n) =>
+          merges += BpeMerge(merges.size + 1, a, b, a + b, n)
+        }
+        // ONE left-to-right non-overlapping fold applies the whole
+        // accepted batch: rules fire on (trailing acc symbol, current
+        // symbol); disjoint symbol sets make the firing rule unique.
         def lt(s: String) = lit(s)
+        val rules = accepted.toSeq
         words = words.select(
           aggregate(col("syms"),
             array().cast("array<string>"),
-            (acc, x) => when(
-              size(acc) > 0 &&
-                element_at(acc, size(acc)) === lt(a) && x === lt(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lt(m))))
-              .otherwise(concat(acc, array(x)))).as("syms"),
+            (acc, x) => {
+              def cond(m: (String, String, Long)) =
+                size(acc) > 0 && element_at(acc, size(acc)) === lt(m._1) && x === lt(m._2)
+              def fire(m: (String, String, Long)) =
+                concat(slice(acc, lit(1), size(acc) - 1), array(lt(m._1 + m._2)))
+              rules.tail
+                .foldLeft(when(cond(rules.head), fire(rules.head)))(
+                  (w, m) => w.when(cond(m), fire(m)))
+                .otherwise(concat(acc, array(x)))
+            }).as("syms"),
           col("cnt"))
           .localCheckpoint()
-        round += 1
       }
     }
     merges.toSeq

@@ -117,6 +117,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.head._3 >= got.last._3)
   }
 
+  test("batched BPE rounds equal the strictly-sequential protocol on real data") {
+    // batchK = 1 IS the per-merge protocol (one argmax, one accept);
+    // the default batches a provably-safe prefix per round. The merge
+    // SEQUENCES must be identical — same pairs, same order, same counts
+    // — on the real corpus, where created-pair bounds and overlap stops
+    // actually fire (the adversarial shapes live in replayBpe above).
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sequential = TextOps.vocabBpe(corpus, 30, batchK = 1)
+    val batched = TextOps.vocabBpe(corpus, 30)
+    assert(batched.map(m => (m.rank, m.left, m.right, m.pair_count)) ===
+      sequential.map(m => (m.rank, m.left, m.right, m.pair_count)))
+  }
+
   test("BPE merges shrink the corpus symbol count monotonically") {
     val corpus = docs(1L -> "aaab aaab aaab bbba bbba cab")
     val merges = TextOps.vocabBpe(corpus, 5)
