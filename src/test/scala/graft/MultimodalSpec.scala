@@ -149,4 +149,60 @@ class MultimodalSpec extends AnyFunSuite {
     // and unrelated footage stays unpaired under banding
     assert(!ham.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  test("true binary payloads (full byte range, non-ASCII) drive the same plumbing") {
+    // Every other media test rides syntheticMedia's UTF-8 text payloads
+    // (ASCII makes char ≡ byte). A real codec hands the pipeline raw
+    // bytes — negative JVM bytes, zero bytes, the full 0-255 range —
+    // so this fixture builds payloads directly from a seeded LCG and
+    // asserts the dedup tiers behave identically: exact frames on byte
+    // identity, gradient dHash through an order-preserving "brightness"
+    // offset, banded hamming through sparse byte noise. The dHash
+    // kernel compares bytes UNSIGNED (& 0xff), which is exactly what
+    // this pins against a signed-compare regression.
+    val s = spark
+    import s.implicits._
+    def blob(seed: Long, n: Int, mask: Int): Array[Byte] = {
+      var x = seed
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 33) & mask).toByte
+      }
+    }
+    // base "image" stays in [0, 127] so the +64 offset is
+    // order-preserving with no unsigned wraparound; the unrelated blob
+    // spans the whole byte range (negative JVM bytes included)
+    val img = blob(1, 2048, 0x7f)
+    val shifted = img.map(b => (b + 64).toByte)
+    val noisy = img.clone()
+    (63 until noisy.length by 64).foreach(i => noisy(i) = (noisy(i) ^ 0x01).toByte)
+    val media = Seq(
+      (1L, img), (2L, img.clone()), (3L, blob(99, 2048, 0xff)),
+      (4L, noisy), (5L, shifted))
+      .toDF("media_id", "payload")
+      .select(col("media_id"),
+        struct(lit("image").as("media_type"), lit(640).as("width"),
+          lit(360).as("height"), lit(16000).as("sample_rate"),
+          lit(64).as("n_frames")).as("meta"),
+        col("payload"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("media_a", "media_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Multimodal.mediaNearDupFrames(media))
+    assert(exact.contains((1L, 2L)), "exact arm pairs byte-identical binaries")
+    assert(!exact.contains((1L, 5L)), "an offset re-encode changes every frame md5")
+    assert(!exact.exists { case (a, b) => a == 3L || b == 3L })
+    val dhash = pairs(Multimodal.mediaNearDupPerceptual(media))
+    assert(dhash.contains((1L, 5L)),
+      "gradient dHash sees through the order-preserving byte offset")
+    assert(dhash.contains((1L, 2L)))
+    assert(!dhash.exists { case (a, b) => a == 3L || b == 3L })
+    val ham = pairs(Multimodal.mediaNearDupHamming(media))
+    assert(ham.contains((1L, 4L)), "banded hamming pairs the sparse-noise copy")
+    assert(!ham.exists { case (a, b) => a == 3L || b == 3L })
+    // the stubbed decoder is byte-faithful on binary payloads too
+    val feats = Multimodal.extractFeatures(media).toDF()
+    assert(feats.filter(col("n_bytes") =!= 2048).count() == 0)
+    assert(feats.count() == 5)
+  }
 }

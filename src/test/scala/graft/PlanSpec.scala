@@ -222,7 +222,13 @@ class PlanSpec extends AnyFunSuite {
       "corpus_keep" -> 9, // observed 6
       "sole_late_suppliers" -> 4, // observed 3
       "doc_bigram_entropy" -> 8, // observed 6
-      "doc_trigram_entropy" -> 8) // observed 6
+      "doc_trigram_entropy" -> 8, // observed 6
+      // the two multi-probe LSH heavyweights (r10 bench tail): banded
+      // probe/build sides meet in ONE keyed shuffle join, candidates
+      // dedup, vectors re-attach, per-anchor windows — no cartesian
+      // anywhere despite the all-pairs SEMANTICS
+      "contrastive_triplets" -> 6, // observed 3 (banded sides broadcast at test sf)
+      "embedding_neardup_lsh" -> 5) // observed 1 (ditto)
     shuffleBudget.foreach { case (name, budget) =>
       val nodes = finalNodes(SparkEntry.queries(name)(spark, dir))
       assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
