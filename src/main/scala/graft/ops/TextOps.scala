@@ -1876,10 +1876,17 @@ object TextOps {
     * checkpoint. The acceptance proof, per candidate `p_i` in rank
     * order (strictly after `p_1`):
     *
-    *  - `p_i` shares no symbol with any accepted merge. Disjoint pairs'
-    *    counts are INVARIANT under the accepted merges ("a b"→"ab"
-    *    elsewhere in a word never creates or destroys a (c,d)
-    *    adjacency), so their relative ranks hold. The scan stops at the
+    *  - `p_i`'s symbol set {a, b, a+b} is disjoint from every accepted
+    *    merge's {a, b, a+b} — INCLUDING the created symbols on both
+    *    sides. Disjoint pairs' counts are INVARIANT under the accepted
+    *    merges ("a b"→"ab" elsewhere in a word never creates or
+    *    destroys a (c,d) adjacency), so their relative ranks hold; a
+    *    candidate that CONTAINS an accepted output (('t','h') accepted,
+    *    ('th','e') later) has a stale pre-batch count, and a candidate
+    *    whose OUTPUT is an accepted input (('xy','z') accepted,
+    *    ('x','y') later) would make the single combined fold fire a
+    *    rule on a symbol another rule creates within the same pass —
+    *    both are excluded. The scan stops at the
     *    first overlapping candidate: anything an accepted merge might
     *    have demoted ranked below `p_i` already (demotion only lowers
     *    counts, and the original tie-break favored `p_i`).
@@ -1905,6 +1912,46 @@ object TextOps {
     * per-round driver sync is inherent to greedy BPE; batching divides
     * it by the mean accepted-prefix length, which is what a 32k-merge
     * vocabulary needs. */
+  /** Longest prefix of a ranked top-K that provably replays sequential
+    * greedy (the acceptance proof in [[vocabBpe]]'s doc), capped at
+    * `maxLen`. Exposed package-private so the adversarial conflict
+    * shapes — which a natural corpus rarely exhibits — are unit-testable
+    * without engineering a corpus that reaches them. */
+  private[graft] def bpeAcceptedPrefix(top: Seq[(String, String, Long)],
+      batchK: Int, maxLen: Int): Seq[(String, String, Long)] = {
+    // created-pair bounds from the collected rows alone: a pair
+    // outside the top-K counts at most the K-th count, so
+    // max(n(·,s)) = max(seen in top-K, floor) is sound
+    val floor = if (top.length < batchK) 0L else top.last._3
+    def maxIn(s: String) =
+      math.max(floor, (top.filter(_._2 == s).map(_._3) :+ 0L).max)
+    def maxOut(s: String) =
+      math.max(floor, (top.filter(_._1 == s).map(_._3) :+ 0L).max)
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stop = false
+    top.take(maxLen).foreach { case cand @ (a, b, n) =>
+      if (!stop) {
+        // conflict set includes each accepted merge's CREATED symbol
+        // a+b, and the candidate's own created symbol: an accepted
+        // ('t','h') must block a later ('th','e') in the same batch
+        // (its count is stale — the accepted merge boosts it), and an
+        // accepted ('xy','z') must block a later ('x','y') (the
+        // combined fold would fire rule1 on a symbol rule2 creates
+        // within the same pass). Checking {a, b, a+b} on both sides
+        // keeps the batch conservative and sequential-greedy exact.
+        val used = accepted.flatMap(m => Seq(m._1, m._2, m._1 + m._2)).toSet
+        val overlaps = used(a) || used(b) || used(a + b)
+        val createdBound = accepted.map { case (aj, bj, nj) =>
+          math.max(math.min(maxIn(aj), nj), math.min(maxOut(bj), nj))
+        }.maxOption.getOrElse(Long.MinValue)
+        if (accepted.isEmpty) accepted += cand
+        else if (overlaps || n <= createdBound) stop = true
+        else accepted += cand
+      }
+    }
+    accepted.toSeq
+  }
+
   def vocabBpe(documents: DataFrame, nMerges: Int = 10,
       batchK: Int = 16): Seq[BpeMerge] = {
     var words = documents
@@ -1933,28 +1980,8 @@ object TextOps {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        // created-pair bounds from the collected rows alone: a pair
-        // outside the top-K counts at most the K-th count, so
-        // max(n(·,s)) = max(seen in top-K, floor) is sound
-        val floor = if (top.length < batchK) 0L else top.last._3
-        def maxIn(s: String) =
-          math.max(floor, (top.filter(_._2 == s).map(_._3) :+ 0L).max)
-        def maxOut(s: String) =
-          math.max(floor, (top.filter(_._1 == s).map(_._3) :+ 0L).max)
-        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        var stop = false
-        top.take(nMerges - merges.size).foreach { case cand @ (a, b, n) =>
-          if (!stop) {
-            val used = accepted.flatMap(m => Seq(m._1, m._2)).toSet
-            val overlaps = used(a) || used(b)
-            val createdBound = accepted.map { case (aj, bj, nj) =>
-              math.max(math.min(maxIn(aj), nj), math.min(maxOut(bj), nj))
-            }.maxOption.getOrElse(Long.MinValue)
-            if (accepted.isEmpty) accepted += cand
-            else if (overlaps || n <= createdBound) stop = true
-            else accepted += cand
-          }
-        }
+        val accepted =
+          bpeAcceptedPrefix(top.toSeq, batchK, nMerges - merges.size)
         accepted.foreach { case (a, b, n) =>
           merges += BpeMerge(merges.size + 1, a, b, a + b, n)
         }
@@ -1962,7 +1989,7 @@ object TextOps {
         // accepted batch: rules fire on (trailing acc symbol, current
         // symbol); disjoint symbol sets make the firing rule unique.
         def lt(s: String) = lit(s)
-        val rules = accepted.toSeq
+        val rules = accepted
         words = words.select(
           aggregate(col("syms"),
             array().cast("array<string>"),

@@ -130,6 +130,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       sequential.map(m => (m.rank, m.left, m.right, m.pair_count)))
   }
 
+  test("BPE batch acceptance stops on created-symbol collisions (both directions)") {
+    // (a) candidate CONTAINS an accepted output: ('t','h') accepted,
+    // ('th','e') later in the same top-K. Its pre-batch count is stale
+    // (the accepted merge boosts it), so the scan must stop there even
+    // though its SOURCE symbols are disjoint from {t,h}.
+    val topA = Seq(("t", "h", 100L), ("x", "y", 90L), ("th", "e", 80L))
+    assert(TextOps.bpeAcceptedPrefix(topA, batchK = 16, maxLen = 16) ===
+      Seq(("t", "h", 100L), ("x", "y", 90L)))
+
+    // (b) accepted INPUT equals a later candidate's output:
+    // rule1=('xy','z') accepted, rule2=('x','y') later. The single
+    // combined fold would fire rule1 on the 'xy' symbol rule2 creates
+    // within the same pass; sequential greedy would not.
+    val topB = Seq(("xy", "z", 100L), ("x", "y", 90L), ("p", "q", 70L))
+    assert(TextOps.bpeAcceptedPrefix(topB, batchK = 16, maxLen = 16) ===
+      Seq(("xy", "z", 100L)))
+
+    // control: fully disjoint candidates with strict dominance over the
+    // created-pair bound are all accepted
+    val topC = Seq(("a", "b", 100L), ("c", "d", 90L), ("e", "f", 80L))
+    assert(TextOps.bpeAcceptedPrefix(topC, batchK = 16, maxLen = 16) === topC)
+    // maxLen caps the prefix
+    assert(TextOps.bpeAcceptedPrefix(topC, batchK = 16, maxLen = 2) ===
+      topC.take(2))
+  }
+
   test("BPE merges shrink the corpus symbol count monotonically") {
     val corpus = docs(1L -> "aaab aaab aaab bbba bbba cab")
     val merges = TextOps.vocabBpe(corpus, 5)
