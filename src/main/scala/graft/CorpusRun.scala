@@ -42,7 +42,11 @@ import graft.ops.TextOps
   * publication, absorbs its admitted slice back (segment append). The
   * funnel's output stays identical to the batch form on id-ordered
   * batch sequences, and re-running a batch is a no-op — CorpusRunSpec
-  * pins both.
+  * pins both. The state directory is SINGLE-WRITER: don't point two
+  * concurrent CorpusRun invocations at the same
+  * `SPARK_GRAFT_INGEST_STATE` (the index's journal detects a clobbered
+  * commit and fails loudly, but serialization is the caller's job —
+  * see [[graft.incremental.IngestIndex]]).
   */
 object CorpusRun {
   def main(args: Array[String]): Unit = {

@@ -72,6 +72,20 @@ import graft.ops.{BloomJoin, TextOps}
   * is absorbing — duplicate segment rows then vanish at the next
   * compaction.
   *
+  * == Single writer ==
+  *
+  * The journal protocol assumes ONE writer per state directory: the
+  * sidecar publish is delete+rename (last-writer-wins), so two
+  * processes pointed at the same dir (e.g. two CorpusRun invocations
+  * sharing one `SPARK_GRAFT_INGEST_STATE`) could clobber each other's
+  * `_graft_commit` and interleave swaps. Concurrent READS (probes) are
+  * safe against a quiescent state; concurrent build/absorb/compact are
+  * not, and must be serialized by the caller. As a backstop, every
+  * published journal carries this instance's writer token and the
+  * token is re-checked before the swaps apply — a clobbered journal
+  * fails loudly ("concurrent writer detected") instead of silently
+  * corrupting state. Best-effort detection, not mutual exclusion.
+  *
   * == Self-describing state ==
   *
   * Build parameters (width/stride/k/w/maxDf/bloomBits/bloomK/buckets)
@@ -163,8 +177,6 @@ final class IngestIndex(spark: SparkSession, dir: String,
     "k" -> k.toLong, "w" -> w.toLong, "maxDf" -> maxDf.toLong,
     "bloomBits" -> bloomBits.toLong, "bloomK" -> bloomK.toLong,
     "buckets" -> buckets.toLong)
-  private def writeMeta(): Unit =
-    writeSidecar(metaPath, params.map { case (n, v) => s"$n=$v" }.mkString("\n"))
   private def validateMeta(): Unit = readSidecar(metaPath) match {
     case None =>
       if (fs.exists(livePath("fp")))
@@ -197,8 +209,34 @@ final class IngestIndex(spark: SparkSession, dir: String,
   // children, so a crash mid-apply leaves exactly the unapplied
   // remainder for recover() to finish.
 
+  /** Per-instance writer token, stamped into every journal this
+    * instance publishes. The journal protocol assumes a SINGLE WRITER
+    * per state directory (delete+rename sidecar publish is
+    * last-writer-wins); the token makes a concurrent writer clobbering
+    * our pending journal a LOUD failure instead of silent interleaved
+    * corruption — best-effort detection, not mutual exclusion. */
+  private val writerToken = java.util.UUID.randomUUID().toString
+
   private def writeJournal(entries: Seq[(String, String)]): Unit =
-    writeSidecar(journalPath, entries.map { case (s, m) => s"$s $m" }.mkString("\n"))
+    writeSidecar(journalPath,
+      (s"#writer $writerToken" +: entries.map { case (s, m) => s"$s $m" })
+        .mkString("\n"))
+
+  /** Best-effort concurrent-writer check: the pending journal must
+    * still carry OUR token when we go to apply it. A foreign token
+    * means another process published a commit between our journal
+    * write and apply — state interleaving is imminent, so fail. */
+  private[graft] def ownJournalOrThrow(): Unit =
+    readSidecar(journalPath).foreach { text =>
+      text.linesIterator.find(_.startsWith("#writer ")).foreach { l =>
+        val owner = l.stripPrefix("#writer ").trim
+        if (owner != writerToken)
+          throw new IllegalStateException(
+            s"concurrent writer detected on ingest state $dir — journal is " +
+              s"owned by $owner, not this instance. The state directory " +
+              "requires a single writer; serialize build/absorb/compact calls.")
+      }
+    }
 
   private[graft] def applySwap(rel: String, mode: String): Unit = {
     val stage = stagePath(rel)
@@ -228,6 +266,7 @@ final class IngestIndex(spark: SparkSession, dir: String,
 
   private def commit(entries: Seq[(String, String)]): Unit = {
     writeJournal(entries)
+    ownJournalOrThrow()
     finishCommit(entries)
   }
 
@@ -248,7 +287,8 @@ final class IngestIndex(spark: SparkSession, dir: String,
   private def recover(): Unit =
     readSidecar(journalPath) match {
       case Some(text) =>
-        val entries = text.linesIterator.map(_.trim).filter(_.nonEmpty)
+        val entries = text.linesIterator.map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
           .map { l => val Array(s, m) = l.split(" ", 2); (s, m) }.toSeq
         finishCommit(entries)
       case None =>
@@ -259,8 +299,22 @@ final class IngestIndex(spark: SparkSession, dir: String,
 
   /** Full build from the current corpus — the once-per-corpus pass.
     * Staged and journaled like absorb, so a crashed build leaves either
-    * the previous state or the new one, never a mix. */
+    * the previous state or the new one, never a mix. The meta file is
+    * PART of the journaled commit: a parameter-changing rebuild that
+    * crashes mid-stage must not leave new `_graft_meta` beside the old
+    * indexes (validateMeta would then silently accept indexes built
+    * with different width/w/bloomBits — the exact corruption the
+    * pinning exists to fail loudly on). */
   def build(corpus: DataFrame): Unit = {
+    val entries = prepareBuild(corpus)
+    ownJournalOrThrow()
+    finishCommit(entries)
+  }
+
+  /** The stage-and-journal half of [[build]] — everything up to (and
+    * including) the journal publish, swaps not yet applied.
+    * Package-private for IngestIndexSpec's crash-replay tests. */
+  private[graft] def prepareBuild(corpus: DataFrame): Seq[(String, String)] = {
     recover() // no meta validation: a rebuild may legitimately change parameters
     stageBucketed("fp/base", withBucket(TextOps.dedupExactIndex(corpus), "fp_md5"))
     stageBucketed("spans/base", withBucket(TextOps.dupSpanIndex(corpus, width, stride), "w"))
@@ -269,8 +323,12 @@ final class IngestIndex(spark: SparkSession, dir: String,
     // one aggregate over narrow keys
     stageBloom(BloomJoin.bloomFilterBits(
       spark.read.parquet(stagePath("fp/base").toString), "fp_md5", bloomBits, bloomK))
-    writeMeta()
-    commit(Subs.map(s => s"$s" -> "full") :+ ("bloom" -> "full"))
+    writeSidecar(stagePath("_graft_meta"),
+      params.map { case (n, v) => s"$n=$v" }.mkString("\n"))
+    val entries = Subs.map(s => s"$s" -> "full") ++
+      Seq("bloom" -> "full", "_graft_meta" -> "full")
+    writeJournal(entries)
+    entries
   }
 
   private def stageBucketed(rel: String, df: DataFrame): Unit =
@@ -301,7 +359,9 @@ final class IngestIndex(spark: SparkSession, dir: String,
     * Result-equivalent to a full rebuild on the grown corpus AND
     * idempotent under batch re-runs (IngestIndexSpec pins both). */
   def absorb(incoming: DataFrame): Unit = {
-    finishCommit(prepareAbsorb(incoming))
+    val entries = prepareAbsorb(incoming)
+    ownJournalOrThrow()
+    finishCommit(entries)
     if (segNames("fp").size >= maxSegments) compact()
   }
 

@@ -147,6 +147,65 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".stage")))
   }
 
+  test("a rebuild crash BEFORE the journal leaves old meta + old indexes — new params rejected loudly") {
+    // the advisor's window: a parameter-changing rebuild that dies
+    // after staging (meta included) but before the journal publishes
+    // must leave the state entirely pre-batch. Pre-fix, writeMeta hit
+    // the LIVE dir before commit, so this crash left NEW meta beside
+    // OLD indexes and the new-params open silently probed garbage.
+    val dir = freshDir()
+    new IngestIndex(spark, dir).build(corpus)
+    val rebuilding = new IngestIndex(spark, dir, maxDf = 7)
+    rebuilding.prepareBuild(corpus)
+    // ≙ crash just before the journal publish: same fs state minus the journal
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "_graft_commit"))
+    // old params still open and probe correctly (stage cleared on recover)
+    val old = new IngestIndex(spark, dir)
+    assert(rows(old.dedupExactProbe(delta)) ==
+      rows(TextOps.dedupExactIncremental(corpus, delta)))
+    // the new params are NOT silently accepted against the old indexes
+    val e = intercept[IllegalStateException](
+      new IngestIndex(spark, dir, maxDf = 7).winnowProbe(delta).collect())
+    assert(e.getMessage.contains("different parameters"))
+  }
+
+  test("a rebuild crash AFTER the journal replays to the fully-new state, meta included") {
+    val dir = freshDir()
+    new IngestIndex(spark, dir).build(corpus)
+    val rebuilding = new IngestIndex(spark, dir, maxDf = 7)
+    rebuilding.prepareBuild(corpus) // journal published, swaps unapplied — "crash"
+    // the new params now open cleanly and match a fresh maxDf=7 build
+    val reopened = new IngestIndex(spark, dir, maxDf = 7)
+    val fresh = new IngestIndex(spark, freshDir(), maxDf = 7)
+    fresh.build(corpus)
+    assert(rows(reopened.winnowProbe(delta)) == rows(fresh.winnowProbe(delta)))
+    // and the OLD params are the ones rejected now
+    val e = intercept[IllegalStateException](
+      new IngestIndex(spark, dir).winnowProbe(delta).collect())
+    assert(e.getMessage.contains("different parameters"))
+  }
+
+  test("a clobbered journal (concurrent writer) is detected before swaps apply") {
+    val dir = freshDir()
+    val a = new IngestIndex(spark, dir)
+    a.build(corpus)
+    a.prepareAbsorb(delta) // journal published with A's writer token
+    a.ownJournalOrThrow()  // own journal: no complaint
+    // a second writer clobbers the pending journal (delete+rename
+    // publish is last-writer-wins) — rewrite the header with a foreign
+    // token, entries unchanged
+    val jp = java.nio.file.Paths.get(dir, "_graft_commit")
+    val lines = java.nio.file.Files.readAllLines(jp).asScala.toSeq
+    java.nio.file.Files.write(jp,
+      ("#writer not-this-instance" +: lines.filterNot(_.startsWith("#"))).asJava)
+    // the local ChecksumFileSystem keeps a .crc sidecar; drop it so the
+    // out-of-band rewrite reads back (a real clobber goes through the FS)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._graft_commit.crc"))
+    val e = intercept[IllegalStateException](a.ownJournalOrThrow())
+    assert(e.getMessage.contains("concurrent writer detected"))
+  }
+
   test("compaction folds segments into the base without moving any probe result") {
     val half1 = corpus.filter(col("doc_id") % 3 =!= 0)
     val half2 = corpus.filter(col("doc_id") % 3 === 0)
