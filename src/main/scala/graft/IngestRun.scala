@@ -21,6 +21,9 @@ import graft.incremental.IngestIndex
   *   absorb  fold the delta into the state (segment append — no corpus
   *           text read, no index rewrite)
   *   compact fold accumulated segments into the bucketed base
+  *   cycle   build → probe ×2 → absorb → compact → probe in one JVM
+  *           with per-step wall times — the bench decomposition as an
+  *           iteration loop
   *
   * The batch split mirrors the `dedup_exact_delta` / `doc_dup_spans_delta`
   * / `neardup_winnow_delta` query registrations, so the probe results
@@ -49,13 +52,21 @@ object IngestRun {
         println(s"[ingest] built fp/bloom/spans/winnow state at $stateDir")
       case "probe" =>
         require(index.exists, s"no ingest state at $stateDir — run build first")
-        val exact = index.dedupExactProbe(delta).count()
-        val bloom = index.dedupExactProbeBloom(delta).count()
+        // the four probes are independent read-only jobs — overlap them
+        // (driver threads; same pattern a production ingest admission
+        // uses, and the same one IngestIndex's own staging uses)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val Seq(exact, bloom, spans, winnow) = Await.result(Future.sequence(Seq(
+          Future(index.dedupExactProbe(delta).count()),
+          Future(index.dedupExactProbeBloom(delta).count()),
+          Future(index.dupSpansProbe(delta).count()),
+          Future(index.winnowProbe(delta).count()))), Duration.Inf)
         if (exact != bloom)
           throw new IllegalStateException(
             s"bloom probe diverged from exact probe: $bloom vs $exact rows")
-        val spans = index.dupSpansProbe(delta).count()
-        val winnow = index.winnowProbe(delta).count()
         println(s"[ingest] probe dedup=$exact bloom=$bloom spans=$spans winnow=$winnow")
       case "absorb" =>
         require(index.exists, s"no ingest state at $stateDir — run build first")
@@ -65,6 +76,32 @@ object IngestRun {
         require(index.exists, s"no ingest state at $stateDir — run build first")
         index.compact()
         println(s"[ingest] compacted segments into $stateDir base")
+      case "cycle" =>
+        def timed(name: String)(body: => Unit): Unit = {
+          val t0 = System.nanoTime()
+          body
+          println(f"[ingest-cycle] $name%-12s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        }
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        def probeAll(): Unit = Await.result(Future.sequence(Seq(
+          Future(index.dedupExactProbe(delta).count()),
+          Future(index.dedupExactProbeBloom(delta).count()),
+          Future(index.dupSpansProbe(delta).count()),
+          Future(index.winnowProbe(delta).count()))), Duration.Inf)
+        timed("build")(index.build(corpus))
+        timed("probe_cold")(probeAll())
+        timed("probe_warm")(probeAll())
+        timed("absorb")(index.absorb(delta))
+        timed("probe_seg")(probeAll())
+        timed("compact")(index.compact())
+        timed("probe_post")(probeAll())
+        // warm rebuild into a sibling dir: the JIT-warm build cost the
+        // bench's operational row actually observes
+        val warmIdx = new IngestIndex(spark, stateDir + "-warm")
+        timed("build_warm")(warmIdx.build(corpus))
       case other => throw new IllegalArgumentException(s"unknown mode: $other")
     }
     if (owned) spark.stop()

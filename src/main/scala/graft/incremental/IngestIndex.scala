@@ -278,7 +278,7 @@ final class IngestIndex(spark: SparkSession, dir: String,
     entries.foreach { case (rel, mode) => applySwap(rel, mode) }
     fs.delete(journalPath, false)
     fs.delete(new Path(s"$dir/.stage"), true)
-    Subs.foreach(stampRows)
+    inParallel(Subs.map(s => () => stampRows(s)): _*)
   }
 
   /** Replay a pending commit (crash between journal publish and journal
@@ -316,19 +316,45 @@ final class IngestIndex(spark: SparkSession, dir: String,
     * Package-private for IngestIndexSpec's crash-replay tests. */
   private[graft] def prepareBuild(corpus: DataFrame): Seq[(String, String)] = {
     recover() // no meta validation: a rebuild may legitimately change parameters
-    stageBucketed("fp/base", withBucket(TextOps.dedupExactIndex(corpus), "fp_md5"))
-    stageBucketed("spans/base", withBucket(TextOps.dupSpanIndex(corpus, width, stride), "w"))
-    stageBucketed("winnow/base", withBucket(TextOps.nearDupWinnowIndex(corpus, k, w, maxDf), "fp"))
-    // the bitset derives from the STAGED fp index (never the corpus):
-    // one aggregate over narrow keys
-    stageBloom(BloomJoin.bloomFilterBits(
-      spark.read.parquet(stagePath("fp/base").toString), "fp_md5", bloomBits, bloomK))
+    // the three indexes derive from the SAME corpus pass — cache the
+    // shared scan (disk-backed: at cluster scale the narrow projection
+    // still exceeds memory) so fp/spans/winnow each read it once
+    // instead of re-scanning + re-parsing the corpus parquet three
+    // times, and stage them as CONCURRENT jobs: the writes are
+    // independent, so the scheduler overlaps their stages instead of
+    // serializing three small shuffles (the same driver-thread pattern
+    // works unchanged on a multi-executor cluster).
+    val shared = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      inParallel(
+        () => {
+          stageBucketed("fp/base", withBucket(TextOps.dedupExactIndex(shared), "fp_md5"))
+          // the bitset derives from the STAGED fp index (never the
+          // corpus): one aggregate over narrow keys
+          stageBloom(BloomJoin.bloomFilterBits(
+            spark.read.parquet(stagePath("fp/base").toString), "fp_md5", bloomBits, bloomK))
+        },
+        () => stageBucketed("spans/base", withBucket(TextOps.dupSpanIndex(shared, width, stride), "w")),
+        () => stageBucketed("winnow/base", withBucket(TextOps.nearDupWinnowIndex(shared, k, w, maxDf), "fp")))
+    } finally shared.unpersist(blocking = false)
     writeSidecar(stagePath("_graft_meta"),
       params.map { case (n, v) => s"$n=$v" }.mkString("\n"))
     val entries = Subs.map(s => s"$s" -> "full") ++
       Seq("bloom" -> "full", "_graft_meta" -> "full")
     writeJournal(entries)
     entries
+  }
+
+  /** Run independent staging jobs concurrently (driver threads; Spark's
+    * scheduler interleaves their stages). Failures propagate — the
+    * journal is only written after ALL stages land, so a failed job
+    * leaves an unpublished stage that the next open clears. */
+  private def inParallel(jobs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    Await.result(Future.sequence(jobs.map(j => Future(j()))), Duration.Inf)
   }
 
   private def stageBucketed(rel: String, df: DataFrame): Unit =
@@ -372,19 +398,27 @@ final class IngestIndex(spark: SparkSession, dir: String,
     opened
     require(fs.exists(livePath("fp/base")), s"no ingest state at $dir — run build first")
     val seg = "seg-" + (segNames("fp").map(_.drop(4).toInt).foldLeft(0)(math.max) + 1)
-    val deltaFp = TextOps.dedupExactIndex(incoming)
-    deltaFp.write.parquet(stagePath(s"fp/$seg").toString)
-    TextOps.dupSpanIndex(incoming, width, stride, hashKey = spansHashed)
-      .write.parquet(stagePath(s"spans/$seg").toString)
-    // winnow segments hold RAW (fp, doc_id) pairs — postings re-cap at
-    // probe/compact time, so no information is lost at the batch grain
-    TextOps.docWinnow(incoming, k, w)
-      .select(col("fp"), col("doc_id")).distinct()
-      .write.parquet(stagePath(s"winnow/$seg").toString)
-    // bloom(union) = bloom(old) | bloom(delta): KB-scale, absorbing
-    stageBloom(bloomWords().zip(
-        BloomJoin.bloomFilterBits(deltaFp, "fp_md5", bloomBits, bloomK))
-      .map { case (a, b) => a | b })
+    val hashed = spansHashed // read the base schema BEFORE forking jobs
+    val shared = incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      inParallel(
+        () => {
+          val deltaFp = TextOps.dedupExactIndex(shared)
+          deltaFp.write.parquet(stagePath(s"fp/$seg").toString)
+          // bloom(union) = bloom(old) | bloom(delta): KB-scale, absorbing
+          stageBloom(bloomWords().zip(
+              BloomJoin.bloomFilterBits(deltaFp, "fp_md5", bloomBits, bloomK))
+            .map { case (a, b) => a | b })
+        },
+        () => TextOps.dupSpanIndex(shared, width, stride, hashKey = hashed)
+          .write.parquet(stagePath(s"spans/$seg").toString),
+        // winnow segments hold RAW (fp, doc_id) pairs — postings re-cap
+        // at probe/compact time, so no information is lost at the batch
+        // grain
+        () => TextOps.docWinnow(shared, k, w)
+          .select(col("fp"), col("doc_id")).distinct()
+          .write.parquet(stagePath(s"winnow/$seg").toString))
+    } finally shared.unpersist(blocking = false)
     val entries = Subs.map(s => s"$s/$seg" -> "full") :+ ("bloom" -> "full")
     writeJournal(entries)
     entries
@@ -406,17 +440,19 @@ final class IngestIndex(spark: SparkSession, dir: String,
     if (segNames("fp").isEmpty) return
     val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
     val drops = Subs.flatMap(sub => segNames(sub).map(n => s"$sub/$n" -> "drop"))
-    stageCompact("fp", loadSegs("fp").get, "fp_md5", (ex, d) =>
-      ex.unionByName(d).groupBy(col("bucket"), col("fp_md5"))
-        .agg(min(col("dup_of")).as("dup_of")))
-    stageCompact("spans", loadSegs("spans").get, "w",
-      (ex, d) => ex.unionByName(d).distinct())
-    stageCompact("winnow", loadSegs("winnow").get, "fp", (ex, d) =>
-      ex.select(col("bucket"), col("fp"), explode(col("ids")).as("e"))
-        .select(col("bucket"), col("fp"), col("e.doc_id").as("doc_id"))
-        .unionByName(d)
-        .distinct() // duplicate segments (idempotent re-absorb) fold away here
-        .groupBy(col("bucket"), col("fp")).agg(capped(col("doc_id"), lit(0)).as("ids")))
+    // the three folds are independent — overlap their jobs
+    inParallel(
+      () => stageCompact("fp", loadSegs("fp").get, "fp_md5", (ex, d) =>
+        ex.unionByName(d).groupBy(col("bucket"), col("fp_md5"))
+          .agg(min(col("dup_of")).as("dup_of"))),
+      () => stageCompact("spans", loadSegs("spans").get, "w",
+        (ex, d) => ex.unionByName(d).distinct()),
+      () => stageCompact("winnow", loadSegs("winnow").get, "fp", (ex, d) =>
+        ex.select(col("bucket"), col("fp"), explode(col("ids")).as("e"))
+          .select(col("bucket"), col("fp"), col("e.doc_id").as("doc_id"))
+          .unionByName(d)
+          .distinct() // duplicate segments (idempotent re-absorb) fold away here
+          .groupBy(col("bucket"), col("fp")).agg(capped(col("doc_id"), lit(0)).as("ids"))))
     commit(Subs.map(s => s"$s/base" -> "delta") ++ drops)
   }
 
