@@ -221,7 +221,14 @@ object Bench {
     val runOperational = sys.env.get("SPARK_GRAFT_ONLY")
       .fold(true)(only => only.split(",").map(_.trim).contains("operational"))
     if (runOperational) {
+      // SPARK_GRAFT_OPS=corpus_run,corpus_run_indexed_cold,… narrows the
+      // operational section to a dependency-closed subset (iteration
+      // aid — pick prefixes that include what your row needs: warm rows
+      // need their cold row, ingest rows need ingest_index_build)
+      val opSelected = sys.env.get("SPARK_GRAFT_OPS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       def opExec(name: String)(body: => Unit): Unit = {
+        if (opSelected.exists(!_.contains(name))) return
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         System.gc()

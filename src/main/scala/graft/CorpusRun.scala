@@ -63,16 +63,49 @@ object CorpusRun {
 
     val docs = Tables.documents(spark, sfDir)
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var lastStageAt = System.nanoTime()
     def stage(name: String, n: Long): Unit = {
       stages += ((name, n))
-      println(s"[corpus] $name -> $n docs")
+      val now = System.nanoTime()
+      println(f"[corpus] $name -> $n docs  (+${(now - lastStageAt) / 1e9}%.2f s)")
+      lastStageAt = now
     }
     stage("input", docs.count())
 
-    // 1. quality: rules AND the distilled model must both pass
-    val rulesPass = TextOps.docQuality(docs)
+    // 0. ONE signature-record pass over the input — (fp_md5, shingles,
+    // four quality stats), all deterministic row-local values — feeds
+    // EVERY per-doc consumer below: the rules gate, the logreg features
+    // (each GD action then scans this small checkpointed frame, not the
+    // corpus), the within-batch dedup, the state probe, and the
+    // near-dup pair frame. The funnel used to pay a tokenize+regex scan
+    // per consumer. In warm indexed mode ([[graft.incremental
+    // .IngestIndex.signaturesFor]]) only the fingerprint pass touches
+    // the text — records of already-admitted docs come back as a
+    // columnar index read, so a full re-run never re-tokenizes.
+    val ingestState = flag("SPARK_GRAFT_INGEST_STATE")
+      .map(dir => new graft.incremental.IngestIndex(spark, dir, withShingles = true))
+    val warmState = ingestState.filter(_.exists)
+    // warm records come out of a join∪scan plan (shuffle-partitioned);
+    // coalesce to the INPUT's partition grain before checkpointing so
+    // every downstream stage schedules the same number of tasks as the
+    // plain path's narrow-scan records (input partitions scale with
+    // data, so the grain is right at any SF)
+    val inParts = math.max(1, docs.rdd.getNumPartitions)
+    val records = (warmState match {
+      case Some(idx) =>
+        println("[corpus] signatures: persisted ingest state (fingerprint-only text scan)")
+        idx.signaturesFor(docs).coalesce(inParts)
+      case None => TextOps.shingleSignatures(docs)
+    }).localCheckpoint()
+
+    // 1. quality: rules AND the distilled model must both pass — both
+    // scored from the shared records. The rule-score frame feeds three
+    // consumers (this gate, the keep-best keeper, the publish join).
+    val quality = TextOps.docQualityStats(records)
+      .select(col("doc_id"), col("quality_score"))
+    val rulesPass = quality
       .filter(col("quality_score") >= 0.75).select("doc_id")
-    val modelPass = TextOps.docQualityLogreg(docs)
+    val modelPass = TextOps.docQualityLogregStats(records)
       .filter(col("label_pred") === 1).select("doc_id")
     val q = docs.join(rulesPass, Seq("doc_id"), "left_semi")
       .join(modelPass, Seq("doc_id"), "left_semi")
@@ -97,17 +130,54 @@ object CorpusRun {
     // batch is a no-op rather than a self-eviction — and the funnel's
     // published output is IDENTICAL to the batch form on any id-ordered
     // batch sequence (CorpusRunSpec pins both properties).
-    val ingestState = flag("SPARK_GRAFT_INGEST_STATE")
-      .map(dir => new graft.incremental.IngestIndex(spark, dir))
-    val withinBatch = q.join(TextOps.dedupExact(q)
-      .select(col("keep_doc_id").as("doc_id")), Seq("doc_id"), "left_semi")
-    val exact = ingestState match {
-      case Some(idx) if idx.exists =>
+    // the fingerprint slice of the shared records, restricted to the
+    // quality survivors (keeper-ship is decided among survivors only)
+    val sig = records.select(col("doc_id"), col("fp_md5"))
+      .join(q.select("doc_id"), Seq("doc_id"), "left_semi")
+    val withinBatch = q.join(
+      sig.groupBy(col("fp_md5")).agg(min(col("doc_id")).as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // `stateHitIds` = batch docs whose fingerprint the state already
+    // holds (the probe's inner join emits exactly those): re-submitted
+    // keepers plus cross-run dupes. Its complement within the admitted
+    // slice is the GENUINELY-NEW content — the only slice absorb needs
+    // (the state already carries every index row of a re-submitted
+    // doc), which makes a full re-run's absorb a no-op.
+    // stateHitIds: None = no state; Some(None) = state, nothing new
+    // (absorb is a guaranteed no-op); Some(Some(ids)) = state + new
+    // content, ids are the already-admitted slice to exclude from absorb
+    val (exact, stateHitIds) = warmState match {
+      case Some(idx) =>
         println("[corpus] exact dedup: indexed admission (persisted ingest state)")
-        val dupes = idx.dedupExactProbe(withinBatch)
-          .filter(col("dup_of") =!= col("doc_id")).select("doc_id")
-        withinBatch.join(dupes, Seq("doc_id"), "left_anti")
-      case _ => withinBatch
+        // A `cached` record (sh-index hit on (doc_id, fp_md5)) proves
+        // this exact doc was previously ADMITTED as its own keeper — it
+        // can never be a cross-run dupe, so the fp probe only needs to
+        // run over the sh-MISS slice (new or changed docs). On a full
+        // re-run that slice is empty: admission costs one keys-only
+        // index join, zero fp probes.
+        // cheap lineage (projections off the records checkpoint +
+        // broadcast semi-joins) — evaluated inside the admitted frame's
+        // checkpoint and once more at absorb time; its own checkpoint
+        // action costs more than both evaluations
+        val cachedIds = records.filter(col("cached") === 1).select("doc_id")
+          .join(withinBatch.select("doc_id"), Seq("doc_id"), "left_semi")
+        // a full re-run has no misses at all — one early-out limit-1
+        // scan of the checkpointed records skips the probe plan
+        // (fp-index read + two anti-joins) entirely
+        val hasNew = !records.filter(col("cached") === 0).isEmpty
+        if (!hasNew) (withinBatch, Some(None))
+        else {
+          // no checkpoint on the probe: its single consumer is the
+          // admitted frame, which checkpoints immediately below — the
+          // probe folds into that one action
+          val probe = idx.dedupExactProbeFp(
+              sig.join(withinBatch.select("doc_id"), Seq("doc_id"), "left_semi")
+                .join(cachedIds, Seq("doc_id"), "left_anti"))
+            .select(col("doc_id"), col("dup_of"))
+          val dupes = probe.filter(col("dup_of") =!= col("doc_id")).select("doc_id")
+          (withinBatch.join(dupes, Seq("doc_id"), "left_anti"), Some(Some(cachedIds)))
+        }
+      case None => (withinBatch, None)
     }
     // Every downstream stage (pair frame, keeper, decontamination,
     // splits, publish — and in gated mode the probe/absorb actions too)
@@ -118,11 +188,33 @@ object CorpusRun {
     // and the plain batch funnel 23.1 → ~17 s from the same cut.
     val exactStable = exact.localCheckpoint()
     stage("exact_dedup", exactStable.count())
-    val pairs = TextOps.nearDupJaccard(exactStable).localCheckpoint()
+    // Near-dup pair frame from the shared records (the batch's df cap
+    // and jaccard thresholds recompute over the admitted slice, so the
+    // pair frame equals what fresh shingling of the same docs yields).
+    // The pair frame is a pure function of the admitted doc SET, so the
+    // ingest state memoizes it keyed by an exact set-identity tag
+    // ([[graft.incremental.IngestIndex.docSetTag]]): a re-run over an
+    // unchanged corpus — the dominant production case — replays the
+    // stored frame instead of re-pairing, turning the funnel's most
+    // expensive stage into a parquet read. Any admitted-set change
+    // misses the tag and recomputes exactly as before.
+    val admittedSig = sig.join(exactStable.select("doc_id"), Seq("doc_id"), "left_semi")
+    val pairsTag = warmState.map(idx => idx.docSetTag(admittedSig))
+    val pairsMemo = warmState.zip(pairsTag)
+      .flatMap { case (idx, tag) => idx.getPairs(tag) }
+    val pairs = pairsMemo match {
+      case Some(stored) =>
+        println("[corpus] near-dup pairs: memoized pair frame (persisted ingest state)")
+        stored.localCheckpoint()
+      case None => TextOps.nearDupJaccardSh(
+          records.join(exactStable.select("doc_id"), Seq("doc_id"), "left_semi"))
+        .localCheckpoint()
+    }
     val clusterFrame = TextOps.clustersFromPairs(pairs)
       .select(col("doc_id"), col("cluster_id")).localCheckpoint()
     val keptDocs = exactStable.join(
-      TextOps.nearDupKeepBest(exactStable, precomputedClusters = Some(clusterFrame))
+      TextOps.nearDupKeepBest(exactStable, precomputedClusters = Some(clusterFrame),
+          precomputedQuality = Some(quality))
         .select("doc_id"),
       Seq("doc_id"), "left_semi")
     stage("neardup_keep_best", keptDocs.count())
@@ -208,8 +300,7 @@ object CorpusRun {
     // not raw docs.
     val out = clean
       .join(withSplit, Seq("doc_id"))
-      .join(TextOps.docQuality(docs).select(col("doc_id"), col("quality_score")),
-        Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
     graft.sources.Sources.clusteredWrite(out, s"$outDir/kept", "split")
     stage("published", out.count())
     val packed = TextOps.packSequences(
@@ -228,8 +319,36 @@ object CorpusRun {
     // builds the state from the admitted slice; warm runs append
     // segments (work ∝ batch, IngestIndex).
     ingestState.foreach { idx =>
-      if (idx.exists) idx.absorb(exactStable) else idx.build(exactStable)
-      println(s"[corpus] ingest state <- ${stages.find(_._1 == "exact_dedup").map(_._2).getOrElse(0L)} admitted docs")
+      if (idx.exists) {
+        // absorb ONLY the genuinely-new slice: every index row of a
+        // state-hit doc is already persisted (fp, span keys, winnow
+        // postings, shingle signature are all deterministic per text),
+        // so absorbing it again adds nothing but segment mass. A full
+        // re-run (stateHitIds = Some(None)) was already proven
+        // no-new-content by the records early-out — zero extra jobs.
+        stateHitIds.flatten match {
+          case None =>
+            println("[corpus] ingest state <- no new content (absorb skipped)")
+          case Some(hits) =>
+            // keeper hits ⊆ admitted and the admitted count is already
+            // materialized (stage counter), so n_new falls out of
+            // arithmetic; the anti-join runs only when n > 0
+            val admitted = stages.find(_._1 == "exact_dedup").map(_._2).getOrElse(0L)
+            val n = admitted - hits.count()
+            if (n > 0) {
+              val newDocs = exactStable.join(hits, Seq("doc_id"), "left_anti")
+              idx.absorb(newDocs); println(s"[corpus] ingest state <- $n new docs")
+            } else println("[corpus] ingest state <- no new content (absorb skipped)")
+        }
+      } else {
+        idx.build(exactStable)
+        println(s"[corpus] ingest state <- ${stages.find(_._1 == "exact_dedup").map(_._2).getOrElse(0L)} admitted docs (cold build)")
+      }
+      // memoize this run's pair frame for the next run over the same
+      // admitted set (after absorb/build: a crash before this point
+      // leaves a state without memo — a recompute, never a wrong read)
+      if (pairsMemo.isEmpty)
+        idx.putPairs(pairsTag.getOrElse(idx.docSetTag(admittedSig)), pairs)
     }
     val published = stages.find(_._1 == "published").map(_._2).getOrElse(0L)
     println(s"[corpus] done: $published docs published to $outDir/kept "

@@ -102,9 +102,22 @@ final class IngestIndex(spark: SparkSession, dir: String,
     bloomBits: Int = 1 << 20, bloomK: Int = 5,
     pruneThreshold: Long = 5000000L,
     buckets: Int = 32,
-    maxSegments: Int = 8) {
+    maxSegments: Int = 8,
+    withShingles: Boolean = false) {
 
-  private val Subs = Seq("fp", "spans", "winnow")
+  /** `withShingles` adds a fifth index `sh/` (doc_id, fp_md5, k-shingle
+    * hash array — [[TextOps.shingleSignatures]]): a cache of the
+    * DETERMINISTIC per-doc signature the jaccard near-dup stage
+    * consumes, so a pipeline re-processing already-admitted docs
+    * ([[graft.CorpusRun]] indexed admission) reads their arrays from
+    * parquet instead of re-normalizing + re-shingling the text. Batch
+    * statistics (df cap, thresholds) always recompute over the batch
+    * the arrays are fed into, so results are bit-identical whatever mix
+    * of cached and fresh signatures a batch resolves to. Off by default
+    * — probe-only states don't pay the storage. */
+  private val Subs =
+    if (withShingles) Seq("fp", "spans", "winnow", "sh")
+    else Seq("fp", "spans", "winnow")
 
   private def livePath(rel: String) = new Path(s"$dir/$rel")
   private def stagePath(rel: String) = new Path(s"$dir/.stage/$rel")
@@ -176,7 +189,10 @@ final class IngestIndex(spark: SparkSession, dir: String,
     "version" -> 3L, "width" -> width.toLong, "stride" -> stride.toLong,
     "k" -> k.toLong, "w" -> w.toLong, "maxDf" -> maxDf.toLong,
     "bloomBits" -> bloomBits.toLong, "bloomK" -> bloomK.toLong,
-    "buckets" -> buckets.toLong)
+    "buckets" -> buckets.toLong,
+    // 2 = record schema v2 (shingles + the four quality stats); a v1
+    // shingles-only state fails meta validation loudly → rebuild
+    "shingles" -> (if (withShingles) 2L else 0L))
   private def validateMeta(): Unit = readSidecar(metaPath) match {
     case None =>
       if (fs.exists(livePath("fp")))
@@ -326,7 +342,7 @@ final class IngestIndex(spark: SparkSession, dir: String,
     // works unchanged on a multi-executor cluster).
     val shared = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      inParallel(
+      val jobs = Seq[() => Unit](
         () => {
           stageBucketed("fp/base", withBucket(TextOps.dedupExactIndex(shared), "fp_md5"))
           // the bitset derives from the STAGED fp index (never the
@@ -335,12 +351,19 @@ final class IngestIndex(spark: SparkSession, dir: String,
             spark.read.parquet(stagePath("fp/base").toString), "fp_md5", bloomBits, bloomK))
         },
         () => stageBucketed("spans/base", withBucket(TextOps.dupSpanIndex(shared, width, stride), "w")),
-        () => stageBucketed("winnow/base", withBucket(TextOps.nearDupWinnowIndex(shared, k, w, maxDf), "fp")))
+        () => stageBucketed("winnow/base", withBucket(TextOps.nearDupWinnowIndex(shared, k, w, maxDf), "fp"))) ++
+        (if (withShingles)
+          Seq[() => Unit](() => stageBucketed("sh/base",
+            withBucket(TextOps.shingleSignatures(shared, k), "doc_id")))
+         else Nil)
+      inParallel(jobs: _*)
     } finally shared.unpersist(blocking = false)
     writeSidecar(stagePath("_graft_meta"),
       params.map { case (n, v) => s"$n=$v" }.mkString("\n"))
     val entries = Subs.map(s => s"$s" -> "full") ++
-      Seq("bloom" -> "full", "_graft_meta" -> "full")
+      Seq("bloom" -> "full", "_graft_meta" -> "full",
+        // a rebuild invalidates any memoized derived frame wholesale
+        "pairs" -> "drop")
     writeJournal(entries)
     entries
   }
@@ -401,7 +424,7 @@ final class IngestIndex(spark: SparkSession, dir: String,
     val hashed = spansHashed // read the base schema BEFORE forking jobs
     val shared = incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      inParallel(
+      val jobs = Seq[() => Unit](
         () => {
           val deltaFp = TextOps.dedupExactIndex(shared)
           deltaFp.write.parquet(stagePath(s"fp/$seg").toString)
@@ -417,7 +440,12 @@ final class IngestIndex(spark: SparkSession, dir: String,
         // grain
         () => TextOps.docWinnow(shared, k, w)
           .select(col("fp"), col("doc_id")).distinct()
-          .write.parquet(stagePath(s"winnow/$seg").toString))
+          .write.parquet(stagePath(s"winnow/$seg").toString)) ++
+        (if (withShingles)
+          Seq[() => Unit](() => TextOps.shingleSignatures(shared, k)
+            .write.parquet(stagePath(s"sh/$seg").toString))
+         else Nil)
+      inParallel(jobs: _*)
     } finally shared.unpersist(blocking = false)
     val entries = Subs.map(s => s"$s/$seg" -> "full") :+ ("bloom" -> "full")
     writeJournal(entries)
@@ -440,8 +468,8 @@ final class IngestIndex(spark: SparkSession, dir: String,
     if (segNames("fp").isEmpty) return
     val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
     val drops = Subs.flatMap(sub => segNames(sub).map(n => s"$sub/$n" -> "drop"))
-    // the three folds are independent — overlap their jobs
-    inParallel(
+    // the folds are independent — overlap their jobs
+    val folds = Seq[() => Unit](
       () => stageCompact("fp", loadSegs("fp").get, "fp_md5", (ex, d) =>
         ex.unionByName(d).groupBy(col("bucket"), col("fp_md5"))
           .agg(min(col("dup_of")).as("dup_of"))),
@@ -452,7 +480,15 @@ final class IngestIndex(spark: SparkSession, dir: String,
           .select(col("bucket"), col("fp"), col("e.doc_id").as("doc_id"))
           .unionByName(d)
           .distinct() // duplicate segments (idempotent re-absorb) fold away here
-          .groupBy(col("bucket"), col("fp")).agg(capped(col("doc_id"), lit(0)).as("ids"))))
+          .groupBy(col("bucket"), col("fp")).agg(capped(col("doc_id"), lit(0)).as("ids")))) ++
+      (if (withShingles)
+        // sh is deterministic given (doc_id, fp_md5) — duplicate rows
+        // from re-absorbed batches carry identical arrays, so keyed
+        // dedup (no array comparison) is exact
+        Seq[() => Unit](() => stageCompact("sh", loadSegs("sh").get, "doc_id",
+          (ex, d) => ex.unionByName(d).dropDuplicates("doc_id", "fp_md5")))
+       else Nil)
+    inParallel(folds: _*)
     commit(Subs.map(s => s"$s/base" -> "delta") ++ drops)
   }
 
@@ -506,10 +542,17 @@ final class IngestIndex(spark: SparkSession, dir: String,
   }
 
   /** [[TextOps.dedupExactIncremental]] against the persisted index. */
-  def dedupExactProbe(incoming: DataFrame): DataFrame = {
+  def dedupExactProbe(incoming: DataFrame): DataFrame =
+    dedupExactProbeFp(incoming.select(col("doc_id"),
+      graft.functions.TextFns.fingerprint(col("text")).as("fp_md5")))
+
+  /** [[dedupExactProbe]] over an ALREADY-FINGERPRINTED (doc_id, fp_md5)
+    * frame — a pipeline that fingerprints its batch once (CorpusRun's
+    * shared signature frame) probes without re-normalizing the text. */
+  def dedupExactProbeFp(sig: DataFrame): DataFrame = {
     opened
-    val keys = TextOps.dedupExactIndex(incoming).select(col("fp_md5"))
-    TextOps.dedupExactProbe(deltaPruned(fpIndex, keys, "fp_md5", "fp"), incoming)
+    sig.select(col("doc_id"), col("fp_md5"))
+      .join(deltaPruned(fpIndex, sig.select(col("fp_md5")), "fp_md5", "fp"), Seq("fp_md5"))
       .groupBy(col("doc_id"), col("fp_md5")).agg(min(col("dup_of")).as("dup_of"))
       .select(col("doc_id"), col("fp_md5"), col("dup_of"))
   }
@@ -563,5 +606,101 @@ final class IngestIndex(spark: SparkSession, dir: String,
     }
     TextOps.nearDupWinnowProbe(deltaPruned(idx, keys, "fp", "winnow"),
       incoming, k, w, minShared, maxDf)
+  }
+
+  /** Signature records for `incoming` with cache reuse: docs whose
+    * (doc_id, fp_md5) the state already holds read their record — the
+    * k-shingle array PLUS the four quality stats — from the persisted
+    * `sh/` index (a columnar parquet read); only docs the state has
+    * never seen pay the normalize + tokenize + shingle + stats pass.
+    * Returns (doc_id, fp_md5, sh, n_tokens, stopword_ratio,
+    * punct_ratio, digit_ratio) covering EVERY incoming doc — feed `sh`
+    * to [[TextOps.nearDupJaccardSh]] and the stats to
+    * [[TextOps.docQualityStats]]/[[TextOps.docQualityLogregStats]]:
+    * batch statistics (df cap, gradients) recompute over this batch,
+    * so results are bit-identical to a fresh scan of the same docs
+    * (IngestIndexSpec). An all-resubmission batch (a pipeline re-run)
+    * reduces to a fingerprint pass + a pure index read. */
+  def signaturesFor(incoming: DataFrame): DataFrame =
+    signaturesForSig(incoming.select(col("doc_id"),
+      graft.functions.TextFns.fingerprint(col("text")).as("fp_md5"), col("text")))
+
+  /** [[signaturesFor]] over an ALREADY-FINGERPRINTED (doc_id, fp_md5,
+    * text) frame — skips the normalize+md5 pass for callers that
+    * fingerprinted the batch once already. */
+  def signaturesForSig(sig: DataFrame): DataFrame = {
+    opened
+    require(withShingles, s"ingest state at $dir was opened without withShingles")
+    val recCols = Seq("sh", "n_tokens", "stopword_ratio", "punct_ratio", "digit_ratio")
+    val outCols = (Seq("doc_id", "fp_md5") ++ recCols).map(col) :+ col("cached")
+    val base = loadBase("sh").drop("bucket")
+    val segs = loadSegs("sh")
+    val idx = segs.fold(base)(s => base.unionByName(s))
+    // the hits join moves only (doc_id, fp_md5) keys against the index
+    // — never the text column (the record replaces it); text rejoins
+    // solely on the MISS side, which is delta-sized
+    val ids = sig.select(col("doc_id"), col("fp_md5"))
+    val pruned = deltaPruned(idx, ids.select(col("fp_md5")), "fp_md5", "sh")
+    // duplicate (doc_id, fp) rows are possible only while segments
+    // exist — records are identical by determinism, so a keyed dedup
+    // AFTER the join (delta-sized) restores uniqueness; a compacted
+    // base is unique by construction and skips the extra shuffle
+    val joined = ids.join(pruned, Seq("doc_id", "fp_md5"))
+    val hits = segs.fold(joined)(_ => joined.dropDuplicates("doc_id"))
+      .withColumn("cached", lit(1))
+      .select(outCols: _*)
+    val misses = sig.join(pruned.select("doc_id", "fp_md5"),
+      Seq("doc_id", "fp_md5"), "left_anti")
+    val fresh = TextOps.shingleSignatures(
+        misses.select(col("doc_id"), col("text")), k)
+      .withColumn("cached", lit(0))
+      .select(outCols: _*)
+    hits.unionByName(fresh)
+  }
+
+  // ---- memoized derived frames ----
+  //
+  // A batch-statistic frame (the near-dup pair frame: df caps, jaccard
+  // — all functions of the doc SET it was computed over) can't live in
+  // the per-doc indexes, but it CAN be memoized keyed by an exact
+  // set-identity tag: a re-run over the identical admitted set (the
+  // common "re-crawl with nothing new" case) replays the stored frame
+  // bit-for-bit instead of re-pairing the corpus. Any change to the
+  // set changes the tag, so a stale memo is simply ignored — and a
+  // rebuild drops it outright.
+
+  /** Order-independent identity tag of a (doc_id, fp_md5) doc set:
+    * count + XOR + sum of the row hashes. Equal sets ⇒ equal tags;
+    * unequal sets collide only with ~2⁻¹²⁸ probability. One tiny
+    * fused aggregation (KB to the driver). */
+  def docSetTag(ids: DataFrame): String = {
+    val r = ids
+      .select(xxhash64(col("doc_id"), col("fp_md5")).as("h"))
+      .selectExpr("count(1) as n", "bit_xor(h) as x",
+        "sum(cast(h as decimal(28,0))) as s")
+      .collect()(0)
+    s"${r.get(0)}:${r.get(1)}:${r.get(2)}"
+  }
+
+  /** Memoize a derived pair frame computed over the EXACT doc set
+    * identified by `tag` — staged + journaled like every other commit
+    * (a crash leaves either the old memo or the new one, never a
+    * torn read). */
+  def putPairs(tag: String, pairs: DataFrame): Unit = {
+    opened
+    pairs.write.mode("overwrite").parquet(stagePath("pairs/data").toString)
+    val out = fs.create(stagePath("pairs/_graft_tag"), true)
+    try out.write(tag.getBytes("UTF-8")) finally out.close()
+    commit(Seq("pairs" -> "full"))
+  }
+
+  /** The memoized pair frame, iff it was computed over exactly the doc
+    * set identified by `tag`; None on any mismatch (different set,
+    * no memo yet, dropped by a rebuild). */
+  def getPairs(tag: String): Option[DataFrame] = {
+    opened
+    readSidecar(new Path(s"$dir/pairs/_graft_tag"))
+      .filter(_.trim == tag)
+      .map(_ => spark.read.parquet(s"$dir/pairs/data"))
   }
 }

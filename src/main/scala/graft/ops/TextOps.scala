@@ -32,6 +32,23 @@ object TextOps {
   def docStats(documents: DataFrame): DataFrame =
     docStatsTok(tokenized(documents))
 
+  /** The four row-local stats every quality consumer reads — the rules
+    * gate, the logreg features, and the [[shingleSignatures]] cache
+    * record all derive from exactly these expressions, so a value
+    * cached by one is bit-valid for the others. */
+  private def qualityStatCols: Seq[Column] = {
+    val toks = col("toks")
+    val norm = col("norm")
+    val nToks = size(toks)
+    Seq(
+      nToks.as("n_tokens"),
+      round(hitCount(toks, StopwordsEn).cast("double") / nToks, 6).as("stopword_ratio"),
+      round(size(regexp_extract_all(norm, lit("[^a-z0-9 ]"), lit(0))).cast("double")
+        / greatest(length(norm), lit(1)), 6).as("punct_ratio"),
+      round(size(regexp_extract_all(norm, lit("[0-9]"), lit(0))).cast("double")
+        / greatest(length(norm), lit(1)), 6).as("digit_ratio"))
+  }
+
   /** [[docStats]] over a pre-[[tokenized]] frame. `bpeishTokenCount`
     * inlines against `norm` (normalize ∘ normalize = normalize, so the
     * regex sees identical input). */
@@ -39,17 +56,14 @@ object TextOps {
     val toks = col("toks")
     val norm = col("norm")
     val nToks = size(toks)
+    val st = qualityStatCols
     tok.select(
       col("doc_id"),
-      nToks.as("n_tokens"),
+      st(0),
       size(regexp_extract_all(norm, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .as("n_tokens_bpe"),
       length(norm).as("n_chars_norm"),
-      round(hitCount(toks, StopwordsEn).cast("double") / nToks, 6).as("stopword_ratio"),
-      round(size(regexp_extract_all(norm, lit("[^a-z0-9 ]"), lit(0))).cast("double")
-        / greatest(length(norm), lit(1)), 6).as("punct_ratio"),
-      round(size(regexp_extract_all(norm, lit("[0-9]"), lit(0))).cast("double")
-        / greatest(length(norm), lit(1)), 6).as("digit_ratio"),
+      st(1), st(2), st(3),
       round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
         / nToks, 6).as("mean_token_len"))
   }
@@ -61,8 +75,14 @@ object TextOps {
     docQualityTok(tokenized(documents))
 
   /** [[docQuality]] over a pre-[[tokenized]] frame. */
-  private[graft] def docQualityTok(tok: DataFrame): DataFrame = {
-    val s = docStatsTok(tok)
+  private[graft] def docQualityTok(tok: DataFrame): DataFrame =
+    docQualityStats(docStatsTok(tok))
+
+  /** [[docQuality]] over an already-computed stats frame (any frame
+    * carrying the four [[qualityStatCols]] — [[docStatsTok]] output or
+    * a [[shingleSignatures]] cache record): the rules are arithmetic on
+    * the stats, so cached stats score bit-identically to a fresh scan. */
+  private[graft] def docQualityStats(s: DataFrame): DataFrame = {
     val lengthOk = col("n_tokens").between(20, 100000)
     val stopOk = col("stopword_ratio") >= 0.001
     val punctOk = col("punct_ratio") <= 0.2
@@ -97,10 +117,18 @@ object TextOps {
     * map-side combine (KB collected per step, like the k-means
     * centroids). Returns (doc_id, y, p_quality, label_pred). */
   def docQualityLogreg(documents: DataFrame, iters: Int = 3,
+      lr: Double = 0.5): DataFrame =
+    docQualityLogregStats(docStats(documents), iters, lr)
+
+  /** [[docQualityLogreg]] over an already-computed stats frame — a
+    * pipeline that checkpointed its signature records pays each GD
+    * iteration as a scan of the SMALL stats frame instead of a full
+    * re-tokenize of the corpus (each [[logregStep]] is an action). */
+  private[graft] def docQualityLogregStats(stats: DataFrame, iters: Int = 3,
       lr: Double = 0.5): DataFrame = {
     require(iters >= 0, s"iters=$iters must be >= 0")
     require(lr > 0, s"lr=$lr must be > 0")
-    val f = logregFeatures(documents)
+    val f = logregFeaturesStats(stats)
     var w = Array.fill(5)(0.0)
     for (_ <- 1 to iters) w = logregStep(f, w, lr)
     logregScore(f, w)
@@ -109,8 +137,11 @@ object TextOps {
   /** The classifier's feature frame (doc_id, y, x1..x4) — shared with
     * the streaming refresh so batch and online training see identical
     * inputs. All row-local. */
-  private[graft] def logregFeatures(documents: DataFrame): DataFrame = {
-    val s = docStats(documents)
+  private[graft] def logregFeatures(documents: DataFrame): DataFrame =
+    logregFeaturesStats(docStats(documents))
+
+  /** [[logregFeatures]] from a stats frame ([[qualityStatCols]]). */
+  private[graft] def logregFeaturesStats(s: DataFrame): DataFrame = {
     val yCol = ((col("n_tokens").between(20, 100000)).cast("int")
       + (col("stopword_ratio") >= 0.001).cast("int")
       + (col("punct_ratio") <= 0.2).cast("int")
@@ -436,6 +467,30 @@ object TextOps {
           / col("n_shingles"), 6).as("novelty"))
   }
 
+  /** Per-document signature record: (doc_id, fp_md5, sh, n_tokens,
+    * stopword_ratio, punct_ratio, digit_ratio) — the content
+    * fingerprint, the k-shingle hash array [[nearDupJaccardSh]]
+    * consumes, and the four [[qualityStatCols]] the rules gate +
+    * logreg features read. ALL are DETERMINISTIC row-local functions of
+    * the text alone (no batch-wide statistics), which is what lets
+    * [[graft.incremental.IngestIndex]] cache the record keyed by
+    * (doc_id, fp_md5) and a later run reuse it verbatim for
+    * re-submitted docs: batch statistics (jaccard df cap, logreg
+    * gradients) recompute over whatever batch the records are fed
+    * into, so results from cached records are bit-identical to results
+    * from re-scanned text. One tokenize scan computes everything. */
+  private[graft] def shingleSignatures(documents: DataFrame, k: Int = 3): DataFrame = {
+    TextExprs.register(documents.sparkSession)
+    // md5(norm) ≡ [[graft.functions.TextFns.fingerprint]](text):
+    // normalize is idempotent and `norm` is already materialized in the
+    // tokenized frame, so the fingerprint rides the same scan free
+    tokenized(documents).select(
+      col("doc_id") +:
+      md5(col("norm")).as("fp_md5") +:
+      TextExprs.wordShingleHashes(col("toks"), k).as("sh") +:
+      qualityStatCols: _*)
+  }
+
   /** Exact n-gram-jaccard near-dup pairs via inverted-index candidate
     * generation: explode k-shingles, drop stop-shingles with document
     * frequency > `maxDf` (they only generate quadratic candidate noise —
@@ -660,11 +715,16 @@ object TextOps {
     * quality_score) of the kept set. */
   def nearDupKeepBest(documents: DataFrame, k: Int = 3,
       minJaccard: Double = 0.8, maxDf: Int = 100,
-      precomputedClusters: Option[DataFrame] = None): DataFrame = {
+      precomputedClusters: Option[DataFrame] = None,
+      precomputedQuality: Option[DataFrame] = None): DataFrame = {
     val clusters = precomputedClusters
       .getOrElse(nearDupClusters(documents, k, minJaccard, maxDf))
       .select(col("doc_id"), col("cluster_id"))
-    val q = docQuality(documents).select(col("doc_id"), col("quality_score"))
+    // a precomputed frame may cover a SUPERSET of `documents` (a
+    // pipeline's shared quality scan) — every use below is an inner
+    // join keyed by this frame's doc_ids, so extra rows are inert
+    val q = precomputedQuality.getOrElse(docQuality(documents))
+      .select(col("doc_id"), col("quality_score"))
     val best = clusters.join(q, Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(min(struct((-col("quality_score")).as("nq"), col("doc_id").as("id"))).as("b"))

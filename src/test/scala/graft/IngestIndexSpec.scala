@@ -206,6 +206,45 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("concurrent writer detected"))
   }
 
+  test("cached signature records reproduce inline jaccard pairs AND quality bit-for-bit") {
+    val dir = freshDir()
+    val idx = new IngestIndex(spark, dir, withShingles = true)
+    idx.build(corpus)
+    // batch = resubmissions (cache hits) + the delta (cache misses):
+    // the mixed frame must equal a fresh scan of the same docs — both
+    // the shingle arrays (jaccard pairs) and the four quality stats
+    // (rules scores + logreg trajectory read them)
+    val batch = docs // full input = corpus resubmissions ∪ delta
+    val recs = idx.signaturesFor(batch)
+    assert(rows(TextOps.nearDupJaccardSh(recs)) == rows(TextOps.nearDupJaccard(batch)))
+    assert(rows(TextOps.docQualityStats(recs)) == rows(TextOps.docQuality(batch)))
+    assert(rows(TextOps.docQualityLogregStats(recs)) == rows(TextOps.docQualityLogreg(batch)))
+    // and with segments live (absorb then re-probe), still identical
+    idx.absorb(delta)
+    assert(rows(TextOps.nearDupJaccardSh(idx.signaturesFor(batch))) ==
+      rows(TextOps.nearDupJaccard(batch)))
+  }
+
+  test("absorbing only the state-missing slice equals absorbing the whole batch") {
+    // every index row of a state-hit doc is deterministic per text, so
+    // re-absorbing it adds nothing — the new-content-only absorb
+    // (CorpusRun's probe-then-absorb) must leave probes identical
+    val dir1 = freshDir(); val dir2 = freshDir()
+    val all = new IngestIndex(spark, dir1, withShingles = true)
+    val newOnly = new IngestIndex(spark, dir2, withShingles = true)
+    all.build(corpus); newOnly.build(corpus)
+    val resubmitted = corpus.filter(col("doc_id") % 3 === 0)
+    val batch = resubmitted.unionByName(delta)
+    all.absorb(batch)        // resubmissions + new content
+    newOnly.absorb(delta)    // new content only
+    val probeWith = docs.filter(col("doc_id") % 7 === 0)
+    assert(rows(all.dedupExactProbe(probeWith)) == rows(newOnly.dedupExactProbe(probeWith)))
+    assert(rows(all.dupSpansProbe(probeWith)) == rows(newOnly.dupSpansProbe(probeWith)))
+    assert(rows(all.winnowProbe(probeWith)) == rows(newOnly.winnowProbe(probeWith)))
+    assert(rows(TextOps.nearDupJaccardSh(all.signaturesFor(probeWith))) ==
+      rows(TextOps.nearDupJaccardSh(newOnly.signaturesFor(probeWith))))
+  }
+
   test("compaction folds segments into the base without moving any probe result") {
     val half1 = corpus.filter(col("doc_id") % 3 =!= 0)
     val half2 = corpus.filter(col("doc_id") % 3 === 0)
