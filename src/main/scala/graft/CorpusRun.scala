@@ -199,7 +199,11 @@ object CorpusRun {
     // expensive stage into a parquet read. Any admitted-set change
     // misses the tag and recomputes exactly as before.
     val admittedSig = sig.join(exactStable.select("doc_id"), Seq("doc_id"), "left_semi")
-    val pairsTag = warmState.map(idx => idx.docSetTag(admittedSig))
+    // memo key = exact doc-set identity PLUS the pair operator's
+    // parameters: a jaccard/df-cap default change misses the memo and
+    // recomputes instead of replaying a frame built under old defaults
+    val pairsTag = warmState.map(idx =>
+      idx.docSetTag(admittedSig) + "|" + TextOps.nearDupJaccardParamsTag())
     val pairsMemo = warmState.zip(pairsTag)
       .flatMap { case (idx, tag) => idx.getPairs(tag) }
     val pairs = pairsMemo match {
@@ -348,7 +352,8 @@ object CorpusRun {
       // admitted set (after absorb/build: a crash before this point
       // leaves a state without memo — a recompute, never a wrong read)
       if (pairsMemo.isEmpty)
-        idx.putPairs(pairsTag.getOrElse(idx.docSetTag(admittedSig)), pairs)
+        idx.putPairs(pairsTag.getOrElse(
+          idx.docSetTag(admittedSig) + "|" + TextOps.nearDupJaccardParamsTag()), pairs)
     }
     val published = stages.find(_._1 == "published").map(_._2).getOrElse(0L)
     println(s"[corpus] done: $published docs published to $outDir/kept "

@@ -114,10 +114,38 @@ final class IngestIndex(spark: SparkSession, dir: String,
     * statistics (df cap, thresholds) always recompute over the batch
     * the arrays are fed into, so results are bit-identical whatever mix
     * of cached and fresh signatures a batch resolves to. Off by default
-    * — probe-only states don't pay the storage. */
-  private val Subs =
-    if (withShingles) Seq("fp", "spans", "winnow", "sh")
-    else Seq("fp", "spans", "winnow")
+    * — probe-only states don't pay the storage.
+    *
+    * The flag means "this caller REQUIRES signature records", not "this
+    * state holds them": `sh/` is a superset-compatible CAPABILITY.
+    * fp/spans/winnow probes never touch it, so a probe-only caller
+    * (withShingles = false) opens a CorpusRun-built shingled state
+    * fine, and its absorb/compact keep maintaining `sh/` from the
+    * STATE's own capability ([[subs]]) so the cache never goes stale
+    * under a mixed-caller workload. Only a caller that needs
+    * [[signaturesFor]] rejects a record-less state — loudly, with the
+    * rebuild instruction (the records of previously-admitted docs can't
+    * be derived from the other indexes; the one upgrade path is a
+    * `withShingles = true` rebuild over the FULL admitted corpus). */
+  private val AllSubs = Seq("fp", "spans", "winnow", "sh")
+
+  /** The state's persisted shingle capability (None: no meta yet, or a
+    * pre-capability layout). */
+  private def storedShingles: Option[Long] = readSidecar(metaPath).flatMap {
+    text => text.linesIterator.map(_.trim)
+      .collectFirst { case l if l.startsWith("shingles=") =>
+        l.stripPrefix("shingles=").trim.toLong }
+  }
+
+  /** Does this STATE maintain signature records? The persisted
+    * capability when a meta exists (superset-compatible open — see the
+    * class doc), the caller's request before the first build. */
+  private def effectiveShingles: Boolean =
+    storedShingles.map(_ == 2L).getOrElse(withShingles)
+
+  /** The indexes absorb/compact maintain for THIS state. */
+  private def subs: Seq[String] =
+    if (effectiveShingles) AllSubs else AllSubs.filterNot(_ == "sh")
 
   private def livePath(rel: String) = new Path(s"$dir/$rel")
   private def stagePath(rel: String) = new Path(s"$dir/.stage/$rel")
@@ -201,13 +229,28 @@ final class IngestIndex(spark: SparkSession, dir: String,
     case Some(text) =>
       val stored = text.linesIterator.map(_.trim).filter(_.nonEmpty)
         .map { l => val Array(n, v) = l.split("=", 2); n -> v.toLong }.toMap
-      val bad = params.filter { case (n, v) => stored.get(n).exists(_ != v) } ++
-        params.filter { case (n, _) => !stored.contains(n) }
+      // everything except `shingles` pins exactly: a mismatched width/w/
+      // bloomBits silently corrupts probe results
+      val pinned = params.filterNot(_._1 == "shingles")
+      val bad = pinned.filter { case (n, v) => stored.get(n).exists(_ != v) } ++
+        pinned.filter { case (n, _) => !stored.contains(n) }
       if (bad.nonEmpty)
         throw new IllegalStateException(
           s"ingest state at $dir was built with different parameters — " +
             bad.map { case (n, v) => s"$n: state=${stored.getOrElse(n, "?")} caller=$v" }
               .distinct.mkString(", ") + " (probing would corrupt results; rebuild or match)")
+      // `shingles` is a superset-compatible capability (class doc):
+      // reject only a caller that REQUIRES records on a state lacking
+      // them — and say how to upgrade (the runbook answer: records are
+      // derived from TEXT, so the only path is a full rebuild)
+      if (withShingles && !stored.get("shingles").contains(2L))
+        throw new IllegalStateException(
+          s"ingest state at $dir holds no signature records " +
+            s"(shingles=${stored.getOrElse("shingles", "absent — pre-r11 state")}) " +
+            "but this caller requires them (withShingles = true). Records derive " +
+            "from document TEXT, so they cannot be backfilled from the other " +
+            "indexes: rebuild the state with withShingles = true over the FULL " +
+            "admitted corpus, or point at a fresh state directory.")
   }
 
   /** One-time open check per instance: replay any torn commit, then pin
@@ -294,7 +337,13 @@ final class IngestIndex(spark: SparkSession, dir: String,
     entries.foreach { case (rel, mode) => applySwap(rel, mode) }
     fs.delete(journalPath, false)
     fs.delete(new Path(s"$dir/.stage"), true)
-    inParallel(Subs.map(s => () => stampRows(s)): _*)
+    // stamp what EXISTS, not what this instance's config expects:
+    // recovery may be replaying a foreign-layout journal (e.g. a
+    // shingled instance finishing a shingle-less state's torn commit) —
+    // the layout question is validateMeta's to answer loudly AFTER
+    // recovery, not stampRows' to trip over with a parquet read error
+    inParallel(AllSubs.filter(s => fs.exists(livePath(s)))
+      .map(s => () => stampRows(s)): _*)
   }
 
   /** Replay a pending commit (crash between journal publish and journal
@@ -360,7 +409,12 @@ final class IngestIndex(spark: SparkSession, dir: String,
     } finally shared.unpersist(blocking = false)
     writeSidecar(stagePath("_graft_meta"),
       params.map { case (n, v) => s"$n=$v" }.mkString("\n"))
-    val entries = Subs.map(s => s"$s" -> "full") ++
+    // build follows the CALLER's capability (a rebuild may upgrade or
+    // downgrade it); a downgrade drops the stale sh/ dir so nothing
+    // record-shaped outlives the meta that claimed it
+    val builtSubs = if (withShingles) AllSubs else AllSubs.filterNot(_ == "sh")
+    val entries = builtSubs.map(s => s"$s" -> "full") ++
+      (if (withShingles) Nil else Seq("sh" -> "drop")) ++
       Seq("bloom" -> "full", "_graft_meta" -> "full",
         // a rebuild invalidates any memoized derived frame wholesale
         "pairs" -> "drop")
@@ -441,13 +495,15 @@ final class IngestIndex(spark: SparkSession, dir: String,
         () => TextOps.docWinnow(shared, k, w)
           .select(col("fp"), col("doc_id")).distinct()
           .write.parquet(stagePath(s"winnow/$seg").toString)) ++
-        (if (withShingles)
+        // the STATE's capability, not the caller's: a probe-only caller
+        // absorbing into a shingled state keeps its record cache current
+        (if (effectiveShingles)
           Seq[() => Unit](() => TextOps.shingleSignatures(shared, k)
             .write.parquet(stagePath(s"sh/$seg").toString))
          else Nil)
       inParallel(jobs: _*)
     } finally shared.unpersist(blocking = false)
-    val entries = Subs.map(s => s"$s/$seg" -> "full") :+ ("bloom" -> "full")
+    val entries = subs.map(s => s"$s/$seg" -> "full") :+ ("bloom" -> "full")
     writeJournal(entries)
     entries
   }
@@ -467,7 +523,7 @@ final class IngestIndex(spark: SparkSession, dir: String,
     opened
     if (segNames("fp").isEmpty) return
     val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
-    val drops = Subs.flatMap(sub => segNames(sub).map(n => s"$sub/$n" -> "drop"))
+    val drops = subs.flatMap(sub => segNames(sub).map(n => s"$sub/$n" -> "drop"))
     // the folds are independent — overlap their jobs
     val folds = Seq[() => Unit](
       () => stageCompact("fp", loadSegs("fp").get, "fp_md5", (ex, d) =>
@@ -481,7 +537,9 @@ final class IngestIndex(spark: SparkSession, dir: String,
           .unionByName(d)
           .distinct() // duplicate segments (idempotent re-absorb) fold away here
           .groupBy(col("bucket"), col("fp")).agg(capped(col("doc_id"), lit(0)).as("ids")))) ++
-      (if (withShingles)
+      // sh segments may be absent even on a shingled state (e.g. a
+      // journal replayed from a mixed history) — fold only what exists
+      (if (effectiveShingles && segNames("sh").nonEmpty)
         // sh is deterministic given (doc_id, fp_md5) — duplicate rows
         // from re-absorbed batches carry identical arrays, so keyed
         // dedup (no array comparison) is exact
@@ -489,7 +547,7 @@ final class IngestIndex(spark: SparkSession, dir: String,
           (ex, d) => ex.unionByName(d).dropDuplicates("doc_id", "fp_md5")))
        else Nil)
     inParallel(folds: _*)
-    commit(Subs.map(s => s"$s/base" -> "delta") ++ drops)
+    commit(subs.map(s => s"$s/base" -> "delta") ++ drops)
   }
 
   /** Stage an index's merged TOUCHED buckets: collect the segments'
@@ -539,6 +597,20 @@ final class IngestIndex(spark: SparkSession, dir: String,
   private def fpIndex: DataFrame = {
     val base = loadBase("fp").drop("bucket")
     loadSegs("fp").fold(base)(segs => base.unionByName(segs))
+  }
+
+  /** Read-only snapshot of the corpus fingerprint keys (base ∪ the
+    * segments visible right now) — the stream-static side of
+    * [[graft.streaming.DocStream.dropAdmitted]], re-opened per
+    * micro-batch so a mid-stream [[absorb]] becomes visible at the next
+    * batch. Deliberately does NOT replay a pending journal: recovery is
+    * a WRITE, and this reader may run concurrently with the single
+    * writer — an in-flight absorb's segments appear only once its
+    * commit applies, so the read is always a committed prefix of the
+    * state (validateMeta still pins the build parameters). */
+  def corpusFpsSnapshot: DataFrame = {
+    validateMeta()
+    fpIndex.select(col("fp_md5"))
   }
 
   /** [[TextOps.dedupExactIncremental]] against the persisted index. */
@@ -630,7 +702,8 @@ final class IngestIndex(spark: SparkSession, dir: String,
     * fingerprinted the batch once already. */
   def signaturesForSig(sig: DataFrame): DataFrame = {
     opened
-    require(withShingles, s"ingest state at $dir was opened without withShingles")
+    require(effectiveShingles,
+      s"ingest state at $dir holds no signature records — rebuild with withShingles = true")
     val recCols = Seq("sh", "n_tokens", "stopword_ratio", "punct_ratio", "digit_ratio")
     val outCols = (Seq("doc_id", "fp_md5") ++ recCols).map(col) :+ col("cached")
     val base = loadBase("sh").drop("bucket")
@@ -670,16 +743,31 @@ final class IngestIndex(spark: SparkSession, dir: String,
   // rebuild drops it outright.
 
   /** Order-independent identity tag of a (doc_id, fp_md5) doc set:
-    * count + XOR + sum of the row hashes. Equal sets ⇒ equal tags;
-    * unequal sets collide only with ~2⁻¹²⁸ probability. One tiny
-    * fused aggregation (KB to the driver). */
+    * count + XOR + sum over TWO independently-seeded 64-bit row hashes
+    * (the second hash mixes a salt literal into xxhash64, so its
+    * collisions are independent of the first's). Equal sets ⇒ equal
+    * tags. Unequal sets: for RANDOM collisions the 4 independent 64-bit
+    * combiners put a false match far below any operational concern;
+    * no formal bound is claimed against ADVERSARIALLY structured set
+    * differences (count+xor+sum is not a cryptographic accumulator) —
+    * the memo guards a pipeline against its own re-runs, not against an
+    * attacker, and a rebuild drops it outright. One tiny fused
+    * aggregation (KB to the driver).
+    *
+    * Callers memoizing a frame that also depends on OPERATOR PARAMETERS
+    * must fold those into the key themselves (e.g. [[graft.CorpusRun]]
+    * appends [[TextOps.nearDupJaccardParamsTag]]) — a parameter-default
+    * change must never replay a frame computed under the old defaults
+    * over an unchanged doc set. */
   def docSetTag(ids: DataFrame): String = {
     val r = ids
-      .select(xxhash64(col("doc_id"), col("fp_md5")).as("h"))
-      .selectExpr("count(1) as n", "bit_xor(h) as x",
-        "sum(cast(h as decimal(28,0))) as s")
+      .select(xxhash64(col("doc_id"), col("fp_md5")).as("h1"),
+        xxhash64(lit("graft-set-tag-2"), col("doc_id"), col("fp_md5")).as("h2"))
+      .selectExpr("count(1) as n",
+        "bit_xor(h1) as x1", "sum(cast(h1 as decimal(28,0))) as s1",
+        "bit_xor(h2) as x2", "sum(cast(h2 as decimal(28,0))) as s2")
       .collect()(0)
-    s"${r.get(0)}:${r.get(1)}:${r.get(2)}"
+    (0 to 4).map(r.get).mkString(":")
   }
 
   /** Memoize a derived pair frame computed over the EXACT doc set

@@ -511,6 +511,15 @@ object TextOps {
       minJaccard, maxDf)
   }
 
+  /** Identity tag of [[nearDupJaccardSh]]'s operator parameters, folded
+    * into the pair-memo key ([[graft.incremental.IngestIndex.putPairs]],
+    * via [[graft.CorpusRun]]): the memoized pair frame is a function of
+    * (doc set, minJaccard, maxDf), so a parameter-default change must
+    * miss the memo and recompute — never silently replay a frame
+    * computed under the old defaults. */
+  private[graft] def nearDupJaccardParamsTag(minJaccard: Double = 0.8,
+      maxDf: Int = 100): String = s"jaccard=$minJaccard,maxDf=$maxDf"
+
   /** [[nearDupJaccard]] over a pre-shingled (doc_id, sh) frame —
     * [[corpusCuration]] feeds this from its persisted signature frame so
     * the shingle md5s are computed exactly once. */

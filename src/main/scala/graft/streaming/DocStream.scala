@@ -46,15 +46,44 @@ object DocStream {
 
   /** [[ingestFilter]] with corpus-level exact dedup in front: a
     * stream-static LEFT ANTI join against the published corpus's
-    * fingerprint index (`TextOps.dedupExactIncremental`'s static half —
-    * at scale a persisted table, re-read per micro-batch) drops
-    * re-crawls of anything already held BEFORE the within-watermark
-    * dedup handles redelivery inside the stream. State stays
-    * rate×delay-sized; the corpus index never enters state. */
+    * fingerprint index (`TextOps.dedupExactIncremental`'s static half)
+    * drops re-crawls of anything already held BEFORE the within-
+    * watermark dedup handles redelivery inside the stream. State stays
+    * rate×delay-sized; the corpus index never enters state.
+    *
+    * SNAPSHOT caveat: the static side's file listing pins when
+    * `corpusFps` is planned, so index growth DURING the stream's
+    * lifetime (an [[graft.incremental.IngestIndex.absorb]] by the batch
+    * pipeline) is invisible until the query restarts — re-crawls of a
+    * just-absorbed batch keep admitting. Right for a corpus that only
+    * changes between deploys; for a live state use [[dropAdmitted]]
+    * inside `foreachBatch`, which re-opens the index per micro-batch. */
   def ingestFilterIndexed(docs: DataFrame, corpusFps: DataFrame,
       watermarkDelay: String = "1 hour", minQuality: Double = 0.5): DataFrame =
     ingestFilter(docs, watermarkDelay, minQuality)
       .join(corpusFps.select(col("fp_md5")), Seq("fp_md5"), "left_anti")
+
+  /** The LIVE-index half of indexed ingest, for `foreachBatch`: anti-
+    * join one micro-batch (already [[ingestFilter]]ed — it carries
+    * `fp_md5`) against a FRESHLY-OPENED snapshot of the persisted
+    * fingerprint index ([[graft.incremental.IngestIndex
+    * .corpusFpsSnapshot]]: base ∪ committed segments; read-only, so it
+    * never races the single writer). Every absorb that committed before
+    * this micro-batch is visible, closing [[ingestFilterIndexed]]'s
+    * stale-snapshot window — the streaming analogue of the reference's
+    * watermark discipline, where each run reads the state its
+    * predecessors committed (etl_script_incremental_pandas.py:58-96).
+    * Per-batch cost: one parquet re-list + a batch-keyed anti-join
+    * (work ∝ batch; the index side streams, never enters stream state).
+    *
+    *   ingestFilter(stream).writeStream.foreachBatch { (b, _) =>
+    *     sink(DocStream.dropAdmitted(stateDir)(b))
+    *   }
+    */
+  def dropAdmitted(stateDir: String)(batch: DataFrame): DataFrame = {
+    val idx = new graft.incremental.IngestIndex(batch.sparkSession, stateDir)
+    batch.join(idx.corpusFpsSnapshot, Seq("fp_md5"), "left_anti")
+  }
 
   /** Streaming duplicated-span probe — the ingest-time "is this new doc
     * copying the corpus?" alert ([[graft.ops.TextOps.docDupSpansIncremental]]

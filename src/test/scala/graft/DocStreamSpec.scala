@@ -102,6 +102,53 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private val good3 = ("a third entirely reasonable document carrying well over " +
+    "twenty distinct words so that every single quality rule passes without doubt")
+  private val good4 = ("the fourth and final genuinely fresh document also has " +
+    "plenty of ordinary words to sail through all four quality rules with ease")
+
+  test("foreachBatch indexed ingest sees a mid-stream absorb: re-crawls of a just-absorbed batch are rejected") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-live").toString
+    val idx = new graft.incremental.IngestIndex(spark, dir)
+    idx.build(Seq((100L, good1.toUpperCase + "  ")).toDF("doc_id", "text"))
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[Doc](s)
+    val q = DocStream.ingestFilter(input.toDF(), minQuality = 1.0)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        admitted.synchronized {
+          admitted ++= DocStream.dropAdmitted(dir)(batch)
+            .select("doc_id").collect().map(_.getLong(0))
+        }
+        ()
+      }.start()
+    try {
+      input.addData(
+        Doc(1, good1, ts("2024-05-01 00:00:00")),  // corpus re-crawl: dropped
+        Doc(2, good2, ts("2024-05-01 00:01:00")))  // fresh: admitted
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq == Seq(2L), s"batch 1 admitted $admitted")
+      // the batch pipeline publishes + absorbs good3 BETWEEN micro-batches
+      idx.absorb(Seq((200L, good3)).toDF("doc_id", "text"))
+      input.addData(
+        Doc(3, good3, ts("2024-05-01 00:10:00")),  // re-crawl of the absorb: dropped
+        Doc(4, good4, ts("2024-05-01 00:11:00")))  // fresh: admitted
+      q.processAllAvailable()
+      // a pinned static snapshot would have admitted doc 3 — the
+      // per-batch re-open is what rejects it
+      assert(admitted.sorted.toSeq == Seq(2L, 4L), s"after absorb admitted $admitted")
+      // equality with the batch probe at the same commit point: the
+      // second batch's admitted set is exactly its clean slice
+      val batch2 = Seq((3L, good3), (4L, good4)).toDF("doc_id", "text")
+      val batchDupes = graft.ops.TextOps.dedupExactIncremental(
+          Seq((100L, good1), (200L, good3)).toDF("doc_id", "text"), batch2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchDupes == Set(3L), s"batch probe dupes $batchDupes")
+    } finally q.stop()
+  }
+
   private def gen(seed: Int, n: Int): String = {
     val r = new scala.util.Random(seed)
     (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString

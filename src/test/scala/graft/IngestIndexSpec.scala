@@ -245,6 +245,70 @@ class IngestIndexSpec extends AnyFunSuite {
       rows(TextOps.nearDupJaccardSh(newOnly.signaturesFor(probeWith))))
   }
 
+  test("shingles is a superset-compatible capability: a probe-only caller opens a shingled state") {
+    val dir = freshDir()
+    new IngestIndex(spark, dir, withShingles = true).build(corpus)
+    // read-only probes from a default (withShingles = false) instance
+    val probeOnly = new IngestIndex(spark, dir)
+    checkProbesMatchInline(probeOnly)
+    // and its ABSORB maintains the record cache from the STATE's own
+    // capability: a fresh shingled instance still serves bit-identical
+    // signatures for the grown corpus afterwards
+    probeOnly.absorb(delta)
+    val grown = corpus.unionByName(delta)
+    assert(rows(TextOps.nearDupJaccardSh(
+        new IngestIndex(spark, dir, withShingles = true).signaturesFor(grown))) ==
+      rows(TextOps.nearDupJaccard(grown)))
+  }
+
+  test("a caller requiring signature records rejects a record-less state with the rebuild instruction") {
+    val dir = freshDir()
+    new IngestIndex(spark, dir).build(corpus) // shingles = 0
+    val e = intercept[IllegalStateException](
+      new IngestIndex(spark, dir, withShingles = true).signaturesFor(delta).collect())
+    assert(e.getMessage.contains("signature records"))
+    assert(e.getMessage.contains("rebuild"))
+  }
+
+  test("recovering a foreign-layout journal surfaces the meta verdict, not a parquet read error") {
+    // a shingle-less state's torn absorb, finished by a SHINGLED
+    // instance: recovery must stamp only the indexes that exist and
+    // then let validateMeta speak — pre-fix, stampRows("sh") died in
+    // loadBase with a path-not-found AnalysisException
+    val dir = freshDir()
+    val old = new IngestIndex(spark, dir)
+    old.build(corpus)
+    old.prepareAbsorb(delta) // journal published, swaps unapplied — "crash"
+    val e = intercept[IllegalStateException](
+      new IngestIndex(spark, dir, withShingles = true).signaturesFor(delta).collect())
+    assert(e.getMessage.contains("signature records"))
+    // and the recovery itself completed: a matching instance probes the
+    // fully-absorbed state
+    assert(rows(new IngestIndex(spark, dir).dedupExactProbe(delta)) ==
+      rows(TextOps.dedupExactIncremental(corpus.unionByName(delta), delta)))
+  }
+
+  test("docSetTag: set identity, order-invariant; any set or parameter change misses the memo") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val idx = new IngestIndex(spark, dir, withShingles = true)
+    idx.build(corpus)
+    val ids = TextOps.dedupExactIndex(docs)
+      .select(col("dup_of").as("doc_id"), col("fp_md5"))
+    val tag = idx.docSetTag(ids)
+    // order/partitioning never move the tag; a one-row change always does
+    assert(idx.docSetTag(ids.orderBy(col("fp_md5"))) == tag)
+    assert(idx.docSetTag(ids.repartition(7)) == tag)
+    assert(idx.docSetTag(ids.limit(3)) != tag)
+    // the memo honors the FULL key: same doc set + different operator
+    // params (the tag suffix CorpusRun appends) is a miss, not a replay
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    idx.putPairs(tag + "|" + TextOps.nearDupJaccardParamsTag(), pairs)
+    assert(idx.getPairs(tag + "|" + TextOps.nearDupJaccardParamsTag()).isDefined)
+    assert(idx.getPairs(tag + "|" + TextOps.nearDupJaccardParamsTag(maxDf = 50)).isEmpty)
+  }
+
   test("compaction folds segments into the base without moving any probe result") {
     val half1 = corpus.filter(col("doc_id") % 3 =!= 0)
     val half2 = corpus.filter(col("doc_id") % 3 === 0)
