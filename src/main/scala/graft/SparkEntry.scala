@@ -103,6 +103,18 @@ object SparkEntry {
       ReferenceOps.firstRental(Tables.rental(s, dir))),
     "upsert_round" -> ((s, dir) =>
       ReferenceOps.upsertRound(Tables.rental(s, dir), DeltaFrom, AsOf)),
+    // the same upsert round driven through the manifest-based ACID
+    // table sink (SnapshotTable.merge — file-pruned copy-on-write): the
+    // persisted table's contents must equal the pure-query formulation
+    "upsert_round_snapshot" -> ((s, dir) => {
+      val (existing, incoming) =
+        WeeklySummary.upsertRoundParts(Tables.rental(s, dir), DeltaFrom, AsOf)
+      val tbl = new graft.incremental.SnapshotTable(s,
+        java.nio.file.Files.createTempDirectory("graft-snap").toString, "week_beginning")
+      tbl.create(existing)
+      tbl.merge(incoming)
+      tbl.read().orderBy("week_beginning")
+    }),
     // -- text analysis / dedup over `documents` (extended surface)
     "doc_stats" -> ((s, dir) => TextOps.docStats(Tables.documents(s, dir))),
     "doc_quality" -> ((s, dir) => TextOps.docQuality(Tables.documents(s, dir))),
@@ -1176,6 +1188,7 @@ object SparkEntry {
          |SELECT rental_id, rental_date, return_date, last_update FROM rental
          |ORDER BY rental_id LIMIT 1""".stripMargin,
     "upsert_round" -> upsertRoundOracle,
+    "upsert_round_snapshot" -> upsertRoundOracle,
     "doc_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id,

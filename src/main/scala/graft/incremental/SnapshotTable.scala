@@ -1,0 +1,346 @@
+package graft.incremental
+
+import java.util.ConcurrentModificationException
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Minimal manifest-based table format: snapshot-isolated reads, an
+  * ACID keyed MERGE (the reference's `INSERT … ON CONFLICT (key) DO
+  * UPDATE`, etl_script_incremental_pandas.py:249-267), time travel,
+  * and optimistic concurrency — over plain parquet files, no service.
+  *
+  * [[StateStore]] (S7) commits by swapping ONE directory: atomic and
+  * right for summary-sized state, but every commit rewrites the whole
+  * table and a reader holding the old files can race the swap's delete.
+  * This class is the standard next rung (the design shared by
+  * Delta/Iceberg-class formats, re-derived minimally): DATA FILES ARE
+  * IMMUTABLE; each commit writes only NEW files plus a versioned
+  * MANIFEST listing the files that make up that snapshot, and readers
+  * resolve the latest committed manifest — so a 100 TB MERGE rewrites
+  * only the files whose key range the source batch touches (file-level
+  * min/max pruning), never the table, and an in-flight reader keeps a
+  * consistent snapshot because nothing it references is ever mutated.
+  *
+  * == Layout ==
+  * {{{
+  *   dir/data/<commit-uuid>/part-*.parquet   immutable data files
+  *   dir/manifests/v<zero-padded>.json       one per committed version
+  * }}}
+  * A manifest is line-oriented: `#`-prefixed header (parent version,
+  * operation, key column, schema JSON), one entry per data file
+  * (relative path, row count, key kind, encoded key min/max), and a
+  * trailing `#commit` terminator. A manifest WITHOUT the terminator is
+  * torn (writer crashed mid-write) and is ignored by readers; the next
+  * writer simply claims the next free version number, so a torn commit
+  * can never wedge the table.
+  *
+  * == Commit protocol ==
+  * Stage data files first (invisible — nothing references them), then
+  * claim the next version with a create-exclusive manifest write.
+  * Concurrency is OPTIMISTIC, two layers:
+  *   - the create-exclusive claim makes two writers racing the same
+  *     version number a loud [[ConcurrentModificationException]];
+  *   - after writing, the committer re-scans for a committed version
+  *     between its BASE (the snapshot it derived its files from) and
+  *     its own — finding one means lost-update, so it retracts its own
+  *     manifest and throws. Callers pin the base explicitly with
+  *     `expectedVersion` for compare-and-swap semantics.
+  * A failed/crashed commit leaves only orphaned data files (never read;
+  * reclaimable by a vacuum that keeps every committed manifest's
+  * reference set).
+  *
+  * == MERGE ==
+  * Copy-on-write at file grain: files whose [min,max] key range cannot
+  * intersect the source batch's range carry forward BY REFERENCE;
+  * overlapping files are read, rows whose key the source replaces are
+  * anti-joined out, and survivors ∪ source land as new files,
+  * range-clustered on the key (`repartitionByRange`) so future merges
+  * prune tightly. Work ∝ touched files + batch — at 100 TB with
+  * key-clustered files (time-ordered facts, week-keyed summaries) a
+  * batch touches a sliver of the table. Min/max pruning is exact for
+  * numeric/date/timestamp/string keys; other key types degrade to
+  * "always overlaps" (correct, just unpruned).
+  */
+final class SnapshotTable(spark: SparkSession, dir: String, key: String,
+    clusterPartitions: Option[Int] = None) {
+
+  private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def manifestDir = new Path(s"$dir/manifests")
+  private def manifestPath(v: Long) = new Path(manifestDir, f"v$v%019d.json")
+
+  /** One immutable data file: table-relative path + row count + the
+    * key's encoded [min,max] ("num": decimal string; "str": Base64 of
+    * the UTF-8 bytes; "opaque": no stats, always overlaps). */
+  private final case class Entry(path: String, rows: Long, kind: String,
+      min: Option[String], max: Option[String]) {
+    def line: String = Seq("f", path, rows.toString, kind,
+      min.getOrElse(""), max.getOrElse("")).mkString("\t")
+  }
+
+  private final case class Manifest(version: Long, parent: Long, op: String,
+      schema: StructType, entries: Seq[Entry])
+
+  // ---- manifest IO ----
+
+  private def readText(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val acc = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { acc.write(buf, 0, n); n = in.read(buf) }
+      new String(acc.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** All version numbers with a manifest FILE present (committed or
+    * torn) — the claim counter must skip both. */
+  private def allVersions: Seq[Long] =
+    if (!fs.exists(manifestDir)) Nil
+    else fs.listStatus(manifestDir).map(_.getPath.getName).toSeq
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
+      .sorted
+
+  private def loadManifest(v: Long): Option[Manifest] = {
+    val p = manifestPath(v)
+    if (!fs.exists(p)) return None
+    val lines = readText(p).linesIterator.toSeq
+    if (!lines.lastOption.contains("#commit")) return None // torn — ignore
+    val header = lines.filter(_.startsWith("#")).map(_.split(" ", 2))
+      .collect { case Array(k, value) => k -> value }.toMap
+    val entries = lines.filter(_.startsWith("f\t")).map { l =>
+      val f = l.split("\t", -1)
+      Entry(f(1), f(2).toLong, f(3),
+        Some(f(4)).filter(_.nonEmpty), Some(f(5)).filter(_.nonEmpty))
+    }
+    Some(Manifest(v, header("#parent").toLong, header("#op"),
+      DataType.fromJson(header("#schema")).asInstanceOf[StructType], entries))
+  }
+
+  private def committedManifests: Seq[Manifest] = allVersions.flatMap(loadManifest)
+
+  /** Latest committed version, if the table exists. */
+  def currentVersion: Option[Long] = committedManifests.lastOption.map(_.version)
+
+  def exists: Boolean = currentVersion.isDefined
+
+  /** (version, parent, operation, n_files, n_rows) per committed
+    * version, oldest first — the table's audit trail. */
+  def history: Seq[(Long, Long, String, Int, Long)] =
+    committedManifests.map(m =>
+      (m.version, m.parent, m.op, m.entries.size, m.entries.map(_.rows).sum))
+
+  // ---- snapshot reads ----
+
+  /** The latest committed snapshot. */
+  def read(): DataFrame =
+    readVersion(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir")))
+
+  /** Time travel: the exact file set version `v` committed. Data files
+    * are immutable and commits never delete, so any committed version
+    * stays readable (and an in-flight reader of v is unaffected by
+    * later commits). */
+  def readVersion(v: Long): DataFrame = {
+    val m = loadManifest(v).getOrElse(
+      throw new IllegalStateException(s"no committed version $v at $dir"))
+    readEntries(m.schema, m.entries)
+  }
+
+  private def readEntries(schema: StructType, entries: Seq[Entry]): DataFrame =
+    if (entries.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(entries.map(e => s"$dir/${e.path}"): _*)
+
+  // ---- key stats: canonical encode / ordered compare ----
+
+  private def kindOf(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         DateType | TimestampType | TimestampNTZType => "num"
+    case _: DecimalType => "num"
+    case StringType => "str"
+    case _ => "opaque"
+  }
+
+  /** Driver-side canonical encoding of a collected key value: a plain
+    * decimal string for the "num" kind (dates → epoch day, timestamps →
+    * epoch micros — exact, unlike lexicographic ISO strings), Base64
+    * UTF-8 for "str" (binary-collation order, matching Spark's default
+    * string comparison). None (→ no stats) for anything unencodable,
+    * e.g. NaN — conservatively unpruned. */
+  private def ordEncode(v: Any): Option[String] = v match {
+    case null => None
+    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay).toString)
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay).toString)
+    // millisecond floor: monotone, so pruning stays conservative even
+    // for sub-ms-distinct timestamps (enc(a) < enc(b) ⇒ a < b)
+    case t: java.sql.Timestamp => Some(BigDecimal(t.getTime * 1000L).toString)
+    case t: java.time.Instant =>
+      Some((BigDecimal(t.getEpochSecond) * 1000000 + t.getNano / 1000).toString)
+    case t: java.time.LocalDateTime =>
+      ordEncode(t.toInstant(java.time.ZoneOffset.UTC))
+    case s: String => Some(java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8")))
+    case n: java.lang.Number =>
+      scala.util.Try(BigDecimal(n.toString).toString).toOption
+    case _ => None
+  }
+
+  private def ordLt(kind: String, a: String, b: String): Boolean = kind match {
+    case "num" => BigDecimal(a) < BigDecimal(b)
+    case "str" =>
+      val dec = java.util.Base64.getDecoder
+      new String(dec.decode(a), "UTF-8") < new String(dec.decode(b), "UTF-8")
+    case _ => false
+  }
+
+  /** Can this file's key range intersect [srcMin, srcMax]? Missing
+    * stats on either side ⇒ yes (conservative: pruning must never skip
+    * a file that could hold a matching key). */
+  private def overlaps(e: Entry, srcMin: Option[String], srcMax: Option[String]): Boolean =
+    (e.kind, e.min, e.max, srcMin, srcMax) match {
+      case ("opaque", _, _, _, _) => true
+      case (k, Some(fMin), Some(fMax), Some(sMin), Some(sMax)) =>
+        !(ordLt(k, fMax, sMin) || ordLt(k, sMax, fMin))
+      case _ => true
+    }
+
+  // ---- staging data files ----
+
+  /** Write `df` as a new immutable file set and return its entries with
+    * per-FILE key min/max — gathered in one distributed pass over the
+    * fresh files (`groupBy(input_file_name())`), the no-commit-message
+    * analogue of a writer-side stats collector. */
+  private def stage(df: DataFrame): Seq[Entry] = {
+    val rel = s"data/${java.util.UUID.randomUUID().toString}"
+    val out = new Path(s"$dir/$rel")
+    df.write.mode("error").parquet(out.toString)
+    val kind = kindOf(df.schema(key).dataType)
+    val base = fs.makeQualified(out).toUri.getPath
+    val stats = spark.read.schema(df.schema).parquet(out.toString)
+      .groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("__rows"), min(col(key)).as("__mn"), max(col(key)).as("__mx"))
+      .collect()
+    stats.toSeq.map { r =>
+      val full = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+      val name = full.stripPrefix(base).stripPrefix("/")
+      val (mn, mx) =
+        if (kind == "opaque") (None, None)
+        else (ordEncode(r.get(2)), ordEncode(r.get(3)))
+      // both bounds or neither: a half-encoded pair can't order safely
+      val ok = mn.isDefined && mx.isDefined
+      Entry(s"$rel/$name", r.getLong(1),
+        if (ok) kind else "opaque",
+        if (ok) mn else None, if (ok) mx else None)
+    }
+  }
+
+  /** Cluster on the key before staging so each new file carries a tight
+    * key range — what makes the NEXT merge's pruning sharp. Default: no
+    * explicit partition count, so AQE right-sizes the range shuffle to
+    * the data; `clusterPartitions` pins the file count for workloads
+    * that want a fixed layout (AQE coalesces a pinned count less). */
+  private def clustered(df: DataFrame): DataFrame = clusterPartitions match {
+    case Some(n) => df.repartitionByRange(n, col(key))
+    case None => df.repartitionByRange(col(key))
+  }
+
+  // ---- commits ----
+
+  private def commit(base: Long, op: String, schema: StructType,
+      entries: Seq[Entry]): Long = {
+    require(schema.fieldNames.contains(key), s"key column $key missing from schema")
+    if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
+    val target = math.max(base, allVersions.lastOption.getOrElse(-1L)) + 1
+    val p = manifestPath(target)
+    val out =
+      try fs.create(p, false) // create-exclusive: the version claim
+      catch {
+        case e: java.io.IOException =>
+          throw new ConcurrentModificationException(
+            s"version $target at $dir was claimed by another writer", e)
+      }
+    try {
+      val text = (Seq(
+        "#graft-snapshot 1",
+        s"#parent $base",
+        s"#op $op",
+        s"#key $key",
+        s"#schema ${schema.json}") ++ entries.map(_.line) :+ "#commit")
+        .mkString("\n")
+      out.write(text.getBytes("UTF-8"))
+    } finally out.close()
+    // lost-update check: a version committed between our base and our
+    // claim means we merged against a stale snapshot — retract and fail
+    // (the caller re-reads and retries; its staged files are orphans)
+    val interloper = committedManifests.map(_.version).filter(v => v > base && v < target)
+    if (interloper.nonEmpty) {
+      fs.delete(p, false)
+      throw new ConcurrentModificationException(
+        s"table at $dir advanced to version ${interloper.max} while this " +
+          s"commit was derived from $base — merge against the current snapshot and retry")
+    }
+    target
+  }
+
+  /** Create the table from `df`, or replace its contents wholesale if
+    * it exists (a full-overwrite commit — prior versions stay
+    * readable). */
+  def create(df: DataFrame): Long = {
+    val base = currentVersion.getOrElse(-1L)
+    commit(base, if (base < 0) "create" else "overwrite",
+      df.schema, stage(clustered(df)))
+  }
+
+  /** Append `df` as new files; every existing file carries forward by
+    * reference. */
+  def append(df: DataFrame): Long = {
+    val m = loadManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir"))).get
+    commit(m.version, "append", m.schema, m.entries ++ stage(clustered(df)))
+  }
+
+  /** Keyed MERGE (upsert): rows of `source` replace table rows with an
+    * equal key; the rest insert — exactly the reference's ON CONFLICT
+    * DO UPDATE, and result-identical to [[Upsert.merge]] over the same
+    * frames. Only files whose key range can intersect the source's are
+    * rewritten; `source` must be key-unique (two source rows with one
+    * key would be an ambiguous update — rejected loudly, like
+    * Postgres's "cannot affect row a second time").
+    *
+    * `expectedVersion` pins the snapshot the caller derived `source`
+    * from (compare-and-swap): if the table has advanced past it by
+    * commit time, the merge throws instead of silently overwriting the
+    * interloper's rows. */
+  def merge(source: DataFrame, expectedVersion: Option[Long] = None): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir — create() first"))
+    expectedVersion.filter(_ != cur).foreach(v =>
+      throw new ConcurrentModificationException(
+        s"table at $dir is at version $cur, caller expected $v"))
+    val m = loadManifest(cur).get
+    require(source.schema.fieldNames.sorted.sameElements(m.schema.fieldNames.sorted),
+      s"merge source schema ${source.schema.fieldNames.mkString(",")} does not " +
+        s"match table schema ${m.schema.fieldNames.mkString(",")}")
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one batch-sized aggregate: key-uniqueness guard + pruning bounds
+      val b = src.agg(count(lit(1)), count_distinct(col(key)),
+        min(col(key)), max(col(key))).collect()(0)
+      if (b.getLong(0) != b.getLong(1))
+        throw new IllegalArgumentException(
+          s"merge source carries ${b.getLong(0) - b.getLong(1)} duplicate $key " +
+            "keys — an upsert batch must be key-unique")
+      val (sMin, sMax) = (ordEncode(b.get(2)), ordEncode(b.get(3)))
+      val (touched, untouched) = m.entries.partition(e => overlaps(e, sMin, sMax))
+      val survivors = readEntries(m.schema, touched)
+        .join(src.select(col(key)), Seq(key), "left_anti")
+      val fresh = stage(clustered(survivors.unionByName(src.select(m.schema.fieldNames.map(col): _*))))
+      commit(m.version, "merge", m.schema, untouched ++ fresh)
+    } finally src.unpersist(blocking = false)
+  }
+}

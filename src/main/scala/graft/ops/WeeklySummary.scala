@@ -198,6 +198,18 @@ object WeeklySummary {
     * snapshot, affected-week derivation, recompute) around a
     * localCheckpoint; this is one scan and one week-grain shuffle. */
   def upsertRound(rental: DataFrame, t: java.sql.Timestamp, asOf: LocalDate): DataFrame = {
+    val (oldSummary, incoming) = upsertRoundParts(rental, t, asOf)
+    graft.incremental.Upsert.merge(oldSummary, incoming, Seq("week_beginning"))
+      .orderBy("week_beginning")
+  }
+
+  /** The (existing target, incoming recompute) halves of [[upsertRound]]
+    * — exposed so upsert SINKS with their own merge machinery
+    * ([[graft.incremental.SnapshotTable.merge]]) consume the identical
+    * frames; [[upsertRound]] itself is the pure-query formulation over
+    * [[graft.incremental.Upsert.merge]]. */
+  private[graft] def upsertRoundParts(rental: DataFrame, t: java.sql.Timestamp,
+      asOf: LocalDate): (DataFrame, DataFrame) = {
     val rd = to_date(col("rental_date"))
     val ret = to_date(col("return_date"))
     val old = (col("last_update") <= lit(t)).as("old")
@@ -245,8 +257,7 @@ object WeeklySummary {
       counts.select(col("week_beginning"), col("n_rented"), col("n_returned"),
         col("n_closed")),
       affected)
-    graft.incremental.Upsert.merge(oldSummary, incoming, Seq("week_beginning"))
-      .orderBy("week_beginning")
+    (oldSummary, incoming)
   }
 
   /** The reference's snapshot SQL run through `spark.sql` — the literal

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+import java.util.ConcurrentModificationException
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.incremental.{SnapshotTable, Upsert}
+import TestSpark._
+
+/** The manifest-based ACID table ([[SnapshotTable]]): MERGE must equal
+  * the pure-query upsert ([[Upsert.merge]]) while rewriting ONLY the
+  * files the source's key range touches, readers must keep a consistent
+  * snapshot across commits (immutable files + versioned manifests), and
+  * concurrent/torn commits must fail loudly or be invisible — never
+  * corrupt. */
+class SnapshotTableSpec extends AnyFunSuite {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-snaptable").toString
+
+  private def kv(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "v")
+  }
+
+  test("merge equals Upsert.merge: updates replace, inserts land, untouched rows survive") {
+    val tbl = new SnapshotTable(spark, freshDir(), "k")
+    val existing = kv(1L -> "a", 2L -> "b", 3L -> "c")
+    val incoming = kv(2L -> "B", 4L -> "d") // update 2, insert 4
+    tbl.create(existing)
+    tbl.merge(incoming)
+    assertSameRows(tbl.read(), Upsert.merge(existing, incoming, Seq("k")))
+    assert(tbl.history.map(_._3) == Seq("create", "merge"))
+  }
+
+  test("snapshot isolation + time travel: committed versions stay readable and unchanged") {
+    val tbl = new SnapshotTable(spark, freshDir(), "k")
+    val v0 = tbl.create(kv(1L -> "a", 2L -> "b"))
+    // a reader resolves version v0 BEFORE the merge commits
+    val before = collectSorted(tbl.readVersion(v0))
+    val v1 = tbl.merge(kv(2L -> "B"))
+    // ... and still reads exactly v0's rows after: data files are
+    // immutable, the merge only added files + a new manifest
+    assert(collectSorted(tbl.readVersion(v0)) == before)
+    assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "B"))
+    assert(tbl.currentVersion.contains(v1))
+    // overwrite keeps the lineage readable too
+    tbl.create(kv(9L -> "z"))
+    assert(collectSorted(tbl.readVersion(v0)) == before)
+    assert(tbl.history.map(_._3) == Seq("create", "merge", "overwrite"))
+  }
+
+  test("merge rewrites only files whose key range the source touches") {
+    val s = spark
+    import s.implicits._
+    // pinned 4-file layout: AQE would coalesce this tiny frame to one
+    // range partition, hiding the pruning behavior under test
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(4))
+    tbl.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val filesBefore = tbl.history.last._4
+    assert(filesBefore > 1, s"need multiple files to observe pruning, got $filesBefore")
+    // the source touches only the top of the key space
+    tbl.merge(kv(399L -> "X", 400L -> "Y", 401L -> "Z"))
+    // result correct...
+    assert(tbl.read().count() == 401)
+    assert(tbl.read().filter(col("k") === 399L).select("v").head.getString(0) == "X")
+    // ...and low-range files carried forward BY REFERENCE: parquet file
+    // modification times in the table dir must include files older than
+    // the merge (same physical files, not rewrites). Cheaper check:
+    // row-weighted file count — the untouched majority of rows still
+    // lives in the original files, so the new manifest reuses most of
+    // the old one's entries. We assert via the manifest diff exposed by
+    // time travel: the v0 file set intersected with v1's is non-empty.
+    val v0Files = tbl.readVersion(0).inputFiles.toSet
+    val v1Files = tbl.readVersion(1).inputFiles.toSet
+    val carried = v0Files.intersect(v1Files)
+    assert(carried.nonEmpty, "no file carried forward by reference — pruning is not working")
+    assert((v1Files -- v0Files).nonEmpty, "merge wrote no new files")
+    // the carried files are exactly the ones the source range missed:
+    // every carried file's max key must sit below the source's min
+    val carriedMax = spark.read.parquet(carried.toSeq: _*).agg(max(col("k"))).head.getLong(0)
+    assert(carriedMax < 399L, s"a carried file overlaps the merge range (max=$carriedMax)")
+  }
+
+  test("date-keyed pruning is exact (the weekly-summary shape)") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "wk", clusterPartitions = Some(4))
+    val weeks = (0 until 200).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.parse("2001-01-01").plusWeeks(i)), i))
+    tbl.create(weeks.toDF("wk", "n"))
+    // 2001-01-01 + 198 weeks = 2004-10-18: an UPDATE of an existing week
+    tbl.merge(Seq((java.sql.Date.valueOf("2004-10-18"), 999)).toDF("wk", "n"))
+    assert(tbl.read().count() == 200)
+    assert(tbl.read().filter(col("wk") === lit(java.sql.Date.valueOf("2004-10-18")))
+      .select("n").head.getInt(0) == 999)
+    val carried = tbl.readVersion(0).inputFiles.toSet
+      .intersect(tbl.readVersion(1).inputFiles.toSet)
+    assert(carried.nonEmpty, "date stats failed to prune any file")
+  }
+
+  test("optimistic concurrency: a merge derived from a stale snapshot fails loudly") {
+    val tbl = new SnapshotTable(spark, freshDir(), "k")
+    val v0 = tbl.create(kv(1L -> "a"))
+    // writer A lands first
+    tbl.merge(kv(1L -> "A"))
+    // writer B derived its batch from v0 — compare-and-swap rejects it
+    val e = intercept[ConcurrentModificationException](
+      tbl.merge(kv(1L -> "B"), expectedVersion = Some(v0)))
+    assert(e.getMessage.contains("expected"))
+    // A's update survived
+    assert(tbl.read().select("v").head.getString(0) == "A")
+  }
+
+  test("a torn manifest is invisible to readers and never wedges the table") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a"))
+    // a crashed writer left a claimed-but-unterminated manifest at v1
+    Files.writeString(
+      java.nio.file.Paths.get(dir, "manifests", f"v${1L}%019d.json"),
+      "#graft-snapshot 1\n#parent 0\n#op merge\n")
+    // readers still resolve v0
+    assertSameRows(tbl.read(), kv(1L -> "a"))
+    assert(tbl.currentVersion.contains(0L))
+    // and the next commit claims PAST the torn version instead of
+    // colliding with it
+    val v = tbl.merge(kv(2L -> "b"))
+    assert(v == 2L, s"expected the torn v1 to be skipped, claimed $v")
+    assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "b"))
+  }
+
+  test("a key-duplicated source is rejected (ambiguous update), like the reference's ON CONFLICT") {
+    val tbl = new SnapshotTable(spark, freshDir(), "k")
+    tbl.create(kv(1L -> "a"))
+    val e = intercept[IllegalArgumentException](
+      tbl.merge(kv(2L -> "x", 2L -> "y")))
+    assert(e.getMessage.contains("key-unique"))
+    assertSameRows(tbl.read(), kv(1L -> "a")) // nothing committed
+  }
+
+  test("append adds files by reference; the full round-trip preserves schema and rows") {
+    val tbl = new SnapshotTable(spark, freshDir(), "k")
+    tbl.create(kv(1L -> "a"))
+    tbl.append(kv(2L -> "b"))
+    assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "b"))
+    assert(tbl.read().schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+}
