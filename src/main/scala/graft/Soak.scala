@@ -544,18 +544,29 @@ object Soak {
     // CorpusRun end-to-end at both scales: the funnel must narrow the
     // same way (stage counts ~xN) and finish inside the same growth
     // bound as the queries. PSI gate failure exits 2 via CorpusRun.
-    def corpusRun(dir: String, out: String): (Double, Map[String, Long]) = {
+    // Stdout is teed into the return so the indexed cycle below can
+    // assert WHICH admission path ran (memoized pairs, cached records).
+    def corpusRun(dir: String, out: String): (Double, Map[String, Long], String) = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val buf = new java.io.ByteArrayOutputStream()
+      val tee = new java.io.OutputStream {
+        override def write(b: Int): Unit = { System.out.write(b); buf.write(b) }
+        override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+          System.out.write(b, off, len); buf.write(b, off, len)
+        }
+        override def flush(): Unit = System.out.flush()
+      }
       val t0 = System.nanoTime()
-      CorpusRun.main(Array(dir, out))
+      Console.withOut(new java.io.PrintStream(tee, true))(
+        CorpusRun.main(Array(dir, out)))
       val sec = (System.nanoTime() - t0) / 1e9
       val report = spark.read.parquet(s"$out/report.parquet")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      (sec, report)
+      (sec, report, buf.toString("UTF-8"))
     }
-    val (crBase, repBase) = corpusRun(sfDir, s"$workDir/corpus_base")
-    val (crSoak, repSoak) = corpusRun(dataDir, s"$workDir/corpus_soak")
+    val (crBase, repBase, _) = corpusRun(sfDir, s"$workDir/corpus_base")
+    val (crSoak, repSoak, _) = corpusRun(dataDir, s"$workDir/corpus_soak")
     val crRatio = crSoak / crBase
     val crTimeOk = crRatio <= maxGrowth
     // stage conservation: every funnel stage within ±2% of xN (the
@@ -567,6 +578,86 @@ object Soak {
     }
     println(f"[soak] CorpusRun t $crBase%6.2f -> $crSoak%7.2f s (x$crRatio%5.2f) " +
       s"stages ${if (crStages.forall(_._4)) "ok" else "FAIL"}")
+
+    // Indexed CorpusRun admission cycle: against a persisted ingest
+    // state (SPARK_GRAFT_INGEST_STATE), the WARM full re-run — records
+    // from the sh cache, fp-probe early-out, memoized pair frame — must
+    // BEAT the inline funnel at BOTH scales, the memo/cache paths must
+    // actually engage (asserted from the run's own stdout markers), the
+    // warm funnel must reproduce the cold run's stage counts exactly,
+    // and a FIXED-size fresh-content delta batch must admit+absorb at a
+    // wall that is ~flat in corpus size (the state's whole point).
+    // Medians of `reps` runs for the warm/inline A/B — the r11 gap was
+    // 2.9%, inside single-shot noise; cold and delta are single-shot
+    // (once-per-corpus / loose-band claims).
+    val runCorpusIndexed = sys.env.get("SPARK_GRAFT_ONLY")
+      .forall(_.split(",").map(_.trim).contains("corpus_indexed"))
+    final case class IdxCycle(inline: Double, cold: Double, warm: Double,
+        delta: Double, memoHit: Boolean, cacheHit: Boolean, stagesMatch: Boolean)
+    def indexedCycle(dir: String, label: String): IdxCycle = {
+      def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+      val state = s"$workDir/ingest_cr_$label"
+      val sp = new org.apache.hadoop.fs.Path(state)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+      def run(withState: Boolean, out: String) = {
+        if (withState) sys.props("SPARK_GRAFT_INGEST_STATE") = state
+        else sys.props.remove("SPARK_GRAFT_INGEST_STATE")
+        corpusRun(dir, s"$workDir/$out")
+      }
+      try {
+        val (cold, repCold, _) = run(withState = true, s"corpus_cold_$label")
+        // INTERLEAVED inline/warm pairs: JIT/codegen/page-cache warmup
+        // drifts wall clocks across a run, so back-to-back pairs see the
+        // same environment and the medians compare apples to apples (a
+        // sequential inline-block-then-warm-block order hands the later
+        // block the warmer JVM)
+        val ab = (1 to reps).map { _ =>
+          (run(withState = false, s"corpus_inline_$label")._1,
+            run(withState = true, s"corpus_warm_$label"))
+        }
+        val inline = med(ab.map(_._1))
+        val warmRuns = ab.map(_._2)
+        val warm = med(warmRuns.map(_._1))
+        val memoHit = warmRuns.forall(_._3.contains("memoized pair frame"))
+        val cacheHit = warmRuns.forall(_._3.contains("fingerprint-only text scan"))
+        val stagesMatch = warmRuns.forall(_._2 == repCold)
+        // the SAME delta batch probes/absorbs against both scales'
+        // states (ids offset far past every replica; an independent
+        // alphabet bijection makes the content genuinely new). The PSI
+        // gate is disarmed — this row measures admission cost, not
+        // split drift over a 500-doc batch.
+        sys.props("SPARK_GRAFT_INGEST_STATE") = state
+        sys.props("SPARK_GRAFT_PSI_MAX") = "10"
+        val delta = corpusRun(s"$workDir/delta_input", s"$workDir/corpus_delta_$label")._1
+        IdxCycle(inline, cold, warm, delta, memoHit, cacheHit, stagesMatch)
+      } finally {
+        sys.props.remove("SPARK_GRAFT_INGEST_STATE")
+        sys.props.remove("SPARK_GRAFT_PSI_MAX")
+      }
+    }
+    val cyc: Option[(IdxCycle, IdxCycle)] = if (!runCorpusIndexed) None else {
+      val map97 = replicaCharMap(97)
+      val bij = udf((text: String) => bijectText(text, map97))
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 3)
+        .withColumn("doc_id", col("doc_id") + lit(777L * Stride))
+        .withColumn("text", bij(col("text")))
+        .write.mode("overwrite").parquet(s"$workDir/delta_input/documents.parquet")
+      Some((indexedCycle(sfDir, "base"), indexedCycle(dataDir, "soak")))
+    }
+    val corpusIndexedOk = cyc.forall { case (b, s) =>
+      b.warm < b.inline && s.warm < s.inline &&
+        b.memoHit && s.memoHit && b.cacheHit && s.cacheHit &&
+        b.stagesMatch && s.stagesMatch &&
+        s.delta / b.delta <= 2.0
+    }
+    cyc.foreach { case (b, s) =>
+      println(f"[soak] corpus_indexed 1x: inline ${b.inline}%6.2f cold ${b.cold}%6.2f " +
+        f"warm ${b.warm}%6.2f delta ${b.delta}%6.2f memo=${b.memoHit} cache=${b.cacheHit} stages=${b.stagesMatch}")
+      println(f"[soak] corpus_indexed ${n}x: inline ${s.inline}%6.2f cold ${s.cold}%6.2f " +
+        f"warm ${s.warm}%6.2f delta ${s.delta}%6.2f memo=${s.memoHit} cache=${s.cacheHit} stages=${s.stagesMatch} " +
+        f"(warm<inline both scales; delta flat x${s.delta / b.delta}%4.2f ≤2.0) " +
+        s"${if (corpusIndexedOk) "ok" else "FAIL"}")
+    }
 
     // Persisted ingest-index scale: warm PROBE and ABSORB wall must be
     // flat in corpus size at a FIXED delta — probes are delta-keyed
@@ -636,6 +727,7 @@ object Soak {
       (if (isomorphismOk) Nil else Seq("within_replica_truth")) ++
       (if (lshWithinOk) Nil else Seq("lsh_within_band")) ++
       (if (crTimeOk && crStages.forall(_._4)) Nil else Seq("corpus_run")) ++
+      (if (corpusIndexedOk) Nil else Seq("corpus_run_indexed")) ++
       (if (ingestProbeOk) Nil else Seq("ingest_probe_flat")) ++
       (if (ingestAbsorbOk) Nil else Seq("ingest_absorb_flat")) ++
       (if (ingestBeatsInline) Nil else Seq("ingest_beats_inline"))
@@ -663,6 +755,14 @@ object Soak {
       md ++= f"absorb $iaB%.2f s -> $iaS%.2f s (x${iaS / iaB}%.2f, bound 1.2 — ${if (ingestAbsorbOk) "ok" else "**FAIL**"}); "
       md ++= f"inline rebuild twins $inB%.2f s -> $inS%.2f s (indexed probe beats inline at ${n}x — ${if (ingestBeatsInline) "ok" else "**FAIL**"}). "
       md ++= "Absorb is an LSM segment append (work ∝ batch); the probe keeps one columnar index scan (its documented floor).\n"
+    }
+    cyc.foreach { case (b, s) =>
+      md ++= s"\nIndexed CorpusRun admission (persisted `IngestIndex` state; medians of $reps for inline/warm):\n\n"
+      md ++= "| scale | inline funnel (s) | cold build run (s) | warm re-run (s) | warm < inline | memo/cache engaged | stages ≡ cold | delta batch (s) |\n"
+      md ++= "|---|---|---|---|---|---|---|---|\n"
+      md ++= f"| 1x | ${b.inline}%.2f | ${b.cold}%.2f | ${b.warm}%.2f | ${if (b.warm < b.inline) "yes" else "**FAIL**"} | ${if (b.memoHit && b.cacheHit) "yes" else "**FAIL**"} | ${if (b.stagesMatch) "yes" else "**FAIL**"} | ${b.delta}%.2f |\n"
+      md ++= f"| ${n}x | ${s.inline}%.2f | ${s.cold}%.2f | ${s.warm}%.2f | ${if (s.warm < s.inline) "yes" else "**FAIL**"} | ${if (s.memoHit && s.cacheHit) "yes" else "**FAIL**"} | ${if (s.stagesMatch) "yes" else "**FAIL**"} | ${s.delta}%.2f |\n"
+      md ++= f"\nThe SAME fresh-content 10%%-of-sf0.1 delta batch admits+absorbs against the 1x and ${n}x states: ${b.delta}%.2f s -> ${s.delta}%.2f s (x${s.delta / b.delta}%.2f, bound 2.0 — work ∝ batch, not corpus). Warm re-runs replay the memoized pair frame and read signature records from the sh index (asserted from run stdout), and reproduce the cold run's funnel counts exactly.\n"
     }
     md ++= f"\nCorpusRun end-to-end: ${crBase}%.2f s -> ${crSoak}%.2f s (x${crRatio}%.2f, bound ${maxGrowth.toInt}) — ${if (crTimeOk) "ok" else "**FAIL**"}\n\n"
     md ++= "| stage | docs 1x | docs ${n}x | ok |\n|---|---|---|---|\n".replace("${n}", n.toString)
