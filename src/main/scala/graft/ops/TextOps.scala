@@ -2023,6 +2023,17 @@ object TextOps {
 
   def vocabBpe(documents: DataFrame, nMerges: Int = 10,
       batchK: Int = 16): Seq[BpeMerge] = {
+    // `batchK` is the CAP on the per-round candidate collect; the
+    // working round size adapts to the corpus's conflict density: a
+    // round that accepted EVERYTHING it collected is evidence the next
+    // prefix is long too (double it), a round that used under a
+    // quarter wasted sort+collect freight on rows the conflict scan
+    // discarded (halve it). Acceptance stays per-round provably
+    // sequential for ANY k (the proof never depends on the round
+    // size), so adaptivity moves cost, never results. With the default
+    // cap 16 the knob is inert; large-vocabulary calls (nMerges in the
+    // thousands) pass a bigger cap and let rounds grow.
+    var k = math.min(16, batchK)
     var words = documents
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
@@ -2045,12 +2056,14 @@ object TextOps {
         .agg(sum(col("cnt")).as("n"))
       val top = pairFrame
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(batchK).collect()
+        .limit(k).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
         val accepted =
-          bpeAcceptedPrefix(top.toSeq, batchK, nMerges - merges.size)
+          bpeAcceptedPrefix(top.toSeq, k, nMerges - merges.size)
+        if (accepted.size == top.length) k = math.min(k * 2, batchK)
+        else if (accepted.size * 4 < k) k = math.max(16, k / 2)
         accepted.foreach { case (a, b, n) =>
           merges += BpeMerge(merges.size + 1, a, b, a + b, n)
         }

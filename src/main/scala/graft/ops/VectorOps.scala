@@ -108,10 +108,18 @@ object VectorOps {
     * explode (recall degrades gracefully past the cap — documented, not
     * silent: ~0.85 at 100× for the near-dup geometry). */
   private[graft] def sizedTablesMp(planes: Int, targetCos: Double,
-      targetRecall: Double = 0.9): Int = {
+      targetRecall: Double = 0.9, flips: Int = 1): Int = {
     val c = 1.0 - math.acos(targetCos) / math.Pi
+    // P(collision | probe all Hamming-≤flips buckets) =
+    // Σ_{j=0..flips} C(planes,j) · c^(planes−j) · (1−c)^j — the pair may
+    // disagree on at most `flips` planes. flips=1 is the shipped Lv et
+    // al. regime; flips=2 trades a C(planes,2) probe fan-out for ~3×
+    // fewer tables (evaluated in graft.LshScale — see SOAK.md).
+    def choose(nn: Int, kk: Int): Double =
+      (0 until kk).map(i => (nn - i).toDouble / (i + 1)).product
     val perTable = math.min(0.999999,
-      math.pow(c, planes) * (1.0 + planes * (1.0 - c) / c))
+      (0 to flips).map(j =>
+        choose(planes, j) * math.pow(c, planes - j) * math.pow(1.0 - c, j)).sum)
     val t = math.ceil(math.log1p(-targetRecall) / math.log1p(-perTable))
     math.min(32, math.max(2, t.toInt))
   }
@@ -134,17 +142,27 @@ object VectorOps {
     * (first projection), then flipped with pure XOR — the flip fan-out
     * never re-evaluates the plane dot products. */
   private def bandedProbes(p: DataFrame, idAs: String, tbl: Int, pln: Int,
-      dims: Int): DataFrame = {
+      dims: Int, flips: Int = 1): DataFrame = {
     val withB = p.select(
       col("vec_id").as(idAs),
       array((0 until tbl).map(t =>
         graft.functions.VectorFns.lshBucket(col("vd"), pln, dims, seed = t)): _*).as("bs"))
+    // XOR masks for every Hamming-≤flips neighbor of the base bucket:
+    // identity, the pln single flips, and (flips = 2) the C(pln,2)
+    // double flips — still pure bit arithmetic on the packed key, so
+    // the fan-out never re-evaluates a plane dot product and the
+    // bucket set stays exactly replayable in SQL oracles.
+    val masks: Seq[Long] = Seq(0L) ++
+      (0 until pln).map(i => 1L << i) ++
+      (if (flips >= 2)
+        for { i <- 0 until pln; j <- (i + 1) until pln } yield (1L << i) | (1L << j)
+       else Nil)
     withB.select(
       col(idAs),
-      explode(array((for { t <- 0 until tbl; f <- 0 to pln } yield {
+      explode(array((for { t <- 0 until tbl; m <- masks } yield {
         val base = element_at(col("bs"), t + 1)
         struct(lit(t).as("t"),
-          (if (f == 0) base else base.bitwiseXOR(lit(1L << (f - 1)))).as("b"))
+          (if (m == 0L) base else base.bitwiseXOR(lit(m))).as("b"))
       }): _*)).as("tb"))
   }
 
@@ -802,7 +820,7 @@ object VectorOps {
     * recall is approximate (VectorOpsSpec pins it on planted twins). */
   def nearDupEmbeddingLsh(embeddings: DataFrame, minCos: Double = 0.45,
       planes: Int = AutoPlanes, tables: Int = AutoTables, dims: Int = 64,
-      targetRecall: Double = 0.9): DataFrame = {
+      targetRecall: Double = 0.9, probeFlips: Int = 1): DataFrame = {
     // Self-join: candidates ≈ N²/2^planes, so planes must track log2(N)
     // to keep them ≈ N × occupancy (slack 5 reproduces planes=6 at
     // sf0.1), and tables must track planes to hold the recall contract
@@ -814,7 +832,8 @@ object VectorOps {
     // why plain tables cannot hold 0.9 here (T = 113 at ×10, past any
     // sane cap) and the probed form can (T = 26).
     val pln = if (planes > 0) planes else sizedPlanes(embeddings.count(), slack = 5)
-    val tbl = if (tables > 0) tables else sizedTablesMp(pln, minCos, targetRecall)
+    val tbl = if (tables > 0) tables
+      else sizedTablesMp(pln, minCos, targetRecall, probeFlips)
     val p = prepared(embeddings)
     // Same ids-only discipline as [[annLsh]]: the bucket joins and the
     // pair dedup move (vec_id, band) rows only; each UNIQUE candidate pair
@@ -824,7 +843,7 @@ object VectorOps {
     // biggest intermediate this operator produces. Orientation: the
     // lower id probes, the higher id stores — each unordered pair is
     // tested exactly once under the ≤1-flipped-plane collision rule.
-    val cand = bandedProbes(p, "vec_a", tbl, pln, dims).as("a")
+    val cand = bandedProbes(p, "vec_a", tbl, pln, dims, probeFlips).as("a")
       .join(bandedBase(p, "vec_b", tbl, pln, dims).as("b"),
         col("a.tb") === col("b.tb") && col("a.vec_a") < col("b.vec_b"))
       .select(col("a.vec_a").as("vec_a"), col("b.vec_b").as("vec_b"))

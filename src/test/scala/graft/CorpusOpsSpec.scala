@@ -128,6 +128,11 @@ class CorpusOpsSpec extends AnyFunSuite {
     val batched = TextOps.vocabBpe(corpus, 30)
     assert(batched.map(m => (m.rank, m.left, m.right, m.pair_count)) ===
       sequential.map(m => (m.rank, m.left, m.right, m.pair_count)))
+    // the ADAPTIVE cap (rounds grow past 16 after conflict-free
+    // acceptance) moves cost only — the learned sequence is identical
+    val adaptive = TextOps.vocabBpe(corpus, 30, batchK = 256)
+    assert(adaptive.map(m => (m.rank, m.left, m.right, m.pair_count)) ===
+      sequential.map(m => (m.rank, m.left, m.right, m.pair_count)))
   }
 
   test("BPE batch acceptance stops on created-symbol collisions (both directions)") {

@@ -287,6 +287,27 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(cheap.subsetOf(exact))
   }
 
+  test("Hamming-2 multi-probe holds the recall contract with fewer tables") {
+    // probing every <=2-flip bucket raises the per-table collision
+    // probability enough that ~3x fewer tables hold the same target
+    // recall (the Lv et al. trade, extended one flip) — precision stays
+    // exact (true cosine filters candidates) and the shipped recall
+    // gate must hold on the chance-dominated real embeddings
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pln = VectorOps.sizedPlanes(emb.count(), slack = 5)
+    assert(VectorOps.sizedTablesMp(pln, 0.45, 0.9, flips = 2) <
+      VectorOps.sizedTablesMp(pln, 0.45, 0.9, flips = 1))
+    val exact = VectorOps.nearDupEmbedding(emb)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h2 = VectorOps.nearDupEmbeddingLsh(emb, probeFlips = 2)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h2.subsetOf(exact), "exact-cosine filter must make precision exact")
+    val recall = (exact & h2).size.toDouble / exact.size
+    assert(recall >= 0.9, s"H2 recall $recall (${(exact & h2).size}/${exact.size})")
+  }
+
   test("kNN join finds each planted twin as its query's top-1 neighbor") {
     // left = the 5 twin vectors (100..104), right = the 60 base vectors:
     // twin i's nearest base neighbor is i (cos ≈ 0.999) by construction.
