@@ -161,10 +161,14 @@ object CorpusRun {
         // action costs more than both evaluations
         val cachedIds = records.filter(col("cached") === 1).select("doc_id")
           .join(withinBatch.select("doc_id"), Seq("doc_id"), "left_semi")
-        // a full re-run has no misses at all — one early-out limit-1
-        // scan of the checkpointed records skips the probe plan
-        // (fp-index read + two anti-joins) entirely
-        val hasNew = !records.filter(col("cached") === 0).isEmpty
+        // a full re-run has no misses at all — one early-out scan of the
+        // checkpointed records skips the probe plan (fp-index read + two
+        // anti-joins) entirely. count(), not isEmpty: proving emptiness
+        // via take(1) ramps 1 → 4 → all partitions as three sequential
+        // mini-jobs over the wide checkpoint rows (~1 s at ×10 sf0.1,
+        // measured in the r12 soak A/B); one all-partitions count is a
+        // single parallel pass
+        val hasNew = records.filter(col("cached") === 0).count() > 0
         if (!hasNew) (withinBatch, Some(None))
         else {
           // no checkpoint on the probe: its single consumer is the

@@ -709,10 +709,18 @@ final class IngestIndex(spark: SparkSession, dir: String,
     val base = loadBase("sh").drop("bucket")
     val segs = loadSegs("sh")
     val idx = segs.fold(base)(s => base.unionByName(s))
-    // the hits join moves only (doc_id, fp_md5) keys against the index
-    // — never the text column (the record replaces it); text rejoins
-    // solely on the MISS side, which is delta-sized
-    val ids = sig.select(col("doc_id"), col("fp_md5"))
+    // ONE text scan total: the narrow (doc_id, fp_md5) keys materialize
+    // off the fingerprint pass once (localCheckpoint), and BOTH union
+    // branches read that instead of re-deriving md5 from text per
+    // branch — the pre-r12 shape evaluated the fingerprint scan twice
+    // (hits and misses are separate subplans of the union; Spark does
+    // not share them), which is exactly what cost the warm indexed
+    // funnel its win over the inline one in the r12 soak A/B. The hits
+    // join still moves keys only against the index (never text); the
+    // MISS side re-attaches text by a doc_id semi-join — delta-sized,
+    // and on a full re-run (no misses) AQE's empty-relation propagation
+    // collapses that docs scan outright.
+    val ids = sig.select(col("doc_id"), col("fp_md5")).localCheckpoint()
     val pruned = deltaPruned(idx, ids.select(col("fp_md5")), "fp_md5", "sh")
     // duplicate (doc_id, fp) rows are possible only while segments
     // exist — records are identical by determinism, so a keyed dedup
@@ -722,10 +730,11 @@ final class IngestIndex(spark: SparkSession, dir: String,
     val hits = segs.fold(joined)(_ => joined.dropDuplicates("doc_id"))
       .withColumn("cached", lit(1))
       .select(outCols: _*)
-    val misses = sig.join(pruned.select("doc_id", "fp_md5"),
-      Seq("doc_id", "fp_md5"), "left_anti")
+    val missIds = ids.join(pruned.select("doc_id", "fp_md5"),
+      Seq("doc_id", "fp_md5"), "left_anti").select("doc_id")
     val fresh = TextOps.shingleSignatures(
-        misses.select(col("doc_id"), col("text")), k)
+        sig.select(col("doc_id"), col("text"))
+          .join(missIds, Seq("doc_id"), "left_semi"), k)
       .withColumn("cached", lit(0))
       .select(outCols: _*)
     hits.unionByName(fresh)

@@ -777,7 +777,7 @@ object VectorOps {
     * orientations, hence the distinct on ids before vector fetch. */
   def nearDupEmbeddingIncrementalLsh(existing: DataFrame, incoming: DataFrame,
       minCos: Double = 0.45, planes: Int = AutoPlanes, tables: Int = AutoTables,
-      dims: Int = 64, targetRecall: Double = 0.9): DataFrame = {
+      dims: Int = 64, targetRecall: Double = 0.9, probeFlips: Int = 1): DataFrame = {
     // Auto-sized from the corpus side (existing ∪ incoming): slack 5 ≈
     // 32/bucket/table reproduces the former planes=6 at sf0.1 and keeps
     // per-delta-row candidate volume ≈ tables × occupancy as N grows;
@@ -786,13 +786,19 @@ object VectorOps {
     // under the multi-probe regime: the DELTA side probes all Hamming-1
     // buckets, the corpus side stores one row per table, so the big
     // side's banding shrinks ~4× vs plain tables at equal recall.
+    // probeFlips = 2 is the regime built FOR this arm: the corpus side
+    // stores tables × |corpus| banding rows, so cutting tables ~3× via
+    // Hamming-2 probing shrinks the dominant cost while the C(planes,2)
+    // probe fan-out rides the small delta side (graft.LshScale measures
+    // the trade at ×10/×100).
     val pln =
       if (planes > 0) planes
       else sizedPlanes(existing.count() + incoming.count(), slack = 5)
-    val tbl = if (tables > 0) tables else sizedTablesMp(pln, minCos, targetRecall)
+    val tbl = if (tables > 0) tables
+      else sizedTablesMp(pln, minCos, targetRecall, probeFlips)
     val all = prepared(existing.unionByName(incoming))
     val inc = prepared(incoming)
-    val cand = bandedProbes(inc, "inc_id", tbl, pln, dims)
+    val cand = bandedProbes(inc, "inc_id", tbl, pln, dims, probeFlips)
       .join(bandedBase(all, "cand_id", tbl, pln, dims), Seq("tb"))
       .filter(col("inc_id") =!= col("cand_id"))
       .select(
@@ -1077,7 +1083,8 @@ object VectorOps {
     * explicit positive `planes` overrides (and skips the count job). */
   def knnJoinLsh(left: DataFrame, right: DataFrame, k: Int = 3,
       planes: Int = AutoPlanes, tables: Int = AutoTables, dims: Int = 64,
-      targetCos: Double = 0.7, targetRecall: Double = 0.8): DataFrame = {
+      targetCos: Double = 0.7, targetRecall: Double = 0.8,
+      probeFlips: Int = 1): DataFrame = {
     val pln = if (planes > 0) planes else sizedPlanes(right.count(), slack = 5)
     // Tables auto-size for neighbors at `targetCos` under query-side
     // multi-probe (sizedTablesMp): the recall dial is explicit instead
@@ -1087,10 +1094,11 @@ object VectorOps {
     // banding shrinks with the probed table count (3 vs the former 8 at
     // sf0.1 geometry); the (m+1)-bucket probe fan-out rides the small
     // query side.
-    val tbl = if (tables > 0) tables else sizedTablesMp(pln, targetCos, targetRecall)
+    val tbl = if (tables > 0) tables
+      else sizedTablesMp(pln, targetCos, targetRecall, probeFlips)
     val pl = prepared(left)
     val pr = prepared(right)
-    val cand = bandedProbes(pl, "left_id", tbl, pln, dims)
+    val cand = bandedProbes(pl, "left_id", tbl, pln, dims, probeFlips)
       .join(bandedBase(pr, "right_id", tbl, pln, dims), Seq("tb"))
       .select(col("left_id"), col("right_id"))
       .distinct()
