@@ -110,8 +110,12 @@ object LshScale {
     println(f"[lsh] batch exponent=$slope%.2f (n^(1+rho) law, rho≈0.62 theoretical) — x100 extrapolation ${extrap100}%.0f s")
 
     // ---- 2/3. delta + knn arms: fixed small side, corpus grows ----
-    val incoming = base.filter(col("vec_id") % 10 === 0) // fixed ~10% batch
-    val queries = base.filter(col("vec_id") % 7 === 0)   // fixed query side
+    // projected to the inflated frames' (vec_id, embedding) shape — the
+    // raw table also carries `label`
+    val incoming = base.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 10 === 0) // fixed ~10% batch
+    val queries = base.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 7 === 0)  // fixed query side
     val scaled = deltaNs.map { n =>
       val emb = inflate(n)
       val existing = emb.filter(!(col("vec_id") % 10 === 0 && col("vec_id") < Stride))
@@ -135,8 +139,11 @@ object LshScale {
     val pln = VectorOps.sizedPlanes(nVec, slack = 5)
     val tH1 = VectorOps.sizedTablesMp(pln, 0.45, 0.9, flips = 1)
     val tH2 = VectorOps.sizedTablesMp(pln, 0.45, 0.9, flips = 2)
-    val truth = VectorOps.nearDupEmbedding(embH2)
-      .select(col("vec_a"), col("vec_b")).localCheckpoint()
+    // parquet, not localCheckpoint: wall()'s cache hygiene unpersists
+    // every block between timings, and truth must survive four of them
+    VectorOps.nearDupEmbedding(embH2).select(col("vec_a"), col("vec_b"))
+      .write.mode("overwrite").parquet(s"$work/truth_h2")
+    val truth = spark.read.parquet(s"$work/truth_h2")
     val nTruth = truth.count()
     def recallOf(df: DataFrame): Double = {
       val hit = df.select(col("vec_a"), col("vec_b"))
