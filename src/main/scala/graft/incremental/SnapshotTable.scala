@@ -304,6 +304,37 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     commit(m.version, "append", m.schema, m.entries ++ stage(clustered(df)))
   }
 
+  /** Reclaim data files NO committed manifest references — the orphans
+    * of crashed or retracted commits (staged data is written before its
+    * manifest, so a failure strands it invisibly). Every committed
+    * version's files are kept: time travel survives vacuum; to bound
+    * history, overwrite + drop old manifests out-of-band. Files younger
+    * than `graceMs` are kept too — only age distinguishes a LIVE
+    * writer's in-flight stage from a crashed one's. Returns deleted
+    * paths. */
+  def vacuum(graceMs: Long = 600000L): Seq[String] = {
+    val dataDir = new Path(s"$dir/data")
+    if (!fs.exists(dataDir)) return Nil
+    def canon(p: Path): String = fs.makeQualified(p).toUri.getPath
+    val referenced = committedManifests
+      .flatMap(_.entries.map(e => canon(new Path(s"$dir/${e.path}")))).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(dataDir).foreach { sub =>
+      if (sub.isDirectory) {
+        val files = fs.listStatus(sub.getPath)
+        files.foreach { f =>
+          if (!referenced(canon(f.getPath)) && f.getModificationTime < cutoff) {
+            fs.delete(f.getPath, false)
+            deleted += canon(f.getPath)
+          }
+        }
+        if (fs.listStatus(sub.getPath).isEmpty) fs.delete(sub.getPath, false)
+      }
+    }
+    deleted.toSeq
+  }
+
   /** Keyed MERGE (upsert): rows of `source` replace table rows with an
     * equal key; the rest insert — exactly the reference's ON CONFLICT
     * DO UPDATE, and result-identical to [[Upsert.merge]] over the same

@@ -143,6 +143,32 @@ class SnapshotTableSpec extends AnyFunSuite {
     assertSameRows(tbl.read(), kv(1L -> "a")) // nothing committed
   }
 
+  test("vacuum reclaims only unreferenced orphans — every committed version stays readable") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a", 2L -> "b"))
+    tbl.merge(kv(2L -> "B")) // v0's touched file is now referenced ONLY by v0
+    val v0Before = collectSorted(tbl.readVersion(0))
+    // a crashed commit's stranded stage: data written, no manifest
+    val orphan = java.nio.file.Paths.get(dir, "data", "crashed-commit", "part-0.parquet")
+    java.nio.file.Files.createDirectories(orphan.getParent)
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val deleted = tbl.vacuum(graceMs = 0)
+    assert(deleted.exists(_.contains("crashed-commit")), s"orphan not reclaimed: $deleted")
+    // besides the planted orphan, only unreferenced write debris
+    // (_SUCCESS markers, empty part files) may go — never manifest
+    // entries, which the version reads below prove survived
+    // time travel intact: v0's superseded file was referenced, so it survived
+    assert(collectSorted(tbl.readVersion(0)) == v0Before)
+    assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "B"))
+    // a fresh stage inside the grace window is NOT reclaimed
+    val inflight = java.nio.file.Paths.get(dir, "data", "live-writer", "part-0.parquet")
+    java.nio.file.Files.createDirectories(inflight.getParent)
+    java.nio.file.Files.write(inflight, Array[Byte](4, 5))
+    assert(tbl.vacuum(graceMs = 600000).isEmpty)
+    assert(java.nio.file.Files.exists(inflight))
+  }
+
   test("append adds files by reference; the full round-trip preserves schema and rows") {
     val tbl = new SnapshotTable(spark, freshDir(), "k")
     tbl.create(kv(1L -> "a"))
