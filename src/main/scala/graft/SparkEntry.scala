@@ -115,6 +115,17 @@ object SparkEntry {
       tbl.merge(incoming)
       tbl.read().orderBy("week_beginning")
     }),
+    // right-to-be-forgotten over the corpus store: keyed DELETE through
+    // the ACID table (file-pruned copy-on-write) — the removed doc set
+    // is gone from the new snapshot atomically
+    "corpus_forget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tbl = new graft.incremental.SnapshotTable(s,
+        java.nio.file.Files.createTempDirectory("graft-forget").toString, "doc_id")
+      tbl.create(docs)
+      tbl.delete(docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
+      tbl.read()
+    }),
     // -- text analysis / dedup over `documents` (extended surface)
     "doc_stats" -> ((s, dir) => TextOps.docStats(Tables.documents(s, dir))),
     "doc_quality" -> ((s, dir) => TextOps.docQuality(Tables.documents(s, dir))),
@@ -1189,6 +1200,8 @@ object SparkEntry {
          |ORDER BY rental_id LIMIT 1""".stripMargin,
     "upsert_round" -> upsertRoundOracle,
     "upsert_round_snapshot" -> upsertRoundOracle,
+    "corpus_forget" ->
+      "SELECT * FROM documents WHERE doc_id % 17 <> 0",
     "doc_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id,

@@ -335,6 +335,35 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     deleted.toSeq
   }
 
+  /** Keyed DELETE: drop every row whose key appears in `keys` — the
+    * right-to-be-forgotten primitive a training-corpus store owes its
+    * sources (remove these doc_ids everywhere, atomically, without
+    * rewriting the corpus). Same file-pruned copy-on-write as [[merge]]:
+    * only files whose key range can hold a doomed key are rewritten
+    * (anti-join against the key set); everything else carries forward
+    * by reference. NOTE the version-history consequence: prior
+    * snapshots still reference the old files, so a true forget must be
+    * followed by retiring pre-delete manifests + [[vacuum]] — the same
+    * two-step every snapshot table format has. */
+  def delete(keys: DataFrame, expectedVersion: Option[Long] = None): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir — create() first"))
+    expectedVersion.filter(_ != cur).foreach(v =>
+      throw new ConcurrentModificationException(
+        s"table at $dir is at version $cur, caller expected $v"))
+    val m = loadManifest(cur).get
+    require(keys.schema.fieldNames.contains(key),
+      s"delete keys must carry the table key column $key")
+    val ks = keys.select(col(key)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val b = ks.agg(min(col(key)), max(col(key))).collect()(0)
+      val (sMin, sMax) = (ordEncode(b.get(0)), ordEncode(b.get(1)))
+      val (touched, untouched) = m.entries.partition(e => overlaps(e, sMin, sMax))
+      val survivors = readEntries(m.schema, touched).join(ks, Seq(key), "left_anti")
+      commit(m.version, "delete", m.schema, untouched ++ stage(clustered(survivors)))
+    } finally ks.unpersist(blocking = false)
+  }
+
   /** Keyed MERGE (upsert): rows of `source` replace table rows with an
     * equal key; the rest insert — exactly the reference's ON CONFLICT
     * DO UPDATE, and result-identical to [[Upsert.merge]] over the same

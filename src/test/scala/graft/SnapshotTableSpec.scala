@@ -143,6 +143,28 @@ class SnapshotTableSpec extends AnyFunSuite {
     assertSameRows(tbl.read(), kv(1L -> "a")) // nothing committed
   }
 
+  test("keyed delete drops exactly the doomed keys, prunes by file range, and is CAS-guarded") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(4))
+    tbl.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // doomed keys live at the top of the key space only
+    val v1 = tbl.delete(Seq(398L, 399L, 400L).toDF("k"))
+    assert(tbl.read().count() == 397)
+    assert(tbl.read().filter(col("k") >= 398L).count() == 0)
+    // low-range files carried forward by reference (pruned out of the rewrite)
+    val carried = tbl.readVersion(0).inputFiles.toSet
+      .intersect(tbl.readVersion(v1).inputFiles.toSet)
+    assert(carried.nonEmpty, "delete rewrote unpruned files")
+    // pre-delete snapshot still readable (the forget two-step: retire + vacuum)
+    assert(tbl.readVersion(0).count() == 400)
+    // stale-snapshot CAS
+    val e = intercept[java.util.ConcurrentModificationException](
+      tbl.delete(Seq(1L).toDF("k"), expectedVersion = Some(0L)))
+    assert(e.getMessage.contains("expected"))
+    assert(tbl.history.map(_._3) == Seq("create", "delete"))
+  }
+
   test("vacuum reclaims only unreferenced orphans — every committed version stays readable") {
     val dir = freshDir()
     val tbl = new SnapshotTable(spark, dir, "k")
