@@ -81,7 +81,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   }
 
   private final case class Manifest(version: Long, parent: Long, op: String,
-      schema: StructType, entries: Seq[Entry])
+      schema: StructType, entries: Seq[Entry], tag: Option[String])
 
   // ---- manifest IO ----
 
@@ -118,7 +118,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         Some(f(4)).filter(_.nonEmpty), Some(f(5)).filter(_.nonEmpty))
     }
     Some(Manifest(v, header("#parent").toLong, header("#op"),
-      DataType.fromJson(header("#schema")).asInstanceOf[StructType], entries))
+      DataType.fromJson(header("#schema")).asInstanceOf[StructType], entries,
+      header.get("#tag")))
   }
 
   private def committedManifests: Seq[Manifest] = allVersions.flatMap(loadManifest)
@@ -252,7 +253,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   // ---- commits ----
 
   private def commit(base: Long, op: String, schema: StructType,
-      entries: Seq[Entry]): Long = {
+      entries: Seq[Entry], tag: String = ""): Long = {
     require(schema.fieldNames.contains(key), s"key column $key missing from schema")
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
     val target = math.max(base, allVersions.lastOption.getOrElse(-1L)) + 1
@@ -270,7 +271,9 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         s"#parent $base",
         s"#op $op",
         s"#key $key",
-        s"#schema ${schema.json}") ++ entries.map(_.line) :+ "#commit")
+        s"#schema ${schema.json}") ++
+        (if (tag.nonEmpty) Seq(s"#tag ${tag.replaceAll("[\\r\\n]", " ")}") else Nil) ++
+        entries.map(_.line) :+ "#commit")
         .mkString("\n")
       out.write(text.getBytes("UTF-8"))
     } finally out.close()
@@ -289,11 +292,34 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
 
   /** Create the table from `df`, or replace its contents wholesale if
     * it exists (a full-overwrite commit — prior versions stay
-    * readable). */
-  def create(df: DataFrame): Long = {
+    * readable). `tag` rides INSIDE the commit's manifest — an
+    * application sequencing token (e.g. a streaming micro-batch id)
+    * that becomes visible atomically with the data it describes, so a
+    * "was this batch applied?" check ([[currentTag]]) can never
+    * disagree with the table contents the way a separate marker file
+    * can (crash between two swaps ⇒ double-apply). */
+  def create(df: DataFrame, tag: String = ""): Long = {
     val base = currentVersion.getOrElse(-1L)
     commit(base, if (base < 0) "create" else "overwrite",
-      df.schema, stage(clustered(df)))
+      df.schema, stage(clustered(df)), tag)
+  }
+
+  /** The latest committed version's application tag, if one was set. */
+  def currentTag: Option[String] =
+    currentVersion.flatMap(v => loadManifest(v).get.tag)
+
+  /** Retire history: delete all committed manifests except the newest
+    * `keepLast` — retired versions stop being readable (time travel
+    * shrinks to the kept window) and their no-longer-referenced files
+    * become [[vacuum]]-reclaimable. The standard retention two-step for
+    * a table maintained by a long-running writer (a streaming sink
+    * commits every micro-batch; unbounded history is a leak). Version
+    * NUMBERING is unaffected: the claim counter keys off the newest
+    * manifest, which is always kept. */
+  def retire(keepLast: Int): Unit = {
+    require(keepLast >= 1, "retire must keep at least the current version")
+    val committed = committedManifests.map(_.version)
+    committed.dropRight(keepLast).foreach(v => fs.delete(manifestPath(v), false))
   }
 
   /** Append `df` as new files; every existing file carries forward by

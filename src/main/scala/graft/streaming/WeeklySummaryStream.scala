@@ -9,8 +9,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-import graft.incremental.StateStore
-
 /** Streaming-native maintenance of the weekly rental summary — the
   * Structured Streaming re-expression of the reference's hand-rolled
   * watermark protocol (SURVEY.md §2.9 mapping):
@@ -136,27 +134,36 @@ object WeeklySummaryStream {
       .start()
   }
 
-  private val markerSchema = StructType(Seq(
-    StructField("last_batch_id", LongType, nullable = false)))
-
   /** Merge one micro-batch of deltas additively into the count state.
     *
     * foreachBatch is at-least-once on failure recovery: a replayed
-    * batchId must not double-apply additive deltas, so the last applied
-    * id is committed to state and stale replays are skipped — this is
-    * the watermark-advanced-only-after-success rule (etl:274-284) in
-    * streaming form. */
+    * batchId must not double-apply additive deltas — the
+    * watermark-advanced-only-after-success rule (etl:274-284) in
+    * streaming form. The state is a [[graft.incremental.SnapshotTable]]
+    * whose commit carries the batch id as its TAG, so the applied-id
+    * check and the counts it guards are ONE atomic manifest write. The
+    * pre-r12 form kept a separate marker StateStore beside the counts
+    * store — two independent swaps, and a crash BETWEEN them (counts
+    * committed, marker not) made the recovery replay double-apply that
+    * batch's deltas. A snapshot commit closes the window: either the
+    * (counts, id) pair landed or neither did. Each batch retires
+    * history past a small window and vacuums, so a long-running sink
+    * doesn't leak manifests/files. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, stateDir: String, batchId: Long = 0): Unit = {
-    val marker = new StateStore(spark, s"$stateDir/last_batch")
-    val applied = marker.read(markerSchema).collect().headOption.map(_.getLong(0))
+    val tbl = new graft.incremental.SnapshotTable(
+      spark, s"$stateDir/weekly_counts", "week_beginning")
+    val applied = tbl.currentTag.flatMap(t => scala.util.Try(t.toLong).toOption)
     if (applied.exists(_ >= batchId)) return
     val agg = batch.groupBy(col("week").as("week_beginning"))
       .agg(
         sum(col("dRented")).as("n_rented"),
         sum(col("dReturned")).as("n_returned"),
         sum(col("dClosed")).as("n_closed"))
-    val store = new StateStore(spark, s"$stateDir/weekly_counts")
-    val merged = store.read(countsSchema)
+    val existing =
+      if (tbl.exists) tbl.read()
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], countsSchema)
+    val merged = existing
       .unionByName(agg.select(
         col("week_beginning"),
         col("n_rented").cast("long"),
@@ -168,21 +175,25 @@ object WeeklySummaryStream {
         sum("n_returned").as("n_returned"),
         sum("n_closed").as("n_closed"))
       .filter(col("n_rented") =!= 0 || col("n_returned") =!= 0 || col("n_closed") =!= 0)
-    store.overwrite(merged.select(
+    tbl.create(merged.select(
       col("week_beginning"),
       col("n_rented").cast("long"),
       col("n_returned").cast("long"),
-      col("n_closed").cast("long")))
-    import scala.jdk.CollectionConverters._
-    marker.overwrite(spark.createDataFrame(
-      Seq(org.apache.spark.sql.Row(batchId)).asJava, markerSchema))
+      col("n_closed").cast("long")), tag = batchId.toString)
+    tbl.retire(keepLast = 3)
+    tbl.vacuum()
   }
 
   /** Read-time summary over the maintained counts: contiguous week spine
     * from min to max active week, cumulative outstanding — the same
     * output shape as the batch snapshot over those weeks. */
   def summary(spark: SparkSession, stateDir: String): DataFrame = {
-    val counts = new StateStore(spark, s"$stateDir/weekly_counts").read(countsSchema)
+    val tbl = new graft.incremental.SnapshotTable(
+      spark, s"$stateDir/weekly_counts", "week_beginning")
+    val counts =
+      if (tbl.exists) tbl.read()
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], countsSchema)
     val bounds = counts.agg(
       min(col("week_beginning")).as("lo"), max(col("week_beginning")).as("hi"))
     val spine = bounds

@@ -191,6 +191,28 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(inflight))
   }
 
+  test("commit tags ride atomically with their data; retire bounds history for vacuum") {
+    val tbl = new SnapshotTable(spark, freshDir(), "k")
+    assert(tbl.currentTag.isEmpty)
+    tbl.create(kv(1L -> "a"), tag = "0")
+    tbl.create(kv(1L -> "b"), tag = "1")
+    tbl.create(kv(1L -> "c"), tag = "2")
+    tbl.create(kv(1L -> "d"), tag = "3")
+    // the tag always describes exactly the data the read returns — one
+    // manifest carries both (the streaming sink's exactly-once hinge)
+    assert(tbl.currentTag.contains("3"))
+    assert(tbl.read().select("v").head.getString(0) == "d")
+    // retire to the newest 2: older versions stop resolving, their
+    // files become vacuum-reclaimable, numbering continues
+    tbl.retire(keepLast = 2)
+    assert(tbl.history.map(_._1) == Seq(2L, 3L))
+    intercept[IllegalStateException](tbl.readVersion(0))
+    val reclaimed = tbl.vacuum(graceMs = 0)
+    assert(reclaimed.nonEmpty, "retired versions' files were not reclaimed")
+    assertSameRows(tbl.read(), kv(1L -> "d")) // kept window intact
+    assert(tbl.create(kv(1L -> "e"), tag = "4") == 4L) // claim counter unaffected
+  }
+
   test("append adds files by reference; the full round-trip preserves schema and rows") {
     val tbl = new SnapshotTable(spark, freshDir(), "k")
     tbl.create(kv(1L -> "a"))
