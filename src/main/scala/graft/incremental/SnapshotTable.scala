@@ -43,11 +43,19 @@ import org.apache.spark.sql.types._
   * Concurrency is OPTIMISTIC, two layers:
   *   - the create-exclusive claim makes two writers racing the same
   *     version number a loud [[ConcurrentModificationException]];
-  *   - after writing, the committer re-scans for a committed version
-  *     between its BASE (the snapshot it derived its files from) and
-  *     its own — finding one means lost-update, so it retracts its own
-  *     manifest and throws. Callers pin the base explicitly with
-  *     `expectedVersion` for compare-and-swap semantics.
+  *   - after writing, the committer re-scans for ANY committed version
+  *     above its BASE (the snapshot it derived its files from) other
+  *     than its own claim — finding one means lost-update, so it
+  *     retracts its own manifest and throws. The filter must include
+  *     versions ABOVE the writer's claim: if writer A's claim is torn
+  *     while writer B (same base) claims the next number and commits,
+  *     B's check sees only A's torn (invisible) manifest — so A, who
+  *     terminates its manifest BEFORE checking, must be the one to see
+  *     B committed above it and retract. Each writer terminates before
+  *     checking, so of two racers at least one always sees the other
+  *     committed — the pair can never both report success. Callers pin
+  *     the base explicitly with `expectedVersion` for compare-and-swap
+  *     semantics.
   * A failed/crashed commit leaves only orphaned data files (never read;
   * reclaimable by a vacuum that keeps every committed manifest's
   * reference set).
@@ -252,6 +260,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
 
   // ---- commits ----
 
+  /** Test seam: runs after this writer's create-exclusive version claim
+    * succeeds (the manifest file exists but is still TORN — no body, no
+    * terminator) and before the body is written. A spec uses it to
+    * stage the lost-update interleaving: a competing writer with the
+    * same base commits a HIGHER version while this writer's manifest is
+    * torn, so this writer's post-terminate interloper check must see it
+    * and retract. No-op in production. */
+  private[graft] var onAfterClaim: () => Unit = () => ()
+
   private def commit(base: Long, op: String, schema: StructType,
       entries: Seq[Entry], tag: String = ""): Long = {
     require(schema.fieldNames.contains(key), s"key column $key missing from schema")
@@ -265,6 +282,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
           throw new ConcurrentModificationException(
             s"version $target at $dir was claimed by another writer", e)
       }
+    onAfterClaim()
     try {
       val text = (Seq(
         "#graft-snapshot 1",
@@ -277,10 +295,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         .mkString("\n")
       out.write(text.getBytes("UTF-8"))
     } finally out.close()
-    // lost-update check: a version committed between our base and our
-    // claim means we merged against a stale snapshot — retract and fail
-    // (the caller re-reads and retries; its staged files are orphans)
-    val interloper = committedManifests.map(_.version).filter(v => v > base && v < target)
+    // lost-update check: ANY version committed above our base — below
+    // OR above our own claim — means we merged against a stale snapshot;
+    // retract and fail (the caller re-reads and retries; its staged
+    // files are orphans). `v != target`, not `v < target`: a racer with
+    // our base can claim PAST our still-torn manifest and commit first,
+    // and only this side of the check catches that interleaving (each
+    // writer terminates before checking, so at least one of two racers
+    // always sees the other committed — never two silent successes).
+    val interloper = committedManifests.map(_.version).filter(v => v > base && v != target)
     if (interloper.nonEmpty) {
       fs.delete(p, false)
       throw new ConcurrentModificationException(
@@ -336,15 +359,28 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * version's files are kept: time travel survives vacuum; to bound
     * history, overwrite + drop old manifests out-of-band. Files younger
     * than `graceMs` are kept too — only age distinguishes a LIVE
-    * writer's in-flight stage from a crashed one's. Returns deleted
-    * paths. */
+    * writer's in-flight stage from a crashed one's. The age cutoff is
+    * derived from the FILESYSTEM'S clock (the mtime a just-created
+    * probe file receives), not the driver's: on an object store or
+    * remote FS whose clock skews from the vacuuming host, a local
+    * `currentTimeMillis` cutoff could see a seconds-old in-flight
+    * stage as past the grace window and reclaim it under a live
+    * writer. Comparing mtimes to an mtime keeps both sides on one
+    * clock. Returns deleted paths. */
   def vacuum(graceMs: Long = 600000L): Seq[String] = {
     val dataDir = new Path(s"$dir/data")
     if (!fs.exists(dataDir)) return Nil
     def canon(p: Path): String = fs.makeQualified(p).toUri.getPath
     val referenced = committedManifests
       .flatMap(_.entries.map(e => canon(new Path(s"$dir/${e.path}")))).toSet
-    val cutoff = System.currentTimeMillis() - graceMs
+    val fsNow = {
+      val probe = new Path(dataDir, s".vacuum-probe-${java.util.UUID.randomUUID()}")
+      fs.create(probe, true).close()
+      val t = fs.getFileStatus(probe).getModificationTime
+      fs.delete(probe, false)
+      t
+    }
+    val cutoff = fsNow - graceMs
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(dataDir).foreach { sub =>
       if (sub.isDirectory) {

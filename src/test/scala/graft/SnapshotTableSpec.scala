@@ -116,6 +116,40 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(tbl.read().select("v").head.getString(0) == "A")
   }
 
+  test("lost-update under torn-manifest interleaving: the slower racer retracts, never two silent successes") {
+    // The race: writer A claims v1 (create-exclusive ok) but its
+    // manifest is still torn; writer B, derived from the SAME base v0,
+    // claims past the torn v1 to v2, commits, and its interloper check
+    // sees only A's torn (invisible) claim — B legitimately succeeds.
+    // A then finishes writing v1. A's check must now catch B's commit
+    // ABOVE its own claim (v2 > base, v2 != target) and retract —
+    // under the old `v < target` filter both writers reported success
+    // and A's merge was silently lost.
+    val dir = freshDir()
+    val a = new SnapshotTable(spark, dir, "k")
+    val b = new SnapshotTable(spark, dir, "k")
+    a.create(kv(1L -> "a", 2L -> "b"))
+    var bVersion = -1L
+    a.onAfterClaim = () => {
+      // fires once, between A's claim and A's body write; clear it so
+      // no further commit (including B's, on its own instance) recurses
+      a.onAfterClaim = () => ()
+      assert(b.currentVersion.contains(0L), "A's torn claim must be invisible to B")
+      bVersion = b.merge(kv(2L -> "B2")) // B commits from the same base
+    }
+    val e = intercept[ConcurrentModificationException](a.merge(kv(1L -> "A1")))
+    assert(e.getMessage.contains("advanced"), s"wrong failure: ${e.getMessage}")
+    assert(bVersion == 2L, s"B should have claimed past A's torn v1, got $bVersion")
+    // A retracted its manifest: v1 is gone, not torn-forever debris
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "manifests", f"v${1L}%019d.json")))
+    // the table reads B's committed result — A's merge failed LOUDLY,
+    // so the caller re-reads and retries; retrying now lands cleanly
+    assertSameRows(a.read(), kv(1L -> "a", 2L -> "B2"))
+    assert(a.history.map(_._1) == Seq(0L, 2L))
+    a.merge(kv(1L -> "A1"))
+    assertSameRows(a.read(), kv(1L -> "A1", 2L -> "B2"))
+  }
+
   test("a torn manifest is invisible to readers and never wedges the table") {
     val dir = freshDir()
     val tbl = new SnapshotTable(spark, dir, "k")
