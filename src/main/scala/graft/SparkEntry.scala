@@ -79,6 +79,17 @@ object SparkEntry {
        |  LEFT JOIN ${p}rent_counts rc ON aw.week_beginning = rc.wk)""".stripMargin,
     s"${p}summary")
 
+  /** Pin `df`'s rows off their backing files (eager local checkpoint),
+    * then delete the scratch `dir` recursively: the snapshot-table demo
+    * queries write a real table under java.io.tmpdir, and without
+    * cleanup every bench/verify rep leaks a full table copy. */
+  private def materializeAndClean(df: DataFrame, dir: String): DataFrame = {
+    val out = df.localCheckpoint(true)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(out.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     WeeklySummary.snapshot(Tables.rental(spark, "/root/testdata/sf0.001"), AsOf)
@@ -109,22 +120,22 @@ object SparkEntry {
     "upsert_round_snapshot" -> ((s, dir) => {
       val (existing, incoming) =
         WeeklySummary.upsertRoundParts(Tables.rental(s, dir), DeltaFrom, AsOf)
-      val tbl = new graft.incremental.SnapshotTable(s,
-        java.nio.file.Files.createTempDirectory("graft-snap").toString, "week_beginning")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-snap").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "week_beginning")
       tbl.create(existing)
       tbl.merge(incoming)
-      tbl.read().orderBy("week_beginning")
+      materializeAndClean(tbl.read().orderBy("week_beginning"), scratch)
     }),
     // right-to-be-forgotten over the corpus store: keyed DELETE through
     // the ACID table (file-pruned copy-on-write) — the removed doc set
     // is gone from the new snapshot atomically
     "corpus_forget" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val tbl = new graft.incremental.SnapshotTable(s,
-        java.nio.file.Files.createTempDirectory("graft-forget").toString, "doc_id")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-forget").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id")
       tbl.create(docs)
       tbl.delete(docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
-      tbl.read()
+      materializeAndClean(tbl.read(), scratch)
     }),
     // -- text analysis / dedup over `documents` (extended surface)
     "doc_stats" -> ((s, dir) => TextOps.docStats(Tables.documents(s, dir))),
