@@ -95,9 +95,9 @@ object IncrementalRun {
           Watermarks.schema, Seq("process_name"))
       } finally conn.close()
       JdbcUpsert.upsert(summary, url, table, Seq("week_beginning"), props)
-      val wmRow = IncrementalWeeklySummary
-        .watermarkStore(spark, stateDir).read(Watermarks.schema)
-        .filter(col("process_name") === IncrementalWeeklySummary.ProcessName)
+      // the watermark row is derived from the summary commit's tag —
+      // the rollup copy can never carry a watermark its summary lacks
+      val wmRow = IncrementalWeeklySummary.watermarkFrame(spark, stateDir)
       JdbcUpsert.upsert(wmRow, url, "etl_watermarks", Seq("process_name"), props)
       println(s"[incremental] rollup upsert -> $url ($table, etl_watermarks)")
     }

@@ -4,32 +4,43 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.StructType
 
 /** The reference's `CREATE TABLE IF NOT EXISTS` bootstrap
-  * (etl_script_incremental_pandas.py:43-66) as real session-catalog DDL
-  * (SURVEY.md S4). The parquet state directories stay the storage of
-  * record (StateStore owns commit/rollback); this registers them as
-  * EXTERNAL catalog tables so the state is queryable by name through
+  * (etl_script_incremental_pandas.py:43-66) as session-catalog DDL
+  * (SURVEY.md S4), so the state is queryable by name through
   * `spark.sql("SELECT … FROM weekly_rental_summary")` — the API shape a
-  * reference user expects — without copying any data. Idempotent by the
-  * same `IF NOT EXISTS` contract as the reference; at scale the catalog
-  * write is metadata-only, so registration cost is independent of table
-  * size. */
+  * reference user expects — without copying any data.
+  *
+  * The summary's storage of record is a [[SnapshotTable]]: its current
+  * contents are a MANIFEST-SELECTED subset of the files under the state
+  * dir (superseded versions stay on disk for time travel), which a
+  * plain `USING parquet LOCATION` external table cannot express — it
+  * would read every file ever written. So registration creates session
+  * VIEWS resolving the current snapshot (summary) and the tag-derived
+  * watermark row. Re-registration replaces the view with a fresh
+  * resolution — the same observable contract `IF NOT EXISTS` +
+  * refresh gave the old directory-swap store, and still metadata-only:
+  * view creation plans nothing, cost is independent of table size. */
 object CatalogDdl {
 
-  /** External-table DDL over an existing parquet location. */
+  /** External-table DDL over an existing plain-parquet location — the
+    * literal `CREATE TABLE IF NOT EXISTS` half (etl:43-66), used for
+    * state that IS a flat directory (e.g. exports). The JDBC dialect
+    * half lives in [[graft.sources.JdbcUpsert.createTableIfAbsent]]. */
   def createTableSql(table: String, schema: StructType, location: String): String =
     s"CREATE TABLE IF NOT EXISTS `$table` (${schema.toDDL}) " +
       s"USING parquet LOCATION '${location.replace("'", "''")}'"
 
-  /** Register both state tables of the incremental pipeline. Call after
-    * a run (or anytime): `IF NOT EXISTS` makes re-registration a no-op,
-    * and the refresh drops any stale file listing a previous query of
-    * the same session may have cached across a StateStore swap. */
+  /** Register the state surfaces of the incremental pipeline. Call
+    * after a run (or anytime): re-registration just re-resolves the
+    * current snapshot. The run log — plain append-only parquet, no
+    * manifest — registers through the literal `CREATE TABLE IF NOT
+    * EXISTS … LOCATION` DDL, with a refresh to drop any file listing a
+    * previous query of this session cached before the latest append. */
   def registerStateTables(spark: SparkSession, stateDir: String): Unit = {
-    spark.sql(createTableSql("weekly_rental_summary",
-      IncrementalWeeklySummary.summarySchema, s"$stateDir/weekly_rental_summary"))
-    spark.sql(createTableSql("etl_watermarks",
-      Watermarks.schema, s"$stateDir/etl_watermarks"))
-    spark.catalog.refreshTable("weekly_rental_summary")
-    spark.catalog.refreshTable("etl_watermarks")
+    IncrementalWeeklySummary.readSummary(spark, stateDir)
+      .createOrReplaceTempView("weekly_rental_summary")
+    IncrementalWeeklySummary.watermarkFrame(spark, stateDir)
+      .createOrReplaceTempView("etl_watermarks")
+    spark.sql(createTableSql("etl_run_log", RunLog.schema, s"$stateDir/run_log"))
+    spark.catalog.refreshTable("etl_run_log")
   }
 }

@@ -56,9 +56,20 @@ final case class RunReport(
   *     per week (etl:218-243); we run ONE plan:
   *     [[WeeklySummary.statsForWeeks]] over the sparse affected set
   *     (SURVEY.md G2 elimination)
-  *  6. keyed upsert into the summary (etl:249-267) = left-anti old rows ∪
-  *     recomputed rows, committed via [[StateStore]] write-then-swap
-  *  7. watermark advance only after success (etl:274-284)
+  *  6. keyed upsert into the summary (etl:249-267) = [[SnapshotTable.merge]]:
+  *     file-pruned copy-on-write, so only the files whose week range the
+  *     affected set touches are rewritten — at 100 TB a weekly delta
+  *     rewrites a sliver of the table, never the table
+  *  7. watermark advance (etl:274-284) — the watermark RIDES the summary
+  *     commit as the snapshot table's application tag, so summary and
+  *     watermark are ONE atomic manifest write, exactly the reference's
+  *     single-transaction commit (etl:272). The pre-r13 sink swapped two
+  *     directories (summary, watermark) independently; a crash between
+  *     the swaps left a torn state that re-runs had to repair
+  *     convergently. With the tag riding the commit, that state is
+  *     structurally impossible: either both advanced or neither did. A
+  *     run that changes no rows advances the watermark with a tag-only
+  *     commit ([[SnapshotTable.setTag]] — manifest write, no data).
   *
   * Deliberate divergence: the reference's per-week recompute compares raw
   * timestamps against week-end *midnight* (etl:226,230,234-235), while its
@@ -81,10 +92,34 @@ object IncrementalWeeklySummary {
     StructField("net_change_in_outstanding", LongType, nullable = true),
     StructField("last_updated", TimestampType, nullable = true)))
 
-  def summaryStore(spark: SparkSession, stateDir: String): StateStore =
-    new StateStore(spark, s"$stateDir/weekly_rental_summary")
-  def watermarkStore(spark: SparkSession, stateDir: String): StateStore =
-    new StateStore(spark, s"$stateDir/etl_watermarks")
+  /** The summary's storage of record: a manifest-based ACID table keyed
+    * on the week, whose commit tag carries the process watermark. */
+  def summaryTable(spark: SparkSession, stateDir: String): SnapshotTable =
+    new SnapshotTable(spark, s"$stateDir/weekly_rental_summary", "week_beginning")
+
+  /** Watermark ↔ tag encoding: `Timestamp.toString`/`valueOf` round-trip
+    * exactly (the session is pinned to UTC, so the wall-clock string is
+    * unambiguous). */
+  private def tagOf(ts: Timestamp): String = ts.toString
+
+  /** The process watermark — the summary table's current commit tag
+    * ([[Watermarks.DefaultStart]] when the table was never committed).
+    * There is no separate watermark store to disagree with the summary:
+    * both come from one manifest. */
+  def watermark(spark: SparkSession, stateDir: String): Timestamp = {
+    val t = summaryTable(spark, stateDir)
+    if (t.exists) t.currentTag.map(Timestamp.valueOf).getOrElse(Watermarks.DefaultStart)
+    else Watermarks.DefaultStart
+  }
+
+  /** The reference's one-row `etl_watermarks` view of the watermark
+    * (etl:58-66), derived from the summary commit tag — for the catalog
+    * surface and the JDBC rollup sync. */
+  def watermarkFrame(spark: SparkSession, stateDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(Row(ProcessName, watermark(spark, stateDir))).asJava, Watermarks.schema)
+  }
 
   /** One incremental run. `now` parameterizes the reference's
     * `CURRENT_TIMESTAMP` audit column for deterministic tests (SURVEY.md F9).
@@ -103,17 +138,20 @@ object IncrementalWeeklySummary {
     val rental = Seq("rental_date", "return_date", "last_update")
       .foldLeft(rental0)((df, c) => df.withColumn(c, col(c).cast(TimestampType)))
 
-    val summaries = summaryStore(spark, stateDir)
-    val watermarks = watermarkStore(spark, stateDir)
-
-    // -- step 0: empty target ⇒ reset watermark (etl:68-85)
-    val summary = summaries.read(summarySchema)
+    val table = summaryTable(spark, stateDir)
+    // pin the base version: the merge below is compare-and-swap against
+    // it, so a concurrent run fails loudly instead of losing an update
+    val baseVersion = table.currentVersion
+    val summary = readSummary(spark, stateDir)
     val targetEmpty = summary.limit(1).isEmpty
-    if (targetEmpty)
-      Watermarks.write(spark, watermarks, ProcessName, Watermarks.DefaultStart)
 
-    // -- step 1: window bounds (etl:89-113)
-    val previousWatermark = Watermarks.read(spark, watermarks, ProcessName)
+    // -- step 0/1: window bounds (etl:89-113). Empty target ⇒ watermark
+    // resets to DefaultStart (etl:68-85) — with the watermark riding the
+    // summary commit, the reset is a READ rule, not a write: an empty
+    // summary cannot carry a meaningful watermark.
+    val previousWatermark =
+      if (targetEmpty) Watermarks.DefaultStart
+      else watermark(spark, stateDir)
     val maxSource: Option[Timestamp] =
       Option(rental.agg(max(col("last_update"))).head().getTimestamp(0))
     val currentMax = maxSource.getOrElse(previousWatermark) // etl:109-111
@@ -164,8 +202,16 @@ object IncrementalWeeklySummary {
     val nAffected = affectedNarrow.count()
 
     if (nAffected == 0) {
-      // etl:202-213 — bump watermark, nothing to process
-      Watermarks.write(spark, watermarks, ProcessName, currentMax)
+      // etl:202-213 — bump watermark, nothing to process: a tag-only
+      // commit on the summary table (no data files). An empty source
+      // over a never-committed table has nothing to record — stay
+      // write-free (the watermark read rule already yields DefaultStart).
+      if (table.exists) {
+        if (!table.currentTag.contains(tagOf(currentMax))) table.setTag(tagOf(currentMax))
+      } else if (currentMax.after(Watermarks.DefaultStart)) {
+        table.create(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], summarySchema), tagOf(currentMax))
+      }
       affectedNarrow.unpersist()
       return RunReport(previousWatermark, currentMax, delta.count(), 0, processed = false)
     }
@@ -187,12 +233,14 @@ object IncrementalWeeklySummary {
         col("net_change_in_outstanding"),
         lit(now).as("last_updated"))
 
-    // -- upsert + commit (etl:249-272)
-    val untouched = summary.join(affected, Seq("week_beginning"), "left_anti")
-    summaries.overwrite(untouched.unionByName(recomputed))
-
-    // -- step 5: advance watermark (etl:274-284)
-    Watermarks.write(spark, watermarks, ProcessName, currentMax)
+    // -- upsert + watermark advance as ONE atomic commit (etl:249-284;
+    // the reference's single transaction, etl:272). merge is file-pruned
+    // copy-on-write: weeks outside the affected range carry forward by
+    // reference ([[SnapshotTable]]); statsForWeeks returns exactly one
+    // row per affected week (it semi-joins back to the spine), so the
+    // keyed merge is result-identical to anti-join-then-union.
+    if (targetEmpty) table.create(recomputed, tagOf(currentMax))
+    else table.merge(recomputed, expectedVersion = baseVersion, tag = tagOf(currentMax))
 
     val report = RunReport(previousWatermark, currentMax, delta.count(), nAffected, processed = true)
     affectedNarrow.unpersist()
@@ -208,6 +256,9 @@ object IncrementalWeeklySummary {
         lit(start), lit(end), expr("INTERVAL 7 DAYS"))).as("week_beginning"))
 
   /** Current materialized summary (empty frame when never run). */
-  def readSummary(spark: SparkSession, stateDir: String): DataFrame =
-    summaryStore(spark, stateDir).read(summarySchema)
+  def readSummary(spark: SparkSession, stateDir: String): DataFrame = {
+    val t = summaryTable(spark, stateDir)
+    if (t.exists) t.read()
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], summarySchema)
+  }
 }

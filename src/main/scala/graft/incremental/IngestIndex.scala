@@ -64,7 +64,7 @@ import graft.ops.{BloomJoin, TextOps}
   * before reading ([[recover]]), so a crash at ANY point leaves a state
   * that is either entirely pre-batch or, after the next open, entirely
   * post-batch — the four indexes can never be observed mixed (the S7
-  * all-or-nothing discipline of [[StateStore]], extended to a
+  * all-or-nothing discipline, extended to a
   * multi-directory commit). Re-running [[absorb]] with the same batch
   * is idempotent at the result level: a duplicate segment re-mins to
   * the same fp winners, span keys dedup in the semi-join, winnow

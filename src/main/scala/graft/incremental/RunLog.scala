@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   * prints each phase; a scheduled production job needs the history
   * queryable, not scrolled away). One row per run, written with plain
   * parquet APPEND: an audit log is immutable history, so the
-  * write-then-swap machinery of [[StateStore]] (built for mutable
+  * manifest/commit machinery of [[SnapshotTable]] (built for mutable
   * state) is deliberately NOT used — append never rewrites existing
   * files, and a duplicate row from a retried run is harmless (the
   * run_ts + watermark pair identifies it). */

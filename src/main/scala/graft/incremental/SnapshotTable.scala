@@ -12,10 +12,11 @@ import org.apache.spark.sql.types._
   * UPDATE`, etl_script_incremental_pandas.py:249-267), time travel,
   * and optimistic concurrency — over plain parquet files, no service.
   *
-  * [[StateStore]] (S7) commits by swapping ONE directory: atomic and
-  * right for summary-sized state, but every commit rewrites the whole
-  * table and a reader holding the old files can race the swap's delete.
-  * This class is the standard next rung (the design shared by
+  * The engine's earlier state sink (a directory-swap StateStore, S7)
+  * committed by swapping ONE directory: atomic and right for
+  * summary-sized state, but every commit rewrites the whole table and a
+  * reader holding the old files can race the swap's delete. This class
+  * replaced it everywhere and is the standard next rung (the design shared by
   * Delta/Iceberg-class formats, re-derived minimally): DATA FILES ARE
   * IMMUTABLE; each commit writes only NEW files plus a versioned
   * MANIFEST listing the files that make up that snapshot, and readers
@@ -70,7 +71,10 @@ import org.apache.spark.sql.types._
   * key-clustered files (time-ordered facts, week-keyed summaries) a
   * batch touches a sliver of the table. Min/max pruning is exact for
   * numeric/date/timestamp/string keys; other key types degrade to
-  * "always overlaps" (correct, just unpruned).
+  * "always overlaps" (correct, just unpruned). Writes may ADD nullable
+  * columns ([[evolveSchema]]): pre-evolution files stay untouched and
+  * read the new column as null; type changes and dropped columns are
+  * rejected loudly.
   */
 final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     clusterPartitions: Option[Int] = None) {
@@ -282,8 +286,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
           throw new ConcurrentModificationException(
             s"version $target at $dir was claimed by another writer", e)
       }
-    onAfterClaim()
     try {
+      onAfterClaim() // inside the try: an injected failure still closes
       val text = (Seq(
         "#graft-snapshot 1",
         s"#parent $base",
@@ -331,6 +335,21 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   def currentTag: Option[String] =
     currentVersion.flatMap(v => loadManifest(v).get.tag)
 
+  /** The application tag committed version `v` carries, if any — time
+    * travel for the rider fact: `readVersion(v)` and `tagAt(v)` come
+    * from ONE manifest, so the pair is consistent by construction. */
+  def tagAt(v: Long): Option[String] = loadManifest(v).flatMap(_.tag)
+
+  /** Tag-only commit: the current file set re-committed under a new
+    * application tag — advancing the rider fact (e.g. the incremental
+    * pipeline's watermark on a run that changed no rows) without
+    * writing any data files. Manifest-write cost only. */
+  def setTag(tag: String): Long = {
+    val m = loadManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir"))).get
+    commit(m.version, "tag", m.schema, m.entries, tag)
+  }
+
   /** Retire history: delete all committed manifests except the newest
     * `keepLast` — retired versions stop being readable (time travel
     * shrinks to the kept window) and their no-longer-referenced files
@@ -346,11 +365,42 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   }
 
   /** Append `df` as new files; every existing file carries forward by
-    * reference. */
-  def append(df: DataFrame): Long = {
+    * reference. Supports the same add-nullable-column evolution as
+    * [[merge]] (the pre-evolution files read the new column as null). */
+  def append(df: DataFrame, tag: String = ""): Long = {
     val m = loadManifest(currentVersion.getOrElse(
       throw new IllegalStateException(s"no snapshot table at $dir"))).get
-    commit(m.version, "append", m.schema, m.entries ++ stage(clustered(df)))
+    val evolved = evolveSchema(m.schema, df.schema)
+    commit(m.version, "append", evolved,
+      m.entries ++ stage(clustered(df.select(evolved.fieldNames.map(col): _*))), tag)
+  }
+
+  /** Schema evolution on write: the source may ADD nullable columns
+    * (appended after the table's fields; files committed before the
+    * evolution read them as null — parquet scans with an explicit
+    * schema fill absent columns, so nothing is rewritten and file
+    * min/max key stats carry unchanged). Everything else is rejected
+    * loudly: a type change would silently corrupt old rows on read, a
+    * dropped column is ambiguous (evolution or a caller bug?), and a
+    * non-nullable addition has no value for existing rows. The standard
+    * Delta/Iceberg-class add-column contract, minimally re-derived. */
+  private def evolveSchema(table: StructType, source: StructType): StructType = {
+    val byName = table.fields.map(f => f.name -> f).toMap
+    source.fields.foreach(f => byName.get(f.name).foreach { t =>
+      if (t.dataType != f.dataType) throw new IllegalArgumentException(
+        s"column ${f.name}: source type ${f.dataType.sql} does not match table type " +
+          s"${t.dataType.sql} — type changes are not supported, add a new column instead")
+    })
+    val dropped = table.fieldNames.filterNot(n => source.fieldNames.contains(n))
+    if (dropped.nonEmpty) throw new IllegalArgumentException(
+      s"source is missing table columns ${dropped.mkString(", ")} — " +
+        "a write must carry every existing column (dropping columns is not supported)")
+    val added = source.fields.filterNot(f => byName.contains(f.name))
+    added.filterNot(_.nullable).foreach(f => throw new IllegalArgumentException(
+      s"added column ${f.name} must be nullable — rows committed before the " +
+        "evolution have no value for it"))
+    if (added.isEmpty) table
+    else StructType(table.fields.toSeq ++ added.map(_.copy(nullable = true)))
   }
 
   /** Reclaim data files NO committed manifest references — the orphans
@@ -386,7 +436,9 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       if (sub.isDirectory) {
         val files = fs.listStatus(sub.getPath)
         files.foreach { f =>
-          if (!referenced(canon(f.getPath)) && f.getModificationTime < cutoff) {
+          // <=: delete when age ≥ grace — with graceMs=0 a file written
+          // in the probe's own millisecond is still "no grace requested"
+          if (!referenced(canon(f.getPath)) && f.getModificationTime <= cutoff) {
             fs.delete(f.getPath, false)
             deleted += canon(f.getPath)
           }
@@ -407,7 +459,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * snapshots still reference the old files, so a true forget must be
     * followed by retiring pre-delete manifests + [[vacuum]] — the same
     * two-step every snapshot table format has. */
-  def delete(keys: DataFrame, expectedVersion: Option[Long] = None): Long = {
+  def delete(keys: DataFrame, expectedVersion: Option[Long] = None,
+      tag: String = ""): Long = {
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"no snapshot table at $dir — create() first"))
     expectedVersion.filter(_ != cur).foreach(v =>
@@ -422,7 +475,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       val (sMin, sMax) = (ordEncode(b.get(0)), ordEncode(b.get(1)))
       val (touched, untouched) = m.entries.partition(e => overlaps(e, sMin, sMax))
       val survivors = readEntries(m.schema, touched).join(ks, Seq(key), "left_anti")
-      commit(m.version, "delete", m.schema, untouched ++ stage(clustered(survivors)))
+      commit(m.version, "delete", m.schema, untouched ++ stage(clustered(survivors)), tag)
     } finally ks.unpersist(blocking = false)
   }
 
@@ -438,16 +491,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * from (compare-and-swap): if the table has advanced past it by
     * commit time, the merge throws instead of silently overwriting the
     * interloper's rows. */
-  def merge(source: DataFrame, expectedVersion: Option[Long] = None): Long = {
+  def merge(source: DataFrame, expectedVersion: Option[Long] = None,
+      tag: String = ""): Long = {
     val cur = currentVersion.getOrElse(
       throw new IllegalStateException(s"no snapshot table at $dir — create() first"))
     expectedVersion.filter(_ != cur).foreach(v =>
       throw new ConcurrentModificationException(
         s"table at $dir is at version $cur, caller expected $v"))
     val m = loadManifest(cur).get
-    require(source.schema.fieldNames.sorted.sameElements(m.schema.fieldNames.sorted),
-      s"merge source schema ${source.schema.fieldNames.mkString(",")} does not " +
-        s"match table schema ${m.schema.fieldNames.mkString(",")}")
+    val evolved = evolveSchema(m.schema, source.schema)
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one batch-sized aggregate: key-uniqueness guard + pruning bounds
@@ -459,10 +511,12 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
             "keys — an upsert batch must be key-unique")
       val (sMin, sMax) = (ordEncode(b.get(2)), ordEncode(b.get(3)))
       val (touched, untouched) = m.entries.partition(e => overlaps(e, sMin, sMax))
-      val survivors = readEntries(m.schema, touched)
+      // touched files are read with the EVOLVED schema: any
+      // just-added column comes back null for pre-evolution rows
+      val survivors = readEntries(evolved, touched)
         .join(src.select(col(key)), Seq(key), "left_anti")
-      val fresh = stage(clustered(survivors.unionByName(src.select(m.schema.fieldNames.map(col): _*))))
-      commit(m.version, "merge", m.schema, untouched ++ fresh)
+      val fresh = stage(clustered(survivors.unionByName(src.select(evolved.fieldNames.map(col): _*))))
+      commit(m.version, "merge", evolved, untouched ++ fresh, tag)
     } finally src.unpersist(blocking = false)
   }
 }

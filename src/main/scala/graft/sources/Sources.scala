@@ -21,9 +21,10 @@ import org.apache.spark.sql.types.StructType
   *  - [[PartitionedSink]] is the keyed-upsert sink for big outputs:
   *    year-partitioned layout + dynamic partition overwrite, so an
   *    incremental run rewrites only the partitions its delta touches
-  *    (contrast [[graft.incremental.StateStore]], which swap-rewrites
-  *    whole tables — right for week-cardinality state, wrong for fact-
-  *    sized outputs).
+  *    (contrast a whole-table overwrite commit — right for week-
+  *    cardinality state, wrong for fact-sized outputs; the summary
+  *    state itself uses [[graft.incremental.SnapshotTable]]'s
+  *    file-pruned copy-on-write).
   */
 object Sources {
 
@@ -154,8 +155,8 @@ object Sources {
   }
 
   /** Small-file compaction: rewrite a parquet directory into
-    * `ceil(bytes / targetBytes)` files via the same write-then-swap
-    * commit as [[graft.incremental.StateStore]] — readers never observe
+    * `ceil(bytes / targetBytes)` files via a write-then-swap
+    * commit (temp dir + two renames) — readers never observe
     * a half-compacted table. Streaming sinks and frequent small
     * upserts accrete kilobyte files whose per-file open/footer cost
     * eventually dominates scans; periodic compaction is the standard

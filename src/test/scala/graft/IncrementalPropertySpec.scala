@@ -86,16 +86,22 @@ class IncrementalPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("crash between summary commit and watermark advance converges on re-run") {
+  test("summary and watermark advance as ONE atomic commit — a torn commit rolls back both") {
     // The reference commits summary + watermark in ONE Postgres
-    // transaction (etl:272); StateStore swaps them as two separate
-    // commits, so a crash can land AFTER summaries.overwrite but BEFORE
-    // Watermarks.write (IncrementalWeeklySummary run steps 4→5).
-    // README.md documents the invariant that makes this safe: the
-    // summary upsert is idempotent, so the recovery re-run re-processes
-    // the same delta against already-updated summaries and converges.
-    // Pin it: simulate the torn state by rewinding the watermark to its
-    // pre-run value while keeping the post-run summary.
+    // transaction (etl:272). The pre-r13 sink swapped two directories
+    // independently, so a crash could land between them (summary
+    // advanced, watermark behind) and this spec pinned the convergent
+    // REPAIR. The watermark now rides the summary commit as the
+    // SnapshotTable tag, so that torn state is structurally impossible
+    // — there is no independent watermark left to rewind. Pin the
+    // stronger invariant instead:
+    //  (a) every committed version carries its run's watermark in the
+    //      SAME manifest as its rows, so time travel yields consistent
+    //      (summary, watermark) pairs at every version;
+    //  (b) a commit torn mid-write (exactly what a crash leaves: a
+    //      claimed, unterminated manifest + orphaned data files) is
+    //      invisible — summary AND watermark both still read the
+    //      pre-crash state, together — and a re-run converges.
     for (trial <- 1 to 3) {
       val rows = logGen.pureApply(Gen.Parameters.default, Seed(9000L + trial))
       val versions = rows.flatMap { case (id, rd, ret) =>
@@ -116,19 +122,33 @@ class IncrementalPropertySpec extends AnyFunSuite {
       val now = ts("2030-01-01 00:00:00")
 
       IncrementalWeeklySummary.run(spark, sourceAsOf(log, t1), dir, now = now)
-      val wmStore = IncrementalWeeklySummary.watermarkStore(spark, dir)
-      val wm1 = Watermarks.read(spark, wmStore, IncrementalWeeklySummary.ProcessName)
+      val table = IncrementalWeeklySummary.summaryTable(spark, dir)
+      val v1Version = table.currentVersion.get
+      val wm1 = IncrementalWeeklySummary.watermark(spark, dir)
+      val summary1 = collectSorted(IncrementalWeeklySummary.readSummary(spark, dir))
 
-      IncrementalWeeklySummary.run(spark, sourceAsOf(log, t2), dir, now = now)
-      val wm2 = Watermarks.read(spark, wmStore, IncrementalWeeklySummary.ProcessName)
+      // a t2 run crashed mid-commit: claimed manifest, body never
+      // terminated (plus data-file orphans we don't bother planting —
+      // they are invisible by construction and vacuum-reclaimable)
+      Files.writeString(
+        java.nio.file.Paths.get(dir, "weekly_rental_summary", "manifests",
+          f"v${v1Version + 1}%019d.json"),
+        s"#graft-snapshot 1\n#parent $v1Version\n#op merge\n#tag $t2\n")
+      // (b) both facts still read the PRE-crash state — neither can be
+      // ahead of the other, they are one manifest
+      assert(IncrementalWeeklySummary.watermark(spark, dir) === wm1)
+      assert(collectSorted(IncrementalWeeklySummary.readSummary(spark, dir)) == summary1)
 
-      // Torn state: summary reflects the t2 run, watermark does not.
-      Watermarks.write(spark, wmStore, IncrementalWeeklySummary.ProcessName, wm1)
+      // recovery re-run over the same source claims past the torn
+      // version and commits rows + watermark together
+      val r = IncrementalWeeklySummary.run(spark, sourceAsOf(log, t2), dir, now = now)
+      val wm2 = IncrementalWeeklySummary.watermark(spark, dir)
+      assert(wm2 === r.newWatermark, "watermark must re-advance")
 
-      // Recovery re-run over the same source.
-      IncrementalWeeklySummary.run(spark, sourceAsOf(log, t2), dir, now = now)
-      assert(Watermarks.read(spark, wmStore,
-        IncrementalWeeklySummary.ProcessName) === wm2, "watermark must re-advance")
+      // (a) time travel: the t1 version still carries the t1 watermark
+      // and the t1 rows — one consistent fact set per version
+      assert(table.tagAt(v1Version).contains(wm1.toString))
+      assert(collectSorted(table.readVersion(v1Version)) == summary1)
 
       val finalSource = sourceAsOf(log, t2)
       val maxW = finalSource
@@ -181,6 +201,9 @@ class IncrementalPropertySpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-ddl").toString
     IncrementalWeeklySummary.run(spark, rentalDf(versions), dir,
       now = ts("2030-01-01 00:00:00"))
+    RunLog.append(spark, dir,
+      RunReport(Watermarks.DefaultStart, ts("2030-01-01 00:00:00"), 1, 1, processed = true),
+      ts("2030-01-01 00:00:00"))
     try {
       CatalogDdl.registerStateTables(spark, dir)
       // registration is metadata-only and idempotent
@@ -193,9 +216,13 @@ class IncrementalPropertySpec extends AnyFunSuite {
         s"SELECT last_successful_update_timestamp FROM etl_watermarks " +
           s"WHERE process_name = '${IncrementalWeeklySummary.ProcessName}'")
       assert(wm.count() === 1)
+      // the run log registers through the literal CREATE TABLE IF NOT
+      // EXISTS … LOCATION DDL (plain parquet — no manifest to resolve)
+      assert(spark.sql("SELECT count(*) FROM etl_run_log").head().getLong(0) === 1)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS weekly_rental_summary")
-      spark.sql("DROP TABLE IF EXISTS etl_watermarks")
+      spark.sql("DROP VIEW IF EXISTS weekly_rental_summary")
+      spark.sql("DROP VIEW IF EXISTS etl_watermarks")
+      spark.sql("DROP TABLE IF EXISTS etl_run_log")
     }
   }
 }

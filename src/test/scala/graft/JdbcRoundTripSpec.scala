@@ -60,12 +60,8 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assertSameRows(
       IncrementalWeeklySummary.readSummary(spark, dirJdbc),
       IncrementalWeeklySummary.readSummary(spark, dirDf))
-    val wmJ = Watermarks.read(spark,
-      IncrementalWeeklySummary.watermarkStore(spark, dirJdbc),
-      IncrementalWeeklySummary.ProcessName)
-    val wmD = Watermarks.read(spark,
-      IncrementalWeeklySummary.watermarkStore(spark, dirDf),
-      IncrementalWeeklySummary.ProcessName)
+    val wmJ = IncrementalWeeklySummary.watermark(spark, dirJdbc)
+    val wmD = IncrementalWeeklySummary.watermark(spark, dirDf)
     assert(wmJ === wmD)
   }
 

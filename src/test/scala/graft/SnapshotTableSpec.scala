@@ -199,6 +199,41 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(tbl.history.map(_._3) == Seq("create", "delete"))
   }
 
+  test("schema evolution: a merge may add a nullable column; pre-evolution files read it as null, unrewritten") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(4))
+    tbl.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // add-column merge that touches only the top of the key range
+    tbl.merge(Seq((400L, "X", Some("en")), (401L, "Y", Some("fr"))).toDF("k", "v", "lang"))
+    val out = tbl.read()
+    assert(out.schema.fieldNames.toSeq == Seq("k", "v", "lang"))
+    assert(out.count() == 401)
+    assert(out.filter(col("k") === 401L).select("lang").head.getString(0) == "fr")
+    // rows committed before the evolution read the new column as null —
+    // via the schema, not a rewrite: low-range files carried by reference
+    assert(out.filter(col("lang").isNull).count() == 399)
+    val carried = tbl.readVersion(0).inputFiles.toSet
+      .intersect(tbl.readVersion(1).inputFiles.toSet)
+    assert(carried.nonEmpty, "evolution forced a full rewrite")
+    // key min/max pruning stays live across the evolution boundary
+    tbl.merge(Seq((1L, "A", Some("de"))).toDF("k", "v", "lang"))
+    assert(tbl.readVersion(1).inputFiles.toSet
+      .intersect(tbl.readVersion(2).inputFiles.toSet).nonEmpty)
+    assert(tbl.read().filter(col("k") === 1L).select("v").head.getString(0) == "A")
+    // rejected loudly: dropped column, type change, non-nullable addition
+    intercept[IllegalArgumentException](tbl.merge(Seq((5L, "q")).toDF("k", "v")))
+    intercept[IllegalArgumentException](
+      tbl.merge(Seq((5L, 9, Some("x"))).toDF("k", "v", "lang")))
+    intercept[IllegalArgumentException](tbl.merge(
+      Seq((5L, "q", Some("x"))).toDF("k", "v", "lang").withColumn("score", lit(1.0))))
+    assert(tbl.history.size == 3, "a rejected write must commit nothing")
+    // delete crosses the evolution boundary too (old files, new schema)
+    tbl.delete(Seq(2L).toDF("k"))
+    assert(tbl.read().count() == 400)
+    assert(tbl.read().filter(col("k") === 2L).count() == 0)
+  }
+
   test("vacuum reclaims only unreferenced orphans — every committed version stays readable") {
     val dir = freshDir()
     val tbl = new SnapshotTable(spark, dir, "k")
