@@ -249,11 +249,25 @@ object Bench {
         opExec("incremental_warm")(IncrementalRun.main(Array(sfDir, incDir)))
         val strDir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
         opExec("streaming_drain")(StreamingRun.main(Array(sfDir, strDir, "4")))
+        // live-index streaming ingest: per-micro-batch index re-open,
+        // mid-stream absorb visible to the NEXT batch (re-crawls
+        // rejected), convergence-checked against the batch predicate
+        val strIngDir = java.nio.file.Files.createTempDirectory("graft-bench-sing").toString
+        opExec("streaming_ingest")(StreamingIngestRun.main(Array(sfDir, strIngDir)))
         // the end-to-end curation pipeline (quality ∧ model → exact →
         // near-dup keeper → decontaminate → splits → PSI gate) — the
         // flagship training-data main gets a measured number too
         val corDir = java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString
         opExec("corpus_run")(CorpusRun.main(Array(sfDir, corDir)))
+        // right-to-be-forgotten over the corpus this rep just published:
+        // keyed DELETE (file-pruned COW) + retire + vacuum + re-export —
+        // the erasure path a corpus store owes its sources, measured
+        opExec("corpus_forget_run") {
+          val store = new graft.incremental.SnapshotTable(spark, s"$corDir/corpus", "doc_id")
+          val ids = store.read().select("doc_id").orderBy("doc_id")
+            .limit(10).collect().map(_.getLong(0))
+          CorpusForget.main(Array(corDir, ids.mkString(",")))
+        }
         // indexed-admission twin (SPARK_GRAFT_INGEST_STATE): the cold
         // run builds the persisted ingest state from its admissions, the
         // warm run probes it — the funnel's exact-dedup stage at

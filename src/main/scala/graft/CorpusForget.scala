@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.incremental.SnapshotTable
+import graft.ops.TextOps
+
+/** Right-to-be-forgotten over a published corpus — the operational form
+  * of the `corpus_forget` query: remove a set of doc_ids from the
+  * corpus STORE ([[CorpusRun]]'s SnapshotTable at `<outDir>/corpus`)
+  * and re-derive every trainer-facing export, so the documents are gone
+  * from the store, its history, the split-clustered `kept/` export, and
+  * the `train_packed` sequence bins.
+  *
+  * Usage: runMain graft.CorpusForget <outDir> <id1,id2,…>
+  *
+  * The forget two-step every snapshot-table format requires:
+  *   1. keyed DELETE — file-pruned copy-on-write: only files whose
+  *      doc_id min/max range can hold a doomed id are rewritten; at
+  *      100 TB with range-clustered files that is a sliver of the
+  *      corpus, and the commit is atomic (readers see pre- or
+  *      post-delete, never partial);
+  *   2. retire(1) + vacuum — prior versions still REFERENCE the
+  *      pre-delete files (time travel would resurrect the forgotten
+  *      text), so true forget drops the history and reclaims the bytes.
+  *
+  * Reports `removed docs / files reclaimed / bytes reclaimed` on stdout
+  * and appends the same numbers to the run's `report.parquet` funnel —
+  * an auditor reads one lineage artifact for both curation and erasure.
+  */
+object CorpusForget {
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val ids = args(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+    require(ids.nonEmpty, "no doc_ids to forget")
+    val (spark, owned) = RunSession.obtain()
+    GraftSession.install(spark)
+    import spark.implicits._
+
+    val store = new SnapshotTable(spark, s"$outDir/corpus", "doc_id")
+    require(store.exists, s"no corpus store at $outDir/corpus — run CorpusRun first")
+
+    def dataBytes: Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/corpus/data")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+
+    val before = store.read().count()
+    val bytesBefore = dataBytes
+    // 1. atomic keyed DELETE (file-pruned copy-on-write)
+    store.delete(ids.toDF("doc_id"), tag = s"forget:${ids.size}")
+    // 2. true forget: retire pre-delete history, reclaim its files now
+    // (graceMs=0 — this writer just committed; nothing else is staging)
+    store.retire(keepLast = 1)
+    val reclaimed = store.vacuum(graceMs = 0)
+    val after = store.read().count()
+    val bytesAfter = dataBytes
+
+    // re-derive the exports from the post-forget snapshot: the
+    // forgotten docs vanish from kept/ AND from the packed training
+    // sequences (bins re-pack without them)
+    val published = store.read()
+    graft.sources.Sources.clusteredWrite(published, s"$outDir/kept", "split")
+    TextOps.packSequences(published.filter(col("split") === "train"))
+      .write.mode("overwrite").parquet(s"$outDir/train_packed")
+
+    val removed = before - after
+    val bytes = bytesBefore - bytesAfter
+    Seq(
+      ("forget_removed_docs", removed),
+      ("forget_files_reclaimed", reclaimed.size.toLong),
+      ("forget_bytes_reclaimed", bytes))
+      .toDF("stage", "n_docs")
+      .coalesce(1).write.mode("append").parquet(s"$outDir/report.parquet")
+    println(s"[forget] removed=$removed docs files_reclaimed=${reclaimed.size} " +
+      s"bytes_reclaimed=$bytes corpus_version=${store.currentVersion.get}")
+    println(s"[forget] re-exported kept/ + train_packed from $outDir/corpus")
+    if (owned) spark.stop()
+  }
+}

@@ -300,19 +300,34 @@ object CorpusRun {
       sys.exit(2)
     }
 
-    // publish: gates green, write everything. The kept corpus lands
+    // publish: gates green, write everything. The STORE OF RECORD is a
+    // doc_id-keyed [[graft.incremental.SnapshotTable]] at `corpus/` —
+    // versioned, atomically committed, and the substrate the
+    // right-to-be-forgotten pass ([[CorpusForget]]) operates on: a
+    // keyed DELETE there rewrites only the files whose doc_id range
+    // holds a doomed id, then retire+vacuum reclaims the old bytes.
+    // The trainer-facing EXPORTS derive from the store: `kept/` lands
     // CLUSTERED on split (one contiguous file range per split — a
     // trainer reading only `train` prunes at file granularity), and the
     // training split additionally ships its greedy token-budget packing
-    // (TextOps.packSequences) so the consumer starts from sequence bins,
-    // not raw docs.
+    // (TextOps.packSequences) so the consumer starts from sequence
+    // bins, not raw docs.
     val out = clean
       .join(withSplit, Seq("doc_id"))
       .join(quality, Seq("doc_id"))
-    graft.sources.Sources.clusteredWrite(out, s"$outDir/kept", "split")
-    stage("published", out.count())
+    val store = new graft.incremental.SnapshotTable(spark, s"$outDir/corpus", "doc_id")
+    store.create(out, tag = s"corpus-run:${stages.head._2}")
+    // retention: keep this publication + the previous one (rollback
+    // window); older versions' files become vacuum-reclaimable so
+    // repeated runs into one outDir don't grow disk without bound
+    store.retire(keepLast = math.min(2, store.history.size))
+    store.vacuum()
+    println(s"[corpus] corpus store -> version ${store.currentVersion.get} at $outDir/corpus")
+    val storedOut = store.read()
+    graft.sources.Sources.clusteredWrite(storedOut, s"$outDir/kept", "split")
+    stage("published", storedOut.count())
     val packed = TextOps.packSequences(
-      clean.join(withSplit.filter(col("split") === "train"), Seq("doc_id")))
+      storedOut.filter(col("split") === "train"))
     packed.write.mode("overwrite").parquet(s"$outDir/train_packed")
     stage("train_packed", packed.count())
     val s2 = spark

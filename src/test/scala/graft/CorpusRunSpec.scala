@@ -60,6 +60,41 @@ class CorpusRunSpec extends AnyFunSuite {
     assert(packed.select("seq_id").distinct().count() == maxSeq + 1)
   }
 
+  test("CorpusForget erases docs from the store, its history, and every re-derived export") {
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus-fgt").toString
+    CorpusRun.main(Array("/root/testdata/sf0.001", out))
+    val store = new graft.incremental.SnapshotTable(spark, s"$out/corpus", "doc_id")
+    val doomed = store.read().select("doc_id").orderBy("doc_id")
+      .limit(3).collect().map(_.getLong(0))
+    val before = store.read().count()
+
+    CorpusForget.main(Array(out, doomed.mkString(",")))
+
+    // gone from the store — and from HISTORY: retire(1) dropped the
+    // pre-delete versions, so time travel cannot resurrect the text
+    assert(store.read().filter(col("doc_id").isin(doomed.map(Long.box): _*)).count() == 0)
+    assert(store.read().count() == before - doomed.length)
+    assert(store.history.size == 1, s"history must be forgotten too: ${store.history}")
+    // the erasure is recorded in the same lineage artifact as curation
+    val report = spark.read.parquet(s"$out/report.parquet")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report("forget_removed_docs") == doomed.length.toLong)
+    assert(report("forget_files_reclaimed") >= 1,
+      s"pre-delete files must be vacuumed: $report")
+    assert(report("forget_bytes_reclaimed") > 0, s"bytes not reclaimed: $report")
+    // exports re-derived WITHOUT the forgotten docs
+    val kept = spark.read.parquet(s"$out/kept")
+    assert(kept.filter(col("doc_id").isin(doomed.map(Long.box): _*)).count() == 0)
+    assert(kept.count() == before - doomed.length)
+    val packed = spark.read.parquet(s"$out/train_packed")
+    assert(packed.filter(col("doc_id").isin(doomed.map(Long.box): _*)).count() == 0)
+    // the packed bins re-packed densely over the survivors
+    if (packed.count() > 0) {
+      val maxSeq = packed.agg(max("seq_id")).head().getLong(0)
+      assert(packed.select("seq_id").distinct().count() == maxSeq + 1)
+    }
+  }
+
   test("gated excise + cluster splitter: extra stage, rewritten text, zero split leakage") {
     val out = java.nio.file.Files.createTempDirectory("graft-corpus-ex").toString
     sys.props("SPARK_GRAFT_EXCISE") = "1"

@@ -149,6 +149,21 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingIngestRun main: corpus-scale live-index cycle converges end-to-end") {
+    // the operational form of the mid-stream-absorb contract above,
+    // over the real sf0.001 corpus: build state -> stream batch 0
+    // (fresh docs) -> absorb slice B between micro-batches -> batch 1
+    // (re-crawls of B, new ids) rejected in full. The main THROWS on
+    // divergence when embedded, so reaching the asserts is the check.
+    val dir = java.nio.file.Files.createTempDirectory("graft-sing-spec").toString
+    StreamingIngestRun.main(Array("/root/testdata/sf0.001", dir))
+    val admitted = spark.read.parquet(s"$dir/admitted")
+    assert(admitted.count() > 0, "batch 0 must admit the fresh quality docs")
+    // every admitted doc is an original batch-0 id — no re-crawl id
+    // (offset past 10M) survived the live-index anti-join
+    assert(admitted.filter(col("doc_id") >= 10000000L).count() == 0)
+  }
+
   private def gen(seed: Int, n: Int): String = {
     val r = new scala.util.Random(seed)
     (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
