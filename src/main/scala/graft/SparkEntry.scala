@@ -126,6 +126,23 @@ object SparkEntry {
       tbl.merge(incoming)
       materializeAndClean(tbl.read().orderBy("week_beginning"), scratch)
     }),
+    // the same round with ADD-COLUMN SCHEMA EVOLUTION through the ACID
+    // sink: the incoming batch carries a new nullable audit column;
+    // pre-evolution rows read it as null WITHOUT a rewrite
+    // (SnapshotTable.evolveSchema — parquet scans with an explicit
+    // schema fill absent columns), so old files carry by reference
+    "upsert_round_snapshot_evolve" -> ((s, dir) => {
+      val (existing, incoming) =
+        WeeklySummary.upsertRoundParts(Tables.rental(s, dir), DeltaFrom, AsOf)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-snap-ev").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "week_beginning")
+      tbl.create(existing)
+      // a non-foldable when() without otherwise => nullable, as the
+      // add-column contract requires (a bare lit() is non-nullable)
+      tbl.merge(incoming.withColumn("batch_note",
+        when(col("week_beginning").isNotNull, lit("delta"))))
+      materializeAndClean(tbl.read().orderBy("week_beginning"), scratch)
+    }),
     // right-to-be-forgotten over the corpus store: keyed DELETE through
     // the ACID table (file-pruned copy-on-write) — the removed doc set
     // is gone from the new snapshot atomically
@@ -1138,7 +1155,12 @@ object SparkEntry {
        |FROM $fin WINDOW w AS (ORDER BY week_beginning)""".stripMargin
   }
 
-  private val upsertRoundOracle: String = {
+  private val upsertRoundOracle: String = upsertRoundOracleSql(noteCol = false)
+  /** `noteCol` adds the evolve query's nullable audit column: 'delta'
+    * on recomputed rows, NULL on carried-forward pre-evolution rows. */
+  private def upsertRoundOracleSql(noteCol: Boolean): String = {
+    val newNote = if (noteCol) ", 'delta' AS batch_note" else ""
+    val oldNote = if (noteCol) ", CAST(NULL AS VARCHAR) AS batch_note" else ""
     val (oldCtes, oldFin) = snapshotCtes("old_src", "old_")
     s"""WITH $rentalCte,
        |old_src AS (SELECT * FROM rental WHERE last_update <= TIMESTAMP '1999-01-01 00:00:00'),
@@ -1165,10 +1187,10 @@ object SparkEntry {
        |         outstanding_rentals_at_week_end
        |  FROM new_base)
        |SELECT week_beginning, newly_rented_during_week, returned_rentals_during_week,
-       |       net_change_in_outstanding, outstanding_rentals_at_week_end FROM new_rows
+       |       net_change_in_outstanding, outstanding_rentals_at_week_end$newNote FROM new_rows
        |UNION ALL
        |SELECT o.week_beginning, o.newly_rented_during_week, o.returned_rentals_during_week,
-       |       o.net_change_in_outstanding, o.outstanding_rentals_at_week_end FROM $oldFin o
+       |       o.net_change_in_outstanding, o.outstanding_rentals_at_week_end$oldNote FROM $oldFin o
        |WHERE o.week_beginning NOT IN (SELECT week_beginning FROM affected)
        |ORDER BY week_beginning""".stripMargin
   }
@@ -1211,6 +1233,7 @@ object SparkEntry {
          |ORDER BY rental_id LIMIT 1""".stripMargin,
     "upsert_round" -> upsertRoundOracle,
     "upsert_round_snapshot" -> upsertRoundOracle,
+    "upsert_round_snapshot_evolve" -> upsertRoundOracleSql(noteCol = true),
     "corpus_forget" ->
       "SELECT * FROM documents WHERE doc_id % 17 <> 0",
     "doc_stats" ->
