@@ -80,6 +80,21 @@ object IncrementalRun {
     println(s"[incremental] watermark ${report.previousWatermark} -> ${report.newWatermark}; " +
       s"deltaRows=${report.deltaRows} affectedWeeks=${report.affectedWeeks} processed=${report.processed}")
     graft.incremental.RunLog.append(spark, stateDir, report)
+    // table maintenance: a scheduled production job must stay healthy
+    // without an out-of-band janitor. Each processed run adds one
+    // manifest and batch-sized data files; past 16 live files compact
+    // them (content-identical, watermark tag carried), and bound the
+    // time-travel window + reclaim unreferenced bytes every run.
+    val summaryTbl = IncrementalWeeklySummary.summaryTable(spark, stateDir)
+    if (summaryTbl.exists) {
+      if (summaryTbl.history.last._4 > 16) {
+        summaryTbl.optimize()
+        println(s"[incremental] maintenance: compacted summary to " +
+          s"${summaryTbl.history.last._4} files")
+      }
+      summaryTbl.retire(keepLast = 16)
+      summaryTbl.vacuum()
+    }
     CatalogDdl.registerStateTables(spark, stateDir)
     sys.env.get("SPARK_GRAFT_ROLLUP_JDBC_URL").foreach { url =>
       val props = new java.util.Properties()

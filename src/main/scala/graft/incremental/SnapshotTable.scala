@@ -403,6 +403,30 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     else StructType(table.fields.toSeq ++ added.map(_.copy(nullable = true)))
   }
 
+  /** OPTIMIZE — small-file compaction: every data file smaller than
+    * `smallBytes` is rewritten (together with its small peers) into
+    * right-sized, key-clustered files; files at or above the threshold
+    * carry forward by reference. Content-identical: just a new version
+    * with a healthier layout, so snapshot isolation, time travel, and
+    * the claim protocol apply unchanged (a concurrent merge racing the
+    * optimize fails loudly, exactly like two merges). The standard
+    * maintenance job for a table maintained by frequent small merges —
+    * each merge writes batch-sized files, and after enough rounds the
+    * per-file open/footer cost dominates scans. File sizes come from a
+    * driver-side listing of the CURRENT snapshot's entries only (one
+    * stat per live file — maintenance-op cost, not query-path cost).
+    * Returns the new version, or the current one when fewer than two
+    * files are small (nothing to gain). */
+  def optimize(smallBytes: Long = 32L << 20): Long = {
+    val m = loadManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir"))).get
+    val (small, big) = m.entries.partition(e =>
+      fs.getFileStatus(new Path(s"$dir/${e.path}")).getLen < smallBytes)
+    if (small.size <= 1) return m.version
+    commit(m.version, "optimize", m.schema,
+      big ++ stage(clustered(readEntries(m.schema, small))), m.tag.getOrElse(""))
+  }
+
   /** Reclaim data files NO committed manifest references — the orphans
     * of crashed or retracted commits (staged data is written before its
     * manifest, so a failure strands it invisibly). Every committed

@@ -260,6 +260,40 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(inflight))
   }
 
+  test("optimize compacts small files content-identically; big files carry by reference; tag survives") {
+    val tbl = new SnapshotTable(spark, freshDir(), "k")
+    tbl.create(kv(1L -> "a"), tag = "wm-1")
+    (2L to 9L).foreach(i => tbl.merge(kv(i -> s"v$i"), tag = s"wm-$i"))
+    val before = collectSorted(tbl.read())
+    val filesBefore = tbl.history.last._4
+    assert(filesBefore > 2, s"need small-file accretion to observe, got $filesBefore")
+    val vOpt = tbl.optimize() // every test file is tiny -> all rewritten
+    assert(tbl.history.last._3 == "optimize")
+    assert(tbl.history.last._4 < filesBefore, "optimize must reduce the file count")
+    assert(collectSorted(tbl.read()) == before, "optimize must not change content")
+    // the rider tag (a watermark, a batch id) survives the maintenance
+    // commit — dropping it would reset the incremental pipeline
+    assert(tbl.currentTag.contains("wm-9"))
+    // nothing small -> no-op, no version bump
+    assert(tbl.optimize(smallBytes = 1L) == vOpt)
+    // a big file carries by reference: pick a threshold between the
+    // compacted file's size and the small single-row merge files'
+    val compactedSize = tbl.read().inputFiles
+      .map(u => new java.io.File(new java.net.URI(u)).length()).max
+    tbl.merge(kv(20L -> "x"))
+    tbl.merge(kv(21L -> "y"))
+    val vBefore = tbl.currentVersion.get
+    tbl.optimize(smallBytes = compactedSize) // the compacted file is NOT small
+    val carried = tbl.readVersion(vBefore).inputFiles.toSet
+      .intersect(tbl.read().inputFiles.toSet)
+    assert(carried.nonEmpty, "files at/above the threshold must carry by reference")
+    assertSameRows(tbl.read(), kv(
+      ((1L to 9L).map(i => i -> (if (i == 1) "a" else s"v$i")) ++
+        Seq(20L -> "x", 21L -> "y")): _*))
+    // time travel across maintenance commits stays intact
+    assert(tbl.readVersion(0).count() == 1)
+  }
+
   test("commit tags ride atomically with their data; retire bounds history for vacuum") {
     val tbl = new SnapshotTable(spark, freshDir(), "k")
     assert(tbl.currentTag.isEmpty)
