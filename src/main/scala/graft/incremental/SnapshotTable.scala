@@ -543,4 +543,27 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       commit(m.version, "merge", evolved, untouched ++ fresh, tag)
     } finally src.unpersist(blocking = false)
   }
+
+  /** The optimistic-concurrency retry loop the commit protocol's
+    * lost-update check demands, packaged: derive the merge source FROM
+    * the current snapshot, commit CAS-pinned to it, and when a
+    * concurrent writer lands first (the commit retracts and throws)
+    * RE-DERIVE from the fresh snapshot and try again — so the final
+    * state reflects both writers, serialized. `deriveSource` must be a
+    * pure function of the snapshot it is given; the attempt that
+    * succeeds is the one whose derivation saw every earlier commit.
+    * Throws the last [[ConcurrentModificationException]] after
+    * `maxAttempts` lost races (pathological contention — callers
+    * should back off, not spin). */
+  def mergeWith(deriveSource: DataFrame => DataFrame, maxAttempts: Int = 3,
+      tag: String = ""): Long = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    var last: ConcurrentModificationException = null
+    for (_ <- 1 to maxAttempts) {
+      val base = currentVersion
+      try return merge(deriveSource(read()), expectedVersion = base, tag = tag)
+      catch { case e: ConcurrentModificationException => last = e }
+    }
+    throw last
+  }
 }

@@ -156,33 +156,63 @@ object WeeklySummaryStream {
     if (applied.exists(_ >= batchId)) return
     val agg = batch.groupBy(col("week").as("week_beginning"))
       .agg(
-        sum(col("dRented")).as("n_rented"),
-        sum(col("dReturned")).as("n_returned"),
-        sum(col("dClosed")).as("n_closed"))
-    val existing =
-      if (tbl.exists) tbl.read()
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], countsSchema)
-    val merged = existing
-      .unionByName(agg.select(
-        col("week_beginning"),
-        col("n_rented").cast("long"),
-        col("n_returned").cast("long"),
-        col("n_closed").cast("long")))
-      .groupBy("week_beginning")
-      .agg(
-        sum("n_rented").as("n_rented"),
-        sum("n_returned").as("n_returned"),
-        sum("n_closed").as("n_closed"))
-      .filter(col("n_rented") =!= 0 || col("n_returned") =!= 0 || col("n_closed") =!= 0)
-    tbl.create(merged.select(
-      col("week_beginning"),
-      col("n_rented").cast("long"),
-      col("n_returned").cast("long"),
-      col("n_closed").cast("long")), tag = batchId.toString)
+        sum(col("dRented")).cast("long").as("n_rented"),
+        sum(col("dReturned")).cast("long").as("n_returned"),
+        sum(col("dClosed")).cast("long").as("n_closed"))
+    // COST GATE (the bloom-arm pattern): below SmallStateRows the whole
+    // state is one small job — a full rewrite is cheaper than the merge
+    // machinery's fixed per-commit cost (touched-file read, stats pass)
+    // and measured so at week cardinality (drain 15.5 s rewrite vs
+    // 20.6 s merge-always at sf0.1). Past it, the FILE-PRUNED merge arm
+    // takes over: work ∝ the batch's touched weeks, never ∝ the state.
+    // The row count is free — it rides the current manifest.
+    val stateRows = if (tbl.exists) tbl.history.last._5 else 0L
+    if (!tbl.exists || stateRows < SmallStateRows) {
+      val existing =
+        if (tbl.exists) tbl.read()
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], countsSchema)
+      val merged = existing.unionByName(agg)
+        .groupBy("week_beginning")
+        .agg(
+          sum("n_rented").cast("long").as("n_rented"),
+          sum("n_returned").cast("long").as("n_returned"),
+          sum("n_closed").cast("long").as("n_closed"))
+        .filter(col("n_rented") =!= 0 || col("n_returned") =!= 0 || col("n_closed") =!= 0)
+      tbl.create(merged, tag = batchId.toString)
+    } else {
+      // the merge source is (existing rows for the touched weeks) +
+      // (this batch's deltas), summed per week. The touched week set is
+      // batch-bounded (collected to the driver as an isin() literal so
+      // the parquet scan prunes files/row-groups by week stats); every
+      // untouched week's file carries forward by manifest reference. A
+      // week whose counts cancel to zero REMAINS as a zero row (MERGE
+      // replaces, it cannot delete inside the same atomic commit — and
+      // the batch-id tag must ride ONE commit); [[summary]] filters
+      // zero rows read-side, so the spine bounds are unaffected.
+      val weeks = agg.select("week_beginning").collect().map(_.getDate(0))
+      if (weeks.nonEmpty) {
+        val touched = tbl.read()
+          .filter(col("week_beginning").isin(weeks.map(w => lit(w)): _*))
+        val src = touched.unionByName(agg)
+          .groupBy("week_beginning")
+          .agg(
+            sum("n_rented").cast("long").as("n_rented"),
+            sum("n_returned").cast("long").as("n_returned"),
+            sum("n_closed").cast("long").as("n_closed"))
+        tbl.merge(src, tag = batchId.toString)
+      } else tbl.setTag(batchId.toString) // empty batch: mark applied atomically
+    }
     tbl.retire(keepLast = 3)
     tbl.vacuum()
   }
+
+  /** Below this, a micro-batch commit rewrites the whole counts state
+    * (one trivial job); at or above it, the file-pruned merge arm
+    * engages. See the cost-gate note in [[mergeBatch]]. A var only as
+    * a test seam — the spec lowers it to pin the merge arm's result
+    * equality without building a 100k-week state. */
+  private[graft] var SmallStateRows: Long = 100000L
 
   /** Read-time summary over the maintained counts: contiguous week spine
     * from min to max active week, cumulative outstanding — the same
@@ -190,10 +220,14 @@ object WeeklySummaryStream {
   def summary(spark: SparkSession, stateDir: String): DataFrame = {
     val tbl = new graft.incremental.SnapshotTable(
       spark, s"$stateDir/weekly_counts", "week_beginning")
-    val counts =
+    val counts = (
       if (tbl.exists) tbl.read()
       else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], countsSchema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], countsSchema))
+      // the merge sink leaves fully-retracted weeks as zero rows (MERGE
+      // replaces, never deletes mid-commit); they carry no contribution
+      // and must not stretch the spine bounds
+      .filter(col("n_rented") =!= 0 || col("n_returned") =!= 0 || col("n_closed") =!= 0)
     val bounds = counts.agg(
       min(col("week_beginning")).as("lo"), max(col("week_beginning")).as("hi"))
     val spine = bounds

@@ -150,6 +150,28 @@ class SnapshotTableSpec extends AnyFunSuite {
     assertSameRows(a.read(), kv(1L -> "A1", 2L -> "B2"))
   }
 
+  test("mergeWith retries a lost race by re-deriving from the fresh snapshot — both writers land, serialized") {
+    val dir = freshDir()
+    val t = new SnapshotTable(spark, dir, "k")
+    val b = new SnapshotTable(spark, dir, "k")
+    t.create(kv(1L -> "a", 2L -> "b"))
+    // one interloper: B commits from the same base while T's first
+    // attempt is mid-commit (torn), so T's attempt 1 retracts
+    var fired = false
+    t.onAfterClaim = () => {
+      if (!fired) { fired = true; b.merge(kv(2L -> "B")) }
+    }
+    var derives = 0
+    t.mergeWith { snap =>
+      derives += 1
+      // derived FROM the snapshot: uppercase key 1's current value —
+      // the retry must see the state B committed
+      snap.filter(col("k") === 1L).select(col("k"), upper(col("v")).as("v"))
+    }
+    assert(derives == 2, s"attempt 1 must lose and re-derive, got $derives derivations")
+    assertSameRows(t.read(), kv(1L -> "A", 2L -> "B"))
+  }
+
   test("a torn manifest is invisible to readers and never wedges the table") {
     val dir = freshDir()
     val tbl = new SnapshotTable(spark, dir, "k")
