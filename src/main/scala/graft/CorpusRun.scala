@@ -312,24 +312,50 @@ object CorpusRun {
     // training split additionally ships its greedy token-budget packing
     // (TextOps.packSequences) so the consumer starts from sequence
     // bins, not raw docs.
-    val out = clean
-      .join(withSplit, Seq("doc_id"))
-      .join(quality, Seq("doc_id"))
+    // Publication identity: the published corpus is a DETERMINISTIC
+    // function of (admitted doc set, pair params, splitter, excision) —
+    // decontamination, splits, and packing are all content-hash /
+    // parameter driven. In warm indexed mode the admitted-set tag is
+    // already exact ([[graft.incremental.IngestIndex.docSetTag]]); ride
+    // it as the corpus store's commit tag, and when a re-run derives
+    // the SAME identity over an outDir whose artifacts carry it, skip
+    // the rewrite — the reference's idempotent no-op re-run contract
+    // (etl:202-213), extended to publication. A changed input, split
+    // mode, or operator default misses the tag and publishes fully.
+    val pubTag = warmState.zip(pairsTag).headOption.map { case (_, t) =>
+      t + "|split=" + (if (clusterMode) "cluster" else "md5") +
+        "|excise=" + (if (flag("SPARK_GRAFT_EXCISE").contains("1")) "1" else "0")
+    }
     val store = new graft.incremental.SnapshotTable(spark, s"$outDir/corpus", "doc_id")
-    store.create(out, tag = s"corpus-run:${stages.head._2}")
-    // retention: keep this publication + the previous one (rollback
-    // window); older versions' files become vacuum-reclaimable so
-    // repeated runs into one outDir don't grow disk without bound
-    store.retire(keepLast = math.min(2, store.history.size))
-    store.vacuum()
-    println(s"[corpus] corpus store -> version ${store.currentVersion.get} at $outDir/corpus")
-    val storedOut = store.read()
-    graft.sources.Sources.clusteredWrite(storedOut, s"$outDir/kept", "split")
-    stage("published", storedOut.count())
-    val packed = TextOps.packSequences(
-      storedOut.filter(col("split") === "train"))
-    packed.write.mode("overwrite").parquet(s"$outDir/train_packed")
-    stage("train_packed", packed.count())
+    def exportExists(name: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (pubTag.isDefined && store.exists && store.currentTag == pubTag &&
+        exportExists("kept") && exportExists("train_packed")) {
+      println("[corpus] publish: identical to the committed publication " +
+        "(identity tag match) — rewrite skipped")
+      stage("published", store.history.last._5)
+      stage("train_packed", spark.read.parquet(s"$outDir/train_packed").count())
+    } else {
+      val out = clean
+        .join(withSplit, Seq("doc_id"))
+        .join(quality, Seq("doc_id"))
+      store.create(out, tag = pubTag.getOrElse(s"corpus-run:${stages.head._2}"))
+      // retention: keep this publication + the previous one (rollback
+      // window); older versions' files become vacuum-reclaimable so
+      // repeated runs into one outDir don't grow disk without bound
+      store.retire(keepLast = math.min(2, store.history.size))
+      store.vacuum()
+      println(s"[corpus] corpus store -> version ${store.currentVersion.get} at $outDir/corpus")
+      val storedOut = store.read()
+      graft.sources.Sources.clusteredWrite(storedOut, s"$outDir/kept", "split")
+      stage("published", storedOut.count())
+      val packed = TextOps.packSequences(
+        storedOut.filter(col("split") === "train"))
+      packed.write.mode("overwrite").parquet(s"$outDir/train_packed")
+      stage("train_packed", packed.count())
+    }
     val s2 = spark
     import s2.implicits._
     stages.toSeq.toDF("stage", "n_docs")

@@ -40,6 +40,10 @@ object CatalogDdl {
       .createOrReplaceTempView("weekly_rental_summary")
     IncrementalWeeklySummary.watermarkFrame(spark, stateDir)
       .createOrReplaceTempView("etl_watermarks")
+    // drop first: IF NOT EXISTS alone would pin the FIRST registered
+    // stateDir's location for the whole session — re-registration must
+    // re-point, matching the views' replace semantics
+    spark.sql("DROP TABLE IF EXISTS etl_run_log")
     spark.sql(createTableSql("etl_run_log", RunLog.schema, s"$stateDir/run_log"))
     spark.catalog.refreshTable("etl_run_log")
   }
