@@ -340,6 +340,14 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * from ONE manifest, so the pair is consistent by construction. */
   def tagAt(v: Long): Option[String] = loadManifest(v).flatMap(_.tag)
 
+  /** Time travel by APPLICATION tag: the newest committed version whose
+    * tag equals `tag` — "read the corpus as the pipeline published it
+    * for batch X / watermark W" without the caller tracking version
+    * numbers. None when no kept version carries the tag (e.g. retired
+    * past the retention window). */
+  def versionForTag(tag: String): Option[Long] =
+    committedManifests.reverse.find(_.tag.contains(tag)).map(_.version)
+
   /** Tag-only commit: the current file set re-committed under a new
     * application tag — advancing the rider fact (e.g. the incremental
     * pipeline's watermark on a run that changed no rows) without

@@ -205,6 +205,11 @@ object WeeklySummaryStream {
     }
     tbl.retire(keepLast = 3)
     tbl.vacuum()
+    // the merge arm accretes one batch-sized file set per micro-batch;
+    // past 64 live files fold the small ones back into right-sized
+    // clustered files (content-identical, batch-id tag carried — a
+    // crash around the maintenance commit replays safely)
+    if (tbl.history.last._4 > 64) tbl.optimize()
   }
 
   /** Below this, a micro-batch commit rewrites the whole counts state

@@ -327,6 +327,11 @@ class SnapshotTableSpec extends AnyFunSuite {
     // manifest carries both (the streaming sink's exactly-once hinge)
     assert(tbl.currentTag.contains("3"))
     assert(tbl.read().select("v").head.getString(0) == "d")
+    // time travel BY TAG: "the table as published for batch 1"
+    val v1 = tbl.versionForTag("1")
+    assert(v1.isDefined)
+    assert(tbl.readVersion(v1.get).select("v").head.getString(0) == "b")
+    assert(tbl.versionForTag("no-such-tag").isEmpty)
     // retire to the newest 2: older versions stop resolving, their
     // files become vacuum-reclaimable, numbering continues
     tbl.retire(keepLast = 2)
