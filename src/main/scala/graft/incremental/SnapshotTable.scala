@@ -61,6 +61,17 @@ import org.apache.spark.sql.types._
   * reclaimable by a vacuum that keeps every committed manifest's
   * reference set).
   *
+  * FILESYSTEM ASSUMPTION (honesty note): the version claim delegates
+  * its atomicity to the filesystem's create-exclusive (`fs.create(p,
+  * overwrite = false)`). HDFS provides it; S3-style object stores
+  * (without a conditional-put layer) and Hadoop's RawLocalFileSystem
+  * implement it as check-then-create, where two same-version racers
+  * can interleave — the same caveat every manifest-based format
+  * documents (Delta delegates it to a per-store LogStore). Multi-writer
+  * deployments on such stores need a coordinator in front of the claim;
+  * every OTHER interleaving (torn manifests, commits above/below a
+  * stale base) is handled by the protocol itself and spec-pinned.
+  *
   * == MERGE ==
   * Copy-on-write at file grain: files whose [min,max] key range cannot
   * intersect the source batch's range carry forward BY REFERENCE;
