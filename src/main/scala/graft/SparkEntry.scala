@@ -143,6 +143,18 @@ object SparkEntry {
         when(col("week_beginning").isNotNull, lit("delta"))))
       materializeAndClean(tbl.read().orderBy("week_beginning"), scratch)
     }),
+    // manifest-pruned RANGE READ over the corpus store: only files
+    // whose doc_id [min,max] intersects the band are handed to the
+    // scan (SnapshotTable.readRange — the read-side twin of the
+    // merge's copy-on-write pruning); result ≡ the plain SQL band
+    "corpus_range_read" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-range").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
+        clusterPartitions = Some(8))
+      tbl.create(docs)
+      materializeAndClean(tbl.readRange(Some(100L), Some(299L)), scratch)
+    }),
     // right-to-be-forgotten over the corpus store: keyed DELETE through
     // the ACID table (file-pruned copy-on-write) — the removed doc set
     // is gone from the new snapshot atomically
@@ -1236,6 +1248,8 @@ object SparkEntry {
     "upsert_round_snapshot_evolve" -> upsertRoundOracleSql(noteCol = true),
     "corpus_forget" ->
       "SELECT * FROM documents WHERE doc_id % 17 <> 0",
+    "corpus_range_read" ->
+      "SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 299",
     "doc_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id,

@@ -175,6 +175,36 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     readEntries(m.schema, m.entries)
   }
 
+  /** Key-range read with MANIFEST-level file pruning: only data files
+    * whose key [min,max] range can intersect [lo, hi] are handed to
+    * the scan — one driver-side manifest read decides, so at 100 TB a
+    * narrow range OPENS a handful of files instead of footer-reading
+    * the whole table (parquet row-group stats prune within a file;
+    * this prunes the files themselves — the read-side twin of the
+    * merge's copy-on-write pruning). Bounds are inclusive; None leaves
+    * that side unbounded. The exact key predicate is applied on top,
+    * so rows outside the range in a boundary-overlapping file are
+    * filtered (and the scan sees a pushable filter for its row
+    * groups). */
+  def readRange(lo: Option[Any], hi: Option[Any]): DataFrame = {
+    val m = loadManifest(currentVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir"))).get
+    val (loE, hiE) = (lo.flatMap(ordEncode), hi.flatMap(ordEncode))
+    val entries = m.entries.filter { e =>
+      (e.kind, e.min, e.max) match {
+        case ("opaque", _, _) => true
+        case (k, Some(fMin), Some(fMax)) =>
+          // file ∩ [lo,hi] ≠ ∅ ⇔ fMin ≤ hi ∧ fMax ≥ lo (missing bound ⇒ no
+          // constraint on that side; unencodable bound ⇒ conservative keep)
+          hiE.forall(h => !ordLt(k, h, fMin)) && loE.forall(l => !ordLt(k, fMax, l))
+        case _ => true
+      }
+    }
+    val df = readEntries(m.schema, entries)
+    val bounded = lo.map(l => col(key) >= lit(l)).toSeq ++ hi.map(h => col(key) <= lit(h))
+    bounded.reduceOption(_ && _).map(df.filter).getOrElse(df)
+  }
+
   private def readEntries(schema: StructType, entries: Seq[Entry]): DataFrame =
     if (entries.isEmpty)
       spark.createDataFrame(

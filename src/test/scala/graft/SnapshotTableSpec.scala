@@ -282,6 +282,30 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(inflight))
   }
 
+  test("readRange prunes files from the manifest before the scan opens them") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(4))
+    tbl.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val allFiles = tbl.read().inputFiles.toSet
+    assert(allFiles.size > 1)
+    // a narrow band reads a strict subset of the files...
+    val band = tbl.readRange(Some(10L), Some(20L))
+    assert(band.inputFiles.toSet.subsetOf(allFiles))
+    assert(band.inputFiles.length < allFiles.size,
+      s"no file pruned: ${band.inputFiles.length} of ${allFiles.size}")
+    // ...and exactly the requested rows (boundary files are filtered)
+    assert(band.count() == 11)
+    assert(band.agg(min(col("k")), max(col("k"))).head() ==
+      org.apache.spark.sql.Row(10L, 20L))
+    // half-open ranges prune on the bounded side only
+    assert(tbl.readRange(Some(390L), None).count() == 11)
+    assert(tbl.readRange(Some(390L), None).inputFiles.length < allFiles.size)
+    assert(tbl.readRange(None, Some(5L)).count() == 5)
+    // unbounded = read()
+    assert(tbl.readRange(None, None).count() == 400)
+  }
+
   test("optimize compacts small files content-identically; big files carry by reference; tag survives") {
     val tbl = new SnapshotTable(spark, freshDir(), "k")
     tbl.create(kv(1L -> "a"), tag = "wm-1")
