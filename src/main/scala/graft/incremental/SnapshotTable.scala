@@ -399,6 +399,25 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     commit(m.version, "tag", m.schema, m.entries, tag)
   }
 
+  /** RESTORE: make historical version `v`'s contents current again, as
+    * a NEW commit referencing v's exact file set — nothing is copied or
+    * deleted, and the botched versions between v and now stay readable
+    * until retired (auditable rollback, not history rewrite). The
+    * restored commit carries v's tag, so a tag-keyed consumer (the
+    * incremental watermark, a streaming batch id) rolls back WITH the
+    * data — one fact, as always. Requires `v` still within the
+    * retention window. */
+  def restore(v: Long, expectedVersion: Option[Long] = None): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir"))
+    expectedVersion.filter(_ != cur).foreach(e =>
+      throw new ConcurrentModificationException(
+        s"table at $dir is at version $cur, caller expected $e"))
+    val m = loadManifest(v).getOrElse(
+      throw new IllegalStateException(s"no committed version $v at $dir to restore"))
+    commit(cur, "restore", m.schema, m.entries, m.tag.getOrElse(""))
+  }
+
   /** Retire history: delete all committed manifests except the newest
     * `keepLast` — retired versions stop being readable (time travel
     * shrinks to the kept window) and their no-longer-referenced files

@@ -367,6 +367,25 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(tbl.create(kv(1L -> "e"), tag = "4") == 4L) // claim counter unaffected
   }
 
+  test("restore brings a historical version back as a new auditable commit, tag included") {
+    val tbl = new SnapshotTable(spark, freshDir(), "k")
+    tbl.create(kv(1L -> "good"), tag = "wm-good")
+    tbl.merge(kv(1L -> "bad"), tag = "wm-bad") // the botched publish
+    val vGood = tbl.versionForTag("wm-good").get
+    val v = tbl.restore(vGood)
+    // current contents and RIDER FACT both rolled back together
+    assertSameRows(tbl.read(), kv(1L -> "good"))
+    assert(tbl.currentTag.contains("wm-good"))
+    // by reference, not by copy: the restored commit reuses v0's files
+    assert(tbl.readVersion(v).inputFiles.toSet == tbl.readVersion(vGood).inputFiles.toSet)
+    // audit trail intact: the bad version stays readable until retired
+    assert(tbl.history.map(_._3) == Seq("create", "merge", "restore"))
+    assert(tbl.readVersion(1).count() == 1)
+    // CAS guard like every other mutation
+    intercept[ConcurrentModificationException](
+      tbl.restore(vGood, expectedVersion = Some(0L)))
+  }
+
   test("append adds files by reference; the full round-trip preserves schema and rows") {
     val tbl = new SnapshotTable(spark, freshDir(), "k")
     tbl.create(kv(1L -> "a"))
