@@ -341,13 +341,34 @@ object CorpusRun {
       val out = clean
         .join(withSplit, Seq("doc_id"))
         .join(quality, Seq("doc_id"))
-      store.create(out, tag = pubTag.getOrElse(s"corpus-run:${stages.head._2}"))
+      val tag = pubTag.getOrElse(s"corpus-run:${stages.head._2}")
+      // ACCUMULATE mode (SPARK_GRAFT_PUBLISH=accumulate): a GROWING
+      // corpus — each delta batch MERGEs its gated publication into the
+      // store instead of replacing it, so the store holds the union of
+      // every published batch and the exports always cover the full
+      // corpus. File-pruned: fresh doc_ids land above the old key range,
+      // so a batch touches a sliver of the store. Pairs with indexed
+      // admission for the cross-batch contracts: EXACT dedup is
+      // cross-batch (the fp probe rejects re-crawls of anything any
+      // earlier batch admitted); NEAR-dup scope stays batch-local — the
+      // standard lambda split (the corpus-wide jaccard pass remains the
+      // periodic batch operator's job, same caveat as the streaming
+      // ingest's). Splits are content-hash deterministic, so a doc's
+      // split never changes across batches. Default (create) keeps the
+      // publication = this run's survivor set, exactly as before.
+      if (flag("SPARK_GRAFT_PUBLISH").contains("accumulate") && store.exists) {
+        store.merge(out, tag = tag)
+        println(s"[corpus] corpus store <- batch merged (accumulate mode, " +
+          s"version ${store.currentVersion.get}, total ${store.history.last._5} docs)")
+      } else {
+        store.create(out, tag = tag)
+        println(s"[corpus] corpus store -> version ${store.currentVersion.get} at $outDir/corpus")
+      }
       // retention: keep this publication + the previous one (rollback
       // window); older versions' files become vacuum-reclaimable so
       // repeated runs into one outDir don't grow disk without bound
       store.retire(keepLast = math.min(2, store.history.size))
       store.vacuum()
-      println(s"[corpus] corpus store -> version ${store.currentVersion.get} at $outDir/corpus")
       val storedOut = store.read()
       graft.sources.Sources.clusteredWrite(storedOut, s"$outDir/kept", "split")
       stage("published", storedOut.count())

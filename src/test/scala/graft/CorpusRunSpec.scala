@@ -125,6 +125,51 @@ class CorpusRunSpec extends AnyFunSuite {
     assert(leaks.count() == 0, "cluster-keyed splits must not leak")
   }
 
+  test("accumulate mode: delta batches merge into a growing corpus store; exports cover the union") {
+    val base = "/root/testdata/sf0.001"
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val b1Dir = tmp("graft-acc-b1"); val b2Dir = tmp("graft-acc-b2")
+    Tables.documents(spark, base).filter(col("doc_id") < 250)
+      .write.parquet(s"$b1Dir/documents.parquet")
+    Tables.documents(spark, base).filter(col("doc_id") >= 250)
+      .write.parquet(s"$b2Dir/documents.parquet")
+    val out = tmp("graft-acc-out")
+    sys.props("SPARK_GRAFT_INGEST_STATE") = tmp("graft-acc-state") + "/state"
+    sys.props("SPARK_GRAFT_PSI_MAX") = "10" // half-corpus PSI is not under test
+    sys.props("SPARK_GRAFT_PUBLISH") = "accumulate"
+    try {
+      CorpusRun.main(Array(b1Dir, out)) // cold: store absent -> create + state build
+      val store = new graft.incremental.SnapshotTable(spark, s"$out/corpus", "doc_id")
+      val pub1 = store.read().select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(pub1.nonEmpty && pub1.forall(_ < 250))
+
+      CorpusRun.main(Array(b2Dir, out)) // warm delta batch -> MERGE, not replace
+      assert(store.history.map(_._3).contains("merge"),
+        s"accumulate must merge, got ${store.history.map(_._3)}")
+      val pub12 = store.read().select("doc_id").collect().map(_.getLong(0)).toSet
+      // the store is the UNION: batch 1 survives, batch 2's survivors add on
+      assert(pub1.subsetOf(pub12), s"batch-1 docs lost: ${(pub1 -- pub12).take(5)}")
+      val added = pub12 -- pub1
+      assert(added.nonEmpty && added.forall(_ >= 250))
+      // exports re-derive from the FULL accumulated corpus
+      val kept = spark.read.parquet(s"$out/kept")
+      assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == pub12)
+      val packed = spark.read.parquet(s"$out/train_packed")
+      val trainIds = kept.filter(col("split") === "train").select("doc_id")
+      assert(packed.select("doc_id").except(trainIds).count() == 0)
+      assert(trainIds.except(packed.select("doc_id")).count() == 0)
+      // and the erasure path still holds on the accumulated store
+      CorpusForget.main(Array(out, pub1.head.toString))
+      assert(store.read().filter(col("doc_id") === pub1.head).count() == 0)
+      assert(spark.read.parquet(s"$out/kept")
+        .filter(col("doc_id") === pub1.head).count() == 0)
+    } finally {
+      sys.props.remove("SPARK_GRAFT_INGEST_STATE")
+      sys.props.remove("SPARK_GRAFT_PSI_MAX")
+      sys.props.remove("SPARK_GRAFT_PUBLISH")
+    }
+  }
+
   test("indexed admission over id-ordered batches equals the batch funnel; re-runs are no-ops") {
     val base = "/root/testdata/sf0.001"
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
