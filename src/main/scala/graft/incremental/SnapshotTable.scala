@@ -73,14 +73,21 @@ import org.apache.spark.sql.types._
   * stale base) is handled by the protocol itself and spec-pinned.
   *
   * == MERGE ==
-  * Copy-on-write at file grain: files whose [min,max] key range cannot
-  * intersect the source batch's range carry forward BY REFERENCE;
-  * overlapping files are read, rows whose key the source replaces are
-  * anti-joined out, and survivors ∪ source land as new files,
-  * range-clustered on the key (`repartitionByRange`) so future merges
-  * prune tightly. Work ∝ touched files + batch — at 100 TB with
-  * key-clustered files (time-ordered facts, week-keyed summaries) a
-  * batch touches a sliver of the table. Min/max pruning is exact for
+  * Copy-on-write at file grain: files that cannot hold any key of the
+  * source batch carry forward BY REFERENCE; touched files are read,
+  * rows whose key the source replaces are anti-joined out, and
+  * survivors ∪ source land as new files, range-clustered on the key
+  * (`repartitionByRange`) so future merges prune tightly. Work ∝
+  * touched files + batch — at 100 TB with key-clustered files
+  * (time-ordered facts, week-keyed summaries) a batch touches a sliver
+  * of the table. The per-file test runs against the batch's distinct
+  * KEY SET when it is small enough to collect (≤ [[keyPruner]]'s
+  * `pruneSetCap`, exact: a file is touched iff it can hold at least one
+  * batch key), and against a few dozen range-clustered SUB-RANGES of
+  * the key set past the cap — never a single [min,max] envelope, whose
+  * prune silently degrades to a full-table rewrite when one backdated
+  * key in an otherwise-fresh batch widens the envelope across the key
+  * domain (the late-CDC-update shape). Pruning is exact for
   * numeric/date/timestamp/string keys; other key types degrade to
   * "always overlaps" (correct, just unpruned). Writes may ADD nullable
   * columns ([[evolveSchema]]): pre-evolution files stay untouched and
@@ -131,7 +138,14 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   private def loadManifest(v: Long): Option[Manifest] = {
     val p = manifestPath(v)
     if (!fs.exists(p)) return None
-    val lines = readText(p).linesIterator.toSeq
+    // A lost-update loser RETRACTS its manifest after terminating it
+    // (see commit), so a reader racing the retraction can list a
+    // version whose file vanishes before the open — treat it exactly
+    // like the torn manifest it morally is (absent), instead of
+    // surfacing a FileNotFoundException from inside a read.
+    val lines =
+      try readText(p).linesIterator.toSeq
+      catch { case _: java.io.FileNotFoundException => return None }
     if (!lines.lastOption.contains("#commit")) return None // torn — ignore
     val header = lines.filter(_.startsWith("#")).map(_.split(" ", 2))
       .collect { case Array(k, value) => k -> value }.toMap
@@ -147,8 +161,23 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
 
   private def committedManifests: Seq[Manifest] = allVersions.flatMap(loadManifest)
 
+  /** The newest committed manifest, resolved in ONE listing pass — the
+    * resolve-then-load callers need so a retraction racing between
+    * "what is the current version?" and "load it" degrades to reading
+    * the previous committed version (still a consistent snapshot)
+    * instead of throwing. NOTE the documented residual: a reader can
+    * still OBSERVE a version that a racing loser subsequently retracts
+    * (commit terminates the manifest before the interloper scan), so
+    * two successive resolves may go v6 → v5 while the interleaving
+    * settles — reads are snapshot-consistent, not monotonic, under
+    * multi-writer races. */
+  private def latestManifest: Option[Manifest] = committedManifests.lastOption
+
+  private def requireManifest: Manifest = latestManifest.getOrElse(
+    throw new IllegalStateException(s"no snapshot table at $dir"))
+
   /** Latest committed version, if the table exists. */
-  def currentVersion: Option[Long] = committedManifests.lastOption.map(_.version)
+  def currentVersion: Option[Long] = latestManifest.map(_.version)
 
   def exists: Boolean = currentVersion.isDefined
 
@@ -161,9 +190,16 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   // ---- snapshot reads ----
 
   /** The latest committed snapshot. */
-  def read(): DataFrame =
-    readVersion(currentVersion.getOrElse(
-      throw new IllegalStateException(s"no snapshot table at $dir")))
+  def read(): DataFrame = {
+    val m = requireManifest
+    readEntries(m.schema, m.entries)
+  }
+
+  /** The relative data-file paths committed version `v` references —
+    * test/soak seam for asserting copy-on-write carry-forward (how many
+    * of version a's files version b kept by reference). */
+  private[graft] def filesAt(v: Long): Seq[String] =
+    loadManifest(v).map(_.entries.map(_.path)).getOrElse(Nil)
 
   /** Time travel: the exact file set version `v` committed. Data files
     * are immutable and commits never delete, so any committed version
@@ -187,8 +223,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * filtered (and the scan sees a pushable filter for its row
     * groups). */
   def readRange(lo: Option[Any], hi: Option[Any]): DataFrame = {
-    val m = loadManifest(currentVersion.getOrElse(
-      throw new IllegalStateException(s"no snapshot table at $dir"))).get
+    val m = requireManifest
     val (loE, hiE) = (lo.flatMap(ordEncode), hi.flatMap(ordEncode))
     val entries = m.entries.filter { e =>
       (e.kind, e.min, e.max) match {
@@ -247,21 +282,78 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   private def ordLt(kind: String, a: String, b: String): Boolean = kind match {
     case "num" => BigDecimal(a) < BigDecimal(b)
     case "str" =>
+      // unsigned compare of the UTF-8 BYTES — the order Spark's
+      // UTF8String min/max stats were computed under. Decoding to a JVM
+      // String and using '<' would compare UTF-16 code units, which
+      // disagrees with UTF-8 byte order for supplementary characters
+      // (U+FF01 sorts above U+1F600 in UTF-16 but below it in UTF-8),
+      // so pruning could skip a file that truly overlaps.
       val dec = java.util.Base64.getDecoder
-      new String(dec.decode(a), "UTF-8") < new String(dec.decode(b), "UTF-8")
+      java.util.Arrays.compareUnsigned(dec.decode(a), dec.decode(b)) < 0
     case _ => false
   }
 
-  /** Can this file's key range intersect [srcMin, srcMax]? Missing
-    * stats on either side ⇒ yes (conservative: pruning must never skip
-    * a file that could hold a matching key). */
-  private def overlaps(e: Entry, srcMin: Option[String], srcMax: Option[String]): Boolean =
-    (e.kind, e.min, e.max, srcMin, srcMax) match {
-      case ("opaque", _, _, _, _) => true
-      case (k, Some(fMin), Some(fMax), Some(sMin), Some(sMax)) =>
-        !(ordLt(k, fMax, sMin) || ordLt(k, sMax, fMin))
+  /** Per-file overlap test against the source batch's KEY SET — the
+    * copy-on-write prune [[merge]] and [[delete]] partition entries
+    * with. Two precision tiers, both batch-bounded:
+    *
+    *   - ≤ [[pruneSetCap]] distinct keys: collect them, encode, sort; a file
+    *     is touched iff a binary search finds at least one batch key
+    *     inside its [min,max] — EXACT, so an adversarial batch of two
+    *     keys at opposite ends of the key domain (a late CDC update, a
+    *     mixed-age forget) touches exactly the two files holding those
+    *     keys, not everything between them.
+    *   - past the cap: [[pruneRangeBuckets]] range-clustered sub-ranges of the
+    *     distinct keys (one shuffle of the bare keys + a bucket-count
+    *     collect); a file is touched iff it overlaps some sub-range.
+    *     Between-key gaps WITHIN a bucket are the only imprecision,
+    *     and a batch that big rewrites proportionally anyway.
+    *
+    * Null keys are dropped first (an anti-join never matches a null
+    * key, so no existing row can be displaced by one). Any unencodable
+    * non-null key (e.g. NaN) degrades the whole test to "touch
+    * everything" — conservative, matching the stats contract. */
+  /** [[keyPruner]] tier thresholds — `private[graft] var` so a spec can
+    * force the sub-range tier without a 100k-key batch. */
+  private[graft] var pruneSetCap: Long = 100000L
+  private[graft] var pruneRangeBuckets: Int = 64
+
+  private def keyPruner(keys: DataFrame): Entry => Boolean = {
+    val ks = keys.na.drop(Seq(key)).distinct()
+    val n = ks.count()
+    if (n == 0) return _ => false
+    val kind = kindOf(keys.schema(key).dataType)
+    if (kind == "opaque") return _ => true
+    // [lo, hi] sub-ranges of the batch's key set, encoded; exact keys
+    // are degenerate ranges. Disjoint by construction in both tiers.
+    val enc: Array[(Option[String], Option[String])] =
+      if (n <= pruneSetCap)
+        ks.collect().map { r => val e = ordEncode(r.get(0)); (e, e) }
+      else
+        ks.repartitionByRange(pruneRangeBuckets, col(key))
+          .groupBy(org.apache.spark.sql.functions.spark_partition_id())
+          .agg(min(col(key)).as("mn"), max(col(key)).as("mx"))
+          .collect().map(r => (ordEncode(r.get(1)), ordEncode(r.get(2))))
+    if (enc.exists(p => p._1.isEmpty || p._2.isEmpty)) return _ => true
+    val ranges = enc.map(p => (p._1.get, p._2.get))
+      .sortWith((a, b) => ordLt(kind, a._1, b._1))
+    val los = ranges.map(_._1)
+    val his = ranges.map(_._2)
+    e => (e.kind, e.min, e.max) match {
+      case ("opaque", _, _) => true
+      case (k, Some(fMin), Some(fMax)) =>
+        // touched ⇔ ∃ range: lo ≤ fMax ∧ hi ≥ fMin. Ranges are disjoint
+        // and sorted, so hi is sorted too: binary-search the first range
+        // with hi ≥ fMin, then one lo ≤ fMax check decides.
+        var lo = 0; var hi = ranges.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ordLt(k, his(mid), fMin)) lo = mid + 1 else hi = mid
+        }
+        lo < ranges.length && !ordLt(k, fMax, los(lo))
       case _ => true
     }
+  }
 
   // ---- staging data files ----
 
@@ -373,8 +465,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   }
 
   /** The latest committed version's application tag, if one was set. */
-  def currentTag: Option[String] =
-    currentVersion.flatMap(v => loadManifest(v).get.tag)
+  def currentTag: Option[String] = latestManifest.flatMap(_.tag)
 
   /** The application tag committed version `v` carries, if any — time
     * travel for the rider fact: `readVersion(v)` and `tagAt(v)` come
@@ -394,8 +485,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * pipeline's watermark on a run that changed no rows) without
     * writing any data files. Manifest-write cost only. */
   def setTag(tag: String): Long = {
-    val m = loadManifest(currentVersion.getOrElse(
-      throw new IllegalStateException(s"no snapshot table at $dir"))).get
+    val m = requireManifest
     commit(m.version, "tag", m.schema, m.entries, tag)
   }
 
@@ -436,8 +526,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * reference. Supports the same add-nullable-column evolution as
     * [[merge]] (the pre-evolution files read the new column as null). */
   def append(df: DataFrame, tag: String = ""): Long = {
-    val m = loadManifest(currentVersion.getOrElse(
-      throw new IllegalStateException(s"no snapshot table at $dir"))).get
+    val m = requireManifest
     val evolved = evolveSchema(m.schema, df.schema)
     commit(m.version, "append", evolved,
       m.entries ++ stage(clustered(df.select(evolved.fieldNames.map(col): _*))), tag)
@@ -486,8 +575,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * Returns the new version, or the current one when fewer than two
     * files are small (nothing to gain). */
   def optimize(smallBytes: Long = 32L << 20): Long = {
-    val m = loadManifest(currentVersion.getOrElse(
-      throw new IllegalStateException(s"no snapshot table at $dir"))).get
+    val m = requireManifest
     val (small, big) = m.entries.partition(e =>
       fs.getFileStatus(new Path(s"$dir/${e.path}")).getLen < smallBytes)
     if (small.size <= 1) return m.version
@@ -563,9 +651,13 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       s"delete keys must carry the table key column $key")
     val ks = keys.select(col(key)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val b = ks.agg(min(col(key)), max(col(key))).collect()(0)
-      val (sMin, sMax) = (ordEncode(b.get(0)), ordEncode(b.get(1)))
-      val (touched, untouched) = m.entries.partition(e => overlaps(e, sMin, sMax))
+      val pruned = keyPruner(ks)
+      val (touched, untouched) = m.entries.partition(pruned)
+      // empty key set (keyPruner touches nothing) or no file can hold a
+      // doomed key: nothing to remove — return the current version (or
+      // record the tag) instead of rewriting the table to delete nothing
+      if (touched.isEmpty)
+        return if (tag.nonEmpty && !m.tag.contains(tag)) setTag(tag) else m.version
       val survivors = readEntries(m.schema, touched).join(ks, Seq(key), "left_anti")
       commit(m.version, "delete", m.schema, untouched ++ stage(clustered(survivors)), tag)
     } finally ks.unpersist(blocking = false)
@@ -594,15 +686,13 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val evolved = evolveSchema(m.schema, source.schema)
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one batch-sized aggregate: key-uniqueness guard + pruning bounds
-      val b = src.agg(count(lit(1)), count_distinct(col(key)),
-        min(col(key)), max(col(key))).collect()(0)
+      // one batch-sized aggregate: the key-uniqueness guard
+      val b = src.agg(count(lit(1)), count_distinct(col(key))).collect()(0)
       if (b.getLong(0) != b.getLong(1))
         throw new IllegalArgumentException(
           s"merge source carries ${b.getLong(0) - b.getLong(1)} duplicate $key " +
             "keys — an upsert batch must be key-unique")
-      val (sMin, sMax) = (ordEncode(b.get(2)), ordEncode(b.get(3)))
-      val (touched, untouched) = m.entries.partition(e => overlaps(e, sMin, sMax))
+      val (touched, untouched) = m.entries.partition(keyPruner(src.select(col(key))))
       // touched files are read with the EVOLVED schema: any
       // just-added column comes back null for pre-evolution rows
       val survivors = readEntries(evolved, touched)

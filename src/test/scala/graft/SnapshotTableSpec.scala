@@ -86,6 +86,99 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(carriedMax < 399L, s"a carried file overlaps the merge range (max=$carriedMax)")
   }
 
+  test("sparse adversarial batch: two keys at opposite ends of the domain touch exactly two files") {
+    val s = spark
+    import s.implicits._
+    // the late-CDC-update shape: one backdated key + one fresh key. A
+    // single [min,max] envelope prune would widen to the whole table
+    // and rewrite every file in between; the key-SET prune must touch
+    // only the two files that actually hold the keys.
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(10))
+    val v0 = tbl.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val filesBefore = tbl.filesAt(v0).size
+    assert(filesBefore >= 4, s"need a multi-file layout, got $filesBefore")
+    val v1 = tbl.merge(kv(1L -> "LOW", 400L -> "HIGH"))
+    assertSameRows(tbl.read().filter(col("k").isin(1L, 400L)),
+      kv(1L -> "LOW", 400L -> "HIGH"))
+    assert(tbl.read().count() == 400)
+    val carried = tbl.filesAt(v0).toSet.intersect(tbl.filesAt(v1).toSet)
+    assert(carried.size == filesBefore - 2,
+      s"expected exactly 2 touched files, rewrote ${filesBefore - carried.size} of $filesBefore")
+    // DELETE shares the prune: two doomed keys at the extremes
+    val v2 = tbl.delete(Seq(2L, 399L).toDF("k"))
+    assert(tbl.read().count() == 398)
+    val carriedDel = tbl.filesAt(v1).toSet.intersect(tbl.filesAt(v2).toSet)
+    assert(carriedDel.size >= tbl.filesAt(v1).size - 2,
+      s"delete rewrote ${tbl.filesAt(v1).size - carriedDel.size} files for a 2-key batch")
+  }
+
+  test("past the set cap the prune falls back to range-clustered sub-ranges, still sparse-safe") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(10))
+    val v0 = tbl.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val filesBefore = tbl.filesAt(v0).size
+    tbl.pruneSetCap = 4 // force the sub-range tier for a 5-key batch
+    val v1 = tbl.merge(Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 400L -> "z")
+      .toDF("k", "v"))
+    assert(tbl.read().count() == 400)
+    assert(tbl.read().filter(col("k") === 400L).select("v").head.getString(0) == "z")
+    // 5 keys over 64 range buckets: each sub-range is tight around its
+    // keys, so the untouched middle of the table still carries forward
+    val carried = tbl.filesAt(v0).toSet.intersect(tbl.filesAt(v1).toSet)
+    assert(carried.size >= filesBefore - 3,
+      s"sub-range prune rewrote ${filesBefore - carried.size} of $filesBefore files")
+  }
+
+  test("empty delete is a no-op — never a full-table rewrite that removes nothing") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k")
+    val v0 = tbl.create(kv(1L -> "a", 2L -> "b"))
+    val empty = Seq.empty[Long].toDF("k")
+    assert(tbl.delete(empty) == v0, "empty delete must return the current version")
+    assert(tbl.history.size == 1, "empty delete must not commit")
+    // with a tag to record, it degrades to a tag-only commit: same file
+    // set by reference, zero files staged
+    val v1 = tbl.delete(empty, tag = "forget-batch-7")
+    assert(v1 > v0)
+    assert(tbl.currentTag.contains("forget-batch-7"))
+    assert(tbl.filesAt(v1).toSet == tbl.filesAt(v0).toSet, "tag-only commit staged files")
+    assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "b"))
+  }
+
+  test("string-key stats honor UTF-8 byte order for supplementary characters (readRange + merge)") {
+    val s = spark
+    import s.implicits._
+    // U+FF01 (！ efbc81) sorts BELOW U+1F600 (😀 f09f9880) in UTF-8 byte
+    // order — Spark's binary collation, which the file min/max stats use
+    // — but ABOVE it in UTF-16 code units (FF01 > D83D). A UTF-16
+    // comparator would prune the file that truly holds 😀.
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(1))
+    tbl.create(Seq(("！", "bang"), ("😀", "grin")).toDF("k", "v"))
+    val hit = tbl.readRange(Some("😀"), Some("😀"))
+    assert(hit.count() == 1, "readRange dropped a row inside the file's true key range")
+    assert(hit.select("v").head.getString(0) == "grin")
+    // merge on the supplementary key must REPLACE, not duplicate-insert
+    tbl.merge(Seq(("😀", "GRIN")).toDF("k", "v"))
+    assert(tbl.read().count() == 2, "pruning skipped the overlapping file — duplicate key")
+    assert(tbl.read().filter(col("k") === "😀")
+      .select("v").head.getString(0) == "GRIN")
+  }
+
+  test("a retraction racing a reader resolves to the previous committed version, not an error") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a"))
+    val v1 = tbl.merge(kv(1L -> "b"))
+    // simulate the visible-then-retracted window: v1's manifest vanishes
+    // (a lost-update loser deletes its own terminated manifest) between
+    // a reader's two resolutions
+    Files.delete(java.nio.file.Paths.get(dir, "manifests", f"v$v1%019d.json"))
+    assertSameRows(tbl.read(), kv(1L -> "a"))
+    assert(tbl.currentVersion.contains(0L))
+  }
+
   test("date-keyed pruning is exact (the weekly-summary shape)") {
     val s = spark
     import s.implicits._
