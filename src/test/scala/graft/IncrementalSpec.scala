@@ -104,6 +104,25 @@ class IncrementalSpec extends AnyFunSuite {
     assert(collectSorted(IncrementalWeeklySummary.readSummary(spark, dir)) == before)
   }
 
+  test("watermark is monotone: a source whose max last_update regressed never lowers it") {
+    // source-side deletes (the reference's documented hole,
+    // README.md:118-130) can make MAX(last_update) move backwards; the
+    // watermark must clamp, or every later run re-opens the already-
+    // processed window.
+    val dir = freshDir()
+    val full = sourceAsOf(log, ts("2022-03-01"))
+    IncrementalWeeklySummary.run(spark, full, dir, now = now)
+    assert(IncrementalWeeklySummary.watermark(spark, dir) == ts("2022-02-10"))
+    val before = collectSorted(IncrementalWeeklySummary.readSummary(spark, dir))
+    // the newest rows vanish at the source: max last_update drops to 2022-02-08
+    val shrunk = full.filter(col("last_update") <= lit(ts("2022-02-08")))
+    val report = IncrementalWeeklySummary.run(spark, shrunk, dir, now = now)
+    assert(!report.processed)
+    assert(report.newWatermark == ts("2022-02-10"), "watermark regressed")
+    assert(IncrementalWeeklySummary.watermark(spark, dir) == ts("2022-02-10"))
+    assert(collectSorted(IncrementalWeeklySummary.readSummary(spark, dir)) == before)
+  }
+
   test("empty source neither fails nor writes") {
     val dir = freshDir()
     val report = IncrementalWeeklySummary.run(spark, log.limit(0), dir, now = now)
