@@ -268,6 +268,13 @@ object Bench {
             .limit(10).collect().map(_.getLong(0))
           CorpusForget.main(Array(corDir, ids.mkString(",")))
         }
+        // periodic cross-batch near-dup sweep (the batch half of
+        // accumulate mode's lambda split): corpus-wide keeper pass +
+        // file-pruned demotion delete. On this single-batch store the
+        // funnel already resolved within-batch near-dups, so the row
+        // measures the sweep's detection pass at fixpoint — the
+        // recurring cost of running it on a cadence.
+        opExec("corpus_sweep_run")(CorpusNearDupSweep.main(Array(corDir)))
         // indexed-admission twin (SPARK_GRAFT_INGEST_STATE): the cold
         // run builds the persisted ingest state from its admissions, the
         // warm run probes it — the funnel's exact-dedup stage at

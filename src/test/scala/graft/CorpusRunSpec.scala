@@ -131,7 +131,17 @@ class CorpusRunSpec extends AnyFunSuite {
     val b1Dir = tmp("graft-acc-b1"); val b2Dir = tmp("graft-acc-b2")
     Tables.documents(spark, base).filter(col("doc_id") < 250)
       .write.parquet(s"$b1Dir/documents.parquet")
+    // plant a CROSS-batch near-dup: batch 2 carries a near-copy (one
+    // appended token — not fp-identical, so cross-batch exact admission
+    // passes; jaccard stays ≥ 0.8) of a batch-1 doc. Each batch's own
+    // funnel is blind to it (near-dup scope is batch-local); the
+    // periodic sweep below must resolve it.
     Tables.documents(spark, base).filter(col("doc_id") >= 250)
+      .unionByName(Tables.documents(spark, base).filter(col("doc_id") === 154)
+        .select(lit(9999L).as("doc_id"),
+          concat(col("text"), lit(" addendum")).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + 9).as("n_chars")))
       .write.parquet(s"$b2Dir/documents.parquet")
     val out = tmp("graft-acc-out")
     sys.props("SPARK_GRAFT_INGEST_STATE") = tmp("graft-acc-state") + "/state"
@@ -169,10 +179,35 @@ class CorpusRunSpec extends AnyFunSuite {
       assert(packed.select("doc_id").except(trainIds).count() == 0)
       assert(trainIds.except(packed.select("doc_id")).count() == 0)
       // and the erasure path still holds on the accumulated store
-      CorpusForget.main(Array(out, pub1.head.toString))
-      assert(store.read().filter(col("doc_id") === pub1.head).count() == 0)
+      // (keep 154 — it is the planted near-dup pair's keeper below)
+      val forgetId = (pub1 - 154L).head
+      CorpusForget.main(Array(out, forgetId.toString))
+      assert(store.read().filter(col("doc_id") === forgetId).count() == 0)
       assert(spark.read.parquet(s"$out/kept")
-        .filter(col("doc_id") === pub1.head).count() == 0)
+        .filter(col("doc_id") === forgetId).count() == 0)
+
+      // PERIODIC NEAR-DUP SWEEP (the batch half of the lambda split):
+      // the planted cross-batch pair {154, 9999} survived both batch
+      // funnels — precondition, then the sweep must demote the
+      // non-keeper (154 wins the quality-then-min-id tie-break) and
+      // scrub it from the re-derived exports.
+      assert(pub1.contains(154L) && store.read()
+        .filter(col("doc_id").isin(154L, 9999L)).count() == 2,
+        "planted cross-batch near-dup pair did not survive the batch funnels")
+      CorpusNearDupSweep.main(Array(out))
+      assert(store.read().filter(col("doc_id") === 9999L).count() == 0,
+        "sweep failed to demote the planted cross-batch near-dup")
+      assert(store.read().filter(col("doc_id") === 154L).count() == 1,
+        "sweep demoted the pair's keeper")
+      assert(store.currentTag.exists(_.startsWith("neardup-sweep:")))
+      assert(spark.read.parquet(s"$out/kept")
+        .filter(col("doc_id") === 9999L).count() == 0)
+      assert(spark.read.parquet(s"$out/train_packed")
+        .filter(col("doc_id") === 9999L).count() == 0)
+      // fixpoint: a second sweep demotes nothing and commits nothing
+      val vAfter = store.currentVersion
+      CorpusNearDupSweep.main(Array(out))
+      assert(store.currentVersion == vAfter, "sweep at fixpoint must not commit")
     } finally {
       sys.props.remove("SPARK_GRAFT_INGEST_STATE")
       sys.props.remove("SPARK_GRAFT_PSI_MAX")
