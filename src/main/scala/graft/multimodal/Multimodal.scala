@@ -7,14 +7,19 @@ import org.apache.spark.sql.functions._
   * with typed metadata — the training-data-pipeline pattern where media
   * travels through Spark as bytes and codecs run partition-local.
   *
-  * The decode step is STUBBED: this container has no image/audio codecs,
-  * so [[FakeDecoder]] produces deterministic hash-derived "features".
-  * Everything around the stub is real and tested: the schema (binary +
-  * metadata struct), the partitioning (decode parallelism is repartition
-  * on media_id, independent of upstream layout), the batch shape
-  * (partition-local `mapPartitions` over typed rows — the Scala analog
-  * of arrow-batched decode UDFs), and the downstream feature plumbing
-  * (features are `array<float>`, consumable by [[graft.ops.VectorOps]]).
+  * The decode step has TWO tiers. Uncompressed binary PGM (P5) decodes
+  * FOR REAL ([[Pgm]]/[[PgmDecoder]]): header parse, raster extraction,
+  * band-mean features and a perceptual [[Pgm.dHash]] over actual
+  * pixels. Compressed formats stay STUBBED — this container has no
+  * image/audio codec libraries — behind the same [[Decoder]] seam,
+  * with [[FakeDecoder]] producing deterministic hash-derived
+  * "features". Everything around the seam is real and tested: the
+  * schema (binary + metadata struct), the partitioning (decode
+  * parallelism is repartition on media_id, independent of upstream
+  * layout), the batch shape (partition-local `mapPartitions` over typed
+  * rows — the Scala analog of arrow-batched decode UDFs), and the
+  * downstream feature plumbing (features are `array<float>`,
+  * consumable by [[graft.ops.VectorOps]]).
   */
 object Multimodal {
 
@@ -80,6 +85,130 @@ object Multimodal {
           d += 1
         }
         MediaFeatures(r.media_id, r.meta.media_type, r.payload.length, h, feats)
+      }
+  }
+
+  /** Binary PGM (P5) — the one REAL media format this engine decodes
+    * end-to-end: an uncompressed grayscale raster with a ~3-token ASCII
+    * header, so the full decode is ~25 dependency-free lines and the
+    * downstream perceptual machinery (dHash gradients, feature bands)
+    * runs on ACTUAL pixels instead of hash-derived fakes. Compressed
+    * formats (JPEG/PNG/audio codecs) stay stubbed behind the same
+    * [[Decoder]] seam — this container has no codec libraries — but the
+    * seam itself is now proven against a true format, not only the
+    * deterministic fake. */
+  object Pgm {
+
+    /** P5 payload for a `width`×`height` raster (row-major, maxval 255). */
+    def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(pixels.length == width * height,
+        s"raster is ${pixels.length} bytes, expected ${width * height}")
+      val header = s"P5\n$width $height\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(pixels, 0, out, header.length, pixels.length)
+      out
+    }
+
+    /** Parse a binary PGM payload → (width, height, row-major gray
+      * bytes). None when the payload is not P5 (magic mismatch, short
+      * raster, maxval > 255) — callers fall back to the stub tier.
+      * Handles the format's whitespace/`#`-comment header grammar. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (payload.length < 7 || payload(0) != 'P' || payload(1) != '5') return None
+      var i = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < payload.length) {
+          val c = payload(i)
+          if (c == '#') while (i < payload.length && payload(i) != '\n') i += 1
+          else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+          else go = false
+        }
+      }
+      def int(): Option[Int] = {
+        skipWs()
+        val s = i
+        while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') i += 1
+        if (i == s) None else Some(new String(payload, s, i - s, "US-ASCII").toInt)
+      }
+      for {
+        w <- int(); h <- int(); maxval <- int()
+        if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+        // exactly ONE whitespace byte separates maxval from the raster
+        _ <- if (i < payload.length) Some(()) else None
+        raster = { i += 1; payload.drop(i) }
+        if raster.length >= w * h
+      } yield (w, h, raster.take(w * h))
+    }
+
+    /** 64-bit perceptual difference hash over REAL pixels: the raster
+      * downsamples (nearest-neighbor) to a 9×8 grid and bit y*8+x is
+      * set when grid(x+1,y) > grid(x,y) — adjacent-column luminance
+      * gradients, invariant under any monotone per-pixel brightness
+      * map (offset, gain without clipping), which is exactly what the
+      * byte-level [[graft.functions.TextExprs.FrameDHash]] approximates
+      * on encoded bytes. Deterministic pure function. */
+    def dHash(width: Int, height: Int, pixels: Array[Byte]): Long = {
+      val gw = 9; val gh = 8
+      val g = Array.ofDim[Int](gh, gw)
+      var y = 0
+      while (y < gh) {
+        var x = 0
+        while (x < gw) {
+          val px = math.min(width - 1, x * width / gw)
+          val py = math.min(height - 1, y * height / gh)
+          g(y)(x) = pixels(py * width + px) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      var h = 0L
+      y = 0
+      while (y < gh) {
+        var x = 0
+        while (x < gw - 1) {
+          if (g(y)(x + 1) > g(y)(x)) h |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+  }
+
+  /** Real-format decoder tier: PGM payloads decode to actual pixels and
+    * the features are `dim` horizontal-band mean intensities in [0,1]
+    * (a real, explainable image statistic); checksum is the perceptual
+    * [[Pgm.dHash]] so downstream Hamming machinery can consume it
+    * directly. Non-PGM payloads fall back to the [[FakeDecoder]] stub —
+    * one mixed corpus, each payload decoded by the deepest tier that
+    * understands it, through the SAME partition-batched seam. */
+  final case class PgmDecoder(dim: Int = 16) extends Decoder {
+    private val fallback = FakeDecoder(dim)
+    override def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        Pgm.decode(r.payload) match {
+          case Some((w, h, px)) =>
+            val acc = new Array[Long](dim)
+            val cnt = new Array[Long](dim)
+            var i = 0
+            while (i < px.length) {
+              val band = math.min(dim - 1, (i / w) * dim / h)
+              acc(band) += px(i) & 0xff
+              cnt(band) += 1
+              i += 1
+            }
+            val feats = new Array[Float](dim)
+            var d = 0
+            while (d < dim) {
+              feats(d) = if (cnt(d) == 0) 0f else acc(d).toFloat / (255f * cnt(d))
+              d += 1
+            }
+            MediaFeatures(r.media_id, r.meta.media_type, r.payload.length,
+              Pgm.dHash(w, h, px), feats)
+          case None => fallback.decodeBatch(Iterator(r)).next()
+        }
       }
   }
 

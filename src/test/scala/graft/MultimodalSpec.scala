@@ -205,4 +205,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.filter(col("n_bytes") =!= 2048).count() == 0)
     assert(feats.count() == 5)
   }
+
+  test("real-format tier: PGM payloads decode to true pixels; dHash is brightness-invariant on them") {
+    val s = spark
+    import s.implicits._
+    val (w, h) = (24, 16)
+    def raster(f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w * h)(i => f(i % w, i / w).toByte)
+    val ramp = raster((x, _) => x * 8)              // horizontal ramp, max 184
+    val brighter = raster((x, _) => x * 8 + 30)     // +30: no clipping
+    val vramp = raster((_, y) => y * 12)            // different gradient structure
+    // header round-trip, including the format's comment/whitespace grammar
+    val withComment = ("P5\n# camera 7\n " + s"$w $h\n255\n").getBytes("US-ASCII") ++ ramp
+    assert(Multimodal.Pgm.decode(Multimodal.Pgm.encode(w, h, ramp)).exists {
+      case (dw, dh, px) => dw == w && dh == h && px.sameElements(ramp) })
+    assert(Multimodal.Pgm.decode(withComment).exists {
+      case (dw, dh, px) => dw == w && dh == h && px.sameElements(ramp) })
+    assert(Multimodal.Pgm.decode("not a pgm".getBytes).isEmpty)
+    assert(Multimodal.Pgm.decode("P5\n4 4\n255\nabc".getBytes).isEmpty, "short raster")
+
+    def mediaOf(rows: (Long, Array[Byte])*) = rows.toSeq.toDF("media_id", "payload")
+      .select(col("media_id"),
+        struct(lit("image").as("media_type"), lit(w).as("width"),
+          lit(h).as("height"), lit(0).as("sample_rate"),
+          lit(1).as("n_frames")).as("meta"),
+        col("payload"))
+    val fake = "fake-encoded blob".getBytes // non-PGM: stub-tier fallback
+    val media = mediaOf(
+      1L -> Multimodal.Pgm.encode(w, h, ramp),
+      2L -> Multimodal.Pgm.encode(w, h, brighter),
+      3L -> Multimodal.Pgm.encode(w, h, vramp),
+      4L -> fake)
+    val feats = Multimodal.extractFeatures(media, decoder = Multimodal.PgmDecoder())
+      .collect().map(f => f.media_id -> f).toMap
+    // perceptual hash over REAL pixels: brightness shift is invisible,
+    // a different gradient structure is not
+    assert(feats(1L).checksum == feats(2L).checksum,
+      "pixel dHash must be invariant under a non-clipping brightness offset")
+    assert(feats(1L).checksum != feats(3L).checksum,
+      "different gradient structure must hash differently")
+    // band features are real image statistics: a vertical ramp's
+    // horizontal-band means increase monotonically top to bottom
+    val bands = feats(3L).features
+    assert(bands.zip(bands.tail).forall { case (a, b) => a <= b },
+      s"vertical-ramp band means not monotone: ${bands.mkString(",")}")
+    // a horizontal ramp is flat across horizontal bands
+    val flat = feats(1L).features
+    assert(math.abs(flat.max - flat.min) < 1e-6f)
+    // the non-PGM payload fell back to the stub tier, bit-identically
+    val stub = Multimodal.FakeDecoder().decodeBatch(Iterator(
+      Multimodal.MediaRow(4L,
+        Multimodal.MediaMeta("image", w, h, 0, 1), fake))).next()
+    assert(feats(4L).checksum == stub.checksum)
+    assert(feats(4L).features.toSeq == stub.features.toSeq)
+    // same seam, same invariants: partition count never changes output
+    val p1 = collectSorted(Multimodal.extractFeatures(media,
+      decoder = Multimodal.PgmDecoder(), parallelism = 1).toDF()
+      .select(col("media_id"), col("checksum"), col("features")))
+    val p7 = collectSorted(Multimodal.extractFeatures(media,
+      decoder = Multimodal.PgmDecoder(), parallelism = 7).toDF()
+      .select(col("media_id"), col("checksum"), col("features")))
+    assert(p1 == p7)
+  }
 }
