@@ -735,7 +735,8 @@ object Soak {
     // variance floor); (c) rows and updated content are exact. DELETE
     // shares the same partition/prune/rewrite path (SnapshotTableSpec
     // pins its pruning at unit grain).
-    final case class SnapWalls(wall: Double, files: Int, touched: Int, rows: Long)
+    final case class SnapWalls(wall: Double, files: Int, touched: Int, rows: Long,
+        sparseWall: Double, sparseFiles: Int, sparseTouched: Int)
     def snapshotWalls(d: String, dir: String): SnapWalls = {
       val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
       val nRows = docs.count()
@@ -763,7 +764,26 @@ object Soak {
         .intersect(tbl.readVersion(v1).inputFiles.toSet).size
       val after = tbl.read().count()
       assert(after == nRows, s"merge must not change row count: $after vs $nRows")
-      SnapWalls(ts(ts.length / 2), filesBefore, filesBefore - carried, after)
+      // SPARSE adversarial batch — the late-CDC-update shape the r13
+      // verdict flagged: 2 keys at the OPPOSITE ends of the id domain.
+      // A single [min,max]-envelope prune widens to the whole table and
+      // rewrites every file in between (~all of them, growing ~Nx with
+      // scale); the key-set prune must touch ~2 files at EVERY scale.
+      val idB = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val sparse = docs.filter(col("doc_id").isin(idB.getLong(0), idB.getLong(1)))
+        .select(col("doc_id"), lit("soak-sparse payload").as("text"))
+        .localCheckpoint()
+      val vS0 = tbl.currentVersion.get
+      val sparseFiles = tbl.filesAt(vS0).size
+      val tsS = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); tbl.merge(sparse); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val sparseCarried = tbl.filesAt(vS0).toSet
+        .intersect(tbl.filesAt(tbl.currentVersion.get).toSet).size
+      assert(tbl.read().count() == nRows,
+        "sparse merge must not change row count")
+      SnapWalls(ts(ts.length / 2), filesBefore, filesBefore - carried, after,
+        tsS(tsS.length / 2), sparseFiles, sparseFiles - sparseCarried)
     }
     val runSnapshot = sys.env.get("SPARK_GRAFT_ONLY")
       .forall(_.split(",").map(_.trim).contains("snapshot_scale"))
@@ -782,13 +802,90 @@ object Soak {
           (b.wall <= 0 || s.wall / b.wall <= 2.0)
       case _ => true
     }
+    // sparse batch: touched files bounded by the KEY COUNT (2 keys ⇒
+    // ≤ 4 files with boundary slack), not the table's file count, at
+    // both scales — the set-prune contract under the adversarial shape
+    val snapshotSparseOk = (snapB, snapS) match {
+      case (Some(b), Some(s)) =>
+        b.sparseTouched <= 4 && s.sparseTouched <= 4 &&
+          (b.sparseWall <= 0 || s.sparseWall / b.sparseWall <= 2.0)
+      case _ => true
+    }
     (snapB, snapS) match {
       case (Some(b), Some(s)) =>
         println(f"[soak] snapshot_merge 1x: files ${b.files}%3d touched ${b.touched}%2d " +
           f"wall ${b.wall}%5.2f s; ${n}x: files ${s.files}%3d touched ${s.touched}%2d " +
           f"wall ${s.wall}%5.2f s (touched flat, wall x${s.wall / b.wall}%4.2f ≤2.0) " +
           s"${if (snapshotOk) "ok" else "FAIL"}")
+        println(f"[soak] snapshot_merge_sparse 1x: touched ${b.sparseTouched}%2d of ${b.sparseFiles}%3d " +
+          f"wall ${b.sparseWall}%5.2f s; ${n}x: touched ${s.sparseTouched}%2d of ${s.sparseFiles}%3d " +
+          f"wall ${s.sparseWall}%5.2f s (2-key batch: touched ≤4 at any scale) " +
+          s"${if (snapshotSparseOk) "ok" else "FAIL"}")
       case _ =>
+    }
+
+    // The flagship-path twin of the sparse-batch invariant: an
+    // incremental run whose delta carries ONE backdated rental edit
+    // (the reference's own late-update case, etl:141-145) plus one
+    // fresh rental — affected weeks at opposite ends of a multi-year
+    // summary. The summary is re-clustered into a pinned multi-file
+    // layout first (the shape a 100 TB summary would have); the run's
+    // merge must rewrite only the files holding the two touched weeks.
+    def incrementalBackdated(d: String, dir: String): (Double, Int, Int) = {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      // normalize timestamp encodings up front (the source may carry
+      // TIMESTAMP_NTZ; UTC-pinned session makes the cast the identity)
+      // so the edit rows union type-cleanly with the source rows
+      val rental = Seq("rental_date", "return_date", "last_update")
+        .foldLeft(Tables.rental(spark, d))((df, c) =>
+          df.withColumn(c, col(c).cast("timestamp")))
+      incremental.IncrementalWeeklySummary.run(spark, rental, dir)
+      val sumDir = s"$dir/weekly_rental_summary"
+      val tbl = new incremental.SnapshotTable(spark, sumDir, "week_beginning")
+      val wm = tbl.currentTag.get // the watermark rides the re-cluster commit
+      new incremental.SnapshotTable(spark, sumDir, "week_beginning",
+        clusterPartitions = Some(16)).create(tbl.read(), tag = wm)
+      val vPre = tbl.currentVersion.get
+      val filesBefore = tbl.filesAt(vPre).size
+      val backId = rental.orderBy(col("rental_date")).limit(1)
+        .select("rental_id").head.getLong(0)
+      val newLu = new java.sql.Timestamp(
+        rental.agg(max(col("last_update"))).head.getTimestamp(0).getTime + 3600000L)
+      // the backdated edit REPLACES its source row (CDC latest-version
+      // semantics); the fresh rental lands in the newest week
+      val editBack = rental.filter(col("rental_id") === backId)
+        .select(col("rental_id"), col("rental_date"),
+          (col("rental_date") + expr("INTERVAL 3 DAYS")).cast("timestamp").as("return_date"),
+          lit(newLu).as("last_update"))
+      val editFresh = rental.orderBy(col("rental_date").desc).limit(1)
+        .select((col("rental_id") + 1000000000L).as("rental_id"), col("rental_date"),
+          lit(null).cast("timestamp").as("return_date"), lit(newLu).as("last_update"))
+      val source = rental.filter(col("rental_id") =!= backId)
+        .unionByName(editBack).unionByName(editFresh).localCheckpoint()
+      val t0 = System.nanoTime()
+      val report = incremental.IncrementalWeeklySummary.run(spark, source, dir)
+      val wall = (System.nanoTime() - t0) / 1e9
+      assert(report.processed && report.affectedWeeks >= 2,
+        s"backdated delta must process ≥2 affected weeks, got $report")
+      val carried = tbl.filesAt(vPre).toSet
+        .intersect(tbl.filesAt(tbl.currentVersion.get).toSet).size
+      (wall, filesBefore, filesBefore - carried)
+    }
+    val runIncSparse = sys.env.get("SPARK_GRAFT_ONLY")
+      .forall(_.split(",").map(_.trim).contains("incremental_sparse"))
+    val incSparse =
+      if (runIncSparse)
+        Some((incrementalBackdated(sfDir, s"$workDir/inc_sparse_base"),
+          incrementalBackdated(dataDir, s"$workDir/inc_sparse_soak")))
+      else None
+    val incSparseOk = incSparse.forall { case ((_, bf, bt), (_, sf2, st2)) =>
+      bt <= 5 && st2 <= 5 && bf >= 8 && sf2 >= 8
+    }
+    incSparse.foreach { case ((bw, bf, bt), (sw, sf2, st2)) =>
+      println(f"[soak] incremental_backdated 1x: touched $bt%2d of $bf%3d files wall $bw%5.2f s; " +
+        f"${n}x: touched $st2%2d of $sf2%3d wall $sw%5.2f s (backdated+fresh delta: touched ≤5) " +
+        s"${if (incSparseOk) "ok" else "FAIL"}")
     }
 
     val failed = results.filterNot(r => r.rowsOk && r.sumOk && r.timeOk).map(_.c.name) ++
@@ -800,7 +897,9 @@ object Soak {
       (if (ingestProbeOk) Nil else Seq("ingest_probe_flat")) ++
       (if (ingestAbsorbOk) Nil else Seq("ingest_absorb_flat")) ++
       (if (ingestBeatsInline) Nil else Seq("ingest_beats_inline")) ++
-      (if (snapshotOk) Nil else Seq("snapshot_merge_pruning"))
+      (if (snapshotOk) Nil else Seq("snapshot_merge_pruning")) ++
+      (if (snapshotSparseOk) Nil else Seq("snapshot_merge_sparse")) ++
+      (if (incSparseOk) Nil else Seq("incremental_backdated"))
 
     val md = new StringBuilder
     md ++= s"# SOAK — ${n}x scale soak of sf0.1\n\n"
@@ -842,7 +941,15 @@ object Soak {
         md ++= f"(∝ the batch's key range, NOT the table — the touched fraction fell ${b.touched.toDouble / b.files * 100}%.0f%% -> ${s.touched.toDouble / s.files * 100}%.0f%%); "
         md ++= f"merge wall ${b.wall}%.2f s -> ${s.wall}%.2f s (x${s.wall / b.wall}%.2f, bound 2.0 — flat in table size for a fixed batch) — ${if (snapshotOk) "ok" else "**FAIL**"}. "
         md ++= "Every untouched file carries forward by manifest reference; DELETE shares the same prune/rewrite path.\n"
+        md ++= f"\nSPARSE adversarial batch on the same tables (2 keys at opposite ends of the id domain — the late-CDC shape): "
+        md ++= f"files rewritten ${b.sparseTouched} of ${b.sparseFiles} at 1x -> ${s.sparseTouched} of ${s.sparseFiles} at ${n}x; wall ${b.sparseWall}%.2f s -> ${s.sparseWall}%.2f s. "
+        md ++= f"Touched is bounded by the KEY COUNT (≤4 with boundary slack), not the table — a single [min,max]-envelope prune would rewrite ~all ${s.sparseFiles} files here — ${if (snapshotSparseOk) "ok" else "**FAIL**"}.\n"
       case _ =>
+    }
+    incSparse.foreach { case ((bw, bf, bt), (sw, sf2, st2)) =>
+      md ++= f"\nIncremental pipeline, backdated-edit delta (flagship path; summary re-clustered into a pinned multi-file layout): "
+      md ++= f"a 2-row delta (one backdated return edit in the earliest week + one fresh rental in the newest) touches $bt of $bf summary files at 1x and $st2 of $sf2 at ${n}x; wall $bw%.2f s -> $sw%.2f s. "
+      md ++= f"The two affected weeks span the whole key domain, so envelope pruning would rewrite every file — ${if (incSparseOk) "ok" else "**FAIL**"}.\n"
     }
     md ++= f"\nCorpusRun end-to-end: ${crBase}%.2f s -> ${crSoak}%.2f s (x${crRatio}%.2f, bound ${maxGrowth.toInt}) — ${if (crTimeOk) "ok" else "**FAIL**"}\n\n"
     md ++= "| stage | docs 1x | docs ${n}x | ok |\n|---|---|---|---|\n".replace("${n}", n.toString)

@@ -190,11 +190,15 @@ object WeeklySummaryStream {
       // replaces, it cannot delete inside the same atomic commit — and
       // the batch-id tag must ride ONE commit); [[summary]] filters
       // zero rows read-side, so the spine bounds are unaffected.
-      val weeks = agg.select("week_beginning").collect().map(_.getDate(0))
+      // the aggregated batch feeds TWO actions (the touched-week collect
+      // and the merge source) — checkpoint the batch-sized frame once
+      // instead of re-aggregating the micro-batch per action
+      val aggStable = agg.localCheckpoint()
+      val weeks = aggStable.select("week_beginning").collect().map(_.getDate(0))
       if (weeks.nonEmpty) {
         val touched = tbl.read()
           .filter(col("week_beginning").isin(weeks.map(w => lit(w)): _*))
-        val src = touched.unionByName(agg)
+        val src = touched.unionByName(aggStable)
           .groupBy("week_beginning")
           .agg(
             sum("n_rented").cast("long").as("n_rented"),
