@@ -155,6 +155,21 @@ object SparkEntry {
       tbl.create(docs)
       materializeAndClean(tbl.readRange(Some(100L), Some(299L)), scratch)
     }),
+    // keyed point-lookup through the store: the requested ids are
+    // SCATTERED across the whole key domain (doc_id % 731 == 5), so a
+    // range read would open nearly every file — the key-set prune
+    // (SnapshotTable.readKeys) opens only the files that can hold a
+    // requested id, then an exact semi-join keeps the rows
+    "corpus_keys_read" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-keys").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
+        clusterPartitions = Some(8))
+      tbl.create(docs)
+      materializeAndClean(
+        tbl.readKeys(docs.filter(col("doc_id") % 731 === 5).select("doc_id")),
+        scratch)
+    }),
     // right-to-be-forgotten over the corpus store: keyed DELETE through
     // the ACID table (file-pruned copy-on-write) — the removed doc set
     // is gone from the new snapshot atomically
@@ -1250,6 +1265,8 @@ object SparkEntry {
       "SELECT * FROM documents WHERE doc_id % 17 <> 0",
     "corpus_range_read" ->
       "SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 299",
+    "corpus_keys_read" ->
+      "SELECT * FROM documents WHERE doc_id % 731 = 5",
     "doc_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id,

@@ -240,6 +240,24 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     bounded.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
 
+  /** Keyed POINT-LOOKUP read with manifest-level file pruning: only
+    * data files that can hold at least one requested key are handed to
+    * the scan (the same key-set/sub-range prune [[merge]] and
+    * [[delete]] use — the read-side twin of the sparse-batch
+    * copy-on-write), then an exact semi-join keeps the requested rows.
+    * "Fetch these doc_ids" at 100 TB opens the handful of files whose
+    * key range holds them — even when the ids are scattered across the
+    * whole key domain, where the single-envelope [[readRange]] would
+    * open nearly everything. */
+  def readKeys(keys: DataFrame): DataFrame = {
+    val m = requireManifest
+    require(keys.schema.fieldNames.contains(key),
+      s"readKeys frame must carry the table key column $key")
+    val ks = keys.select(col(key))
+    val entries = m.entries.filter(keyPruner(ks))
+    readEntries(m.schema, entries).join(ks.distinct(), Seq(key), "left_semi")
+  }
+
   private def readEntries(schema: StructType, entries: Seq[Entry]): DataFrame =
     if (entries.isEmpty)
       spark.createDataFrame(
@@ -319,16 +337,19 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   private[graft] var pruneRangeBuckets: Int = 64
 
   private def keyPruner(keys: DataFrame): Entry => Boolean = {
-    val ks = keys.na.drop(Seq(key)).distinct()
-    val n = ks.count()
-    if (n == 0) return _ => false
     val kind = kindOf(keys.schema(key).dataType)
     if (kind == "opaque") return _ => true
+    val ks = keys.na.drop(Seq(key)).distinct()
+    // ONE job decides the tier AND collects the exact set when it fits:
+    // cap+1 rows of bare keys — batch-bounded driver traffic, and the
+    // overflow row is the "too big, go sub-range" signal
+    val head = ks.limit(pruneSetCap.toInt + 1).collect()
+    if (head.isEmpty) return _ => false
     // [lo, hi] sub-ranges of the batch's key set, encoded; exact keys
     // are degenerate ranges. Disjoint by construction in both tiers.
     val enc: Array[(Option[String], Option[String])] =
-      if (n <= pruneSetCap)
-        ks.collect().map { r => val e = ordEncode(r.get(0)); (e, e) }
+      if (head.length <= pruneSetCap)
+        head.map { r => val e = ordEncode(r.get(0)); (e, e) }
       else
         ks.repartitionByRange(pruneRangeBuckets, col(key))
           .groupBy(org.apache.spark.sql.functions.spark_partition_id())

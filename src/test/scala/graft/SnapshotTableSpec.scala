@@ -399,6 +399,25 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(tbl.readRange(None, None).count() == 400)
   }
 
+  test("readKeys opens only the files that can hold a requested key — scattered ids stay sparse") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(10))
+    tbl.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val allFiles = tbl.read().inputFiles.toSet
+    assert(allFiles.size >= 4)
+    // two ids at opposite ends of the domain: a [min,max] range read
+    // would open every file in between; the key-set prune opens 2
+    val hit = tbl.readKeys(Seq(1L, 400L).toDF("k"))
+    assert(collectSorted(hit) == collectSorted(kv(1L -> "v1", 400L -> "v400")))
+    assert(hit.inputFiles.length <= 2,
+      s"scattered-key read opened ${hit.inputFiles.length} files")
+    // requesting absent keys returns empty without error
+    assert(tbl.readKeys(Seq(9999L).toDF("k")).isEmpty)
+    // duplicate request keys do not duplicate rows (semi-join)
+    assert(tbl.readKeys(Seq(7L, 7L).toDF("k")).count() == 1)
+  }
+
   test("optimize compacts small files content-identically; big files carry by reference; tag survives") {
     val tbl = new SnapshotTable(spark, freshDir(), "k")
     tbl.create(kv(1L -> "a"), tag = "wm-1")
