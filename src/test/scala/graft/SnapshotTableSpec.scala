@@ -498,6 +498,33 @@ class SnapshotTableSpec extends AnyFunSuite {
       tbl.restore(vGood, expectedVersion = Some(0L)))
   }
 
+  test("StoreLock: mutual exclusion, release on success and failure, stale-lock break") {
+    import graft.incremental.StoreLock
+    val dir = freshDir()
+    // exclusion: a second maintainer inside the window fails loudly
+    var inner: Option[Throwable] = None
+    val out = StoreLock.withLock(spark, dir, "a") {
+      inner = Some(intercept[ConcurrentModificationException](
+        StoreLock.withLock(spark, dir, "b") { fail("must not enter") }))
+      42
+    }
+    assert(out == 42 && inner.exists(_.getMessage.contains("held")))
+    // released on success: reacquire works
+    assert(StoreLock.withLock(spark, dir, "c") { 1 } == 1)
+    // released on BODY FAILURE too (finally path)
+    intercept[IllegalStateException](
+      StoreLock.withLock(spark, dir, "d") { throw new IllegalStateException("boom") })
+    assert(StoreLock.withLock(spark, dir, "e") { 2 } == 2)
+    // a crashed maintainer's stale lock (older than staleMs by the fs
+    // clock) is broken instead of wedging maintenance forever
+    val lock = java.nio.file.Paths.get(dir, "_maintenance.lock")
+    Files.writeString(lock, "crashed\n")
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    assert(StoreLock.withLock(spark, dir, "f") { 3 } == 3)
+    assert(!Files.exists(lock))
+  }
+
   test("append adds files by reference; the full round-trip preserves schema and rows") {
     val tbl = new SnapshotTable(spark, freshDir(), "k")
     tbl.create(kv(1L -> "a"))
