@@ -311,6 +311,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     case _ => false
   }
 
+  /** [[keyPruner]] tier thresholds — `private[graft] var` so a spec can
+    * force the sub-range tier without a 100k-key batch. */
+  private[graft] var pruneSetCap: Long = 100000L
+  private[graft] var pruneRangeBuckets: Int = 64
+
   /** Per-file overlap test against the source batch's KEY SET — the
     * copy-on-write prune [[merge]] and [[delete]] partition entries
     * with. Two precision tiers, both batch-bounded:
@@ -331,11 +336,6 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * key, so no existing row can be displaced by one). Any unencodable
     * non-null key (e.g. NaN) degrades the whole test to "touch
     * everything" — conservative, matching the stats contract. */
-  /** [[keyPruner]] tier thresholds — `private[graft] var` so a spec can
-    * force the sub-range tier without a 100k-key batch. */
-  private[graft] var pruneSetCap: Long = 100000L
-  private[graft] var pruneRangeBuckets: Int = 64
-
   private def keyPruner(keys: DataFrame): Entry => Boolean = {
     val kind = kindOf(keys.schema(key).dataType)
     if (kind == "opaque") return _ => true
