@@ -498,6 +498,44 @@ class SnapshotTableSpec extends AnyFunSuite {
       tbl.restore(vGood, expectedVersion = Some(0L)))
   }
 
+  test("property: merge ≡ Upsert.merge and delete ≡ anti-join under random layouts and sparse batches") {
+    // The prune is an OPTIMIZATION with a falsifiable contract: for ANY
+    // file layout and ANY batch shape (contiguous, scattered, extremes,
+    // duplicates-of-none), the merged/deleted table must equal the pure
+    // query formulation — a prune that ever skips a truly-overlapping
+    // file breaks this equality. Raw ScalaCheck with fixed seeds, like
+    // IncrementalPropertySpec (the scalatest bridge isn't cached).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val layoutGen = for {
+      n <- Gen.chooseNum(30, 300) // table keys 1..n
+      files <- Gen.chooseNum(2, 12)
+      bkeys <- Gen.nonEmptyListOf(Gen.chooseNum(1, 400)) // batch may miss the table
+      dkeys <- Gen.listOf(Gen.chooseNum(1, 400))
+      cap <- Gen.oneOf(100000, 3) // exact tier and forced sub-range tier
+    } yield (n, files, bkeys.distinct.map(_.toLong), dkeys.distinct.map(_.toLong), cap)
+    for (trial <- 1 to 6) {
+      val (n, files, bkeys, dkeys, cap) =
+        layoutGen.pureApply(Gen.Parameters.default, Seed(42L + trial))
+      val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(files))
+      tbl.pruneSetCap = cap
+      val existing = (1L to n.toLong).map(i => (i, s"v$i")).toDF("k", "v")
+      tbl.create(existing)
+      val batch = bkeys.map(k => (k, s"B$k")).toDF("k", "v")
+      tbl.merge(batch)
+      assertSameRows(tbl.read(), Upsert.merge(existing, batch, Seq("k")))
+      if (dkeys.nonEmpty) {
+        val expect = collectSorted(
+          tbl.read().join(dkeys.toDF("k"), Seq("k"), "left_anti"))
+        tbl.delete(dkeys.toDF("k"))
+        assert(collectSorted(tbl.read()) == expect,
+          s"trial $trial: delete diverged (deleted=$dkeys cap=$cap)")
+      }
+    }
+  }
+
   test("StoreLock: mutual exclusion, release on success and failure, stale-lock break") {
     import graft.incremental.StoreLock
     val dir = freshDir()
