@@ -44,19 +44,28 @@ import org.apache.spark.sql.types._
   * Concurrency is OPTIMISTIC, two layers:
   *   - the create-exclusive claim makes two writers racing the same
   *     version number a loud [[ConcurrentModificationException]];
-  *   - after writing, the committer re-scans for ANY committed version
-  *     above its BASE (the snapshot it derived its files from) other
-  *     than its own claim — finding one means lost-update, so it
-  *     retracts its own manifest and throws. The filter must include
-  *     versions ABOVE the writer's claim: if writer A's claim is torn
-  *     while writer B (same base) claims the next number and commits,
-  *     B's check sees only A's torn (invisible) manifest — so A, who
-  *     terminates its manifest BEFORE checking, must be the one to see
-  *     B committed above it and retract. Each writer terminates before
-  *     checking, so of two racers at least one always sees the other
-  *     committed — the pair can never both report success. Callers pin
-  *     the base explicitly with `expectedVersion` for compare-and-swap
-  *     semantics.
+  *   - BEFORE terminating its manifest, the committer scans for any
+  *     version committed above its BASE (the snapshot it derived its
+  *     files from): finding one means lost-update, and aborting here
+  *     leaves only a torn (invisible) manifest — the common lost race
+  *     exits without ever becoming reader-visible;
+  *   - AFTER terminating, it re-scans with the same filter and
+  *     retracts its own manifest if a racer landed in between. The
+  *     filter must include versions ABOVE the writer's claim: if
+  *     writer A's claim is torn while writer B (same base) claims the
+  *     next number and commits, B's checks see only A's torn
+  *     (invisible) manifest — so A must be the one to see B committed
+  *     above it and retract. Each surviving writer terminates before
+  *     its post-check, so of two racers at least one always sees the
+  *     other committed — the pair can never both report success. The
+  *     post-check's retraction is the one residual source of a
+  *     VISIBLE-THEN-RETRACTED version (racer landing between pre-check
+  *     and terminator): readers tolerate it — a vanished manifest
+  *     reads as absent and resolution falls back to the previous
+  *     committed version — at the documented cost that reads are
+  *     snapshot-consistent but not monotonic under multi-writer races.
+  *     Callers pin the base explicitly with `expectedVersion` for
+  *     compare-and-swap semantics.
   * A failed/crashed commit leaves only orphaned data files (never read;
   * reclaimable by a vacuum that keeps every committed manifest's
   * reference set).
@@ -167,8 +176,9 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * the previous committed version (still a consistent snapshot)
     * instead of throwing. NOTE the documented residual: a reader can
     * still OBSERVE a version that a racing loser subsequently retracts
-    * (commit terminates the manifest before the interloper scan), so
-    * two successive resolves may go v6 → v5 while the interleaving
+    * (a racer landing between commit's pre-terminate check and its
+    * terminator write forces the post-check retraction), so two
+    * successive resolves may go v6 → v5 while the interleaving
     * settles — reads are snapshot-consistent, not monotonic, under
     * multi-writer races. */
   private def latestManifest: Option[Manifest] = committedManifests.lastOption
@@ -423,9 +433,16 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * terminator) and before the body is written. A spec uses it to
     * stage the lost-update interleaving: a competing writer with the
     * same base commits a HIGHER version while this writer's manifest is
-    * torn, so this writer's post-terminate interloper check must see it
-    * and retract. No-op in production. */
+    * torn, so this writer's interloper checks must see it and abort
+    * (normally at the pre-terminate check, while still invisible).
+    * No-op in production. */
   private[graft] var onAfterClaim: () => Unit = () => ()
+
+  /** Test seam: runs after the PRE-terminate interloper check passes
+    * and before the `#commit` terminator is written — the narrow
+    * residual window where a racer landing forces the visible-then-
+    * retracted path the POST-check exists for. No-op in production. */
+  private[graft] var onBeforeTerminate: () => Unit = () => ()
 
   private def commit(base: Long, op: String, schema: StructType,
       entries: Seq[Entry], tag: String = ""): Long = {
@@ -440,33 +457,54 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
           throw new ConcurrentModificationException(
             s"version $target at $dir was claimed by another writer", e)
       }
+    def stale(found: Seq[Long]) = new ConcurrentModificationException(
+      s"table at $dir advanced to version ${found.max} while this " +
+        s"commit was derived from $base — merge against the current snapshot and retry")
+    var abortEarly: ConcurrentModificationException = null
     try {
       onAfterClaim() // inside the try: an injected failure still closes
-      val text = (Seq(
+      val body = (Seq(
         "#graft-snapshot 1",
         s"#parent $base",
         s"#op $op",
         s"#key $key",
         s"#schema ${schema.json}") ++
         (if (tag.nonEmpty) Seq(s"#tag ${tag.replaceAll("[\\r\\n]", " ")}") else Nil) ++
-        entries.map(_.line) :+ "#commit")
+        entries.map(_.line))
         .mkString("\n")
-      out.write(text.getBytes("UTF-8"))
+      out.write(body.getBytes("UTF-8"))
+      // PRE-terminate lost-update check: a version already committed
+      // above our base means we lost the race — abort while this
+      // manifest is still TORN (invisible), so the common lost race
+      // never becomes a phantom commit a reader can observe vanishing.
+      val early = committedManifests.map(_.version).filter(v => v > base && v != target)
+      if (early.nonEmpty) abortEarly = stale(early)
+      else {
+        onBeforeTerminate()
+        out.write("\n#commit".getBytes("UTF-8"))
+      }
     } finally out.close()
-    // lost-update check: ANY version committed above our base — below
-    // OR above our own claim — means we merged against a stale snapshot;
-    // retract and fail (the caller re-reads and retries; its staged
-    // files are orphans). `v != target`, not `v < target`: a racer with
-    // our base can claim PAST our still-torn manifest and commit first,
-    // and only this side of the check catches that interleaving (each
-    // writer terminates before checking, so at least one of two racers
-    // always sees the other committed — never two silent successes).
+    if (abortEarly != null) {
+      fs.delete(p, false) // still torn — deleting debris, not a commit
+      throw abortEarly
+    }
+    // POST-terminate lost-update check — the at-most-one-success hinge:
+    // ANY version committed above our base, below OR above our own
+    // claim, means we merged against a stale snapshot; retract and fail
+    // (the caller re-reads and retries; its staged files are orphans).
+    // `v != target`, not `v < target`: a racer with our base can claim
+    // PAST our still-torn manifest and commit first, and only this side
+    // catches that interleaving (each surviving writer terminates
+    // before this check, so of two racers at least one always sees the
+    // other committed — never two silent successes). The pre-check
+    // above cannot replace it: a racer landing between the pre-check
+    // and the terminator write is only visible here — that residual
+    // window is the ONLY remaining source of a visible-then-retracted
+    // version (see latestManifest for the reader-side consequence).
     val interloper = committedManifests.map(_.version).filter(v => v > base && v != target)
     if (interloper.nonEmpty) {
       fs.delete(p, false)
-      throw new ConcurrentModificationException(
-        s"table at $dir advanced to version ${interloper.max} while this " +
-          s"commit was derived from $base — merge against the current snapshot and retry")
+      throw stale(interloper)
     }
     target
   }

@@ -212,12 +212,14 @@ class SnapshotTableSpec extends AnyFunSuite {
   test("lost-update under torn-manifest interleaving: the slower racer retracts, never two silent successes") {
     // The race: writer A claims v1 (create-exclusive ok) but its
     // manifest is still torn; writer B, derived from the SAME base v0,
-    // claims past the torn v1 to v2, commits, and its interloper check
-    // sees only A's torn (invisible) claim — B legitimately succeeds.
-    // A then finishes writing v1. A's check must now catch B's commit
-    // ABOVE its own claim (v2 > base, v2 != target) and retract —
-    // under the old `v < target` filter both writers reported success
-    // and A's merge was silently lost.
+    // claims past the torn v1 to v2, commits, and its interloper checks
+    // see only A's torn (invisible) claim — B legitimately succeeds.
+    // A must now catch B's commit ABOVE its own claim (v2 > base,
+    // v2 != target) and abort — under the old `v < target` filter both
+    // writers reported success and A's merge was silently lost. (Since
+    // r14 the catch normally fires at the PRE-terminate check, so A
+    // aborts while still invisible; the residual post-terminate window
+    // is staged separately below.)
     val dir = freshDir()
     val a = new SnapshotTable(spark, dir, "k")
     val b = new SnapshotTable(spark, dir, "k")
@@ -241,6 +243,51 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(a.history.map(_._1) == Seq(0L, 2L))
     a.merge(kv(1L -> "A1"))
     assertSameRows(a.read(), kv(1L -> "A1", 2L -> "B2"))
+  }
+
+  test("a lost race caught by the pre-terminate check aborts while still invisible (no phantom commit)") {
+    // Same interleaving as the torn-manifest case, but the observable
+    // difference matters: A's manifest must NEVER have been committed-
+    // visible — the abort happens before the terminator is written, so
+    // no reader can have observed a version that then vanishes.
+    val dir = freshDir()
+    val a = new SnapshotTable(spark, dir, "k")
+    val b = new SnapshotTable(spark, dir, "k")
+    a.create(kv(1L -> "a"))
+    var observedDuringRace = Option.empty[Long]
+    a.onAfterClaim = () => {
+      a.onAfterClaim = () => ()
+      b.merge(kv(1L -> "B")) // racer lands while A is pre-terminate
+      observedDuringRace = b.currentVersion
+    }
+    intercept[ConcurrentModificationException](a.merge(kv(1L -> "A")))
+    // A's claim file is gone AND was never terminated: the only
+    // committed versions ever observable were v0 and B's v2
+    assert(observedDuringRace.contains(2L))
+    assert(a.history.map(_._1) == Seq(0L, 2L))
+    assertSameRows(a.read(), kv(1L -> "B"))
+  }
+
+  test("a racer landing between pre-check and terminator is caught by the post-check and retracted") {
+    val dir = freshDir()
+    val a = new SnapshotTable(spark, dir, "k")
+    val b = new SnapshotTable(spark, dir, "k")
+    a.create(kv(1L -> "a"))
+    var fired = false
+    a.onBeforeTerminate = () => {
+      // fires in the residual window: A's pre-check already passed, the
+      // terminator is not yet written; clear the seam so B's own commit
+      // (same instance-independent table) doesn't recurse
+      if (!fired) { fired = true; b.merge(kv(1L -> "B")) }
+    }
+    val e = intercept[ConcurrentModificationException](a.merge(kv(1L -> "A")))
+    assert(e.getMessage.contains("advanced"))
+    // A terminated (briefly visible) then retracted — at most one
+    // success, and the table converges on B's commit
+    assert(a.history.map(_._1) == Seq(0L, 2L))
+    assertSameRows(a.read(), kv(1L -> "B"))
+    // A's retracted manifest is gone, not torn-forever debris
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "manifests", f"v${1L}%019d.json")))
   }
 
   test("mergeWith retries a lost race by re-deriving from the fresh snapshot — both writers land, serialized") {
