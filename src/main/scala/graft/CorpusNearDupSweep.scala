@@ -43,7 +43,13 @@ object CorpusNearDupSweep {
     val store = new SnapshotTable(spark, s"$outDir/corpus", "doc_id")
     require(store.exists, s"no corpus store at $outDir/corpus — run CorpusRun first")
 
-    val corpus = store.read().localCheckpoint()
+    // NO checkpoint on the corpus frame: a snapshot read is already a
+    // stable, re-readable source (immutable files) — materializing the
+    // full corpus (text included) to local disk would copy the table.
+    // Only the ids-only DEMOTION frame below checkpoints, because it is
+    // derived from the expensive pair/cluster pass and feeds two
+    // actions (count + delete).
+    val corpus = store.read()
     val total = corpus.count()
     // corpus-wide keeper pass; quality rides from the published rows
     val keepers = TextOps.nearDupKeepBest(corpus,
