@@ -170,6 +170,24 @@ object SparkEntry {
         tbl.readKeys(docs.filter(col("doc_id") % 731 === 5).select("doc_id")),
         scratch)
     }),
+    // row-level change feed between two store versions: updates surface
+    // as removed/added pairs, inserts as added — manifest-diff pruned
+    // (files carried by path between the versions are never read), and
+    // survivor rows the copy-on-write rewrote into new files cancel in
+    // the row-level exceptAll (a moved-but-identical row is no change)
+    "corpus_changes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-changes").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
+        clusterPartitions = Some(8))
+      val v0 = tbl.create(docs)
+      val batch = docs.filter(col("doc_id") % 31 === 0)
+        .withColumn("text", lit("[redacted-v2]"))
+        .unionByName(docs.filter(col("doc_id") % 53 === 1)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      val v1 = tbl.merge(batch)
+      materializeAndClean(tbl.changesBetween(v0, v1), scratch)
+    }),
     // right-to-be-forgotten over the corpus store: keyed DELETE through
     // the ACID table (file-pruned copy-on-write) — the removed doc set
     // is gone from the new snapshot atomically
@@ -1267,6 +1285,15 @@ object SparkEntry {
       "SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 299",
     "corpus_keys_read" ->
       "SELECT * FROM documents WHERE doc_id % 731 = 5",
+    "corpus_changes" ->
+      """SELECT doc_id, '[redacted-v2]' AS text, lang, source, n_chars,
+        |  'added' AS _change FROM documents WHERE doc_id % 31 = 0
+        |UNION ALL
+        |SELECT doc_id + 10000000, text, lang, source, n_chars, 'added'
+        |FROM documents WHERE doc_id % 53 = 1
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars, 'removed'
+        |FROM documents WHERE doc_id % 31 = 0""".stripMargin,
     "doc_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id,

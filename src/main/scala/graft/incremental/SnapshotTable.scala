@@ -250,6 +250,49 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     bounded.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
 
+  /** Row-level CHANGE FEED between two committed versions — what an
+    * incremental consumer of the table (a trainer re-tokenizing only
+    * new documents, a downstream sync) reads instead of diffing whole
+    * snapshots. Returns the `to` schema plus a `_change` column:
+    * `added` rows exist in `to` but not `from`, `removed` the reverse;
+    * an UPDATE surfaces as its removed/added pair (join the two sides
+    * on the key for key-grain semantics).
+    *
+    * MANIFEST-DIFF PRUNED: data files are immutable and carry between
+    * versions BY PATH, so files referenced by both manifests cancel
+    * without being read — only the churn (files unique to either side)
+    * is scanned and except-diffed, making the feed's cost ∝ what the
+    * commits between the versions actually rewrote, never ∝ the table.
+    * Copy-on-write rewrites untouched survivor ROWS into new files;
+    * the row-level `exceptAll` cancels those exactly (a moved-but-
+    * identical row is not a change). Multiset semantics: a duplicated
+    * full row removed once reports exactly one removal. Works across
+    * add-nullable-column evolution — both sides read with the `to`
+    * schema, pre-evolution files yielding null for added columns. */
+  def changesBetween(from: Long, to: Long): DataFrame = {
+    require(from <= to, s"changesBetween wants from <= to, got $from > $to")
+    val a = loadManifest(from).getOrElse(
+      throw new IllegalStateException(s"no committed version $from at $dir"))
+    val b = loadManifest(to).getOrElse(
+      throw new IllegalStateException(s"no committed version $to at $dir"))
+    val aPaths = a.entries.map(_.path).toSet
+    val bPaths = b.entries.map(_.path).toSet
+    val before = readEntries(b.schema, a.entries.filterNot(e => bPaths(e.path)))
+    val after = readEntries(b.schema, b.entries.filterNot(e => aPaths(e.path)))
+    after.exceptAll(before).withColumn("_change", lit("added"))
+      .unionByName(before.exceptAll(after).withColumn("_change", lit("removed")))
+  }
+
+  /** [[changesBetween]] addressed by APPLICATION tags — "everything
+    * that changed since the publication tagged W" without the caller
+    * tracking version numbers. */
+  def changesBetweenTags(fromTag: String, toTag: String): DataFrame =
+    changesBetween(
+      versionForTag(fromTag).getOrElse(throw new IllegalStateException(
+        s"no committed version tagged $fromTag at $dir")),
+      versionForTag(toTag).getOrElse(throw new IllegalStateException(
+        s"no committed version tagged $toTag at $dir")))
+
   /** Keyed POINT-LOOKUP read with manifest-level file pruning: only
     * data files that can hold at least one requested key are handed to
     * the scan (the same key-set/sub-range prune [[merge]] and

@@ -446,6 +446,45 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(tbl.readRange(None, None).count() == 400)
   }
 
+  test("changesBetween: row-level feed, manifest-diff pruned, updates as removed/added pairs") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(4))
+    val v0 = tbl.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // update 1 key at the top, insert 1 beyond it
+    val v1 = tbl.merge(kv(400L -> "X", 401L -> "Y"))
+    val chg = tbl.changesBetween(v0, v1)
+    assertSameRows(chg, Seq(
+      (400L, "X", "added"), (401L, "Y", "added"), (400L, "v400", "removed"))
+      .toDF("k", "v", "_change"))
+    // manifest-diff pruning: files carried BETWEEN the versions never
+    // open — the feed reads only the churn (v0's one touched file +
+    // v1's fresh files)
+    val carried = tbl.readVersion(v0).inputFiles.toSet
+      .intersect(tbl.readVersion(v1).inputFiles.toSet)
+    assert(carried.nonEmpty, "layout did not carry any file — pruning unobservable")
+    assert(chg.inputFiles.toSet.intersect(carried).isEmpty,
+      "change feed opened a carried file — manifest-diff pruning broken")
+    // a version with NO row changes (tag-only) yields an empty feed
+    val v2 = tbl.setTag("wm-9")
+    assert(tbl.changesBetween(v1, v2).isEmpty)
+    // across add-column evolution: pre-evolution rows read null
+    val v3 = tbl.merge(Seq((1L, "A", Some("en"))).toDF("k", "v", "lang"))
+    val evo = tbl.changesBetween(v2, v3).filter(col("_change") === "added")
+    assert(evo.count() == 1)
+    assert(evo.select("lang").head.getString(0) == "en")
+    // addressed by tag
+    tbl.setTag("wm-10")
+    assert(tbl.changesBetweenTags("wm-9", "wm-10").count() ==
+      tbl.changesBetween(v2, tbl.currentVersion.get).count())
+    // delete surfaces as removed-only
+    val vPre = tbl.currentVersion.get
+    val vDel = tbl.delete(Seq(2L).toDF("k"))
+    val delFeed = tbl.changesBetween(vPre, vDel)
+    assert(delFeed.count() == 1)
+    assert(delFeed.head.getString(delFeed.schema.fieldIndex("_change")) == "removed")
+  }
+
   test("readKeys opens only the files that can hold a requested key — scattered ids stay sparse") {
     val s = spark
     import s.implicits._
