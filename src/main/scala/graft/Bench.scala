@@ -259,6 +259,14 @@ object Bench {
         // flagship training-data main gets a measured number too
         val corDir = java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString
         opExec("corpus_run")(CorpusRun.main(Array(sfDir, corDir)))
+        // downstream mirror over the change feed: cold copy of the
+        // just-published store (the mirror a trainer or another cluster
+        // follows instead of re-reading the source)
+        val mirDir = java.nio.file.Files.createTempDirectory("graft-bench-mirror").toString
+        val corStore = new graft.incremental.SnapshotTable(spark, s"$corDir/corpus", "doc_id")
+        val mirStore = new graft.incremental.SnapshotTable(spark, s"$mirDir/corpus", "doc_id")
+        opExec("corpus_mirror_cold")(
+          graft.incremental.SnapshotSync.sync(corStore, mirStore, "doc_id"))
         // right-to-be-forgotten over the corpus this rep just published:
         // keyed DELETE (file-pruned COW) + retire + vacuum + re-export —
         // the erasure path a corpus store owes its sources, measured
@@ -275,6 +283,13 @@ object Bench {
         // measures the sweep's detection pass at fixpoint — the
         // recurring cost of running it on a cadence.
         opExec("corpus_sweep_run")(CorpusNearDupSweep.main(Array(corDir)))
+        // post-forget re-sync: the forget's retire+vacuum retired the
+        // mirror's cursor version, so this measures the RETENTION-FENCE
+        // full refresh — the operational consequence an erasure imposes
+        // on every feed consumer (the forgotten docs leave the mirror
+        // too); feed-path application cost is spec-pinned at unit grain
+        opExec("corpus_mirror_refresh")(
+          graft.incremental.SnapshotSync.sync(corStore, mirStore, "doc_id"))
         // indexed-admission twin (SPARK_GRAFT_INGEST_STATE): the cold
         // run builds the persisted ingest state from its admissions, the
         // warm run probes it — the funnel's exact-dedup stage at

@@ -21,7 +21,13 @@ import org.apache.spark.sql.SparkSession
   * (the same filesystem primitive the manifest claim rests on), body,
   * delete in a finally. A lock older than `staleMs` by the FILESYSTEM
   * clock (probe-file mtime, the [[SnapshotTable.vacuum]] discipline) is
-  * a crashed maintainer's leftover and is broken. ADVISORY: it
+  * a crashed maintainer's leftover and is broken. SIZE `staleMs` ABOVE
+  * THE LONGEST EXPECTED PASS: a live maintainer that outlives the
+  * staleness window has its lock broken under it, and the zero-grace
+  * vacuum race this lock exists to prevent comes back — at a scale
+  * where a publish takes hours, pass hours (the cost of a too-large
+  * value is only how long a CRASHED maintainer blocks the next one).
+  * ADVISORY: it
   * serializes writers that TAKE it (graft's own maintenance entry
   * points — CorpusForget, CorpusRun's publish block); a foreign writer
   * that ignores it is the caller's deployment problem, same as the

@@ -485,6 +485,58 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(delFeed.head.getString(delFeed.schema.fieldIndex("_change")) == "removed")
   }
 
+  test("SnapshotSync: a mirror converges to the source by feed application alone") {
+    import graft.incremental.SnapshotSync
+    val s = spark
+    import s.implicits._
+    val src = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(4))
+    val mir = new SnapshotTable(spark, freshDir(), "k")
+    src.create((1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // cold sync copies once
+    SnapshotSync.sync(src, mir, "k")
+    assertSameRows(mir.read(), src.read())
+    // update + insert, then sync applies the feed (no recopy)
+    src.merge(kv(5L -> "FIVE", 201L -> "added"))
+    SnapshotSync.sync(src, mir, "k")
+    assertSameRows(mir.read(), src.read())
+    // deletes propagate
+    src.delete(Seq(7L, 8L).toDF("k"))
+    SnapshotSync.sync(src, mir, "k")
+    assertSameRows(mir.read(), src.read())
+    assert(mir.read().filter(col("k").isin(7L, 8L)).isEmpty)
+    // SKIPPED commits: several source versions between syncs fold into
+    // one feed application (intermediate states never read)
+    src.merge(kv(10L -> "ten-a"))
+    src.merge(kv(10L -> "ten-b", 202L -> "x"))
+    src.delete(Seq(202L).toDF("k")) // inserted then deleted between syncs
+    SnapshotSync.sync(src, mir, "k")
+    assertSameRows(mir.read(), src.read())
+    assert(mir.read().filter(col("k") === 10L).select("v").head.getString(0) == "ten-b")
+    // re-sync at cursor is a no-op: no new mirror commit
+    val v = mir.currentVersion
+    SnapshotSync.sync(src, mir, "k")
+    assert(mir.currentVersion == v, "no-op sync must not commit")
+    // add-column evolution flows through the feed
+    src.merge(Seq((1L, "A", Some("en"))).toDF("k", "v", "lang"))
+    SnapshotSync.sync(src, mir, "k")
+    assertSameRows(mir.read(), src.read())
+    // retention fence: the source retiring past the cursor (the forget
+    // two-step) forces a full refresh, after which following resumes
+    src.delete(Seq(3L).toDF("k"))
+    src.retire(keepLast = 1)
+    SnapshotSync.sync(src, mir, "k")
+    assertSameRows(mir.read(), src.read())
+    assert(mir.history.last._3 == "overwrite", "retired cursor must force a full refresh")
+    src.merge(Seq((4L, "resumed", Option.empty[String])).toDF("k", "v", "lang"))
+    SnapshotSync.sync(src, mir, "k")
+    assertSameRows(mir.read(), src.read())
+    assert(mir.history.last._3 == "merge", "feed-following must resume after the refresh")
+    // a mirror not created by sync has no cursor — loud, not silent
+    val foreign = new SnapshotTable(spark, freshDir(), "k")
+    foreign.create(kv(1L -> "z"))
+    intercept[IllegalStateException](SnapshotSync.sync(src, foreign, "k"))
+  }
+
   test("readKeys opens only the files that can hold a requested key — scattered ids stay sparse") {
     val s = spark
     import s.implicits._
