@@ -14,13 +14,13 @@ import org.apache.spark.sql.functions._
   * pipeline's watermark). Re-running a sync whose cursor already equals
   * the source version is a no-op.
   *
-  * Apply order inside one sync: removed-and-not-re-added keys DELETE
-  * (file-pruned), then added rows MERGE (file-pruned upsert; an updated
-  * key's removed half is subsumed by the merge's replace). Both halves
-  * ride the feed, whose cost is ∝ churn — so a 100 TB mirror follows a
-  * trickle of commits at trickle cost. The mirror lags by sync cadence;
-  * each sync lands as ONE atomic mirror commit, so mirror readers see
-  * consistent source versions, never a half-applied feed.
+  * One sync = ONE atomic mirror commit: removed-and-not-re-added keys
+  * delete and added rows upsert together ([[SnapshotTable.applyDelta]]
+  * — a single file-pruned copy-on-write pass over both key sets), so
+  * mirror readers only ever observe consistent source versions, never
+  * a half-applied feed. Both halves ride the feed, whose cost is ∝
+  * churn — a 100 TB mirror follows a trickle of commits at trickle
+  * cost. The mirror lags by sync cadence.
   */
 object SnapshotSync {
 
@@ -59,18 +59,16 @@ object SnapshotSync {
       val added = feed.filter(col("_change") === "added").drop("_change")
       val removed = feed.filter(col("_change") === "removed").drop("_change")
       // keys whose rows only disappeared (true deletes); an update's
-      // removed half is subsumed by merging its added replacement
+      // removed half is subsumed by its added replacement (applyDelta's
+      // upsert-wins rule)
       val doomed = removed.select(col(key))
         .join(added.select(col(key)), Seq(key), "left_anti").distinct()
-      // two mirror commits at most; the NEW cursor rides only the LAST
-      // one, and the intermediate delete re-carries the OLD cursor — a
-      // crash between them leaves a mirror that re-syncs from `cursor`:
-      // the delete re-applies as a no-op (keys already gone) and the
-      // merge is an idempotent upsert. Convergent, never half-recorded,
-      // never cursor-less.
-      if (!doomed.isEmpty) mirror.delete(doomed, tag = s"sync:$cursor")
-      if (added.isEmpty) mirror.setTag(s"sync:$srcV")
-      else mirror.merge(added, tag = s"sync:$srcV")
+      // ONE atomic mirror commit applies the whole feed — deletes and
+      // upserts together ([[SnapshotTable.applyDelta]]), with the new
+      // cursor riding it: mirror readers only ever see source versions,
+      // never a half-applied feed, and a crash re-syncs from the old
+      // cursor idempotently.
+      mirror.applyDelta(added, doomed, tag = s"sync:$srcV")
       srcV
     } finally feed.unpersist(blocking = false)
   }

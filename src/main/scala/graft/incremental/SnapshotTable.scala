@@ -804,6 +804,45 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     } finally src.unpersist(blocking = false)
   }
 
+  /** Combined upsert + delete in ONE atomic commit — what a change-feed
+    * consumer ([[SnapshotSync]]) needs: applying a feed as separate
+    * delete and merge commits exposes an intermediate version with the
+    * deletes applied but the adds missing. One copy-on-write pass over
+    * the union of both key sets (same [[keyPruner]] file pruning):
+    * touched files drop rows keyed by `deleteKeys` OR replaced by
+    * `upserts`, survivors ∪ upserts land as new files. A key present in
+    * BOTH lands as its upsert (the upsert wins). Same key-uniqueness,
+    * evolution, and CAS contracts as [[merge]]. */
+  def applyDelta(upserts: DataFrame, deleteKeys: DataFrame,
+      expectedVersion: Option[Long] = None, tag: String = ""): Long = {
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir — create() first"))
+    expectedVersion.filter(_ != cur).foreach(v =>
+      throw new ConcurrentModificationException(
+        s"table at $dir is at version $cur, caller expected $v"))
+    val m = loadManifest(cur).get
+    require(deleteKeys.schema.fieldNames.contains(key),
+      s"applyDelta delete keys must carry the table key column $key")
+    val evolved = evolveSchema(m.schema, upserts.schema)
+    val up = upserts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val del = deleteKeys.select(col(key)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val b = up.agg(count(lit(1)), count_distinct(col(key))).collect()(0)
+      if (b.getLong(0) != b.getLong(1))
+        throw new IllegalArgumentException(
+          s"applyDelta upserts carry ${b.getLong(0) - b.getLong(1)} duplicate $key " +
+            "keys — an upsert batch must be key-unique")
+      val affected = up.select(col(key)).unionByName(del)
+      val (touched, untouched) = m.entries.partition(keyPruner(affected))
+      val survivors = readEntries(evolved, touched)
+        .join(affected.distinct(), Seq(key), "left_anti")
+      val fresh = stage(clustered(
+        survivors.unionByName(up.select(evolved.fieldNames.map(col): _*))))
+      commit(m.version, "delta", evolved, untouched ++ fresh, tag)
+    } finally { up.unpersist(blocking = false); del.unpersist(blocking = false) }
+  }
+
   /** The optimistic-concurrency retry loop the commit protocol's
     * lost-update check demands, packaged: derive the merge source FROM
     * the current snapshot, commit CAS-pinned to it, and when a

@@ -485,6 +485,37 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(delFeed.head.getString(delFeed.schema.fieldIndex("_change")) == "removed")
   }
 
+  test("applyDelta: combined upsert+delete in one commit, file-pruned, upsert-wins on overlap") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(10))
+    val v0 = tbl.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val filesBefore = tbl.filesAt(v0).size
+    // delete 2 at the bottom, update 1 + insert 1 at the top — one commit
+    val v1 = tbl.applyDelta(kv(400L -> "X", 401L -> "Y"), Seq(1L, 2L).toDF("k"))
+    assert(tbl.history.map(_._3) == Seq("create", "delta"))
+    assert(tbl.read().count() == 399) // -2 deletes +1 insert
+    assert(tbl.read().filter(col("k").isin(1L, 2L)).isEmpty)
+    assert(tbl.read().filter(col("k") === 400L).select("v").head.getString(0) == "X")
+    // pruning spans BOTH key sets and nothing more: extremes touch 2 files
+    val carried = tbl.filesAt(v0).toSet.intersect(tbl.filesAt(v1).toSet)
+    assert(carried.size >= filesBefore - 3,
+      s"applyDelta rewrote ${filesBefore - carried.size} of $filesBefore files")
+    // a key in both halves lands as its upsert (upsert wins)
+    tbl.applyDelta(kv(10L -> "TEN"), Seq(10L).toDF("k"))
+    assert(tbl.read().filter(col("k") === 10L).select("v").head.getString(0) == "TEN")
+    // empty halves degrade to plain delete / plain upsert semantics
+    tbl.applyDelta(kv(), Seq(11L).toDF("k"))
+    assert(tbl.read().filter(col("k") === 11L).isEmpty)
+    tbl.applyDelta(kv(500L -> "z"), Seq.empty[Long].toDF("k"))
+    assert(tbl.read().filter(col("k") === 500L).count() == 1)
+    // CAS + key-unique guards, like merge
+    intercept[ConcurrentModificationException](
+      tbl.applyDelta(kv(5L -> "x"), Seq.empty[Long].toDF("k"), expectedVersion = Some(v0)))
+    intercept[IllegalArgumentException](
+      tbl.applyDelta(kv(5L -> "x", 5L -> "y"), Seq.empty[Long].toDF("k")))
+  }
+
   test("SnapshotSync: a mirror converges to the source by feed application alone") {
     import graft.incremental.SnapshotSync
     val s = spark
@@ -499,9 +530,14 @@ class SnapshotTableSpec extends AnyFunSuite {
     src.merge(kv(5L -> "FIVE", 201L -> "added"))
     SnapshotSync.sync(src, mir, "k")
     assertSameRows(mir.read(), src.read())
-    // deletes propagate
+    // deletes propagate — and a mixed delete+update+insert feed lands
+    // as EXACTLY ONE mirror commit (no half-applied intermediate)
     src.delete(Seq(7L, 8L).toDF("k"))
+    src.merge(kv(9L -> "NINE", 203L -> "ins"))
+    val histBefore = mir.history.size
     SnapshotSync.sync(src, mir, "k")
+    assert(mir.history.size == histBefore + 1,
+      "a sync must apply its whole feed as one atomic commit")
     assertSameRows(mir.read(), src.read())
     assert(mir.read().filter(col("k").isin(7L, 8L)).isEmpty)
     // SKIPPED commits: several source versions between syncs fold into
@@ -530,7 +566,7 @@ class SnapshotTableSpec extends AnyFunSuite {
     src.merge(Seq((4L, "resumed", Option.empty[String])).toDF("k", "v", "lang"))
     SnapshotSync.sync(src, mir, "k")
     assertSameRows(mir.read(), src.read())
-    assert(mir.history.last._3 == "merge", "feed-following must resume after the refresh")
+    assert(mir.history.last._3 == "delta", "feed-following must resume after the refresh")
     // a mirror not created by sync has no cursor — loud, not silent
     val foreign = new SnapshotTable(spark, freshDir(), "k")
     foreign.create(kv(1L -> "z"))
