@@ -736,7 +736,7 @@ object Soak {
     // shares the same partition/prune/rewrite path (SnapshotTableSpec
     // pins its pruning at unit grain).
     final case class SnapWalls(wall: Double, files: Int, touched: Int, rows: Long,
-        sparseWall: Double, sparseFiles: Int, sparseTouched: Int)
+        sparseWall: Double, sparseFiles: Int, sparseTouched: Int, syncWall: Double)
     def snapshotWalls(d: String, dir: String): SnapWalls = {
       val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
       val nRows = docs.count()
@@ -782,8 +782,30 @@ object Soak {
         .intersect(tbl.filesAt(tbl.currentVersion.get).toSet).size
       assert(tbl.read().count() == nRows,
         "sparse merge must not change row count")
+      // CHANGE-FEED mirror at scale: cold copy once, then a fixed
+      // 100-doc merge on the source and a WARM sync — the feed reads
+      // only the merge's churn files (manifest-diff pruning), so the
+      // warm wall must be flat in table size for fixed churn.
+      val mirDir = s"$dir-mirror"
+      val mhp = new org.apache.hadoop.fs.Path(mirDir)
+      mhp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mhp, true)
+      val mirror = new incremental.SnapshotTable(spark, mirDir, "doc_id")
+      incremental.SnapshotSync.sync(tbl, mirror, "doc_id")
+      val syncBatch = docs.orderBy(col("doc_id").desc).limit(100)
+        .select(col("doc_id"), lit("soak-sync payload").as("text"))
+        .localCheckpoint()
+      val tsSync = (1 to reps).map { _ =>
+        tbl.merge(syncBatch) // same keys each rep: fixed churn
+        val t0 = System.nanoTime()
+        incremental.SnapshotSync.sync(tbl, mirror, "doc_id")
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      assert(mirror.read().count() == nRows, "mirror diverged from source rows")
+      assert(mirror.read().filter(col("text") === "soak-sync payload").count() == 100,
+        "mirror missed the synced update")
       SnapWalls(ts(ts.length / 2), filesBefore, filesBefore - carried, after,
-        tsS(tsS.length / 2), sparseFiles, sparseFiles - sparseCarried)
+        tsS(tsS.length / 2), sparseFiles, sparseFiles - sparseCarried,
+        tsSync(tsSync.length / 2))
     }
     val runSnapshot = sys.env.get("SPARK_GRAFT_ONLY")
       .forall(_.split(",").map(_.trim).contains("snapshot_scale"))
@@ -811,6 +833,12 @@ object Soak {
           (b.sparseWall <= 0 || s.sparseWall / b.sparseWall <= 2.0)
       case _ => true
     }
+    // warm mirror sync: the feed reads only the fixed batch's churn
+    // files, so its wall stays flat as the table grows 10x
+    val snapshotSyncOk = (snapB, snapS) match {
+      case (Some(b), Some(s)) => b.syncWall <= 0 || s.syncWall / b.syncWall <= 2.0
+      case _ => true
+    }
     (snapB, snapS) match {
       case (Some(b), Some(s)) =>
         println(f"[soak] snapshot_merge 1x: files ${b.files}%3d touched ${b.touched}%2d " +
@@ -821,6 +849,9 @@ object Soak {
           f"wall ${b.sparseWall}%5.2f s; ${n}x: touched ${s.sparseTouched}%2d of ${s.sparseFiles}%3d " +
           f"wall ${s.sparseWall}%5.2f s (2-key batch: touched ≤4 at any scale) " +
           s"${if (snapshotSparseOk) "ok" else "FAIL"}")
+        println(f"[soak] snapshot_mirror_sync 1x warm ${b.syncWall}%5.2f s; ${n}x warm ${s.syncWall}%5.2f s " +
+          f"(fixed 100-doc churn: feed wall flat x${s.syncWall / b.syncWall}%4.2f ≤2.0) " +
+          s"${if (snapshotSyncOk) "ok" else "FAIL"}")
       case _ =>
     }
 
@@ -899,6 +930,7 @@ object Soak {
       (if (ingestBeatsInline) Nil else Seq("ingest_beats_inline")) ++
       (if (snapshotOk) Nil else Seq("snapshot_merge_pruning")) ++
       (if (snapshotSparseOk) Nil else Seq("snapshot_merge_sparse")) ++
+      (if (snapshotSyncOk) Nil else Seq("snapshot_mirror_sync")) ++
       (if (incSparseOk) Nil else Seq("incremental_backdated"))
 
     val md = new StringBuilder
@@ -944,6 +976,7 @@ object Soak {
         md ++= f"\nSPARSE adversarial batch on the same tables (2 keys at opposite ends of the id domain — the late-CDC shape): "
         md ++= f"files rewritten ${b.sparseTouched} of ${b.sparseFiles} at 1x -> ${s.sparseTouched} of ${s.sparseFiles} at ${n}x; wall ${b.sparseWall}%.2f s -> ${s.sparseWall}%.2f s. "
         md ++= f"Touched is bounded by the KEY COUNT (≤4 with boundary slack), not the table — a single [min,max]-envelope prune would rewrite ~all ${s.sparseFiles} files here — ${if (snapshotSparseOk) "ok" else "**FAIL**"}.\n"
+        md ++= f"\nChange-feed MIRROR (SnapshotSync over changesBetween): after a fixed 100-doc merge on the source, the warm sync applies the feed in one atomic commit at ${b.syncWall}%.2f s (1x) -> ${s.syncWall}%.2f s (${n}x) — manifest-diff pruning reads only the merge's churn files, so following a 10x table costs the same as following the 1x table for the same churn — ${if (snapshotSyncOk) "ok" else "**FAIL**"}.\n"
       case _ =>
     }
     incSparse.foreach { case ((bw, bf, bt), (sw, sf2, st2)) =>

@@ -188,6 +188,23 @@ object SparkEntry {
       val v1 = tbl.merge(batch)
       materializeAndClean(tbl.changesBetween(v0, v1), scratch)
     }),
+    // combined upsert+delete in ONE atomic commit (the change-feed
+    // application primitive): updates + inserts land while a delete set
+    // leaves, in a single file-pruned copy-on-write pass — a key in
+    // both halves lands as its upsert (upsert wins)
+    "corpus_apply_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-delta").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
+        clusterPartitions = Some(8))
+      tbl.create(docs)
+      val upserts = docs.filter(col("doc_id") % 31 === 0)
+        .withColumn("text", lit("[redacted-v2]"))
+        .unionByName(docs.filter(col("doc_id") % 53 === 1)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      tbl.applyDelta(upserts, docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
+      materializeAndClean(tbl.read(), scratch)
+    }),
     // right-to-be-forgotten over the corpus store: keyed DELETE through
     // the ACID table (file-pruned copy-on-write) — the removed doc set
     // is gone from the new snapshot atomically
@@ -1285,6 +1302,14 @@ object SparkEntry {
       "SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 299",
     "corpus_keys_read" ->
       "SELECT * FROM documents WHERE doc_id % 731 = 5",
+    "corpus_apply_delta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,
+        |  lang, source, n_chars
+        |FROM documents WHERE doc_id % 17 <> 0 OR doc_id % 31 = 0
+        |UNION ALL
+        |SELECT doc_id + 10000000, text, lang, source, n_chars
+        |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
     "corpus_changes" ->
       """SELECT doc_id, '[redacted-v2]' AS text, lang, source, n_chars,
         |  'added' AS _change FROM documents WHERE doc_id % 31 = 0
