@@ -19,8 +19,15 @@ import org.apache.spark.sql.functions._
   * — a single file-pruned copy-on-write pass over both key sets), so
   * mirror readers only ever observe consistent source versions, never
   * a half-applied feed. Both halves ride the feed, whose cost is ∝
-  * churn — a 100 TB mirror follows a trickle of commits at trickle
-  * cost. The mirror lags by sync cadence.
+  * LOGICAL churn — [[SnapshotTable.changesBetween]] decomposes the
+  * interval at `optimize` commits, so a sync across the routine
+  * compaction an accumulate-mode store auto-triggers reads the merges'
+  * churn, never the compacted mass — a 100 TB mirror follows a trickle
+  * of commits at trickle cost, compaction included. A rewrite-only
+  * interval (optimize and nothing else) yields an empty feed, which
+  * [[SnapshotTable.applyDelta]] applies as a tag-only cursor advance —
+  * no contentless data version lands on the mirror. The mirror lags by
+  * sync cadence.
   */
 object SnapshotSync {
 

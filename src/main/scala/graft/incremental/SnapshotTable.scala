@@ -258,11 +258,27 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * an UPDATE surfaces as its removed/added pair (join the two sides
     * on the key for key-grain semantics).
     *
-    * MANIFEST-DIFF PRUNED: data files are immutable and carry between
-    * versions BY PATH, so files referenced by both manifests cancel
-    * without being read — only the churn (files unique to either side)
-    * is scanned and except-diffed, making the feed's cost ∝ what the
-    * commits between the versions actually rewrote, never ∝ the table.
+    * MANIFEST-DIFF PRUNED AND REWRITE-OP-AWARE: data files are
+    * immutable and carry between versions BY PATH, so files referenced
+    * by both endpoint manifests cancel without being read. Path
+    * cancellation alone is defeated by a rewrite-only commit in the
+    * interval — [[optimize]] compaction rewrites untouched mass into
+    * new paths, and an endpoint diff across it would shuffle the whole
+    * compacted table to discover zero logical change. So the interval
+    * DECOMPOSES at every `optimize` commit (content-identical by
+    * construction — the one op whose entire file churn is guaranteed
+    * logical noise): each segment between consecutive optimizes
+    * path-diffs on its own, the per-segment churn unions into one
+    * before/after pair, and the global `exceptAll` cancels rows that
+    * net out across segments (inserted in one commit, deleted in a
+    * later one) — exactly the endpoint multiset diff, at Σ segment
+    * churn cost. A sync across routine compaction reads the merges'
+    * churn, never the compacted mass. Decomposition needs every
+    * manifest in the interval; if intermediates were retired the feed
+    * falls back to the plain endpoint diff (correct, possibly
+    * compaction-priced). A `restore` is a REAL logical change and is
+    * never skipped — its file re-references diff like any commit.
+    *
     * Copy-on-write rewrites untouched survivor ROWS into new files;
     * the row-level `exceptAll` cancels those exactly (a moved-but-
     * identical row is not a change). Multiset semantics: a duplicated
@@ -271,16 +287,68 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * schema, pre-evolution files yielding null for added columns. */
   def changesBetween(from: Long, to: Long): DataFrame = {
     require(from <= to, s"changesBetween wants from <= to, got $from > $to")
+    val (segments, schema) = changeScanSegments(from, to)
+    def side(pick: ((Seq[Entry], Seq[Entry])) => Seq[Entry]): DataFrame =
+      segments.map(seg => readEntries(schema, pick(seg)))
+        .reduceOption(_ unionByName _)
+        .getOrElse(readEntries(schema, Nil))
+    val before = side(_._1)
+    val after = side(_._2)
+    after.exceptAll(before).withColumn("_change", lit("added"))
+      .unionByName(before.exceptAll(after).withColumn("_change", lit("removed")))
+  }
+
+  /** The relative data-file paths [[changesBetween]] would scan for the
+    * interval, both sides flattened — the spec seam for asserting a
+    * compaction's outputs never enter the feed's scan. */
+  private[graft] def changeScanPaths(from: Long, to: Long): (Seq[String], Seq[String]) = {
+    val (segments, _) = changeScanSegments(from, to)
+    (segments.flatMap(_._1.map(_.path)), segments.flatMap(_._2.map(_.path)))
+  }
+
+  /** The per-segment (beforeChurn, afterChurn) entry lists
+    * [[changesBetween]] scans, plus the read schema (`to`'s). Segments
+    * are delimited by `optimize` commits (see [[changesBetween]]); one
+    * endpoint-diff segment when the interval has no optimize to
+    * decompose around, or as the retired-intermediate fallback. */
+  private def changeScanSegments(
+      from: Long, to: Long): (Seq[(Seq[Entry], Seq[Entry])], StructType) = {
     val a = loadManifest(from).getOrElse(
       throw new IllegalStateException(s"no committed version $from at $dir"))
     val b = loadManifest(to).getOrElse(
       throw new IllegalStateException(s"no committed version $to at $dir"))
-    val aPaths = a.entries.map(_.path).toSet
-    val bPaths = b.entries.map(_.path).toSet
-    val before = readEntries(b.schema, a.entries.filterNot(e => bPaths(e.path)))
-    val after = readEntries(b.schema, b.entries.filterNot(e => aPaths(e.path)))
-    after.exceptAll(before).withColumn("_change", lit("added"))
-      .unionByName(before.exceptAll(after).withColumn("_change", lit("removed")))
+    def churn(s: Manifest, e: Manifest): (Seq[Entry], Seq[Entry]) = {
+      val sPaths = s.entries.map(_.path).toSet
+      val ePaths = e.entries.map(_.path).toSet
+      (s.entries.filterNot(x => ePaths(x.path)), e.entries.filterNot(x => sPaths(x.path)))
+    }
+    // every committed manifest in [from, to]; decomposition needs a
+    // contiguous parent chain (retire() can only trim a PREFIX of
+    // history, but verify anyway — a gap falls back to the endpoint diff)
+    val chain = allVersions.filter(v => v >= from && v <= to).flatMap(loadManifest)
+    val contiguous = chain.nonEmpty && chain.head.version == from &&
+      chain.last.version == to &&
+      chain.sliding(2).forall {
+        case Seq(p, c) => c.parent == p.version
+        case _ => true
+      }
+    val segments =
+      if (!contiguous || !chain.exists(_.op == "optimize")) Seq(churn(a, b))
+      else {
+        val cuts = Seq.newBuilder[(Manifest, Manifest)]
+        var start = chain.head
+        var prev = chain.head
+        chain.tail.foreach { m =>
+          if (m.op == "optimize") {
+            if (prev.version != start.version) cuts += ((start, prev))
+            start = m
+          }
+          prev = m
+        }
+        if (prev.version != start.version) cuts += ((start, prev))
+        cuts.result().map { case (s, e) => churn(s, e) }
+      }
+    (segments, b.schema)
   }
 
   /** [[changesBetween]] addressed by APPLICATION tags — "everything
@@ -835,6 +903,12 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
             "keys — an upsert batch must be key-unique")
       val affected = up.select(col(key)).unionByName(del)
       val (touched, untouched) = m.entries.partition(keyPruner(affected))
+      // empty delta (no upserts, nothing to delete): advance only the
+      // tag — the cursor-bearing no-op a change-feed consumer applies
+      // across a rewrite-only source interval — instead of staging an
+      // empty file set and committing a contentless "delta" version
+      if (b.getLong(0) == 0 && touched.isEmpty)
+        return if (tag.nonEmpty && !m.tag.contains(tag)) setTag(tag) else m.version
       val survivors = readEntries(evolved, touched)
         .join(affected.distinct(), Seq(key), "left_anti")
       val fresh = stage(clustered(

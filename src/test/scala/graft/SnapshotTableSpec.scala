@@ -485,6 +485,83 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(delFeed.head.getString(delFeed.schema.fieldIndex("_change")) == "removed")
   }
 
+  test("change feed is rewrite-op-aware: optimize churn never enters the scan; net-zero rows cancel") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(4))
+    val v0 = tbl.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // merge, then compact EVERYTHING (huge smallBytes threshold): the
+    // optimize rewrites the full table into new paths, so an endpoint
+    // path-diff would scan the whole compacted mass to find only the
+    // merge's churn — the 100 TB post-compaction sync shape
+    val v1 = tbl.merge(kv(400L -> "X", 999L -> "ins"))
+    val v2 = tbl.optimize(smallBytes = Long.MaxValue)
+    assert(v2 > v1 && tbl.history.last._3 == "optimize")
+    val compactionOutputs = tbl.filesAt(v2).toSet -- tbl.filesAt(v1).toSet
+    assert(compactionOutputs.nonEmpty, "optimize rewrote nothing — shape unobservable")
+    // the feed across the compaction equals the merge's logical churn...
+    assertSameRows(tbl.changesBetween(v0, v2), Seq(
+      (400L, "X", "added"), (999L, "ins", "added"), (400L, "v400", "removed"))
+      .toDF("k", "v", "_change"))
+    // ...and its scan set EXCLUDES the compaction's outputs entirely
+    val (beforeScan, afterScan) = tbl.changeScanPaths(v0, v2)
+    assert((beforeScan ++ afterScan).toSet.intersect(compactionOutputs).isEmpty,
+      "feed scanned compaction outputs — rewrite-op decomposition broken")
+    // a rewrite-only interval is an EMPTY feed with an empty scan
+    assert(tbl.changesBetween(v1, v2).isEmpty)
+    val (b12, a12) = tbl.changeScanPaths(v1, v2)
+    assert(b12.isEmpty && a12.isEmpty)
+    // rows that net out ACROSS segments cancel: 999 was inserted before
+    // the compaction; delete it after — the v0..v3 feed must not carry
+    // it in either direction (endpoint multiset semantics preserved)
+    val v3 = tbl.delete(Seq(999L).toDF("k"))
+    val feed = tbl.changesBetween(v0, v3)
+    assert(feed.filter(col("k") === 999L).isEmpty,
+      "an insert-then-delete across an optimize boundary must net to nothing")
+    assertSameRows(feed, Seq((400L, "X", "added"), (400L, "v400", "removed"))
+      .toDF("k", "v", "_change"))
+    // a restore is a REAL logical change — never skipped like optimize
+    val v4 = tbl.restore(v0)
+    val restFeed = tbl.changesBetween(v3, v4)
+    assert(restFeed.filter(col("_change") === "removed")
+      .filter(col("k") === 400L).count() == 1, "restore must surface in the feed")
+  }
+
+  test("SnapshotSync across auto-compaction: merge churn applies, optimize-only advances tag-only") {
+    import graft.incremental.SnapshotSync
+    val s = spark
+    import s.implicits._
+    val src = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(4))
+    val mir = new SnapshotTable(spark, freshDir(), "k")
+    src.create((1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"))
+    SnapshotSync.sync(src, mir, "k")
+    // merge + compaction between syncs: the mirror commit applies
+    // exactly the merge's churn, as a real delta
+    src.merge(kv(5L -> "FIVE", 201L -> "ins"))
+    src.optimize(smallBytes = Long.MaxValue)
+    SnapshotSync.sync(src, mir, "k")
+    assertSameRows(mir.read(), src.read())
+    assert(mir.history.last._3 == "delta")
+    // compaction-ONLY interval: the cursor advances as a tag-only
+    // commit — no contentless data version, no staged empty file set
+    val mirFiles = mir.read().inputFiles.toSet
+    src.optimize(smallBytes = Long.MaxValue)
+    src.optimize(smallBytes = Long.MaxValue)
+    SnapshotSync.sync(src, mir, "k")
+    assert(mir.history.last._3 == "tag",
+      s"optimize-only sync committed ${mir.history.last._3}, want tag-only")
+    assert(mir.read().inputFiles.toSet == mirFiles, "tag-only sync must not touch data")
+    assertSameRows(mir.read(), src.read())
+    // cursor advanced: re-sync is a no-op
+    val v = mir.currentVersion
+    SnapshotSync.sync(src, mir, "k")
+    assert(mir.currentVersion == v)
+    // feed-following still resumes normally after
+    src.merge(kv(7L -> "SEVEN"))
+    SnapshotSync.sync(src, mir, "k")
+    assertSameRows(mir.read(), src.read())
+  }
+
   test("applyDelta: combined upsert+delete in one commit, file-pruned, upsert-wins on overlap") {
     val s = spark
     import s.implicits._
