@@ -12,7 +12,7 @@ import graft.ops.TextOps
   * from the store, its history, the split-clustered `kept/` export, and
   * the `train_packed` sequence bins.
   *
-  * Usage: runMain graft.CorpusForget <outDir> <id1,id2,…>
+  * Usage: runMain graft.CorpusForget <outDir> <id1,id2,…> [mirrorOutDir]
   *
   * The forget two-step every snapshot-table format requires:
   *   1. keyed DELETE — file-pruned copy-on-write: only files whose
@@ -23,6 +23,18 @@ import graft.ops.TextOps
   *   2. retire(1) + vacuum — prior versions still REFERENCE the
   *      pre-delete files (time travel would resurrect the forgotten
   *      text), so true forget drops the history and reclaims the bytes.
+  *
+  * REPLICATION: a [[graft.incremental.SnapshotSync]] mirror of the
+  * store is its own copy of the forgotten text — the source two-step
+  * does not reach it (the next sync's retention-fence full refresh
+  * removes the docs from the mirror's HEAD, but the mirror's history
+  * still references its pre-refresh files). Passing `mirrorOutDir` runs
+  * the SAME two-step on the mirror's store, under the mirror's own
+  * maintenance lock, so erasure is complete on both sides in one
+  * invocation; the mirror's cursor is untouched, and its next sync
+  * full-refreshes from the post-forget source (the fence fires because
+  * the source retired the cursor version), after which feed-following
+  * resumes. Per-side byte/file reclamation is audited separately.
   *
   * Reports `removed docs / files reclaimed / bytes reclaimed` on stdout
   * and appends the same numbers to the run's `report.parquet` funnel —
@@ -73,10 +85,47 @@ object CorpusForget {
 
     val removed = before - after
     val bytes = bytesBefore - bytesAfter
-    Seq(
+    // mirror-side erasure: the same delete+retire+vacuum two-step on a
+    // configured replica, under ITS maintenance lock — without this the
+    // forgotten text survives in the mirror's history until someone
+    // separately retires+vacuums it (the replication hole a
+    // source-only forget leaves open)
+    val mirrorRows = args.drop(2).headOption.toSeq.flatMap { mirrorOutDir =>
+      val mirror = new SnapshotTable(spark, s"$mirrorOutDir/corpus", "doc_id")
+      require(mirror.exists,
+        s"no mirror store at $mirrorOutDir/corpus — nothing to erase there")
+      def mirrorBytes: Long = {
+        val p = new org.apache.hadoop.fs.Path(s"$mirrorOutDir/corpus/data")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }
+      val mBefore = mirror.read().count()
+      val mBytesBefore = mirrorBytes
+      // the delete CARRIES the mirror's sync cursor forward (the
+      // erasure doesn't change which source version the mirror tracks);
+      // a tag-less delete would strand the mirror cursor-less and the
+      // next sync would fail loudly instead of fence-refreshing
+      val cursor = mirror.currentTag.getOrElse(s"forget:${ids.size}")
+      val (mReclaimed, mAfter, mBytesAfter) =
+        graft.incremental.StoreLock.withLock(
+          spark, s"$mirrorOutDir/corpus", "CorpusForget") {
+          mirror.delete(ids.toDF("doc_id"), tag = cursor)
+          mirror.retire(keepLast = 1)
+          val r = mirror.vacuum(graceMs = 0)
+          (r, mirror.read().count(), mirrorBytes)
+        }
+      println(s"[forget] mirror removed=${mBefore - mAfter} docs " +
+        s"files_reclaimed=${mReclaimed.size} bytes_reclaimed=${mBytesBefore - mBytesAfter} " +
+        s"mirror_version=${mirror.currentVersion.get}")
+      Seq(
+        ("forget_mirror_removed_docs", mBefore - mAfter),
+        ("forget_mirror_files_reclaimed", mReclaimed.size.toLong),
+        ("forget_mirror_bytes_reclaimed", mBytesBefore - mBytesAfter))
+    }
+    (Seq(
       ("forget_removed_docs", removed),
       ("forget_files_reclaimed", reclaimed.size.toLong),
-      ("forget_bytes_reclaimed", bytes))
+      ("forget_bytes_reclaimed", bytes)) ++ mirrorRows)
       .toDF("stage", "n_docs")
       .coalesce(1).write.mode("append").parquet(s"$outDir/report.parquet")
     println(s"[forget] removed=$removed docs files_reclaimed=${reclaimed.size} " +

@@ -21,12 +21,28 @@ import org.apache.spark.sql.SparkSession
   * (the same filesystem primitive the manifest claim rests on), body,
   * delete in a finally. A lock older than `staleMs` by the FILESYSTEM
   * clock (probe-file mtime, the [[SnapshotTable.vacuum]] discipline) is
-  * a crashed maintainer's leftover and is broken. SIZE `staleMs` ABOVE
-  * THE LONGEST EXPECTED PASS: a live maintainer that outlives the
-  * staleness window has its lock broken under it, and the zero-grace
-  * vacuum race this lock exists to prevent comes back — at a scale
-  * where a publish takes hours, pass hours (the cost of a too-large
-  * value is only how long a CRASHED maintainer blocks the next one).
+  * a crashed maintainer's leftover and is broken — ATOMICALLY, by
+  * renaming it to a unique tombstone: of two maintainers that both
+  * observe the same stale lock, only one rename can succeed, so only
+  * one proceeds to re-acquire (delete-then-create would let the second
+  * breaker's delete remove the first's FRESH lock, putting both inside
+  * the critical section — the double-vacuum the lock exists to
+  * prevent). A breaker that renamed a lock which turned out FRESH
+  * (stale observed, then released and re-acquired before the rename —
+  * a delayed breaker) restores it by renaming back and reports the
+  * lock held; if the restore loses a race with a new create-exclusive
+  * acquirer, the tombstone is left as debris (never read as a lock)
+  * and the breaker still reports held — the one residual interleaving,
+  * needing THREE maintainers inside one staleness window.
+  *
+  * SIZE `staleMs` ABOVE THE LONGEST EXPECTED PASS: a live maintainer
+  * that outlives the staleness window has its lock broken under it, and
+  * the zero-grace vacuum race this lock exists to prevent comes back —
+  * at a scale where a publish takes hours, pass hours (the cost of a
+  * too-large value is only how long a CRASHED maintainer blocks the
+  * next one). The default reads `SPARK_GRAFT_LOCK_STALE_MS` (env or
+  * system property) so deployments size it per store without touching
+  * every entry point; absent, 30 minutes.
   * ADVISORY: it
   * serializes writers that TAKE it (graft's own maintenance entry
   * points — CorpusForget, CorpusRun's publish block); a foreign writer
@@ -36,11 +52,25 @@ import org.apache.spark.sql.SparkSession
   */
 object StoreLock {
 
+  /** Deployment-sized staleness window: `SPARK_GRAFT_LOCK_STALE_MS`
+    * (system property first — test seam — then env), else 30 minutes.
+    * Every graft maintenance entry point inherits it, so one knob sizes
+    * the window to the store's longest pass. */
+  def defaultStaleMs: Long =
+    sys.props.get("SPARK_GRAFT_LOCK_STALE_MS")
+      .orElse(sys.env.get("SPARK_GRAFT_LOCK_STALE_MS"))
+      .map(_.toLong).getOrElse(30L * 60 * 1000)
+
+  /** Test seam: runs after this maintainer observed a stale lock and
+    * before its atomic rename-break — the window where a competing
+    * maintainer can break + re-acquire first. No-op in production. */
+  private[graft] var onBeforeBreak: () => Unit = () => ()
+
   /** Run `body` holding the store's maintenance lock; throws
     * [[ConcurrentModificationException]] if another maintainer holds a
     * fresh lock. */
   def withLock[A](spark: SparkSession, dir: String, owner: String,
-      staleMs: Long = 30L * 60 * 1000)(body: => A): A = {
+      staleMs: Long = defaultStaleMs)(body: => A): A = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(s"$dir/_maintenance.lock")
     if (!fs.exists(new Path(dir))) fs.mkdirs(new Path(dir))
@@ -53,15 +83,47 @@ object StoreLock {
       fs.delete(probe, false)
       t
     }
-    if (fs.exists(p) && fsNow - fs.getFileStatus(p).getModificationTime > staleMs)
-      fs.delete(p, false) // crashed maintainer's leftover
+    def held(cause: Throwable = null) = new ConcurrentModificationException(
+      s"maintenance lock at $p is held — another maintainer is mutating this store",
+      cause)
+    // staleness probe, tolerant of a holder releasing between the
+    // exists check and the stat (FileNotFound = lock gone, proceed)
+    val staleMtime =
+      try {
+        if (!fs.exists(p)) None
+        else Some(fs.getFileStatus(p).getModificationTime)
+          .filter(mt => fsNow - mt > staleMs)
+      } catch { case _: java.io.FileNotFoundException => None }
+    staleMtime.foreach { observedMtime =>
+      onBeforeBreak()
+      // ATOMIC break: rename the stale lock to a unique tombstone — at
+      // most one breaker's rename succeeds; the loser falls through to
+      // create-exclusive and fails loudly there if the winner holds
+      val tomb = new Path(dir, s"_maintenance.lock.broken-${java.util.UUID.randomUUID()}")
+      val renamed =
+        try fs.rename(p, tomb)
+        catch { case _: java.io.IOException => false }
+      if (renamed) {
+        // rename preserves mtime: if the renamed file is FRESH, a new
+        // holder acquired between our staleness probe and the rename —
+        // we just stole a live maintainer's lock; put it back and yield
+        val tombMtime =
+          try fs.getFileStatus(tomb).getModificationTime
+          catch { case _: java.io.FileNotFoundException => observedMtime }
+        if (fsNow - tombMtime > staleMs) fs.delete(tomb, false) // genuinely crashed
+        else {
+          val restored = try fs.rename(tomb, p)
+            catch { case _: java.io.IOException => false }
+          // restore can only fail if yet another acquirer claimed the
+          // path meanwhile — their lock stands, our tombstone is debris
+          if (!restored) fs.delete(tomb, false)
+          throw held()
+        }
+      }
+    }
     val out =
       try fs.create(p, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new ConcurrentModificationException(
-            s"maintenance lock at $p is held — another maintainer is mutating this store", e)
-      }
+      catch { case e: java.io.IOException => throw held(e) }
     try out.write(s"$owner\n".getBytes("UTF-8")) finally out.close()
     try body finally fs.delete(p, false)
   }

@@ -67,8 +67,24 @@ class CorpusRunSpec extends AnyFunSuite {
     val doomed = store.read().select("doc_id").orderBy("doc_id")
       .limit(3).collect().map(_.getLong(0))
     val before = store.read().count()
+    // a downstream replica holds its own copy of the doomed text: the
+    // mirror must be erased by the same invocation, or the forget has a
+    // replication hole
+    val mirOut = java.nio.file.Files.createTempDirectory("graft-corpus-fgt-mir").toString
+    val mirror = new graft.incremental.SnapshotTable(spark, s"$mirOut/corpus", "doc_id")
+    graft.incremental.SnapshotSync.sync(store, mirror, "doc_id")
+    assert(mirror.read().filter(col("doc_id").isin(doomed.map(Long.box): _*)).count() == 3)
 
-    CorpusForget.main(Array(out, doomed.mkString(",")))
+    CorpusForget.main(Array(out, doomed.mkString(","), mirOut))
+
+    // gone from the MIRROR's store, history, and files too
+    assert(mirror.read().filter(col("doc_id").isin(doomed.map(Long.box): _*)).count() == 0)
+    assert(mirror.history.size == 1,
+      s"mirror history must be forgotten too: ${mirror.history}")
+    // the next sync hits the retention fence (source retired the cursor
+    // version), full-refreshes, and feed-following resumes consistent
+    graft.incremental.SnapshotSync.sync(store, mirror, "doc_id")
+    assertSameRows(mirror.read(), store.read())
 
     // gone from the store — and from HISTORY: retire(1) dropped the
     // pre-delete versions, so time travel cannot resurrect the text
@@ -214,6 +230,43 @@ class CorpusRunSpec extends AnyFunSuite {
       sys.props.remove("SPARK_GRAFT_PUBLISH")
       sys.props.remove("SPARK_GRAFT_COMPACT_FILES")
     }
+  }
+
+  test("sweep CAS: a commit landing mid-analysis forces a re-derive — no fresh row deleted off a stale set") {
+    val s = spark
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-sweep-cas").toString
+    val store = new graft.incremental.SnapshotTable(spark, s"$out/corpus", "doc_id")
+    val longText = (1 to 60).map(i => s"tok$i").mkString(" ")
+    def docs(rows: (Long, String, Double)*) =
+      rows.map { case (id, t, q) => (id, t, q, "train", "en", "web") }
+        .toDF("doc_id", "text", "quality_score", "split", "lang", "source")
+    // 2 is a near-copy of 1 at lower quality — the analysis pass will
+    // derive {2} as the demotion set
+    store.create(docs(
+      (1L, longText, 0.9),
+      (2L, longText + " trailing addendum", 0.5),
+      (3L, "wholly different content about telescopes rivers and deep sea trenches", 0.7)))
+    // mid-analysis, a writer that does NOT take the maintenance lock
+    // rewrites doc 2 with unique content — the derived demotion set is
+    // now stale; an un-CAS'd delete would remove the fresh row
+    CorpusNearDupSweep.onAfterAnalyze = () => {
+      store.merge(docs((2L, "entirely novel text on glaciers meteor showers and tidal pools", 0.5)))
+      CorpusNearDupSweep.onAfterAnalyze = () => ()
+    }
+    try {
+      val (_, demoted) = CorpusNearDupSweep.sweep(spark, out)
+      // the retry re-derived from the fresh snapshot, where 2 is no
+      // longer anyone's near-dup — nothing to demote
+      assert(demoted == 0, s"re-derive still demoted $demoted docs — stale set applied?")
+    } finally CorpusNearDupSweep.onAfterAnalyze = () => ()
+    assert(store.read().filter(col("doc_id") === 2L).count() == 1,
+      "a row updated mid-sweep was deleted off the stale demotion set")
+    assert(store.read().count() == 3)
+    // sanity: absent the interleaving, the same store demotes the copy
+    store.merge(docs((2L, longText + " trailing addendum", 0.5)))
+    val (_, demoted2) = CorpusNearDupSweep.sweep(spark, out)
+    assert(demoted2 == 1 && store.read().filter(col("doc_id") === 2L).isEmpty)
   }
 
   test("indexed admission over id-ordered batches equals the batch funnel; re-runs are no-ops") {

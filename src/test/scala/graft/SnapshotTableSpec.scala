@@ -814,6 +814,56 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(!Files.exists(lock))
   }
 
+  test("StoreLock double-break race: of two maintainers breaking one stale lock, exactly one wins") {
+    import graft.incremental.StoreLock
+    val dir = freshDir()
+    val lock = java.nio.file.Paths.get(dir, "_maintenance.lock")
+    def plantStale(): Unit = {
+      Files.writeString(lock, "crashed\n")
+      Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    }
+    // M1 observes the stale lock; in M1's pre-break window M2 performs
+    // a COMPLETE break + re-acquire (the interleaving where the old
+    // delete-then-create protocol let M1's delete remove M2's FRESH
+    // lock and both proceed). M1's atomic rename now renames M2's fresh
+    // lock, detects the fresh mtime, restores it, and yields — exactly
+    // one maintainer inside the critical section.
+    plantStale()
+    StoreLock.onBeforeBreak = () => {
+      Files.delete(lock) // M2's break of the same stale lock...
+      Files.writeString(lock, "m2\n") // ...and its fresh re-acquire
+      StoreLock.onBeforeBreak = () => ()
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException](
+        StoreLock.withLock(spark, dir, "m1") { fail("m1 must not enter") })
+      assert(e.getMessage.contains("held"))
+    } finally StoreLock.onBeforeBreak = () => ()
+    // M2's fresh lock survived M1's aborted break, byte-identical...
+    assert(Files.readString(lock) == "m2\n", "the winner's lock must survive the loser's break")
+    // ...and no tombstone debris is left behind
+    val debris = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).filter(_.contains(".lock.broken-"))
+    assert(debris.isEmpty, s"break left tombstone debris: ${debris.mkString(",")}")
+    // after M2 releases, the next maintainer acquires normally
+    Files.delete(lock)
+    assert(StoreLock.withLock(spark, dir, "m3") { 7 } == 7)
+    // a GENUINELY stale lock still breaks atomically and admits the breaker
+    plantStale()
+    assert(StoreLock.withLock(spark, dir, "m4") { 8 } == 8)
+    assert(!Files.exists(lock))
+    // the staleMs env knob is honored (system-property seam)
+    sys.props("SPARK_GRAFT_LOCK_STALE_MS") = "1"
+    try {
+      Files.writeString(lock, "slow\n")
+      Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000L))
+      // 10 s old > 1 ms window: broken and acquired
+      assert(StoreLock.withLock(spark, dir, "m5") { 9 } == 9)
+    } finally sys.props.remove("SPARK_GRAFT_LOCK_STALE_MS")
+  }
+
   test("append adds files by reference; the full round-trip preserves schema and rows") {
     val tbl = new SnapshotTable(spark, freshDir(), "k")
     tbl.create(kv(1L -> "a"))
