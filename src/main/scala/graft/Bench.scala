@@ -267,6 +267,18 @@ object Bench {
         val mirStore = new graft.incremental.SnapshotTable(spark, s"$mirDir/corpus", "doc_id")
         opExec("corpus_mirror_cold")(
           graft.incremental.SnapshotSync.sync(corStore, mirStore, "doc_id"))
+        // warm sync ACROSS a compaction: stage a 5-doc merge + full
+        // optimize on the source (untimed), then time the sync — the
+        // op-aware feed applies only the merge's churn; the compacted
+        // mass never crosses (the r15 rewrite-op-aware change feed)
+        if (!opSelected.exists(!_.contains("corpus_mirror_warm"))) {
+          val touch = corStore.read().orderBy("doc_id").limit(5)
+            .withColumn("quality_score", org.apache.spark.sql.functions.lit(0.0))
+          corStore.merge(touch)
+          corStore.optimize(smallBytes = Long.MaxValue)
+        }
+        opExec("corpus_mirror_warm")(
+          graft.incremental.SnapshotSync.sync(corStore, mirStore, "doc_id"))
         // right-to-be-forgotten over the corpus this rep just published:
         // keyed DELETE (file-pruned COW) + retire + vacuum + re-export —
         // the erasure path a corpus store owes its sources, measured
@@ -290,6 +302,13 @@ object Bench {
         // too); feed-path application cost is spec-pinned at unit grain
         opExec("corpus_mirror_refresh")(
           graft.incremental.SnapshotSync.sync(corStore, mirStore, "doc_id"))
+        // streaming mirror cadence: manifest-file wake-ups drive one
+        // op-aware sync per micro-batch — cold copy, then a
+        // merge+compaction+delete wave applied as ONE delta (the main
+        // convergence-checks itself against a batch sync and fails red
+        // on divergence, StreamingRun conventions)
+        val smirDir = java.nio.file.Files.createTempDirectory("graft-bench-smir").toString
+        opExec("streaming_mirror")(StreamingMirrorRun.main(Array(sfDir, smirDir)))
         // indexed-admission twin (SPARK_GRAFT_INGEST_STATE): the cold
         // run builds the persisted ingest state from its admissions, the
         // warm run probes it — the funnel's exact-dedup stage at

@@ -736,7 +736,8 @@ object Soak {
     // shares the same partition/prune/rewrite path (SnapshotTableSpec
     // pins its pruning at unit grain).
     final case class SnapWalls(wall: Double, files: Int, touched: Int, rows: Long,
-        sparseWall: Double, sparseFiles: Int, sparseTouched: Int, syncWall: Double)
+        sparseWall: Double, sparseFiles: Int, sparseTouched: Int, syncWall: Double,
+        optSyncWall: Double)
     def snapshotWalls(d: String, dir: String): SnapWalls = {
       val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
       val nRows = docs.count()
@@ -803,9 +804,21 @@ object Soak {
       assert(mirror.read().count() == nRows, "mirror diverged from source rows")
       assert(mirror.read().filter(col("text") === "soak-sync payload").count() == 100,
         "mirror missed the synced update")
+      // sync across an optimize-ONLY interval: the rewrite-op-aware
+      // feed skips the compacted mass entirely — an empty feed applied
+      // as a tag-only cursor advance, so the wall must stay flat in
+      // TABLE size (the pre-r15 endpoint diff re-read the whole
+      // rewritten table here)
+      tbl.optimize(smallBytes = Long.MaxValue)
+      val t0o = System.nanoTime()
+      incremental.SnapshotSync.sync(tbl, mirror, "doc_id")
+      val optSyncWall = (System.nanoTime() - t0o) / 1e9
+      assert(mirror.history.last._3 == "tag",
+        s"optimize-only sync must advance tag-only, got ${mirror.history.last._3}")
+      assert(mirror.read().count() == nRows, "mirror diverged after compaction sync")
       SnapWalls(ts(ts.length / 2), filesBefore, filesBefore - carried, after,
         tsS(tsS.length / 2), sparseFiles, sparseFiles - sparseCarried,
-        tsSync(tsSync.length / 2))
+        tsSync(tsSync.length / 2), optSyncWall)
     }
     val runSnapshot = sys.env.get("SPARK_GRAFT_ONLY")
       .forall(_.split(",").map(_.trim).contains("snapshot_scale"))
@@ -839,6 +852,15 @@ object Soak {
       case (Some(b), Some(s)) => b.syncWall <= 0 || s.syncWall / b.syncWall <= 2.0
       case _ => true
     }
+    // post-compaction sync: an optimize-only feed is empty (tag-only
+    // mirror advance), so the wall is flat in table size — with an
+    // absolute floor, since both sides are sub-second manifest work
+    // where ratios are noise
+    val snapshotOptSyncOk = (snapB, snapS) match {
+      case (Some(b), Some(s)) =>
+        s.optSyncWall <= math.max(2.0 * b.optSyncWall, 1.0)
+      case _ => true
+    }
     (snapB, snapS) match {
       case (Some(b), Some(s)) =>
         println(f"[soak] snapshot_merge 1x: files ${b.files}%3d touched ${b.touched}%2d " +
@@ -852,6 +874,9 @@ object Soak {
         println(f"[soak] snapshot_mirror_sync 1x warm ${b.syncWall}%5.2f s; ${n}x warm ${s.syncWall}%5.2f s " +
           f"(fixed 100-doc churn: feed wall flat x${s.syncWall / b.syncWall}%4.2f ≤2.0) " +
           s"${if (snapshotSyncOk) "ok" else "FAIL"}")
+        println(f"[soak] snapshot_mirror_optsync 1x ${b.optSyncWall}%5.2f s; ${n}x ${s.optSyncWall}%5.2f s " +
+          "(optimize-only feed empty -> tag-only mirror advance, flat in table size) " +
+          s"${if (snapshotOptSyncOk) "ok" else "FAIL"}")
       case _ =>
     }
 
@@ -931,6 +956,7 @@ object Soak {
       (if (snapshotOk) Nil else Seq("snapshot_merge_pruning")) ++
       (if (snapshotSparseOk) Nil else Seq("snapshot_merge_sparse")) ++
       (if (snapshotSyncOk) Nil else Seq("snapshot_mirror_sync")) ++
+      (if (snapshotOptSyncOk) Nil else Seq("snapshot_mirror_optsync")) ++
       (if (incSparseOk) Nil else Seq("incremental_backdated"))
 
     val md = new StringBuilder

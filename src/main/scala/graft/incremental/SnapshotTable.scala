@@ -63,7 +63,9 @@ import org.apache.spark.sql.types._
   *     and terminator): readers tolerate it — a vanished manifest
   *     reads as absent and resolution falls back to the previous
   *     committed version — at the documented cost that reads are
-  *     snapshot-consistent but not monotonic under multi-writer races.
+  *     snapshot-consistent but not monotonic under multi-writer races
+  *     (the opt-in `monotonicReads` constructor flag gives a handle a
+  *     never-resolve-below-what-I-returned floor; see latestManifest).
   *     Callers pin the base explicitly with `expectedVersion` for
   *     compare-and-swap semantics.
   * A failed/crashed commit leaves only orphaned data files (never read;
@@ -104,7 +106,7 @@ import org.apache.spark.sql.types._
   * rejected loudly.
   */
 final class SnapshotTable(spark: SparkSession, dir: String, key: String,
-    clusterPartitions: Option[Int] = None) {
+    clusterPartitions: Option[Int] = None, monotonicReads: Boolean = false) {
 
   private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def manifestDir = new Path(s"$dir/manifests")
@@ -170,6 +172,10 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
 
   private def committedManifests: Seq[Manifest] = allVersions.flatMap(loadManifest)
 
+  /** The last manifest this handle resolved — the `monotonicReads`
+    * floor ([[latestManifest]]). */
+  private var lastSeen: Option[Manifest] = None
+
   /** The newest committed manifest, resolved in ONE listing pass — the
     * resolve-then-load callers need so a retraction racing between
     * "what is the current version?" and "load it" degrades to reading
@@ -180,11 +186,50 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * terminator write forces the post-check retraction), so two
     * successive resolves may go v6 → v5 while the interleaving
     * settles — reads are snapshot-consistent, not monotonic, under
-    * multi-writer races. */
-  private def latestManifest: Option[Manifest] = committedManifests.lastOption
+    * multi-writer races.
+    *
+    * `monotonicReads = true` closes that from the READER side: the
+    * handle never resolves below the version it last returned — when a
+    * fresh listing comes back LOWER (a racing loser's retraction
+    * settling, or history trimmed under the reader), the handle serves
+    * its cached manifest instead, so two successive resolves are
+    * at-worst "stale but monotonic", never v6 → v5. Per-HANDLE
+    * session semantics (the cache is this instance's), and bounded by
+    * the vacuum grace window: a retracted version's files are orphans,
+    * so a handle floored on one must re-resolve (any commit landing
+    * releases the floor forward) before an aggressive vacuum reclaims
+    * them — the floor is for the seconds-wide retraction race, not
+    * long-term version pinning. */
+  private def latestManifest: Option[Manifest] = {
+    val fresh = committedManifests.lastOption
+    if (!monotonicReads) fresh
+    else this.synchronized {
+      val pick = (fresh, lastSeen) match {
+        case (Some(f), Some(seen)) if f.version < seen.version => lastSeen
+        case (None, Some(_)) => lastSeen
+        case _ => fresh
+      }
+      lastSeen = pick
+      pick
+    }
+  }
 
   private def requireManifest: Manifest = latestManifest.getOrElse(
     throw new IllegalStateException(s"no snapshot table at $dir"))
+
+  /** One-pass resolve for the mutating entry points (merge / delete /
+    * applyDelta): the manifest the write derives from, with the CAS
+    * check against it — replacing the old resolve-version-then-load
+    * pair, which both listed twice and NPE'd if the resolved version's
+    * manifest was retracted between the two listings. */
+  private def resolveForWrite(expectedVersion: Option[Long]): Manifest = {
+    val m = latestManifest.getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir — create() first"))
+    expectedVersion.filter(_ != m.version).foreach(v =>
+      throw new ConcurrentModificationException(
+        s"table at $dir is at version ${m.version}, caller expected $v"))
+    m
+  }
 
   /** Latest committed version, if the table exists. */
   def currentVersion: Option[Long] = latestManifest.map(_.version)
@@ -668,11 +713,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * data — one fact, as always. Requires `v` still within the
     * retention window. */
   def restore(v: Long, expectedVersion: Option[Long] = None): Long = {
-    val cur = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no snapshot table at $dir"))
-    expectedVersion.filter(_ != cur).foreach(e =>
-      throw new ConcurrentModificationException(
-        s"table at $dir is at version $cur, caller expected $e"))
+    val cur = resolveForWrite(expectedVersion).version
     val m = loadManifest(v).getOrElse(
       throw new IllegalStateException(s"no committed version $v at $dir to restore"))
     commit(cur, "restore", m.schema, m.entries, m.tag.getOrElse(""))
@@ -811,12 +852,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * two-step every snapshot table format has. */
   def delete(keys: DataFrame, expectedVersion: Option[Long] = None,
       tag: String = ""): Long = {
-    val cur = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no snapshot table at $dir — create() first"))
-    expectedVersion.filter(_ != cur).foreach(v =>
-      throw new ConcurrentModificationException(
-        s"table at $dir is at version $cur, caller expected $v"))
-    val m = loadManifest(cur).get
+    val m = resolveForWrite(expectedVersion)
     require(keys.schema.fieldNames.contains(key),
       s"delete keys must carry the table key column $key")
     val ks = keys.select(col(key)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -847,12 +883,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * interloper's rows. */
   def merge(source: DataFrame, expectedVersion: Option[Long] = None,
       tag: String = ""): Long = {
-    val cur = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no snapshot table at $dir — create() first"))
-    expectedVersion.filter(_ != cur).foreach(v =>
-      throw new ConcurrentModificationException(
-        s"table at $dir is at version $cur, caller expected $v"))
-    val m = loadManifest(cur).get
+    val m = resolveForWrite(expectedVersion)
     val evolved = evolveSchema(m.schema, source.schema)
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -883,12 +914,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * evolution, and CAS contracts as [[merge]]. */
   def applyDelta(upserts: DataFrame, deleteKeys: DataFrame,
       expectedVersion: Option[Long] = None, tag: String = ""): Long = {
-    val cur = currentVersion.getOrElse(
-      throw new IllegalStateException(s"no snapshot table at $dir — create() first"))
-    expectedVersion.filter(_ != cur).foreach(v =>
-      throw new ConcurrentModificationException(
-        s"table at $dir is at version $cur, caller expected $v"))
-    val m = loadManifest(cur).get
+    val m = resolveForWrite(expectedVersion)
     require(deleteKeys.schema.fieldNames.contains(key),
       s"applyDelta delete keys must carry the table key column $key")
     val evolved = evolveSchema(m.schema, upserts.schema)

@@ -88,16 +88,29 @@ object Multimodal {
       }
   }
 
-  /** Binary PGM (P5) — the one REAL media format this engine decodes
-    * end-to-end: an uncompressed grayscale raster with a ~3-token ASCII
-    * header, so the full decode is ~25 dependency-free lines and the
-    * downstream perceptual machinery (dHash gradients, feature bands)
-    * runs on ACTUAL pixels instead of hash-derived fakes. Compressed
+  /** Binary PGM (P5) and PPM (P6) — the REAL media formats this engine
+    * decodes end-to-end: uncompressed rasters with a ~3-token ASCII
+    * header, so the full decode is dependency-free and the downstream
+    * perceptual machinery (dHash gradients, feature bands) runs on
+    * ACTUAL pixels instead of hash-derived fakes. P6's three-channel
+    * raster converts to gray via the ITU-R 601 luma weights, proving
+    * the decode seam generalizes past single-channel. Compressed
     * formats (JPEG/PNG/audio codecs) stay stubbed behind the same
     * [[Decoder]] seam — this container has no codec libraries — but the
-    * seam itself is now proven against a true format, not only the
-    * deterministic fake. */
+    * seam itself is proven against true formats, not only the
+    * deterministic fake.
+    *
+    * HOSTILE-INPUT CONTRACT: decode returns None on anything
+    * malformed — oversized/overflowing dimensions, short rasters,
+    * truncated headers — never throws, so a corrupt payload in a
+    * 100 TB corpus falls back to the stub tier instead of killing the
+    * Spark task. */
   object Pgm {
+
+    /** Dimensions above this are rejected as hostile (a legitimate
+      * uncompressed raster this size would not travel as one payload
+      * cell); also keeps `w*h*channels` far from Int overflow. */
+    private val MaxDim = 1 << 20
 
     /** P5 payload for a `width`×`height` raster (row-major, maxval 255). */
     def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
@@ -110,12 +123,35 @@ object Multimodal {
       out
     }
 
-    /** Parse a binary PGM payload → (width, height, row-major gray
-      * bytes). None when the payload is not P5 (magic mismatch, short
-      * raster, maxval > 255) — callers fall back to the stub tier.
+    /** P6 payload for a `width`×`height` RGB raster (row-major
+      * interleaved r,g,b — 3 bytes per pixel, maxval 255). */
+    def encodeP6(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == 3 * width * height,
+        s"rgb raster is ${rgb.length} bytes, expected ${3 * width * height}")
+      val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + rgb.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(rgb, 0, out, header.length, rgb.length)
+      out
+    }
+
+    /** Parse a binary PGM/PPM payload → (width, height, row-major GRAY
+      * bytes): P5 rasters pass through; P6 rasters convert per-pixel by
+      * the ITU-R 601 luma (299r + 587g + 114b) / 1000 — the standard
+      * integer-exact grayscale reduction — so every downstream consumer
+      * ([[dHash]], band features) sees one channel regardless of source
+      * format. None when the payload is neither (magic mismatch, short
+      * raster, maxval > 255) or malformed (dimension tokens past
+      * [[MaxDim]] or Long range, truncated raster) — callers fall back
+      * to the stub tier; this parser NEVER throws on hostile bytes.
       * Handles the format's whitespace/`#`-comment header grammar. */
     def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-      if (payload.length < 7 || payload(0) != 'P' || payload(1) != '5') return None
+      if (payload.length < 7 || payload(0) != 'P') return None
+      val channels = payload(1) match {
+        case '5' => 1
+        case '6' => 3
+        case _ => return None
+      }
       var i = 2
       def skipWs(): Unit = {
         var go = true
@@ -126,11 +162,20 @@ object Multimodal {
           else go = false
         }
       }
+      // Long accumulation with a hard cap: a hostile digit run (e.g.
+      // "99999999999999") must parse to None, not throw from toInt or
+      // wrap into a small value that passes the raster-length guard
       def int(): Option[Int] = {
         skipWs()
         val s = i
-        while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') i += 1
-        if (i == s) None else Some(new String(payload, s, i - s, "US-ASCII").toInt)
+        var v = 0L
+        var overflow = false
+        while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+          v = v * 10 + (payload(i) - '0')
+          if (v > MaxDim) overflow = true
+          i += 1
+        }
+        if (i == s || overflow) None else Some(v.toInt)
       }
       for {
         w <- int(); h <- int(); maxval <- int()
@@ -138,8 +183,26 @@ object Multimodal {
         // exactly ONE whitespace byte separates maxval from the raster
         _ <- if (i < payload.length) Some(()) else None
         raster = { i += 1; payload.drop(i) }
-        if raster.length >= w * h
-      } yield (w, h, raster.take(w * h))
+        // Long arithmetic: w*h*channels can exceed Int range even with
+        // both dims under MaxDim — an Int product could wrap small
+        // (65536² → 0) and pass, sending dHash out of bounds later
+        n = w.toLong * h * channels
+        if n <= Int.MaxValue && raster.length >= n
+      } yield {
+        if (channels == 1) (w, h, raster.take(n.toInt))
+        else {
+          val gray = new Array[Byte]((n / 3).toInt)
+          var p = 0
+          while (p < gray.length) {
+            val r = raster(3 * p) & 0xff
+            val g = raster(3 * p + 1) & 0xff
+            val b = raster(3 * p + 2) & 0xff
+            gray(p) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+            p += 1
+          }
+          (w, h, gray)
+        }
+      }
     }
 
     /** 64-bit perceptual difference hash over REAL pixels: the raster
@@ -177,13 +240,16 @@ object Multimodal {
     }
   }
 
-  /** Real-format decoder tier: PGM payloads decode to actual pixels and
-    * the features are `dim` horizontal-band mean intensities in [0,1]
-    * (a real, explainable image statistic); checksum is the perceptual
-    * [[Pgm.dHash]] so downstream Hamming machinery can consume it
-    * directly. Non-PGM payloads fall back to the [[FakeDecoder]] stub —
-    * one mixed corpus, each payload decoded by the deepest tier that
-    * understands it, through the SAME partition-batched seam. */
+  /** Real-format decoder tier: PGM (P5) and PPM (P6, luma-reduced)
+    * payloads decode to actual pixels and the features are `dim`
+    * horizontal-band mean intensities in [0,1] (a real, explainable
+    * image statistic); checksum is the perceptual [[Pgm.dHash]] so
+    * downstream Hamming machinery can consume it directly. Payloads in
+    * neither format — including corrupt/hostile rasters, which
+    * [[Pgm.decode]] rejects rather than throws on — fall back to the
+    * [[FakeDecoder]] stub: one mixed corpus, each payload decoded by
+    * the deepest tier that understands it, through the SAME
+    * partition-batched seam. */
   final case class PgmDecoder(dim: Int = 16) extends Decoder {
     private val fallback = FakeDecoder(dim)
     override def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =

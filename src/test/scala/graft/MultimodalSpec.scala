@@ -267,4 +267,89 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("media_id"), col("checksum"), col("features")))
     assert(p1 == p7)
   }
+
+  test("P6 tier: RGB rasters luma-reduce into the same dHash path; a mixed P5/P6/stub corpus tiers per payload") {
+    val s = spark
+    import s.implicits._
+    val (w, h) = (24, 16)
+    def gray(f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w * h)(i => f(i % w, i / w).toByte)
+    def rgbOf(r: (Int, Int) => Int, g: (Int, Int) => Int, b: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(3 * w * h) { j =>
+        val p = j / 3; val (x, y) = (p % w, p / w)
+        (j % 3 match { case 0 => r(x, y); case 1 => g(x, y); case 2 => b(x, y) }).toByte
+      }
+    val ramp = gray((x, _) => x * 8)
+    // a NEUTRAL (r=g=b) P6 of the same scene: luma reduction must make
+    // it pixel-identical to its P5 twin — one dHash, either format
+    val neutralP6 = Multimodal.Pgm.encodeP6(w, h,
+      rgbOf((x, _) => x * 8, (x, _) => x * 8, (x, _) => x * 8))
+    val decodedP6 = Multimodal.Pgm.decode(neutralP6)
+    assert(decodedP6.exists { case (dw, dh, px) =>
+      dw == w && dh == h && px.sameElements(ramp) },
+      "neutral RGB must luma-reduce to its gray twin exactly")
+    // ITU-R 601 spot check: pure red/green/blue pixels weigh 299/587/114
+    val onePx = Multimodal.Pgm.decode(
+      Multimodal.Pgm.encodeP6(1, 1, Array(255.toByte, 0, 0))).get._3(0) & 0xff
+    assert(onePx == 255 * 299 / 1000, s"red luma $onePx")
+    val onePxG = Multimodal.Pgm.decode(
+      Multimodal.Pgm.encodeP6(1, 1, Array(0, 255.toByte, 0))).get._3(0) & 0xff
+    assert(onePxG == 255 * 587 / 1000, s"green luma $onePxG")
+    // chroma-only difference: same luma plane → same dHash as the P5
+    def mediaOf(rows: (Long, Array[Byte])*) = rows.toSeq.toDF("media_id", "payload")
+      .select(col("media_id"),
+        struct(lit("image").as("media_type"), lit(w).as("width"),
+          lit(h).as("height"), lit(0).as("sample_rate"),
+          lit(1).as("n_frames")).as("meta"),
+        col("payload"))
+    val fake = "fake-encoded blob".getBytes
+    val media = mediaOf(
+      1L -> Multimodal.Pgm.encode(w, h, ramp), // P5 tier
+      2L -> neutralP6,                         // P6 tier, same scene
+      3L -> fake)                              // stub tier
+    val feats = Multimodal.extractFeatures(media, decoder = Multimodal.PgmDecoder())
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).checksum == feats(2L).checksum,
+      "a P6 of the same scene must dHash identically to its P5 twin")
+    assert(feats(1L).features.toSeq == feats(2L).features.toSeq)
+    val stub = Multimodal.FakeDecoder().decodeBatch(Iterator(
+      Multimodal.MediaRow(3L,
+        Multimodal.MediaMeta("image", w, h, 0, 1), fake))).next()
+    assert(feats(3L).checksum == stub.checksum, "non-raster payload must stub-tier")
+  }
+
+  test("hostile payloads: oversized/overflowing headers and truncated rasters reject to the stub tier, never throw") {
+    val s = spark
+    import s.implicits._
+    val hostile: Seq[(Long, Array[Byte])] = Seq(
+      // digit run past Long-safe accumulation (old parser: toInt throws)
+      10L -> "P5\n99999999999999999999 5\n255\nxxxx".getBytes("US-ASCII"),
+      // 65536×65536: Int product wraps to 0, old guard passed → dHash OOB
+      11L -> ("P5\n65536 65536\n255\n" + "x" * 64).getBytes("US-ASCII"),
+      // dims just past the sanity cap
+      12L -> ("P6\n2000000 2\n255\n" + "x" * 64).getBytes("US-ASCII"),
+      // truncated header (no raster separator byte)
+      13L -> "P5\n4 4\n255".getBytes("US-ASCII"),
+      // P6 with only a gray-sized raster (needs 3×)
+      14L -> ("P6\n4 4\n255\n" + "x" * 16).getBytes("US-ASCII"),
+      // maxval past 8-bit
+      15L -> ("P5\n2 2\n65535\n" + "x" * 8).getBytes("US-ASCII"))
+    hostile.foreach { case (id, p) =>
+      assert(Multimodal.Pgm.decode(p).isEmpty, s"hostile payload $id must reject") }
+    // through the Spark seam: every hostile row lands via the stub
+    // tier with the task alive, bit-identical to FakeDecoder
+    val media = hostile.toDF("media_id", "payload")
+      .select(col("media_id"),
+        struct(lit("image").as("media_type"), lit(4).as("width"),
+          lit(4).as("height"), lit(0).as("sample_rate"),
+          lit(1).as("n_frames")).as("meta"),
+        col("payload"))
+    val feats = Multimodal.extractFeatures(media, decoder = Multimodal.PgmDecoder())
+      .collect().map(f => f.media_id -> f.checksum).toMap
+    hostile.foreach { case (id, p) =>
+      val stub = Multimodal.FakeDecoder().decodeBatch(Iterator(
+        Multimodal.MediaRow(id, Multimodal.MediaMeta("image", 4, 4, 0, 1), p))).next()
+      assert(feats(id) == stub.checksum, s"payload $id did not stub-tier")
+    }
+  }
 }

@@ -650,6 +650,19 @@ class SnapshotTableSpec extends AnyFunSuite {
     intercept[IllegalStateException](SnapshotSync.sync(src, foreign, "k"))
   }
 
+  test("StreamingMirrorRun main: the online mirror cadence converges to the batch sync end-to-end") {
+    val dir = freshDir()
+    // the main stages create → stream-drain → merge+optimize+delete →
+    // stream-drain and sys.errors unless the streamed mirror equals
+    // both the source and an independent batch sync, with a
+    // cold-copy + one-delta commit shape (no optimize mass crossed)
+    StreamingMirrorRun.main(Array("/root/testdata/sf0.001", dir))
+    val src = new SnapshotTable(spark, s"$dir/source", "doc_id")
+    val mir = new SnapshotTable(spark, s"$dir/mirror", "doc_id")
+    assertSameRows(mir.read(), src.read())
+    assert(mir.history.map(_._3) == Seq("create", "delta"))
+  }
+
   test("readKeys opens only the files that can hold a requested key — scattered ids stay sparse") {
     val s = spark
     import s.implicits._
@@ -812,6 +825,34 @@ class SnapshotTableSpec extends AnyFunSuite {
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
     assert(StoreLock.withLock(spark, dir, "f") { 3 } == 3)
     assert(!Files.exists(lock))
+  }
+
+  test("monotonicReads: a handle never resolves below the version it last returned") {
+    val dir = freshDir()
+    val writer = new SnapshotTable(spark, dir, "k")
+    val v0 = writer.create(kv(1L -> "a"))
+    val v1 = writer.merge(kv(1L -> "b", 2L -> "c"))
+    val floored = new SnapshotTable(spark, dir, "k", monotonicReads = true)
+    val plain = new SnapshotTable(spark, dir, "k")
+    assertSameRows(floored.read(), kv(1L -> "b", 2L -> "c")) // floor now at v1
+    // stage the retraction race's reader-visible symptom: v1's manifest
+    // vanishes after the handle observed it (a racing loser retracting,
+    // or history trimmed under the reader)
+    val m1 = java.nio.file.Paths.get(dir, "manifests", f"v$v1%019d.json")
+    java.nio.file.Files.delete(m1)
+    // a plain handle regresses to v0 — snapshot-consistent but v1 → v0
+    assert(plain.currentVersion.contains(v0))
+    assertSameRows(plain.read(), kv(1L -> "a"))
+    // the floored handle serves its cached v1: stale-but-monotonic,
+    // never a backwards jump (data files are immutable and still live
+    // inside the vacuum grace window)
+    assert(floored.currentVersion.contains(v1))
+    assertSameRows(floored.read(), kv(1L -> "b", 2L -> "c"))
+    // any commit landing at-or-above the floor releases it forward
+    val v2 = writer.merge(kv(3L -> "d"))
+    assert(v2 >= v1)
+    assert(floored.currentVersion.contains(v2))
+    assert(floored.read().count() == writer.read().count())
   }
 
   test("StoreLock double-break race: of two maintainers breaking one stale lock, exactly one wins") {
