@@ -67,7 +67,8 @@ object CorpusForget {
     // the lock (graft.incremental.StoreLock) serializes this pass
     // against CorpusRun's publish block instead of assuming quiescence.
     val (reclaimed, after, bytesAfter) =
-      graft.incremental.StoreLock.withLock(spark, s"$outDir/corpus", "CorpusForget") {
+      graft.incremental.StoreLock.withLock(spark, s"$outDir/corpus", "CorpusForget",
+          renewEveryMs = graft.incremental.StoreLock.defaultStaleMs / 3) {
         // 1. atomic keyed DELETE (file-pruned copy-on-write)
         store.delete(ids.toDF("doc_id"), tag = s"forget:${ids.size}")
         // 2. true forget: retire pre-delete history, reclaim its files now
@@ -108,7 +109,8 @@ object CorpusForget {
       val cursor = mirror.currentTag.getOrElse(s"forget:${ids.size}")
       val (mReclaimed, mAfter, mBytesAfter) =
         graft.incremental.StoreLock.withLock(
-          spark, s"$mirrorOutDir/corpus", "CorpusForget") {
+          spark, s"$mirrorOutDir/corpus", "CorpusForget",
+          renewEveryMs = graft.incremental.StoreLock.defaultStaleMs / 3) {
           mirror.delete(ids.toDF("doc_id"), tag = cursor)
           mirror.retire(keepLast = 1)
           val r = mirror.vacuum(graceMs = 0)

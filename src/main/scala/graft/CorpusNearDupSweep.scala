@@ -56,7 +56,8 @@ object CorpusNearDupSweep {
     val store = new SnapshotTable(spark, s"$outDir/corpus", "doc_id")
     require(store.exists, s"no corpus store at $outDir/corpus — run CorpusRun first")
 
-    StoreLock.withLock(spark, s"$outDir/corpus", "CorpusNearDupSweep") {
+    StoreLock.withLock(spark, s"$outDir/corpus", "CorpusNearDupSweep",
+        renewEveryMs = StoreLock.defaultStaleMs / 3) {
       var attempt = 0
       var result: Option[(Long, Long)] = None
       while (result.isEmpty) {

@@ -359,7 +359,8 @@ object CorpusRun {
       // publish + maintenance under the store's advisory lock, so a
       // concurrent CorpusForget's zero-grace vacuum can never reclaim
       // this run's staged-but-uncommitted files (StoreLock scaladoc)
-      graft.incremental.StoreLock.withLock(spark, s"$outDir/corpus", "CorpusRun") {
+      graft.incremental.StoreLock.withLock(spark, s"$outDir/corpus", "CorpusRun",
+          renewEveryMs = graft.incremental.StoreLock.defaultStaleMs / 3) {
       if (flag("SPARK_GRAFT_PUBLISH").contains("accumulate") && store.exists) {
         store.merge(out, tag = tag)
         println(s"[corpus] corpus store <- batch merged (accumulate mode, " +

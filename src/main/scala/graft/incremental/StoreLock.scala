@@ -35,12 +35,18 @@ import org.apache.spark.sql.SparkSession
   * and the breaker still reports held — the one residual interleaving,
   * needing THREE maintainers inside one staleness window.
   *
-  * SIZE `staleMs` ABOVE THE LONGEST EXPECTED PASS: a live maintainer
-  * that outlives the staleness window has its lock broken under it, and
-  * the zero-grace vacuum race this lock exists to prevent comes back —
-  * at a scale where a publish takes hours, pass hours (the cost of a
-  * too-large value is only how long a CRASHED maintainer blocks the
-  * next one). The default reads `SPARK_GRAFT_LOCK_STALE_MS` (env or
+  * SIZE `staleMs` ABOVE THE LONGEST EXPECTED PASS — or let RENEWAL
+  * carry it: `renewEveryMs > 0` starts a daemon that refreshes the
+  * lock's mtime (filesystem-clock, same probe discipline) on that
+  * cadence, so a LIVE maintainer never ages into breakability no
+  * matter how long its pass runs, while a CRASHED one stops renewing
+  * and is broken within `staleMs` as before. graft's own entry points
+  * renew at `staleMs / 3`, making the window a crash-detection latency
+  * instead of a must-exceed-the-pass estimate. A renewal that finds
+  * the lock gone or owned by someone else (a breaker raced a renewal
+  * gap) stops renewing and raises a flag the release checks — the pass
+  * still finishes, but the violation is loud, not silent. The default
+  * window reads `SPARK_GRAFT_LOCK_STALE_MS` (env or
   * system property) so deployments size it per store without touching
   * every entry point; absent, 30 minutes.
   * ADVISORY: it
@@ -68,9 +74,11 @@ object StoreLock {
 
   /** Run `body` holding the store's maintenance lock; throws
     * [[ConcurrentModificationException]] if another maintainer holds a
-    * fresh lock. */
+    * fresh lock. `renewEveryMs > 0` keeps the lock's mtime fresh on
+    * that cadence while `body` runs (see class doc) — pass
+    * `staleMs / 3` so a live pass of ANY length stays unbreakable. */
   def withLock[A](spark: SparkSession, dir: String, owner: String,
-      staleMs: Long = defaultStaleMs)(body: => A): A = {
+      staleMs: Long = defaultStaleMs, renewEveryMs: Long = 0L)(body: => A): A = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new Path(s"$dir/_maintenance.lock")
     if (!fs.exists(new Path(dir))) fs.mkdirs(new Path(dir))
@@ -121,10 +129,57 @@ object StoreLock {
         }
       }
     }
+    // the lock body carries owner + a per-acquisition token, so a
+    // renewal (and the release) can tell OUR lock from a breaker's
+    val token = s"$owner ${java.util.UUID.randomUUID()}\n"
     val out =
       try fs.create(p, false)
       catch { case e: java.io.IOException => throw held(e) }
-    try out.write(s"$owner\n".getBytes("UTF-8")) finally out.close()
-    try body finally fs.delete(p, false)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+    def content(): Option[String] =
+      try {
+        val in = fs.open(p)
+        try {
+          val acc = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](256)
+          var n = in.read(buf)
+          while (n > 0) { acc.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(acc.toByteArray, "UTF-8"))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
+    @volatile var renewing = true
+    @volatile var lost = false
+    val renewer =
+      if (renewEveryMs <= 0) None
+      else {
+        val t = new Thread(() => {
+          try {
+            while (renewing) {
+              Thread.sleep(renewEveryMs)
+              if (renewing) {
+                // refresh mtime on the FILESYSTEM clock; a lock that is
+                // gone or re-owned means a breaker raced a renewal gap —
+                // stop renewing and flag, never renew someone else's lock
+                if (content().contains(token)) fs.setTimes(p, fsNow, -1)
+                else { lost = true; renewing = false }
+              }
+            }
+          } catch { case _: InterruptedException => () }
+        }, s"storelock-renew-$owner")
+        t.setDaemon(true)
+        t.start()
+        Some(t)
+      }
+    try body
+    finally {
+      renewing = false
+      renewer.foreach { t => t.interrupt(); t.join(1000) }
+      if (lost) System.err.println(s"[storelock] WARNING: maintenance lock at $p " +
+        s"was broken under live owner $owner mid-pass — staleMs too small for an " +
+        "unrenewed stretch, or a foreign breaker; mutual exclusion was violated")
+      // release only OUR lock: after a mid-pass break the path may hold
+      // another maintainer's fresh lock, which must survive our exit
+      if (content().contains(token)) fs.delete(p, false)
+    }
   }
 }

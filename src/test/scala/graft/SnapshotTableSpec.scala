@@ -905,6 +905,37 @@ class SnapshotTableSpec extends AnyFunSuite {
     } finally sys.props.remove("SPARK_GRAFT_LOCK_STALE_MS")
   }
 
+  test("StoreLock renewal: a live pass outlasting staleMs stays unbreakable; release spares a stolen lock") {
+    import graft.incremental.StoreLock
+    val dir = freshDir()
+    val lock = java.nio.file.Paths.get(dir, "_maintenance.lock")
+    // a pass 2.5x longer than staleMs: the renewal daemon keeps the
+    // mtime fresh, so a competitor mid-pass sees HELD (unrenewed, the
+    // lock would age stale and be broken under the live maintainer)
+    val competitorHeld = StoreLock.withLock(spark, dir, "long-pass",
+      staleMs = 800, renewEveryMs = 150) {
+      Thread.sleep(2000)
+      val e = intercept[ConcurrentModificationException](
+        StoreLock.withLock(spark, dir, "competitor", staleMs = 800) {
+          fail("competitor must not enter a renewed lock")
+        })
+      e.getMessage.contains("held")
+    }
+    assert(competitorHeld, "competitor broke a LIVE renewed lock")
+    assert(!Files.exists(lock), "lock must release after the long pass")
+    // mid-pass theft (a foreign breaker ignoring the renewal): the
+    // victim's release must NOT delete the thief's lock — it releases
+    // only a lock that still carries its own token
+    StoreLock.withLock(spark, dir, "victim", staleMs = 60000, renewEveryMs = 100) {
+      Files.delete(lock)
+      Files.writeString(lock, "thief\n")
+      Thread.sleep(400) // a renewal tick observes the theft and stands down
+    }
+    assert(Files.readString(lock) == "thief\n",
+      "release deleted a lock it no longer owned")
+    Files.delete(lock)
+  }
+
   test("append adds files by reference; the full round-trip preserves schema and rows") {
     val tbl = new SnapshotTable(spark, freshDir(), "k")
     tbl.create(kv(1L -> "a"))
