@@ -170,6 +170,19 @@ object SparkEntry {
         tbl.readKeys(docs.filter(col("doc_id") % 731 === 5).select("doc_id")),
         scratch)
     }),
+    // data-skipping read on a SECONDARY column: the store is keyed and
+    // clustered on doc_id but the predicate is on n_chars — per-file
+    // [min,max] column stats recorded at write time (statsColumns)
+    // prune files at the manifest level before the scan opens them
+    // (SnapshotTable.readWhere), the non-key twin of corpus_range_read
+    "corpus_stats_read" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-stats").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
+        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
+      tbl.create(docs)
+      materializeAndClean(tbl.readWhere("n_chars", Some(200L), Some(400L)), scratch)
+    }),
     // row-level change feed between two store versions: updates surface
     // as removed/added pairs, inserts as added — manifest-diff pruned
     // (files carried by path between the versions are never read), and
@@ -1302,6 +1315,8 @@ object SparkEntry {
       "SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 299",
     "corpus_keys_read" ->
       "SELECT * FROM documents WHERE doc_id % 731 = 5",
+    "corpus_stats_read" ->
+      "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
     "corpus_apply_delta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,

@@ -32,7 +32,9 @@ import org.apache.spark.sql.types._
   * }}}
   * A manifest is line-oriented: `#`-prefixed header (parent version,
   * operation, key column, schema JSON), one entry per data file
-  * (relative path, row count, key kind, encoded key min/max), and a
+  * (relative path, row count, key kind, encoded key min/max — plus one
+  * `s` line per tracked SECONDARY stats column: path, column, kind,
+  * encoded min/max, feeding [[readWhere]]'s data skipping), and a
   * trailing `#commit` terminator. A manifest WITHOUT the terminator is
   * torn (writer crashed mid-write) and is ignored by readers; the next
   * writer simply claims the next free version number, so a torn commit
@@ -106,7 +108,24 @@ import org.apache.spark.sql.types._
   * rejected loudly.
   */
 final class SnapshotTable(spark: SparkSession, dir: String, key: String,
-    clusterPartitions: Option[Int] = None, monotonicReads: Boolean = false) {
+    clusterPartitions: Option[Int] = None, monotonicReads: Boolean = false,
+    statsColumns: Seq[String] = Nil) {
+
+  /** Secondary data-skipping columns: every staged file also records
+    * encoded [min,max] for these (one extra agg column pair in the
+    * SAME stats pass — no extra scan), and [[readWhere]] prunes files
+    * on them the way [[readRange]] prunes on the key. Files written
+    * before a column was tracked (or by a handle not tracking it)
+    * simply have no stats for it and stay conservatively unpruned, so
+    * the setting can differ between handles and evolve over a table's
+    * life without rewrites. Skipping sharpness follows the physical
+    * clustering: files are key-clustered, so a stats column correlated
+    * with the key (an id-derived timestamp, a monotone ingest week)
+    * prunes tightly, an uncorrelated one prunes only what its natural
+    * per-file spread allows — the standard column-stats contract. */
+  private val statCols: Seq[String] = statsColumns.distinct.filterNot(_ == key)
+  statCols.foreach(c => require(!c.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+    s"stats column name ${c} must not contain tab/newline (manifest is line-oriented)"))
 
   private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def manifestDir = new Path(s"$dir/manifests")
@@ -114,11 +133,18 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
 
   /** One immutable data file: table-relative path + row count + the
     * key's encoded [min,max] ("num": decimal string; "str": Base64 of
-    * the UTF-8 bytes; "opaque": no stats, always overlaps). */
+    * the UTF-8 bytes; "opaque": no stats, always overlaps), plus
+    * per-column secondary stats (column → (kind, min, max)) for the
+    * handle's [[statsColumns]] — serialized as `s` lines after the
+    * file's `f` line, ignored by readers that do not know the column. */
   private final case class Entry(path: String, rows: Long, kind: String,
-      min: Option[String], max: Option[String]) {
+      min: Option[String], max: Option[String],
+      stats: Map[String, (String, Option[String], Option[String])] = Map.empty) {
     def line: String = Seq("f", path, rows.toString, kind,
       min.getOrElse(""), max.getOrElse("")).mkString("\t")
+    def statLines: Seq[String] = stats.toSeq.sortBy(_._1).map { case (c, (k, mn, mx)) =>
+      Seq("s", path, c, k, mn.getOrElse(""), mx.getOrElse("")).mkString("\t")
+    }
   }
 
   private final case class Manifest(version: Long, parent: Long, op: String,
@@ -160,10 +186,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     if (!lines.lastOption.contains("#commit")) return None // torn — ignore
     val header = lines.filter(_.startsWith("#")).map(_.split(" ", 2))
       .collect { case Array(k, value) => k -> value }.toMap
+    val statsByPath = lines.filter(_.startsWith("s\t")).map { l =>
+      val f = l.split("\t", -1)
+      f(1) -> (f(2) -> ((f(3), Some(f(4)).filter(_.nonEmpty), Some(f(5)).filter(_.nonEmpty))))
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toMap }
     val entries = lines.filter(_.startsWith("f\t")).map { l =>
       val f = l.split("\t", -1)
       Entry(f(1), f(2).toLong, f(3),
-        Some(f(4)).filter(_.nonEmpty), Some(f(5)).filter(_.nonEmpty))
+        Some(f(4)).filter(_.nonEmpty), Some(f(5)).filter(_.nonEmpty),
+        statsByPath.getOrElse(f(1), Map.empty))
     }
     Some(Manifest(v, header("#parent").toLong, header("#op"),
       DataType.fromJson(header("#schema")).asInstanceOf[StructType], entries,
@@ -292,6 +323,38 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     }
     val df = readEntries(m.schema, entries)
     val bounded = lo.map(l => col(key) >= lit(l)).toSeq ++ hi.map(h => col(key) <= lit(h))
+    bounded.reduceOption(_ && _).map(df.filter).getOrElse(df)
+  }
+
+  /** DATA-SKIPPING read on a SECONDARY column: manifest-level file
+    * pruning against the per-file [min,max] this handle's
+    * [[statsColumns]] recorded at write time — the non-key twin of
+    * [[readRange]], for the predicates a key-organized table otherwise
+    * answers with a full scan ("documents ingested this week" on a
+    * doc_id-keyed corpus). One driver-side manifest pass decides which
+    * files can intersect [lo, hi]; files with no stats for the column
+    * (written before it was tracked, or by a non-tracking handle) are
+    * conservatively kept, so correctness never depends on stats
+    * coverage. The exact predicate is applied on top (pushed into the
+    * scan's row groups). `column == key` delegates to [[readRange]].
+    * Skipping sharpness follows the key clustering — see the
+    * [[statsColumns]] note. */
+  def readWhere(column: String, lo: Option[Any], hi: Option[Any]): DataFrame = {
+    if (column == key) return readRange(lo, hi)
+    val m = requireManifest
+    require(m.schema.fieldNames.contains(column),
+      s"no column $column in table schema ${m.schema.fieldNames.mkString(", ")}")
+    val (loE, hiE) = (lo.flatMap(ordEncode), hi.flatMap(ordEncode))
+    val entries = m.entries.filter { e =>
+      e.stats.get(column) match {
+        case Some((k, Some(fMin), Some(fMax))) =>
+          hiE.forall(h => !ordLt(k, h, fMin)) && loE.forall(l => !ordLt(k, fMax, l))
+        case _ => true // no stats recorded for this column: keep
+      }
+    }
+    val df = readEntries(m.schema, entries)
+    val bounded = lo.map(l => col(column) >= lit(l)).toSeq ++
+      hi.map(h => col(column) <= lit(h))
     bounded.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
 
@@ -554,9 +617,18 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     df.write.mode("error").parquet(out.toString)
     val kind = kindOf(df.schema(key).dataType)
     val base = fs.makeQualified(out).toUri.getPath
+    // secondary stats ride the SAME per-file aggregate — columns the
+    // frame carries and whose type encodes; absent/opaque columns just
+    // record no stats (conservatively unpruned on read)
+    val present = statCols.filter(c =>
+      df.schema.fieldNames.contains(c) && kindOf(df.schema(c).dataType) != "opaque")
+    val aggs = Seq(count(lit(1)).as("__rows"),
+      min(col(key)).as("__mn"), max(col(key)).as("__mx")) ++
+      present.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c)).as(s"__smn$i"), max(col(c)).as(s"__smx$i")) }
     val stats = spark.read.schema(df.schema).parquet(out.toString)
       .groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("__rows"), min(col(key)).as("__mn"), max(col(key)).as("__mx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
     stats.toSeq.map { r =>
       val full = new Path(new java.net.URI(r.getString(0))).toUri.getPath
@@ -566,9 +638,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         else (ordEncode(r.get(2)), ordEncode(r.get(3)))
       // both bounds or neither: a half-encoded pair can't order safely
       val ok = mn.isDefined && mx.isDefined
+      val colStats = present.zipWithIndex.flatMap { case (c, i) =>
+        val (smn, smx) = (ordEncode(r.get(4 + 2 * i)), ordEncode(r.get(5 + 2 * i)))
+        if (smn.isDefined && smx.isDefined)
+          Some(c -> ((kindOf(df.schema(c).dataType), smn, smx)))
+        else None
+      }.toMap
       Entry(s"$rel/$name", r.getLong(1),
         if (ok) kind else "opaque",
-        if (ok) mn else None, if (ok) mx else None)
+        if (ok) mn else None, if (ok) mx else None, colStats)
     }
   }
 
@@ -626,7 +704,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         s"#key $key",
         s"#schema ${schema.json}") ++
         (if (tag.nonEmpty) Seq(s"#tag ${tag.replaceAll("[\\r\\n]", " ")}") else Nil) ++
-        entries.map(_.line))
+        entries.flatMap(e => e.line +: e.statLines))
         .mkString("\n")
       out.write(body.getBytes("UTF-8"))
       // PRE-terminate lost-update check: a version already committed

@@ -650,6 +650,45 @@ class SnapshotTableSpec extends AnyFunSuite {
     intercept[IllegalStateException](SnapshotSync.sync(src, foreign, "k"))
   }
 
+  test("secondary column stats: readWhere prunes files on a non-key column; stat-less files stay conservative") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(10),
+      statsColumns = Seq("score"))
+    // score = 2k: correlated with the key, so key-clustered files carry
+    // disjoint score ranges — the shape where skipping is sharp
+    tbl.create((1L to 400L).map(i => (i, s"v$i", i * 2)).toDF("k", "v", "score"))
+    val allFiles = tbl.read().inputFiles.length
+    assert(allFiles >= 4)
+    val hit = tbl.readWhere("score", Some(100L), Some(140L)) // keys 50..70
+    assertSameRows(hit, (50L to 70L).map(i => (i, s"v$i", i * 2)).toDF("k", "v", "score"))
+    assert(hit.inputFiles.length <= 2,
+      s"stats read opened ${hit.inputFiles.length} of $allFiles files")
+    // statsColumns is a WRITE-side setting: any handle prunes on the
+    // stats a manifest carries. A NON-tracking handle's merge writes
+    // fresh files WITHOUT score stats — those stay conservatively
+    // unpruned (always read), carried files keep their stats, and the
+    // result is exact either way
+    val plain = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(10))
+    plain.merge(Seq((50L, "X", 100L)).toDF("k", "v", "score"))
+    val hit2 = tbl.readWhere("score", Some(100L), Some(140L))
+    assert(hit2.count() == 21)
+    assert(hit2.filter(col("k") === 50L).select("v").head.getString(0) == "X")
+    assert(hit2.inputFiles.length < allFiles + 1,
+      "conservative keep must not defeat pruning on carried stat-ful files")
+    // a TRACKING handle's merge restores stats on the files it rewrites
+    tbl.merge(Seq((60L, "Y", 120L)).toDF("k", "v", "score"))
+    val hit3 = tbl.readWhere("score", Some(100L), Some(140L))
+    assert(hit3.count() == 21 &&
+      hit3.filter(col("k") === 60L).select("v").head.getString(0) == "Y")
+    // key-column delegation and unknown columns
+    assertSameRows(tbl.readWhere("k", Some(1L), Some(3L)), tbl.readRange(Some(1L), Some(3L)))
+    intercept[IllegalArgumentException](tbl.readWhere("nope", Some(1L), None))
+    // unbounded side + open read stay exact
+    assert(tbl.readWhere("score", None, Some(10L)).count() == 5)
+  }
+
   test("StreamingMirrorRun main: the online mirror cadence converges to the batch sync end-to-end") {
     val dir = freshDir()
     // the main stages create → stream-drain → merge+optimize+delete →
