@@ -122,7 +122,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * clustering: files are key-clustered, so a stats column correlated
     * with the key (an id-derived timestamp, a monotone ingest week)
     * prunes tightly, an uncorrelated one prunes only what its natural
-    * per-file spread allows — the standard column-stats contract. */
+    * per-file spread allows — the standard column-stats contract.
+    * Rewrites (merge/delete/optimize) restage through the RUNNING
+    * handle's tracking config: run maintenance with the same
+    * `statsColumns` to keep skipping sharp on the files it rewrites
+    * (a non-tracking rewrite is still correct — just unpruned there). */
   private val statCols: Seq[String] = statsColumns.distinct.filterNot(_ == key)
   statCols.foreach(c => require(!c.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
     s"stats column name ${c} must not contain tab/newline (manifest is line-oriented)"))
