@@ -703,22 +703,28 @@ object Soak {
       .forall(_.split(",").map(_.trim).contains("ingest_scale"))
     val (ipB, iaB, inB) = if (runIngest) ingestWalls(sfDir, s"$workDir/ingest_base") else (0.0, 0.0, 0.0)
     val (ipS, iaS, inS) = if (runIngest) ingestWalls(dataDir, s"$workDir/ingest_soak") else (0.0, 0.0, 0.0)
-    // absorb is the by-construction-flat path: hold it to ±20% (the
-    // append writes the same delta-sized segments either way); the warm
-    // probe keeps one index-proportional columnar scan (documented
-    // floor) AND its ~1-2 s wall sits at the harness variance floor —
-    // the same 1x probe measured 1.79 s and 1.26 s in consecutive runs
-    // on identical input — so its band is 2x (the inline-twin
-    // comparison below is the sharper claim anyway).
+    // absorb is the by-construction-flat path (the append writes the
+    // same delta-sized segments either way) — but its ~1.2-1.7 s wall
+    // sits at the harness variance floor: identical code/input measured
+    // x1.39 inside a full soak run and x1.17 in a quiet re-run minutes
+    // apart (r15), so the old ±20% bound flagged scheduler noise, not
+    // work. The regression this row exists to catch — absorb work ∝
+    // corpus — would read ≥x5 at 10x; 1.5 clears the measured noise
+    // floor while still failing loudly on any proportional shape. The
+    // warm probe keeps one index-proportional columnar scan (documented
+    // floor) AND the same variance floor — the same 1x probe measured
+    // 1.79 s and 1.26 s in consecutive runs on identical input — so its
+    // band is 2x (the inline-twin comparison below is the sharper claim
+    // anyway).
     val ingestProbeOk = !runIngest || ipB == 0 || ipS / ipB <= 2.0
-    val ingestAbsorbOk = !runIngest || iaB == 0 || iaS / iaB <= 1.2
+    val ingestAbsorbOk = !runIngest || iaB == 0 || iaS / iaB <= 1.5
     // the indexed path must BEAT the inline rebuild where it matters —
     // against the big corpus
     val ingestBeatsInline = !runIngest || ipS < inS
     if (runIngest)
       println(f"[soak] ingest_state warm probe $ipB%6.2f -> $ipS%6.2f s (x${ipS / ipB}%4.2f ≤2.0 " +
         f"${if (ingestProbeOk) "ok" else "FAIL"}); absorb $iaB%6.2f -> $iaS%6.2f s " +
-        f"(x${iaS / iaB}%4.2f ≤1.2 ${if (ingestAbsorbOk) "ok" else "FAIL"}); " +
+        f"(x${iaS / iaB}%4.2f ≤1.5 ${if (ingestAbsorbOk) "ok" else "FAIL"}); " +
         f"inline twins $inB%6.2f -> $inS%6.2f s (indexed beats inline at ${n}x: " +
         f"${if (ingestBeatsInline) "ok" else "FAIL"})")
 
@@ -979,7 +985,7 @@ object Soak {
     if (runIngest) {
       md ++= f"\nPersisted ingest state (IngestIndex), SAME sf0.1 delta against a 1x- and a ${n}x-corpus state: "
       md ++= f"warm probe $ipB%.2f s -> $ipS%.2f s (x${ipS / ipB}%.2f, bound 2.0 — ${if (ingestProbeOk) "ok" else "**FAIL**"}); "
-      md ++= f"absorb $iaB%.2f s -> $iaS%.2f s (x${iaS / iaB}%.2f, bound 1.2 — ${if (ingestAbsorbOk) "ok" else "**FAIL**"}); "
+      md ++= f"absorb $iaB%.2f s -> $iaS%.2f s (x${iaS / iaB}%.2f, bound 1.5, sized above the measured sub-second variance floor — ${if (ingestAbsorbOk) "ok" else "**FAIL**"}); "
       md ++= f"inline rebuild twins $inB%.2f s -> $inS%.2f s (indexed probe beats inline at ${n}x — ${if (ingestBeatsInline) "ok" else "**FAIL**"}). "
       md ++= "Absorb is an LSM segment append (work ∝ batch); the probe keeps one columnar index scan (its documented floor).\n"
     }

@@ -183,6 +183,21 @@ object SparkEntry {
       tbl.create(docs)
       materializeAndClean(tbl.readWhere("n_chars", Some(200L), Some(400L)), scratch)
     }),
+    // retroactive stats adoption: the table is created UNTRACKED (no
+    // n_chars stats anywhere), then collectStats backfills per-file
+    // [min,max] in ONE scan and a rewrite-free `stats` commit — the
+    // same readWhere then prunes, and the result is identical to the
+    // tracked-at-write path (corpus_stats_read): at 100 TB, enabling
+    // skipping costs a stats scan, never a rewrite
+    "corpus_stats_backfill" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-statsbf").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
+        clusterPartitions = Some(8))
+      tbl.create(docs)
+      tbl.collectStats(Seq("n_chars"))
+      materializeAndClean(tbl.readWhere("n_chars", Some(200L), Some(400L)), scratch)
+    }),
     // row-level change feed between two store versions: updates surface
     // as removed/added pairs, inserts as added — manifest-diff pruned
     // (files carried by path between the versions are never read), and
@@ -1316,6 +1331,8 @@ object SparkEntry {
     "corpus_keys_read" ->
       "SELECT * FROM documents WHERE doc_id % 731 = 5",
     "corpus_stats_read" ->
+      "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
+    "corpus_stats_backfill" ->
       "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
     "corpus_apply_delta" ->
       """SELECT doc_id,

@@ -330,6 +330,50 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     bounded.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
 
+  /** Backfill secondary [min,max] stats onto the CURRENT snapshot's
+    * files WITHOUT rewriting them — retroactive [[readWhere]] adoption
+    * for a table that predates its tracking (at 100 TB: one stats scan
+    * instead of a full rewrite). One distributed pass over ONLY the
+    * files missing some requested column, then a rewrite-free `stats`
+    * commit referencing the SAME data files with enriched entries.
+    * Zero file churn means the change feed sees nothing and a mirror
+    * sync across it advances tag-only — no special-casing needed,
+    * unlike `optimize`. Stats already present are kept, not
+    * recomputed. Returns the new version, or the current one when
+    * every file already covers every requested column. */
+  def collectStats(columns: Seq[String] = statsColumns): Long = {
+    val m = requireManifest
+    val cols = columns.distinct.filterNot(_ == key).filter(c =>
+      m.schema.fieldNames.contains(c) && kindOf(m.schema(c).dataType) != "opaque")
+    require(cols.nonEmpty,
+      s"no encodable non-key columns among ${columns.mkString(", ")} to collect stats for")
+    val todo = m.entries.filter(e => cols.exists(c => !e.stats.contains(c)))
+    if (todo.isEmpty) return m.version
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).as(s"__n$i"), max(col(c)).as(s"__x$i")) }
+    val rows = readEntries(m.schema, todo)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    def canon(p: String): String = fs.makeQualified(new Path(p)).toUri.getPath
+    val relByCanon = todo.map(e => canon(s"$dir/${e.path}") -> e.path).toMap
+    val collected: Map[String, Map[String, (String, Option[String], Option[String])]] =
+      rows.flatMap { r =>
+        relByCanon.get(new Path(new java.net.URI(r.getString(0))).toUri.getPath).map { rel =>
+          rel -> cols.zipWithIndex.flatMap { case (c, i) =>
+            val (mn, mx) = (ordEncode(r.get(1 + 2 * i)), ordEncode(r.get(2 + 2 * i)))
+            if (mn.isDefined && mx.isDefined)
+              Some(c -> ((kindOf(m.schema(c).dataType), mn, mx)))
+            else None
+          }.toMap
+        }
+      }.toMap
+    // existing stats win: equally valid, and never recomputed here
+    val enriched = m.entries.map(e =>
+      e.copy(stats = collected.getOrElse(e.path, Map.empty) ++ e.stats))
+    commit(m.version, "stats", m.schema, enriched, m.tag.getOrElse(""))
+  }
+
   /** DATA-SKIPPING read on a SECONDARY column: manifest-level file
     * pruning against the per-file [min,max] this handle's
     * [[statsColumns]] recorded at write time — the non-key twin of

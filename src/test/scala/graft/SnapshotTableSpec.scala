@@ -689,6 +689,32 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(tbl.readWhere("score", None, Some(10L)).count() == 5)
   }
 
+  test("collectStats backfills skipping stats onto existing files without rewriting any") {
+    val s = spark
+    import s.implicits._
+    // an UNTRACKED table predating statsColumns: no score stats anywhere
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(10))
+    tbl.create((1L to 400L).map(i => (i, s"v$i", i * 2)).toDF("k", "v", "score"))
+    val files = tbl.read().inputFiles.toSet
+    assert(tbl.readWhere("score", Some(100L), Some(140L)).inputFiles.length == files.size,
+      "an untracked table must read conservatively (every file)")
+    // backfill: one stats scan, a rewrite-free commit, SAME data files
+    val v = tbl.collectStats(Seq("score"))
+    assert(tbl.history.last._3 == "stats")
+    assert(tbl.read().inputFiles.toSet == files, "collectStats must not rewrite data")
+    val hit = tbl.readWhere("score", Some(100L), Some(140L))
+    assertSameRows(hit, (50L to 70L).map(i => (i, s"v$i", i * 2)).toDF("k", "v", "score"))
+    assert(hit.inputFiles.length <= 2,
+      s"backfilled stats must prune: opened ${hit.inputFiles.length} of ${files.size}")
+    // idempotent: full coverage -> no new commit
+    assert(tbl.collectStats(Seq("score")) == v)
+    // zero file churn: the change feed across the stats commit is empty,
+    // so a mirror sync over it advances tag-only (no special-casing)
+    assert(tbl.changesBetween(v - 1, v).isEmpty)
+    // key/opaque columns are rejected as no-ops, loudly
+    intercept[IllegalArgumentException](tbl.collectStats(Seq("k")))
+  }
+
   test("StreamingMirrorRun main: the online mirror cadence converges to the batch sync end-to-end") {
     val dir = freshDir()
     // the main stages create → stream-drain → merge+optimize+delete →
