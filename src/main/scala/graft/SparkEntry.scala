@@ -183,6 +183,23 @@ object SparkEntry {
       tbl.create(docs)
       materializeAndClean(tbl.readWhere("n_chars", Some(200L), Some(400L)), scratch)
     }),
+    // CDC-grain change feed: the same interval folded to ONE row per
+    // changed key with _change_type insert|update|delete — updates as
+    // their post-image, deletes as their pre-image (the pair-matching
+    // every feed consumer otherwise re-derives, done once in the store)
+    "corpus_changes_keyed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
+        clusterPartitions = Some(8))
+      val v0 = tbl.create(docs)
+      val upserts = docs.filter(col("doc_id") % 31 === 0)
+        .withColumn("text", lit("[redacted-v2]"))
+        .unionByName(docs.filter(col("doc_id") % 53 === 1)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      val v1 = tbl.applyDelta(upserts, docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
+      materializeAndClean(tbl.changesKeyed(v0, v1), scratch)
+    }),
     // retroactive stats adoption: the table is created UNTRACKED (no
     // n_chars stats anywhere), then collectStats backfills per-file
     // [min,max] in ONE scan and a rewrite-free `stats` commit — the
@@ -1334,6 +1351,16 @@ object SparkEntry {
       "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
     "corpus_stats_backfill" ->
       "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
+    "corpus_changes_keyed" ->
+      """SELECT doc_id, '[redacted-v2]' AS text, lang, source, n_chars,
+        |  'update' AS _change_type
+        |FROM documents WHERE doc_id % 31 = 0
+        |UNION ALL
+        |SELECT doc_id + 10000000, text, lang, source, n_chars, 'insert'
+        |FROM documents WHERE doc_id % 53 = 1
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars, 'delete'
+        |FROM documents WHERE doc_id % 17 = 0 AND doc_id % 31 <> 0""".stripMargin,
     "corpus_apply_delta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,

@@ -507,6 +507,33 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     (segments, b.schema)
   }
 
+  /** KEY-GRAIN change feed: [[changesBetween]] folded to ONE row per
+    * changed key with a `_change_type` column — `insert` (post-image),
+    * `update` (post-image; the removed/added pair collapsed), `delete`
+    * (pre-image) — the CDC shape a downstream consumer applies without
+    * doing its own pair-matching (what [[SnapshotSync]] derives
+    * internally, exposed). Same pruning and rewrite-op awareness as
+    * the row feed. CONTRACT: assumes key-unique snapshots — what
+    * merge/delete/applyDelta maintain; a table fed duplicate keys via
+    * create/append reports those keys at row grain fidelity lost. */
+  def changesKeyed(from: Long, to: Long): DataFrame = {
+    val feed = changesBetween(from, to)
+    val added = feed.filter(col("_change") === "added").drop("_change")
+    val removed = feed.filter(col("_change") === "removed").drop("_change")
+    // ONE full-outer join on the key classifies every changed key and
+    // picks its image in the same pass: post-image when an added row
+    // exists (insert/update), pre-image otherwise (delete)
+    val aS = added.select(col(key), struct(added.columns.map(col): _*).as("_a"))
+    val rS = removed.select(col(key), struct(removed.columns.map(col): _*).as("_r"))
+    aS.join(rS, Seq(key), "full_outer")
+      .select(
+        coalesce(col("_a"), col("_r")).as("_img"),
+        when(col("_a").isNotNull && col("_r").isNotNull, "update")
+          .when(col("_a").isNotNull, "insert")
+          .otherwise("delete").as("_change_type"))
+      .select(col("_img.*"), col("_change_type"))
+  }
+
   /** [[changesBetween]] addressed by APPLICATION tags — "everything
     * that changed since the publication tagged W" without the caller
     * tracking version numbers. */

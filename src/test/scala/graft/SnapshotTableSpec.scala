@@ -485,6 +485,32 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(delFeed.head.getString(delFeed.schema.fieldIndex("_change")) == "removed")
   }
 
+  test("changesKeyed folds the row feed to CDC grain: insert/update/delete with the right image") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(4))
+    val v0 = tbl.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // one commit carrying all three change classes
+    val v1 = tbl.applyDelta(kv(400L -> "X", 401L -> "Y"), Seq(1L, 2L).toDF("k"))
+    assertSameRows(tbl.changesKeyed(v0, v1), Seq(
+      (400L, "X", "update"),   // post-image
+      (401L, "Y", "insert"),
+      (1L, "v1", "delete"),    // pre-image
+      (2L, "v2", "delete"))
+      .toDF("k", "v", "_change_type"))
+    // COW-moved-but-identical rows never surface as phantom updates,
+    // and a rewrite-only interval is empty at CDC grain too
+    val v2 = tbl.optimize(smallBytes = Long.MaxValue)
+    assert(tbl.changesKeyed(v1, v2).isEmpty)
+    // multi-commit interval folds per key (update then delete = delete)
+    tbl.merge(kv(10L -> "ten-a"))
+    val v4 = tbl.delete(Seq(10L).toDF("k"))
+    val folded = tbl.changesKeyed(v1, v4).filter(col("k") === 10L)
+    assert(folded.count() == 1)
+    assert(folded.head.getString(2) == "delete")
+    assert(folded.head.getString(1) == "v10", "delete must carry the INTERVAL-START pre-image")
+  }
+
   test("change feed is rewrite-op-aware: optimize churn never enters the scan; net-zero rows cancel") {
     val s = spark
     import s.implicits._
