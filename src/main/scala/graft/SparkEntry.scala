@@ -183,6 +183,22 @@ object SparkEntry {
       tbl.create(docs)
       materializeAndClean(tbl.readWhere("n_chars", Some(200L), Some(400L)), scratch)
     }),
+    // Catalyst-integrated scan: the store read through a manifest-backed
+    // FileIndex, so ORDINARY query predicates (here: a key range AND a
+    // secondary-stats range, in plain .filter syntax) prune files via
+    // the planner's own pushdown — no readRange/readWhere call; Spark's
+    // parquet reader, row-group pushdown, and codegen apply unchanged
+    "corpus_scan_pushdown" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-scan").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
+        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
+      tbl.create(docs)
+      materializeAndClean(
+        tbl.scan().filter(col("doc_id") <= 3000L &&
+          col("n_chars") >= 200L && col("n_chars") <= 400L),
+        scratch)
+    }),
     // CDC-grain change feed: the same interval folded to ONE row per
     // changed key with _change_type insert|update|delete — updates as
     // their post-image, deletes as their pre-image (the pair-matching
@@ -1351,6 +1367,8 @@ object SparkEntry {
       "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
     "corpus_stats_backfill" ->
       "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
+    "corpus_scan_pushdown" ->
+      "SELECT * FROM documents WHERE doc_id <= 3000 AND n_chars BETWEEN 200 AND 400",
     "corpus_changes_keyed" ->
       """SELECT doc_id, '[redacted-v2]' AS text, lang, source, n_chars,
         |  'update' AS _change_type

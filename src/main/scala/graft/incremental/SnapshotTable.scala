@@ -562,6 +562,54 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     readEntries(m.schema, entries).join(ks.distinct(), Seq(key), "left_semi")
   }
 
+  /** CATALYST-INTEGRATED scan: the snapshot exposed through a custom
+    * [[org.apache.spark.sql.execution.datasources.FileIndex]] whose
+    * `listFiles` applies MANIFEST pruning to whatever data filters the
+    * planner pushes down — so ANY query predicate on the key or a
+    * stats-covered column file-skips automatically, with no
+    * readRange/readWhere call: `tbl.scan().filter($"week" >= X)` prunes
+    * exactly like the dedicated readers, and so does a predicate
+    * Catalyst DERIVES (constant-folded, pushed through joins). This is
+    * the same integration point Delta-class formats use (a
+    * manifest-backed FileIndex under a standard parquet
+    * HadoopFsRelation): Spark's own parquet reader, row-group
+    * pushdown, and whole-stage codegen all apply unchanged — the
+    * manifest only decides WHICH files exist. Unsupported or complex
+    * predicates simply skip nothing (conservative), and Spark
+    * re-evaluates every filter on the rows regardless, so pruning can
+    * never change results. The returned frame is pinned to the CURRENT
+    * snapshot (immutable files + one manifest read), like every other
+    * read. */
+  def scan(): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val m = requireManifest
+    val slices = m.entries.map { e =>
+      val st = fs.getFileStatus(new Path(s"$dir/${e.path}"))
+      // the key's bounds ride under its column name, beside any
+      // secondary stats — one uniform per-column bounds map
+      val keyBounds: Map[String, (String, String, String)] =
+        (e.kind, e.min, e.max) match {
+          case (k, Some(mn), Some(mx)) if k != "opaque" => Map(key -> ((k, mn, mx)))
+          case _ => Map.empty
+        }
+      val statBounds = e.stats.collect {
+        case (c, (k, Some(mn), Some(mx))) => c -> ((k, mn, mx))
+      }
+      GraftFileIndex.Slice(st, keyBounds ++ statBounds)
+    }
+    val index = new GraftFileIndex(new Path(dir), slices, ordLt)
+    lastScanIndex = index
+    val relation = HadoopFsRelation(index, StructType(Nil), m.schema, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    // public seam: SparkSession wraps a BaseRelation in a LogicalRelation
+    spark.baseRelationToDataFrame(relation)
+  }
+
+  /** The index behind the most recent [[scan]] — spec seam for
+    * asserting how many files the planner's pushed filters kept. */
+  private[graft] var lastScanIndex: GraftFileIndex = null
+
   private def readEntries(schema: StructType, entries: Seq[Entry]): DataFrame =
     if (entries.isEmpty)
       spark.createDataFrame(
@@ -1118,4 +1166,109 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     }
     throw last
   }
+}
+
+/** The manifest-backed [[org.apache.spark.sql.execution.datasources.FileIndex]]
+  * behind [[SnapshotTable.scan]]: Spark's planner hands `listFiles` the
+  * data filters it pushed toward the scan, and each file survives only
+  * if no filter PROVES it disjoint from the file's recorded per-column
+  * [min,max] — key bounds and secondary stats uniformly. The proof
+  * walks And/Or/comparison/In shapes over (attribute, literal) pairs;
+  * anything else proves nothing (conservative keep), and Spark still
+  * evaluates every filter on the rows, so pruning is a pure
+  * optimization. Literals encode into the manifest's canonical order
+  * domain (decimal strings for numerics, base64 UTF-8 for strings;
+  * timestamps FLOOR to the millisecond the stats themselves were
+  * encoded at, keeping the comparison conservative for sub-ms
+  * literals). */
+private[graft] final class GraftFileIndex(
+    root: org.apache.hadoop.fs.Path,
+    slices: Seq[GraftFileIndex.Slice],
+    ordLt: (String, String, String) => Boolean)
+  extends org.apache.spark.sql.execution.datasources.FileIndex {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.execution.datasources.PartitionDirectory
+
+  /** Files the planner's filters kept on the most recent `listFiles` —
+    * the spec's pruning assertion. -1 until a scan plans. */
+  @volatile private[graft] var lastListedFiles: Int = -1
+
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] = Seq(root)
+  override def partitionSchema: StructType = StructType(Nil)
+  override def sizeInBytes: Long = slices.map(_.status.getLen).sum
+  override def inputFiles: Array[String] = slices.map(_.status.getPath.toString).toArray
+  override def refresh(): Unit = () // snapshot-pinned: immutable file set
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = slices.filter(s => !dataFilters.exists(f => provesDisjoint(f, s.bounds)))
+    lastListedFiles = kept.size
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_.status).toArray))
+  }
+
+  /** Encode a pushed literal into the manifest's order domain; None =
+    * unencodable (no pruning from this comparison). */
+  private def enc(value: Any, dt: DataType): Option[String] = (value, dt) match {
+    case (null, _) => None
+    case (v: java.lang.Number, ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | DateType) =>
+      scala.util.Try(BigDecimal(v.toString).toString).toOption
+    case (d: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
+      Some(d.toJavaBigDecimal.toString)
+    case (micros: java.lang.Long, TimestampType | TimestampNTZType) =>
+      // stats encoded timestamps at ms-floor (SnapshotTable.ordEncode):
+      // floor the literal the same way so floor<floor still implies <
+      Some(BigDecimal(micros - java.lang.Math.floorMod(micros.longValue, 1000L)).toString)
+    case (s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      Some(java.util.Base64.getEncoder.encodeToString(s.getBytes))
+    case _ => None
+  }
+
+  /** True only when `f` PROVES the file's bounds cannot satisfy it. */
+  private def provesDisjoint(f: Expression,
+      bounds: Map[String, (String, String, String)]): Boolean = f match {
+    case And(l, r) => provesDisjoint(l, bounds) || provesDisjoint(r, bounds)
+    case Or(l, r) => provesDisjoint(l, bounds) && provesDisjoint(r, bounds)
+    // a >= v / a > v : disjoint when file max < v (conservative: > uses >=)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) => maxBelow(bounds, a.name, v, dt)
+    case GreaterThan(a: AttributeReference, Literal(v, dt)) => maxBelow(bounds, a.name, v, dt)
+    case LessThanOrEqual(Literal(v, dt), a: AttributeReference) => maxBelow(bounds, a.name, v, dt)
+    case LessThan(Literal(v, dt), a: AttributeReference) => maxBelow(bounds, a.name, v, dt)
+    // a <= v / a < v : disjoint when file min > v
+    case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) => minAbove(bounds, a.name, v, dt)
+    case LessThan(a: AttributeReference, Literal(v, dt)) => minAbove(bounds, a.name, v, dt)
+    case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) => minAbove(bounds, a.name, v, dt)
+    case GreaterThan(Literal(v, dt), a: AttributeReference) => minAbove(bounds, a.name, v, dt)
+    case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+      maxBelow(bounds, a.name, v, dt) || minAbove(bounds, a.name, v, dt)
+    case EqualTo(Literal(v, dt), a: AttributeReference) =>
+      maxBelow(bounds, a.name, v, dt) || minAbove(bounds, a.name, v, dt)
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.forall { case Literal(v, dt) =>
+        maxBelow(bounds, a.name, v, dt) || minAbove(bounds, a.name, v, dt)
+      }
+    case _ => false
+  }
+
+  /** file max < v for column c (⇒ no row can be ≥ v). */
+  private def maxBelow(bounds: Map[String, (String, String, String)],
+      c: String, v: Any, dt: DataType): Boolean =
+    bounds.get(c).exists { case (kind, _, mx) =>
+      enc(v, dt).exists(lo => ordLt(kind, mx, lo)) }
+
+  /** file min > v for column c (⇒ no row can be ≤ v). */
+  private def minAbove(bounds: Map[String, (String, String, String)],
+      c: String, v: Any, dt: DataType): Boolean =
+    bounds.get(c).exists { case (kind, mn, _) =>
+      enc(v, dt).exists(hi => ordLt(kind, hi, mn)) }
+}
+
+private[graft] object GraftFileIndex {
+  /** One live data file: its status plus per-column encoded bounds
+    * (column → (kind, minEnc, maxEnc)) — the key's under its own
+    * column name, secondary stats beside it. */
+  final case class Slice(status: org.apache.hadoop.fs.FileStatus,
+      bounds: Map[String, (String, String, String)])
 }

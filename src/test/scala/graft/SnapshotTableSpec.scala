@@ -715,6 +715,39 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(tbl.readWhere("score", None, Some(10L)).count() == 5)
   }
 
+  test("scan(): Catalyst-pushed predicates prune manifest files automatically, key and stats columns alike") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(10),
+      statsColumns = Seq("score"))
+    tbl.create((1L to 400L).map(i => (i, s"v$i", i * 2)).toDF("k", "v", "score"))
+    val nFiles = tbl.read().inputFiles.length
+    assert(nFiles >= 4)
+    // no predicate: every file listed
+    val q0 = tbl.scan(); val i0 = tbl.lastScanIndex
+    assert(q0.count() == 400 && i0.lastListedFiles == nFiles)
+    // a KEY predicate in ordinary query syntax — no readRange call
+    val q1 = tbl.scan().filter(col("k") >= 390L); val i1 = tbl.lastScanIndex
+    assert(q1.count() == 11)
+    assert(i1.lastListedFiles <= 2, s"key pushdown kept ${i1.lastListedFiles} of $nFiles")
+    // a SECONDARY-column predicate — no readWhere call
+    val q2 = tbl.scan().filter(col("score") >= 100L && col("score") <= 140L)
+    val i2 = tbl.lastScanIndex
+    assertSameRows(q2, (50L to 70L).map(i => (i, s"v$i", i * 2)).toDF("k", "v", "score"))
+    assert(i2.lastListedFiles <= 2, s"stats pushdown kept ${i2.lastListedFiles} of $nFiles")
+    // IN-lists prune as scattered points (two extremes -> two files)
+    val q3 = tbl.scan().filter(col("k").isin(5L, 395L)); val i3 = tbl.lastScanIndex
+    assert(q3.count() == 2)
+    assert(i3.lastListedFiles <= 2, s"IN pushdown kept ${i3.lastListedFiles}")
+    // a predicate on an untracked column proves nothing: conservative
+    // full listing, still-exact result (Spark evaluates all filters)
+    val q4 = tbl.scan().filter(col("v") === "v7"); val i4 = tbl.lastScanIndex
+    assert(q4.count() == 1 && i4.lastListedFiles == nFiles)
+    // equivalence with the plain read under arbitrary predicates
+    assertSameRows(tbl.scan().filter(col("score") < 50L || col("k") === 399L),
+      tbl.read().filter(col("score") < 50L || col("k") === 399L))
+  }
+
   test("collectStats backfills skipping stats onto existing files without rewriting any") {
     val s = spark
     import s.implicits._
