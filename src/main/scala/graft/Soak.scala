@@ -886,6 +886,67 @@ object Soak {
       case _ =>
     }
 
+    // MANIFEST-SERVED COUNT + Z-ORDER sharpness at scale: a mid-domain
+    // key-range count must SCAN at most the two boundary files no
+    // matter how many files the table has (the contained mass is
+    // manifest arithmetic — rows minus recorded nulls), and a z-order
+    // rewrite must keep a narrow secondary-column band opening a
+    // minority of files at every scale (key clustering alone opens
+    // ~all of them: n_chars is uncorrelated with doc_id).
+    final case class ZCount(cnt: Long, scanned: Int, files: Int,
+        preBand: Int, postBand: Int, postFiles: Int, wall: Double)
+    def zcountWalls(d: String, dir: String): ZCount = {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      val docs = Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val nRows = docs.count()
+      val filesTarget = math.max(8, (nRows / 500).toInt)
+      val tbl = new incremental.SnapshotTable(spark, dir, "doc_id",
+        clusterPartitions = Some(filesTarget), statsColumns = Seq("n_chars"))
+      tbl.create(docs)
+      val bnd = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val (lo, hi) = (bnd.getLong(0), bnd.getLong(1))
+      val (q1, q3) = (lo + (hi - lo) / 4, lo + 3L * (hi - lo) / 4)
+      val t0 = System.nanoTime()
+      val cnt = tbl.countWhere("doc_id", Some(q1), Some(q3))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val scanned = tbl.lastCountScanned
+      assert(cnt == docs.filter(col("doc_id").between(q1, q3)).count(),
+        "countWhere must equal the scan-side count")
+      val files = tbl.read().inputFiles.length
+      val preBandDf = tbl.readWhere("n_chars", Some(100L), Some(150L))
+      val preBand = preBandDf.inputFiles.length
+      val bandRows = preBandDf.count()
+      tbl.optimize(zorderBy = Seq("doc_id", "n_chars"))
+      val post = tbl.readWhere("n_chars", Some(100L), Some(150L))
+      assert(post.count() == bandRows, "z-order must not change band contents")
+      ZCount(cnt, scanned, files, preBand, post.inputFiles.length,
+        tbl.read().inputFiles.length, wall)
+    }
+    val runZcount = sys.env.get("SPARK_GRAFT_ONLY")
+      .forall(_.split(",").map(_.trim).contains("snapshot_zcount"))
+    val (zcB, zcS) =
+      if (runZcount)
+        (Some(zcountWalls(sfDir, s"$workDir/zc_base")),
+          Some(zcountWalls(dataDir, s"$workDir/zc_soak")))
+      else (None, None)
+    val zcountOk = (zcB, zcS) match {
+      case (Some(bb), Some(ss)) =>
+        bb.scanned <= 2 && ss.scanned <= 2 && ss.files >= 5 * bb.files &&
+          bb.postBand * 2 <= bb.postFiles && ss.postBand * 2 <= ss.postFiles
+      case _ => true
+    }
+    (zcB, zcS) match {
+      case (Some(bb), Some(ss)) =>
+        println(f"[soak] snapshot_zcount 1x: countWhere scanned ${bb.scanned}%2d of ${bb.files}%3d files, " +
+          f"wall ${bb.wall}%5.2f s; ${n}x: scanned ${ss.scanned}%2d of ${ss.files}%3d, wall ${ss.wall}%5.2f s " +
+          f"(boundary-only at any scale); z-order n_chars band ${bb.preBand}->${bb.postBand} " +
+          f"of ${bb.postFiles} files at 1x, ${ss.preBand}->${ss.postBand} of ${ss.postFiles} at ${n}x " +
+          s"${if (zcountOk) "ok" else "FAIL"}")
+      case _ =>
+    }
+
     // The flagship-path twin of the sparse-batch invariant: an
     // incremental run whose delta carries ONE backdated rental edit
     // (the reference's own late-update case, etl:141-145) plus one
@@ -963,6 +1024,7 @@ object Soak {
       (if (snapshotSparseOk) Nil else Seq("snapshot_merge_sparse")) ++
       (if (snapshotSyncOk) Nil else Seq("snapshot_mirror_sync")) ++
       (if (snapshotOptSyncOk) Nil else Seq("snapshot_mirror_optsync")) ++
+      (if (zcountOk) Nil else Seq("snapshot_zcount")) ++
       (if (incSparseOk) Nil else Seq("incremental_backdated"))
 
     val md = new StringBuilder
@@ -1009,6 +1071,12 @@ object Soak {
         md ++= f"files rewritten ${b.sparseTouched} of ${b.sparseFiles} at 1x -> ${s.sparseTouched} of ${s.sparseFiles} at ${n}x; wall ${b.sparseWall}%.2f s -> ${s.sparseWall}%.2f s. "
         md ++= f"Touched is bounded by the KEY COUNT (≤4 with boundary slack), not the table — a single [min,max]-envelope prune would rewrite ~all ${s.sparseFiles} files here — ${if (snapshotSparseOk) "ok" else "**FAIL**"}.\n"
         md ++= f"\nChange-feed MIRROR (SnapshotSync over changesBetween): after a fixed 100-doc merge on the source, the warm sync applies the feed in one atomic commit at ${b.syncWall}%.2f s (1x) -> ${s.syncWall}%.2f s (${n}x) — manifest-diff pruning reads only the merge's churn files, so following a 10x table costs the same as following the 1x table for the same churn — ${if (snapshotSyncOk) "ok" else "**FAIL**"}.\n"
+      case _ =>
+    }
+    (zcB, zcS) match {
+      case (Some(bb), Some(ss)) =>
+        md ++= f"\nMANIFEST-SERVED COUNT at scale (countWhere): a mid-domain key-range count scanned ${bb.scanned} of ${bb.files} files at 1x and ${ss.scanned} of ${ss.files} at ${n}x (wall ${bb.wall}%.2f s -> ${ss.wall}%.2f s) — only BOUNDARY files open; the contained mass is manifest arithmetic (rows − recorded nulls), so COUNT cost is flat in table size — ${if (zcountOk) "ok" else "**FAIL**"}.\n"
+        md ++= f"\nZ-ORDER sharpness at scale (optimize(zorderBy = doc_id, n_chars)): a narrow n_chars band (uncorrelated with the key) opened ${bb.preBand} of ${bb.files} files under key clustering and ${bb.postBand} of ${bb.postFiles} after the z-order rewrite at 1x; ${ss.preBand} of ${ss.files} -> ${ss.postBand} of ${ss.postFiles} at ${n}x — multi-dimension locality holds as the table grows, band contents bit-identical — ${if (zcountOk) "ok" else "**FAIL**"}.\n"
       case _ =>
     }
     incSparse.foreach { case ((bw, bf, bt), (sw, sf2, st2)) =>

@@ -32,9 +32,11 @@ import org.apache.spark.sql.types._
   * }}}
   * A manifest is line-oriented: `#`-prefixed header (parent version,
   * operation, key column, schema JSON), one entry per data file
-  * (relative path, row count, key kind, encoded key min/max — plus one
-  * `s` line per tracked SECONDARY stats column: path, column, kind,
-  * encoded min/max, feeding [[readWhere]]'s data skipping), and a
+  * (relative path, row count, key kind, encoded key min/max, key null
+  * count — plus one `s` line per tracked SECONDARY stats column: path,
+  * column, kind, encoded min/max, null count, feeding [[readWhere]] /
+  * [[countWhere]] data skipping and [[scan]] null-predicate
+  * pruning), and a
   * trailing `#commit` terminator. A manifest WITHOUT the terminator is
   * torn (writer crashed mid-write) and is ignored by readers; the next
   * writer simply claims the next free version number, so a torn commit
@@ -135,19 +137,34 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   private def manifestDir = new Path(s"$dir/manifests")
   private def manifestPath(v: Long) = new Path(manifestDir, f"v$v%019d.json")
 
+  /** Per-column file stats: encoded [min,max] over the NON-NULL values
+    * ("num": decimal string; "str": Base64 of the UTF-8 bytes;
+    * "opaque": no order stats, always overlaps) plus the file's NULL
+    * count for the column when known (None on manifests written before
+    * null tracking — every consumer degrades conservatively). Null
+    * counts are what make manifest-served aggregates ([[countWhere]])
+    * and null-predicate pruning (IsNull/IsNotNull in [[scan]]) EXACT:
+    * min/max alone cannot say whether a range-contained file's rows all
+    * satisfy a predicate that nulls fail. */
+  private final case class ColStat(kind: String,
+      min: Option[String], max: Option[String], nulls: Option[Long])
+
   /** One immutable data file: table-relative path + row count + the
-    * key's encoded [min,max] ("num": decimal string; "str": Base64 of
-    * the UTF-8 bytes; "opaque": no stats, always overlaps), plus
-    * per-column secondary stats (column → (kind, min, max)) for the
-    * handle's [[statsColumns]] — serialized as `s` lines after the
-    * file's `f` line, ignored by readers that do not know the column. */
+    * KEY's [[ColStat]] (inlined on the `f` line), plus secondary stats
+    * for the handle's [[statsColumns]] — serialized as `s` lines after
+    * the file's `f` line, ignored by readers that do not know the
+    * column. Trailing fields absent on old manifests parse as unknown
+    * (None) — the format is append-only backward compatible. */
   private final case class Entry(path: String, rows: Long, kind: String,
       min: Option[String], max: Option[String],
-      stats: Map[String, (String, Option[String], Option[String])] = Map.empty) {
+      stats: Map[String, ColStat] = Map.empty,
+      nulls: Option[Long] = None) {
     def line: String = Seq("f", path, rows.toString, kind,
-      min.getOrElse(""), max.getOrElse("")).mkString("\t")
-    def statLines: Seq[String] = stats.toSeq.sortBy(_._1).map { case (c, (k, mn, mx)) =>
-      Seq("s", path, c, k, mn.getOrElse(""), mx.getOrElse("")).mkString("\t")
+      min.getOrElse(""), max.getOrElse(""),
+      nulls.map(_.toString).getOrElse("")).mkString("\t")
+    def statLines: Seq[String] = stats.toSeq.sortBy(_._1).map { case (c, st) =>
+      Seq("s", path, c, st.kind, st.min.getOrElse(""), st.max.getOrElse(""),
+        st.nulls.map(_.toString).getOrElse("")).mkString("\t")
     }
   }
 
@@ -190,15 +207,18 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     if (!lines.lastOption.contains("#commit")) return None // torn — ignore
     val header = lines.filter(_.startsWith("#")).map(_.split(" ", 2))
       .collect { case Array(k, value) => k -> value }.toMap
+    def optNulls(f: Array[String], i: Int): Option[Long] =
+      if (f.length > i && f(i).nonEmpty) scala.util.Try(f(i).toLong).toOption else None
     val statsByPath = lines.filter(_.startsWith("s\t")).map { l =>
       val f = l.split("\t", -1)
-      f(1) -> (f(2) -> ((f(3), Some(f(4)).filter(_.nonEmpty), Some(f(5)).filter(_.nonEmpty))))
+      f(1) -> (f(2) -> ColStat(f(3), Some(f(4)).filter(_.nonEmpty),
+        Some(f(5)).filter(_.nonEmpty), optNulls(f, 6)))
     }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toMap }
     val entries = lines.filter(_.startsWith("f\t")).map { l =>
       val f = l.split("\t", -1)
       Entry(f(1), f(2).toLong, f(3),
         Some(f(4)).filter(_.nonEmpty), Some(f(5)).filter(_.nonEmpty),
-        statsByPath.getOrElse(f(1), Map.empty))
+        statsByPath.getOrElse(f(1), Map.empty), optNulls(f, 6))
     }
     Some(Manifest(v, header("#parent").toLong, header("#op"),
       DataType.fromJson(header("#schema")).asInstanceOf[StructType], entries,
@@ -350,20 +370,24 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val todo = m.entries.filter(e => cols.exists(c => !e.stats.contains(c)))
     if (todo.isEmpty) return m.version
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c)).as(s"__n$i"), max(col(c)).as(s"__x$i")) }
+      Seq(min(col(c)).as(s"__n$i"), max(col(c)).as(s"__x$i"),
+        count(col(c)).as(s"__c$i")) }
     val rows = readEntries(m.schema, todo)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     def canon(p: String): String = fs.makeQualified(new Path(p)).toUri.getPath
-    val relByCanon = todo.map(e => canon(s"$dir/${e.path}") -> e.path).toMap
-    val collected: Map[String, Map[String, (String, Option[String], Option[String])]] =
+    val relByCanon = todo.map(e => canon(s"$dir/${e.path}") -> e).toMap
+    val collected: Map[String, Map[String, ColStat]] =
       rows.flatMap { r =>
-        relByCanon.get(new Path(new java.net.URI(r.getString(0))).toUri.getPath).map { rel =>
-          rel -> cols.zipWithIndex.flatMap { case (c, i) =>
-            val (mn, mx) = (ordEncode(r.get(1 + 2 * i)), ordEncode(r.get(2 + 2 * i)))
+        relByCanon.get(new Path(new java.net.URI(r.getString(0))).toUri.getPath).map { e =>
+          e.path -> cols.zipWithIndex.flatMap { case (c, i) =>
+            val (mn, mx) = (ordEncode(r.get(1 + 3 * i)), ordEncode(r.get(2 + 3 * i)))
+            val nulls = Some(e.rows - r.getLong(3 + 3 * i))
             if (mn.isDefined && mx.isDefined)
-              Some(c -> ((kindOf(m.schema(c).dataType), mn, mx)))
+              Some(c -> ColStat(kindOf(m.schema(c).dataType), mn, mx, nulls))
+            else if (nulls.contains(e.rows)) // all-null file: known, countable
+              Some(c -> ColStat(kindOf(m.schema(c).dataType), None, None, nulls))
             else None
           }.toMap
         }
@@ -395,8 +419,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val (loE, hiE) = (lo.flatMap(ordEncode), hi.flatMap(ordEncode))
     val entries = m.entries.filter { e =>
       e.stats.get(column) match {
-        case Some((k, Some(fMin), Some(fMax))) =>
+        case Some(ColStat(k, Some(fMin), Some(fMax), _)) =>
           hiE.forall(h => !ordLt(k, h, fMin)) && loE.forall(l => !ordLt(k, fMax, l))
+        // all-null file (known): no row can satisfy a bounded predicate
+        case Some(ColStat(_, None, None, Some(n))) if n == e.rows =>
+          lo.isEmpty && hi.isEmpty
         case _ => true // no stats recorded for this column: keep
       }
     }
@@ -404,6 +431,67 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val bounded = lo.map(l => col(column) >= lit(l)).toSeq ++
       hi.map(h => col(column) <= lit(h))
     bounded.reduceOption(_ && _).map(df.filter).getOrElse(df)
+  }
+
+  /** Exact row count of the current snapshot served ENTIRELY from the
+    * manifest (per-file counts recorded at stage time) — zero data files
+    * opened. At 100 TB, `COUNT(*)` is driver-side arithmetic. */
+  def countRows(): Long = requireManifest.entries.map(_.rows).sum
+
+  /** Files [[countWhere]] had to open on its most recent call — spec
+    * seam for asserting manifest-served coverage. -1 until called. */
+  private[graft] var lastCountScanned: Int = -1
+
+  /** MANIFEST-SERVED range count: `COUNT(rows with column ∈ [lo, hi])`
+    * (nulls never match; both bounds None counts the column's non-null
+    * rows, i.e. `COUNT(column)`). Each file is classified off its
+    * recorded stats: DISJOINT from the range contributes 0, fully
+    * CONTAINED contributes `rows − nulls` from the manifest alone, and
+    * only BOUNDARY-overlapping files (or files with no usable stats)
+    * are actually scanned — so a clustered-range count at 100 TB is
+    * driver arithmetic plus a scan of the two edge files. This is why
+    * stats carry NULL counts: min/max alone cannot turn "contained"
+    * into an exact count when null rows (which fail every range
+    * predicate) may hide in the file. `column == key` uses the key
+    * stats; any other column uses [[statsColumns]] stats when present,
+    * conservative scan otherwise. */
+  def countWhere(column: String, lo: Option[Any], hi: Option[Any]): Long = {
+    val m = requireManifest
+    require(m.schema.fieldNames.contains(column),
+      s"no column $column in table schema ${m.schema.fieldNames.mkString(", ")}")
+    val (loE, hiE) = (lo.flatMap(ordEncode), hi.flatMap(ordEncode))
+    // half-encodable bound (e.g. NaN): no manifest reasoning is safe
+    val encodable = lo.forall(_ => loE.isDefined) && hi.forall(_ => hiE.isDefined)
+    def statsOf(e: Entry): Option[ColStat] =
+      if (column == key) Some(ColStat(e.kind, e.min, e.max, e.nulls))
+      else e.stats.get(column)
+    var served = 0L
+    val toScan = Seq.newBuilder[Entry]
+    m.entries.foreach { e =>
+      statsOf(e) match {
+        case _ if !encodable => toScan += e
+        case Some(ColStat(k, Some(fMin), Some(fMax), nOpt)) if k != "opaque" =>
+          val disjoint = hiE.exists(h => ordLt(k, h, fMin)) ||
+            loE.exists(l => ordLt(k, fMax, l))
+          val contained = loE.forall(l => !ordLt(k, fMin, l)) &&
+            hiE.forall(h => !ordLt(k, h, fMax))
+          if (disjoint) () // contributes 0 — nulls fail the predicate too
+          else if (contained && nOpt.isDefined) served += e.rows - nOpt.get
+          else toScan += e
+        // all-null file with a known count: 0 rows match any predicate
+        case Some(ColStat(_, None, None, Some(n))) if n == e.rows => ()
+        case _ => toScan += e
+      }
+    }
+    val need = toScan.result()
+    lastCountScanned = need.size
+    served + (if (need.isEmpty) 0L
+    else {
+      val pred = (lo.map(l => col(column) >= lit(l)).toSeq ++
+        hi.map(h => col(column) <= lit(h)))
+        .reduceOption(_ && _).getOrElse(col(column).isNotNull)
+      readEntries(m.schema, need).filter(pred).count()
+    })
   }
 
   /** Row-level CHANGE FEED between two committed versions — what an
@@ -594,9 +682,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
           case _ => Map.empty
         }
       val statBounds = e.stats.collect {
-        case (c, (k, Some(mn), Some(mx))) => c -> ((k, mn, mx))
+        case (c, ColStat(k, Some(mn), Some(mx), _)) => c -> ((k, mn, mx))
       }
-      GraftFileIndex.Slice(st, keyBounds ++ statBounds)
+      val nullCounts = e.nulls.map(key -> _).toMap ++
+        e.stats.collect { case (c, ColStat(_, _, _, Some(n))) => c -> n }
+      GraftFileIndex.Slice(st, keyBounds ++ statBounds, e.rows, nullCounts)
     }
     val index = new GraftFileIndex(new Path(dir), slices, ordLt)
     lastScanIndex = index
@@ -741,14 +831,17 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val kind = kindOf(df.schema(key).dataType)
     val base = fs.makeQualified(out).toUri.getPath
     // secondary stats ride the SAME per-file aggregate — columns the
-    // frame carries and whose type encodes; absent/opaque columns just
-    // record no stats (conservatively unpruned on read)
+    // frame carries whose type encodes record [min,max]; every tracked
+    // present column records its null count (count(col) = non-nulls —
+    // free in the same pass, and what makes countWhere/IsNull exact)
     val present = statCols.filter(c =>
       df.schema.fieldNames.contains(c) && kindOf(df.schema(c).dataType) != "opaque")
     val aggs = Seq(count(lit(1)).as("__rows"),
-      min(col(key)).as("__mn"), max(col(key)).as("__mx")) ++
+      min(col(key)).as("__mn"), max(col(key)).as("__mx"),
+      count(col(key)).as("__knn")) ++
       present.zipWithIndex.flatMap { case (c, i) =>
-        Seq(min(col(c)).as(s"__smn$i"), max(col(c)).as(s"__smx$i")) }
+        Seq(min(col(c)).as(s"__smn$i"), max(col(c)).as(s"__smx$i"),
+          count(col(c)).as(s"__snn$i")) }
     val stats = spark.read.schema(df.schema).parquet(out.toString)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -756,20 +849,27 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     stats.toSeq.map { r =>
       val full = new Path(new java.net.URI(r.getString(0))).toUri.getPath
       val name = full.stripPrefix(base).stripPrefix("/")
+      val rows = r.getLong(1)
       val (mn, mx) =
         if (kind == "opaque") (None, None)
         else (ordEncode(r.get(2)), ordEncode(r.get(3)))
       // both bounds or neither: a half-encoded pair can't order safely
       val ok = mn.isDefined && mx.isDefined
       val colStats = present.zipWithIndex.flatMap { case (c, i) =>
-        val (smn, smx) = (ordEncode(r.get(4 + 2 * i)), ordEncode(r.get(5 + 2 * i)))
+        val (smn, smx) = (ordEncode(r.get(5 + 3 * i)), ordEncode(r.get(6 + 3 * i)))
+        val sNulls = Some(rows - r.getLong(7 + 3 * i))
+        // an all-null file has no orderable bounds but a fully-known
+        // null count — still prunable by null predicates and countable
         if (smn.isDefined && smx.isDefined)
-          Some(c -> ((kindOf(df.schema(c).dataType), smn, smx)))
+          Some(c -> ColStat(kindOf(df.schema(c).dataType), smn, smx, sNulls))
+        else if (sNulls.contains(rows))
+          Some(c -> ColStat(kindOf(df.schema(c).dataType), None, None, sNulls))
         else None
       }.toMap
-      Entry(s"$rel/$name", r.getLong(1),
+      Entry(s"$rel/$name", rows,
         if (ok) kind else "opaque",
-        if (ok) mn else None, if (ok) mx else None, colStats)
+        if (ok) mn else None, if (ok) mx else None, colStats,
+        nulls = Some(rows - r.getLong(4)))
     }
   }
 
@@ -896,6 +996,29 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   def versionForTag(tag: String): Option[Long] =
     committedManifests.reverse.find(_.tag.contains(tag)).map(_.version)
 
+  /** Time travel by TIMESTAMP: the newest committed version whose
+    * manifest file's modification time is ≤ `tsMillis` — "read the
+    * table as of last Tuesday" without the caller tracking versions.
+    * The commit instant is the manifest's FILESYSTEM mtime (set when
+    * the claim file was created — commits carry no wall-clock field of
+    * their own, by design: the protocol never trusts the driver's
+    * clock), so the same fs-vs-driver skew caveat as [[vacuum]]
+    * applies: compare against timestamps observed FROM the filesystem
+    * where precision matters. None when every kept version is newer
+    * (history before the window was retired, or the table post-dates
+    * the timestamp). A manifest retracted between listing and stat
+    * reads as absent, like everywhere else. */
+  def versionAsOf(tsMillis: Long): Option[Long] =
+    committedManifests.reverse.map(_.version).find { v =>
+      try fs.getFileStatus(manifestPath(v)).getModificationTime <= tsMillis
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+
+  /** [[readVersion]] addressed by timestamp — see [[versionAsOf]]. */
+  def readAsOf(tsMillis: Long): DataFrame =
+    readVersion(versionAsOf(tsMillis).getOrElse(throw new IllegalStateException(
+      s"no committed version at $dir as of $tsMillis")))
+
   /** Tag-only commit: the current file set re-committed under a new
     * application tag — advancing the rider fact (e.g. the incremental
     * pipeline's watermark on a run that changed no rows) without
@@ -985,9 +1108,39 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * driver-side listing of the CURRENT snapshot's entries only (one
     * stat per live file — maintenance-op cost, not query-path cost).
     * Returns the new version, or the current one when fewer than two
-    * files are small (nothing to gain). */
-  def optimize(smallBytes: Long = 32L << 20): Long = {
+    * files are small (nothing to gain).
+    *
+    * `zorderBy` switches the rewrite to MULTI-DIMENSION clustering
+    * ([[ZOrder]]): EVERY live file is rewritten, range-clustered on the
+    * bit-interleaved z-value of the named columns, so the manifest's
+    * per-file [min,max] turns tight in every named dimension at once —
+    * the layout for a store queried by both its key and a secondary
+    * stats column. The trade is explicit: the key's per-file ranges
+    * widen from perfect to ~z-grain (merges prune a little less
+    * tightly), secondary dimensions go from no skipping to real
+    * skipping. Still a content-identical `optimize` commit: the change
+    * feed skips it and a mirror sync across it advances tag-only.
+    * Z-order with this handle's `statsColumns` covering the non-key
+    * dimensions, or the sharpened layout records no stats to skip on. */
+  def optimize(smallBytes: Long = 32L << 20, zorderBy: Seq[String] = Nil): Long = {
     val m = requireManifest
+    if (zorderBy.nonEmpty) {
+      zorderBy.foreach(c => require(m.schema.fieldNames.contains(c),
+        s"z-order column $c not in table schema ${m.schema.fieldNames.mkString(", ")}"))
+      zorderBy.foreach(c => require(kindOf(m.schema(c).dataType) != "opaque",
+        s"z-order column $c has no orderable stats encoding (${m.schema(c).dataType.sql})"))
+      if (m.entries.size <= 1) return m.version
+      val all = readEntries(m.schema, m.entries)
+      val z = ZOrder.zvalue(all, m.entries.map(_.rows).sum, zorderBy, bits = 8,
+        c => kindOf(m.schema(c).dataType), ordEncode, ordLt)
+        .getOrElse(return m.version) // no usable boundaries: nothing to gain
+      val zed = all.withColumn("__z", z)
+      val ranged = (clusterPartitions match {
+        case Some(n) => zed.repartitionByRange(n, col("__z"))
+        case None => zed.repartitionByRange(col("__z"))
+      }).sortWithinPartitions("__z").drop("__z")
+      return commit(m.version, "optimize", m.schema, stage(ranged), m.tag.getOrElse(""))
+    }
     val (small, big) = m.entries.partition(e =>
       fs.getFileStatus(new Path(s"$dir/${e.path}")).getLen < smallBytes)
     if (small.size <= 1) return m.version
@@ -1203,7 +1356,7 @@ private[graft] final class GraftFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = slices.filter(s => !dataFilters.exists(f => provesDisjoint(f, s.bounds)))
+    val kept = slices.filter(s => !dataFilters.exists(f => provesDisjoint(f, s)))
     lastListedFiles = kept.size
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_.status).toArray))
   }
@@ -1227,48 +1380,98 @@ private[graft] final class GraftFileIndex(
   }
 
   /** True only when `f` PROVES the file's bounds cannot satisfy it. */
-  private def provesDisjoint(f: Expression,
-      bounds: Map[String, (String, String, String)]): Boolean = f match {
-    case And(l, r) => provesDisjoint(l, bounds) || provesDisjoint(r, bounds)
-    case Or(l, r) => provesDisjoint(l, bounds) && provesDisjoint(r, bounds)
+  private def provesDisjoint(f: Expression, s: GraftFileIndex.Slice): Boolean = {
+    val bounds = s.bounds
+    f match {
+    case And(l, r) => provesDisjoint(l, s) || provesDisjoint(r, s)
+    case Or(l, r) => provesDisjoint(l, s) && provesDisjoint(r, s)
+    // null predicates prove from the recorded NULL COUNT alone:
+    // IsNull needs a null row (none when nulls == 0), IsNotNull a
+    // non-null one (none when every row is null). Unknown count (old
+    // manifest) proves nothing.
+    case IsNull(a: AttributeReference) => s.nulls.get(a.name).contains(0L)
+    case IsNotNull(a: AttributeReference) => s.nulls.get(a.name).contains(s.rows)
+    // null-safe equality: a non-null literal matches exactly the rows
+    // plain EqualTo matches (null rows fail both), a null literal
+    // matches exactly the null rows
+    case EqualNullSafe(a: AttributeReference, Literal(null, _)) =>
+      s.nulls.get(a.name).contains(0L)
+    case EqualNullSafe(Literal(null, _), a: AttributeReference) =>
+      s.nulls.get(a.name).contains(0L)
+    case EqualNullSafe(a: AttributeReference, Literal(v, dt)) =>
+      maxBelow(s, a.name, v, dt) || minAbove(s, a.name, v, dt)
+    case EqualNullSafe(Literal(v, dt), a: AttributeReference) =>
+      maxBelow(s, a.name, v, dt) || minAbove(s, a.name, v, dt)
+    // prefix predicate on a string column: every match m satisfies
+    // m >= P (byte order), so fileMax < P is disjoint; and when
+    // fileMin > P WITHOUT carrying P as a prefix, the first differing
+    // byte sits inside P's length and exceeds it, putting fileMin
+    // above every possible match — disjoint from below
+    case StartsWith(a: AttributeReference,
+        Literal(p: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+      allNull(s, a.name) ||
+      bounds.get(a.name).exists { case (kind, mnB64, mxB64) =>
+        kind == "str" && {
+          val dec = java.util.Base64.getDecoder
+          val pb = p.getBytes
+          val mn = dec.decode(mnB64); val mx = dec.decode(mxB64)
+          def lt(x: Array[Byte], y: Array[Byte]) =
+            java.util.Arrays.compareUnsigned(x, y) < 0
+          def hasPrefix(x: Array[Byte]) = x.length >= pb.length &&
+            java.util.Arrays.equals(x, 0, pb.length, pb, 0, pb.length)
+          lt(mx, pb) || (lt(pb, mn) && !hasPrefix(mn))
+        }
+      }
     // a >= v / a > v : disjoint when file max < v (conservative: > uses >=)
-    case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) => maxBelow(bounds, a.name, v, dt)
-    case GreaterThan(a: AttributeReference, Literal(v, dt)) => maxBelow(bounds, a.name, v, dt)
-    case LessThanOrEqual(Literal(v, dt), a: AttributeReference) => maxBelow(bounds, a.name, v, dt)
-    case LessThan(Literal(v, dt), a: AttributeReference) => maxBelow(bounds, a.name, v, dt)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) => maxBelow(s, a.name, v, dt)
+    case GreaterThan(a: AttributeReference, Literal(v, dt)) => maxBelow(s, a.name, v, dt)
+    case LessThanOrEqual(Literal(v, dt), a: AttributeReference) => maxBelow(s, a.name, v, dt)
+    case LessThan(Literal(v, dt), a: AttributeReference) => maxBelow(s, a.name, v, dt)
     // a <= v / a < v : disjoint when file min > v
-    case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) => minAbove(bounds, a.name, v, dt)
-    case LessThan(a: AttributeReference, Literal(v, dt)) => minAbove(bounds, a.name, v, dt)
-    case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) => minAbove(bounds, a.name, v, dt)
-    case GreaterThan(Literal(v, dt), a: AttributeReference) => minAbove(bounds, a.name, v, dt)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) => minAbove(s, a.name, v, dt)
+    case LessThan(a: AttributeReference, Literal(v, dt)) => minAbove(s, a.name, v, dt)
+    case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) => minAbove(s, a.name, v, dt)
+    case GreaterThan(Literal(v, dt), a: AttributeReference) => minAbove(s, a.name, v, dt)
     case EqualTo(a: AttributeReference, Literal(v, dt)) =>
-      maxBelow(bounds, a.name, v, dt) || minAbove(bounds, a.name, v, dt)
+      maxBelow(s, a.name, v, dt) || minAbove(s, a.name, v, dt)
     case EqualTo(Literal(v, dt), a: AttributeReference) =>
-      maxBelow(bounds, a.name, v, dt) || minAbove(bounds, a.name, v, dt)
+      maxBelow(s, a.name, v, dt) || minAbove(s, a.name, v, dt)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.forall { case Literal(v, dt) =>
-        maxBelow(bounds, a.name, v, dt) || minAbove(bounds, a.name, v, dt)
+        maxBelow(s, a.name, v, dt) || minAbove(s, a.name, v, dt)
       }
     case _ => false
-  }
+  } }
 
-  /** file max < v for column c (⇒ no row can be ≥ v). */
-  private def maxBelow(bounds: Map[String, (String, String, String)],
+  /** Every row of the slice is null in column c — no VALUE comparison
+    * can match (an all-null file records a null count but no orderable
+    * bounds, so min/max reasoning alone would never prune it). */
+  private def allNull(s: GraftFileIndex.Slice, c: String): Boolean =
+    s.nulls.get(c).contains(s.rows)
+
+  /** file max < v for column c (⇒ no row can be ≥ v); an all-null
+    * column proves too. */
+  private def maxBelow(s: GraftFileIndex.Slice,
       c: String, v: Any, dt: DataType): Boolean =
-    bounds.get(c).exists { case (kind, _, mx) =>
+    allNull(s, c) || s.bounds.get(c).exists { case (kind, _, mx) =>
       enc(v, dt).exists(lo => ordLt(kind, mx, lo)) }
 
-  /** file min > v for column c (⇒ no row can be ≤ v). */
-  private def minAbove(bounds: Map[String, (String, String, String)],
+  /** file min > v for column c (⇒ no row can be ≤ v); an all-null
+    * column proves too. */
+  private def minAbove(s: GraftFileIndex.Slice,
       c: String, v: Any, dt: DataType): Boolean =
-    bounds.get(c).exists { case (kind, mn, _) =>
+    allNull(s, c) || s.bounds.get(c).exists { case (kind, mn, _) =>
       enc(v, dt).exists(hi => ordLt(kind, hi, mn)) }
 }
 
 private[graft] object GraftFileIndex {
   /** One live data file: its status plus per-column encoded bounds
     * (column → (kind, minEnc, maxEnc)) — the key's under its own
-    * column name, secondary stats beside it. */
+    * column name, secondary stats beside it — the file's row count,
+    * and per-column NULL counts where the manifest recorded them
+    * (absent on pre-null-tracking manifests: null predicates then
+    * prove nothing for that file). */
   final case class Slice(status: org.apache.hadoop.fs.FileStatus,
-      bounds: Map[String, (String, String, String)])
+      bounds: Map[String, (String, String, String)],
+      rows: Long = 0L, nulls: Map[String, Long] = Map.empty)
 }

@@ -748,6 +748,133 @@ class SnapshotTableSpec extends AnyFunSuite {
       tbl.read().filter(col("score") < 50L || col("k") === 399L))
   }
 
+  test("countRows/countWhere: manifest-served counts, only boundary files scanned, nulls exact") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(10),
+      statsColumns = Seq("score"))
+    // nulls concentrated at both ends of the key domain: the low and
+    // high files are ALL-null in score, interior files null-free —
+    // contained-file arithmetic must subtract them without a scan
+    def sc(i: Long): Option[Long] = if (i <= 40 || i > 360) None else Some(i * 2)
+    val df = (1L to 400L).map(i => (i, s"v$i", sc(i))).toDF("k", "v", "score")
+    tbl.create(df)
+    val nFiles = tbl.read().inputFiles.length
+    assert(nFiles >= 4)
+    // COUNT(*): zero files opened, by construction (no scan job exists)
+    assert(tbl.countRows() == 400L)
+    // key-range count covering several whole interior files: only the
+    // two boundary files open
+    assert(tbl.countWhere("k", Some(100L), Some(300L)) == 201L)
+    assert(tbl.lastCountScanned <= 2,
+      s"key-range count scanned ${tbl.lastCountScanned} of $nFiles files")
+    // stats-column range count: score ∈ [200, 600] ⇔ k ∈ [100, 300]
+    // (score = 2k on non-null rows); contained files served as
+    // rows − nulls, disjoint (incl. the all-null end files) as 0
+    assert(tbl.countWhere("score", Some(200L), Some(600L)) == 201L)
+    assert(tbl.lastCountScanned <= 2,
+      s"stat-range count scanned ${tbl.lastCountScanned} of $nFiles files")
+    // unbounded = COUNT(column): non-null rows only, zero files opened
+    assert(tbl.countWhere("score", None, None) == 320L)
+    assert(tbl.lastCountScanned == 0,
+      s"COUNT(column) scanned ${tbl.lastCountScanned} files — nulls are in the manifest")
+    // an untracked column falls back to a full scan — exact, not fast
+    assert(tbl.countWhere("v", Some("v100"), Some("v200")) ==
+      tbl.read().filter(col("v") >= "v100" && col("v") <= "v200").count())
+    assert(tbl.lastCountScanned == nFiles)
+    // equivalence sweep against the plain read
+    for ((lo, hi) <- Seq((Some(1L), Some(80L)), (None, Some(500L)), (Some(700L), None)))
+      assert(tbl.countWhere("score", lo, hi) ==
+        tbl.read().filter(
+          (lo.map(l => col("score") >= l).toSeq ++ hi.map(h => col("score") <= h))
+            .reduceOption(_ && _).getOrElse(col("score").isNotNull)).count())
+  }
+
+  test("scan() null/prefix/null-safe predicates prune from null counts and string bounds") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(10),
+      statsColumns = Seq("score", "src"))
+    // score: all-null across the low-key files (the first ~fifth of the
+    // key domain), non-null elsewhere; src: key-correlated strings so
+    // key clustering gives tight per-file byte bounds
+    def sc(i: Long): Option[Long] = if (i <= 80) None else Some(i * 2)
+    val df = (1L to 400L).map(i => (i, f"s${i / 40}%02d", sc(i))).toDF("k", "src", "score")
+    tbl.create(df)
+    val nFiles = tbl.read().inputFiles.length
+    assert(nFiles >= 4)
+    // IsNull keeps only files that HAVE nulls (the low end)
+    val q1 = tbl.scan().filter(col("score").isNull); val i1 = tbl.lastScanIndex
+    assert(q1.count() == 80)
+    assert(i1.lastListedFiles <= 4, s"isNull kept ${i1.lastListedFiles} of $nFiles")
+    // IsNotNull prunes the ALL-null files
+    val q2 = tbl.scan().filter(col("score").isNotNull); val i2 = tbl.lastScanIndex
+    assert(q2.count() == 320)
+    assert(i2.lastListedFiles <= nFiles - 1, s"isNotNull kept ${i2.lastListedFiles}")
+    // null-safe equality prunes like EqualTo on the value side
+    val q3 = tbl.scan().filter(col("score") <=> 400L); val i3 = tbl.lastScanIndex
+    assert(q3.count() == 1)
+    assert(i3.lastListedFiles <= 2, s"eqNullSafe kept ${i3.lastListedFiles}")
+    // a string PREFIX predicate prunes off the encoded byte bounds
+    val q4 = tbl.scan().filter(col("src").startsWith("s09")); val i4 = tbl.lastScanIndex
+    assert(q4.count() == 40)
+    assert(i4.lastListedFiles <= 3, s"startsWith kept ${i4.lastListedFiles} of $nFiles")
+    // equivalence with the plain read on every shape above
+    for (p <- Seq(col("score").isNull, col("score").isNotNull,
+        col("score") <=> 400L, col("src").startsWith("s09")))
+      assertSameRows(tbl.scan().filter(p), tbl.read().filter(p))
+  }
+
+  test("optimize(zorderBy): multi-dimension skipping, content identical, change feed silent") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(16),
+      statsColumns = Seq("b"))
+    // b deliberately UNCORRELATED with k: key clustering gives a
+    // b-predicate no locality at all — every file spans ~the full b range
+    val df = (1L to 4000L).map(i => (i, (i * 2654435761L) % 4096L, s"v$i"))
+      .toDF("k", "b", "v")
+    tbl.create(df)
+    val v0 = tbl.currentVersion.get
+    val nFiles = tbl.read().inputFiles.length
+    assert(nFiles >= 8)
+    val before = tbl.readWhere("b", Some(0L), Some(255L)).inputFiles.length
+    assert(before > nFiles / 2, s"pre-zorder a b-range should open ~everything, got $before")
+    val v1 = tbl.optimize(zorderBy = Seq("k", "b"))
+    assert(v1 > v0 && tbl.history.last._3 == "optimize")
+    assertSameRows(tbl.read(), df) // a layout change, not a data change
+    val nAfter = tbl.read().inputFiles.length
+    // BOTH dimensions now skip: each file is tight in k AND b at z-grain
+    val bAfter = tbl.readWhere("b", Some(0L), Some(255L)).inputFiles.length
+    val kAfter = tbl.readRange(Some(1L), Some(250L)).inputFiles.length
+    assert(bAfter <= nAfter / 2, s"post-zorder b-range kept $bAfter of $nAfter")
+    assert(kAfter <= nAfter / 2, s"post-zorder k-range kept $kAfter of $nAfter")
+    // content-identical optimize: the rewrite-op-aware feed sees nothing
+    assert(tbl.changesBetween(v0, v1).isEmpty)
+    // guard rails: unknown and opaque columns are rejected loudly
+    intercept[IllegalArgumentException](tbl.optimize(zorderBy = Seq("nope")))
+  }
+
+  test("versionAsOf/readAsOf: timestamp time travel off manifest mtimes") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a"))
+    tbl.merge(kv(2L -> "b"))
+    tbl.merge(kv(3L -> "c"))
+    // pin the commit instants (fs mtime is the commit clock)
+    val mdir = new java.io.File(s"$dir/manifests")
+    val manifests = mdir.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    manifests.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L * (i + 1)))
+    }
+    assert(tbl.versionAsOf(500000L).isEmpty)       // before the table existed
+    assert(tbl.versionAsOf(1500000L).contains(0L)) // between v0 and v1
+    assert(tbl.versionAsOf(9999999L).contains(2L)) // after everything
+    assert(tbl.readAsOf(2500000L).count() == 2)    // v1: keys 1, 2
+    intercept[IllegalStateException](tbl.readAsOf(1L))
+  }
+
   test("collectStats backfills skipping stats onto existing files without rewriting any") {
     val s = spark
     import s.implicits._
