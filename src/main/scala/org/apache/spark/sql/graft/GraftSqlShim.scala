@@ -16,6 +16,19 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-tag a computed batch frame as a STREAMING frame — what a v1
+    * streaming `Source.getBatch` must return (MicroBatchExecution
+    * asserts `isStreaming`). The standard v1-source move: the batch
+    * plan's execution RDD wrapped in a [[org.apache.spark.sql.execution.LogicalRDD]]
+    * with `isStreaming = true` — lazy (no job runs here; the sink's
+    * write executes it), same rows, same schema. */
+  def streamingFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val qe = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution
+    classic.Dataset.ofRows(cs, org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd, isStreaming = true)(cs))
+  }
+
   /** Replays `spark.sql.extensions` function injection against a given
     * registry — the exact hook session creation calls — so a spec can
     * prove the extension surfaces every graft function without building

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.incremental.SnapshotTable
+import TestSpark._
+
+/** The SnapshotTable CDC feed as a Structured Streaming SOURCE
+  * ([[org.apache.spark.sql.graft.SnapshotChangeFeedProvider]]): offsets
+  * are table versions, each micro-batch is `changesKeyed` over its
+  * version interval (rewrite-op-aware — compaction mass never enters
+  * the stream), and a downstream consumer can apply the feed with
+  * `applyDelta` to converge a mirror. */
+class SnapshotStreamSourceSpec extends AnyFunSuite {
+
+  private val provider = "org.apache.spark.sql.graft.SnapshotChangeFeedProvider"
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-feedsrc").toString
+
+  private def kv(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private def feed(dir: String, extra: (String, String)*): DataFrame =
+    extra.foldLeft(spark.readStream.format(provider)
+      .option("path", dir).option("key", "k")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+
+  test("tail semantics: commits after stream start arrive as CDC rows, version-stamped") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a", 2L -> "b", 3L -> "c")) // v0 — before the stream: not delivered
+    val q = feed(dir, "maxVersionsPerBatch" -> "1") // one commit per micro-batch
+      .writeStream.format("memory").queryName("feed_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_tail").isEmpty, "tail-only: the pre-start snapshot stays out")
+      tbl.merge(kv(2L -> "B", 4L -> "d")) // v1: update 2, insert 4
+      tbl.delete(kv(1L -> "").select("k")) // v2: delete 1
+      q.processAllAvailable()
+      val got = spark.table("feed_tail")
+        .select("k", "v", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got == Seq(
+        (1L, "a", "delete", 2L), // pre-image from the delete's own interval
+        (2L, "B", "update", 1L),
+        (4L, "d", "insert", 1L)))
+    } finally q.stop()
+  }
+
+  test("compaction never floods the stream; startingVersion replays history") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(5))
+    tbl.create((1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")) // v0
+    tbl.merge(kv(7L -> "V7")) // v1: one-row churn
+    tbl.optimize(smallBytes = Long.MaxValue) // v2: FULL rewrite, zero logical change
+    tbl.merge(kv(300L -> "new")) // v3: one-row churn
+    // startingVersion=0 replays everything SINCE v0 across the
+    // compaction: exactly the two merges' churn, never the 200-row mass
+    val q = feed(dir, "startingVersion" -> "0")
+      .writeStream.format("memory").queryName("feed_replay").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("feed_replay")
+        .select("k", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+      assert(got == Seq((7L, "V7", "update"), (300L, "new", "insert")))
+    } finally q.stop()
+  }
+
+  test("a foreachBatch consumer applies the feed with applyDelta and survives a restart") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val ckpt = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a", 2L -> "b", 3L -> "c")) // v0
+    val mirror = new SnapshotTable(spark, freshDir(), "k")
+    mirror.create(tbl.read()) // cold copy at the stream's starting version
+
+    def applyFeed(batch: DataFrame, batchId: Long): Unit = {
+      val ups = batch.filter(col("_change_type") =!= "delete")
+        .drop("_change_type", "_commit_version")
+      val dels = batch.filter(col("_change_type") === "delete").select("k")
+      if (!batch.isEmpty) mirror.applyDelta(ups, dels, tag = s"batch:$batchId")
+      ()
+    }
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      feed(dir).writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(applyFeed _).start()
+
+    val q1 = run()
+    try {
+      tbl.merge(kv(2L -> "B", 4L -> "d")) // v1
+      q1.processAllAvailable()
+      assertSameRows(mirror.read(), tbl.read())
+    } finally q1.stop()
+
+    // source moves while the stream is DOWN; the checkpointed version
+    // offset resumes exactly after the applied interval
+    tbl.delete(kv(1L -> "").select("k")) // v2
+    tbl.merge(kv(5L -> "e")) // v3
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      assertSameRows(mirror.read(), tbl.read())
+      assert(mirror.read().count() == 4) // 2B,3c,4d,5e
+    } finally q2.stop()
+  }
+}
