@@ -183,6 +183,41 @@ object SparkEntry {
       tbl.create(docs)
       materializeAndClean(tbl.readWhere("n_chars", Some(200L), Some(400L)), scratch)
     }),
+    // Z-ORDER compaction: optimize(zorderBy) rewrites the store
+    // range-clustered on the bit-interleaved z-value of (key, n_chars),
+    // so per-file [min,max] turns tight in BOTH dimensions — the layout
+    // for a store queried by key AND a secondary column; the readWhere
+    // after it skips files the original key clustering could not
+    "corpus_zorder_read" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
+        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
+      tbl.create(docs)
+      tbl.optimize(zorderBy = Seq("doc_id", "n_chars"))
+      materializeAndClean(tbl.readWhere("n_chars", Some(200L), Some(400L)), scratch)
+    }),
+    // MANIFEST-SERVED aggregates: COUNT(*) is pure driver arithmetic
+    // over per-file row counts (zero data files opened), and a range
+    // COUNT classifies each file as disjoint (0) / fully contained
+    // (rows − recorded nulls, from the manifest alone) / boundary —
+    // only boundary files are scanned, so a clustered-range count at
+    // 100 TB is arithmetic plus the two edge files
+    "corpus_count_pruned" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-count").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
+        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
+      tbl.create(docs)
+      val total = tbl.countRows()
+      val keyRange = tbl.countWhere("doc_id", Some(100L), Some(300L))
+      val statRange = tbl.countWhere("n_chars", Some(200L), Some(400L))
+      import s.implicits._
+      materializeAndClean(
+        Seq((total, keyRange, statRange))
+          .toDF("total_rows", "key_range_rows", "stat_range_rows"),
+        scratch)
+    }),
     // Catalyst-integrated scan: the store read through a manifest-backed
     // FileIndex, so ORDINARY query predicates (here: a key range AND a
     // secondary-stats range, in plain .filter syntax) prune files via
@@ -215,6 +250,35 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 10000000L))
       val v1 = tbl.applyDelta(upserts, docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
       materializeAndClean(tbl.changesKeyed(v0, v1), scratch)
+    }),
+    // the SAME CDC interval consumed as a STRUCTURED STREAMING SOURCE:
+    // offsets are table versions, the micro-batch is changesKeyed over
+    // (v0, v1] stamped with the commit version — a downstream consumer
+    // readStreams the store instead of polling snapshots, and the
+    // rewrite-op-aware feed keeps compaction mass out of the stream
+    "corpus_changes_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-cdcstream").toString
+      val tbl = new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
+        clusterPartitions = Some(8))
+      tbl.create(docs) // v0 — the stream tails changes committed after start
+      val qn = "feed_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val q = s.readStream
+        .format("org.apache.spark.sql.graft.SnapshotChangeFeedProvider")
+        .option("path", s"$scratch/store").option("key", "doc_id")
+        .load()
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try {
+        val upserts = docs.filter(col("doc_id") % 31 === 0)
+          .withColumn("text", lit("[redacted-v2]"))
+          .unionByName(docs.filter(col("doc_id") % 53 === 1)
+            .withColumn("doc_id", col("doc_id") + 10000000L))
+        tbl.applyDelta(upserts, docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = materializeAndClean(s.table(qn), scratch)
+      s.catalog.dropTempView(qn)
+      out
     }),
     // retroactive stats adoption: the table is created UNTRACKED (no
     // n_chars stats anywhere), then collectStats backfills per-file
@@ -1365,6 +1429,14 @@ object SparkEntry {
       "SELECT * FROM documents WHERE doc_id % 731 = 5",
     "corpus_stats_read" ->
       "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
+    "corpus_zorder_read" ->
+      "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
+    "corpus_count_pruned" ->
+      """SELECT (SELECT count(*) FROM documents) AS total_rows,
+        |  (SELECT count(*) FROM documents WHERE doc_id BETWEEN 100 AND 300)
+        |    AS key_range_rows,
+        |  (SELECT count(*) FROM documents WHERE n_chars BETWEEN 200 AND 400)
+        |    AS stat_range_rows""".stripMargin,
     "corpus_stats_backfill" ->
       "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
     "corpus_scan_pushdown" ->
@@ -1378,6 +1450,17 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 53 = 1
         |UNION ALL
         |SELECT doc_id, text, lang, source, n_chars, 'delete'
+        |FROM documents WHERE doc_id % 17 = 0 AND doc_id % 31 <> 0""".stripMargin,
+    "corpus_changes_stream" ->
+      """SELECT doc_id, '[redacted-v2]' AS text, lang, source, n_chars,
+        |  'update' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |FROM documents WHERE doc_id % 31 = 0
+        |UNION ALL
+        |SELECT doc_id + 10000000, text, lang, source, n_chars, 'insert',
+        |  CAST(1 AS BIGINT)
+        |FROM documents WHERE doc_id % 53 = 1
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars, 'delete', CAST(1 AS BIGINT)
         |FROM documents WHERE doc_id % 17 = 0 AND doc_id % 31 <> 0""".stripMargin,
     "corpus_apply_delta" ->
       """SELECT doc_id,
