@@ -129,7 +129,14 @@ private[graft] final class SnapshotChangeFeedSource(
       else
         tbl.changesKeyed(from, to)
           .withColumn("_commit_version", org.apache.spark.sql.functions.lit(to))
-    GraftSqlShim.streamingFrame(batch)
+    // a streaming source's schema is FIXED at stream start: when the
+    // table evolved (added a nullable column) inside the interval, the
+    // feed carries more columns than this stream declared — project to
+    // the declared set (the standard source contract: restart the
+    // stream to pick up new columns; nothing is lost on the table)
+    val projected = batch.select(
+      schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    GraftSqlShim.streamingFrame(projected)
   }
 
   override def commit(end: Offset): Unit = ()

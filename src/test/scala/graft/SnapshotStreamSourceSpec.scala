@@ -117,4 +117,25 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       assert(mirror.read().count() == 4) // 2B,3c,4d,5e
     } finally q2.stop()
   }
+
+  test("schema evolution inside an interval: the stream keeps its declared columns") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a")) // v0: (k, v)
+    val q = feed(dir)
+      .writeStream.format("memory").queryName("feed_evolve").outputMode("append").start()
+    try {
+      // the table evolves mid-stream: merge adds a nullable column
+      tbl.merge(Seq((2L, "b", "x")).toDF("k", "v", "extra")) // v1: (k, v, extra)
+      q.processAllAvailable()
+      val rows = spark.table("feed_evolve")
+      // declared schema (fixed at start) survives: no `extra` column,
+      // the insert still arrives
+      assert(rows.columns.toSeq == Seq("k", "v", "_change_type", "_commit_version"))
+      assert(rows.select("k", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "insert")))
+    } finally q.stop()
+  }
 }
