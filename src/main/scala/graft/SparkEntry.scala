@@ -280,6 +280,39 @@ object SparkEntry {
       s.catalog.dropTempView(qn)
       out
     }),
+    // the FULL streaming replication loop, two calls of user code: the
+    // store read as a CDC stream (SnapshotTableProvider source) written
+    // straight into a second store (cdc-mode sink, each batch ONE
+    // atomic applyDelta tagged with the batch id) — the mirror's
+    // post-state must equal the batch applyDelta semantics exactly
+    "corpus_stream_mirror" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-smirror").toString
+      val src = new graft.incremental.SnapshotTable(s, s"$scratch/src", "doc_id",
+        clusterPartitions = Some(8))
+      src.create(docs.limit(0)) // v0: empty — the stream replays ALL content
+      val q = s.readStream
+        .format("org.apache.spark.sql.graft.SnapshotTableProvider")
+        .option("path", s"$scratch/src").option("key", "doc_id")
+        .load()
+        .writeStream
+        .format("org.apache.spark.sql.graft.SnapshotTableProvider")
+        .option("path", s"$scratch/mirror").option("key", "doc_id")
+        .option("mode", "cdc")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .start()
+      try {
+        src.merge(docs) // v1: the corpus lands
+        val upserts = docs.filter(col("doc_id") % 31 === 0)
+          .withColumn("text", lit("[redacted-v2]"))
+          .unionByName(docs.filter(col("doc_id") % 53 === 1)
+            .withColumn("doc_id", col("doc_id") + 10000000L))
+        src.applyDelta(upserts, docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val mirror = new graft.incremental.SnapshotTable(s, s"$scratch/mirror", "doc_id")
+      materializeAndClean(mirror.read(), scratch)
+    }),
     // retroactive stats adoption: the table is created UNTRACKED (no
     // n_chars stats anywhere), then collectStats backfills per-file
     // [min,max] in ONE scan and a rewrite-free `stats` commit — the
@@ -1462,6 +1495,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, text, lang, source, n_chars, 'delete', CAST(1 AS BIGINT)
         |FROM documents WHERE doc_id % 17 = 0 AND doc_id % 31 <> 0""".stripMargin,
+    "corpus_stream_mirror" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,
+        |  lang, source, n_chars
+        |FROM documents WHERE doc_id % 17 <> 0 OR doc_id % 31 = 0
+        |UNION ALL
+        |SELECT doc_id + 10000000, text, lang, source, n_chars
+        |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
     "corpus_apply_delta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,

@@ -29,6 +29,21 @@ object GraftSqlShim {
       qe.analyzed.output, qe.toRdd, isStreaming = true)(cs))
   }
 
+  /** Re-executable BATCH view of a v1 sink's `addBatch` frame. The
+    * frame the engine hands a sink still carries streaming leaves in
+    * its logical plan (so `.write`/multi-action use is rejected); its
+    * QUERY EXECUTION, though, is the micro-batch's fully-planned batch
+    * execution — wrap that execution's RDD in a plain (non-streaming)
+    * [[org.apache.spark.sql.execution.LogicalRDD]] and the sink gets an
+    * ordinary DataFrame it can join, persist, and write. The exact
+    * inverse of [[streamingFrame]]. */
+  def rebatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val qe = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution
+    classic.Dataset.ofRows(cs,
+      org.apache.spark.sql.execution.LogicalRDD(qe.analyzed.output, qe.toRdd)(cs))
+  }
+
   /** Replays `spark.sql.extensions` function injection against a given
     * registry — the exact hook session creation calls — so a spec can
     * prove the extension surfaces every graft function without building

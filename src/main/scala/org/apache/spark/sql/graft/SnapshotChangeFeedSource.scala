@@ -1,23 +1,31 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.sources.{StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.incremental.SnapshotTable
 
-/** The corpus store as a STRUCTURED STREAMING SOURCE: a downstream
-  * consumer (a trainer re-tokenizing only changed documents, an online
-  * mirror, an index updater) `readStream`s the table's CDC feed instead
-  * of polling snapshots —
+/** The snapshot store as BOTH ENDS of a Structured Streaming pipeline —
+  * one format string, read and write:
   * {{{
   *   spark.readStream
-  *     .format("org.apache.spark.sql.graft.SnapshotChangeFeedProvider")
+  *     .format("org.apache.spark.sql.graft.SnapshotTableProvider")
   *     .option("path", storeDir).option("key", "doc_id")
   *     .load()            // schema: table columns + _change_type + _commit_version
+  *     .writeStream
+  *     .format("org.apache.spark.sql.graft.SnapshotTableProvider")
+  *     .option("path", mirrorDir).option("key", "doc_id").option("mode", "cdc")
+  *     .option("checkpointLocation", ckpt).start()   // a live mirror, two calls
   * }}}
+  *
+  * == Source ==
+  * A downstream consumer (a trainer re-tokenizing only changed
+  * documents, an online mirror, an index updater) `readStream`s the
+  * table's CDC feed instead of polling snapshots.
   * OFFSETS ARE TABLE VERSIONS — the manifest log is the source's own
   * commit log, so there is no side-channel state to drift: a micro-batch
   * covering versions (from, to] is exactly
@@ -40,13 +48,33 @@ import graft.incremental.SnapshotTable
   * this many versions; best-effort on the first post-restart batch,
   * which catches up to the head it finds).
   *
+  * == Sink ==
+  * Each micro-batch commits to the target table ATOMICALLY, with the
+  * batch id riding the commit tag — a replayed batch (restart after a
+  * crash between sink commit and checkpoint commit) reads the tag and
+  * skips, so the sink is exactly-once while it is the table's only
+  * writer (a foreign un-tagged commit interleaving resets the tag; a
+  * replay after that re-applies one batch — idempotent under `upsert`
+  * and `cdc`, duplicating under `append` — the standard single-writer
+  * sink assumption). `mode` picks the application:
+  *   - `upsert` (default): keyed MERGE of the batch (first batch
+  *     creates the table);
+  *   - `cdc`: the batch carries `_change_type` (this source's own feed
+  *     shape, or any CDC frame) — applied as ONE atomic
+  *     upsert+delete (`applyDelta`);
+  *   - `append`: blind append (event logs; no key semantics).
+  * `clusterPartitions` and `statsColumns` (comma-separated) configure
+  * the target handle, so a streamed store keeps the same clustering
+  * and data-skipping stats a batch-built one would have.
+  *
   * This file lives under the `org.apache.spark.sql` package tree for
-  * the same reason [[GraftSqlShim]] does: the v1 streaming source
-  * seam (`Source`, `LongOffset`) and the isStreaming-tagged DataFrame
-  * constructor it returns are `private[sql]`-adjacent internals — the
-  * standard extension point every v1 connector uses, kept to this one
-  * thin class; all change-feed logic is SnapshotTable's public API. */
-final class SnapshotChangeFeedProvider extends StreamSourceProvider {
+  * the same reason [[GraftSqlShim]] does: the v1 streaming seams
+  * (`Source`, `Sink`, `LongOffset`) and the isStreaming-tagged /
+  * re-executable DataFrame constructors are `private[sql]`-adjacent
+  * internals — the standard extension point every v1 connector uses,
+  * kept to this one thin file; all table logic is SnapshotTable's
+  * public API. */
+final class SnapshotTableProvider extends StreamSourceProvider with StreamSinkProvider {
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
@@ -60,6 +88,91 @@ final class SnapshotChangeFeedProvider extends StreamSourceProvider {
       parameters: Map[String, String]): Source =
     new SnapshotChangeFeedSource(sqlContext.sparkSession,
       SnapshotChangeFeedSource.normalize(parameters))
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink =
+    new SnapshotTableSink(sqlContext.sparkSession,
+      SnapshotChangeFeedSource.normalize(parameters))
+}
+
+/** Source-only alias kept for call sites that predate the sink half —
+  * same options, same semantics as reading through
+  * [[SnapshotTableProvider]]. */
+final class SnapshotChangeFeedProvider extends StreamSourceProvider {
+  private val delegate = new SnapshotTableProvider
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    delegate.sourceSchema(sqlContext, schema, providerName, parameters)
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    delegate.createSource(sqlContext, metadataPath, schema, providerName, parameters)
+}
+
+/** The write half of [[SnapshotTableProvider]] — see its Sink section.
+  * Batch-id tags make replays no-ops; every application path is one
+  * atomic SnapshotTable commit. */
+private[graft] final class SnapshotTableSink(
+    spark: SparkSession, p: Map[String, String]) extends Sink {
+
+  private val dir = p.getOrElse("path",
+    throw new IllegalArgumentException("snapshot sink needs option path=<table dir>"))
+  private val key = p.getOrElse("key",
+    throw new IllegalArgumentException("snapshot sink needs option key=<key column>"))
+  private val mode = p.getOrElse("mode", "upsert")
+  require(Set("upsert", "cdc", "append")(mode),
+    s"snapshot sink mode must be upsert|cdc|append, got $mode")
+  private val clusterParts = p.get("clusterpartitions").map(_.toInt)
+  private val statsCols = p.get("statscolumns")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  private def table = new SnapshotTable(spark, dir, key,
+    clusterPartitions = clusterParts, statsColumns = statsCols)
+
+  private val TagPrefix = "stream-batch:"
+  private def lastApplied(t: SnapshotTable): Option[Long] =
+    t.currentTag.filter(_.startsWith(TagPrefix))
+      .flatMap(s => scala.util.Try(s.stripPrefix(TagPrefix).toLong).toOption)
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val t = table
+    if (t.exists && lastApplied(t).exists(_ >= batchId)) return // replay: already applied
+    // the engine's addBatch frame is single-use; re-wrap its planned
+    // execution as an ordinary batch frame, persisted across the
+    // several actions the application paths run on it
+    val df = GraftSqlShim.rebatch(data)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tag = s"$TagPrefix$batchId"
+      import org.apache.spark.sql.functions.col
+      def payloadSchema(d: org.apache.spark.sql.DataFrame) =
+        if (mode == "cdc") d.drop("_commit_version", "_change_type") else d
+      // the engine's fresh-start batch 0 (and any replayed no-op) is
+      // EMPTY: advance only the cursor tag — never a contentless data
+      // commit — or pin the schema with an empty create when the table
+      // does not exist yet
+      if (df.isEmpty) {
+        if (!t.exists) t.create(payloadSchema(df), tag)
+        else if (!t.currentTag.contains(tag)) t.setTag(tag)
+        return
+      }
+      mode match {
+        case "append" =>
+          if (t.exists) t.append(df, tag) else t.create(df, tag)
+        case "upsert" =>
+          if (t.exists) t.merge(df, tag = tag) else t.create(df, tag)
+        case "cdc" =>
+          require(df.schema.fieldNames.contains("_change_type"),
+            "cdc mode wants a _change_type column (insert|update|delete)")
+          val payload = df.drop("_commit_version")
+          val ups = payload.filter(col("_change_type") =!= "delete").drop("_change_type")
+          val dels = payload.filter(col("_change_type") === "delete").select(col(key))
+          if (t.exists) t.applyDelta(ups, dels, tag = tag)
+          else t.create(ups.join(dels, Seq(key), "left_anti"), tag)
+      }
+      ()
+    } finally df.unpersist(blocking = false)
+  }
 }
 
 private[graft] object SnapshotChangeFeedSource {

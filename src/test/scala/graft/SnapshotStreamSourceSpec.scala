@@ -9,15 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.incremental.SnapshotTable
 import TestSpark._
 
-/** The SnapshotTable CDC feed as a Structured Streaming SOURCE
-  * ([[org.apache.spark.sql.graft.SnapshotChangeFeedProvider]]): offsets
-  * are table versions, each micro-batch is `changesKeyed` over its
-  * version interval (rewrite-op-aware — compaction mass never enters
-  * the stream), and a downstream consumer can apply the feed with
-  * `applyDelta` to converge a mirror. */
+/** The SnapshotTable as BOTH ENDS of Structured Streaming
+  * ([[org.apache.spark.sql.graft.SnapshotTableProvider]]): the SOURCE's
+  * offsets are table versions and each micro-batch is `changesKeyed`
+  * over its version interval (rewrite-op-aware — compaction mass never
+  * enters the stream); the SINK commits each batch atomically with the
+  * batch id riding the commit tag (replays skip), in upsert / cdc /
+  * append modes. */
 class SnapshotStreamSourceSpec extends AnyFunSuite {
 
-  private val provider = "org.apache.spark.sql.graft.SnapshotChangeFeedProvider"
+  private val provider = "org.apache.spark.sql.graft.SnapshotTableProvider"
+  private val legacyProvider = "org.apache.spark.sql.graft.SnapshotChangeFeedProvider"
 
   private def freshDir(): String =
     Files.createTempDirectory("graft-feedsrc").toString
@@ -37,7 +39,11 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     val dir = freshDir()
     val tbl = new SnapshotTable(spark, dir, "k")
     tbl.create(kv(1L -> "a", 2L -> "b", 3L -> "c")) // v0 — before the stream: not delivered
-    val q = feed(dir, "maxVersionsPerBatch" -> "1") // one commit per micro-batch
+    // read through the source-only legacy alias: same semantics
+    val q = spark.readStream.format(legacyProvider)
+      .option("path", dir).option("key", "k")
+      .option("maxVersionsPerBatch", "1") // one commit per micro-batch
+      .load()
       .writeStream.format("memory").queryName("feed_tail").outputMode("append").start()
     try {
       q.processAllAvailable()
@@ -116,6 +122,72 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       assertSameRows(mirror.read(), tbl.read())
       assert(mirror.read().count() == 4) // 2B,3c,4d,5e
     } finally q2.stop()
+  }
+
+  test("sink upsert mode: batches land as tagged merges; a replayed batch id is a no-op") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val ckpt = freshDir()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](s)
+    val q = input.toDF().toDF("k", "v")
+      .writeStream.format(provider)
+      .option("path", dir).option("key", "k")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    try {
+      input.addData(1L -> "a", 2L -> "b")
+      q.processAllAvailable()
+      assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "b"))
+      assert(tbl.history.map(_._3) == Seq("create"))
+      input.addData(2L -> "B", 3L -> "c") // update + insert: a keyed merge
+      q.processAllAvailable()
+      assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "B", 3L -> "c"))
+      assert(tbl.history.map(_._3) == Seq("create", "merge"))
+      assert(tbl.currentTag.contains("stream-batch:1"))
+    } finally q.stop()
+    // a replayed batch id (crash between sink commit and checkpoint
+    // commit) must be skipped off the commit tag — even with different
+    // content, nothing lands
+    val sink = new org.apache.spark.sql.graft.SnapshotTableProvider()
+      .createSink(s.sqlContext, Map("path" -> dir, "key" -> "k"), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(1L, kv(9L -> "ghost"))
+    assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "B", 3L -> "c"))
+    sink.addBatch(2L, kv(9L -> "real")) // the NEXT id applies
+    assert(tbl.read().count() == 4)
+  }
+
+  test("two calls replicate a store: readStream feed into a cdc-mode writeStream sink") {
+    val s = spark
+    import s.implicits._
+    val srcDir = freshDir()
+    val mirDir = freshDir()
+    val ckpt = freshDir()
+    val src = new SnapshotTable(spark, srcDir, "k")
+    src.create(Seq.empty[(Long, String)].toDF("k", "v")) // v0: empty, pre-stream
+    val q = feed(srcDir)
+      .writeStream.format(provider)
+      .option("path", mirDir).option("key", "k").option("mode", "cdc")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val mirror = new SnapshotTable(spark, mirDir, "k")
+    try {
+      src.merge(kv(1L -> "a", 2L -> "b", 3L -> "c"))
+      q.processAllAvailable()
+      assertSameRows(mirror.read(), src.read())
+      src.delete(kv(1L -> "").select("k"))
+      src.merge(kv(2L -> "B", 4L -> "d"))
+      src.optimize(smallBytes = Long.MaxValue) // compaction mass must not cross
+      q.processAllAvailable()
+      assertSameRows(mirror.read(), src.read())
+      assert(mirror.read().count() == 3) // 2B, 3c, 4d
+      // the mirror's history is creates/deltas only — never an
+      // overwrite, never a compaction-sized rewrite
+      assert(mirror.history.map(_._3).forall(op =>
+        op == "create" || op == "delta" || op == "merge" || op == "tag"))
+    } finally q.stop()
   }
 
   test("schema evolution inside an interval: the stream keeps its declared columns") {
