@@ -87,7 +87,7 @@ final class SnapshotTableProvider extends StreamSourceProvider with StreamSinkPr
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new SnapshotChangeFeedSource(sqlContext.sparkSession,
-      SnapshotChangeFeedSource.normalize(parameters))
+      SnapshotChangeFeedSource.normalize(parameters), Some(metadataPath))
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink =
@@ -196,14 +196,53 @@ private[graft] object SnapshotChangeFeedSource {
   }
 }
 
-private[graft] final class SnapshotChangeFeedSource(
-    spark: SparkSession, p: Map[String, String]) extends Source {
+final class SnapshotChangeFeedSource(
+    spark: SparkSession, p: Map[String, String],
+    metadataPath: Option[String] = None) extends Source {
 
   private val tbl = SnapshotChangeFeedSource.handle(spark, p)
-  private val startVersion: Long =
-    p.get("startingversion").map(_.toLong).getOrElse(
-      tbl.currentVersion.getOrElse(throw new IllegalStateException(
-        s"no snapshot table at ${p("path")} — create() it before streaming its changes")))
+
+  /** The stream's start base — the version ALREADY SEEN when the stream
+    * was born. PERSISTED in the engine-provided source metadata dir on
+    * first creation and read back on recovery: a restarted instance
+    * must replay `getBatch(None, end)` (the WAL-logged first batch a
+    * crash left unapplied) against the ORIGINAL base, not this
+    * instance's restart-time head — defaulting again at restart would
+    * silently re-deliver that interval as empty and lose it. */
+  private val startVersion: Long = {
+    def metaFile(mp: String) = new org.apache.hadoop.fs.Path(mp, "graft-start-version")
+    val fs = metadataPath.map(mp => new org.apache.hadoop.fs.Path(mp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration))
+    val persisted = for {
+      mp <- metadataPath; f <- fs
+      if f.exists(metaFile(mp))
+    } yield {
+      val in = f.open(metaFile(mp))
+      try {
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n > 0) { acc.write(buf, 0, n); n = in.read(buf) }
+        new String(acc.toByteArray, "UTF-8").trim.toLong
+      } finally in.close()
+    }
+    persisted.getOrElse {
+      val v = p.get("startingversion").map(_.toLong).getOrElse(
+        tbl.currentVersion.getOrElse(throw new IllegalStateException(
+          s"no snapshot table at ${p("path")} — create() it before streaming its changes")))
+      for { mp <- metadataPath; f <- fs } {
+        if (!f.exists(new org.apache.hadoop.fs.Path(mp))) f.mkdirs(new org.apache.hadoop.fs.Path(mp))
+        val out = f.create(metaFile(mp), false)
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      }
+      v
+    }
+  }
+
+  /** The resolved start base (spec seam — `private[graft]` here would
+    * bind to org.apache.spark.sql.graft, not the library's own root
+    * package, so this stays public). */
+  def startBase: Long = startVersion
   private val maxVersionsPerBatch: Long =
     p.get("maxversionsperbatch").map(_.toLong).getOrElse(Long.MaxValue)
   require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be >= 1")

@@ -190,6 +190,41 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the start base persists in source metadata: recovery never re-bases on the restart head") {
+    val s = spark
+    val dir = freshDir()
+    val meta = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a")) // v0 — the stream is born here
+    val provider = new org.apache.spark.sql.graft.SnapshotTableProvider
+    def mkSource() = provider.createSource(s.sqlContext, meta, None, "",
+      Map("path" -> dir, "key" -> "k"))
+      .asInstanceOf[org.apache.spark.sql.graft.SnapshotChangeFeedSource]
+    val s1 = mkSource()
+    assert(s1.startBase == 0L)
+    // the table moves on; a crash strikes before batch 0 was applied,
+    // and the RESTARTED instance resolves at a later head — the
+    // persisted base must still say v0, so the engine's WAL replay of
+    // getBatch(None, v1) re-derives the original interval, not an
+    // empty one re-based on the restart-time head
+    tbl.merge(kv(2L -> "b")) // v1
+    tbl.merge(kv(3L -> "c")) // v2
+    val s2 = mkSource()
+    assert(s2.startBase == 0L,
+      s"restart re-based the stream at ${s2.startBase} — batch replay would be empty")
+    // a DIFFERENT stream (fresh metadata) defaults to its own birth head
+    val s3 = provider.createSource(s.sqlContext, freshDir(), None, "",
+      Map("path" -> dir, "key" -> "k"))
+      .asInstanceOf[org.apache.spark.sql.graft.SnapshotChangeFeedSource]
+    assert(s3.startBase == 2L)
+    // and an explicit startingVersion persists the same way
+    val meta2 = freshDir()
+    val s4 = provider.createSource(s.sqlContext, meta2, None, "",
+      Map("path" -> dir, "key" -> "k", "startingVersion" -> "1"))
+      .asInstanceOf[org.apache.spark.sql.graft.SnapshotChangeFeedSource]
+    assert(s4.startBase == 1L)
+  }
+
   test("schema evolution inside an interval: the stream keeps its declared columns") {
     val s = spark
     import s.implicits._
