@@ -218,6 +218,33 @@ object SparkEntry {
           .toDF("total_rows", "key_range_rows", "stat_range_rows"),
         scratch)
     }),
+    // PER-FILE KEY BLOOMS (opt-in keyBloomBits): the store holds only
+    // EVEN doc_ids, the request mixes evens and odds — every odd id
+    // falls inside some file's key range, and only the bloom can prove
+    // it absent; the read returns exactly the present half, opening
+    // only the files that truly hold a requested key
+    "corpus_bloom_read" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
+        clusterPartitions = Some(8), keyBloomBits = 16384)
+      tbl.create(docs.filter(col("doc_id") % 2 === 0))
+      materializeAndClean(
+        tbl.readKeys(docs.filter(col("doc_id") % 97 === 5).select("doc_id")),
+        scratch)
+    }),
+    // MANIFEST-PRUNED MIN/MAX: the true extreme can only live in a file
+    // whose encoded per-file min/max ties the global encoded extreme
+    // (the encoding is monotone), so boundsOf scans just those
+    // candidate files — at 100 TB, MIN/MAX opens the two extreme files
+    "corpus_minmax_pruned" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-minmax").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
+        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
+      tbl.create(docs)
+      materializeAndClean(tbl.boundsOf("n_chars"), scratch)
+    }),
     // Catalyst-integrated scan: the store read through a manifest-backed
     // FileIndex, so ORDINARY query predicates (here: a key range AND a
     // secondary-stats range, in plain .filter syntax) prune files via
@@ -1464,6 +1491,10 @@ object SparkEntry {
       "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
     "corpus_zorder_read" ->
       "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
+    "corpus_minmax_pruned" ->
+      "SELECT min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max FROM documents",
+    "corpus_bloom_read" ->
+      "SELECT * FROM documents WHERE doc_id % 2 = 0 AND doc_id % 97 = 5",
     "corpus_count_pruned" ->
       """SELECT (SELECT count(*) FROM documents) AS total_rows,
         |  (SELECT count(*) FROM documents WHERE doc_id BETWEEN 100 AND 300)

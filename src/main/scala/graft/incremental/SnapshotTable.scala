@@ -36,7 +36,8 @@ import org.apache.spark.sql.types._
   * count — plus one `s` line per tracked SECONDARY stats column: path,
   * column, kind, encoded min/max, null count, feeding [[readWhere]] /
   * [[countWhere]] data skipping and [[scan]] null-predicate
-  * pruning), and a
+  * pruning; plus one `b` line per file when the handle opts into
+  * `keyBloomBits` — path, bits, k, base64 bloom words), and a
   * trailing `#commit` terminator. A manifest WITHOUT the terminator is
   * torn (writer crashed mid-write) and is ignored by readers; the next
   * writer simply claims the next free version number, so a torn commit
@@ -111,7 +112,19 @@ import org.apache.spark.sql.types._
   */
 final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     clusterPartitions: Option[Int] = None, monotonicReads: Boolean = false,
-    statsColumns: Seq[String] = Nil) {
+    statsColumns: Seq[String] = Nil, keyBloomBits: Int = 0) {
+
+  /** Opt-in per-file KEY BLOOM ([[KeyBloom]]): when > 0, every staged
+    * file records a `keyBloomBits`-bit bloom over `xxhash64(key)` in
+    * the manifest (one extra agg column in the same stats pass), and
+    * the exact key-set prune tier consults it — a scattered point
+    * batch skips range-overlapping files that never held its keys.
+    * Files without a bloom (older commits, non-bloom handles) stay
+    * conservatively range-pruned only. Size for ~10 bits per key per
+    * file (~1% fpp); the bits live inline in the manifest, so this is
+    * for stores whose file count × bloom size fits a manifest budget. */
+  require(keyBloomBits == 0 || (keyBloomBits >= 64 && keyBloomBits % 64 == 0),
+    s"keyBloomBits must be 0 (off) or a positive multiple of 64, got $keyBloomBits")
 
   /** Secondary data-skipping columns: every staged file also records
     * encoded [min,max] for these (one extra agg column pair in the
@@ -158,13 +171,17 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   private final case class Entry(path: String, rows: Long, kind: String,
       min: Option[String], max: Option[String],
       stats: Map[String, ColStat] = Map.empty,
-      nulls: Option[Long] = None) {
+      nulls: Option[Long] = None,
+      bloom: Option[(Int, String)] = None) {
     def line: String = Seq("f", path, rows.toString, kind,
       min.getOrElse(""), max.getOrElse(""),
       nulls.map(_.toString).getOrElse("")).mkString("\t")
     def statLines: Seq[String] = stats.toSeq.sortBy(_._1).map { case (c, st) =>
       Seq("s", path, c, st.kind, st.min.getOrElse(""), st.max.getOrElse(""),
         st.nulls.map(_.toString).getOrElse("")).mkString("\t")
+    }
+    def bloomLines: Seq[String] = bloom.toSeq.map { case (bits, b64) =>
+      Seq("b", path, bits.toString, KeyBloom.K.toString, b64).mkString("\t")
     }
   }
 
@@ -214,11 +231,16 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       f(1) -> (f(2) -> ColStat(f(3), Some(f(4)).filter(_.nonEmpty),
         Some(f(5)).filter(_.nonEmpty), optNulls(f, 6)))
     }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toMap }
+    val bloomByPath = lines.filter(_.startsWith("b\t")).map { l =>
+      val f = l.split("\t", -1)
+      f(1) -> ((f(2).toInt, f(4)))
+    }.toMap
     val entries = lines.filter(_.startsWith("f\t")).map { l =>
       val f = l.split("\t", -1)
       Entry(f(1), f(2).toLong, f(3),
         Some(f(4)).filter(_.nonEmpty), Some(f(5)).filter(_.nonEmpty),
-        statsByPath.getOrElse(f(1), Map.empty), optNulls(f, 6))
+        statsByPath.getOrElse(f(1), Map.empty), optNulls(f, 6),
+        bloomByPath.get(f(1)))
     }
     Some(Manifest(v, header("#parent").toLong, header("#op"),
       DataType.fromJson(header("#schema")).asInstanceOf[StructType], entries,
@@ -494,6 +516,55 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     })
   }
 
+  /** Files [[boundsOf]] had to open on its most recent call — spec seam
+    * for asserting extreme-candidate pruning. -1 until called. */
+  private[graft] var lastBoundsScanned: Int = -1
+
+  /** MANIFEST-PRUNED MIN/MAX of a column: the true minimum can only
+    * live in a file whose recorded encoded min TIES the global encoded
+    * minimum (the encoding is monotone: enc(a) < enc(b) implies a < b,
+    * so a file with a strictly larger encoded min provably holds no
+    * smaller value), and symmetrically for the maximum — so ONE scan
+    * over just the candidate extreme files answers exactly, with no
+    * decode round-trip (timestamp stats are ms-floored; deciding
+    * candidacy in the encoded domain keeps sub-ms data exact where a
+    * decoded manifest value would not be). Files with no stats for the
+    * column are conservative candidates for both ends; provably
+    * all-null files hold no extreme and are skipped. At 100 TB,
+    * MIN/MAX opens the two extreme files. Returns a 1-row (min, max)
+    * DataFrame named `<column>_min` / `<column>_max` (null when every
+    * row is null or the table is empty). */
+  def boundsOf(column: String): DataFrame = {
+    val m = requireManifest
+    require(m.schema.fieldNames.contains(column),
+      s"no column $column in table schema ${m.schema.fieldNames.mkString(", ")}")
+    def statsOf(e: Entry): Option[ColStat] =
+      if (column == key) Some(ColStat(e.kind, e.min, e.max, e.nulls))
+      else e.stats.get(column)
+    // split: files with orderable bounds / provably all-null / unknown
+    val bounded = m.entries.flatMap(e => statsOf(e) match {
+      case Some(ColStat(k, Some(mn), Some(mx), _)) if k != "opaque" => Some((e, k, mn, mx))
+      case _ => None
+    })
+    val unknown = m.entries.filter(e => statsOf(e) match {
+      case Some(ColStat(k, Some(_), Some(_), _)) if k != "opaque" => false
+      case Some(ColStat(_, None, None, Some(n))) if n == e.rows => false // all-null
+      case _ => true
+    })
+    val candidates: Seq[Entry] =
+      if (bounded.isEmpty) unknown
+      else {
+        val kind = bounded.head._2
+        val gMin = bounded.map(_._3).reduce((a, b) => if (ordLt(kind, a, b)) a else b)
+        val gMax = bounded.map(_._4).reduce((a, b) => if (ordLt(kind, b, a)) a else b)
+        (bounded.collect { case (e, _, mn, mx) if mn == gMin || mx == gMax => e } ++
+          unknown).distinct
+      }
+    lastBoundsScanned = candidates.size
+    readEntries(m.schema, candidates)
+      .agg(min(col(column)).as(s"${column}_min"), max(col(column)).as(s"${column}_max"))
+  }
+
   /** Row-level CHANGE FEED between two committed versions — what an
     * incremental consumer of the table (a trainer re-tokenizing only
     * new documents, a downstream sync) reads instead of diffing whole
@@ -767,7 +838,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     *     inside its [min,max] — EXACT, so an adversarial batch of two
     *     keys at opposite ends of the key domain (a late CDC update, a
     *     mixed-age forget) touches exactly the two files holding those
-    *     keys, not everything between them.
+    *     keys, not everything between them. Files carrying a KEY BLOOM
+    *     (`keyBloomBits` handles) prune further: in-range keys the
+    *     bloom proves absent touch nothing — the hole range stats
+    *     cannot close (a false positive costs only the rewrite range
+    *     pruning would have paid).
     *   - past the cap: [[pruneRangeBuckets]] range-clustered sub-ranges of the
     *     distinct keys (one shuffle of the bare keys + a bucket-count
     *     collect); a file is touched iff it overlaps some sub-range.
@@ -787,16 +862,50 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     // overflow row is the "too big, go sub-range" signal
     val head = ks.limit(pruneSetCap.toInt + 1).collect()
     if (head.isEmpty) return _ => false
-    // [lo, hi] sub-ranges of the batch's key set, encoded; exact keys
-    // are degenerate ranges. Disjoint by construction in both tiers.
+    if (head.length <= pruneSetCap) {
+      // EXACT tier: a file is touched iff at least one batch key falls
+      // inside its [min,max] — and, when the file carries a key bloom,
+      // iff the bloom also says one of those in-range keys may be
+      // present (a range-overlapping file that never held the batch's
+      // keys prunes here; range stats alone cannot).
+      val dt = keys.schema(key).dataType
+      val pts = head.flatMap { r => val v = r.get(0); ordEncode(v).map(e => (e, v)) }
+      if (pts.length < head.length) return _ => true // unencodable key: conservative
+      val sorted = pts.sortWith((a, b) => ordLt(kind, a._1, b._1))
+      val encs = sorted.map(_._1)
+      lazy val hashes = sorted.map(p => KeyBloom.hashOf(p._2, dt))
+      return e => (e.kind, e.min, e.max) match {
+        case ("opaque", _, _) => true
+        case (k, Some(fMin), Some(fMax)) =>
+          // first batch key with enc >= fMin (keys sorted, distinct)
+          var lo = 0; var hi = encs.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ordLt(k, encs(mid), fMin)) lo = mid + 1 else hi = mid
+          }
+          if (lo >= encs.length || ordLt(k, fMax, encs(lo))) false
+          else e.bloom match {
+            case Some((bits, b64)) =>
+              val words = KeyBloom.decode(b64)
+              var i = lo; var hit = false
+              while (!hit && i < encs.length && !ordLt(k, fMax, encs(i))) {
+                if (KeyBloom.contains(words, bits, hashes(i))) hit = true
+                i += 1
+              }
+              hit
+            case None => true
+          }
+        case _ => true
+      }
+    }
+    // SUB-RANGE tier: [lo, hi] sub-ranges of the batch's key set,
+    // encoded — disjoint by construction (blooms are point tests and
+    // do not apply to ranges)
     val enc: Array[(Option[String], Option[String])] =
-      if (head.length <= pruneSetCap)
-        head.map { r => val e = ordEncode(r.get(0)); (e, e) }
-      else
-        ks.repartitionByRange(pruneRangeBuckets, col(key))
-          .groupBy(org.apache.spark.sql.functions.spark_partition_id())
-          .agg(min(col(key)).as("mn"), max(col(key)).as("mx"))
-          .collect().map(r => (ordEncode(r.get(1)), ordEncode(r.get(2))))
+      ks.repartitionByRange(pruneRangeBuckets, col(key))
+        .groupBy(org.apache.spark.sql.functions.spark_partition_id())
+        .agg(min(col(key)).as("mn"), max(col(key)).as("mx"))
+        .collect().map(r => (ordEncode(r.get(1)), ordEncode(r.get(2))))
     if (enc.exists(p => p._1.isEmpty || p._2.isEmpty)) return _ => true
     val ranges = enc.map(p => (p._1.get, p._2.get))
       .sortWith((a, b) => ordLt(kind, a._1, b._1))
@@ -836,12 +945,22 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     // free in the same pass, and what makes countWhere/IsNull exact)
     val present = statCols.filter(c =>
       df.schema.fieldNames.contains(c) && kindOf(df.schema(c).dataType) != "opaque")
+    // the opt-in key bloom rides the same aggregate: one more column
+    // folding xxhash64(key) into the bit words (KeyBloom), appended
+    // LAST so the fixed indices below never move
+    val bloomAgg =
+      if (keyBloomBits == 0) Nil
+      else Seq(org.apache.spark.sql.functions
+        .udaf(new KeyBloom.BloomAgg(keyBloomBits),
+          org.apache.spark.sql.Encoders.scalaLong)
+        .apply(xxhash64(col(key))).as("__kbloom"))
     val aggs = Seq(count(lit(1)).as("__rows"),
       min(col(key)).as("__mn"), max(col(key)).as("__mx"),
       count(col(key)).as("__knn")) ++
       present.zipWithIndex.flatMap { case (c, i) =>
         Seq(min(col(c)).as(s"__smn$i"), max(col(c)).as(s"__smx$i"),
-          count(col(c)).as(s"__snn$i")) }
+          count(col(c)).as(s"__snn$i")) } ++
+      bloomAgg
     val stats = spark.read.schema(df.schema).parquet(out.toString)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -866,10 +985,14 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
           Some(c -> ColStat(kindOf(df.schema(c).dataType), None, None, sNulls))
         else None
       }.toMap
+      val bloom =
+        if (keyBloomBits == 0) None
+        else Some((keyBloomBits, java.util.Base64.getEncoder.encodeToString(
+          r.getAs[Array[Byte]](5 + 3 * present.size))))
       Entry(s"$rel/$name", rows,
         if (ok) kind else "opaque",
         if (ok) mn else None, if (ok) mx else None, colStats,
-        nulls = Some(rows - r.getLong(4)))
+        nulls = Some(rows - r.getLong(4)), bloom = bloom)
     }
   }
 
@@ -927,7 +1050,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         s"#key $key",
         s"#schema ${schema.json}") ++
         (if (tag.nonEmpty) Seq(s"#tag ${tag.replaceAll("[\\r\\n]", " ")}") else Nil) ++
-        entries.flatMap(e => e.line +: e.statLines))
+        entries.flatMap(e => (e.line +: e.statLines) ++ e.bloomLines))
         .mkString("\n")
       out.write(body.getBytes("UTF-8"))
       // PRE-terminate lost-update check: a version already committed

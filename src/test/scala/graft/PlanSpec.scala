@@ -27,6 +27,33 @@ class PlanSpec extends AnyFunSuite {
       s"l_shipdate not pushed:\n$plan")
   }
 
+  test("SnapshotTable.scan keeps parquet row-group pushdown and column pruning under the custom FileIndex") {
+    // manifest-level file pruning must COMPOSE with Spark's own scan
+    // machinery, not replace it: the pushed predicate still reaches the
+    // parquet reader (row-group skipping inside the kept files) and the
+    // projection still prunes the read schema
+    val s = spark
+    import s.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft-planscan").toString
+    val tbl = new graft.incremental.SnapshotTable(s, scratch, "k",
+      clusterPartitions = Some(4), statsColumns = Seq("score"))
+    tbl.create((1L to 400L).map(i => (i, s"v$i", i * 2, s"pad$i"))
+      .toDF("k", "v", "score", "pad"))
+    import org.apache.spark.sql.functions.col
+    val q = tbl.scan().filter(col("k") >= 100L && col("score") <= 300L).select("k", "v")
+    val plan = planOf(q)
+    assert(plan.matches("(?s).*PushedFilters.*GreaterThanOrEqual\\(k.*"),
+      s"key predicate not pushed to parquet:\n$plan")
+    // the untouched pad column must not survive into the read schema
+    assert(!plan.matches("(?s).*ReadSchema[^\\n]*pad.*"),
+      s"column pruning lost under the custom FileIndex:\n$plan")
+    // codegen'd stages print as "*(N) Operator" in the executed plan
+    assert(q.queryExecution.executedPlan.toString.contains("*("),
+      s"scan fell out of codegen:\n$plan")
+    val p = new org.apache.hadoop.fs.Path(scratch)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   test("pricing summary prunes lineitem to the referenced columns only") {
     val plan = planOf(SparkEntry.queries("pricing_summary")(spark, dir))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

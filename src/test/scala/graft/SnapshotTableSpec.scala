@@ -825,6 +825,70 @@ class SnapshotTableSpec extends AnyFunSuite {
       assertSameRows(tbl.scan().filter(p), tbl.read().filter(p))
   }
 
+  test("keyBloomBits: in-range-but-absent point batches touch nothing; inserts still land") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(10),
+      keyBloomBits = 4096)
+    // EVEN keys only: any odd key falls INSIDE some file's [min,max]
+    // but is absent — the shape range pruning alone can never skip
+    tbl.create((2L to 800L by 2).map(i => (i, s"v$i")).toDF("k", "v"))
+    val v0 = tbl.currentVersion.get
+    val files0 = tbl.filesAt(v0).toSet
+    assert(files0.size >= 8)
+    val odd = Seq(101L, 333L, 555L, 777L).toDF("k")
+    // delete of absent keys: the bloom proves absence file by file — a
+    // version no-op instead of rewriting the four holding files
+    assert(tbl.delete(odd) == v0, "absent-key delete must not commit a rewrite")
+    // point reads of absent keys open NOTHING
+    assert(tbl.readKeys(odd).isEmpty && tbl.readKeys(odd).inputFiles.isEmpty)
+    // a bloom-less reader handle still prunes off the manifest's blooms
+    val plain = new SnapshotTable(spark, dir, "k")
+    assert(plain.readKeys(odd).inputFiles.isEmpty)
+    // merge with one present key (an update) and one absent (an
+    // insert): only the present key's file rewrites; the insert lands
+    val v2 = tbl.merge(Seq((400L, "X"), (401L, "Y")).toDF("k", "v"))
+    val carried = files0.intersect(tbl.filesAt(v2).toSet).size
+    assert(carried >= files0.size - 1,
+      s"bloom merge rewrote ${files0.size - carried} files; wanted <=1")
+    assert(tbl.read().count() == 401)
+    assert(tbl.read().filter(col("k") === 400L).select("v").head.getString(0) == "X")
+    assert(tbl.read().filter(col("k") === 401L).select("v").head.getString(0) == "Y")
+    // present-key reads are exact through the bloom path
+    assertSameRows(tbl.readKeys(Seq(2L, 400L, 401L).toDF("k")),
+      Seq((2L, "v2"), (400L, "X"), (401L, "Y")).toDF("k", "v"))
+  }
+
+  test("boundsOf opens only the extreme-candidate files; all-null files hold no extreme") {
+    val s = spark
+    import s.implicits._
+    val tbl = new SnapshotTable(spark, freshDir(), "k", clusterPartitions = Some(10),
+      statsColumns = Seq("score"))
+    // the lowest-key file is ALL-null in score: it must not be scanned
+    // for the minimum even though it has no orderable score bounds
+    def sc(i: Long): Option[Long] = if (i <= 40) None else Some(i * 2)
+    tbl.create((1L to 400L).map(i => (i, s"v$i", sc(i))).toDF("k", "v", "score"))
+    val nFiles = tbl.read().inputFiles.length
+    assert(nFiles >= 4)
+    // key bounds: candidates are the two end files
+    val kb = tbl.boundsOf("k").head
+    assert((kb.getLong(0), kb.getLong(1)) == (1L, 400L))
+    assert(tbl.lastBoundsScanned <= 2,
+      s"key bounds scanned ${tbl.lastBoundsScanned} of $nFiles")
+    // stats-column bounds: min comes from the first NON-null file
+    val sb = tbl.boundsOf("score").head
+    assert((sb.getLong(0), sb.getLong(1)) == (82L, 800L))
+    assert(tbl.lastBoundsScanned <= 3,
+      s"score bounds scanned ${tbl.lastBoundsScanned} of $nFiles")
+    // an untracked column: every file is a conservative candidate, the
+    // answer is still exact
+    val vb = tbl.boundsOf("v").head
+    assert((vb.getString(0), vb.getString(1)) == ("v1", "v99"))
+    assert(tbl.lastBoundsScanned == nFiles)
+    intercept[IllegalArgumentException](tbl.boundsOf("nope"))
+  }
+
   test("optimize(zorderBy): multi-dimension skipping, content identical, change feed silent") {
     val s = spark
     import s.implicits._
