@@ -36,19 +36,21 @@ private[incremental] object KeyBloom {
 
   /** The k bit positions for a key hash (double hashing; h2 forced odd
     * so the stride cycles the whole table). */
-  private def eachPosition(hash: Long, bits: Int)(f: Int => Unit): Unit = {
+  private def eachPosition(hash: Long, bits: Int, k: Int)(f: Int => Unit): Unit = {
     val h2 = (hash >>> 32) | 1L
     var i = 0
-    while (i < K) {
+    while (i < k) {
       val p = ((hash + i * h2) % bits + bits) % bits
       f(p.toInt)
       i += 1
     }
   }
 
-  def contains(words: Array[Long], bits: Int, hash: Long): Boolean = {
+  /** `k` comes from the manifest's `b` line — honoring the persisted
+    * probe count keeps old blooms readable if K ever changes. */
+  def contains(words: Array[Long], bits: Int, k: Int, hash: Long): Boolean = {
     var all = true
-    eachPosition(hash, bits) { p => if ((words(p >> 6) & (1L << (p & 63))) == 0L) all = false }
+    eachPosition(hash, bits, k) { p => if ((words(p >> 6) & (1L << (p & 63))) == 0L) all = false }
     all
   }
 
@@ -70,7 +72,7 @@ private[incremental] object KeyBloom {
   final class BloomAgg(bits: Int) extends Aggregator[Long, Array[Long], Array[Byte]] {
     override def zero: Array[Long] = new Array[Long](bits / 64)
     override def reduce(b: Array[Long], hash: Long): Array[Long] = {
-      eachPosition(hash, bits) { p => b(p >> 6) |= 1L << (p & 63) }
+      eachPosition(hash, bits, K) { p => b(p >> 6) |= 1L << (p & 63) }
       b
     }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {

@@ -172,7 +172,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       min: Option[String], max: Option[String],
       stats: Map[String, ColStat] = Map.empty,
       nulls: Option[Long] = None,
-      bloom: Option[(Int, String)] = None) {
+      bloom: Option[(Int, Int, String)] = None) {
     def line: String = Seq("f", path, rows.toString, kind,
       min.getOrElse(""), max.getOrElse(""),
       nulls.map(_.toString).getOrElse("")).mkString("\t")
@@ -180,8 +180,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       Seq("s", path, c, st.kind, st.min.getOrElse(""), st.max.getOrElse(""),
         st.nulls.map(_.toString).getOrElse("")).mkString("\t")
     }
-    def bloomLines: Seq[String] = bloom.toSeq.map { case (bits, b64) =>
-      Seq("b", path, bits.toString, KeyBloom.K.toString, b64).mkString("\t")
+    def bloomLines: Seq[String] = bloom.toSeq.map { case (bits, k, b64) =>
+      Seq("b", path, bits.toString, k.toString, b64).mkString("\t")
     }
   }
 
@@ -233,7 +233,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toMap }
     val bloomByPath = lines.filter(_.startsWith("b\t")).map { l =>
       val f = l.split("\t", -1)
-      f(1) -> ((f(2).toInt, f(4)))
+      f(1) -> ((f(2).toInt, f(3).toInt, f(4)))
     }.toMap
     val entries = lines.filter(_.startsWith("f\t")).map { l =>
       val f = l.split("\t", -1)
@@ -389,7 +389,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       m.schema.fieldNames.contains(c) && kindOf(m.schema(c).dataType) != "opaque")
     require(cols.nonEmpty,
       s"no encodable non-key columns among ${columns.mkString(", ")} to collect stats for")
-    val todo = m.entries.filter(e => cols.exists(c => !e.stats.contains(c)))
+    // a file needs collection when a requested column has NO stats, or
+    // stats WITHOUT a null count (written before null tracking) — the
+    // retrofit must deliver countWhere/IsNull exactness, not just bounds
+    val todo = m.entries.filter(e =>
+      cols.exists(c => e.stats.get(c).forall(_.nulls.isEmpty)))
     if (todo.isEmpty) return m.version
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).as(s"__n$i"), max(col(c)).as(s"__x$i"),
@@ -414,9 +418,13 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
           }.toMap
         }
       }.toMap
-    // existing stats win: equally valid, and never recomputed here
-    val enriched = m.entries.map(e =>
-      e.copy(stats = collected.getOrElse(e.path, Map.empty) ++ e.stats))
+    // existing NULL-COUNTED stats win (equally valid, never recomputed);
+    // a null-less pre-upgrade stat is superseded by its fresh collection
+    val enriched = m.entries.map { e =>
+      val fresh = collected.getOrElse(e.path, Map.empty)
+      e.copy(stats = fresh ++
+        e.stats.filter { case (c, st) => st.nulls.isDefined || !fresh.contains(c) })
+    }
     commit(m.version, "stats", m.schema, enriched, m.tag.getOrElse(""))
   }
 
@@ -484,6 +492,16 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val (loE, hiE) = (lo.flatMap(ordEncode), hi.flatMap(ordEncode))
     // half-encodable bound (e.g. NaN): no manifest reasoning is safe
     val encodable = lo.forall(_ => loE.isDefined) && hi.forall(_ => hiE.isDefined)
+    // timestamp encodings FLOOR to the millisecond, so equal encodings
+    // do not prove order between sub-ms values: "contained" (counted
+    // without a scan) then needs STRICT encoded inequality — an
+    // equal-encoding edge file goes to the boundary scan instead.
+    // Every other kind encodes exactly and keeps the inclusive test.
+    // (Disjointness uses strict comparisons already — floor-safe.)
+    val exactEnc = m.schema(column).dataType match {
+      case TimestampType | TimestampNTZType => false
+      case _ => true
+    }
     def statsOf(e: Entry): Option[ColStat] =
       if (column == key) Some(ColStat(e.kind, e.min, e.max, e.nulls))
       else e.stats.get(column)
@@ -495,8 +513,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         case Some(ColStat(k, Some(fMin), Some(fMax), nOpt)) if k != "opaque" =>
           val disjoint = hiE.exists(h => ordLt(k, h, fMin)) ||
             loE.exists(l => ordLt(k, fMax, l))
-          val contained = loE.forall(l => !ordLt(k, fMin, l)) &&
-            hiE.forall(h => !ordLt(k, h, fMax))
+          val contained =
+            if (exactEnc)
+              loE.forall(l => !ordLt(k, fMin, l)) && hiE.forall(h => !ordLt(k, h, fMax))
+            else
+              loE.forall(l => ordLt(k, l, fMin)) && hiE.forall(h => ordLt(k, fMax, h))
           if (disjoint) () // contributes 0 — nulls fail the predicate too
           else if (contained && nOpt.isDefined) served += e.rows - nOpt.get
           else toScan += e
@@ -717,7 +738,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     require(keys.schema.fieldNames.contains(key),
       s"readKeys frame must carry the table key column $key")
     val ks = keys.select(col(key))
-    val entries = m.entries.filter(keyPruner(ks))
+    val entries = m.entries.filter(keyPruner(ks, m.schema(key).dataType))
     readEntries(m.schema, entries).join(ks.distinct(), Seq(key), "left_semi")
   }
 
@@ -853,10 +874,16 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * key, so no existing row can be displaced by one). Any unencodable
     * non-null key (e.g. NaN) degrades the whole test to "touch
     * everything" — conservative, matching the stats contract. */
-  private def keyPruner(keys: DataFrame): Entry => Boolean = {
-    val kind = kindOf(keys.schema(key).dataType)
+  private def keyPruner(keys: DataFrame,
+      tableKeyType: DataType): Entry => Boolean = {
+    val kind = kindOf(tableKeyType)
     if (kind == "opaque") return _ => true
-    val ks = keys.na.drop(Seq(key)).distinct()
+    // normalize the batch to the TABLE's key type first: the stats
+    // encodings AND the bloom hashes were computed over table-typed
+    // values, so an Int-typed batch against a Long-keyed table must
+    // compare (and hash) as Longs — pruning off the batch frame's own
+    // type would xxhash64 different bytes and wrongly skip files
+    val ks = keys.select(col(key).cast(tableKeyType)).na.drop(Seq(key)).distinct()
     // ONE job decides the tier AND collects the exact set when it fits:
     // cap+1 rows of bare keys — batch-bounded driver traffic, and the
     // overflow row is the "too big, go sub-range" signal
@@ -868,12 +895,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       // iff the bloom also says one of those in-range keys may be
       // present (a range-overlapping file that never held the batch's
       // keys prunes here; range stats alone cannot).
-      val dt = keys.schema(key).dataType
       val pts = head.flatMap { r => val v = r.get(0); ordEncode(v).map(e => (e, v)) }
       if (pts.length < head.length) return _ => true // unencodable key: conservative
       val sorted = pts.sortWith((a, b) => ordLt(kind, a._1, b._1))
       val encs = sorted.map(_._1)
-      lazy val hashes = sorted.map(p => KeyBloom.hashOf(p._2, dt))
+      lazy val hashes = sorted.map(p => KeyBloom.hashOf(p._2, tableKeyType))
       return e => (e.kind, e.min, e.max) match {
         case ("opaque", _, _) => true
         case (k, Some(fMin), Some(fMax)) =>
@@ -885,11 +911,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
           }
           if (lo >= encs.length || ordLt(k, fMax, encs(lo))) false
           else e.bloom match {
-            case Some((bits, b64)) =>
+            case Some((bits, kHashes, b64)) =>
               val words = KeyBloom.decode(b64)
               var i = lo; var hit = false
               while (!hit && i < encs.length && !ordLt(k, fMax, encs(i))) {
-                if (KeyBloom.contains(words, bits, hashes(i))) hit = true
+                if (KeyBloom.contains(words, bits, kHashes, hashes(i))) hit = true
                 i += 1
               }
               hit
@@ -987,7 +1013,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       }.toMap
       val bloom =
         if (keyBloomBits == 0) None
-        else Some((keyBloomBits, java.util.Base64.getEncoder.encodeToString(
+        else Some((keyBloomBits, KeyBloom.K, java.util.Base64.getEncoder.encodeToString(
           r.getAs[Array[Byte]](5 + 3 * present.size))))
       Entry(s"$rel/$name", rows,
         if (ok) kind else "opaque",
@@ -1334,7 +1360,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       s"delete keys must carry the table key column $key")
     val ks = keys.select(col(key)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val pruned = keyPruner(ks)
+      val pruned = keyPruner(ks, m.schema(key).dataType)
       val (touched, untouched) = m.entries.partition(pruned)
       // empty key set (keyPruner touches nothing) or no file can hold a
       // doomed key: nothing to remove — return the current version (or
@@ -1370,7 +1396,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         throw new IllegalArgumentException(
           s"merge source carries ${b.getLong(0) - b.getLong(1)} duplicate $key " +
             "keys — an upsert batch must be key-unique")
-      val (touched, untouched) = m.entries.partition(keyPruner(src.select(col(key))))
+      val (touched, untouched) = m.entries.partition(
+        keyPruner(src.select(col(key)), evolved(key).dataType))
       // touched files are read with the EVOLVED schema: any
       // just-added column comes back null for pre-evolution rows
       val survivors = readEntries(evolved, touched)
@@ -1405,7 +1432,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
           s"applyDelta upserts carry ${b.getLong(0) - b.getLong(1)} duplicate $key " +
             "keys — an upsert batch must be key-unique")
       val affected = up.select(col(key)).unionByName(del)
-      val (touched, untouched) = m.entries.partition(keyPruner(affected))
+      val (touched, untouched) = m.entries.partition(
+        keyPruner(affected, evolved(key).dataType))
       // empty delta (no upserts, nothing to delete): advance only the
       // tag — the cursor-bearing no-op a change-feed consumer applies
       // across a rewrite-only source interval — instead of staging an

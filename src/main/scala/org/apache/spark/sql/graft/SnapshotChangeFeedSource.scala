@@ -126,10 +126,19 @@ private[graft] final class SnapshotTableSink(
   private val statsCols = p.get("statscolumns")
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
+  /** Replay dedup is keyed on (sinkId, batchId) — batch ids alone are
+    * only unique WITHIN one stream's checkpoint lineage. Re-pointing a
+    * NEW stream (fresh checkpoint, batch ids restart at 0) at a target
+    * another stream built would read the old tag's higher batch id and
+    * silently drop its first batches; give each logical pipeline its
+    * own `sinkId` (default empty = single-pipeline targets) and a
+    * different sinkId never dedups against another's tags. */
+  private val sinkId = p.getOrElse("sinkid", "")
+
   private def table = new SnapshotTable(spark, dir, key,
     clusterPartitions = clusterParts, statsColumns = statsCols)
 
-  private val TagPrefix = "stream-batch:"
+  private val TagPrefix = s"stream-batch:$sinkId:"
   private def lastApplied(t: SnapshotTable): Option[Long] =
     t.currentTag.filter(_.startsWith(TagPrefix))
       .flatMap(s => scala.util.Try(s.stripPrefix(TagPrefix).toLong).toOption)
@@ -167,8 +176,13 @@ private[graft] final class SnapshotTableSink(
           val payload = df.drop("_commit_version")
           val ups = payload.filter(col("_change_type") =!= "delete").drop("_change_type")
           val dels = payload.filter(col("_change_type") === "delete").select(col(key))
+          // first batch == applyDelta against an empty table: every
+          // upsert lands (a same-key delete loses — upsert wins, the
+          // documented applyDelta overlap class) and bare deletes are
+          // no-ops; an anti-join here would silently diverge from what
+          // the identical batch does on an existing table
           if (t.exists) t.applyDelta(ups, dels, tag = tag)
-          else t.create(ups.join(dels, Seq(key), "left_anti"), tag)
+          else t.create(ups, tag)
       }
       ()
     } finally df.unpersist(blocking = false)
@@ -272,7 +286,15 @@ final class SnapshotChangeFeedSource(
     def v(o: Offset): Long = o.json.trim.toLong
     val from = start.map(v).getOrElse(startVersion)
     val to = v(end)
-    if (to > offered) offered = to // recovery: never re-offer below the checkpoint
+    // recovery: never re-offer below anything the engine has already
+    // logged — both the replayed interval's end AND its start (the
+    // engine re-runs getBatch on restart for the last committed batch
+    // precisely so sources can re-initialize; a rate-limited stream
+    // must resume its cap from there, not from the persisted birth
+    // base, or it would offer offsets below the committed one and
+    // re-deliver already-committed intervals)
+    if (to > offered) offered = to
+    start.map(v).filter(_ > offered).foreach(offered = _)
     val batch =
       if (to <= from)
         tbl.read().limit(0) // recovery edge: an already-committed interval

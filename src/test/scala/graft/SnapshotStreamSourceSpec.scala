@@ -145,7 +145,7 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       q.processAllAvailable()
       assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "B", 3L -> "c"))
       assert(tbl.history.map(_._3) == Seq("create", "merge"))
-      assert(tbl.currentTag.contains("stream-batch:1"))
+      assert(tbl.currentTag.contains("stream-batch::1")) // default (empty) sinkId
     } finally q.stop()
     // a replayed batch id (crash between sink commit and checkpoint
     // commit) must be skipped off the commit tag — even with different
@@ -188,6 +188,80 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
       assert(mirror.history.map(_._3).forall(op =>
         op == "create" || op == "delta" || op == "merge" || op == "tag"))
     } finally q.stop()
+  }
+
+  test("sink dedup is keyed on (sinkId, batchId): a new pipeline's batch 0 is not swallowed") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    def sink(id: String) = new org.apache.spark.sql.graft.SnapshotTableProvider()
+      .createSink(s.sqlContext, Map("path" -> dir, "key" -> "k", "sinkId" -> id), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val a = sink("pipeline-a")
+    a.addBatch(0L, kv(1L -> "a"))
+    a.addBatch(1L, kv(2L -> "b"))
+    val tbl = new SnapshotTable(spark, dir, "k")
+    assert(tbl.read().count() == 2)
+    // same sink id, replayed batch: skipped
+    a.addBatch(1L, kv(9L -> "ghost"))
+    assert(tbl.read().count() == 2)
+    // a DIFFERENT pipeline re-pointed at the same target restarts its
+    // batch ids at 0 — its batches must APPLY, not dedup against
+    // pipeline-a's higher tag
+    val b = sink("pipeline-b")
+    b.addBatch(0L, kv(3L -> "c"))
+    assert(tbl.read().count() == 3)
+  }
+
+  test("cdc first batch matches applyDelta-on-empty: upsert wins its own delete, bare deletes no-op") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val sink = new org.apache.spark.sql.graft.SnapshotTableProvider()
+      .createSink(s.sqlContext, Map("path" -> dir, "key" -> "k", "mode" -> "cdc"), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    // key 1 arrives both as an insert and a delete in the FIRST batch
+    // (no table yet): applyDelta's documented overlap class says the
+    // upsert wins — the first batch must not behave differently
+    val batch = Seq((1L, "a", "insert"), (1L, "a", "delete"), (2L, "b", "insert"),
+      (3L, "c", "delete")).toDF("k", "v", "_change_type")
+    sink.addBatch(0L, batch)
+    val tbl = new SnapshotTable(spark, dir, "k")
+    assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "b"))
+  }
+
+  test("rate-limited stream across a clean restart never re-delivers committed intervals") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val ckpt = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a")) // v0
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def run() = feed(dir, "maxVersionsPerBatch" -> "1")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen ++= b.select("k", "_change_type", "_commit_version").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        ()
+      }.start()
+    val q1 = run()
+    try {
+      tbl.merge(kv(2L -> "b")) // v1
+      tbl.merge(kv(3L -> "c")) // v2
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // clean restart (everything committed); the rate limit must resume
+    // from the checkpointed offset, not the persisted birth base —
+    // otherwise versions (0,1] and (1,2] re-deliver here
+    val q2 = run()
+    try {
+      tbl.merge(kv(4L -> "d")) // v3
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(seen.sorted == Seq(
+      (2L, "insert", 1L), (3L, "insert", 2L), (4L, "insert", 3L)),
+      s"duplicated or lost intervals: $seen")
   }
 
   test("the start base persists in source metadata: recovery never re-bases on the restart head") {

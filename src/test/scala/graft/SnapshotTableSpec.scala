@@ -858,6 +858,53 @@ class SnapshotTableSpec extends AnyFunSuite {
     // present-key reads are exact through the bloom path
     assertSameRows(tbl.readKeys(Seq(2L, 400L, 401L).toDF("k")),
       Seq((2L, "v2"), (400L, "X"), (401L, "Y")).toDF("k", "v"))
+    // a TYPE-COERCED batch (Int keys against the Long-keyed table) must
+    // hash as the TABLE's type: the present key is found, the absent
+    // key still proves absent — pruning off the batch frame's own type
+    // would xxhash64 different bytes and wrongly skip the holding file
+    assertSameRows(tbl.readKeys(Seq(400).toDF("k")).select("k", "v"),
+      Seq((400L, "X")).toDF("k", "v"))
+    assert(tbl.delete(Seq(103, 105).toDF("k")) == tbl.currentVersion.get,
+      "Int-typed absent keys must still no-op")
+    assert(tbl.read().count() == 401)
+  }
+
+  test("collectStats retrofits NULL counts onto pre-null-tracking stats") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    def sc(i: Long): Option[Long] = if (i % 5 == 0) None else Some(i * 2)
+    val df = (1L to 400L).map(i => (i, s"v$i", sc(i))).toDF("k", "v", "score")
+    new SnapshotTable(spark, dir, "k", clusterPartitions = Some(10),
+      statsColumns = Seq("score")).create(df)
+    // simulate a PRE-null-tracking writer: strip the trailing
+    // null-count field from every f/s line of the committed manifest
+    val mf = new java.io.File(s"$dir/manifests").listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName).last
+    val doctored = Files.readString(mf.toPath).linesIterator.map { l =>
+      if (l.startsWith("f\t") || l.startsWith("s\t"))
+        l.split("\t", -1).take(6).mkString("\t")
+      else l
+    }.mkString("\n")
+    Files.writeString(mf.toPath, doctored)
+    // the local ChecksumFileSystem keeps a .crc sidecar per file; the
+    // doctored bytes no longer match it — drop it like an old writer
+    // (which never wrote one for these bytes) would have left things
+    new java.io.File(mf.getParentFile, s".${mf.getName}.crc").delete()
+    val tbl = new SnapshotTable(spark, dir, "k", statsColumns = Seq("score"))
+    val expected = df.filter(col("score").isNotNull).count()
+    // nulls unknown everywhere: COUNT(column) must fall back to scans
+    assert(tbl.countWhere("score", None, None) == expected)
+    val nFiles = tbl.read().inputFiles.length
+    assert(tbl.lastCountScanned == nFiles, "null-less stats cannot serve counts")
+    // the retrofit must RE-collect those files (bounds exist, nulls do
+    // not) and supersede the null-less stats — zero file churn, and the
+    // manifest-served count works from then on
+    val v1 = tbl.collectStats(Seq("score"))
+    assert(tbl.filesAt(v1).toSet == tbl.filesAt(v1 - 1).toSet, "stats commit rewrote files")
+    assert(tbl.countWhere("score", None, None) == expected)
+    assert(tbl.lastCountScanned == 0,
+      s"post-retrofit count still scanned ${tbl.lastCountScanned} files")
   }
 
   test("boundsOf opens only the extreme-candidate files; all-null files hold no extreme") {
