@@ -894,7 +894,8 @@ object Soak {
     // minority of files at every scale (key clustering alone opens
     // ~all of them: n_chars is uncorrelated with doc_id).
     final case class ZCount(cnt: Long, scanned: Int, files: Int,
-        preBand: Int, postBand: Int, postFiles: Int, wall: Double)
+        preBand: Int, postBand: Int, postFiles: Int, wall: Double,
+        bloomNoop: Boolean, bloomWall: Double)
     def zcountWalls(d: String, dir: String): ZCount = {
       val hp = new org.apache.hadoop.fs.Path(dir)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
@@ -921,8 +922,22 @@ object Soak {
       tbl.optimize(zorderBy = Seq("doc_id", "n_chars"))
       val post = tbl.readWhere("n_chars", Some(100L), Some(150L))
       assert(post.count() == bandRows, "z-order must not change band contents")
+      // KEY BLOOMS at scale: an evens-only store, deleted with
+      // scattered IN-RANGE odd keys — range pruning alone would rewrite
+      // the holding files at every scale; the bloom proves absence and
+      // the delete must stay a VERSION NO-OP with a wall that is
+      // manifest+bloom work, flat in table size
+      val btbl = new incremental.SnapshotTable(spark, s"$dir-bloom", "doc_id",
+        clusterPartitions = Some(filesTarget), keyBloomBits = 16384)
+      btbl.create(docs.filter(col("doc_id") % 2 === 0))
+      val bv = btbl.currentVersion.get
+      val absentOdd = docs.filter(col("doc_id") % 2 === 1)
+        .filter(col("doc_id") % 101 === 3).select("doc_id").localCheckpoint()
+      val t0bl = System.nanoTime()
+      val bloomNoop = btbl.delete(absentOdd) == bv
+      val bloomWall = (System.nanoTime() - t0bl) / 1e9
       ZCount(cnt, scanned, files, preBand, post.inputFiles.length,
-        tbl.read().inputFiles.length, wall)
+        tbl.read().inputFiles.length, wall, bloomNoop, bloomWall)
     }
     val runZcount = sys.env.get("SPARK_GRAFT_ONLY")
       .forall(_.split(",").map(_.trim).contains("snapshot_zcount"))
@@ -934,7 +949,9 @@ object Soak {
     val zcountOk = (zcB, zcS) match {
       case (Some(bb), Some(ss)) =>
         bb.scanned <= 2 && ss.scanned <= 2 && ss.files >= 5 * bb.files &&
-          bb.postBand * 2 <= bb.postFiles && ss.postBand * 2 <= ss.postFiles
+          bb.postBand * 2 <= bb.postFiles && ss.postBand * 2 <= ss.postFiles &&
+          bb.bloomNoop && ss.bloomNoop &&
+          ss.bloomWall <= math.max(2.0 * bb.bloomWall, 1.0)
       case _ => true
     }
     (zcB, zcS) match {
@@ -942,7 +959,9 @@ object Soak {
         println(f"[soak] snapshot_zcount 1x: countWhere scanned ${bb.scanned}%2d of ${bb.files}%3d files, " +
           f"wall ${bb.wall}%5.2f s; ${n}x: scanned ${ss.scanned}%2d of ${ss.files}%3d, wall ${ss.wall}%5.2f s " +
           f"(boundary-only at any scale); z-order n_chars band ${bb.preBand}->${bb.postBand} " +
-          f"of ${bb.postFiles} files at 1x, ${ss.preBand}->${ss.postBand} of ${ss.postFiles} at ${n}x " +
+          f"of ${bb.postFiles} files at 1x, ${ss.preBand}->${ss.postBand} of ${ss.postFiles} at ${n}x; " +
+          f"bloom absent-key delete no-op=${bb.bloomNoop}/${ss.bloomNoop} " +
+          f"wall ${bb.bloomWall}%4.2f->${ss.bloomWall}%4.2f s " +
           s"${if (zcountOk) "ok" else "FAIL"}")
       case _ =>
     }
@@ -1077,6 +1096,7 @@ object Soak {
       case (Some(bb), Some(ss)) =>
         md ++= f"\nMANIFEST-SERVED COUNT at scale (countWhere): a mid-domain key-range count scanned ${bb.scanned} of ${bb.files} files at 1x and ${ss.scanned} of ${ss.files} at ${n}x (wall ${bb.wall}%.2f s -> ${ss.wall}%.2f s) — only BOUNDARY files open; the contained mass is manifest arithmetic (rows − recorded nulls), so COUNT cost is flat in table size — ${if (zcountOk) "ok" else "**FAIL**"}.\n"
         md ++= f"\nZ-ORDER sharpness at scale (optimize(zorderBy = doc_id, n_chars)): a narrow n_chars band (uncorrelated with the key) opened ${bb.preBand} of ${bb.files} files under key clustering and ${bb.postBand} of ${bb.postFiles} after the z-order rewrite at 1x; ${ss.preBand} of ${ss.files} -> ${ss.postBand} of ${ss.postFiles} at ${n}x — multi-dimension locality holds as the table grows, band contents bit-identical — ${if (zcountOk) "ok" else "**FAIL**"}.\n"
+        md ++= f"\nKEY BLOOMS at scale (keyBloomBits=16384 on an evens-only store): a scattered IN-RANGE absent-key delete — the shape range pruning can never skip — stays a VERSION NO-OP at both scales (no-op ${bb.bloomNoop}/${ss.bloomNoop}) at ${bb.bloomWall}%.2f s (1x) -> ${ss.bloomWall}%.2f s (${n}x): manifest + bloom arithmetic, flat in table size — ${if (zcountOk) "ok" else "**FAIL**"}.\n"
       case _ =>
     }
     incSparse.foreach { case ((bw, bf, bt), (sw, sf2, st2)) =>
