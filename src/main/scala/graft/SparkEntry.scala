@@ -288,11 +288,16 @@ object SparkEntry {
       val scratch = java.nio.file.Files.createTempDirectory("graft-cdcstream").toString
       val tbl = new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
         clusterPartitions = Some(8))
-      tbl.create(docs) // v0 — the stream tails changes committed after start
+      tbl.create(docs) // v0 — the stream tails changes committed after it
       val qn = "feed_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      // startingVersion pins the stream base to v0 EXPLICITLY: the
+      // default captures the current version when the source initializes
+      // on the stream thread, which races the applyDelta below — a slow
+      // init would capture v1 and silently drop the interval
       val q = s.readStream
         .format("org.apache.spark.sql.graft.SnapshotChangeFeedProvider")
         .option("path", s"$scratch/store").option("key", "doc_id")
+        .option("startingVersion", "0")
         .load()
         .writeStream.format("memory").queryName(qn).outputMode("append").start()
       try {
@@ -318,9 +323,13 @@ object SparkEntry {
       val src = new graft.incremental.SnapshotTable(s, s"$scratch/src", "doc_id",
         clusterPartitions = Some(8))
       src.create(docs.limit(0)) // v0: empty — the stream replays ALL content
+      // explicit base: the default racing the merges below could
+      // capture a later version and drop their interval (see
+      // corpus_changes_stream)
       val q = s.readStream
         .format("org.apache.spark.sql.graft.SnapshotTableProvider")
         .option("path", s"$scratch/src").option("key", "doc_id")
+        .option("startingVersion", "0")
         .load()
         .writeStream
         .format("org.apache.spark.sql.graft.SnapshotTableProvider")

@@ -33,7 +33,9 @@ import org.apache.spark.sql.types._
   * A manifest is line-oriented: `#`-prefixed header (parent version,
   * operation, key column, schema JSON), one entry per data file
   * (relative path, row count, key kind, encoded key min/max, key null
-  * count — plus one `s` line per tracked SECONDARY stats column: path,
+  * count, file byte length — the writer records the length at stage
+  * time so [[scan]] and [[optimize]] never getFileStatus per file —
+  * plus one `s` line per tracked SECONDARY stats column: path,
   * column, kind, encoded min/max, null count, feeding [[readWhere]] /
   * [[countWhere]] data skipping and [[scan]] null-predicate
   * pruning; plus one `b` line per file when the handle opts into
@@ -172,10 +174,12 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       min: Option[String], max: Option[String],
       stats: Map[String, ColStat] = Map.empty,
       nulls: Option[Long] = None,
-      bloom: Option[(Int, Int, String)] = None) {
+      bloom: Option[(Int, Int, String)] = None,
+      bytes: Option[Long] = None) {
     def line: String = Seq("f", path, rows.toString, kind,
       min.getOrElse(""), max.getOrElse(""),
-      nulls.map(_.toString).getOrElse("")).mkString("\t")
+      nulls.map(_.toString).getOrElse(""),
+      bytes.map(_.toString).getOrElse("")).mkString("\t")
     def statLines: Seq[String] = stats.toSeq.sortBy(_._1).map { case (c, st) =>
       Seq("s", path, c, st.kind, st.min.getOrElse(""), st.max.getOrElse(""),
         st.nulls.map(_.toString).getOrElse("")).mkString("\t")
@@ -203,16 +207,75 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
 
   /** All version numbers with a manifest FILE present (committed or
     * torn) — the claim counter must skip both. */
-  private def allVersions: Seq[Long] =
-    if (!fs.exists(manifestDir)) Nil
-    else fs.listStatus(manifestDir).map(_.getPath.getName).toSeq
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong).toOption)
-      .sorted
+  private def allVersions: Seq[Long] = listManifests.map(_._1)
 
+  /** ONE manifest-dir listing: (version, FileStatus) ascending. The
+    * statuses ride along as the parse cache's validators — (length,
+    * mtime) come back free with the listing, so cache validation costs
+    * zero extra RPCs. */
+  private def listManifests: Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
+    val listed =
+      if (!fs.exists(manifestDir)) Nil
+      else fs.listStatus(manifestDir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.endsWith(".json"))
+          scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toLong)
+            .toOption.map(_ -> st)
+        else None
+      }.sortBy(_._1)
+    // retire() deletes old manifests from disk; drop their orphaned
+    // cache entries when they start to dominate, so a long-lived
+    // streaming handle over a retire()-maintained table stays bounded
+    if (manifestCache.size > listed.size * 2 + 16) {
+      val live = listed.map(_._1).toSet
+      manifestCache.keySet.removeIf(v => !live(v))
+    }
+    listed
+  }
+
+  /** Parsed manifests by version, VALIDATED against the file's (length,
+    * mtime) on every hit. A committed manifest is immutable, so a hit
+    * is almost always valid; the validators exist for the two ways a
+    * version NUMBER can change content under us — a lost-update loser
+    * retracts (deletes) its committed manifest and the number can then
+    * be re-claimed with different content, and a torn manifest becomes
+    * committed when its writer terminates it. Both change the file's
+    * length, so the stale entry misses and the file re-reads. Torn
+    * results (None) cache too: a crashed writer's debris is parsed
+    * once, not on every resolve forever. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Option[Manifest])]()
+
+  /** Manifest-file reads this handle has performed (cache misses +
+    * direct loads) — the spec seam for the resolve-path contract: a
+    * resolve on an N-version table reads O(1) manifest files, a change
+    * feed over k versions reads ≤ k + 2, and a second resolve reads 0
+    * (cache-served). Cumulative; specs delta it. */
+  private[graft] var manifestReads: Long = 0L
+
+  private def loadValidated(v: Long,
+      st: org.apache.hadoop.fs.FileStatus): Option[Manifest] = {
+    val hit = manifestCache.get(v)
+    if (hit != null && hit._1 == st.getLen && hit._2 == st.getModificationTime) hit._3
+    else {
+      val m = loadManifestUncached(v)
+      manifestCache.put(v, (st.getLen, st.getModificationTime, m))
+      m
+    }
+  }
+
+  /** Load one version through the cache, paying a single getFileStatus
+    * for the validator when the caller has no fresh listing in hand. */
   private def loadManifest(v: Long): Option[Manifest] = {
+    val st =
+      try fs.getFileStatus(manifestPath(v))
+      catch { case _: java.io.FileNotFoundException => return None }
+    loadValidated(v, st)
+  }
+
+  private def loadManifestUncached(v: Long): Option[Manifest] = {
     val p = manifestPath(v)
-    if (!fs.exists(p)) return None
+    manifestReads += 1
     // A lost-update loser RETRACTS its manifest after terminating it
     // (see commit), so a reader racing the retraction can list a
     // version whose file vanishes before the open — treat it exactly
@@ -240,14 +303,33 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       Entry(f(1), f(2).toLong, f(3),
         Some(f(4)).filter(_.nonEmpty), Some(f(5)).filter(_.nonEmpty),
         statsByPath.getOrElse(f(1), Map.empty), optNulls(f, 6),
-        bloomByPath.get(f(1)))
+        bloomByPath.get(f(1)),
+        bytes = optNulls(f, 7)) // file byte length: trailing field, absent on old manifests
     }
     Some(Manifest(v, header("#parent").toLong, header("#op"),
       DataType.fromJson(header("#schema")).asInstanceOf[StructType], entries,
       header.get("#tag")))
   }
 
-  private def committedManifests: Seq[Manifest] = allVersions.flatMap(loadManifest)
+  /** The full committed chain, oldest first — for the callers that
+    * genuinely need ALL of history (history/vacuum/retire). Cache-served
+    * after the first pass; resolve-shaped callers must use
+    * [[newestCommitted]] instead, which stops after O(1) loads. */
+  private def committedManifests: Seq[Manifest] =
+    listManifests.flatMap { case (v, st) => loadValidated(v, st) }
+
+  /** The newest committed manifest in ONE listing plus O(1) manifest
+    * reads: walk versions DESCENDING and stop at the first
+    * `#commit`-terminated file — never load the whole history just to
+    * take its last element. The versions skipped on the way down are
+    * torn claims (rare debris); on a long-lived store with thousands of
+    * retained versions this is the difference between a resolve being
+    * one small file read and O(versions × manifest bytes) driver
+    * parsing on EVERY read, write, and streaming trigger. */
+  private def newestCommitted: Option[Manifest] =
+    listManifests.reverseIterator
+      .map { case (v, st) => loadValidated(v, st) }
+      .collectFirst { case Some(m) => m }
 
   /** The last manifest this handle resolved — the `monotonicReads`
     * floor ([[latestManifest]]). */
@@ -278,7 +360,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * them — the floor is for the seconds-wide retraction race, not
     * long-term version pinning. */
   private def latestManifest: Option[Manifest] = {
-    val fresh = committedManifests.lastOption
+    val fresh = newestCommitted
     if (!monotonicReads) fresh
     else this.synchronized {
       val pick = (fresh, lastSeen) match {
@@ -312,6 +394,40 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   def currentVersion: Option[Long] = latestManifest.map(_.version)
 
   def exists: Boolean = currentVersion.isDefined
+
+  /** Committed versions strictly above `base` — the commit protocol's
+    * interloper check, loading only the (usually zero) manifests the
+    * check can possibly care about. */
+  private def committedVersionsAbove(base: Long): Seq[Long] =
+    listManifests.filter(_._1 > base)
+      .collect { case (v, st) if loadValidated(v, st).isDefined => v }
+
+  /** Newest COMMITTED version ≤ `v`, if any. Committed version numbers
+    * can have PERMANENT GAPS — a crashed writer's torn manifest claims
+    * a number that never commits and is never cleaned — so a consumer
+    * deriving a target version arithmetically (a rate-limited change
+    * feed capping its next interval at `seen + maxVersions`) must
+    * resolve the cap onto the commit log with this, or it can aim at a
+    * version that does not exist and wedge retrying it. */
+  def committedVersionAtOrBelow(v: Long): Option[Long] =
+    listManifests.reverseIterator
+      .collectFirst { case (ver, st) if ver <= v && loadValidated(ver, st).isDefined => ver }
+
+  /** Oldest committed version still on disk — the retention fence a
+    * change-feed consumer checks its cursor against: a cursor below
+    * this means [[retire]] outran the consumer and the intermediate
+    * history it needs is gone. */
+  def oldestCommittedVersion: Option[Long] =
+    listManifests.iterator
+      .collectFirst { case (v, st) if loadValidated(v, st).isDefined => v }
+
+  /** Oldest committed version strictly above `v` — the rate-limited
+    * change feed's fallback cap when a torn-claim gap swallows its
+    * whole arithmetic window: the next batch then spans exactly one
+    * commit instead of aiming at a number that never committed. */
+  def oldestCommittedAbove(v: Long): Option[Long] =
+    listManifests.iterator
+      .collectFirst { case (ver, st) if ver > v && loadValidated(ver, st).isDefined => ver }
 
   /** (version, parent, operation, n_files, n_rows) per committed
     * version, oldest first — the table's audit trail. */
@@ -661,7 +777,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     // every committed manifest in [from, to]; decomposition needs a
     // contiguous parent chain (retire() can only trim a PREFIX of
     // history, but verify anyway — a gap falls back to the endpoint diff)
-    val chain = allVersions.filter(v => v >= from && v <= to).flatMap(loadManifest)
+    val chain = listManifests.filter { case (v, _) => v >= from && v <= to }
+      .flatMap { case (v, st) => loadValidated(v, st) }
     val contiguous = chain.nonEmpty && chain.head.version == from &&
       chain.last.version == to &&
       chain.sliding(2).forall {
@@ -764,8 +881,20 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val m = requireManifest
+    var statted = 0
     val slices = m.entries.map { e =>
-      val st = fs.getFileStatus(new Path(s"$dir/${e.path}"))
+      // manifest-recorded byte length → FileStatus from driver
+      // arithmetic; entries from pre-length manifests degrade to the
+      // one-stat-RPC path (mtime is unused by the scan: the parquet
+      // read plans off length + path only)
+      val st = e.bytes match {
+        case Some(len) =>
+          new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L,
+            fs.makeQualified(new Path(s"$dir/${e.path}")))
+        case None =>
+          statted += 1
+          fs.getFileStatus(new Path(s"$dir/${e.path}"))
+      }
       // the key's bounds ride under its column name, beside any
       // secondary stats — one uniform per-column bounds map
       val keyBounds: Map[String, (String, String, String)] =
@@ -782,6 +911,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     }
     val index = new GraftFileIndex(new Path(dir), slices, ordLt)
     lastScanIndex = index
+    lastScanStatted = statted
     val relation = HadoopFsRelation(index, StructType(Nil), m.schema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     // public seam: SparkSession wraps a BaseRelation in a LogicalRelation
@@ -791,6 +921,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   /** The index behind the most recent [[scan]] — spec seam for
     * asserting how many files the planner's pushed filters kept. */
   private[graft] var lastScanIndex: GraftFileIndex = null
+
+  /** Entries the most recent [[scan]] had to getFileStatus because
+    * their manifest predates byte-length tracking — spec seam: 0 on a
+    * freshly written table. -1 until scan() runs. */
+  private[graft] var lastScanStatted: Int = -1
+
+  /** Entries the most recent [[optimize]] had to getFileStatus — same
+    * seam as [[lastScanStatted]]. -1 until optimize() runs. */
+  private[graft] var lastOptimizeStatted: Int = -1
 
   private def readEntries(schema: StructType, entries: Seq[Entry]): DataFrame =
     if (entries.isEmpty)
@@ -818,11 +957,20 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     case null => None
     case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay).toString)
     case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay).toString)
-    // millisecond floor: monotone, so pruning stays conservative even
-    // for sub-ms-distinct timestamps (enc(a) < enc(b) ⇒ a < b)
+    // millisecond floor — for EVERY timestamp representation: monotone,
+    // so pruning stays conservative for sub-ms-distinct values
+    // (enc(a) < enc(b) ⇒ a < b), and uniform, so a bound passed as an
+    // Instant (java8 datetime API) compares against Timestamp-collected
+    // stats in the SAME floored domain — an unfloored Instant encoding
+    // could sit above a floored file max that truly covers it, wrongly
+    // pruning the file (and GraftFileIndex.enc floors pushed literals
+    // on the same contract)
     case t: java.sql.Timestamp => Some(BigDecimal(t.getTime * 1000L).toString)
     case t: java.time.Instant =>
-      Some((BigDecimal(t.getEpochSecond) * 1000000 + t.getNano / 1000).toString)
+      // nano/1e6 = whole ms within the (always non-negative) nano-of-
+      // second field, so this floors toward -inf for negative epochs too
+      Some((BigDecimal(t.getEpochSecond) * 1000000 +
+        (t.getNano / 1000000) * 1000).toString)
     case t: java.time.LocalDateTime =>
       ordEncode(t.toInstant(java.time.ZoneOffset.UTC))
     case s: String => Some(java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8")))
@@ -991,6 +1139,12 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    // byte lengths ride the manifest `f` line: ONE listing of the fresh
+    // commit dir (the writer is the one party that knows its files),
+    // so scan() builds FileStatus and optimize() partitions small files
+    // from driver arithmetic — never a per-file getFileStatus RPC
+    val lenByName: Map[String, Long] =
+      fs.listStatus(out).map(s => s.getPath.getName -> s.getLen).toMap
     stats.toSeq.map { r =>
       val full = new Path(new java.net.URI(r.getString(0))).toUri.getPath
       val name = full.stripPrefix(base).stripPrefix("/")
@@ -1018,7 +1172,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       Entry(s"$rel/$name", rows,
         if (ok) kind else "opaque",
         if (ok) mn else None, if (ok) mx else None, colStats,
-        nulls = Some(rows - r.getLong(4)), bloom = bloom)
+        nulls = Some(rows - r.getLong(4)), bloom = bloom,
+        bytes = lenByName.get(name))
     }
   }
 
@@ -1083,7 +1238,9 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       // above our base means we lost the race — abort while this
       // manifest is still TORN (invisible), so the common lost race
       // never becomes a phantom commit a reader can observe vanishing.
-      val early = committedManifests.map(_.version).filter(v => v > base && v != target)
+      // Only versions ABOVE the base need loading — the check never
+      // cares about older history, so it stays O(1) loads per commit.
+      val early = committedVersionsAbove(base).filter(_ != target)
       if (early.nonEmpty) abortEarly = stale(early)
       else {
         onBeforeTerminate()
@@ -1107,7 +1264,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     // and the terminator write is only visible here — that residual
     // window is the ONLY remaining source of a visible-then-retracted
     // version (see latestManifest for the reader-side consequence).
-    val interloper = committedManifests.map(_.version).filter(v => v > base && v != target)
+    val interloper = committedVersionsAbove(base).filter(_ != target)
     if (interloper.nonEmpty) {
       fs.delete(p, false)
       throw stale(interloper)
@@ -1143,7 +1300,9 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * numbers. None when no kept version carries the tag (e.g. retired
     * past the retention window). */
   def versionForTag(tag: String): Option[Long] =
-    committedManifests.reverse.find(_.tag.contains(tag)).map(_.version)
+    listManifests.reverseIterator.collectFirst {
+      case (v, st) if loadValidated(v, st).exists(_.tag.contains(tag)) => v
+    }
 
   /** Time travel by TIMESTAMP: the newest committed version whose
     * manifest file's modification time is ≤ `tsMillis` — "read the
@@ -1158,9 +1317,9 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * the timestamp). A manifest retracted between listing and stat
     * reads as absent, like everywhere else. */
   def versionAsOf(tsMillis: Long): Option[Long] =
-    committedManifests.reverse.map(_.version).find { v =>
-      try fs.getFileStatus(manifestPath(v)).getModificationTime <= tsMillis
-      catch { case _: java.io.FileNotFoundException => false }
+    listManifests.reverseIterator.collectFirst {
+      case (v, st) if st.getModificationTime <= tsMillis &&
+        loadValidated(v, st).isDefined => v
     }
 
   /** [[readVersion]] addressed by timestamp — see [[versionAsOf]]. */
@@ -1253,9 +1412,10 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * optimize fails loudly, exactly like two merges). The standard
     * maintenance job for a table maintained by frequent small merges —
     * each merge writes batch-sized files, and after enough rounds the
-    * per-file open/footer cost dominates scans. File sizes come from a
-    * driver-side listing of the CURRENT snapshot's entries only (one
-    * stat per live file — maintenance-op cost, not query-path cost).
+    * per-file open/footer cost dominates scans. File sizes come from
+    * the manifest (recorded at stage time — the small-file partition is
+    * driver arithmetic); entries from pre-length manifests pay one
+    * getFileStatus each (maintenance-op cost, not query-path cost).
     * Returns the new version, or the current one when fewer than two
     * files are small (nothing to gain).
     *
@@ -1290,8 +1450,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       }).sortWithinPartitions("__z").drop("__z")
       return commit(m.version, "optimize", m.schema, stage(ranged), m.tag.getOrElse(""))
     }
-    val (small, big) = m.entries.partition(e =>
-      fs.getFileStatus(new Path(s"$dir/${e.path}")).getLen < smallBytes)
+    var statted = 0
+    val (small, big) = m.entries.partition { e =>
+      val len = e.bytes.getOrElse {
+        statted += 1
+        fs.getFileStatus(new Path(s"$dir/${e.path}")).getLen
+      }
+      len < smallBytes
+    }
+    lastOptimizeStatted = statted
     if (small.size <= 1) return m.version
     commit(m.version, "optimize", m.schema,
       big ++ stage(clustered(readEntries(m.schema, small))), m.tag.getOrElse(""))

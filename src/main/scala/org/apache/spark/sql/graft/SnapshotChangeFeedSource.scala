@@ -165,11 +165,26 @@ private[graft] final class SnapshotTableSink(
         else if (!t.currentTag.contains(tag)) t.setTag(tag)
         return
       }
+      // the keyed modes' FIRST batch goes through create(), which has
+      // no key-semantics of its own — enforce the same key-uniqueness
+      // contract merge/applyDelta enforce on every later batch, so a
+      // duplicate-key batch 0 fails as loudly as a duplicate-key batch
+      // N would, instead of silently seeding a dup-key table every
+      // subsequent keyed op then operates on
+      def requireKeyUnique(d: org.apache.spark.sql.DataFrame): d.type = {
+        import org.apache.spark.sql.functions.{count, count_distinct, lit}
+        val b = d.agg(count(lit(1)), count_distinct(col(key))).collect()(0)
+        if (b.getLong(0) != b.getLong(1))
+          throw new IllegalArgumentException(
+            s"stream batch $batchId carries ${b.getLong(0) - b.getLong(1)} duplicate " +
+              s"$key keys — a keyed first batch must be key-unique, like every batch after it")
+        d
+      }
       mode match {
         case "append" =>
           if (t.exists) t.append(df, tag) else t.create(df, tag)
         case "upsert" =>
-          if (t.exists) t.merge(df, tag = tag) else t.create(df, tag)
+          if (t.exists) t.merge(df, tag = tag) else t.create(requireKeyUnique(df), tag)
         case "cdc" =>
           require(df.schema.fieldNames.contains("_change_type"),
             "cdc mode wants a _change_type column (insert|update|delete)")
@@ -182,7 +197,7 @@ private[graft] final class SnapshotTableSink(
           // no-ops; an anti-join here would silently diverge from what
           // the identical batch does on an existing table
           if (t.exists) t.applyDelta(ups, dels, tag = tag)
-          else t.create(ups, tag)
+          else t.create(requireKeyUnique(ups), tag)
       }
       ()
     } finally df.unpersist(blocking = false)
@@ -270,9 +285,23 @@ final class SnapshotChangeFeedSource(
 
   override def getOffset: Option[Offset] = {
     val cur = tbl.currentVersion.getOrElse(return None)
-    // cap the batch span without overflowing on the unbounded default
+    // cap the batch span without overflowing on the unbounded default.
+    // The cap must land ON THE COMMIT LOG, not on raw arithmetic:
+    // committed version numbers have permanent gaps (a crashed writer's
+    // torn manifest claims a number that never commits), and an offer
+    // pointing at a gap would make getBatch fail on a version that does
+    // not exist — then fail again identically on every restart, wedging
+    // the stream. Resolve to the largest committed version inside the
+    // window; a window swallowed whole by gaps degrades to the next
+    // committed version (one commit — the rate limit's intent is
+    // commits applied, and gaps are not commits).
     val capped =
-      if (cur - offered > maxVersionsPerBatch) offered + maxVersionsPerBatch else cur
+      if (cur - offered > maxVersionsPerBatch)
+        tbl.committedVersionAtOrBelow(offered + maxVersionsPerBatch)
+          .filter(_ > offered)
+          .orElse(tbl.oldestCommittedAbove(offered))
+          .getOrElse(cur)
+      else cur
     if (capped > offered) offered = capped
     // ALWAYS offer (never gate on startVersion): on recovery this
     // instance's startVersion is the current head, but the engine's
@@ -300,16 +329,39 @@ final class SnapshotChangeFeedSource(
         tbl.read().limit(0) // recovery edge: an already-committed interval
           .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
           .withColumn("_commit_version", org.apache.spark.sql.functions.lit(to))
-      else
+      else {
+        // RETENTION FENCE: the interval re-derives from manifests, so
+        // the diff base must still be on disk. A retire() that outran
+        // this stream's checkpoint (a rate-limited stream lagging a
+        // retention job) would otherwise surface as a bare "no
+        // committed version" from deep inside the diff — fail with the
+        // operational cause and the recovery instead (the same fence
+        // SnapshotSync documents).
+        tbl.oldestCommittedVersion.filter(_ > from).foreach(oldest =>
+          throw new IllegalStateException(
+            s"stream cursor is at version $from but the table's retained history now " +
+              s"starts at $oldest — retire() outran this stream's checkpoint. " +
+              "Restart with a fresh checkpoint (and startingVersion) and re-sync the " +
+              "consumer, or retain more history than the stream's maximum lag."))
         tbl.changesKeyed(from, to)
           .withColumn("_commit_version", org.apache.spark.sql.functions.lit(to))
+      }
     // a streaming source's schema is FIXED at stream start: when the
     // table evolved (added a nullable column) inside the interval, the
     // feed carries more columns than this stream declared — project to
     // the declared set (the standard source contract: restart the
-    // stream to pick up new columns; nothing is lost on the table)
-    val projected = batch.select(
-      schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    // stream to pick up new columns; nothing is lost on the table).
+    // The reverse holds too: a RESTARTED instance re-derives `schema`
+    // from the now-evolved table while the engine replays the last
+    // WAL-logged batch over a PRE-evolution interval — a declared
+    // column the batch does not carry reads as null, mirroring the
+    // table's own read-nulls-for-old-files contract, instead of
+    // failing the restart permanently on an AnalysisException.
+    val have = batch.columns.toSet
+    val projected = batch.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     GraftSqlShim.streamingFrame(projected)
   }
 

@@ -299,6 +299,125 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(s4.startBase == 1L)
   }
 
+  test("a torn-claim gap inside the rate-limit window never wedges the stream") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a")) // v0
+    tbl.merge(kv(2L -> "b")) // v1
+    // a crashed writer's debris: version 2 claimed, never committed,
+    // never cleaned — a PERMANENT gap in the committed numbering
+    val torn = new org.apache.hadoop.fs.Path(dir, f"manifests/v${2L}%019d.json")
+    val fs = torn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(torn, false)
+    try out.write("#parent 1\n#op merge".getBytes("UTF-8")) finally out.close()
+    tbl.merge(kv(3L -> "c")) // claims PAST the torn debris → v3
+    assert(tbl.currentVersion.contains(3L))
+    // rate limit 1: the arithmetic cap after (0,1] is version 2 — the
+    // gap. The offer must resolve onto the commit log (largest committed
+    // <= cap, else the next committed), not aim at the phantom and wedge
+    val q = feed(dir, "startingVersion" -> "0", "maxVersionsPerBatch" -> "1")
+      .writeStream.format("memory").queryName("feed_gap").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("feed_gap").select("k", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got == Seq((2L, "insert"), (3L, "insert")), s"lost or duplicated: $got")
+    } finally q.stop()
+  }
+
+  test("restart after add-column evolution: the replayed pre-evolution batch reads the column as null") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val ckpt = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a")) // v0: (k, v)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Option[String])]]
+    @volatile var boom = true
+    def run() = feed(dir, "startingVersion" -> "0")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // fail AFTER the offset WAL logged the batch but BEFORE the
+        // sink commit — the engine then must REPLAY this interval on
+        // restart, through a source whose declared schema has evolved
+        if (boom && !b.isEmpty) throw new RuntimeException("induced crash before sink commit")
+        if (!b.isEmpty) {
+          val cols = b.columns
+          seen += b.collect().toSeq.map(r =>
+            (r.getLong(cols.indexOf("k")),
+              if (cols.contains("extra")) Option(r.getString(cols.indexOf("extra"))) else None))
+        }
+        ()
+      }.start()
+    val q1 = run()
+    tbl.merge(kv(2L -> "b")) // v1: still (k, v)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable(); q1.awaitTermination()
+    }
+    q1.stop()
+    // the table evolves while the stream is down
+    tbl.merge(Seq((3L, "c", "x")).toDF("k", "v", "extra")) // v2: (k, v, extra)
+    boom = false
+    val q2 = run() // restart: declared schema now carries `extra`; the
+    try { //           WAL replay of (0,1] predates the evolution
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val flat = seen.flatten.sortBy(_._1)
+    assert(flat == Seq((2L, None), (3L, Some("x"))),
+      s"replayed interval lost or failed to null-fill the evolved column: $flat")
+  }
+
+  test("retire() past the checkpointed cursor fails with the retention fence, not a bare resolve error") {
+    val dir = freshDir()
+    val ckpt = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a")) // v0
+    def run() = feed(dir, "startingVersion" -> "0", "maxVersionsPerBatch" -> "1")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    val q1 = run()
+    try {
+      tbl.merge(kv(2L -> "b")) // v1 — the stream checkpoints its cursor here
+      q1.processAllAvailable()
+    } finally q1.stop()
+    tbl.merge(kv(3L -> "c")) // v2
+    tbl.merge(kv(4L -> "d")) // v3
+    tbl.retire(keepLast = 1) // only v3 survives; the cursor (v1) is below retention
+    val q2 = run()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      tbl.merge(kv(5L -> "e")) // wake the trigger
+      q2.processAllAvailable(); q2.awaitTermination()
+    }
+    q2.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("retire() outran")),
+      s"wanted the retention fence, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("sink keyed modes reject a duplicate-key FIRST batch as loudly as a later one") {
+    val s = spark
+    import s.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](s)
+    input.addData((1L, "a"), (1L, "b"), (2L, "c")) // duplicate key 1 in batch 0
+    val target = freshDir()
+    val q = input.toDF().toDF("k", "v")
+      .writeStream.format(provider)
+      .option("path", target).option("key", "k").option("mode", "upsert")
+      .option("checkpointLocation", freshDir())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination()
+    }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("duplicate") && m.contains("key-unique")),
+      s"wanted the key-uniqueness guard on batch 0, got: ${messages(e).mkString(" | ")}")
+    // and the dup-key table was never created
+    assert(!new SnapshotTable(spark, target, "k").exists)
+  }
+
   test("schema evolution inside an interval: the stream keeps its declared columns") {
     val s = spark
     import s.implicits._

@@ -1305,4 +1305,110 @@ class SnapshotTableSpec extends AnyFunSuite {
     assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "b"))
     assert(tbl.read().schema.fieldNames.toSeq == Seq("k", "v"))
   }
+
+  test("a resolve on a deep history reads O(1) manifests; the parse cache serves every repeat") {
+    val dir = freshDir()
+    val writer = new SnapshotTable(spark, dir, "k")
+    writer.create(kv(1L -> "a")) // v0
+    (1 to 30).foreach(i => writer.merge(kv((i + 1).toLong -> s"v$i"))) // v1..v30
+    val reader = new SnapshotTable(spark, dir, "k") // cold cache
+    val r0 = reader.manifestReads
+    reader.read()
+    val firstResolve = reader.manifestReads - r0
+    assert(firstResolve <= 2,
+      s"a resolve on a 31-version table read $firstResolve manifests — " +
+        "latestManifest is walking the whole history again")
+    reader.read()
+    assert(reader.manifestReads - r0 == firstResolve,
+      "the second resolve re-read manifest files instead of hitting the cache")
+    // a whole-chain caller warms the cache once, then stops reading
+    val r1 = reader.manifestReads
+    reader.history
+    val chainReads = reader.manifestReads - r1
+    assert(chainReads <= 31)
+    reader.history
+    assert(reader.manifestReads - r1 == chainReads, "history re-read the committed chain")
+    // a change feed over k versions reads ~k manifests, not the history
+    val feedReader = new SnapshotTable(spark, dir, "k")
+    val r2 = feedReader.manifestReads
+    feedReader.changesBetween(5, 10).count()
+    assert(feedReader.manifestReads - r2 <= 8,
+      s"a 6-version feed read ${feedReader.manifestReads - r2} manifests")
+  }
+
+  test("committed-version helpers skip torn claims — the gap-aware caps the change feed offers from") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a")) // v0
+    tbl.merge(kv(2L -> "b")) // v1
+    // a crashed writer's permanent gap: claimed, never terminated
+    val torn = new org.apache.hadoop.fs.Path(dir, f"manifests/v${2L}%019d.json")
+    val fs = torn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(torn, false)
+    try out.write("#parent 1\n#op merge".getBytes("UTF-8")) finally out.close()
+    tbl.merge(kv(3L -> "c")) // claims past the debris → v3
+    assert(tbl.currentVersion.contains(3L))
+    assert(tbl.committedVersionAtOrBelow(2L).contains(1L), "cap landed on a torn claim")
+    assert(tbl.committedVersionAtOrBelow(0L).contains(0L))
+    assert(tbl.oldestCommittedAbove(1L).contains(3L), "next-committed skipped the gap wrong")
+    assert(tbl.oldestCommittedVersion.contains(0L))
+    assert(tbl.committedVersionAtOrBelow(-1L).isEmpty)
+    assert(tbl.oldestCommittedAbove(3L).isEmpty)
+  }
+
+  test("manifest byte lengths: scan() and optimize() stat zero files; legacy manifests degrade") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4))
+    tbl.create((1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val nFiles = tbl.read().inputFiles.length
+    assert(tbl.scan().count() == 200L)
+    assert(tbl.lastScanStatted == 0,
+      s"scan stat'd ${tbl.lastScanStatted} files despite manifest-recorded lengths")
+    tbl.optimize(smallBytes = 1L) // no file is under 1 byte: a pure partition pass
+    assert(tbl.lastOptimizeStatted == 0,
+      s"optimize stat'd ${tbl.lastOptimizeStatted} files despite manifest-recorded lengths")
+    // and the recorded lengths agree with the filesystem (scan plans
+    // splits off them, so a wrong length would truncate or over-read)
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tbl.read().inputFiles.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f).getPath)
+      assert(fsys.getFileStatus(p).getLen > 0)
+    }
+    // a PRE-length manifest (trailing field stripped) degrades to the
+    // stat-call path instead of failing or planning zero-length files
+    val mf = new java.io.File(s"$dir/manifests").listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName).last
+    val doctored = Files.readString(mf.toPath).linesIterator.map { l =>
+      if (l.startsWith("f\t")) l.split("\t", -1).take(7).mkString("\t") else l
+    }.mkString("\n")
+    Files.writeString(mf.toPath, doctored)
+    new java.io.File(mf.getParentFile, s".${mf.getName}.crc").delete()
+    val legacy = new SnapshotTable(spark, dir, "k")
+    assert(legacy.scan().count() == 200L)
+    assert(legacy.lastScanStatted == nFiles, "legacy entries should stat once each")
+  }
+
+  test("timestamp bounds floor uniformly: a sub-ms Instant bound never prunes a covering file") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // micros-precision timestamps: 1000.000700s and 2000.000100s
+    val df = Seq(1000000700L, 2000000100L).toDF("us")
+      .select(expr("timestamp_micros(us)").as("ts"))
+    val tbl = new SnapshotTable(spark, dir, "ts", clusterPartitions = Some(2))
+    tbl.create(df)
+    // bound 1000.000300s: BELOW the first row's true value but ABOVE its
+    // ms-floored file stat — an unfloored encoding would prove
+    // "file max < lo" and wrongly prune the file holding the match
+    val lo = java.time.Instant.ofEpochSecond(1000L, 300000L)
+    assert(tbl.readRange(Some(lo), None).count() == 2L,
+      "sub-ms Instant bound pruned a file whose true max covers it")
+    assert(tbl.countWhere("ts", Some(lo), None) == 2L)
+    // and the same bound as a LocalDateTime (the other java8 shape)
+    val loLdt = java.time.LocalDateTime.ofInstant(lo, java.time.ZoneOffset.UTC)
+    assert(tbl.readRange(Some(loLdt), None).count() == 2L)
+  }
 }
