@@ -1030,6 +1030,102 @@ object Soak {
         s"${if (incSparseOk) "ok" else "FAIL"}")
     }
 
+    // STREAMING SOURCE at scale + MERGE-ON-READ FORGET at scale, one
+    // store: (a) a stream over the table's CDC feed drains FIXED churn
+    // — never the table — even across a mid-stream FULL compaction
+    // (the flood shape SnapshotStreamSourceSpec pins at 1x, here
+    // measured at Nx); (b) a scattered 10-key forget on a
+    // deletion-vector handle rewrites ZERO data files at both scales
+    // with a flat wall (the GDPR shape: before DVs this cost one
+    // carrier-file rewrite per doomed key's file).
+    final case class StreamDv(drained: Long, streamWall: Double,
+        dvRewrites: Int, dvWall: Double, files: Int, rows: Long)
+    def streamDvWalls(d: String, dir: String): StreamDv = {
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      val nRows = docs.count()
+      val filesTarget = math.max(8, (nRows / 500).toInt)
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      new incremental.SnapshotTable(spark, dir, "doc_id",
+        clusterPartitions = Some(filesTarget)).create(docs)
+      val tbl = new incremental.SnapshotTable(spark, dir, "doc_id",
+        deleteVectorMaxRows = 1000L)
+      val v0 = tbl.currentVersion.get
+      val qn = "soak_feed_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val q = spark.readStream
+        .format("org.apache.spark.sql.graft.SnapshotTableProvider")
+        .option("path", dir).option("key", "doc_id")
+        .option("startingVersion", v0.toString)
+        .load()
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      val streamWall = try {
+        val churnA = docs.orderBy(col("doc_id")).limit(100)
+          .select(col("doc_id"), lit("soak-stream payload A").as("text"))
+          .localCheckpoint()
+        val churnB = docs.orderBy(col("doc_id")).limit(100)
+          .select(col("doc_id"), lit("soak-stream payload B").as("text"))
+          .localCheckpoint()
+        val t0 = System.nanoTime()
+        tbl.merge(churnA)
+        q.processAllAvailable() // batch 1: churn A
+        tbl.optimize(smallBytes = Long.MaxValue) // FULL rewrite mid-stream
+        tbl.merge(churnB)
+        q.processAllAvailable() // batch 2 spans the compaction: churn B only
+        (System.nanoTime() - t0) / 1e9
+      } finally q.stop()
+      val drained = spark.table(qn).count()
+      spark.catalog.dropTempView(qn)
+      // the forget: 10 ids scattered across the key domain
+      val doomed = docs.filter(col("doc_id") % 997 === 1)
+        .orderBy(col("doc_id")).limit(10).select("doc_id").localCheckpoint()
+      val nDoomed = doomed.count()
+      val t1 = System.nanoTime()
+      tbl.delete(doomed)
+      val dvWall = (System.nanoTime() - t1) / 1e9
+      val after = tbl.countRows()
+      assert(after == nRows - nDoomed,
+        s"DV forget row count drifted: $after vs ${nRows - nDoomed}")
+      StreamDv(drained, streamWall, tbl.lastDeleteRewrites, dvWall,
+        tbl.history.last._4, nRows)
+    }
+    val runStreamDv = sys.env.get("SPARK_GRAFT_ONLY")
+      .forall(_.split(",").map(_.trim).contains("stream_dv_scale"))
+    val (sdB, sdS) =
+      if (runStreamDv)
+        (Some(streamDvWalls(sfDir, s"$workDir/streamdv_base")),
+          Some(streamDvWalls(dataDir, s"$workDir/streamdv_soak")))
+      else (None, None)
+    // drained rows == churn (2×100 updates) at BOTH scales — a feed
+    // that flooded on the compaction would drain ~the table instead;
+    // stream wall flat-ish with an absolute floor (each drain is a
+    // full streaming-engine round trip, seconds of fixed overhead)
+    val streamDrainOk = (sdB, sdS) match {
+      case (Some(b), Some(s)) =>
+        b.drained == 200 && s.drained == 200 &&
+          s.streamWall <= math.max(2.0 * b.streamWall, 10.0)
+      case _ => true
+    }
+    // the scattered forget: ZERO files rewritten at both scales, wall
+    // flat (manifest + sidecar write, not carrier-file rewrites)
+    val dvForgetOk = (sdB, sdS) match {
+      case (Some(b), Some(s)) =>
+        b.dvRewrites == 0 && s.dvRewrites == 0 &&
+          s.dvWall <= math.max(2.0 * b.dvWall, 5.0)
+      case _ => true
+    }
+    (sdB, sdS) match {
+      case (Some(b), Some(s)) =>
+        println(f"[soak] stream_drain 1x: drained ${b.drained}%4d of ${b.rows}%7d rows " +
+          f"wall ${b.streamWall}%5.2f s; ${n}x: drained ${s.drained}%4d of ${s.rows}%8d " +
+          f"wall ${s.streamWall}%5.2f s (fixed churn across a mid-stream FULL compaction) " +
+          s"${if (streamDrainOk) "ok" else "FAIL"}")
+        println(f"[soak] dv_forget 1x: rewrites ${b.dvRewrites}%2d of ${b.files}%3d files " +
+          f"wall ${b.dvWall}%5.2f s; ${n}x: rewrites ${s.dvRewrites}%2d of ${s.files}%3d " +
+          f"wall ${s.dvWall}%5.2f s (scattered 10-key forget: deletion vectors, zero rewrites) " +
+          s"${if (dvForgetOk) "ok" else "FAIL"}")
+      case _ =>
+    }
+
     val failed = results.filterNot(r => r.rowsOk && r.sumOk && r.timeOk).map(_.c.name) ++
       (if (recallOk) Nil else Seq("lsh_recall_vs_exact")) ++
       (if (isomorphismOk) Nil else Seq("within_replica_truth")) ++
@@ -1044,7 +1140,9 @@ object Soak {
       (if (snapshotSyncOk) Nil else Seq("snapshot_mirror_sync")) ++
       (if (snapshotOptSyncOk) Nil else Seq("snapshot_mirror_optsync")) ++
       (if (zcountOk) Nil else Seq("snapshot_zcount")) ++
-      (if (incSparseOk) Nil else Seq("incremental_backdated"))
+      (if (incSparseOk) Nil else Seq("incremental_backdated")) ++
+      (if (streamDrainOk) Nil else Seq("stream_drain")) ++
+      (if (dvForgetOk) Nil else Seq("dv_forget"))
 
     val md = new StringBuilder
     md ++= s"# SOAK — ${n}x scale soak of sf0.1\n\n"
@@ -1097,6 +1195,12 @@ object Soak {
         md ++= f"\nMANIFEST-SERVED COUNT at scale (countWhere): a mid-domain key-range count scanned ${bb.scanned} of ${bb.files} files at 1x and ${ss.scanned} of ${ss.files} at ${n}x (wall ${bb.wall}%.2f s -> ${ss.wall}%.2f s) — only BOUNDARY files open; the contained mass is manifest arithmetic (rows − recorded nulls), so COUNT cost is flat in table size — ${if (zcountOk) "ok" else "**FAIL**"}.\n"
         md ++= f"\nZ-ORDER sharpness at scale (optimize(zorderBy = doc_id, n_chars)): a narrow n_chars band (uncorrelated with the key) opened ${bb.preBand} of ${bb.files} files under key clustering and ${bb.postBand} of ${bb.postFiles} after the z-order rewrite at 1x; ${ss.preBand} of ${ss.files} -> ${ss.postBand} of ${ss.postFiles} at ${n}x — multi-dimension locality holds as the table grows, band contents bit-identical — ${if (zcountOk) "ok" else "**FAIL**"}.\n"
         md ++= f"\nKEY BLOOMS at scale (keyBloomBits=16384 on an evens-only store): a scattered IN-RANGE absent-key delete — the shape range pruning can never skip — stays a VERSION NO-OP at both scales (no-op ${bb.bloomNoop}/${ss.bloomNoop}) at ${bb.bloomWall}%.2f s (1x) -> ${ss.bloomWall}%.2f s (${n}x): manifest + bloom arithmetic, flat in table size — ${if (zcountOk) "ok" else "**FAIL**"}.\n"
+      case _ =>
+    }
+    (sdB, sdS) match {
+      case (Some(b), Some(s)) =>
+        md ++= f"\nSTREAMING SOURCE at scale (SnapshotTableProvider feed → memory sink): two fixed 100-doc merges with a FULL compaction between them drained ${b.drained} rows of a ${b.rows}-row table at 1x and ${s.drained} of ${s.rows} at ${n}x (stream wall ${b.streamWall}%.2f s -> ${s.streamWall}%.2f s) — the rewrite-op-aware feed delivers churn, never the compacted mass, so a consumer of a 10x store reads the same bytes for the same churn — ${if (streamDrainOk) "ok" else "**FAIL**"}.\n"
+        md ++= f"\nMERGE-ON-READ FORGET at scale (deleteVectorMaxRows handle): a scattered 10-key delete rewrote ${b.dvRewrites} of ${b.files} data files at 1x and ${s.dvRewrites} of ${s.files} at ${n}x (wall ${b.dvWall}%.2f s -> ${s.dvWall}%.2f s) — deletion vectors turn the GDPR forget into sidecar writes; counts stay manifest-exact — ${if (dvForgetOk) "ok" else "**FAIL**"}.\n"
       case _ =>
     }
     incSparse.foreach { case ((bw, bf, bt), (sw, sf2, st2)) =>

@@ -261,6 +261,24 @@ object SparkEntry {
           col("n_chars") >= 200L && col("n_chars") <= 400L),
         scratch)
     }),
+    // the SAME manifest-pruned relation through the BATCH half of the
+    // format provider: spark.read.format("graft-snapshot") — no Scala
+    // handle, the route a SQL-only user takes (load + CREATE TEMP VIEW);
+    // pushed filters still file-skip off the manifest stats
+    "corpus_format_read" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
+        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
+        .create(docs)
+      materializeAndClean(
+        s.read.format("graft-snapshot")
+          .option("path", s"$scratch/store").option("key", "doc_id")
+          .load()
+          .filter(col("doc_id") >= 1000L && col("doc_id") <= 4000L &&
+            col("n_chars") >= 300L),
+        scratch)
+    }),
     // CDC-grain change feed: the same interval folded to ONE row per
     // changed key with _change_type insert|update|delete — updates as
     // their post-image, deletes as their pre-image (the pair-matching
@@ -408,6 +426,24 @@ object SparkEntry {
       val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id")
       tbl.create(docs)
       tbl.delete(docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
+      materializeAndClean(tbl.read(), scratch)
+    }),
+    // the MERGE-ON-READ forget: a scattered doomed-key set lands as
+    // per-file DELETION VECTORS (doomed-key sidecars applied as an
+    // anti-join at read) — ZERO data files rewritten, then optimize()
+    // materializes the debt away; result must equal the copy-on-write
+    // forget bit for bit
+    "corpus_forget_dv" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-forgetdv").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
+        clusterPartitions = Some(8), deleteVectorMaxRows = 1000L)
+      tbl.create(docs)
+      // a scattered sparse forget: every 501st id across the key domain
+      tbl.delete(docs.filter(col("doc_id") % 501 === 3).select("doc_id"))
+      require(tbl.lastDeleteRewrites <= 0, // 0 = pure DV; -1 = nothing matched (tiny sf)
+        s"DV forget rewrote ${tbl.lastDeleteRewrites} files — merge-on-read path not taken")
+      tbl.optimize(smallBytes = 1L) // materialize the vectors away
       materializeAndClean(tbl.read(), scratch)
     }),
     // -- text analysis / dedup over `documents` (extended surface)
@@ -1492,6 +1528,8 @@ object SparkEntry {
     "upsert_round_snapshot_evolve" -> upsertRoundOracleSql(noteCol = true),
     "corpus_forget" ->
       "SELECT * FROM documents WHERE doc_id % 17 <> 0",
+    "corpus_forget_dv" ->
+      "SELECT * FROM documents WHERE doc_id % 501 <> 3",
     "corpus_range_read" ->
       "SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 299",
     "corpus_keys_read" ->
@@ -1514,6 +1552,8 @@ object SparkEntry {
       "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
     "corpus_scan_pushdown" ->
       "SELECT * FROM documents WHERE doc_id <= 3000 AND n_chars BETWEEN 200 AND 400",
+    "corpus_format_read" ->
+      "SELECT * FROM documents WHERE doc_id BETWEEN 1000 AND 4000 AND n_chars >= 300",
     "corpus_changes_keyed" ->
       """SELECT doc_id, '[redacted-v2]' AS text, lang, source, n_chars,
         |  'update' AS _change_type

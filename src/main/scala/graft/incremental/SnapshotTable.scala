@@ -39,7 +39,9 @@ import org.apache.spark.sql.types._
   * column, kind, encoded min/max, null count, feeding [[readWhere]] /
   * [[countWhere]] data skipping and [[scan]] null-predicate
   * pruning; plus one `b` line per file when the handle opts into
-  * `keyBloomBits` — path, bits, k, base64 bloom words), and a
+  * `keyBloomBits` — path, bits, k, base64 bloom words; plus one `d`
+  * line per file carrying a DELETION VECTOR — path, doomed-key sidecar
+  * path, exact masked-row count — see `deleteVectorMaxRows`), and a
   * trailing `#commit` terminator. A manifest WITHOUT the terminator is
   * torn (writer crashed mid-write) and is ignored by readers; the next
   * writer simply claims the next free version number, so a torn commit
@@ -114,7 +116,23 @@ import org.apache.spark.sql.types._
   */
 final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     clusterPartitions: Option[Int] = None, monotonicReads: Boolean = false,
-    statsColumns: Seq[String] = Nil, keyBloomBits: Int = 0) {
+    statsColumns: Seq[String] = Nil, keyBloomBits: Int = 0,
+    deleteVectorMaxRows: Long = 0L) {
+
+  /** Opt-in MERGE-ON-READ deletes (deletion-vector-lite): when > 0, a
+    * [[delete]] whose doomed keys are few records a per-file DELETION
+    * VECTOR — a parquet sidecar of doomed keys referenced by a `d`
+    * manifest line — instead of rewriting the carrier file. Reads apply
+    * the sidecar as an anti-join; [[optimize]] materializes vectors
+    * away; a file accumulating more than `deleteVectorMaxRows` masked
+    * rows (or losing ALL its rows) falls back to the copy-on-write
+    * rewrite. At 100 TB this turns a GDPR-style scattered forget from
+    * "rewrite every carrier file" into "write a KB-sized key list" —
+    * the same rung Delta-class formats call deletion vectors, re-derived
+    * minimally (whole-key sidecars, not row-index bitmaps: the sidecar
+    * is the delete's own key set, so no read-path row numbering is
+    * needed). 0 (default) keeps every delete copy-on-write. */
+  require(deleteVectorMaxRows >= 0, s"deleteVectorMaxRows must be >= 0, got $deleteVectorMaxRows")
 
   /** Opt-in per-file KEY BLOOM ([[KeyBloom]]): when > 0, every staged
     * file records a `keyBloomBits`-bit bloom over `xxhash64(key)` in
@@ -175,7 +193,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       stats: Map[String, ColStat] = Map.empty,
       nulls: Option[Long] = None,
       bloom: Option[(Int, Int, String)] = None,
-      bytes: Option[Long] = None) {
+      bytes: Option[Long] = None,
+      dv: Option[(String, Long)] = None) {
     def line: String = Seq("f", path, rows.toString, kind,
       min.getOrElse(""), max.getOrElse(""),
       nulls.map(_.toString).getOrElse(""),
@@ -187,6 +206,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     def bloomLines: Seq[String] = bloom.toSeq.map { case (bits, k, b64) =>
       Seq("b", path, bits.toString, k.toString, b64).mkString("\t")
     }
+    /** Deletion vector: sidecar path + the EXACT number of this file's
+      * rows it masks (what keeps [[countRows]] manifest arithmetic).
+      * The sidecar may carry keys beyond this file's (it is shared by
+      * the delete commit's files) — the anti-join ignores them. */
+    def dvLines: Seq[String] = dv.toSeq.map { case (p, masked) =>
+      Seq("d", path, p, masked.toString).mkString("\t")
+    }
+    /** Rows a reader of this file actually sees. */
+    def logicalRows: Long = rows - dv.map(_._2).getOrElse(0L)
   }
 
   private final case class Manifest(version: Long, parent: Long, op: String,
@@ -298,13 +326,18 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       val f = l.split("\t", -1)
       f(1) -> ((f(2).toInt, f(3).toInt, f(4)))
     }.toMap
+    val dvByPath = lines.filter(_.startsWith("d\t")).map { l =>
+      val f = l.split("\t", -1)
+      f(1) -> ((f(2), f(3).toLong))
+    }.toMap
     val entries = lines.filter(_.startsWith("f\t")).map { l =>
       val f = l.split("\t", -1)
       Entry(f(1), f(2).toLong, f(3),
         Some(f(4)).filter(_.nonEmpty), Some(f(5)).filter(_.nonEmpty),
         statsByPath.getOrElse(f(1), Map.empty), optNulls(f, 6),
         bloomByPath.get(f(1)),
-        bytes = optNulls(f, 7)) // file byte length: trailing field, absent on old manifests
+        bytes = optNulls(f, 7), // file byte length: trailing field, absent on old manifests
+        dv = dvByPath.get(f(1)))
     }
     Some(Manifest(v, header("#parent").toLong, header("#op"),
       DataType.fromJson(header("#schema")).asInstanceOf[StructType], entries,
@@ -507,14 +540,18 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       s"no encodable non-key columns among ${columns.mkString(", ")} to collect stats for")
     // a file needs collection when a requested column has NO stats, or
     // stats WITHOUT a null count (written before null tracking) — the
-    // retrofit must deliver countWhere/IsNull exactness, not just bounds
-    val todo = m.entries.filter(e =>
+    // retrofit must deliver countWhere/IsNull exactness, not just bounds.
+    // Deletion-vectored files sit out: their per-file grouping needs the
+    // raw read (a masked read's anti-join blanks input_file_name) and
+    // physical stats over masked rows would overclaim — optimize()
+    // restages them with fresh stats anyway.
+    val todo = m.entries.filter(e => e.dv.isEmpty &&
       cols.exists(c => e.stats.get(c).forall(_.nulls.isEmpty)))
     if (todo.isEmpty) return m.version
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).as(s"__n$i"), max(col(c)).as(s"__x$i"),
         count(col(c)).as(s"__c$i")) }
-    val rows = readEntries(m.schema, todo)
+    val rows = readEntriesRaw(m.schema, todo)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -582,7 +619,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   /** Exact row count of the current snapshot served ENTIRELY from the
     * manifest (per-file counts recorded at stage time) — zero data files
     * opened. At 100 TB, `COUNT(*)` is driver-side arithmetic. */
-  def countRows(): Long = requireManifest.entries.map(_.rows).sum
+  def countRows(): Long = requireManifest.entries.map(_.logicalRows).sum
 
   /** Files [[countWhere]] had to open on its most recent call — spec
     * seam for asserting manifest-served coverage. -1 until called. */
@@ -634,8 +671,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
               loE.forall(l => !ordLt(k, fMin, l)) && hiE.forall(h => !ordLt(k, h, fMax))
             else
               loE.forall(l => ordLt(k, l, fMin)) && hiE.forall(h => ordLt(k, fMax, h))
+          // a deletion vector only REMOVES rows, so disjointness still
+          // proves 0 — but "contained" can no longer be served from the
+          // manifest (masked rows would count); the scan applies the DV
           if (disjoint) () // contributes 0 — nulls fail the predicate too
-          else if (contained && nOpt.isDefined) served += e.rows - nOpt.get
+          else if (contained && nOpt.isDefined && e.dv.isEmpty) served += e.rows - nOpt.get
           else toScan += e
         // all-null file with a known count: 0 rows match any predicate
         case Some(ColStat(_, None, None, Some(n))) if n == e.rows => ()
@@ -678,14 +718,19 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     def statsOf(e: Entry): Option[ColStat] =
       if (column == key) Some(ColStat(e.kind, e.min, e.max, e.nulls))
       else e.stats.get(column)
-    // split: files with orderable bounds / provably all-null / unknown
+    // split: files with orderable bounds / provably all-null / unknown.
+    // A deletion-vectored file's recorded extreme may be masked, so it
+    // neither votes in the election nor gets skipped — always a scan
+    // candidate (readEntries applies its vector); except a physically
+    // all-null file, which stays all-null under any deletion.
     val bounded = m.entries.flatMap(e => statsOf(e) match {
-      case Some(ColStat(k, Some(mn), Some(mx), _)) if k != "opaque" => Some((e, k, mn, mx))
+      case Some(ColStat(k, Some(mn), Some(mx), _)) if k != "opaque" && e.dv.isEmpty =>
+        Some((e, k, mn, mx))
       case _ => None
     })
     val unknown = m.entries.filter(e => statsOf(e) match {
-      case Some(ColStat(k, Some(_), Some(_), _)) if k != "opaque" => false
       case Some(ColStat(_, None, None, Some(n))) if n == e.rows => false // all-null
+      case Some(ColStat(k, Some(_), Some(_), _)) if k != "opaque" => e.dv.isDefined
       case _ => true
     })
     val candidates: Seq[Entry] =
@@ -770,9 +815,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val b = loadManifest(to).getOrElse(
       throw new IllegalStateException(s"no committed version $to at $dir"))
     def churn(s: Manifest, e: Manifest): (Seq[Entry], Seq[Entry]) = {
-      val sPaths = s.entries.map(_.path).toSet
-      val ePaths = e.entries.map(_.path).toSet
-      (s.entries.filterNot(x => ePaths(x.path)), e.entries.filterNot(x => sPaths(x.path)))
+      // entry identity = (path, deletion vector): a merge-on-read
+      // delete changes a file's LOGICAL content without changing its
+      // path, so a DV'd entry diffs against its pre-DV self — both
+      // sides read masked, and the exceptAll nets out to exactly the
+      // freshly masked rows
+      def id(x: Entry): (String, Option[String]) = (x.path, x.dv.map(_._1))
+      val sIds = s.entries.map(id).toSet
+      val eIds = e.entries.map(id).toSet
+      (s.entries.filterNot(x => eIds(id(x))), e.entries.filterNot(x => sIds(id(x))))
     }
     // every committed manifest in [from, to]; decomposition needs a
     // contiguous parent chain (retire() can only trim a PREFIX of
@@ -878,11 +929,44 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * snapshot (immutable files + one manifest read), like every other
     * read. */
   def scan(): DataFrame = {
+    val m = requireManifest
+    val (dvd, clean) = m.entries.partition(_.dv.isDefined)
+    val base = spark.baseRelationToDataFrame(relationOf(m, clean))
+    if (dvd.isEmpty) base
+    // the merge-on-read residue rides beside the pruned relation as a
+    // masked plain read — unpruned, but bounded by the DV'd file count
+    // and cleared at the next optimize()
+    else base.unionByName(readEntries(m.schema, dvd))
+  }
+
+  /** The [[scan]] snapshot as a bare `BaseRelation` — what the BATCH
+    * half of the format provider
+    * (`spark.read.format("graft-snapshot")`, see
+    * [[org.apache.spark.sql.graft.SnapshotTableProvider]]) hands to
+    * Spark's DataSource resolution, giving SQL-only users the same
+    * manifest-pruned relation without writing a line of Scala.
+    *
+    * A relation is ONE file-backed node — it cannot splice in the
+    * anti-join a deletion-vectored file needs — so this entry point
+    * demands a DV-free snapshot and fails LOUDLY otherwise (silently
+    * resurrecting deleted rows for SQL readers is the one unacceptable
+    * outcome); run [[optimize]] to materialize vectors away, or read
+    * through [[scan]], which handles them. */
+  def scanRelation(): org.apache.spark.sql.sources.BaseRelation = {
+    val m = requireManifest
+    val dvd = m.entries.count(_.dv.isDefined)
+    require(dvd == 0,
+      s"snapshot at $dir carries deletion vectors on $dvd files — a bare relation " +
+        "cannot apply them; optimize() the table to materialize deletes, or use scan()")
+    relationOf(m, m.entries)
+  }
+
+  private def relationOf(m: Manifest,
+      entries: Seq[Entry]): org.apache.spark.sql.sources.BaseRelation = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-    val m = requireManifest
     var statted = 0
-    val slices = m.entries.map { e =>
+    val slices = entries.map { e =>
       // manifest-recorded byte length → FileStatus from driver
       // arithmetic; entries from pre-length manifests degrade to the
       // one-stat-RPC path (mtime is unused by the scan: the parquet
@@ -912,10 +996,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val index = new GraftFileIndex(new Path(dir), slices, ordLt)
     lastScanIndex = index
     lastScanStatted = statted
-    val relation = HadoopFsRelation(index, StructType(Nil), m.schema, None,
+    HadoopFsRelation(index, StructType(Nil), m.schema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
-    // public seam: SparkSession wraps a BaseRelation in a LogicalRelation
-    spark.baseRelationToDataFrame(relation)
   }
 
   /** The index behind the most recent [[scan]] — spec seam for
@@ -931,7 +1013,29 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * seam as [[lastScanStatted]]. -1 until optimize() runs. */
   private[graft] var lastOptimizeStatted: Int = -1
 
-  private def readEntries(schema: StructType, entries: Seq[Entry]): DataFrame =
+  /** Entries as their LOGICAL rows: files carrying a deletion vector
+    * read through an anti-join against their sidecar's keys (grouped by
+    * sidecar — co-committed files share one, and a doomed key is doomed
+    * table-wide, so applying the shared sidecar to every member file is
+    * exact). DV-free entries read directly. Every reader, the change
+    * feed's sides, and every copy-on-write survivor computation come
+    * through here, so merge-on-read correctness is one code path. */
+  private def readEntries(schema: StructType, entries: Seq[Entry]): DataFrame = {
+    val (dvd, clean) = entries.partition(_.dv.isDefined)
+    val base = readEntriesRaw(schema, clean)
+    if (dvd.isEmpty) base
+    else dvd.groupBy(_.dv.get._1).map { case (dvPath, es) =>
+      val doomed = spark.read.parquet(s"$dir/$dvPath").select(col(key))
+      readEntriesRaw(schema, es).join(doomed, Seq(key), "left_anti")
+    }.foldLeft(base)(_ unionByName _)
+  }
+
+  /** Entries as their PHYSICAL rows — deletion vectors NOT applied.
+    * Only for paths that must see raw files: per-file stats collection
+    * (grouping by input_file_name, which a join would break — and which
+    * excludes DV'd files anyway) and the DV delete's own matched-count
+    * pass. */
+  private def readEntriesRaw(schema: StructType, entries: Seq[Entry]): DataFrame =
     if (entries.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -1231,7 +1335,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         s"#key $key",
         s"#schema ${schema.json}") ++
         (if (tag.nonEmpty) Seq(s"#tag ${tag.replaceAll("[\\r\\n]", " ")}") else Nil) ++
-        entries.flatMap(e => (e.line +: e.statLines) ++ e.bloomLines))
+        entries.flatMap(e => (e.line +: e.statLines) ++ e.bloomLines ++ e.dvLines))
         .mkString("\n")
       out.write(body.getBytes("UTF-8"))
       // PRE-terminate lost-update check: a version already committed
@@ -1451,15 +1555,20 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       return commit(m.version, "optimize", m.schema, stage(ranged), m.tag.getOrElse(""))
     }
     var statted = 0
+    // deletion-vectored files always join the rewrite set: compaction
+    // is where merge-on-read debt is repaid (the masked read below
+    // applies the vectors; the restaged files carry none)
     val (small, big) = m.entries.partition { e =>
-      val len = e.bytes.getOrElse {
-        statted += 1
-        fs.getFileStatus(new Path(s"$dir/${e.path}")).getLen
+      e.dv.isDefined || {
+        val len = e.bytes.getOrElse {
+          statted += 1
+          fs.getFileStatus(new Path(s"$dir/${e.path}")).getLen
+        }
+        len < smallBytes
       }
-      len < smallBytes
     }
     lastOptimizeStatted = statted
-    if (small.size <= 1) return m.version
+    if (small.size <= 1 && !small.exists(_.dv.isDefined)) return m.version
     commit(m.version, "optimize", m.schema,
       big ++ stage(clustered(readEntries(m.schema, small))), m.tag.getOrElse(""))
   }
@@ -1482,8 +1591,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val dataDir = new Path(s"$dir/data")
     if (!fs.exists(dataDir)) return Nil
     def canon(p: Path): String = fs.makeQualified(p).toUri.getPath
+    // data files AND deletion-vector sidecars: both live under data/
+    // and both are reachable from committed manifests only
     val referenced = committedManifests
-      .flatMap(_.entries.map(e => canon(new Path(s"$dir/${e.path}")))).toSet
+      .flatMap(_.entries.flatMap(e => e.path +: e.dv.map(_._1).toSeq))
+      .map(p => canon(new Path(s"$dir/$p"))).toSet
     val fsNow = {
       val probe = new Path(dataDir, s".vacuum-probe-${java.util.UUID.randomUUID()}")
       fs.create(probe, true).close()
@@ -1516,7 +1628,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * rewriting the corpus). Same file-pruned copy-on-write as [[merge]]:
     * only files whose key range can hold a doomed key are rewritten
     * (anti-join against the key set); everything else carries forward
-    * by reference. NOTE the version-history consequence: prior
+    * by reference. A handle with `deleteVectorMaxRows > 0` goes one
+    * rung further: a small doomed set lands as per-file DELETION
+    * VECTORS — zero data files rewritten, reads anti-join the sidecar —
+    * falling back to the rewrite per file past the cap (see the
+    * constructor note). NOTE the version-history consequence: prior
     * snapshots still reference the old files, so a true forget must be
     * followed by retiring pre-delete manifests + [[vacuum]] — the same
     * two-step every snapshot table format has. */
@@ -1534,9 +1650,92 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       // record the tag) instead of rewriting the table to delete nothing
       if (touched.isEmpty)
         return if (tag.nonEmpty && !m.tag.contains(tag)) setTag(tag) else m.version
-      val survivors = readEntries(m.schema, touched).join(ks, Seq(key), "left_anti")
-      commit(m.version, "delete", m.schema, untouched ++ stage(clustered(survivors)), tag)
+      def copyOnWrite(): Long = {
+        lastDeleteRewrites = touched.size
+        val survivors = readEntries(m.schema, touched).join(ks, Seq(key), "left_anti")
+        commit(m.version, "delete", m.schema, untouched ++ stage(clustered(survivors)), tag)
+      }
+      if (deleteVectorMaxRows <= 0) return copyOnWrite()
+      // MERGE-ON-READ branch (see deleteVectorMaxRows): type-normalize
+      // the batch (sidecar keys must compare as the TABLE's key type)
+      // and gate on its size — a batch bigger than the per-file cap
+      // would bloat every sidecar it unions into; rewriting is the
+      // better trade there anyway
+      val keyType = m.schema(key).dataType
+      val ksT = ks.select(col(key).cast(keyType)).na.drop(Seq(key)).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val kCount = ksT.count()
+        if (kCount == 0 || kCount > deleteVectorMaxRows) return copyOnWrite()
+        // EXACT per-file matched counts in one pass — what keeps
+        // countRows() pure manifest arithmetic. __file materializes at
+        // scan time, BEFORE the join, so the shuffle cannot blank it.
+        val matched = readEntriesRaw(m.schema, touched)
+          .select(col(key), input_file_name().as("__file"))
+          .join(ksT, Seq(key), "left_semi")
+          .groupBy(col("__file")).agg(count(lit(1)).as("n"))
+          .collect()
+        def canon(p: String): String = fs.makeQualified(new Path(p)).toUri.getPath
+        val relByCanon = touched.map(e => canon(s"$dir/${e.path}") -> e.path).toMap
+        val matchedByPath: Map[String, Long] = matched.flatMap { r =>
+          relByCanon.get(new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+            .map(_ -> r.getLong(1))
+        }.toMap
+        // files the range/bloom prune could not clear but that hold no
+        // doomed row carry forward untouched
+        val falsePos = touched.filterNot(e => matchedByPath.contains(e.path))
+        val hit = touched.filter(e => matchedByPath.contains(e.path))
+        if (hit.isEmpty)
+          return if (tag.nonEmpty && !m.tag.contains(tag)) setTag(tag) else m.version
+        // over the accumulated cap, or emptied outright: rewrite (an
+        // emptied file's rewrite stages nothing — the file just drops)
+        val (cow, dvd) = hit.partition { e =>
+          val masked = matchedByPath(e.path) + e.dv.map(_._2).getOrElse(0L)
+          masked > deleteVectorMaxRows || masked == e.rows
+        }
+        // one new sidecar per EXISTING sidecar group (co-committed files
+        // share theirs): old keys ∪ batch. A sidecar carrying keys some
+        // member file never held is fine — doomed keys are doomed
+        // table-wide and the anti-join ignores non-members; the masked
+        // COUNTS stay per-entry exact.
+        val dvdNew = dvd.groupBy(_.dv.map(_._1)).toSeq.flatMap { case (oldDv, es) =>
+          val sidecarKeys = oldDv match {
+            case Some(p) => spark.read.parquet(s"$dir/$p").select(col(key))
+              .unionByName(ksT).distinct()
+            case None => ksT
+          }
+          val dvPath = stageDv(sidecarKeys)
+          es.map(e => e.copy(dv =
+            Some((dvPath, e.dv.map(_._2).getOrElse(0L) + matchedByPath(e.path)))))
+        }
+        lastDeleteRewrites = cow.size
+        val rewritten =
+          if (cow.isEmpty) Nil
+          else stage(clustered(readEntries(m.schema, cow).join(ksT, Seq(key), "left_anti")))
+        commit(m.version, "delete", m.schema,
+          untouched ++ falsePos ++ dvdNew ++ rewritten, tag)
+      } finally ksT.unpersist(blocking = false)
     } finally ks.unpersist(blocking = false)
+  }
+
+  /** Data files the most recent [[delete]] rewrote — 0 on a pure
+    * deletion-vector delete, the spec/soak seam for "a scattered forget
+    * rewrites nothing". -1 until delete() commits. */
+  private[graft] var lastDeleteRewrites: Int = -1
+
+  /** Write a doomed-key set as ONE parquet part file under `data/` and
+    * return its table-relative path — a single FILE (not a directory)
+    * so [[vacuum]]'s referenced-set bookkeeping covers sidecars exactly
+    * like data files. Deletion vectors are capped small, so coalesce(1)
+    * is a driver-bounded write, not a scale hazard. */
+  private def stageDv(keys: DataFrame): String = {
+    val rel = s"data/${java.util.UUID.randomUUID().toString}"
+    val out = new Path(s"$dir/$rel")
+    keys.coalesce(1).write.mode("error").parquet(out.toString)
+    val part = fs.listStatus(out).map(_.getPath.getName)
+      .find(_.startsWith("part-")).getOrElse(throw new IllegalStateException(
+        s"deletion-vector write at $out produced no part file"))
+    s"$rel/$part"
   }
 
   /** Keyed MERGE (upsert): rows of `source` replace table rows with an

@@ -240,21 +240,118 @@ object Multimodal {
     }
   }
 
-  /** Real-format decoder tier: PGM (P5) and PPM (P6, luma-reduced)
-    * payloads decode to actual pixels and the features are `dim`
+  /** Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) — the THIRD
+    * real media tier, proving the decode seam generalizes beyond the
+    * netpbm family's ASCII headers: little-endian binary headers,
+    * bottom-up row order (top-down via a negative height), 4-byte row
+    * padding, BGR byte order — reduced through the SAME ITU-R 601 luma
+    * into the gray raster [[Pgm.dHash]] and the band features consume.
+    * Same hostile-input contract as [[Pgm.decode]]: anything malformed
+    * (short header, unsupported depth/compression, overflowing
+    * dimensions, raster shorter than stride×height, data offset outside
+    * the payload) returns None — this parser NEVER throws, so a corrupt
+    * payload falls back to the stub tier instead of killing the task. */
+  object Bmp {
+    private val MaxDim = 1 << 20
+
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+    /** 24-bit bottom-up BI_RGB BMP for a row-major TOP-DOWN rgb raster
+      * (interleaved r,g,b — the [[Pgm.encodeP6]] layout): the
+      * test/corpus encoder, writing the on-disk BGR order and row
+      * padding decode must undo. */
+    def encodeRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == 3 * width * height,
+        s"rgb raster is ${rgb.length} bytes, expected ${3 * width * height}")
+      val stride = (width * 3 + 3) / 4 * 4
+      val out = new Array[Byte](54 + stride * height)
+      def put32(i: Int, v: Long): Unit = {
+        out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+        out(i + 2) = ((v >> 16) & 0xff).toByte; out(i + 3) = ((v >> 24) & 0xff).toByte
+      }
+      out(0) = 'B'; out(1) = 'M'
+      put32(2, out.length.toLong) // file size
+      put32(10, 54L) // pixel data offset
+      put32(14, 40L) // BITMAPINFOHEADER size
+      put32(18, width.toLong)
+      put32(22, height.toLong) // positive: bottom-up
+      out(26) = 1 // planes = 1
+      out(28) = 24 // bits per pixel
+      // bytes 30-33: compression = 0 (BI_RGB) — already zero
+      var y = 0
+      while (y < height) {
+        val src = height - 1 - y // storage row y holds image row height-1-y
+        var x = 0
+        while (x < width) {
+          val s = 3 * (src * width + x)
+          val o = 54 + y * stride + 3 * x
+          out(o) = rgb(s + 2); out(o + 1) = rgb(s + 1); out(o + 2) = rgb(s) // BGR
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Parse a 24-bit BI_RGB BMP payload → (width, height, row-major
+      * TOP-DOWN gray bytes), luma-reduced like [[Pgm.decode]]'s P6 arm.
+      * None on anything else — never throws. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+      val dataOffset = le32(payload, 10)
+      if (le32(payload, 14) < 40) return None // pre-BITMAPINFOHEADER variants: unsupported
+      val w = le32(payload, 18).toInt
+      val hRaw = le32(payload, 22).toInt
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw.toLong) // Long: abs(Int.MinValue) would overflow Int
+      if (w <= 0 || w > MaxDim || h <= 0 || h > MaxDim) return None
+      if (le16(payload, 26) != 1 || le16(payload, 28) != 24 ||
+        le32(payload, 30) != 0L) return None // planes / depth / BI_RGB only
+      val stride = (w.toLong * 3 + 3) / 4 * 4
+      val n = w.toLong * h
+      if (n > Int.MaxValue) return None
+      if (dataOffset < 54 || dataOffset > payload.length ||
+        payload.length - dataOffset < stride * h) return None
+      val gray = new Array[Byte](n.toInt)
+      val base = dataOffset.toInt
+      var y = 0
+      while (y < h.toInt) {
+        val srcY = if (topDown) y else h.toInt - 1 - y
+        val row = base + srcY * stride.toInt
+        var x = 0
+        while (x < w) {
+          val b = payload(row + 3 * x) & 0xff
+          val g = payload(row + 3 * x + 1) & 0xff
+          val r = payload(row + 3 * x + 2) & 0xff
+          gray(y * w + x) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h.toInt, gray))
+    }
+  }
+
+  /** Real-format decoder tier: PGM (P5), PPM (P6, luma-reduced), and
+    * 24-bit BMP ([[Bmp]] — binary little-endian headers, the non-netpbm
+    * shape) payloads decode to actual pixels and the features are `dim`
     * horizontal-band mean intensities in [0,1] (a real, explainable
     * image statistic); checksum is the perceptual [[Pgm.dHash]] so
     * downstream Hamming machinery can consume it directly. Payloads in
-    * neither format — including corrupt/hostile rasters, which
-    * [[Pgm.decode]] rejects rather than throws on — fall back to the
-    * [[FakeDecoder]] stub: one mixed corpus, each payload decoded by
-    * the deepest tier that understands it, through the SAME
+    * none of the formats — including corrupt/hostile rasters, which
+    * [[Pgm.decode]]/[[Bmp.decode]] reject rather than throw on — fall
+    * back to the [[FakeDecoder]] stub: one mixed corpus, each payload
+    * decoded by the deepest tier that understands it, through the SAME
     * partition-batched seam. */
   final case class PgmDecoder(dim: Int = 16) extends Decoder {
     private val fallback = FakeDecoder(dim)
     override def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
       rows.map { r =>
-        Pgm.decode(r.payload) match {
+        Pgm.decode(r.payload).orElse(Bmp.decode(r.payload)) match {
           case Some((w, h, px)) =>
             val acc = new Array[Long](dim)
             val cnt = new Array[Long](dim)

@@ -3,7 +3,8 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider,
+  StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -74,7 +75,26 @@ import graft.incremental.SnapshotTable
   * internals — the standard extension point every v1 connector uses,
   * kept to this one thin file; all table logic is SnapshotTable's
   * public API. */
-final class SnapshotTableProvider extends StreamSourceProvider with StreamSinkProvider {
+final class SnapshotTableProvider extends StreamSourceProvider with StreamSinkProvider
+    with RelationProvider with DataSourceRegister {
+
+  /** One format string for all three halves — batch read, stream read,
+    * stream write: `format("graft-snapshot")` (registered via
+    * META-INF/services, the standard DataSourceRegister rung; the fully
+    * qualified class name keeps working). */
+  override def shortName(): String = "graft-snapshot"
+
+  /** BATCH read: `spark.read.format("graft-snapshot").option("path", …)
+    * .option("key", …).load()` returns the manifest-pruned [[
+    * graft.incremental.SnapshotTable.scan]] relation — pushed filters
+    * file-skip off the manifest's per-file stats exactly like the Scala
+    * handle's scan(), so a SQL-only user (CREATE TEMP VIEW over this
+    * load) gets the same pruning with zero Scala. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val p = SnapshotChangeFeedSource.normalize(parameters)
+    SnapshotChangeFeedSource.handle(sqlContext.sparkSession, p).scanRelation()
+  }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {

@@ -352,4 +352,68 @@ class MultimodalSpec extends AnyFunSuite {
       assert(feats(id) == stub.checksum, s"payload $id did not stub-tier")
     }
   }
+
+  test("BMP tier: 24-bit rasters (bottom-up and top-down) join the gray/dHash path; hostile BMPs reject") {
+    val s = spark
+    import s.implicits._
+    val w = 16; val h = 12
+    val rgb = Array.tabulate(3 * w * h)(i => ((i * 7 + (i / 3) * 13) % 251).toByte)
+    // container equivalence: the SAME rgb raster through the P6 arm and
+    // the BMP arm must luma-reduce to the SAME gray pixels
+    val Some((pw, ph, pGray)) = Multimodal.Pgm.decode(Multimodal.Pgm.encodeP6(w, h, rgb))
+    val Some((bw, bh, bGray)) = Multimodal.Bmp.decode(Multimodal.Bmp.encodeRgb(w, h, rgb))
+    assert((bw, bh) == ((pw, ph)))
+    assert(java.util.Arrays.equals(bGray, pGray),
+      "BMP (BGR bottom-up padded) and P6 (RGB top-down) must decode to one gray raster")
+    // top-down variant: a vertically pre-flipped raster stored bottom-up
+    // has its file rows in top-down image order; negating the height
+    // field marks it so — decode must undo both orderings identically
+    val flipped = Array.tabulate(3 * w * h) { i =>
+      val row = i / (3 * w); rgb(3 * w * (h - 1 - row) + i % (3 * w))
+    }
+    val td = Multimodal.Bmp.encodeRgb(w, h, flipped)
+    val neg = -h
+    td(22) = (neg & 0xff).toByte; td(23) = ((neg >> 8) & 0xff).toByte
+    td(24) = ((neg >> 16) & 0xff).toByte; td(25) = ((neg >> 24) & 0xff).toByte
+    val Some((_, _, tdGray)) = Multimodal.Bmp.decode(td)
+    assert(java.util.Arrays.equals(tdGray, bGray), "top-down BMP must match bottom-up")
+    // one gray image in two containers shares its perceptual dHash
+    // through the full Spark seam — the mixed corpus tiers per payload
+    val gray = Array.tabulate(w * h)(i => (i % 251).toByte)
+    val grayRgb = gray.flatMap(v => Array(v, v, v)) // r=g=b: luma is exact identity
+    val media = Seq(
+      1L -> Multimodal.Pgm.encode(w, h, gray),
+      2L -> Multimodal.Bmp.encodeRgb(w, h, grayRgb),
+      3L -> "neither format".getBytes("US-ASCII"))
+      .toDF("media_id", "payload")
+      .select(col("media_id"),
+        struct(lit("image").as("media_type"), lit(w).as("width"),
+          lit(h).as("height"), lit(0).as("sample_rate"),
+          lit(1).as("n_frames")).as("meta"),
+        col("payload"))
+    val feats = Multimodal.extractFeatures(media, decoder = Multimodal.PgmDecoder())
+      .collect().map(f => f.media_id -> f.checksum).toMap
+    assert(feats(1L) == feats(2L),
+      "PGM and BMP containers of one image must share the perceptual dHash")
+    assert(feats(1L) == Multimodal.Pgm.dHash(w, h, gray))
+    assert(feats(3L) != feats(1L)) // the stub row took the fake tier
+    // hostile battery: every malformation returns None, never throws
+    def patched(f: (Array[Byte]) => Unit): Array[Byte] = {
+      val p = Multimodal.Bmp.encodeRgb(w, h, rgb).clone(); f(p); p
+    }
+    val hostile: Seq[(String, Array[Byte])] = Seq(
+      "short header" -> "BM".getBytes("US-ASCII"),
+      "wrong magic" -> patched(p => p(0) = 'X'),
+      "8-bit depth" -> patched(p => p(28) = 8),
+      "RLE compression" -> patched(p => p(30) = 1),
+      "zero width" -> patched { p => p(18) = 0; p(19) = 0; p(20) = 0; p(21) = 0 },
+      "width past cap" -> patched { p => p(18) = 0; p(19) = 0; p(20) = 0; p(21) = 0x7f },
+      "height Int.MinValue (abs overflow)" -> patched { p =>
+        p(22) = 0; p(23) = 0; p(24) = 0; p(25) = 0x80.toByte },
+      "data offset past payload" -> patched { p => p(10) = 0xff.toByte; p(11) = 0xff.toByte },
+      "truncated raster" -> Multimodal.Bmp.encodeRgb(w, h, rgb).take(54 + 7),
+      "core-header DIB" -> patched(p => p(14) = 12))
+    hostile.foreach { case (name, p) =>
+      assert(Multimodal.Bmp.decode(p).isEmpty, s"hostile BMP '$name' must reject") }
+  }
 }

@@ -1391,6 +1391,152 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(legacy.lastScanStatted == nFiles, "legacy entries should stat once each")
   }
 
+  test("deletion vectors: a sparse forget rewrites ZERO files; reads, counts, bounds, and the feed stay exact") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4),
+      deleteVectorMaxRows = 50L)
+    val df = (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+    val v0 = tbl.create(df)
+    val files0 = tbl.filesAt(v0).toSet
+    // 1-key delete on a ~100-row file: a deletion vector, not a rewrite
+    val v1 = tbl.delete(Seq(7L).toDF("k"))
+    assert(tbl.lastDeleteRewrites == 0, "a 1-key DV delete rewrote data files")
+    assert(tbl.filesAt(v1).toSet == files0, "DV delete changed the data file set")
+    assertSameRows(tbl.read(), df.filter(col("k") =!= 7L))
+    assert(tbl.countRows() == 399L, "countRows must subtract masked rows")
+    assert(tbl.countWhere("k", Some(1L), Some(10L)) == 9L,
+      "a range count over a DV'd file must not count masked rows")
+    // deleting the global MIN itself: boundsOf may not trust the DV'd
+    // file's recorded extreme
+    tbl.delete(Seq(1L).toDF("k"))
+    val b = tbl.boundsOf("k").collect()(0)
+    assert((b.getLong(0), b.getLong(1)) == ((2L, 400L)),
+      s"bounds served a masked extreme: (${b.getLong(0)}, ${b.getLong(1)})")
+    // point reads: range/bloom say "present", the vector says gone
+    assert(tbl.readKeys(Seq(7L, 8L).toDF("k")).collect().map(_.getLong(0)).toSeq == Seq(8L))
+    // the change feed reports EXACTLY the masked row — same-path files
+    // diff by their vector, both sides masked
+    val feed = tbl.changesKeyed(v0, v1).select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(feed == Seq((7L, "delete")), s"DV delete fed $feed")
+    // accumulation: another delete on the same file unions its sidecar
+    tbl.delete(Seq(8L).toDF("k"))
+    assert(tbl.lastDeleteRewrites == 0)
+    assertSameRows(tbl.read(), df.filter(!col("k").isin(1L, 7L, 8L)))
+    // a merge touching the DV'd file rewrites it MASKED: nothing resurrects
+    tbl.merge(Seq((9L, "V9")).toDF("k", "v"))
+    assertSameRows(tbl.read().filter(col("k") <= 10L),
+      Seq((2L, "v2"), (3L, "v3"), (4L, "v4"), (5L, "v5"), (6L, "v6"),
+        (9L, "V9"), (10L, "v10")).toDF("k", "v"))
+  }
+
+  test("deletion vectors: scan() masks, the bare relation refuses, optimize materializes, vacuum spares sidecars") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4),
+      deleteVectorMaxRows = 50L)
+    val df = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+    tbl.create(df)
+    tbl.delete(Seq(5L, 105L).toDF("k"))
+    assert(tbl.lastDeleteRewrites == 0)
+    // the Catalyst scan applies vectors (clean files pruned relation +
+    // masked residue)
+    assert(tbl.scan().count() == 198L)
+    assert(tbl.scan().filter(col("k") === 5L).isEmpty)
+    // the bare relation (format provider's batch half) must REFUSE a
+    // DV-carrying snapshot rather than resurrect deleted rows
+    val e = intercept[IllegalArgumentException](tbl.scanRelation())
+    assert(e.getMessage.contains("deletion vectors"))
+    // optimize pays the merge-on-read debt: vectors materialize away,
+    // content identical, and the bare relation works again
+    tbl.optimize(smallBytes = 1L) // no file is "small" — DVs alone force the rewrite
+    assertSameRows(tbl.read(), df.filter(!col("k").isin(5L, 105L)))
+    assert(tbl.scanRelation() != null)
+    // the optimize is still feed-silent (content-identical by contract)
+    val hist = tbl.history
+    assert(hist.last._3 == "optimize")
+    // sidecars: referenced by the pre-optimize manifests → vacuum keeps
+    // them; retire those manifests and vacuum(0) reclaims them
+    // (_SUCCESS markers are never referenced and always reclaimable)
+    val reclaimable = tbl.vacuum(graceMs = 0L).filterNot(_.endsWith("_SUCCESS"))
+    assert(reclaimable.isEmpty, s"vacuum reclaimed referenced files: $reclaimable")
+    tbl.retire(keepLast = 1)
+    val gone = tbl.vacuum(graceMs = 0L)
+    assert(gone.nonEmpty, "retired DV sidecars and files should be reclaimable")
+    assertSameRows(tbl.read(), df.filter(!col("k").isin(5L, 105L)))
+  }
+
+  test("deletion vectors: cap, emptied files, and oversized batches fall back to copy-on-write") {
+    val s = spark
+    import s.implicits._
+    // oversized batch: more doomed keys than the per-file cap → COW
+    val d1 = freshDir()
+    val t1 = new SnapshotTable(spark, d1, "k", clusterPartitions = Some(4),
+      deleteVectorMaxRows = 5L)
+    t1.create((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t1.delete((1L to 6L).toDF("k"))
+    assert(t1.lastDeleteRewrites > 0, "an over-cap batch must rewrite, not bloat sidecars")
+    assertSameRows(t1.read(), (7L to 100L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // accumulated cap: per-file masked rows exceed the cap on the THIRD
+    // delete → that file rewrites (and its vector clears)
+    val d2 = freshDir()
+    val t2 = new SnapshotTable(spark, d2, "k", clusterPartitions = Some(2),
+      deleteVectorMaxRows = 4L)
+    t2.create((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")) // 2 files of ~50
+    t2.delete(Seq(1L, 2L).toDF("k")) // masked 2 ≤ 4: DV
+    assert(t2.lastDeleteRewrites == 0)
+    t2.delete(Seq(3L, 4L).toDF("k")) // masked 4 ≤ 4: DV union
+    assert(t2.lastDeleteRewrites == 0)
+    t2.delete(Seq(5L).toDF("k")) // masked would be 5 > 4: rewrite
+    assert(t2.lastDeleteRewrites == 1)
+    assertSameRows(t2.read(), (6L to 100L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // emptied file: every row of one file doomed (under the cap) — the
+    // file must DROP, not carry an all-masked vector
+    val d3 = freshDir()
+    val t3 = new SnapshotTable(spark, d3, "k", clusterPartitions = Some(4),
+      deleteVectorMaxRows = 50L)
+    t3.create((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")) // 4 files of ~25
+    val firstFileKeys = t3.read().withColumn("f", org.apache.spark.sql.functions.input_file_name())
+      .groupBy("f").agg(org.apache.spark.sql.functions.collect_list("k").as("ks"))
+      .collect()(0).getSeq[Long](1)
+    t3.delete(firstFileKeys.toDF("k"))
+    assert(t3.lastDeleteRewrites == 1, "an emptied file should rewrite (to nothing)")
+    assert(t3.countRows() == 100L - firstFileKeys.size)
+    assertSameRows(t3.read(),
+      (1L to 100L).filterNot(firstFileKeys.contains).map(i => (i, s"v$i")).toDF("k", "v"))
+  }
+
+  test("format provider batch half: spark.read.format(graft-snapshot) serves the pruned scan relation") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(8))
+    tbl.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val nFiles = tbl.read().inputFiles.length
+    assert(nFiles > 2)
+    // the short name registers through META-INF/services — the batch
+    // half of the same format string the stream ends use
+    val df = spark.read.format("graft-snapshot")
+      .option("path", dir).option("key", "k").load()
+    assertSameRows(df, tbl.read())
+    // pushed filters reach the manifest-backed FileIndex: a key-range
+    // predicate written as a PLAIN .filter file-skips like scan() does
+    val filtered = spark.read.format("graft-snapshot")
+      .option("path", dir).option("key", "k").load()
+      .filter(col("k") >= 390L)
+    assert(filtered.count() == 11)
+    val index = filtered.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.asInstanceOf[graft.incremental.GraftFileIndex]
+    }.head
+    assert(index.lastListedFiles <= 2,
+      s"format read kept ${index.lastListedFiles} of $nFiles files for a tail range")
+  }
+
   test("timestamp bounds floor uniformly: a sub-ms Instant bound never prunes a covering file") {
     val s = spark
     import s.implicits._
