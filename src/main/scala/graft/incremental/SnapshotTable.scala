@@ -1667,20 +1667,29 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       try {
         val kCount = ksT.count()
         if (kCount == 0 || kCount > deleteVectorMaxRows) return copyOnWrite()
-        // EXACT per-file matched counts in one pass — what keeps
-        // countRows() pure manifest arithmetic. __file materializes at
-        // scan time, BEFORE the join, so the shuffle cannot blank it.
-        val matched = readEntriesRaw(m.schema, touched)
-          .select(col(key), input_file_name().as("__file"))
-          .join(ksT, Seq(key), "left_semi")
-          .groupBy(col("__file")).agg(count(lit(1)).as("n"))
-          .collect()
+        // EXACT per-file NEWLY-masked counts — what keeps countRows()
+        // pure manifest arithmetic. __file materializes at scan time,
+        // BEFORE any join, so later shuffles cannot blank it. Files
+        // with an existing vector count AGAINST THEIR MASKED VIEW
+        // (anti-join the old sidecar first): a batch re-deleting an
+        // already-masked key must add 0, or the accumulated count would
+        // exceed the rows actually masked and countRows would drift.
         def canon(p: String): String = fs.makeQualified(new Path(p)).toUri.getPath
         val relByCanon = touched.map(e => canon(s"$dir/${e.path}") -> e.path).toMap
-        val matchedByPath: Map[String, Long] = matched.flatMap { r =>
-          relByCanon.get(new Path(new java.net.URI(r.getString(0))).toUri.getPath)
-            .map(_ -> r.getLong(1))
-        }.toMap
+        val matchedByPath: Map[String, Long] =
+          touched.groupBy(_.dv.map(_._1)).toSeq.flatMap { case (oldDv, es) =>
+            val scanned = readEntriesRaw(m.schema, es)
+              .select(col(key), input_file_name().as("__file"))
+            val live = oldDv.fold(scanned)(p => scanned.join(
+              spark.read.parquet(s"$dir/$p").select(col(key)), Seq(key), "left_anti"))
+            live.join(ksT, Seq(key), "left_semi")
+              .groupBy(col("__file")).agg(count(lit(1)).as("n"))
+              .collect()
+              .flatMap { r =>
+                relByCanon.get(new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+                  .map(_ -> r.getLong(1))
+              }
+          }.toMap
         // files the range/bloom prune could not clear but that hold no
         // doomed row carry forward untouched
         val falsePos = touched.filterNot(e => matchedByPath.contains(e.path))

@@ -1424,12 +1424,20 @@ class SnapshotTableSpec extends AnyFunSuite {
     // accumulation: another delete on the same file unions its sidecar
     tbl.delete(Seq(8L).toDF("k"))
     assert(tbl.lastDeleteRewrites == 0)
+    assert(tbl.countRows() == 397L)
     assertSameRows(tbl.read(), df.filter(!col("k").isin(1L, 7L, 8L)))
+    // re-deleting an ALREADY-masked key adds zero to the masked count:
+    // the matched pass counts against the file's masked view, or
+    // countRows would drift below the rows actually masked
+    tbl.delete(Seq(7L, 10L).toDF("k")) // 7 is already masked; only 10 is new
+    assert(tbl.lastDeleteRewrites == 0)
+    assert(tbl.countRows() == 396L, "re-deleting a masked key double-counted")
+    assertSameRows(tbl.read(), df.filter(!col("k").isin(1L, 7L, 8L, 10L)))
     // a merge touching the DV'd file rewrites it MASKED: nothing resurrects
     tbl.merge(Seq((9L, "V9")).toDF("k", "v"))
     assertSameRows(tbl.read().filter(col("k") <= 10L),
       Seq((2L, "v2"), (3L, "v3"), (4L, "v4"), (5L, "v5"), (6L, "v6"),
-        (9L, "V9"), (10L, "v10")).toDF("k", "v"))
+        (9L, "V9")).toDF("k", "v"))
   }
 
   test("deletion vectors: scan() masks, the bare relation refuses, optimize materializes, vacuum spares sidecars") {
