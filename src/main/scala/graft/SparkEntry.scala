@@ -279,6 +279,23 @@ object SparkEntry {
             col("n_chars") >= 300L),
         scratch)
     }),
+    // the BATCH WRITE half of the same format: create via a plain
+    // DataFrameWriter, then a keyed MERGE through mode(append) +
+    // option(write=merge) — the reference's ON CONFLICT semantics with
+    // zero Scala-handle code; read back through the batch read half
+    "corpus_format_write" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-fmtw").toString
+      def w(df: org.apache.spark.sql.DataFrame) = df.write.format("graft-snapshot")
+        .option("path", s"$scratch/store").option("key", "doc_id")
+      w(docs).option("clusterPartitions", "8").save()
+      w(docs.filter(col("doc_id") % 31 === 0).withColumn("text", lit("[redacted-v2]")))
+        .mode("append").option("write", "merge").save()
+      materializeAndClean(
+        s.read.format("graft-snapshot")
+          .option("path", s"$scratch/store").option("key", "doc_id").load(),
+        scratch)
+    }),
     // CDC-grain change feed: the same interval folded to ONE row per
     // changed key with _change_type insert|update|delete — updates as
     // their post-image, deletes as their pre-image (the pair-matching
@@ -1554,6 +1571,11 @@ object SparkEntry {
       "SELECT * FROM documents WHERE doc_id <= 3000 AND n_chars BETWEEN 200 AND 400",
     "corpus_format_read" ->
       "SELECT * FROM documents WHERE doc_id BETWEEN 1000 AND 4000 AND n_chars >= 300",
+    "corpus_format_write" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,
+        |  lang, source, n_chars
+        |FROM documents""".stripMargin,
     "corpus_changes_keyed" ->
       """SELECT doc_id, '[redacted-v2]' AS text, lang, source, n_chars,
         |  'update' AS _change_type

@@ -951,9 +951,14 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * demands a DV-free snapshot and fails LOUDLY otherwise (silently
     * resurrecting deleted rows for SQL readers is the one unacceptable
     * outcome); run [[optimize]] to materialize vectors away, or read
-    * through [[scan]], which handles them. */
-  def scanRelation(): org.apache.spark.sql.sources.BaseRelation = {
-    val m = requireManifest
+    * through [[scan]], which handles them.
+    *
+    * `version` pins the relation to a committed historical version —
+    * time travel through the format provider's `versionAsOf` /
+    * `timestampAsOf` options. */
+  def scanRelation(version: Option[Long] = None): org.apache.spark.sql.sources.BaseRelation = {
+    val m = version.fold(requireManifest)(v => loadManifest(v).getOrElse(
+      throw new IllegalStateException(s"no committed version $v at $dir")))
     val dvd = m.entries.count(_.dv.isDefined)
     require(dvd == 0,
       s"snapshot at $dir carries deletion vectors on $dvd files — a bare relation " +
@@ -1667,64 +1672,79 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       try {
         val kCount = ksT.count()
         if (kCount == 0 || kCount > deleteVectorMaxRows) return copyOnWrite()
-        // EXACT per-file NEWLY-masked counts — what keeps countRows()
-        // pure manifest arithmetic. __file materializes at scan time,
-        // BEFORE any join, so later shuffles cannot blank it. Files
-        // with an existing vector count AGAINST THEIR MASKED VIEW
-        // (anti-join the old sidecar first): a batch re-deleting an
-        // already-masked key must add 0, or the accumulated count would
-        // exceed the rows actually masked and countRows would drift.
-        def canon(p: String): String = fs.makeQualified(new Path(p)).toUri.getPath
-        val relByCanon = touched.map(e => canon(s"$dir/${e.path}") -> e.path).toMap
-        val matchedByPath: Map[String, Long] =
-          touched.groupBy(_.dv.map(_._1)).toSeq.flatMap { case (oldDv, es) =>
-            val scanned = readEntriesRaw(m.schema, es)
-              .select(col(key), input_file_name().as("__file"))
-            val live = oldDv.fold(scanned)(p => scanned.join(
-              spark.read.parquet(s"$dir/$p").select(col(key)), Seq(key), "left_anti"))
-            live.join(ksT, Seq(key), "left_semi")
-              .groupBy(col("__file")).agg(count(lit(1)).as("n"))
-              .collect()
-              .flatMap { r =>
-                relByCanon.get(new Path(new java.net.URI(r.getString(0))).toUri.getPath)
-                  .map(_ -> r.getLong(1))
-              }
-          }.toMap
-        // files the range/bloom prune could not clear but that hold no
-        // doomed row carry forward untouched
-        val falsePos = touched.filterNot(e => matchedByPath.contains(e.path))
-        val hit = touched.filter(e => matchedByPath.contains(e.path))
-        if (hit.isEmpty)
+        val plan = deletionVectorPlan(m, touched, ksT)
+        if (plan.hitNothing)
           return if (tag.nonEmpty && !m.tag.contains(tag)) setTag(tag) else m.version
-        // over the accumulated cap, or emptied outright: rewrite (an
-        // emptied file's rewrite stages nothing — the file just drops)
-        val (cow, dvd) = hit.partition { e =>
-          val masked = matchedByPath(e.path) + e.dv.map(_._2).getOrElse(0L)
-          masked > deleteVectorMaxRows || masked == e.rows
-        }
-        // one new sidecar per EXISTING sidecar group (co-committed files
-        // share theirs): old keys ∪ batch. A sidecar carrying keys some
-        // member file never held is fine — doomed keys are doomed
-        // table-wide and the anti-join ignores non-members; the masked
-        // COUNTS stay per-entry exact.
-        val dvdNew = dvd.groupBy(_.dv.map(_._1)).toSeq.flatMap { case (oldDv, es) =>
-          val sidecarKeys = oldDv match {
-            case Some(p) => spark.read.parquet(s"$dir/$p").select(col(key))
-              .unionByName(ksT).distinct()
-            case None => ksT
-          }
-          val dvPath = stageDv(sidecarKeys)
-          es.map(e => e.copy(dv =
-            Some((dvPath, e.dv.map(_._2).getOrElse(0L) + matchedByPath(e.path)))))
-        }
-        lastDeleteRewrites = cow.size
+        lastDeleteRewrites = plan.cow.size
         val rewritten =
-          if (cow.isEmpty) Nil
-          else stage(clustered(readEntries(m.schema, cow).join(ksT, Seq(key), "left_anti")))
+          if (plan.cow.isEmpty) Nil
+          else stage(clustered(readEntries(m.schema, plan.cow).join(ksT, Seq(key), "left_anti")))
         commit(m.version, "delete", m.schema,
-          untouched ++ falsePos ++ dvdNew ++ rewritten, tag)
+          untouched ++ plan.carry ++ plan.dvd ++ rewritten, tag)
       } finally ksT.unpersist(blocking = false)
     } finally ks.unpersist(blocking = false)
+  }
+
+  /** The merge-on-read split of `entries` against a (table-typed,
+    * distinct, ≤ cap) doomed-key set: `carry` never held a doomed row
+    * (range/bloom false positives — forward by reference), `dvd` got a
+    * fresh deletion vector (sidecars written here), `cow` must rewrite
+    * (over the accumulated cap, or emptied outright — an emptied file's
+    * rewrite stages nothing, dropping the file). */
+  private final case class DvPlan(carry: Seq[Entry], dvd: Seq[Entry], cow: Seq[Entry]) {
+    def hitNothing: Boolean = dvd.isEmpty && cow.isEmpty
+  }
+
+  private def deletionVectorPlan(m: Manifest, entries: Seq[Entry],
+      ksT: DataFrame): DvPlan = {
+    // EXACT per-file NEWLY-masked counts — what keeps countRows()
+    // pure manifest arithmetic. __file materializes at scan time,
+    // BEFORE any join, so later shuffles cannot blank it. Files
+    // with an existing vector count AGAINST THEIR MASKED VIEW
+    // (anti-join the old sidecar first): a batch re-deleting an
+    // already-masked key must add 0, or the accumulated count would
+    // exceed the rows actually masked and countRows would drift.
+    def canon(p: String): String = fs.makeQualified(new Path(p)).toUri.getPath
+    val relByCanon = entries.map(e => canon(s"$dir/${e.path}") -> e.path).toMap
+    val matchedByPath: Map[String, Long] =
+      entries.groupBy(_.dv.map(_._1)).toSeq.flatMap { case (oldDv, es) =>
+        val scanned = readEntriesRaw(m.schema, es)
+          .select(col(key), input_file_name().as("__file"))
+        val live = oldDv.fold(scanned)(p => scanned.join(
+          spark.read.parquet(s"$dir/$p").select(col(key)), Seq(key), "left_anti"))
+        live.join(ksT, Seq(key), "left_semi")
+          .groupBy(col("__file")).agg(count(lit(1)).as("n"))
+          .collect()
+          .flatMap { r =>
+            relByCanon.get(new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+              .map(_ -> r.getLong(1))
+          }
+      }.toMap
+    // files the range/bloom prune could not clear but that hold no
+    // doomed row carry forward untouched
+    val falsePos = entries.filterNot(e => matchedByPath.contains(e.path))
+    val hit = entries.filter(e => matchedByPath.contains(e.path))
+    // over the accumulated cap, or emptied outright: rewrite
+    val (cow, dvd) = hit.partition { e =>
+      val masked = matchedByPath(e.path) + e.dv.map(_._2).getOrElse(0L)
+      masked > deleteVectorMaxRows || masked == e.rows
+    }
+    // one new sidecar per EXISTING sidecar group (co-committed files
+    // share theirs): old keys ∪ batch. A sidecar carrying keys some
+    // member file never held is fine — doomed keys are doomed
+    // table-wide and the anti-join ignores non-members; the masked
+    // COUNTS stay per-entry exact.
+    val dvdNew = dvd.groupBy(_.dv.map(_._1)).toSeq.flatMap { case (oldDv, es) =>
+      val sidecarKeys = oldDv match {
+        case Some(p) => spark.read.parquet(s"$dir/$p").select(col(key))
+          .unionByName(ksT).distinct()
+        case None => ksT
+      }
+      val dvPath = stageDv(sidecarKeys)
+      es.map(e => e.copy(dv =
+        Some((dvPath, e.dv.map(_._2).getOrElse(0L) + matchedByPath(e.path)))))
+    }
+    DvPlan(falsePos, dvdNew, cow)
   }
 
   /** Data files the most recent [[delete]] rewrote — 0 on a pure
@@ -1790,7 +1810,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * touched files drop rows keyed by `deleteKeys` OR replaced by
     * `upserts`, survivors ∪ upserts land as new files. A key present in
     * BOTH lands as its upsert (the upsert wins). Same key-uniqueness,
-    * evolution, and CAS contracts as [[merge]]. */
+    * evolution, and CAS contracts as [[merge]]. On a
+    * `deleteVectorMaxRows` handle, files only the delete side touches
+    * take DELETION VECTORS instead of rewrites (see the constructor
+    * note) — the CDC-mirror stream's scattered per-batch deletes stop
+    * paying copy-on-write. */
   def applyDelta(upserts: DataFrame, deleteKeys: DataFrame,
       expectedVersion: Option[Long] = None, tag: String = ""): Long = {
     val m = resolveForWrite(expectedVersion)
@@ -1815,13 +1839,63 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       // empty file set and committing a contentless "delta" version
       if (b.getLong(0) == 0 && touched.isEmpty)
         return if (tag.nonEmpty && !m.tag.contains(tag)) setTag(tag) else m.version
-      val survivors = readEntries(evolved, touched)
-        .join(affected.distinct(), Seq(key), "left_anti")
-      val fresh = stage(clustered(
-        survivors.unionByName(up.select(evolved.fieldNames.map(col): _*))))
-      commit(m.version, "delta", evolved, untouched ++ fresh, tag)
+      // MERGE-ON-READ deletes inside the delta (deleteVectorMaxRows
+      // handles): a file only the DELETE side can touch takes a
+      // deletion vector instead of a rewrite — the CDC-mirror shape,
+      // where every micro-batch carries a few scattered deletes beside
+      // its upserts and copy-on-write would rewrite a carrier file per
+      // doomed key per batch. A file any UPSERT key can reach must
+      // rewrite regardless (the upsert replaces rows), so the split is
+      // upsert-touched → COW, delete-only-touched → the same DV plan /
+      // cap / fallbacks as delete(). Keys in BOTH halves are never
+      // doomed (upsert wins): they are excluded from the sidecar set,
+      // and the pruner guarantees their carrier files sit in the
+      // upsert-touched (rewritten) partition.
+      var dvCarry = Seq.empty[Entry]
+      var dvdNew = Seq.empty[Entry]
+      var cowTouched = touched
+      if (deleteVectorMaxRows > 0 && touched.nonEmpty) {
+        val keyType = evolved(key).dataType
+        val (upTouched, delOnly) = touched.partition(
+          keyPruner(up.select(col(key)), keyType))
+        if (delOnly.nonEmpty) {
+          val ksT = del.select(col(key).cast(keyType)).na.drop(Seq(key)).distinct()
+            .join(up.select(col(key).cast(keyType)), Seq(key), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val kCount = ksT.count()
+            if (kCount > 0 && kCount <= deleteVectorMaxRows) {
+              val plan = deletionVectorPlan(m, delOnly, ksT)
+              // plan.cow (over-cap/emptied) files are delete-only; the
+              // shared survivors anti-join below removes exactly their
+              // doomed rows
+              dvCarry = plan.carry
+              dvdNew = plan.dvd
+              cowTouched = upTouched ++ plan.cow
+            }
+          } finally ksT.unpersist(blocking = false)
+        }
+      }
+      lastDeltaRewrites = cowTouched.size
+      // a pure-DV delta (no upserts, every delete vectored) stages
+      // nothing — don't write an empty orphan dir
+      val fresh =
+        if (cowTouched.isEmpty && b.getLong(0) == 0) Nil
+        else {
+          val survivors = readEntries(evolved, cowTouched)
+            .join(affected.distinct(), Seq(key), "left_anti")
+          stage(clustered(
+            survivors.unionByName(up.select(evolved.fieldNames.map(col): _*))))
+        }
+      commit(m.version, "delta", evolved,
+        untouched ++ dvCarry ++ dvdNew ++ fresh, tag)
     } finally { up.unpersist(blocking = false); del.unpersist(blocking = false) }
   }
+
+  /** Data files the most recent [[applyDelta]] rewrote — the spec seam
+    * for "a CDC batch's scattered deletes ride deletion vectors".
+    * -1 until applyDelta commits. */
+  private[graft] var lastDeltaRewrites: Int = -1
 
   /** The optimistic-concurrency retry loop the commit protocol's
     * lost-update check demands, packaged: derive the merge source FROM

@@ -1,24 +1,31 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider,
-  StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.incremental.SnapshotTable
 
-/** The snapshot store as BOTH ENDS of a Structured Streaming pipeline —
-  * one format string, read and write:
+/** The snapshot store as a FULL Spark data source — one format string
+  * (`graft-snapshot`, via META-INF/services) for batch read, batch
+  * write, stream read, and stream write:
   * {{{
-  *   spark.readStream
-  *     .format("org.apache.spark.sql.graft.SnapshotTableProvider")
+  *   spark.read.format("graft-snapshot")            // batch: the manifest-
+  *     .option("path", dir).option("key", "doc_id") // pruned scan relation;
+  *     .load()                                      // versionAsOf/timestampAsOf
+  *                                                  // time-travel options
+  *   df.write.format("graft-snapshot")              // batch: atomic commits;
+  *     .option("path", dir).option("key", "doc_id") // mode Append +
+  *     .mode("append").save()                       // option(write=merge) = keyed MERGE
+  *
+  *   spark.readStream.format("graft-snapshot")
   *     .option("path", storeDir).option("key", "doc_id")
   *     .load()            // schema: table columns + _change_type + _commit_version
-  *     .writeStream
-  *     .format("org.apache.spark.sql.graft.SnapshotTableProvider")
+  *     .writeStream.format("graft-snapshot")
   *     .option("path", mirrorDir).option("key", "doc_id").option("mode", "cdc")
   *     .option("checkpointLocation", ckpt).start()   // a live mirror, two calls
   * }}}
@@ -76,12 +83,12 @@ import graft.incremental.SnapshotTable
   * kept to this one thin file; all table logic is SnapshotTable's
   * public API. */
 final class SnapshotTableProvider extends StreamSourceProvider with StreamSinkProvider
-    with RelationProvider with DataSourceRegister {
+    with RelationProvider with CreatableRelationProvider with DataSourceRegister {
 
-  /** One format string for all three halves — batch read, stream read,
-    * stream write: `format("graft-snapshot")` (registered via
-    * META-INF/services, the standard DataSourceRegister rung; the fully
-    * qualified class name keeps working). */
+  /** One format string for all FOUR halves — batch read, batch write,
+    * stream read, stream write: `format("graft-snapshot")` (registered
+    * via META-INF/services, the standard DataSourceRegister rung; the
+    * fully qualified class name keeps working). */
   override def shortName(): String = "graft-snapshot"
 
   /** BATCH read: `spark.read.format("graft-snapshot").option("path", …)
@@ -89,11 +96,66 @@ final class SnapshotTableProvider extends StreamSourceProvider with StreamSinkPr
     * graft.incremental.SnapshotTable.scan]] relation — pushed filters
     * file-skip off the manifest's per-file stats exactly like the Scala
     * handle's scan(), so a SQL-only user (CREATE TEMP VIEW over this
-    * load) gets the same pruning with zero Scala. */
+    * load) gets the same pruning with zero Scala. Time travel:
+    * `versionAsOf` (a committed version number) or `timestampAsOf`
+    * (epoch millis, or `yyyy-MM-dd HH:mm:ss`, resolved off manifest
+    * mtimes like [[graft.incremental.SnapshotTable.versionAsOf]]);
+    * `versionAsOf` wins when both are set. */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val p = SnapshotChangeFeedSource.normalize(parameters)
-    SnapshotChangeFeedSource.handle(sqlContext.sparkSession, p).scanRelation()
+    val tbl = SnapshotChangeFeedSource.handle(sqlContext.sparkSession, p)
+    val version = p.get("versionasof").map(_.toLong)
+      .orElse(p.get("timestampasof").map { s =>
+        val ms = scala.util.Try(s.toLong)
+          .getOrElse(java.sql.Timestamp.valueOf(s).getTime)
+        tbl.versionAsOf(ms).getOrElse(throw new IllegalStateException(
+          s"no committed version at ${p("path")} as of $s"))
+      })
+    tbl.scanRelation(version)
+  }
+
+  /** BATCH write: `df.write.format("graft-snapshot").option("path", …)
+    * .option("key", …).mode(…).save()` — the write half a SQL/batch
+    * user needs beside the read. SaveMode maps onto the table's own
+    * commits: `Overwrite` → create/replace, `Append` → append (or a
+    * keyed MERGE with `option("write", "merge")` — the reference's ON
+    * CONFLICT semantics from a plain DataFrameWriter), `ErrorIfExists`
+    * (the default) → create only, `Ignore` → create if absent. Handle
+    * config rides the same options as the streaming sink
+    * (`clusterPartitions`, `statsColumns`, `keyBloomBits`,
+    * `deleteVectorMaxRows`), plus `tag` for the commit tag. Every mode
+    * is ONE atomic manifest commit. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val p = SnapshotChangeFeedSource.normalize(parameters)
+    val t = SnapshotChangeFeedSource.configuredHandle(sqlContext.sparkSession, p)
+    val how = p.getOrElse("write", "append")
+    require(Set("append", "merge")(how),
+      s"write option must be append|merge, got $how")
+    val tag = p.getOrElse("tag", "")
+    mode match {
+      case SaveMode.Overwrite => t.create(data, tag)
+      case SaveMode.Append =>
+        if (!t.exists) t.create(data, tag)
+        else if (how == "merge") t.merge(data, tag = tag)
+        else t.append(data, tag)
+      case SaveMode.ErrorIfExists =>
+        if (t.exists) throw new IllegalStateException(
+          s"snapshot table at ${p("path")} already exists (SaveMode.ErrorIfExists); " +
+            "use mode append/overwrite")
+        t.create(data, tag)
+      case SaveMode.Ignore => if (!t.exists) t.create(data, tag)
+    }
+    // post-write handle: schema-only (the scan-capable relation comes
+    // from the READ path; building it here would wrongly refuse tables
+    // that carry deletion vectors from earlier deletes)
+    val ctx = sqlContext
+    val out = t.read().schema
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = out
+    }
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -142,9 +204,6 @@ private[graft] final class SnapshotTableSink(
   private val mode = p.getOrElse("mode", "upsert")
   require(Set("upsert", "cdc", "append")(mode),
     s"snapshot sink mode must be upsert|cdc|append, got $mode")
-  private val clusterParts = p.get("clusterpartitions").map(_.toInt)
-  private val statsCols = p.get("statscolumns")
-    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   /** Replay dedup is keyed on (sinkId, batchId) — batch ids alone are
     * only unique WITHIN one stream's checkpoint lineage. Re-pointing a
@@ -155,8 +214,11 @@ private[graft] final class SnapshotTableSink(
     * different sinkId never dedups against another's tags. */
   private val sinkId = p.getOrElse("sinkid", "")
 
-  private def table = new SnapshotTable(spark, dir, key,
-    clusterPartitions = clusterParts, statsColumns = statsCols)
+  // the shared option surface (clusterPartitions, statsColumns,
+  // keyBloomBits, deleteVectorMaxRows) — a cdc-mode mirror with
+  // deleteVectorMaxRows set applies each batch's scattered deletes as
+  // deletion vectors instead of per-batch carrier-file rewrites
+  private def table = SnapshotChangeFeedSource.configuredHandle(spark, p)
 
   private val TagPrefix = s"stream-batch:$sinkId:"
   private def lastApplied(t: SnapshotTable): Option[Long] =
@@ -234,6 +296,23 @@ private[graft] object SnapshotChangeFeedSource {
     val key = p.getOrElse("key",
       throw new IllegalArgumentException("snapshot change feed needs option key=<key column>"))
     new SnapshotTable(spark, dir, key, monotonicReads = true)
+  }
+
+  /** A WRITE-configured handle from provider options — shared by the
+    * streaming sink and the batch write half, so a table built through
+    * either keeps the same clustering, data-skipping stats, key blooms,
+    * and merge-on-read delete policy a Scala-handle-built one would. */
+  def configuredHandle(spark: SparkSession, p: Map[String, String]): SnapshotTable = {
+    val dir = p.getOrElse("path",
+      throw new IllegalArgumentException("snapshot write needs option path=<table dir>"))
+    val key = p.getOrElse("key",
+      throw new IllegalArgumentException("snapshot write needs option key=<key column>"))
+    new SnapshotTable(spark, dir, key,
+      clusterPartitions = p.get("clusterpartitions").map(_.toInt),
+      statsColumns = p.get("statscolumns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      keyBloomBits = p.get("keybloombits").map(_.toInt).getOrElse(0),
+      deleteVectorMaxRows = p.get("deletevectormaxrows").map(_.toLong).getOrElse(0L))
   }
 
   /** Table schema + the CDC rider columns. */

@@ -418,6 +418,41 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     assert(!new SnapshotTable(spark, target, "k").exists)
   }
 
+  test("cdc mirror with deleteVectorMaxRows: a batch's scattered deletes ride deletion vectors") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val src = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4))
+    val content = (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+    src.create(content.limit(0)) // v0: empty — the stream replays all content
+    val mirrorDir = freshDir()
+    val q = feed(dir, "startingVersion" -> "0")
+      .writeStream.format(provider)
+      .option("path", mirrorDir).option("key", "k").option("mode", "cdc")
+      .option("clusterPartitions", "4")
+      .option("deleteVectorMaxRows", "50")
+      .option("checkpointLocation", freshDir())
+      .start()
+    val mirror = new SnapshotTable(spark, mirrorDir, "k")
+    try {
+      src.merge(content) // v1: the content lands
+      q.processAllAvailable()
+      assertSameRows(mirror.read(), src.read())
+      val filesBefore = mirror.history.last._4
+      val vBefore = mirror.currentVersion.get
+      // a delete-only source commit: the mirror batch is pure deletes —
+      // with the DV option it must not rewrite (or add) any data file
+      src.delete(Seq(7L, 211L, 399L).toDF("k")) // v2 on the source
+      q.processAllAvailable()
+      assertSameRows(mirror.read(), src.read())
+      assert(mirror.currentVersion.get > vBefore, "the delete batch must commit")
+      assert(mirror.history.last._4 == filesBefore,
+        "a scattered-delete CDC batch should land as deletion vectors, not rewrites")
+      assert(mirror.filesAt(mirror.currentVersion.get).toSet ==
+        mirror.filesAt(vBefore).toSet, "mirror data files changed under a DV batch")
+    } finally q.stop()
+  }
+
   test("schema evolution inside an interval: the stream keeps its declared columns") {
     val s = spark
     import s.implicits._

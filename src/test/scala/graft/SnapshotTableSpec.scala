@@ -1517,6 +1517,92 @@ class SnapshotTableSpec extends AnyFunSuite {
       (1L to 100L).filterNot(firstFileKeys.contains).map(i => (i, s"v$i")).toDF("k", "v"))
   }
 
+  test("deletion vectors in applyDelta: delete-only files take vectors, upsert-touched files rewrite") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4),
+      deleteVectorMaxRows = 50L)
+    val df = (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+    val v0 = tbl.create(df)
+    // the CDC-batch shape: one upsert (touches its carrier file) plus
+    // scattered deletes landing in OTHER files
+    val v1 = tbl.applyDelta(Seq((5L, "V5")).toDF("k", "v"), Seq(250L, 350L).toDF("k"))
+    assert(tbl.lastDeltaRewrites == 1,
+      s"only the upsert's carrier should rewrite, got ${tbl.lastDeltaRewrites}")
+    assert(tbl.countRows() == 398L)
+    assertSameRows(tbl.read().filter(col("k").isin(5L, 250L, 350L)),
+      Seq((5L, "V5")).toDF("k", "v"))
+    // the feed across a DV delta reports the full delta
+    val feed = tbl.changesKeyed(v0, v1).select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(feed == Seq((5L, "update"), (250L, "delete"), (350L, "delete")), s"got $feed")
+    // upsert-wins with a key in BOTH halves: its carrier file must
+    // rewrite (never a vector — the row is replaced, not doomed)
+    tbl.applyDelta(Seq((260L, "V260")).toDF("k", "v"), Seq(260L, 450L).toDF("k"))
+    assert(tbl.countRows() == 398L, "both-halves key must land as its upsert")
+    assertSameRows(tbl.read().filter(col("k") === 260L), Seq((260L, "V260")).toDF("k", "v"))
+    // a pure-delete delta on a vectored handle stages NO data files
+    val before = tbl.history.last._4
+    tbl.applyDelta(df.limit(0), Seq(17L).toDF("k"))
+    assert(tbl.lastDeltaRewrites == 0, "a pure scattered-delete delta must not rewrite")
+    assert(tbl.history.last._4 == before, "a pure-DV delta must not add data files")
+    assert(tbl.countRows() == 397L)
+  }
+
+  test("format provider batch write: SaveMode semantics, keyed merge option, tag riding") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    def write(df: org.apache.spark.sql.DataFrame) = df.write.format("graft-snapshot")
+      .option("path", dir).option("key", "k")
+    write(kv(1L -> "a", 2L -> "b")).option("tag", "batch-0").save() // default ErrorIfExists → create
+    val tbl = new SnapshotTable(spark, dir, "k")
+    assert(tbl.currentTag.contains("batch-0"))
+    assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "b"))
+    // ErrorIfExists refuses a second create
+    val e = intercept[IllegalStateException](write(kv(9L -> "z")).save())
+    assert(e.getMessage.contains("already exists"))
+    // Ignore is a no-op on an existing table
+    write(kv(9L -> "z")).mode("ignore").save()
+    assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "b"))
+    // Append default: blind append
+    write(kv(3L -> "c")).mode("append").save()
+    assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "b", 3L -> "c"))
+    // Append + write=merge: the reference's ON CONFLICT from a plain writer
+    write(kv(2L -> "B", 4L -> "d")).mode("append").option("write", "merge").save()
+    assertSameRows(tbl.read(), kv(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+    // merge enforces key-uniqueness like the Scala handle
+    intercept[IllegalArgumentException](
+      write(kv(7L -> "x", 7L -> "y")).mode("append").option("write", "merge").save())
+    // Overwrite replaces wholesale
+    write(kv(5L -> "e")).mode("overwrite").save()
+    assertSameRows(tbl.read(), kv(5L -> "e"))
+    // prior versions remain readable (it was a commit, not a wipe)
+    assertSameRows(tbl.readVersion(0L), kv(1L -> "a", 2L -> "b"))
+  }
+
+  test("format provider time travel: versionAsOf and timestampAsOf options") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a")) // v0
+    tbl.merge(kv(1L -> "A", 2L -> "b")) // v1
+    def read(extra: (String, String)*) = extra.foldLeft(
+      spark.read.format("graft-snapshot").option("path", dir).option("key", "k")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+    assertSameRows(read(), kv(1L -> "A", 2L -> "b"))
+    assertSameRows(read("versionAsOf" -> "0"), kv(1L -> "a"))
+    // timestampAsOf: a future instant resolves to the newest version
+    val future = (System.currentTimeMillis() + 3600000L).toString
+    assertSameRows(read("timestampAsOf" -> future), kv(1L -> "A", 2L -> "b"))
+    // versionAsOf wins when both are set
+    assertSameRows(read("versionAsOf" -> "0", "timestampAsOf" -> future), kv(1L -> "a"))
+    intercept[IllegalStateException](read("versionAsOf" -> "99").collect())
+  }
+
   test("format provider batch half: spark.read.format(graft-snapshot) serves the pruned scan relation") {
     val s = spark
     import s.implicits._
