@@ -279,6 +279,24 @@ object SparkEntry {
             col("n_chars") >= 300L),
         scratch)
     }),
+    // the PURE-SQL route: CREATE TEMPORARY VIEW ... USING graft-snapshot
+    // in SQL DDL, then a plain SQL SELECT — the reference's natural
+    // audience (reference_query.sql is plain SQL) reaches the
+    // manifest-pruned store with ZERO Scala; the WHERE still file-skips
+    "corpus_sql_view" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-sqlv").toString
+      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
+        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
+        .create(docs)
+      val vn = "corpus_sql_view_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.sql(s"CREATE TEMPORARY VIEW $vn USING `graft-snapshot` " +
+        s"OPTIONS (path '$scratch/store', `key` 'doc_id')")
+      try materializeAndClean(
+        s.sql(s"SELECT doc_id, lang, n_chars FROM $vn WHERE n_chars BETWEEN 250 AND 350"),
+        scratch)
+      finally s.catalog.dropTempView(vn)
+    }),
     // the BATCH WRITE half of the same format: create via a plain
     // DataFrameWriter, then a keyed MERGE through mode(append) +
     // option(write=merge) — the reference's ON CONFLICT semantics with
@@ -1571,6 +1589,8 @@ object SparkEntry {
       "SELECT * FROM documents WHERE doc_id <= 3000 AND n_chars BETWEEN 200 AND 400",
     "corpus_format_read" ->
       "SELECT * FROM documents WHERE doc_id BETWEEN 1000 AND 4000 AND n_chars >= 300",
+    "corpus_sql_view" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars BETWEEN 250 AND 350",
     "corpus_format_write" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,

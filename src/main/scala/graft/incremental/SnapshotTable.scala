@@ -131,7 +131,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * the same rung Delta-class formats call deletion vectors, re-derived
     * minimally (whole-key sidecars, not row-index bitmaps: the sidecar
     * is the delete's own key set, so no read-path row numbering is
-    * needed). 0 (default) keeps every delete copy-on-write. */
+    * needed). 0 (default) keeps every delete copy-on-write.
+    *
+    * PRIVACY NOTE: a vectored delete is LOGICAL — the masked bytes stay
+    * in the carrier file until [[optimize]] rewrites it (and prior
+    * versions reference them until retire + vacuum, like every
+    * snapshot format). A right-to-be-forgotten pipeline must still run
+    * the optimize/retire/vacuum sweep; vectors only defer the rewrite,
+    * they never replace the reclamation ([[graft.CorpusForget]] keeps
+    * its full sweep for exactly this reason). */
   require(deleteVectorMaxRows >= 0, s"deleteVectorMaxRows must be >= 0, got $deleteVectorMaxRows")
 
   /** Opt-in per-file KEY BLOOM ([[KeyBloom]]): when > 0, every staged
@@ -1948,7 +1956,19 @@ private[graft] final class GraftFileIndex(
     * the spec's pruning assertion. -1 until a scan plans. */
   @volatile private[graft] var lastListedFiles: Int = -1
 
-  override def rootPaths: Seq[org.apache.hadoop.fs.Path] = Seq(root)
+  /** TWO paths on purpose: Spark's v1 `INSERT INTO` path
+    * (InsertIntoHadoopFsRelationCommand) would otherwise write parquet
+    * straight into the table ROOT — bytes no manifest references, so
+    * the "inserted" rows silently never appear in any read (data loss,
+    * probed on this exact Spark). The engine refuses multi-path
+    * relations with UNSUPPORTED_INSERT.MULTI_PATH, so a second
+    * self-describing sentinel path turns that silent loss into a loud
+    * analysis error naming the right route. Reads never consult
+    * rootPaths — [[listFiles]] serves the scan — so this is
+    * write-rejection only. */
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
+    Seq(root, new org.apache.hadoop.fs.Path(root,
+      "_graft_inserts_not_supported_use_df.write.format_graft-snapshot"))
   override def partitionSchema: StructType = StructType(Nil)
   override def sizeInBytes: Long = slices.map(_.status.getLen).sum
   override def inputFiles: Array[String] = slices.map(_.status.getPath.toString).toArray

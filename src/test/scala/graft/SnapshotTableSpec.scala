@@ -1582,6 +1582,58 @@ class SnapshotTableSpec extends AnyFunSuite {
     assertSameRows(tbl.readVersion(0L), kv(1L -> "a", 2L -> "b"))
   }
 
+  test("pure SQL route: CREATE TEMPORARY VIEW ... USING graft-snapshot serves the pruned relation") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(8))
+    tbl.create((1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val nFiles = tbl.read().inputFiles.length
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_sql_v USING `graft-snapshot` " +
+      s"OPTIONS (path '$dir', `key` 'k')")
+    try {
+      // a SQL-only user's query: plain WHERE, no Scala handle anywhere
+      val got = spark.sql("SELECT v FROM graft_sql_v WHERE k = 7").collect()
+      assert(got.map(_.getString(0)).toSeq == Seq("v7"))
+      // and the predicate still file-skips through the manifest index
+      val pruned = spark.sql("SELECT * FROM graft_sql_v WHERE k >= 390")
+      assert(pruned.count() == 11)
+      val index = pruned.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.asInstanceOf[graft.incremental.GraftFileIndex]
+      }.head
+      assert(index.lastListedFiles <= 2,
+        s"SQL view read kept ${index.lastListedFiles} of $nFiles files for a tail range")
+    } finally spark.catalog.dropTempView("graft_sql_v")
+  }
+
+  test("INSERT INTO a graft-snapshot view fails loudly — never a manifest-invisible write") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ins_v USING `graft-snapshot` " +
+      s"OPTIONS (path '$dir', `key` 'k')")
+    try {
+      // Spark's v1 INSERT path writes parquet straight into the
+      // relation's root — bytes no manifest references, i.e. rows that
+      // silently never appear in a read. The sentinel second rootPath
+      // turns that into a loud AnalysisException naming the supported
+      // write route instead.
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql("INSERT INTO graft_ins_v VALUES (2, 'b')"))
+      assert(e.getMessage.contains("UNSUPPORTED_INSERT"))
+      assert(e.getMessage.contains("graft-snapshot"), "the error should name the write route")
+      assertSameRows(tbl.read(), kv(1L -> "a"))
+      // and no rogue file landed at the table root
+      val rogue = new java.io.File(dir).listFiles()
+        .filter(_.isFile).map(_.getName).filterNot(_.startsWith("."))
+      assert(rogue.isEmpty, s"INSERT left manifest-invisible files: ${rogue.toSeq}")
+    } finally spark.catalog.dropTempView("graft_ins_v")
+  }
+
   test("format provider time travel: versionAsOf and timestampAsOf options") {
     val s = spark
     import s.implicits._
