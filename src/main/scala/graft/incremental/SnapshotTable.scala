@@ -270,15 +270,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   }
 
   /** Parsed manifests by version, VALIDATED against the file's (length,
-    * mtime) on every hit. A committed manifest is immutable, so a hit
-    * is almost always valid; the validators exist for the two ways a
-    * version NUMBER can change content under us — a lost-update loser
-    * retracts (deletes) its committed manifest and the number can then
-    * be re-claimed with different content, and a torn manifest becomes
-    * committed when its writer terminates it. Both change the file's
-    * length, so the stale entry misses and the file re-reads. Torn
-    * results (None) cache too: a crashed writer's debris is parsed
-    * once, not on every resolve forever. */
+    * mtime) on every hit. Version numbers are WRITE-ONCE — a retraction
+    * tombstones its manifest instead of deleting it (see [[retract]]),
+    * so a number is never re-claimed with new content — which leaves
+    * exactly two content transitions a cached entry can miss: torn →
+    * committed (the writer appends the terminator — length grows) and
+    * committed → tombstone (a retraction — length shrinks). Both change
+    * the length, so every validated hit is sound. Torn results (None)
+    * cache too: a crashed writer's debris is parsed once, not on every
+    * resolve forever. */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Option[Manifest])]()
 
@@ -470,6 +470,44 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     listManifests.iterator
       .collectFirst { case (ver, st) if ver > v && loadValidated(ver, st).isDefined => ver }
 
+  /** The change feed's next offer after `offered`, rate-capped at
+    * `maxVersions` and resolved onto the COMMIT LOG, in ONE manifest-dir
+    * listing (this runs on EVERY streaming trigger — three separate
+    * listing helpers here would triple the per-trigger metadata RPCs):
+    * the newest committed version when it sits within the window; else
+    * the largest committed version inside the window; else the next
+    * committed version above `offered` (a window swallowed whole by
+    * torn-claim gaps still advances one commit — gaps are not commits).
+    * None when the table has no committed version. The result may be
+    * ≤ `offered` (nothing new); callers must not regress their cursor. */
+  def nextFeedOffer(offered: Long, maxVersions: Long): Option[Long] = {
+    require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
+    val it = listManifests.reverseIterator
+    var newest = Option.empty[Long]
+    var inWindow = Option.empty[Long]
+    var lowestAbove = Option.empty[Long]
+    var done = false
+    while (it.hasNext && !done) {
+      val (v, st) = it.next()
+      // once the newest committed is known, versions at or below the
+      // cursor cannot change any answer — stop descending
+      if (v <= offered && newest.isDefined) done = true
+      else if (loadValidated(v, st).isDefined) {
+        if (newest.isEmpty) newest = Some(v)
+        if (v > offered) {
+          lowestAbove = Some(v) // descending: the last one seen is the smallest
+          // v - offered is non-negative here, so no overflow on an
+          // unbounded (Long.MaxValue) window
+          if (inWindow.isEmpty && v - offered <= maxVersions) inWindow = Some(v)
+        } else done = true
+      }
+    }
+    newest.map { cur =>
+      if (cur - offered <= maxVersions) cur
+      else inWindow.orElse(lowestAbove).getOrElse(cur)
+    }
+  }
+
   /** (version, parent, operation, n_files, n_rows) per committed
     * version, oldest first — the table's audit trail. */
   def history: Seq[(Long, Long, String, Int, Long)] =
@@ -483,6 +521,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val m = requireManifest
     readEntries(m.schema, m.entries)
   }
+
+  /** The current snapshot's schema — one manifest resolve, zero data
+    * files opened (the manifest header carries the schema JSON; callers
+    * that only need the shape must not pay for a read plan). */
+  def schema: StructType = requireManifest.schema
 
   /** The relative data-file paths committed version `v` references —
     * test/soak seam for asserting copy-on-write carry-forward (how many
@@ -1365,7 +1408,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       }
     } finally out.close()
     if (abortEarly != null) {
-      fs.delete(p, false) // still torn — deleting debris, not a commit
+      retract(p) // still torn — tombstoning debris, not a commit
       throw abortEarly
     }
     // POST-terminate lost-update check — the at-most-one-success hinge:
@@ -1383,10 +1426,30 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     // version (see latestManifest for the reader-side consequence).
     val interloper = committedVersionsAbove(base).filter(_ != target)
     if (interloper.nonEmpty) {
-      fs.delete(p, false)
+      retract(p)
       throw stale(interloper)
     }
     target
+  }
+
+  /** Retract a lost commit's manifest by REWRITING it as a torn
+    * TOMBSTONE (no `#commit` terminator — readers already treat any
+    * unterminated manifest as absent) instead of deleting the file.
+    * Deleting would free the version NUMBER for a later writer's claim
+    * (the counter keys off the highest file present), and a number that
+    * can carry two different contents over its life is what the parse
+    * cache's (length, mtime) validation cannot always distinguish — a
+    * re-claimed manifest of coincidentally equal byte length landing in
+    * the same mtime granule would serve the RETRACTED content forever.
+    * A tombstone keeps the number claimed for good: version numbers are
+    * write-once (torn → committed is the only content transition, and
+    * it always grows the file by the terminator; committed → tombstone
+    * always shrinks it), so a validated cache hit can never be stale.
+    * The overwrite is not atomic, but every partial state lacks the
+    * terminator and reads as torn — exactly the tombstone's meaning. */
+  private def retract(p: Path): Unit = {
+    val out = fs.create(p, true)
+    try out.write("#graft-retracted 1".getBytes("UTF-8")) finally out.close()
   }
 
   /** Create the table from `df`, or replace its contents wholesale if
@@ -1480,6 +1543,17 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     require(keepLast >= 1, "retire must keep at least the current version")
     val committed = committedManifests.map(_.version)
     committed.dropRight(keepLast).foreach(v => fs.delete(manifestPath(v), false))
+    // retraction tombstones and crashed-claim debris BELOW the kept
+    // window are unreachable forever (torn is never readable, and the
+    // claim counter sits at the head, so these numbers can never be
+    // claimed again) — drop them with the history they interleaved.
+    // Torn files AT or ABOVE the kept floor stay: one could be a live
+    // writer's in-flight claim.
+    committed.takeRight(keepLast).headOption.foreach { floor =>
+      listManifests
+        .collect { case (v, st) if v < floor && loadValidated(v, st).isEmpty => v }
+        .foreach(v => fs.delete(manifestPath(v), false))
+    }
   }
 
   /** Append `df` as new files; every existing file carries forward by

@@ -134,10 +134,17 @@ final class SnapshotTableProvider extends StreamSourceProvider with StreamSinkPr
     require(Set("append", "merge")(how),
       s"write option must be append|merge, got $how")
     val tag = p.getOrElse("tag", "")
+    // a MERGE-intent first write creates the table — enforce the keyed
+    // contract it opted into, like the streaming sink's batch 0
+    def createKeyed(): Long = {
+      if (how == "merge")
+        SnapshotChangeFeedSource.requireKeyUnique(data, p("key"), "first merge write")
+      t.create(data, tag)
+    }
     mode match {
       case SaveMode.Overwrite => t.create(data, tag)
       case SaveMode.Append =>
-        if (!t.exists) t.create(data, tag)
+        if (!t.exists) createKeyed()
         else if (how == "merge") t.merge(data, tag = tag)
         else t.append(data, tag)
       case SaveMode.ErrorIfExists =>
@@ -151,7 +158,7 @@ final class SnapshotTableProvider extends StreamSourceProvider with StreamSinkPr
     // from the READ path; building it here would wrongly refuse tables
     // that carry deletion vectors from earlier deletes)
     val ctx = sqlContext
-    val out = t.read().schema
+    val out = t.schema // manifest-served: no read plan, no sidecar reads
     new BaseRelation {
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = out
@@ -254,12 +261,7 @@ private[graft] final class SnapshotTableSink(
       // N would, instead of silently seeding a dup-key table every
       // subsequent keyed op then operates on
       def requireKeyUnique(d: org.apache.spark.sql.DataFrame): d.type = {
-        import org.apache.spark.sql.functions.{count, count_distinct, lit}
-        val b = d.agg(count(lit(1)), count_distinct(col(key))).collect()(0)
-        if (b.getLong(0) != b.getLong(1))
-          throw new IllegalArgumentException(
-            s"stream batch $batchId carries ${b.getLong(0) - b.getLong(1)} duplicate " +
-              s"$key keys — a keyed first batch must be key-unique, like every batch after it")
+        SnapshotChangeFeedSource.requireKeyUnique(d, key, s"stream batch $batchId")
         d
       }
       mode match {
@@ -315,12 +317,25 @@ private[graft] object SnapshotChangeFeedSource {
       deleteVectorMaxRows = p.get("deletevectormaxrows").map(_.toLong).getOrElse(0L))
   }
 
-  /** Table schema + the CDC rider columns. */
-  def feedSchema(tbl: SnapshotTable): StructType = {
-    val base = tbl.read().schema
-    StructType(base.fields.toSeq :+
+  /** Table schema + the CDC rider columns (manifest-served — no read
+    * plan, no data files). */
+  def feedSchema(tbl: SnapshotTable): StructType =
+    StructType(tbl.schema.fields.toSeq :+
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_version", LongType, nullable = false))
+
+  /** The keyed FIRST-write guard: `create()` has no key semantics of
+    * its own, so every keyed entry point that may create (streaming
+    * sink upsert/cdc batch 0, batch `write=merge` on a fresh dir)
+    * enforces the same key-uniqueness contract merge/applyDelta enforce
+    * on every later write. */
+  def requireKeyUnique(d: DataFrame, key: String, what: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
+    val b = d.agg(count(lit(1)), count_distinct(col(key))).collect()(0)
+    if (b.getLong(0) != b.getLong(1))
+      throw new IllegalArgumentException(
+        s"$what carries ${b.getLong(0) - b.getLong(1)} duplicate $key keys — a keyed " +
+          "first write must be key-unique, like every keyed write after it")
   }
 }
 
@@ -355,7 +370,17 @@ final class SnapshotChangeFeedSource(
       } finally in.close()
     }
     persisted.getOrElse {
-      val v = p.get("startingversion").map(_.toLong).getOrElse(
+      // an explicit base resolves onto the COMMIT LOG: a torn-claim gap
+      // number would make every getBatch(from = base) fail on a version
+      // that never committed — persisted, so every restart would fail
+      // identically (the same wedge the rate-limit cap avoids). The
+      // newest committed version AT OR BELOW the request has identical
+      // "changes strictly after" semantics (nothing committed between).
+      val v = p.get("startingversion").map(_.toLong).map(req =>
+        tbl.committedVersionAtOrBelow(req).getOrElse(
+          throw new IllegalArgumentException(
+            s"startingVersion $req at ${p("path")} has no committed version at or " +
+              "below it — the requested base predates the retained history"))).getOrElse(
         tbl.currentVersion.getOrElse(throw new IllegalStateException(
           s"no snapshot table at ${p("path")} — create() it before streaming its changes")))
       for { mp <- metadataPath; f <- fs } {
@@ -383,24 +408,13 @@ final class SnapshotChangeFeedSource(
   override val schema: StructType = SnapshotChangeFeedSource.feedSchema(tbl)
 
   override def getOffset: Option[Offset] = {
-    val cur = tbl.currentVersion.getOrElse(return None)
-    // cap the batch span without overflowing on the unbounded default.
-    // The cap must land ON THE COMMIT LOG, not on raw arithmetic:
-    // committed version numbers have permanent gaps (a crashed writer's
-    // torn manifest claims a number that never commits), and an offer
-    // pointing at a gap would make getBatch fail on a version that does
-    // not exist — then fail again identically on every restart, wedging
-    // the stream. Resolve to the largest committed version inside the
-    // window; a window swallowed whole by gaps degrades to the next
-    // committed version (one commit — the rate limit's intent is
-    // commits applied, and gaps are not commits).
-    val capped =
-      if (cur - offered > maxVersionsPerBatch)
-        tbl.committedVersionAtOrBelow(offered + maxVersionsPerBatch)
-          .filter(_ > offered)
-          .orElse(tbl.oldestCommittedAbove(offered))
-          .getOrElse(cur)
-      else cur
+    // ONE listing per trigger. The offer lands ON THE COMMIT LOG, not
+    // on raw arithmetic: committed version numbers have permanent gaps
+    // (a crashed writer's torn claim), and an offer pointing at a gap
+    // would make getBatch fail on a version that does not exist — then
+    // fail identically on every restart, wedging the stream. See
+    // SnapshotTable.nextFeedOffer for the window/gap resolution.
+    val capped = tbl.nextFeedOffer(offered, maxVersionsPerBatch).getOrElse(return None)
     if (capped > offered) offered = capped
     // ALWAYS offer (never gate on startVersion): on recovery this
     // instance's startVersion is the current head, but the engine's

@@ -323,6 +323,25 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
       assert(got == Seq((2L, "insert"), (3L, "insert")), s"lost or duplicated: $got")
     } finally q.stop()
+    // an explicit startingVersion pointing AT the gap resolves onto the
+    // commit log (nothing committed between 1 and the gap, so "changes
+    // strictly after 2" == "changes strictly after 1") instead of
+    // persisting a base every getBatch would fail on forever
+    val q2 = feed(dir, "startingVersion" -> "2")
+      .writeStream.format("memory").queryName("feed_gap2").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val got2 = spark.table("feed_gap2").select("k").collect().map(_.getLong(0)).toSeq
+      assert(got2 == Seq(3L), s"a gap base should deliver exactly v3's churn: $got2")
+    } finally q2.stop()
+    // and a base below the retained history fails FAST with the cause
+    tbl.retire(keepLast = 1)
+    val err = intercept[IllegalArgumentException] {
+      new org.apache.spark.sql.graft.SnapshotTableProvider().createSource(
+        spark.sqlContext, freshDir(), None, "",
+        Map("path" -> dir, "key" -> "k", "startingVersion" -> "0"))
+    }
+    assert(err.getMessage.contains("retained history"), err.getMessage)
   }
 
   test("restart after add-column evolution: the replayed pre-evolution batch reads the column as null") {

@@ -235,8 +235,12 @@ class SnapshotTableSpec extends AnyFunSuite {
     val e = intercept[ConcurrentModificationException](a.merge(kv(1L -> "A1")))
     assert(e.getMessage.contains("advanced"), s"wrong failure: ${e.getMessage}")
     assert(bVersion == 2L, s"B should have claimed past A's torn v1, got $bVersion")
-    // A retracted its manifest: v1 is gone, not torn-forever debris
-    assert(!Files.exists(java.nio.file.Paths.get(dir, "manifests", f"v${1L}%019d.json")))
+    // A retracted its manifest into a torn TOMBSTONE: the file stays
+    // (so the version NUMBER is never re-claimed — what keeps the parse
+    // cache's validated hits sound) but is never readable as a version
+    val p1 = java.nio.file.Paths.get(dir, "manifests", f"v${1L}%019d.json")
+    assert(Files.exists(p1), "retraction must tombstone, not delete (number reuse)")
+    assert(!Files.readString(p1).contains("#commit"), "tombstone must read as torn")
     // the table reads B's committed result — A's merge failed LOUDLY,
     // so the caller re-reads and retries; retrying now lands cleanly
     assertSameRows(a.read(), kv(1L -> "a", 2L -> "B2"))
@@ -286,8 +290,15 @@ class SnapshotTableSpec extends AnyFunSuite {
     // success, and the table converges on B's commit
     assert(a.history.map(_._1) == Seq(0L, 2L))
     assertSameRows(a.read(), kv(1L -> "B"))
-    // A's retracted manifest is gone, not torn-forever debris
-    assert(!Files.exists(java.nio.file.Paths.get(dir, "manifests", f"v${1L}%019d.json")))
+    // A's retracted manifest is a torn tombstone — number claimed for
+    // good, content never readable
+    val pA = java.nio.file.Paths.get(dir, "manifests", f"v${1L}%019d.json")
+    assert(Files.exists(pA) && !Files.readString(pA).contains("#commit"))
+    // and retire() sweeps tombstones below the kept window
+    b.merge(kv(1L -> "B2")) // v3: give retire a window to keep
+    b.retire(keepLast = 1)
+    assert(!Files.exists(pA), "retire should drop unreachable tombstones")
+    assertSameRows(b.read(), kv(1L -> "B2"))
   }
 
   test("mergeWith retries a lost race by re-deriving from the fresh snapshot — both writers land, serialized") {
@@ -1575,6 +1586,15 @@ class SnapshotTableSpec extends AnyFunSuite {
     // merge enforces key-uniqueness like the Scala handle
     intercept[IllegalArgumentException](
       write(kv(7L -> "x", 7L -> "y")).mode("append").option("write", "merge").save())
+    // ...including on the FIRST write (merge-intent create): a dup-key
+    // batch must never silently seed a dup-key table
+    val d2 = freshDir()
+    intercept[IllegalArgumentException](
+      kv(7L -> "x", 7L -> "y").write.format("graft-snapshot")
+        .option("path", d2).option("key", "k")
+        .mode("append").option("write", "merge").save())
+    assert(!new SnapshotTable(spark, d2, "k").exists,
+      "a rejected first merge write must not create the table")
     // Overwrite replaces wholesale
     write(kv(5L -> "e")).mode("overwrite").save()
     assertSameRows(tbl.read(), kv(5L -> "e"))
