@@ -1365,6 +1365,15 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(tbl.oldestCommittedVersion.contains(0L))
     assert(tbl.committedVersionAtOrBelow(-1L).isEmpty)
     assert(tbl.oldestCommittedAbove(3L).isEmpty)
+    // the one-listing trigger resolve, same table (committed 0,1,3; gap 2)
+    assert(tbl.nextFeedOffer(0L, 10L).contains(3L), "unbounded window offers the head")
+    assert(tbl.nextFeedOffer(0L, 1L).contains(1L), "window capped on the commit log")
+    assert(tbl.nextFeedOffer(1L, 1L).contains(3L),
+      "a gap-swallowed window still advances to the next committed version")
+    assert(tbl.nextFeedOffer(3L, 1L).contains(3L), "caught up: re-offer the head")
+    assert(tbl.nextFeedOffer(99L, 1L).contains(3L),
+      "cursor ahead of the head: offer must not invent versions (caller won't regress)")
+    assert(tbl.nextFeedOffer(0L, Long.MaxValue).contains(3L), "no overflow on the unbounded default")
   }
 
   test("manifest byte lengths: scan() and optimize() stat zero files; legacy manifests degrade") {
