@@ -397,6 +397,15 @@ class MultimodalSpec extends AnyFunSuite {
       "PGM and BMP containers of one image must share the perceptual dHash")
     assert(feats(1L) == Multimodal.Pgm.dHash(w, h, gray))
     assert(feats(3L) != feats(1L)) // the stub row took the fake tier
+    // PADDED width: 16*3 = 48 is 4-byte aligned, so the cases above
+    // never exercise row padding — a 5-wide raster (stride 16, 1 pad
+    // byte per row) must still round-trip against its P6 twin
+    val padW = 5; val padH = 4
+    val prgb = Array.tabulate(3 * padW * padH)(i => ((i * 11 + 3) % 249).toByte)
+    val Some((_, _, padP6)) = Multimodal.Pgm.decode(Multimodal.Pgm.encodeP6(padW, padH, prgb))
+    val Some((_, _, padBmp)) = Multimodal.Bmp.decode(Multimodal.Bmp.encodeRgb(padW, padH, prgb))
+    assert(java.util.Arrays.equals(padBmp, padP6),
+      "row padding mis-stride: padded-width BMP diverged from its P6 twin")
     // hostile battery: every malformation returns None, never throws
     def patched(f: (Array[Byte]) => Unit): Array[Byte] = {
       val p = Multimodal.Bmp.encodeRgb(w, h, rgb).clone(); f(p); p

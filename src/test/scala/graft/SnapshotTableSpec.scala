@@ -1710,6 +1710,13 @@ class SnapshotTableSpec extends AnyFunSuite {
     }.head
     assert(index.lastListedFiles <= 2,
       s"format read kept ${index.lastListedFiles} of $nFiles files for a tail range")
+    // plan hygiene: the format read is Spark's own parquet scan — the
+    // key predicate reaches the scan as a pushed filter and the stages
+    // run under whole-stage codegen (the `*(n)` markers)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("k"),
+      s"no pushed filters in the format read plan:\n$plan")
+    assert(plan.contains("*("), "format read fell out of whole-stage codegen")
   }
 
   test("timestamp bounds floor uniformly: a sub-ms Instant bound never prunes a covering file") {
