@@ -34,6 +34,13 @@ object GraftSession {
     * rules on any session. */
   def install(spark: SparkSession): SparkSession = {
     TextExprs.register(spark)
+    // the snapshot store's SQL catalog (SELECT/INSERT/DELETE/time
+    // travel on graft.`/path` tables) — catalog plugins instantiate
+    // lazily from conf, so a runtime set is the supported install hook;
+    // never clobber a deployment that bound the name to something else
+    if (!spark.conf.getOption("spark.sql.catalog.graft").isDefined)
+      spark.conf.set("spark.sql.catalog.graft",
+        "graft.incremental.GraftCatalog")
     if (!spark.experimental.extraOptimizations.contains(BandJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ BandJoinRewrite

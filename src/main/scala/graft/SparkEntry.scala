@@ -275,7 +275,7 @@ object SparkEntry {
         s.read.format("graft-snapshot")
           .option("path", s"$scratch/store").option("key", "doc_id")
           .load()
-          .filter(col("doc_id") >= 1000L && col("doc_id") <= 4000L &&
+          .filter(col("doc_id") >= 100L && col("doc_id") <= 400L &&
             col("n_chars") >= 300L),
         scratch)
     }),
@@ -296,6 +296,77 @@ object SparkEntry {
         s.sql(s"SELECT doc_id, lang, n_chars FROM $vn WHERE n_chars BETWEEN 250 AND 350"),
         scratch)
       finally s.catalog.dropTempView(vn)
+    }),
+    // DELETION-VECTOR snapshots through the pure-SQL route: the store
+    // opts into merge-on-read deletes, a scattered forget records
+    // vectors (zero file rewrites — asserted), and the SQL view serves
+    // the MASKED rows via the PrunedFilteredScan fallback relation —
+    // the one feature x route combination the bare relation used to
+    // refuse (r16 verdict #1); deleted rows must never resurrect here
+    "corpus_sql_view_dv" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-sqldv").toString
+      val tbl = new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
+        clusterPartitions = Some(8), deleteVectorMaxRows = 1000L)
+      tbl.create(docs)
+      tbl.delete(docs.filter(col("doc_id") % 501 === 3).select("doc_id"))
+      require(tbl.lastDeleteRewrites <= 0, // 0 = pure DV; -1 = nothing matched
+        s"DV forget rewrote ${tbl.lastDeleteRewrites} files — merge-on-read path not taken")
+      val vn = "corpus_sql_dv_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.sql(s"CREATE TEMPORARY VIEW $vn USING `graft-snapshot` " +
+        s"OPTIONS (path '$scratch/store', `key` 'doc_id')")
+      try materializeAndClean(
+        s.sql(s"SELECT doc_id, lang, n_chars FROM $vn WHERE n_chars >= 100"),
+        scratch)
+      finally s.catalog.dropTempView(vn)
+    }),
+    // pure-SQL DML via the graft CATALOG (DSv2 TableCatalog): INSERT
+    // INTO appends through the table's atomic commit, the read-back is
+    // a catalog SELECT — the reference's append shape with ZERO Scala
+    // after the initial create; the key column resolves from the
+    // manifest's own #key header, no OPTIONS on the query
+    "corpus_sql_insert" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-sqlins").toString
+      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
+        clusterPartitions = Some(8)).create(docs)
+      val vn = "corpus_sql_ins_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      docs.filter(col("doc_id") % 53 === 1)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .createOrReplaceTempView(vn)
+      try {
+        s.sql(s"INSERT INTO graft.`$scratch/store` SELECT * FROM $vn")
+        materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
+      } finally s.catalog.dropTempView(vn)
+    }),
+    // pure-SQL keyed DELETE via the catalog: the translatable predicate
+    // maps onto the table's own file-pruned delete (copy-on-write here);
+    // an inexpressible predicate would fail at analysis, never delete
+    // approximately
+    "corpus_sql_delete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-sqldel").toString
+      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
+        clusterPartitions = Some(8)).create(docs)
+      s.sql(s"DELETE FROM graft.`$scratch/store` WHERE n_chars < 100 OR lang = 'de'")
+      materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
+    }),
+    // pure-SQL TIME TRAVEL via the catalog: VERSION AS OF pins the
+    // pre-merge snapshot while the unpinned read serves the head — one
+    // result carrying BOTH proves the pinned route neither leaks new
+    // rows backward nor serves stale rows forward
+    "corpus_sql_time_travel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-sqltt").toString
+      val tbl = new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
+        clusterPartitions = Some(8))
+      val v0 = tbl.create(docs)
+      tbl.merge(docs.filter(col("doc_id") % 31 === 0)
+        .withColumn("text", lit("[redacted-v2]")))
+      materializeAndClean(
+        s.sql(s"SELECT 'v0' AS snap, * FROM graft.`$scratch/store` VERSION AS OF $v0 " +
+          s"UNION ALL SELECT 'head' AS snap, * FROM graft.`$scratch/store`"),
+        scratch)
     }),
     // the BATCH WRITE half of the same format: create via a plain
     // DataFrameWriter, then a keyed MERGE through mode(append) +
@@ -494,12 +565,18 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) => TextOps.docRepetition(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.docFingerprint(Tables.documents(s, dir))),
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.documents(s, dir))),
-    // ingest-time exact-dup probe: delta (doc_id % 10 = 0) vs the
+    // ingest-time exact-dup probe: delta (doc_id % 10 = 0, plus PLANTED
+    // re-keyed copies of existing docs — the synthetic corpus has no
+    // natural cross-split exact dups at verify scale, and a probe whose
+    // expected answer is empty cannot catch a row-dropping bug) vs the
     // corpus fingerprint index
     "dedup_exact_delta" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      val existing = docs.filter(col("doc_id") % 10 =!= 0)
+      val planted = existing.filter(col("doc_id") % 97 === 3)
+        .withColumn("doc_id", col("doc_id") + 9000000L)
       TextOps.dedupExactIncremental(
-        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+        existing, docs.filter(col("doc_id") % 10 === 0).unionByName(planted))
     }),
     // the same probe behind a literal-bitset bloom pre-filter (row-local
     // at the delta scan; no false negatives, FPs die in the verify join
@@ -509,8 +586,11 @@ object SparkEntry {
     // pays 5x fixed overhead at sf scales)
     "dedup_exact_delta_bloom" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      val existing = docs.filter(col("doc_id") % 10 =!= 0)
+      val planted = existing.filter(col("doc_id") % 97 === 3)
+        .withColumn("doc_id", col("doc_id") + 9000000L)
       TextOps.dedupExactIncrementalBloom(
-        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+        existing, docs.filter(col("doc_id") % 10 === 0).unionByName(planted))
     }),
     "neardup_jaccard" -> ((s, dir) => TextOps.nearDupJaccard(Tables.documents(s, dir))),
     "doc_novelty" -> ((s, dir) => TextOps.docNovelty(Tables.documents(s, dir))),
@@ -1350,6 +1430,21 @@ object SparkEntry {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Shared oracle for the delta exact-dedup pair: the delta is the
+    * % 10 = 0 split UNION planted re-keyed copies of existing docs
+    * (doc_id + 9000000 keeps them disjoint from every real id). */
+  private lazy val dedupExactDeltaOracle: String =
+    s"""WITH $toksCte,
+       |idx AS (SELECT md5(norm) AS fp_md5, MIN(doc_id) AS dup_of
+       |        FROM toks WHERE doc_id % 10 <> 0 GROUP BY 1),
+       |delta AS (
+       |  SELECT doc_id, norm FROM toks WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 9000000, norm FROM toks
+       |  WHERE doc_id % 10 <> 0 AND doc_id % 97 = 3)
+       |SELECT d.doc_id, md5(d.norm) AS fp_md5, idx.dup_of
+       |FROM delta d JOIN idx ON md5(d.norm) = idx.fp_md5""".stripMargin
+
   /** Full corpus-curation oracle (the `corpus_keep` query) as a
     * standalone statement — also embedded as a named subquery by the
     * `corpus_keep_semantic` oracle (its own WITH scope nests cleanly). */
@@ -1588,9 +1683,26 @@ object SparkEntry {
     "corpus_scan_pushdown" ->
       "SELECT * FROM documents WHERE doc_id <= 3000 AND n_chars BETWEEN 200 AND 400",
     "corpus_format_read" ->
-      "SELECT * FROM documents WHERE doc_id BETWEEN 1000 AND 4000 AND n_chars >= 300",
+      "SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 400 AND n_chars >= 300",
     "corpus_sql_view" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars BETWEEN 250 AND 350",
+    "corpus_sql_view_dv" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 501 <> 3 AND n_chars >= 100""".stripMargin,
+    "corpus_sql_insert" ->
+      """SELECT * FROM documents
+        |UNION ALL
+        |SELECT doc_id + 10000000, text, lang, source, n_chars
+        |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
+    "corpus_sql_delete" ->
+      "SELECT * FROM documents WHERE NOT (n_chars < 100 OR lang = 'de')",
+    "corpus_sql_time_travel" ->
+      """SELECT 'v0' AS snap, doc_id, text, lang, source, n_chars FROM documents
+        |UNION ALL
+        |SELECT 'head' AS snap, doc_id,
+        |  CASE WHEN doc_id % 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,
+        |  lang, source, n_chars
+        |FROM documents""".stripMargin,
     "corpus_format_write" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,
@@ -1764,23 +1876,14 @@ object SparkEntry {
          |SELECT md5(norm) AS fp_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
          |FROM toks GROUP BY 1""".stripMargin,
     // Replays TextOps.dedupExactIncremental: the delta's fingerprints
-    // joined to the existing split's (fp -> min doc) index. The bloom
-    // arm composes to the identical result (no false negatives; false
-    // positives die in the verify join), so both queries share this SQL.
-    "dedup_exact_delta" ->
-      s"""WITH $toksCte,
-         |idx AS (SELECT md5(norm) AS fp_md5, MIN(doc_id) AS dup_of
-         |        FROM toks WHERE doc_id % 10 <> 0 GROUP BY 1)
-         |SELECT t.doc_id, md5(t.norm) AS fp_md5, idx.dup_of
-         |FROM toks t JOIN idx ON md5(t.norm) = idx.fp_md5
-         |WHERE t.doc_id % 10 = 0""".stripMargin,
-    "dedup_exact_delta_bloom" ->
-      s"""WITH $toksCte,
-         |idx AS (SELECT md5(norm) AS fp_md5, MIN(doc_id) AS dup_of
-         |        FROM toks WHERE doc_id % 10 <> 0 GROUP BY 1)
-         |SELECT t.doc_id, md5(t.norm) AS fp_md5, idx.dup_of
-         |FROM toks t JOIN idx ON md5(t.norm) = idx.fp_md5
-         |WHERE t.doc_id % 10 = 0""".stripMargin,
+    // (the % 10 = 0 split plus the PLANTED re-keyed copies of existing
+    // % 97 = 3 docs — guaranteed hits, so the probe is non-vacuous at
+    // verify scale) joined to the existing split's (fp -> min doc)
+    // index. The bloom arm composes to the identical result (no false
+    // negatives; false positives die in the verify join), so both
+    // queries share this SQL.
+    "dedup_exact_delta" -> dedupExactDeltaOracle,
+    "dedup_exact_delta_bloom" -> dedupExactDeltaOracle,
     "neardup_jaccard" ->
       s"""WITH $jaccardPairsCtes
          |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard
@@ -3844,10 +3947,12 @@ object SparkEntry {
       s"""WITH per_part AS (
          |  SELECT l_partkey, SUM($revSql) AS revenue_dec
          |  FROM lineitem GROUP BY 1),
-         |tot AS (SELECT SUM(revenue_dec) AS total_dec FROM per_part)
+         |tot AS (SELECT SUM(revenue_dec) AS total_dec, COUNT(*) AS n_parts
+         |        FROM per_part)
          |SELECT l_partkey AS p_partkey, CAST(revenue_dec AS DOUBLE) AS revenue
          |FROM per_part, tot
-         |WHERE CAST(revenue_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.001
+         |WHERE CAST(revenue_dec AS DOUBLE)
+         |    > CAST(total_dec AS DOUBLE) / n_parts * 1.5
          |ORDER BY revenue DESC, p_partkey""".stripMargin,
     "small_qty_revenue" ->
       """WITH avg_qty AS (
@@ -3867,12 +3972,14 @@ object SparkEntry {
         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty_dec
         |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size <= 10
         |  GROUP BY 1, 2),
-        |pt AS (SELECT l_partkey, SUM(supp_qty_dec) AS part_qty_dec
+        |pt AS (SELECT l_partkey, SUM(supp_qty_dec) AS part_qty_dec,
+        |         COUNT(*) AS n_supps
         |       FROM shipped GROUP BY 1)
         |SELECT DISTINCT s_suppkey, s_name
         |FROM shipped JOIN pt USING (l_partkey)
         |JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE CAST(supp_qty_dec AS DOUBLE) > CAST(part_qty_dec AS DOUBLE) * 0.3
+        |WHERE CAST(supp_qty_dec AS DOUBLE)
+        |    > CAST(part_qty_dec AS DOUBLE) / n_supps * 2.5
         |ORDER BY s_suppkey""".stripMargin,
     "sole_late_suppliers" ->
       """WITH per_os AS (

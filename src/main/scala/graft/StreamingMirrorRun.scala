@@ -29,6 +29,11 @@ import graft.incremental.{SnapshotSync, SnapshotTable}
   * mirror built by one BATCH sync, and must contain NO contentless
   * data versions (the optimize mass never crossed).
   *
+  * A third arm exercises the ONE-SHOT mode (snapshot seed at v0 +
+  * `Trigger.AvailableNow` drain of the CDC feed itself — the source
+  * captures the committed head at start and a rate-limited drain stops
+  * there), convergence-checked against the same batch sync.
+  *
   * Usage: runMain graft.StreamingMirrorRun <sfDir> <workDir>
   */
 object StreamingMirrorRun {
@@ -99,7 +104,37 @@ object StreamingMirrorRun {
     if (batchDiff != 0) println(s"[stream-mirror] streamed != batch sync: $batchDiff rows")
     if (!cursorOk) println(s"[stream-mirror] cursor ${mirror.currentTag} != sync:$v3")
     if (!shapeOk) println(s"[stream-mirror] unexpected mirror ops: $ops (cold $coldOps)")
-    val converged = diff == 0 && batchDiff == 0 && cursorOk && shapeOk
+
+    // ONE-SHOT mode (the operational backfill): snapshot-seed the
+    // mirror at the source's v0, then DRAIN the CDC feed itself with
+    // Trigger.AvailableNow — the source captures the committed head at
+    // start and the rate-limited drain stops there (no continuous
+    // query to babysit). Convergence-checked against the same batch
+    // sync as the continuous arm.
+    val onceDir = s"$workDir/once-mirror"
+    val once = new SnapshotTable(spark, onceDir, "doc_id")
+    once.create(src.readVersion(0))
+    val onceQ = spark.readStream
+      .format("org.apache.spark.sql.graft.SnapshotTableProvider")
+      .option("path", srcDir).option("key", "doc_id")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerBatch", "1") // several batches, one drain
+      .load()
+      .writeStream
+      .format("org.apache.spark.sql.graft.SnapshotTableProvider")
+      .option("path", onceDir).option("key", "doc_id").option("mode", "cdc")
+      .option("checkpointLocation", s"$workDir/once-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val onceDone = onceQ.awaitTermination(600000)
+    val onceDiff = once.read().exceptAll(batchMirror.read()).count() +
+      batchMirror.read().exceptAll(once.read()).count()
+    if (!onceDone) println("[stream-mirror] one-shot drain did not self-terminate")
+    if (onceDiff != 0) println(s"[stream-mirror] one-shot != batch sync: $onceDiff rows")
+    println(s"[stream-mirror] one-shot drain: terminated=$onceDone diff=$onceDiff")
+
+    val converged = diff == 0 && batchDiff == 0 && cursorOk && shapeOk &&
+      onceDone && onceDiff == 0
     println(s"[stream-mirror] synced=${synced.size} batches, " +
       s"mirror ops=${ops.mkString(",")}")
     println(s"[stream-mirror] converged=$converged")

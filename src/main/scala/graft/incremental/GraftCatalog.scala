@@ -1,0 +1,283 @@
+package graft.incremental
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write,
+  Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The snapshot store as a Spark SQL CATALOG (DataSource v2
+  * `TableCatalog`) — the rung that gives a pure-SQL user DML and time
+  * travel, which no v1 relation can express:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.incremental.GraftCatalog")
+  *
+  *   SELECT * FROM graft.`/data/corpus` WHERE n_chars > 300     -- masked,
+  *                                               -- manifest-pruned read
+  *   SELECT * FROM graft.`/data/corpus` VERSION AS OF 3          -- time travel
+  *   SELECT * FROM graft.`/data/corpus` TIMESTAMP AS OF '2026-08-01 00:00:00'
+  *   INSERT INTO graft.`/data/corpus` SELECT ...                 -- atomic append
+  *   INSERT OVERWRITE graft.`/data/corpus` SELECT ...            -- atomic replace
+  *   DELETE FROM graft.`/data/corpus` WHERE doc_id % 17 = 0      -- keyed delete
+  *   CREATE TABLE graft.`/data/t2` (doc_id BIGINT, text STRING)
+  *     OPTIONS ('key' 'doc_id')                                  -- DDL (+ CTAS)
+  *   DROP TABLE graft.`/data/t2`
+  * }}}
+  *
+  * == Identifiers are PATHS ==
+  * A backquoted absolute path (`` graft.`/abs/path` ``) addresses the
+  * table directly — the Delta-style path catalog. With a `warehouse`
+  * catalog option set (`spark.sql.catalog.graft.warehouse=/data`),
+  * relative names resolve under it: `graft.corpus` →
+  * `/data/corpus`, `graft.ns.corpus` → `/data/ns/corpus`.
+  *
+  * == The key column needs no side channel ==
+  * Every commit records its key column in the manifest header
+  * (`#key`), so `loadTable` constructs a fully keyed handle from the
+  * path alone — INSERT/DELETE work with no OPTIONS on the query.
+  * `CREATE TABLE` (the one call that precedes any manifest) takes the
+  * key as a table property/option.
+  *
+  * == Execution ==
+  * Reads plan through [[GraftScan]]: pushdown lands at the ScanBuilder
+  * (filters + required columns), file pruning and the deletion-vector
+  * anti-join ride the table's own masked [[SnapshotTable.scanAt]] plan,
+  * and the `V1Scan` bridge hands Spark the resulting relation — the
+  * same migration rung Spark's own JDBC v2 connector uses, so no
+  * second read path exists to diverge from the Scala API. Writes plan
+  * through `V1Write`/`InsertableRelation` onto the table's ATOMIC
+  * commits ([[SnapshotTable.append]]/[[SnapshotTable.create]]) — the
+  * driver-side manifest commit IS the transaction, so a distributed
+  * BatchWrite protocol would add coordination without adding atomicity.
+  * `DELETE FROM` maps translatable predicates onto the keyed
+  * copy-on-write/vector delete ([[SnapshotTable.delete]]); anything the
+  * exact translation cannot express is REJECTED at analysis
+  * (`canDeleteWhere` false), never approximated.
+  *
+  * Time-travel loads (`VERSION AS OF` / `TIMESTAMP AS OF`) resolve via
+  * [[SnapshotTable.schemaAt]]/[[SnapshotTable.versionAsOf]] and return
+  * a READ-ONLY pinned table — writing to history fails at analysis. */
+final class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+  private var warehouse: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def pathOf(ident: Identifier): String =
+    if (ident.name.startsWith("/")) {
+      if (ident.namespace.nonEmpty) throw new NoSuchTableException(ident)
+      ident.name
+    } else warehouse match {
+      case Some(w) => (w +: ident.namespace.toSeq :+ ident.name).mkString("/")
+      case None => throw new IllegalArgumentException(
+        s"catalog $catalogName addresses tables by PATH — use a backquoted " +
+          s"absolute path ($catalogName.`/abs/path`) or set the catalog's " +
+          s"warehouse option (spark.sql.catalog.$catalogName.warehouse) to " +
+          "resolve relative names under it")
+    }
+
+  /** A keyed handle from the path alone: the key column comes from the
+    * newest committed manifest's `#key` header. */
+  private def handleAt(ident: Identifier): SnapshotTable = {
+    val dir = pathOf(ident)
+    val key = SnapshotTable.keyAt(spark, dir).getOrElse(
+      throw new NoSuchTableException(ident))
+    new SnapshotTable(spark, dir, key)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try SnapshotTable.keyAt(spark, pathOf(ident)).isDefined
+    catch { case _: IllegalArgumentException => false }
+
+  override def loadTable(ident: Identifier): Table =
+    new GraftTable(handleAt(ident), s"$catalogName.`${pathOf(ident)}`", None)
+
+  /** `VERSION AS OF <n>` — a committed version number. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val tbl = handleAt(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF on $catalogName tables takes a committed version NUMBER, got '$version'")
+    }
+    tbl.schemaAt(Some(v)) // fail now (unknown version), not at first scan
+    new GraftTable(tbl, s"$catalogName.`${pathOf(ident)}`", Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds; resolved
+    * like [[SnapshotTable.versionAsOf]] (newest commit at or below). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val tbl = handleAt(ident)
+    val v = tbl.versionAsOf(timestamp / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version at ${pathOf(ident)} as of timestamp $timestamp (us)"))
+    new GraftTable(tbl, s"$catalogName.`${pathOf(ident)}`", Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables cluster on their key (clusterPartitions) — PARTITIONED BY is not supported")
+    val props = properties.asScala
+    val key = props.get("key").orElse(props.get(TableCatalog.OPTION_PREFIX + "key"))
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE TABLE on a graft catalog needs the key column: OPTIONS ('key' '<column>')"))
+    require(schema.fieldNames.contains(key),
+      s"key column $key missing from CREATE TABLE schema ${schema.fieldNames.mkString(", ")}")
+    val dir = pathOf(ident)
+    if (SnapshotTable.keyAt(spark, dir).isDefined)
+      throw new TableAlreadyExistsException(ident)
+    val tbl = new SnapshotTable(spark, dir, key)
+    tbl.create(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema))
+    new GraftTable(tbl, s"$catalogName.`$dir`", None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported on graft catalog tables — schema evolves on write " +
+        "(nullable column adds) through the table's own commit protocol")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = pathOf(ident)
+    if (SnapshotTable.keyAt(spark, dir).isEmpty) return false
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported — a graft table IS its path")
+
+  /** Path-addressed catalog: there is no namespace listing to
+    * enumerate (any filesystem directory may hold a table). */
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+}
+
+/** One snapshot table (optionally PINNED to a historical version)
+  * through the DSv2 `Table` contract — see [[GraftCatalog]]. */
+private[graft] final class GraftTable(tbl: SnapshotTable, ident: String,
+    pinned: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String = ident + pinned.fold("")(v => s" VERSION AS OF $v")
+
+  override def schema(): StructType = tbl.schemaAt(pinned)
+
+  override def capabilities(): util.Set[TableCapability] =
+    (if (pinned.isDefined) Set(TableCapability.BATCH_READ)
+     else Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+       TableCapability.TRUNCATE)).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(tbl, pinned, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (pinned.isDefined) throw new UnsupportedOperationException(
+      s"$ident is pinned VERSION AS OF ${pinned.get} — history is immutable; " +
+        "write to the unpinned table")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              if (replace || overwrite) tbl.create(data) else tbl.append(data)
+          }
+      }
+    }
+  }
+
+  /** `DELETE FROM ... WHERE <pred>`: accepted iff every conjunct
+    * translates EXACTLY ([[GraftFilters]]) — then the doomed keys are
+    * the masked scan's rows under the predicate, fed to the table's
+    * keyed delete (file-pruned copy-on-write, or a deletion vector on
+    * a `deleteVectorMaxRows` handle). An untranslatable predicate fails
+    * at analysis rather than deleting approximately. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty && filters.forall(GraftFilters.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters.flatMap(GraftFilters.toColumn(_))
+      .foldLeft(lit(true))(_ && _)
+    tbl.delete(tbl.scan().filter(pred).select(col(tbl.keyColumn)).distinct())
+  }
+}
+
+/** Pushdown collector: filters and required columns land here at
+  * planning; [[build]] freezes them into a [[GraftScan]]. EVERY filter
+  * is returned from [[pushFilters]] (Spark re-evaluates all of them on
+  * the rows), so the translated subset is a pure pruning hint — exactly
+  * the contract [[SnapshotTable.scan]]'s FileIndex already has. */
+private[graft] final class GraftScanBuilder(tbl: SnapshotTable,
+    pinned: Option[Long], full: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var filters: Array[Filter] = Array.empty
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // all re-evaluated post-scan: translation can never change results
+  }
+
+  override def pushedFilters(): Array[Filter] =
+    filters.filter(GraftFilters.toColumn(_).isDefined)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftScan(tbl, pinned, required, filters)
+}
+
+/** The DSv2 scan, executed through the `V1Scan` bridge: the inner plan
+  * is the table's own masked [[SnapshotTable.scanAt]] (manifest file
+  * pruning off the translated filters, parquet row groups + codegen
+  * inside, deletion-vector anti-joins spliced in), projected to the
+  * pruned columns. One read path for every route. */
+private[graft] final class GraftScan(tbl: SnapshotTable, pinned: Option[Long],
+    required: StructType, filters: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val out = required
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = out
+      override def buildScan(): RDD[Row] = {
+        val filtered = filters.flatMap(GraftFilters.toColumn(_))
+          .foldLeft(tbl.scanAt(pinned))(_ filter _)
+        filtered.select(out.fieldNames.map(col).toIndexedSeq: _*).rdd
+      }
+    }.asInstanceOf[T]
+  }
+
+  override def description(): String =
+    s"graft-snapshot ${pinned.fold("")(v => s"@v$v ")}pushed=[${pushedRender}]"
+
+  private def pushedRender: String =
+    filters.filter(GraftFilters.toColumn(_).isDefined).mkString(", ")
+}

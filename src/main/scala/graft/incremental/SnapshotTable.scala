@@ -226,7 +226,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   }
 
   private final case class Manifest(version: Long, parent: Long, op: String,
-      schema: StructType, entries: Seq[Entry], tag: Option[String])
+      schema: StructType, entries: Seq[Entry], tag: Option[String],
+      keyName: Option[String] = None)
 
   // ---- manifest IO ----
 
@@ -349,7 +350,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     }
     Some(Manifest(v, header("#parent").toLong, header("#op"),
       DataType.fromJson(header("#schema")).asInstanceOf[StructType], entries,
-      header.get("#tag")))
+      header.get("#tag"), header.get("#key")))
   }
 
   /** The full committed chain, oldest first — for the callers that
@@ -509,10 +510,14 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   }
 
   /** (version, parent, operation, n_files, n_rows) per committed
-    * version, oldest first — the table's audit trail. */
+    * version, oldest first — the table's audit trail. `n_rows` is the
+    * version's LOGICAL row count (deletion vectors applied), matching
+    * what [[read]]/[[countRows]] serve at that version — a vectored
+    * delete shows its row drop in history exactly like a copy-on-write
+    * one. */
   def history: Seq[(Long, Long, String, Int, Long)] =
     committedManifests.map(m =>
-      (m.version, m.parent, m.op, m.entries.size, m.entries.map(_.rows).sum))
+      (m.version, m.parent, m.op, m.entries.size, m.entries.map(_.logicalRows).sum))
 
   // ---- snapshot reads ----
 
@@ -526,6 +531,21 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * files opened (the manifest header carries the schema JSON; callers
     * that only need the shape must not pay for a read plan). */
   def schema: StructType = requireManifest.schema
+
+  /** [[schema]] pinned to a committed historical version — manifest
+    * header only, zero data files opened (what a time-travel catalog
+    * resolution needs before any read plan exists). */
+  def schemaAt(version: Option[Long]): StructType = manifestAt(version).schema
+
+  /** The key column name RECORDED in the newest committed manifest's
+    * `#key` header — what lets a catalog construct a working handle
+    * from the table PATH alone, with no side-channel config. None on
+    * tables whose manifests predate the header (every commit since has
+    * written it) or when no committed version exists. */
+  def recordedKey: Option[String] = latestManifest.flatMap(_.keyName)
+
+  /** The key column this handle is keyed on. */
+  def keyColumn: String = key
 
   /** The relative data-file paths committed version `v` references —
     * test/soak seam for asserting copy-on-write carry-forward (how many
@@ -979,8 +999,18 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * never change results. The returned frame is pinned to the CURRENT
     * snapshot (immutable files + one manifest read), like every other
     * read. */
-  def scan(): DataFrame = {
-    val m = requireManifest
+  def scan(): DataFrame = scanAt(None)
+
+  /** [[scan]] pinned to a committed historical version — the DataFrame
+    * twin of the format provider's `versionAsOf` option, deletion
+    * vectors applied at every version. */
+  def scanAt(version: Option[Long]): DataFrame = scanOf(manifestAt(version))
+
+  private def manifestAt(version: Option[Long]): Manifest =
+    version.fold(requireManifest)(v => loadManifest(v).getOrElse(
+      throw new IllegalStateException(s"no committed version $v at $dir")))
+
+  private def scanOf(m: Manifest): DataFrame = {
     val (dvd, clean) = m.entries.partition(_.dv.isDefined)
     val base = spark.baseRelationToDataFrame(relationOf(m, clean))
     if (dvd.isEmpty) base
@@ -997,24 +1027,27 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * Spark's DataSource resolution, giving SQL-only users the same
     * manifest-pruned relation without writing a line of Scala.
     *
-    * A relation is ONE file-backed node — it cannot splice in the
-    * anti-join a deletion-vectored file needs — so this entry point
-    * demands a DV-free snapshot and fails LOUDLY otherwise (silently
-    * resurrecting deleted rows for SQL readers is the one unacceptable
-    * outcome); run [[optimize]] to materialize vectors away, or read
-    * through [[scan]], which handles them.
+    * A DV-free snapshot returns the file-backed `HadoopFsRelation`
+    * directly (planner-integrated file pruning, parquet row groups,
+    * whole-stage codegen). A snapshot CARRYING deletion vectors cannot
+    * be one file-backed node — the vectored files need their sidecar
+    * anti-join spliced in — so it returns a [[GraftMaskedRelation]]
+    * instead: a `PrunedFilteredScan` whose inner plan is the masked
+    * [[scan]] (manifest pruning via the translated pushed filters,
+    * parquet codegen inside, the anti-join on the vectored residue).
+    * SQL readers keep working the moment a table opts into
+    * `deleteVectorMaxRows` — the rows they see are identical to
+    * [[scan]]'s, the clean-file fast path merely returns after the next
+    * [[optimize]] repays the vector debt. Deleted rows are NEVER
+    * resurrected on any route.
     *
     * `version` pins the relation to a committed historical version —
     * time travel through the format provider's `versionAsOf` /
     * `timestampAsOf` options. */
   def scanRelation(version: Option[Long] = None): org.apache.spark.sql.sources.BaseRelation = {
-    val m = version.fold(requireManifest)(v => loadManifest(v).getOrElse(
-      throw new IllegalStateException(s"no committed version $v at $dir")))
-    val dvd = m.entries.count(_.dv.isDefined)
-    require(dvd == 0,
-      s"snapshot at $dir carries deletion vectors on $dvd files — a bare relation " +
-        "cannot apply them; optimize() the table to materialize deletes, or use scan()")
-    relationOf(m, m.entries)
+    val m = manifestAt(version)
+    if (m.entries.exists(_.dv.isDefined)) new GraftMaskedRelation(spark, () => scanOf(m))
+    else relationOf(m, m.entries)
   }
 
   private def relationOf(m: Manifest,
@@ -2000,6 +2033,18 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       catch { case e: ConcurrentModificationException => last = e }
     }
     throw last
+  }
+}
+
+object SnapshotTable {
+  /** The key column RECORDED at `dir`'s newest committed manifest
+    * (`#key` header) — the catalog-resolution probe: a table path alone
+    * is enough to construct a working keyed handle. None when no
+    * committed manifest exists or the table predates the header. The
+    * probe handle is throwaway (manifest reads only, no data plan). */
+  def keyAt(spark: SparkSession, dir: String): Option[String] = {
+    val probe = new SnapshotTable(spark, dir, key = "_graft_key_probe_")
+    if (!probe.exists) None else probe.recordedKey
   }
 }
 

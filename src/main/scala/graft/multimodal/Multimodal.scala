@@ -336,9 +336,207 @@ object Multimodal {
     }
   }
 
-  /** Real-format decoder tier: PGM (P5), PPM (P6, luma-reduced), and
+  /** PNG (the fourth media tier — the first COMPRESSED one): IHDR +
+    * zlib IDAT through `java.util.zip.Inflater` (JDK-only, no codec
+    * deps), all five scanline filters (None/Sub/Up/Average/Paeth)
+    * reconstructed per the public PNG specification, 8-bit gray /
+    * truecolor / truecolor+alpha color types, luma-reduced through the
+    * SAME ITU-R 601 integer path as [[Pgm]]/[[Bmp]] — one image in any
+    * of the four containers shares its perceptual dHash. Adam7
+    * interlacing, palettes, and sub-byte depths are rejected (None),
+    * not mis-decoded.
+    *
+    * Same hostile-input contract as the other tiers — truncated IDAT,
+    * bogus filter bytes, oversized/overflowing dimensions, chunk
+    * lengths past the payload all return None, never throw (a corrupt
+    * payload in a 100 TB corpus falls to the stub tier instead of
+    * killing the task). Chunk CRCs are deliberately NOT validated:
+    * decode is salvage-oriented, and every structural hazard a bad CRC
+    * could hide is bounds-checked on its own. */
+  object Png {
+    private val MaxDim = 1 << 20
+    /** Decompressed-raster budget: headers claiming more than this are
+      * hostile (a zlib bomb would otherwise allocate unboundedly off a
+      * few KB of payload). */
+    private val MaxRawBytes = 1 << 28
+
+    private val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+    /** 8-bit grayscale (color type 0) PNG for a row-major raster — the
+      * test/corpus encoder (filter 0 rows, one IDAT). */
+    def encodeGray(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] =
+      encode(width, height, 0, 1, pixels)
+
+    /** 8-bit truecolor (color type 2) PNG for an interleaved r,g,b
+      * raster — the [[Pgm.encodeP6]]/[[Bmp.encodeRgb]] layout. */
+    def encodeRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+      encode(width, height, 2, 3, rgb)
+
+    private def encode(w: Int, h: Int, colorType: Int, bpp: Int,
+        raster: Array[Byte]): Array[Byte] = {
+      require(raster.length == bpp * w * h,
+        s"raster is ${raster.length} bytes, expected ${bpp * w * h}")
+      val rowBytes = w * bpp
+      val raw = new Array[Byte]((rowBytes + 1) * h) // filter byte 0 per row
+      var y = 0
+      while (y < h) {
+        System.arraycopy(raster, y * rowBytes, raw, y * (rowBytes + 1) + 1, rowBytes)
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val zipped = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished())
+        zipped.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Sig, 0, Sig.length)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        def w32(v: Long): Unit = {
+          out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+          out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+        }
+        w32(data.length.toLong)
+        val tb = typ.getBytes("US-ASCII")
+        out.write(tb, 0, 4); out.write(data, 0, data.length)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        w32(crc.getValue)
+      }
+      val ihdr = new Array[Byte](13)
+      ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
+      ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+      ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
+      ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+      ihdr(8) = 8 // bit depth
+      ihdr(9) = colorType.toByte
+      // 10..12: compression 0, filter method 0, interlace 0
+      chunk("IHDR", ihdr)
+      chunk("IDAT", zipped.toByteArray)
+      chunk("IEND", Array.empty)
+      out.toByteArray
+    }
+
+    /** Parse an 8-bit gray/RGB/RGBA non-interlaced PNG → (width,
+      * height, row-major gray bytes). None on anything else — never
+      * throws. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (payload.length < Sig.length + 25) return None
+      var s = 0
+      while (s < Sig.length) {
+        if (payload(s) != Sig(s)) return None
+        s += 1
+      }
+      var i = Sig.length
+      var w = 0; var h = 0; var colorType = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var sawEnd = false
+      while (!sawEnd && i + 8 <= payload.length) {
+        val len = be32(payload, i)
+        // chunk bounds: length + type + data + crc must fit the payload
+        if (len > Int.MaxValue - 12L || i + 8L + len + 4 > payload.length) return None
+        val n = len.toInt
+        val typ = new String(payload, i + 4, 4, "US-ASCII")
+        typ match {
+          case "IHDR" =>
+            if (n != 13 || colorType != -1) return None // exactly one, first
+            val wl = be32(payload, i + 8); val hl = be32(payload, i + 12)
+            if (wl <= 0 || wl > MaxDim || hl <= 0 || hl > MaxDim) return None
+            w = wl.toInt; h = hl.toInt
+            val depth = payload(i + 16) & 0xff
+            colorType = payload(i + 17) & 0xff
+            // 8-bit gray (0) / RGB (2) / RGBA (6); zlib; filter method
+            // 0; NO Adam7 — anything else is rejected, never mis-read
+            if (depth != 8 || !Set(0, 2, 6).contains(colorType) ||
+              payload(i + 18) != 0 || payload(i + 19) != 0 ||
+              payload(i + 20) != 0) return None
+          case "IDAT" =>
+            if (colorType == -1) return None // IDAT before IHDR
+            idat.write(payload, i + 8, n)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunks: skipped
+        }
+        i += 8 + n + 4
+      }
+      if (!sawEnd || colorType == -1 || idat.size() == 0) return None
+      val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+      val rowBytes = w.toLong * bpp
+      val total = (rowBytes + 1) * h
+      if (w.toLong * h > Int.MaxValue || total > MaxRawBytes) return None
+      val raw = new Array[Byte](total.toInt)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      try {
+        while (off < total && !inf.finished()) {
+          val got = inf.inflate(raw, off, total.toInt - off)
+          if (got == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return None // truncated / preset-dictionary stream
+          off += got
+        }
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      if (off < total) return None
+      // unfilter in place, row by row (the PNG reconstruction filters;
+      // `left`/`up` distances are one PIXEL = bpp bytes)
+      val rb = rowBytes.toInt
+      val cur = new Array[Byte](rb)
+      val prev = new Array[Byte](rb) // zeros above row 0, per spec
+      val pixels = new Array[Byte](rb * h)
+      var y = 0
+      while (y < h) {
+        val base = y * (rb + 1)
+        val filter = raw(base) & 0xff
+        var x = 0
+        while (x < rb) {
+          val v = raw(base + 1 + x) & 0xff
+          val a = if (x >= bpp) cur(x - bpp) & 0xff else 0 // left
+          val b = prev(x) & 0xff // up
+          val c = if (x >= bpp) prev(x - bpp) & 0xff else 0 // up-left
+          val rec = filter match {
+            case 0 => v
+            case 1 => v + a
+            case 2 => v + b
+            case 3 => v + (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case _ => return None // bogus filter byte
+          }
+          cur(x) = (rec & 0xff).toByte
+          x += 1
+        }
+        System.arraycopy(cur, 0, pixels, y * rb, rb)
+        System.arraycopy(cur, 0, prev, 0, rb)
+        y += 1
+      }
+      if (bpp == 1) return Some((w, h, pixels))
+      val gray = new Array[Byte](w * h)
+      var p = 0
+      while (p < w * h) {
+        val r = pixels(bpp * p) & 0xff
+        val g = pixels(bpp * p + 1) & 0xff
+        val b = pixels(bpp * p + 2) & 0xff // alpha (bpp 4) ignored
+        gray(p) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+        p += 1
+      }
+      Some((w, h, gray))
+    }
+  }
+
+  /** Real-format decoder tier: PGM (P5), PPM (P6, luma-reduced),
     * 24-bit BMP ([[Bmp]] — binary little-endian headers, the non-netpbm
-    * shape) payloads decode to actual pixels and the features are `dim`
+    * shape), and PNG ([[Png]] — zlib-compressed, filtered scanlines)
+    * payloads decode to actual pixels and the features are `dim`
     * horizontal-band mean intensities in [0,1] (a real, explainable
     * image statistic); checksum is the perceptual [[Pgm.dHash]] so
     * downstream Hamming machinery can consume it directly. Payloads in
@@ -351,7 +549,8 @@ object Multimodal {
     private val fallback = FakeDecoder(dim)
     override def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
       rows.map { r =>
-        Pgm.decode(r.payload).orElse(Bmp.decode(r.payload)) match {
+        Pgm.decode(r.payload).orElse(Bmp.decode(r.payload))
+          .orElse(Png.decode(r.payload)) match {
           case Some((w, h, px)) =>
             val acc = new Array[Long](dim)
             val cnt = new Array[Long](dim)

@@ -540,21 +540,26 @@ object Analytics {
       .limit(k)
   }
 
-  /** Q11-shape major parts: parts whose revenue exceeds a fixed
-    * fraction of TOTAL revenue — grouped HAVING against a scalar
-    * subquery. Both sides derive from ONE per-part aggregate: the
-    * global total re-aggregates the part-grain frame (week-cardinality
-    * math, not a second fact scan), then rides a 1-row broadcast. */
-  def majorParts(spark: SparkSession, dir: String, fraction: Double = 0.001): DataFrame = {
+  /** Q11-shape major parts: parts whose revenue exceeds a multiple of
+    * the MEAN per-part revenue — grouped HAVING against a scalar
+    * subquery. The threshold is scale-invariant (mean-relative, not a
+    * fixed fraction of the grand total, which empties as the part
+    * count grows with SF — a fraction-of-total band that returns rows
+    * at one SF is vacuously empty at 10×). Both sides derive from ONE
+    * per-part aggregate: the global (total, count) re-aggregates the
+    * part-grain frame (part-cardinality math, not a second fact scan),
+    * then rides a 1-row broadcast. */
+  def majorParts(spark: SparkSession, dir: String, meanMultiple: Double = 1.5): DataFrame = {
     val revenue = (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("decimal(18,4)")
     val perPart = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(revenue).as("revenue_dec"))
       .localCheckpoint() // reused by both branches: one fact scan total
-    val total = perPart.agg(sum(col("revenue_dec")).as("total_dec"))
+    val total = perPart.agg(sum(col("revenue_dec")).as("total_dec"),
+      count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(total))
       .filter(col("revenue_dec").cast("double") >
-        col("total_dec").cast("double") * fraction)
+        col("total_dec").cast("double") / col("n_parts") * meanMultiple)
       .select(col("l_partkey").as("p_partkey"),
         col("revenue_dec").cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("p_partkey"))
@@ -580,12 +585,18 @@ object Analytics {
   }
 
   /** Q20-shape dominant suppliers: suppliers shipping more than
-    * `share` of some qualifying part's total volume — nested aggregate
-    * ((part,supplier) grain vs part grain) with the part total joined
-    * back on the part key, then a distinct semi-join into supplier.
-    * The share compares two exact DECIMAL sums cast to double. */
+    * `fairShareMultiple` × the FAIR share (part total / suppliers on
+    * the part) of some qualifying part's volume — nested aggregate
+    * ((part,supplier) grain vs part grain) with the part total AND
+    * supplier count joined back on the part key, then a distinct
+    * semi-join into supplier. Fair-share-relative rather than a fixed
+    * absolute share: with ~30 suppliers per part, no supplier ever
+    * clears an absolute 30% bar at any SF (vacuously empty), while
+    * "ships 2.5× its fair share" selects genuine concentration at
+    * every scale. The comparison is two exact DECIMAL sums cast to
+    * double. */
   def dominantSuppliers(spark: SparkSession, dir: String,
-      share: Double = 0.3, maxSize: Int = 10): DataFrame = {
+      fairShareMultiple: Double = 2.5, maxSize: Int = 10): DataFrame = {
     val qualifying = Tables.part(spark, dir)
       .filter(col("p_size") <= maxSize).select(col("p_partkey"))
     val shipped = Tables.lineitem(spark, dir)
@@ -593,10 +604,11 @@ object Analytics {
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(dec("l_quantity")).as("supp_qty_dec"))
     val partTotal = shipped.groupBy(col("l_partkey"))
-      .agg(sum(col("supp_qty_dec")).as("part_qty_dec"))
+      .agg(sum(col("supp_qty_dec")).as("part_qty_dec"),
+        count(lit(1)).as("n_supps"))
     val dominant = shipped.join(partTotal, Seq("l_partkey"))
       .filter(col("supp_qty_dec").cast("double") >
-        col("part_qty_dec").cast("double") * share)
+        col("part_qty_dec").cast("double") / col("n_supps") * fairShareMultiple)
       .select(col("l_suppkey")).distinct()
     Tables.supplier(spark, dir)
       .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")

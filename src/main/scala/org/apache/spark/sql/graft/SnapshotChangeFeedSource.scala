@@ -330,8 +330,18 @@ private[graft] object SnapshotChangeFeedSource {
     * enforces the same key-uniqueness contract merge/applyDelta enforce
     * on every later write. */
   def requireKeyUnique(d: DataFrame, key: String, what: String): Unit = {
-    import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
-    val b = d.agg(count(lit(1)), count_distinct(col(key))).collect()(0)
+    import org.apache.spark.sql.functions.{col, count, count_distinct, lit, sum}
+    // nulls counted SEPARATELY: count_distinct ignores them, so folding
+    // them into the duplicate arithmetic would report "N duplicate keys"
+    // for a batch whose actual defect is null keys — and a null key can
+    // never be merged against later, so it is rejected in its own words
+    val b = d.agg(count(lit(1)), count_distinct(col(key)),
+      sum(col(key).isNull.cast("long"))).collect()(0)
+    val nulls = if (b.isNullAt(2)) 0L else b.getLong(2)
+    if (nulls > 0)
+      throw new IllegalArgumentException(
+        s"$what carries $nulls null $key keys — a keyed write cannot hold null keys " +
+          "(no later merge/delete could ever address them)")
     if (b.getLong(0) != b.getLong(1))
       throw new IllegalArgumentException(
         s"$what carries ${b.getLong(0) - b.getLong(1)} duplicate $key keys — a keyed " +
@@ -341,7 +351,9 @@ private[graft] object SnapshotChangeFeedSource {
 
 final class SnapshotChangeFeedSource(
     spark: SparkSession, p: Map[String, String],
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val tbl = SnapshotChangeFeedSource.handle(spark, p)
 
@@ -376,11 +388,21 @@ final class SnapshotChangeFeedSource(
       // identically (the same wedge the rate-limit cap avoids). The
       // newest committed version AT OR BELOW the request has identical
       // "changes strictly after" semantics (nothing committed between).
-      val v = p.get("startingversion").map(_.toLong).map(req =>
+      val v = p.get("startingversion").map(_.toLong).map { req =>
+        // a base ABOVE the current head is a caller error (usually a
+        // version number from a different table or environment), not a
+        // gap to resolve — silently mapping it down to "start from now"
+        // would quietly skip the interval the caller thought it named
+        val head = tbl.currentVersion.getOrElse(throw new IllegalStateException(
+          s"no snapshot table at ${p("path")} — create() it before streaming its changes"))
+        if (req > head) throw new IllegalArgumentException(
+          s"startingVersion $req at ${p("path")} is above the current version $head — " +
+            "a stream cannot start from a version that has not been committed yet")
         tbl.committedVersionAtOrBelow(req).getOrElse(
           throw new IllegalArgumentException(
             s"startingVersion $req at ${p("path")} has no committed version at or " +
-              "below it — the requested base predates the retained history"))).getOrElse(
+              "below it — the requested base predates the retained history"))
+      }.getOrElse(
         tbl.currentVersion.getOrElse(throw new IllegalStateException(
           s"no snapshot table at ${p("path")} — create() it before streaming its changes")))
       for { mp <- metadataPath; f <- fs } {
@@ -422,6 +444,65 @@ final class SnapshotChangeFeedSource(
     // schedule the catch-up interval. A fresh stream whose head equals
     // startVersion just runs one empty first batch (from == to).
     Some(LongOffset(offered))
+  }
+
+  // ---- Trigger.AvailableNow (drain-to-current, then stop) ----
+  //
+  // The operational backfill shape: "process everything committed as of
+  // query start — across as many rate-limited micro-batches as that
+  // takes — then terminate". The engine drives sources implementing
+  // SupportsTriggerAvailableNow through the admission-control offset
+  // path (the same v1-Source pattern Spark's own FileStreamSource
+  // uses), so [[latestOffset]] below replaces [[getOffset]] as the
+  // per-trigger offer for EVERY trigger kind; with no drain cap armed
+  // it delegates straight to getOffset, so ProcessingTime behavior is
+  // byte-identical.
+
+  /** The version the drain stops at — captured ONCE per AvailableNow
+    * run, before the first batch: commits landing while the drain runs
+    * stay for the next run, exactly like a batch job reading a pinned
+    * snapshot. None outside AvailableNow. */
+  private var drainTo: Option[Long] = None
+
+  /** Spec seam: the captured drain cap, if an AvailableNow run armed
+    * one. */
+  def drainCap: Option[Long] = drainTo
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    // the cap lands on the COMMIT LOG like every other cursor: the
+    // current committed head (or the birth base on an empty-so-far
+    // feed, making the drain a no-op rather than an error)
+    drainTo = Some(tbl.currentVersion.getOrElse(startVersion))
+
+  /** Rate limiting stays option-driven (`maxVersionsPerBatch`), not
+    * engine-driven: the engine's limit vocabulary (rows/files) cannot
+    * express "manifest versions", so the source applies its own cap
+    * inside the offer. */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    tbl.currentVersion.map(LongOffset(_)).orNull
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val offer = getOffset // one listing; rate cap + gap resolution as ever
+    drainTo match {
+      case None => offer.orNull
+      case Some(cap) =>
+        // clamp at the captured head: both candidates are committed
+        // versions (the cap was the committed head at capture; the
+        // offer comes off the commit log), so the clamp can never point
+        // a batch at a torn-claim gap. When the clamped offer stops
+        // advancing the engine sees no new data and terminates the
+        // drain — a concurrent commit above the cap stays for the next
+        // run.
+        offer.map(o => LongOffset(math.min(o.json.trim.toLong, cap))).orNull
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

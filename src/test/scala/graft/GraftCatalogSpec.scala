@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{AnalysisException, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.incremental.SnapshotTable
+import TestSpark._
+
+/** The snapshot store's SQL catalog ([[graft.incremental.GraftCatalog]]):
+  * pure-SQL SELECT / INSERT / DELETE / time travel on `graft.`/path``
+  * tables must hit the SAME masked, manifest-pruned, atomically
+  * committed machinery the Scala handle uses — including the one
+  * combination the v1 relation route historically refused, snapshots
+  * carrying deletion vectors. */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  GraftSession.install(spark)
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-cat").toString
+
+  private def kv(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private def sqlRows(q: String): Seq[(Long, String)] =
+    spark.sql(q).collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+
+  test("SELECT on graft.`/path` reads the committed snapshot; key comes from the manifest alone") {
+    val dir = freshDir()
+    new SnapshotTable(spark, dir, "k").create(kv(1L -> "a", 2L -> "b"))
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`") == Seq(1L -> "a", 2L -> "b"))
+  }
+
+  test("INSERT INTO appends atomically; INSERT OVERWRITE replaces; both visible to the Scala handle") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a"))
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (2, 'b'), (3, 'c')")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`") ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(tbl.history.map(_._3) == Seq("create", "append"))
+    spark.sql(s"INSERT OVERWRITE graft.`$dir` VALUES (9, 'z')")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`") == Seq(9L -> "z"))
+    assert(tbl.countRows() == 1)
+  }
+
+  test("DELETE FROM with a translatable predicate runs the keyed delete; untranslatable fails at analysis") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv((1L to 10L).map(i => i -> s"v$i"): _*))
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k <= 3 OR v = 'v7'")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`").map(_._1) ==
+      Seq(4L, 5L, 6L, 8L, 9L, 10L))
+    assert(tbl.history.map(_._3) == Seq("create", "delete"))
+    // a predicate the exact translation cannot express must be rejected
+    // loudly, never deleted approximately
+    intercept[AnalysisException](
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE k % 2 = 0"))
+    assert(tbl.countRows() == 6)
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF read pinned history; writes to a pinned version fail") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    val v0 = tbl.create(kv(1L -> "a"))
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(1100) // manifest mtimes are second-grained on some filesystems
+    tbl.merge(kv(1L -> "A", 2L -> "b"))
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir` VERSION AS OF $v0") == Seq(1L -> "a"))
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`") == Seq(1L -> "A", 2L -> "b"))
+    val ts = new java.sql.Timestamp(t0).toString
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir` TIMESTAMP AS OF '$ts'") == Seq(1L -> "a"))
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO graft.`$dir` VERSION AS OF $v0 VALUES (5, 'x')"))
+    assert(e.getMessage != null)
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF ${v0 + 999}"))
+  }
+
+  test("a deletion-vector-carrying snapshot reads correctly through SQL — catalog AND format/view routes") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k",
+      clusterPartitions = Some(2), deleteVectorMaxRows = 100)
+    tbl.create(kv((1L to 40L).map(i => i -> s"v$i"): _*))
+    tbl.delete(kv(7L -> "", 23L -> "").select(col("k")))
+    assert(tbl.read().count() == 38)
+    // catalog route
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`").map(_._1) ==
+      (1L to 40L).filterNot(Set(7L, 23L)))
+    // v1 format route (historically refused DV snapshots)
+    val viaFormat = spark.read.format("graft-snapshot")
+      .option("path", dir).option("key", "k").load()
+    assert(viaFormat.count() == 38)
+    assert(!viaFormat.select("k").collect().map(_.getLong(0)).toSet.contains(7L))
+    // pure-SQL view route, with a filter that must still prune + apply the mask
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW cat_dv_v USING `graft-snapshot` " +
+      s"OPTIONS (path '$dir', `key` 'k')")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM cat_dv_v WHERE k <= 25").head.getLong(0) == 23)
+      assert(spark.sql("SELECT count(*) AS n FROM cat_dv_v").head.getLong(0) == 38)
+    } finally spark.catalog.dropTempView("cat_dv_v")
+  }
+
+  test("CREATE TABLE + CTAS-style insert round trip; DROP TABLE removes it") {
+    val dir = freshDir() + "/t2"
+    spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT, v STRING) OPTIONS ('key' 'k')")
+    assert(SnapshotTable.keyAt(spark, dir).contains("k"))
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 'a')")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`") == Seq(1L -> "a"))
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT, v STRING) OPTIONS ('key' 'k')"))
+    spark.sql(s"DROP TABLE graft.`$dir`")
+    intercept[Exception](spark.sql(s"SELECT * FROM graft.`$dir`"))
+  }
+
+  test("catalog reads still file-prune: pushed key predicate skips files via the manifest") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4))
+    tbl.create(kv((1L to 400L).map(i => i -> s"v$i"): _*))
+    // SQL answer is correct through the catalog route
+    val n = spark.sql(s"SELECT count(*) AS n FROM graft.`$dir` WHERE k <= 50").head.getLong(0)
+    assert(n == 50)
+    // and the scan the catalog builds plans through the SAME
+    // GraftFileIndex — driven here on the spec's handle so its pruning
+    // seam is visible (the SQL route's handle is catalog-internal)
+    val sb = new graft.incremental.GraftScanBuilder(tbl, None, tbl.schema)
+    sb.pushFilters(Array(org.apache.spark.sql.sources.LessThanOrEqual("k", 50L)))
+    val rel = sb.build().asInstanceOf[graft.incremental.GraftScan]
+      .toV1TableScan[org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan](spark.sqlContext)
+    assert(rel.buildScan().count() == 50)
+    assert(tbl.lastScanIndex != null && tbl.lastScanIndex.lastListedFiles < 4,
+      s"pushed key range should keep <4 of 4 files, kept ${tbl.lastScanIndex.lastListedFiles}")
+  }
+}

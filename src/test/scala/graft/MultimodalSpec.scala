@@ -425,4 +425,125 @@ class MultimodalSpec extends AnyFunSuite {
     hostile.foreach { case (name, p) =>
       assert(Multimodal.Bmp.decode(p).isEmpty, s"hostile BMP '$name' must reject") }
   }
+
+  test("PNG tier: gray and RGB rasters inflate + unfilter into the shared gray/dHash path; hostile PNGs reject") {
+    val s = spark
+    import s.implicits._
+    val w = 16; val h = 12
+    // gray round trip: encode (filter-0 rows, one zlib IDAT) → decode
+    val gray = Array.tabulate(w * h)(i => ((i * 31 + 7) % 253).toByte)
+    val Some((gw, gh, gOut)) = Multimodal.Png.decode(Multimodal.Png.encodeGray(w, h, gray))
+    assert((gw, gh) == ((w, h)))
+    assert(java.util.Arrays.equals(gOut, gray), "gray PNG must round-trip exactly")
+    // container equivalence: one rgb raster through P6, BMP, and PNG
+    // must luma-reduce to the SAME gray pixels (shared ITU-R 601 path)
+    val rgb = Array.tabulate(3 * w * h)(i => ((i * 7 + (i / 3) * 13) % 251).toByte)
+    val Some((_, _, p6Gray)) = Multimodal.Pgm.decode(Multimodal.Pgm.encodeP6(w, h, rgb))
+    val Some((_, _, pngGray)) = Multimodal.Png.decode(Multimodal.Png.encodeRgb(w, h, rgb))
+    assert(java.util.Arrays.equals(pngGray, p6Gray),
+      "PNG (zlib, filtered) and P6 (raw) must decode to one gray raster")
+    // ALL FIVE reconstruction filters: hand-filter each row of the gray
+    // raster with filter type (row % 5) and re-wrap the IDAT — decode
+    // must invert Sub/Up/Average/Paeth back to the identical pixels
+    val rb = w
+    val filtered = new Array[Byte]((rb + 1) * h)
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      filtered(y * (rb + 1)) = f.toByte
+      var x = 0
+      while (x < rb) {
+        val v = gray(y * rb + x) & 0xff
+        val a = if (x >= 1) gray(y * rb + x - 1) & 0xff else 0
+        val b = if (y >= 1) gray((y - 1) * rb + x) & 0xff else 0
+        val c = if (x >= 1 && y >= 1) gray((y - 1) * rb + x - 1) & 0xff else 0
+        val enc = f match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            v - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        filtered(y * (rb + 1) + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val mixed = {
+      val base = Multimodal.Png.encodeGray(w, h, gray)
+      // splice: reuse the encoder's container, replace the IDAT body by
+      // deflating the hand-filtered scanlines
+      val d = new java.util.zip.Deflater(); d.setInput(filtered); d.finish()
+      val zo = new java.io.ByteArrayOutputStream(); val tmp = new Array[Byte](8192)
+      while (!d.finished()) zo.write(tmp, 0, d.deflate(tmp)); d.end()
+      val z = zo.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, 8 + 8 + 13 + 4) // signature + IHDR chunk
+      def w32(v: Long): Unit = { out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt) }
+      w32(z.length.toLong); out.write("IDAT".getBytes("US-ASCII"), 0, 4); out.write(z, 0, z.length)
+      val crc = new java.util.zip.CRC32(); crc.update("IDAT".getBytes("US-ASCII")); crc.update(z); w32(crc.getValue)
+      w32(0L); out.write("IEND".getBytes("US-ASCII"), 0, 4)
+      val ec = new java.util.zip.CRC32(); ec.update("IEND".getBytes("US-ASCII")); w32(ec.getValue)
+      out.toByteArray
+    }
+    val Some((_, _, unf)) = Multimodal.Png.decode(mixed)
+    assert(java.util.Arrays.equals(unf, gray),
+      "Sub/Up/Average/Paeth reconstruction must invert the hand-filtered rows exactly")
+    // QUAD-container dHash equality through the full Spark seam
+    val grayRgb = gray.flatMap(v => Array(v, v, v)) // r=g=b: luma is identity
+    val media = Seq(
+      1L -> Multimodal.Pgm.encode(w, h, gray),
+      2L -> Multimodal.Bmp.encodeRgb(w, h, grayRgb),
+      3L -> Multimodal.Png.encodeGray(w, h, gray),
+      4L -> Multimodal.Png.encodeRgb(w, h, grayRgb),
+      5L -> "none of the four".getBytes("US-ASCII"))
+      .toDF("media_id", "payload")
+      .select(col("media_id"),
+        struct(lit("image").as("media_type"), lit(w).as("width"),
+          lit(h).as("height"), lit(0).as("sample_rate"),
+          lit(1).as("n_frames")).as("meta"),
+        col("payload"))
+    val feats = Multimodal.extractFeatures(media, decoder = Multimodal.PgmDecoder())
+      .collect().map(f => f.media_id -> f.checksum).toMap
+    assert(Set(feats(1L), feats(2L), feats(3L), feats(4L)).size == 1,
+      "PGM, BMP, and both PNG containers of one image must share the perceptual dHash")
+    assert(feats(5L) != feats(1L)) // the stub row took the fake tier
+    // hostile battery: every malformation returns None, never throws
+    val good = Multimodal.Png.encodeRgb(w, h, rgb)
+    def patched(f: (Array[Byte]) => Unit): Array[Byte] = { val p = good.clone(); f(p); p }
+    val hostile: Seq[(String, Array[Byte])] = Seq(
+      "short payload" -> good.take(20),
+      "wrong signature" -> patched(p => p(0) = 'X'),
+      "16-bit depth" -> patched(p => p(24) = 16),
+      "palette color type" -> patched(p => p(25) = 3),
+      "Adam7 interlace" -> patched(p => p(28) = 1),
+      "zero width" -> patched { p => p(16) = 0; p(17) = 0; p(18) = 0; p(19) = 0 },
+      "width past cap" -> patched(p => p(16) = 0x7f),
+      "truncated IDAT (zlib cut mid-stream)" -> good.take(good.length - 30),
+      "chunk length past payload" -> patched { p => p(33) = 0x7f },
+      "garbage IDAT bytes" -> patched { p =>
+        var i = 41; while (i < math.min(p.length, 61)) { p(i) = 0x55; i += 1 } })
+    hostile.foreach { case (name, p) =>
+      assert(Multimodal.Png.decode(p).isEmpty, s"hostile PNG '$name' must reject") }
+    // a bogus FILTER byte (inside a valid zlib stream) must also reject
+    val badFilter = filtered.clone(); badFilter(0) = 9
+    val bf = {
+      val d = new java.util.zip.Deflater(); d.setInput(badFilter); d.finish()
+      val zo = new java.io.ByteArrayOutputStream(); val tmp = new Array[Byte](8192)
+      while (!d.finished()) zo.write(tmp, 0, d.deflate(tmp)); d.end()
+      val z = zo.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Multimodal.Png.encodeGray(w, h, gray), 0, 8 + 8 + 13 + 4)
+      def w32(v: Long): Unit = { out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt) }
+      w32(z.length.toLong); out.write("IDAT".getBytes("US-ASCII"), 0, 4); out.write(z, 0, z.length); w32(0L)
+      w32(0L); out.write("IEND".getBytes("US-ASCII"), 0, 4); w32(0L)
+      out.toByteArray
+    }
+    assert(Multimodal.Png.decode(bf).isEmpty, "bogus filter byte must reject, not mis-decode")
+  }
 }

@@ -492,4 +492,50 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "insert")))
     } finally q.stop()
   }
+
+  test("Trigger.AvailableNow drains to the head captured at start across rate-limited batches, then stops — a mid-drain commit stays for the next run") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-drain-ckpt").toString
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a"))  // v0 — the startingVersion=0 base
+    tbl.merge(kv(2L -> "b"))   // v1
+    tbl.merge(kv(3L -> "c"))   // v2
+    tbl.merge(kv(4L -> "d"))   // v3 — the head the drain must capture
+    val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    @volatile var injected = false
+    def run(sink: (DataFrame, Long) => Unit) = feed(dir,
+        "startingVersion" -> "0", "maxVersionsPerBatch" -> "1")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(sink)
+      .start()
+    val q = run { (b, _) =>
+      buf.synchronized {
+        buf ++= b.select("k", "_commit_version").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      // one commit lands ABOVE the captured head, from inside the drain:
+      // deterministic mid-drain interleaving (maxVersionsPerBatch=1
+      // guarantees more batches follow this one)
+      if (!injected) { injected = true; tbl.merge(kv(9L -> "late")) }
+    }
+    assert(q.awaitTermination(120000), "AvailableNow drain must self-terminate")
+    // exactly (v0, v3]: keys 2,3,4 — one version per batch; key 9 (v4,
+    // committed mid-drain) must NOT leak into this run
+    assert(buf.sortBy(_._1).toSeq == Seq((2L, 1L), (3L, 2L), (4L, 3L)),
+      s"drain delivered $buf")
+    // a SECOND AvailableNow run on the same checkpoint picks up exactly
+    // the mid-drain commit, then stops
+    val buf2 = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q2 = run { (b, _) =>
+      buf2.synchronized {
+        buf2 ++= b.select("k", "_commit_version").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+    }
+    assert(q2.awaitTermination(120000), "second drain must self-terminate")
+    assert(buf2.sortBy(_._1).toSeq == Seq((9L, 4L)), s"second drain delivered $buf2")
+  }
 }

@@ -1474,15 +1474,22 @@ class SnapshotTableSpec extends AnyFunSuite {
     // masked residue)
     assert(tbl.scan().count() == 198L)
     assert(tbl.scan().filter(col("k") === 5L).isEmpty)
-    // the bare relation (format provider's batch half) must REFUSE a
-    // DV-carrying snapshot rather than resurrect deleted rows
-    val e = intercept[IllegalArgumentException](tbl.scanRelation())
-    assert(e.getMessage.contains("deletion vectors"))
+    // the relation route (format provider's batch half, SQL views) on a
+    // DV-carrying snapshot serves the MASKED rows through the
+    // PrunedFilteredScan fallback — never resurrects deleted rows, and
+    // never refuses the read (r16 refused; r17 masks)
+    val maskedRel = tbl.scanRelation()
+    assert(maskedRel.isInstanceOf[graft.incremental.GraftMaskedRelation])
+    val viaRel = spark.baseRelationToDataFrame(maskedRel)
+    assert(viaRel.count() == 198L)
+    assert(viaRel.filter(col("k") === 5L).isEmpty)
+    assert(viaRel.filter(col("k") === 6L).count() == 1L)
     // optimize pays the merge-on-read debt: vectors materialize away,
-    // content identical, and the bare relation works again
+    // content identical, and the relation goes back to the file-backed
+    // fast path (HadoopFsRelation, planner-integrated pruning)
     tbl.optimize(smallBytes = 1L) // no file is "small" — DVs alone force the rewrite
     assertSameRows(tbl.read(), df.filter(!col("k").isin(5L, 105L)))
-    assert(tbl.scanRelation() != null)
+    assert(!tbl.scanRelation().isInstanceOf[graft.incremental.GraftMaskedRelation])
     // the optimize is still feed-silent (content-identical by contract)
     val hist = tbl.history
     assert(hist.last._3 == "optimize")
