@@ -143,6 +143,23 @@ object SparkEntry {
         when(col("week_beginning").isNotNull, lit("delta"))))
       materializeAndClean(tbl.read().orderBy("week_beginning"), scratch)
     }),
+    // COLUMN-MAPPING rename through the ACID sink: a manifest-only
+    // RENAME between the create and the merge — untouched pre-rename
+    // files carry BY REFERENCE and serve the renamed column via the
+    // mapping (files store the stable physical name), while the merge
+    // restages its touched slice under the same physical name; zero
+    // data files rewritten by the rename itself
+    "upsert_round_snapshot_rename" -> ((s, dir) => {
+      val (existing, incoming) =
+        WeeklySummary.upsertRoundParts(Tables.rental(s, dir), DeltaFrom, AsOf)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-snap-rn").toString
+      val tbl = new graft.incremental.SnapshotTable(s, scratch, "week_beginning")
+      tbl.create(existing)
+      tbl.renameColumn("outstanding_rentals_at_week_end", "open_rentals_at_week_end")
+      tbl.merge(incoming.withColumnRenamed(
+        "outstanding_rentals_at_week_end", "open_rentals_at_week_end"))
+      materializeAndClean(tbl.read().orderBy("week_beginning"), scratch)
+    }),
     // manifest-pruned RANGE READ over the corpus store: only files
     // whose doc_id [min,max] intersects the band are handed to the
     // scan (SnapshotTable.readRange — the read-side twin of the
@@ -666,11 +683,26 @@ object SparkEntry {
       TextOps.nearDupWinnowIncremental(
         docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
     }),
-    // incremental dedup: docs with doc_id % 10 = 0 play the "new batch"
+    // incremental dedup: docs with doc_id % 10 = 0 play the "new batch".
+    // This INLINE arm re-shingles the corpus per batch (the single-shot
+    // / oracle-parity shape); the indexed arm below is the 100-TB path
     "neardup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextOps.nearDupJaccardIncremental(
         docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+    }),
+    // the PERSISTED-INDEX twin: the corpus side comes from the ingest
+    // state's inverted shingle postings (shp/), so per-batch work is
+    // delta-proportional and corpus-size-flat — bit-identical pairs
+    // (shared oracle with neardup_incremental)
+    "neardup_jaccard_delta_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-ndji").toString
+      val idx = new graft.incremental.IngestIndex(s, s"$scratch/state",
+        withShingles = true)
+      idx.build(docs.filter(col("doc_id") % 10 =!= 0))
+      materializeAndClean(
+        idx.jaccardDeltaProbe(docs.filter(col("doc_id") % 10 === 0)), scratch)
     }),
     // decontamination: docs with doc_id % 10 = 0 play the benchmark/eval set
     "decontaminate" -> ((s, dir) => {
@@ -1579,8 +1611,12 @@ object SparkEntry {
 
   private val upsertRoundOracle: String = upsertRoundOracleSql(noteCol = false)
   /** `noteCol` adds the evolve query's nullable audit column: 'delta'
-    * on recomputed rows, NULL on carried-forward pre-evolution rows. */
-  private def upsertRoundOracleSql(noteCol: Boolean): String = {
+    * on recomputed rows, NULL on carried-forward pre-evolution rows.
+    * `outCol` renames the outstanding column in the output — the
+    * rename-evolution query's oracle (the data is identical; only the
+    * logical name moved). */
+  private def upsertRoundOracleSql(noteCol: Boolean,
+      outCol: String = "outstanding_rentals_at_week_end"): String = {
     val newNote = if (noteCol) ", 'delta' AS batch_note" else ""
     val oldNote = if (noteCol) ", CAST(NULL AS VARCHAR) AS batch_note" else ""
     val (oldCtes, oldFin) = snapshotCtes("old_src", "old_")
@@ -1609,10 +1645,10 @@ object SparkEntry {
        |         outstanding_rentals_at_week_end
        |  FROM new_base)
        |SELECT week_beginning, newly_rented_during_week, returned_rentals_during_week,
-       |       net_change_in_outstanding, outstanding_rentals_at_week_end$newNote FROM new_rows
+       |       net_change_in_outstanding, outstanding_rentals_at_week_end AS $outCol$newNote FROM new_rows
        |UNION ALL
        |SELECT o.week_beginning, o.newly_rented_during_week, o.returned_rentals_during_week,
-       |       o.net_change_in_outstanding, o.outstanding_rentals_at_week_end$oldNote FROM $oldFin o
+       |       o.net_change_in_outstanding, o.outstanding_rentals_at_week_end AS $outCol$oldNote FROM $oldFin o
        |WHERE o.week_beginning NOT IN (SELECT week_beginning FROM affected)
        |ORDER BY week_beginning""".stripMargin
   }
@@ -1656,6 +1692,8 @@ object SparkEntry {
     "upsert_round" -> upsertRoundOracle,
     "upsert_round_snapshot" -> upsertRoundOracle,
     "upsert_round_snapshot_evolve" -> upsertRoundOracleSql(noteCol = true),
+    "upsert_round_snapshot_rename" ->
+      upsertRoundOracleSql(noteCol = false, outCol = "open_rentals_at_week_end"),
     "corpus_forget" ->
       "SELECT * FROM documents WHERE doc_id % 17 <> 0",
     "corpus_forget_dv" ->
@@ -2396,6 +2434,13 @@ object SparkEntry {
     // the incremental result must equal the batch recompute restricted to
     // pairs touching the incoming split (doc_id % 10 = 0)
     "neardup_incremental" ->
+      s"""WITH $jaccardPairsCtes
+         |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard FROM jacc_pairs
+         |WHERE jaccard >= 0.8 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin,
+    // the indexed arm is bit-identical to the inline one by
+    // construction (shared posting-cap algebra + pair-emit tail) — one
+    // oracle covers both
+    "neardup_jaccard_delta_indexed" ->
       s"""WITH $jaccardPairsCtes
          |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard FROM jacc_pairs
          |WHERE jaccard >= 0.8 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin,

@@ -152,10 +152,30 @@ final class GraftCatalog extends TableCatalog {
     new GraftTable(tbl, s"$catalogName.`$dir`", None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported on graft catalog tables — schema evolves on write " +
-        "(nullable column adds) through the table's own commit protocol")
+  /** `ALTER TABLE graft.\`/path\` RENAME COLUMN a TO b` / `DROP COLUMN
+    * a` — manifest-only commits through the table's column mapping
+    * ([[SnapshotTable.renameColumn]]/[[SnapshotTable.dropColumn]]):
+    * zero data files rewritten, old files serve the renamed column.
+    * Every other change (type alters, adds — adds happen on write via
+    * schema evolution) is rejected loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val tbl = handleAt(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft tables have no nested columns to rename")
+        tbl.renameColumn(r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft tables have no nested columns to drop")
+        if (tbl.schema.fieldNames.contains(d.fieldNames.head) || !d.ifExists())
+          tbl.dropColumn(d.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported on graft tables — columns are " +
+          "added by writing them (nullable schema evolution); types never change")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = pathOf(ident)

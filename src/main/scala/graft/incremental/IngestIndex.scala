@@ -127,7 +127,7 @@ final class IngestIndex(spark: SparkSession, dir: String,
     * rebuild instruction (the records of previously-admitted docs can't
     * be derived from the other indexes; the one upgrade path is a
     * `withShingles = true` rebuild over the FULL admitted corpus). */
-  private val AllSubs = Seq("fp", "spans", "winnow", "sh")
+  private val AllSubs = Seq("fp", "spans", "winnow", "sh", "shp")
 
   /** The state's persisted shingle capability (None: no meta yet, or a
     * pre-capability layout). */
@@ -141,11 +141,23 @@ final class IngestIndex(spark: SparkSession, dir: String,
     * capability when a meta exists (superset-compatible open — see the
     * class doc), the caller's request before the first build. */
   private def effectiveShingles: Boolean =
-    storedShingles.map(_ == 2L).getOrElse(withShingles)
+    storedShingles.map(_ >= 2L).getOrElse(withShingles)
+
+  /** The state's persisted exact-jaccard capability: capability value 3
+    * adds the INVERTED shingle postings index `shp/` (shingle →
+    * df-capped (doc_id, n_sh) postings) beside the per-doc record cache
+    * — what [[jaccardDeltaProbe]] pairs a delta against without ever
+    * re-reading corpus text. Older shingled states (value 2) keep
+    * serving records; only the jaccard probe demands the upgrade. */
+  private def effectiveJaccard: Boolean =
+    storedShingles.map(_ >= 3L).getOrElse(withShingles)
 
   /** The indexes absorb/compact maintain for THIS state. */
-  private def subs: Seq[String] =
-    if (effectiveShingles) AllSubs else AllSubs.filterNot(_ == "sh")
+  private def subs: Seq[String] = AllSubs.filter {
+    case "sh" => effectiveShingles
+    case "shp" => effectiveJaccard
+    case _ => true
+  }
 
   private def livePath(rel: String) = new Path(s"$dir/$rel")
   private def stagePath(rel: String) = new Path(s"$dir/.stage/$rel")
@@ -218,9 +230,11 @@ final class IngestIndex(spark: SparkSession, dir: String,
     "k" -> k.toLong, "w" -> w.toLong, "maxDf" -> maxDf.toLong,
     "bloomBits" -> bloomBits.toLong, "bloomK" -> bloomK.toLong,
     "buckets" -> buckets.toLong,
-    // 2 = record schema v2 (shingles + the four quality stats); a v1
-    // shingles-only state fails meta validation loudly → rebuild
-    "shingles" -> (if (withShingles) 2L else 0L))
+    // 2 = record schema v2 (shingles + the four quality stats); 3 adds
+    // the inverted jaccard postings (shp/). A v1 shingles-only state
+    // fails meta validation loudly → rebuild; a v2 state keeps serving
+    // records and only [[jaccardDeltaProbe]] demands the v3 rebuild
+    "shingles" -> (if (withShingles) 3L else 0L))
   private def validateMeta(): Unit = readSidecar(metaPath) match {
     case None =>
       if (fs.exists(livePath("fp")))
@@ -243,7 +257,7 @@ final class IngestIndex(spark: SparkSession, dir: String,
       // reject only a caller that REQUIRES records on a state lacking
       // them — and say how to upgrade (the runbook answer: records are
       // derived from TEXT, so the only path is a full rebuild)
-      if (withShingles && !stored.get("shingles").contains(2L))
+      if (withShingles && !stored.get("shingles").exists(_ >= 2L))
         throw new IllegalStateException(
           s"ingest state at $dir holds no signature records " +
             s"(shingles=${stored.getOrElse("shingles", "absent — pre-r11 state")}) " +
@@ -402,19 +416,34 @@ final class IngestIndex(spark: SparkSession, dir: String,
         () => stageBucketed("spans/base", withBucket(TextOps.dupSpanIndex(shared, width, stride), "w")),
         () => stageBucketed("winnow/base", withBucket(TextOps.nearDupWinnowIndex(shared, k, w, maxDf), "fp"))) ++
         (if (withShingles)
-          Seq[() => Unit](() => stageBucketed("sh/base",
-            withBucket(TextOps.shingleSignatures(shared, k), "doc_id")))
+          Seq[() => Unit](
+            () => stageBucketed("sh/base",
+              withBucket(TextOps.shingleSignatures(shared, k), "doc_id")),
+            // the INVERTED postings twin: shingle → df-capped postings
+            // (cap maxDf+1 — over-cap lists are detectably over, and
+            // the probe's size filter drops them exactly like the
+            // inline arm's cap over the merged list)
+            () => {
+              val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
+              stageBucketed("shp/base", withBucket(
+                TextOps.explodedShingleRows(shared, k)
+                  .groupBy(col("shingle"))
+                  .agg(capped(col("doc_id"), col("n_sh")).as("ids")),
+                "shingle"))
+            })
          else Nil)
       inParallel(jobs: _*)
     } finally shared.unpersist(blocking = false)
     writeSidecar(stagePath("_graft_meta"),
       params.map { case (n, v) => s"$n=$v" }.mkString("\n"))
     // build follows the CALLER's capability (a rebuild may upgrade or
-    // downgrade it); a downgrade drops the stale sh/ dir so nothing
-    // record-shaped outlives the meta that claimed it
-    val builtSubs = if (withShingles) AllSubs else AllSubs.filterNot(_ == "sh")
+    // downgrade it); a downgrade drops the stale sh//shp/ dirs so
+    // nothing record-shaped outlives the meta that claimed it
+    val shingleSubs = Seq("sh", "shp")
+    val builtSubs = if (withShingles) AllSubs
+      else AllSubs.filterNot(shingleSubs.contains)
     val entries = builtSubs.map(s => s"$s" -> "full") ++
-      (if (withShingles) Nil else Seq("sh" -> "drop")) ++
+      (if (withShingles) Nil else shingleSubs.map(_ -> "drop")) ++
       Seq("bloom" -> "full", "_graft_meta" -> "full",
         // a rebuild invalidates any memoized derived frame wholesale
         "pairs" -> "drop")
@@ -500,6 +529,13 @@ final class IngestIndex(spark: SparkSession, dir: String,
         (if (effectiveShingles)
           Seq[() => Unit](() => TextOps.shingleSignatures(shared, k)
             .write.parquet(stagePath(s"sh/$seg").toString))
+         else Nil) ++
+        // shp segments hold RAW (shingle, doc_id, n_sh) rows — postings
+        // re-cap at probe/compact time, like winnow segments
+        (if (effectiveJaccard)
+          Seq[() => Unit](() => TextOps.explodedShingleRows(shared, k)
+            .select(col("shingle"), col("doc_id"), col("n_sh"))
+            .write.parquet(stagePath(s"shp/$seg").toString))
          else Nil)
       inParallel(jobs: _*)
     } finally shared.unpersist(blocking = false)
@@ -545,6 +581,20 @@ final class IngestIndex(spark: SparkSession, dir: String,
         // dedup (no array comparison) is exact
         Seq[() => Unit](() => stageCompact("sh", loadSegs("sh").get, "doc_id",
           (ex, d) => ex.unionByName(d).dropDuplicates("doc_id", "fp_md5")))
+       else Nil) ++
+      (if (effectiveJaccard && segNames("shp").nonEmpty)
+        // shp folds like winnow: explode base postings to raw rows,
+        // union the raw segments, distinct (idempotent re-absorbs fold
+        // away; a doc's shingle set is itself distinct), re-cap
+        Seq[() => Unit](() => stageCompact("shp", loadSegs("shp").get, "shingle",
+          (ex, d) => ex
+            .select(col("bucket"), col("shingle"), explode(col("ids")).as("e"))
+            .select(col("bucket"), col("shingle"),
+              col("e.doc_id").as("doc_id"), col("e.n_sh").as("n_sh"))
+            .unionByName(d)
+            .distinct()
+            .groupBy(col("bucket"), col("shingle"))
+            .agg(capped(col("doc_id"), col("n_sh")).as("ids"))))
        else Nil)
     inParallel(folds: _*)
     commit(subs.map(s => s"$s/base" -> "delta") ++ drops)
@@ -678,6 +728,59 @@ final class IngestIndex(spark: SparkSession, dir: String,
     }
     TextOps.nearDupWinnowProbe(deltaPruned(idx, keys, "fp", "winnow"),
       incoming, k, w, minShared, maxDf)
+  }
+
+  /** EXACT-jaccard delta near-dup against the persisted inverted
+    * postings (`shp/`): pairs touching `incoming` (new×old and
+    * new×new), bit-identical to the inline
+    * [[graft.ops.TextOps.nearDupJaccardIncremental]] over (admitted
+    * corpus, incoming) — the two arms share the posting-cap algebra and
+    * the pair-emit tail, so one DuckDB oracle covers both. The
+    * difference is WORK SHAPE: the inline arm re-reads and re-shingles
+    * the whole corpus per batch (corpus-proportional); this probe reads
+    * only the index buckets the delta's shingles land in (bucket-pruned
+    * columnar parquet + the bloom row-prune past `pruneThreshold`), so
+    * per-batch work is ∝ the delta's shingle mass × O(maxDf) — the
+    * corpus-size-FLAT ingest-time path at 100 TB.
+    *
+    * Cap exactness across the split: stored postings cap at maxDf+1, so
+    * an under-cap list is the EXACT corpus list and an at-cap list is
+    * detectably over once merged with ≥1 delta occurrence — and a
+    * shingle with no delta occurrence never enters the probe at all —
+    * so the merged re-cap reproduces the inline arm's df∈[2,maxDf]
+    * semantics on every shingle the result can depend on. */
+  def jaccardDeltaProbe(incoming: DataFrame,
+      minJaccard: Double = 0.8): DataFrame = {
+    opened
+    require(effectiveJaccard,
+      s"ingest state at $dir holds no jaccard postings (shp/) — rebuild the state " +
+        "with withShingles = true over the FULL admitted corpus to enable the " +
+        "indexed exact-jaccard delta probe")
+    val exInc = TextOps.explodedShingleRows(incoming, k)
+    val keys = exInc.select(col("shingle")).distinct()
+    // corpus postings restricted to the delta's shingles: bloom
+    // row-prune at the scan (cost-gated), then the exact semi-join the
+    // inline arm's correctness argument requires
+    val base = deltaPruned(loadBase("shp").drop("bucket"), keys, "shingle", "shp")
+      .join(keys, Seq("shingle"), "left_semi")
+      .select(col("shingle"), explode(col("ids")).as("e"))
+      .select(col("shingle"), col("e.doc_id").as("doc_id"), col("e.n_sh").as("n_sh"))
+    val corpusRaw = loadSegs("shp") match {
+      case None => base
+      case Some(segs) =>
+        // segments are raw rows; duplicates (idempotent re-absorbs)
+        // fold away in the distinct, like the winnow probe's merge
+        base.unionByName(segs.join(keys, Seq("shingle"), "left_semi")
+          .select(col("shingle"), col("doc_id"), col("n_sh"))).distinct()
+    }
+    val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
+    val postings = corpusRaw
+      .unionByName(exInc.select(col("shingle"), col("doc_id"), col("n_sh")))
+      .groupBy(col("shingle"))
+      .agg(capped(col("doc_id"), col("n_sh")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    TextOps.jaccardPairsTouching(postings,
+      incoming.select(col("doc_id")).distinct(), minJaccard)
   }
 
   /** Signature records for `incoming` with cache reuse: docs whose

@@ -225,9 +225,32 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     def logicalRows: Long = rows - dv.map(_._2).getOrElse(0L)
   }
 
+  /** `colmap` is the COLUMN MAPPING (logical → physical name, identity
+    * entries omitted): data files always store a column under its
+    * PHYSICAL name — the name the column was created with, stable for
+    * the file's whole life — while the schema shows the LOGICAL name,
+    * so [[renameColumn]] is a manifest-only commit and old files serve
+    * the renamed column without a byte rewritten (the Delta/Iceberg
+    * column-mapping rung, name-keyed). `retired` holds physical names
+    * of DROPPED columns: a later add must never reuse one, or old
+    * files would resurrect the dropped values under the new column. */
   private final case class Manifest(version: Long, parent: Long, op: String,
       schema: StructType, entries: Seq[Entry], tag: Option[String],
-      keyName: Option[String] = None)
+      keyName: Option[String] = None,
+      colmap: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil) {
+    /** Physical (on-file) name of a logical column. */
+    def physOf(logical: String): String = colmap.getOrElse(logical, logical)
+    /** The schema as data files store it. */
+    def physSchema: StructType =
+      if (colmap.isEmpty) schema
+      else StructType(schema.fields.map(f => f.copy(name = physOf(f.name))))
+    /** Physical column translation for a schema that may EXTEND this
+      * manifest's (write-side evolution: added columns are identity). */
+    def physSchemaOf(logical: StructType): StructType =
+      if (colmap.isEmpty) logical
+      else StructType(logical.fields.map(f => f.copy(name = physOf(f.name))))
+  }
 
   // ---- manifest IO ----
 
@@ -348,9 +371,19 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         bytes = optNulls(f, 7), // file byte length: trailing field, absent on old manifests
         dv = dvByPath.get(f(1)))
     }
+    // header mapping encodings: names ride Base64 (a column name may
+    // hold spaces/commas/equals; the manifest is line-oriented)
+    def b64d(s: String) = new String(
+      java.util.Base64.getDecoder.decode(s), "UTF-8")
+    val colmap = header.get("#colmap").map(_.split(",").map { p =>
+      val Array(l, ph) = p.split(":", 2) // ':' is outside the Base64 alphabet
+      b64d(l) -> b64d(ph)
+    }.toMap).getOrElse(Map.empty)
+    val retired = header.get("#retired")
+      .map(_.split(",").toSeq.map(b64d)).getOrElse(Nil)
     Some(Manifest(v, header("#parent").toLong, header("#op"),
       DataType.fromJson(header("#schema")).asInstanceOf[StructType], entries,
-      header.get("#tag"), header.get("#key")))
+      header.get("#tag"), header.get("#key"), colmap, retired))
   }
 
   /** The full committed chain, oldest first — for the callers that
@@ -524,7 +557,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   /** The latest committed snapshot. */
   def read(): DataFrame = {
     val m = requireManifest
-    readEntries(m.schema, m.entries)
+    readEntries(m, m.entries)
   }
 
   /** The current snapshot's schema — one manifest resolve, zero data
@@ -560,7 +593,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   def readVersion(v: Long): DataFrame = {
     val m = loadManifest(v).getOrElse(
       throw new IllegalStateException(s"no committed version $v at $dir"))
-    readEntries(m.schema, m.entries)
+    readEntries(m, m.entries)
   }
 
   /** Key-range read with MANIFEST-level file pruning: only data files
@@ -587,7 +620,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         case _ => true
       }
     }
-    val df = readEntries(m.schema, entries)
+    val df = readEntries(m, entries)
     val bounded = lo.map(l => col(key) >= lit(l)).toSeq ++ hi.map(h => col(key) <= lit(h))
     bounded.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
@@ -617,12 +650,12 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     // physical stats over masked rows would overclaim — optimize()
     // restages them with fresh stats anyway.
     val todo = m.entries.filter(e => e.dv.isEmpty &&
-      cols.exists(c => e.stats.get(c).forall(_.nulls.isEmpty)))
+      cols.exists(c => e.stats.get(m.physOf(c)).forall(_.nulls.isEmpty)))
     if (todo.isEmpty) return m.version
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).as(s"__n$i"), max(col(c)).as(s"__x$i"),
         count(col(c)).as(s"__c$i")) }
-    val rows = readEntriesRaw(m.schema, todo)
+    val rows = readEntriesRaw(m, m.schema, todo)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -635,9 +668,9 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
             val (mn, mx) = (ordEncode(r.get(1 + 3 * i)), ordEncode(r.get(2 + 3 * i)))
             val nulls = Some(e.rows - r.getLong(3 + 3 * i))
             if (mn.isDefined && mx.isDefined)
-              Some(c -> ColStat(kindOf(m.schema(c).dataType), mn, mx, nulls))
+              Some(m.physOf(c) -> ColStat(kindOf(m.schema(c).dataType), mn, mx, nulls))
             else if (nulls.contains(e.rows)) // all-null file: known, countable
-              Some(c -> ColStat(kindOf(m.schema(c).dataType), None, None, nulls))
+              Some(m.physOf(c) -> ColStat(kindOf(m.schema(c).dataType), None, None, nulls))
             else None
           }.toMap
         }
@@ -649,7 +682,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       e.copy(stats = fresh ++
         e.stats.filter { case (c, st) => st.nulls.isDefined || !fresh.contains(c) })
     }
-    commit(m.version, "stats", m.schema, enriched, m.tag.getOrElse(""))
+    commit(m.version, "stats", m.schema, enriched, m.tag.getOrElse(""),
+      m.colmap, m.retired)
   }
 
   /** DATA-SKIPPING read on a SECONDARY column: manifest-level file
@@ -672,7 +706,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       s"no column $column in table schema ${m.schema.fieldNames.mkString(", ")}")
     val (loE, hiE) = (lo.flatMap(ordEncode), hi.flatMap(ordEncode))
     val entries = m.entries.filter { e =>
-      e.stats.get(column) match {
+      e.stats.get(m.physOf(column)) match {
         case Some(ColStat(k, Some(fMin), Some(fMax), _)) =>
           hiE.forall(h => !ordLt(k, h, fMin)) && loE.forall(l => !ordLt(k, fMax, l))
         // all-null file (known): no row can satisfy a bounded predicate
@@ -681,7 +715,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         case _ => true // no stats recorded for this column: keep
       }
     }
-    val df = readEntries(m.schema, entries)
+    val df = readEntries(m, entries)
     val bounded = lo.map(l => col(column) >= lit(l)).toSeq ++
       hi.map(h => col(column) <= lit(h))
     bounded.reduceOption(_ && _).map(df.filter).getOrElse(df)
@@ -728,7 +762,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     }
     def statsOf(e: Entry): Option[ColStat] =
       if (column == key) Some(ColStat(e.kind, e.min, e.max, e.nulls))
-      else e.stats.get(column)
+      else e.stats.get(m.physOf(column))
     var served = 0L
     val toScan = Seq.newBuilder[Entry]
     m.entries.foreach { e =>
@@ -760,7 +794,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       val pred = (lo.map(l => col(column) >= lit(l)).toSeq ++
         hi.map(h => col(column) <= lit(h)))
         .reduceOption(_ && _).getOrElse(col(column).isNotNull)
-      readEntries(m.schema, need).filter(pred).count()
+      readEntries(m, need).filter(pred).count()
     })
   }
 
@@ -788,7 +822,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       s"no column $column in table schema ${m.schema.fieldNames.mkString(", ")}")
     def statsOf(e: Entry): Option[ColStat] =
       if (column == key) Some(ColStat(e.kind, e.min, e.max, e.nulls))
-      else e.stats.get(column)
+      else e.stats.get(m.physOf(column))
     // split: files with orderable bounds / provably all-null / unknown.
     // A deletion-vectored file's recorded extreme may be masked, so it
     // neither votes in the election nor gets skipped — always a scan
@@ -814,7 +848,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
           unknown).distinct
       }
     lastBoundsScanned = candidates.size
-    readEntries(m.schema, candidates)
+    readEntries(m, candidates)
       .agg(min(col(column)).as(s"${column}_min"), max(col(column)).as(s"${column}_max"))
   }
 
@@ -855,11 +889,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * schema, pre-evolution files yielding null for added columns. */
   def changesBetween(from: Long, to: Long): DataFrame = {
     require(from <= to, s"changesBetween wants from <= to, got $from > $to")
-    val (segments, schema) = changeScanSegments(from, to)
+    val (segments, toM) = changeScanSegments(from, to)
+    // every side reads with the TO manifest's schema AND column mapping:
+    // physical names are rename-stable, so files from any version in the
+    // interval serve the feed under the newest logical names — a pure
+    // rename commit changes no entry and feeds ZERO rows
     def side(pick: ((Seq[Entry], Seq[Entry])) => Seq[Entry]): DataFrame =
-      segments.map(seg => readEntries(schema, pick(seg)))
+      segments.map(seg => readEntries(toM, toM.schema, pick(seg)))
         .reduceOption(_ unionByName _)
-        .getOrElse(readEntries(schema, Nil))
+        .getOrElse(readEntries(toM, toM.schema, Nil))
     val before = side(_._1)
     val after = side(_._2)
     after.exceptAll(before).withColumn("_change", lit("added"))
@@ -880,7 +918,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * endpoint-diff segment when the interval has no optimize to
     * decompose around, or as the retired-intermediate fallback. */
   private def changeScanSegments(
-      from: Long, to: Long): (Seq[(Seq[Entry], Seq[Entry])], StructType) = {
+      from: Long, to: Long): (Seq[(Seq[Entry], Seq[Entry])], Manifest) = {
     val a = loadManifest(from).getOrElse(
       throw new IllegalStateException(s"no committed version $from at $dir"))
     val b = loadManifest(to).getOrElse(
@@ -923,7 +961,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         if (prev.version != start.version) cuts += ((start, prev))
         cuts.result().map { case (s, e) => churn(s, e) }
       }
-    (segments, b.schema)
+    (segments, b)
   }
 
   /** KEY-GRAIN change feed: [[changesBetween]] folded to ONE row per
@@ -978,7 +1016,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       s"readKeys frame must carry the table key column $key")
     val ks = keys.select(col(key))
     val entries = m.entries.filter(keyPruner(ks, m.schema(key).dataType))
-    readEntries(m.schema, entries).join(ks.distinct(), Seq(key), "left_semi")
+    readEntries(m, entries).join(ks.distinct(), Seq(key), "left_semi")
   }
 
   /** CATALYST-INTEGRATED scan: the snapshot exposed through a custom
@@ -1012,12 +1050,18 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
 
   private def scanOf(m: Manifest): DataFrame = {
     val (dvd, clean) = m.entries.partition(_.dv.isDefined)
-    val base = spark.baseRelationToDataFrame(relationOf(m, clean))
+    // the file relation plans over PHYSICAL names (what parquet holds);
+    // a mapped snapshot aliases back to logical on top — Catalyst
+    // rewrites pushed predicates through the aliases, so manifest
+    // pruning and row-group pushdown see physical names consistently
+    val raw = spark.baseRelationToDataFrame(relationOf(m, clean))
+    val base =
+      if (m.colmap.isEmpty) raw else raw.toDF(m.schema.fieldNames.toIndexedSeq: _*)
     if (dvd.isEmpty) base
     // the merge-on-read residue rides beside the pruned relation as a
     // masked plain read — unpruned, but bounded by the DV'd file count
     // and cleared at the next optimize()
-    else base.unionByName(readEntries(m.schema, dvd))
+    else base.unionByName(readEntries(m, dvd))
   }
 
   /** The [[scan]] snapshot as a bare `BaseRelation` — what the BATCH
@@ -1046,7 +1090,11 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * `timestampAsOf` options. */
   def scanRelation(version: Option[Long] = None): org.apache.spark.sql.sources.BaseRelation = {
     val m = manifestAt(version)
-    if (m.entries.exists(_.dv.isDefined)) new GraftMaskedRelation(spark, () => scanOf(m))
+    // deletion vectors need their anti-join spliced in; a column-mapped
+    // snapshot needs its logical aliases — neither fits one bare
+    // file-backed node, so both take the masked-relation fallback
+    if (m.entries.exists(_.dv.isDefined) || m.colmap.nonEmpty)
+      new GraftMaskedRelation(spark, () => scanOf(m))
     else relationOf(m, m.entries)
   }
 
@@ -1068,24 +1116,27 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
           statted += 1
           fs.getFileStatus(new Path(s"$dir/${e.path}"))
       }
-      // the key's bounds ride under its column name, beside any
-      // secondary stats — one uniform per-column bounds map
+      // the key's bounds ride under its PHYSICAL column name (the plan
+      // below is over the physical schema, so pushed-filter attribute
+      // names match), beside any secondary stats — one uniform
+      // per-column bounds map; stats keys are physical already
       val keyBounds: Map[String, (String, String, String)] =
         (e.kind, e.min, e.max) match {
-          case (k, Some(mn), Some(mx)) if k != "opaque" => Map(key -> ((k, mn, mx)))
+          case (k, Some(mn), Some(mx)) if k != "opaque" =>
+            Map(m.physOf(key) -> ((k, mn, mx)))
           case _ => Map.empty
         }
       val statBounds = e.stats.collect {
         case (c, ColStat(k, Some(mn), Some(mx), _)) => c -> ((k, mn, mx))
       }
-      val nullCounts = e.nulls.map(key -> _).toMap ++
+      val nullCounts = e.nulls.map(m.physOf(key) -> _).toMap ++
         e.stats.collect { case (c, ColStat(_, _, _, Some(n))) => c -> n }
       GraftFileIndex.Slice(st, keyBounds ++ statBounds, e.rows, nullCounts)
     }
     val index = new GraftFileIndex(new Path(dir), slices, ordLt)
     lastScanIndex = index
     lastScanStatted = statted
-    HadoopFsRelation(index, StructType(Nil), m.schema, None,
+    HadoopFsRelation(index, StructType(Nil), m.physSchema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
   }
 
@@ -1109,26 +1160,40 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * exact). DV-free entries read directly. Every reader, the change
     * feed's sides, and every copy-on-write survivor computation come
     * through here, so merge-on-read correctness is one code path. */
-  private def readEntries(schema: StructType, entries: Seq[Entry]): DataFrame = {
+  private def readEntries(m: Manifest, schema: StructType,
+      entries: Seq[Entry]): DataFrame = {
     val (dvd, clean) = entries.partition(_.dv.isDefined)
-    val base = readEntriesRaw(schema, clean)
+    val base = readEntriesRaw(m, schema, clean)
     if (dvd.isEmpty) base
     else dvd.groupBy(_.dv.get._1).map { case (dvPath, es) =>
-      val doomed = spark.read.parquet(s"$dir/$dvPath").select(col(key))
-      readEntriesRaw(schema, es).join(doomed, Seq(key), "left_anti")
+      // toDF(key): the sidecar's single column is the key under
+      // whatever name it carried at delete time
+      val doomed = spark.read.parquet(s"$dir/$dvPath").toDF(key)
+      readEntriesRaw(m, schema, es).join(doomed, Seq(key), "left_anti")
     }.foldLeft(base)(_ unionByName _)
   }
+
+  private def readEntries(m: Manifest, entries: Seq[Entry]): DataFrame =
+    readEntries(m, m.schema, entries)
 
   /** Entries as their PHYSICAL rows — deletion vectors NOT applied.
     * Only for paths that must see raw files: per-file stats collection
     * (grouping by input_file_name, which a join would break — and which
     * excludes DV'd files anyway) and the DV delete's own matched-count
     * pass. */
-  private def readEntriesRaw(schema: StructType, entries: Seq[Entry]): DataFrame =
+  private def readEntriesRaw(m: Manifest, schema: StructType,
+      entries: Seq[Entry]): DataFrame =
     if (entries.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(entries.map(e => s"$dir/${e.path}"): _*)
+    else {
+      // files store PHYSICAL names (stable across renames): read with
+      // the physical twin of the requested schema, then alias back to
+      // the logical names — a zero-cost projection when unmapped
+      val phys = m.physSchemaOf(schema)
+      val raw = spark.read.schema(phys).parquet(entries.map(e => s"$dir/${e.path}"): _*)
+      if (phys eq schema) raw else raw.toDF(schema.fieldNames.toIndexedSeq: _*)
+    }
 
   // ---- key stats: canonical encode / ordered compare ----
 
@@ -1300,16 +1365,26 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * per-FILE key min/max — gathered in one distributed pass over the
     * fresh files (`groupBy(input_file_name())`), the no-commit-message
     * analogue of a writer-side stats collector. */
-  private def stage(df: DataFrame): Seq[Entry] = {
+  private def stage(df: DataFrame,
+      colmap: Map[String, String] = Map.empty): Seq[Entry] = {
     val rel = s"data/${java.util.UUID.randomUUID().toString}"
     val out = new Path(s"$dir/$rel")
-    df.write.mode("error").parquet(out.toString)
+    // files store PHYSICAL names: alias the logical frame before the
+    // write (a pure projection), so a rename never forks the on-disk
+    // layout — every file of a table speaks one naming forever
+    def phys(c: String) = colmap.getOrElse(c, c)
+    val pf =
+      if (colmap.isEmpty) df
+      else df.select(df.columns.toIndexedSeq.map(c => col(c).as(phys(c))): _*)
+    pf.write.mode("error").parquet(out.toString)
     val kind = kindOf(df.schema(key).dataType)
     val base = fs.makeQualified(out).toUri.getPath
     // secondary stats ride the SAME per-file aggregate — columns the
     // frame carries whose type encodes record [min,max]; every tracked
     // present column records its null count (count(col) = non-nulls —
-    // free in the same pass, and what makes countWhere/IsNull exact)
+    // free in the same pass, and what makes countWhere/IsNull exact).
+    // Tracking config is LOGICAL names; the recorded stats map keys are
+    // PHYSICAL (stable across renames — lookups translate)
     val present = statCols.filter(c =>
       df.schema.fieldNames.contains(c) && kindOf(df.schema(c).dataType) != "opaque")
     // the opt-in key bloom rides the same aggregate: one more column
@@ -1320,15 +1395,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       else Seq(org.apache.spark.sql.functions
         .udaf(new KeyBloom.BloomAgg(keyBloomBits),
           org.apache.spark.sql.Encoders.scalaLong)
-        .apply(xxhash64(col(key))).as("__kbloom"))
+        .apply(xxhash64(col(phys(key)))).as("__kbloom"))
     val aggs = Seq(count(lit(1)).as("__rows"),
-      min(col(key)).as("__mn"), max(col(key)).as("__mx"),
-      count(col(key)).as("__knn")) ++
+      min(col(phys(key))).as("__mn"), max(col(phys(key))).as("__mx"),
+      count(col(phys(key))).as("__knn")) ++
       present.zipWithIndex.flatMap { case (c, i) =>
-        Seq(min(col(c)).as(s"__smn$i"), max(col(c)).as(s"__smx$i"),
-          count(col(c)).as(s"__snn$i")) } ++
+        Seq(min(col(phys(c))).as(s"__smn$i"), max(col(phys(c))).as(s"__smx$i"),
+          count(col(phys(c))).as(s"__snn$i")) } ++
       bloomAgg
-    val stats = spark.read.schema(df.schema).parquet(out.toString)
+    val stats = spark.read.schema(pf.schema).parquet(out.toString)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1353,9 +1428,9 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         // an all-null file has no orderable bounds but a fully-known
         // null count — still prunable by null predicates and countable
         if (smn.isDefined && smx.isDefined)
-          Some(c -> ColStat(kindOf(df.schema(c).dataType), smn, smx, sNulls))
+          Some(phys(c) -> ColStat(kindOf(df.schema(c).dataType), smn, smx, sNulls))
         else if (sNulls.contains(rows))
-          Some(c -> ColStat(kindOf(df.schema(c).dataType), None, None, sNulls))
+          Some(phys(c) -> ColStat(kindOf(df.schema(c).dataType), None, None, sNulls))
         else None
       }.toMap
       val bloom =
@@ -1399,7 +1474,9 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   private[graft] var onBeforeTerminate: () => Unit = () => ()
 
   private def commit(base: Long, op: String, schema: StructType,
-      entries: Seq[Entry], tag: String = ""): Long = {
+      entries: Seq[Entry], tag: String = "",
+      colmap: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil): Long = {
     require(schema.fieldNames.contains(key), s"key column $key missing from schema")
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
     val target = math.max(base, allVersions.lastOption.getOrElse(-1L)) + 1
@@ -1422,7 +1499,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         s"#parent $base",
         s"#op $op",
         s"#key $key",
-        s"#schema ${schema.json}") ++
+        s"#schema ${schema.json}") ++ {
+        def b64(s: String) = java.util.Base64.getEncoder
+          .encodeToString(s.getBytes("UTF-8"))
+        (if (colmap.isEmpty) Nil
+         else Seq("#colmap " + colmap.toSeq.sortBy(_._1)
+           .map { case (l, p) => s"${b64(l)}:${b64(p)}" }.mkString(","))) ++
+        (if (retired.isEmpty) Nil
+         else Seq("#retired " + retired.map(b64).mkString(",")))
+      } ++
         (if (tag.nonEmpty) Seq(s"#tag ${tag.replaceAll("[\\r\\n]", " ")}") else Nil) ++
         entries.flatMap(e => (e.line +: e.statLines) ++ e.bloomLines ++ e.dvLines))
         .mkString("\n")
@@ -1546,7 +1631,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * writing any data files. Manifest-write cost only. */
   def setTag(tag: String): Long = {
     val m = requireManifest
-    commit(m.version, "tag", m.schema, m.entries, tag)
+    commit(m.version, "tag", m.schema, m.entries, tag, m.colmap, m.retired)
   }
 
   /** RESTORE: make historical version `v`'s contents current again, as
@@ -1561,7 +1646,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val cur = resolveForWrite(expectedVersion).version
     val m = loadManifest(v).getOrElse(
       throw new IllegalStateException(s"no committed version $v at $dir to restore"))
-    commit(cur, "restore", m.schema, m.entries, m.tag.getOrElse(""))
+    commit(cur, "restore", m.schema, m.entries, m.tag.getOrElse(""),
+      m.colmap, m.retired)
   }
 
   /** Retire history: delete all committed manifests except the newest
@@ -1594,9 +1680,10 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * [[merge]] (the pre-evolution files read the new column as null). */
   def append(df: DataFrame, tag: String = ""): Long = {
     val m = requireManifest
-    val evolved = evolveSchema(m.schema, df.schema)
+    val evolved = evolveSchema(m, df.schema)
     commit(m.version, "append", evolved,
-      m.entries ++ stage(clustered(df.select(evolved.fieldNames.map(col): _*))), tag)
+      m.entries ++ stage(clustered(df.select(evolved.fieldNames.map(col): _*)), m.colmap),
+      tag, m.colmap, m.retired)
   }
 
   /** Schema evolution on write: the source may ADD nullable columns
@@ -1608,7 +1695,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * dropped column is ambiguous (evolution or a caller bug?), and a
     * non-nullable addition has no value for existing rows. The standard
     * Delta/Iceberg-class add-column contract, minimally re-derived. */
-  private def evolveSchema(table: StructType, source: StructType): StructType = {
+  private def evolveSchema(m: Manifest, source: StructType): StructType = {
+    val table = m.schema
     val byName = table.fields.map(f => f.name -> f).toMap
     source.fields.foreach(f => byName.get(f.name).foreach { t =>
       if (t.dataType != f.dataType) throw new IllegalArgumentException(
@@ -1620,11 +1708,68 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       s"source is missing table columns ${dropped.mkString(", ")} — " +
         "a write must carry every existing column (dropping columns is not supported)")
     val added = source.fields.filterNot(f => byName.contains(f.name))
+    // an added column's PHYSICAL name is its own name — it must not
+    // collide with a physical name old files already hold (another
+    // column's pre-rename name, or a dropped column's): the explicit-
+    // schema read would serve those files' OLD bytes under the new
+    // column instead of the null-fill the evolution contract promises.
+    // Checked FIRST: silent data resurrection outranks nullability
+    val livePhys = table.fieldNames.map(m.physOf).toSet
+    val haunted = livePhys ++ m.retired
+    added.map(_.name).filter(haunted).foreach(n => throw new IllegalArgumentException(
+      s"added column $n collides with a physical column name existing data files " +
+        "already hold (a renamed-away or dropped column) — rows would resurrect; " +
+        "pick a fresh name"))
     added.filterNot(_.nullable).foreach(f => throw new IllegalArgumentException(
       s"added column ${f.name} must be nullable — rows committed before the " +
         "evolution have no value for it"))
     if (added.isEmpty) table
     else StructType(table.fields.toSeq ++ added.map(_.copy(nullable = true)))
+  }
+
+  /** RENAME a column — a manifest-only commit (zero data files
+    * rewritten, at any table size): the schema shows the new LOGICAL
+    * name while the column mapping keeps addressing the files' stable
+    * PHYSICAL name, so files written before the rename serve the
+    * renamed column unchanged. The KEY column cannot be renamed (its
+    * name addresses every keyed operation, the manifest `#key` header,
+    * and every open handle); the new name must be fresh among logical
+    * names. Stats, blooms, pruning, the change feed, and time travel
+    * all survive: stats are keyed physically, and historical versions
+    * keep their own mapping. */
+  def renameColumn(oldName: String, newName: String, tag: String = ""): Long = {
+    val m = resolveForWrite(None)
+    require(oldName != key,
+      s"cannot rename the key column $key — it addresses every keyed operation " +
+        "and every open handle; rename any other column freely")
+    require(m.schema.fieldNames.contains(oldName),
+      s"no column $oldName in table schema ${m.schema.fieldNames.mkString(", ")}")
+    require(!m.schema.fieldNames.contains(newName),
+      s"column $newName already exists")
+    require(newName.nonEmpty && !newName.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+      "column names must be non-empty and tab/newline-free")
+    val phys = m.physOf(oldName)
+    val newSchema = StructType(m.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    // renaming BACK to the physical name drops the mapping entry
+    val newMap = (m.colmap - oldName) ++
+      (if (newName == phys) Map.empty[String, String] else Map(newName -> phys))
+    commit(m.version, "rename", newSchema, m.entries, tag, newMap, m.retired)
+  }
+
+  /** DROP a column — manifest-only, like [[renameColumn]]: the schema
+    * loses the field, old files keep the physical bytes (reclaimed as
+    * rewrites happen), and the physical name is RETIRED so no future
+    * add can resurrect the dropped values. The key cannot be dropped. */
+  def dropColumn(name: String, tag: String = ""): Long = {
+    val m = resolveForWrite(None)
+    require(name != key, s"cannot drop the key column $key")
+    require(m.schema.fieldNames.contains(name),
+      s"no column $name in table schema ${m.schema.fieldNames.mkString(", ")}")
+    val phys = m.physOf(name)
+    val newSchema = StructType(m.schema.fields.filterNot(_.name == name))
+    commit(m.version, "drop", newSchema, m.entries, tag,
+      m.colmap - name, m.retired :+ phys)
   }
 
   /** OPTIMIZE — small-file compaction: every data file smaller than
@@ -1663,7 +1808,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       zorderBy.foreach(c => require(kindOf(m.schema(c).dataType) != "opaque",
         s"z-order column $c has no orderable stats encoding (${m.schema(c).dataType.sql})"))
       if (m.entries.size <= 1) return m.version
-      val all = readEntries(m.schema, m.entries)
+      val all = readEntries(m, m.entries)
       val z = ZOrder.zvalue(all, m.entries.map(_.rows).sum, zorderBy, bits = 8,
         c => kindOf(m.schema(c).dataType), ordEncode, ordLt)
         .getOrElse(return m.version) // no usable boundaries: nothing to gain
@@ -1672,7 +1817,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         case Some(n) => zed.repartitionByRange(n, col("__z"))
         case None => zed.repartitionByRange(col("__z"))
       }).sortWithinPartitions("__z").drop("__z")
-      return commit(m.version, "optimize", m.schema, stage(ranged), m.tag.getOrElse(""))
+      return commit(m.version, "optimize", m.schema, stage(ranged, m.colmap),
+        m.tag.getOrElse(""), m.colmap, m.retired)
     }
     var statted = 0
     // deletion-vectored files always join the rewrite set: compaction
@@ -1690,7 +1836,8 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     lastOptimizeStatted = statted
     if (small.size <= 1 && !small.exists(_.dv.isDefined)) return m.version
     commit(m.version, "optimize", m.schema,
-      big ++ stage(clustered(readEntries(m.schema, small))), m.tag.getOrElse(""))
+      big ++ stage(clustered(readEntries(m, small)), m.colmap),
+      m.tag.getOrElse(""), m.colmap, m.retired)
   }
 
   /** Reclaim data files NO committed manifest references — the orphans
@@ -1772,8 +1919,9 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         return if (tag.nonEmpty && !m.tag.contains(tag)) setTag(tag) else m.version
       def copyOnWrite(): Long = {
         lastDeleteRewrites = touched.size
-        val survivors = readEntries(m.schema, touched).join(ks, Seq(key), "left_anti")
-        commit(m.version, "delete", m.schema, untouched ++ stage(clustered(survivors)), tag)
+        val survivors = readEntries(m, touched).join(ks, Seq(key), "left_anti")
+        commit(m.version, "delete", m.schema,
+          untouched ++ stage(clustered(survivors), m.colmap), tag, m.colmap, m.retired)
       }
       if (deleteVectorMaxRows <= 0) return copyOnWrite()
       // MERGE-ON-READ branch (see deleteVectorMaxRows): type-normalize
@@ -1793,9 +1941,10 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         lastDeleteRewrites = plan.cow.size
         val rewritten =
           if (plan.cow.isEmpty) Nil
-          else stage(clustered(readEntries(m.schema, plan.cow).join(ksT, Seq(key), "left_anti")))
+          else stage(clustered(readEntries(m, plan.cow).join(ksT, Seq(key), "left_anti")),
+            m.colmap)
         commit(m.version, "delete", m.schema,
-          untouched ++ plan.carry ++ plan.dvd ++ rewritten, tag)
+          untouched ++ plan.carry ++ plan.dvd ++ rewritten, tag, m.colmap, m.retired)
       } finally ksT.unpersist(blocking = false)
     } finally ks.unpersist(blocking = false)
   }
@@ -1823,7 +1972,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val relByCanon = entries.map(e => canon(s"$dir/${e.path}") -> e.path).toMap
     val matchedByPath: Map[String, Long] =
       entries.groupBy(_.dv.map(_._1)).toSeq.flatMap { case (oldDv, es) =>
-        val scanned = readEntriesRaw(m.schema, es)
+        val scanned = readEntriesRaw(m, m.schema, es)
           .select(col(key), input_file_name().as("__file"))
         val live = oldDv.fold(scanned)(p => scanned.join(
           spark.read.parquet(s"$dir/$p").select(col(key)), Seq(key), "left_anti"))
@@ -1897,7 +2046,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   def merge(source: DataFrame, expectedVersion: Option[Long] = None,
       tag: String = ""): Long = {
     val m = resolveForWrite(expectedVersion)
-    val evolved = evolveSchema(m.schema, source.schema)
+    val evolved = evolveSchema(m, source.schema)
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one batch-sized aggregate: the key-uniqueness guard
@@ -1910,10 +2059,12 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         keyPruner(src.select(col(key)), evolved(key).dataType))
       // touched files are read with the EVOLVED schema: any
       // just-added column comes back null for pre-evolution rows
-      val survivors = readEntries(evolved, touched)
+      val survivors = readEntries(m, evolved, touched)
         .join(src.select(col(key)), Seq(key), "left_anti")
-      val fresh = stage(clustered(survivors.unionByName(src.select(evolved.fieldNames.map(col): _*))))
-      commit(m.version, "merge", evolved, untouched ++ fresh, tag)
+      val fresh = stage(
+        clustered(survivors.unionByName(src.select(evolved.fieldNames.map(col): _*))),
+        m.colmap)
+      commit(m.version, "merge", evolved, untouched ++ fresh, tag, m.colmap, m.retired)
     } finally src.unpersist(blocking = false)
   }
 
@@ -1935,7 +2086,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val m = resolveForWrite(expectedVersion)
     require(deleteKeys.schema.fieldNames.contains(key),
       s"applyDelta delete keys must carry the table key column $key")
-    val evolved = evolveSchema(m.schema, upserts.schema)
+    val evolved = evolveSchema(m, upserts.schema)
     val up = upserts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val del = deleteKeys.select(col(key)).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1997,13 +2148,13 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       val fresh =
         if (cowTouched.isEmpty && b.getLong(0) == 0) Nil
         else {
-          val survivors = readEntries(evolved, cowTouched)
+          val survivors = readEntries(m, evolved, cowTouched)
             .join(affected.distinct(), Seq(key), "left_anti")
           stage(clustered(
-            survivors.unionByName(up.select(evolved.fieldNames.map(col): _*))))
+            survivors.unionByName(up.select(evolved.fieldNames.map(col): _*))), m.colmap)
         }
       commit(m.version, "delta", evolved,
-        untouched ++ dvCarry ++ dvdNew ++ fresh, tag)
+        untouched ++ dvCarry ++ dvdNew ++ fresh, tag, m.colmap, m.retired)
     } finally { up.unpersist(blocking = false); del.unpersist(blocking = false) }
   }
 

@@ -618,20 +618,38 @@ object TextOps {
     */
   def nearDupJaccardIncremental(existing: DataFrame, incoming: DataFrame,
       k: Int = 3, minJaccard: Double = 0.8, maxDf: Int = 100): DataFrame = {
-    TextExprs.register(existing.sparkSession)
-    def exploded(df: DataFrame) = df
-      .select(col("doc_id"), TextExprs.wordShingleHashes(tokens(col("text")), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-    val exInc = exploded(incoming)
-    val exAll = exploded(existing).union(exInc)
+    val exInc = explodedShingleRows(incoming, k)
+    val exAll = explodedShingleRows(existing, k).union(exInc)
     val capped = udaf(graft.functions.BoundedList.postings(maxDf + 1))
     val postings = exAll
       .join(exInc.select("shingle").distinct(), Seq("shingle"), "left_semi")
       .groupBy(col("shingle"))
       .agg(capped(col("doc_id"), col("n_sh")).as("ids"))
       .filter(size(col("ids")).between(2, maxDf))
-    val incIds = incoming.select(col("doc_id")).distinct()
+    jaccardPairsTouching(postings, incoming.select(col("doc_id")).distinct(), minJaccard)
+  }
+
+  /** One document's k-shingle hashes as exploded rows (doc_id, n_sh,
+    * shingle) — the shared left side of every exact-jaccard arm (inline
+    * incremental above, and [[graft.incremental.IngestIndex]]'s
+    * persisted postings index + delta probe, which must stay
+    * bit-identical to the inline arm). */
+  private[graft] def explodedShingleRows(documents: DataFrame, k: Int): DataFrame = {
+    TextExprs.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"), TextExprs.wordShingleHashes(tokens(col("text")), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+  }
+
+  /** The pair-emit + batch-filter tail shared by the inline and the
+    * indexed delta-jaccard arms: candidate pairs emit ROW-LOCALLY from
+    * each df-capped posting list, old×old pairs (reachable via a
+    * shingle the batch happens to share — already known) are dropped,
+    * exact jaccard from shared/size counts. Both arms feed identical
+    * postings frames, so their results are identical by construction. */
+  private[graft] def jaccardPairsTouching(postings: DataFrame, incIds: DataFrame,
+      minJaccard: Double): DataFrame =
     postings
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
@@ -640,8 +658,6 @@ object TextOps {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("shared"))
-      // keep only pairs touching the batch: old×old pairs can surface via
-      // a shingle the batch happens to share — they were already known
       .join(incIds.select(col("doc_id").as("doc_a"), lit(1).as("a_new")), Seq("doc_a"), "left")
       .join(incIds.select(col("doc_id").as("doc_b"), lit(1).as("b_new")), Seq("doc_b"), "left")
       .filter(col("a_new").isNotNull || col("b_new").isNotNull)
@@ -650,7 +666,6 @@ object TextOps {
         round(col("shared").cast("double")
           / (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-  }
 
   /** Benchmark decontamination: flag corpus documents sharing word
     * k-gram shingles with an eval/benchmark set — the standard

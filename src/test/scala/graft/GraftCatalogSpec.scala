@@ -119,6 +119,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(s"SELECT * FROM graft.`$dir`"))
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN run the manifest-only column mapping; other alters reject") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a", 2L -> "b"))
+    val filesBefore = spark.sql(s"SELECT * FROM graft.`$dir`").inputFiles.toSet
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO body")
+    assert(sqlRows(s"SELECT k, body FROM graft.`$dir`") == Seq(1L -> "a", 2L -> "b"))
+    assert(tbl.history.map(_._3).last == "rename")
+    // pure-SQL DML keeps working across the mapping
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (3, 'c')")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE body = 'a'")
+    assert(sqlRows(s"SELECT k, body FROM graft.`$dir`") == Seq(2L -> "b", 3L -> "c"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN body TYPE INT"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN k TO id")) // the key
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN body")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").columns.toSeq == Seq("k"))
+  }
+
   test("catalog reads still file-prune: pushed key predicate skips files via the manifest") {
     val dir = freshDir()
     val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4))

@@ -57,6 +57,46 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(rows(idx.dedupExactProbeBloom(delta)) == rows(idx.dedupExactProbe(delta)))
   }
 
+  test("indexed exact-jaccard delta probe: bit-identical to the inline arm, through absorb + compaction; a postings-less state rejects") {
+    val dir = freshDir()
+    val idx = new IngestIndex(spark, dir, withShingles = true)
+    idx.build(corpus)
+    val inline = rows(TextOps.nearDupJaccardIncremental(corpus, delta))
+    assert(inline.nonEmpty, "fixture must produce pairs or the parity check is vacuous")
+    assert(rows(idx.jaccardDeltaProbe(delta)) == inline)
+    // the bloom-pruned regime (100 TB forced on) cannot move results
+    val pruned = new IngestIndex(spark, freshDir(), pruneThreshold = 0L,
+      withShingles = true)
+    pruned.build(corpus)
+    assert(rows(pruned.jaccardDeltaProbe(delta)) == inline)
+    // absorb half the delta, probe the rest against the grown corpus —
+    // segments (raw rows) must merge with the base exactly
+    val d1 = delta.filter(col("doc_id") % 20 === 0)
+    val d2 = delta.filter(col("doc_id") % 20 =!= 0)
+    idx.absorb(d1)
+    val grownInline = rows(TextOps.nearDupJaccardIncremental(corpus.unionByName(d1), d2))
+    assert(rows(idx.jaccardDeltaProbe(d2)) == grownInline)
+    // idempotent re-absorb: duplicate segment rows fold away in the probe
+    idx.absorb(d1)
+    assert(rows(idx.jaccardDeltaProbe(d2)) == grownInline)
+    // compaction folds segments into the bucketed base without moving pairs
+    idx.compact()
+    assert(rows(idx.jaccardDeltaProbe(d2)) == grownInline)
+    // a record-capable state WITHOUT postings (the pre-v3 shingles=2
+    // layout) serves records but rejects the jaccard probe loudly
+    val v2dir = freshDir()
+    new IngestIndex(spark, v2dir, withShingles = true).build(corpus)
+    val meta = java.nio.file.Paths.get(v2dir, "_graft_meta")
+    val downgraded = new String(java.nio.file.Files.readAllBytes(meta), "UTF-8")
+      .replace("shingles=3", "shingles=2")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(v2dir, "._graft_meta.crc"))
+    java.nio.file.Files.write(meta, downgraded.getBytes("UTF-8"))
+    val v2 = new IngestIndex(spark, v2dir, withShingles = true)
+    assert(v2.signaturesFor(delta).count() > 0) // records still served
+    val e = intercept[IllegalArgumentException](v2.jaccardDeltaProbe(delta))
+    assert(e.getMessage.contains("shp"))
+  }
+
   test("absorb(batch) is equivalent to a full rebuild on the grown corpus") {
     val half1 = corpus.filter(col("doc_id") % 3 =!= 0)
     val half2 = corpus.filter(col("doc_id") % 3 === 0)

@@ -1504,6 +1504,71 @@ class SnapshotTableSpec extends AnyFunSuite {
     assertSameRows(tbl.read(), df.filter(!col("k").isin(5L, 105L)))
   }
 
+  test("column mapping: rename is manifest-only, old files serve the renamed column; stats, feed, scan, and time travel survive; drop retires the physical name") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k",
+      clusterPartitions = Some(2), statsColumns = Seq("v"))
+    val df = (1L to 100L).map(i => (i, s"v$i", i * 10L)).toDF("k", "txt", "v")
+    val v0 = tbl.create(df)
+    val filesBefore = tbl.filesAt(v0).toSet
+    // RENAME txt -> body: zero data files rewritten
+    val v1 = tbl.renameColumn("txt", "body")
+    assert(tbl.filesAt(v1).toSet == filesBefore, "a rename must not touch data files")
+    assert(tbl.schema.fieldNames.toSeq == Seq("k", "body", "v"))
+    // old files serve the renamed column through every read route
+    assert(tbl.read().filter(col("k") === 7L).select("body").head.getString(0) == "v7")
+    assert(tbl.scan().filter(col("k") === 7L).select("body").head.getString(0) == "v7")
+    assert(tbl.readKeys(Seq(7L).toDF("k")).select("body").head.getString(0) == "v7")
+    // the relation route takes the masked fallback (aliases spliced in)
+    assert(tbl.scanRelation().isInstanceOf[graft.incremental.GraftMaskedRelation])
+    assert(spark.baseRelationToDataFrame(tbl.scanRelation())
+      .filter(col("body") === "v7").count() == 1)
+    // stats survive: pruning on the RENAMED secondary column, and a
+    // renamed-column range read answers exactly
+    val vRenamedStats = tbl.renameColumn("v", "score")
+    assert(tbl.readWhere("score", Some(100L), Some(200L)).count() == 11)
+    assert(tbl.countWhere("score", Some(100L), Some(200L)) == 11)
+    assert(tbl.boundsOf("score").head.getLong(0) == 10L)
+    // merge AFTER the rename: touched slice restages under the stable
+    // physical names; untouched files still carry by reference
+    tbl.merge(Seq((7L, "V7", 777L)).toDF("k", "body", "score"))
+    assert(tbl.read().filter(col("k") === 7L).select("body", "score")
+      .head match { case r => r.getString(0) == "V7" && r.getLong(1) == 777L })
+    assert(tbl.read().count() == 100)
+    // change feed ACROSS the renames: emitted in the to-version's
+    // logical names; the rename commits themselves feed zero rows
+    val feed = tbl.changesKeyed(v0, tbl.currentVersion.get)
+    assert(feed.columns.toSeq == Seq("k", "body", "score", "_change_type"))
+    assert(feed.collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSeq ==
+      Seq((7L, "V7", "update")))
+    assert(tbl.changesBetween(v0, vRenamedStats).count() == 0,
+      "pure renames must feed nothing")
+    // time travel: the pre-rename version still reads under ITS names
+    assert(tbl.readVersion(v0).columns.toSeq == Seq("k", "txt", "v"))
+    assert(tbl.scanAt(Some(v0)).filter(col("txt") === "v7").count() == 1)
+    // rename-back drops the mapping entry; the fast relation returns
+    tbl.renameColumn("body", "txt")
+    tbl.renameColumn("score", "v")
+    assert(!tbl.scanRelation().isInstanceOf[graft.incremental.GraftMaskedRelation])
+    // key column is immovable
+    val ek = intercept[IllegalArgumentException](tbl.renameColumn("k", "id"))
+    assert(ek.getMessage.contains("key column"))
+    // DROP retires the physical name: re-adding it is refused (old
+    // files would resurrect the dropped values), a fresh name works
+    tbl.dropColumn("v")
+    assert(tbl.schema.fieldNames.toSeq == Seq("k", "txt"))
+    assert(tbl.read().columns.toSeq == Seq("k", "txt"))
+    val er = intercept[IllegalArgumentException](
+      tbl.merge(Seq((200L, "x", 1L)).toDF("k", "txt", "v")))
+    assert(er.getMessage.contains("resurrect"))
+    tbl.merge(Seq((200L, "x", 1L)).toDF("k", "txt", "v2raw")
+      .withColumn("v2", when(col("k").isNotNull, col("v2raw"))).drop("v2raw"))
+    assert(tbl.read().filter(col("k") <= 100L).agg(sum(when(col("v2").isNull, 1)
+      .otherwise(0))).head.getLong(0) == 100L, "old rows read the fresh column as null")
+  }
+
   test("deletion vectors: cap, emptied files, and oversized batches fall back to copy-on-write") {
     val s = spark
     import s.implicits._
