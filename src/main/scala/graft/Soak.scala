@@ -669,7 +669,11 @@ object Soak {
     def ingestWalls(d: String, state: String): (Double, Double, Double) = {
       val corpus = Tables.documents(spark, d).filter(col("doc_id") % 10 =!= 0)
       val delta = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0)
-      val idx = new incremental.IngestIndex(spark, state)
+      // shingled state: the probe bundle includes the r17 exact-jaccard
+      // delta probe over the persisted shp/ postings, so the ≤2.0 probe
+      // bound pins ITS corpus-flatness too (vs the inline arm, which
+      // re-shingles corpus text per batch)
+      val idx = new incremental.IngestIndex(spark, state, withShingles = true)
       idx.build(corpus)
       def wall(body: => Unit): Double = {
         val ts = (1 to reps).map { _ =>
@@ -684,6 +688,7 @@ object Soak {
         idx.dedupExactProbe(delta).write.format("noop").mode("overwrite").save()
         idx.dupSpansProbe(delta).write.format("noop").mode("overwrite").save()
         idx.winnowProbe(delta).write.format("noop").mode("overwrite").save()
+        idx.jaccardDeltaProbe(delta).write.format("noop").mode("overwrite").save()
       }
       val absorb = wall(idx.absorb(delta))
       // the inline twins rebuild their corpus index per call — the cost
@@ -695,6 +700,8 @@ object Soak {
         ops.TextOps.docDupSpansIncremental(corpus, delta)
           .write.format("noop").mode("overwrite").save()
         ops.TextOps.nearDupWinnowIncremental(corpus, delta)
+          .write.format("noop").mode("overwrite").save()
+        ops.TextOps.nearDupJaccardIncremental(corpus, delta)
           .write.format("noop").mode("overwrite").save()
       }
       (probe, absorb, inline)
@@ -1318,7 +1325,7 @@ object Soak {
       md ++= f"\nCross-replica pairs at ${n}x: $crossS (${if (truthS == 0) 0.0 else 100.0 * crossS / truthS}%.1f%% of the truth set) — the metric space's chance tail, reported not asserted: at minCos=0.45 in 64 dims the chance-collision rate between unrelated vectors is ~1e-4, and the ~N²/2 cross-replica pair population makes O(10^4) such pairs unavoidable under ANY orthogonal decorrelation (a real ${n}x corpus behaves the same — pair count at a fixed loose threshold is quadratic in the chance regime).\n"
     }
     if (runIngest) {
-      md ++= f"\nPersisted ingest state (IngestIndex), SAME sf0.1 delta against a 1x- and a ${n}x-corpus state: "
+      md ++= f"\nPersisted ingest state (IngestIndex, shingled — the probe bundle includes the r17 exact-jaccard delta probe over the persisted shp/ postings), SAME sf0.1 delta against a 1x- and a ${n}x-corpus state: "
       md ++= f"warm probe $ipB%.2f s -> $ipS%.2f s (x${ipS / ipB}%.2f, bound 2.0 — ${if (ingestProbeOk) "ok" else "**FAIL**"}); "
       md ++= f"absorb $iaB%.2f s -> $iaS%.2f s (x${iaS / iaB}%.2f, bound 1.5, sized above the measured sub-second variance floor — ${if (ingestAbsorbOk) "ok" else "**FAIL**"}); "
       md ++= f"inline rebuild twins $inB%.2f s -> $inS%.2f s (indexed probe beats inline at ${n}x — ${if (ingestBeatsInline) "ok" else "**FAIL**"}). "

@@ -736,12 +736,15 @@ final class IngestIndex(spark: SparkSession, dir: String,
     * [[graft.ops.TextOps.nearDupJaccardIncremental]] over (admitted
     * corpus, incoming) — the two arms share the posting-cap algebra and
     * the pair-emit tail, so one DuckDB oracle covers both. The
-    * difference is WORK SHAPE: the inline arm re-reads and re-shingles
-    * the whole corpus per batch (corpus-proportional); this probe reads
-    * only the index buckets the delta's shingles land in (bucket-pruned
-    * columnar parquet + the bloom row-prune past `pruneThreshold`), so
-    * per-batch work is ∝ the delta's shingle mass × O(maxDf) — the
-    * corpus-size-FLAT ingest-time path at 100 TB.
+    * difference is WORK SHAPE: the inline arm re-reads, re-parses, and
+    * re-shingles the whole corpus TEXT per batch (corpus-proportional
+    * in the expensive dimension); this probe pays one NARROW columnar
+    * scan of the postings index (bloom row-pruned at the scan past
+    * `pruneThreshold`), and everything after the delta-shingle
+    * semi-join is ∝ the delta's shingle mass × O(maxDf) — the same
+    * index-proportional floor the other probes document, soak-bounded
+    * at ≤2x between a 1x- and a 10x-corpus state. The 100-TB
+    * ingest-time path.
     *
     * Cap exactness across the split: stored postings cap at maxDf+1, so
     * an under-cap list is the EXACT corpus list and an at-cap list is
