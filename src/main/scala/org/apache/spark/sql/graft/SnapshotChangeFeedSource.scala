@@ -47,8 +47,10 @@ import graft.incremental.SnapshotTable
   * ([[graft.incremental.SnapshotTable.retire]]) — the same fence
   * [[graft.incremental.SnapshotSync]] documents.
   *
-  * Options: `path` (table dir, required), `key` (table key column,
-  * required), `startingVersion` (first version ALREADY SEEN — a FRESH
+  * Options: `path` (table dir, required), `key` (table key column —
+  * OPTIONAL on an existing table: it resolves from the manifest's own
+  * `#key` header, so reads need only the path; required when a write
+  * will create the table), `startingVersion` (first version ALREADY SEEN — a FRESH
   * stream delivers changes strictly after it; default: the current
   * version at stream start, i.e. tail-only; a RESTARTED stream always
   * resumes from its checkpointed version offset instead),
@@ -295,8 +297,14 @@ private[graft] object SnapshotChangeFeedSource {
   def handle(spark: SparkSession, p: Map[String, String]): SnapshotTable = {
     val dir = p.getOrElse("path",
       throw new IllegalArgumentException("snapshot change feed needs option path=<table dir>"))
-    val key = p.getOrElse("key",
-      throw new IllegalArgumentException("snapshot change feed needs option key=<key column>"))
+    // the key option is OPTIONAL on an existing table: every commit
+    // records its key column in the manifest's #key header, so a read
+    // needs only the path (the same resolution the SQL catalog uses);
+    // an explicit option still wins (and is required pre-create)
+    val key = p.get("key").orElse(SnapshotTable.keyAt(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot table at $dir to read the key column from — pass option " +
+          "key=<key column> (required only before the table exists)"))
     new SnapshotTable(spark, dir, key, monotonicReads = true)
   }
 
@@ -307,8 +315,12 @@ private[graft] object SnapshotChangeFeedSource {
   def configuredHandle(spark: SparkSession, p: Map[String, String]): SnapshotTable = {
     val dir = p.getOrElse("path",
       throw new IllegalArgumentException("snapshot write needs option path=<table dir>"))
-    val key = p.getOrElse("key",
-      throw new IllegalArgumentException("snapshot write needs option key=<key column>"))
+    // optional on an existing table (resolved from the manifest #key
+    // header); required when this write will CREATE the table
+    val key = p.get("key").orElse(SnapshotTable.keyAt(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(
+        "snapshot write needs option key=<key column> — no existing table at " +
+          s"$dir to resolve it from (required when the write creates the table)"))
     new SnapshotTable(spark, dir, key,
       clusterPartitions = p.get("clusterpartitions").map(_.toInt),
       statsColumns = p.get("statscolumns")

@@ -139,6 +139,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM graft.`$dir`").columns.toSeq == Seq("k"))
   }
 
+  test("CTAS creates + populates through the catalog; keyless format/view routes resolve the key from the manifest") {
+    val dir = freshDir()
+    new SnapshotTable(spark, dir, "k").create(kv(1L -> "a", 2L -> "b"))
+    // keyless batch read: the #key header supplies the key column
+    assert(spark.read.format("graft-snapshot").option("path", dir).load().count() == 2)
+    // keyless pure-SQL view
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW cat_keyless " +
+      s"USING `graft-snapshot` OPTIONS (path '$dir')")
+    try assert(spark.sql("SELECT count(*) AS n FROM cat_keyless").head.getLong(0) == 2)
+    finally spark.catalog.dropTempView("cat_keyless")
+    // CTAS: createTable + the V1Write append in one statement
+    val dir2 = freshDir() + "/ctas"
+    spark.sql(s"CREATE TABLE graft.`$dir2` OPTIONS ('key' 'k') AS SELECT * FROM graft.`$dir`")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir2`") == Seq(1L -> "a", 2L -> "b"))
+    assert(SnapshotTable.keyAt(spark, dir2).contains("k"))
+    // keyless append to the EXISTING table
+    kv(3L -> "c").write.format("graft-snapshot").option("path", dir)
+      .mode("append").save()
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`").map(_._1) == Seq(1L, 2L, 3L))
+    // a keyless write that would CREATE fails with the actionable message
+    val e = intercept[IllegalArgumentException](
+      kv(1L -> "x").write.format("graft-snapshot")
+        .option("path", freshDir() + "/none").save())
+    assert(e.getMessage.contains("key"))
+  }
+
   test("catalog reads still file-prune: pushed key predicate skips files via the manifest") {
     val dir = freshDir()
     val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4))
