@@ -368,6 +368,29 @@ object SparkEntry {
       s.sql(s"DELETE FROM graft.`$scratch/store` WHERE n_chars < 100 OR lang = 'de'")
       materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
     }),
+    // pure-SQL MERGE INTO via the catalog (DSv2 row-level operations,
+    // delta mode): matched rows update, a matched band deletes,
+    // unmatched rows insert — one statement, ONE atomic applyDelta
+    // commit (executors stage the action rows, the driver applies);
+    // the reference's ON CONFLICT semantics in standard SQL
+    "corpus_sql_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-sqlmrg").toString
+      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
+        clusterPartitions = Some(8)).create(docs)
+      val vn = "corpus_sql_mrg_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      docs.filter(col("doc_id") % 31 === 0).withColumn("text", lit("[redacted-v2]"))
+        .unionByName(docs.filter(col("doc_id") % 53 === 1)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+        .createOrReplaceTempView(vn)
+      try {
+        s.sql(s"""MERGE INTO graft.`$scratch/store` t USING $vn s ON t.doc_id = s.doc_id
+                 |WHEN MATCHED AND s.n_chars < 100 THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
+      } finally s.catalog.dropTempView(vn)
+    }),
     // pure-SQL TIME TRAVEL via the catalog: VERSION AS OF pins the
     // pre-merge snapshot while the unpinned read serves the head — one
     // result carrying BOTH proves the pinned route neither leaks new
@@ -1734,6 +1757,15 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
     "corpus_sql_delete" ->
       "SELECT * FROM documents WHERE NOT (n_chars < 100 OR lang = 'de')",
+    "corpus_sql_merge" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id %% 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,
+        |  lang, source, n_chars
+        |FROM documents
+        |WHERE NOT (doc_id %% 31 = 0 AND n_chars < 100)
+        |UNION ALL
+        |SELECT doc_id + 10000000, text, lang, source, n_chars
+        |FROM documents WHERE doc_id %% 53 = 1""".stripMargin.replace("%%", "%"),
     "corpus_sql_time_travel" ->
       """SELECT 'v0' AS snap, doc_id, text, lang, source, n_chars FROM documents
         |UNION ALL

@@ -11,7 +11,8 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters,
   SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write,
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation,
+  RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write,
   Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -198,11 +199,37 @@ final class GraftCatalog extends TableCatalog {
   * through the DSv2 `Table` contract — see [[GraftCatalog]]. */
 private[graft] final class GraftTable(tbl: SnapshotTable, ident: String,
     pinned: Option[Long]) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
+
+  /** `MERGE INTO` / `UPDATE` / non-translatable `DELETE`: the
+    * delta-based row-level path ([[GraftRowLevelOperation]]) — updates
+    * become delete+insert, executors stage the action rows, and the
+    * driver applies ONE atomic [[SnapshotTable.applyDelta]].
+    * Translatable DELETEs still take the metadata route
+    * (OptimizeMetadataOnlyDeleteFromTable swaps back when
+    * [[canDeleteWhere]] accepts). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (pinned.isDefined) throw new UnsupportedOperationException(
+      s"$ident is pinned VERSION AS OF ${pinned.get} — history is immutable")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(tbl.location, tbl.keyColumn, info.command)
+    }
+  }
 
   override def name(): String = ident + pinned.fold("")(v => s" VERSION AS OF $v")
 
-  override def schema(): StructType = tbl.schemaAt(pinned)
+  /** The key column is declared NON-NULL: the commit protocol enforces
+    * zero null keys on every write (a null key is unaddressable by any
+    * keyed operation), and the declaration is what lets Spark's
+    * row-level DML accept it as the row id. */
+  override def schema(): StructType = {
+    val s = tbl.schemaAt(pinned)
+    StructType(s.fields.map(f =>
+      if (f.name == tbl.keyColumn) f.copy(nullable = false) else f))
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     (if (pinned.isDefined) Set(TableCapability.BATCH_READ)

@@ -580,6 +580,9 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   /** The key column this handle is keyed on. */
   def keyColumn: String = key
 
+  /** The table directory this handle addresses. */
+  def location: String = dir
+
   /** The relative data-file paths committed version `v` references —
     * test/soak seam for asserting copy-on-write carry-forward (how many
     * of version a's files version b kept by reference). */
@@ -1478,6 +1481,17 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       colmap: Map[String, String] = Map.empty,
       retired: Seq[String] = Nil): Long = {
     require(schema.fieldNames.contains(key), s"key column $key missing from schema")
+    // the keyed contract, enforced: a null key is unaddressable by every
+    // keyed operation (merge/delete/feed can never target it), and the
+    // SQL catalog declares the key non-null for row-level DML — so no
+    // commit may introduce one. Zero-cost: the per-file stats pass
+    // already counted the key's nulls (entries from pre-null-tracking
+    // manifests carry None and pass unjudged).
+    entries.filter(_.nulls.exists(_ > 0)).take(1).foreach(e =>
+      throw new IllegalArgumentException(
+        s"data file ${e.path} carries ${e.nulls.get} null $key keys — a keyed " +
+          "snapshot table cannot hold null keys (no keyed operation could ever " +
+          "address them); drop or fill them before the write"))
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
     val target = math.max(base, allVersions.lastOption.getOrElse(-1L)) + 1
     val p = manifestPath(target)

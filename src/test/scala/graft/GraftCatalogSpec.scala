@@ -50,7 +50,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(tbl.countRows() == 1)
   }
 
-  test("DELETE FROM with a translatable predicate runs the keyed delete; untranslatable fails at analysis") {
+  test("DELETE FROM: translatable predicates take the metadata delete; untranslatable fall to the row-level path") {
     val dir = freshDir()
     val tbl = new SnapshotTable(spark, dir, "k")
     tbl.create(kv((1L to 10L).map(i => i -> s"v$i"): _*))
@@ -58,11 +58,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sqlRows(s"SELECT k, v FROM graft.`$dir`").map(_._1) ==
       Seq(4L, 5L, 6L, 8L, 9L, 10L))
     assert(tbl.history.map(_._3) == Seq("create", "delete"))
-    // a predicate the exact translation cannot express must be rejected
-    // loudly, never deleted approximately
-    intercept[AnalysisException](
-      spark.sql(s"DELETE FROM graft.`$dir` WHERE k % 2 = 0"))
-    assert(tbl.countRows() == 6)
+    // a predicate the exact translation cannot express falls to the
+    // ROW-LEVEL path (scan + atomic applyDelta) instead of failing —
+    // covered in depth by the MERGE/UPDATE/DELETE test below
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k % 2 = 0")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`").map(_._1) == Seq(5L, 9L))
   }
 
   test("VERSION AS OF / TIMESTAMP AS OF read pinned history; writes to a pinned version fail") {
@@ -137,6 +137,42 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN k TO id")) // the key
     spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN body")
     assert(spark.sql(s"SELECT * FROM graft.`$dir`").columns.toSeq == Seq("k"))
+  }
+
+  test("MERGE INTO / UPDATE / non-translatable DELETE run the delta row-level path onto ONE atomic applyDelta") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv((1L to 10L).map(i => i -> s"v$i"): _*))
+    // MERGE: matched-delete (3), matched-update (2), not-matched-insert (11)
+    kv(2L -> "B", 3L -> "del", 11L -> "new").createOrReplaceTempView("rlo_src")
+    try spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING rlo_src s ON t.k = s.k
+         |WHEN MATCHED AND s.v = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally spark.catalog.dropTempView("rlo_src")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`") ==
+      ((1L -> "v1") +: (2L -> "B") +: (4L to 10L).map(i => i -> s"v$i") :+ (11L -> "new")))
+    assert(tbl.history.map(_._3).last == "delta",
+      s"MERGE must land as ONE atomic applyDelta commit, got ${tbl.history.map(_._3)}")
+    // UPDATE with a predicate the exact translation cannot express
+    spark.sql(s"UPDATE graft.`$dir` SET v = 'even' WHERE k % 2 = 0")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`")
+      .filter(_._1 % 2 == 0).map(_._2).toSet == Set("even"))
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`").count(_._1 % 2 != 0) == 5) // 1,5,7,9,11
+    // non-translatable DELETE falls to the row-level path (canDeleteWhere
+    // rejected it; the rewrite keeps it runnable instead of erroring)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE k % 3 = 0")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`").map(_._1) ==
+      Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L, 11L))
+    // staging debris is gone after every statement
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/.rlo-stage")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(hp), ".rlo-stage must be cleaned after commit")
+    // a key-CHANGING update (delete old id + insert new row under the hood)
+    spark.sql(s"UPDATE graft.`$dir` SET k = k + 100 WHERE k = 11")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`").map(_._1).contains(111L))
+    assert(!sqlRows(s"SELECT k, v FROM graft.`$dir`").map(_._1).contains(11L))
   }
 
   test("CTAS creates + populates through the catalog; keyless format/view routes resolve the key from the manifest") {
