@@ -1188,8 +1188,17 @@ object Soak {
       new incremental.SnapshotTable(spark, dir, "doc_id",
         clusterPartitions = Some(8)).create(docs)
       val writers = 4; val opsPer = 6
+      // plus ONE pure-SQL writer: MERGE INTO statements through the
+      // catalog's row-level DML — the statement-grain CAS pin must make
+      // SQL merges first-class citizens of the same optimistic-
+      // concurrency protocol (a racing commit fails the statement with
+      // the store's ConcurrentModificationException; the thread
+      // retries, exactly like the Scala ops)
+      val sqlOps = 4
       // deterministic payloads, reproducible from the commit tag alone:
-      // merge bands overlap the NEXT writer's delete band (contention)
+      // merge bands overlap the NEXT writer's delete band (contention);
+      // the SQL writer's band (2M+) is DISJOINT from every other op, so
+      // its merges commute and the replay can apply them positionally
       def mergeBatch(w: Int, k: Int) =
         spark.range(1000000L + w * 1000 + k * 20, 1000000L + w * 1000 + k * 20 + 10)
           .select(col("id").as("doc_id"), lit(s"cw-w$w-k$k").as("text"))
@@ -1198,35 +1207,57 @@ object Soak {
         spark.range(1000000L + o + k * 20, 1000000L + o + k * 20 + 5)
           .select(col("id").as("doc_id"))
       }
+      def sqlBatch(k: Int) =
+        spark.range(2000000L + k * 20, 2000000L + k * 20 + 10)
+          .select(col("id").as("doc_id"), lit(s"cw-sql-k$k").as("text"))
       val retriesC = new java.util.concurrent.atomic.AtomicInteger(0)
       val boom = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
       val t0 = System.nanoTime()
-      val threads = (0 until writers).map { w =>
+      def retrying(w: Int, k: Int)(op: => Unit): Unit = {
+        var done = false; var tries = 0
+        while (!done) {
+          try { op; done = true }
+          catch {
+            case e: Throwable
+                if Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+                  .exists(_.isInstanceOf[java.util.ConcurrentModificationException]) =>
+              tries += 1; retriesC.incrementAndGet()
+              if (tries > 300) throw new IllegalStateException(
+                s"writer $w op $k starved after $tries retries")
+              Thread.sleep(3L + scala.util.Random.nextInt(25))
+          }
+        }
+      }
+      val scalaThreads = (0 until writers).map { w =>
         val t = new Thread(() => try {
           val h = new incremental.SnapshotTable(spark, dir, "doc_id")
           (0 until opsPer).foreach { k =>
             val tag = s"cw:w$w:k$k"
-            var done = false; var tries = 0
-            while (!done) {
-              try {
-                (k % 3) match {
-                  case 0 => h.merge(mergeBatch(w, k), tag = s"$tag:merge")
-                  case 1 => h.delete(deleteKeys(w, k), tag = s"$tag:delete")
-                  case _ => h.optimize(smallBytes = 1L << 20)
-                }
-                done = true
-              } catch {
-                case _: java.util.ConcurrentModificationException =>
-                  tries += 1; retriesC.incrementAndGet()
-                  if (tries > 300) throw new IllegalStateException(
-                    s"writer $w op $k starved after $tries retries")
-                  Thread.sleep(3L + scala.util.Random.nextInt(25))
+            retrying(w, k) {
+              (k % 3) match {
+                case 0 => h.merge(mergeBatch(w, k), tag = s"$tag:merge")
+                case 1 => h.delete(deleteKeys(w, k), tag = s"$tag:delete")
+                case _ => h.optimize(smallBytes = 1L << 20)
               }
             }
           }
         } catch { case e: Throwable => boom.compareAndSet(null, e) })
         t.start(); t
       }
+      val sqlThread = new Thread(() => try {
+        (0 until sqlOps).foreach { k =>
+          val vn = s"cw_sql_src_$k"
+          sqlBatch(k).createOrReplaceTempView(vn)
+          try retrying(writers, k) {
+            spark.sql(
+              s"""MERGE INTO graft.`$dir` t USING $vn s ON t.doc_id = s.doc_id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          } finally spark.catalog.dropTempView(vn)
+        }
+      } catch { case e: Throwable => boom.compareAndSet(null, e) })
+      sqlThread.start()
+      val threads = scalaThreads :+ sqlThread
       threads.foreach(_.join())
       val wall = (System.nanoTime() - t0) / 1e9
       if (boom.get() != null) throw boom.get()
@@ -1244,10 +1275,15 @@ object Soak {
       val expected = for (w <- 0 until writers; k <- 0 until opsPer if k % 3 != 2)
         yield s"cw:w$w:k$k:" + (if (k % 3 == 0) "merge" else "delete")
       val allApplied = expected.forall(t =>
-        hist.count(x => tagByV(x._1) == t && x._3 != "optimize") == 1)
+        hist.count(x => tagByV(x._1) == t && x._3 != "optimize") == 1) &&
+        // each SQL MERGE landed exactly once: sqlOps "delta" commits
+        hist.count(_._3 == "delta") == sqlOps
       // serial replay in commit order: optimize/tag commits are
       // content-neutral and skip; merge/delete re-derive their payload
-      // from the tag — final content must be identical
+      // from the tag; SQL "delta" commits apply the sql batches
+      // positionally — their band is disjoint from every other op and
+      // each key belongs to exactly ONE batch, so the merges commute
+      // and position stands in for the (tagless) statement identity
       val rdir = s"$dir-replay"
       val rp = new org.apache.hadoop.fs.Path(rdir)
       rp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rp, true)
@@ -1255,12 +1291,15 @@ object Soak {
         clusterPartitions = Some(8))
       replay.create(docs)
       val OpTag = """cw:w(\d+):k(\d+):(merge|delete)""".r
+      var sqlSeen = 0
       hist.drop(1).foreach { case (v, _, op, _, _) =>
         (op, tagByV(v)) match {
           case ("merge", OpTag(w, k, _)) =>
             replay.merge(mergeBatch(w.toInt, k.toInt))
           case ("delete", OpTag(w, k, _)) =>
             replay.delete(deleteKeys(w.toInt, k.toInt))
+          case ("delta", _) =>
+            replay.merge(sqlBatch(sqlSeen)); sqlSeen += 1
           case _ => () // optimize / tag-only: content-neutral
         }
       }
@@ -1370,7 +1409,7 @@ object Soak {
       md ++= f"\nRESOLVE AT HISTORY DEPTH (newest-first + validated parse cache): a COLD handle's first read on a 21-version store loaded $br manifest files ($bw%.2f s) and on a 201-version store $sr ($sw%.2f s) — resolve is O(1) in history depth, so a per-trigger streaming getOffset on a deep store costs one listing + at most one parse; the manifest-checkpoint rung stays unnecessary — ${if (depthOk) "ok" else "**FAIL**"}.\n"
     }
     conc.foreach { case (b, s) =>
-      md ++= f"\nCONCURRENT WRITERS (4 uncoordinated threads × 6 ops: merge/delete/optimize interleaved, ops retried on ConcurrentModificationException): ${b.commits} commits with ${b.retries} retried attempts at 1x (${b.wall}%.1f s) and ${s.commits} with ${s.retries} at ${n}x (${s.wall}%.1f s) — parent chain intact, every successful op committed exactly once (unique commit tags), and the final content equals a SERIAL REPLAY of the committed ops in commit order — the at-most-one-success protocol holds under real thread interleaving, not just staged seams — ${if (concOk) "ok" else "**FAIL**"}.\n"
+      md ++= f"\nCONCURRENT WRITERS (4 uncoordinated Scala threads × 6 ops — merge/delete/optimize interleaved — PLUS one pure-SQL thread issuing 4 MERGE INTO statements through the catalog's row-level DML, every op retried on ConcurrentModificationException, the SQL statements included via their statement-grain CAS pin): ${b.commits} commits with ${b.retries} retried attempts at 1x (${b.wall}%.1f s) and ${s.commits} with ${s.retries} at ${n}x (${s.wall}%.1f s) — parent chain intact, every successful op committed exactly once (unique commit tags; exactly 4 delta commits), and the final content equals a SERIAL REPLAY of the committed ops in commit order — the at-most-one-success protocol holds under real thread interleaving, SQL and Scala writers alike — ${if (concOk) "ok" else "**FAIL**"}.\n"
     }
     incSparse.foreach { case ((bw, bf, bt), (sw, sf2, st2)) =>
       md ++= f"\nIncremental pipeline, backdated-edit delta (flagship path; summary re-clustered into a pinned multi-file layout): "

@@ -160,6 +160,23 @@ object SparkEntry {
         "outstanding_rentals_at_week_end", "open_rentals_at_week_end"))
       materializeAndClean(tbl.read().orderBy("week_beginning"), scratch)
     }),
+    // TYPE WIDENING across the lossless lattice: the store starts with
+    // an INT column, widens it to BIGINT in a manifest-only commit
+    // (zero files rewritten), then merges rows whose values only a
+    // BIGINT can hold — pre-widen files read wide via parquet's
+    // widening promotion, stats stay exact across the boundary
+    "upsert_round_snapshot_widen" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-snap-wd").toString
+      val tbl = new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
+        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
+      tbl.create(docs.withColumn("n_chars", col("n_chars").cast("int")))
+      tbl.widenColumn("n_chars", org.apache.spark.sql.types.LongType)
+      tbl.merge(docs.filter(col("doc_id") % 53 === 1)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("n_chars", col("n_chars").cast("long") + 4000000000L))
+      materializeAndClean(tbl.read(), scratch)
+    }),
     // manifest-pruned RANGE READ over the corpus store: only files
     // whose doc_id [min,max] intersects the band are handed to the
     // scan (SnapshotTable.readRange — the read-side twin of the
@@ -388,6 +405,50 @@ object SparkEntry {
                  |WHEN MATCHED AND s.n_chars < 100 THEN DELETE
                  |WHEN MATCHED THEN UPDATE SET *
                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
+      } finally s.catalog.dropTempView(vn)
+    }),
+    // MERGE with WHEN NOT MATCHED BY SOURCE — the clause that makes the
+    // TARGET scan the action source (Spark 4 rewrites it through the
+    // same SupportsDelta path): matched rows update, unmatched source
+    // rows insert, and target rows the source never mentions delete or
+    // update by their own predicate — still ONE atomic applyDelta
+    "corpus_sql_merge_nmbs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-sqlnmbs").toString
+      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
+        clusterPartitions = Some(8)).create(docs)
+      val vn = "corpus_sql_nmbs_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      docs.filter(col("doc_id") % 3 === 0).withColumn("text", lit("[redacted-r3]"))
+        .unionByName(docs.filter(col("doc_id") % 53 === 1)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+        .createOrReplaceTempView(vn)
+      try {
+        s.sql(s"""MERGE INTO graft.`$scratch/store` t USING $vn s ON t.doc_id = s.doc_id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *
+                 |WHEN NOT MATCHED BY SOURCE AND t.n_chars < 100 THEN DELETE
+                 |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET lang = 'xx'""".stripMargin)
+        materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
+      } finally s.catalog.dropTempView(vn)
+    }),
+    // pure-SQL ADD COLUMN DDL: a manifest-only schema commit (zero data
+    // files rewritten at any table size) — rows committed before the
+    // add read the column as null, the INSERT after it carries values;
+    // both generations serve through one SELECT
+    "corpus_sql_add_column" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-sqladd").toString
+      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
+        clusterPartitions = Some(8)).create(docs)
+      val vn = "corpus_sql_add_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      docs.filter(col("doc_id") % 53 === 1)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("quality", col("n_chars").cast("double") / 100.0)
+        .createOrReplaceTempView(vn)
+      try {
+        s.sql(s"ALTER TABLE graft.`$scratch/store` ADD COLUMNS (quality DOUBLE)")
+        s.sql(s"INSERT INTO graft.`$scratch/store` SELECT * FROM $vn")
         materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
       } finally s.catalog.dropTempView(vn)
     }),
@@ -1717,6 +1778,13 @@ object SparkEntry {
     "upsert_round_snapshot_evolve" -> upsertRoundOracleSql(noteCol = true),
     "upsert_round_snapshot_rename" ->
       upsertRoundOracleSql(noteCol = false, outCol = "open_rentals_at_week_end"),
+    "upsert_round_snapshot_widen" ->
+      """SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 10000000, text, lang, source,
+        |  CAST(n_chars AS BIGINT) + 4000000000 AS n_chars
+        |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
     "corpus_forget" ->
       "SELECT * FROM documents WHERE doc_id % 17 <> 0",
     "corpus_forget_dv" ->
@@ -1766,6 +1834,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id + 10000000, text, lang, source, n_chars
         |FROM documents WHERE doc_id %% 53 = 1""".stripMargin.replace("%%", "%"),
+    "corpus_sql_merge_nmbs" ->
+      """SELECT doc_id, '[redacted-r3]' AS text, lang, source, n_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, text, 'xx' AS lang, source, n_chars
+        |FROM documents WHERE doc_id % 3 <> 0 AND n_chars >= 100
+        |UNION ALL
+        |SELECT doc_id + 10000000, text, lang, source, n_chars
+        |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
+    "corpus_sql_add_column" ->
+      """SELECT doc_id, text, lang, source, n_chars, CAST(NULL AS DOUBLE) AS quality
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 10000000, text, lang, source, n_chars,
+        |  CAST(n_chars AS DOUBLE) / 100.0 AS quality
+        |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
     "corpus_sql_time_travel" ->
       """SELECT 'v0' AS snap, doc_id, text, lang, source, n_chars FROM documents
         |UNION ALL

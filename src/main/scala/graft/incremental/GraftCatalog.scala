@@ -70,7 +70,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Time-travel loads (`VERSION AS OF` / `TIMESTAMP AS OF`) resolve via
   * [[SnapshotTable.schemaAt]]/[[SnapshotTable.versionAsOf]] and return
   * a READ-ONLY pinned table — writing to history fails at analysis. */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Option[String] = None
@@ -154,27 +154,47 @@ final class GraftCatalog extends TableCatalog {
   }
 
   /** `ALTER TABLE graft.\`/path\` RENAME COLUMN a TO b` / `DROP COLUMN
-    * a` — manifest-only commits through the table's column mapping
-    * ([[SnapshotTable.renameColumn]]/[[SnapshotTable.dropColumn]]):
-    * zero data files rewritten, old files serve the renamed column.
-    * Every other change (type alters, adds — adds happen on write via
-    * schema evolution) is rejected loudly. */
+    * a` / `ADD COLUMNS (c TYPE, ...)` — manifest-only commits through
+    * the table's column mapping ([[SnapshotTable.alterColumns]]): zero
+    * data files rewritten — old files serve the renamed column, and
+    * read added columns as null. A MULTI-change statement (`ADD
+    * COLUMNS` with several fields) lands as ONE commit, all-or-nothing
+    * — a partially applied ALTER is never visible in history. Every
+    * other change (type alters, positioned or non-nullable adds) is
+    * rejected loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val tbl = handleAt(ident)
-    changes.foreach {
+    val mapped = changes.flatMap {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "graft tables have no nested columns to rename")
-        tbl.renameColumn(r.fieldNames.head, r.newName)
+        Some(SnapshotTable.Rename(r.fieldNames.head, r.newName))
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "graft tables have no nested columns to drop")
         if (tbl.schema.fieldNames.contains(d.fieldNames.head) || !d.ifExists())
-          tbl.dropColumn(d.fieldNames.head)
+          Some(SnapshotTable.Drop(d.fieldNames.head))
+        else None
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft tables have no nested columns to add into")
+        require(a.isNullable,
+          s"added column ${a.fieldNames.head} must be nullable — rows committed " +
+            "before the add have no value for it")
+        require(a.position() == null,
+          "added columns append at the end of the schema — FIRST/AFTER positions " +
+            "are not supported (data files are never rewritten by DDL)")
+        Some(SnapshotTable.Add(a.fieldNames.head, a.dataType))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "graft tables have no nested columns to widen")
+        // only the lossless lattice passes (validated in alterColumns)
+        Some(SnapshotTable.Widen(u.fieldNames.head, u.newDataType))
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE change $other is not supported on graft tables — columns are " +
-          "added by writing them (nullable schema evolution); types never change")
+        s"ALTER TABLE change $other is not supported on graft tables — columns " +
+          "rename/drop/add/widen only; lossy type changes never happen")
     }
+    if (mapped.nonEmpty) tbl.alterColumns(mapped)
     loadTable(ident)
   }
 
@@ -193,6 +213,24 @@ final class GraftCatalog extends TableCatalog {
     * enumerate (any filesystem directory may hold a table). */
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
+
+  /** SQL MAINTENANCE VERBS (`CALL graft.optimize(...)` etc.) — see
+    * [[GraftProcedures]]. The `table` argument resolves through the
+    * same path rules as table identifiers (absolute, or
+    * warehouse-relative). */
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    require(ident.namespace.isEmpty,
+      s"graft procedures live at the catalog root: CALL $catalogName.${ident.name}(...)")
+    GraftProcedures.load(ident.name, p =>
+      if (p.startsWith("/")) p
+      else pathOf(Identifier.of(Array.empty, p))
+    ).getOrElse(throw new UnsupportedOperationException(
+      s"no procedure ${ident.name} — graft ships ${GraftProcedures.names.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else GraftProcedures.names.map(n => Identifier.of(Array.empty, n)).toArray
 }
 
 /** One snapshot table (optionally PINNED to a historical version)
@@ -266,17 +304,32 @@ private[graft] final class GraftTable(tbl: SnapshotTable, ident: String,
     pinned.isEmpty && filters.forall(GraftFilters.toColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    // statement-grain CAS: resolve once, compute the doomed keys against
+    // THAT snapshot, and pin the delete to it — a commit landing between
+    // the scan and the delete fails this statement loudly instead of
+    // having keys chosen on one version silently applied to another
+    val v = tbl.currentVersion.getOrElse(throw new IllegalStateException(
+      s"no snapshot table at ${tbl.location}"))
     val pred = filters.flatMap(GraftFilters.toColumn(_))
       .foldLeft(lit(true))(_ && _)
-    tbl.delete(tbl.scan().filter(pred).select(col(tbl.keyColumn)).distinct())
+    tbl.delete(tbl.scanAt(Some(v)).filter(pred).select(col(tbl.keyColumn)).distinct(),
+      expectedVersion = Some(v))
   }
 }
 
 /** Pushdown collector: filters and required columns land here at
-  * planning; [[build]] freezes them into a [[GraftScan]]. EVERY filter
-  * is returned from [[pushFilters]] (Spark re-evaluates all of them on
+  * planning; [[build]] freezes them into a scan. EVERY filter is
+  * returned from [[pushFilters]] (Spark re-evaluates all of them on
   * the rows), so the translated subset is a pure pruning hint — exactly
-  * the contract [[SnapshotTable.scan]]'s FileIndex already has. */
+  * the contract [[SnapshotTable.scan]]'s FileIndex already has.
+  *
+  * [[build]] picks the route: a DV-free snapshot gets the NATIVE
+  * columnar scan ([[org.apache.spark.sql.graft.GraftColumnarScan]] —
+  * vectorized parquet batches, whole-stage codegen, zero row
+  * materialization), with manifest file pruning done driver-side
+  * against the translated filters; a snapshot carrying deletion
+  * vectors falls back to the [[GraftScan]] `V1Scan` bridge, whose
+  * inner masked plan splices the sidecar anti-joins in. */
 private[graft] final class GraftScanBuilder(tbl: SnapshotTable,
     pinned: Option[Long], full: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -295,7 +348,22 @@ private[graft] final class GraftScanBuilder(tbl: SnapshotTable,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(tbl, pinned, required, filters)
+  override def build(): Scan = {
+    val translatable = pushedFilters()
+    tbl.batchScanParts(pinned, translatable) match {
+      case Some(parts) =>
+        val physRead = StructType(required.fields.map(f =>
+          f.copy(name = parts.colmap.getOrElse(f.name, f.name))))
+        val pushedPhys =
+          if (parts.colmap.isEmpty) translatable
+          else translatable.flatMap(GraftFilters.renamed(_, parts.colmap))
+        org.apache.spark.sql.graft.GraftColumnarScan(
+          SparkSession.active, parts.root, parts.files, parts.physSchema,
+          physRead, required, pushedPhys,
+          s"graft-snapshot${pinned.fold("")(v => s" @v$v")}")
+      case None => new GraftScan(tbl, pinned, required, filters)
+    }
+  }
 }
 
 /** The DSv2 scan, executed through the `V1Scan` bridge: the inner plan

@@ -82,4 +82,35 @@ private[graft] object GraftFilters {
     case AlwaysFalse() => Some(lit(false))
     case _ => None
   }
+
+  /** The same filter with its attribute names translated through the
+    * column mapping (logical → physical) — what the native columnar
+    * route pushes into parquet ROW-GROUP pruning on a renamed table
+    * (files store physical names). None for unknown shapes: they are
+    * simply not pushed (Spark re-evaluates every filter on the rows). */
+  def renamed(f: Filter, colmap: Map[String, String]): Option[Filter] = {
+    def r(a: String) = colmap.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => Some(EqualTo(r(a), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(r(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(r(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(r(a), v))
+      case LessThan(a, v) => Some(LessThan(r(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(r(a), v))
+      case In(a, vs) => Some(In(r(a), vs))
+      case IsNull(a) => Some(IsNull(r(a)))
+      case IsNotNull(a) => Some(IsNotNull(r(a)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(r(a), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(r(a), v))
+      case StringContains(a, v) => Some(StringContains(r(a), v))
+      case And(l, rr) =>
+        for { lc <- renamed(l, colmap); rc <- renamed(rr, colmap) } yield And(lc, rc)
+      case Or(l, rr) =>
+        for { lc <- renamed(l, colmap); rc <- renamed(rr, colmap) } yield Or(lc, rc)
+      case Not(c) => renamed(c, colmap).map(Not)
+      case AlwaysTrue() => Some(f)
+      case AlwaysFalse() => Some(f)
+      case _ => None
+    }
+  }
 }

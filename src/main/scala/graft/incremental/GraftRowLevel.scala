@@ -48,25 +48,38 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final class GraftRowLevelOperation(dir: String, key: String,
     op: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
 
-  private def spark: SparkSession = SparkSession.active
-  private def tbl: SnapshotTable = new SnapshotTable(spark, dir, key)
+  private val tbl: SnapshotTable = new SnapshotTable(SparkSession.active, dir, key)
+
+  /** STATEMENT-GRAIN optimistic concurrency: the manifest version is
+    * resolved ONCE, when the operation is built (analysis time) — the
+    * scan below is pinned to it, and the commit passes it as
+    * `applyDelta`'s `expectedVersion`. So the matched/not-matched
+    * decisions a MERGE computes are guaranteed to be applied onto the
+    * exact snapshot they were derived from; a writer landing anywhere
+    * between resolve and commit fails THIS statement with the commit
+    * protocol's own ConcurrentModificationException (retry-able by the
+    * user) instead of being silently clobbered — the same lost-update
+    * discipline every Scala-API mutation already has. */
+  private val pinnedVersion: Long = tbl.currentVersion.getOrElse(
+    throw new IllegalStateException(
+      s"no snapshot table at $dir — nothing for $op to act on"))
 
   override def command(): RowLevelOperation.Command = op
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tbl, None, tbl.schema)
+    new GraftScanBuilder(tbl, Some(pinnedVersion), tbl.schemaAt(Some(pinnedVersion)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
     // a DELETE-only statement writes no data rows, so info.schema() is
     // empty — the applyDelta upsert side must still carry the TABLE
     // schema (its evolution check is per-column)
-    val tableSchema = tbl.schema
+    val tableSchema = tbl.schemaAt(Some(pinnedVersion))
     val rowSchema = if (info.schema().isEmpty) tableSchema else info.schema()
     val idSchema = info.rowIdSchema().orElse(
       StructType(Seq(tableSchema(key))))
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftDeltaWrite(dir, key, rowSchema, idSchema)
+        new GraftDeltaWrite(dir, key, rowSchema, idSchema, pinnedVersion)
     }
   }
 
@@ -81,16 +94,45 @@ final class GraftRowLevelOperation(dir: String, key: String,
 }
 
 /** The delta write: executors stage, the driver applies ONE atomic
-  * [[graft.incremental.SnapshotTable.applyDelta]]. */
+  * [[graft.incremental.SnapshotTable.applyDelta]], CAS-pinned to the
+  * statement's resolved version. */
 private[graft] final class GraftDeltaWrite(dir: String, key: String,
-    rowSchema: StructType, idSchema: StructType) extends DeltaWrite {
+    rowSchema: StructType, idSchema: StructType,
+    expectedVersion: Long) extends DeltaWrite {
 
   private val stageDir = s"$dir/.rlo-stage/${UUID.randomUUID()}"
+
+  /** Captured ON THE DRIVER at write build: the session's Hadoop conf
+    * (fs.defaultFS, object-store credentials — an executor-built
+    * `new Configuration(false)` would lose them and stage to the wrong
+    * or an unreachable filesystem on any non-local table) with the
+    * session's ACTUAL parquet-write SQLConf values layered on top, the
+    * same population `ParquetFileFormat.prepareWrite` performs. */
+  private val writerConf: GraftSerializableConf = {
+    import org.apache.spark.sql.internal.SQLConf
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val sql = spark.sessionState.conf
+    Seq(
+      SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,
+      SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+      SQLConf.CASE_SENSITIVE
+    ).foreach(e => conf.set(e.key, sql.getConfString(e.key, e.defaultValueString)))
+    // staged bytes are read back immediately by this same engine:
+    // CORRECTED never throws on ancient timestamps and round-trips
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    new GraftSerializableConf(conf)
+  }
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DeltaWriterFactory =
-      new GraftDeltaWriterFactory(stageDir, rowSchema.json, idSchema.json)
+      new GraftDeltaWriterFactory(stageDir, rowSchema.json, idSchema.json,
+        writerConf)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val spark = SparkSession.active
@@ -105,13 +147,16 @@ private[graft] final class GraftDeltaWrite(dir: String, key: String,
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else spark.read.schema(schema).parquet(paths: _*)
       try {
+        GraftDeltaWrite.onBeforeCommit()
         val tbl = new SnapshotTable(spark, dir, key)
         // only files the COMMITTED task attempts named — a speculative
         // duplicate's file sits unreferenced in the staging dir and is
-        // removed with it below
+        // removed with it below. expectedVersion = the statement's
+        // pinned snapshot: a commit that landed since fails loudly here
         tbl.applyDelta(
           readStaged(upFiles, rowSchema),
-          readStaged(delFiles, idSchema).toDF(key))
+          readStaged(delFiles, idSchema).toDF(key),
+          expectedVersion = Some(expectedVersion))
       } finally cleanup()
     }
 
@@ -132,15 +177,39 @@ private[graft] final class GraftDeltaWrite(dir: String, key: String,
   override def description(): String = s"graft-snapshot delta write to $dir"
 }
 
+private[graft] object GraftDeltaWrite {
+  /** Test seam: runs on the driver after the tasks' staged files are
+    * collected and before the atomic applyDelta — the window a racing
+    * writer must land in to prove the statement's CAS pin aborts it
+    * loudly instead of losing the race silently. No-op in production. */
+  private[graft] var onBeforeCommit: () => Unit = () => ()
+}
+
+/** Serializable Hadoop-conf carrier (`Configuration` itself is not
+  * Java-serializable): standard write/readFields envelope. */
+private[graft] final class GraftSerializableConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** Task-side factory: everything it captures must be serializable, so
-  * schemas travel as JSON. */
+  * schemas travel as JSON and the Hadoop conf rides its envelope. */
 private[graft] final class GraftDeltaWriterFactory(stageDir: String,
-    rowSchemaJson: String, idSchemaJson: String) extends DeltaWriterFactory {
+    rowSchemaJson: String, idSchemaJson: String,
+    conf: GraftSerializableConf) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(stageDir, partitionId, taskId,
       DataType.fromJson(rowSchemaJson).asInstanceOf[StructType],
-      DataType.fromJson(idSchemaJson).asInstanceOf[StructType])
+      DataType.fromJson(idSchemaJson).asInstanceOf[StructType], conf)
 }
 
 /** The committed staged files of one task attempt. */
@@ -154,7 +223,8 @@ private[graft] final case class GraftDeltaFiles(upserts: Seq[String],
   * semantics they were written with. */
 private[graft] final class GraftDeltaWriter(stageDir: String,
     partitionId: Int, taskId: Long, rowSchema: StructType,
-    idSchema: StructType) extends DeltaWriter[InternalRow] {
+    idSchema: StructType, shipped: GraftSerializableConf)
+    extends DeltaWriter[InternalRow] {
 
   private var upWriter: ParquetWriter[InternalRow] = null
   private var delWriter: ParquetWriter[InternalRow] = null
@@ -162,25 +232,11 @@ private[graft] final class GraftDeltaWriter(stageDir: String,
   private var delPath: String = null
 
   private def open(schema: StructType, kind: String): (ParquetWriter[InternalRow], String) = {
-    import org.apache.spark.sql.internal.SQLConf
     val path = s"$stageDir/$kind-$partitionId-$taskId.parquet"
-    val conf = new Configuration(false)
-    // the keys ParquetWriteSupport.init (and its schema converter) read
-    // with NO Hadoop-conf default — set each from its own SQLConf entry
-    // (exact key + engine default, version-proof), the same population
-    // ParquetFileFormat.prepareWrite performs
-    Seq(
-      SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
-      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
-      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
-      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,
-      SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
-      SQLConf.CASE_SENSITIVE
-    ).foreach(e => conf.set(e.key, e.defaultValueString))
-    // staged bytes are read back immediately by this same engine:
-    // CORRECTED never throws on ancient timestamps and round-trips
-    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
-    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    // the DRIVER-captured session conf (filesystem + credentials +
+    // actual parquet-write SQLConf values — see GraftDeltaWrite), cloned
+    // per writer because setSchema below is a per-schema mutation
+    val conf = new Configuration(shipped.value)
     ParquetWriteSupport.setSchema(schema, conf)
     val ws = new ParquetWriteSupport()
     val builder = new GraftRowParquetBuilder(new Path(path), ws).withConf(conf)

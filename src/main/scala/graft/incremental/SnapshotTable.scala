@@ -1143,6 +1143,105 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
   }
 
+  /** Everything the NATIVE DSv2 columnar batch scan needs, or None when
+    * this snapshot cannot be served by a bare parquet scan (it carries
+    * deletion vectors — their sidecar anti-join needs the masked
+    * relation route). The entries are pruned HERE, against the pushed
+    * v2 source filters, with the same per-file [min,max]/null-count
+    * proofs the Catalyst FileIndex route uses — so the catalog's
+    * columnar rung keeps manifest file skipping without a planner
+    * FileIndex in the loop. FileStatuses come from manifest-recorded
+    * byte lengths (driver arithmetic, no per-file RPC). */
+  private[graft] def batchScanParts(version: Option[Long],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[SnapshotTable.BatchParts] = {
+    val m = manifestAt(version)
+    if (m.entries.exists(_.dv.isDefined)) return None
+    val kept = m.entries.filter(e => !filters.exists(f => sourceDisjoint(f, m, e)))
+    lastBatchKept = kept.size
+    val statuses = kept.map { e =>
+      e.bytes match {
+        case Some(len) =>
+          new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L,
+            fs.makeQualified(new Path(s"$dir/${e.path}")))
+        case None => fs.getFileStatus(new Path(s"$dir/${e.path}"))
+      }
+    }
+    Some(SnapshotTable.BatchParts(fs.makeQualified(new Path(dir)),
+      m.physSchema, m.colmap, statuses))
+  }
+
+  /** Files the most recent [[batchScanParts]] kept — the columnar
+    * route's pruning spec seam. -1 until it runs. */
+  private[graft] var lastBatchKept: Int = -1
+
+  /** Entry-level pruning from a PUSHED v2 source filter — the
+    * `sources.Filter` twin of [[GraftFileIndex]]'s Catalyst
+    * `provesDisjoint`: true only when the filter PROVES no row of the
+    * entry can satisfy it, off the manifest's encoded [min,max] and
+    * null counts. Attribute names arrive LOGICAL (the query's) and
+    * translate through the column mapping; anything unprovable keeps
+    * the file (Spark re-evaluates every filter on the rows, so this is
+    * a pure optimization). */
+  private def sourceDisjoint(f: org.apache.spark.sql.sources.Filter,
+      m: Manifest, e: Entry): Boolean = {
+    import org.apache.spark.sql.sources._
+    def boundsOf(logical: String): Option[(String, String, String)] = {
+      val c = m.physOf(logical)
+      if (c == m.physOf(key)) (e.kind, e.min, e.max) match {
+        case (k, Some(mn), Some(mx)) if k != "opaque" => Some((k, mn, mx))
+        case _ => None
+      } else e.stats.get(c).collect {
+        case ColStat(k, Some(mn), Some(mx), _) => (k, mn, mx)
+      }
+    }
+    def nullsOf(logical: String): Option[Long] = {
+      val c = m.physOf(logical)
+      if (c == m.physOf(key)) e.nulls else e.stats.get(c).flatMap(_.nulls)
+    }
+    def allNull(a: String): Boolean = nullsOf(a).contains(e.rows)
+    // file max < v (no row can be >= v); all-null columns prove too
+    def maxBelow(a: String, v: Any): Boolean = allNull(a) ||
+      boundsOf(a).exists { case (k, _, mx) =>
+        ordEncode(v).exists(lo => ordLt(k, mx, lo)) }
+    // file min > v (no row can be <= v)
+    def minAbove(a: String, v: Any): Boolean = allNull(a) ||
+      boundsOf(a).exists { case (k, mn, _) =>
+        ordEncode(v).exists(hi => ordLt(k, hi, mn)) }
+    f match {
+      case And(l, r) => sourceDisjoint(l, m, e) || sourceDisjoint(r, m, e)
+      case Or(l, r) => sourceDisjoint(l, m, e) && sourceDisjoint(r, m, e)
+      case IsNull(a) => nullsOf(a).contains(0L)
+      case IsNotNull(a) => allNull(a)
+      case EqualNullSafe(a, null) => nullsOf(a).contains(0L)
+      case EqualNullSafe(a, v) => maxBelow(a, v) || minAbove(a, v)
+      case EqualTo(a, v) if v != null => maxBelow(a, v) || minAbove(a, v)
+      case GreaterThan(a, v) => maxBelow(a, v) // conservative: > proves via >=
+      case GreaterThanOrEqual(a, v) => maxBelow(a, v)
+      case LessThan(a, v) => minAbove(a, v)
+      case LessThanOrEqual(a, v) => minAbove(a, v)
+      case In(a, vs) if vs.nonEmpty =>
+        vs.forall(v => v != null && (maxBelow(a, v) || minAbove(a, v)))
+      // prefix: every match sits >= P in byte order, so fileMax < P is
+      // disjoint; fileMin > P without carrying P as a prefix puts
+      // fileMin above every possible match (see GraftFileIndex)
+      case StringStartsWith(a, p) => allNull(a) ||
+        boundsOf(a).exists { case (kind, mnB64, mxB64) =>
+          kind == "str" && {
+            val dec = java.util.Base64.getDecoder
+            val pb = p.getBytes("UTF-8")
+            val mn = dec.decode(mnB64); val mx = dec.decode(mxB64)
+            def lt(x: Array[Byte], y: Array[Byte]) =
+              java.util.Arrays.compareUnsigned(x, y) < 0
+            def hasPrefix(x: Array[Byte]) = x.length >= pb.length &&
+              java.util.Arrays.equals(x, 0, pb.length, pb, 0, pb.length)
+            lt(mx, pb) || (lt(pb, mn) && !hasPrefix(mn))
+          }
+        }
+      case _ => false
+    }
+  }
+
   /** The index behind the most recent [[scan]] — spec seam for
     * asserting how many files the planner's pushed filters kept. */
   private[graft] var lastScanIndex: GraftFileIndex = null
@@ -1445,7 +1544,48 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         if (ok) mn else None, if (ok) mx else None, colStats,
         nulls = Some(rows - r.getLong(4)), bloom = bloom,
         bytes = lenByName.get(name))
+    }.map { e =>
+      // the keyed contract, enforced where new data files are BORN: a
+      // null key is unaddressable by every keyed operation (merge/
+      // delete/feed can never target it) and the SQL catalog declares
+      // the key non-null for row-level DML, so no fresh file may carry
+      // one. Zero-cost: the same stats pass counted the key's nulls.
+      // Enforced here — not at commit — so carried-forward entries of a
+      // PRE-GUARD table never brick its metadata ops (setTag, restore,
+      // untouched-file deletes all keep working); rewriting such a
+      // file's legacy null rows still trips this, which is what
+      // [[repairNullKeys]] is for. The staged orphans a throw strands
+      // are vacuum's ordinary diet.
+      if (!allowNullKeysStaging && e.nulls.exists(_ > 0))
+        throw new IllegalArgumentException(
+          s"data file ${e.path} carries ${e.nulls.get} null $key keys — a keyed " +
+            "snapshot table cannot hold null keys (no keyed operation could ever " +
+            "address them); drop or fill them before the write, or run " +
+            "repairNullKeys() first if a pre-guard table already holds some")
+      e
     }
+  }
+
+  /** Test seam: lets a spec fabricate the PRE-GUARD legacy shape (a
+    * table whose committed files carry null keys) to pin the migration
+    * path. Never set in production code. */
+  private[graft] var allowNullKeysStaging = false
+
+  /** One-shot migration for a legacy table whose committed files carry
+    * null keys (written before the staging guard existed): every file
+    * with a known-positive — or UNKNOWN (pre-null-tracking manifest) —
+    * null count is rewritten with its null-key rows dropped; files
+    * PROVEN clean carry forward by reference. After it commits, every
+    * entry carries `nulls = 0`, so all keyed and maintenance operations
+    * work again. A no-op (current version returned) when the table is
+    * already proven clean. */
+  def repairNullKeys(expectedVersion: Option[Long] = None, tag: String = ""): Long = {
+    val m = resolveForWrite(expectedVersion)
+    val (clean, suspect) = m.entries.partition(_.nulls.contains(0L))
+    if (suspect.isEmpty) return m.version
+    val kept = readEntries(m, suspect).filter(col(key).isNotNull)
+    commit(m.version, "repair", m.schema,
+      clean ++ stage(clustered(kept), m.colmap), tag, m.colmap, m.retired)
   }
 
   /** Cluster on the key before staging so each new file carries a tight
@@ -1481,17 +1621,6 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       colmap: Map[String, String] = Map.empty,
       retired: Seq[String] = Nil): Long = {
     require(schema.fieldNames.contains(key), s"key column $key missing from schema")
-    // the keyed contract, enforced: a null key is unaddressable by every
-    // keyed operation (merge/delete/feed can never target it), and the
-    // SQL catalog declares the key non-null for row-level DML — so no
-    // commit may introduce one. Zero-cost: the per-file stats pass
-    // already counted the key's nulls (entries from pre-null-tracking
-    // manifests carry None and pass unjudged).
-    entries.filter(_.nulls.exists(_ > 0)).take(1).foreach(e =>
-      throw new IllegalArgumentException(
-        s"data file ${e.path} carries ${e.nulls.get} null $key keys — a keyed " +
-          "snapshot table cannot hold null keys (no keyed operation could ever " +
-          "address them); drop or fill them before the write"))
     if (!fs.exists(manifestDir)) fs.mkdirs(manifestDir)
     val target = math.max(base, allVersions.lastOption.getOrElse(-1L)) + 1
     val p = manifestPath(target)
@@ -1592,10 +1721,34 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * "was this batch applied?" check ([[currentTag]]) can never
     * disagree with the table contents the way a separate marker file
     * can (crash between two swaps ⇒ double-apply). */
-  def create(df: DataFrame, tag: String = ""): Long = {
-    val base = currentVersion.getOrElse(-1L)
-    commit(base, if (base < 0) "create" else "overwrite",
-      df.schema, stage(clustered(df)), tag)
+  def create(df: DataFrame, tag: String = ""): Long = latestManifest match {
+    case None => commit(-1L, "create", df.schema, stage(clustered(df)), tag)
+    case Some(m) =>
+      // An OVERWRITE on a column-mapped table must keep PHYSICAL names
+      // stable: the change feed reads every file in a cross-overwrite
+      // interval with the TO manifest's mapping, so resetting the
+      // mapping here would make pre-overwrite files null-fill each
+      // renamed column (the file stores the old physical name, the
+      // empty-mapped read requests the new logical one). Mapping
+      // entries for columns the new frame keeps carry forward — their
+      // fresh files restage under the same physical name — and
+      // `retired` carries verbatim (dropped names stay dropped). A
+      // brand-new column whose name matches a MAPPED physical or a
+      // retired name is rejected: old files hold bytes under that name
+      // that belonged to a DIFFERENT logical column, and a feed read
+      // across the overwrite would serve them as the new column's
+      // history. (A plain identity-named column the overwrite drops
+      // may be re-added freely — at historical versions those bytes
+      // genuinely were that column.)
+      val keep = m.colmap.filter { case (l, _) => df.schema.fieldNames.contains(l) }
+      val haunted = m.colmap.values.toSet ++ m.retired
+      df.schema.fieldNames.filterNot(m.schema.fieldNames.contains)
+        .filter(haunted).foreach(n => throw new IllegalArgumentException(
+          s"overwrite column $n collides with a physical name existing data files " +
+            "hold for a renamed or dropped column — historical reads across the " +
+            "overwrite would resurrect those bytes; pick a fresh name"))
+      commit(m.version, "overwrite", df.schema, stage(clustered(df), keep),
+        tag, keep, m.retired)
   }
 
   /** The latest committed version's application tag, if one was set. */
@@ -1751,39 +1904,144 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * names. Stats, blooms, pruning, the change feed, and time travel
     * all survive: stats are keyed physically, and historical versions
     * keep their own mapping. */
-  def renameColumn(oldName: String, newName: String, tag: String = ""): Long = {
-    val m = resolveForWrite(None)
-    require(oldName != key,
-      s"cannot rename the key column $key — it addresses every keyed operation " +
-        "and every open handle; rename any other column freely")
-    require(m.schema.fieldNames.contains(oldName),
-      s"no column $oldName in table schema ${m.schema.fieldNames.mkString(", ")}")
-    require(!m.schema.fieldNames.contains(newName),
-      s"column $newName already exists")
-    require(newName.nonEmpty && !newName.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
-      "column names must be non-empty and tab/newline-free")
-    val phys = m.physOf(oldName)
-    val newSchema = StructType(m.schema.fields.map(f =>
-      if (f.name == oldName) f.copy(name = newName) else f))
-    // renaming BACK to the physical name drops the mapping entry
-    val newMap = (m.colmap - oldName) ++
-      (if (newName == phys) Map.empty[String, String] else Map(newName -> phys))
-    commit(m.version, "rename", newSchema, m.entries, tag, newMap, m.retired)
-  }
+  def renameColumn(oldName: String, newName: String, tag: String = ""): Long =
+    alterColumns(Seq(SnapshotTable.Rename(oldName, newName)), tag)
 
   /** DROP a column — manifest-only, like [[renameColumn]]: the schema
     * loses the field, old files keep the physical bytes (reclaimed as
     * rewrites happen), and the physical name is RETIRED so no future
     * add can resurrect the dropped values. The key cannot be dropped. */
-  def dropColumn(name: String, tag: String = ""): Long = {
+  def dropColumn(name: String, tag: String = ""): Long =
+    alterColumns(Seq(SnapshotTable.Drop(name)), tag)
+
+  /** ADD a nullable column — manifest-only, the DDL twin of the
+    * write-side evolution [[evolveSchema]] performs: the schema gains
+    * the field (appended last), files committed before the add read it
+    * as null (explicit-schema parquet scans fill absent columns), and
+    * nothing is rewritten at any table size. The same resurrection
+    * guard as the write path applies: a name any existing data file
+    * already holds bytes under (a renamed-away or dropped column's
+    * physical name) is rejected. */
+  def addColumn(name: String, dataType: DataType, tag: String = ""): Long =
+    alterColumns(Seq(SnapshotTable.Add(name, dataType)), tag)
+
+  /** WIDEN a column's type along the lossless lattice (`int → long`,
+    * `float → double`) — manifest-only, like every DDL here: the new
+    * manifest records the widened LOGICAL type, files committed before
+    * it keep their narrow physical encoding (Spark's parquet readers
+    * apply widening promotions at scan), files staged after it write
+    * wide. Stats stay sound across the boundary: integer encodings are
+    * exact decimal strings in both widths, and float stats re-encode
+    * to the double's canonical form (`parseFloat` round-trips the
+    * recorded string to the EXACT original float, whose double value
+    * is then encoded the way every future double literal will be).
+    * Widening the KEY column additionally STRIPS per-file key blooms —
+    * the hash domain changes with the type (xxhash64(Int) ≠
+    * xxhash64(Long)), so old blooms would wrongly skip files; range
+    * pruning carries the load until the next rewrite rebuilds them.
+    * Every other type change stays loudly rejected. */
+  def widenColumn(name: String, to: DataType, tag: String = ""): Long =
+    alterColumns(Seq(SnapshotTable.Widen(name, to)), tag)
+
+  /** ONE ATOMIC multi-change schema alter: the changes apply in order
+    * to a scratch (schema, colmap, retired) and land as a SINGLE
+    * manifest commit — all-or-nothing (any rejected change aborts the
+    * whole statement before anything is committed) and one version
+    * bump, never a partially-applied ALTER visible in history. Each
+    * change carries the same contracts as its single-change wrapper
+    * ([[renameColumn]]/[[dropColumn]]/[[addColumn]]/[[widenColumn]]);
+    * later changes see earlier ones (a rename's new name is droppable,
+    * a just-dropped physical is already retired for a following add). */
+  def alterColumns(changes: Seq[SnapshotTable.SchemaChange], tag: String = ""): Long = {
+    require(changes.nonEmpty, "alterColumns needs at least one change")
     val m = resolveForWrite(None)
-    require(name != key, s"cannot drop the key column $key")
-    require(m.schema.fieldNames.contains(name),
-      s"no column $name in table schema ${m.schema.fieldNames.mkString(", ")}")
-    val phys = m.physOf(name)
-    val newSchema = StructType(m.schema.fields.filterNot(_.name == name))
-    commit(m.version, "drop", newSchema, m.entries, tag,
-      m.colmap - name, m.retired :+ phys)
+    var schema = m.schema
+    var colmap = m.colmap
+    var retired = m.retired
+    var entries = m.entries
+    def physOf(l: String) = colmap.getOrElse(l, l)
+    def checkName(n: String): Unit = require(
+      n.nonEmpty && !n.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+      "column names must be non-empty and tab/newline-free")
+    changes.foreach {
+      case SnapshotTable.Rename(oldName, newName) =>
+        require(oldName != key,
+          s"cannot rename the key column $key — it addresses every keyed operation " +
+            "and every open handle; rename any other column freely")
+        require(schema.fieldNames.contains(oldName),
+          s"no column $oldName in table schema ${schema.fieldNames.mkString(", ")}")
+        require(!schema.fieldNames.contains(newName),
+          s"column $newName already exists")
+        checkName(newName)
+        val phys = physOf(oldName)
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == oldName) f.copy(name = newName) else f))
+        // renaming BACK to the physical name drops the mapping entry
+        colmap = (colmap - oldName) ++
+          (if (newName == phys) Map.empty[String, String] else Map(newName -> phys))
+      case SnapshotTable.Drop(name) =>
+        require(name != key, s"cannot drop the key column $key")
+        require(schema.fieldNames.contains(name),
+          s"no column $name in table schema ${schema.fieldNames.mkString(", ")}")
+        val phys = physOf(name)
+        schema = StructType(schema.fields.filterNot(_.name == name))
+        colmap -= name
+        retired :+= phys
+      case SnapshotTable.Add(name, dataType) =>
+        require(!schema.fieldNames.contains(name), s"column $name already exists")
+        checkName(name)
+        // the added column's PHYSICAL name is its own name — the same
+        // haunted-name check as evolveSchema: bytes existing files hold
+        // under it (another column's pre-rename name, or a dropped
+        // column's) would resurrect under the new column
+        val haunted = schema.fieldNames.map(physOf).toSet ++ retired
+        require(!haunted(name),
+          s"added column $name collides with a physical column name existing data " +
+            "files already hold (a renamed-away or dropped column) — rows would " +
+            "resurrect; pick a fresh name")
+        schema = StructType(schema.fields :+
+          StructField(name, dataType, nullable = true))
+      case SnapshotTable.Widen(name, to) =>
+        require(schema.fieldNames.contains(name),
+          s"no column $name in table schema ${schema.fieldNames.mkString(", ")}")
+        val from = schema(name).dataType
+        val widens = (from, to) match {
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+        require(widens,
+          s"column $name: ${from.sql} does not widen losslessly to ${to.sql} — " +
+            "only INT → BIGINT and FLOAT → DOUBLE are supported; other type " +
+            "changes never happen (old rows would corrupt on read)")
+        // float stats re-encode to the double's canonical decimal form
+        // (see widenColumn); integer decimal strings are width-exact
+        def fix(s: String): String =
+          BigDecimal(java.lang.Float.parseFloat(s).toDouble.toString).toString
+        val isFloat = from == FloatType
+        if (name == key)
+          entries = entries.map(e => e.copy(bloom = None,
+            min = if (isFloat) e.min.map(fix) else e.min,
+            max = if (isFloat) e.max.map(fix) else e.max))
+        else if (isFloat) {
+          val phys = physOf(name)
+          entries = entries.map(e => e.copy(stats = e.stats.map {
+            case (c, st) if c == phys =>
+              c -> st.copy(min = st.min.map(fix), max = st.max.map(fix))
+            case other => other
+          }))
+        }
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f))
+    }
+    val op = changes match {
+      case Seq(_: SnapshotTable.Rename) => "rename"
+      case Seq(_: SnapshotTable.Drop) => "drop"
+      case Seq(_: SnapshotTable.Add) => "addcol"
+      case Seq(_: SnapshotTable.Widen) => "widen"
+      case _ => "alter"
+    }
+    commit(m.version, op, schema, entries, tag, colmap, retired)
   }
 
   /** OPTIMIZE — small-file compaction: every data file smaller than
@@ -2202,6 +2460,22 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
 }
 
 object SnapshotTable {
+  /** One schema change for [[SnapshotTable.alterColumns]] — the unit
+    * the atomic multi-change ALTER composes. */
+  sealed trait SchemaChange
+  final case class Rename(oldName: String, newName: String) extends SchemaChange
+  final case class Drop(name: String) extends SchemaChange
+  final case class Add(name: String, dataType: DataType) extends SchemaChange
+  final case class Widen(name: String, to: DataType) extends SchemaChange
+
+  /** What [[SnapshotTable.batchScanParts]] hands the native columnar
+    * scan: the table root, the files' PHYSICAL schema, the column
+    * mapping (logical → physical) for name translation, and the
+    * manifest-pruned live file statuses. */
+  final case class BatchParts(root: org.apache.hadoop.fs.Path,
+      physSchema: StructType, colmap: Map[String, String],
+      files: Seq[org.apache.hadoop.fs.FileStatus])
+
   /** The key column RECORDED at `dir`'s newest committed manifest
     * (`#key` header) — the catalog-resolution probe: a table path alone
     * is enough to construct a working keyed handle. None when no

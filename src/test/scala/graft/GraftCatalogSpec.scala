@@ -201,6 +201,132 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key"))
   }
 
+  test("ALTER TABLE ADD COLUMNS is one manifest-only commit: old rows read null, inserts carry values, all-or-nothing") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a", 2L -> "b"))
+    val filesBefore = spark.sql(s"SELECT * FROM graft.`$dir`").inputFiles.toSet
+    val vBefore = tbl.currentVersion.get
+    // TWO columns in one statement → ONE commit (atomic multi-change)
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (q DOUBLE, note STRING)")
+    assert(tbl.currentVersion.get == vBefore + 1,
+      "a multi-change ALTER must land as exactly one version bump")
+    assert(tbl.history.map(_._3).last == "alter")
+    // manifest-only: zero data files rewritten, pre-add rows read null
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").inputFiles.toSet == filesBefore)
+    val pre = spark.sql(s"SELECT k, v, q, note FROM graft.`$dir`").collect()
+    assert(pre.length == 2 && pre.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    // inserts carry the new columns; both generations read correctly
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (3, 'c', 0.5, 'fresh')")
+    val all = spark.sql(s"SELECT k, v, q, note FROM graft.`$dir` ORDER BY k").collect()
+    assert(all.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(all(2).getDouble(2) == 0.5 && all(2).getString(3) == "fresh")
+    assert(all(0).isNullAt(2) && all(1).isNullAt(3))
+    // all-or-nothing: one valid add + one colliding add → nothing applies
+    val vNow = tbl.currentVersion.get
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (ok INT, k STRING)"))
+    assert(tbl.currentVersion.get == vNow, "a rejected multi-change ALTER must commit nothing")
+    assert(!spark.sql(s"SELECT * FROM graft.`$dir`").columns.contains("ok"))
+    // resurrection guard: dropping then re-adding the same name is rejected
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN note")
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (note STRING)"))
+    assert(e.getMessage.contains("resurrect"))
+    // non-nullable and positioned adds reject loudly
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (nn INT NOT NULL)"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (pos INT FIRST)"))
+  }
+
+  test("ALTER COLUMN TYPE widens INT→BIGINT manifest-only through SQL; lossy changes reject") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create((1 to 50).map(i => (i.toLong, i)).toDF("k", "n"))
+    val filesBefore = tbl.read().inputFiles.toSet
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN n TYPE BIGINT")
+    assert(tbl.history.map(_._3).last == "widen")
+    assert(tbl.read().inputFiles.toSet == filesBefore, "a widen rewrites nothing")
+    // pre-widen INT files read as BIGINT; post-widen writes hold values
+    // only a BIGINT can carry
+    assert(spark.sql(s"SELECT sum(n) AS s FROM graft.`$dir`").head.getLong(0) == 1275L)
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (51, 5000000000)")
+    assert(spark.sql(s"SELECT max(n) AS m FROM graft.`$dir`").head.getLong(0) == 5000000000L)
+    // narrowing rejects — Spark's own up-cast analysis gate fires
+    // before the catalog ever sees it; a lossy same-width change
+    // (string → int) dies in alterColumns with the widen message
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN n TYPE INT"))
+    val e = intercept[IllegalArgumentException](
+      tbl.widenColumn("n", org.apache.spark.sql.types.IntegerType))
+    assert(e.getMessage.contains("widen"))
+  }
+
+  test("MERGE ... WHEN NOT MATCHED BY SOURCE: target-driven update and delete clauses land in the same atomic delta") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv((1L to 10L).map(i => i -> s"v$i"): _*))
+    kv(2L -> "B", 11L -> "new").createOrReplaceTempView("nmbs_src")
+    // matched → update; not matched → insert; not matched by source →
+    // DELETE the small keys, UPDATE the rest — the clause that makes
+    // the TARGET scan the action source
+    try spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING nmbs_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.k <= 3 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(t.v, '!')""".stripMargin)
+    finally spark.catalog.dropTempView("nmbs_src")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`") ==
+      ((2L -> "B") +: (4L to 10L).map(i => i -> s"v$i!") :+ (11L -> "new")))
+    assert(tbl.history.map(_._3) == Seq("create", "delta"),
+      "the whole NMBS merge must land as ONE atomic applyDelta commit")
+  }
+
+  test("a commit racing a MERGE between scan and applyDelta fails the statement loudly — never a silent lost update") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv((1L to 5L).map(i => i -> s"v$i"): _*))
+    kv(3L -> "upd", 9L -> "ins").createOrReplaceTempView("rlo_race_src")
+    // land a concurrent commit in the window between the MERGE's
+    // (pinned) scan and its driver-side applyDelta: the statement's
+    // matched/not-matched decisions are now derived from a stale
+    // snapshot, so the CAS pin must abort it with the commit protocol's
+    // own exception — r17 resolved at commit time and would have
+    // silently applied the stale decisions over the racer
+    graft.incremental.GraftDeltaWrite.onBeforeCommit = () =>
+      new SnapshotTable(spark, dir, "k").merge(kv(9L -> "racer"))
+    try {
+      val e = intercept[Throwable](spark.sql(
+        s"""MERGE INTO graft.`$dir` t USING rlo_race_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain.exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+        s"expected the CAS ConcurrentModificationException, got $e")
+    } finally {
+      graft.incremental.GraftDeltaWrite.onBeforeCommit = () => ()
+    }
+    // the racer's row survives; NONE of the failed statement's actions applied
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`") ==
+      ((1L to 5L).map(i => i -> s"v$i") :+ (9L -> "racer")))
+    // the user-level retry re-derives from the fresh snapshot and lands
+    try spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING rlo_race_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally spark.catalog.dropTempView("rlo_race_src")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`") ==
+      Seq(1L -> "v1", 2L -> "v2", 3L -> "upd", 4L -> "v4", 5L -> "v5", 9L -> "ins"))
+    // staging debris of the aborted statement is cleaned with its dir
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/.rlo-stage")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(hp))
+  }
+
   test("catalog reads still file-prune: pushed key predicate skips files via the manifest") {
     val dir = freshDir()
     val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4))
@@ -208,16 +334,81 @@ class GraftCatalogSpec extends AnyFunSuite {
     // SQL answer is correct through the catalog route
     val n = spark.sql(s"SELECT count(*) AS n FROM graft.`$dir` WHERE k <= 50").head.getLong(0)
     assert(n == 50)
-    // and the scan the catalog builds plans through the SAME
-    // GraftFileIndex — driven here on the spec's handle so its pruning
-    // seam is visible (the SQL route's handle is catalog-internal)
+    // and the scan the catalog builds prunes entries from the SAME
+    // manifest stats — driven here on the spec's handle so the columnar
+    // route's pruning seam is visible (the SQL route's handle is
+    // catalog-internal)
     val sb = new graft.incremental.GraftScanBuilder(tbl, None, tbl.schema)
     sb.pushFilters(Array(org.apache.spark.sql.sources.LessThanOrEqual("k", 50L)))
-    val rel = sb.build().asInstanceOf[graft.incremental.GraftScan]
-      .toV1TableScan[org.apache.spark.sql.sources.BaseRelation
-        with org.apache.spark.sql.sources.TableScan](spark.sqlContext)
-    assert(rel.buildScan().count() == 50)
-    assert(tbl.lastScanIndex != null && tbl.lastScanIndex.lastListedFiles < 4,
-      s"pushed key range should keep <4 of 4 files, kept ${tbl.lastScanIndex.lastListedFiles}")
+    val scan = sb.build()
+    assert(scan.isInstanceOf[org.apache.spark.sql.graft.GraftColumnarScan],
+      s"a DV-free snapshot must take the native columnar route, got ${scan.getClass}")
+    assert(tbl.lastBatchKept >= 1 && tbl.lastBatchKept < 4,
+      s"pushed key range should keep <4 of 4 files, kept ${tbl.lastBatchKept}")
+  }
+
+  test("catalog SELECT plans the native columnar scan (BatchScan + ColumnarToRow + codegen); DV snapshots keep the masked route") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4))
+    tbl.create(kv((1L to 400L).map(i => i -> s"v$i"): _*))
+    val df = spark.sql(s"SELECT k, v FROM graft.`$dir` WHERE k <= 50")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), plan)
+    assert(plan.contains("ColumnarToRow"), plan)
+    assert(plan.contains("*("), s"whole-stage codegen must cover the catalog read:\n$plan")
+    assert(df.count() == 50)
+    // a column-mapped table stays columnar: batch columns are
+    // positional, the logical names are a pure relabeling
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO body")
+    val df2 = spark.sql(s"SELECT k, body FROM graft.`$dir` WHERE body = 'v7'")
+    assert(df2.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(df2.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(7L -> "v7"))
+    // time travel rides the same columnar route, pinned
+    val v0 = 1L
+    assert(spark.sql(s"SELECT k, body FROM graft.`$dir` VERSION AS OF $v0").count() == 400)
+    // a DV-carrying snapshot falls back to the masked V1 relation —
+    // and the masked rows stay exact
+    val dir2 = freshDir()
+    val t2 = new SnapshotTable(spark, dir2, "k",
+      clusterPartitions = Some(2), deleteVectorMaxRows = 100)
+    t2.create(kv((1L to 40L).map(i => i -> s"v$i"): _*))
+    t2.delete(kv(7L -> "x").select(col("k")))
+    val df3 = spark.sql(s"SELECT k FROM graft.`$dir2`")
+    assert(!df3.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "DV snapshots must take the masked fallback, not the bare parquet scan")
+    assert(df3.count() == 39)
+    assert(!df3.collect().map(_.getLong(0)).contains(7L))
+  }
+
+  test("CALL graft.<verb>: SQL maintenance procedures compact, restore, retire, vacuum, and repair through the Scala ops") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4))
+    tbl.create(kv((1L to 200L).map(i => i -> s"v$i"): _*))
+    tbl.merge(kv(201L -> "x"))
+    val before = collectSorted(spark.sql(s"SELECT k, v FROM graft.`$dir`"))
+    val filesBefore = tbl.read().inputFiles.length
+    // pure-SQL compaction: file count drops, contents bit-identical
+    val v = spark.sql(s"CALL graft.optimize(`table` => '$dir', small_bytes => ${32L << 20})")
+      .head.getLong(0)
+    assert(v == tbl.currentVersion.get)
+    assert(tbl.history.map(_._3).last == "optimize")
+    assert(tbl.read().inputFiles.length < filesBefore)
+    assert(collectSorted(spark.sql(s"SELECT k, v FROM graft.`$dir`")) == before)
+    // restore rolls back to the create (v0) as a NEW commit
+    spark.sql(s"CALL graft.restore(`table` => '$dir', version => 0)")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").head.getLong(0) == 200)
+    // retire bounds history, vacuum reclaims the compaction's orphans
+    spark.sql(s"CALL graft.retire(`table` => '$dir', keep_last => 1)")
+    val reclaimed = spark.sql(s"CALL graft.vacuum(`table` => '$dir', grace_ms => 0)")
+      .head.getLong(0)
+    assert(reclaimed > 0, "vacuum after retire must reclaim the unreferenced files")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").head.getLong(0) == 200)
+    // repair_null_keys on a clean table is a no-op returning the current version
+    val vr = spark.sql(s"CALL graft.repair_null_keys(`table` => '$dir')").head.getLong(0)
+    assert(vr == tbl.currentVersion.get)
+    // unknown procedures reject loudly (Spark wraps the catalog's
+    // listing message in FAILED_TO_LOAD_ROUTINE)
+    val e = intercept[Exception](spark.sql(s"CALL graft.compact(`table` => '$dir')"))
+    assert(e.getMessage.contains("compact"))
   }
 }

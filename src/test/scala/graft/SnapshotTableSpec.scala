@@ -1791,6 +1791,110 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(plan.contains("*("), "format read fell out of whole-stage codegen")
   }
 
+  test("overwrite on a column-mapped table keeps physical names: the change feed serves the renamed column across it") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    val v0 = tbl.create(kv(1L -> "a", 2L -> "b"))
+    tbl.renameColumn("v", "body")
+    val v2 = tbl.create(kv(1L -> "a", 3L -> "c").toDF("k", "body"))
+    assert(tbl.history.map(_._3) == Seq("create", "rename", "overwrite"))
+    assertSameRows(tbl.read(), kv(1L -> "a", 3L -> "c").toDF("k", "body"))
+    // the feed across the overwrite reads PRE-overwrite files with the
+    // carried mapping: their body values must be the real bytes, never
+    // the null-fill an empty-colmap overwrite commit would cause
+    val feed = tbl.changesBetween(v0, v2)
+    assert(feed.filter(col("body").isNull).count() == 0,
+      "the renamed column must never null-fill across an overwrite")
+    val removed = feed.filter(col("_change") === "removed")
+      .select("k", "body").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val added = feed.filter(col("_change") === "added")
+      .select("k", "body").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(removed == Set(2L -> "b") && added == Set(3L -> "c"))
+    // resurrection guard: an overwrite column named after the
+    // renamed-away PHYSICAL would serve the old bytes as new history
+    val e = intercept[IllegalArgumentException](tbl.create(kv(9L -> "x")))
+    assert(e.getMessage.contains("physical"))
+    // time travel still serves each version under its own names
+    assert(tbl.readVersion(v0).columns.toSeq == Seq("k", "v"))
+    assert(collectSorted(tbl.readVersion(v0)) == collectSorted(kv(1L -> "a", 2L -> "b")))
+  }
+
+  test("null-key guard: fresh writes reject at stage; a pre-guard table keeps metadata ops and repairNullKeys migrates it") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    val nulled = kv(1L -> "a", 2L -> "nullme").withColumn("k",
+      when(col("v") === "nullme", lit(null).cast("long")).otherwise(col("k")))
+    // fresh null keys are rejected where the file is born
+    val e = intercept[IllegalArgumentException](tbl.create(nulled))
+    assert(e.getMessage.contains("null"))
+    // fabricate the PRE-GUARD legacy shape (a table committed before
+    // the guard existed) through the test seam
+    tbl.allowNullKeysStaging = true
+    try tbl.create(nulled) finally tbl.allowNullKeysStaging = false
+    assert(tbl.read().count() == 2)
+    // metadata/carry-forward ops keep working on the legacy table —
+    // the commit-level guard bricked ALL of these
+    tbl.setTag("w1")
+    assert(tbl.currentTag.contains("w1"))
+    assert(tbl.restore(tbl.currentVersion.get) > 0)
+    // a rewrite that would restage the legacy null rows points at the repair
+    val e2 = intercept[IllegalArgumentException](tbl.merge(kv(1L -> "A")))
+    assert(e2.getMessage.contains("repairNullKeys"))
+    // one-shot repair: null-key rows dropped, proven-clean entries, all ops work
+    tbl.repairNullKeys()
+    assertSameRows(tbl.read(), kv(1L -> "a"))
+    tbl.merge(kv(1L -> "A", 3L -> "c"))
+    assertSameRows(tbl.read(), kv(1L -> "A", 3L -> "c"))
+    // an already-clean table repairs as a no-op (no new version)
+    val v = tbl.currentVersion.get
+    assert(tbl.repairNullKeys() == v)
+  }
+
+  test("type widening: INT→BIGINT and FLOAT→DOUBLE are manifest-only; both generations read wide, stats stay exact, key blooms strip") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // int-keyed table with a float stats column, per-file key blooms on
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(2),
+      statsColumns = Seq("score"), keyBloomBits = 1 << 12)
+    val v0 = tbl.create((1 to 100).map(i => (i, i / 10.0f, s"v$i"))
+      .toDF("k", "score", "v"))
+    val filesBefore = tbl.read().inputFiles.toSet
+    // lossy changes stay rejected
+    intercept[IllegalArgumentException](
+      tbl.widenColumn("k", org.apache.spark.sql.types.IntegerType))
+    intercept[IllegalArgumentException](
+      tbl.widenColumn("v", org.apache.spark.sql.types.LongType))
+    // widen both: ONE commit each, zero files rewritten
+    tbl.widenColumn("k", org.apache.spark.sql.types.LongType)
+    tbl.widenColumn("score", org.apache.spark.sql.types.DoubleType)
+    assert(tbl.history.map(_._3).takeRight(2) == Seq("widen", "widen"))
+    assert(tbl.read().inputFiles.toSet == filesBefore)
+    assert(tbl.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(tbl.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    // pre-widen files read WIDE through every route (scan + catalog SQL)
+    assert(tbl.read().agg(sum(col("k"))).head.getLong(0) == 5050L)
+    assert(tbl.scan().filter(col("score") >= 5.0).count() == 51)
+    // stats stay EXACT across the float→double re-encoding: a double
+    // literal between the float max (10.0f) and nothing must not
+    // wrongly prune — and countWhere's manifest arithmetic agrees
+    assert(tbl.countWhere("score", Some(5.0d), None) == 51)
+    // new writes land wide; merges across the boundary stay keyed
+    // (blooms were stripped with the hash domain — range pruning holds)
+    tbl.merge((101 to 110).map(i => (i.toLong, i / 10.0d, s"v$i"))
+      .toDF("k", "score", "v"))
+    assert(tbl.read().count() == 110)
+    tbl.merge(Seq((5L, 99.0d, "updated")).toDF("k", "score", "v"))
+    assert(tbl.read().filter(col("k") === 5L).select("v").head.getString(0) == "updated")
+    // time travel serves the pre-widen version under its OWN types
+    assert(tbl.readVersion(v0).schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // the change feed across the widen reads both sides with the TO
+    // types and reports the widen itself as silent (no logical change)
+    val feed = tbl.changesBetween(v0, v0 + 2)
+    assert(feed.count() == 0, "a pure widen must feed ZERO rows")
+  }
+
   test("timestamp bounds floor uniformly: a sub-ms Instant bound never prunes a covering file") {
     val s = spark
     import s.implicits._
