@@ -18,7 +18,19 @@ object CatalogAb {
     val spark = GraftSession.local(
       sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors()))
-    val docs = Tables.documents(spark, sfDir)
+    // the sf-dir documents table plus a deterministic synthetic
+    // inflation to a SCAN-DOMINATED size (~4M rows): both routes plan
+    // identical work, and the clock sees per-row decode cost rather
+    // than per-statement planning constants — the shape that matters
+    // at 100 TB (the constant is bounded; the per-row ratio is not)
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long").as("n_chars"))
+    val rows = sys.env.get("SPARK_GRAFT_AB_ROWS").map(_.toLong).getOrElse(4000000L)
+    val docs = base.unionByName(
+      spark.range(rows).select(
+        (col("id") + 100000000L).as("doc_id"),
+        concat(lit("synthetic-payload-"), col("id") % 9973).as("text"),
+        (col("id") % 997).as("n_chars")))
     val scratch = java.nio.file.Files.createTempDirectory("graft-ab").toString
     val dir = s"$scratch/store"
     new incremental.SnapshotTable(spark, dir, "doc_id",
@@ -36,6 +48,21 @@ object CatalogAb {
         val t0 = System.nanoTime(); run(from); (System.nanoTime() - t0) / 1e9
       }.sorted
       ts(ts.length / 2)
+    }
+    if (sys.env.contains("SPARK_GRAFT_AB_PROFILE")) {
+      def phase(from: String): Unit = {
+        val t0 = System.nanoTime()
+        val df = spark.sql(s"SELECT count(*) AS n, sum(n_chars) AS s, " +
+          s"sum(length(text)) AS t FROM $from WHERE n_chars >= 100")
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan // force analysis + optimization + planning
+        val t2 = System.nanoTime()
+        df.collect()
+        val t3 = System.nanoTime()
+        println(f"[ab-profile] $from%-20s parse ${(t1 - t0) / 1e3}%8.0f us  " +
+          f"plan ${(t2 - t1) / 1e3}%8.0f us  exec ${(t3 - t2) / 1e3}%8.0f us")
+      }
+      (1 to 4).foreach { _ => phase("catalog_ab_v"); phase(s"graft.`$dir`") }
     }
     // alternate which route warms first across the pair to be fair
     val fmt = medianSec("catalog_ab_v")

@@ -97,13 +97,31 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
           "resolve relative names under it")
     }
 
+  /** Handle cache: ONE SnapshotTable per path, so repeated SQL
+    * statements reuse its validated manifest parse cache instead of
+    * re-reading the `#key` header and re-parsing the manifest per
+    * query. Correctness is unaffected — a handle caches PARSES, never
+    * resolution: every resolve re-lists the manifest dir newest-first,
+    * and the parse cache validates each hit against the listing's
+    * (length, mtime). The handle itself is thread-safe for concurrent
+    * statements (the parse cache is a ConcurrentHashMap; the mutable
+    * members are diagnostics seams). Invalidated on local DROP/CREATE
+    * — a recreate may change the key column. */
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[String, SnapshotTable]()
+
   /** A keyed handle from the path alone: the key column comes from the
     * newest committed manifest's `#key` header. */
   private def handleAt(ident: Identifier): SnapshotTable = {
     val dir = pathOf(ident)
-    val key = SnapshotTable.keyAt(spark, dir).getOrElse(
-      throw new NoSuchTableException(ident))
-    new SnapshotTable(spark, dir, key)
+    val cached = handles.get(dir)
+    if (cached != null) cached
+    else {
+      val key = SnapshotTable.keyAt(spark, dir).getOrElse(
+        throw new NoSuchTableException(ident))
+      handles.putIfAbsent(dir, new SnapshotTable(spark, dir, key))
+      handles.get(dir)
+    }
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -145,6 +163,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     require(schema.fieldNames.contains(key),
       s"key column $key missing from CREATE TABLE schema ${schema.fieldNames.mkString(", ")}")
     val dir = pathOf(ident)
+    handles.remove(dir)
     if (SnapshotTable.keyAt(spark, dir).isDefined)
       throw new TableAlreadyExistsException(ident)
     val tbl = new SnapshotTable(spark, dir, key)
@@ -200,6 +219,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = pathOf(ident)
+    handles.remove(dir)
     if (SnapshotTable.keyAt(spark, dir).isEmpty) return false
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
