@@ -378,8 +378,8 @@ private[graft] final class GraftScanBuilder(tbl: SnapshotTable,
           if (parts.colmap.isEmpty) translatable
           else translatable.flatMap(GraftFilters.renamed(_, parts.colmap))
         org.apache.spark.sql.graft.GraftColumnarScan(
-          SparkSession.active, parts.root, parts.files, parts.physSchema,
-          physRead, required, pushedPhys,
+          SparkSession.active, parts.files, parts.physSchema,
+          physRead, required, pushedPhys, parts.prunable, parts.refilter,
           s"graft-snapshot${pinned.fold("")(v => s" @v$v")}")
       case None => new GraftScan(tbl, pinned, required, filters)
     }

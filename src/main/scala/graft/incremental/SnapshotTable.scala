@@ -1157,18 +1157,25 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       : Option[SnapshotTable.BatchParts] = {
     val m = manifestAt(version)
     if (m.entries.exists(_.dv.isDefined)) return None
-    val kept = m.entries.filter(e => !filters.exists(f => sourceDisjoint(f, m, e)))
-    lastBatchKept = kept.size
-    val statuses = kept.map { e =>
-      e.bytes match {
-        case Some(len) =>
-          new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L,
-            fs.makeQualified(new Path(s"$dir/${e.path}")))
-        case None => fs.getFileStatus(new Path(s"$dir/${e.path}"))
-      }
+    def statusOf(e: Entry): org.apache.hadoop.fs.FileStatus = e.bytes match {
+      case Some(len) =>
+        new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L,
+          fs.makeQualified(new Path(s"$dir/${e.path}")))
+      case None => fs.getFileStatus(new Path(s"$dir/${e.path}"))
     }
-    Some(SnapshotTable.BatchParts(fs.makeQualified(new Path(dir)),
-      m.physSchema, m.colmap, statuses))
+    def keep(all: Array[org.apache.spark.sql.sources.Filter]): Seq[Entry] =
+      m.entries.filter(e => !all.exists(f => sourceDisjoint(f, m, e)))
+    val kept = keep(filters)
+    lastBatchKept = kept.size
+    // columns a filter can prune files on: the key (bounded on every
+    // `f` line) plus any column some entry carries stats for —
+    // advertised to Spark's runtime-filtering rule in LOGICAL names
+    val physToLogical = m.schema.fieldNames.map(l => m.physOf(l) -> l).toMap
+    val prunable = (Seq(key) ++
+      m.entries.flatMap(_.stats.keys).distinct.flatMap(physToLogical.get)).distinct
+    Some(SnapshotTable.BatchParts(
+      m.physSchema, m.colmap, kept.map(statusOf), prunable,
+      extra => keep(filters ++ extra).map(statusOf)))
   }
 
   /** Files the most recent [[batchScanParts]] kept — the columnar
@@ -2469,12 +2476,17 @@ object SnapshotTable {
   final case class Widen(name: String, to: DataType) extends SchemaChange
 
   /** What [[SnapshotTable.batchScanParts]] hands the native columnar
-    * scan: the table root, the files' PHYSICAL schema, the column
-    * mapping (logical → physical) for name translation, and the
-    * manifest-pruned live file statuses. */
-  final case class BatchParts(root: org.apache.hadoop.fs.Path,
+    * scan: the files' PHYSICAL schema, the column mapping (logical →
+    * physical) for name translation, the manifest-pruned live file
+    * statuses, the LOGICAL columns runtime filters can prune on, and
+    * the driver-side re-prune closure (static pushed filters ∪ runtime
+    * filters → kept statuses). */
+  final case class BatchParts(
       physSchema: StructType, colmap: Map[String, String],
-      files: Seq[org.apache.hadoop.fs.FileStatus])
+      files: Seq[org.apache.hadoop.fs.FileStatus],
+      prunable: Seq[String],
+      refilter: Array[org.apache.spark.sql.sources.Filter] =>
+        Seq[org.apache.hadoop.fs.FileStatus])
 
   /** The key column RECORDED at `dir`'s newest committed manifest
     * (`#key` header) — the catalog-resolution probe: a table path alone

@@ -5,7 +5,9 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic
-import org.apache.spark.sql.connector.read.{Batch, Scan, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory,
+  Scan, Statistics, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.execution.datasources.{NoopCache, PartitioningAwareFileIndex, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
@@ -30,39 +32,101 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Snapshots carrying deletion vectors never reach this class (their
   * sidecar anti-join needs the masked-relation route).
   *
-  * The wrapper exists for ONE reason: a column-mapped table reads
-  * PHYSICAL names from its files while the query resolves LOGICAL
-  * names. Batch rows are positional, so serving the physical-schema
-  * scan under a logical [[readSchema]] is a pure relabeling — the same
-  * trick `SnapshotTable.scanOf`'s `toDF` does on the v1 route. */
-final class GraftColumnarScan private (inner: ParquetScan,
-    logicalRead: StructType, desc: String)
-    extends Scan with SupportsReportStatistics {
+  * Two graft-specific behaviors ride on top:
+  *
+  *   - COLUMN MAPPING: a renamed table reads PHYSICAL names from its
+  *     files while the query resolves LOGICAL names. Batch rows are
+  *     positional, so serving the physical-schema scan under a logical
+  *     [[readSchema]] is a pure relabeling — the same trick
+  *     `SnapshotTable.scanOf`'s `toDF` does on the v1 route.
+  *   - RUNTIME FILTERING ([[SupportsRuntimeV2Filtering]]): the scan
+  *     advertises the key and stats-covered columns, so Spark's
+  *     dynamic-pruning rule injects the selective side of a join as an
+  *     IN-subquery filter at EXECUTION time — `fact JOIN dim` re-prunes
+  *     the manifest's files against the dim keys that actually
+  *     survived, the DSv2 twin of dynamic partition pruning. `refilter`
+  *     re-runs the SAME per-entry min/max/bloom-free proofs the static
+  *     prune used, on the driver, against manifest stats only. */
+final class GraftColumnarScan private (
+    spark: classic.SparkSession,
+    physData: StructType,
+    physRead: StructType,
+    logicalRead: StructType,
+    pushedPhys: Array[Filter],
+    prunable: Seq[String],
+    refilter: Array[Filter] => Seq[FileStatus],
+    initialFiles: Seq[FileStatus],
+    desc: String)
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  @volatile private var files: Seq[FileStatus] = initialFiles
+  @volatile private var cached: (Seq[FileStatus], ParquetScan) = null
+
+  private def inner: ParquetScan = {
+    val f = files
+    val c = cached
+    if (c != null && (c._1 eq f)) c._2
+    else {
+      val scan = ParquetScan(spark, spark.sessionState.newHadoopConf(),
+        new GraftStaticFileIndex(spark, f),
+        physData, physRead, StructType(Nil), pushedPhys,
+        CaseInsensitiveStringMap.empty())
+      cached = (f, scan)
+      scan
+    }
+  }
+
   override def readSchema(): StructType = logicalRead
-  override def toBatch: Batch = inner.toBatch
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    inner.toBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
   override def estimateStatistics(): Statistics = inner.estimateStatistics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     inner.columnarSupportMode()
   override def description(): String = s"$desc ${inner.description()}"
+
+  /** Columns a runtime filter can prune files on: the key (always
+    * bounded per file) and the handle's stats-covered columns. */
+  override def filterAttributes(): Array[NamedReference] =
+    prunable.map(Expressions.column).toArray
+
+  /** Execution-time re-prune: the injected predicates translate to the
+    * same `sources.Filter` vocabulary as planning pushdown (logical
+    * names; untranslatable ones drop — pure pruning, Spark re-evaluates
+    * the join itself on the rows) and re-run the manifest proofs; the
+    * next planInputPartitions serves the shrunken file set. */
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val v1 = org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
+    if (v1.nonEmpty) {
+      files = refilter(v1)
+      GraftColumnarScan.lastRuntimeKept = files.size
+    }
+  }
 }
 
 object GraftColumnarScan {
+  /** Files the most recent runtime [[GraftColumnarScan.filter]] call
+    * kept — spec seam for the dynamic-pruning proof. -1 until one runs. */
+  @volatile var lastRuntimeKept: Int = -1
+
   /** Build the columnar scan. `physData`/`physRead` carry the files'
     * PHYSICAL column names (what parquet holds); `logicalRead` the same
     * positions under the query's logical names; `pushedPhys` the
     * translatable filters already renamed to physical — they feed
     * parquet ROW-GROUP pruning only (file pruning already happened, and
-    * Spark re-evaluates every filter on the rows regardless). */
-  def apply(spark: SparkSession, root: Path, files: Seq[FileStatus],
+    * Spark re-evaluates every filter on the rows regardless);
+    * `prunable`/`refilter` serve runtime filtering (logical names). */
+  def apply(spark: SparkSession, files: Seq[FileStatus],
       physData: StructType, physRead: StructType, logicalRead: StructType,
-      pushedPhys: Array[Filter], desc: String): Scan = {
-    val cs = spark.asInstanceOf[classic.SparkSession]
-    val inner = ParquetScan(cs, cs.sessionState.newHadoopConf(),
-      new GraftStaticFileIndex(cs, root, files),
-      physData, physRead, StructType(Nil), pushedPhys,
-      CaseInsensitiveStringMap.empty())
-    new GraftColumnarScan(inner, logicalRead, desc)
-  }
+      pushedPhys: Array[Filter], prunable: Seq[String],
+      refilter: Array[Filter] => Seq[FileStatus], desc: String): Scan =
+    new GraftColumnarScan(spark.asInstanceOf[classic.SparkSession],
+      physData, physRead, logicalRead, pushedPhys, prunable, refilter,
+      files, desc)
 }
 
 /** A [[PartitioningAwareFileIndex]] over a FIXED, already-pruned file
@@ -70,7 +134,7 @@ object GraftColumnarScan {
   * empty (graft tables cluster by key range, not hive dirs), and
   * refresh is a no-op — the snapshot is immutable by construction. */
 private[graft] final class GraftStaticFileIndex(spark: classic.SparkSession,
-    root: Path, files: Seq[FileStatus])
+    files: Seq[FileStatus])
     extends PartitioningAwareFileIndex(spark, Map.empty, None, NoopCache) {
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
   override def leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {

@@ -55,6 +55,20 @@ object GraftSqlShim {
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(reg)
 
+  /** A connector `IN` predicate over literal values — what Spark's
+    * runtime-filtering rule injects into a
+    * `SupportsRuntimeV2Filtering` scan at execution. `LiteralValue` is
+    * `private[sql]`, so the spec that drives the scan's `filter(...)`
+    * contract directly builds its probe predicate here. */
+  def inPredicate(column: String, values: Seq[Any],
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.filter.Predicate = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Expressions, LiteralValue}
+    new org.apache.spark.sql.connector.expressions.filter.Predicate("IN",
+      (Expressions.column(column) +:
+        values.map(v => LiteralValue(v, dt): Expression)).toArray)
+  }
+
   /** SQL-equality semantics for float/double expressions (-0.0 == 0.0,
     * single NaN) — the same rewrite the optimizer's
     * NormalizeFloatingNumbers rule applies to the operators it knows;

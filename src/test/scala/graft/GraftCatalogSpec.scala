@@ -380,6 +380,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!df3.collect().map(_.getLong(0)).contains(7L))
   }
 
+  test("runtime filtering: an injected IN predicate re-prunes the columnar scan's files at execution time") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4))
+    tbl.create(kv((1L to 400L).map(i => i -> s"v$i"): _*))
+    val sb = new graft.incremental.GraftScanBuilder(tbl, None, tbl.schema)
+    sb.pushFilters(Array.empty)
+    val scan = sb.build()
+    val rt = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]
+    // the scan advertises the key as prunable — what invites Spark's
+    // dynamic-pruning rule to inject the selective join side
+    assert(rt.filterAttributes().map(_.describe()).contains("k"))
+    // two keys in one file's range: the runtime re-prune must keep <4 files
+    org.apache.spark.sql.graft.GraftColumnarScan.lastRuntimeKept = -1
+    rt.filter(Array(org.apache.spark.sql.graft.GraftSqlShim.inPredicate(
+      "k", Seq(5L, 17L), org.apache.spark.sql.types.LongType)))
+    val kept = org.apache.spark.sql.graft.GraftColumnarScan.lastRuntimeKept
+    assert(kept >= 1 && kept < 4,
+      s"an IN(5,17) runtime filter should keep 1 of 4 key-clustered files, kept $kept")
+    // and the shrunken scan still plans and serves (the partitions come
+    // from the re-pruned file set)
+    assert(scan.toBatch.planInputPartitions().nonEmpty)
+    // end-to-end: a selective dim join over the catalog table answers
+    // exactly (whether or not the optimizer chose to inject the filter)
+    kv(5L -> "dim5", 17L -> "dim17").createOrReplaceTempView("rt_dim")
+    try {
+      val joined = spark.sql(
+        s"""SELECT t.k, t.v FROM graft.`$dir` t
+           |JOIN rt_dim d ON t.k = d.k WHERE d.v LIKE 'dim%'""".stripMargin)
+      assert(joined.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 17L))
+    } finally spark.catalog.dropTempView("rt_dim")
+  }
+
   test("CALL graft.<verb>: SQL maintenance procedures compact, restore, retire, vacuum, and repair through the Scala ops") {
     val dir = freshDir()
     val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4))
