@@ -452,6 +452,25 @@ object SparkEntry {
         materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
       } finally s.catalog.dropTempView(vn)
     }),
+    // MANIFEST-SERVED SQL AGGREGATES: an unfiltered COUNT/MIN/MAX over
+    // the catalog table is answered from per-file manifest stats as a
+    // LocalTableScan — zero tasks, zero file reads (asserted on the
+    // plan in-query); at 100 TB a COUNT(*) is driver arithmetic
+    "corpus_sql_agg_pushdown" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-sqlagg").toString
+      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
+        clusterPartitions = Some(8), statsColumns = Seq("n_chars")).create(docs)
+      val df = s.sql(
+        s"""SELECT count(*) AS total_rows,
+           |  min(doc_id) AS doc_id_min, max(doc_id) AS doc_id_max,
+           |  min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max,
+           |  count(n_chars) AS n_chars_cnt
+           |FROM graft.`$scratch/store`""".stripMargin)
+      require(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "manifest-served aggregates must plan a LocalTableScan (zero file reads)")
+      materializeAndClean(df, scratch)
+    }),
     // pure-SQL TIME TRAVEL via the catalog: VERSION AS OF pins the
     // pre-merge snapshot while the unpinned read serves the head — one
     // result carrying BOTH proves the pinned route neither leaks new
@@ -1850,6 +1869,12 @@ object SparkEntry {
         |SELECT doc_id + 10000000, text, lang, source, n_chars,
         |  CAST(n_chars AS DOUBLE) / 100.0 AS quality
         |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
+    "corpus_sql_agg_pushdown" ->
+      """SELECT count(*) AS total_rows,
+        |  min(doc_id) AS doc_id_min, max(doc_id) AS doc_id_max,
+        |  min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max,
+        |  count(n_chars) AS n_chars_cnt
+        |FROM documents""".stripMargin,
     "corpus_sql_time_travel" ->
       """SELECT 'v0' AS snap, doc_id, text, lang, source, n_chars FROM documents
         |UNION ALL

@@ -9,8 +9,8 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation,
   RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write,
   Write, WriteBuilder}
@@ -352,10 +352,12 @@ private[graft] final class GraftTable(tbl: SnapshotTable, ident: String,
   * inner masked plan splices the sidecar anti-joins in. */
 private[graft] final class GraftScanBuilder(tbl: SnapshotTable,
     pinned: Option[Long], full: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var filters: Array[Filter] = Array.empty
+  private var servedAgg: Option[(StructType, Seq[Any])] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -368,7 +370,38 @@ private[graft] final class GraftScanBuilder(tbl: SnapshotTable,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** MANIFEST-SERVED AGGREGATES: an unfiltered, ungrouped COUNT(*) /
+    * COUNT(col) / MIN / MAX the manifest stats can answer EXACTLY is
+    * served as a one-row [[GraftLocalAggScan]] — zero tasks, zero file
+    * reads, `SELECT count(*)` at 100 TB is driver arithmetic. Anything
+    * the manifest cannot prove ([[SnapshotTable.serveAggregate]])
+    * refuses, and the ordinary scan answers. Spark only offers the
+    * pushdown when NO filter remains above the scan, and we return
+    * every filter as residual, so a filtered aggregate can never take
+    * this path (belt-and-braces guarded anyway). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    probeAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    servedAgg = probeAgg(agg)
+    servedAgg.isDefined
+  }
+
+  private def probeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] =
+    if (filters.nonEmpty) None
+    else for {
+      schema <- org.apache.spark.sql.graft.GraftSqlShim.pushedAggSchema(agg, full)
+      values <- tbl.serveAggregate(pinned, agg)
+    } yield (schema, values)
+
   override def build(): Scan = {
+    servedAgg.foreach { case (schema, values) =>
+      return new GraftLocalAggScan(schema, values)
+    }
     val translatable = pushedFilters()
     tbl.batchScanParts(pinned, translatable) match {
       case Some(parts) =>
@@ -384,6 +417,19 @@ private[graft] final class GraftScanBuilder(tbl: SnapshotTable,
       case None => new GraftScan(tbl, pinned, required, filters)
     }
   }
+}
+
+/** A completely-pushed aggregation's one-row answer, computed on the
+  * driver from manifest stats alone — planned as a `LocalTableScan`
+  * (Spark's own handling of [[org.apache.spark.sql.connector.read.LocalScan]]):
+  * no tasks, no file IO. */
+private[graft] final class GraftLocalAggScan(out: StructType,
+    values: Seq[Any]) extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = out
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))
+  override def description(): String =
+    s"graft-snapshot manifest-served aggregate [${out.fieldNames.mkString(", ")}]"
 }
 
 /** The DSv2 scan, executed through the `V1Scan` bridge: the inner plan

@@ -1182,6 +1182,112 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * route's pruning spec seam. -1 until it runs. */
   private[graft] var lastBatchKept: Int = -1
 
+  /** MANIFEST-SERVED AGGREGATES for DSv2 aggregate pushdown: the
+    * catalyst values (one per aggregate expression, in order) when this
+    * snapshot can answer the UNFILTERED, UNGROUPED aggregation from
+    * manifest stats ALONE — `SELECT count(*) FROM graft.`…`` at 100 TB
+    * becomes driver arithmetic plus a LocalTableScan, zero tasks, zero
+    * file reads. None refuses the pushdown (the normal scan answers).
+    *
+    * Served exactly or not at all:
+    *   - COUNT(*): Σ per-file logical rows — exact on EVERY snapshot,
+    *     deletion vectors included (their masked counts are recorded).
+    *   - COUNT(col): Σ (rows − recorded null count) — needs every entry
+    *     to carry the column's null count, and no DVs (a masked row's
+    *     null-ness is unrecorded).
+    *   - MIN/MAX(col): the extreme of the per-file encoded bounds,
+    *     decoded — needs every entry bounded on the column (or provably
+    *     all-null), no DVs (a vector may have masked the extreme row),
+    *     and a kind whose encoding decodes EXACTLY: integers and dates
+    *     (decimal strings), float/double (toString round-trip), strings
+    *     (base64 of the bytes). TIMESTAMPS are refused — their stats
+    *     are ms-FLOORED, so the decoded extreme could understate by up
+    *     to a millisecond.
+    * DISTINCT and GROUP BY always refuse (not manifest-derivable). */
+  private[graft] def serveAggregate(version: Option[Long],
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[Any]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions.nonEmpty) return None
+    val m = manifestAt(version)
+    val anyDv = m.entries.exists(_.dv.isDefined)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+          m.schema.fieldNames.contains(nr.fieldNames.head) => Some(nr.fieldNames.head)
+        case _ => None
+      }
+    // per-entry (bounds, nulls) view of one logical column — the key's
+    // ride the `f` line, secondary stats ride `s` lines
+    def boundsOf(e: Entry, logical: String): Option[(String, String, String)] = {
+      val c = m.physOf(logical)
+      if (c == m.physOf(key)) (e.kind, e.min, e.max) match {
+        case (k, Some(mn), Some(mx)) if k != "opaque" => Some((k, mn, mx))
+        case _ => None
+      } else e.stats.get(c).collect {
+        case ColStat(k, Some(mn), Some(mx), _) => (k, mn, mx)
+      }
+    }
+    def nullsOf(e: Entry, logical: String): Option[Long] = {
+      val c = m.physOf(logical)
+      if (c == m.physOf(key)) e.nulls else e.stats.get(c).flatMap(_.nulls)
+    }
+    def decode(enc: String, dt: DataType): Option[Any] = dt match {
+      case ByteType => Some(BigDecimal(enc).toByte)
+      case ShortType => Some(BigDecimal(enc).toShort)
+      case IntegerType => Some(BigDecimal(enc).toInt)
+      case LongType => Some(BigDecimal(enc).toLong)
+      case DateType => Some(BigDecimal(enc).toInt)
+      case FloatType => Some(java.lang.Float.parseFloat(enc))
+      case DoubleType => Some(java.lang.Double.parseDouble(enc))
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(java.util.Base64.getDecoder.decode(enc)))
+      case _ => None // timestamps (ms-floored stats), everything else
+    }
+    def extreme(logical: String, wantMin: Boolean): Option[Any] = {
+      if (anyDv) return None
+      val dt = m.schema(logical).dataType
+      if (dt == TimestampType || dt == TimestampNTZType) return None
+      var best: Option[(String, String)] = None // (kind, enc)
+      m.entries.foreach { e =>
+        boundsOf(e, logical) match {
+          case Some((k, mn, mx)) =>
+            val cand = if (wantMin) mn else mx
+            best = best match {
+              case Some((bk, b)) =>
+                val better = if (wantMin) ordLt(bk, cand, b) else ordLt(bk, b, cand)
+                if (better) Some((k, cand)) else best
+              case None => Some((k, cand))
+            }
+          case None =>
+            // provably all-null contributes nothing; anything else is
+            // an unknowable extreme — refuse
+            if (!nullsOf(e, logical).contains(e.rows)) return None
+        }
+      }
+      best match {
+        case Some((_, enc)) => decode(enc, dt) // None (undecodable) refuses
+        case None => Some(null) // empty table / all-null column: SQL NULL
+      }
+    }
+    val values = agg.aggregateExpressions.map {
+      case _: CountStar => Some(m.entries.map(_.logicalRows).sum)
+      case c: Count if !c.isDistinct =>
+        colOf(c.column).flatMap { l =>
+          if (anyDv) None
+          else {
+            val perFile = m.entries.map(e => nullsOf(e, l).map(n => e.rows - n))
+            if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum) else None
+          }
+        }
+      case mn: Min => colOf(mn.column).flatMap(l => extreme(l, wantMin = true))
+      case mx: Max => colOf(mx.column).flatMap(l => extreme(l, wantMin = false))
+      case _ => None
+    }
+    if (values.forall(_.isDefined)) Some(values.toSeq.map(_.get)) else None
+  }
+
   /** Entry-level pruning from a PUSHED v2 source filter — the
     * `sources.Filter` twin of [[GraftFileIndex]]'s Catalyst
     * `provesDisjoint`: true only when the filter PROVES no row of the

@@ -55,6 +55,17 @@ object GraftSqlShim {
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(reg)
 
+  /** The output schema Spark expects a COMPLETELY pushed aggregation's
+    * scan to serve — `AggregatePushDownUtils` is the engine's own
+    * source of truth for it (and `private[sql]`); answering with any
+    * other schema fails the pushdown at planning. */
+  def pushedAggSchema(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      schema: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.StructType] =
+    org.apache.spark.sql.execution.datasources.AggregatePushDownUtils
+      .getSchemaForPushedAggregation(agg, schema, Set.empty, Nil)
+
   /** A connector `IN` predicate over literal values — what Spark's
     * runtime-filtering rule injects into a
     * `SupportsRuntimeV2Filtering` scan at execution. `LiteralValue` is

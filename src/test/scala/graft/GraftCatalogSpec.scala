@@ -412,6 +412,59 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("rt_dim")
   }
 
+  test("aggregate pushdown: unfiltered COUNT/MIN/MAX answer from the manifest as a LocalTableScan — zero file reads") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4),
+      statsColumns = Seq("n", "w"))
+    tbl.create((1 to 400).map(i =>
+      (i.toLong, i * 3L, s"v$i",
+        java.sql.Timestamp.valueOf(f"2026-01-${i % 28 + 1}%02d 10:00:00")))
+      .toDF("k", "n", "v", "w"))
+    def plan(q: String) = spark.sql(q).queryExecution.executedPlan.toString
+    // COUNT(*), MIN/MAX on the key and a stats column: one local row
+    val q1 = s"SELECT count(*) AS c, min(k) AS mnk, max(k) AS mxk, " +
+      s"min(n) AS mnn, max(n) AS mxn, count(n) AS cn FROM graft.`$dir`"
+    assert(plan(q1).contains("LocalTableScan"),
+      s"manifest-servable aggregates must plan a LocalTableScan:\n${plan(q1)}")
+    assert(!plan(q1).contains("BatchScan"))
+    val r = spark.sql(q1).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((400L, 1L, 400L, 3L, 1200L, 400L)))
+    // a WHERE keeps the pushdown OFF (we re-evaluate all filters) — and
+    // the answer stays exact through the ordinary scan
+    val q2 = s"SELECT count(*) AS c FROM graft.`$dir` WHERE k <= 50"
+    assert(!plan(q2).contains("LocalTableScan"))
+    assert(spark.sql(q2).head.getLong(0) == 50)
+    // an untracked column has no stats: MIN(v) refuses, normal scan answers
+    val q3 = s"SELECT min(v) AS m FROM graft.`$dir`"
+    assert(!plan(q3).contains("LocalTableScan"))
+    assert(spark.sql(q3).head.getString(0) == "v1")
+    // timestamps refuse (ms-floored stats can understate the extreme)
+    assert(!plan(s"SELECT max(w) AS m FROM graft.`$dir`").contains("LocalTableScan"))
+    // GROUP BY refuses
+    assert(!plan(s"SELECT k % 2, count(*) FROM graft.`$dir` GROUP BY 1")
+      .contains("LocalTableScan"))
+    // a DV-carrying snapshot: COUNT(*) still serves exactly (masked
+    // counts are manifest-recorded); MIN refuses (the vector may have
+    // masked the extreme row)
+    val dir2 = freshDir()
+    val t2 = new SnapshotTable(spark, dir2, "k",
+      clusterPartitions = Some(2), deleteVectorMaxRows = 100)
+    t2.create(kv((1L to 40L).map(i => i -> s"v$i"): _*))
+    t2.delete(kv(1L -> "x", 7L -> "y").select(col("k")))
+    val q4 = s"SELECT count(*) AS c FROM graft.`$dir2`"
+    assert(plan(q4).contains("LocalTableScan"), plan(q4))
+    assert(spark.sql(q4).head.getLong(0) == 38)
+    val q5 = s"SELECT min(k) AS m FROM graft.`$dir2`"
+    assert(!plan(q5).contains("LocalTableScan"))
+    assert(spark.sql(q5).head.getLong(0) == 2L)
+    // time travel serves the pinned version's manifest arithmetic
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$dir2` VERSION AS OF 0")
+      .head.getLong(0) == 40)
+  }
+
   test("CALL graft.<verb>: SQL maintenance procedures compact, restore, retire, vacuum, and repair through the Scala ops") {
     val dir = freshDir()
     val tbl = new SnapshotTable(spark, dir, "k", clusterPartitions = Some(4))
