@@ -279,6 +279,19 @@ private[graft] final class GraftTable(tbl: SnapshotTable, ident: String,
 
   override def name(): String = ident + pinned.fold("")(v => s" VERSION AS OF $v")
 
+  /** Operational metadata for `DESCRIBE TABLE EXTENDED` / `SHOW
+    * TBLPROPERTIES`: the key column, resolved version, commit op/tag,
+    * live file count and logical rows — all manifest arithmetic, no
+    * data reads. */
+  override def properties(): util.Map[String, String] = {
+    val props = new util.HashMap[String, String]()
+    props.put("key", tbl.keyColumn)
+    props.put("location", tbl.location)
+    props.put("provider", "graft-snapshot")
+    tbl.describeAt(pinned).foreach { case (k, v) => props.put(k, v) }
+    props
+  }
+
   /** The key column is declared NON-NULL: the commit protocol enforces
     * zero null keys on every write (a null key is unaddressable by any
     * keyed operation), and the declaration is what lets Spark's

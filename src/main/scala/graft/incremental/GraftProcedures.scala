@@ -77,12 +77,23 @@ private[graft] object GraftProcedures {
         Array(table),
         StructType(Seq(StructField("version", LongType, nullable = false))),
         in => row(handle(in.getUTF8String(0).toString).repairNullKeys())))
+      case "collect_stats" => Some(proc(name,
+        Array(table,
+          ProcedureParameter.in("columns", StringType)
+            .comment("comma-separated columns to backfill skipping stats for").build()),
+        StructType(Seq(StructField("version", LongType, nullable = false))),
+        in => {
+          val cols = Option(in.getUTF8String(1)).map(_.toString).getOrElse("")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          row(handle(in.getUTF8String(0).toString).collectStats(cols))
+        }))
       case _ => None
     }
   }
 
   val names: Seq[String] =
-    Seq("optimize", "vacuum", "restore", "retire", "repair_null_keys")
+    Seq("optimize", "vacuum", "restore", "retire", "repair_null_keys",
+      "collect_stats")
 
   private def row(v: Any): InternalRow = new GenericInternalRow(Array(v))
 

@@ -1182,6 +1182,24 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * route's pruning spec seam. -1 until it runs. */
   private[graft] var lastBatchKept: Int = -1
 
+  /** Operational facts about a resolved snapshot, from manifest
+    * arithmetic alone — what the SQL catalog surfaces as table
+    * properties (`DESCRIBE EXTENDED` / `SHOW TBLPROPERTIES`). */
+  private[graft] def describeAt(version: Option[Long]): Seq[(String, String)] = {
+    val m = manifestAt(version)
+    Seq(
+      "version" -> m.version.toString,
+      "commit.op" -> m.op,
+      "files" -> m.entries.size.toString,
+      "rows" -> m.entries.map(_.logicalRows).sum.toString,
+      "bytes" -> m.entries.flatMap(_.bytes).sum.toString,
+      "deletion.vectors" -> m.entries.count(_.dv.isDefined).toString) ++
+      m.tag.map("commit.tag" -> _) ++
+      (if (m.colmap.isEmpty) Nil
+       else Seq("column.mapping" -> m.colmap.toSeq.sorted
+         .map { case (l, p) => s"$l->$p" }.mkString(",")))
+  }
+
   /** MANIFEST-SERVED AGGREGATES for DSv2 aggregate pushdown: the
     * catalyst values (one per aggregate expression, in order) when this
     * snapshot can answer the UNFILTERED, UNGROUPED aggregation from

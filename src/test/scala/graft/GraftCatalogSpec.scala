@@ -491,6 +491,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     // repair_null_keys on a clean table is a no-op returning the current version
     val vr = spark.sql(s"CALL graft.repair_null_keys(`table` => '$dir')").head.getLong(0)
     assert(vr == tbl.currentVersion.get)
+    // collect_stats backfills skipping stats as a rewrite-free commit
+    val vs = spark.sql(s"CALL graft.collect_stats(`table` => '$dir', columns => 'v')")
+      .head.getLong(0)
+    assert(vs == tbl.currentVersion.get)
+    assert(tbl.history.map(_._3).last == "stats")
+    // SHOW TBLPROPERTIES serves the manifest's operational facts
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.`$dir`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("key") == "k")
+    assert(props("rows") == "200")
+    assert(props("version") == vs.toString)
+    assert(props("commit.op") == "stats")
     // unknown procedures reject loudly (Spark wraps the catalog's
     // listing message in FAILED_TO_LOAD_ROUTINE)
     val e = intercept[Exception](spark.sql(s"CALL graft.compact(`table` => '$dir')"))
