@@ -563,10 +563,30 @@ final class SnapshotChangeFeedSource(
     // column the batch does not carry reads as null, mirroring the
     // table's own read-nulls-for-old-files contract, instead of
     // failing the restart permanently on an AnalysisException.
+    // Types drift the same two ways across a WIDEN (int→long /
+    // float→double DDL): a widen INSIDE a live stream's interval hands
+    // this (narrow-declared) instance a wide batch — irrecoverably
+    // mismatched, fail loudly naming the restart (same checkpoint; the
+    // restarted instance re-derives the wide schema) rather than
+    // tripping an opaque engine assertion; a RESTART replaying a
+    // pre-widen interval reads the narrow type under the now-wide
+    // declared schema — lossless up-cast, mirror of the table's own
+    // read-old-files-wide contract.
     val have = batch.columns.toSet
     val projected = batch.select(schema.fields.toSeq.map { f =>
-      if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
-      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      if (!have(f.name))
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      else {
+        val bt = batch.schema(f.name).dataType
+        if (bt == f.dataType) org.apache.spark.sql.functions.col(f.name)
+        else if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(bt, f.dataType))
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+        else throw new IllegalStateException(
+          s"column ${f.name} changed type ${bt.sql} -> ${f.dataType.sql} inside " +
+            "the stream's interval — a streaming source's schema is fixed at " +
+            "start; restart the stream on the SAME checkpoint to continue with " +
+            "the widened type (nothing is lost on the table)")
+      }
     }: _*)
     GraftSqlShim.streamingFrame(projected)
   }

@@ -493,6 +493,46 @@ class SnapshotStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("widen across the stream: a mid-stream widen fails loudly naming the restart; the restart serves wide and up-casts replays") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val ckpt = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create((1 to 3).map(i => (i.toLong, i)).toDF("k", "n")) // v0: n INT
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def run() = feed(dir, "startingVersion" -> "0")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) seen ++= b.select(col("k"), col("n").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }.start()
+    val q1 = run()
+    q1.processAllAvailable() // nothing yet: the feed starts after v0
+    // the column widens INSIDE the live stream's interval, and the next
+    // commit carries a value only the WIDE type can hold — the
+    // narrow-declared instance must fail LOUDLY with restart guidance
+    // (a silent down-cast would corrupt; the engine's own mismatch
+    // assertion would be opaque)
+    tbl.widenColumn("n", org.apache.spark.sql.types.LongType) // v1
+    tbl.merge(Seq((4L, 5000000000L)).toDF("k", "n")) // v2
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable(); q1.awaitTermination()
+    }
+    q1.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("restart the stream") && m.contains("n")),
+      s"wanted the widen fence with restart guidance, got: ${messages(e).mkString(" | ")}")
+    // restart on the SAME checkpoint: the re-derived declared schema is
+    // wide, the replayed interval reads wide, the BIGINT-only value lands
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.sortBy(_._1).toSeq == Seq((4L, 5000000000L)),
+      s"the restarted stream must deliver the widened row exactly once: $seen")
+  }
+
   test("Trigger.AvailableNow drains to the head captured at start across rate-limited batches, then stops — a mid-drain commit stays for the next run") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = freshDir()
