@@ -292,10 +292,11 @@ private[graft] final class GraftTable(tbl: SnapshotTable, ident: String,
     props
   }
 
-  /** The key column is declared NON-NULL: the commit protocol enforces
-    * zero null keys on every write (a null key is unaddressable by any
-    * keyed operation), and the declaration is what lets Spark's
-    * row-level DML accept it as the row id. */
+  /** The key column is declared NON-NULL: the staging guard enforces
+    * zero null keys on every fresh data file (a null key is
+    * unaddressable by any keyed operation; a pre-guard legacy table
+    * migrates via repairNullKeys), and the declaration is what lets
+    * Spark's row-level DML accept it as the row id. */
   override def schema(): StructType = {
     val s = tbl.schemaAt(pinned)
     StructType(s.fields.map(f =>

@@ -137,12 +137,12 @@ private[graft] final class GraftStaticFileIndex(spark: classic.SparkSession,
     files: Seq[FileStatus])
     extends PartitioningAwareFileIndex(spark, Map.empty, None, NoopCache) {
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
-  override def leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
+  override lazy val leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
     val m = mutable.LinkedHashMap.empty[Path, FileStatus]
     files.foreach(f => m += f.getPath -> f)
     m
   }
-  override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+  override lazy val leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
     files.groupBy(_.getPath.getParent).map { case (d, fs) => d -> fs.toArray }
   // the files' own parent dirs, NOT the table root: an unpartitioned
   // PartitioningAwareFileIndex serves allFiles() by looking each root
