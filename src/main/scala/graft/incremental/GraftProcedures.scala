@@ -19,6 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.restore(`table` => '/data/corpus', version => 3)
   *   CALL graft.retire(`table` => '/data/corpus', keep_last => 10)
   *   CALL graft.repair_null_keys(`table` => '/data/corpus')    -- legacy migration
+  *   CALL graft.collect_stats(`table` => '/data/corpus',
+  *                            columns => 'n_chars')            -- stats backfill
+  *   CALL graft.history(`table` => '/data/corpus')             -- the commit log
   * }}}
   * Each is a thin veneer over the Scala operation of the same name —
   * ONE implementation per verb, the SQL route adds argument plumbing
@@ -77,6 +80,23 @@ private[graft] object GraftProcedures {
         Array(table),
         StructType(Seq(StructField("version", LongType, nullable = false))),
         in => row(handle(in.getUTF8String(0).toString).repairNullKeys())))
+      case "history" => Some(proc(name,
+        Array(table),
+        StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("parent", LongType, nullable = false),
+          StructField("op", StringType, nullable = false),
+          StructField("files", IntegerType, nullable = false),
+          StructField("rows", LongType, nullable = false),
+          StructField("tag", StringType, nullable = true))),
+        in => {
+          val h = handle(in.getUTF8String(0).toString)
+          h.history.map { case (v, parent, op, files, rows) =>
+            new GenericInternalRow(Array[Any](v, parent,
+              UTF8String.fromString(op), files, rows,
+              h.tagAt(v).map(UTF8String.fromString).orNull)): InternalRow
+          }.toArray
+        }))
       case "collect_stats" => Some(proc(name,
         Array(table,
           ProcedureParameter.in("columns", StringType)
@@ -93,12 +113,15 @@ private[graft] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "vacuum", "restore", "retire", "repair_null_keys",
-      "collect_stats")
+      "collect_stats", "history")
 
-  private def row(v: Any): InternalRow = new GenericInternalRow(Array(v))
+  /** One-value result row — every maintenance verb returns one. */
+  private def row(v: Any): Array[InternalRow] =
+    Array(new GenericInternalRow(Array(v)))
 
   private def proc(procName: String, params: Array[ProcedureParameter],
-      out: StructType, run: InternalRow => InternalRow): UnboundProcedure =
+      out: StructType, run: InternalRow => Array[InternalRow])
+      : UnboundProcedure =
     new UnboundProcedure with BoundProcedure {
       override def name(): String = procName
       override def description(): String = s"graft table maintenance: $procName"
@@ -106,9 +129,9 @@ private[graft] object GraftProcedures {
       override def parameters(): Array[ProcedureParameter] = params
       override def isDeterministic: Boolean = false
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val result = run(input) // eager: the maintenance op commits HERE
+        val result = run(input) // eager: a maintenance op commits HERE
         java.util.List.of[Scan](new LocalScan {
-          override def rows(): Array[InternalRow] = Array(result)
+          override def rows(): Array[InternalRow] = result
           override def readSchema(): StructType = out
         }).iterator()
       }

@@ -503,6 +503,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(props("rows") == "200")
     assert(props("version") == vs.toString)
     assert(props("commit.op") == "stats")
+    // CALL graft.history serves the commit log as rows (DESCRIBE
+    // HISTORY's moral equivalent), newest last, tags included
+    val hist = spark.sql(s"CALL graft.history(`table` => '$dir')").collect()
+    assert(hist.map(_.getString(2)).toSeq == tbl.history.map(_._3),
+      "history rows must mirror the Scala handle's commit log")
+    assert(hist.last.getLong(4) == 200, "rows column must be the logical row count")
     // unknown procedures reject loudly (Spark wraps the catalog's
     // listing message in FAILED_TO_LOAD_ROUTINE)
     val e = intercept[Exception](spark.sql(s"CALL graft.compact(`table` => '$dir')"))
