@@ -111,17 +111,27 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new java.util.concurrent.ConcurrentHashMap[String, SnapshotTable]()
 
   /** A keyed handle from the path alone: the key column comes from the
-    * newest committed manifest's `#key` header. */
+    * newest committed manifest's `#key` header. A cache HIT re-probes
+    * that header (cheap — one newest-manifest read the parse cache
+    * already validates) and evicts on key mismatch: a drop+recreate by
+    * ANOTHER session or the Scala API bypasses this catalog's local
+    * invalidation, and a stale key would make row-level DML address
+    * the wrong row-id column. */
   private def handleAt(ident: Identifier): SnapshotTable = {
     val dir = pathOf(ident)
     val cached = handles.get(dir)
-    if (cached != null) cached
-    else {
-      val key = SnapshotTable.keyAt(spark, dir).getOrElse(
-        throw new NoSuchTableException(ident))
-      handles.putIfAbsent(dir, new SnapshotTable(spark, dir, key))
-      handles.get(dir)
+    if (cached != null) {
+      // Re-probe through the CACHED handle (its parse cache makes this
+      // a listing + validated hit, not a manifest re-read).
+      cached.recordedKey match {
+        case Some(k) if k == cached.keyColumn => return cached
+        case _ => handles.remove(dir, cached) // recreated with new key, or dropped
+      }
     }
+    val key = SnapshotTable.keyAt(spark, dir).getOrElse(
+      throw new NoSuchTableException(ident))
+    handles.putIfAbsent(dir, new SnapshotTable(spark, dir, key))
+    handles.get(dir)
   }
 
   override def tableExists(ident: Identifier): Boolean =

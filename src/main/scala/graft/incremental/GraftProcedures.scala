@@ -72,10 +72,8 @@ private[graft] object GraftProcedures {
       case "retire" => Some(proc(name,
         Array(table, ProcedureParameter.in("keep_last", IntegerType).build()),
         StructType(Seq(StructField("kept", IntegerType, nullable = false))),
-        in => {
-          handle(in.getUTF8String(0).toString).retire(in.getInt(1))
-          row(in.getInt(1))
-        }))
+        in => // actual versions retained: min(keep_last, history length)
+          row(handle(in.getUTF8String(0).toString).retire(in.getInt(1)))))
       case "repair_null_keys" => Some(proc(name,
         Array(table),
         StructType(Seq(StructField("version", LongType, nullable = false))),

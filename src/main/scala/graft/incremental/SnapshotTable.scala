@@ -1862,8 +1862,15 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
       // renamed column (the file stores the old physical name, the
       // empty-mapped read requests the new logical one). Mapping
       // entries for columns the new frame keeps carry forward — their
-      // fresh files restage under the same physical name — and
-      // `retired` carries verbatim (dropped names stay dropped). A
+      // fresh files restage under the same physical name — and the
+      // physical names of mapping entries the overwrite DROPS are
+      // retired (alongside the carried-forward `retired` list): a later
+      // ADD COLUMNS reusing such a name would otherwise pass the
+      // haunted-name check below (the physical is in neither the new
+      // colmap's values nor `retired`), and a feed read across the
+      // overwrite would serve the renamed-away column's bytes as the
+      // new column's history — the same resurrection [[dropColumn]]
+      // guards against by retiring its physical. A
       // brand-new column whose name matches a MAPPED physical or a
       // retired name is rejected: old files hold bytes under that name
       // that belonged to a DIFFERENT logical column, and a feed read
@@ -1879,7 +1886,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
             "hold for a renamed or dropped column — historical reads across the " +
             "overwrite would resurrect those bytes; pick a fresh name"))
       commit(m.version, "overwrite", df.schema, stage(clustered(df), keep),
-        tag, keep, m.retired)
+        tag, keep, (m.retired ++ (m.colmap -- keep.keySet).values).distinct)
   }
 
   /** The latest committed version's application tag, if one was set. */
@@ -1955,8 +1962,10 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * a table maintained by a long-running writer (a streaming sink
     * commits every micro-batch; unbounded history is a leak). Version
     * NUMBERING is unaffected: the claim counter keys off the newest
-    * manifest, which is always kept. */
-  def retire(keepLast: Int): Unit = {
+    * manifest, which is always kept. Returns the number of versions
+    * actually RETAINED — min(keepLast, history length), so a caller
+    * (e.g. `CALL graft.retire`) reports what survived, not the ask. */
+  def retire(keepLast: Int): Int = {
     require(keepLast >= 1, "retire must keep at least the current version")
     val committed = committedManifests.map(_.version)
     committed.dropRight(keepLast).foreach(v => fs.delete(manifestPath(v), false))
@@ -1971,6 +1980,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
         .collect { case (v, st) if v < floor && loadValidated(v, st).isEmpty => v }
         .foreach(v => fs.delete(manifestPath(v), false))
     }
+    math.min(keepLast, committed.size)
   }
 
   /** Append `df` as new files; every existing file carries forward by

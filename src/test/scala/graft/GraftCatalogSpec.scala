@@ -119,6 +119,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(s"SELECT * FROM graft.`$dir`"))
   }
 
+  test("handle cache evicts on out-of-band recreate: a drop+recreate with a different key never serves the stale key") {
+    val dir = freshDir() + "/t3"
+    spark.sql(s"CREATE TABLE graft.`$dir` (k BIGINT, v STRING) OPTIONS ('key' 'k')")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 'a')")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`") == Seq(1L -> "a")) // handle now cached
+    // out-of-band: another session / the Scala API nukes and recreates
+    // the table at the same path keyed by v — THIS catalog sees no DROP,
+    // so only the hit-time key re-probe can notice
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    new SnapshotTable(spark, dir, "v").create(kv(1L -> "a", 2L -> "b"))
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.`$dir`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("key") == "v", "a stale cached handle would still report key k")
+    // row-level DML addresses the NEW key column, not the stale one
+    spark.sql(s"UPDATE graft.`$dir` SET k = k + 10 WHERE length(v) = 1")
+    assert(sqlRows(s"SELECT k, v FROM graft.`$dir`") == Seq(11L -> "a", 12L -> "b"))
+  }
+
   test("ALTER TABLE RENAME/DROP COLUMN run the manifest-only column mapping; other alters reject") {
     val dir = freshDir()
     val tbl = new SnapshotTable(spark, dir, "k")
@@ -482,8 +503,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     // restore rolls back to the create (v0) as a NEW commit
     spark.sql(s"CALL graft.restore(`table` => '$dir', version => 0)")
     assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`").head.getLong(0) == 200)
-    // retire bounds history, vacuum reclaims the compaction's orphans
-    spark.sql(s"CALL graft.retire(`table` => '$dir', keep_last => 1)")
+    // retire bounds history, vacuum reclaims the compaction's orphans;
+    // `kept` reports versions actually RETAINED, not the ask: asking to
+    // keep more history than exists returns the history length
+    val over = spark.sql(s"CALL graft.retire(`table` => '$dir', keep_last => 99)")
+      .head.getInt(0)
+    assert(over == tbl.history.size, s"kept=$over must be the actual history size")
+    assert(spark.sql(s"CALL graft.retire(`table` => '$dir', keep_last => 1)")
+      .head.getInt(0) == 1)
     val reclaimed = spark.sql(s"CALL graft.vacuum(`table` => '$dir', grace_ms => 0)")
       .head.getLong(0)
     assert(reclaimed > 0, "vacuum after retire must reclaim the unreferenced files")

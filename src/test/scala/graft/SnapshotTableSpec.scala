@@ -5,6 +5,7 @@ import java.util.ConcurrentModificationException
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.incremental.{SnapshotTable, Upsert}
@@ -1817,6 +1818,27 @@ class SnapshotTableSpec extends AnyFunSuite {
     // time travel still serves each version under its own names
     assert(tbl.readVersion(v0).columns.toSeq == Seq("k", "v"))
     assert(collectSorted(tbl.readVersion(v0)) == collectSorted(kv(1L -> "a", 2L -> "b")))
+  }
+
+  test("overwrite that DROPS a mapped column retires its physical name: a later ADD COLUMNS cannot resurrect its bytes") {
+    val dir = freshDir()
+    val tbl = new SnapshotTable(spark, dir, "k")
+    tbl.create(kv(1L -> "a", 2L -> "b"))
+    tbl.renameColumn("v", "body") // body is mapped to physical "v"
+    // overwrite WITHOUT body: the mapping entry for body is dropped,
+    // but pre-overwrite files still hold its bytes under physical "v"
+    val s = spark; import s.implicits._
+    val v2 = tbl.create(Seq((1L, 10), (3L, 30)).toDF("k", "n"))
+    assert(tbl.read().columns.toSeq == Seq("k", "n"))
+    // ADD COLUMNS (v ...) must be rejected: the physical name "v" is
+    // haunted by the renamed-away column's bytes, and a change feed
+    // across the overwrite would serve them as the new column's history
+    val e = intercept[IllegalArgumentException](tbl.addColumn("v", StringType))
+    assert(e.getMessage.contains("resurrect"))
+    // a fresh name is fine, and the feed across the overwrite stays sane
+    tbl.addColumn("note", StringType)
+    assert(tbl.read().columns.toSeq == Seq("k", "n", "note"))
+    assert(tbl.changesBetween(v2, tbl.currentVersion.get).count() == 0)
   }
 
   test("null-key guard: fresh writes reject at stage; a pre-guard table keeps metadata ops and repairNullKeys migrates it") {
