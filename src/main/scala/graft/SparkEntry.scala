@@ -970,6 +970,34 @@ object SparkEntry {
     // Lloyd trajectory — fully oracled since r9; VectorOpsSpec asserts
     // exact agreement with brute force at full probe
     "ann_ivf" -> ((s, dir) => VectorOps.annIvf(Tables.embeddings(s, dir))),
+    // the PERSISTED-INDEX arm (r19): quantizer trained once on the base
+    // corpus (vec_id % 10 != 0), the delta batch ABSORBED under the
+    // frozen centroids (assign + append, no retrain), probes answered
+    // from the cid-keyed cell store (file-pruned to the probed cells).
+    // Build is the same deterministic Lloyd trajectory, so the whole
+    // artifact replays in DuckDB — fully hash-oracled
+    "ann_ivf_indexed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+      val idx = new graft.incremental.VectorIndex(s, s"$scratch/state")
+      idx.build(e.filter(col("vec_id") % 10 =!= 0))
+      idx.absorb(e.filter(col("vec_id") % 10 === 0), tag = "delta-1")
+      materializeAndClean(idx.probe(e.filter(col("vec_id") < 10)), scratch)
+    }),
+    // persisted-postings twin of embedding_neardup_delta_lsh: geometry
+    // frozen at build from the BASE count, the batch bands itself and
+    // meets the stored postings in one packed-key equi-join — per-batch
+    // work corpus-size-flat. Fully hash-oracled (the oracle replays the
+    // base-count sizing)
+    "embedding_neardup_delta_indexed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-vidxl").toString
+      val idx = new graft.incremental.VectorIndex(s, s"$scratch/state",
+        withLsh = true)
+      idx.build(e.filter(col("vec_id") % 10 =!= 0))
+      materializeAndClean(
+        idx.probeNearDup(e.filter(col("vec_id") % 10 === 0)), scratch)
+    }),
     // PQ path: asymmetric-distance over trained codebooks — rows-only;
     // VectorOpsSpec pins rerank=∞ ≡ brute force and recall at the budget
     "ann_pq" -> ((s, dir) => VectorOps.annPq(Tables.embeddings(s, dir))),
@@ -3916,6 +3944,62 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc)
          |WHERE rn <= 5""".stripMargin,
+    // Replays the persisted IVF index end-to-end: quantizer trained on
+    // the BASE corpus only (vec_id % 10 <> 0 — the build input), every
+    // vector (base + absorbed delta) assigned to the FROZEN cents1,
+    // probe + exact re-rank identical to ann_ivf's tail
+    "ann_ivf_indexed" ->
+      s"""WITH ${duckKmeansCte(16, 1,
+             "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0)")},
+         |av AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |ascored AS (
+         |  SELECT e.vec_id, s.cid,
+         |         round(${duckCosine("e.v", "s.c")}, 6) + 0 AS sim
+         |  FROM av e, cents1 s),
+         |aall AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1),
+         |qc AS (
+         |  SELECT e.vec_id AS query_id, s.cid,
+         |         round(${duckCosine("e.v", "s.c")}, 6) + 0 AS csim
+         |  FROM av e, cents1 s WHERE e.vec_id < 10),
+         |probe AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY csim DESC, cid) AS pr FROM qc)
+         |  WHERE pr <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probe p JOIN aall a ON a.cid = p.cid
+         |  WHERE a.vec_id != p.query_id),
+         |sc AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |         round(${duckCosine("qe.embedding", "ne.embedding")}, 6) AS cos_sim
+         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+         |            JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, cos_sim, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc)
+         |WHERE rn <= 5""".stripMargin,
+    // The indexed near-dup twin: same banding/candidate/re-rank replay
+    // as embedding_neardup_delta_lsh, but the geometry sizes from the
+    // BASE count — the frozen-at-build contract the persisted postings
+    // pin in their meta sidecar
+    "embedding_neardup_delta_indexed" ->
+      s"""WITH ${duckLshPlanesTables(
+             "SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0", 5, 0.45, 0.9)},
+         |${duckLshBandedDyn()},
+         |cand AS (
+         |  SELECT DISTINCT least(i.vec_id, c.vec_id) AS vec_a,
+         |         greatest(i.vec_id, c.vec_id) AS vec_b
+         |  FROM pk i JOIN bk c ON i.t = c.t AND i.b = c.b AND i.vec_id != c.vec_id
+         |  WHERE i.vec_id % 10 = 0),
+         |sc AS (
+         |  SELECT vec_a, vec_b, round(${duckCosine("ea.embedding", "eb.embedding")}, 6) AS cos_sim
+         |  FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+         |            JOIN embeddings eb ON eb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, cos_sim FROM sc WHERE cos_sim >= 0.45""".stripMargin,
     // knnJoinLsh + the vote/argmax tail: votes are exact counts, the
     // argmax tie-breaks (votes desc, label asc), mean_sim replays the
     // same 6dp-rounded ratio of summed partials

@@ -126,7 +126,7 @@ object VectorOps {
 
   /** BUILD-side banding: one (t, bucket) row per table — the stored
     * half of every LSH join in this object. */
-  private def bandedBase(p: DataFrame, idAs: String, tbl: Int, pln: Int,
+  private[graft] def bandedBase(p: DataFrame, idAs: String, tbl: Int, pln: Int,
       dims: Int): DataFrame = p.select(
     col("vec_id").as(idAs),
     explode(array((0 until tbl).map(t =>
@@ -141,7 +141,7 @@ object VectorOps {
     * [[sizedTablesMp]] sizes for. Buckets are computed ONCE per table
     * (first projection), then flipped with pure XOR — the flip fan-out
     * never re-evaluates the plane dot products. */
-  private def bandedProbes(p: DataFrame, idAs: String, tbl: Int, pln: Int,
+  private[graft] def bandedProbes(p: DataFrame, idAs: String, tbl: Int, pln: Int,
       dims: Int, flips: Int = 1): DataFrame = {
     val withB = p.select(
       col("vec_id").as(idAs),
