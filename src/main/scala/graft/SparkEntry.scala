@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace, translate, when}
+import org.apache.spark.sql.functions.{col, concat, lit, lower, regexp_replace, translate, when}
 
 import graft.ops.{Analytics, EventOps, ReferenceOps, RetrievalEval, TextOps, VectorOps, WeeklySummary}
 
@@ -431,6 +431,41 @@ object SparkEntry {
                  |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET lang = 'xx'""".stripMargin)
         materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
       } finally s.catalog.dropTempView(vn)
+    }),
+    // CREATE OR REPLACE ... AS SELECT through the staging catalog
+    // (r19): the replace lands as the table's OVERWRITE commit — one
+    // atomic schema+data swap, prior versions still time-travelable —
+    // not a drop+recreate; the SELECT reads the replaced generation
+    "corpus_sql_replace" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scratch = java.nio.file.Files.createTempDirectory("graft-sqlrepl").toString
+      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
+        clusterPartitions = Some(8)).create(docs)
+      val vn = "corpus_sql_repl_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      docs.createOrReplaceTempView(vn)
+      try {
+        s.sql(s"""CREATE OR REPLACE TABLE graft.`$scratch/store`
+                 |OPTIONS ('key' 'doc_id')
+                 |AS SELECT doc_id, n_chars * 2 AS n2, lang FROM $vn
+                 |WHERE doc_id % 7 = 0""".stripMargin)
+        materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
+      } finally s.catalog.dropTempView(vn)
+    }),
+    // SHOW TABLES over a warehouse-configured catalog (r19): the
+    // namespace maps to a directory, children are tables iff their
+    // newest manifest records a key — enumerated here from per-region
+    // tables created via SQL DDL
+    "catalog_show_tables" -> ((s, dir) => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-shtbl").toString
+      val cat = "graftwh_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.incremental.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch)
+      // 5 region names, bounded by construction (TPC-H region is 5 rows)
+      Tables.region(s, dir).select(lower(regexp_replace(col("r_name"), " ", "_")))
+        .collect().map(_.getString(0)).sorted
+        .foreach(n => s.sql(
+          s"CREATE TABLE $cat.$n (r_regionkey BIGINT) OPTIONS ('key' 'r_regionkey')"))
+      materializeAndClean(s.sql(s"SHOW TABLES IN $cat"), scratch)
     }),
     // pure-SQL ADD COLUMN DDL: a manifest-only schema commit (zero data
     // files rewritten at any table size) — rows committed before the
@@ -1890,6 +1925,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id + 10000000, text, lang, source, n_chars
         |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
+    // the replaced generation's contents — the overwrite-commit
+    // mechanics (history, colmap carry) are spec-pinned, the data is
+    // plain SQL
+    "corpus_sql_replace" ->
+      """SELECT doc_id, n_chars * 2 AS n2, lang
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+    // SHOW TABLES output shape over the per-region warehouse tables
+    "catalog_show_tables" ->
+      """SELECT '' AS namespace,
+        |       lower(replace(r_name, ' ', '_')) AS tableName,
+        |       false AS isTemporary
+        |FROM region""".stripMargin,
     "corpus_sql_add_column" ->
       """SELECT doc_id, text, lang, source, n_chars, CAST(NULL AS DOUBLE) AS quality
         |FROM documents

@@ -70,7 +70,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Time-travel loads (`VERSION AS OF` / `TIMESTAMP AS OF`) resolve via
   * [[SnapshotTable.schemaAt]]/[[SnapshotTable.versionAsOf]] and return
   * a READ-ONLY pinned table — writing to history fails at analysis. */
-final class GraftCatalog extends TableCatalog with ProcedureCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Option[String] = None
@@ -162,14 +163,18 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(tbl, s"$catalogName.`${pathOf(ident)}`", Some(v))
   }
 
+  private def keyProp(properties: util.Map[String, String]): String = {
+    val props = properties.asScala
+    props.get("key").orElse(props.get(TableCatalog.OPTION_PREFIX + "key"))
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE TABLE on a graft catalog needs the key column: OPTIONS ('key' '<column>')"))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
       "graft tables cluster on their key (clusterPartitions) — PARTITIONED BY is not supported")
-    val props = properties.asScala
-    val key = props.get("key").orElse(props.get(TableCatalog.OPTION_PREFIX + "key"))
-      .getOrElse(throw new IllegalArgumentException(
-        "CREATE TABLE on a graft catalog needs the key column: OPTIONS ('key' '<column>')"))
+    val key = keyProp(properties)
     require(schema.fieldNames.contains(key),
       s"key column $key missing from CREATE TABLE schema ${schema.fieldNames.mkString(", ")}")
     val dir = pathOf(ident)
@@ -239,10 +244,62 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     throw new UnsupportedOperationException(
       "RENAME TABLE is not supported — a graft table IS its path")
 
-  /** Path-addressed catalog: there is no namespace listing to
-    * enumerate (any filesystem directory may hold a table). */
+  /** `SHOW TABLES IN graft[.ns]` — meaningful only with a `warehouse`
+    * configured: the namespace maps to a warehouse subdirectory, and a
+    * child directory is a table iff its newest manifest records a key
+    * (one header read per child — the same probe [[tableExists]]
+    * runs). Without a warehouse the catalog is purely path-addressed
+    * (any filesystem directory may hold a table) and there is nothing
+    * enumerable — empty, not an error. */
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty
+    warehouse match {
+      case None => Array.empty
+      case Some(w) =>
+        val dir = (w +: namespace.toSeq).mkString("/")
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) Array.empty
+        else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+          .filter(n => SnapshotTable.keyAt(spark, s"$dir/$n").isDefined)
+          .sorted.map(Identifier.of(namespace, _))
+    }
+
+  /** `CREATE OR REPLACE TABLE` / `REPLACE TABLE [AS SELECT]` — the
+    * staged-commit surface. A REPLACE on an existing table is NOT a
+    * drop+recreate: it lands as the table's OVERWRITE commit
+    * ([[SnapshotTable.create]] over an existing manifest), so history
+    * stays time-travelable, column-mapping physical names carry
+    * forward, and the physicals of dropped mapped columns retire —
+    * exactly the Scala path's semantics, now reachable from SQL.
+    * CREATE (the or-create arm / CTAS) stages by creating eagerly and
+    * dropping on abort — the write needs a live table to land in, and
+    * the abort hook makes a failed CTAS leave nothing behind. */
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    val created = createTable(ident, info.schema(), info.partitions(),
+      info.properties()).asInstanceOf[GraftTable]
+    new StagedGraftTable(created, onAbort = () => { dropTable(ident); () })
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    val dir = pathOf(ident)
+    val key = keyProp(info.properties())
+    require(info.schema().fieldNames.contains(key),
+      s"key column $key missing from REPLACE TABLE schema " +
+        info.schema().fieldNames.mkString(", "))
+    val existing = SnapshotTable.keyAt(spark, dir).getOrElse(
+      throw new NoSuchTableException(ident))
+    require(key == existing,
+      s"REPLACE TABLE cannot change the key column ($existing -> $key) — " +
+        "every open handle and historical version addresses rows by it; " +
+        "DROP and CREATE for a re-keyed table")
+    val tbl = handleAt(ident)
+    new StagedReplaceGraftTable(spark, tbl,
+      s"$catalogName.`$dir`", info.schema(),
+      tbl.currentVersion.getOrElse(throw new NoSuchTableException(ident)))
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    if (tableExists(ident)) stageReplace(ident, info) else stageCreate(ident, info)
 
   /** SQL MAINTENANCE VERBS (`CALL graft.optimize(...)` etc.) — see
     * [[GraftProcedures]]. The `table` argument resolves through the
@@ -359,6 +416,63 @@ private[graft] final class GraftTable(tbl: SnapshotTable, ident: String,
     tbl.delete(tbl.scanAt(Some(v)).filter(pred).select(col(tbl.keyColumn)).distinct(),
       expectedVersion = Some(v))
   }
+}
+
+/** CTAS/or-create staging: the table was created EAGERLY (the write
+  * needs a live table to land in), so commit is a no-op and abort
+  * drops what the statement created — a failed CTAS leaves nothing. */
+private[graft] final class StagedGraftTable(delegate: GraftTable,
+    onAbort: () => Unit) extends StagedTable with SupportsWrite {
+  override def name(): String = delegate.name()
+  override def schema(): StructType = delegate.schema()
+  override def capabilities(): util.Set[TableCapability] = delegate.capabilities()
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    delegate.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = ()
+  override def abortStagedChanges(): Unit = onAbort()
+}
+
+/** REPLACE staging onto the table's OVERWRITE commit: an RTAS write
+  * lands as `create(data)` over the existing manifest (one atomic
+  * overwrite — history readable, colmap carried, dropped-mapping
+  * physicals retired); a data-less `CREATE OR REPLACE` commits the new
+  * schema as an EMPTY overwrite at commit time. Abort after a landed
+  * write rolls back via [[SnapshotTable.restore]] — a NEW commit, so
+  * the aborted replace stays auditable in history rather than
+  * rewritten away. */
+private[graft] final class StagedReplaceGraftTable(spark: SparkSession,
+    tbl: SnapshotTable, ident: String, newSchema: StructType,
+    prevVersion: Long) extends StagedTable with SupportsWrite {
+  @volatile private var written = false
+
+  override def name(): String = ident
+  override def schema(): StructType = StructType(newSchema.fields.map(f =>
+    if (f.name == tbl.keyColumn) f.copy(nullable = false) else f))
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // replace IS truncation
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              tbl.create(data)
+              written = true
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    if (!written) {
+      tbl.create(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], newSchema))
+      ()
+    }
+  override def abortStagedChanges(): Unit =
+    if (written) { tbl.restore(prevVersion); () }
 }
 
 /** Pushdown collector: filters and required columns land here at

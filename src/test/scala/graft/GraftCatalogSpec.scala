@@ -140,6 +140,55 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sqlRows(s"SELECT k, v FROM graft.`$dir`") == Seq(11L -> "a", 12L -> "b"))
   }
 
+  test("SHOW TABLES enumerates warehouse children; CREATE OR REPLACE lands as an overwrite commit with history") {
+    val wh = freshDir()
+    // a second catalog instance pointing a warehouse at wh
+    spark.conf.set("spark.sql.catalog.graftwh", "graft.incremental.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftwh.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE graftwh.alpha (k BIGINT, v STRING) OPTIONS ('key' 'k')")
+      spark.sql("CREATE TABLE graftwh.beta (k BIGINT, v STRING) OPTIONS ('key' 'k')")
+      new java.io.File(s"$wh/not_a_table").mkdirs() // keyless dir: not listed
+      val listed = spark.sql("SHOW TABLES IN graftwh").collect()
+        .map(_.getString(1)).toSet
+      assert(listed == Set("alpha", "beta"), s"got $listed")
+
+      // CREATE OR REPLACE over existing = OVERWRITE commit, not drop+create:
+      // history stays readable and the op log shows the overwrite
+      spark.sql("INSERT INTO graftwh.alpha VALUES (1, 'a')")
+      spark.sql("CREATE OR REPLACE TABLE graftwh.alpha (k BIGINT, n INT) OPTIONS ('key' 'k')")
+      val tbl = new SnapshotTable(spark, s"$wh/alpha", "k")
+      assert(tbl.history.map(_._3) == Seq("create", "append", "overwrite"))
+      assert(spark.sql("SELECT * FROM graftwh.alpha").columns.toSeq == Seq("k", "n"))
+      assert(spark.sql("SELECT count(*) FROM graftwh.alpha").head.getLong(0) == 0)
+      assert(spark.sql("SELECT count(*) FROM graftwh.alpha VERSION AS OF 1")
+        .head.getLong(0) == 1, "pre-replace history must stay time-travelable")
+
+      // REPLACE ... AS SELECT lands data and schema in ONE overwrite commit
+      spark.sql("CREATE OR REPLACE TABLE graftwh.beta OPTIONS ('key' 'k') " +
+        "AS SELECT CAST(id AS BIGINT) AS k, CAST(id * 2 AS INT) AS n FROM range(3)")
+      assert(sqlRowsInt(s"SELECT k, n FROM graftwh.beta") ==
+        Seq(0L -> 0, 1L -> 2, 2L -> 4))
+      assert(new SnapshotTable(spark, s"$wh/beta", "k")
+        .history.map(_._3) == Seq("create", "overwrite"))
+
+      // or-create arm: REPLACE of a missing table creates it
+      spark.sql("CREATE OR REPLACE TABLE graftwh.gamma (k BIGINT) OPTIONS ('key' 'k')")
+      assert(spark.sql("SHOW TABLES IN graftwh").count() == 3)
+
+      // the key column is load-bearing: changing it on REPLACE rejects
+      val e = intercept[Exception](spark.sql(
+        "CREATE OR REPLACE TABLE graftwh.alpha (id BIGINT, v STRING) OPTIONS ('key' 'id')"))
+      assert(e.getMessage.contains("key column"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graftwh")
+      spark.conf.unset("spark.sql.catalog.graftwh.warehouse")
+    }
+  }
+
+  private def sqlRowsInt(q: String): Seq[(Long, Int)] =
+    spark.sql(q).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sortBy(_._1)
+
   test("ALTER TABLE RENAME/DROP COLUMN run the manifest-only column mapping; other alters reject") {
     val dir = freshDir()
     val tbl = new SnapshotTable(spark, dir, "k")
