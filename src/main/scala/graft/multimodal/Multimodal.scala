@@ -94,11 +94,12 @@ object Multimodal {
     * perceptual machinery (dHash gradients, feature bands) runs on
     * ACTUAL pixels instead of hash-derived fakes. P6's three-channel
     * raster converts to gray via the ITU-R 601 luma weights, proving
-    * the decode seam generalizes past single-channel. Compressed
-    * formats (JPEG/PNG/audio codecs) stay stubbed behind the same
-    * [[Decoder]] seam — this container has no codec libraries — but the
-    * seam itself is proven against true formats, not only the
-    * deterministic fake.
+    * the decode seam generalizes past single-channel. PNG ([[Png]],
+    * JDK zlib) and JPEG ([[Jpeg]], JDK ImageIO — r19) extend the tier
+    * to compressed formats without third-party codecs; audio/video
+    * codecs stay stubbed behind the same [[Decoder]] seam — this
+    * container has no libraries for them — but the seam itself is
+    * proven against true formats, not only the deterministic fake.
     *
     * HOSTILE-INPUT CONTRACT: decode returns None on anything
     * malformed — oversized/overflowing dimensions, short rasters,
@@ -533,9 +534,105 @@ object Multimodal {
     }
   }
 
+  /** JPEG (the fifth media tier — the first LOSSY one, and what real
+    * multimodal corpora actually hold): decoded through the JDK's own
+    * `javax.imageio` JPEG reader — still zero third-party codec deps —
+    * and luma-reduced through the SAME ITU-R 601 integer path as every
+    * other tier, so one image in any container shares its downstream
+    * band-feature/dHash machinery.
+    *
+    * DETERMINISM CAVEAT (why this tier is spec-pinned, never oracled):
+    * JPEG decode output is not bit-identical across JDK implementations
+    * (IDCT rounding is implementation-defined), and the codec is lossy,
+    * so unlike PGM/BMP/PNG a JPEG payload's exact pixels — and
+    * therefore its dHash — are a property of the decoder, not the
+    * payload. MultimodalSpec pins dHash STABILITY on planted smooth
+    * fixtures (gradients survive the quantizer) and the hostile
+    * battery; no oracle row depends on JPEG bytes.
+    *
+    * Same hostile-input contract as the other tiers: a payload without
+    * the SOI magic is cheaply skipped, and anything ImageIO rejects or
+    * chokes on (truncated entropy stream, bogus markers, OOM-bait
+    * dimensions — the [[Pgm.MaxDim]]-style guard applies BEFORE the
+    * full decode via the reader's header-only size probe) returns None,
+    * never throws. */
+  object Jpeg {
+
+    private val MaxDim = 1 << 20
+
+    /** JFIF/EXIF JPEG payload for a gray raster — the JDK encoder, used
+      * by specs to plant fixtures (lossy: expect near, not equal,
+      * pixels back). */
+    def encodeGray(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(pixels.length == width * height)
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, width, height, pixels)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+
+    /** Parse a JPEG payload → (width, height, row-major GRAY bytes), or
+      * None on anything that is not a well-formed JPEG this JDK can
+      * decode. Never throws. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      // SOI magic gate: every JPEG stream starts FF D8 — skip the
+      // (comparatively heavy) ImageIO machinery for everything else
+      if (payload.length < 4 ||
+        (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return None
+      try {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(in, true, true)
+            // header-only size probe BEFORE allocating the raster:
+            // hostile dimensions are rejected without decoding
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            if (w <= 0 || w > MaxDim || h <= 0 || h > MaxDim ||
+              w.toLong * h > Int.MaxValue) return None
+            val img = reader.read(0)
+            // RAW raster samples, not getRGB: a single-component JPEG
+            // decodes to a gray raster whose samples ARE the luma —
+            // getRGB would route them through the ColorModel's
+            // linear-gray → sRGB gamma conversion and distort every
+            // value (~±70 on mid-grays). Multi-band rasters are RGB
+            // post-YCbCr and luma-reduce through the shared ITU-R 601
+            // integer path.
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            val gray = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                gray(y * w + x) =
+                  if (bands == 1) raster.getSample(x, y, 0).toByte
+                  else {
+                    val r = raster.getSample(x, y, 0)
+                    val g = raster.getSample(x, y, 1)
+                    val b = raster.getSample(x, y, 2)
+                    ((299 * r + 587 * g + 114 * b) / 1000).toByte
+                  }
+                x += 1
+              }
+              y += 1
+            }
+            Some((w, h, gray))
+          } finally reader.dispose()
+        } finally if (in != null) in.close()
+      } catch { case _: Throwable => None } // hostile bytes: fall to the stub tier
+    }
+  }
+
   /** Real-format decoder tier: PGM (P5), PPM (P6, luma-reduced),
     * 24-bit BMP ([[Bmp]] — binary little-endian headers, the non-netpbm
-    * shape), and PNG ([[Png]] — zlib-compressed, filtered scanlines)
+    * shape), PNG ([[Png]] — zlib-compressed, filtered scanlines), and
+    * JPEG ([[Jpeg]] — JDK ImageIO, lossy; spec-pinned, never oracled)
     * payloads decode to actual pixels and the features are `dim`
     * horizontal-band mean intensities in [0,1] (a real, explainable
     * image statistic); checksum is the perceptual [[Pgm.dHash]] so
@@ -550,7 +647,7 @@ object Multimodal {
     override def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
       rows.map { r =>
         Pgm.decode(r.payload).orElse(Bmp.decode(r.payload))
-          .orElse(Png.decode(r.payload)) match {
+          .orElse(Png.decode(r.payload)).orElse(Jpeg.decode(r.payload)) match {
           case Some((w, h, px)) =>
             val acc = new Array[Long](dim)
             val cnt = new Array[Long](dim)

@@ -546,4 +546,58 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(Multimodal.Png.decode(bf).isEmpty, "bogus filter byte must reject, not mis-decode")
   }
+
+  test("JPEG tier: lossy decode joins the gray/dHash path on smooth fixtures; hostile JPEGs reject") {
+    val s = spark
+    import s.implicits._
+    val (w, h) = (64, 48)
+    // strong horizontal gradient: dHash samples the 9×8 grid (steps of
+    // ~7 px → ~21 luma per step), far above JPEG quantization error —
+    // the "losslessly representable" regime where the perceptual hash
+    // must survive the lossy codec
+    val grad = Array.tabulate(w * h)(i => ((i % w) * 3).toByte)
+    val jpeg = Multimodal.Jpeg.encodeGray(w, h, grad)
+    val Some((dw, dh, px)) = Multimodal.Jpeg.decode(jpeg)
+    assert((dw, dh) == ((w, h)))
+    // lossy: pixels are NEAR, not equal — bound the worst-case error
+    val maxErr = px.zip(grad).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 16, s"JPEG round-trip error $maxErr exceeds the smooth-fixture bound")
+    assert(!java.util.Arrays.equals(px, grad) || maxErr == 0) // sanity: codec really ran
+    // QUINT-container dHash equality through the full Spark seam:
+    // the same gradient via PGM, BMP, PNG(gray), PNG(rgb), and JPEG
+    val gradRgb = grad.flatMap(v => Array(v, v, v))
+    val media = Seq(
+      1L -> Multimodal.Pgm.encode(w, h, grad),
+      2L -> Multimodal.Bmp.encodeRgb(w, h, gradRgb),
+      3L -> Multimodal.Png.encodeGray(w, h, grad),
+      4L -> Multimodal.Png.encodeRgb(w, h, gradRgb),
+      5L -> jpeg,
+      6L -> "not an image at all".getBytes("US-ASCII"))
+      .toDF("media_id", "payload")
+      .select(col("media_id"),
+        struct(lit("image").as("media_type"), lit(w).as("width"),
+          lit(h).as("height"), lit(0).as("sample_rate"),
+          lit(1).as("n_frames")).as("meta"),
+        col("payload"))
+    val feats = Multimodal.extractFeatures(media, decoder = Multimodal.PgmDecoder())
+      .collect().map(f => f.media_id -> f.checksum).toMap
+    assert(Set(feats(1L), feats(2L), feats(3L), feats(4L), feats(5L)).size == 1,
+      "all five containers of one smooth image must share the perceptual dHash")
+    assert(feats(6L) != feats(1L)) // the non-image row took the stub tier
+    // brightness invariance survives the codec too (+20, no clipping)
+    val bright = Multimodal.Jpeg.encodeGray(w, h, grad.map(v => ((v & 0xff) + 20).toByte))
+    val Some((_, _, bp)) = Multimodal.Jpeg.decode(bright)
+    assert(Multimodal.Pgm.dHash(w, h, bp) == Multimodal.Pgm.dHash(w, h, grad),
+      "dHash must be brightness-invariant across the lossy codec")
+    // hostile battery: None, never a throw — the 100 TB corrupt-payload contract
+    val hostile: Seq[(String, Array[Byte])] = Seq(
+      "SOI only" -> Array(0xff.toByte, 0xd8.toByte),
+      "SOI + garbage" -> (Array(0xff.toByte, 0xd8.toByte) ++
+        Array.tabulate(200)(i => (i * 37 % 251).toByte)),
+      "truncated mid-entropy" -> jpeg.take(jpeg.length / 2),
+      "no SOI (text)" -> "P7 not a jpeg".getBytes("US-ASCII"),
+      "empty" -> Array.empty[Byte])
+    hostile.foreach { case (name, p) =>
+      assert(Multimodal.Jpeg.decode(p).isEmpty, s"hostile JPEG '$name' must reject") }
+  }
 }
