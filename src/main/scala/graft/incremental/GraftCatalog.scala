@@ -122,8 +122,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     val dir = pathOf(ident)
     val cached = handles.get(dir)
     if (cached != null) {
-      // Re-probe through the CACHED handle (its parse cache makes this
-      // a listing + validated hit, not a manifest re-read).
+      // Re-probe through the CACHED handle (the resolve fast path makes
+      // this two stat probes on a quiescent table — zero listings, zero
+      // manifest reads).
       cached.recordedKey match {
         case Some(k) if k == cached.keyColumn => return cached
         case _ => handles.remove(dir, cached) // recreated with new key, or dropped

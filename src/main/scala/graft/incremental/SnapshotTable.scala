@@ -274,6 +274,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * mtime) come back free with the listing, so cache validation costs
     * zero extra RPCs. */
   private def listManifests: Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
+    manifestListings += 1
     val listed =
       if (!fs.exists(manifestDir)) Nil
       else fs.listStatus(manifestDir).toSeq.flatMap { st =>
@@ -312,6 +313,13 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * feed over k versions reads ≤ k + 2, and a second resolve reads 0
     * (cache-served). Cumulative; specs delta it. */
   private[graft] var manifestReads: Long = 0L
+
+  /** Manifest-DIR listings this handle has performed — the r19 seam for
+    * the resolve fast path: a QUIESCENT repeated resolve costs two
+    * `getFileStatus` probes and ZERO listings (the per-statement LIST
+    * was the residual catalog-planning tax the r18 A/B measured).
+    * Cumulative; specs delta it. */
+  private[graft] var manifestListings: Long = 0L
 
   private def loadValidated(v: Long,
       st: org.apache.hadoop.fs.FileStatus): Option[Manifest] = {
@@ -393,18 +401,51 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   private def committedManifests: Seq[Manifest] =
     listManifests.flatMap { case (v, st) => loadValidated(v, st) }
 
-  /** The newest committed manifest in ONE listing plus O(1) manifest
-    * reads: walk versions DESCENDING and stop at the first
-    * `#commit`-terminated file — never load the whole history just to
-    * take its last element. The versions skipped on the way down are
-    * torn claims (rare debris); on a long-lived store with thousands of
-    * retained versions this is the difference between a resolve being
-    * one small file read and O(versions × manifest bytes) driver
-    * parsing on EVERY read, write, and streaming trigger. */
-  private def newestCommitted: Option[Manifest] =
-    listManifests.reverseIterator
-      .map { case (v, st) => loadValidated(v, st) }
-      .collectFirst { case Some(m) => m }
+  /** The last FULL resolve's result with its file validator (length,
+    * mtime) — [[newestCommitted]]'s zero-listing fast path. */
+  @volatile private var lastResolved: Option[(Manifest, Long, Long)] = None
+
+  /** The newest committed manifest. FAST PATH (r19): if the last full
+    * resolve's manifest file is UNCHANGED (same length + mtime — the
+    * same validator the parse cache trusts; version numbers are
+    * write-once, and both possible content transitions, torn→committed
+    * and committed→tombstone, change the length) AND no file exists at
+    * the NEXT version number (every later commit must first claim
+    * version+1 — the claim counter keys off the highest file present),
+    * the previous result still IS the newest committed manifest: two
+    * `getFileStatus` probes, zero listings, zero manifest reads. On
+    * object storage this removes the per-statement LIST that was the
+    * r18 catalog route's residual planning tax; any file change above
+    * or at the pin (a landing commit, an in-flight claim, torn debris,
+    * a retraction) falls through to the full listing resolve.
+    *
+    * FULL PATH: one listing plus O(1) manifest reads — walk versions
+    * DESCENDING and stop at the first `#commit`-terminated file, never
+    * load the whole history just to take its last element. The
+    * versions skipped on the way down are torn claims (rare debris);
+    * on a long-lived store with thousands of retained versions this is
+    * the difference between a resolve being one small file read and
+    * O(versions × manifest bytes) driver parsing on EVERY read, write,
+    * and streaming trigger. */
+  private def newestCommitted: Option[Manifest] = {
+    val fast = lastResolved.filter { case (m, len, mtime) =>
+      val unchanged =
+        try {
+          val st = fs.getFileStatus(manifestPath(m.version))
+          st.getLen == len && st.getModificationTime == mtime
+        } catch { case _: java.io.FileNotFoundException => false }
+      unchanged && !fs.exists(manifestPath(m.version + 1))
+    }
+    if (fast.isDefined) fast.map(_._1)
+    else {
+      val resolved = listManifests.reverseIterator
+        .map { case (v, st) => (loadValidated(v, st), st) }
+        .collectFirst { case (Some(m), st) =>
+          (m, st.getLen, st.getModificationTime) }
+      lastResolved = resolved
+      resolved.map(_._1)
+    }
+  }
 
   /** The last manifest this handle resolved — the `monotonicReads`
     * floor ([[latestManifest]]). */

@@ -1333,6 +1333,19 @@ class SnapshotTableSpec extends AnyFunSuite {
     reader.read()
     assert(reader.manifestReads - r0 == firstResolve,
       "the second resolve re-read manifest files instead of hitting the cache")
+    // r19 fast path: a QUIESCENT repeated resolve does zero manifest-dir
+    // LISTINGS (two stat probes) — the per-statement LIST was the
+    // catalog route's residual planning tax
+    val l0 = reader.manifestListings
+    reader.read(); reader.currentVersion; reader.recordedKey
+    assert(reader.manifestListings - l0 == 0,
+      s"quiescent repeated resolves listed ${reader.manifestListings - l0} times")
+    // a commit by ANOTHER handle lands at version+1 — the fast path's
+    // claim-file probe sees it and the next resolve re-lists
+    writer.merge(kv(99L -> "fresh"))
+    assert(reader.read().count() == 32, "fast path served a stale snapshot")
+    assert(reader.manifestListings - l0 >= 1)
+    assert(reader.currentVersion == writer.currentVersion)
     // a whole-chain caller warms the cache once, then stops reading
     val r1 = reader.manifestReads
     reader.history
