@@ -735,6 +735,72 @@ object Soak {
         f"inline twins $inB%6.2f -> $inS%6.2f s (indexed beats inline at ${n}x: " +
         f"${if (ingestBeatsInline) "ok" else "FAIL"})")
 
+    // Persisted VECTOR index scale (r19 VectorIndex — the IngestIndex
+    // discipline applied to ANN): the 1x and Nx indexes build from the
+    // respective corpora; a FIXED query set (replica-0 ids, present at
+    // both scales, identical to the inline arm's own query rule) then
+    // probes both, and the SAME fixed sf0.1 delta runs the
+    // frozen-geometry LSH near-dup probe against both. The claims: the
+    // warm IVF probe reads nprobe/nlist of the corpus (sublinear growth,
+    // and strictly cheaper than the inline arm, which re-trains Lloyd +
+    // re-assigns the whole corpus per call), and the delta near-dup
+    // probe's work is ∝ batch × occupancy under the build-time
+    // auto-sized geometry (readKeys-pruned postings), not ∝ corpus.
+    final case class VecWalls(build: Double, probe: Double, inlineIvf: Double,
+        ndProbe: Double, inlineNd: Double)
+    def vectorWalls(d: String, state: String): VecWalls = {
+      val corpus = Tables.embeddings(spark, d).filter(col("vec_id") % 10 =!= 0)
+      val queries = corpus.filter(col("vec_id") < 10) // replica 0: fixed across scales
+      val delta = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 10 === 0)
+      val sp = new org.apache.hadoop.fs.Path(state)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+      val idx = new incremental.VectorIndex(spark, state, withLsh = true)
+      def wall(body: => Unit): Double = {
+        val ts = (1 to reps).map { _ =>
+          spark.catalog.clearCache()
+          System.gc()
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }.sorted
+        ts(ts.length / 2)
+      }
+      val b0 = System.nanoTime()
+      idx.build(corpus)
+      val build = (System.nanoTime() - b0) / 1e9
+      val probe = wall(
+        idx.probe(queries).write.format("noop").mode("overwrite").save())
+      val inlineIvf = wall(
+        ops.VectorOps.annIvf(corpus).write.format("noop").mode("overwrite").save())
+      val ndProbe = wall(
+        idx.probeNearDup(delta).write.format("noop").mode("overwrite").save())
+      val inlineNd = wall(ops.VectorOps.nearDupEmbeddingIncrementalLsh(corpus, delta)
+        .write.format("noop").mode("overwrite").save())
+      VecWalls(build, probe, inlineIvf, ndProbe, inlineNd)
+    }
+    val runVector = sys.env.get("SPARK_GRAFT_ONLY")
+      .forall(_.split(",").map(_.trim).contains("vector_index_scale"))
+    val vec: Option[(VecWalls, VecWalls)] =
+      if (!runVector) None
+      else Some((vectorWalls(sfDir, s"$workDir/vidx_base"),
+        vectorWalls(dataDir, s"$workDir/vidx_soak")))
+    // warm probe must beat the inline retrain-per-call arm at Nx AND
+    // grow no faster than it (the sublinear nprobe/nlist claim); the
+    // fixed-delta near-dup probe is bounded like the ingest probe (2.5
+    // — occupancy-held geometry + pruned postings; walls of ~1-2 s sit
+    // at the harness variance floor)
+    val vecProbeBeats = vec.forall { case (_, s) => s.probe < s.inlineIvf }
+    val vecProbeGrowth = vec.forall { case (b, s) =>
+      b.probe == 0 || s.probe / b.probe <= math.max(2.5, s.inlineIvf / b.inlineIvf) }
+    val vecNdOk = vec.forall { case (b, s) =>
+      b.ndProbe == 0 || s.ndProbe / b.ndProbe <= 2.5 }
+    vec.foreach { case (b, s) =>
+      println(f"[soak] vector_index build ${b.build}%6.2f -> ${s.build}%6.2f s; " +
+        f"warm ivf probe ${b.probe}%5.2f -> ${s.probe}%5.2f s (x${s.probe / b.probe}%4.2f) vs " +
+        f"inline ${b.inlineIvf}%5.2f -> ${s.inlineIvf}%5.2f s (x${s.inlineIvf / b.inlineIvf}%4.2f) " +
+        f"(beats ${if (vecProbeBeats) "ok" else "FAIL"}, growth ${if (vecProbeGrowth) "ok" else "FAIL"}); " +
+        f"neardup delta probe ${b.ndProbe}%5.2f -> ${s.ndProbe}%5.2f s (x${s.ndProbe / b.ndProbe}%4.2f ≤2.5 " +
+        f"${if (vecNdOk) "ok" else "FAIL"}) vs inline ${b.inlineNd}%5.2f -> ${s.inlineNd}%5.2f s")
+    }
+
     // SnapshotTable MERGE pruning at scale: the 100 TB claim — a keyed
     // merge rewrites files ∝ the BATCH's key range, never ∝ the table —
     // made measurable. Build a doc_id-keyed table range-clustered into
@@ -1335,6 +1401,9 @@ object Soak {
       (if (ingestProbeOk) Nil else Seq("ingest_probe_flat")) ++
       (if (ingestAbsorbOk) Nil else Seq("ingest_absorb_flat")) ++
       (if (ingestBeatsInline) Nil else Seq("ingest_beats_inline")) ++
+      (if (vecProbeBeats) Nil else Seq("vector_probe_beats_inline")) ++
+      (if (vecProbeGrowth) Nil else Seq("vector_probe_growth")) ++
+      (if (vecNdOk) Nil else Seq("vector_neardup_delta_flat")) ++
       (if (snapshotOk) Nil else Seq("snapshot_merge_pruning")) ++
       (if (snapshotSparseOk) Nil else Seq("snapshot_merge_sparse")) ++
       (if (snapshotSyncOk) Nil else Seq("snapshot_mirror_sync")) ++
@@ -1369,6 +1438,12 @@ object Soak {
       md ++= f"absorb $iaB%.2f s -> $iaS%.2f s (x${iaS / iaB}%.2f, bound 1.5, sized above the measured sub-second variance floor — ${if (ingestAbsorbOk) "ok" else "**FAIL**"}); "
       md ++= f"inline rebuild twins $inB%.2f s -> $inS%.2f s (indexed probe beats inline at ${n}x — ${if (ingestBeatsInline) "ok" else "**FAIL**"}). "
       md ++= "Absorb is an LSM segment append (work ∝ batch); the probe keeps one columnar index scan (its documented floor).\n"
+    }
+    vec.foreach { case (b, s) =>
+      md ++= f"\nPersisted VECTOR index (r19 `VectorIndex` — frozen IVF quantizer + cid-keyed cells + frozen-geometry LSH postings), 1x- vs ${n}x-corpus indexes: "
+      md ++= f"build ${b.build}%.2f s -> ${s.build}%.2f s (amortized — paid once, not per query); "
+      md ++= f"warm IVF probe (fixed replica-0 queries) ${b.probe}%.2f s -> ${s.probe}%.2f s (x${s.probe / b.probe}%.2f) vs the inline retrain-per-call arm ${b.inlineIvf}%.2f s -> ${s.inlineIvf}%.2f s (x${s.inlineIvf / b.inlineIvf}%.2f) — indexed beats inline at ${n}x ${if (vecProbeBeats) "ok" else "**FAIL**"}, grows no faster ${if (vecProbeGrowth) "ok" else "**FAIL**"} (the probe reads nprobe/nlist of the corpus; the inline arm re-trains Lloyd + re-assigns everything per call); "
+      md ++= f"frozen-geometry LSH near-dup probe, SAME fixed sf0.1 delta: ${b.ndProbe}%.2f s -> ${s.ndProbe}%.2f s (x${s.ndProbe / b.ndProbe}%.2f ≤2.5 ${if (vecNdOk) "ok" else "**FAIL**"} — readKeys-pruned postings, occupancy-held geometry) vs inline re-band-the-corpus ${b.inlineNd}%.2f s -> ${s.inlineNd}%.2f s.\n"
     }
     cyc.foreach { case (b, s) =>
       md ++= s"\nIndexed CorpusRun admission (persisted `IngestIndex` state; medians of $reps for inline/warm):\n\n"

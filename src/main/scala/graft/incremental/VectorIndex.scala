@@ -245,12 +245,19 @@ final class VectorIndex(spark: SparkSession, dir: String,
     require(withLsh && pln > 0, s"index at $dir holds no LSH postings " +
       "(withLsh = false at build) — rebuild with withLsh = true")
     val inc = VectorOps.prepared(incoming)
-    val stored = bucketsTbl.read().select(col("tb"), col("vec_id").as("cand_id"))
-    val base = stored.unionByName(
-      bandPacked(inc, pln, tbl).select(col("tb"), col("vec_id").as("cand_id")))
     val probes = VectorOps.bandedProbes(inc, "inc_id", tbl, pln, dims, probeFlips)
       .select((col("tb.t").cast("long") * lit(1L << 32) + col("tb.b")).as("tb"),
         col("inc_id"))
+    // postings read FILE-PRUNED to the batch's probed bucket keys: the
+    // tb-keyed store is range-clustered on the packed key, so readKeys'
+    // key-set prune opens only the files that can hold a probed bucket
+    // — per-batch postings I/O ∝ batch × occupancy, not corpus (past
+    // the prune cap it degrades to sub-range pruning, still never a
+    // full scan)
+    val stored = bucketsTbl.readKeys(probes.select(col("tb")))
+      .select(col("tb"), col("vec_id").as("cand_id"))
+    val base = stored.unionByName(
+      bandPacked(inc, pln, tbl).select(col("tb"), col("vec_id").as("cand_id")))
     val cand = probes.join(base, Seq("tb"))
       .filter(col("inc_id") =!= col("cand_id"))
       .select(
