@@ -48,7 +48,7 @@ object SparkEntry {
   /** Snapshot weekly-summary CTE chain over source CTE `src`, names
     * prefixed with `p`; returns (cteText, finalCteName). Mirrors
     * reference_query.sql:1-57 with the deterministic as-of date. */
-  private def snapshotCtes(src: String, p: String): (String, String) = (
+  private[graft] def snapshotCtes(src: String, p: String): (String, String) = (
     s"""${p}date_range AS (
        |  SELECT MIN(rental_date)::date AS min_date,
        |         MAX(CASE WHEN return_date IS NOT NULL THEN return_date::date
@@ -83,7 +83,7 @@ object SparkEntry {
     * then delete the scratch `dir` recursively: the snapshot-table demo
     * queries write a real table under java.io.tmpdir, and without
     * cleanup every bench/verify rep leaks a full table copy. */
-  private def materializeAndClean(df: DataFrame, dir: String): DataFrame = {
+  private[graft] def materializeAndClean(df: DataFrame, dir: String): DataFrame = {
     val out = df.localCheckpoint(true)
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(out.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
@@ -95,4458 +95,15 @@ object SparkEntry {
     WeeklySummary.snapshot(Tables.rental(spark, "/root/testdata/sf0.001"), AsOf)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "weekly_summary" -> ((s, dir) =>
-      WeeklySummary.snapshot(Tables.rental(s, dir), AsOf)),
-    "weekly_wow" -> ((s, dir) =>
-      WeeklySummary.weekOverWeek(WeeklySummary.snapshot(Tables.rental(s, dir), AsOf))),
-    "weekly_summary_nl" -> ((s, dir) =>
-      WeeklySummary.snapshotNestedLoop(Tables.rental(s, dir), AsOf)),
-    "weekly_summary_sql" -> ((s, dir) =>
-      WeeklySummary.snapshotSql(Tables.rental(s, dir), AsOf)),
-    "delta_extract" -> ((s, dir) =>
-      ReferenceOps.deltaExtract(Tables.rental(s, dir), DeltaFrom, DeltaTo)),
-    "watermark_probes" -> ((s, dir) =>
-      ReferenceOps.watermarkProbes(Tables.rental(s, dir))),
-    "affected_weeks" -> ((s, dir) =>
-      ReferenceOps.affectedWeeks(Tables.rental(s, dir), DeltaFrom, DeltaTo)),
-    "first_rental" -> ((s, dir) =>
-      ReferenceOps.firstRental(Tables.rental(s, dir))),
-    "upsert_round" -> ((s, dir) =>
-      ReferenceOps.upsertRound(Tables.rental(s, dir), DeltaFrom, AsOf)),
-    // the same upsert round driven through the manifest-based ACID
-    // table sink (SnapshotTable.merge — file-pruned copy-on-write): the
-    // persisted table's contents must equal the pure-query formulation
-    "upsert_round_snapshot" -> ((s, dir) => {
-      val (existing, incoming) =
-        WeeklySummary.upsertRoundParts(Tables.rental(s, dir), DeltaFrom, AsOf)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-snap").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "week_beginning")
-      tbl.create(existing)
-      tbl.merge(incoming)
-      materializeAndClean(tbl.read().orderBy("week_beginning"), scratch)
-    }),
-    // the same round with ADD-COLUMN SCHEMA EVOLUTION through the ACID
-    // sink: the incoming batch carries a new nullable audit column;
-    // pre-evolution rows read it as null WITHOUT a rewrite
-    // (SnapshotTable.evolveSchema — parquet scans with an explicit
-    // schema fill absent columns), so old files carry by reference
-    "upsert_round_snapshot_evolve" -> ((s, dir) => {
-      val (existing, incoming) =
-        WeeklySummary.upsertRoundParts(Tables.rental(s, dir), DeltaFrom, AsOf)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-snap-ev").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "week_beginning")
-      tbl.create(existing)
-      // a non-foldable when() without otherwise => nullable, as the
-      // add-column contract requires (a bare lit() is non-nullable)
-      tbl.merge(incoming.withColumn("batch_note",
-        when(col("week_beginning").isNotNull, lit("delta"))))
-      materializeAndClean(tbl.read().orderBy("week_beginning"), scratch)
-    }),
-    // COLUMN-MAPPING rename through the ACID sink: a manifest-only
-    // RENAME between the create and the merge — untouched pre-rename
-    // files carry BY REFERENCE and serve the renamed column via the
-    // mapping (files store the stable physical name), while the merge
-    // restages its touched slice under the same physical name; zero
-    // data files rewritten by the rename itself
-    "upsert_round_snapshot_rename" -> ((s, dir) => {
-      val (existing, incoming) =
-        WeeklySummary.upsertRoundParts(Tables.rental(s, dir), DeltaFrom, AsOf)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-snap-rn").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "week_beginning")
-      tbl.create(existing)
-      tbl.renameColumn("outstanding_rentals_at_week_end", "open_rentals_at_week_end")
-      tbl.merge(incoming.withColumnRenamed(
-        "outstanding_rentals_at_week_end", "open_rentals_at_week_end"))
-      materializeAndClean(tbl.read().orderBy("week_beginning"), scratch)
-    }),
-    // TYPE WIDENING across the lossless lattice: the store starts with
-    // an INT column, widens it to BIGINT in a manifest-only commit
-    // (zero files rewritten), then merges rows whose values only a
-    // BIGINT can hold — pre-widen files read wide via parquet's
-    // widening promotion, stats stay exact across the boundary
-    "upsert_round_snapshot_widen" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-snap-wd").toString
-      val tbl = new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
-        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
-      tbl.create(docs.withColumn("n_chars", col("n_chars").cast("int")))
-      tbl.widenColumn("n_chars", org.apache.spark.sql.types.LongType)
-      tbl.merge(docs.filter(col("doc_id") % 53 === 1)
-        .withColumn("doc_id", col("doc_id") + 10000000L)
-        .withColumn("n_chars", col("n_chars").cast("long") + 4000000000L))
-      materializeAndClean(tbl.read(), scratch)
-    }),
-    // manifest-pruned RANGE READ over the corpus store: only files
-    // whose doc_id [min,max] intersects the band are handed to the
-    // scan (SnapshotTable.readRange — the read-side twin of the
-    // merge's copy-on-write pruning); result ≡ the plain SQL band
-    "corpus_range_read" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-range").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
-        clusterPartitions = Some(8))
-      tbl.create(docs)
-      materializeAndClean(tbl.readRange(Some(100L), Some(299L)), scratch)
-    }),
-    // keyed point-lookup through the store: the requested ids are
-    // SCATTERED across the whole key domain (doc_id % 731 == 5), so a
-    // range read would open nearly every file — the key-set prune
-    // (SnapshotTable.readKeys) opens only the files that can hold a
-    // requested id, then an exact semi-join keeps the rows
-    "corpus_keys_read" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-keys").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
-        clusterPartitions = Some(8))
-      tbl.create(docs)
-      materializeAndClean(
-        tbl.readKeys(docs.filter(col("doc_id") % 731 === 5).select("doc_id")),
-        scratch)
-    }),
-    // data-skipping read on a SECONDARY column: the store is keyed and
-    // clustered on doc_id but the predicate is on n_chars — per-file
-    // [min,max] column stats recorded at write time (statsColumns)
-    // prune files at the manifest level before the scan opens them
-    // (SnapshotTable.readWhere), the non-key twin of corpus_range_read
-    "corpus_stats_read" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-stats").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
-        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
-      tbl.create(docs)
-      materializeAndClean(tbl.readWhere("n_chars", Some(200L), Some(400L)), scratch)
-    }),
-    // Z-ORDER compaction: optimize(zorderBy) rewrites the store
-    // range-clustered on the bit-interleaved z-value of (key, n_chars),
-    // so per-file [min,max] turns tight in BOTH dimensions — the layout
-    // for a store queried by key AND a secondary column; the readWhere
-    // after it skips files the original key clustering could not
-    "corpus_zorder_read" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-zorder").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
-        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
-      tbl.create(docs)
-      tbl.optimize(zorderBy = Seq("doc_id", "n_chars"))
-      materializeAndClean(tbl.readWhere("n_chars", Some(200L), Some(400L)), scratch)
-    }),
-    // MANIFEST-SERVED aggregates: COUNT(*) is pure driver arithmetic
-    // over per-file row counts (zero data files opened), and a range
-    // COUNT classifies each file as disjoint (0) / fully contained
-    // (rows − recorded nulls, from the manifest alone) / boundary —
-    // only boundary files are scanned, so a clustered-range count at
-    // 100 TB is arithmetic plus the two edge files
-    "corpus_count_pruned" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-count").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
-        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
-      tbl.create(docs)
-      val total = tbl.countRows()
-      val keyRange = tbl.countWhere("doc_id", Some(100L), Some(300L))
-      val statRange = tbl.countWhere("n_chars", Some(200L), Some(400L))
-      import s.implicits._
-      materializeAndClean(
-        Seq((total, keyRange, statRange))
-          .toDF("total_rows", "key_range_rows", "stat_range_rows"),
-        scratch)
-    }),
-    // PER-FILE KEY BLOOMS (opt-in keyBloomBits): the store holds only
-    // EVEN doc_ids, the request mixes evens and odds — every odd id
-    // falls inside some file's key range, and only the bloom can prove
-    // it absent; the read returns exactly the present half, opening
-    // only the files that truly hold a requested key
-    "corpus_bloom_read" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-bloom").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
-        clusterPartitions = Some(8), keyBloomBits = 16384)
-      tbl.create(docs.filter(col("doc_id") % 2 === 0))
-      materializeAndClean(
-        tbl.readKeys(docs.filter(col("doc_id") % 97 === 5).select("doc_id")),
-        scratch)
-    }),
-    // MANIFEST-PRUNED MIN/MAX: the true extreme can only live in a file
-    // whose encoded per-file min/max ties the global encoded extreme
-    // (the encoding is monotone), so boundsOf scans just those
-    // candidate files — at 100 TB, MIN/MAX opens the two extreme files
-    "corpus_minmax_pruned" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-minmax").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
-        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
-      tbl.create(docs)
-      materializeAndClean(tbl.boundsOf("n_chars"), scratch)
-    }),
-    // Catalyst-integrated scan: the store read through a manifest-backed
-    // FileIndex, so ORDINARY query predicates (here: a key range AND a
-    // secondary-stats range, in plain .filter syntax) prune files via
-    // the planner's own pushdown — no readRange/readWhere call; Spark's
-    // parquet reader, row-group pushdown, and codegen apply unchanged
-    "corpus_scan_pushdown" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-scan").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
-        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
-      tbl.create(docs)
-      materializeAndClean(
-        tbl.scan().filter(col("doc_id") <= 3000L &&
-          col("n_chars") >= 200L && col("n_chars") <= 400L),
-        scratch)
-    }),
-    // the SAME manifest-pruned relation through the BATCH half of the
-    // format provider: spark.read.format("graft-snapshot") — no Scala
-    // handle, the route a SQL-only user takes (load + CREATE TEMP VIEW);
-    // pushed filters still file-skip off the manifest stats
-    "corpus_format_read" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-fmt").toString
-      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
-        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
-        .create(docs)
-      materializeAndClean(
-        s.read.format("graft-snapshot")
-          .option("path", s"$scratch/store").option("key", "doc_id")
-          .load()
-          .filter(col("doc_id") >= 100L && col("doc_id") <= 400L &&
-            col("n_chars") >= 300L),
-        scratch)
-    }),
-    // the PURE-SQL route: CREATE TEMPORARY VIEW ... USING graft-snapshot
-    // in SQL DDL, then a plain SQL SELECT — the reference's natural
-    // audience (reference_query.sql is plain SQL) reaches the
-    // manifest-pruned store with ZERO Scala; the WHERE still file-skips
-    "corpus_sql_view" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-sqlv").toString
-      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
-        clusterPartitions = Some(8), statsColumns = Seq("n_chars"))
-        .create(docs)
-      val vn = "corpus_sql_view_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      s.sql(s"CREATE TEMPORARY VIEW $vn USING `graft-snapshot` " +
-        s"OPTIONS (path '$scratch/store', `key` 'doc_id')")
-      try materializeAndClean(
-        s.sql(s"SELECT doc_id, lang, n_chars FROM $vn WHERE n_chars BETWEEN 250 AND 350"),
-        scratch)
-      finally s.catalog.dropTempView(vn)
-    }),
-    // DELETION-VECTOR snapshots through the pure-SQL route: the store
-    // opts into merge-on-read deletes, a scattered forget records
-    // vectors (zero file rewrites — asserted), and the SQL view serves
-    // the MASKED rows via the PrunedFilteredScan fallback relation —
-    // the one feature x route combination the bare relation used to
-    // refuse (r16 verdict #1); deleted rows must never resurrect here
-    "corpus_sql_view_dv" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-sqldv").toString
-      val tbl = new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
-        clusterPartitions = Some(8), deleteVectorMaxRows = 1000L)
-      tbl.create(docs)
-      tbl.delete(docs.filter(col("doc_id") % 501 === 3).select("doc_id"))
-      require(tbl.lastDeleteRewrites <= 0, // 0 = pure DV; -1 = nothing matched
-        s"DV forget rewrote ${tbl.lastDeleteRewrites} files — merge-on-read path not taken")
-      val vn = "corpus_sql_dv_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      s.sql(s"CREATE TEMPORARY VIEW $vn USING `graft-snapshot` " +
-        s"OPTIONS (path '$scratch/store', `key` 'doc_id')")
-      try materializeAndClean(
-        s.sql(s"SELECT doc_id, lang, n_chars FROM $vn WHERE n_chars >= 100"),
-        scratch)
-      finally s.catalog.dropTempView(vn)
-    }),
-    // pure-SQL DML via the graft CATALOG (DSv2 TableCatalog): INSERT
-    // INTO appends through the table's atomic commit, the read-back is
-    // a catalog SELECT — the reference's append shape with ZERO Scala
-    // after the initial create; the key column resolves from the
-    // manifest's own #key header, no OPTIONS on the query
-    "corpus_sql_insert" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-sqlins").toString
-      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
-        clusterPartitions = Some(8)).create(docs)
-      val vn = "corpus_sql_ins_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      docs.filter(col("doc_id") % 53 === 1)
-        .withColumn("doc_id", col("doc_id") + 10000000L)
-        .createOrReplaceTempView(vn)
-      try {
-        s.sql(s"INSERT INTO graft.`$scratch/store` SELECT * FROM $vn")
-        materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
-      } finally s.catalog.dropTempView(vn)
-    }),
-    // pure-SQL keyed DELETE via the catalog: the translatable predicate
-    // maps onto the table's own file-pruned delete (copy-on-write here);
-    // an inexpressible predicate would fail at analysis, never delete
-    // approximately
-    "corpus_sql_delete" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-sqldel").toString
-      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
-        clusterPartitions = Some(8)).create(docs)
-      s.sql(s"DELETE FROM graft.`$scratch/store` WHERE n_chars < 100 OR lang = 'de'")
-      materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
-    }),
-    // pure-SQL MERGE INTO via the catalog (DSv2 row-level operations,
-    // delta mode): matched rows update, a matched band deletes,
-    // unmatched rows insert — one statement, ONE atomic applyDelta
-    // commit (executors stage the action rows, the driver applies);
-    // the reference's ON CONFLICT semantics in standard SQL
-    "corpus_sql_merge" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-sqlmrg").toString
-      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
-        clusterPartitions = Some(8)).create(docs)
-      val vn = "corpus_sql_mrg_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      docs.filter(col("doc_id") % 31 === 0).withColumn("text", lit("[redacted-v2]"))
-        .unionByName(docs.filter(col("doc_id") % 53 === 1)
-          .withColumn("doc_id", col("doc_id") + 10000000L))
-        .createOrReplaceTempView(vn)
-      try {
-        s.sql(s"""MERGE INTO graft.`$scratch/store` t USING $vn s ON t.doc_id = s.doc_id
-                 |WHEN MATCHED AND s.n_chars < 100 THEN DELETE
-                 |WHEN MATCHED THEN UPDATE SET *
-                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-        materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
-      } finally s.catalog.dropTempView(vn)
-    }),
-    // MERGE with WHEN NOT MATCHED BY SOURCE — the clause that makes the
-    // TARGET scan the action source (Spark 4 rewrites it through the
-    // same SupportsDelta path): matched rows update, unmatched source
-    // rows insert, and target rows the source never mentions delete or
-    // update by their own predicate — still ONE atomic applyDelta
-    "corpus_sql_merge_nmbs" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-sqlnmbs").toString
-      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
-        clusterPartitions = Some(8)).create(docs)
-      val vn = "corpus_sql_nmbs_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      docs.filter(col("doc_id") % 3 === 0).withColumn("text", lit("[redacted-r3]"))
-        .unionByName(docs.filter(col("doc_id") % 53 === 1)
-          .withColumn("doc_id", col("doc_id") + 10000000L))
-        .createOrReplaceTempView(vn)
-      try {
-        s.sql(s"""MERGE INTO graft.`$scratch/store` t USING $vn s ON t.doc_id = s.doc_id
-                 |WHEN MATCHED THEN UPDATE SET *
-                 |WHEN NOT MATCHED THEN INSERT *
-                 |WHEN NOT MATCHED BY SOURCE AND t.n_chars < 100 THEN DELETE
-                 |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET lang = 'xx'""".stripMargin)
-        materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
-      } finally s.catalog.dropTempView(vn)
-    }),
-    // CREATE OR REPLACE ... AS SELECT through the staging catalog
-    // (r19): the replace lands as the table's OVERWRITE commit — one
-    // atomic schema+data swap, prior versions still time-travelable —
-    // not a drop+recreate; the SELECT reads the replaced generation
-    "corpus_sql_replace" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-sqlrepl").toString
-      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
-        clusterPartitions = Some(8)).create(docs)
-      val vn = "corpus_sql_repl_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      docs.createOrReplaceTempView(vn)
-      try {
-        s.sql(s"""CREATE OR REPLACE TABLE graft.`$scratch/store`
-                 |OPTIONS ('key' 'doc_id')
-                 |AS SELECT doc_id, n_chars * 2 AS n2, lang FROM $vn
-                 |WHERE doc_id % 7 = 0""".stripMargin)
-        materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
-      } finally s.catalog.dropTempView(vn)
-    }),
-    // SHOW TABLES over a warehouse-configured catalog (r19): the
-    // namespace maps to a directory, children are tables iff their
-    // newest manifest records a key — enumerated here from per-region
-    // tables created via SQL DDL
-    "catalog_show_tables" -> ((s, dir) => {
-      val scratch = java.nio.file.Files.createTempDirectory("graft-shtbl").toString
-      val cat = "graftwh_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      s.conf.set(s"spark.sql.catalog.$cat", "graft.incremental.GraftCatalog")
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", scratch)
-      // 5 region names, bounded by construction (TPC-H region is 5 rows)
-      Tables.region(s, dir).select(lower(regexp_replace(col("r_name"), " ", "_")))
-        .collect().map(_.getString(0)).sorted
-        .foreach(n => s.sql(
-          s"CREATE TABLE $cat.$n (r_regionkey BIGINT) OPTIONS ('key' 'r_regionkey')"))
-      materializeAndClean(s.sql(s"SHOW TABLES IN $cat"), scratch)
-    }),
-    // pure-SQL ADD COLUMN DDL: a manifest-only schema commit (zero data
-    // files rewritten at any table size) — rows committed before the
-    // add read the column as null, the INSERT after it carries values;
-    // both generations serve through one SELECT
-    "corpus_sql_add_column" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-sqladd").toString
-      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
-        clusterPartitions = Some(8)).create(docs)
-      val vn = "corpus_sql_add_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      docs.filter(col("doc_id") % 53 === 1)
-        .withColumn("doc_id", col("doc_id") + 10000000L)
-        .withColumn("quality", col("n_chars").cast("double") / 100.0)
-        .createOrReplaceTempView(vn)
-      try {
-        s.sql(s"ALTER TABLE graft.`$scratch/store` ADD COLUMNS (quality DOUBLE)")
-        s.sql(s"INSERT INTO graft.`$scratch/store` SELECT * FROM $vn")
-        materializeAndClean(s.sql(s"SELECT * FROM graft.`$scratch/store`"), scratch)
-      } finally s.catalog.dropTempView(vn)
-    }),
-    // MANIFEST-SERVED SQL AGGREGATES: an unfiltered COUNT/MIN/MAX over
-    // the catalog table is answered from per-file manifest stats as a
-    // LocalTableScan — zero tasks, zero file reads (asserted on the
-    // plan in-query); at 100 TB a COUNT(*) is driver arithmetic
-    "corpus_sql_agg_pushdown" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-sqlagg").toString
-      new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
-        clusterPartitions = Some(8), statsColumns = Seq("n_chars")).create(docs)
-      val df = s.sql(
-        s"""SELECT count(*) AS total_rows,
-           |  min(doc_id) AS doc_id_min, max(doc_id) AS doc_id_max,
-           |  min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max,
-           |  count(n_chars) AS n_chars_cnt
-           |FROM graft.`$scratch/store`""".stripMargin)
-      require(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
-        "manifest-served aggregates must plan a LocalTableScan (zero file reads)")
-      materializeAndClean(df, scratch)
-    }),
-    // pure-SQL TIME TRAVEL via the catalog: VERSION AS OF pins the
-    // pre-merge snapshot while the unpinned read serves the head — one
-    // result carrying BOTH proves the pinned route neither leaks new
-    // rows backward nor serves stale rows forward
-    "corpus_sql_time_travel" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-sqltt").toString
-      val tbl = new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
-        clusterPartitions = Some(8))
-      val v0 = tbl.create(docs)
-      tbl.merge(docs.filter(col("doc_id") % 31 === 0)
-        .withColumn("text", lit("[redacted-v2]")))
-      materializeAndClean(
-        s.sql(s"SELECT 'v0' AS snap, * FROM graft.`$scratch/store` VERSION AS OF $v0 " +
-          s"UNION ALL SELECT 'head' AS snap, * FROM graft.`$scratch/store`"),
-        scratch)
-    }),
-    // the BATCH WRITE half of the same format: create via a plain
-    // DataFrameWriter, then a keyed MERGE through mode(append) +
-    // option(write=merge) — the reference's ON CONFLICT semantics with
-    // zero Scala-handle code; read back through the batch read half
-    "corpus_format_write" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-fmtw").toString
-      def w(df: org.apache.spark.sql.DataFrame) = df.write.format("graft-snapshot")
-        .option("path", s"$scratch/store").option("key", "doc_id")
-      w(docs).option("clusterPartitions", "8").save()
-      w(docs.filter(col("doc_id") % 31 === 0).withColumn("text", lit("[redacted-v2]")))
-        .mode("append").option("write", "merge").save()
-      materializeAndClean(
-        s.read.format("graft-snapshot")
-          .option("path", s"$scratch/store").option("key", "doc_id").load(),
-        scratch)
-    }),
-    // CDC-grain change feed: the same interval folded to ONE row per
-    // changed key with _change_type insert|update|delete — updates as
-    // their post-image, deletes as their pre-image (the pair-matching
-    // every feed consumer otherwise re-derives, done once in the store)
-    "corpus_changes_keyed" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-cdc").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
-        clusterPartitions = Some(8))
-      val v0 = tbl.create(docs)
-      val upserts = docs.filter(col("doc_id") % 31 === 0)
-        .withColumn("text", lit("[redacted-v2]"))
-        .unionByName(docs.filter(col("doc_id") % 53 === 1)
-          .withColumn("doc_id", col("doc_id") + 10000000L))
-      val v1 = tbl.applyDelta(upserts, docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
-      materializeAndClean(tbl.changesKeyed(v0, v1), scratch)
-    }),
-    // the SAME CDC interval consumed as a STRUCTURED STREAMING SOURCE:
-    // offsets are table versions, the micro-batch is changesKeyed over
-    // (v0, v1] stamped with the commit version — a downstream consumer
-    // readStreams the store instead of polling snapshots, and the
-    // rewrite-op-aware feed keeps compaction mass out of the stream
-    "corpus_changes_stream" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-cdcstream").toString
-      val tbl = new graft.incremental.SnapshotTable(s, s"$scratch/store", "doc_id",
-        clusterPartitions = Some(8))
-      tbl.create(docs) // v0 — the stream tails changes committed after it
-      val qn = "feed_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      // startingVersion pins the stream base to v0 EXPLICITLY: the
-      // default captures the current version when the source initializes
-      // on the stream thread, which races the applyDelta below — a slow
-      // init would capture v1 and silently drop the interval
-      val q = s.readStream
-        .format("org.apache.spark.sql.graft.SnapshotChangeFeedProvider")
-        .option("path", s"$scratch/store").option("key", "doc_id")
-        .option("startingVersion", "0")
-        .load()
-        .writeStream.format("memory").queryName(qn).outputMode("append").start()
-      try {
-        val upserts = docs.filter(col("doc_id") % 31 === 0)
-          .withColumn("text", lit("[redacted-v2]"))
-          .unionByName(docs.filter(col("doc_id") % 53 === 1)
-            .withColumn("doc_id", col("doc_id") + 10000000L))
-        tbl.applyDelta(upserts, docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
-        q.processAllAvailable()
-      } finally q.stop()
-      val out = materializeAndClean(s.table(qn), scratch)
-      s.catalog.dropTempView(qn)
-      out
-    }),
-    // the FULL streaming replication loop, two calls of user code: the
-    // store read as a CDC stream (SnapshotTableProvider source) written
-    // straight into a second store (cdc-mode sink, each batch ONE
-    // atomic applyDelta tagged with the batch id) — the mirror's
-    // post-state must equal the batch applyDelta semantics exactly
-    "corpus_stream_mirror" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-smirror").toString
-      val src = new graft.incremental.SnapshotTable(s, s"$scratch/src", "doc_id",
-        clusterPartitions = Some(8))
-      src.create(docs.limit(0)) // v0: empty — the stream replays ALL content
-      // explicit base: the default racing the merges below could
-      // capture a later version and drop their interval (see
-      // corpus_changes_stream)
-      val q = s.readStream
-        .format("org.apache.spark.sql.graft.SnapshotTableProvider")
-        .option("path", s"$scratch/src").option("key", "doc_id")
-        .option("startingVersion", "0")
-        .load()
-        .writeStream
-        .format("org.apache.spark.sql.graft.SnapshotTableProvider")
-        .option("path", s"$scratch/mirror").option("key", "doc_id")
-        .option("mode", "cdc")
-        .option("checkpointLocation", s"$scratch/ckpt")
-        .start()
-      try {
-        src.merge(docs) // v1: the corpus lands
-        val upserts = docs.filter(col("doc_id") % 31 === 0)
-          .withColumn("text", lit("[redacted-v2]"))
-          .unionByName(docs.filter(col("doc_id") % 53 === 1)
-            .withColumn("doc_id", col("doc_id") + 10000000L))
-        src.applyDelta(upserts, docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
-        q.processAllAvailable()
-      } finally q.stop()
-      val mirror = new graft.incremental.SnapshotTable(s, s"$scratch/mirror", "doc_id")
-      materializeAndClean(mirror.read(), scratch)
-    }),
-    // retroactive stats adoption: the table is created UNTRACKED (no
-    // n_chars stats anywhere), then collectStats backfills per-file
-    // [min,max] in ONE scan and a rewrite-free `stats` commit — the
-    // same readWhere then prunes, and the result is identical to the
-    // tracked-at-write path (corpus_stats_read): at 100 TB, enabling
-    // skipping costs a stats scan, never a rewrite
-    "corpus_stats_backfill" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-statsbf").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
-        clusterPartitions = Some(8))
-      tbl.create(docs)
-      tbl.collectStats(Seq("n_chars"))
-      materializeAndClean(tbl.readWhere("n_chars", Some(200L), Some(400L)), scratch)
-    }),
-    // row-level change feed between two store versions: updates surface
-    // as removed/added pairs, inserts as added — manifest-diff pruned
-    // (files carried by path between the versions are never read), and
-    // survivor rows the copy-on-write rewrote into new files cancel in
-    // the row-level exceptAll (a moved-but-identical row is no change)
-    "corpus_changes" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-changes").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
-        clusterPartitions = Some(8))
-      val v0 = tbl.create(docs)
-      val batch = docs.filter(col("doc_id") % 31 === 0)
-        .withColumn("text", lit("[redacted-v2]"))
-        .unionByName(docs.filter(col("doc_id") % 53 === 1)
-          .withColumn("doc_id", col("doc_id") + 10000000L))
-      val v1 = tbl.merge(batch)
-      materializeAndClean(tbl.changesBetween(v0, v1), scratch)
-    }),
-    // combined upsert+delete in ONE atomic commit (the change-feed
-    // application primitive): updates + inserts land while a delete set
-    // leaves, in a single file-pruned copy-on-write pass — a key in
-    // both halves lands as its upsert (upsert wins)
-    "corpus_apply_delta" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-delta").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
-        clusterPartitions = Some(8))
-      tbl.create(docs)
-      val upserts = docs.filter(col("doc_id") % 31 === 0)
-        .withColumn("text", lit("[redacted-v2]"))
-        .unionByName(docs.filter(col("doc_id") % 53 === 1)
-          .withColumn("doc_id", col("doc_id") + 10000000L))
-      tbl.applyDelta(upserts, docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
-      materializeAndClean(tbl.read(), scratch)
-    }),
-    // right-to-be-forgotten over the corpus store: keyed DELETE through
-    // the ACID table (file-pruned copy-on-write) — the removed doc set
-    // is gone from the new snapshot atomically
-    "corpus_forget" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-forget").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id")
-      tbl.create(docs)
-      tbl.delete(docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
-      materializeAndClean(tbl.read(), scratch)
-    }),
-    // the MERGE-ON-READ forget: a scattered doomed-key set lands as
-    // per-file DELETION VECTORS (doomed-key sidecars applied as an
-    // anti-join at read) — ZERO data files rewritten, then optimize()
-    // materializes the debt away; result must equal the copy-on-write
-    // forget bit for bit
-    "corpus_forget_dv" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-forgetdv").toString
-      val tbl = new graft.incremental.SnapshotTable(s, scratch, "doc_id",
-        clusterPartitions = Some(8), deleteVectorMaxRows = 1000L)
-      tbl.create(docs)
-      // a scattered sparse forget: every 501st id across the key domain
-      tbl.delete(docs.filter(col("doc_id") % 501 === 3).select("doc_id"))
-      require(tbl.lastDeleteRewrites <= 0, // 0 = pure DV; -1 = nothing matched (tiny sf)
-        s"DV forget rewrote ${tbl.lastDeleteRewrites} files — merge-on-read path not taken")
-      tbl.optimize(smallBytes = 1L) // materialize the vectors away
-      materializeAndClean(tbl.read(), scratch)
-    }),
-    // -- text analysis / dedup over `documents` (extended surface)
-    "doc_stats" -> ((s, dir) => TextOps.docStats(Tables.documents(s, dir))),
-    "doc_quality" -> ((s, dir) => TextOps.docQuality(Tables.documents(s, dir))),
-    "doc_langid" -> ((s, dir) => TextOps.docLangId(Tables.documents(s, dir))),
-    // langid accuracy readout: predicted vs labeled language
-    "langid_confusion" -> ((s, dir) =>
-      TextOps.langIdConfusion(Tables.documents(s, dir))),
-    // tokenizer-budget readout: token mass covered by a top-k vocab
-    "vocab_coverage" -> ((s, dir) =>
-      TextOps.vocabCoverage(Tables.documents(s, dir))),
-    "doc_repetition" -> ((s, dir) => TextOps.docRepetition(Tables.documents(s, dir))),
-    "doc_fingerprint" -> ((s, dir) => TextOps.docFingerprint(Tables.documents(s, dir))),
-    "dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.documents(s, dir))),
-    // ingest-time exact-dup probe: delta (doc_id % 10 = 0, plus PLANTED
-    // re-keyed copies of existing docs — the synthetic corpus has no
-    // natural cross-split exact dups at verify scale, and a probe whose
-    // expected answer is empty cannot catch a row-dropping bug) vs the
-    // corpus fingerprint index
-    "dedup_exact_delta" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val existing = docs.filter(col("doc_id") % 10 =!= 0)
-      val planted = existing.filter(col("doc_id") % 97 === 3)
-        .withColumn("doc_id", col("doc_id") + 9000000L)
-      TextOps.dedupExactIncremental(
-        existing, docs.filter(col("doc_id") % 10 === 0).unionByName(planted))
-    }),
-    // the same probe behind a literal-bitset bloom pre-filter (row-local
-    // at the delta scan; no false negatives, FPs die in the verify join
-    // -> bit-identical result, shared oracle). The bitset build is
-    // cost-gated on corpus row count: below the threshold it falls
-    // through to the plain probe (bench showed the unconditional build
-    // pays 5x fixed overhead at sf scales)
-    "dedup_exact_delta_bloom" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val existing = docs.filter(col("doc_id") % 10 =!= 0)
-      val planted = existing.filter(col("doc_id") % 97 === 3)
-        .withColumn("doc_id", col("doc_id") + 9000000L)
-      TextOps.dedupExactIncrementalBloom(
-        existing, docs.filter(col("doc_id") % 10 === 0).unionByName(planted))
-    }),
-    "neardup_jaccard" -> ((s, dir) => TextOps.nearDupJaccard(Tables.documents(s, dir))),
-    "doc_novelty" -> ((s, dir) => TextOps.docNovelty(Tables.documents(s, dir))),
-    "neardup_keep" -> ((s, dir) => TextOps.nearDupKeep(Tables.documents(s, dir))),
-    "neardup_keep_best" -> ((s, dir) => TextOps.nearDupKeepBest(Tables.documents(s, dir))),
-    "neardup_cross" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextOps.nearDupCross(
-        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
-    }),
-    "neardup_clusters" -> ((s, dir) => TextOps.nearDupClusters(Tables.documents(s, dir))),
-    "neardup_pagerank" -> ((s, dir) => TextOps.nearDupPageRank(Tables.documents(s, dir))),
-    "neardup_graph_stats" -> ((s, dir) => TextOps.nearDupGraphStats(Tables.documents(s, dir))),
-    "vocab_collocations" -> ((s, dir) => TextOps.vocabCollocations(Tables.documents(s, dir))),
-    "part_fuzzy_matches" -> ((s, dir) => graft.ops.FuzzyJoin.partNameMatches(s, dir)),
-    "doc_sample" -> ((s, dir) => TextOps.sampleStratified(Tables.documents(s, dir))),
-    "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
-    "doc_sample_k" -> ((s, dir) => TextOps.samplePerGroup(Tables.documents(s, dir))),
-    "corpus_keep" -> ((s, dir) => TextOps.corpusCuration(Tables.documents(s, dir))),
-    "corpus_keep_semantic" -> ((s, dir) => TextOps.corpusCurationSemantic(
-      Tables.documents(s, dir), Tables.embeddings(s, dir))),
-    "doc_embed_hash" -> ((s, dir) => TextOps.docEmbedHash(Tables.documents(s, dir))),
-    "corpus_mixture" -> ((s, dir) => TextOps.corpusMixture(Tables.documents(s, dir))),
-    "doc_sample_weighted" -> ((s, dir) => TextOps.sampleWeighted(Tables.documents(s, dir))),
-    "doc_splits" -> ((s, dir) => TextOps.splitAssign(Tables.documents(s, dir))),
-    "doc_search_bm25" -> ((s, dir) => TextOps.searchBm25(Tables.documents(s, dir))),
-    "doc_search_hybrid" -> ((s, dir) =>
-      TextOps.searchHybrid(Tables.documents(s, dir), Tables.embeddings(s, dir))),
-    "retrieval_eval_hashed" -> ((s, dir) => {
-      val ranked = TextOps.searchHashedTopK(Tables.documents(s, dir))
-        .select(col("query_id"), col("doc_id"), col("rank"))
-      val truth = VectorOps.annBruteForce(Tables.embeddings(s, dir))
-        .select(col("query_id"), col("neighbor_id").as("doc_id"))
-      RetrievalEval.metrics(ranked, truth)
-    }),
-    "doc_quality_logreg" -> ((s, dir) => TextOps.docQualityLogreg(Tables.documents(s, dir))),
-    "split_drift_psi" -> ((s, dir) => TextOps.splitDriftPsi(Tables.documents(s, dir))),
-    // split hygiene: near-dup pairs crossing train/val/test boundaries
-    "split_leakage" -> ((s, dir) => TextOps.splitLeakage(Tables.documents(s, dir))),
-    // the fix: cluster-grain split keys — leakage structurally zero
-    "doc_splits_clustered" -> ((s, dir) =>
-      TextOps.splitAssignClusterAware(Tables.documents(s, dir))),
-    "doc_cross_entropy" -> ((s, dir) => TextOps.docCrossEntropy(Tables.documents(s, dir))),
-    "doc_bigram_entropy" -> ((s, dir) => TextOps.docPerplexityBigram(Tables.documents(s, dir))),
-    "doc_trigram_entropy" -> ((s, dir) => TextOps.docPerplexityTrigram(Tables.documents(s, dir))),
-    "dup_passages" -> ((s, dir) => TextOps.dupPassages(Tables.documents(s, dir))),
-    "doc_chunks" -> ((s, dir) => TextOps.docChunks(Tables.documents(s, dir))),
-    "doc_chunks_gen" -> ((s, dir) => TextOps.docChunksGen(Tables.documents(s, dir))),
-    "corpus_diff" -> ((s, dir) => {
-      // two simulated corpus versions derived deterministically from one
-      // table: doc_id≡3 (mod 10) exists only in v2 ("added"), ≡7 only in
-      // v1 ("removed"), ≡5 is edited in v2 ("changed")
-      val d = Tables.documents(s, dir)
-      val v1 = d.filter(col("doc_id") % 10 =!= 3)
-      val v2 = d.filter(col("doc_id") % 10 =!= 7)
-        .withColumn("text", when(col("doc_id") % 10 === 5,
-          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
-      TextOps.corpusDiff(v1, v2)
-    }),
-    "doc_pii" -> ((s, dir) => TextOps.docPii(Tables.documents(s, dir))),
-    "vocab_bpe_pairs" -> ((s, dir) => TextOps.vocabBpePairs(Tables.documents(s, dir))),
-    "vocab_bpe" -> ((s, dir) => TextOps.vocabBpeDf(Tables.documents(s, dir))),
-    // encode half of the tokenizer: train 10 merges, apply them — the
-    // greedy fold has no faithful SQL form, so rows-only (spec-pinned)
-    "doc_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(Tables.documents(s, dir))),
-    "vocab_topk" -> ((s, dir) => TextOps.vocabTopK(Tables.documents(s, dir))),
-    "doc_top_terms" -> ((s, dir) => TextOps.docTopTerms(Tables.documents(s, dir))),
-    "doc_winnow" -> ((s, dir) => TextOps.docWinnow(Tables.documents(s, dir))),
-    "neardup_winnow" -> ((s, dir) => TextOps.nearDupWinnow(Tables.documents(s, dir))),
-    // winnow probe at ingest: delta fps vs the corpus's capped postings
-    "neardup_winnow_delta" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextOps.nearDupWinnowIncremental(
-        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
-    }),
-    // incremental dedup: docs with doc_id % 10 = 0 play the "new batch".
-    // This INLINE arm re-shingles the corpus per batch (the single-shot
-    // / oracle-parity shape); the indexed arm below is the 100-TB path
-    "neardup_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextOps.nearDupJaccardIncremental(
-        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
-    }),
-    // the PERSISTED-INDEX twin: the corpus side comes from the ingest
-    // state's inverted shingle postings (shp/), so per-batch work is
-    // delta-proportional and corpus-size-flat — bit-identical pairs
-    // (shared oracle with neardup_incremental)
-    "neardup_jaccard_delta_indexed" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-ndji").toString
-      val idx = new graft.incremental.IngestIndex(s, s"$scratch/state",
-        withShingles = true)
-      idx.build(docs.filter(col("doc_id") % 10 =!= 0))
-      materializeAndClean(
-        idx.jaccardDeltaProbe(docs.filter(col("doc_id") % 10 === 0)), scratch)
-    }),
-    // decontamination: docs with doc_id % 10 = 0 play the benchmark/eval set
-    "decontaminate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextOps.decontaminate(
-        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
-    }),
-    // signature-based near-dup (hash families not portable to DuckDB —
-    // rows-only check here; recall vs exact jaccard asserted in DedupSpec)
-    "neardup_minhash" -> ((s, dir) => TextOps.nearDupMinhash(Tables.documents(s, dir))),
-    "neardup_simhash" -> ((s, dir) => TextOps.nearDupSimhash(Tables.documents(s, dir))),
-    // -- event-stream operators over `events`
-    "events_hourly" -> ((s, dir) => EventOps.hourlyRollup(Tables.events(s, dir))),
-    "events_sliding" -> ((s, dir) => EventOps.slidingRollup(Tables.events(s, dir))),
-    "events_outliers" -> ((s, dir) => EventOps.valueOutliers(Tables.events(s, dir))),
-    "events_rolling" -> ((s, dir) => EventOps.rollingDaily(Tables.events(s, dir))),
-    "events_retention" -> ((s, dir) => EventOps.retention(Tables.events(s, dir))),
-    "events_sessions" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
-    "events_json" -> ((s, dir) => EventOps.jsonPropStats(Tables.events(s, dir))),
-    "events_json_variant" -> ((s, dir) => EventOps.jsonPropStatsVariant(Tables.events(s, dir))),
-    "events_topk" -> ((s, dir) => EventOps.topKPerType(Tables.events(s, dir))),
-    "events_topk_agg" -> ((s, dir) => EventOps.topKPerTypeAgg(Tables.events(s, dir))),
-    "events_rollup" -> ((s, dir) => EventOps.multiRollup(Tables.events(s, dir))),
-    "events_distinct_users" -> ((s, dir) => EventOps.distinctUsers(Tables.events(s, dir))),
-    // sketch cardinality: HLL++ internals aren't portable, so the
-    // ORACLED surface is the error-envelope form — exact cardinality +
-    // a violation count DuckDB asserts is zero (the sketch still runs
-    // in-plan; EventOpsSpec additionally bounds the raw estimate)
-    "events_approx_distinct" -> ((s, dir) =>
-      EventOps.approxDistinctUsersChecked(Tables.events(s, dir))),
-    // DataSketches HLL: same envelope treatment, plus merge_mismatches
-    // asserting union-of-daily ≡ one direct sketch (register-wise max
-    // is order-free, so a mismatch means the mergeable contract broke)
-    "events_distinct_sketch" -> ((s, dir) =>
-      EventOps.distinctUsersSketchMergeChecked(Tables.events(s, dir))),
-    "events_percentiles" -> ((s, dir) => EventOps.valuePercentiles(Tables.events(s, dir))),
-    // sketch path: GK summary internals aren't portable, so the oracled
-    // surface is the envelope form — exact percentiles + violations of
-    // the p±0.01 bracket, zero-asserted by DuckDB
-    "events_percentiles_approx" -> ((s, dir) =>
-      EventOps.valuePercentilesApproxChecked(Tables.events(s, dir))),
-    "events_cube" -> ((s, dir) => EventOps.cubeByTypeDay(Tables.events(s, dir))),
-    "events_histogram" -> ((s, dir) => EventOps.valueHistogram(Tables.events(s, dir))),
-    "events_corr" -> ((s, dir) => EventOps.valueHourCorr(Tables.events(s, dir))),
-    "events_mad" -> ((s, dir) => EventOps.valueMad(Tables.events(s, dir))),
-    "events_transitions" -> ((s, dir) => EventOps.typeTransitions(Tables.events(s, dir))),
-    // Misra-Gries counter values are merge-order-dependent, so the
-    // oracled surface is the guarantee form: exact heavy-user counts +
-    // missed_survivors/bound_violations, both deterministically zero
-    // under the PODS'12 merge rule and zero-asserted by DuckDB
-    // (HeavyHittersSpec still pins the guarantees on adversarial splits)
-    "events_heavy_hitters" -> ((s, dir) => EventOps.heavyUsersChecked(Tables.events(s, dir))),
-    "doc_normalize" -> ((s, dir) => TextOps.docNormalize(Tables.documents(s, dir))),
-    "customer_order_span" -> ((s, dir) => Analytics.customerOrderSpan(s, dir)),
-    "market_share" -> ((s, dir) => Analytics.marketShare(s, dir)),
-    "repeat_customers" -> ((s, dir) => Analytics.repeatCustomers(s, dir)),
-    "churned_customers" -> ((s, dir) => Analytics.churnedCustomers(s, dir)),
-    "nation_revenue_share" -> ((s, dir) => Analytics.nationRevenueShare(s, dir)),
-    "events_ranks" -> ((s, dir) => EventOps.valueRanks(Tables.events(s, dir))),
-    "events_extremes" -> ((s, dir) => EventOps.extremesByType(Tables.events(s, dir))),
-    "events_pivot" -> ((s, dir) => EventOps.pivotByType(Tables.events(s, dir))),
-    "events_unpivot" -> ((s, dir) => EventOps.unpivotDaily(Tables.events(s, dir))),
-    "events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
-    "events_drift_psi" -> ((s, dir) => EventOps.weeklyDriftPsi(Tables.events(s, dir))),
-    "events_asof_phys_near" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-      graft.ops.AsOfJoin.asOfExec(
-        e.filter(col("event_type") === "purchase")
-          .select("event_id", "ts", "user_id", "value"),
-        e.filter(col("event_type") === "view")
-          .select("event_id", "ts", "user_id"),
-        key = "user_id", leftTs = "ts", rightTs = "ts",
-        rightCols = Seq("event_id", "ts"), direction = "nearest")
-        .select("user_id", "event_id", "ts", "value", "asof_event_id", "asof_ts")
-    }),
-    "events_asof_nearest" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-      graft.ops.AsOfJoin.asOfNearest(
-        e.filter(col("event_type") === "purchase")
-          .select("event_id", "ts", "user_id", "value"),
-        e.filter(col("event_type") === "view")
-          .select("event_id", "ts", "user_id"),
-        key = "user_id", leftTs = "ts", rightTs = "ts",
-        rightCols = Seq("event_id", "ts"))
-    }),
-    "events_asof" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-      graft.ops.AsOfJoin.asOf(
-        e.filter(col("event_type") === "purchase")
-          .select("event_id", "ts", "user_id", "value"),
-        e.filter(col("event_type") === "view")
-          .select("event_id", "ts", "user_id"),
-        key = "user_id", leftTs = "ts", rightTs = "ts",
-        rightCols = Seq("event_id", "ts"))
-    }),
-    "events_asof_fwd" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-      graft.ops.AsOfJoin.asOf(
-        e.filter(col("event_type") === "purchase")
-          .select("event_id", "ts", "user_id", "value"),
-        e.filter(col("event_type") === "view")
-          .select("event_id", "ts", "user_id"),
-        key = "user_id", leftTs = "ts", rightTs = "ts",
-        rightCols = Seq("event_id", "ts"), direction = "forward")
-    }),
-    "events_asof_phys" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-      graft.ops.AsOfJoin.asOfExec(
-        e.filter(col("event_type") === "purchase")
-          .select("event_id", "ts", "user_id", "value"),
-        e.filter(col("event_type") === "view")
-          .select("event_id", "ts", "user_id"),
-        key = "user_id", leftTs = "ts", rightTs = "ts",
-        rightCols = Seq("event_id", "ts"))
-    }),
-    "events_asof_phys_fwd" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-      graft.ops.AsOfJoin.asOfExec(
-        e.filter(col("event_type") === "purchase")
-          .select("event_id", "ts", "user_id", "value"),
-        e.filter(col("event_type") === "view")
-          .select("event_id", "ts", "user_id"),
-        key = "user_id", leftTs = "ts", rightTs = "ts",
-        rightCols = Seq("event_id", "ts"), direction = "forward")
-    }),
-    "events_journey" -> ((s, dir) => EventOps.userJourney(Tables.events(s, dir))),
-    "events_in_windows" -> ((s, dir) => EventOps.eventsInActiveWindows(Tables.events(s, dir))),
-    "events_in_windows_sql" -> ((s, dir) => EventOps.eventsInActiveWindowsSql(Tables.events(s, dir))),
-    // -- similarity search over `embeddings`
-    "ann_topk" -> ((s, dir) => VectorOps.annBruteForce(Tables.embeddings(s, dir))),
-    "embedding_neardup" -> ((s, dir) => VectorOps.nearDupEmbedding(Tables.embeddings(s, dir))),
-    "embedding_centroids" -> ((s, dir) => VectorOps.labelCentroids(Tables.embeddings(s, dir))),
-    "embedding_clusters" -> ((s, dir) => VectorOps.kmeans(Tables.embeddings(s, dir))),
-    "embedding_drift_psi" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      VectorOps.embeddingDriftPsi(
-        emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0))
-    }),
-    "cluster_profiles" -> ((s, dir) => VectorOps.clusterProfiles(Tables.embeddings(s, dir))),
-    "semantic_dedup_keep" -> ((s, dir) => VectorOps.semanticDedup(Tables.embeddings(s, dir))),
-    // incremental dedup on the vector side: vec_id % 10 = 0 is the batch
-    "embedding_neardup_delta" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      VectorOps.nearDupEmbeddingIncremental(
-        e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0))
-    }),
-    // LSH-blocked all-pairs variant — fully oracled since r9 (plane
-    // literals + count-derived width replay in DuckDB); VectorOpsSpec
-    // additionally pins recall vs the exact pairs
-    "embedding_neardup_lsh" -> ((s, dir) => VectorOps.nearDupEmbeddingLsh(Tables.embeddings(s, dir))),
-    // LSH-blocked incremental arm — the default at scale; the exact
-    // delta pass above is its cross-check. Fully oracled since r9.
-    "embedding_neardup_delta_lsh" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      VectorOps.nearDupEmbeddingIncrementalLsh(
-        e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0))
-    }),
-    // LSH path — fully oracled since r9 (banding replays in DuckDB);
-    // VectorOpsSpec asserts recall vs the brute-force truth
-    "ann_lsh" -> ((s, dir) => VectorOps.annLsh(Tables.embeddings(s, dir))),
-    // IVF path: data-adaptive coarse quantizer on the kmeans-discipline
-    // Lloyd trajectory — fully oracled since r9; VectorOpsSpec asserts
-    // exact agreement with brute force at full probe
-    "ann_ivf" -> ((s, dir) => VectorOps.annIvf(Tables.embeddings(s, dir))),
-    // the PERSISTED-INDEX arm (r19): quantizer trained once on the base
-    // corpus (vec_id % 10 != 0), the delta batch ABSORBED under the
-    // frozen centroids (assign + append, no retrain), probes answered
-    // from the cid-keyed cell store (file-pruned to the probed cells).
-    // Build is the same deterministic Lloyd trajectory, so the whole
-    // artifact replays in DuckDB — fully hash-oracled
-    "ann_ivf_indexed" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-vidx").toString
-      val idx = new graft.incremental.VectorIndex(s, s"$scratch/state")
-      idx.build(e.filter(col("vec_id") % 10 =!= 0))
-      idx.absorb(e.filter(col("vec_id") % 10 === 0), tag = "delta-1")
-      materializeAndClean(idx.probe(e.filter(col("vec_id") < 10)), scratch)
-    }),
-    // persisted-postings twin of embedding_neardup_delta_lsh: geometry
-    // frozen at build from the BASE count, the batch bands itself and
-    // meets the stored postings in one packed-key equi-join — per-batch
-    // work corpus-size-flat. Fully hash-oracled (the oracle replays the
-    // base-count sizing)
-    "embedding_neardup_delta_indexed" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val scratch = java.nio.file.Files.createTempDirectory("graft-vidxl").toString
-      val idx = new graft.incremental.VectorIndex(s, s"$scratch/state",
-        withLsh = true)
-      idx.build(e.filter(col("vec_id") % 10 =!= 0))
-      materializeAndClean(
-        idx.probeNearDup(e.filter(col("vec_id") % 10 === 0)), scratch)
-    }),
-    // PQ path: asymmetric-distance over trained codebooks — rows-only;
-    // VectorOpsSpec pins rerank=∞ ≡ brute force and recall at the budget
-    "ann_pq" -> ((s, dir) => VectorOps.annPq(Tables.embeddings(s, dir))),
-    // SQ path: int8 scalar quantization — the ONE approximate arm whose
-    // whole pipeline is IEEE-deterministic, so it hash-matches an oracle
-    "ann_sq" -> ((s, dir) => VectorOps.annSq(Tables.embeddings(s, dir))),
-    // hard-negative mining off LSH candidates — rows-only (bucket recall
-    // probabilistic); VectorOpsSpec pins vs the exact unblocked twin.
-    // Thresholds follow THIS corpus's similarity scale: its planted
-    // near-dups sit at cos ≈ 0.45–0.51 (the embedding_neardup
-    // threshold), so positives = ≥ 0.45 and the hard-negative band
-    // sits just below at [0.2, 0.4)
-    "contrastive_triplets" -> ((s, dir) =>
-      VectorOps.contrastiveTriplets(Tables.embeddings(s, dir),
-        minPos = 0.45, negLo = 0.2, negHi = 0.4)),
-    // intra-corpus duplicated-passage spans (Lee et al. 2021 shape):
-    // exact 40-char windows at stride 10, cross-doc dups, merged spans
-    "doc_dup_spans" -> ((s, dir) =>
-      TextOps.docDupSpans(Tables.documents(s, dir))),
-    // the rewrite half: excise non-canonical duplicate spans, stitch the
-    // kept segments, account + fingerprint the cleaned text
-    "doc_dup_excise" -> ((s, dir) =>
-      TextOps.docDupExcise(Tables.documents(s, dir))),
-    // delta-proportional span check: new batch (doc_id % 10 = 0) probed
-    // against the existing corpus's window-key index
-    "doc_dup_spans_delta" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextOps.docDupSpansIncremental(
-        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
-    }),
-    // provenance rollups of the span machinery: which sources copy from
-    // each other, and each source's post-dedup effective contribution
-    "source_overlap" -> ((s, dir) =>
-      TextOps.sourceOverlap(Tables.documents(s, dir))),
-    "source_effective_size" -> ((s, dir) =>
-      TextOps.sourceEffectiveSize(Tables.documents(s, dir))),
-    // deterministic pseudo-shuffled shard manifest (training export)
-    "export_manifest" -> ((s, dir) =>
-      graft.ops.ExportOps.shardManifest(Tables.documents(s, dir))),
-    // length-balanced dealing by global (n_chars, doc_id) rank
-    "export_manifest_balanced" -> ((s, dir) =>
-      graft.ops.ExportOps.shardManifestBalanced(Tables.documents(s, dir))),
-    // kNN label propagation: vec_id%5==0 masked unlabeled, exact-cosine
-    // 5-NN majority vote from the labeled rest
-    "knn_label_prop" -> ((s, dir) =>
-      VectorOps.knnLabelProp(Tables.embeddings(s, dir))),
-    // Matryoshka trade study: recall@5 of 32/16-dim prefixes vs the
-    // full-dim exact top-5
-    "ann_dim_tradeoff" -> ((s, dir) =>
-      VectorOps.annDimTradeoff(Tables.embeddings(s, dir))),
-    // LSH-blocked twin — the large×large scale path (rows-only: bucket
-    // recall probabilistic; VectorOpsSpec pins agreement vs exact arm)
-    "knn_label_prop_lsh" -> ((s, dir) =>
-      VectorOps.knnLabelPropLsh(Tables.embeddings(s, dir))),
-    // -- TPC-H-shaped analytics over the star schema
-    "pricing_summary" -> ((s, dir) => Analytics.pricingSummary(s, dir)),
-    "revenue_by_nation" -> ((s, dir) => Analytics.revenueByNation(s, dir)),
-    "top_customers" -> ((s, dir) => Analytics.topCustomers(s, dir)),
-    "late_priority_counts" -> ((s, dir) => Analytics.latePriorityCounts(s, dir)),
-    "supplier_diversity" -> ((s, dir) => Analytics.supplierDiversity(s, dir)),
-    "top_part_per_brand" -> ((s, dir) => Analytics.topPartPerBrand(s, dir)),
-    "full_outer_days" -> ((s, dir) => Analytics.activityCalendar(s, dir)),
-    "cust_order_dist" -> ((s, dir) => Analytics.customerOrderDistribution(s, dir)),
-    "promo_revenue" -> ((s, dir) => Analytics.promoRevenueShare(s, dir)),
-    "big_orders" -> ((s, dir) => Analytics.bigOrders(s, dir)),
-    "dormant_customers" -> ((s, dir) => Analytics.dormantHighValue(s, dir)),
-    "disjunctive_revenue" -> ((s, dir) => Analytics.disjunctiveRevenue(s, dir)),
-    "top_suppliers" -> ((s, dir) => Analytics.topSuppliers(s, dir)),
-    "ship_latency" -> ((s, dir) => Analytics.shipLatencyByPriority(s, dir)),
-    // large×large kNN join: every 7th vector queries the rest — fully
-    // oracled since r9; VectorOpsSpec pins twins + recall
-    "knn_join" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      VectorOps.knnJoinLsh(
-        e.filter(col("vec_id") % 7 === 0), e.filter(col("vec_id") % 7 =!= 0))
-    }),
-    "cheapest_supplier" -> ((s, dir) => Analytics.cheapestSupplier(s, dir)),
-    "forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
-    "nation_trade_volume" -> ((s, dir) => Analytics.nationTradeVolume(s, dir)),
-    "product_profit" -> ((s, dir) => Analytics.productProfit(s, dir)),
-    "returned_revenue" -> ((s, dir) => Analytics.returnedRevenue(s, dir)),
-    "major_parts" -> ((s, dir) => Analytics.majorParts(s, dir)),
-    "small_qty_revenue" -> ((s, dir) => Analytics.smallQtyRevenue(s, dir)),
-    "dominant_suppliers" -> ((s, dir) => Analytics.dominantSuppliers(s, dir)),
-    "sole_late_suppliers" -> ((s, dir) => Analytics.soleLateSuppliers(s, dir)),
-    // SCD-2 dimension history: per-customer order-status change log
-    "scd2_status" -> ((s, dir) =>
-      graft.ops.Scd.scd2(
-        Tables.orders(s, dir)
-          .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"),
-        key = "o_custkey", orderCol = "o_orderdate", tieBreak = "o_orderkey",
-        tracked = Seq("o_orderstatus"))
-        .select(col("o_custkey").as("custkey"),
-          col("o_orderstatus").as("status"),
-          col("effective_from"), col("effective_to"),
-          col("version"), col("is_current"))),
-    // dimension-churn report over the SCD2 history
-    "version_durations" -> ((s, dir) => {
-      val dim = graft.ops.Scd.scd2(
-        Tables.orders(s, dir)
-          .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"),
-        key = "o_custkey", orderCol = "o_orderdate", tieBreak = "o_orderkey",
-        tracked = Seq("o_orderstatus"))
-      graft.ops.Scd.versionDurations(dim, key = "o_custkey", asOf = AsOf)
-    }),
-    // point-in-time enrichment: each order carries the status version
-    // valid at its own order date (PIT join over the SCD-2 history,
-    // planned through the custom physical as-of operator)
-    "orders_pit_status" -> ((s, dir) => {
-      val dim = graft.ops.Scd.scd2(
-        Tables.orders(s, dir)
-          .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"),
-        key = "o_custkey", orderCol = "o_orderdate", tieBreak = "o_orderkey",
-        tracked = Seq("o_orderstatus"))
-        .withColumnRenamed("o_orderstatus", "status")
-      graft.ops.Scd.pitEnrich(
-        Tables.orders(s, dir)
-          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
-        dim, key = "o_custkey", factTs = "o_orderdate",
-        dimCols = Seq("status", "version"))
-    }),
-    // column-level data-quality profile of the landed orders table
-    "profile_orders" -> ((s, dir) =>
-      graft.ops.Profile.profile(Tables.orders(s, dir),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-          "o_orderdate", "o_orderpriority"))),
-    // Deequ-style verification suite: the pass/fail gate before publish
-    "dq_checks" -> ((s, dir) =>
-      graft.ops.Profile.dqChecks(Tables.orders(s, dir),
-        Tables.lineitem(s, dir), Tables.customer(s, dir))),
-    // skew-salted join exercised end-to-end: results are salt-invariant,
-    // so the oracle is the PLAIN join — only the shuffle layout differs
-    "skew_join_agg" -> ((s, dir) => {
-      val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
-      val c = Tables.customer(s, dir)
-        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-      graft.ops.Skew.saltedJoin(o, c, Seq("o_custkey"), n = 8)
-        .groupBy(col("c_mktsegment"))
-        .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n_orders"),
-          org.apache.spark.sql.functions.sum(
-            col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
-    }),
-    // bloom-prefiltered join exercised end-to-end: the bitset pass only
-    // removes definite non-matches, so the oracle is the PLAIN join
-    "bloom_join_agg" -> ((s, dir) => {
-      val small = Tables.supplier(s, dir)
-        .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey"))
-      val big = Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_extendedprice"))
-      graft.ops.BloomJoin.bloomJoin(big, small, "l_suppkey", "s_suppkey")
-        .groupBy(col("s_suppkey").as("suppkey"))
-        .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n_items"),
-          org.apache.spark.sql.functions.sum(
-            col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
-    }),
-    // -- multimodal binary-column plumbing (synthetic media over documents)
-    "media_stats" -> ((s, dir) =>
-      graft.multimodal.Multimodal.mediaStats(
-        graft.multimodal.Multimodal.syntheticMedia(Tables.documents(s, dir)))),
-    // a simulated re-ingest (doc_id≡3 mod 7 re-keyed +10000) plants the
-    // duplicate payloads — the raw corpus has none, and an identity
-    // result would leave the dedup untested (same device as corpus_diff)
-    "media_dedup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val media = graft.multimodal.Multimodal.syntheticMedia(docs)
-      val reingest = graft.multimodal.Multimodal
-        .syntheticMedia(docs.filter(col("doc_id") % 7 === 3))
-        .withColumn("media_id", col("media_id") + 10000)
-      graft.multimodal.Multimodal.mediaDedup(media.unionByName(reingest))
-    }),
-    "media_neardup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val media = graft.multimodal.Multimodal.syntheticMedia(docs)
-      val reingest = graft.multimodal.Multimodal
-        .syntheticMedia(docs.filter(col("doc_id") % 7 === 3))
-        .withColumn("media_id", col("media_id") + 10000)
-      graft.multimodal.Multimodal.mediaNearDupFrames(media.unionByName(reingest))
-    }),
-    // perceptual frame near-dup: the re-ingested copies pass through a
-    // brightness-shift re-encode (every letter +1 ASCII — an
-    // order-preserving byte map), so every frame md5 differs while byte
-    // GRADIENTS are untouched; only the dHash variant pairs them
-    "media_neardup_dhash" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val media = graft.multimodal.Multimodal.syntheticMedia(docs)
-      val reenc = graft.multimodal.Multimodal
-        .syntheticMedia(docs.filter(col("doc_id") % 7 === 3)
-          .withColumn("text", translate(col("text"),
-            "abcdefghijklmnopqrstuvwxyz", "bcdefghijklmnopqrstuvwxyz{")))
-        .withColumn("media_id", col("media_id") + 10000)
-      graft.multimodal.Multimodal
-        .mediaNearDupPerceptual(media.unionByName(reenc))
-    }),
-    // Hamming-banded perceptual near-dup: the re-encode writes one noisy
-    // byte per 64 (regex: last char of every 64-block -> 'z'), flipping
-    // <=1 dHash gradient bit per frame — exact-key dHash matching loses
-    // half the frames (jaccard ~0.33, below threshold), the banded
-    // hamming<=3 arm still pairs every copy with its original
-    "media_neardup_hamming" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val media = graft.multimodal.Multimodal.syntheticMedia(docs)
-      val noisy = graft.multimodal.Multimodal
-        .syntheticMedia(docs.filter(col("doc_id") % 7 === 3)
-          .withColumn("text", regexp_replace(col("text"), "(.{63}).", "$1z")))
-        .withColumn("media_id", col("media_id") + 10000)
-      graft.multimodal.Multimodal
-        .mediaNearDupHamming(media.unionByName(noisy))
-    }),
-    // decode path goes through the stubbed codec; the projected columns
-    // (type/bytes/FNV-1a checksum) are deterministic byte math the DuckDB
-    // oracle replays — feature vectors stay spec-pinned (MultimodalSpec)
-    "media_features" -> ((s, dir) =>
-      graft.multimodal.Multimodal.extractFeatures(
-        graft.multimodal.Multimodal.syntheticMedia(Tables.documents(s, dir)))
-        .toDF().select(col("media_id"), col("media_type"), col("n_bytes"), col("checksum"))),
-    // binary frame slicing runs on the payload BYTES; the compared output
-    // is md5 checksums (binary columns have engine-specific display forms)
-    "media_frames" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{length => flen, md5 => fmd5}
-      graft.multimodal.Multimodal.sampleFrames(
-        graft.multimodal.Multimodal.syntheticMedia(Tables.documents(s, dir)))
-        .select(col("media_id"), col("media_type"), col("frame_index"),
-          flen(col("frame")).as("n_frame_bytes"), fmd5(col("frame")).as("frame_md5"))
-    }),
-    // resize through the stub codec: gather math is integer-exact, so the
-    // oracle replays it; compared via checksum like media_frames
-    "media_resize" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{length => flen, md5 => fmd5}
-      graft.multimodal.Multimodal.resize(
-        graft.multimodal.Multimodal.syntheticMedia(Tables.documents(s, dir)), 320, 180)
-        .toDF()
-        .select(col("media_id"), col("meta.media_type").as("media_type"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          flen(col("payload")).cast("int").as("n_bytes"),
-          fmd5(col("payload")).as("payload_md5"))
-    }),
-  )
-
-  /** Exact decimal revenue expression shared by the analytics oracles. */
-  private val revSql =
-    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
-
-  /** DuckDB cosine with the exact arithmetic shape of
-    * [[graft.functions.VectorFns.cosine]]: left-to-right double fold
-    * (list_reduce), so doubles are bit-identical across engines.
-    * DuckDB's builtin list_cosine_similarity accumulates in float and
-    * diverges in the 7th decimal — not usable as the oracle. */
-  private def duckCosine(a: String, b: String): String = {
-    def d(x: String, y: String) =
-      s"list_reduce(list_transform(generate_series(1, len($a)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (acc, v) -> acc + v)"
-    s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
-  }
-
-  /** DuckDB replay of Spark's `hash()` (Murmur3_x86_32 over UTF8 bytes,
-    * seed 42) for an ASCII string column — the last piece that makes
-    * the MinHash signature path portable. 32-bit wraparound arithmetic
-    * runs as HUGEINT multiplies mod 2^32; `//` is the unsigned shift
-    * (operands are kept non-negative); the aligned 4-byte words and the
-    * per-byte tail replay Spark's hashUnsafeBytes structure (tail bytes
-    * each take the full mixK1/mixH1 round — Spark's deviation from
-    * reference murmur3). ASCII-only: `ord` reads code points, which
-    * equal bytes below 128 (the testdata corpus is verified ASCII; a
-    * non-ASCII corpus would need byte-level access). Returns the mixed
-    * value BEFORE finalization — callers chain the fmix stages as CTEs
-    * to avoid exponential expression duplication. */
-  private def duckMurmur3Mixed(s: String): String = {
-    val M = "4294967296"
-    def rotl(x: String, r: Int) =
-      s"(((($x) * ${1L << r}) % $M) | (($x) // ${1L << (32 - r)}))"
-    def mixK1(k: String) =
-      s"(((${rotl(s"((($k) * 3432918353::HUGEINT) % $M)", 15)}) * 461845907::HUGEINT) % $M)"
-    def mixH1(h: String, k: String) =
-      s"((((${rotl(s"xor(($h)::BIGINT, ($k)::BIGINT)::HUGEINT", 13)}) * 5 + 3864292196)) % $M)"
-    val word = s"(ord(substr($s, 4*ci - 3, 1)) + ord(substr($s, 4*ci - 2, 1)) * 256" +
-      s" + ord(substr($s, 4*ci - 1, 1)) * 65536 + ord(substr($s, 4*ci, 1)) * 16777216)::HUGEINT"
-    val tail = s"(ord(substr($s, ti, 1)))::HUGEINT"
-    val ha = s"list_reduce(list_prepend(42::HUGEINT, list_transform(" +
-      s"generate_series(1, length($s) // 4), ci -> $word)), " +
-      s"(h1, w) -> ${mixH1("h1", mixK1("w"))})"
-    s"list_reduce(list_prepend(($ha), list_transform(" +
-      s"generate_series(length($s) - length($s) % 4 + 1, length($s)), ti -> $tail)), " +
-      s"(h1, kb) -> ${mixH1("h1", mixK1("kb"))})"
-  }
-
-  /** fmix + sign + pmod(prime) CTE chain over a (doc_id, s) frame named
-    * `shx`: emits `mh` with (doc_id, h) where h is the kernel's
-    * pmod(murmur3(s), 2^31−1). */
-  private def duckMurmur3Cte: String =
-    s"""hraw AS (SELECT doc_id, (${duckMurmur3Mixed("s")})::BIGINT AS hh, length(s) AS n FROM shx),
-       |f1 AS (SELECT doc_id, xor(hh, n) AS x FROM hraw),
-       |f2 AS (SELECT doc_id, ((xor(x, x // 65536)::HUGEINT * 2246822507::HUGEINT) % 4294967296)::BIGINT AS x FROM f1),
-       |f3 AS (SELECT doc_id, ((xor(x, x // 8192)::HUGEINT * 3266489909::HUGEINT) % 4294967296)::BIGINT AS x FROM f2),
-       |f4 AS (SELECT doc_id, xor(x, x // 65536) AS u FROM f3),
-       |mh AS (SELECT doc_id,
-       |  (((CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END) % 2147483647)
-       |   + 2147483647) % 2147483647 AS h FROM f4)""".stripMargin
-
-  /** DuckDB replay of Spark's `xxhash64()` (seed 42) for ASCII strings
-    * UNDER 32 BYTES — the per-token path [[graft.functions.TextExprs
-    * .simhashKernel]] feeds (corpus max token = 8 bytes; a ≥ 32-byte
-    * token would need the 4-lane stripe prologue and trips a loud
-    * error() in the oracle instead of silently hashing wrong). 64-bit
-    * wraparound multiplies run as SPLIT multiplications — HUGEINT is
-    * int128, so (2^64−1)·prime would overflow it; (a·b) mod 2^64
-    * decomposes as a_lo·b + ((a_hi·b mod 2^32) << 32), every
-    * intermediate < 2^97. Emits a CTE chain over a (doc_id, s) frame
-    * named `tok`, ending in `hu` = (doc_id, h: unsigned HUGEINT). */
-  private def duckXxh64Ctes: String = {
-    val M = "18446744073709551616::HUGEINT"
-    val P1 = "11400714785074694791::HUGEINT"; val P2 = "14029467366897019727::HUGEINT"
-    val P3 = "1609587929392839161::HUGEINT"; val P4 = "9650029242287828579::HUGEINT"
-    val P5 = "2870177450012600261::HUGEINT"
-    def mul64(a: String, b: String) =
-      s"(((($a) % 4294967296) * ($b) + (((($a) // 4294967296) * ($b)) % 4294967296) * 4294967296) % $M)"
-    def rotl(x: String, r: Int) =
-      s"(((($x) * ${1L << r}::HUGEINT) % $M) | (($x) // ${java.math.BigInteger.ONE.shiftLeft(64 - r)}::HUGEINT))"
-    def xor64(a: String, b: String) = s"xor(($a)::HUGEINT, ($b)::HUGEINT)"
-    val word8 = (0 until 8).map(k =>
-      s"ord(substr(s, 8*ci - ${7 - k}, 1))::HUGEINT * ${1L << (8 * k)}::HUGEINT").mkString("(", " + ", ")")
-    val word4 = (0 until 4).map(k =>
-      s"ord(substr(s, st4 + ${k + 1}, 1))::HUGEINT * ${1L << (8 * k)}::HUGEINT").mkString("(", " + ", ")")
-    val byte = "(ord(substr(s, bi, 1)))::HUGEINT"
-    def wordStep(h: String, k1: String) = {
-      val inner = mul64(rotl(mul64(k1, P2), 31), P1)
-      s"((${mul64(rotl(xor64(h, inner), 27), P1)}) + $P4) % $M"
-    }
-    def byteStep(h: String, b: String) =
-      mul64(rotl(xor64(h, mul64(b, P5)), 11), P1)
-    s"""guard AS (SELECT CASE WHEN max(length(s)) >= 32
-       |  THEN CAST(error('xxh64 oracle: token exceeds the generated <32-byte path') AS INT)
-       |  ELSE 1 END AS g FROM tok),
-       |x0 AS (SELECT doc_id, s, ((42::HUGEINT + $P5 + length(s))) % $M AS h FROM tok, guard),
-       |x1 AS (SELECT doc_id, s, list_reduce(list_prepend(h,
-       |    list_transform(generate_series(1, length(s) // 8), ci -> $word8)),
-       |    (h2, k1) -> ${wordStep("h2", "k1")}) AS h FROM x0),
-       |x2 AS (SELECT doc_id, s, CASE WHEN length(s) % 8 >= 4 THEN
-       |    ((${mul64(rotl(xor64("h", mul64(word4, P1)), 23), P2)}) + $P3) % $M
-       |  ELSE h END AS h
-       |  FROM (SELECT doc_id, s, h, (length(s) // 8) * 8 AS st4 FROM x1) z1),
-       |x3 AS (SELECT doc_id, s, list_reduce(list_prepend(h,
-       |    list_transform(generate_series(length(s) - length(s) % 4 + 1, length(s)), bi -> $byte)),
-       |    (h2, bb) -> ${byteStep("h2", "bb")}) AS h FROM x2),
-       |xf1 AS (SELECT doc_id, ${mul64(xor64("h", "h // 8589934592::HUGEINT"), P2)} AS h FROM x3),
-       |xf2 AS (SELECT doc_id, ${mul64(xor64("h", "h // 536870912::HUGEINT"), P3)} AS h FROM xf1),
-       |hu AS (SELECT doc_id, xor(h::HUGEINT, (h // 4294967296::HUGEINT)::HUGEINT) AS h FROM xf2)""".stripMargin
-  }
-
-  /** Merge rounds the BPE oracles generate (must match
-    * [[graft.ops.TextOps.vocabBpe]]'s default nMerges). */
-  private val BpeOracleRounds = 10
-
-  /** Shared CTE chain replaying [[graft.ops.TextOps.vocabBpe]]'s full
-    * Sennrich trajectory: word states are chr(1)||sym||chr(2)-wrapped
-    * strings, so replace() IS the trainer's left-to-right
-    * non-overlapping merge fold (every match self-contained — no
-    * delimiter sharing, no cross-symbol false matches); each round
-    * re-derives symbol lists, takes the (count desc, pair asc) argmax
-    * (`t$r`), and rewrites (`w$(r+1)`). Early exhaustion is survived by
-    * a LEFT JOIN on the 1-row argmax: an empty round carries the
-    * previous word states forward unchanged (once no pair exists, none
-    * can reappear), so the encode half's final-round states stay
-    * correct on corpora that exhaust before the last round instead of
-    * collapsing every doc to zero tokens. Guarded against control-char
-    * collisions in the corpus. */
-  private lazy val duckBpeCtes: String = {
-    val x1 = "chr(1)"; val x2 = "chr(2)"; val us = "chr(31)"
-    // Every multiply-referenced CTE in the chain is MATERIALIZED:
-    // DuckDB inlines plain CTEs, so each round's two references to the
-    // previous round re-evaluate the whole prefix — measured exponential
-    // (~3-5× per round; 10 rounds on a TWO-row corpus took 5 s (r9
-    // form) / 67 s (aggregate form), both flat at ~50 ms materialized).
-    val head =
-      s"""wr AS MATERIALIZED (SELECT w, count(*) AS cnt FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
-         |  WHERE length(w) >= 1 GROUP BY w),
-         |gg AS (SELECT CASE WHEN max(CASE WHEN regexp_matches(w, '[\\x01\\x02\\x1f]')
-         |    THEN 1 ELSE 0 END) = 1
-         |  THEN CAST(error('bpe oracle: control-char collision in corpus') AS INT)
-         |  ELSE 1 END AS ok FROM wr),
-         |w0 AS MATERIALIZED (SELECT w, cnt, $x1 || array_to_string(list_transform(
-         |    generate_series(1, length(w)), i -> substr(w, i, 1)), $x2 || $x1) || $x2 AS state
-         |  FROM wr, gg)""".stripMargin
-    // The argmax is an AGGREGATE (min over a {-count, pair} struct), not
-    // ORDER BY … LIMIT 1: an aggregate over zero pairs still yields ONE
-    // row (a NULL struct), so the exhausted-corpus case keeps the cross
-    // join alive and w{r+1} carries w{r} forward unchanged — instead of
-    // an empty t-round emptying every later w-CTE and collapsing all
-    // docs to zero tokens in the encode half. t$r re-derives the 0/1-row
-    // view the vocab output needs.
-    val steps = (0 until BpeOracleRounds).map { r =>
-      s"""s$r AS (SELECT cnt, string_split(trim(replace(state, $x2 || $x1, $us), $x1 || $x2), $us) AS syms FROM w$r),
-         |m$r AS MATERIALIZED (SELECT min({'nn': -n, 'a': a, 'b': b}) AS s FROM (
-         |  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n FROM (
-         |    SELECT syms[ii.i] AS a, syms[ii.i + 1] AS b, cnt
-         |    FROM s$r, UNNEST(generate_series(1, len(syms) - 1)) AS ii(i)
-         |    WHERE len(syms) >= 2) z GROUP BY a, b) gz),
-         |t$r AS (SELECT s.a AS a, s.b AS b, CAST(-s.nn AS BIGINT) AS n FROM m$r WHERE s.a IS NOT NULL),
-         |w${r + 1} AS MATERIALIZED (SELECT w, cnt,
-         |  CASE WHEN m.s.a IS NULL THEN state
-         |    ELSE replace(state, $x1 || m.s.a || $x2 || $x1 || m.s.b || $x2, $x1 || m.s.a || m.s.b || $x2)
-         |  END AS state
-         |  FROM w$r, m$r m)""".stripMargin
-    }
-    (head +: steps).mkString(",\n")
-  }
-
-  /** Generated plane terms an oracle carries; covers corpora up to
-    * 2^(MaxOraclePlanes+slack) rows before the loud error() trips —
-    * orders of magnitude past any driver-verify sf. */
-  private val MaxOraclePlanes = 12
-
-  /** DuckDB replay of [[graft.functions.VectorFns.lshBucket]] composed
-    * with [[graft.ops.VectorOps.sizedPlanes]] auto-sizing: the
-    * hyperplane coefficients are splitmix64-derived constants, so this
-    * generator embeds them as DOUBLE[] literals via the SAME Scala
-    * function the Catalyst expression uses, and the dot product replays
-    * the left-to-right fold (list_reduce) that [[VecDot]] computes —
-    * sign decisions are bit-identical. The bit width itself is DATA-
-    * derived (planes = clamp(ceil(log2 N) − slack)), so the oracle
-    * masks its generated plane terms by a count-computed `pl.planes`
-    * scalar instead of freezing a width — the same SQL stays correct at
-    * any sf, and a corpus beyond the generated terms fails LOUDLY via
-    * error() rather than silently under-banding. */
-  private def duckLshPlanes(countSql: String, slack: Int): String =
-    s"""pl AS (SELECT CASE WHEN least(24, greatest(2, CAST(ceil(log2(($countSql))) AS INT) - $slack)) > $MaxOraclePlanes
-       |  THEN error('lsh oracle: auto planes exceed generated terms')
-       |  ELSE least(24, greatest(2, CAST(ceil(log2(($countSql))) AS INT) - $slack)) END AS planes)""".stripMargin
-
-  /** One packed sign-bucket expression for hash table `seed` over a
-    * `vec`-named DOUBLE[] column, masked by `pl.planes`. */
-  private def duckLshBucket(vec: String, seed: Int, dims: Int = 64): String =
-    (0 until MaxOraclePlanes).map { p =>
-      val coefs = (0 until dims)
-        .map(d => graft.functions.VectorFns.planeCoef(seed, p, d).toString)
-        .mkString("[", ", ", "]")
-      s"(CASE WHEN $p < pl.planes AND list_reduce(list_transform(generate_series(1, $dims), i -> $vec[i] * ($coefs::DOUBLE[])[i]), (a, v) -> a + v) >= 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
-
-  /** `bk` CTE: (vec_id, t, b) bucket membership for `tables` hash
-    * tables over the whole embeddings table — each LSH oracle filters
-    * its own sides out of this shared frame. */
-  private def duckLshBanded(tables: Int): String =
-    s"""p AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
-       |bk AS (
-       |${(0 until tables).map(t =>
-          s"  SELECT vec_id, $t AS t, ${duckLshBucket("vd", t)} AS b FROM p, pl")
-          .mkString("\n  UNION ALL\n")}
-       |)""".stripMargin
-
-  /** Generated table arms for the recall-held near-dup oracles; covers
-    * auto-sized planes ≤ 7 (table demand 13 at planes 7 / cos 0.45 —
-    * corpora to ~2^12 rows at slack 5, far past driver-verify sf). */
-  private val MaxOracleTables = 16
-
-  /** [[duckLshPlanes]] extended with the [[graft.ops.VectorOps
-    * .sizedTablesMp]] recall dial: `tables` derives from the
-    * count-computed `planes` through a Scala-generated CASE — the
-    * mapping is evaluated by the SAME Scala function the operator
-    * uses, so no floating-point (acos/ln) ever replays in SQL. */
-  private def duckLshPlanesTables(countSql: String, slack: Int,
-      targetCos: Double, targetRecall: Double): String = {
-    val cases = (2 to MaxOraclePlanes).map { p =>
-      val t = graft.ops.VectorOps.sizedTablesMp(p, targetCos, targetRecall)
-      if (t > MaxOracleTables)
-        s"WHEN $p THEN CAST(error('lsh oracle: tables exceed generated arms') AS INT)"
-      else s"WHEN $p THEN $t"
-    }.mkString(" ")
-    s"""${duckLshPlanes(countSql, slack).replace("pl AS", "pl0 AS")},
-       |pl AS (SELECT planes, CASE planes $cases END AS tables FROM pl0)""".stripMargin
-  }
-
-  /** Dynamic-table twin of [[duckLshBanded]]: every generated arm is
-    * masked by the count-derived `pl.tables`. Also derives `pk`, the
-    * Hamming-1 MULTI-PROBE bucket set ([[graft.ops.VectorOps]]'s
-    * `bandedProbes`): per (vector, table), the base bucket plus every
-    * single-bit flip of it — pure XOR arithmetic on the packed key, so
-    * the probed bucket set replays exactly. Each oracle joins its probe
-    * side from `pk` and its build side from `bk`, mirroring the
-    * operator's asymmetric banding. */
-  private def duckLshBandedDyn(): String =
-    s"""p AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd FROM embeddings),
-       |bk AS (
-       |${(0 until MaxOracleTables).map(t =>
-          s"  SELECT vec_id, $t AS t, ${duckLshBucket("vd", t)} AS b FROM p, pl WHERE $t < pl.tables")
-          .mkString("\n  UNION ALL\n")}
-       |),
-       |pk AS (
-       |  SELECT vec_id, t,
-       |         CASE WHEN ii.i = 0 THEN b ELSE xor(b, 1::BIGINT << (ii.i - 1)) END AS b
-       |  FROM bk, pl, UNNEST(generate_series(0, pl.planes)) AS ii(i)
-       |)""".stripMargin
-
-  /** CTE chain replaying [[graft.ops.VectorOps.kmeans]]'s full Lloyd
-    * trajectory in DuckDB — seeds (first k by vec_id), then per
-    * iteration: 6dp-rounded-cosine argmax assignment (ties to lowest
-    * cid) and DECIMAL(20,10) dimension-wise means rounded to 6dp. The
-    * final assignment lives in `asg$iters`. Mechanical generation keeps
-    * the oracle in lockstep with the operator's iteration count. */
-  /** CTE chain replaying [[graft.ops.TextOps.docQualityLogreg]]'s full
-    * gradient-descent trajectory in DuckDB: zero-init weights, per-iter
-    * 6dp-rounded sigmoid, DECIMAL(28,12) gradient sums, 6dp-rounded
-    * weight updates — appended after the shared `toks` CTE. */
-  private def duckLogregCte(iters: Int, lr: Double): String = {
-    val sw = inList(graft.functions.TextFns.StopwordsEn)
-    val feat =
-      s"""feat AS (
-         |  SELECT doc_id,
-         |    ((  (len(t) BETWEEN 20 AND 100000)::int
-         |      + (round(len(list_filter(t, x -> x IN $sw))::double / len(t), 6) >= 0.001)::int
-         |      + (round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) <= 0.2)::int
-         |      + (round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) <= 0.3)::int
-         |     ) >= 3)::int AS y,
-         |    round(ln(1 + len(t)), 6) AS x1,
-         |    round(len(list_filter(t, x -> x IN $sw))::double / len(t), 6) AS x2,
-         |    round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) AS x3,
-         |    round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) AS x4
-         |  FROM toks),
-         |w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2,
-         |              0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4)""".stripMargin
-    val steps = (0 until iters).map { i =>
-      s"""p$i AS (
-         |  SELECT f.*, round(1.0::DOUBLE / (1.0::DOUBLE
-         |    + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4))), 6) AS p
-         |  FROM feat f CROSS JOIN w$i w),
-         |g$i AS (
-         |  SELECT COUNT(*) AS n,
-         |    SUM(CAST((p - y) AS DECIMAL(28,12))) AS g0,
-         |    SUM(CAST((p - y) * x1 AS DECIMAL(28,12))) AS g1,
-         |    SUM(CAST((p - y) * x2 AS DECIMAL(28,12))) AS g2,
-         |    SUM(CAST((p - y) * x3 AS DECIMAL(28,12))) AS g3,
-         |    SUM(CAST((p - y) * x4 AS DECIMAL(28,12))) AS g4
-         |  FROM p$i),
-         |w${i + 1} AS (
-         |  SELECT round(w.w0 - $lr * (CAST(g.g0 AS DOUBLE) / g.n), 6) AS w0,
-         |         round(w.w1 - $lr * (CAST(g.g1 AS DOUBLE) / g.n), 6) AS w1,
-         |         round(w.w2 - $lr * (CAST(g.g2 AS DOUBLE) / g.n), 6) AS w2,
-         |         round(w.w3 - $lr * (CAST(g.g3 AS DOUBLE) / g.n), 6) AS w3,
-         |         round(w.w4 - $lr * (CAST(g.g4 AS DOUBLE) / g.n), 6) AS w4
-         |  FROM w$i w CROSS JOIN g$i g)""".stripMargin
-    }
-    (feat +: steps).mkString(",\n")
-  }
-
-  private def duckKmeansCte(k: Int, iters: Int,
-      source: String = "embeddings"): String = {
-    // seed rank = md5(vec_id) with vec_id tie-break — must stay in
-    // lockstep with VectorOps.kmeansAssigned's seed selection
-    val seeds =
-      s"""emb AS (SELECT vec_id, embedding AS v FROM $source),
-         |cents0 AS (
-         |  SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1 AS cid,
-         |         v AS c
-         |  FROM (SELECT vec_id, v FROM emb
-         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k) s)""".stripMargin
-    val steps = (0 to iters).map { i =>
-      val assign =
-        s"""scored$i AS (
-           |  SELECT e.vec_id, s.cid, round(${duckCosine("e.v", "s.c")}, 6) + 0 AS sim
-           |  FROM emb e, cents$i s),
-           |asg$i AS (
-           |  SELECT vec_id, cid, sim FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY sim DESC, cid) AS rn FROM scored$i) WHERE rn = 1)""".stripMargin
-      if (i == iters) assign
-      else assign + ",\n" +
-        s"""mx$i AS (
-           |  SELECT cid, i, round(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE)
-           |    / COUNT(*), 6) AS m
-           |  FROM (SELECT a.cid, UNNEST(e.v) AS x,
-           |          UNNEST(generate_series(1, len(e.v))) AS i
-           |        FROM asg$i a JOIN emb e ON a.vec_id = e.vec_id) t
-           |  GROUP BY cid, i),
-           |cents${i + 1} AS (SELECT cid, list(m ORDER BY i) AS c FROM mx$i GROUP BY cid)""".stripMargin
-    }
-    (seeds +: steps).mkString(",\n")
-  }
-
-  /** Shared DuckDB CTE: events with `ts` truncated to microseconds —
-    * exactly what Spark sees (nanos read as long, `ts DIV 1000`). */
-  private val eventsCte: String =
-    "e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props FROM events)"
-
-  /** Shared DuckDB CTE: canonical tokens per document (mirrors
-    * [[graft.functions.TextFns.tokens]]). */
-  private val toksCte: String =
-    """toks AS (
-      |  SELECT doc_id,
-      |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
-      |         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
-      |  FROM documents)""".stripMargin
-
-  private def inList(words: Seq[String]): String =
-    words.map(w => s"'$w'").mkString("(", ", ", ")")
-
-  /** Shared oracle for the delta exact-dedup pair: the delta is the
-    * % 10 = 0 split UNION planted re-keyed copies of existing docs
-    * (doc_id + 9000000 keeps them disjoint from every real id). */
-  private lazy val dedupExactDeltaOracle: String =
-    s"""WITH $toksCte,
-       |idx AS (SELECT md5(norm) AS fp_md5, MIN(doc_id) AS dup_of
-       |        FROM toks WHERE doc_id % 10 <> 0 GROUP BY 1),
-       |delta AS (
-       |  SELECT doc_id, norm FROM toks WHERE doc_id % 10 = 0
-       |  UNION ALL
-       |  SELECT doc_id + 9000000, norm FROM toks
-       |  WHERE doc_id % 10 <> 0 AND doc_id % 97 = 3)
-       |SELECT d.doc_id, md5(d.norm) AS fp_md5, idx.dup_of
-       |FROM delta d JOIN idx ON md5(d.norm) = idx.fp_md5""".stripMargin
-
-  /** Full corpus-curation oracle (the `corpus_keep` query) as a
-    * standalone statement — also embedded as a named subquery by the
-    * `corpus_keep_semantic` oracle (its own WITH scope nests cleanly). */
-  private lazy val corpusKeepSql: String =
-    s"""WITH $jaccardPairsCtes,
-       |q AS (
-       |  SELECT doc_id,
-       |    ((len(t) BETWEEN 20 AND 100000)::int
-       |     + (round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) >= 0.001)::int
-       |     + (round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) <= 0.2)::int
-       |     + (round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) <= 0.3)::int
-       |     >= 3)::int AS quality_ok
-       |  FROM toks WHERE doc_id % 10 <> 0),
-       |canon AS (
-       |  SELECT doc_id,
-       |    (doc_id = min(doc_id) OVER (PARTITION BY md5(norm)))::int AS canonical
-       |  FROM toks),
-       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM jacc_pairs
-       |           WHERE jaccard >= 0.8),
-       |sh5 AS (
-       |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN list_distinct(list_transform(
-       |      generate_series(1, len(t)-4),
-       |      i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT))
-       |    ELSE []::BIGINT[] END AS s
-       |  FROM toks),
-       |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh5 WHERE doc_id % 10 = 0),
-       |coll AS (
-       |  SELECT c.doc_id, count(*) AS n_collisions
-       |  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh5 WHERE doc_id % 10 <> 0) c
-       |  JOIN ev USING (shingle) GROUP BY 1)
-       |SELECT doc_id, quality_ok, canonical,
-       |  CASE WHEN losers.doc_id IS NULL THEN 1 ELSE 0 END AS neardup_ok,
-       |  (coalesce(n_collisions, 0) = 0)::int AS clean,
-       |  quality_ok * canonical
-       |    * (CASE WHEN losers.doc_id IS NULL THEN 1 ELSE 0 END)
-       |    * (coalesce(n_collisions, 0) = 0)::int AS keep
-       |FROM q JOIN canon USING (doc_id)
-       |LEFT JOIN losers USING (doc_id)
-       |LEFT JOIN coll USING (doc_id)""".stripMargin
-
-  /** Shared DuckDB CTE chain: winnowing fingerprint sets per document
-    * (mirrors [[graft.functions.TextExprs.WinnowFps]] with k=3, w=4:
-    * positional 3-gram 60-bit md5 hashes, sliding 4-window minima). */
-  private val winnowCtes: String =
-    s"""$toksCte,
-       |gr AS (SELECT doc_id, list_transform(generate_series(1, len(t)-2),
-       |         i -> array_to_string(t[i:i+2], ' ')) AS g
-       |       FROM toks WHERE len(t) >= 3),
-       |h AS (SELECT doc_id, list_transform(g,
-       |        s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs FROM gr),
-       |w AS (SELECT doc_id, list_distinct(list_transform(
-       |        generate_series(1, len(hs)-3), i -> list_min(hs[i:i+3]))) AS fps
-       |      FROM h WHERE len(hs) >= 4)""".stripMargin
-
-  /** Shared DuckDB CTE chain: 3-gram shingle near-dup candidate pairs with
-    * the df≤100 stop-shingle cap (mirrors [[TextOps.nearDupJaccard]],
-    * including its 60-bit-md5 shingle hashing — both engines hash, so
-    * set sizes/shared counts agree exactly even under collisions). */
-  private val jaccardPairsCtes: String =
-    s"""$toksCte,
-       |sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    generate_series(1, len(t)-2),
-       |    i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT)) AS s
-       |  FROM toks WHERE len(t) >= 3),
-       |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh WHERE len(s) > 0),
-       |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
-       |rare AS (SELECT shingle FROM ex GROUP BY 1 HAVING count(*) <= 100),
-       |exr AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
-       |shared_counts AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-       |  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |jacc_pairs AS (
-       |  SELECT doc_a, doc_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
-       |         round(shared::double / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
-       |  FROM shared_counts
-       |  JOIN sizes sa ON doc_a = sa.doc_id
-       |  JOIN sizes sb ON doc_b = sb.doc_id)""".stripMargin
-
-  /** Shared DuckDB CTE chain: per-user 30-min-gap session derivation
-    * (mirrors [[EventOps.sessionize]]); expects CTE `e` in scope. */
-  private val sessFlagsCtes: String =
-    """flags AS (
-      |  SELECT user_id, ts, event_id, event_type, value,
-      |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-      |         THEN 1 ELSE 0 END AS new_s
-      |  FROM e
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      |sess AS (
-      |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-      |  FROM flags)""".stripMargin
-
-  private lazy val eventsInWindowsOracle: String =
-    s"""WITH $eventsCte,
-       |$sessFlagsCtes,
-       |sessions AS (
-       |  SELECT user_id, session_seq,
-       |    MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
-       |  FROM sess GROUP BY 1, 2),
-       |w AS (
-       |  SELECT user_id AS window_user, session_seq, session_start, session_end
-       |  FROM sessions WHERE user_id < 50 AND n_events >= 3)
-       |SELECT w.window_user, w.session_seq,
-       |  COUNT(*) AS n_events_in_window,
-       |  COUNT(DISTINCT e.user_id) AS n_users_in_window,
-       |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value_in_window
-       |FROM e JOIN w ON e.ts BETWEEN w.session_start AND w.session_end
-       |GROUP BY 1, 2""".stripMargin
-
-  private val weeklySummaryOracle: String = {
-    val (ctes, fin) = snapshotCtes("rental", "")
-    s"WITH $rentalCte,\n$ctes\nSELECT * FROM $fin ORDER BY week_beginning"
-  }
-
-  private val weeklyWowOracle: String = {
-    val (ctes, fin) = snapshotCtes("rental", "")
-    s"""WITH $rentalCte,
-       |$ctes
-       |SELECT week_beginning, newly_rented_during_week,
-       |  newly_rented_during_week - lag(newly_rented_during_week) OVER w
-       |    AS wow_rented_delta,
-       |  round((newly_rented_during_week - lag(newly_rented_during_week) OVER w)::DOUBLE
-       |    / NULLIF(lag(newly_rented_during_week) OVER w, 0), 6) AS wow_rented_pct,
-       |  outstanding_rentals_at_week_end,
-       |  outstanding_rentals_at_week_end - lag(outstanding_rentals_at_week_end) OVER w
-       |    AS wow_outstanding_delta
-       |FROM $fin WINDOW w AS (ORDER BY week_beginning)""".stripMargin
-  }
-
-  private val upsertRoundOracle: String = upsertRoundOracleSql(noteCol = false)
-  /** `noteCol` adds the evolve query's nullable audit column: 'delta'
-    * on recomputed rows, NULL on carried-forward pre-evolution rows.
-    * `outCol` renames the outstanding column in the output — the
-    * rename-evolution query's oracle (the data is identical; only the
-    * logical name moved). */
-  private def upsertRoundOracleSql(noteCol: Boolean,
-      outCol: String = "outstanding_rentals_at_week_end"): String = {
-    val newNote = if (noteCol) ", 'delta' AS batch_note" else ""
-    val oldNote = if (noteCol) ", CAST(NULL AS VARCHAR) AS batch_note" else ""
-    val (oldCtes, oldFin) = snapshotCtes("old_src", "old_")
-    s"""WITH $rentalCte,
-       |old_src AS (SELECT * FROM rental WHERE last_update <= TIMESTAMP '1999-01-01 00:00:00'),
-       |$oldCtes,
-       |delta AS (SELECT * FROM rental WHERE last_update > TIMESTAMP '1999-01-01 00:00:00'),
-       |affected AS (
-       |  SELECT DISTINCT DATE_TRUNC('week', rental_date)::date AS week_beginning FROM delta
-       |  UNION
-       |  SELECT DISTINCT DATE_TRUNC('week', return_date)::date FROM delta WHERE return_date IS NOT NULL),
-       |new_base AS (
-       |  SELECT a.week_beginning,
-       |    (SELECT COUNT(*) FROM rental r
-       |     WHERE DATE_TRUNC('week', r.rental_date)::date = a.week_beginning) AS newly_rented_during_week,
-       |    (SELECT COUNT(*) FROM rental r
-       |     WHERE r.return_date IS NOT NULL
-       |       AND DATE_TRUNC('week', r.return_date)::date = a.week_beginning) AS returned_rentals_during_week,
-       |    (SELECT COUNT(*) FROM rental r
-       |     WHERE r.rental_date::date <= a.week_beginning + 6
-       |       AND (r.return_date IS NULL OR r.return_date::date > a.week_beginning + 6)) AS outstanding_rentals_at_week_end
-       |  FROM affected a),
-       |new_rows AS (
-       |  SELECT week_beginning, newly_rented_during_week, returned_rentals_during_week,
-       |         newly_rented_during_week - returned_rentals_during_week AS net_change_in_outstanding,
-       |         outstanding_rentals_at_week_end
-       |  FROM new_base)
-       |SELECT week_beginning, newly_rented_during_week, returned_rentals_during_week,
-       |       net_change_in_outstanding, outstanding_rentals_at_week_end AS $outCol$newNote FROM new_rows
-       |UNION ALL
-       |SELECT o.week_beginning, o.newly_rented_during_week, o.returned_rentals_during_week,
-       |       o.net_change_in_outstanding, o.outstanding_rentals_at_week_end AS $outCol$oldNote FROM $oldFin o
-       |WHERE o.week_beginning NOT IN (SELECT week_beginning FROM affected)
-       |ORDER BY week_beginning""".stripMargin
-  }
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ReferenceQueries.queries ++ SnapshotQueries.queries ++ TextQueries.queries ++
+      EventsQueries.queries ++ VectorQueries.queries ++ AnalyticsQueries.queries ++
+      MediaQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "weekly_summary" -> weeklySummaryOracle,
-    "weekly_wow" -> weeklyWowOracle,
-    "weekly_summary_nl" -> weeklySummaryOracle,
-    "weekly_summary_sql" -> weeklySummaryOracle,
-    "delta_extract" ->
-      s"""WITH $rentalCte
-         |SELECT rental_id, rental_date, return_date, last_update FROM rental
-         |WHERE last_update > TIMESTAMP '1999-01-01 00:00:00'
-         |  AND last_update <= TIMESTAMP '2000-01-01 00:00:00'""".stripMargin,
-    "watermark_probes" ->
-      s"""WITH $rentalCte
-         |SELECT MAX(last_update) AS max_last_update,
-         |       MAX(GREATEST(rental_date, COALESCE(return_date, rental_date))) AS max_activity_date,
-         |       MIN(GREATEST(rental_date, COALESCE(return_date, rental_date))) AS min_activity_date,
-         |       DATE_TRUNC('week', MAX(GREATEST(rental_date, COALESCE(return_date, rental_date))))::date AS max_activity_week,
-         |       DATE_TRUNC('week', MIN(GREATEST(rental_date, COALESCE(return_date, rental_date))))::date AS min_activity_week,
-         |       COUNT(*) AS n_rentals
-         |FROM rental""".stripMargin,
-    "affected_weeks" ->
-      s"""WITH $rentalCte,
-         |delta AS (
-         |  SELECT * FROM rental
-         |  WHERE last_update > TIMESTAMP '1999-01-01 00:00:00'
-         |    AND last_update <= TIMESTAMP '2000-01-01 00:00:00')
-         |SELECT DISTINCT DATE_TRUNC('week', rental_date)::date AS week_beginning FROM delta
-         |UNION
-         |SELECT DISTINCT DATE_TRUNC('week', return_date)::date FROM delta
-         |WHERE return_date IS NOT NULL
-         |ORDER BY week_beginning""".stripMargin,
-    "first_rental" ->
-      s"""WITH $rentalCte
-         |SELECT rental_id, rental_date, return_date, last_update FROM rental
-         |ORDER BY rental_id LIMIT 1""".stripMargin,
-    "upsert_round" -> upsertRoundOracle,
-    "upsert_round_snapshot" -> upsertRoundOracle,
-    "upsert_round_snapshot_evolve" -> upsertRoundOracleSql(noteCol = true),
-    "upsert_round_snapshot_rename" ->
-      upsertRoundOracleSql(noteCol = false, outCol = "open_rentals_at_week_end"),
-    "upsert_round_snapshot_widen" ->
-      """SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
-        |FROM documents
-        |UNION ALL
-        |SELECT doc_id + 10000000, text, lang, source,
-        |  CAST(n_chars AS BIGINT) + 4000000000 AS n_chars
-        |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
-    "corpus_forget" ->
-      "SELECT * FROM documents WHERE doc_id % 17 <> 0",
-    "corpus_forget_dv" ->
-      "SELECT * FROM documents WHERE doc_id % 501 <> 3",
-    "corpus_range_read" ->
-      "SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 299",
-    "corpus_keys_read" ->
-      "SELECT * FROM documents WHERE doc_id % 731 = 5",
-    "corpus_stats_read" ->
-      "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
-    "corpus_zorder_read" ->
-      "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
-    "corpus_minmax_pruned" ->
-      "SELECT min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max FROM documents",
-    "corpus_bloom_read" ->
-      "SELECT * FROM documents WHERE doc_id % 2 = 0 AND doc_id % 97 = 5",
-    "corpus_count_pruned" ->
-      """SELECT (SELECT count(*) FROM documents) AS total_rows,
-        |  (SELECT count(*) FROM documents WHERE doc_id BETWEEN 100 AND 300)
-        |    AS key_range_rows,
-        |  (SELECT count(*) FROM documents WHERE n_chars BETWEEN 200 AND 400)
-        |    AS stat_range_rows""".stripMargin,
-    "corpus_stats_backfill" ->
-      "SELECT * FROM documents WHERE n_chars BETWEEN 200 AND 400",
-    "corpus_scan_pushdown" ->
-      "SELECT * FROM documents WHERE doc_id <= 3000 AND n_chars BETWEEN 200 AND 400",
-    "corpus_format_read" ->
-      "SELECT * FROM documents WHERE doc_id BETWEEN 100 AND 400 AND n_chars >= 300",
-    "corpus_sql_view" ->
-      "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars BETWEEN 250 AND 350",
-    "corpus_sql_view_dv" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE doc_id % 501 <> 3 AND n_chars >= 100""".stripMargin,
-    "corpus_sql_insert" ->
-      """SELECT * FROM documents
-        |UNION ALL
-        |SELECT doc_id + 10000000, text, lang, source, n_chars
-        |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
-    "corpus_sql_delete" ->
-      "SELECT * FROM documents WHERE NOT (n_chars < 100 OR lang = 'de')",
-    "corpus_sql_merge" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id %% 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,
-        |  lang, source, n_chars
-        |FROM documents
-        |WHERE NOT (doc_id %% 31 = 0 AND n_chars < 100)
-        |UNION ALL
-        |SELECT doc_id + 10000000, text, lang, source, n_chars
-        |FROM documents WHERE doc_id %% 53 = 1""".stripMargin.replace("%%", "%"),
-    "corpus_sql_merge_nmbs" ->
-      """SELECT doc_id, '[redacted-r3]' AS text, lang, source, n_chars
-        |FROM documents WHERE doc_id % 3 = 0
-        |UNION ALL
-        |SELECT doc_id, text, 'xx' AS lang, source, n_chars
-        |FROM documents WHERE doc_id % 3 <> 0 AND n_chars >= 100
-        |UNION ALL
-        |SELECT doc_id + 10000000, text, lang, source, n_chars
-        |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
-    // the replaced generation's contents — the overwrite-commit
-    // mechanics (history, colmap carry) are spec-pinned, the data is
-    // plain SQL
-    "corpus_sql_replace" ->
-      """SELECT doc_id, n_chars * 2 AS n2, lang
-        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
-    // SHOW TABLES output shape over the per-region warehouse tables
-    "catalog_show_tables" ->
-      """SELECT '' AS namespace,
-        |       lower(replace(r_name, ' ', '_')) AS tableName,
-        |       false AS isTemporary
-        |FROM region""".stripMargin,
-    "corpus_sql_add_column" ->
-      """SELECT doc_id, text, lang, source, n_chars, CAST(NULL AS DOUBLE) AS quality
-        |FROM documents
-        |UNION ALL
-        |SELECT doc_id + 10000000, text, lang, source, n_chars,
-        |  CAST(n_chars AS DOUBLE) / 100.0 AS quality
-        |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
-    "corpus_sql_agg_pushdown" ->
-      """SELECT count(*) AS total_rows,
-        |  min(doc_id) AS doc_id_min, max(doc_id) AS doc_id_max,
-        |  min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max,
-        |  count(n_chars) AS n_chars_cnt
-        |FROM documents""".stripMargin,
-    "corpus_sql_time_travel" ->
-      """SELECT 'v0' AS snap, doc_id, text, lang, source, n_chars FROM documents
-        |UNION ALL
-        |SELECT 'head' AS snap, doc_id,
-        |  CASE WHEN doc_id % 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,
-        |  lang, source, n_chars
-        |FROM documents""".stripMargin,
-    "corpus_format_write" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,
-        |  lang, source, n_chars
-        |FROM documents""".stripMargin,
-    "corpus_changes_keyed" ->
-      """SELECT doc_id, '[redacted-v2]' AS text, lang, source, n_chars,
-        |  'update' AS _change_type
-        |FROM documents WHERE doc_id % 31 = 0
-        |UNION ALL
-        |SELECT doc_id + 10000000, text, lang, source, n_chars, 'insert'
-        |FROM documents WHERE doc_id % 53 = 1
-        |UNION ALL
-        |SELECT doc_id, text, lang, source, n_chars, 'delete'
-        |FROM documents WHERE doc_id % 17 = 0 AND doc_id % 31 <> 0""".stripMargin,
-    "corpus_changes_stream" ->
-      """SELECT doc_id, '[redacted-v2]' AS text, lang, source, n_chars,
-        |  'update' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
-        |FROM documents WHERE doc_id % 31 = 0
-        |UNION ALL
-        |SELECT doc_id + 10000000, text, lang, source, n_chars, 'insert',
-        |  CAST(1 AS BIGINT)
-        |FROM documents WHERE doc_id % 53 = 1
-        |UNION ALL
-        |SELECT doc_id, text, lang, source, n_chars, 'delete', CAST(1 AS BIGINT)
-        |FROM documents WHERE doc_id % 17 = 0 AND doc_id % 31 <> 0""".stripMargin,
-    "corpus_stream_mirror" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,
-        |  lang, source, n_chars
-        |FROM documents WHERE doc_id % 17 <> 0 OR doc_id % 31 = 0
-        |UNION ALL
-        |SELECT doc_id + 10000000, text, lang, source, n_chars
-        |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
-    "corpus_apply_delta" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 31 = 0 THEN '[redacted-v2]' ELSE text END AS text,
-        |  lang, source, n_chars
-        |FROM documents WHERE doc_id % 17 <> 0 OR doc_id % 31 = 0
-        |UNION ALL
-        |SELECT doc_id + 10000000, text, lang, source, n_chars
-        |FROM documents WHERE doc_id % 53 = 1""".stripMargin,
-    "corpus_changes" ->
-      """SELECT doc_id, '[redacted-v2]' AS text, lang, source, n_chars,
-        |  'added' AS _change FROM documents WHERE doc_id % 31 = 0
-        |UNION ALL
-        |SELECT doc_id + 10000000, text, lang, source, n_chars, 'added'
-        |FROM documents WHERE doc_id % 53 = 1
-        |UNION ALL
-        |SELECT doc_id, text, lang, source, n_chars, 'removed'
-        |FROM documents WHERE doc_id % 31 = 0""".stripMargin,
-    "doc_stats" ->
-      s"""WITH $toksCte
-         |SELECT doc_id,
-         |  len(t) AS n_tokens,
-         |  len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_bpe,
-         |  length(norm) AS n_chars_norm,
-         |  round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) AS stopword_ratio,
-         |  round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) AS punct_ratio,
-         |  round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) AS digit_ratio,
-         |  round(list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b)::double / len(t), 6) AS mean_token_len
-         |FROM toks""".stripMargin,
-    "doc_quality" ->
-      s"""WITH $toksCte,
-         |stats AS (
-         |  SELECT doc_id, len(t) AS n_tokens,
-         |    round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) AS stopword_ratio,
-         |    round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) AS punct_ratio,
-         |    round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) AS digit_ratio
-         |  FROM toks)
-         |SELECT doc_id,
-         |  (n_tokens BETWEEN 20 AND 100000)::int AS length_ok,
-         |  (stopword_ratio >= 0.001)::int AS stopword_ok,
-         |  (punct_ratio <= 0.2)::int AS punct_ok,
-         |  (digit_ratio <= 0.3)::int AS digit_ok,
-         |  round(((n_tokens BETWEEN 20 AND 100000)::int + (stopword_ratio >= 0.001)::int
-         |       + (punct_ratio <= 0.2)::int + (digit_ratio <= 0.3)::int)::double / 4, 6) AS quality_score
-         |FROM stats""".stripMargin,
-    "doc_langid" -> {
-      val hits = Seq(
-        "en" -> graft.functions.TextFns.StopwordsEn,
-        "es" -> graft.functions.TextFns.StopwordsEs,
-        "de" -> graft.functions.TextFns.StopwordsDe,
-        "fr" -> graft.functions.TextFns.StopwordsFr)
-      val hitCols = hits.map { case (n, ws) =>
-        s"len(list_filter(t, x -> x IN ${inList(ws)})) AS hits_$n" }.mkString(",\n  ")
-      val best = "greatest(hits_en, hits_es, hits_de, hits_fr)"
-      val cases = hits.map { case (n, _) =>
-        s"WHEN hits_$n > 0 AND hits_$n = $best THEN '$n'" }.mkString("\n  ")
-      s"""WITH $toksCte,
-         |h AS (SELECT doc_id,
-         |  $hitCols
-         |FROM toks)
-         |SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
-         |  CASE $cases ELSE 'und' END AS lang_pred
-         |FROM h""".stripMargin
-    },
-    // Replays TextOps.vocabCoverage: token counts, (cnt desc, token)
-    // rank, every k evaluated in one aggregate.
-    "vocab_coverage" ->
-      s"""WITH $toksCte,
-         |tc AS (SELECT u.tok AS token, count(*) AS cnt
-         |       FROM toks, UNNEST(t) AS u(tok)
-         |       WHERE length(u.tok) > 0 GROUP BY 1),
-         |r AS (SELECT token, cnt,
-         |        row_number() OVER (ORDER BY cnt DESC, token) AS rk
-         |      FROM tc),
-         |a AS (SELECT sum(cnt)::BIGINT AS total,
-         |  sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END)::BIGINT AS cov_10,
-         |  sum(CASE WHEN rk <= 50 THEN cnt ELSE 0 END)::BIGINT AS cov_50,
-         |  sum(CASE WHEN rk <= 100 THEN cnt ELSE 0 END)::BIGINT AS cov_100
-         |  FROM r)
-         |SELECT 10 AS k, cov_10 AS covered, total AS total_tokens,
-         |  round(cov_10 / total::DOUBLE, 6) AS coverage FROM a
-         |UNION ALL SELECT 50, cov_50, total, round(cov_50 / total::DOUBLE, 6) FROM a
-         |UNION ALL SELECT 100, cov_100, total, round(cov_100 / total::DOUBLE, 6) FROM a""".stripMargin,
-    // Replays TextOps.langIdConfusion: the doc_langid prediction joined
-    // back to the labeled lang, counted per (label, prediction) cell.
-    "langid_confusion" -> {
-      val hits = Seq(
-        "en" -> graft.functions.TextFns.StopwordsEn,
-        "es" -> graft.functions.TextFns.StopwordsEs,
-        "de" -> graft.functions.TextFns.StopwordsDe,
-        "fr" -> graft.functions.TextFns.StopwordsFr)
-      val hitCols = hits.map { case (n, ws) =>
-        s"len(list_filter(t, x -> x IN ${inList(ws)})) AS hits_$n" }.mkString(",\n  ")
-      val best = "greatest(hits_en, hits_es, hits_de, hits_fr)"
-      val cases = hits.map { case (n, _) =>
-        s"WHEN hits_$n > 0 AND hits_$n = $best THEN '$n'" }.mkString("\n  ")
-      s"""WITH $toksCte,
-         |h AS (SELECT doc_id,
-         |  $hitCols
-         |FROM toks),
-         |p AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM h)
-         |SELECT d.lang, p.lang_pred, count(*) AS n_docs
-         |FROM documents d JOIN p USING (doc_id)
-         |GROUP BY 1, 2""".stripMargin
-    },
-    "doc_repetition" ->
-      s"""WITH $toksCte,
-         |grams AS (
-         |  SELECT doc_id, length(norm) AS n_chars, ns.n,
-         |         array_to_string(t[i:i+ns.n-1], ' ') AS gram
-         |  FROM toks, (VALUES (2), (3)) AS ns(n),
-         |       UNNEST(range(1, len(t) - ns.n + 2)) AS u(i)
-         |  WHERE len(t) >= ns.n),
-         |cnt AS (
-         |  SELECT doc_id, n_chars, n, gram, count(*) AS cnt
-         |  FROM grams GROUP BY ALL),
-         |top2 AS (
-         |  SELECT doc_id,
-         |    round((max(cnt * 16777216 + length(gram)) // 16777216)
-         |          * (max(cnt * 16777216 + length(gram)) % 16777216)
-         |          / any_value(n_chars), 6) AS top2_frac
-         |  FROM cnt WHERE n = 2 GROUP BY doc_id),
-         |dup3 AS (
-         |  SELECT doc_id,
-         |    round(coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0)
-         |          / any_value(n_chars), 6) AS dup3_frac
-         |  FROM cnt WHERE n = 3 GROUP BY doc_id)
-         |SELECT toks.doc_id, len(t) AS n_tokens,
-         |  round((len(t) - len(list_distinct(t)))::double / len(t), 6) AS dup_token_frac,
-         |  coalesce(top2_frac, 0) AS top2_frac,
-         |  coalesce(dup3_frac, 0) AS dup3_frac
-         |FROM toks LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)""".stripMargin,
-    "doc_fingerprint" ->
-      s"""WITH $toksCte
-         |SELECT doc_id, md5(norm) AS fp_md5, length(norm) AS fp_len FROM toks""".stripMargin,
-    "dedup_exact" ->
-      s"""WITH $toksCte
-         |SELECT md5(norm) AS fp_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
-         |FROM toks GROUP BY 1""".stripMargin,
-    // Replays TextOps.dedupExactIncremental: the delta's fingerprints
-    // (the % 10 = 0 split plus the PLANTED re-keyed copies of existing
-    // % 97 = 3 docs — guaranteed hits, so the probe is non-vacuous at
-    // verify scale) joined to the existing split's (fp -> min doc)
-    // index. The bloom arm composes to the identical result (no false
-    // negatives; false positives die in the verify join), so both
-    // queries share this SQL.
-    "dedup_exact_delta" -> dedupExactDeltaOracle,
-    "dedup_exact_delta_bloom" -> dedupExactDeltaOracle,
-    "neardup_jaccard" ->
-      s"""WITH $jaccardPairsCtes
-         |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard
-         |FROM jacc_pairs WHERE jaccard >= 0.8""".stripMargin,
-    // Full BPE-trainer replay (r9): ten generated merge rounds. Word
-    // states ride as chr(1)||sym||chr(2)-wrapped strings so a plain
-    // replace() IS the trainer's left-to-right non-overlapping merge
-    // fold (each match is fully self-contained — no delimiter sharing,
-    // no cross-symbol false matches); each round re-derives the symbol
-    // lists, takes the (count desc, pair asc) argmax, and rewrites.
-    // Exhausted rounds emit nothing here and carry word states forward
-    // unchanged (duckBpeCtes's LEFT JOIN fallback). Guarded against
-    // control-char collisions in the corpus (would corrupt the
-    // wrapping — ASCII-printable verified).
-    "vocab_bpe" -> {
-      val sel = (0 until BpeOracleRounds).map(r =>
-        s"""SELECT ${r + 1} AS "rank", a AS "left", b AS "right", a || b AS merged, n AS pair_count FROM t$r""")
-        .mkString("\nUNION ALL ")
-      s"WITH $duckBpeCtes\n" + sel
-    },
-    // The ENCODE half rides the SAME generated trainer chain: a word's
-    // post-merge token count is simply the symbol count of its final
-    // round state, so per-doc accounting is one words-to-final-states
-    // join (train-then-encode round-trips exactly, as the Spark side's
-    // kernel contract promises). Empty docs keep their zero row via the
-    // left join.
-    "doc_bpe_encode" -> {
-      s"""WITH $duckBpeCtes,
-         |wf AS (SELECT w, len(string_split(trim(replace(state, chr(2) || chr(1), chr(31)),
-         |    chr(1) || chr(2)), chr(31))) AS n_tok FROM w$BpeOracleRounds),
-         |dw AS (SELECT doc_id, w FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) z
-         |  WHERE length(w) > 0),
-         |agg AS (
-         |  SELECT dw.doc_id, count(*) AS nw,
-         |    CAST(SUM(length(dw.w)) AS BIGINT) AS nc,
-         |    CAST(SUM(wf.n_tok) AS BIGINT) AS nt
-         |  FROM dw JOIN wf USING (w) GROUP BY dw.doc_id)
-         |SELECT d.doc_id,
-         |  COALESCE(nw, 0) AS n_words,
-         |  COALESCE(nc, 0) AS n_chars,
-         |  COALESCE(nt, 0) AS n_bpe_tokens,
-         |  round(COALESCE(nc, 0)::DOUBLE / greatest(COALESCE(nt, 0), 1), 6) AS chars_per_token
-         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
-    },
-    // Full SimHash replay (r9): per-token xxhash64 via duckXxh64Ctes
-    // (token MULTISET — repeats count, as in the kernel's fold), 64
-    // sign counters as 2·set-bits > n per (doc, bit), banding by 8-bit
-    // slice VALUE equality (Spark bands by hash(b, slice) — same
-    // negligible-collision argument as the minhash oracle, here the
-    // survivor additionally needs hamming <= 5 of 64), exact
-    // bit_count(xor) verify.
-    "neardup_simhash" -> {
-      val pw = (0 until 64).map(b =>
-        java.math.BigInteger.ONE.shiftLeft(b).toString).mkString("[", ", ", "]::HUGEINT[]")
-      val p8 = (0 until 8).map(b =>
-        java.math.BigInteger.ONE.shiftLeft(8 * b).toString).mkString("[", ", ", "]::HUGEINT[]")
-      s"""WITH $toksCte,
-         |tok AS (SELECT doc_id, t[ii.i] AS s FROM toks,
-         |        UNNEST(generate_series(1, len(t))) AS ii(i)),
-         |$duckXxh64Ctes,
-         |bits AS (
-         |  SELECT doc_id, bb.b AS b,
-         |    (2 * SUM(((h // ($pw)[bb.b + 1]) % 2)::BIGINT) > COUNT(*)) AS bit_on
-         |  FROM hu, UNNEST(generate_series(0, 63)) AS bb(b)
-         |  GROUP BY doc_id, bb.b),
-         |sig AS (
-         |  SELECT doc_id,
-         |    SUM(CASE WHEN bit_on THEN ($pw)[b + 1] ELSE 0::HUGEINT END) AS sg
-         |  FROM bits GROUP BY doc_id),
-         |bnd AS (
-         |  SELECT doc_id, sg, bb.b AS b, (sg // ($p8)[bb.b + 1]) % 256 AS k
-         |  FROM sig, UNNEST(generate_series(0, 7)) AS bb(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.sg AS sa, c.sg AS sb
-         |  FROM bnd a JOIN bnd c ON a.b = c.b AND a.k = c.k AND a.doc_id < c.doc_id)
-         |SELECT doc_a, doc_b, hamming FROM (
-         |  SELECT doc_a, doc_b, bit_count(xor(
-         |    (CASE WHEN sa >= 9223372036854775808::HUGEINT THEN sa - 18446744073709551616::HUGEINT ELSE sa END)::BIGINT,
-         |    (CASE WHEN sb >= 9223372036854775808::HUGEINT THEN sb - 18446744073709551616::HUGEINT ELSE sb END)::BIGINT)) AS hamming
-         |  FROM cand) z
-         |WHERE hamming <= 5""".stripMargin
-    },
-    // Full MinHash replay (r9): shingle murmur3 via duckMurmur3Cte,
-    // the 64-perm (a,b) family as literals from the SAME Scala function
-    // the kernel uses, per-doc min signatures, banding by slice
-    // EQUALITY (Spark bands by hash(b, slice) — a 32-bit band-key
-    // collision could add a spurious candidate there, but it would
-    // also need est_jaccard >= 0.8 (52/64 agreeing mins between
-    // unrelated docs) to reach the output — jointly negligible), and
-    // the signature-agreement estimate.
-    "neardup_minhash" -> {
-      val prime = graft.functions.TextFns.MinhashPrime
-      val mins = (0 until 64).map { i =>
-        val (a, b) = graft.functions.TextFns.permParams(i)
-        s"min((h * $a + $b) % $prime)"
-      }.mkString(",\n         |    ")
-      s"""WITH $toksCte,
-         |shx AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')))) AS s
-         |  FROM toks WHERE len(t) >= 3),
-         |$duckMurmur3Cte,
-         |sig AS (
-         |  SELECT doc_id, list_value(
-         |    $mins) AS sg
-         |  FROM mh GROUP BY doc_id),
-         |bnd AS (SELECT doc_id, sg, unnest(generate_series(0, 7)) AS b FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.sg AS sa, c.sg AS sb
-         |  FROM bnd a JOIN bnd c ON a.b = c.b
-         |    AND a.sg[a.b*8 + 1 : a.b*8 + 8] = c.sg[c.b*8 + 1 : c.b*8 + 8]
-         |    AND a.doc_id < c.doc_id)
-         |SELECT doc_a, doc_b, est_jaccard FROM (
-         |  SELECT doc_a, doc_b,
-         |    round(list_sum(list_transform(generate_series(1, 64),
-         |      i -> (sa[i] = sb[i])::int))::DOUBLE / 64, 6) AS est_jaccard
-         |  FROM cand) z
-         |WHERE est_jaccard >= 0.8""".stripMargin
-    },
-    "doc_novelty" ->
-      s"""WITH $toksCte,
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, len(t)-2),
-         |    i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT)) AS s
-         |  FROM toks WHERE len(t) >= 3),
-         |sizes AS (SELECT doc_id, len(s) AS n_shingles FROM sh WHERE len(s) > 0),
-         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
-         |fs AS (SELECT shingle, MIN(doc_id) AS first_doc FROM ex GROUP BY 1),
-         |nv AS (SELECT first_doc AS doc_id, count(*) AS novel_shingles FROM fs GROUP BY 1)
-         |SELECT sizes.doc_id, n_shingles,
-         |  coalesce(novel_shingles, 0) AS novel_shingles,
-         |  round(coalesce(novel_shingles, 0)::double / n_shingles, 6) AS novelty
-         |FROM sizes LEFT JOIN nv USING (doc_id)""".stripMargin,
-    // Replays TextOps.docDupSpans: 40-char windows at stride 10 over the
-    // normalized text, windows in >=2 distinct docs mark their ranges,
-    // gaps-and-islands merge, per-doc span accounting.
-    "doc_dup_spans" ->
-      s"""WITH n AS (
-         |  SELECT doc_id,
-         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
-         |  FROM documents),
-         |d AS (SELECT doc_id, norm, length(norm) AS len FROM n
-         |      WHERE length(norm) >= 40),
-         |win AS (
-         |  SELECT doc_id, len, u.i AS start, substr(norm, u.i, 40) AS w
-         |  FROM d, UNNEST(generate_series(1, len - 39, 10)) AS u(i)),
-         |dup AS (SELECT w FROM win GROUP BY w
-         |        HAVING count(DISTINCT doc_id) >= 2),
-         |occ AS (SELECT win.doc_id, win.start FROM win JOIN dup USING (w)),
-         |fl AS (
-         |  SELECT doc_id, start,
-         |    max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-         |  FROM occ),
-         |isl AS (
-         |  SELECT doc_id, start,
-         |    sum(CASE WHEN prev_end IS NULL OR start > prev_end
-         |             THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY start
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-         |  FROM fl),
-         |sp AS (
-         |  SELECT doc_id, span_id, max(start + 40) - min(start) AS span_len
-         |  FROM isl GROUP BY doc_id, span_id),
-         |agg AS (
-         |  SELECT doc_id, count(*) AS n_dup_spans,
-         |    sum(span_len)::BIGINT AS dup_chars
-         |  FROM sp GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(n_dup_spans, 0) AS n_dup_spans,
-         |  coalesce(dup_chars, 0) AS dup_chars,
-         |  round(coalesce(dup_chars, 0)::DOUBLE / d.len, 6) AS dup_frac
-         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
-    // Replays TextOps.docDupSpansIncremental: the incoming split's
-    // windows semi-joined against the existing split's distinct keys,
-    // then the same island merge — scored over incoming docs only.
-    "doc_dup_spans_delta" ->
-      s"""WITH n AS (
-         |  SELECT doc_id,
-         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
-         |  FROM documents),
-         |d AS (SELECT doc_id, norm, length(norm) AS len FROM n
-         |      WHERE length(norm) >= 40),
-         |win AS (
-         |  SELECT doc_id, len, u.i AS start, substr(norm, u.i, 40) AS w
-         |  FROM d, UNNEST(generate_series(1, len - 39, 10)) AS u(i)),
-         |exw AS (SELECT DISTINCT w FROM win WHERE doc_id % 10 <> 0),
-         |occ AS (SELECT win.doc_id, win.start FROM win JOIN exw USING (w)
-         |        WHERE win.doc_id % 10 = 0),
-         |fl AS (
-         |  SELECT doc_id, start,
-         |    max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-         |  FROM occ),
-         |isl AS (
-         |  SELECT doc_id, start,
-         |    sum(CASE WHEN prev_end IS NULL OR start > prev_end
-         |             THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY start
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-         |  FROM fl),
-         |sp AS (
-         |  SELECT doc_id, span_id, max(start + 40) - min(start) AS span_len
-         |  FROM isl GROUP BY doc_id, span_id),
-         |agg AS (
-         |  SELECT doc_id, count(*) AS n_dup_spans,
-         |    sum(span_len)::BIGINT AS dup_chars
-         |  FROM sp GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(n_dup_spans, 0) AS n_dup_spans,
-         |  coalesce(dup_chars, 0) AS dup_chars,
-         |  round(coalesce(dup_chars, 0)::DOUBLE / d.len, 6) AS dup_frac
-         |FROM d LEFT JOIN agg USING (doc_id)
-         |WHERE d.doc_id % 10 = 0""".stripMargin,
-    // Replays TextOps.sourceOverlap via the naive distinct-(w,source)
-    // self-join — identical matrix to the operator's row-local pair
-    // expansion.
-    "source_overlap" ->
-      s"""WITH n AS (
-         |  SELECT source,
-         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
-         |  FROM documents),
-         |d AS (SELECT source, norm, length(norm) AS len FROM n
-         |      WHERE length(norm) >= 40),
-         |ws AS (
-         |  SELECT DISTINCT source, substr(norm, u.i, 40) AS w
-         |  FROM d, UNNEST(generate_series(1, len - 39, 10)) AS u(i))
-         |SELECT a.source AS source_a, b.source AS source_b,
-         |  count(*) AS shared_windows
-         |FROM ws a JOIN ws b ON a.w = b.w AND a.source < b.source
-         |GROUP BY 1, 2""".stripMargin,
-    // Replays TextOps.sourceEffectiveSize: the doc_dup_spans pipeline
-    // rolled up to source grain over normalized char mass.
-    "source_effective_size" ->
-      s"""WITH n AS (
-         |  SELECT doc_id, source,
-         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
-         |  FROM documents),
-         |d AS (SELECT doc_id, source, norm, length(norm) AS len FROM n
-         |      WHERE length(norm) >= 40),
-         |win AS (
-         |  SELECT doc_id, len, u.i AS start, substr(norm, u.i, 40) AS w
-         |  FROM d, UNNEST(generate_series(1, len - 39, 10)) AS u(i)),
-         |dup AS (SELECT w FROM win GROUP BY w
-         |        HAVING count(DISTINCT doc_id) >= 2),
-         |occ AS (SELECT win.doc_id, win.start FROM win JOIN dup USING (w)),
-         |fl AS (
-         |  SELECT doc_id, start,
-         |    max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-         |  FROM occ),
-         |isl AS (
-         |  SELECT doc_id, start,
-         |    sum(CASE WHEN prev_end IS NULL OR start > prev_end
-         |             THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY start
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-         |  FROM fl),
-         |sp AS (
-         |  SELECT doc_id, span_id, max(start + 40) - min(start) AS span_len
-         |  FROM isl GROUP BY doc_id, span_id),
-         |agg AS (
-         |  SELECT doc_id, sum(span_len)::BIGINT AS dup_chars
-         |  FROM sp GROUP BY doc_id)
-         |SELECT d.source, count(*) AS n_docs,
-         |  sum(d.len)::BIGINT AS total_chars,
-         |  sum(coalesce(dup_chars, 0))::BIGINT AS dup_chars,
-         |  (sum(d.len) - sum(coalesce(dup_chars, 0)))::BIGINT AS effective_chars,
-         |  round(sum(coalesce(dup_chars, 0))::DOUBLE / sum(d.len), 6) AS dup_rate
-         |FROM d LEFT JOIN agg USING (doc_id)
-         |GROUP BY d.source""".stripMargin,
-    // Replays TextOps.docDupExcise: same window/dup machinery as
-    // doc_dup_spans, but occurrences excise only in non-canonical docs
-    // (min doc_id keeps the copy), the kept complement segments stitch
-    // back in order, and the cleaned text is md5-fingerprinted.
-    "doc_dup_excise" ->
-      s"""WITH n AS (
-         |  SELECT doc_id,
-         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
-         |  FROM documents),
-         |d AS (SELECT doc_id, norm, length(norm) AS len FROM n
-         |      WHERE length(norm) >= 40),
-         |win AS (
-         |  SELECT doc_id, len, u.i AS start, substr(norm, u.i, 40) AS w
-         |  FROM d, UNNEST(generate_series(1, len - 39, 10)) AS u(i)),
-         |ks AS (SELECT w, count(DISTINCT doc_id) AS nd, min(doc_id) AS min_doc
-         |       FROM win GROUP BY w),
-         |occ AS (SELECT win.doc_id, win.start FROM win JOIN ks USING (w)
-         |        WHERE ks.nd >= 2 AND win.doc_id <> ks.min_doc),
-         |fl AS (
-         |  SELECT doc_id, start,
-         |    max(start + 40) OVER (PARTITION BY doc_id ORDER BY start
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-         |  FROM occ),
-         |isl AS (
-         |  SELECT doc_id, start,
-         |    sum(CASE WHEN prev_end IS NULL OR start > prev_end
-         |             THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY start
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-         |  FROM fl),
-         |sp AS (
-         |  SELECT doc_id, span_id, min(start) AS s, max(start + 40) AS e
-         |  FROM isl GROUP BY doc_id, span_id),
-         |gaps AS (
-         |  SELECT doc_id,
-         |    lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS seg_start,
-         |    s - lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS seg_len
-         |  FROM sp),
-         |tails AS (
-         |  SELECT sp.doc_id, max(e) AS seg_start,
-         |    any_value(len) - max(e) + 1 AS seg_len
-         |  FROM sp JOIN d USING (doc_id) GROUP BY sp.doc_id),
-         |segs AS (SELECT * FROM gaps WHERE seg_len > 0
-         |         UNION ALL SELECT * FROM tails WHERE seg_len > 0),
-         |st AS (
-         |  SELECT segs.doc_id,
-         |    string_agg(substr(d.norm, seg_start, seg_len), ''
-         |               ORDER BY seg_start) AS clean
-         |  FROM segs JOIN d USING (doc_id) GROUP BY segs.doc_id),
-         |cuts AS (
-         |  SELECT doc_id, count(*) AS n_cuts,
-         |    sum(e - s)::BIGINT AS removed_chars
-         |  FROM sp GROUP BY doc_id),
-         |aff AS (
-         |  SELECT cuts.doc_id, n_cuts, removed_chars,
-         |    coalesce(clean, '') AS clean
-         |  FROM cuts LEFT JOIN st USING (doc_id))
-         |SELECT d.doc_id, coalesce(n_cuts, 0) AS n_cuts,
-         |  coalesce(removed_chars, 0) AS removed_chars,
-         |  d.len - coalesce(removed_chars, 0) AS clean_len,
-         |  md5(CASE WHEN aff.doc_id IS NOT NULL THEN aff.clean
-         |           ELSE d.norm END) AS clean_md5
-         |FROM d LEFT JOIN aff ON d.doc_id = aff.doc_id""".stripMargin,
-    // Replays ExportOps.shardManifestBalanced: global (n_chars, doc_id)
-    // rank dealt round-robin over 8 shards.
-    "export_manifest_balanced" ->
-      """WITH r AS (
-        |  SELECT doc_id, n_chars,
-        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn
-        |  FROM documents)
-        |SELECT (rn - 1) % 8 AS shard, count(*) AS n_docs,
-        |  sum(n_chars)::BIGINT AS n_chars_total,
-        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
-        |FROM r GROUP BY 1""".stripMargin,
-    // Replays ExportOps.shardManifest: the 31-bit LCG pseudo-shuffle
-    // (injective on doc_id), shard = h mod 8, one manifest row per shard.
-    "export_manifest" ->
-      """WITH s AS (
-        |  SELECT doc_id, n_chars,
-        |    (doc_id * 1103515245 + 12345) % 2147483648 AS h
-        |  FROM documents),
-        |sh AS (SELECT doc_id, n_chars, h, h % 8 AS shard FROM s)
-        |SELECT shard, count(*) AS n_docs,
-        |  sum(n_chars)::BIGINT AS n_chars_total,
-        |  arg_min(doc_id, h) AS first_doc, arg_max(doc_id, h) AS last_doc,
-        |  sum(h)::BIGINT AS h_checksum
-        |FROM sh GROUP BY shard""".stripMargin,
-    // Replays VectorOps.annDimTradeoff: per-dimension prefix cosines in
-    // one pair sweep, chained ranks, recall vs the 64-dim truth.
-    "ann_dim_tradeoff" -> {
-      def pcos(d: Int) = {
-        def dot(x: String, y: String) =
-          s"list_reduce(list_transform(generate_series(1, $d), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (a, v) -> a + v)"
-        s"round(${dot("qd", "vd")} / (sqrt(${dot("qd", "qd")}) * sqrt(${dot("vd", "vd")})), 6)"
-      }
-      s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd
-         |           FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, vd AS qd FROM p WHERE vec_id < 10),
-         |pairs AS (
-         |  SELECT query_id, p.vec_id AS neighbor_id,
-         |    ${pcos(64)} AS cos_64, ${pcos(32)} AS cos_32, ${pcos(16)} AS cos_16
-         |  FROM q, p WHERE p.vec_id != query_id),
-         |r AS (
-         |  SELECT query_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_64 DESC, neighbor_id) AS rn_64,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_32 DESC, neighbor_id) AS rn_32,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_16 DESC, neighbor_id) AS rn_16
-         |  FROM pairs),
-         |h AS (SELECT count(DISTINCT query_id) AS nq,
-         |  sum(CASE WHEN rn_64 <= 5 AND rn_64 <= 5 THEN 1 ELSE 0 END) AS hit_64,
-         |  sum(CASE WHEN rn_32 <= 5 AND rn_64 <= 5 THEN 1 ELSE 0 END) AS hit_32,
-         |  sum(CASE WHEN rn_16 <= 5 AND rn_64 <= 5 THEN 1 ELSE 0 END) AS hit_16
-         |  FROM r)
-         |SELECT 64 AS dim, round(hit_64 / (5.0 * nq), 6) AS recall_at_k FROM h
-         |UNION ALL SELECT 32, round(hit_32 / (5.0 * nq), 6) FROM h
-         |UNION ALL SELECT 16, round(hit_16 / (5.0 * nq), 6) FROM h""".stripMargin
-    },
-    // Replays VectorOps.knnLabelProp: vec_id%5==0 masked unlabeled,
-    // exact-cosine 5-NN from the labeled rest, majority vote (ties ->
-    // smaller label), mean neighborhood similarity.
-    "knn_label_prop" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-         |           FROM embeddings WHERE vec_id % 5 = 0),
-         |pairs AS (
-         |  SELECT query_id, c.vec_id AS neighbor_id, c.label,
-         |         round(${duckCosine("qe", "c.embedding")}, 6) AS cos_sim
-         |  FROM q, embeddings c WHERE c.vec_id % 5 <> 0),
-         |top AS (SELECT * FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM pairs)
-         |  WHERE rn <= 5),
-         |votes AS (SELECT query_id, label, count(*) AS votes
-         |          FROM top GROUP BY 1, 2),
-         |pick AS (SELECT query_id, label AS pred_label, votes FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY votes DESC, label) AS vr FROM votes)
-         |  WHERE vr = 1),
-         |sims AS (SELECT query_id, round(avg(cos_sim), 6) AS mean_sim
-         |         FROM top GROUP BY 1)
-         |SELECT query_id, pred_label, votes, mean_sim
-         |FROM pick JOIN sims USING (query_id)""".stripMargin,
-    "neardup_clusters" ->
-      s"""WITH RECURSIVE $jaccardPairsCtes,
-         |p AS (SELECT doc_a, doc_b FROM jacc_pairs WHERE jaccard >= 0.8),
-         |eu AS (SELECT doc_a AS s, doc_b AS t FROM p UNION SELECT doc_b, doc_a FROM p),
-         |nodes AS (SELECT DISTINCT s AS id FROM eu),
-         |reach AS (
-         |  SELECT id AS s, id AS t FROM nodes
-         |  UNION
-         |  SELECT r.s, e.t FROM reach r JOIN eu e ON r.t = e.s),
-         |lab AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY 1),
-         |csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
-         |SELECT l.doc_id, l.cluster_id, z.cluster_size
-         |FROM lab l JOIN csizes z USING (cluster_id)""".stripMargin,
-    "neardup_cross" ->
-      s"""WITH $toksCte,
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, len(t)-2),
-         |    i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT)) AS s
-         |  FROM toks WHERE len(t) >= 3),
-         |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh WHERE len(s) > 0),
-         |cex AS (SELECT doc_id, unnest(s) AS shingle FROM sh
-         |        WHERE len(s) > 0 AND doc_id % 10 <> 0),
-         |rex AS (SELECT doc_id, unnest(s) AS shingle FROM sh
-         |        WHERE len(s) > 0 AND doc_id % 10 = 0),
-         |rok AS (SELECT shingle FROM rex GROUP BY 1 HAVING count(*) <= 100),
-         |rexr AS (SELECT rex.doc_id, rex.shingle FROM rex JOIN rok USING (shingle)),
-         |sc AS (SELECT c.doc_id AS doc_id, r.doc_id AS ref_doc, count(*) AS shared
-         |       FROM cex c JOIN rexr r USING (shingle) GROUP BY 1, 2)
-         |SELECT sc.doc_id, sc.ref_doc, sc.shared, sa.n_sh AS n_doc, sb.n_sh AS n_ref,
-         |       round(shared::double / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
-         |FROM sc JOIN sizes sa ON sc.doc_id = sa.doc_id
-         |         JOIN sizes sb ON sc.ref_doc = sb.doc_id
-         |WHERE round(shared::double / (sa.n_sh + sb.n_sh - shared), 6) >= 0.8""".stripMargin,
-    "neardup_keep_best" ->
-      s"""WITH RECURSIVE $jaccardPairsCtes,
-         |p AS (SELECT doc_a, doc_b FROM jacc_pairs WHERE jaccard >= 0.8),
-         |eu AS (SELECT doc_a AS s, doc_b AS t FROM p UNION SELECT doc_b, doc_a FROM p),
-         |nodes AS (SELECT DISTINCT s AS id FROM eu),
-         |reach AS (
-         |  SELECT id AS s, id AS t FROM nodes
-         |  UNION
-         |  SELECT r.s, e.t FROM reach r JOIN eu e ON r.t = e.s),
-         |lab AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY 1),
-         |q AS (
-         |  SELECT doc_id,
-         |    round(((len(t) BETWEEN 20 AND 100000)::int
-         |         + (round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) >= 0.001)::int
-         |         + (round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) <= 0.2)::int
-         |         + (round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) <= 0.3)::int)::double / 4, 6)
-         |      AS quality_score
-         |  FROM toks),
-         |ranked AS (
-         |  SELECT l.doc_id, l.cluster_id,
-         |    row_number() OVER (PARTITION BY l.cluster_id
-         |      ORDER BY q.quality_score DESC, l.doc_id) AS rn
-         |  FROM lab l JOIN q USING (doc_id)),
-         |losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
-         |SELECT d.doc_id, d.lang, d.source, q.quality_score
-         |FROM documents d JOIN q USING (doc_id)
-         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
-    "doc_sample" ->
-      """SELECT doc_id, lang, source,
-        |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INT % 100 AS sample_bucket
-        |FROM documents
-        |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::INT % 100
-        |  < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END""".stripMargin,
-    "vocab_topk" ->
-      s"""WITH $toksCte,
-         |ex AS (SELECT doc_id, unnest(t) AS token FROM toks)
-         |SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
-         |FROM ex GROUP BY 1
-         |ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
-    "doc_top_terms" ->
-      s"""WITH $toksCte,
-         |ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
-         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
-         |dfreq AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM ex) GROUP BY 1),
-         |n AS (SELECT COUNT(*) AS n_total FROM documents),
-         |scored AS (
-         |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
-         |    round(tf.tf * ln((n.n_total + 1)::DOUBLE / (dfreq.df + 1)), 6) AS tfidf
-         |  FROM tf JOIN dfreq USING (token), n)
-         |SELECT doc_id, token, tf, df, tfidf, rn FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id
-         |    ORDER BY tfidf DESC, token) AS rn FROM scored)
-         |WHERE rn <= 5""".stripMargin,
-    "neardup_keep" ->
-      s"""WITH $jaccardPairsCtes
-         |SELECT d.doc_id, d.lang, d.source FROM documents d
-         |WHERE d.doc_id NOT IN (SELECT doc_b FROM jacc_pairs WHERE jaccard >= 0.8)""".stripMargin,
-    "doc_winnow" ->
-      s"""WITH $winnowCtes
-         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin,
-    // the incremental result must equal the batch recompute restricted to
-    // pairs touching the incoming split (doc_id % 10 = 0)
-    "neardup_incremental" ->
-      s"""WITH $jaccardPairsCtes
-         |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard FROM jacc_pairs
-         |WHERE jaccard >= 0.8 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin,
-    // the indexed arm is bit-identical to the inline one by
-    // construction (shared posting-cap algebra + pair-emit tail) — one
-    // oracle covers both
-    "neardup_jaccard_delta_indexed" ->
-      s"""WITH $jaccardPairsCtes
-         |SELECT doc_a, doc_b, shared, n_a, n_b, jaccard FROM jacc_pairs
-         |WHERE jaccard >= 0.8 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""".stripMargin,
-    "neardup_pagerank" -> {
-      // the same unrolled rounds the Spark side runs; damping 0.75 and
-      // teleport 0.25 are exact in binary and decimal, so both engines
-      // hold identical constants however the literal is parsed
-      val rounds = (1 to 5).map(t =>
-        s"""r$t AS (
-           |  SELECT e.dst AS id, 0.25 + 0.75 * sum(r.rank / d.deg) AS rank
-           |  FROM r${t - 1} r JOIN deg d ON r.id = d.id JOIN edges e ON r.id = e.src
-           |  GROUP BY 1)""".stripMargin).mkString(",\n")
-      s"""WITH $jaccardPairsCtes,
-         |qp AS (SELECT doc_a, doc_b FROM jacc_pairs WHERE jaccard >= 0.8),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM qp
-         |          UNION ALL SELECT doc_b, doc_a FROM qp),
-         |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
-         |r0 AS (SELECT id, 1.0 AS rank FROM deg),
-         |$rounds
-         |SELECT id AS doc_id, round(rank, 6) AS rank FROM r5""".stripMargin
-    },
-    "neardup_graph_stats" ->
-      s"""WITH $jaccardPairsCtes,
-         |p AS (SELECT doc_a, doc_b FROM jacc_pairs WHERE jaccard >= 0.8),
-         |ends AS (SELECT doc_a AS id FROM p UNION ALL SELECT doc_b FROM p),
-         |deg AS (SELECT id, count(*) AS deg FROM ends GROUP BY 1)
-         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
-         |       (SELECT count(*) FROM p) AS n_edges,
-         |       (SELECT max(deg) FROM deg) AS max_degree,
-         |       (SELECT count(*)
-         |        FROM p e1 JOIN p e2 ON e1.doc_b = e2.doc_a
-         |        JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
-         |         AS n_triangles""".stripMargin,
-    "vocab_collocations" ->
-      s"""WITH $toksCte,
-         |u AS (SELECT unnest(t) AS w FROM toks),
-         |uc AS (SELECT w, count(*) AS cu FROM u GROUP BY 1),
-         |bg AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
-         |         i -> [t[i], t[i+1]])) AS p
-         |       FROM toks WHERE len(t) >= 2),
-         |bc AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS cnt_b FROM bg GROUP BY 1, 2),
-         |tot AS (SELECT (SELECT count(*) FROM u) AS t_uni,
-         |               (SELECT count(*) FROM bg) AS t_bi)
-         |SELECT w1, w2, cnt_b,
-         |  round((cnt_b::DOUBLE * t_uni * t_uni)
-         |        / (t_bi::DOUBLE * u1.cu * u2.cu), 6) AS lift
-         |FROM bc, tot
-         |JOIN uc u1 ON bc.w1 = u1.w
-         |JOIN uc u2 ON bc.w2 = u2.w
-         |WHERE cnt_b >= 5
-         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
-    "part_fuzzy_matches" ->
-      """WITH names AS (
-        |  SELECT p_name, p_size, count(*) AS n_parts,
-        |         string_split(p_name, ' ')[-1] AS blk
-        |  FROM part GROUP BY 1, 2)
-        |SELECT a.p_size, a.p_name AS name_a, b.p_name AS name_b,
-        |       levenshtein(a.p_name, b.p_name) AS edit_dist,
-        |       a.n_parts AS n_a, b.n_parts AS n_b
-        |FROM names a JOIN names b
-        |  ON a.blk = b.blk AND a.p_size = b.p_size AND a.p_name < b.p_name
-        |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin,
-    "events_transitions" ->
-      s"""WITH $eventsCte,
-         |steps AS (
-         |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-         |           AS from_type,
-         |         event_type AS to_type
-         |  FROM e),
-         |c AS (SELECT from_type, to_type, COUNT(*) AS n_steps
-         |      FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2)
-         |SELECT from_type, to_type, n_steps,
-         |  round(n_steps::DOUBLE
-         |        / SUM(n_steps) OVER (PARTITION BY from_type), 6) AS p_transition
-         |FROM c ORDER BY from_type, to_type""".stripMargin,
-    "doc_normalize" ->
-      """WITH n AS (
-        |  SELECT doc_id, length(text) AS n_chars_raw,
-        |    trim(regexp_replace(regexp_replace(
-        |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
-        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS cleaned
-        |  FROM documents)
-        |SELECT doc_id, n_chars_raw, length(cleaned) AS n_chars_clean,
-        |  md5(cleaned) AS clean_md5,
-        |  round((n_chars_raw - length(cleaned))::DOUBLE
-        |        / greatest(n_chars_raw, 1), 6) AS shrinkage
-        |FROM n""".stripMargin,
-    "market_share" ->
-      """SELECT year(o_orderdate) AS order_year,
-        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
-        |        * (CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END) AS DECIMAL(18,2)))
-        |    AS DOUBLE) AS region_revenue,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
-        |  round(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
-        |        * (CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END) AS DECIMAL(18,2)))
-        |    AS DOUBLE)
-        |    / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6)
-        |    AS market_share
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "customer_order_span" ->
-      """WITH w AS (
-        |  SELECT o_custkey,
-        |    first_value(o_orderdate) OVER f AS fo,
-        |    nth_value(o_orderdate, 2) OVER f AS so,
-        |    last_value(o_orderdate) OVER f AS lo,
-        |    COUNT(*) OVER f AS n_orders,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |                       ORDER BY o_orderdate, o_orderkey) AS rn
-        |  FROM orders
-        |  WINDOW f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-        |SELECT o_custkey, fo::date AS first_order, so::date AS second_order,
-        |       lo::date AS latest_order, n_orders
-        |FROM w WHERE rn = 1""".stripMargin,
-    "events_mad" ->
-      s"""WITH $eventsCte,
-         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS mv FROM e GROUP BY 1)
-         |SELECT e.event_type, round(any_value(mv), 6) AS median_value,
-         |  round(quantile_cont(abs(value - mv), 0.5), 6) AS mad
-         |FROM e JOIN med ON e.event_type = med.event_type
-         |GROUP BY 1""".stripMargin,
-    "churned_customers" ->
-      """SELECT c_mktsegment, COUNT(*) AS n_churned
-        |FROM customer
-        |WHERE c_custkey IN (
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
-        |  EXCEPT
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "repeat_customers" ->
-      """SELECT c_mktsegment, COUNT(*) AS n_repeat
-        |FROM customer
-        |WHERE c_custkey IN (
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
-        |  INTERSECT
-        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "nation_revenue_share" ->
-      """WITH per_nation AS (
-        |  SELECT r_name, n_name,
-        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue_dec
-        |  FROM orders
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
-        |  GROUP BY 1, 2)
-        |SELECT r_name, n_name, CAST(revenue_dec AS DOUBLE) AS revenue,
-        |  round(CAST(revenue_dec AS DOUBLE)
-        |        / CAST(SUM(revenue_dec) OVER (PARTITION BY r_name) AS DOUBLE),
-        |        6) AS region_share
-        |FROM per_nation ORDER BY r_name, n_name""".stripMargin,
-    "events_corr" ->
-      s"""WITH $eventsCte,
-         |m AS (
-         |  SELECT event_type, COUNT(*) AS n,
-         |    SUM(CAST(value AS DECIMAL(18,6))) AS sv,
-         |    SUM(CAST(hour(ts) AS DECIMAL(18,6))) AS sh,
-         |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS svv,
-         |    SUM(CAST(CAST(hour(ts) AS DECIMAL(18,6)) * CAST(hour(ts) AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS shh,
-         |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(hour(ts) AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS svh
-         |  FROM e GROUP BY 1)
-         |SELECT event_type, n,
-         |  round((n::DOUBLE * svh::DOUBLE - sv::DOUBLE * sh::DOUBLE)
-         |    / sqrt((n::DOUBLE * svv::DOUBLE - sv::DOUBLE * sv::DOUBLE)
-         |           * (n::DOUBLE * shh::DOUBLE - sh::DOUBLE * sh::DOUBLE)),
-         |    6) AS corr_value_hour
-         |FROM m""".stripMargin,
-    "corpus_keep" -> corpusKeepSql,
-    // fused text+vector curation: the corpus_keep verdict AND surviving
-    // the embedding-side semantic dedup — one doc_id=vec_id join
-    "corpus_keep_semantic" ->
-      s"""WITH ${duckKmeansCte(8, 2)},
-         |drops AS (
-         |  SELECT DISTINCT b.vec_id
-         |  FROM asg2 a JOIN asg2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  JOIN emb ea ON ea.vec_id = a.vec_id
-         |  JOIN emb eb ON eb.vec_id = b.vec_id
-         |  WHERE round(${duckCosine("ea.v", "eb.v")}, 6) >= 0.45),
-         |sem AS (SELECT vec_id FROM asg2
-         |        WHERE vec_id NOT IN (SELECT vec_id FROM drops)),
-         |tk AS ($corpusKeepSql)
-         |SELECT tk.doc_id, tk.keep AS text_keep,
-         |  CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END AS semantic_ok,
-         |  tk.keep * (CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END) AS keep
-         |FROM tk LEFT JOIN sem s ON tk.doc_id = s.vec_id""".stripMargin,
-    "doc_embed_hash" ->
-      s"""WITH $toksCte,
-         |tf AS (
-         |  SELECT doc_id, token, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
-         |  GROUP BY 1, 2),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hk, tf
-         |      FROM tf)
-         |SELECT doc_id, (hk % 64)::int AS dim,
-         |  sum(((hk >> 32) % 2 * 2 - 1) * tf)::BIGINT AS weight
-         |FROM h GROUP BY 1, 2
-         |HAVING sum(((hk >> 32) % 2 * 2 - 1) * tf) <> 0""".stripMargin,
-    "doc_sample_k" ->
-      """WITH s AS (
-        |  SELECT lang, doc_id,
-        |    row_number() OVER (PARTITION BY lang
-        |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
-        |  FROM documents)
-        |SELECT lang, doc_id, sample_rank FROM s WHERE sample_rank <= 20""".stripMargin,
-    "events_outliers" ->
-      s"""WITH $eventsCte,
-         |st AS (
-         |  SELECT event_type,
-         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
-         |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
-         |                  AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS meansq
-         |  FROM e GROUP BY 1),
-         |st2 AS (SELECT event_type, mean, sqrt(meansq - mean * mean) AS std FROM st)
-         |SELECT event_id, e.event_type, value,
-         |  round((value - mean) / std, 6) AS z_score
-         |FROM e JOIN st2 USING (event_type)
-         |WHERE std > 0 AND abs(round((value - mean) / std, 6)) >= 3""".stripMargin,
-    "pack_sequences" ->
-      s"""WITH $toksCte,
-         |tk AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks),
-         |c AS (
-         |  SELECT doc_id, n_tokens,
-         |    (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT
-         |      - n_tokens AS strt
-         |  FROM tk)
-         |SELECT doc_id, n_tokens,
-         |  strt // 2048 AS seq_id,
-         |  strt % 2048 AS offset_in_seq,
-         |  ((strt + n_tokens - 1) // 2048) - (strt // 2048) AS n_splits
-         |FROM c""".stripMargin,
-    "doc_chunks" ->
-      s"""WITH $toksCte
-         |SELECT doc_id, i AS chunk_ix, 1 + i*24 AS start_tok,
-         |  len(t[1+i*24 : i*24+32]) AS n_chunk_tokens,
-         |  md5(array_to_string(t[1+i*24 : i*24+32], ' ')) AS chunk_md5
-         |FROM toks, UNNEST(range(0, (len(t)-1)//24 + 1)) AS u(i)""".stripMargin,
-    // generator formulation must agree with the compositional one —
-    // identical oracle text, so DuckDB pins both to the same rows
-    "doc_chunks_gen" ->
-      s"""WITH $toksCte
-         |SELECT doc_id, i AS chunk_ix, 1 + i*24 AS start_tok,
-         |  len(t[1+i*24 : i*24+32]) AS n_chunk_tokens,
-         |  md5(array_to_string(t[1+i*24 : i*24+32], ' ')) AS chunk_md5
-         |FROM toks, UNNEST(range(0, (len(t)-1)//24 + 1)) AS u(i)""".stripMargin,
-    "corpus_diff" ->
-      """WITH v1 AS (
-        |  SELECT doc_id, md5(text) AS fp_old,
-        |    CAST(length(text) AS BIGINT) AS chars_old
-        |  FROM documents WHERE doc_id % 10 <> 3),
-        |v2 AS (
-        |  SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 10 = 5 THEN text || ' [rev2]' ELSE text END) AS fp_new,
-        |    CAST(length(CASE WHEN doc_id % 10 = 5 THEN text || ' [rev2]' ELSE text END) AS BIGINT) AS chars_new
-        |  FROM documents WHERE doc_id % 10 <> 7)
-        |SELECT CASE WHEN fp_old IS NULL THEN 'added'
-        |            WHEN fp_new IS NULL THEN 'removed'
-        |            WHEN fp_old = fp_new THEN 'unchanged'
-        |            ELSE 'changed' END AS status,
-        |  count(*) AS n_docs,
-        |  CAST(sum(coalesce(chars_new, chars_old)) AS BIGINT) AS n_chars
-        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
-        |GROUP BY 1 ORDER BY status""".stripMargin,
-    "doc_pii" ->
-      """SELECT doc_id,
-        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(text, '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}')) AS n_phones,
-        |  len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
-        |  len(regexp_extract_all(text, '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}')) AS n_cards,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}', '<CARD>', 'g'),
-        |    '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '<PHONE>', 'g'),
-        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
-        |FROM documents""".stripMargin,
-    "vocab_bpe_pairs" ->
-      """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-        |wc AS (SELECT w, count(*) AS cnt FROM words WHERE length(w) >= 2 GROUP BY w),
-        |idx AS (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc),
-        |pairs AS (SELECT substr(w, CAST(i AS INT), 1) AS a,
-        |                 substr(w, CAST(i AS INT)+1, 1) AS b, cnt FROM idx)
-        |SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count
-        |FROM pairs GROUP BY a, b
-        |ORDER BY pair_count DESC, a, b LIMIT 30""".stripMargin,
-    "dup_passages" ->
-      s"""WITH $toksCte,
-         |ch AS (
-         |  SELECT DISTINCT doc_id,
-         |    md5(array_to_string(t[1+i*24 : i*24+32], ' ')) AS chunk_md5
-         |  FROM toks, UNNEST(range(0, (len(t)-1)//24 + 1)) AS u(i)
-         |  WHERE len(t[1+i*24 : i*24+32]) = 32)
-         |SELECT chunk_md5, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
-         |FROM ch GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
-    "corpus_mixture" ->
-      s"""WITH $toksCte,
-         |counts AS (
-         |  SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(len(tk.t)) AS BIGINT) AS n_tokens
-         |  FROM toks tk JOIN documents d USING (doc_id) GROUP BY 1),
-         |wgt AS (SELECT lang, n_docs, n_tokens,
-         |          CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,10)) AS w
-         |        FROM counts),
-         |tot AS (SELECT SUM(w) AS wt FROM wgt)
-         |SELECT lang, n_docs, n_tokens,
-         |  round(CAST(w AS DOUBLE) / CAST(wt AS DOUBLE), 6) AS mix_weight
-         |FROM wgt, tot""".stripMargin,
-    // bounds are injected from the SAME Scala cumulative fold the
-    // operator computes (Double.toString round-trips), so both engines
-    // compare u against bit-identical values whatever the weights are
-    "doc_splits" -> {
-      val ws = TextOps.DefaultSplitWeights
-      val cum = ws.scanLeft(0.0)(_ + _._2).tail.map(_ / ws.map(_._2).sum)
-      val cases = ws.zip(cum).init
-        .map { case ((n, _), b) => s"WHEN u < $b THEN '$n'" }.mkString(" ")
-      s"""SELECT doc_id, lang, CASE $cases ELSE '${ws.last._1}' END AS split
-         |FROM (SELECT doc_id, lang,
-         |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-         |          / 1152921504606846976.0 AS u
-         |      FROM documents)""".stripMargin
-    },
-    // Replays TextOps.splitAssignClusterAware: recursive-CTE connected
-    // components over the jaccard pairs, min-member cluster id as the
-    // split key (own id for isolated docs), then the md5 split CASE.
-    "doc_splits_clustered" -> {
-      val ws = TextOps.DefaultSplitWeights
-      val cum = ws.scanLeft(0.0)(_ + _._2).tail.map(_ / ws.map(_._2).sum)
-      val cases = ws.zip(cum).init
-        .map { case ((n, _), b) => s"WHEN u < $b THEN '$n'" }.mkString(" ")
-      s"""WITH RECURSIVE $jaccardPairsCtes,
-         |p AS (SELECT doc_a, doc_b FROM jacc_pairs WHERE jaccard >= 0.8),
-         |eu AS (SELECT doc_a AS s, doc_b AS t FROM p UNION SELECT doc_b, doc_a FROM p),
-         |nodes AS (SELECT DISTINCT s AS id FROM eu),
-         |reach AS (
-         |  SELECT id AS s, id AS t FROM nodes
-         |  UNION
-         |  SELECT r.s, e.t FROM reach r JOIN eu e ON r.t = e.s),
-         |lab AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY 1),
-         |u0 AS (
-         |  SELECT d.doc_id, d.lang,
-         |    ('0x' || substr(md5(coalesce(lab.cluster_id, d.doc_id)::VARCHAR), 1, 15))::BIGINT
-         |      / 1152921504606846976.0 AS u
-         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id)
-         |SELECT doc_id, lang, CASE $cases ELSE '${ws.last._1}' END AS split
-         |FROM u0""".stripMargin
-    },
-    // Replays TextOps.splitLeakage: the jaccard near-dup pairs joined to
-    // the md5 split assignment, kept where the pair crosses splits.
-    "split_leakage" -> {
-      val ws = TextOps.DefaultSplitWeights
-      val cum = ws.scanLeft(0.0)(_ + _._2).tail.map(_ / ws.map(_._2).sum)
-      val cases = ws.zip(cum).init
-        .map { case ((n, _), b) => s"WHEN u < $b THEN '$n'" }.mkString(" ")
-      s"""WITH $jaccardPairsCtes,
-         |spl AS (
-         |  SELECT doc_id, CASE $cases ELSE '${ws.last._1}' END AS split
-         |  FROM (SELECT doc_id,
-         |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-         |            / 1152921504606846976.0 AS u
-         |        FROM documents)),
-         |x AS (
-         |  SELECT p.jaccard, sa.split AS split_a, sb.split AS split_b
-         |  FROM jacc_pairs p
-         |  JOIN spl sa ON p.doc_a = sa.doc_id
-         |  JOIN spl sb ON p.doc_b = sb.doc_id
-         |  WHERE p.jaccard >= 0.8 AND sa.split <> sb.split)
-         |SELECT least(split_a, split_b) AS split_lo,
-         |  greatest(split_a, split_b) AS split_hi,
-         |  count(*) AS n_leaked_pairs, max(jaccard) AS max_jaccard
-         |FROM x GROUP BY 1, 2""".stripMargin
-    },
-    "doc_sample_weighted" ->
-      s"""WITH $toksCte,
-         |stats AS (
-         |  SELECT doc_id, len(t) AS n_tokens,
-         |    round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) AS stopword_ratio,
-         |    round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) AS punct_ratio,
-         |    round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) AS digit_ratio
-         |  FROM toks),
-         |q AS (SELECT doc_id,
-         |  round(((n_tokens BETWEEN 20 AND 100000)::int + (stopword_ratio >= 0.001)::int
-         |       + (punct_ratio <= 0.2)::int + (digit_ratio <= 0.3)::int)::double / 4, 6) AS quality_score
-         |  FROM stats),
-         |drawn AS (SELECT doc_id, quality_score,
-         |  CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS DOUBLE)
-         |    / 1152921504606846976.0::DOUBLE AS u
-         |  FROM q)
-         |SELECT doc_id, quality_score, u FROM drawn WHERE u < quality_score""".stripMargin,
-    "doc_search_bm25" ->
-      s"""WITH $toksCte,
-         |ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY 1),
-         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex
-         |       WHERE token IN ('join', 'vector', 'stream') GROUP BY 1, 2),
-         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
-         |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-         |sc AS (
-         |  SELECT tf.doc_id,
-         |    CAST((ln(1.0::DOUBLE + (stats.n_docs - dfreq.df + 0.5::DOUBLE) / (dfreq.df + 0.5::DOUBLE))
-         |          * (tf.tf * (1.2::DOUBLE + 1)))
-         |        / (tf.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE)
-         |             + 0.75::DOUBLE * dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs)))
-         |      AS DECIMAL(28,12)) AS s
-         |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
-         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms_matched,
-         |  round(CAST(SUM(s) AS DOUBLE), 6) AS bm25
-         |FROM sc GROUP BY doc_id
-         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
-    "doc_search_hybrid" ->
-      s"""WITH $toksCte,
-         |ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY 1),
-         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex
-         |       WHERE token IN ('join', 'vector', 'stream') GROUP BY 1, 2),
-         |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
-         |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-         |sc AS (
-         |  SELECT tf.doc_id,
-         |    CAST((ln(1.0::DOUBLE + (stats.n_docs - dfreq.df + 0.5::DOUBLE) / (dfreq.df + 0.5::DOUBLE))
-         |          * (tf.tf * (1.2::DOUBLE + 1)))
-         |        / (tf.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE)
-         |             + 0.75::DOUBLE * dl.dl / (CAST(stats.total_tokens AS DOUBLE) / stats.n_docs)))
-         |      AS DECIMAL(28,12)) AS s
-         |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
-         |bm AS (SELECT doc_id, round(CAST(SUM(s) AS DOUBLE), 6) AS bm25
-         |       FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
-         |lex AS (SELECT doc_id,
-         |          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_lex
-         |        FROM bm),
-         |emb AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |qq AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
-         |semp AS (SELECT e.vec_id AS doc_id,
-         |           round(${duckCosine("e.v", "qq.qv")}, 6) AS cos
-         |         FROM emb e CROSS JOIN qq WHERE e.vec_id <> 0
-         |         ORDER BY cos DESC, doc_id LIMIT 50),
-         |sem AS (SELECT doc_id,
-         |          CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rank_sem
-         |        FROM semp)
-         |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
-         |  round(COALESCE(1.0::DOUBLE / (60 + rank_lex), 0)
-         |      + COALESCE(1.0::DOUBLE / (60 + rank_sem), 0), 6) AS rrf
-         |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
-         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
-    "split_drift_psi" -> {
-      // same CASE generation as doc_splits so the float bin bounds
-      // (0.9000000000000001) stay bit-identical across the two oracles
-      val ws = TextOps.DefaultSplitWeights
-      val cum = ws.scanLeft(0.0)(_ + _._2).tail.map(_ / ws.map(_._2).sum)
-      val cases = ws.zip(cum).init
-        .map { case ((n, _), b) => s"WHEN u < $b THEN '$n'" }.mkString(" ")
-      s"""WITH $toksCte,
-         |q AS (
-         |  SELECT doc_id,
-         |    round(((len(t) BETWEEN 20 AND 100000)::int
-         |         + (round(len(list_filter(t, x -> x IN ${inList(graft.functions.TextFns.StopwordsEn)}))::double / len(t), 6) >= 0.001)::int
-         |         + (round(len(regexp_extract_all(norm, '[^a-z0-9 ]'))::double / greatest(length(norm), 1), 6) <= 0.2)::int
-         |         + (round(len(regexp_extract_all(norm, '[0-9]'))::double / greatest(length(norm), 1), 6) <= 0.3)::int)::double / 4, 6)
-         |      AS quality_score
-         |  FROM toks),
-         |sp AS (SELECT doc_id, CASE $cases ELSE '${ws.last._1}' END AS split
-         |       FROM (SELECT doc_id,
-         |               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
-         |                 / 1152921504606846976.0 AS u
-         |             FROM documents)),
-         |cnt AS (SELECT sp.split, q.quality_score, COUNT(*) AS c
-         |        FROM sp JOIN q USING (doc_id) GROUP BY 1, 2),
-         |bins AS (SELECT DISTINCT quality_score FROM cnt),
-         |tot AS (SELECT split, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
-         |kk AS (SELECT COUNT(*) AS k FROM bins),
-         |grid AS (
-         |  SELECT t.split, b.quality_score,
-         |    (COALESCE(c.c, 0) + 0.5::DOUBLE) / (t.n + 0.5::DOUBLE * kk.k) AS p
-         |  FROM tot t CROSS JOIN bins b
-         |  LEFT JOIN cnt c ON c.split = t.split AND c.quality_score = b.quality_score
-         |  CROSS JOIN kk),
-         |tr AS (SELECT quality_score, p AS p_train FROM grid WHERE split = 'train')
-         |SELECT g.split,
-         |  round(CAST(SUM(CAST((g.p - tr.p_train) * ln(g.p / tr.p_train)
-         |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
-         |FROM grid g JOIN tr USING (quality_score)
-         |WHERE g.split <> 'train' GROUP BY 1""".stripMargin
-    },
-    "retrieval_eval_hashed" ->
-      s"""WITH $toksCte,
-         |tf AS (
-         |  SELECT doc_id, token, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
-         |  GROUP BY 1, 2),
-         |hh AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hk, tf
-         |       FROM tf),
-         |he AS (
-         |  SELECT doc_id, (hk % 64)::int AS dim,
-         |    sum(((hk >> 32) % 2 * 2 - 1) * tf)::BIGINT AS weight
-         |  FROM hh GROUP BY 1, 2
-         |  HAVING sum(((hk >> 32) % 2 * 2 - 1) * tf) <> 0),
-         |norms AS (SELECT doc_id, sqrt(CAST(SUM(weight * weight) AS DOUBLE)) AS nrm
-         |          FROM he GROUP BY 1),
-         |qq AS (SELECT doc_id AS query_id, dim, weight AS qw FROM he WHERE doc_id < 10),
-         |dots AS (
-         |  SELECT q.query_id, c.doc_id, SUM(q.qw * c.weight) AS dot
-         |  FROM qq q JOIN he c USING (dim) WHERE c.doc_id <> q.query_id
-         |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, doc_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS INT)
-         |      AS rank
-         |  FROM (SELECT d.query_id, d.doc_id,
-         |          round(CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm), 6) AS cos_sim
-         |        FROM dots d JOIN norms nq ON d.query_id = nq.doc_id
-         |                    JOIN norms nc ON d.doc_id = nc.doc_id)),
-         |qd AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |dpairs AS (
-         |  SELECT query_id, c.vec_id AS neighbor_id,
-         |         round(${duckCosine("qe", "c.embedding")}, 6) AS cos_sim
-         |  FROM qd, embeddings c WHERE c.vec_id != query_id),
-         |truth AS (
-         |  SELECT query_id, neighbor_id AS doc_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_sim DESC, neighbor_id) AS rn FROM dpairs)
-         |  WHERE rn <= 5),
-         |tn AS (SELECT query_id, COUNT(*) AS n_truth FROM truth GROUP BY 1),
-         |hits AS (
-         |  SELECT r.query_id, COUNT(*) AS h, MIN(r.rank) AS first_rank
-         |  FROM ranked r JOIN truth USING (query_id, doc_id)
-         |  WHERE r.rank <= 10 GROUP BY 1)
-         |SELECT tn.query_id, tn.n_truth,
-         |  COALESCE(h, 0) AS n_hits,
-         |  round(COALESCE(h, 0)::DOUBLE / tn.n_truth, 6) AS recall_at_k,
-         |  COALESCE(round(1.0::DOUBLE / first_rank, 6), 0.0) AS reciprocal_rank
-         |FROM tn LEFT JOIN hits USING (query_id)""".stripMargin,
-    "doc_quality_logreg" ->
-      s"""WITH $toksCte,
-         |${duckLogregCte(3, 0.5)}
-         |SELECT doc_id, y, p_quality, (p_quality >= 0.5)::int AS label_pred
-         |FROM (
-         |  SELECT f.doc_id, f.y,
-         |    round(1.0::DOUBLE / (1.0::DOUBLE
-         |      + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4))), 6)
-         |      AS p_quality
-         |  FROM feat f CROSS JOIN w3 w)""".stripMargin,
-    "doc_cross_entropy" ->
-      s"""WITH $toksCte,
-         |ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
-         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
-         |counts AS (SELECT token, COUNT(*) AS c FROM ex GROUP BY 1),
-         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS v FROM counts),
-         |sc AS (
-         |  SELECT doc_id, tf,
-         |    CAST(tf * -ln((c + 0.5::DOUBLE) / (t + 0.5::DOUBLE * v))
-         |      AS DECIMAL(28,12)) AS nll
-         |  FROM tf JOIN counts USING (token) CROSS JOIN tot)
-         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-         |  round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6) AS cross_entropy
-         |FROM sc GROUP BY 1""".stripMargin,
-    "doc_bigram_entropy" ->
-      s"""WITH $toksCte,
-         |bi AS (
-         |  SELECT doc_id, UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2
-         |  FROM toks WHERE len(t) >= 2),
-         |btf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bi GROUP BY 1, 2, 3),
-         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
-         |c1 AS (SELECT w1, COUNT(*) AS c1
-         |       FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
-         |vv AS (SELECT COUNT(*) AS v FROM c1),
-         |sc AS (
-         |  SELECT doc_id, tf,
-         |    CAST(tf * -ln((c2 + 0.5::DOUBLE) / (c1 + 0.5::DOUBLE * v))
-         |      AS DECIMAL(28,12)) AS nll
-         |  FROM btf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv)
-         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-         |  round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6) AS bigram_cross_entropy
-         |FROM sc GROUP BY 1""".stripMargin,
-    "doc_trigram_entropy" ->
-      s"""WITH $toksCte,
-         |tri AS (
-         |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
-         |  FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t)-2)) AS i
-         |        FROM toks WHERE len(t) >= 3)),
-         |bi AS (
-         |  SELECT UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2
-         |  FROM toks WHERE len(t) >= 2),
-         |ttf AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS tf FROM tri GROUP BY 1, 2, 3, 4),
-         |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
-         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
-         |c1 AS (SELECT w, COUNT(*) AS c1
-         |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
-         |nv AS (SELECT COUNT(*) AS v, SUM(c1) AS n_tok FROM c1),
-         |sc AS (
-         |  SELECT ttf.doc_id, ttf.tf,
-         |    CAST(ttf.tf * -ln(
-         |      0.6::DOUBLE * ((c3.c3 + 0.5::DOUBLE) / (ctx.c2 + 0.5::DOUBLE * nv.v))
-         |      + 0.3::DOUBLE * ((big.c2 + 0.5::DOUBLE) / (u2.c1 + 0.5::DOUBLE * nv.v))
-         |      + 0.1::DOUBLE * ((u3.c1 + 0.5::DOUBLE) / (nv.n_tok + 0.5::DOUBLE * nv.v))
-         |    ) AS DECIMAL(28,12)) AS nll
-         |  FROM ttf
-         |  JOIN c3 ON ttf.w1 = c3.w1 AND ttf.w2 = c3.w2 AND ttf.w3 = c3.w3
-         |  JOIN c2 ctx ON ttf.w1 = ctx.w1 AND ttf.w2 = ctx.w2
-         |  JOIN c2 big ON ttf.w2 = big.w1 AND ttf.w3 = big.w2
-         |  JOIN c1 u2 ON ttf.w2 = u2.w
-         |  JOIN c1 u3 ON ttf.w3 = u3.w
-         |  CROSS JOIN nv)
-         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
-         |  round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6)
-         |    AS trigram_cross_entropy
-         |FROM sc GROUP BY 1""".stripMargin,
-    "decontaminate" ->
-      s"""WITH $toksCte,
-         |sh5 AS (
-         |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN list_distinct(list_transform(
-         |      generate_series(1, len(t)-4),
-         |      i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT))
-         |    ELSE []::BIGINT[] END AS s
-         |  FROM toks),
-         |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh5 WHERE doc_id % 10 = 0),
-         |corpus AS (SELECT * FROM sh5 WHERE doc_id % 10 <> 0),
-         |coll AS (
-         |  SELECT c.doc_id, count(*) AS n_collisions
-         |  FROM (SELECT doc_id, unnest(s) AS shingle FROM corpus) c
-         |  JOIN ev USING (shingle) GROUP BY 1)
-         |SELECT corpus.doc_id, len(s) AS n_shingles,
-         |  coalesce(n_collisions, 0) AS n_collisions,
-         |  (coalesce(n_collisions, 0) >= 1)::int AS contaminated
-         |FROM corpus LEFT JOIN coll USING (doc_id)""".stripMargin,
-    "neardup_winnow" ->
-      s"""WITH $winnowCtes,
-         |ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-         |rare AS (SELECT fp FROM ex GROUP BY 1 HAVING count(*) BETWEEN 2 AND 100),
-         |exr AS (SELECT ex.doc_id, ex.fp FROM ex JOIN rare USING (fp))
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
-         |FROM exr a JOIN exr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
-    // Replays TextOps.nearDupWinnowIncremental: delta fingerprints vs
-    // the existing split's df-capped postings.
-    "neardup_winnow_delta" ->
-      s"""WITH $winnowCtes,
-         |ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-         |idx AS (SELECT fp, doc_id AS ex_doc FROM ex WHERE doc_id % 10 <> 0),
-         |okf AS (SELECT fp FROM idx GROUP BY 1 HAVING count(*) <= 100),
-         |inx AS (SELECT doc_id, fp FROM ex WHERE doc_id % 10 = 0)
-         |SELECT inx.doc_id, idx.ex_doc AS dup_of, count(*) AS shared_fps
-         |FROM inx JOIN okf USING (fp) JOIN idx USING (fp)
-         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
-    "events_hourly" ->
-      s"""WITH $eventsCte
-         |SELECT date_trunc('hour', ts) AS hour, event_type,
-         |  COUNT(*) AS n_events,
-         |  COUNT(DISTINCT user_id) AS n_users,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-         |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
-         |FROM e GROUP BY 1, 2""".stripMargin,
-    "events_sliding" ->
-      s"""WITH $eventsCte,
-         |wins AS (
-         |  SELECT time_bucket(INTERVAL '15 minutes', ts)
-         |           - ks.k * INTERVAL '15 minutes' AS window_start,
-         |         user_id, value
-         |  FROM e, (VALUES (0), (1), (2), (3)) AS ks(k))
-         |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
-         |  COUNT(*) AS n_events,
-         |  COUNT(DISTINCT user_id) AS n_users,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         |FROM wins GROUP BY 1""".stripMargin,
-    "events_rolling" ->
-      s"""WITH $eventsCte,
-         |d AS (
-         |  SELECT event_type, date_trunc('day', ts)::date AS day,
-         |    count(*) AS n_events,
-         |    SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
-         |  FROM e GROUP BY 1, 2),
-         |o AS (SELECT *, day - DATE '1970-01-01' AS day_ord FROM d)
-         |SELECT event_type, day, n_events,
-         |  CAST(sum_dec AS DOUBLE) AS sum_value,
-         |  (sum(n_events) OVER w)::BIGINT AS roll_events,
-         |  CAST(sum(sum_dec) OVER w AS DOUBLE) AS roll_value
-         |FROM o WINDOW w AS (PARTITION BY event_type ORDER BY day_ord
-         |                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
-    "events_retention" ->
-      s"""WITH $eventsCte,
-         |uw AS (SELECT DISTINCT user_id, date_trunc('week', ts)::date AS week FROM e),
-         |c AS (SELECT user_id, week,
-         |        min(week) OVER (PARTITION BY user_id) AS cohort_week FROM uw)
-         |SELECT cohort_week, (week - cohort_week) // 7 AS week_offset,
-         |  count(*) AS n_users
-         |FROM c GROUP BY 1, 2""".stripMargin,
-    "events_sessions" ->
-      s"""WITH $eventsCte,
-         |$sessFlagsCtes
-         |SELECT user_id, session_seq,
-         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
-         |  COUNT(*) AS n_events,
-         |  COUNT(DISTINCT event_type) AS n_event_types,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         |FROM sess GROUP BY 1, 2""".stripMargin,
-    "events_in_windows" -> eventsInWindowsOracle,
-    // same computation, literal-SQL BETWEEN join through BandJoinRewrite
-    "events_in_windows_sql" -> eventsInWindowsOracle,
-    "events_json" ->
-      s"""WITH $eventsCte
-         |SELECT event_type,
-         |  COUNT(json_extract_string(props, '$$.k')) AS n_with_k,
-         |  CAST(SUM(json_extract_string(props, '$$.k')::BIGINT) AS BIGINT) AS sum_k,
-         |  MIN(json_extract_string(props, '$$.k')::BIGINT) AS min_k,
-         |  MAX(json_extract_string(props, '$$.k')::BIGINT) AS max_k,
-         |  round(SUM(json_extract_string(props, '$$.k')::BIGINT)::DOUBLE
-         |        / COUNT(json_extract_string(props, '$$.k')), 6) AS avg_k
-         |FROM e GROUP BY 1""".stripMargin,
-    // the VARIANT formulation must agree with the text-path one —
-    // identical oracle text pins both to the same rows
-    "events_json_variant" ->
-      s"""WITH $eventsCte
-         |SELECT event_type,
-         |  COUNT(json_extract_string(props, '$$.k')) AS n_with_k,
-         |  CAST(SUM(json_extract_string(props, '$$.k')::BIGINT) AS BIGINT) AS sum_k,
-         |  MIN(json_extract_string(props, '$$.k')::BIGINT) AS min_k,
-         |  MAX(json_extract_string(props, '$$.k')::BIGINT) AS max_k,
-         |  round(SUM(json_extract_string(props, '$$.k')::BIGINT)::DOUBLE
-         |        / COUNT(json_extract_string(props, '$$.k')), 6) AS avg_k
-         |FROM e GROUP BY 1""".stripMargin,
-    "events_topk" ->
-      s"""WITH $eventsCte
-         |SELECT event_type, event_id, user_id, value, rn FROM (
-         |  SELECT event_type, event_id, user_id, value,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
-         |  FROM e) WHERE rn <= 3""".stripMargin,
-    // the Aggregator-based formulation computes the identical relation
-    "events_topk_agg" ->
-      s"""WITH $eventsCte
-         |SELECT event_type, event_id, user_id, value, rn FROM (
-         |  SELECT event_type, event_id, user_id, value,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
-         |  FROM e) WHERE rn <= 3""".stripMargin,
-    "events_rollup" ->
-      s"""WITH $eventsCte
-         |SELECT event_type, date_trunc('day', ts)::date AS day,
-         |  COUNT(*) AS n_events,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-         |  GROUPING(event_type, date_trunc('day', ts)::date) AS grouping_level
-         |FROM e GROUP BY ROLLUP(1, 2)""".stripMargin,
-    "events_distinct_users" ->
-      s"""WITH $eventsCte
-         |SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM e GROUP BY 1""".stripMargin,
-    "events_cube" ->
-      s"""WITH $eventsCte
-         |SELECT event_type, date_trunc('day', ts)::date AS day,
-         |  COUNT(*) AS n_events,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-         |  GROUPING(event_type, date_trunc('day', ts)::date) AS grouping_level
-         |FROM e GROUP BY CUBE(1, 2)""".stripMargin,
-    "events_histogram" ->
-      s"""WITH $eventsCte,
-         |b AS (SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, value FROM e)
-         |SELECT event_type, bin, COUNT(*) AS n_events,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-         |  bin * 50.0 AS bin_lo
-         |FROM b GROUP BY 1, 2""".stripMargin,
-    "scd2_status" ->
-      """WITH src AS (
-        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM orders),
-        |lagged AS (
-        |  SELECT *, lag(o_orderstatus) OVER
-        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
-        |  FROM src),
-        |chg AS (SELECT * FROM lagged WHERE prev IS DISTINCT FROM o_orderstatus)
-        |SELECT o_custkey AS custkey, o_orderstatus AS status,
-        |       o_orderdate AS effective_from,
-        |       lead(o_orderdate) OVER w AS effective_to,
-        |       CAST(row_number() OVER w AS INT) AS version,
-        |       CAST((lead(o_orderdate) OVER w IS NULL) AS INT) AS is_current
-        |FROM chg WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
-    "profile_orders" -> {
-      val canon = Map("o_totalprice" -> ((e: String) => s"CAST($e AS DECIMAL(18,2))"))
-        .withDefaultValue((e: String) => e)
-      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority").map { c =>
-        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
-           |  COUNT(*) FILTER (WHERE $c IS NULL) AS n_null,
-           |  COUNT(DISTINCT $c) AS n_distinct,
-           |  CAST(${canon(c)(s"MIN($c)")} AS VARCHAR) AS min_str,
-           |  CAST(${canon(c)(s"MAX($c)")} AS VARCHAR) AS max_str
-           |FROM orders""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "")
-    },
-    "version_durations" ->
-      """WITH src AS (
-        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM orders),
-        |lagged AS (
-        |  SELECT *, lag(o_orderstatus) OVER
-        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
-        |  FROM src),
-        |chg AS (SELECT * FROM lagged WHERE prev IS DISTINCT FROM o_orderstatus),
-        |d AS (
-        |  SELECT o_custkey, o_orderdate AS effective_from,
-        |         lead(o_orderdate) OVER
-        |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |           AS effective_to
-        |  FROM chg)
-        |SELECT o_custkey, count(*) AS n_versions,
-        |  round(avg(CASE WHEN effective_to IS NOT NULL
-        |    THEN date_diff('day', effective_from, effective_to) END), 6)
-        |    AS avg_version_days,
-        |  CAST(max(CASE WHEN effective_to IS NULL
-        |    THEN date_diff('day', effective_from, DATE '2002-01-01') END) AS INT)
-        |    AS current_age_days
-        |FROM d GROUP BY 1""".stripMargin,
-    "orders_pit_status" ->
-      """WITH src AS (
-        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM orders),
-        |lagged AS (
-        |  SELECT *, lag(o_orderstatus) OVER
-        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
-        |  FROM src),
-        |chg AS (SELECT * FROM lagged WHERE prev IS DISTINCT FROM o_orderstatus),
-        |dim AS (
-        |  SELECT o_custkey, o_orderstatus AS status, o_orderdate AS effective_from,
-        |         CAST(row_number() OVER
-        |           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS version
-        |  FROM chg),
-        |eod AS (SELECT * FROM (
-        |  SELECT *, row_number() OVER
-        |    (PARTITION BY o_custkey, effective_from ORDER BY version DESC) AS rn
-        |  FROM dim) WHERE rn = 1)
-        |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
-        |       d.status AS asof_status, d.version AS asof_version
-        |FROM orders o ASOF LEFT JOIN eod d
-        |  ON o.o_custkey = d.o_custkey AND d.effective_from <= o.o_orderdate""".stripMargin,
-    "dq_checks" ->
-      """WITH base AS (
-        |  SELECT count(*) AS n, count(o_custkey) AS n_cust,
-        |         count(DISTINCT o_orderkey) AS n_key,
-        |         min(o_totalprice) AS min_price,
-        |         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad_status
-        |  FROM orders),
-        |oo AS (SELECT count(*) AS orph_orders FROM orders o
-        |       LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-        |       WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL),
-        |ol AS (SELECT count(*) AS orph_lines FROM lineitem l
-        |       LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |       WHERE o.o_orderkey IS NULL)
-        |SELECT 'row_count' AS "check", n::DOUBLE AS metric, n > 0 AS passed FROM base
-        |UNION ALL SELECT 'completeness_o_custkey', round(n_cust::DOUBLE / n, 6), n_cust = n FROM base
-        |UNION ALL SELECT 'uniqueness_o_orderkey', round(n_key::DOUBLE / n, 6), n_key = n FROM base
-        |UNION ALL SELECT 'min_totalprice_positive', min_price, min_price > 0 FROM base
-        |UNION ALL SELECT 'status_in_domain', bad_status::DOUBLE, bad_status = 0 FROM base
-        |UNION ALL SELECT 'fk_orders_customer', orph_orders::DOUBLE, orph_orders = 0 FROM oo
-        |UNION ALL SELECT 'fk_lineitem_orders', orph_lines::DOUBLE, orph_lines = 0 FROM ol""".stripMargin,
-    "events_funnel" ->
-      s"""WITH $eventsCte,
-         |s1 AS (SELECT user_id, MIN(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
-         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
-         |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
-         |       WHERE e.event_type = 'click' GROUP BY 1),
-         |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
-         |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
-         |       WHERE e.event_type = 'purchase' GROUP BY 1)
-         |SELECT 1 AS stage, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
-         |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
-         |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""".stripMargin,
-    "embedding_clusters" ->
-      s"""WITH ${duckKmeansCte(8, 2)}
-         |SELECT vec_id, cid, sim FROM asg2""".stripMargin,
-    "cluster_profiles" ->
-      s"""WITH ${duckKmeansCte(8, 2)}
-         |SELECT cid, count(*) AS n_vecs,
-         |  round(CAST(SUM(CAST(sim AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
-         |    AS mean_sim,
-         |  min(sim) AS min_sim
-         |FROM asg2 GROUP BY 1""".stripMargin,
-    "semantic_dedup_keep" ->
-      s"""WITH ${duckKmeansCte(8, 2)},
-         |drops AS (
-         |  SELECT DISTINCT b.vec_id
-         |  FROM asg2 a JOIN asg2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  JOIN emb ea ON ea.vec_id = a.vec_id
-         |  JOIN emb eb ON eb.vec_id = b.vec_id
-         |  WHERE round(${duckCosine("ea.v", "eb.v")}, 6) >= 0.45)
-         |SELECT a.vec_id, a.cid FROM asg2 a
-         |WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
-    "embedding_drift_psi" ->
-      s"""WITH ${duckKmeansCte(8, 2, "(SELECT * FROM embeddings WHERE vec_id % 10 = 0)")},
-         |cur AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id % 10 <> 0),
-         |curscored AS (
-         |  SELECT c.vec_id, s.cid, round(${duckCosine("c.v", "s.c")}, 6) + 0 AS sim
-         |  FROM cur c, cents2 s),
-         |curasg AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY sim DESC, cid) AS rn FROM curscored) WHERE rn = 1),
-         |refocc AS (SELECT cid, COUNT(*) AS c FROM asg2 GROUP BY 1),
-         |curocc AS (SELECT cid, COUNT(*) AS c FROM curasg GROUP BY 1),
-         |bins AS (SELECT DISTINCT cid FROM (SELECT cid FROM refocc UNION SELECT cid FROM curocc)),
-         |kk AS (SELECT COUNT(*) AS k FROM bins),
-         |tr AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM refocc),
-         |tc AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM curocc),
-         |grid AS (
-         |  SELECT b.cid,
-         |    (COALESCE(r.c, 0) + 0.5::DOUBLE) / (tr.n + 0.5::DOUBLE * kk.k) AS pr,
-         |    (COALESCE(u.c, 0) + 0.5::DOUBLE) / (tc.n + 0.5::DOUBLE * kk.k) AS pc
-         |  FROM bins b
-         |  LEFT JOIN refocc r ON b.cid = r.cid
-         |  LEFT JOIN curocc u ON b.cid = u.cid
-         |  CROSS JOIN kk CROSS JOIN tr CROSS JOIN tc)
-         |SELECT
-         |  round(CAST(SUM(CAST((pc - pr) * ln(pc / pr) AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi,
-         |  (SELECT n FROM tr) AS n_ref, (SELECT n FROM tc) AS n_cur
-         |FROM grid""".stripMargin,
-    "embedding_centroids" ->
-      """WITH ex AS (
-        |  SELECT label, UNNEST(embedding) AS x,
-        |         UNNEST(generate_series(1, len(embedding))) AS i
-        |  FROM embeddings)
-        |SELECT label, i-1 AS dim,
-        |  round(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS mean_x,
-        |  COUNT(*) AS n_vecs
-        |FROM ex GROUP BY 1, 2""".stripMargin,
-    "events_pivot" ->
-      s"""WITH $eventsCte
-         |SELECT date_trunc('day', ts)::date AS day,
-         |  COUNT(*) FILTER (event_type = 'click') AS n_click,
-         |  COUNT(*) FILTER (event_type = 'error') AS n_error,
-         |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
-         |  COUNT(*) FILTER (event_type = 'signup') AS n_signup,
-         |  COUNT(*) FILTER (event_type = 'view') AS n_view
-         |FROM e GROUP BY 1""".stripMargin,
-    "events_unpivot" ->
-      s"""WITH $eventsCte,
-         |d AS (SELECT DISTINCT date_trunc('day', ts)::date AS day FROM e),
-         |t AS (SELECT UNNEST(['click','error','purchase','signup','view']) AS event_type),
-         |n AS (SELECT date_trunc('day', ts)::date AS day, event_type, COUNT(*) AS n
-         |      FROM e GROUP BY 1, 2)
-         |SELECT d.day, t.event_type, COALESCE(n.n, 0) AS n_events
-         |FROM d CROSS JOIN t LEFT JOIN n ON d.day = n.day AND t.event_type = n.event_type""".stripMargin,
-    "events_ranks" ->
-      s"""WITH $eventsCte
-         |SELECT event_type, event_id, value,
-         |  rank() OVER v AS rnk,
-         |  round(percent_rank() OVER v, 6) AS pct_rank,
-         |  round(cume_dist() OVER v, 6) AS cume,
-         |  ntile(4) OVER vi AS quartile
-         |FROM e
-         |WINDOW v AS (PARTITION BY event_type ORDER BY value),
-         |       vi AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
-    // same semantics as max_by/min_by with the composite ordering key;
-    // DuckDB 1.0's arg_max can't take a struct key, so the oracle ranks
-    "events_extremes" ->
-      s"""WITH $eventsCte,
-         |r AS (SELECT event_type, event_id, value,
-         |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rmax,
-         |  row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rmin
-         |  FROM e)
-         |SELECT event_type,
-         |  MAX(CASE WHEN rmax = 1 THEN event_id END) AS top_event_id,
-         |  MAX(value) AS top_value,
-         |  MAX(CASE WHEN rmin = 1 THEN event_id END) AS bottom_event_id,
-         |  MIN(value) AS bottom_value,
-         |  COUNT(*) AS n_events
-         |FROM r GROUP BY 1""".stripMargin,
-    "events_percentiles" ->
-      s"""WITH $eventsCte,
-         |q AS (SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS ps FROM e GROUP BY 1)
-         |SELECT event_type, round(ps[1], 6) AS p50, round(ps[2], 6) AS p90,
-         |       round(ps[3], 6) AS p99 FROM q""".stripMargin,
-    // The four sketch queries oracle their ERROR ENVELOPE, not their
-    // merge-order-dependent raw estimates (graduated from rows-only in
-    // r10): DuckDB computes the exact side of each contract and asserts
-    // the violation counters are zero — Spark computes them FROM the
-    // live sketch, so a sketch drifting outside its guarantee
-    // hash-mismatches and turns the round red.
-    "events_approx_distinct" ->
-      s"""WITH $eventsCte
-         |SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
-         |       CAST(0 AS BIGINT) AS bound_violations
-         |FROM e GROUP BY 1""".stripMargin,
-    "events_distinct_sketch" ->
-      s"""WITH $eventsCte
-         |SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
-         |       CAST(0 AS BIGINT) AS bound_violations,
-         |       CAST(0 AS BIGINT) AS merge_mismatches
-         |FROM e GROUP BY 1""".stripMargin,
-    "events_percentiles_approx" ->
-      s"""WITH $eventsCte,
-         |q AS (SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS ps FROM e GROUP BY 1)
-         |SELECT event_type, round(ps[1], 6) AS p50_exact, round(ps[2], 6) AS p90_exact,
-         |       round(ps[3], 6) AS p99_exact, CAST(0 AS BIGINT) AS bound_violations
-         |FROM q""".stripMargin,
-    "events_heavy_hitters" ->
-      s"""WITH $eventsCte,
-         |pu AS (SELECT event_type, user_id, COUNT(*) AS n_u FROM e GROUP BY 1, 2),
-         |t AS (SELECT event_type, CAST(SUM(n_u) AS BIGINT) AS n_events FROM pu GROUP BY 1)
-         |SELECT t.event_type, t.n_events,
-         |  CAST(COALESCE(SUM(CASE WHEN pu.n_u > t.n_events / 17.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
-         |    AS n_heavy_exact,
-         |  CAST(0 AS BIGINT) AS missed_survivors,
-         |  CAST(0 AS BIGINT) AS bound_violations
-         |FROM t JOIN pu ON pu.event_type = t.event_type
-         |GROUP BY 1, 2""".stripMargin,
-    "events_drift_psi" ->
-      s"""WITH $eventsCte,
-         |cnt AS (SELECT date_trunc('week', ts)::date AS week, event_type, COUNT(*) AS c
-         |        FROM e GROUP BY 1, 2),
-         |types AS (SELECT DISTINCT event_type FROM cnt),
-         |kk AS (SELECT COUNT(*) AS k FROM types),
-         |weeks AS (SELECT week, CAST(SUM(c) AS BIGINT) AS n,
-         |                 CAST(row_number() OVER (ORDER BY week) AS INT) AS rk
-         |          FROM cnt GROUP BY week),
-         |grid AS (
-         |  SELECT w.week, w.rk, w.n, t.event_type,
-         |    (COALESCE(c.c, 0) + 0.5::DOUBLE) / (w.n + 0.5::DOUBLE * kk.k) AS p
-         |  FROM weeks w CROSS JOIN types t
-         |  LEFT JOIN cnt c ON c.week = w.week AND c.event_type = t.event_type
-         |  CROSS JOIN kk),
-         |pr AS (SELECT rk + 1 AS rk, event_type, p AS p_prev FROM grid)
-         |SELECT g.week,
-         |  round(CAST(SUM(CAST((g.p - pr.p_prev) * ln(g.p / pr.p_prev)
-         |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi,
-         |  g.n AS n_events
-         |FROM grid g JOIN pr ON g.rk = pr.rk AND g.event_type = pr.event_type
-         |GROUP BY g.week, g.n""".stripMargin,
-    // the custom physical operator's nearest mode must agree with the
-    // window composition — identical oracle text pins both
-    "events_asof_phys_near" ->
-      s"""WITH $eventsCte,
-         |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
-         |v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view'),
-         |b AS (SELECT p.event_id, v.event_id AS b_id, v.ts AS b_ts
-         |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts),
-         |f AS (SELECT p.event_id, v.event_id AS f_id, v.ts AS f_ts
-         |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts)
-         |SELECT p.user_id, p.event_id, p.ts, p.value,
-         |  CASE WHEN (f.f_ts IS NULL OR (b.b_ts IS NOT NULL
-         |        AND epoch_us(p.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(p.ts)))
-         |    THEN b.b_id ELSE f.f_id END AS asof_event_id,
-         |  CASE WHEN (f.f_ts IS NULL OR (b.b_ts IS NOT NULL
-         |        AND epoch_us(p.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(p.ts)))
-         |    THEN b.b_ts ELSE f.f_ts END AS asof_ts
-         |FROM p JOIN b USING (event_id) JOIN f USING (event_id)""".stripMargin,
-    "events_asof_nearest" ->
-      s"""WITH $eventsCte,
-         |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
-         |v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view'),
-         |b AS (SELECT p.event_id, v.event_id AS b_id, v.ts AS b_ts
-         |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts),
-         |f AS (SELECT p.event_id, v.event_id AS f_id, v.ts AS f_ts
-         |      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts)
-         |SELECT p.user_id, p.event_id, p.ts, p.value,
-         |  CASE WHEN (f.f_ts IS NULL OR (b.b_ts IS NOT NULL
-         |        AND epoch_us(p.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(p.ts)))
-         |    THEN b.b_id ELSE f.f_id END AS asof_event_id,
-         |  CASE WHEN (f.f_ts IS NULL OR (b.b_ts IS NOT NULL
-         |        AND epoch_us(p.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(p.ts)))
-         |    THEN b.b_ts ELSE f.f_ts END AS asof_ts
-         |FROM p JOIN b USING (event_id) JOIN f USING (event_id)""".stripMargin,
-    "events_asof" ->
-      s"""WITH $eventsCte,
-         |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
-         |v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view')
-         |SELECT p.user_id, p.event_id, p.ts, p.value,
-         |       v.event_id AS asof_event_id, v.ts AS asof_ts
-         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
-    "events_asof_fwd" ->
-      s"""WITH $eventsCte,
-         |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
-         |v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view')
-         |SELECT p.user_id, p.event_id, p.ts, p.value,
-         |       v.event_id AS asof_event_id, v.ts AS asof_ts
-         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts""".stripMargin,
-    // the custom physical operator must agree with the compositional
-    // form — identical oracle text pins both to the same rows
-    "events_asof_phys" ->
-      s"""WITH $eventsCte,
-         |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
-         |v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view')
-         |SELECT p.user_id, p.event_id, p.ts, p.value,
-         |       v.event_id AS asof_event_id, v.ts AS asof_ts
-         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
-    "events_asof_phys_fwd" ->
-      s"""WITH $eventsCte,
-         |p AS (SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
-         |v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view')
-         |SELECT p.user_id, p.event_id, p.ts, p.value,
-         |       v.event_id AS asof_event_id, v.ts AS asof_ts
-         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts""".stripMargin,
-    "events_journey" ->
-      s"""WITH $eventsCte
-         |SELECT user_id, event_id, event_type, ts,
-         |  row_number() OVER w AS step,
-         |  lag(event_type, 1) OVER w AS prev_type,
-         |  lead(event_type, 1) OVER w AS next_type
-         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
-    "ann_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |pairs AS (
-         |  SELECT query_id, c.vec_id AS neighbor_id,
-         |         round(${duckCosine("qe", "c.embedding")}, 6) AS cos_sim
-         |  FROM q, embeddings c WHERE c.vec_id != query_id)
-         |SELECT query_id, neighbor_id, cos_sim, rn FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM pairs)
-         |WHERE rn <= 5""".stripMargin,
-    // Replays VectorOps.annSq end-to-end: per-dim [min,max] grid, the
-    // int8 code formula, midpoint reconstruction, asymmetric approx
-    // cosine (left-to-right folds mirror Spark's `aggregate`), the
-    // 50-candidate shortlist cut, and the exact re-rank — every step is
-    // IEEE-deterministic, which is the point of the SQ arm.
-    "ann_sq" ->
-      s"""WITH p AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vd
-         |           FROM embeddings),
-         |st AS (
-         |  SELECT u.i AS dim, min(vd[u.i]) AS mn, max(vd[u.i]) AS mx
-         |  FROM p, UNNEST(generate_series(1, 64)) AS u(i)
-         |  GROUP BY 1),
-         |g AS (SELECT list(mn ORDER BY dim) AS mna, list(mx ORDER BY dim) AS mxa FROM st),
-         |c AS (
-         |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
-         |    CASE WHEN mxa[i] = mna[i] THEN 0
-         |         ELSE least(255, CAST(floor((vd[i] - mna[i]) / (mxa[i] - mna[i]) * 256) AS INT))
-         |    END) AS codes
-         |  FROM p, g),
-         |dq AS (
-         |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
-         |    mna[i] + (codes[i] + 0.5) * ((mxa[i] - mna[i]) / 256.0)) AS deq
-         |  FROM c, g),
-         |q AS (
-         |  SELECT vec_id AS query_id, vd AS qd,
-         |    sqrt(list_reduce(list_transform(generate_series(1, 64), i -> vd[i] * vd[i]),
-         |         (a, v) -> a + v)) AS qn
-         |  FROM p WHERE vec_id < 10),
-         |appr AS (
-         |  SELECT q.query_id, dq.vec_id AS neighbor_id,
-         |    round(list_reduce(list_transform(generate_series(1, 64),
-         |            i -> q.qd[i] * dq.deq[i]), (a, v) -> a + v)
-         |      / (q.qn * sqrt(list_reduce(list_transform(generate_series(1, 64),
-         |            i -> dq.deq[i] * dq.deq[i]), (a, v) -> a + v))), 6) AS sq_sim
-         |  FROM q, dq WHERE dq.vec_id != q.query_id),
-         |shortl AS (
-         |  SELECT query_id, neighbor_id, sq_sim FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sq_sim DESC, neighbor_id) AS arn FROM appr)
-         |  WHERE arn <= 50),
-         |exct AS (
-         |  SELECT s.query_id, s.neighbor_id, s.sq_sim,
-         |    round(${duckCosine("qe.embedding", "ne.embedding")}, 6) AS cos_sim
-         |  FROM shortl s
-         |  JOIN embeddings qe ON qe.vec_id = s.query_id
-         |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id)
-         |SELECT query_id, neighbor_id, sq_sim, cos_sim, rn FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM exct)
-         |WHERE rn <= 5""".stripMargin,
-    "embedding_neardup" ->
-      s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
-         |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
-         |pairs AS (
-         |  SELECT vec_a, vec_b, round(${duckCosine("ea", "eb")}, 6) AS cos_sim
-         |  FROM a JOIN b ON vec_a < vec_b)
-         |SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.45""".stripMargin,
-    "embedding_neardup_delta" ->
-      s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS ea FROM embeddings),
-         |b AS (SELECT vec_id AS vec_b, embedding AS eb FROM embeddings),
-         |pairs AS (
-         |  SELECT vec_a, vec_b, round(${duckCosine("ea", "eb")}, 6) AS cos_sim
-         |  FROM a JOIN b ON vec_a < vec_b)
-         |SELECT vec_a, vec_b, cos_sim FROM pairs
-         |WHERE cos_sim >= 0.45 AND (vec_a % 10 = 0 OR vec_b % 10 = 0)""".stripMargin,
-    // Full replay of the sign-LSH family (r9): bucket membership IS
-    // portable after all — plane coefficients are deterministic
-    // splitmix64 constants embedded as literals, VecDot's fold is
-    // list_reduce, and the auto-sized bit width recomputes from
-    // count(*) (see duckLshPlanes). Banding, candidate generation,
-    // exact re-rank/threshold all replay bit-for-bit, so these four
-    // graduate from rows-only to hash-matched.
-    "ann_lsh" ->
-      s"""WITH ${duckLshPlanes("SELECT count(*) FROM embeddings", 1)},
-         |${duckLshBanded(4)},
-         |q AS (SELECT vec_id AS query_id, t, b FROM bk WHERE vec_id < 10),
-         |cand AS (
-         |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
-         |  FROM q JOIN bk c ON q.t = c.t AND q.b = c.b AND c.vec_id != q.query_id),
-         |sc AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |         round(${duckCosine("qe.embedding", "ne.embedding")}, 6) AS cos_sim
-         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
-         |            JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
-         |SELECT query_id, neighbor_id, cos_sim, rn FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc)
-         |WHERE rn <= 5""".stripMargin,
-    "embedding_neardup_lsh" ->
-      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings", 5, 0.45, 0.9)},
-         |${duckLshBandedDyn()},
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM pk a JOIN bk b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
-         |sc AS (
-         |  SELECT vec_a, vec_b, round(${duckCosine("ea.embedding", "eb.embedding")}, 6) AS cos_sim
-         |  FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
-         |            JOIN embeddings eb ON eb.vec_id = vec_b)
-         |SELECT vec_a, vec_b, cos_sim FROM sc WHERE cos_sim >= 0.45""".stripMargin,
-    "embedding_neardup_delta_lsh" ->
-      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings", 5, 0.45, 0.9)},
-         |${duckLshBandedDyn()},
-         |cand AS (
-         |  SELECT DISTINCT least(i.vec_id, c.vec_id) AS vec_a,
-         |         greatest(i.vec_id, c.vec_id) AS vec_b
-         |  FROM pk i JOIN bk c ON i.t = c.t AND i.b = c.b AND i.vec_id != c.vec_id
-         |  WHERE i.vec_id % 10 = 0),
-         |sc AS (
-         |  SELECT vec_a, vec_b, round(${duckCosine("ea.embedding", "eb.embedding")}, 6) AS cos_sim
-         |  FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
-         |            JOIN embeddings eb ON eb.vec_id = vec_b)
-         |SELECT vec_a, vec_b, cos_sim FROM sc WHERE cos_sim >= 0.45""".stripMargin,
-    "knn_join" ->
-      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings WHERE vec_id % 7 != 0", 5, 0.7, 0.8)},
-         |${duckLshBandedDyn()},
-         |cand AS (
-         |  SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
-         |  FROM pk l JOIN bk r ON l.t = r.t AND l.b = r.b
-         |  WHERE l.vec_id % 7 = 0 AND r.vec_id % 7 != 0),
-         |sc AS (
-         |  SELECT left_id, right_id,
-         |         round(${duckCosine("le.embedding", "re.embedding")}, 6) AS cos_sim
-         |  FROM cand JOIN embeddings le ON le.vec_id = left_id
-         |            JOIN embeddings re ON re.vec_id = right_id)
-         |SELECT left_id, right_id, cos_sim, "rank" FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY left_id
-         |    ORDER BY cos_sim DESC, right_id) AS "rank" FROM sc)
-         |WHERE "rank" <= 3""".stripMargin,
-    // Replays VectorOps.annPq END-TO-END — codebook training (16 lowest
-    // train-slice ids seed, one Lloyd step with 6dp-rounded argmin
-    // distances and DECIMAL means), corpus encoding, the per-query
-    // lookup-table ADC fold (left-to-right like the Spark `aggregate`),
-    // the 6dp-rounded top-50 shortlist, and the exact cosine re-rank.
-    // Every ranked quantity is rounded before ranking, so the whole
-    // trajectory is engine-portable.
-    "ann_pq" -> {
-      def dot8(a: String, b: String) =
-        s"list_reduce(list_transform(generate_series(1, 8), i -> ($a)[i] * ($b)[i]), (acc, x) -> acc + x)"
-      def nsq(c: String) = dot8(c, c)
-      def sl(v: String) = s"$v[cb.j*8 + 1 : cb.j*8 + 8]"
-      def asgDist(v: String) =
-        s"round(${nsq("cb.c")} - 2.0 * ${dot8(sl(v), "cb.c")}, 6)"
-      s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |pn AS (
-         |  SELECT vec_id, list_transform(v, x -> x::DOUBLE
-         |    / sqrt(list_reduce(list_transform(generate_series(1, len(v)),
-         |        i -> v[i]::DOUBLE * v[i]::DOUBLE), (acc, x) -> acc + x))) AS u
-         |  FROM emb),
-         |tr AS (SELECT * FROM pn WHERE vec_id % 4 = 0),
-         |seeds AS (
-         |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, u
-         |  FROM (SELECT vec_id, u FROM tr ORDER BY vec_id LIMIT 16) s),
-         |cb0 AS (
-         |  SELECT jj.j, s.cid, s.u[jj.j*8 + 1 : jj.j*8 + 8] AS c
-         |  FROM seeds s, UNNEST(generate_series(0, 7)) AS jj(j)),
-         |asg0 AS (
-         |  SELECT vec_id, j, cid, sv FROM (
-         |    SELECT t.vec_id, cb.j, cb.cid, ${sl("t.u")} AS sv,
-         |      row_number() OVER (PARTITION BY t.vec_id, cb.j
-         |        ORDER BY ${asgDist("t.u")}, cb.cid) AS rn
-         |    FROM tr t, cb0 cb) z
-         |  WHERE rn = 1),
-         |mx AS (
-         |  SELECT j, cid, ii.i AS i,
-         |    round(CAST(SUM(CAST(sv[ii.i] AS DECIMAL(20,10))) AS DOUBLE)
-         |      / COUNT(*), 6) AS mval
-         |  FROM asg0, UNNEST(generate_series(1, 8)) AS ii(i)
-         |  GROUP BY j, cid, ii.i),
-         |cb1 AS (
-         |  SELECT cb0.j, cb0.cid, COALESCE(m.c, cb0.c) AS c
-         |  FROM cb0 LEFT JOIN (
-         |    SELECT j, cid, list(mval ORDER BY i) AS c FROM mx GROUP BY j, cid) m
-         |    ON m.j = cb0.j AND m.cid = cb0.cid),
-         |enc AS (
-         |  SELECT vec_id, list(cid ORDER BY j) AS codes FROM (
-         |    SELECT p.vec_id, cb.j, cb.cid,
-         |      row_number() OVER (PARTITION BY p.vec_id, cb.j
-         |        ORDER BY ${asgDist("p.u")}, cb.cid) AS rn
-         |    FROM pn p, cb1 cb) z
-         |  WHERE rn = 1 GROUP BY vec_id),
-         |qt AS (
-         |  SELECT vec_id AS query_id, list(tc ORDER BY j) AS qt FROM (
-         |    SELECT p.vec_id, cb.j,
-         |      list(${dot8(sl("p.u"), "cb.c")} ORDER BY cb.cid) AS tc
-         |    FROM pn p, cb1 cb WHERE p.vec_id < 10
-         |    GROUP BY p.vec_id, cb.j) z
-         |  GROUP BY vec_id),
-         |adc AS (
-         |  SELECT q.query_id, e.vec_id AS neighbor_id,
-         |    round(list_reduce(list_transform(generate_series(1, 8),
-         |      j -> q.qt[j][e.codes[j] + 1]), (acc, x) -> acc + x), 6) AS pq_sim
-         |  FROM qt q, enc e WHERE e.vec_id != q.query_id),
-         |short AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY pq_sim DESC, neighbor_id) AS rn FROM adc) z
-         |  WHERE rn <= 50),
-         |sc AS (
-         |  SELECT s.query_id, s.neighbor_id,
-         |         round(${duckCosine("qe.embedding", "ne.embedding")}, 6) AS cos_sim
-         |  FROM short s JOIN embeddings qe ON qe.vec_id = s.query_id
-         |               JOIN embeddings ne ON ne.vec_id = s.neighbor_id)
-         |SELECT query_id, neighbor_id, cos_sim, rn FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc) z
-         |WHERE rn <= 5""".stripMargin
-    },
-    // Replays VectorOps.annIvf end-to-end: the kmeans-discipline
-    // quantizer (md5 seeds, rounded-cosine argmax, DECIMAL Lloyd means
-    // — the shared duckKmeansCte), nprobe nearest cells per query, and
-    // the exact re-rank
-    "ann_ivf" ->
-      s"""WITH ${duckKmeansCte(16, 1)},
-         |qc AS (
-         |  SELECT e.vec_id AS query_id, s.cid,
-         |         round(${duckCosine("e.v", "s.c")}, 6) + 0 AS csim
-         |  FROM emb e, cents1 s WHERE e.vec_id < 10),
-         |probe AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY csim DESC, cid) AS pr FROM qc)
-         |  WHERE pr <= 4),
-         |cand AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id
-         |  FROM probe p JOIN asg1 a ON a.cid = p.cid
-         |  WHERE a.vec_id != p.query_id),
-         |sc AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |         round(${duckCosine("qe.embedding", "ne.embedding")}, 6) AS cos_sim
-         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
-         |            JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
-         |SELECT query_id, neighbor_id, cos_sim, rn FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc)
-         |WHERE rn <= 5""".stripMargin,
-    // Replays the persisted IVF index end-to-end: quantizer trained on
-    // the BASE corpus only (vec_id % 10 <> 0 — the build input), every
-    // vector (base + absorbed delta) assigned to the FROZEN cents1,
-    // probe + exact re-rank identical to ann_ivf's tail
-    "ann_ivf_indexed" ->
-      s"""WITH ${duckKmeansCte(16, 1,
-             "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0)")},
-         |av AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |ascored AS (
-         |  SELECT e.vec_id, s.cid,
-         |         round(${duckCosine("e.v", "s.c")}, 6) + 0 AS sim
-         |  FROM av e, cents1 s),
-         |aall AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY sim DESC, cid) AS rn FROM ascored) WHERE rn = 1),
-         |qc AS (
-         |  SELECT e.vec_id AS query_id, s.cid,
-         |         round(${duckCosine("e.v", "s.c")}, 6) + 0 AS csim
-         |  FROM av e, cents1 s WHERE e.vec_id < 10),
-         |probe AS (
-         |  SELECT query_id, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY csim DESC, cid) AS pr FROM qc)
-         |  WHERE pr <= 4),
-         |cand AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id
-         |  FROM probe p JOIN aall a ON a.cid = p.cid
-         |  WHERE a.vec_id != p.query_id),
-         |sc AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |         round(${duckCosine("qe.embedding", "ne.embedding")}, 6) AS cos_sim
-         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
-         |            JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
-         |SELECT query_id, neighbor_id, cos_sim, rn FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc)
-         |WHERE rn <= 5""".stripMargin,
-    // The indexed near-dup twin: same banding/candidate/re-rank replay
-    // as embedding_neardup_delta_lsh, but the geometry sizes from the
-    // BASE count — the frozen-at-build contract the persisted postings
-    // pin in their meta sidecar
-    "embedding_neardup_delta_indexed" ->
-      s"""WITH ${duckLshPlanesTables(
-             "SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 0", 5, 0.45, 0.9)},
-         |${duckLshBandedDyn()},
-         |cand AS (
-         |  SELECT DISTINCT least(i.vec_id, c.vec_id) AS vec_a,
-         |         greatest(i.vec_id, c.vec_id) AS vec_b
-         |  FROM pk i JOIN bk c ON i.t = c.t AND i.b = c.b AND i.vec_id != c.vec_id
-         |  WHERE i.vec_id % 10 = 0),
-         |sc AS (
-         |  SELECT vec_a, vec_b, round(${duckCosine("ea.embedding", "eb.embedding")}, 6) AS cos_sim
-         |  FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
-         |            JOIN embeddings eb ON eb.vec_id = vec_b)
-         |SELECT vec_a, vec_b, cos_sim FROM sc WHERE cos_sim >= 0.45""".stripMargin,
-    // knnJoinLsh + the vote/argmax tail: votes are exact counts, the
-    // argmax tie-breaks (votes desc, label asc), mean_sim replays the
-    // same 6dp-rounded ratio of summed partials
-    "knn_label_prop_lsh" ->
-      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings WHERE vec_id % 5 != 0", 7, 0.7, 0.8)},
-         |${duckLshBandedDyn()},
-         |cand AS (
-         |  SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS neighbor_id
-         |  FROM pk l JOIN bk r ON l.t = r.t AND l.b = r.b
-         |  WHERE l.vec_id % 5 = 0 AND r.vec_id % 5 != 0),
-         |sc AS (
-         |  SELECT query_id, neighbor_id,
-         |         round(${duckCosine("qe.embedding", "ne.embedding")}, 6) AS cos_sim
-         |  FROM cand JOIN embeddings qe ON qe.vec_id = query_id
-         |            JOIN embeddings ne ON ne.vec_id = neighbor_id),
-         |topk AS (
-         |  SELECT query_id, neighbor_id, cos_sim FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_sim DESC, neighbor_id) AS rn FROM sc)
-         |  WHERE rn <= 5),
-         |byl AS (
-         |  SELECT query_id, e.label, COUNT(*) AS votes, SUM(cos_sim) AS sim_sum
-         |  FROM topk JOIN embeddings e ON e.vec_id = neighbor_id
-         |  GROUP BY 1, 2)
-         |SELECT query_id, label AS pred_label, votes, mean_sim FROM (
-         |  SELECT query_id, label, votes,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY votes DESC, label) AS vr,
-         |    round(SUM(sim_sum) OVER (PARTITION BY query_id)
-         |      / SUM(votes) OVER (PARTITION BY query_id), 6) AS mean_sim
-         |  FROM byl)
-         |WHERE vr = 1""".stripMargin,
-    // LSH-banded triplet mining: hardest positive = rank-1 by
-    // (cos desc, cand_id) over the >= minPos slice (the Spark side's
-    // min(struct(-cos, id)) argmax), negatives = top-2 of the band
-    "contrastive_triplets" ->
-      s"""WITH ${duckLshPlanesTables("SELECT count(*) FROM embeddings", 7, 0.3, 0.7)},
-         |${duckLshBandedDyn()},
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS cand_id
-         |  FROM pk a JOIN bk b ON a.t = b.t AND a.b = b.b AND a.vec_id != b.vec_id),
-         |scored AS (
-         |  SELECT anchor_id, cand_id,
-         |         round(${duckCosine("ae.embedding", "ce.embedding")}, 6) AS cos
-         |  FROM cand JOIN embeddings ae ON ae.vec_id = anchor_id
-         |            JOIN embeddings ce ON ce.vec_id = cand_id),
-         |pos AS (
-         |  SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY anchor_id
-         |      ORDER BY cos DESC, cand_id) AS pr
-         |    FROM scored WHERE cos >= 0.45)
-         |  WHERE pr = 1),
-         |neg AS (
-         |  SELECT anchor_id, cand_id AS neg_id, cos AS neg_cos, neg_rank FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY anchor_id
-         |      ORDER BY cos DESC, cand_id) AS neg_rank
-         |    FROM scored WHERE cos >= 0.2 AND cos < 0.4)
-         |  WHERE neg_rank <= 2)
-         |SELECT pos.anchor_id, pos_id, pos_cos, neg_id, neg_cos, neg_rank
-         |FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id""".stripMargin,
-    "pricing_summary" ->
-      s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-         |  CAST(SUM($revSql) AS DOUBLE) AS sum_disc_price,
-         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-         |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-         |  COUNT(*) AS count_order
-         |FROM lineitem
-         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "revenue_by_nation" ->
-      s"""SELECT n.n_name,
-         |  CAST(SUM($revSql) AS DOUBLE) AS revenue,
-         |  COUNT(*) AS n_lineitems
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation n ON c_nationkey = n.n_nationkey
-         |JOIN region ON n.n_regionkey = r_regionkey
-         |WHERE r_name = 'ASIA'
-         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
-    "top_customers" ->
-      s"""WITH per_cust AS (
-         |  SELECT o_custkey, CAST(SUM($revSql) AS DOUBLE) AS revenue, COUNT(*) AS n_items
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         |  GROUP BY 1)
-         |SELECT c_custkey, c_name, c_mktsegment, revenue, n_items
-         |FROM per_cust JOIN customer ON o_custkey = c_custkey
-         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
-    "cust_order_dist" ->
-      """WITH per_cust AS (
-        |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
-        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |  GROUP BY 1)
-        |SELECT n_orders, COUNT(*) AS n_customers
-        |FROM per_cust GROUP BY 1 ORDER BY 1""".stripMargin,
-    "promo_revenue" ->
-      s"""SELECT date_trunc('month', l_shipdate)::date AS ship_month,
-         |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revSql
-         |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
-         |  CAST(SUM($revSql) AS DOUBLE) AS total_revenue,
-         |  round(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revSql
-         |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-         |        / CAST(SUM($revSql) AS DOUBLE), 6) AS promo_share
-         |FROM lineitem JOIN part ON l_partkey = p_partkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "big_orders" ->
-      """WITH qty AS (
-        |  SELECT l_orderkey,
-        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-        |  FROM lineitem GROUP BY 1
-        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
-        |SELECT c_custkey, c_name, o_orderkey, o_orderdate::date AS o_orderdate, total_qty
-        |FROM orders JOIN qty ON o_orderkey = l_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
-    "dormant_customers" ->
-      """WITH ab AS (
-        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
-        |  FROM customer),
-        |active AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
-        |SELECT c_mktsegment, COUNT(*) AS n_dormant,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
-        |FROM customer, ab
-        |WHERE c_acctbal > avg_bal
-        |  AND c_custkey NOT IN (SELECT o_custkey FROM active)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "disjunctive_revenue" ->
-      s"""SELECT p_brand, CAST(SUM($revSql) AS DOUBLE) AS revenue, COUNT(*) AS n_items
-         |FROM lineitem JOIN part ON l_partkey = p_partkey
-         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
-         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
-         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 40)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "top_suppliers" ->
-      s"""WITH per_supp AS (
-         |  SELECT l_suppkey, CAST(SUM($revSql) AS DOUBLE) AS revenue
-         |  FROM lineitem
-         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-         |  GROUP BY 1)
-         |SELECT s_suppkey, s_name, revenue
-         |FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
-         |WHERE revenue = (SELECT MAX(revenue) FROM per_supp)
-         |ORDER BY s_suppkey""".stripMargin,
-    "ship_latency" ->
-      """SELECT o_orderpriority,
-        |  CAST(SUM(CASE WHEN datediff('day', o_orderdate::date, l_shipdate::date) <= 30
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS shipped_30d,
-        |  CAST(SUM(CASE WHEN datediff('day', o_orderdate::date, l_shipdate::date) > 30
-        |                 AND datediff('day', o_orderdate::date, l_shipdate::date) <= 90
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS shipped_90d,
-        |  CAST(SUM(CASE WHEN datediff('day', o_orderdate::date, l_shipdate::date) > 90
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS shipped_late,
-        |  COUNT(*) AS n_items
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "cheapest_supplier" ->
-      """WITH unit AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        |      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS unit_price
-        |  FROM lineitem GROUP BY 1, 2),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
-        |        ORDER BY unit_price, l_suppkey) AS rn FROM unit)
-        |SELECT p_partkey, p_name, s_suppkey, s_name,
-        |  round(unit_price, 6) AS unit_price
-        |FROM r JOIN part ON l_partkey = p_partkey
-        |       JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE rn = 1 AND p_size <= 5 ORDER BY p_partkey""".stripMargin,
-    "forecast_revenue" ->
-      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
-        |    AS revenue_increase,
-        |  COUNT(*) AS n_lineitems
-        |FROM lineitem
-        |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
-        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
-    "nation_trade_volume" ->
-      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-         |  CAST(year(l_shipdate) AS INT) AS ship_year,
-         |  CAST(SUM($revSql) AS DOUBLE) AS revenue, COUNT(*) AS n_lineitems
-         |FROM lineitem
-         |JOIN supplier ON l_suppkey = s_suppkey
-         |JOIN nation sn ON s_nationkey = sn.n_nationkey
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation cn ON c_nationkey = cn.n_nationkey
-         |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
-         |  AND cn.n_name IN ('NATION_1', 'NATION_2')
-         |  AND sn.n_name <> cn.n_name
-         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
-    "product_profit" ->
-      s"""SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS ship_year,
-         |  CAST(SUM($revSql
-         |    - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.8 AS DECIMAL(18,2))
-         |           * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
-         |    AS profit
-         |FROM lineitem
-         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
-         |JOIN supplier ON l_suppkey = s_suppkey
-         |JOIN nation ON s_nationkey = n_nationkey
-         |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
-    "returned_revenue" ->
-      s"""SELECT c_custkey, c_name, c_mktsegment,
-         |  CAST(SUM($revSql) AS DOUBLE) AS revenue, COUNT(*) AS n_items
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |WHERE l_returnflag = 'R'
-         |  AND o_orderdate >= '2000-10-01' AND o_orderdate < '2001-01-01'
-         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
-    "major_parts" ->
-      s"""WITH per_part AS (
-         |  SELECT l_partkey, SUM($revSql) AS revenue_dec
-         |  FROM lineitem GROUP BY 1),
-         |tot AS (SELECT SUM(revenue_dec) AS total_dec, COUNT(*) AS n_parts
-         |        FROM per_part)
-         |SELECT l_partkey AS p_partkey, CAST(revenue_dec AS DOUBLE) AS revenue
-         |FROM per_part, tot
-         |WHERE CAST(revenue_dec AS DOUBLE)
-         |    > CAST(total_dec AS DOUBLE) / n_parts * 1.5
-         |ORDER BY revenue DESC, p_partkey""".stripMargin,
-    "small_qty_revenue" ->
-      """WITH avg_qty AS (
-        |  SELECT l_partkey,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
-        |  FROM lineitem GROUP BY 1)
-        |SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
-        |    AS avg_weekly,
-        |  COUNT(*) AS n_lineitems
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
-        |JOIN avg_qty USING (l_partkey)
-        |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
-    "dominant_suppliers" ->
-      """WITH shipped AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty_dec
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size <= 10
-        |  GROUP BY 1, 2),
-        |pt AS (SELECT l_partkey, SUM(supp_qty_dec) AS part_qty_dec,
-        |         COUNT(*) AS n_supps
-        |       FROM shipped GROUP BY 1)
-        |SELECT DISTINCT s_suppkey, s_name
-        |FROM shipped JOIN pt USING (l_partkey)
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE CAST(supp_qty_dec AS DOUBLE)
-        |    > CAST(part_qty_dec AS DOUBLE) / n_supps * 2.5
-        |ORDER BY s_suppkey""".stripMargin,
-    "sole_late_suppliers" ->
-      """WITH per_os AS (
-        |  SELECT o_orderkey, l_suppkey,
-        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 100 DAY
-        |             THEN 1 ELSE 0 END) AS was_late
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  GROUP BY 1, 2),
-        |flagged AS (
-        |  SELECT *, COUNT(*) OVER (PARTITION BY o_orderkey) AS n_suppliers,
-        |    SUM(was_late) OVER (PARTITION BY o_orderkey) AS n_late
-        |  FROM per_os)
-        |SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_orders
-        |FROM flagged JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE was_late = 1 AND n_suppliers >= 2 AND n_late = 1
-        |GROUP BY 1, 2 ORDER BY n_orders DESC, s_suppkey LIMIT 10""".stripMargin,
-    "late_priority_counts" ->
-      s"""SELECT o_orderpriority, COUNT(*) AS order_count
-         |FROM orders o
-         |WHERE EXISTS (
-         |  SELECT 1 FROM lineitem l
-         |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "supplier_diversity" ->
-      s"""SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(*) AS n_lineitems
-         |FROM lineitem JOIN part ON l_partkey = p_partkey
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "media_stats" ->
-      s"""WITH m AS (
-         |  SELECT doc_id AS media_id,
-         |         (['image','audio','video'])[(doc_id % 3 + 1)::int] AS media_type,
-         |         ((doc_id % 8) * 160 + 320)::int AS width,
-         |         (length(text) // 10 + 1)::int AS n_frames,
-         |         encode(text) AS payload
-         |  FROM documents)
-         |SELECT media_type,
-         |  COUNT(*) AS n_media,
-         |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
-         |  MAX(width) AS max_width,
-         |  round(CAST(SUM(n_frames) AS BIGINT)::DOUBLE / COUNT(*), 6) AS avg_frames
-         |FROM m GROUP BY 1""".stripMargin,
-    // The stub decoder's checksum is plain FNV-1a 64 over the payload
-    // bytes (Multimodal.FakeDecoder) — deterministic byte math, so DuckDB
-    // replays the fold exactly: the corpus is ASCII (unicode(char) = byte),
-    // the accumulator lives in HUGEINT mod 2^64 (BIGINT would overflow on
-    // the ×0x100000001b3), xor touches only the low 8 bits (b < 256), and
-    // the final value re-wraps to signed 64-bit to match Spark's Long.
-    "media_features" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id,
-        |         (['image','audio','video'])[(doc_id % 3 + 1)::int] AS media_type,
-        |         text
-        |  FROM documents),
-        |h AS (
-        |  SELECT media_id, media_type,
-        |         octet_length(encode(text))::INT AS n_bytes,
-        |         list_reduce(
-        |           list_prepend(14695981039346656037::HUGEINT,
-        |             list_transform(list_filter(string_split(text, ''), c -> c != ''),
-        |               c -> unicode(c)::HUGEINT)),
-        |           (acc, b) -> ((xor(acc % 256, b) + acc - (acc % 256))
-        |                        * 1099511628211::HUGEINT)
-        |                       % 18446744073709551616::HUGEINT) AS hh
-        |  FROM m)
-        |SELECT media_id, media_type, n_bytes,
-        |  (CASE WHEN hh >= 9223372036854775808::HUGEINT
-        |        THEN hh - 18446744073709551616::HUGEINT ELSE hh END)::BIGINT AS checksum
-        |FROM h""".stripMargin,
-    // payload = utf-8 bytes of text, so DuckDB's md5(text) (over the
-    // string's utf-8 bytes) equals Spark's md5(payload) bit-for-bit
-    "media_dedup" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id, md5(text) AS payload_md5,
-        |         octet_length(encode(text)) AS n_bytes
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000, md5(text), octet_length(encode(text))
-        |  FROM documents WHERE doc_id % 7 = 3)
-        |SELECT payload_md5, COUNT(*) AS n_copies, MIN(media_id) AS keep_id,
-        |  CAST((COUNT(*) - 1) * MIN(n_bytes) AS BIGINT) AS wasted_bytes
-        |FROM m GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
-    "top_part_per_brand" ->
-      s"""WITH per_part AS (
-         |  SELECT l_partkey, CAST(SUM($revSql) AS DOUBLE) AS revenue
-         |  FROM lineitem GROUP BY 1),
-         |ranked AS (
-         |  SELECT p_brand, p_partkey, p_name, revenue,
-         |    row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rn
-         |  FROM per_part JOIN part ON l_partkey = p_partkey)
-         |SELECT p_brand, p_partkey, p_name, revenue FROM ranked WHERE rn = 1
-         |ORDER BY p_brand""".stripMargin,
-    // the corpus is ASCII (octet_length(encode(text)) = length(text) for
-    // every row), so character slicing of text == byte slicing of payload
-    "media_neardup" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000 AS media_id, text FROM documents WHERE doc_id % 7 = 3),
-        |f AS (SELECT media_id, text, length(text) // 32 AS n_frames FROM m),
-        |s AS (SELECT media_id, text,
-        |        UNNEST(generate_series(0, greatest(CAST(n_frames AS INT) - 1, 0))) AS i
-        |      FROM f),
-        |fr AS (SELECT DISTINCT media_id, md5(substr(text, i*32 + 1, 32)) AS h
-        |       FROM s WHERE length(substr(text, i*32 + 1, 32)) > 0),
-        |sz AS (SELECT media_id, COUNT(*) AS n FROM fr GROUP BY 1),
-        |ok AS (SELECT h FROM fr GROUP BY 1 HAVING COUNT(*) <= 100),
-        |fx AS (SELECT fr.media_id, fr.h FROM fr JOIN ok USING (h)),
-        |sc AS (SELECT a.media_id AS media_a, b.media_id AS media_b, COUNT(*) AS shared
-        |       FROM fx a JOIN fx b ON a.h = b.h AND a.media_id < b.media_id
-        |       GROUP BY 1, 2)
-        |SELECT sc.media_a, sc.media_b, sc.shared, sa.n AS n_a, sb.n AS n_b,
-        |       round(shared::double / (sa.n + sb.n - shared), 6) AS frame_jaccard
-        |FROM sc JOIN sz sa ON media_a = sa.media_id
-        |         JOIN sz sb ON media_b = sb.media_id
-        |WHERE round(shared::double / (sa.n + sb.n - shared), 6) >= 0.8""".stripMargin,
-    // identical frame/index/jaccard scaffold; the hash is the two-scale
-    // integer byte-gradient dHash (bit j: byte j < byte j+1; bit 32+j:
-    // byte j < byte j+2), which DuckDB
-    // replays exactly via ord() over the ASCII payload — the reingested
-    // branch applies the same letter+1 brightness shift as the Spark side
-    "media_neardup_dhash" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000 AS media_id,
-        |         translate(text, 'abcdefghijklmnopqrstuvwxyz',
-        |                   'bcdefghijklmnopqrstuvwxyz{') AS text
-        |  FROM documents WHERE doc_id % 7 = 3),
-        |f AS (SELECT media_id, text, length(text) // 32 AS n_frames FROM m),
-        |s AS (SELECT media_id, text,
-        |        UNNEST(generate_series(0, greatest(CAST(n_frames AS INT) - 1, 0))) AS i
-        |      FROM f),
-        |fb AS (SELECT media_id, substr(text, i*32 + 1, 32) AS fs FROM s
-        |       WHERE length(substr(text, i*32 + 1, 32)) > 0),
-        |fr AS (SELECT DISTINCT media_id,
-        |         coalesce(list_sum(list_transform(range(least(length(fs) - 1, 32)),
-        |           j -> CASE WHEN ord(substr(fs, j + 1, 1)) < ord(substr(fs, j + 2, 1))
-        |                     THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0)
-        |         + coalesce(list_sum(list_transform(range(least(greatest(length(fs) - 2, 0), 30)),
-        |           j -> CASE WHEN ord(substr(fs, j + 1, 1)) < ord(substr(fs, j + 3, 1))
-        |                     THEN (1::BIGINT << (32 + j)) ELSE 0::BIGINT END)), 0) AS h
-        |       FROM fb),
-        |sz AS (SELECT media_id, COUNT(*) AS n FROM fr GROUP BY 1),
-        |ok AS (SELECT h FROM fr GROUP BY 1 HAVING COUNT(*) <= 100),
-        |fx AS (SELECT fr.media_id, fr.h FROM fr JOIN ok USING (h)),
-        |sc AS (SELECT a.media_id AS media_a, b.media_id AS media_b, COUNT(*) AS shared
-        |       FROM fx a JOIN fx b ON a.h = b.h AND a.media_id < b.media_id
-        |       GROUP BY 1, 2)
-        |SELECT sc.media_a, sc.media_b, sc.shared, sa.n AS n_a, sb.n AS n_b,
-        |       round(shared::double / (sa.n + sb.n - shared), 6) AS frame_jaccard
-        |FROM sc JOIN sz sa ON media_a = sa.media_id
-        |         JOIN sz sb ON media_b = sb.media_id
-        |WHERE round(shared::double / (sa.n + sb.n - shared), 6) >= 0.8""".stripMargin,
-    // Replays Multimodal.mediaNearDupHamming: two-scale dHash frames
-    // (31 adjacent + 30 skip-2 gradient bits for a 32-byte frame),
-    // 4x16-bit band candidates over the 61 populated bits (every band
-    // informative AND sparse), bit_count(xor) <= 3 verify, containment
-    // scoring.
-    "media_neardup_hamming" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000 AS media_id,
-        |         regexp_replace(text, '(.{63}).', '\1z', 'g') AS text
-        |  FROM documents WHERE doc_id % 7 = 3),
-        |f AS (SELECT media_id, text, length(text) // 32 AS n_frames FROM m),
-        |s AS (SELECT media_id, text,
-        |        UNNEST(generate_series(0, greatest(CAST(n_frames AS INT) - 1, 0))) AS i
-        |      FROM f),
-        |fb AS (SELECT media_id, substr(text, i*32 + 1, 32) AS fs FROM s
-        |       WHERE length(substr(text, i*32 + 1, 32)) > 0),
-        |fr AS (SELECT DISTINCT media_id,
-        |         coalesce(list_sum(list_transform(range(least(length(fs) - 1, 32)),
-        |           j -> CASE WHEN ord(substr(fs, j + 1, 1)) < ord(substr(fs, j + 2, 1))
-        |                     THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0)
-        |         + coalesce(list_sum(list_transform(range(least(greatest(length(fs) - 2, 0), 30)),
-        |           j -> CASE WHEN ord(substr(fs, j + 1, 1)) < ord(substr(fs, j + 3, 1))
-        |                     THEN (1::BIGINT << (32 + j)) ELSE 0::BIGINT END)), 0) AS h
-        |       FROM fb),
-        |sz AS (SELECT media_id, COUNT(*) AS n FROM fr GROUP BY 1),
-        |bk AS (SELECT media_id, h, u.b AS b, (h >> (u.b * 16)) & 65535 AS k
-        |       FROM fr, UNNEST(generate_series(0, 3)) AS u(b)),
-        |okb AS (SELECT b, k FROM bk GROUP BY 1, 2 HAVING COUNT(*) <= 100),
-        |bx AS (SELECT bk.media_id, bk.h, bk.b, bk.k FROM bk JOIN okb USING (b, k)),
-        |cand AS (
-        |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
-        |         a.h AS ha, b.h AS hb
-        |  FROM bx a JOIN bx b ON a.b = b.b AND a.k = b.k
-        |                     AND a.media_id < b.media_id),
-        |mt AS (
-        |  SELECT media_a, media_b, COUNT(DISTINCT ha) AS matched_frames
-        |  FROM cand WHERE bit_count(xor(ha, hb)) <= 3
-        |  GROUP BY 1, 2)
-        |SELECT mt.media_a, mt.media_b, mt.matched_frames, sa.n AS n_a, sb.n AS n_b,
-        |  round(matched_frames::double / sa.n, 6) AS containment
-        |FROM mt JOIN sz sa ON media_a = sa.media_id
-        |        JOIN sz sb ON media_b = sb.media_id
-        |WHERE round(matched_frames::double / sa.n, 6) >= 0.8""".stripMargin,
-    "media_frames" ->
-      """WITH f AS (
-        |  SELECT doc_id AS media_id,
-        |         (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
-        |         text, length(text) // 64 AS n_frames
-        |  FROM documents),
-        |s AS (
-        |  SELECT media_id, media_type, text,
-        |         UNNEST(generate_series(0,
-        |           greatest(CAST(ceil(n_frames / 4.0) AS INT) - 1, 0))) AS i
-        |  FROM f)
-        |SELECT media_id, media_type, CAST(i*4 AS INT) AS frame_index,
-        |       CAST(length(substr(text, i*4*64 + 1, 64)) AS INT) AS n_frame_bytes,
-        |       md5(substr(text, i*4*64 + 1, 64)) AS frame_md5
-        |FROM s WHERE length(substr(text, i*4*64 + 1, 64)) > 0""".stripMargin,
-    "full_outer_days" ->
-      s"""WITH $eventsCte,
-         |o AS (SELECT o_orderdate::date AS day, COUNT(*) AS n_orders FROM orders GROUP BY 1),
-         |ev AS (SELECT date_trunc('day', ts)::date AS day, COUNT(*) AS n_events FROM e GROUP BY 1)
-         |SELECT COALESCE(o.day, ev.day) AS day,
-         |       COALESCE(o.n_orders, 0) AS n_orders,
-         |       COALESCE(ev.n_events, 0) AS n_events
-         |FROM o FULL OUTER JOIN ev ON o.day = ev.day""".stripMargin,
-    "media_resize" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id,
-        |         (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
-        |         text, length(text) AS n,
-        |         ((doc_id % 8)*160 + 320) * ((doc_id % 8)*90 + 180) AS orig
-        |  FROM documents),
-        |r AS (
-        |  SELECT media_id, media_type, text, n,
-        |    CASE WHEN n = 0 THEN 0
-        |         WHEN 320*180 >= orig THEN n
-        |         ELSE greatest(1, (n * (320*180)) // orig) END AS mm
-        |  FROM m)
-        |SELECT media_id, media_type, 320 AS width, 180 AS height,
-        |  CAST(mm AS INT) AS n_bytes,
-        |  md5(array_to_string(list_transform(
-        |    generate_series(0, CAST(mm AS INT) - 1),
-        |    j -> substr(text, CAST((j*n) // mm AS INT) + 1, 1)), '')) AS payload_md5
-        |FROM r""".stripMargin,
-    "skew_join_agg" ->
-      """SELECT c_mktsegment, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1""".stripMargin,
-    "bloom_join_agg" ->
-      """SELECT s_suppkey AS suppkey, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE s_suppkey % 10 = 0
-        |GROUP BY 1""".stripMargin,
-  )
+  def oracleSql: Map[String, String] =
+    ReferenceQueries.oracles ++ SnapshotQueries.oracles ++ TextQueries.oracles ++
+      EventsQueries.oracles ++ VectorQueries.oracles ++ AnalyticsQueries.oracles ++
+      MediaQueries.oracles
 }
