@@ -38,6 +38,17 @@ class TopK[T](k: Int, better: (T, T) => Boolean)(
   override def outputEncoder: Encoder[Seq[T]] = bufEnc
 }
 
+/** [[TopK]] that only admits rows passing `keep` — the aggregation-level
+  * form of a branch filter, for plans that fold a filtered top-k into a
+  * WIDER aggregation over the same exchange (a plain `.filter` before
+  * the groupBy would constrain every sibling aggregate too). */
+class TopKWhere[T](k: Int, keep: T => Boolean, better: (T, T) => Boolean)(
+    implicit bufEnc: Encoder[Seq[T]])
+    extends TopK[T](k, better) {
+  override def reduce(buf: Seq[T], e: T): Seq[T] =
+    if (keep(e)) super.reduce(buf, e) else buf
+}
+
 object TopK {
   /** One event row as the aggregator's typed input — field names double
     * as the UDAF's column-argument order. */
@@ -65,4 +76,21 @@ object TopK {
   implicit val sampleRowSeqEnc: Encoder[Seq[SampleRow]] = ExpressionEncoder[Seq[SampleRow]]()
 
   def hashSampleK(k: Int): TopK[SampleRow] = new TopK[SampleRow](k, byHashAsc)
+
+  /** A scored candidate for the contrastive-triplet negative pick:
+    * `keep` carries the hard-negative band predicate so the top-k can
+    * ride the SAME aggregation as the positive argmax (one exchange,
+    * one scoring pass), ignoring out-of-band rows. */
+  final case class NegRow(keep: Boolean, cos: Double, cand_id: Long)
+
+  /** (cos desc, cand_id asc) — exactly the window order the neg branch
+    * ranked with, so list position + 1 ≡ row_number. */
+  val byCosDesc: (NegRow, NegRow) => Boolean = (a, b) =>
+    a.cos > b.cos || (a.cos == b.cos && a.cand_id < b.cand_id)
+
+  implicit val negRowEnc: Encoder[NegRow] = Encoders.product[NegRow]
+  implicit val negRowSeqEnc: Encoder[Seq[NegRow]] = ExpressionEncoder[Seq[NegRow]]()
+
+  def negBandTopK(k: Int): TopKWhere[NegRow] =
+    new TopKWhere[NegRow](k, _.keep, byCosDesc)
 }

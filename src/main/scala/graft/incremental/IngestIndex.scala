@@ -463,8 +463,22 @@ final class IngestIndex(spark: SparkSession, dir: String,
     Await.result(Future.sequence(jobs.map(j => Future(j()))), Duration.Inf)
   }
 
-  private def stageBucketed(rel: String, df: DataFrame): Unit =
-    df.write.mode("overwrite").partitionBy("bucket").parquet(stagePath(rel).toString)
+  private def stageBucketed(rel: String, df: DataFrame): Unit = {
+    // label per guide §1.5 — the staging jobs run concurrently from
+    // driver threads, so without this the UI/profiler can't tell the
+    // five index builds apart (job descriptions are thread-local)
+    spark.sparkContext.setJobDescription(s"ingest-index stage $rel")
+    // Cluster on the partition column BEFORE the dynamic-partition write
+    // (guide §6 small-files rule): without it every input task opens a
+    // writer for every bucket value it sees — measured at sf0.1 as an
+    // 87 s-of-task-time stage whose cost was ~1000 parquet file
+    // creations (32 tasks × 32 buckets), not compute. One keyed exchange
+    // of the narrow index rows makes each bucket a single file written
+    // by a single task, at any scale.
+    df.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(stagePath(rel).toString)
+    spark.sparkContext.setJobDescription(null)
+  }
 
   private def stageBloom(words: Array[Long]): Unit = {
     import spark.implicits._
@@ -609,7 +623,9 @@ final class IngestIndex(spark: SparkSession, dir: String,
     val touched = delta.select(col("bucket")).distinct().collect().map(_.getInt(0))
     val existing = loadBase(sub)
       .filter(col("bucket").isin(touched.map(b => b: java.lang.Integer): _*))
-    merge(existing, delta)
+    // same §6 pre-clustering as stageBucketed: one task/file per bucket
+    // instead of every-task-opens-every-bucket dynamic-partition fanout
+    merge(existing, delta).repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(stagePath(s"$sub/base").toString)
   }
 

@@ -22,7 +22,7 @@ object TextOps {
     * no-op projection). `normalize` is idempotent, so expressions that
     * used `normalize(text)` read `norm` unchanged. */
   private[graft] def tokenized(documents: DataFrame): DataFrame =
-    documents
+    Par.fanned(documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("text"), normalize(col("text")).as("norm"))
       .select(col("*"), split(col("norm"), " ").as("toks"))
 

@@ -170,10 +170,11 @@ object VectorOps {
     * precomputed. */
   private[graft] def prepared(embeddings: DataFrame): DataFrame = {
     VecDot.register(embeddings.sparkSession)
-    embeddings.select(
-      col("vec_id"),
-      col("embedding").cast("array<double>").as("vd"),
-      sqrt(VecDot(col("embedding"), col("embedding"))).as("nrm"))
+    Par.fanned(embeddings.select(col("vec_id"), col("embedding")))
+      .select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("vd"),
+        sqrt(VecDot(col("embedding"), col("embedding"))).as("nrm"))
   }
 
   /** Exact cosine top-k: queries = `vec_id < nQueries` (deterministic
@@ -928,23 +929,39 @@ object VectorOps {
       col("nrm").as("an"))
     val cv = p.select(col("vec_id").as("cand_id"), col("vd").as("cd"),
       col("nrm").as("cn"))
-    val scored = cand.join(av, Seq("anchor_id")).join(cv, Seq("cand_id"))
+    // ONE scoring pass + ONE aggregation compute both branches. The
+    // former pos-aggregation/neg-window formulation planned the scoring
+    // subtree (a VecDot per candidate pair) under EACH branch — measured
+    // at sf0.1 as two 16-task stages re-reading the candidate exchange
+    // and re-doing 5M dot products apiece — then shuffled every band
+    // row into a window sort and joined the branches back on anchor_id.
+    // Here the positive is a conditional min(struct) and the negatives
+    // ride the SAME groupBy as a bounded [[graft.functions.TopKWhere]]
+    // top-k (map-side partials ship ≤ perAnchor rows per anchor per
+    // task — the events_topk_agg scale shape), so the plan drops one
+    // full scoring pass, the window sort, one exchange and the final
+    // join. Values are identical: min(struct) is order-independent, the
+    // TopK comparator (cos desc, cand_id asc) is exactly the window
+    // order, and list position + 1 ≡ row_number; anchors lacking either
+    // branch drop exactly as the inner join dropped them.
+    val pick = udaf(graft.functions.TopK.negBandTopK(perAnchor))
+    cand.join(av, Seq("anchor_id")).join(cv, Seq("cand_id"))
       .select(col("anchor_id"), col("cand_id"),
         round(VecDot(col("ad"), col("cd")) / (col("an") * col("cn")), 6).as("cos"))
-    val pos = scored.filter(col("cos") >= minPos)
+      .filter(col("cos") >= minPos ||
+        (col("cos") >= negLo && col("cos") < negHi))
       .groupBy(col("anchor_id"))
-      .agg(min(struct((-col("cos")).as("nc"), col("cand_id").as("id"))).as("m"))
-      .select(col("anchor_id"), col("m.id").as("pos_id"), (-col("m.nc")).as("pos_cos"))
-    val wNeg = Window.partitionBy(col("anchor_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    val neg = scored.filter(col("cos") >= negLo && col("cos") < negHi)
-      .withColumn("neg_rank", row_number().over(wNeg))
-      .filter(col("neg_rank") <= perAnchor)
-      .select(col("anchor_id"), col("cand_id").as("neg_id"),
-        col("cos").as("neg_cos"), col("neg_rank"))
-    pos.join(neg, Seq("anchor_id"))
+      .agg(
+        min(when(col("cos") >= minPos,
+          struct((-col("cos")).as("nc"), col("cand_id").as("id")))).as("m"),
+        pick(col("cos") >= negLo && col("cos") < negHi,
+          col("cos"), col("cand_id")).as("negs"))
+      .filter(col("m").isNotNull && size(col("negs")) > 0)
+      .select(col("anchor_id"), col("m.id").as("pos_id"),
+        (-col("m.nc")).as("pos_cos"), posexplode(col("negs")).as(Seq("i", "n")))
       .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
-        col("neg_id"), col("neg_cos"), col("neg_rank"))
+        col("n.cand_id").as("neg_id"), col("n.cos").as("neg_cos"),
+        (col("i") + 1).as("neg_rank"))
   }
 
   /** Truncated-dimension retrieval quality (the Matryoshka trade study):
