@@ -35,7 +35,7 @@ object Profile {
     // Attaches a listener, runs the query through the noop sink 3×, prints
     // each stage's wall span, task-time sum, task count and shuffle bytes —
     // the §1 "where does the time actually go" view without the UI.
-    if (args.nonEmpty) {
+    if (args.nonEmpty && !args.headOption.contains("kmeans-micro")) {
       import org.apache.spark.scheduler._
       import scala.collection.concurrent.TrieMap
       case class St(name: String, submitted: Long, var completed: Long,
@@ -83,6 +83,23 @@ object Profile {
               f"tasks ${s.tasks}%4d  shufR ${s.shufRead / 1048576.0}%8.2f MB  shufW ${s.shufWrite / 1048576.0}%8.2f MB  ${s.name.take(60)}")
           }
         }
+      }
+      spark.stop()
+      return
+    }
+
+    // micro-benchmark of the centroid-assignment expression on a
+    // row-multiplied corpus (isolates per-row expression cost from the
+    // driver/scheduling constants the tiny sf inputs hide behind)
+    if (args.headOption.contains("kmeans-micro")) {
+      val p = graft.ops.VectorOps.prepared(Tables.embeddings(spark, sfDir))
+      val big = p.withColumn("r", explode(lit((0 until 100).toArray))).drop("r")
+      val cents = graft.ops.VectorOps.seedCentroids(p, 16)
+      noop(big.select(col("vec_id"))) // warm the replicated scan
+      (1 to 3).foreach { rep =>
+        t(s"assign 200k rows x 16 centroids (rep $rep)")(
+          noop(big.select(
+            graft.ops.VectorOps.bestCentroid(cents).getField("cid").as("cid"))))
       }
       spark.stop()
       return

@@ -25,8 +25,42 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-session resolve memo: `spark.read.parquet` pays a file listing
+    * plus a schema-inference Spark job on EVERY call (~0.1 s even warm),
+    * and a resident engine resolves the same base tables hundreds of
+    * times per session (guide §6: cache file listings; the same
+    * statement-resolution tax the snapshot store's zero-listing fast
+    * path removes). The memo holds the ANALYZED READ PLAN only — every
+    * execution still scans the parquet bytes fresh — and each hit is
+    * validated against the file's (length, mtime), so an out-of-band
+    * rewrite misses the memo and re-resolves (the SnapshotTable
+    * manifest-validation discipline). Keyed weakly per session: plans
+    * are session-bound and must not outlive theirs. */
+  private val resolved =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (Long, Long, DataFrame)]]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+    val perSession = resolved.synchronized {
+      var m = resolved.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, DataFrame)]()
+        resolved.put(spark, m)
+      }
+      m
+    }
+    perSession.get(path) match {
+      case (len, mtime, df) if len == st.getLen && mtime == st.getModificationTime =>
+        df
+      case _ =>
+        val df = spark.read.parquet(path)
+        perSession.put(path, (st.getLen, st.getModificationTime, df))
+        df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -577,7 +577,8 @@ object TextExprs {
       val ad = exprs(1).eval().asInstanceOf[ArrayData]
       (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
     })),
-    VecDot.FnName -> (exprs => VecDot(exprs(0), exprs(1))))
+    VecDot.FnName -> (exprs => VecDot(exprs(0), exprs(1))),
+    VecRank.FnName -> VecRank.builder)
 
   /** Idempotent registration of all graft expressions (incl. [[VecDot]])
     * on a session's temp function registry — skipped when present (no

