@@ -179,7 +179,10 @@ final class VectorIndex(spark: SparkSession, dir: String,
       },
       () => if (withLsh) {
         label("build: lsh postings table")
-        bucketsTbl.create(bandPacked(p, pln, tbl))
+        // fan the banding input (per-row lshBucket × tables is the
+        // heavy pre-exchange map work — the measured fan-out winner;
+        // the light lloyd/assignment scans above stay unfanned)
+        bucketsTbl.create(bandPacked(graft.ops.Par.fanned(p), pln, tbl))
       }).map(j => Future(j()))), Duration.Inf)
     writeMeta(pln, tbl) // commit marker: published last, atomically
     spark.sparkContext.setJobDescription(null)

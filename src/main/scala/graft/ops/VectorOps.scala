@@ -170,12 +170,22 @@ object VectorOps {
     * precomputed. */
   private[graft] def prepared(embeddings: DataFrame): DataFrame = {
     VecDot.register(embeddings.sparkSession)
-    Par.fanned(embeddings.select(col("vec_id"), col("embedding")))
-      .select(
-        col("vec_id"),
-        col("embedding").cast("array<double>").as("vd"),
-        sqrt(VecDot(col("embedding"), col("embedding"))).as("nrm"))
+    embeddings.select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("vd"),
+      sqrt(VecDot(col("embedding"), col("embedding"))).as("nrm"))
   }
+
+  /** [[graft.ops.Par.fanned]] over a [[prepared]] frame — applied ONLY
+    * at the banding-heavy operators (per-row lshBucket × tables before
+    * the first exchange), where the measured A/B wins: annLsh 2.2→1.3 s,
+    * contrastive_triplets 4.0→2.2 s at sf0.1. A blanket fan in
+    * [[prepared]] was measured and REVERTED: the light consumers
+    * (kmeans assignment, drift occupancy, knn join probes) lost more to
+    * the extra exchange + stages than the map parallelism returned
+    * (cluster_profiles 0.95→1.85 s, embedding_drift_psi 1.14→1.73 s). */
+  private def fannedPrepared(embeddings: DataFrame): DataFrame =
+    Par.fanned(prepared(embeddings))
 
   /** Exact cosine top-k: queries = `vec_id < nQueries` (deterministic
     * sample), candidates = everything else. Cosine rounded to 6dp BEFORE
@@ -204,7 +214,7 @@ object VectorOps {
     // table: queries are few, so buckets stay narrow and the per-query
     // candidate list ≈ tables × occupancy stays constant as N grows).
     val pln = if (planes > 0) planes else sizedPlanes(embeddings.count(), slack = 1)
-    val p = prepared(embeddings)
+    val p = fannedPrepared(embeddings)
     // The broadcast hints below bypass autoBroadcastJoinThreshold, and the
     // query side scales with the CALLER's nQueries — so hint only while the
     // broadcast stays trivially driver-safe (ids: nQueries×tables longs;
@@ -799,7 +809,7 @@ object VectorOps {
       else sizedPlanes(existing.count() + incoming.count(), slack = 5)
     val tbl = if (tables > 0) tables
       else sizedTablesMp(pln, minCos, targetRecall, probeFlips)
-    val all = prepared(existing.unionByName(incoming))
+    val all = fannedPrepared(existing.unionByName(incoming))
     val inc = prepared(incoming)
     val cand = bandedProbes(inc, "inc_id", tbl, pln, dims, probeFlips)
       .join(bandedBase(all, "cand_id", tbl, pln, dims), Seq("tb"))
@@ -843,7 +853,7 @@ object VectorOps {
     val pln = if (planes > 0) planes else sizedPlanes(embeddings.count(), slack = 5)
     val tbl = if (tables > 0) tables
       else sizedTablesMp(pln, minCos, targetRecall, probeFlips)
-    val p = prepared(embeddings)
+    val p = fannedPrepared(embeddings)
     // Same ids-only discipline as [[annLsh]]: the bucket joins and the
     // pair dedup move (vec_id, band) rows only; each UNIQUE candidate pair
     // then fetches its two vectors once. Shuffle volume drops from
@@ -902,7 +912,7 @@ object VectorOps {
     // tolerates misses; a dedup detector doesn't).
     val pln = if (planes > 0) planes else sizedPlanes(embeddings.count(), slack = 7)
     val tbl = if (tables > 0) tables else sizedTablesMp(pln, negLo, targetRecall)
-    val p = prepared(embeddings)
+    val p = fannedPrepared(embeddings)
     val cand = bandedProbes(p, "anchor_id", tbl, pln, dims).as("a")
       .join(bandedBase(p, "cand_id", tbl, pln, dims).as("b"),
         col("a.tb") === col("b.tb") && col("a.anchor_id") =!= col("b.cand_id"))
