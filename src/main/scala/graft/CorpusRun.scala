@@ -89,8 +89,14 @@ object CorpusRun {
     // coalesce to the INPUT's partition grain before checkpointing so
     // every downstream stage schedules the same number of tasks as the
     // plain path's narrow-scan records (input partitions scale with
-    // data, so the grain is right at any SF)
-    val inParts = math.max(1, docs.rdd.getNumPartitions)
+    // data). FLOOR at the session parallelism: a single-row-group input
+    // reads as ONE partition, and coalesce(1) was single-threading every
+    // downstream stage of the warm indexed run — the same §2.5
+    // parallelism hole Par.fanned repairs for the plain path (measured:
+    // indexed warm 11.0 s vs inline 9.9 s at sf0.1, inverted from the
+    // crossover the index exists to win).
+    val inParts = math.max(spark.sparkContext.defaultParallelism,
+      docs.rdd.getNumPartitions)
     val records = (warmState match {
       case Some(idx) =>
         println("[corpus] signatures: persisted ingest state (fingerprint-only text scan)")

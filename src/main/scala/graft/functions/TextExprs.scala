@@ -578,7 +578,8 @@ object TextExprs {
       (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
     })),
     VecDot.FnName -> (exprs => VecDot(exprs(0), exprs(1))),
-    VecRank.FnName -> VecRank.builder)
+    VecRank.FnName -> VecRank.builder,
+    VecRank.LshFnName -> VecRank.lshBuilder)
 
   /** Idempotent registration of all graft expressions (incl. [[VecDot]])
     * on a session's temp function registry — skipped when present (no

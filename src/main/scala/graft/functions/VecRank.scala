@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -62,8 +62,80 @@ case class CentroidRank(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** All `tables` sign-LSH bucket ids of one vector in ONE codegen'd pass
+  * (same §4 rationale as [[CentroidRank]]): the column formulation
+  * composed `tables × planes` separate VecDot-over-literal-array
+  * expressions, each carrying its 64 plane coefficients as plan
+  * literals — the banded plans weighed 115–119 kB of text at sf0.1
+  * geometry (planning + janino tax on every LSH operator). Here the
+  * coefficient matrix ([[VectorFns.planeCoef]], deterministic) rides as
+  * one reference object and each row pays one tight loop. Arithmetic is
+  * bit-identical: left-to-right dot over the common prefix (VecDot),
+  * `bit = dot >= 0` (false for NaN, as the `when` was), bucket = OR of
+  * `1L << plane`. */
+case class LshBuckets(child: Expression, planes: Int, dims: Int, tables: Int)
+    extends UnaryExpression {
+  require(planes > 0 && dims > 0 && tables > 0, "bad LSH geometry")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  @transient private lazy val coefs: Array[Double] =
+    Array.tabulate(tables * planes * dims) { i =>
+      val t = i / (planes * dims)
+      val p = (i / dims) % planes
+      val d = i % dims
+      VectorFns.planeCoef(t, p, d)
+    }
+
+  override def nullSafeEval(vd: Any): Any =
+    VecRank.lshBucketsKernel(vd.asInstanceOf[ArrayData], coefs, planes, dims, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = ctx.addReferenceObj("lshCoefs", coefs, "double[]")
+    nullSafeCodeGen(ctx, ev, vd =>
+      s"${ev.value} = graft.functions.VecRank.lshBucketsKernel($vd, $c, $planes, $dims, $tables);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBuckets =
+    copy(child = c)
+}
+
 object VecRank {
   val FnName = "centroid_rank"
+  val LshFnName = "lsh_buckets"
+
+  /** Kernel for [[LshBuckets]]. */
+  def lshBucketsKernel(vd: ArrayData, coefs: Array[Double], planes: Int,
+      dims: Int, tables: Int): ArrayData = {
+    val n = math.min(vd.numElements(), dims)
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        var i = 0
+        val off = (t * planes + p) * dims
+        while (i < n) { s += vd.getDouble(i) * coefs(off + i); i += 1 }
+        if (s >= 0) bucket |= 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column form of [[LshBuckets]] — element t+1 is table t's bucket. */
+  def lshBuckets(vec: Column, planes: Int, dims: Int, tables: Int): Column =
+    call_function(LshFnName, vec.cast("array<double>"),
+      lit(planes), lit(dims), lit(tables))
+
+  def lshBuilder(exprs: Seq[Expression]): Expression =
+    LshBuckets(exprs(0), exprs(1).eval().asInstanceOf[Int],
+      exprs(2).eval().asInstanceOf[Int], exprs(3).eval().asInstanceOf[Int])
 
   /** Spark's `round(double, 6)`: NaN/Inf unchanged, else
     * BigDecimal.valueOf + HALF_UP — bit-identical to the Round

@@ -175,6 +175,19 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     s"stats column name ${c} must not contain tab/newline (manifest is line-oriented)"))
 
   private def fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** Manifest IO bypasses the checksum wrapper on local filesystems:
+    * the claim-then-body-then-terminator write pattern leaves the .crc
+    * sidecar inconsistent with the final manifest, so EVERY subsequent
+    * open paid a logged EOFException ("Problem opening checksum file …
+    * Ignoring") before falling back to the raw read — pure exception +
+    * WARN-stack overhead on the hottest metadata path, plus a useless
+    * .crc write per commit. Manifest integrity is the protocol's own
+    * job (terminator + parse validation), not the checksum layer's;
+    * data files keep going through `fs` unchanged. */
+  private def metaFs: org.apache.hadoop.fs.FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case f => f
+  }
   private def manifestDir = new Path(s"$dir/manifests")
   private def manifestPath(v: Long) = new Path(manifestDir, f"v$v%019d.json")
 
@@ -255,7 +268,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
   // ---- manifest IO ----
 
   private def readText(p: Path): String = {
-    val in = fs.open(p)
+    val in = metaFs.open(p)
     try {
       val acc = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](4096)
@@ -1797,7 +1810,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     val target = math.max(base, allVersions.lastOption.getOrElse(-1L)) + 1
     val p = manifestPath(target)
     val out =
-      try fs.create(p, false) // create-exclusive: the version claim
+      try metaFs.create(p, false) // create-exclusive: the version claim
       catch {
         case e: java.io.IOException =>
           throw new ConcurrentModificationException(
@@ -1881,7 +1894,7 @@ final class SnapshotTable(spark: SparkSession, dir: String, key: String,
     * The overwrite is not atomic, but every partial state lacks the
     * terminator and reads as torn — exactly the tombstone's meaning. */
   private def retract(p: Path): Unit = {
-    val out = fs.create(p, true)
+    val out = metaFs.create(p, true)
     try out.write("#graft-retracted 1".getBytes("UTF-8")) finally out.close()
   }
 

@@ -127,12 +127,17 @@ object VectorOps {
   /** BUILD-side banding: one (t, bucket) row per table — the stored
     * half of every LSH join in this object. */
   private[graft] def bandedBase(p: DataFrame, idAs: String, tbl: Int, pln: Int,
-      dims: Int): DataFrame = p.select(
-    col("vec_id").as(idAs),
-    explode(array((0 until tbl).map(t =>
-      struct(lit(t).as("t"),
-        graft.functions.VectorFns.lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*))
-      .as("tb"))
+      dims: Int): DataFrame = {
+    // all per-table buckets from ONE kernel call (posexplode index =
+    // table id) — value-identical to the former per-table
+    // lshBucket-literal explode, minus its tables×planes×dims plan
+    // literals (guide §4; see [[graft.functions.LshBuckets]])
+    graft.functions.TextExprs.register(p.sparkSession)
+    p.select(col("vec_id").as(idAs),
+        posexplode(graft.functions.VecRank.lshBuckets(col("vd"), pln, dims, tbl))
+          .as(Seq("t", "b")))
+      .select(col(idAs), struct(col("t"), col("b")).as("tb"))
+  }
 
   /** PROBE-side banding with Hamming-1 multi-probe: per table, the base
     * bucket PLUS every single-bit flip of it — `tbl × (pln + 1)` rows
@@ -143,10 +148,10 @@ object VectorOps {
     * never re-evaluates the plane dot products. */
   private[graft] def bandedProbes(p: DataFrame, idAs: String, tbl: Int, pln: Int,
       dims: Int, flips: Int = 1): DataFrame = {
+    graft.functions.TextExprs.register(p.sparkSession)
     val withB = p.select(
       col("vec_id").as(idAs),
-      array((0 until tbl).map(t =>
-        graft.functions.VectorFns.lshBucket(col("vd"), pln, dims, seed = t)): _*).as("bs"))
+      graft.functions.VecRank.lshBuckets(col("vd"), pln, dims, tbl).as("bs"))
     // XOR masks for every Hamming-≤flips neighbor of the base bucket:
     // identity, the pln single flips, and (flips = 2) the C(pln,2)
     // double flips — still pure bit arithmetic on the packed key, so
@@ -226,11 +231,7 @@ object VectorOps {
     // vector arrays would otherwise ride the shuffle once per (table,
     // bucket) candidate row. Vectors re-attach per unique pair afterwards
     // via two narrow hash joins against the prepared frame.
-    val exploded = p.select(
-      col("vec_id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          lshBucket(col("vd"), pln, dims, seed = t).as("b"))): _*)).as("tb"))
+    val exploded = bandedBase(p, "vec_id", tables, pln, dims)
     val q = exploded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("tb"))
     val cand = hinted(q).join(exploded, Seq("tb"))
